@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic hashing.
+  *
+  * `hash60` maps any string to a non-negative 60-bit long via sha256 —
+  * the same value is computable in any SQL engine with a sha256
+  * function (e.g. DuckDB: `CAST(concat('0x', substr(sha256(s),1,15)) AS
+  * BIGINT)`), unlike Spark's Murmur3 `hash()` or DuckDB's internal
+  * `hash()`. Used as the seed hash for MinHash/SimHash signatures and
+  * for the deterministic hash embedder, so every derived result has an
+  * exact external oracle.
+  *
+  * (The reference seeds its deterministic benchmark embeddings the same
+  * way: `int(sha256(text)[:8], 16)`, tests/conftest.py:96-99.)
+  */
+object HashFunctions {
+
+  /** Non-negative 60-bit hash of a string column (first 15 hex chars of
+    * sha256, parsed base-16). Codegen'd built-ins only. */
+  def hash60(s: Column): Column =
+    conv(substring(sha2(s, 256), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: hash60(seed || ':' || s). */
+  def hash60(seed: Int, s: Column): Column =
+    hash60(concat(lit(seed.toString), lit(":"), s))
+
+  /** JVM-side mirror of [[hash60]] — MUST stay bit-identical to the SQL
+    * form. Used by driver-side code (e.g. embedding a single query
+    * string without launching a job). */
+  def hash60Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  def hash60Local(seed: Int, s: String): Long = hash60Local(s"$seed:$s")
+}

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expression surface for large-scale training-data
+  * pipelines: tokenization, shingling, quality features, language-ID
+  * heuristic, fingerprinting, SimHash. Everything is codegen'd built-in
+  * expressions (no UDFs) over a whitespace token model, chosen so each
+  * derived value is exactly reproducible in an external SQL engine.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (matches DuckDB string_split(text, ' ')). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct word n-gram shingles: ["a b c", "b c d", ...]. Empty when
+    * the text has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Default stopword lists per language for the heuristic language ID
+    * and stopword-ratio features. */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+  val StopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "zu", "ich")
+  val StopwordsEs: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no")
+  val StopwordsFr: Seq[String] = Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce")
+
+  /** Fraction of tokens that appear in `words`. */
+  def wordRatio(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  def stopwordRatio(text: Column): Column = wordRatio(text, StopwordsEn)
+
+  /** Fraction of characters in [.,!?;:]. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0.0), (acc, t) => acc + length(t).cast("double")) /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite [0,1] quality score from cheap surface features —
+    * length band + stopword presence + reasonable word lengths.
+    * A heuristic in the spirit of C4/Gopher-style quality filters. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = when(length(text).between(50, 2000), 1.0)
+      .when(length(text) < 50, length(text).cast("double") / 50.0)
+      .otherwise(lit(2000.0) / length(text).cast("double"))
+    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val mtl = meanTokenLen(text)
+    val wordScore = when(mtl.between(3.0, 10.0), 1.0).otherwise(0.5)
+    round((lenScore + swScore + wordScore) / 3.0, 4)
+  }
+
+  /** Heuristic language ID: argmax of per-language stopword hit ratios;
+    * 'und' when every score is zero. Ties break in fixed order
+    * en > de > es > fr. */
+  def langGuess(text: Column): Column = {
+    val scores = Seq(
+      "en" -> wordRatio(text, StopwordsEn), "de" -> wordRatio(text, StopwordsDe),
+      "es" -> wordRatio(text, StopwordsEs), "fr" -> wordRatio(text, StopwordsFr))
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s > 0.0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Normalized-text content fingerprint: sha256 of lowercased,
+    * whitespace-collapsed text (for exact near-canonical dedup). */
+  def fingerprint(text: Column): Column =
+    sha2(regexp_replace(trim(lower(text)), "\\s+", " "), 256)
+
+  /** 63-bit SimHash over the (multiset of) whitespace tokens: each
+    * token's hash60 votes ±1 on bits 0..62; bit j of the result is 1
+    * when the vote sum is positive. Pure array-fold expression — no
+    * shuffle, no UDF. */
+  def simhash63(text: Column): Column = {
+    val votes = aggregate(
+      tokens(text),
+      array_repeat(lit(0L), 63),
+      (acc, t) => {
+        val h = HashFunctions.hash60(t)
+        zip_with(acc, transform(sequence(lit(0), lit(62)),
+          j => when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)),
+          (a, b) => a + b)
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(62)),
+        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** MinHash signature: for each seed s in 0..numHashes-1, the minimum
+    * hash60(s ++ ":" ++ shingle) over the document's distinct n-gram
+    * shingles. Docs with no shingle get Long.MaxValue entries. */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val sh = shingles(text, n)
+    transform(sequence(lit(0), lit(numHashes - 1)), s =>
+      coalesce(
+        array_min(transform(sh, x =>
+          HashFunctions.hash60(concat(s.cast("string"), lit(":"), x)))),
+        lit(Long.MaxValue)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector similarity/distance expressions over `array<double>` columns.
+  *
+  * Spark-first replacement for the reference's FAISS scoring kernels
+  * (reference: src/langchain_memvid/index.py:309-338 `search_text`,
+  * metrics at index.py:143-149). All built from codegen'd higher-order
+  * array functions — no UDFs — so they stay inside whole-stage codegen
+  * and match a sequential-fold evaluation order (which keeps results
+  * bitwise-reproducible across engines that loop the same way).
+  *
+  * Inputs are cast to `array<double>`; pass float arrays freely.
+  */
+object VectorFunctions {
+
+  /** Cast to array<double> so products/sums run in double precision. */
+  def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Sequential-fold dot product: sum_i a_i * b_i. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm: sqrt(sum_i a_i^2). */
+  def l2Norm(a: Column): Column = {
+    val ad = asDouble(a)
+    sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
+  }
+
+  /** Cosine similarity: dot(a,b) / (|a| * |b|).
+    * Same formula as the reference's normalize-then-inner-product path
+    * (index.py:293-295, :322-324) without requiring pre-normalization. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Squared L2 distance: sum_i (a_i - b_i)^2. */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 (Euclidean) distance. */
+  def l2Distance(a: Column, b: Column): Column = sqrt(l2DistanceSq(a, b))
+
+  /** L2-normalize a vector column (reference: faiss.normalize_L2,
+    * index.py:293-295). Zero vectors pass through unchanged. */
+  def l2Normalize(a: Column): Column = {
+    val ad = asDouble(a)
+    val n = l2Norm(ad)
+    when(n === 0.0, ad).otherwise(transform(ad, x => x / n))
+  }
+
+  /** Score column for a metric name, mirroring the reference's metric
+    * domain `cosine | ip | l2` (config.py:119-123). For l2 the score is
+    * a *distance* (lower = better) surfaced as-is — the reference
+    * deliberately does not flip the direction (index.py:331-333). */
+  def score(metric: String, a: Column, b: Column): Column = metric match {
+    case "cosine" => cosineSimilarity(a, b)
+    case "ip"     => dotProduct(a, b)
+    case "l2"     => l2Distance(a, b)
+    case other    => throw new IllegalArgumentException(
+      s"unknown metric '$other' (expected cosine|ip|l2)")
+  }
+
+  /** True when higher score = better for the metric. */
+  def higherIsBetter(metric: String): Boolean = metric != "l2"
+}

@@ -1,0 +1,105 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Exact (flat) top-k vector search — the Spark-native counterpart of the
+  * reference's FAISS flat index search (reference:
+  * src/langchain_memvid/index.py:309-338 `search_text`; metric wiring
+  * index.py:141-149).
+  *
+  * Physical shape: the query vector rides along as an array literal
+  * (broadcast with the task closure), every row is scored inside
+  * whole-stage codegen, and `orderBy(...).limit(k)` plans as
+  * `TakeOrderedAndProject` — a per-partition bounded heap + driver merge,
+  * NO full sort and NO shuffle. This is exactly the FAISS heap-select
+  * strategy, distributed.
+  */
+object VectorIndex {
+
+  /** Ranking order for a metric: score desc for cosine/ip, asc for l2
+    * (l2 "score" is a distance — reference surfaces it un-flipped,
+    * index.py:331-333), with ascending tie-break columns for
+    * deterministic results. */
+  def ranking(metric: String, scoreCol: String, tieBreak: Seq[String]): Seq[Column] = {
+    val primary =
+      if (higherIsBetter(metric)) col(scoreCol).desc else col(scoreCol).asc
+    primary +: tieBreak.map(col(_).asc)
+  }
+
+  /** Score every row of `docs` against one query vector.
+    *
+    * @param roundScale if >= 0, the score is rounded to this many decimal
+    *   places *before* ranking — makes top-k selection reproducible across
+    *   engines whose float folds differ in the last ulp.
+    */
+  def scored(
+      docs: DataFrame,
+      vecCol: String,
+      query: Seq[Double],
+      metric: String = "cosine",
+      scoreCol: String = "similarity",
+      roundScale: Int = -1): DataFrame = {
+    val raw = score(metric, col(vecCol), typedlit(query))
+    val s = if (roundScale >= 0) round(raw, roundScale) else raw
+    docs.withColumn(scoreCol, s)
+  }
+
+  /** Exact top-k for a single query vector. */
+  def topK(
+      docs: DataFrame,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      metric: String = "cosine",
+      scoreCol: String = "similarity",
+      tieBreak: Seq[String] = Nil,
+      roundScale: Int = -1): DataFrame =
+    scored(docs, vecCol, query, metric, scoreCol, roundScale)
+      .orderBy(ranking(metric, scoreCol, tieBreak): _*)
+      .limit(k)
+
+  /** Top-k for EVERY query row in one job — replaces the reference's
+    * sequential `Retriever.batch` loop (retriever.py:110-155) with a
+    * single distributed plan.
+    *
+    * Two-phase ranking for scale: a first window partitioned by
+    * (query, input partition) keeps at most k rows per doc-partition per
+    * query — this shuffle spreads across numPartitions × numQueries
+    * reducers instead of piling every scored row onto one reducer per
+    * query — then a cheap second window over the ≤ P·k survivors picks
+    * the global top-k per query.
+    *
+    * @param queries small DataFrame with (queryIdCol, queryVecCol);
+    *   broadcast-joined against docs.
+    */
+  def topKBatch(
+      docs: DataFrame,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      metric: String = "cosine",
+      scoreCol: String = "similarity",
+      tieBreak: Seq[String] = Nil,
+      roundScale: Int = -1): DataFrame = {
+    val raw = score(metric, col(vecCol), col(queryVecCol))
+    val s = if (roundScale >= 0) round(raw, roundScale) else raw
+    val scoredAll = docs
+      .crossJoin(broadcast(queries))
+      .withColumn(scoreCol, s)
+      .withColumn("__part", spark_partition_id())
+    val order = ranking(metric, scoreCol, tieBreak)
+    val local = Window.partitionBy(col(queryIdCol), col("__part")).orderBy(order: _*)
+    val global = Window.partitionBy(col(queryIdCol)).orderBy(order: _*)
+    scoredAll
+      .withColumn("__lr", row_number().over(local))
+      .where(col("__lr") <= k)
+      .withColumn("rank", row_number().over(global))
+      .where(col("rank") <= k)
+      .drop("__part", "__lr", queryVecCol)
+  }
+}

@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+
+/** Deduplication operators for training-data pipelines, at the scales a
+  * 100 TB corpus demands. The reference only dedups exact text at ingest
+  * (reference: src/langchain_memvid/index.py:202-218); the near-dup
+  * family below (MinHash-LSH / SimHash / n-gram Jaccard / embedding
+  * cosine) extends that to web-scale pipeline practice
+  * (Broder 1997 shingling/MinHash; Charikar 2002 SimHash — see
+  * PAPERS.md).
+  *
+  * Scale notes: every operator here avoids the O(n²) all-pairs join —
+  * candidates come from equi-joins on shingles / LSH band buckets /
+  * SimHash prefix buckets, which shuffle-partition by key and scale out.
+  * Exact similarity is computed only on candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: lowest-id survivor per (normalized) text. One
+    * hash-shuffle groupBy; map-side partial aggregation applies. */
+  def exact(df: DataFrame, idCol: String, textCol: String,
+            normalize: Boolean = false): DataFrame = {
+    val key = if (normalize) TextFunctions.fingerprint(col(textCol)) else col(textCol)
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+  }
+
+  /** Candidate pairs sharing >= 1 word n-gram shingle, with exact
+    * Jaccard similarity over distinct-shingle sets. Returns pairs with
+    * jaccard >= threshold, id_a < id_b.
+    *
+    * Shuffle profile: explode shingles → equi-join on shingle (hash
+    * shuffle) → groupBy pair. Shingle frequency governs the blow-up; at
+    * web scale drop top-frequency shingles first (df > F) — provided via
+    * `maxShingleFreq`. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxShingleFreq: Option[Long] = None): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+    val filtered = maxShingleFreq match {
+      case Some(f) =>
+        val hot = sh.groupBy("sh").count().where(col("count") > f).select("sh")
+        sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      case None => sh
+    }
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = filtered.as("a").join(filtered.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash + LSH banding near-dup detection: signature of `numHashes`
+    * sha-derived min-hashes over n-gram shingles, split into `bands`
+    * bands; docs colliding on any whole band become candidates; exact
+    * Jaccard (on distinct shingles) filters candidates to >= threshold.
+    *
+    * Scale: candidates come from an equi-join on (band, band signature)
+    * — never all-pairs. numHashes/bands tune the S-curve
+    * (P[candidate] = 1-(1-j^r)^b, r = numHashes/bands). */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val withSig = df.select(
+      col(idCol).as("id"),
+      TextFunctions.shingles(col(textCol), n).as("sh"),
+      TextFunctions.minhashSignature(col(textCol), n, numHashes).as("sig"))
+      .where(size(col("sh")) > 0)
+
+    // band key = "b|v0|v1|..|v{r-1}" over the band's minhash slice.
+    val banded = withSig.select(col("id"), col("sh"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          concat_ws("|", (b.cast("string") +:
+            (0 until r).map(i => element_at(col("sig"), b * r + i + 1).cast("string"))): _*)
+        )).as("band"))
+
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 63-bit token-vote fingerprints; candidate
+    * pairs share one of 4 16-bit-ish hash bands (so any pair within
+    * Hamming distance 3 collides in >= 1 band — pigeonhole); verified
+    * with exact Hamming distance <= maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withH = df.select(col(idCol).as("id"),
+      TextFunctions.simhash63(col(textCol)).as("simhash"))
+    // 4 bands of ~16 bits: band key = (bandId, those bits of the hash).
+    val banded = withH.select(col("id"), col("simhash"),
+      explode(transform(sequence(lit(0), lit(3)), b =>
+        concat_ws("|", b.cast("string"),
+          call_function("shiftright", col("simhash"), b * 16)
+            .bitwiseAND(0xFFFF).cast("string"))
+      )).as("band"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs, brute force (all pairs id_a <
+    * id_b). Exact but O(n²) — the correctness baseline; use
+    * [[embeddingNearDupLsh]] at scale. */
+  def embeddingNearDupBrute(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double = 0.9): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), 4))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Embedding near-dup via deterministic random-hyperplane LSH
+    * (Charikar 2002): `nBits` sign bits of dot products with
+    * hash-derived unit hyperplanes form a bucket code; only
+    * intra-bucket pairs are scored. Recall < 1 by construction; raise
+    * nBits for precision, lower for recall. Hyperplanes are derived
+    * from sha256 seeds, so the bucketing is deterministic across runs
+    * and engines. */
+  def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, threshold: Double = 0.9,
+                          nBits: Int = 8): DataFrame = {
+    val emb = graft.embed.HashEmbedder(dim)
+    val planes = (0 until nBits).map(j => emb.embedQuery(s"hyperplane:$j").toSeq)
+    val code = (0 until nBits).map { j =>
+      when(VectorFunctions.dotProduct(col(vecCol), typedlit(planes(j))) > 0,
+        shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val coded = df.select(col(idCol).as("id"), col(vecCol).as("v"), code.as("bucket"))
+    coded.as("a").join(coded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosineSimilarity(col("a.v"), col("b.v")), 4))
+      .where(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

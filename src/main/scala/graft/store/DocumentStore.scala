@@ -1,0 +1,433 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
+
+import graft._
+import graft.embed.Embedder
+import graft.index.{IvfIndex, VectorIndex}
+
+/** The VectorStore-equivalent facade (reference:
+  * src/langchain_memvid/vectorstore.py — `MemVid`): ingest, top-k
+  * semantic search with optional full-metadata enrichment, point lookup,
+  * deletion with index maintenance, persistence, stats.
+  *
+  * Dual-store layout on disk (reference's hybrid FAISS dir + video file,
+  * vectorstore.py:7-13, index.py:71-84), as copy-on-write snapshot
+  * versions under one root:
+  *
+  * {{{
+  * <path>/MANIFEST.json          # current version + dim/metric/count/nlist
+  * <path>/v<N>/essential/        # parquet: id, text, source, category,
+  * #                               metadata_hash, vec [, cluster=...]
+  * <path>/v<N>/centroids/        # parquet (IVF only): cluster, centroid
+  * <path>/v<N>/payload/          # parquet: doc_id, text, metadata,
+  * #                               payload_json (full-fidelity record)
+  * }}}
+  *
+  * Mutation (add/delete) writes a NEW version directory and atomically
+  * swaps the manifest pointer — the Spark-native version of the
+  * reference's temp-file + move dance (vectorstore.py:563-581). Readers
+  * of the old snapshot are never disturbed; stale versions are pruned.
+  *
+  * Deletion does NOT re-embed anything: vectors are stored as data, so
+  * the reference's O(n) re-embed on delete (index.py:404-440, an
+  * artifact of FAISS flat indexes lacking deletion) becomes two
+  * anti-joins. Ids are reassigned densely 0..n-1 after deletion exactly
+  * like the reference (index.py:433-435) — ids are positional, not
+  * stable keys.
+  */
+final class DocumentStore private (
+    val spark: SparkSession,
+    val path: String,
+    val config: StoreConfig,
+    val embedder: Embedder) {
+
+  import DocumentStore._
+
+  // Full-metadata merge must be "full wins" (vectorstore.py:799) —
+  // map_concat keeps the LAST value for duplicate keys under this policy.
+  spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+
+  @volatile private var manifest: StoreManifest = readManifest(spark, path)
+    .getOrElse(StoreManifest(0L, embedder.dim, config.metric, 0L, config.nlist))
+
+  private def versionDir(v: Long) = s"$path/v$v"
+  private def essentialDir(v: Long) = s"${versionDir(v)}/essential"
+  private def payloadDir(v: Long) = s"${versionDir(v)}/payload"
+  private def centroidsDir(v: Long) = s"${versionDir(v)}/centroids"
+
+  /** Current essential store (searchable projection + vectors). */
+  def essential: DataFrame = spark.read.parquet(essentialDir(manifest.version))
+
+  /** Current full-fidelity payload store. */
+  def payload: DataFrame = spark.read.parquet(payloadDir(manifest.version))
+
+  def documentCount: Long = manifest.count
+  def currentManifest: StoreManifest = manifest
+
+  // ------------------------------------------------------------------
+  // Ingest (reference I1-I8: vectorstore.py:174-225, encoder.py:90-227,
+  // index.py:177-307)
+  // ------------------------------------------------------------------
+
+  /** Ingest texts + metadata. Like the reference, duplicate texts (both
+    * intra-batch and vs. the existing store) are dropped with
+    * first-occurrence-wins (index.py:202-218), yet the returned ids are
+    * str(0..len(texts)-1) of the INPUT — a reference surface
+    * inconsistency we replicate deliberately (vectorstore.py:221). */
+  def addTexts(texts: Seq[String], metadatas: Seq[Map[String, String]] = Nil): Seq[String] = {
+    require(metadatas.isEmpty || metadatas.length == texts.length,
+      s"texts/metadatas length mismatch: ${texts.length} vs ${metadatas.length}")
+    val metas = if (metadatas.isEmpty) Seq.fill(texts.length)(Map.empty[String, String]) else metadatas
+    import spark.implicits._
+    val staged = texts.zip(metas).toDF("text", "metadata")
+    appendBuild(staged)
+    texts.indices.map(_.toString)
+  }
+
+  /** Bulk ingest from a DataFrame with columns (text STRING,
+    * metadata MAP<STRING,STRING>). The scale path: no driver-side data. */
+  def addDF(staged: DataFrame): Unit = appendBuild(staged)
+
+  private def appendBuild(staged: DataFrame): Unit = {
+    val existing =
+      if (manifest.count > 0) Some(essential.select("id", "text", "source", "category", "metadata_hash", "vec"))
+      else None
+
+    // Input-order sequence for first-occurrence-wins dedup.
+    val withSeq = withDenseId(staged.select(col("text"), col("metadata").cast("map<string,string>")), "seq")
+
+    // Intra-batch dedup: first occurrence per text (index.py:202-218).
+    val firstPerText = Window.partitionBy(col("text")).orderBy(col("seq"))
+    var fresh = withSeq
+      .withColumn("__rn", row_number().over(firstPerText))
+      .where(col("__rn") === 1).drop("__rn")
+
+    // Dedup vs. already-indexed texts.
+    existing.foreach { ex => fresh = fresh.join(ex.select("text"), Seq("text"), "left_anti") }
+
+    // Embed (narrow map stage) + essential projection + integrity hash
+    // (index.py:220-237). Hash = sha256 over key-sorted metadata JSON —
+    // an opaque self-consistency token (SURVEY §7.4).
+    val embedded = embedder.embed(fresh, "text", "vec")
+      .withColumn("source", col("metadata").getItem("source"))
+      .withColumn("category", col("metadata").getItem("category"))
+      .withColumn("metadata_hash",
+        sha2(to_json(map_from_entries(array_sort(map_entries(col("metadata"))))), 256))
+
+    // Dense id assignment at the append offset (index.py:230):
+    // zipWithIndex (no shuffle), input order preserved via sort by seq.
+    val offset = manifest.count
+    val newRows = withDenseId(embedded.orderBy("seq"), "id", offset)
+
+    val newEssential = newRows.select("id", "text", "source", "category", "metadata_hash", "vec")
+    val allEssential = existing match {
+      case Some(ex) => ex.unionByName(newEssential)
+      case None     => newEssential
+    }
+    val newPayload = newRows.select(
+      col("id").as("doc_id"), col("text"), col("metadata"),
+      to_json(struct(col("text"), col("metadata"))).as("payload_json"))
+    val allPayload = existing match {
+      case Some(_) => payload.unionByName(newPayload)
+      case None    => newPayload
+    }
+    writeVersion(allEssential, allPayload)
+  }
+
+  /** Write a new snapshot version (optionally IVF-clustered), swap the
+    * manifest pointer, prune old versions. */
+  private def writeVersion(essentialDf: DataFrame, payloadDf: DataFrame): Unit = {
+    val v = manifest.version + 1
+    val ess = essentialDf.cache()
+    val count = ess.count()
+
+    var nlistUsed = 0
+    if (IvfIndex.shouldUseIvf(config.nlist, count)) {
+      val model = IvfIndex.fit(ess, "vec", config.nlist)
+      nlistUsed = model.nlist
+      ess.withColumn("cluster", model.assignCol(col("vec")))
+        .write.mode("overwrite").partitionBy("cluster").parquet(essentialDir(v))
+      import spark.implicits._
+      model.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(centroidsDir(v))
+    } else {
+      ess.write.mode("overwrite").parquet(essentialDir(v))
+    }
+    payloadDf.write.mode("overwrite").parquet(payloadDir(v))
+    ess.unpersist()
+
+    val old = manifest
+    manifest = StoreManifest(v, embedder.dim, config.metric, count, nlistUsed)
+    writeManifest(spark, path, manifest)
+    if (old.version > 0) deleteDir(spark, versionDir(old.version))
+  }
+
+  // ------------------------------------------------------------------
+  // Search (reference Q1-Q10: vectorstore.py:602-684, index.py:309-338,
+  // retriever.py:157-316)
+  // ------------------------------------------------------------------
+
+  private def loadCentroids(): Option[IvfIndex.Model] =
+    if (manifest.nlist > 0) {
+      val rows = spark.read.parquet(centroidsDir(manifest.version))
+        .orderBy("cluster").collect()
+      Some(IvfIndex.Model(rows.map(r =>
+        r.getSeq[Double](r.fieldIndex("centroid")).toIndexedSeq).toIndexedSeq))
+    } else None
+
+  /** Search-space DataFrame for a query vector: IVF-pruned (nprobe
+    * nearest clusters → partition pruning) when clustered, full scan
+    * otherwise. */
+  private def searchSpace(qv: Array[Double]): DataFrame =
+    loadCentroids() match {
+      case Some(model) =>
+        val probes = model.nearestCentroids(qv.toSeq, config.nprobe)
+        essential.where(col("cluster").isin(probes: _*))
+      case None => essential
+    }
+
+  /** Top-k semantic search (reference Q1/Q4). Returns a DataFrame of
+    * (doc_id, text, source, category, similarity, metadata_type
+    * [, metadata]); `similarity` follows the reference's raw-score
+    * semantics (higher=better for cosine/ip, distance for l2). */
+  def similaritySearch(query: String, k: Int = 4,
+                       includeFullMetadata: Boolean = false): DataFrame = {
+    require(manifest.count > 0, "store is empty or not built")
+    val qv = embedder.embedQuery(query)
+    val hits = VectorIndex.topK(
+        searchSpace(qv), "vec", qv.toSeq, k, config.metric,
+        scoreCol = "similarity", tieBreak = Seq("id"))
+      .select(col("id").as("doc_id"), col("text"), col("source"),
+        col("category"), col("similarity"),
+        lit("essential").as("metadata_type"))
+    if (includeFullMetadata) enhanceWithFullMetadata(hits) else hits
+  }
+
+  /** All queries in ONE distributed job (replaces the reference's
+    * sequential Retriever.batch loop, retriever.py:110-155). Output adds
+    * (query, rank). */
+  def similaritySearchBatch(queries: Seq[String], k: Int = 4): DataFrame = {
+    require(manifest.count > 0, "store is empty or not built")
+    import spark.implicits._
+    val qdf = queries.map(q => (q, embedder.embedQuery(q).toSeq)).toDF("query", "qv")
+    VectorIndex.topKBatch(essential, "vec", qdf, "query", "qv", k,
+        config.metric, scoreCol = "similarity", tieBreak = Seq("id"))
+      .select(col("query"), col("rank"), col("id").as("doc_id"), col("text"),
+        col("source"), col("category"), col("similarity"),
+        lit("essential").as("metadata_type"))
+  }
+
+  /** Full-metadata enrichment (reference Q6,
+    * vectorstore.py:782-813): join the (tiny, broadcast) hit set against
+    * the payload store; merged metadata with full-payload-wins. */
+  private def enhanceWithFullMetadata(hits: DataFrame): DataFrame =
+    broadcast(hits.drop("metadata_type"))
+      .join(payload.select(col("doc_id"), col("metadata")), Seq("doc_id"), "left")
+      .withColumn("metadata_type",
+        when(col("metadata").isNotNull, lit("full")).otherwise(lit("essential")))
+
+  /** Point lookup by id (reference Q7, retriever.py:258-316). */
+  def getDocumentById(id: Long, includeFullMetadata: Boolean = false): Option[SearchHit] = {
+    val df = getDocumentsByIds(Seq(id), includeFullMetadata)
+    df.collect().headOption.map(rowToHit)
+  }
+
+  /** Set lookup — one semijoin job, not a loop (reference Q8 loops Q7,
+    * retriever.py:372-394). */
+  def getDocumentsByIds(ids: Seq[Long], includeFullMetadata: Boolean = false): DataFrame = {
+    val base = essential.where(col("id").isin(ids: _*))
+      .select(col("id").as("doc_id"), col("text"), col("source"),
+        col("category"), lit(0.0).as("similarity"),
+        lit("essential").as("metadata_type"))
+    if (includeFullMetadata) enhanceWithFullMetadata(base) else base
+  }
+
+  private def rowToHit(r: Row): SearchHit = SearchHit(
+    r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+    Option(r.getAs[String]("source")), Option(r.getAs[String]("category")),
+    r.getAs[Double]("similarity"), r.getAs[String]("metadata_type"))
+
+  // ------------------------------------------------------------------
+  // Delete (reference D1-D7: vectorstore.py:290-412, index.py:347-440)
+  // ------------------------------------------------------------------
+
+  /** Delete by ids; returns false on empty input, throws on invalid ids
+    * (reference delete matrix, tests/test_index.py:162-261). Ids are
+    * recompacted to 0..n-1 afterwards (index.py:433-435). Deleting the
+    * last document removes the store (vectorstore.py:482-490). */
+  def deleteByIds(ids: Seq[Long]): Boolean = {
+    if (ids.isEmpty) return false
+    require(manifest.count > 0, "store is empty or not built")
+    val bad = ids.filter(i => i < 0 || i >= manifest.count)
+    require(bad.isEmpty, s"invalid ids: ${bad.mkString(",")} (count=${manifest.count})")
+
+    import spark.implicits._
+    val idsDf = ids.toDF("id")
+    val survivorsE = essential.join(broadcast(idsDf), Seq("id"), "left_anti")
+    val survivorsP = payload.join(
+      broadcast(idsDf.withColumnRenamed("id", "doc_id")), Seq("doc_id"), "left_anti")
+
+    if (manifest.count - ids.distinct.length <= 0) { drop(); return true }
+
+    // Dense id reassignment preserving order (index.py:433-435).
+    val reE = withDenseId(survivorsE.orderBy("id").drop("id"), "id")
+      .select("id", "text", "source", "category", "metadata_hash", "vec")
+    val reP = withDenseId(survivorsP.orderBy("doc_id").drop("doc_id"), "doc_id")
+      .select("doc_id", "text", "metadata", "payload_json")
+    writeVersion(reE, reP)
+    true
+  }
+
+  /** Delete by texts — only the FIRST (lowest-id) occurrence per text is
+    * deleted, reference semantics (index.py:389-393). */
+  def deleteByTexts(texts: Seq[String]): Boolean = {
+    if (texts.isEmpty) return false
+    require(manifest.count > 0, "store is empty or not built")
+    import spark.implicits._
+    val tdf = texts.distinct.toDF("text")
+    val firstIds = essential.join(broadcast(tdf), Seq("text"), "left_semi")
+      .groupBy("text").agg(min("id").as("id"))
+      .select("id").as[Long].collect()
+    if (firstIds.isEmpty) false else deleteByIds(firstIds.toSeq)
+  }
+
+  /** Remove the entire store from disk (reference empty-store removal,
+    * vectorstore.py:482-490). */
+  def drop(): Unit = {
+    deleteDir(spark, path)
+    manifest = StoreManifest(0L, embedder.dim, config.metric, 0L, config.nlist)
+  }
+
+  // ------------------------------------------------------------------
+  // Stats (reference S1-S4: vectorstore.py:815-879, index.py:590-607)
+  // ------------------------------------------------------------------
+
+  def frameMappingStats: FrameMappingStats = {
+    if (manifest.count == 0) return FrameMappingStats(0, -1, -1, 0.0)
+    val r = payload.agg(
+      count(col("doc_id")).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi")
+    ).collect()(0)
+    val n = r.getAs[Long]("n")
+    val span = r.getAs[Long]("hi") - r.getAs[Long]("lo") + 1
+    FrameMappingStats(n, r.getAs[Long]("lo"), r.getAs[Long]("hi"),
+      if (span > 0) 100.0 * n / span else 0.0)
+  }
+
+  def storageStats: StorageStats = StorageStats(
+    manifest.count,
+    dirSize(spark, payloadDir(manifest.version)),
+    dirSize(spark, essentialDir(manifest.version)),
+    frameMappingStats)
+}
+
+object DocumentStore {
+
+  /** Factory: construct + ingest (reference from_texts,
+    * vectorstore.py:881-911). */
+  def fromTexts(
+      spark: SparkSession, path: String,
+      texts: Seq[String], metadatas: Seq[Map[String, String]] = Nil,
+      config: StoreConfig = StoreConfig(), embedder: Embedder): DocumentStore = {
+    val store = new DocumentStore(spark, path, config, embedder)
+    if (readManifest(spark, path).isDefined) deleteDir(spark, path)
+    store.manifest = StoreManifest(0L, embedder.dim, config.metric, 0L, config.nlist)
+    store.addTexts(texts, metadatas)
+    store
+  }
+
+  /** Factory from a (text, metadata) DataFrame — the 100TB-scale entry
+    * point: data never touches the driver. */
+  def fromDF(
+      spark: SparkSession, path: String, staged: DataFrame,
+      config: StoreConfig = StoreConfig(), embedder: Embedder): DocumentStore = {
+    val store = new DocumentStore(spark, path, config, embedder)
+    if (readManifest(spark, path).isDefined) deleteDir(spark, path)
+    store.manifest = StoreManifest(0L, embedder.dim, config.metric, 0L, config.nlist)
+    store.addDF(staged)
+    store
+  }
+
+  /** Restore a persisted store (reference IndexManager.load,
+    * index.py:637-670): manifest carries dim/metric — dim mismatch with
+    * the supplied embedder is rejected like the reference's
+    * dimension-from-index check (index.py:660-661). */
+  def load(spark: SparkSession, path: String, embedder: Embedder,
+           config: StoreConfig = StoreConfig()): DocumentStore = {
+    val m = readManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no store manifest at $path"))
+    require(m.dim == embedder.dim,
+      s"embedder dim ${embedder.dim} != stored dim ${m.dim}")
+    new DocumentStore(spark, path, config.copy(metric = m.metric), embedder)
+  }
+
+  // ---------------- manifest + fs helpers ----------------
+
+  private val ManifestName = "MANIFEST.json"
+
+  private[store] def readManifest(spark: SparkSession, path: String): Option[StoreManifest] = {
+    val p = new Path(s"$path/$ManifestName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      Some(parseManifest(txt))
+    }
+  }
+
+  private[store] def writeManifest(spark: SparkSession, path: String, m: StoreManifest): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val tmp = new Path(s"$path/.$ManifestName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(renderManifest(m).getBytes("UTF-8")) finally out.close()
+    val dst = new Path(s"$path/$ManifestName")
+    // Atomic pointer swap (reference's shutil.move, vectorstore.py:563-581).
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
+  private[store] def renderManifest(m: StoreManifest): String =
+    s"""{"version":${m.version},"dim":${m.dim},"metric":"${m.metric}","count":${m.count},"nlist":${m.nlist}}"""
+
+  private[store] def parseManifest(s: String): StoreManifest = {
+    def longOf(k: String): Long =
+      s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalArgumentException(s"manifest missing $k: $s"))
+    def strOf(k: String): String =
+      s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(s)
+        .map(_.group(1))
+        .getOrElse(throw new IllegalArgumentException(s"manifest missing $k: $s"))
+    StoreManifest(longOf("version"), longOf("dim").toInt, strOf("metric"),
+      longOf("count"), longOf("nlist").toInt)
+  }
+
+  private[store] def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  private[store] def dirSize(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** Dense sequential id column via zipWithIndex — NOT
+    * monotonically_increasing_id, which is sparse (SURVEY §7.4). Costs
+    * one extra pass for partition sizes; no shuffle. */
+  private[graft] def withDenseId(df: DataFrame, idCol: String, offset: Long = 0L): DataFrame = {
+    val schema = df.schema.add(StructField(idCol, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + offset)) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+/** Core types — Spark-native equivalents of the reference's data model
+  * (reference: src/langchain_memvid/types.py:12-52; SearchResult
+  * index.py:28-62; essential record index.py:222-237).
+  */
+
+/** A document: text + schemaless metadata (LangChain `Document` analog,
+  * reference vectorstore.py:254-270). */
+final case class Doc(text: String, metadata: Map[String, String] = Map.empty)
+
+/** The fixed "essential metadata" projection kept alongside vectors in
+  * the search store (reference index.py:222-237). `id` is dense and
+  * positional — reassigned on delete, exactly like the reference
+  * (index.py:433-435). */
+final case class Essential(
+    id: Long,
+    text: String,
+    source: Option[String],
+    category: Option[String],
+    metadataHash: String)
+
+/** One search hit (reference SearchResult, index.py:28-62). For metric
+  * l2 `similarity` holds a distance (lower = better), un-flipped —
+  * faithful to index.py:331-333. */
+final case class SearchHit(
+    docId: Long,
+    text: String,
+    source: Option[String],
+    category: Option[String],
+    similarity: Double,
+    metadataType: String)
+
+/** Build statistics (reference BuildStats, types.py:21-29). */
+final case class BuildStats(
+    totalChunks: Long,
+    totalFrames: Long,
+    durationSeconds: Double,
+    payloadSizeBytes: Long,
+    indexSizeBytes: Long)
+
+/** Storage statistics (reference StorageStats, types.py:32-42 +
+  * vectorstore.py:815-879). */
+final case class StorageStats(
+    documentCount: Long,
+    payloadSizeBytes: Long,
+    indexSizeBytes: Long,
+    mapping: FrameMappingStats)
+
+/** Id↔row mapping stats (reference FrameMappingStats, types.py:12-18,
+  * index.py:590-607). Frames are parquet row ordinals here. */
+final case class FrameMappingStats(
+    totalMappings: Long,
+    minId: Long,
+    maxId: Long,
+    coveragePercent: Double)
+
+/** Store configuration (reference config.py:111-160 minus the video/QR
+  * codec params, which are storage-codec concerns replaced by Parquet).
+  * Metric domain `cosine | ip | l2` per config.py:119-123. IVF is
+  * enabled when nlist > 0 and the corpus has >= 30*nlist points —
+  * the reference's activation gate (index.py:152-166). */
+final case class StoreConfig(
+    metric: String = "cosine",
+    dim: Int = 64,
+    nlist: Int = 0,
+    nprobe: Int = 8) {
+  require(Set("cosine", "ip", "l2")(metric), s"bad metric $metric")
+}
+
+/** Persisted store manifest (replaces index.faiss + metadata.json
+  * sidecar, reference index.py:609-635): current snapshot version plus
+  * the config needed to interpret the parquet data. */
+final case class StoreManifest(
+    version: Long,
+    dim: Int,
+    metric: String,
+    count: Long,
+    nlist: Int,
+    centroids: Seq[Seq[Double]] = Nil)

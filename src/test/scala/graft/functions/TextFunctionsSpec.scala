@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens + tokenCount") {
+    val r = Seq("a b c", "one").toDF("t")
+      .select(tokenCount($"t").as("n")).as[Int].collect()
+    assert(r.toSeq == Seq(3, 1))
+  }
+
+  test("shingles: distinct n-grams; short text -> empty") {
+    val r = Seq("a b c d", "a b").toDF("t")
+      .select(shingles($"t", 3).as("s")).as[Seq[String]].collect()
+    assert(r(0) == Seq("a b c", "b c d"))
+    assert(r(1) == Nil)
+  }
+
+  test("stopword/punct ratios and quality bounds") {
+    val df = Seq("the cat is on the mat.", "xyzzy qwerty").toDF("t")
+    val r = df.select(
+      round(stopwordRatio($"t"), 4).as("sw"),
+      round(punctRatio($"t"), 4).as("p"),
+      qualityScore($"t").as("q")).collect()
+    assert(r(0).getAs[Double]("sw") == 0.5)   // the, is, the / 6 tokens
+    assert(r(0).getAs[Double]("p") > 0.0)
+    assert(r(1).getAs[Double]("sw") == 0.0)
+    val qs = r.map(_.getAs[Double]("q"))
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("langGuess picks stopword-richest language, und when none") {
+    val df = Seq(
+      "the cat and the dog is in a house",
+      "der hund und die katze ist ein tier",
+      "el perro y la casa es un lugar que no se ve",
+      "zzz yyy xxx").toDF("t")
+    val r = df.select(langGuess($"t").as("l")).as[String].collect()
+    assert(r.toSeq == Seq("en", "de", "es", "und"))
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val r = Seq("Hello   World", "hello world", "different").toDF("t")
+      .select(fingerprint($"t").as("f")).as[String].collect()
+    assert(r(0) == r(1))
+    assert(r(0) != r(2))
+  }
+
+  test("simhash63: deterministic, in [0, 2^63), near texts near hashes") {
+    val df = Seq(
+      "shared words one two three four five six seven eight",
+      "shared words one two three four five six seven nine",
+      "totally unrelated corpus entry").toDF("t")
+    val r = df.select(simhash63($"t").as("h")).as[Long].collect()
+    assert(r.forall(_ >= 0))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(r(0), r(1)) < ham(r(0), r(2)))
+  }
+
+  test("minhashSignature: length, determinism, identical texts identical sigs") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs").toDF("t")
+    val r = df.select(minhashSignature($"t", 3, 8).as("s")).as[Seq[Long]].collect()
+    assert(r.forall(_.length == 8))
+    assert(r(0) == r(1))
+    assert(r(0) != r(2))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.VectorFunctions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)),
+    (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+    (Seq(1.0, 1.0, 1.0), Seq(1.0, 1.0, 1.0))
+  ).toDF("a", "b")
+
+  test("dotProduct matches hand computation") {
+    val r = df.select(dotProduct($"a", $"b").as("d")).as[Double].collect()
+    assert(r sameElements Array(0.0, 32.0, 3.0))
+  }
+
+  test("cosineSimilarity: orthogonal=0, identical=1") {
+    val r = df.select(round(cosineSimilarity($"a", $"b"), 9).as("c")).as[Double].collect()
+    assert(r(0) == 0.0)
+    assert(r(2) == 1.0)
+    assert(math.abs(r(1) - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-6)
+  }
+
+  test("l2Distance") {
+    val r = df.select(l2Distance($"a", $"b").as("d")).as[Double].collect()
+    assert(math.abs(r(0) - math.sqrt(2)) < 1e-12)
+    assert(math.abs(r(1) - math.sqrt(27)) < 1e-12)
+    assert(r(2) == 0.0)
+  }
+
+  test("l2Normalize produces unit vectors; zero vector unchanged") {
+    val d2 = Seq(Seq(3.0, 4.0), Seq(0.0, 0.0)).toDF("v")
+    val r = d2.select(l2Normalize($"v").as("n")).as[Seq[Double]].collect()
+    assert(r(0) == Seq(0.6, 0.8))
+    assert(r(1) == Seq(0.0, 0.0))
+  }
+
+  test("score dispatch + direction") {
+    assert(higherIsBetter("cosine") && higherIsBetter("ip") && !higherIsBetter("l2"))
+    intercept[IllegalArgumentException](score("nope", lit(1), lit(1)))
+  }
+
+  test("float arrays are accepted (cast to double)") {
+    val f = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    val r = f.select(dotProduct($"a", $"b").as("d")).as[Double].collect()
+    assert(r(0) == 11.0)
+  }
+}

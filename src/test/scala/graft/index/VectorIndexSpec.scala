@@ -1,0 +1,55 @@
+package graft.index
+
+import graft.SparkSpec
+
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Unit vectors at known angles from e1.
+  private val docs = Seq(
+    (0L, Seq(1.0, 0.0)),           // cos=1.0
+    (1L, Seq(0.8, 0.6)),           // cos=0.8
+    (2L, Seq(0.0, 1.0)),           // cos=0.0
+    (3L, Seq(-1.0, 0.0)),          // cos=-1.0
+    (4L, Seq(0.6, 0.8))            // cos=0.6
+  ).toDF("id", "vec")
+
+  private val e1 = Seq(1.0, 0.0)
+
+  test("topK cosine: correct members and order") {
+    val r = VectorIndex.topK(docs, "vec", e1, 3, "cosine", tieBreak = Seq("id"))
+      .select("id").as[Long].collect()
+    assert(r.toSeq == Seq(0L, 1L, 4L))
+  }
+
+  test("topK l2: ascending distance") {
+    val r = VectorIndex.topK(docs, "vec", e1, 2, "l2",
+        scoreCol = "dist", tieBreak = Seq("id"))
+      .select("id").as[Long].collect()
+    assert(r.toSeq == Seq(0L, 1L))
+  }
+
+  test("topK ip equals cosine here (unit vectors)") {
+    val r = VectorIndex.topK(docs, "vec", e1, 3, "ip", tieBreak = Seq("id"))
+      .select("id").as[Long].collect()
+    assert(r.toSeq == Seq(0L, 1L, 4L))
+  }
+
+  test("topKBatch: per-query top-k in one job matches single-query topK") {
+    val queries = Seq(("q1", Seq(1.0, 0.0)), ("q2", Seq(0.0, 1.0))).toDF("qid", "qv")
+    val r = VectorIndex.topKBatch(docs, "vec", queries, "qid", "qv", 2,
+        "cosine", tieBreak = Seq("id"))
+      .select("qid", "rank", "id").as[(String, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.sortBy(_._2).map(_._3).toSeq }
+    assert(r("q1") == Seq(0L, 1L))
+    assert(r("q2") == Seq(2L, 4L))
+  }
+
+  test("tie-break is deterministic") {
+    val tied = Seq((5L, Seq(1.0, 0.0)), (3L, Seq(1.0, 0.0)), (9L, Seq(1.0, 0.0)))
+      .toDF("id", "vec")
+    val r = VectorIndex.topK(tied, "vec", e1, 2, "cosine", tieBreak = Seq("id"))
+      .select("id").as[Long].collect()
+    assert(r.toSeq == Seq(3L, 5L))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.embed.HashEmbedder
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 0/1 exact dups; 2/3 near-dups (one word changed); 4 unrelated.
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "pack my box with five dozen liquor jugs for the long journey home"),
+    (3L, "pack my box with five dozen liquor jugs for the long voyage home"),
+    (4L, "completely different text with no overlap whatsoever in any way")
+  ).toDF("id", "text")
+
+  test("exact dedup keeps lowest id and counts dups") {
+    val r = Dedup.exact(docs, "id", "text").collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("dup_count")).toMap
+    assert(r(0L) == 2)          // 0 survives for {0,1}
+    assert(!r.contains(1L))
+    assert(r(2L) == 1 && r(3L) == 1 && r(4L) == 1)
+  }
+
+  test("ngram Jaccard finds exact and near dup pairs, not unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard")))
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((0L, 1L)) == 1.0)
+    assert(m.contains((2L, 3L)) && m((2L, 3L)) > 0.3 && m((2L, 3L)) < 1.0)
+    assert(!m.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash LSH finds the same dup pairs as exact Jaccard at high threshold") {
+    val pairs = Dedup.minhashLshPairs(docs, "id", "text",
+      n = 3, numHashes = 16, bands = 8, threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical texts hamming 0; near dups small; unrelated large") {
+    val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 63).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(pairs((0L, 1L)) == 0)
+    // near-dup pair collides in some band and has small distance
+    pairs.get((2L, 3L)).foreach(h => assert(h <= 16))
+  }
+
+  test("embedding near-dup: brute force finds identical-embedding pair") {
+    val emb = HashEmbedder(32)
+    val withVec = emb.embed(docs, "text", "vec")
+    val pairs = Dedup.embeddingNearDupBrute(withVec, "id", "vec", threshold = 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((0L, 1L))) // only the exact-dup texts share an embedding
+  }
+
+  test("embedding near-dup LSH is a subset of brute force and finds exact dups") {
+    val emb = HashEmbedder(32)
+    val withVec = emb.embed(docs, "text", "vec")
+    val brute = Dedup.embeddingNearDupBrute(withVec, "id", "vec", 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(withVec, "id", "vec", dim = 32,
+      threshold = 0.9, nBits = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(lsh.subsetOf(brute))
+    assert(lsh.contains((0L, 1L)))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.store
+
+import java.nio.file.Files
+import graft.{SparkSpec, StoreConfig}
+import graft.embed.HashEmbedder
+
+/** End-to-end acceptance suite mirroring the reference's quickstart
+  * example (reference examples/quickstart.py:31-92 — the FIXTURES.md §1
+  * corpus) and its delete/round-trip test matrices
+  * (tests/test_index.py:108-261). */
+class DocumentStoreSpec extends SparkSpec {
+
+  private val texts = Seq(
+    "The quick brown fox jumps over the lazy dog",
+    "A fast orange fox leaps across a sleepy canine",
+    "The weather is beautiful today",
+    "It's raining cats and dogs outside",
+    "Python is a popular programming language",
+    "JavaScript is widely used for web development")
+  private val metas = Seq(
+    Map("source" -> "example1.txt", "category" -> "animals"),
+    Map("source" -> "example1.txt", "category" -> "animals"),
+    Map("source" -> "example2.txt", "category" -> "weather"),
+    Map("source" -> "example2.txt", "category" -> "weather"),
+    Map("source" -> "example3.txt", "category" -> "programming"),
+    Map("source" -> "example3.txt", "category" -> "programming"))
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-store").toString + "/store"
+  private val emb = HashEmbedder(dim = 64)
+
+  test("quickstart: fromTexts -> similaritySearch returns k hits with essential projection") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    assert(store.documentCount == 6)
+    val hits = store.similaritySearch("Tell me about foxes", k = 2).collect()
+    assert(hits.length == 2)
+    val cols = Seq("doc_id", "text", "source", "category", "similarity", "metadata_type")
+    assert(store.similaritySearch("x", 1).columns.toSeq == cols)
+    assert(hits.forall(_.getAs[String]("metadata_type") == "essential"))
+    // scores are sorted desc for cosine
+    val sims = hits.map(_.getAs[Double]("similarity"))
+    assert(sims.sorted.reverse.toSeq == sims.toSeq)
+  }
+
+  test("full-metadata enrichment joins payload and tags metadata_type=full") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    val hits = store.similaritySearch("foxes", k = 2, includeFullMetadata = true).collect()
+    assert(hits.forall(_.getAs[String]("metadata_type") == "full"))
+    assert(hits.forall(r => r.getAs[Map[String, String]]("metadata").nonEmpty))
+  }
+
+  test("ingest dedups duplicate texts but returns input-length ids (reference surface)") {
+    val ids = {
+      val store = DocumentStore.fromTexts(spark, tmp(),
+        Seq("same", "same", "other"), Nil, StoreConfig(), emb)
+      assert(store.documentCount == 2)
+      store
+    }
+  }
+
+  test("save/load round-trip preserves count and search results") {
+    val dir = tmp()
+    val store = DocumentStore.fromTexts(spark, dir, texts, metas, StoreConfig(), emb)
+    val before = store.similaritySearch("weather", 3).collect().map(_.toString).toSeq
+    val loaded = DocumentStore.load(spark, dir, emb)
+    assert(loaded.documentCount == 6)
+    val after = loaded.similaritySearch("weather", 3).collect().map(_.toString).toSeq
+    assert(before == after)
+    intercept[IllegalArgumentException](DocumentStore.load(spark, dir, HashEmbedder(32)))
+  }
+
+  test("deleteByIds: removes rows, recompacts ids densely, validates input") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    assert(!store.deleteByIds(Nil))
+    intercept[IllegalArgumentException](store.deleteByIds(Seq(99L)))
+    assert(store.deleteByIds(Seq(0L, 2L)))
+    assert(store.documentCount == 4)
+    val ids = store.essential.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(0L, 1L, 2L, 3L))
+    // surviving texts are the non-deleted ones
+    val kept = store.essential.select("text").collect().map(_.getString(0)).toSet
+    assert(kept == Set(texts(1), texts(3), texts(4), texts(5)))
+  }
+
+  test("deleteByTexts deletes only first occurrence and reports misses") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    assert(store.deleteByTexts(Seq(texts(0))))
+    assert(store.documentCount == 5)
+    assert(!store.deleteByTexts(Seq("not in store")))
+  }
+
+  test("deleting everything drops the store") {
+    val dir = tmp()
+    val store = DocumentStore.fromTexts(spark, dir, Seq("a", "b"), Nil, StoreConfig(), emb)
+    assert(store.deleteByIds(Seq(0L, 1L)))
+    assert(store.documentCount == 0)
+    assert(DocumentStore.readManifest(spark, dir).isEmpty)
+  }
+
+  test("addTexts appends with dedup against existing store") {
+    val store = DocumentStore.fromTexts(spark, tmp(), Seq("one", "two"), Nil, StoreConfig(), emb)
+    store.addTexts(Seq("two", "three"))
+    assert(store.documentCount == 3)
+    val byId = store.essential.select("id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId == Map(0L -> "one", 1L -> "two", 2L -> "three"))
+  }
+
+  test("getDocumentsByIds is a set lookup; getDocumentById returns typed hit") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    assert(store.getDocumentsByIds(Seq(1L, 3L)).count() == 2)
+    val hit = store.getDocumentById(4L).get
+    assert(hit.text == texts(4))
+    assert(hit.source.contains("example3.txt"))
+    assert(store.getDocumentById(42L).isEmpty)
+  }
+
+  test("stats: counts, sizes, mapping coverage") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    val s = store.storageStats
+    assert(s.documentCount == 6)
+    assert(s.payloadSizeBytes > 0 && s.indexSizeBytes > 0)
+    assert(s.mapping.totalMappings == 6)
+    assert(s.mapping.minId == 0 && s.mapping.maxId == 5)
+    assert(s.mapping.coveragePercent == 100.0)
+  }
+
+  test("IVF store: clustered layout, pruned search still finds exact neighbors") {
+    // 200 docs >= 30*nlist for nlist=4 -> IVF activates (reference gate).
+    val many = (0 until 200).map(i => s"document number $i about topic ${i % 7}")
+    val store = DocumentStore.fromTexts(spark, tmp(), many, Nil,
+      StoreConfig(nlist = 4, nprobe = 4), emb)
+    assert(store.currentManifest.nlist == 4)
+    assert(store.essential.columns.contains("cluster"))
+    // nprobe = nlist => exhaustive => must match flat search exactly
+    val flat = DocumentStore.fromTexts(spark, tmp(), many, Nil, StoreConfig(), emb)
+    val q = "document number 13 about topic 6"
+    val a = store.similaritySearch(q, 5).collect().map(_.getAs[String]("text")).toSeq
+    val b = flat.similaritySearch(q, 5).collect().map(_.getAs[String]("text")).toSeq
+    assert(a == b)
+  }
+}
