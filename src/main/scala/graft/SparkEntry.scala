@@ -1,13 +1,513 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.embed.HashEmbedder
+import graft.index.{IvfIndex, VectorIndex}
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with an equivalent DuckDB oracle in [[oracleSql]]
+  * (omitted only where genuinely not SQL-expressible, e.g. k-means IVF).
+  *
+  * Determinism across engines is engineered, not hoped for:
+  * - money aggregates go through exact DECIMAL sums, cast to double last;
+  * - all similarity scores are rounded to 4 dp BEFORE ranking, with id
+  *   tie-breaks, so top-k membership can't flip on a last-ulp
+  *   difference;
+  * - every hash is sha256-derived ([[graft.functions.HashFunctions]]),
+  *   computable identically in DuckDB;
+  * - timestamps are compared as integer epoch micros (Spark truncates
+  *   parquet ns to micros; DuckDB `epoch_us` does the same).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val AllTables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 rejects it unless
+    // read as raw nanos (BIGINT). DuckDB oracles use epoch_us(ts)*1000-
+    // compatible integer arithmetic, see q_events_*.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  private def registerViews(s: SparkSession, dir: String): Unit =
+    AllTables.foreach(n => table(s, dir, n).createOrReplaceTempView(n))
+
+  /** Exact-decimal revenue term: price * (1 - discount), reference for
+    * all money sums (identical SQL text runs on DuckDB). */
+  private val RevTerm =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(5,2)))"
+
+  private val embedder = HashEmbedder(64)
+  private val PipelineQuery = "spark query engine performance"
+
+  /** Query vector for q_search_pipeline, inlined into its oracle SQL as
+    * a double-literal list (full precision round-trips through text). */
+  private lazy val pipelineQv: Array[Double] = embedder.embedQuery(PipelineQuery)
+  private lazy val pipelineQvSql: String =
+    pipelineQv.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")
+
+  /** Flagship query on sf=0.001: full embed -> top-k search pipeline. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qSearchPipeline(spark, "/root/testdata/sf0.001")
+
+  // ==================================================================
+  // Query implementations
+  // ==================================================================
+
+  /** I8a+Q4: embed corpus distributively, exact top-k cosine search. */
+  private def qSearchPipeline(s: SparkSession, dir: String): DataFrame = {
+    val withVec = embedder.embed(table(s, dir, "documents"), "text", "vec")
+    VectorIndex.topK(withVec, "vec", pipelineQv.toSeq, 10, "cosine",
+        scoreCol = "score", tieBreak = Seq("doc_id"), roundScale = 4)
+      .select(col("doc_id"), col("score"))
+  }
+
+  private def qTopkCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    VectorIndex.topK(emb.where(col("vec_id") =!= 0), "embedding", qv, 10,
+        "cosine", scoreCol = "score", tieBreak = Seq("vec_id"), roundScale = 4)
+      .select(col("vec_id"), col("score"))
+  }
+
+  private def qTopkL2(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 1).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    VectorIndex.topK(emb.where(col("vec_id") =!= 1), "embedding", qv, 10,
+        "l2", scoreCol = "dist", tieBreak = Seq("vec_id"), roundScale = 4)
+      .select(col("vec_id"), col("dist"))
+  }
+
+  private def qTopkIp(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 2).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    VectorIndex.topK(emb.where(col("vec_id") =!= 2), "embedding", qv, 10,
+        "ip", scoreCol = "score", tieBreak = Seq("vec_id"), roundScale = 4)
+      .select(col("vec_id"), col("score"))
+  }
+
+  /** Q10: all queries in one job (multi-query kNN). */
+  private def qKnnBatch(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    VectorIndex.topKBatch(emb, "embedding", queries, "qid", "qv", 5,
+        "cosine", scoreCol = "score", tieBreak = Seq("vec_id"), roundScale = 4,
+        keep = Some(col("vec_id") =!= col("qid")))
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("score"))
+  }
+
+  /** IVF search (no SQL oracle — k-means; driver records rows-only). */
+  private def qIvfSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val model = IvfIndex.fit(emb, "embedding", nlist = 8)
+    val assigned = emb.withColumn("cluster", model.assignCol(col("embedding")))
+    val qv = emb.where(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    val probes = model.nearestCentroids(qv.toSeq, 3)
+    VectorIndex.topK(assigned.where(col("cluster").isin(probes: _*)),
+        "embedding", qv, 10, "cosine", scoreCol = "score",
+        tieBreak = Seq("vec_id"), roundScale = 4)
+      .select(col("vec_id"), col("cluster"), col("score"))
+  }
+
+  private def qNeardupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupBrute(table(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
+
+  private def qDedupJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.5)
+
+  private def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(table(s, dir, "documents"), "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.simhash63(col("text")).as("simhash"))
+
+  private def qTextAnalysis(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.analyze(table(s, dir, "documents"), "text").select(
+      col("doc_id"),
+      col("n_tokens").cast("long").as("n_tokens"),
+      col("n_chars_calc").cast("long").as("n_chars_calc"),
+      col("stopword_ratio"), col("punct_ratio"), col("mean_token_len"),
+      col("quality"), col("lang_guess"), col("fingerprint"))
+
+  /** I8c: essential projection + integrity hash over a relational table. */
+  private def qEssentialProjection(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(
+      col("doc_id"), col("text"), col("source"),
+      sha2(concat_ws("|", col("lang"), col("source"),
+        col("n_chars").cast("string")), 256).as("metadata_hash"))
+
+  /** Q7/Q8: point lookup as a set semijoin. */
+  private def qPointLookup(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .where(col("doc_id").isin(0L, 7L, 42L, 99L, 123L))
+      .select("doc_id", "text", "lang", "source")
+
+  /** D1/D2: delete = anti-join + dense id recompaction. */
+  private def qDeleteAntijoin(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql("""
+      SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS new_id,
+             doc_id, lang
+      FROM documents WHERE doc_id % 7 <> 0""")
+  }
+
+  /** S1-S4: storage/introspection stats as aggregations. */
+  private def qStorageStats(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql("""
+      SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             min(doc_id) AS min_id, max(doc_id) AS max_id,
+             round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+      FROM documents GROUP BY source""")
+  }
+
+  private def q1LineitemAgg(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(s"""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum($RevTerm) AS DOUBLE) AS sum_disc_price,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus""")
+  }
+
+  private def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(s"""
+      SELECT o_orderkey, CAST(sum($RevTerm) AS DOUBLE) AS revenue, count(*) AS n_items
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY o_orderkey
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10""")
+  }
+
+  private def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(s"""
+      SELECT r_name, n_name, CAST(sum($RevTerm) AS DOUBLE) AS revenue, count(*) AS n_items
+      FROM region JOIN nation ON n_regionkey = r_regionkey
+                  JOIN customer ON c_nationkey = n_nationkey
+                  JOIN orders ON o_custkey = c_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY r_name, n_name""")
+  }
+
+  private def qWindowTop3(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql("""
+      SELECT c_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT c_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM customer JOIN orders ON o_custkey = c_custkey) t
+      WHERE rn <= 3""")
+  }
+
+  private def qEventsHourly(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    // ts is BIGINT nanos (see table()); hour bucket in epoch seconds.
+    s.sql("""
+      SELECT (ts DIV 3600000000000) * 3600 AS hour_ts,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2""")
+  }
+
+  /** Batch sessionization (30-min gap) — the batch shape of the
+    * streaming session-window operator. Integer-micros arithmetic. */
+  private def qEventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    // ts is BIGINT nanos (see table()); micros truncation matches epoch_us.
+    s.sql("""
+      WITH t AS (SELECT user_id, event_id, ts DIV 1000 AS us FROM events),
+      l AS (SELECT user_id, event_id, us,
+              lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM t),
+      m AS (SELECT user_id,
+              CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS brk
+            FROM l)
+      SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events
+      FROM m GROUP BY user_id""")
+  }
+
+  // ==================================================================
+  // Contract maps
+  // ==================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_search_pipeline"     -> (qSearchPipeline _),
+    "q_topk_cosine"         -> (qTopkCosine _),
+    "q_topk_l2"             -> (qTopkL2 _),
+    "q_topk_ip"             -> (qTopkIp _),
+    "q_knn_batch"           -> (qKnnBatch _),
+    "q_ivf_search"          -> (qIvfSearch _),
+    "q_neardup_embedding"   -> (qNeardupEmbedding _),
+    "q_dedup_exact"         -> (qDedupExact _),
+    "q_dedup_jaccard"       -> (qDedupJaccard _),
+    "q_dedup_minhash_lsh"   -> (qDedupMinhashLsh _),
+    "q_dedup_simhash"       -> (qDedupSimhash _),
+    "q_text_analysis"       -> (qTextAnalysis _),
+    "q_essential_projection" -> (qEssentialProjection _),
+    "q_point_lookup"        -> (qPointLookup _),
+    "q_delete_antijoin"     -> (qDeleteAntijoin _),
+    "q_storage_stats"       -> (qStorageStats _),
+    "q1_lineitem_agg"       -> (q1LineitemAgg _),
+    "q3_top_orders"         -> (q3TopOrders _),
+    "q5_region_revenue"     -> (q5RegionRevenue _),
+    "q_window_top3"         -> (qWindowTop3 _),
+    "q_events_hourly"       -> (qEventsHourly _),
+    "q_events_sessionize"   -> (qEventsSessionize _)
+  )
+
+  /** DuckDB shingle CTE shared by the jaccard/minhash oracles — mirrors
+    * TextFunctions.shingles (distinct word 3-grams). */
+  private val ShingleCte = """
+    docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+             ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+      FROM docs)"""
+
+  /** 60-bit sha-derived hash in DuckDB, mirroring HashFunctions.hash60. */
+  private def dk60(arg: String): String =
+    s"CAST(concat('0x', substr(sha256($arg), 1, 15)) AS BIGINT)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_search_pipeline" -> s"""
+      WITH raw AS (
+        SELECT doc_id, list_transform(range(0, 64), j ->
+          CAST(${dk60("CAST(j AS VARCHAR) || ':' || text")} % 2000001 AS DOUBLE) / 1000000.0 - 1.0) AS r
+        FROM documents),
+      n AS (
+        SELECT doc_id,
+          list_transform(r, x -> x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS v
+        FROM raw)
+      SELECT doc_id, round(list_cosine_similarity(v, $pipelineQvSql), 4) AS score
+      FROM n ORDER BY score DESC, doc_id LIMIT 10""",
+
+    "q_topk_cosine" -> """
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS score
+      FROM embeddings e, q WHERE e.vec_id <> 0
+      ORDER BY score DESC, e.vec_id LIMIT 10""",
+
+    "q_topk_l2" -> """
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1)
+      SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.qv), 4) AS dist
+      FROM embeddings e, q WHERE e.vec_id <> 1
+      ORDER BY dist ASC, e.vec_id LIMIT 10""",
+
+    "q_topk_ip" -> """
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 2)
+      SELECT e.vec_id, round(list_dot_product(e.embedding::DOUBLE[], q.qv), 4) AS score
+      FROM embeddings e, q WHERE e.vec_id <> 2
+      ORDER BY score DESC, e.vec_id LIMIT 10""",
+
+    "q_knn_batch" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+      s AS (
+        SELECT q.qid, e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS score
+        FROM embeddings e, q WHERE e.vec_id <> q.qid),
+      r AS (SELECT qid, vec_id, score,
+              row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+            FROM s)
+      SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id, score FROM r WHERE rn <= 5""",
+
+    "q_neardup_embedding" -> """
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4""",
+
+    "q_dedup_exact" -> """
+      SELECT text AS dedup_key, min(doc_id) AS doc_id, count(*) AS dup_count
+      FROM documents GROUP BY text""",
+
+    "q_dedup_jaccard" -> s"""
+      WITH $ShingleCte,
+      e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b,
+             round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 4) AS jaccard
+      FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5""",
+
+    "q_dedup_minhash_lsh" -> s"""
+      WITH $ShingleCte,
+      sig AS (
+        SELECT doc_id, sh,
+          list_transform(range(0, 16), s ->
+            coalesce(list_aggregate(list_transform(sh, x ->
+              ${dk60("CAST(s AS VARCHAR) || ':' || x")}), 'min'),
+              9223372036854775807)) AS sig
+        FROM sh WHERE len(sh) > 0),
+      banded AS (
+        SELECT doc_id, sh, unnest(list_transform(range(0, 4), b ->
+          CAST(b AS VARCHAR) || '|' ||
+          CAST(sig[CAST(b*4+1 AS INT)] AS VARCHAR) || '|' ||
+          CAST(sig[CAST(b*4+2 AS INT)] AS VARCHAR) || '|' ||
+          CAST(sig[CAST(b*4+3 AS INT)] AS VARCHAR) || '|' ||
+          CAST(sig[CAST(b*4+4 AS INT)] AS VARCHAR))) AS band
+        FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+      j AS (
+        SELECT c.id_a, c.id_b, len(list_intersect(sa.sh, sb.sh)) AS common,
+               len(sa.sh) AS na, len(sb.sh) AS nb
+        FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
+      SELECT id_a, id_b,
+             round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 4) AS jaccard
+      FROM j
+      WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 4) >= 0.5""",
+
+    "q_dedup_simhash" -> s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      h AS (SELECT doc_id, ${dk60("t")} AS hv FROM tok),
+      bits AS (
+        SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h, range(0, 63) r(j) GROUP BY doc_id, j)
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id""",
+
+    "q_text_analysis" -> s"""
+      WITH base AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS L
+        FROM documents),
+      f AS (
+        SELECT doc_id, text, toks, L,
+          CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_en,
+          CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein','nicht','mit','zu','ich'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_de,
+          CAST(len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','es','se','no'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_es,
+          CAST(len(list_filter(toks, t -> t IN ('le','la','de','et','un','est','que','pour','dans','ce'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_fr,
+          CAST(L - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(greatest(L, 1) AS DOUBLE) AS praw,
+          CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS mtl
+        FROM base),
+      g AS (
+        SELECT *,
+          CASE WHEN L BETWEEN 50 AND 2000 THEN 1.0
+               WHEN L < 50 THEN CAST(L AS DOUBLE) / 50.0
+               ELSE 2000.0 / CAST(L AS DOUBLE) END AS len_score,
+          least(sw_en * 5.0, 1.0) AS sw_score,
+          CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS word_score,
+          greatest(sw_en, sw_de, sw_es, sw_fr) AS best
+        FROM f)
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(L AS BIGINT) AS n_chars_calc,
+        round(sw_en, 4) AS stopword_ratio,
+        round(praw, 4) AS punct_ratio,
+        round(mtl, 4) AS mean_token_len,
+        round((len_score + sw_score + word_score) / 3.0, 4) AS quality,
+        CASE WHEN sw_en > 0 AND sw_en = best THEN 'en'
+             WHEN sw_de > 0 AND sw_de = best THEN 'de'
+             WHEN sw_es > 0 AND sw_es = best THEN 'es'
+             WHEN sw_fr > 0 AND sw_fr = best THEN 'fr'
+             ELSE 'und' END AS lang_guess,
+        sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM g""",
+
+    "q_essential_projection" -> """
+      SELECT doc_id, text, source,
+             sha256(lang || '|' || source || '|' || CAST(n_chars AS VARCHAR)) AS metadata_hash
+      FROM documents""",
+
+    "q_point_lookup" -> """
+      SELECT doc_id, text, lang, source FROM documents
+      WHERE doc_id IN (0, 7, 42, 99, 123)""",
+
+    "q_delete_antijoin" -> """
+      SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS new_id,
+             doc_id, lang
+      FROM documents WHERE doc_id % 7 <> 0""",
+
+    "q_storage_stats" -> """
+      SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             min(doc_id) AS min_id, max(doc_id) AS max_id,
+             round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+      FROM documents GROUP BY source""",
+
+    "q1_lineitem_agg" -> s"""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum($RevTerm) AS DOUBLE) AS sum_disc_price,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus""",
+
+    "q3_top_orders" -> s"""
+      SELECT o_orderkey, CAST(sum($RevTerm) AS DOUBLE) AS revenue, count(*) AS n_items
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY o_orderkey
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10""",
+
+    "q5_region_revenue" -> s"""
+      SELECT r_name, n_name, CAST(sum($RevTerm) AS DOUBLE) AS revenue, count(*) AS n_items
+      FROM region JOIN nation ON n_regionkey = r_regionkey
+                  JOIN customer ON c_nationkey = n_nationkey
+                  JOIN orders ON o_custkey = c_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY r_name, n_name""",
+
+    "q_window_top3" -> """
+      SELECT c_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT c_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM customer JOIN orders ON o_custkey = c_custkey) t
+      WHERE rn <= 3""",
+
+    "q_events_hourly" -> """
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2""",
+
+    "q_events_sessionize" -> """
+      WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      l AS (SELECT user_id, event_id, us,
+              lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM t),
+      m AS (SELECT user_id,
+              CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS brk
+            FROM l)
+      SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events
+      FROM m GROUP BY user_id"""
+  )
 }

@@ -74,6 +74,8 @@ object VectorIndex {
     *
     * @param queries small DataFrame with (queryIdCol, queryVecCol);
     *   broadcast-joined against docs.
+    * @param keep optional predicate over (doc, query) pairs evaluated
+    *   before ranking (e.g. self-match exclusion for all-pairs kNN).
     */
   def topKBatch(
       docs: DataFrame,
@@ -85,11 +87,13 @@ object VectorIndex {
       metric: String = "cosine",
       scoreCol: String = "similarity",
       tieBreak: Seq[String] = Nil,
-      roundScale: Int = -1): DataFrame = {
+      roundScale: Int = -1,
+      keep: Option[Column] = None): DataFrame = {
     val raw = score(metric, col(vecCol), col(queryVecCol))
     val s = if (roundScale >= 0) round(raw, roundScale) else raw
-    val scoredAll = docs
-      .crossJoin(broadcast(queries))
+    val joined = docs.crossJoin(broadcast(queries))
+    val kept = keep.map(joined.where).getOrElse(joined)
+    val scoredAll = kept
       .withColumn(scoreCol, s)
       .withColumn("__part", spark_partition_id())
     val order = ranking(metric, scoreCol, tieBreak)
