@@ -297,6 +297,12 @@ object SparkEntry {
   private def dk60(arg: String): String =
     s"CAST(concat('0x', substr(sha256($arg), 1, 15)) AS BIGINT)"
 
+  /** MinHash affine-rehash coefficient literals (mirror
+    * TextFunctions.minhashCoeffs(16) exactly). */
+  private lazy val (minhashA, minhashB) = graft.functions.TextFunctions.minhashCoeffs(16)
+  private lazy val MinhashASql = minhashA.mkString("[", ", ", "]")
+  private lazy val MinhashBSql = minhashB.mkString("[", ", ", "]")
+
   def oracleSql: Map[String, String] = Map(
     "q_search_pipeline" -> s"""
       WITH raw AS (
@@ -364,15 +370,19 @@ object SparkEntry {
 
     "q_dedup_minhash_lsh" -> s"""
       WITH $ShingleCte,
-      sig AS (
+      h0 AS (
         SELECT doc_id, sh,
-          list_transform(range(0, 16), s ->
-            coalesce(list_aggregate(list_transform(sh, x ->
-              ${dk60("CAST(s AS VARCHAR) || ':' || x")}), 'min'),
-              9223372036854775807)) AS sig
+          list_transform(sh, x -> ${dk60("x")} % 1073741789) AS h0
         FROM sh WHERE len(sh) > 0),
+      sig AS (
+        SELECT doc_id,
+          list_transform(range(0, 16), s ->
+            coalesce(list_aggregate(list_transform(h0, h ->
+              ($MinhashASql[CAST(s + 1 AS INT)] * h + $MinhashBSql[CAST(s + 1 AS INT)]) % 1073741789), 'min'),
+              9223372036854775807)) AS sig
+        FROM h0),
       banded AS (
-        SELECT doc_id, sh, unnest(list_transform(range(0, 4), b ->
+        SELECT doc_id, unnest(list_transform(range(0, 4), b ->
           CAST(b AS VARCHAR) || '|' ||
           CAST(sig[CAST(b*4+1 AS INT)] AS VARCHAR) || '|' ||
           CAST(sig[CAST(b*4+2 AS INT)] AS VARCHAR) || '|' ||

@@ -47,8 +47,16 @@ final case class HashEmbedder(dim: Int = 64) extends Embedder {
       j => (HashFunctions.hash60(concat(j.cast("string"), lit(":"), text)) % 2000001L)
         .cast("double") / 1e6 - 1.0)
 
-  /** Normalized embedding Column (unit L2 norm). */
-  def embedCol(text: Column): Column = VectorFunctions.l2Normalize(rawEmbedCol(text))
+  /** Normalized embedding Column (unit L2 norm) — fused expression,
+    * bit-identical to `l2Normalize(rawEmbedCol(_))` (the SQL form
+    * external oracles replicate; parity asserted in HashEmbedderSpec). */
+  def embedCol(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.HashEmbedExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), dim))
+
+  /** Pure-SQL normalized embedding (reference for parity tests). */
+  def embedColSql(text: Column): Column = VectorFunctions.l2Normalize(rawEmbedCol(text))
 
   override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame =
     df.withColumn(outCol, embedCol(col(textCol)))

@@ -27,14 +27,21 @@ object HashFunctions {
   def hash60(seed: Int, s: Column): Column =
     hash60(concat(lit(seed.toString), lit(":"), s))
 
+  private val mdPool: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("SHA-256"))
+
   /** JVM-side mirror of [[hash60]] — MUST stay bit-identical to the SQL
-    * form. Used by driver-side code (e.g. embedding a single query
-    * string without launching a job). */
+    * form (asserted in HashEmbedderSpec). The first 15 hex chars of the
+    * digest are bytes 0..6 plus the high nibble of byte 7. Used by
+    * driver-side code and by the fused [[HashEmbedExpr]] hot path. */
   def hash60Local(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    val hex = md.digest(s.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val md = mdPool.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) & 0xFF) >>> 4)
   }
 
   def hash60Local(seed: Int, s: String): Long = hash60Local(s"$seed:$s")

@@ -107,15 +107,46 @@ object TextFunctions {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** MinHash signature: for each seed s in 0..numHashes-1, the minimum
-    * hash60(s ++ ":" ++ shingle) over the document's distinct n-gram
-    * shingles. Docs with no shingle get Long.MaxValue entries. */
-  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
-    val sh = shingles(text, n)
-    transform(sequence(lit(0), lit(numHashes - 1)), s =>
-      coalesce(
-        array_min(transform(sh, x =>
-          HashFunctions.hash60(concat(s.cast("string"), lit(":"), x)))),
-        lit(Long.MaxValue)))
+  /** Modulus for MinHash universal hashing: largest prime below 2^30,
+    * so coefficient*hash products stay under 2^60 (no 64-bit overflow
+    * in any engine). */
+  val MinhashP: Long = 1073741789L
+
+  /** Deterministic affine-rehash coefficients (a_s in [1, P-1],
+    * b_s in [0, P-1]), derived from sha256 so external oracles can
+    * inline the identical literals. */
+  def minhashCoeffs(numHashes: Int): (Seq[Long], Seq[Long]) = (
+    (0 until numHashes).map(s => (HashFunctions.hash60Local(s"minhash-a:$s") % (MinhashP - 1)) + 1),
+    (0 until numHashes).map(s => HashFunctions.hash60Local(s"minhash-b:$s") % MinhashP))
+
+  /** Evaluate-once binding for an expensive sub-expression: Catalyst's
+    * projection collapse happily duplicates a sub-expression into every
+    * use site (e.g. 16 element_at calls -> 16 evaluations of the whole
+    * tree). Wrapping the value in a 1-element array and referencing it
+    * through a lambda variable forces single evaluation per row. */
+  def let1(bound: Column)(body: Column => Column): Column =
+    element_at(transform(array(bound), v => body(v)), 1)
+
+  /** MinHash signature from a (distinct) shingle-array column: one
+    * sha-derived base hash per shingle, then numHashes cheap universal
+    * rehashes h_s = (a_s*h0 + b_s) mod P — NOT numHashes sha256 passes
+    * (16x less hashing; the classic Broder '97 construction). The base
+    * hash array is let1-bound so it's computed once, not per seed.
+    * Docs with no shingle get Long.MaxValue entries. */
+  def minhashSignatureFromShingles(sh: Column, numHashes: Int): Column = {
+    val (as, bs) = minhashCoeffs(numHashes)
+    val aLit = typedlit(as)
+    val bLit = typedlit(bs)
+    let1(transform(sh, x => HashFunctions.hash60(x) % MinhashP)) { h0 =>
+      transform(sequence(lit(0), lit(numHashes - 1)), s =>
+        coalesce(
+          array_min(transform(h0, h =>
+            (element_at(aLit, s + 1) * h + element_at(bLit, s + 1)) % MinhashP)),
+          lit(Long.MaxValue)))
+    }
   }
+
+  /** MinHash signature over a text column's n-gram shingles. */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
+    minhashSignatureFromShingles(shingles(text, n), numHashes)
 }

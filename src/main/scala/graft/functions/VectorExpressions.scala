@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused Catalyst expressions for the vector hot path (SURVEY §7.2 step
+  * 7). The pure-SQL `aggregate(zip_with(...))` forms in
+  * [[VectorFunctions]] are correct but interpreted per-element through
+  * higher-order-function lambdas; these expressions run a single fused
+  * primitive loop inside whole-stage codegen — same arithmetic, same
+  * left-to-right fold order, bit-identical results (asserted by
+  * VectorExpressionsSpec against the SQL forms).
+  *
+  * This is the Spark-native stand-in for the reference's C++ FAISS
+  * scoring kernels (reference: src/langchain_memvid/index.py:327).
+  */
+object VectorExpressions {
+
+  /** Shared fused-loop codegen: f(aVar, bVar, nVar, resultVar) emits the
+    * loop body; result must assign `resultVar` (a declared double). */
+  private[functions] def loopCode(
+      ctx: CodegenContext, a: String, b: String, body: (String, String) => String): String = {
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    s"""
+      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      for (int $i = 0; $i < $n; $i++) {
+        ${body(s"$a.getDouble($i)", s"$b.getDouble($i)")}
+      }
+    """
+  }
+}
+
+/** dot(a, b) = sum_i a_i * b_i, sequential fold. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      s"""
+        double $s = 0.0;
+        ${VectorExpressions.loopCode(ctx, a, b, (x, y) => s"$s += $x * $y;")}
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cosine(a, b) = dot / (|a| * |b|) — one pass, three accumulators.
+  * Matches VectorFunctions.cosineSimilarity bitwise: each accumulator
+  * folds left-to-right exactly like its SQL counterpart. */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        ${VectorExpressions.loopCode(ctx, a, b,
+          (x, y) => s"double xv = $x; double yv = $y; $dot += xv * yv; $na += xv * xv; $nb += yv * yv;")}
+        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 distance = sqrt(sum_i (a_i - b_i)^2), sequential fold. */
+case class L2DistanceExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      s"""
+        double $s = 0.0;
+        ${VectorExpressions.loopCode(ctx, a, b,
+          (x, y) => s"double d = $x - $y; $s += d * d;")}
+        ${ev.value} = java.lang.Math.sqrt($s);
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Deterministic hash embedding of a string — the fused form of
+  * HashEmbedder's SQL expression (bit-identical; see HashEmbedderSpec).
+  * CodegenFallback: one JVM call per row beats 64 interpreted sha2
+  * sub-expressions by orders of magnitude; full codegen of SHA-256
+  * would buy little more.
+  */
+case class HashEmbedExpr(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_hash_embed"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val raw = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      raw(j) = (HashFunctions.hash60Local(s"$j:$text") % 2000001L).toDouble / 1e6 - 1.0
+      j += 1
+    }
+    var ss = 0.0
+    var i = 0
+    while (i < dim) { ss += raw(i) * raw(i); i += 1 }
+    val n = math.sqrt(ss)
+    if (n != 0.0) {
+      i = 0
+      while (i < dim) { raw(i) = raw(i) / n; i += 1 }
+    }
+    new GenericArrayData(raw)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.functions._
 
 /** Vector similarity/distance expressions over `array<double>` columns.
@@ -19,8 +20,32 @@ object VectorFunctions {
   /** Cast to array<double> so products/sums run in double precision. */
   def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Sequential-fold dot product: sum_i a_i * b_i. */
-  def dotProduct(a: Column, b: Column): Column =
+  private def binExpr(a: Column, b: Column)(
+      f: (org.apache.spark.sql.catalyst.expressions.Expression,
+          org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftSqlBridge.column(f(
+      GraftSqlBridge.expression(asDouble(a)),
+      GraftSqlBridge.expression(asDouble(b))))
+
+  /** Sequential-fold dot product: sum_i a_i * b_i (fused codegen loop —
+    * bit-identical to [[dotProductSql]]). */
+  def dotProduct(a: Column, b: Column): Column = binExpr(a, b)(DotProductExpr)
+
+  /** Cosine similarity: dot(a,b) / (|a| * |b|), fused single pass.
+    * Same formula as the reference's normalize-then-inner-product path
+    * (index.py:293-295, :322-324) without requiring pre-normalization. */
+  def cosineSimilarity(a: Column, b: Column): Column = binExpr(a, b)(CosineSimilarityExpr)
+
+  /** L2 (Euclidean) distance, fused. */
+  def l2Distance(a: Column, b: Column): Column = binExpr(a, b)(L2DistanceExpr)
+
+  // -- pure-SQL (higher-order-function) forms: reference semantics the
+  // fused expressions must match bitwise; also what external SQL oracles
+  // replicate. Kept for parity tests and for engines without the
+  // extension expressions.
+
+  def dotProductSql(a: Column, b: Column): Column =
     aggregate(
       zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0),
@@ -32,11 +57,8 @@ object VectorFunctions {
     sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
   }
 
-  /** Cosine similarity: dot(a,b) / (|a| * |b|).
-    * Same formula as the reference's normalize-then-inner-product path
-    * (index.py:293-295, :322-324) without requiring pre-normalization. */
-  def cosineSimilarity(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+  def cosineSimilaritySql(a: Column, b: Column): Column =
+    dotProductSql(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Squared L2 distance: sum_i (a_i - b_i)^2. */
   def l2DistanceSq(a: Column, b: Column): Column =
@@ -45,8 +67,7 @@ object VectorFunctions {
       lit(0.0),
       (acc, x) => acc + x)
 
-  /** L2 (Euclidean) distance. */
-  def l2Distance(a: Column, b: Column): Column = sqrt(l2DistanceSq(a, b))
+  def l2DistanceSql(a: Column, b: Column): Column = sqrt(l2DistanceSq(a, b))
 
   /** L2-normalize a vector column (reference: faiss.normalize_L2,
     * index.py:293-295). Zero vectors pass through unchanged. */

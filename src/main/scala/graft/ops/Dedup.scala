@@ -75,26 +75,32 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val withSig = df.select(
-      col(idCol).as("id"),
-      TextFunctions.shingles(col(textCol), n).as("sh"),
-      TextFunctions.minhashSignature(col(textCol), n, numHashes).as("sig"))
+    val sh = df.select(col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
 
     // band key = "b|v0|v1|..|v{r-1}" over the band's minhash slice.
-    val banded = withSig.select(col("id"), col("sh"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          concat_ws("|", (b.cast("string") +:
-            (0 until r).map(i => element_at(col("sig"), b * r + i + 1).cast("string"))): _*)
-        )).as("band"))
+    // The signature is let1-bound (computed ONCE per row — projection
+    // collapse would otherwise duplicate the whole minhash tree into
+    // every element_at). Only (id, band) flows through the self-join —
+    // the shingle arrays are re-attached to the (small) candidate set
+    // afterwards, keeping wide data out of the join shuffle.
+    val banded = sh.select(col("id"),
+        explode(TextFunctions.let1(
+          TextFunctions.minhashSignatureFromShingles(col("sh"), numHashes)) { sig =>
+          transform(sequence(lit(0), lit(bands - 1)), b =>
+            concat_ws("|", (b.cast("string") +:
+              (0 until r).map(i => element_at(sig, b * r + i + 1).cast("string"))): _*))
+        }).as("band"))
 
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
     cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("common").cast("double") /
