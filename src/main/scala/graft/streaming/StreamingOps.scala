@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.embed.Embedder
+import graft.store.DocumentStore
+
+/** Structured Streaming operators: continuous ingest into the document
+  * store, watermarked windowed aggregation, and stateful 30-minute-gap
+  * sessionization (the streaming twin of SparkEntry.q_events_sessionize).
+  *
+  * The reference is batch-only — every add_texts() triggers a full
+  * rebuild (reference: src/langchain_memvid/vectorstore.py:197-212).
+  * Streaming ingest generalizes that: each micro-batch appends through
+  * the same dedup/embed/snapshot pipeline via foreachBatch.
+  */
+object StreamingOps {
+
+  /** Continuous ingest: stream of (text, metadata) rows appended to a
+    * DocumentStore per micro-batch. Dedup-vs-store semantics are
+    * preserved because appendBuild anti-joins each batch against the
+    * current snapshot. */
+  def ingestStream(stream: DataFrame, store: DocumentStore,
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.addDF(batch)
+      }
+      .start()
+
+  /** Watermarked tumbling-window counts per event type:
+    * readStream -> withWatermark -> window agg (late data dropped after
+    * `watermark`). */
+  def hourlyEventCounts(events: DataFrame, tsCol: String,
+                        watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp)
+  final case class SessionState(sessionCount: Long, lastTsMs: Long, eventsInSession: Long)
+  final case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful gap sessionization with mapGroupsWithState: a new session
+    * starts when > `gapMs` elapses between a user's events. Emits the
+    * running (sessions, events) per user each micro-batch — the
+    * streaming equivalent of the batch q_events_sessionize query. */
+  def sessionize(events: Dataset[SessionEvent],
+                 gapMs: Long = 30L * 60 * 1000): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st =
+              if (st.lastTsMs == Long.MinValue || t - st.lastTsMs >= gapMs)
+                SessionState(st.sessionCount + 1, t, st.eventsInSession + 1)
+              else st.copy(lastTsMs = t, eventsInSession = st.eventsInSession + 1)
+          }
+          state.update(st)
+          SessionUpdate(userId, st.sessionCount, st.eventsInSession)
+      }
+  }
+
+  /** Streaming text-pipeline pass: per-batch embedding + quality
+    * features over a text stream (narrow transforms only — safe under
+    * any trigger). */
+  def enrichTextStream(stream: DataFrame, textCol: String, embedder: Embedder): DataFrame =
+    graft.ops.TextAnalysis.analyze(
+      embedder.embed(stream, textCol, "vec"), textCol)
+}

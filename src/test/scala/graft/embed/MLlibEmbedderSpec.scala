@@ -1,0 +1,49 @@
+package graft.embed
+
+import graft.SparkSpec
+
+class MLlibEmbedderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a fast orange fox leaps across a sleepy canine",
+    "python is a popular programming language",
+    "javascript is widely used for web development",
+    "the weather is beautiful today").toDF("text")
+
+  test("fit + embed produce unit-norm vectors of the right dim") {
+    val emb = MLlibEmbedder(dim = 256).fit(corpus, "text")
+    val vecs = emb.embed(corpus, "text", "vec")
+      .select("vec").as[Seq[Double]].collect()
+    assert(vecs.forall(_.length == 256))
+    vecs.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9)
+    }
+  }
+
+  test("embedQuery matches distributed embed bit-for-bit") {
+    val emb = MLlibEmbedder(dim = 128).fit(corpus, "text")
+    val texts = Seq("the quick brown fox", "programming language weather")
+    val dist = emb.embed(texts.toDF("text"), "text", "vec")
+      .select("text", "vec").as[(String, Seq[Double])].collect().toMap
+    texts.foreach { t =>
+      assert(dist(t) == emb.embedQuery(t).toSeq, s"mismatch for '$t'")
+    }
+  }
+
+  test("tf-idf embeddings are semantically meaningful: shared-term docs score closer") {
+    val emb = MLlibEmbedder(dim = 512).fit(corpus, "text")
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val fox1 = emb.embedQuery("the quick brown fox jumps over the lazy dog")
+    val fox2 = emb.embedQuery("quick brown fox and lazy dog")
+    val prog = emb.embedQuery("python programming language")
+    assert(cos(fox1, fox2) > cos(fox1, prog))
+  }
+
+  test("embed before fit fails clearly") {
+    intercept[IllegalStateException](MLlibEmbedder(64).embed(corpus, "text", "v"))
+  }
+}

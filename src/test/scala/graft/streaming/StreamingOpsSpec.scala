@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, StoreConfig}
+import graft.embed.HashEmbedder
+import graft.store.DocumentStore
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("ingestStream: micro-batches append to the store with dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Map[String, String])]
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val store = DocumentStore.fromTexts(spark, s"$dir/store",
+      Seq("seed doc"), Nil, StoreConfig(), HashEmbedder(16))
+    val q = StreamingOps.ingestStream(
+      input.toDF().toDF("text", "metadata"), store, s"$dir/ckpt")
+    try {
+      input.addData(("batch one doc", Map("source" -> "s1")), ("seed doc", Map.empty[String, String]))
+      q.processAllAvailable()
+      assert(store.documentCount == 2) // "seed doc" deduped against store
+      input.addData(("batch two doc", Map.empty[String, String]))
+      q.processAllAvailable()
+      assert(store.documentCount == 3)
+    } finally q.stop()
+  }
+
+  test("hourlyEventCounts: watermarked windowed agg over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingOps.hourlyEventCounts(
+      input.toDF().toDF("ts", "event_type", "value"), "ts")
+    val q = agg.writeStream.format("memory").queryName("hourly_test")
+      .outputMode("update").start()
+    try {
+      input.addData((ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(70), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_test")
+        .select("event_type", "n", "total_value").collect()
+      val byType = rows.map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(byType("click") == (2L, 3.0))
+      assert(byType("view") == (1L, 5.0))
+    } finally q.stop()
+  }
+
+  test("sessionize: stateful gap sessions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val q = StreamingOps.sessionize(input.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("update").start()
+    try {
+      // user 1: events at t0, t+10min (same session)
+      input.addData(StreamingOps.SessionEvent(1L, ts(0)), StreamingOps.SessionEvent(1L, ts(10)))
+      q.processAllAvailable()
+      // user 1: event at t+50min -> 40min gap -> NEW session (state kept across batches)
+      input.addData(StreamingOps.SessionEvent(1L, ts(50)))
+      q.processAllAvailable()
+      val last = spark.table("sess_test")
+        .where($"user_id" === 1L).orderBy(desc("n_events")).head
+      assert(last.getAs[Long]("n_sessions") == 2L)
+      assert(last.getAs[Long]("n_events") == 3L)
+    } finally q.stop()
+  }
+
+  test("enrichTextStream composes embedding + analysis on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val enriched = StreamingOps.enrichTextStream(
+      input.toDF().toDF("text"), "text", HashEmbedder(8))
+    val q = enriched.writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      input.addData("the quick brown fox")
+      q.processAllAvailable()
+      val row = spark.table("enrich_test").head
+      assert(row.getSeq[Double](row.fieldIndex("vec")).length == 8)
+      assert(row.getAs[Int]("n_tokens") == 4)
+      assert(row.getAs[String]("fingerprint").nonEmpty)
+    } finally q.stop()
+  }
+}
