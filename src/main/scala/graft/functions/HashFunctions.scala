@@ -34,15 +34,22 @@ object HashFunctions {
     * form (asserted in HashEmbedderSpec). The first 15 hex chars of the
     * digest are bytes 0..6 plus the high nibble of byte 7. Used by
     * driver-side code and by the fused [[HashEmbedExpr]] hot path. */
-  def hash60Local(s: String): Long = {
+  def hash60Local(s: String): Long =
+    hash60Parts(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def hash60Local(seed: Int, s: String): Long = hash60Local(s"$seed:$s")
+
+  /** Same 60-bit digest over the concatenation of byte chunks —
+    * lets hot paths (e.g. per-dimension embedding hashes) stream
+    * "<j>:" + textBytes without building 64 strings per row. */
+  def hash60Parts(parts: Array[Byte]*): Long = {
     val md = mdPool.get()
     md.reset()
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    parts.foreach(md.update)
+    val d = md.digest()
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
     (v << 4) | ((d(7) & 0xFF) >>> 4)
   }
-
-  def hash60Local(seed: Int, s: String): Long = hash60Local(s"$seed:$s")
 }

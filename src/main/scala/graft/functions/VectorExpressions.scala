@@ -148,12 +148,17 @@ case class HashEmbedExpr(child: Expression, dim: Int)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_hash_embed"
 
+  // "<j>:" prefixes precomputed once; per row only the text bytes vary.
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(dim)(j => s"$j:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+    // UTF8String bytes ARE the UTF-8 encoding — no String round-trip.
+    val textBytes = input.asInstanceOf[UTF8String].getBytes
     val raw = new Array[Double](dim)
     var j = 0
     while (j < dim) {
-      raw(j) = (HashFunctions.hash60Local(s"$j:$text") % 2000001L).toDouble / 1e6 - 1.0
+      raw(j) = (HashFunctions.hash60Parts(prefixes(j), textBytes) % 2000001L).toDouble / 1e6 - 1.0
       j += 1
     }
     var ss = 0.0

@@ -46,4 +46,17 @@ class MLlibEmbedderSpec extends SparkSpec {
   test("embed before fit fails clearly") {
     intercept[IllegalStateException](MLlibEmbedder(64).embed(corpus, "text", "v"))
   }
+
+  test("save/load round-trips the fitted weights") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idf").toString + "/idf"
+    val emb = MLlibEmbedder(dim = 128).fit(corpus, "text")
+    emb.save(spark, dir)
+    val loaded = MLlibEmbedder.load(spark, dir)
+    assert(loaded.dim == 128)
+    val q = "the quick brown fox"
+    assert(loaded.embedQuery(q).toSeq == emb.embedQuery(q).toSeq)
+    val viaDf = loaded.embed(Seq(q).toDF("text"), "text", "vec")
+      .select("vec").as[Seq[Double]].head()
+    assert(viaDf == emb.embedQuery(q).toSeq)
+  }
 }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.functions.HashFunctions
+import graft.embed.HashEmbedder
+
+/** Property tests (SURVEY §5 test plan): dedup idempotence, hash and
+  * embedding invariants, minhash estimate monotonicity. Uses raw
+  * ScalaCheck generators with fixed seeds (the scalatest-scalacheck
+  * bridge isn't in the offline dependency cache). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+  private val textGen = Gen.chooseNum(1, 12)
+    .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("property: exact dedup keeps min id per text and is idempotent") {
+    samples(Gen.listOfN(30, textGen), 10).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val once = Dedup.exact(df, "id", "text")
+      val ids = once.select("id").as[Long].collect().toSet
+      val expect = texts.zipWithIndex.groupBy(_._1).values.map(_.map(_._2).min.toLong).toSet
+      assert(ids == expect, s"for $texts")
+      val again = Dedup.exact(once.select(col("id"), col("dedup_key").as("text")), "id", "text")
+      assert(again.count() == once.count())
+    }
+  }
+
+  test("property: hash60 is non-negative, < 2^60, distinct on distinct inputs") {
+    val strs = samples(Gen.listOfN(50, Gen.alphaNumStr), 20).flatten
+    val hs = strs.map(HashFunctions.hash60Local)
+    assert(hs.forall(h => h >= 0 && h < (1L << 60)))
+    assert(hs.distinct.size == strs.distinct.size)
+  }
+
+  test("property: embeddings are unit-norm and cosine-bounded") {
+    val emb = HashEmbedder(24)
+    samples(textGen, 30).foreach { t =>
+      val v = emb.embedQuery(t)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"norm for '$t'")
+      val w = emb.embedQuery(t.reverse + "x")
+      val cos = v.zip(w).map { case (a, b) => a * b }.sum
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+    }
+  }
+
+  test("property: delete semantics == anti-join on random id sets") {
+    samples(Gen.listOfN(12, textGen), 5).zipWithIndex.foreach { case (texts, k) =>
+      val distinct = texts.distinct
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-prop$k").toString + "/s"
+      val store = graft.store.DocumentStore.fromTexts(
+        spark, dir, distinct, Nil, graft.StoreConfig(), HashEmbedder(8))
+      val n = store.documentCount
+      val toDelete = distinct.indices.filter(_ % 3 == 0).map(_.toLong)
+      if (toDelete.nonEmpty && toDelete.size < n) {
+        val expected = distinct.zipWithIndex
+          .collect { case (t, i) if !toDelete.contains(i.toLong) => t }
+        store.deleteByIds(toDelete)
+        val kept = store.essential.orderBy("id").select("text").as[String].collect()
+        assert(kept.toSeq == expected, s"delete mismatch for $distinct")
+        // ids recompacted densely
+        val ids = store.essential.select("id").as[Long].collect().sorted
+        assert(ids.toSeq == (0L until (n - toDelete.size)))
+      }
+    }
+  }
+
+  test("property: minhash jaccard estimate correlates with true jaccard") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      "alpha beta gamma delta eps zeta alpha beta gamma delta",
+      "alpha beta gamma delta eps zeta alpha beta gamma zeta",
+      "zeta eps delta gamma beta alpha zeta eps delta gamma").toDF("text")
+    val sigs = df.select(TextFunctions.minhashSignature(col("text"), 3, 64).as("s"))
+      .as[Seq[Long]].collect()
+    def est(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 == p._2).toDouble / a.size
+    assert(est(sigs(0), sigs(1)) > est(sigs(0), sigs(2)))
+  }
+}

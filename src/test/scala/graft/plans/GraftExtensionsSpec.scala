@@ -1,0 +1,35 @@
+package graft.plans
+
+import graft.SparkSpec
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions evaluate the fused kernels") {
+    GraftExtensions.register(spark)
+    Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    val r = spark.sql("""
+      SELECT graft_dot(a, b) AS d, round(graft_cosine(a, b), 6) AS c,
+             graft_l2(a, b) AS l, size(graft_hash_embed('hello', 16)) AS e
+      FROM vecs""").head
+    assert(r.getAs[Double]("d") == 32.0)
+    assert(r.getAs[Double]("c") ==
+      math.rint(32.0 / (math.sqrt(14) * math.sqrt(77)) * 1e6) / 1e6)
+    assert(r.getAs[Double]("l") == math.sqrt(27))
+    assert(r.getAs[Int]("e") == 16)
+  }
+
+  test("sql embed matches driver-side embedQuery") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT graft_hash_embed('the quick fox', 32) AS v")
+      .head.getSeq[Double](0)
+    assert(viaSql == graft.embed.HashEmbedder(32).embedQuery("the quick fox").toSeq)
+  }
+
+  test("wrong arity yields a clear error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))").head)
+    assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("graft_dot"))
+  }
+}
