@@ -17,8 +17,15 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Distinct word n-gram shingles: ["a b c", "b c d", ...]. Empty when
-    * the text has fewer than n tokens. */
-  def shingles(text: Column, n: Int): Column = {
+    * the text has fewer than n tokens. Fused JVM expression — value-
+    * identical to [[shinglesSql]] (the form external oracles replicate;
+    * parity asserted in TextFunctionsSpec). */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      ShinglesExpr(org.apache.spark.sql.GraftSqlBridge.expression(text), n))
+
+  /** Pure-SQL shingling (reference semantics for oracle parity). */
+  def shinglesSql(text: Column, n: Int): Column = {
     val toks = tokens(text)
     array_distinct(
       when(size(toks) < n, array().cast("array<string>"))

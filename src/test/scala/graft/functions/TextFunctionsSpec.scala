@@ -20,6 +20,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(1) == Nil)
   }
 
+  test("fused shingles == SQL shingles on real corpus (incl. edge whitespace)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .union(Seq("", " ", "a  b c d", "x y z", "one two", "a b c a b c a b c")
+        .toDF("text"))
+    val bad = docs.where(shingles($"text", 3) =!= shinglesSql($"text", 3)).count()
+    assert(bad == 0)
+    val bad2 = docs.where(shingles($"text", 2) =!= shinglesSql($"text", 2)).count()
+    assert(bad2 == 0)
+  }
+
   test("stopword/punct ratios and quality bounds") {
     val df = Seq("the cat is on the mat.", "xyzzy qwerty").toDF("t")
     val r = df.select(
