@@ -253,6 +253,71 @@ object SparkEntry {
       FROM m GROUP BY user_id""")
   }
 
+  /** I8b variant: normalized (fingerprint-keyed) exact dedup. */
+  private def qDedupFingerprint(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(table(s, dir, "documents"), "doc_id", "text", normalize = true)
+
+  /** Pipeline quality filter: analysis features -> predicate. */
+  private def qQualityFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.analyze(table(s, dir, "documents"), "text")
+      .where(col("quality") >= 0.6 && col("lang_guess") === "en")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"), col("quality"))
+
+  /** Token frequency over the corpus (explode + shuffle agg with
+    * map-side partial aggregation). */
+  private def qWordcount(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Q6 shape: top-k hits enriched with payload columns via a
+    * broadcast join of the (tiny) hit set — full-metadata semantics. */
+  private def qEnrichmentJoin(s: SparkSession, dir: String): DataFrame = {
+    val hits = qTopkCosine(s, dir)
+    broadcast(hits).join(
+        table(s, dir, "documents").select(col("doc_id"), col("text"), col("lang")),
+        hits("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"), col("score"), col("text"), col("lang"))
+  }
+
+  /** kNN self-join: nearest neighbor for each of the first 100 vectors
+    * in ONE batched job (Q10 at join scale). */
+  private def qKnnSelfTop1(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    VectorIndex.topKBatch(emb, "embedding", queries, "qid", "qv", 1,
+        "cosine", scoreCol = "score", tieBreak = Seq("vec_id"), roundScale = 4,
+        keep = Some(col("vec_id") =!= col("qid")))
+      .select(col("qid"), col("vec_id"), col("score"))
+  }
+
+  /** TPC-H Q6 shape: pure scan-filter-agg (predicate pushdown showcase). */
+  private def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql("""
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""")
+  }
+
+  /** Per-group top-k (window over text features): 3 longest docs/lang. */
+  private def qTopPerLang(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql("""
+      SELECT lang, doc_id, n_chars, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 3""")
+  }
+
   // ==================================================================
   // Contract maps
   // ==================================================================
@@ -279,7 +344,14 @@ object SparkEntry {
     "q5_region_revenue"     -> (q5RegionRevenue _),
     "q_window_top3"         -> (qWindowTop3 _),
     "q_events_hourly"       -> (qEventsHourly _),
-    "q_events_sessionize"   -> (qEventsSessionize _)
+    "q_events_sessionize"   -> (qEventsSessionize _),
+    "q_dedup_fingerprint"   -> (qDedupFingerprint _),
+    "q_quality_filter"      -> (qQualityFilter _),
+    "q_wordcount"           -> (qWordcount _),
+    "q_enrichment_join"     -> (qEnrichmentJoin _),
+    "q_knn_self_top1"       -> (qKnnSelfTop1 _),
+    "q6_forecast_revenue"   -> (q6ForecastRevenue _),
+    "q_top_per_lang"        -> (qTopPerLang _)
   )
 
   /** DuckDB shingle CTE shared by the jaccard/minhash oracles — mirrors
@@ -518,6 +590,84 @@ object SparkEntry {
               CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS brk
             FROM l)
       SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events
-      FROM m GROUP BY user_id"""
+      FROM m GROUP BY user_id""",
+
+    "q_dedup_fingerprint" -> """
+      SELECT sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS dedup_key,
+             min(doc_id) AS doc_id, count(*) AS dup_count
+      FROM documents GROUP BY 1""",
+
+    "q_quality_filter" -> """
+      WITH base AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS L
+        FROM documents),
+      f AS (
+        SELECT doc_id, toks, L,
+          CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_en,
+          CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein','nicht','mit','zu','ich'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_de,
+          CAST(len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','es','se','no'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_es,
+          CAST(len(list_filter(toks, t -> t IN ('le','la','de','et','un','est','que','pour','dans','ce'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_fr,
+          CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS mtl
+        FROM base),
+      g AS (
+        SELECT *,
+          CASE WHEN L BETWEEN 50 AND 2000 THEN 1.0
+               WHEN L < 50 THEN CAST(L AS DOUBLE) / 50.0
+               ELSE 2000.0 / CAST(L AS DOUBLE) END AS len_score,
+          least(sw_en * 5.0, 1.0) AS sw_score,
+          CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS word_score,
+          greatest(sw_en, sw_de, sw_es, sw_fr) AS best
+        FROM f)
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             round((len_score + sw_score + word_score) / 3.0, 4) AS quality
+      FROM g
+      WHERE round((len_score + sw_score + word_score) / 3.0, 4) >= 0.6
+        AND (CASE WHEN sw_en > 0 AND sw_en = best THEN 'en'
+                  WHEN sw_de > 0 AND sw_de = best THEN 'de'
+                  WHEN sw_es > 0 AND sw_es = best THEN 'es'
+                  WHEN sw_fr > 0 AND sw_fr = best THEN 'fr'
+                  ELSE 'und' END) = 'en'""",
+
+    "q_wordcount" -> """
+      SELECT t AS word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY t""",
+
+    "q_enrichment_join" -> """
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      hits AS (
+        SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS score
+        FROM embeddings e, q WHERE e.vec_id <> 0
+        ORDER BY score DESC, e.vec_id LIMIT 10)
+      SELECT h.vec_id, h.score, d.text, d.lang
+      FROM hits h LEFT JOIN documents d ON d.doc_id = h.vec_id""",
+
+    "q_knn_self_top1" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 100),
+      s AS (
+        SELECT q.qid, e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS score
+        FROM embeddings e, q WHERE e.vec_id <> q.qid),
+      r AS (SELECT qid, vec_id, score,
+              row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+            FROM s)
+      SELECT qid, vec_id, score FROM r WHERE rn = 1""",
+
+    "q6_forecast_revenue" -> """
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""",
+
+    "q_top_per_lang" -> """
+      SELECT lang, doc_id, n_chars, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 3"""
   )
 }
