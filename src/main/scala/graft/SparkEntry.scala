@@ -19,7 +19,12 @@ import graft.ops.{Dedup, TextAnalysis}
   * - every hash is sha256-derived ([[graft.functions.HashFunctions]]),
   *   computable identically in DuckDB;
   * - timestamps are compared as integer epoch micros (Spark truncates
-  *   parquet ns to micros; DuckDB `epoch_us` does the same).
+  *   parquet ns to micros; DuckDB `epoch_us` does the same);
+  * - regex classes are explicit (no `\s`: Java and RE2 disagree on
+  *   vertical tab).
+  *
+  * Queries whose SQL text runs VERBATIM on both engines live once in
+  * [[SharedSql]] and feed both maps — no copy to drift.
   */
 object SparkEntry {
 
@@ -56,7 +61,82 @@ object SparkEntry {
     qSearchPipeline(spark, "/root/testdata/sf0.001")
 
   // ==================================================================
-  // Query implementations
+  // SQL that runs verbatim on BOTH Spark and DuckDB: defined ONCE, used
+  // as the Spark implementation AND the oracle.
+  // ==================================================================
+
+  private val SharedSql: Map[String, String] = Map(
+    // D1/D2: delete = anti-join + dense id recompaction.
+    "q_delete_antijoin" -> """
+      SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS new_id,
+             doc_id, lang
+      FROM documents WHERE doc_id % 7 <> 0""",
+
+    // S1-S4: storage/introspection stats as aggregations.
+    "q_storage_stats" -> """
+      SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             min(doc_id) AS min_id, max(doc_id) AS max_id,
+             round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+      FROM documents GROUP BY source""",
+
+    "q1_lineitem_agg" -> s"""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum($RevTerm) AS DOUBLE) AS sum_disc_price,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus""",
+
+    "q3_top_orders" -> s"""
+      SELECT o_orderkey, CAST(sum($RevTerm) AS DOUBLE) AS revenue, count(*) AS n_items
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY o_orderkey
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10""",
+
+    "q5_region_revenue" -> s"""
+      SELECT r_name, n_name, CAST(sum($RevTerm) AS DOUBLE) AS revenue, count(*) AS n_items
+      FROM region JOIN nation ON n_regionkey = r_regionkey
+                  JOIN customer ON c_nationkey = n_nationkey
+                  JOIN orders ON o_custkey = c_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY r_name, n_name""",
+
+    // TPC-H Q6 shape: pure scan-filter-agg (predicate pushdown showcase).
+    "q6_forecast_revenue" -> """
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""",
+
+    "q_window_top3" -> """
+      SELECT c_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT c_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM customer JOIN orders ON o_custkey = c_custkey) t
+      WHERE rn <= 3""",
+
+    // Per-group top-k (window over text features): 3 longest docs/lang.
+    "q_top_per_lang" -> """
+      SELECT lang, doc_id, n_chars, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 3"""
+  )
+
+  // ==================================================================
+  // Query implementations (DataFrame API / library operators)
   // ==================================================================
 
   /** I8a+Q4: embed corpus distributively, exact top-k cosine search. */
@@ -67,45 +147,44 @@ object SparkEntry {
       .select(col("doc_id"), col("score"))
   }
 
-  private def qTopkCosine(s: SparkSession, dir: String): DataFrame = {
+  /** Single-query exact top-k against a stored query vector. */
+  private def topkFromStored(s: SparkSession, dir: String, queryId: Long,
+                             metric: String, scoreCol: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    val qv = emb.where(col("vec_id") === 0).select("embedding")
+    val qv = emb.where(col("vec_id") === queryId).select("embedding")
       .head.getSeq[Float](0).map(_.toDouble)
-    VectorIndex.topK(emb.where(col("vec_id") =!= 0), "embedding", qv, 10,
-        "cosine", scoreCol = "score", tieBreak = Seq("vec_id"), roundScale = 4)
-      .select(col("vec_id"), col("score"))
+    VectorIndex.topK(emb.where(col("vec_id") =!= queryId), "embedding", qv, 10,
+        metric, scoreCol = scoreCol, tieBreak = Seq("vec_id"), roundScale = 4)
+      .select(col("vec_id"), col(scoreCol))
   }
 
-  private def qTopkL2(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
-    val qv = emb.where(col("vec_id") === 1).select("embedding")
-      .head.getSeq[Float](0).map(_.toDouble)
-    VectorIndex.topK(emb.where(col("vec_id") =!= 1), "embedding", qv, 10,
-        "l2", scoreCol = "dist", tieBreak = Seq("vec_id"), roundScale = 4)
-      .select(col("vec_id"), col("dist"))
-  }
+  private def qTopkCosine(s: SparkSession, dir: String): DataFrame =
+    topkFromStored(s, dir, 0L, "cosine", "score")
+  private def qTopkL2(s: SparkSession, dir: String): DataFrame =
+    topkFromStored(s, dir, 1L, "l2", "dist")
+  private def qTopkIp(s: SparkSession, dir: String): DataFrame =
+    topkFromStored(s, dir, 2L, "ip", "score")
 
-  private def qTopkIp(s: SparkSession, dir: String): DataFrame = {
+  /** Q10 shape: every stored vector with vec_id < maxQid is a query;
+    * one batched job via two-phase windowed ranking. */
+  private def knnSelf(s: SparkSession, dir: String, maxQid: Long, k: Int): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    val qv = emb.where(col("vec_id") === 2).select("embedding")
-      .head.getSeq[Float](0).map(_.toDouble)
-    VectorIndex.topK(emb.where(col("vec_id") =!= 2), "embedding", qv, 10,
-        "ip", scoreCol = "score", tieBreak = Seq("vec_id"), roundScale = 4)
-      .select(col("vec_id"), col("score"))
-  }
-
-  /** Q10: all queries in one job (multi-query kNN). */
-  private def qKnnBatch(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
-    val queries = emb.where(col("vec_id") < 5)
+    val queries = emb.where(col("vec_id") < maxQid)
       .select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qv"))
-    VectorIndex.topKBatch(emb, "embedding", queries, "qid", "qv", 5,
-        "cosine", scoreCol = "score", tieBreak = Seq("vec_id"), roundScale = 4,
-        keep = Some(col("vec_id") =!= col("qid")))
+    VectorIndex.topKBatch(emb, "embedding", queries, "qid", "qv", k,
+      "cosine", scoreCol = "score", tieBreak = Seq("vec_id"), roundScale = 4,
+      keep = Some(col("vec_id") =!= col("qid")))
+  }
+
+  private def qKnnBatch(s: SparkSession, dir: String): DataFrame =
+    knnSelf(s, dir, maxQid = 5L, k = 5)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("score"))
-  }
+
+  private def qKnnSelfTop1(s: SparkSession, dir: String): DataFrame =
+    knnSelf(s, dir, maxQid = 100L, k = 1)
+      .select(col("qid"), col("vec_id"), col("score"))
 
   /** IVF search (no SQL oracle — k-means; driver records rows-only). */
   private def qIvfSearch(s: SparkSession, dir: String): DataFrame = {
@@ -127,6 +206,10 @@ object SparkEntry {
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
 
+  /** I8b variant: normalized (fingerprint-keyed) exact dedup. */
+  private def qDedupFingerprint(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(table(s, dir, "documents"), "doc_id", "text", normalize = true)
+
   private def qDedupJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
       n = 3, threshold = 0.5)
@@ -147,6 +230,19 @@ object SparkEntry {
       col("stopword_ratio"), col("punct_ratio"), col("mean_token_len"),
       col("quality"), col("lang_guess"), col("fingerprint"))
 
+  /** Pipeline quality filter: analysis features -> predicate. */
+  private def qQualityFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.analyze(table(s, dir, "documents"), "text")
+      .where(col("quality") >= 0.6 && col("lang_guess") === "en")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"), col("quality"))
+
+  /** Token frequency over the corpus (explode + shuffle agg with
+    * map-side partial aggregation). */
+  private def qWordcount(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
   /** I8c: essential projection + integrity hash over a relational table. */
   private def qEssentialProjection(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents").select(
@@ -160,71 +256,24 @@ object SparkEntry {
       .where(col("doc_id").isin(0L, 7L, 42L, 99L, 123L))
       .select("doc_id", "text", "lang", "source")
 
-  /** D1/D2: delete = anti-join + dense id recompaction. */
-  private def qDeleteAntijoin(s: SparkSession, dir: String): DataFrame = {
-    registerViews(s, dir)
-    s.sql("""
-      SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS new_id,
-             doc_id, lang
-      FROM documents WHERE doc_id % 7 <> 0""")
-  }
-
-  /** S1-S4: storage/introspection stats as aggregations. */
-  private def qStorageStats(s: SparkSession, dir: String): DataFrame = {
-    registerViews(s, dir)
-    s.sql("""
-      SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-             min(doc_id) AS min_id, max(doc_id) AS max_id,
-             round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
-      FROM documents GROUP BY source""")
-  }
-
-  private def q1LineitemAgg(s: SparkSession, dir: String): DataFrame = {
-    registerViews(s, dir)
-    s.sql(s"""
-      SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        CAST(sum($RevTerm) AS DOUBLE) AS sum_disc_price,
-        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
-        count(*) AS count_order
-      FROM lineitem
-      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-      GROUP BY l_returnflag, l_linestatus""")
-  }
-
-  private def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
-    registerViews(s, dir)
-    s.sql(s"""
-      SELECT o_orderkey, CAST(sum($RevTerm) AS DOUBLE) AS revenue, count(*) AS n_items
-      FROM customer JOIN orders ON c_custkey = o_custkey
-                    JOIN lineitem ON l_orderkey = o_orderkey
-      WHERE c_mktsegment = 'BUILDING'
-      GROUP BY o_orderkey
-      ORDER BY revenue DESC, o_orderkey
-      LIMIT 10""")
-  }
-
-  private def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
-    registerViews(s, dir)
-    s.sql(s"""
-      SELECT r_name, n_name, CAST(sum($RevTerm) AS DOUBLE) AS revenue, count(*) AS n_items
-      FROM region JOIN nation ON n_regionkey = r_regionkey
-                  JOIN customer ON c_nationkey = n_nationkey
-                  JOIN orders ON o_custkey = c_custkey
-                  JOIN lineitem ON l_orderkey = o_orderkey
-      GROUP BY r_name, n_name""")
-  }
-
-  private def qWindowTop3(s: SparkSession, dir: String): DataFrame = {
-    registerViews(s, dir)
-    s.sql("""
-      SELECT c_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
-        SELECT c_custkey, o_orderkey, o_totalprice,
-               row_number() OVER (PARTITION BY c_custkey
-                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        FROM customer JOIN orders ON o_custkey = c_custkey) t
-      WHERE rn <= 3""")
+  /** Q6 shape: top-k hits enriched with payload columns. The k hit rows
+    * are MATERIALIZED driver-side before the join (the reference's own
+    * positional-lookup semantics): an `orderBy.limit` subquery left
+    * under a join is fragile — downstream limit pushdown can compose
+    * with it and surface rows outside the top-k. The materialized ids
+    * then reach the documents scan as an isin filter (predicate
+    * pushdown); the k matching rows are the broadcast BUILD side.
+    * Mirrors DocumentStore.enhanceWithFullMetadata. */
+  private def qEnrichmentJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hitRows = qTopkCosine(s, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val hits = hitRows.toDF("vec_id", "score")
+    val matching = table(s, dir, "documents")
+      .where(col("doc_id").isin(hitRows.map(_._1): _*))
+      .select(col("doc_id"), col("text"), col("lang"))
+    hits.join(broadcast(matching), hits("vec_id") === matching("doc_id"), "left")
+      .select(col("vec_id"), col("score"), col("text"), col("lang"))
   }
 
   private def qEventsHourly(s: SparkSession, dir: String): DataFrame = {
@@ -253,106 +302,42 @@ object SparkEntry {
       FROM m GROUP BY user_id""")
   }
 
-  /** I8b variant: normalized (fingerprint-keyed) exact dedup. */
-  private def qDedupFingerprint(s: SparkSession, dir: String): DataFrame =
-    Dedup.exact(table(s, dir, "documents"), "doc_id", "text", normalize = true)
-
-  /** Pipeline quality filter: analysis features -> predicate. */
-  private def qQualityFilter(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.analyze(table(s, dir, "documents"), "text")
-      .where(col("quality") >= 0.6 && col("lang_guess") === "en")
-      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"), col("quality"))
-
-  /** Token frequency over the corpus (explode + shuffle agg with
-    * map-side partial aggregation). */
-  private def qWordcount(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents")
-      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-
-  /** Q6 shape: top-k hits enriched with payload columns via a
-    * broadcast join of the (tiny) hit set — full-metadata semantics. */
-  private def qEnrichmentJoin(s: SparkSession, dir: String): DataFrame = {
-    val hits = qTopkCosine(s, dir)
-    broadcast(hits).join(
-        table(s, dir, "documents").select(col("doc_id"), col("text"), col("lang")),
-        hits("vec_id") === col("doc_id"), "left")
-      .select(col("vec_id"), col("score"), col("text"), col("lang"))
-  }
-
-  /** kNN self-join: nearest neighbor for each of the first 100 vectors
-    * in ONE batched job (Q10 at join scale). */
-  private def qKnnSelfTop1(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
-    val queries = emb.where(col("vec_id") < 100)
-      .select(col("vec_id").as("qid"),
-        col("embedding").cast("array<double>").as("qv"))
-    VectorIndex.topKBatch(emb, "embedding", queries, "qid", "qv", 1,
-        "cosine", scoreCol = "score", tieBreak = Seq("vec_id"), roundScale = 4,
-        keep = Some(col("vec_id") =!= col("qid")))
-      .select(col("qid"), col("vec_id"), col("score"))
-  }
-
-  /** TPC-H Q6 shape: pure scan-filter-agg (predicate pushdown showcase). */
-  private def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame = {
-    registerViews(s, dir)
-    s.sql("""
-      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
-             count(*) AS n_items
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-        AND l_discount BETWEEN 0.05 AND 0.07
-        AND l_quantity < 24""")
-  }
-
-  /** Per-group top-k (window over text features): 3 longest docs/lang. */
-  private def qTopPerLang(s: SparkSession, dir: String): DataFrame = {
-    registerViews(s, dir)
-    s.sql("""
-      SELECT lang, doc_id, n_chars, CAST(rn AS BIGINT) AS rn FROM (
-        SELECT lang, doc_id, n_chars,
-               row_number() OVER (PARTITION BY lang
-                                  ORDER BY n_chars DESC, doc_id) AS rn
-        FROM documents) t
-      WHERE rn <= 3""")
-  }
-
   // ==================================================================
   // Contract maps
   // ==================================================================
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_search_pipeline"     -> (qSearchPipeline _),
-    "q_topk_cosine"         -> (qTopkCosine _),
-    "q_topk_l2"             -> (qTopkL2 _),
-    "q_topk_ip"             -> (qTopkIp _),
-    "q_knn_batch"           -> (qKnnBatch _),
-    "q_ivf_search"          -> (qIvfSearch _),
-    "q_neardup_embedding"   -> (qNeardupEmbedding _),
-    "q_dedup_exact"         -> (qDedupExact _),
-    "q_dedup_jaccard"       -> (qDedupJaccard _),
-    "q_dedup_minhash_lsh"   -> (qDedupMinhashLsh _),
-    "q_dedup_simhash"       -> (qDedupSimhash _),
-    "q_text_analysis"       -> (qTextAnalysis _),
-    "q_essential_projection" -> (qEssentialProjection _),
-    "q_point_lookup"        -> (qPointLookup _),
-    "q_delete_antijoin"     -> (qDeleteAntijoin _),
-    "q_storage_stats"       -> (qStorageStats _),
-    "q1_lineitem_agg"       -> (q1LineitemAgg _),
-    "q3_top_orders"         -> (q3TopOrders _),
-    "q5_region_revenue"     -> (q5RegionRevenue _),
-    "q_window_top3"         -> (qWindowTop3 _),
-    "q_events_hourly"       -> (qEventsHourly _),
-    "q_events_sessionize"   -> (qEventsSessionize _),
-    "q_dedup_fingerprint"   -> (qDedupFingerprint _),
-    "q_quality_filter"      -> (qQualityFilter _),
-    "q_wordcount"           -> (qWordcount _),
-    "q_enrichment_join"     -> (qEnrichmentJoin _),
-    "q_knn_self_top1"       -> (qKnnSelfTop1 _),
-    "q6_forecast_revenue"   -> (q6ForecastRevenue _),
-    "q_top_per_lang"        -> (qTopPerLang _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    SharedSql.map { case (name, text) =>
+      name -> { (s: SparkSession, dir: String) =>
+        registerViews(s, dir); s.sql(text)
+      }
+    } ++ Map[String, (SparkSession, String) => DataFrame](
+      "q_search_pipeline"     -> (qSearchPipeline _),
+      "q_topk_cosine"         -> (qTopkCosine _),
+      "q_topk_l2"             -> (qTopkL2 _),
+      "q_topk_ip"             -> (qTopkIp _),
+      "q_knn_batch"           -> (qKnnBatch _),
+      "q_knn_self_top1"       -> (qKnnSelfTop1 _),
+      "q_ivf_search"          -> (qIvfSearch _),
+      "q_neardup_embedding"   -> (qNeardupEmbedding _),
+      "q_dedup_exact"         -> (qDedupExact _),
+      "q_dedup_fingerprint"   -> (qDedupFingerprint _),
+      "q_dedup_jaccard"       -> (qDedupJaccard _),
+      "q_dedup_minhash_lsh"   -> (qDedupMinhashLsh _),
+      "q_dedup_simhash"       -> (qDedupSimhash _),
+      "q_text_analysis"       -> (qTextAnalysis _),
+      "q_quality_filter"      -> (qQualityFilter _),
+      "q_wordcount"           -> (qWordcount _),
+      "q_essential_projection" -> (qEssentialProjection _),
+      "q_point_lookup"        -> (qPointLookup _),
+      "q_enrichment_join"     -> (qEnrichmentJoin _),
+      "q_events_hourly"       -> (qEventsHourly _),
+      "q_events_sessionize"   -> (qEventsSessionize _)
+    )
+
+  // ==================================================================
+  // DuckDB oracle building blocks
+  // ==================================================================
 
   /** DuckDB shingle CTE shared by the jaccard/minhash oracles — mirrors
     * TextFunctions.shingles (distinct word 3-grams). */
@@ -365,6 +350,45 @@ object SparkEntry {
                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
       FROM docs)"""
 
+  /** DuckDB text-feature CTEs shared by the analysis/quality oracles —
+    * mirror TextFunctions.{wordRatio,meanTokenLen,qualityScore,langGuess}
+    * (stopword lists live in TextFunctions and here ONLY). */
+  private val TextFeatureCte = """
+    base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS L
+      FROM documents),
+    f AS (
+      SELECT doc_id, text, toks, L,
+        CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_en,
+        CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein','nicht','mit','zu','ich'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_de,
+        CAST(len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','es','se','no'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_es,
+        CAST(len(list_filter(toks, t -> t IN ('le','la','de','et','un','est','que','pour','dans','ce'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_fr,
+        CAST(L - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(greatest(L, 1) AS DOUBLE) AS praw,
+        CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS mtl
+      FROM base),
+    g AS (
+      SELECT *,
+        CASE WHEN L BETWEEN 50 AND 2000 THEN 1.0
+             WHEN L < 50 THEN CAST(L AS DOUBLE) / 50.0
+             ELSE 2000.0 / CAST(L AS DOUBLE) END AS len_score,
+        least(sw_en * 5.0, 1.0) AS sw_score,
+        CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS word_score,
+        greatest(sw_en, sw_de, sw_es, sw_fr) AS best
+      FROM f)"""
+
+  /** DuckDB lang-guess expression over the TextFeatureCte columns —
+    * mirror of TextFunctions.langGuess (en > de > es > fr tie order). */
+  private val LangGuessSql = """CASE WHEN sw_en > 0 AND sw_en = best THEN 'en'
+             WHEN sw_de > 0 AND sw_de = best THEN 'de'
+             WHEN sw_es > 0 AND sw_es = best THEN 'es'
+             WHEN sw_fr > 0 AND sw_fr = best THEN 'fr'
+             ELSE 'und' END"""
+
+  /** DuckDB fingerprint — mirror of TextFunctions.fingerprint (explicit
+    * whitespace class: Java's \s includes \x0B, RE2's doesn't). */
+  private val FingerprintSql =
+    """sha256(regexp_replace(trim(lower(text)), '[ \t\n\r\f]+', ' ', 'g'))"""
+
   /** 60-bit sha-derived hash in DuckDB, mirroring HashFunctions.hash60. */
   private def dk60(arg: String): String =
     s"CAST(concat('0x', substr(sha256($arg), 1, 15)) AS BIGINT)"
@@ -375,7 +399,7 @@ object SparkEntry {
   private lazy val MinhashASql = minhashA.mkString("[", ", ", "]")
   private lazy val MinhashBSql = minhashB.mkString("[", ", ", "]")
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = SharedSql ++ Map(
     "q_search_pipeline" -> s"""
       WITH raw AS (
         SELECT doc_id, list_transform(range(0, 64), j ->
@@ -417,6 +441,17 @@ object SparkEntry {
             FROM s)
       SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id, score FROM r WHERE rn <= 5""",
 
+    "q_knn_self_top1" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 100),
+      s AS (
+        SELECT q.qid, e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS score
+        FROM embeddings e, q WHERE e.vec_id <> q.qid),
+      r AS (SELECT qid, vec_id, score,
+              row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+            FROM s)
+      SELECT qid, vec_id, score FROM r WHERE rn = 1""",
+
     "q_neardup_embedding" -> """
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
@@ -426,6 +461,11 @@ object SparkEntry {
     "q_dedup_exact" -> """
       SELECT text AS dedup_key, min(doc_id) AS doc_id, count(*) AS dup_count
       FROM documents GROUP BY text""",
+
+    "q_dedup_fingerprint" -> s"""
+      SELECT $FingerprintSql AS dedup_key,
+             min(doc_id) AS doc_id, count(*) AS dup_count
+      FROM documents GROUP BY 1""",
 
     "q_dedup_jaccard" -> s"""
       WITH $ShingleCte,
@@ -484,27 +524,7 @@ object SparkEntry {
       FROM bits GROUP BY doc_id""",
 
     "q_text_analysis" -> s"""
-      WITH base AS (
-        SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS L
-        FROM documents),
-      f AS (
-        SELECT doc_id, text, toks, L,
-          CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_en,
-          CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein','nicht','mit','zu','ich'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_de,
-          CAST(len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','es','se','no'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_es,
-          CAST(len(list_filter(toks, t -> t IN ('le','la','de','et','un','est','que','pour','dans','ce'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_fr,
-          CAST(L - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(greatest(L, 1) AS DOUBLE) AS praw,
-          CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS mtl
-        FROM base),
-      g AS (
-        SELECT *,
-          CASE WHEN L BETWEEN 50 AND 2000 THEN 1.0
-               WHEN L < 50 THEN CAST(L AS DOUBLE) / 50.0
-               ELSE 2000.0 / CAST(L AS DOUBLE) END AS len_score,
-          least(sw_en * 5.0, 1.0) AS sw_score,
-          CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS word_score,
-          greatest(sw_en, sw_de, sw_es, sw_fr) AS best
-        FROM f)
+      WITH $TextFeatureCte
       SELECT doc_id,
         CAST(len(toks) AS BIGINT) AS n_tokens,
         CAST(L AS BIGINT) AS n_chars_calc,
@@ -512,13 +532,22 @@ object SparkEntry {
         round(praw, 4) AS punct_ratio,
         round(mtl, 4) AS mean_token_len,
         round((len_score + sw_score + word_score) / 3.0, 4) AS quality,
-        CASE WHEN sw_en > 0 AND sw_en = best THEN 'en'
-             WHEN sw_de > 0 AND sw_de = best THEN 'de'
-             WHEN sw_es > 0 AND sw_es = best THEN 'es'
-             WHEN sw_fr > 0 AND sw_fr = best THEN 'fr'
-             ELSE 'und' END AS lang_guess,
-        sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+        $LangGuessSql AS lang_guess,
+        $FingerprintSql AS fingerprint
       FROM g""",
+
+    "q_quality_filter" -> s"""
+      WITH $TextFeatureCte
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             round((len_score + sw_score + word_score) / 3.0, 4) AS quality
+      FROM g
+      WHERE round((len_score + sw_score + word_score) / 3.0, 4) >= 0.6
+        AND ($LangGuessSql) = 'en'""",
+
+    "q_wordcount" -> """
+      SELECT t AS word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY t""",
 
     "q_essential_projection" -> """
       SELECT doc_id, text, source,
@@ -529,52 +558,14 @@ object SparkEntry {
       SELECT doc_id, text, lang, source FROM documents
       WHERE doc_id IN (0, 7, 42, 99, 123)""",
 
-    "q_delete_antijoin" -> """
-      SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS new_id,
-             doc_id, lang
-      FROM documents WHERE doc_id % 7 <> 0""",
-
-    "q_storage_stats" -> """
-      SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-             min(doc_id) AS min_id, max(doc_id) AS max_id,
-             round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
-      FROM documents GROUP BY source""",
-
-    "q1_lineitem_agg" -> s"""
-      SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        CAST(sum($RevTerm) AS DOUBLE) AS sum_disc_price,
-        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
-        count(*) AS count_order
-      FROM lineitem
-      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-      GROUP BY l_returnflag, l_linestatus""",
-
-    "q3_top_orders" -> s"""
-      SELECT o_orderkey, CAST(sum($RevTerm) AS DOUBLE) AS revenue, count(*) AS n_items
-      FROM customer JOIN orders ON c_custkey = o_custkey
-                    JOIN lineitem ON l_orderkey = o_orderkey
-      WHERE c_mktsegment = 'BUILDING'
-      GROUP BY o_orderkey
-      ORDER BY revenue DESC, o_orderkey
-      LIMIT 10""",
-
-    "q5_region_revenue" -> s"""
-      SELECT r_name, n_name, CAST(sum($RevTerm) AS DOUBLE) AS revenue, count(*) AS n_items
-      FROM region JOIN nation ON n_regionkey = r_regionkey
-                  JOIN customer ON c_nationkey = n_nationkey
-                  JOIN orders ON o_custkey = c_custkey
-                  JOIN lineitem ON l_orderkey = o_orderkey
-      GROUP BY r_name, n_name""",
-
-    "q_window_top3" -> """
-      SELECT c_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
-        SELECT c_custkey, o_orderkey, o_totalprice,
-               row_number() OVER (PARTITION BY c_custkey
-                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        FROM customer JOIN orders ON o_custkey = c_custkey) t
-      WHERE rn <= 3""",
+    "q_enrichment_join" -> """
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      hits AS (
+        SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS score
+        FROM embeddings e, q WHERE e.vec_id <> 0
+        ORDER BY score DESC, e.vec_id LIMIT 10)
+      SELECT h.vec_id, h.score, d.text, d.lang
+      FROM hits h LEFT JOIN documents d ON d.doc_id = h.vec_id""",
 
     "q_events_hourly" -> """
       SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
@@ -590,84 +581,6 @@ object SparkEntry {
               CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS brk
             FROM l)
       SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events
-      FROM m GROUP BY user_id""",
-
-    "q_dedup_fingerprint" -> """
-      SELECT sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS dedup_key,
-             min(doc_id) AS doc_id, count(*) AS dup_count
-      FROM documents GROUP BY 1""",
-
-    "q_quality_filter" -> """
-      WITH base AS (
-        SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS L
-        FROM documents),
-      f AS (
-        SELECT doc_id, toks, L,
-          CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_en,
-          CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein','nicht','mit','zu','ich'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_de,
-          CAST(len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','es','se','no'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_es,
-          CAST(len(list_filter(toks, t -> t IN ('le','la','de','et','un','est','que','pour','dans','ce'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_fr,
-          CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS mtl
-        FROM base),
-      g AS (
-        SELECT *,
-          CASE WHEN L BETWEEN 50 AND 2000 THEN 1.0
-               WHEN L < 50 THEN CAST(L AS DOUBLE) / 50.0
-               ELSE 2000.0 / CAST(L AS DOUBLE) END AS len_score,
-          least(sw_en * 5.0, 1.0) AS sw_score,
-          CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS word_score,
-          greatest(sw_en, sw_de, sw_es, sw_fr) AS best
-        FROM f)
-      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-             round((len_score + sw_score + word_score) / 3.0, 4) AS quality
-      FROM g
-      WHERE round((len_score + sw_score + word_score) / 3.0, 4) >= 0.6
-        AND (CASE WHEN sw_en > 0 AND sw_en = best THEN 'en'
-                  WHEN sw_de > 0 AND sw_de = best THEN 'de'
-                  WHEN sw_es > 0 AND sw_es = best THEN 'es'
-                  WHEN sw_fr > 0 AND sw_fr = best THEN 'fr'
-                  ELSE 'und' END) = 'en'""",
-
-    "q_wordcount" -> """
-      SELECT t AS word, count(*) AS cnt
-      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
-      GROUP BY t""",
-
-    "q_enrichment_join" -> """
-      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-      hits AS (
-        SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS score
-        FROM embeddings e, q WHERE e.vec_id <> 0
-        ORDER BY score DESC, e.vec_id LIMIT 10)
-      SELECT h.vec_id, h.score, d.text, d.lang
-      FROM hits h LEFT JOIN documents d ON d.doc_id = h.vec_id""",
-
-    "q_knn_self_top1" -> """
-      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 100),
-      s AS (
-        SELECT q.qid, e.vec_id,
-               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS score
-        FROM embeddings e, q WHERE e.vec_id <> q.qid),
-      r AS (SELECT qid, vec_id, score,
-              row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
-            FROM s)
-      SELECT qid, vec_id, score FROM r WHERE rn = 1""",
-
-    "q6_forecast_revenue" -> """
-      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
-             count(*) AS n_items
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-        AND l_discount BETWEEN 0.05 AND 0.07
-        AND l_quantity < 24""",
-
-    "q_top_per_lang" -> """
-      SELECT lang, doc_id, n_chars, CAST(rn AS BIGINT) AS rn FROM (
-        SELECT lang, doc_id, n_chars,
-               row_number() OVER (PARTITION BY lang
-                                  ORDER BY n_chars DESC, doc_id) AS rn
-        FROM documents) t
-      WHERE rn <= 3"""
+      FROM m GROUP BY user_id"""
   )
 }

@@ -89,9 +89,13 @@ object TextFunctions {
   }
 
   /** Normalized-text content fingerprint: sha256 of lowercased,
-    * whitespace-collapsed text (for exact near-canonical dedup). */
+    * whitespace-collapsed text (for exact near-canonical dedup).
+    * The whitespace class is explicit ([ \t\n\r\f]) rather than \s:
+    * Java's \s includes \x0B (vertical tab) but RE2-based engines'
+    * (DuckDB) \s does not — the explicit class means one character set
+    * in every engine. */
   def fingerprint(text: Column): Column =
-    sha2(regexp_replace(trim(lower(text)), "\\s+", " "), 256)
+    sha2(regexp_replace(trim(lower(text)), "[ \\t\\n\\r\\f]+", " "), 256)
 
   /** 63-bit SimHash over the (multiset of) whitespace tokens: each
     * token's hash60 votes ±1 on bits 0..62; bit j of the result is 1

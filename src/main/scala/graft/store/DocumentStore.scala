@@ -224,13 +224,29 @@ final class DocumentStore private (
   }
 
   /** Full-metadata enrichment (reference Q6,
-    * vectorstore.py:782-813): join the (tiny, broadcast) hit set against
-    * the payload store; merged metadata with full-payload-wins. */
-  private def enhanceWithFullMetadata(hits: DataFrame): DataFrame =
-    broadcast(hits.drop("metadata_type"))
-      .join(payload.select(col("doc_id"), col("metadata")), Seq("doc_id"), "left")
+    * vectorstore.py:782-813). Scale shape: the hit ids (k rows) are
+    * collected driver-side — exactly the reference's positional lookups
+    * — and pushed into the payload scan as an `isin` filter (parquet
+    * predicate pushdown), so only the k matching payload rows are read;
+    * those are then the BUILD side of the broadcast join. (Broadcasting
+    * the hits themselves would be ignored: Spark cannot build the
+    * stream-preserved left side of a LEFT OUTER join.) */
+  private def enhanceWithFullMetadata(hits: DataFrame): DataFrame = {
+    // Materialize the k hit rows: an orderBy.limit subquery left under a
+    // join is fragile (downstream limit pushdown can compose with it and
+    // surface rows outside the top-k — see SparkEntry.qEnrichmentJoin).
+    val hitRows = hits.drop("metadata_type").collect()
+    val local = spark.createDataFrame(
+      spark.sparkContext.parallelize(hitRows.toIndexedSeq, 1),
+      hits.drop("metadata_type").schema)
+    val ids = hitRows.map(_.getAs[Long]("doc_id")).toIndexedSeq
+    val matching = payload
+      .where(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), col("metadata"))
+    local.join(broadcast(matching), Seq("doc_id"), "left")
       .withColumn("metadata_type",
         when(col("metadata").isNotNull, lit("full")).otherwise(lit("essential")))
+  }
 
   /** Point lookup by id (reference Q7, retriever.py:258-316). */
   def getDocumentById(id: Long, includeFullMetadata: Boolean = false): Option[SearchHit] = {
