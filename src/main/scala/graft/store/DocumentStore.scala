@@ -93,6 +93,11 @@ final class DocumentStore private (
     * metadata MAP<STRING,STRING>). The scale path: no driver-side data. */
   def addDF(staged: DataFrame): Unit = appendBuild(staged)
 
+  /** Document-list adapter over addTexts (reference I2,
+    * vectorstore.py:254-270). */
+  def addDocuments(docs: Seq[Doc]): Seq[String] =
+    addTexts(docs.map(_.text), docs.map(_.metadata))
+
   private def appendBuild(staged: DataFrame): Unit = {
     val existing =
       if (manifest.count > 0) Some(essential.select("id", "text", "source", "category", "metadata_hash", "vec"))
@@ -208,6 +213,13 @@ final class DocumentStore private (
         lit("essential").as("metadata_type"))
     if (includeFullMetadata) enhanceWithFullMetadata(hits) else hits
   }
+
+  /** Q2 (vectorstore.py:659-684): hits as typed (SearchHit, score)
+    * pairs — the score IS the similarity column, single source of
+    * truth. */
+  def similaritySearchWithScore(query: String, k: Int = 4): Seq[(SearchHit, Double)] =
+    similaritySearch(query, k).collect().toSeq
+      .map(rowToHit).map(h => (h, h.similarity))
 
   /** All queries in ONE distributed job (replaces the reference's
     * sequential Retriever.batch loop, retriever.py:110-155). Output adds
@@ -356,6 +368,13 @@ object DocumentStore {
     store.addTexts(texts, metadatas)
     store
   }
+
+  /** Factory from Documents (reference from_documents,
+    * vectorstore.py:945-975). */
+  def fromDocuments(
+      spark: SparkSession, path: String, docs: Seq[Doc],
+      config: StoreConfig = StoreConfig(), embedder: Embedder): DocumentStore =
+    fromTexts(spark, path, docs.map(_.text), docs.map(_.metadata), config, embedder)
 
   /** Factory from a (text, metadata) DataFrame — the 100TB-scale entry
     * point: data never touches the driver. */

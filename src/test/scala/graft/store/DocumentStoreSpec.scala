@@ -115,6 +115,20 @@ class DocumentStoreSpec extends SparkSpec {
     assert(store.getDocumentById(42L).isEmpty)
   }
 
+  test("api parity wrappers: fromDocuments / addDocuments / searchWithScore") {
+    import graft.Doc
+    val docs = texts.zip(metas).map { case (t, m) => Doc(t, m) }
+    val store = DocumentStore.fromDocuments(spark, tmp(), docs.take(4),
+      graft.StoreConfig(), emb)
+    assert(store.documentCount == 4)
+    store.addDocuments(docs.drop(4))
+    assert(store.documentCount == 6)
+    val scored = store.similaritySearchWithScore("foxes", k = 3)
+    assert(scored.length == 3)
+    assert(scored.forall { case (h, s) => h.similarity == s })
+    assert(scored.map(_._2).sorted.reverse == scored.map(_._2))
+  }
+
   test("stats: counts, sizes, mapping coverage") {
     val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
     val s = store.storageStats
