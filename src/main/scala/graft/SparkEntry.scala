@@ -186,10 +186,12 @@ object SparkEntry {
     knnSelf(s, dir, maxQid = 100L, k = 1)
       .select(col("qid"), col("vec_id"), col("score"))
 
-  /** IVF search (no SQL oracle — k-means; driver records rows-only). */
+  /** IVF search (no SQL oracle — k-means; driver records rows-only).
+    * maxIter 10: the coarse quantizer only needs rough cells — recall
+    * comes from nprobe, not centroid polish. */
   private def qIvfSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    val model = IvfIndex.fit(emb, "embedding", nlist = 8)
+    val model = IvfIndex.fit(emb, "embedding", nlist = 8, maxIter = 10)
     val assigned = emb.withColumn("cluster", model.assignCol(col("embedding")))
     val qv = emb.where(col("vec_id") === 0).select("embedding")
       .head.getSeq[Float](0).map(_.toDouble)
@@ -226,6 +228,7 @@ object SparkEntry {
     TextAnalysis.analyze(table(s, dir, "documents"), "text").select(
       col("doc_id"),
       col("n_tokens").cast("long").as("n_tokens"),
+      col("est_bpe_tokens"),
       col("n_chars_calc").cast("long").as("n_chars_calc"),
       col("stopword_ratio"), col("punct_ratio"), col("mean_token_len"),
       col("quality"), col("lang_guess"), col("fingerprint"))
@@ -527,6 +530,7 @@ object SparkEntry {
       WITH $TextFeatureCte
       SELECT doc_id,
         CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(list_sum(list_transform(toks, t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS est_bpe_tokens,
         CAST(L AS BIGINT) AS n_chars_calc,
         round(sw_en, 4) AS stopword_ratio,
         round(praw, 4) AS punct_ratio,

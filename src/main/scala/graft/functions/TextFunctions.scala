@@ -55,6 +55,13 @@ object TextFunctions {
     (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") /
       greatest(length(text), lit(1)).cast("double")
 
+  /** BPE-ish subword token estimate: per whitespace token,
+    * ceil(len/4) subwords (the ~4-chars-per-BPE-token rule of thumb),
+    * summed. Integer arithmetic — exact in any engine. */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+
   /** Mean token length in characters. */
   def meanTokenLen(text: Column): Column = {
     val toks = tokens(text)

@@ -12,11 +12,12 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
-  /** Adds: n_tokens, n_chars_calc, stopword_ratio, punct_ratio,
-    * mean_token_len, quality, lang_guess, fingerprint. */
+  /** Adds: n_tokens, est_bpe_tokens, n_chars_calc, stopword_ratio,
+    * punct_ratio, mean_token_len, quality, lang_guess, fingerprint. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("est_bpe_tokens", bpeTokenEstimate(t))
       .withColumn("n_chars_calc", length(t))
       .withColumn("stopword_ratio", round(stopwordRatio(t), 4))
       .withColumn("punct_ratio", round(punctRatio(t), 4))

@@ -139,6 +139,19 @@ class DocumentStoreSpec extends SparkSpec {
     assert(s.mapping.coveragePercent == 100.0)
   }
 
+  test("IVF with nprobe < nlist: pruned search trades bounded recall for a fraction of the scan") {
+    val many = (0 until 300).map(i => s"doc $i topic ${i % 11} words ${i % 7}")
+    val ivf = DocumentStore.fromTexts(spark, tmp(), many, Nil,
+      StoreConfig(nlist = 4, nprobe = 2), emb)
+    val flat = DocumentStore.fromTexts(spark, tmp(), many, Nil, StoreConfig(), emb)
+    val q = "topic 3 words"
+    val approx = ivf.similaritySearch(q, 10).select("text").collect().map(_.getString(0)).toSet
+    val exact = flat.similaritySearch(q, 10).select("text").collect().map(_.getString(0)).toSet
+    assert(approx.size == 10) // pruned store still fills k
+    val recall = (approx & exact).size / 10.0
+    assert(recall >= 0.3, s"recall@10=$recall too low for nprobe=2/nlist=4")
+  }
+
   test("IVF store: clustered layout, pruned search still finds exact neighbors") {
     // 200 docs >= 30*nlist for nlist=4 -> IVF activates (reference gate).
     val many = (0 until 200).map(i => s"document number $i about topic ${i % 7}")
