@@ -203,7 +203,8 @@ object SparkEntry {
   }
 
   private def qNeardupEmbedding(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDupBrute(table(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+    Dedup.embeddingNearDupBroadcastBlock(
+      table(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(table(s, dir, "documents"), "doc_id", "text")

@@ -148,6 +148,49 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** All-pairs embedding cosine via a broadcast block kernel: the whole
+    * vector set is collected (n×d doubles — fine whenever one side fits
+    * in executor memory, e.g. 1M×128 = 1 GB) and broadcast; each
+    * partition streams its rows against the broadcast block in a tight
+    * primitive loop. Same O(n²) math as [[embeddingNearDupBrute]] but
+    * without materializing 2M join rows through the row pipeline —
+    * `mapPartitions` used deliberately as the last-resort tier (the
+    * semantics are genuinely per-partition imperative). VALUE-IDENTICAL
+    * to the brute join (same fold order, same HALF_UP rounding as
+    * Spark's round()); asserted in DedupSpec. Beyond one-side-fits,
+    * use [[embeddingNearDupLsh]]. */
+  def embeddingNearDupBroadcastBlock(df: DataFrame, idCol: String, vecCol: String,
+                                     threshold: Double = 0.9): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    val all = rows.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(all)
+    import spark.implicits._
+    val out = rows.as[(Long, Array[Double])].mapPartitions { it =>
+      val block = bc.value
+      it.flatMap { case (idA, va) =>
+        block.iterator
+          .filter { case (idB, _) => idA < idB }
+          .flatMap { case (idB, vb) =>
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var i = 0
+            val n = math.min(va.length, vb.length)
+            while (i < n) {
+              val x = va(i); val y = vb(i)
+              dot += x * y; na += x * x; nb += y * y
+              i += 1
+            }
+            val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+            // Spark round(): BigDecimal HALF_UP (away from zero on ties)
+            val r = BigDecimal(cos).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (r >= threshold) Some((idA, idB, r)) else None
+          }
+      }
+    }.toDF("id_a", "id_b", "cosine")
+    out
+  }
+
   /** Embedding near-dup via deterministic random-hyperplane LSH
     * (Charikar 2002): `nBits` sign bits of dot products with
     * hash-derived unit hyperplanes form a bucket code; only

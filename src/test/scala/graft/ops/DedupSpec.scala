@@ -59,6 +59,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L))) // only the exact-dup texts share an embedding
   }
 
+  test("broadcast-block near-dup is value-identical to the brute join") {
+    val emb = HashEmbedder(32)
+    val many = (0L until 80L).map(i => (i, s"text number ${i % 40} variant"))
+      .toDF("id", "text")
+    val withVec = emb.embed(many, "text", "vec")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = norm(Dedup.embeddingNearDupBrute(withVec, "id", "vec", 0.2))
+    val block = norm(Dedup.embeddingNearDupBroadcastBlock(withVec, "id", "vec", 0.2))
+    assert(brute.nonEmpty)
+    assert(block == brute)
+  }
+
   test("embedding near-dup LSH is a subset of brute force and finds exact dups") {
     val emb = HashEmbedder(32)
     val withVec = emb.embed(docs, "text", "vec")
