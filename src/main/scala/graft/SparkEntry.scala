@@ -125,6 +125,13 @@ object SparkEntry {
         FROM customer JOIN orders ON o_custkey = c_custkey) t
       WHERE rn <= 3""",
 
+    // Distinct aggregation (two-phase shuffle at scale): unique users
+    // and event volume per type.
+    "q_events_distinct_users" -> """
+      SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY event_type""",
+
     // Per-group top-k (window over text features): 3 longest docs/lang.
     "q_top_per_lang" -> """
       SELECT lang, doc_id, n_chars, CAST(rn AS BIGINT) AS rn FROM (

@@ -139,6 +139,43 @@ class DocumentStoreSpec extends SparkSpec {
     assert(s.mapping.coveragePercent == 100.0)
   }
 
+  test("metric=l2 store: scores are distances, ascending, un-flipped (reference semantics)") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas,
+      StoreConfig(metric = "l2"), emb)
+    val hits = store.similaritySearch("foxes and dogs", 3).collect()
+    val sims = hits.map(_.getAs[Double]("similarity"))
+    assert(sims.sorted.toSeq == sims.toSeq)        // ascending = nearest first
+    assert(sims.forall(_ >= 0.0))                  // distances, not similarities
+    val loaded = DocumentStore.load(spark, store.path, emb)
+    assert(loaded.config.metric == "l2")           // metric survives reload
+  }
+
+  test("metric=ip store ranks by dot product (== cosine here: unit vectors)") {
+    val ip = DocumentStore.fromTexts(spark, tmp(), texts, metas,
+      StoreConfig(metric = "ip"), emb)
+    val cos = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    val q = "programming languages"
+    val a = ip.similaritySearch(q, 4).collect().map(_.getAs[Long]("doc_id")).toSeq
+    val b = cos.similaritySearch(q, 4).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(a == b)
+  }
+
+  test("delete on an IVF store refits clusters and keeps search correct") {
+    val many = (0 until 200).map(i => s"entry $i about subject ${i % 9}")
+    val store = DocumentStore.fromTexts(spark, tmp(), many, Nil,
+      StoreConfig(nlist = 4, nprobe = 4), emb)
+    assert(store.currentManifest.nlist == 4)
+    assert(store.deleteByIds((0L until 50L).toSeq))
+    assert(store.documentCount == 150)
+    assert(store.currentManifest.nlist == 4)       // still >= 30*nlist -> clustered
+    val flat = DocumentStore.fromTexts(spark, tmp(), many.drop(50), Nil,
+      StoreConfig(), emb)
+    val q = "entry 100 about subject 1"
+    val a = store.similaritySearch(q, 5).collect().map(_.getAs[String]("text")).toSeq
+    val b = flat.similaritySearch(q, 5).collect().map(_.getAs[String]("text")).toSeq
+    assert(a == b)                                 // nprobe=nlist -> exhaustive
+  }
+
   test("IVF with nprobe < nlist: pruned search trades bounded recall for a fraction of the scan") {
     val many = (0 until 300).map(i => s"doc $i topic ${i % 11} words ${i % 7}")
     val ivf = DocumentStore.fromTexts(spark, tmp(), many, Nil,
