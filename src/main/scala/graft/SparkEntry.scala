@@ -132,6 +132,43 @@ object SparkEntry {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY event_type""",
 
+    // ROLLUP hierarchy aggregation (grouping-set shuffle); NULL grouping
+    // keys coalesced to a sentinel for stable cross-engine compare.
+    "q_rollup" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    // Conditional-aggregation pivot (PIVOT syntax differs per engine;
+    // CASE-sum form is portable and plans identically).
+    "q_pivot_events" -> """
+      SELECT user_id,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        CAST(sum(CASE WHEN event_type IN ('signup', 'error') THEN 1 ELSE 0 END) AS BIGINT) AS other
+      FROM events GROUP BY user_id""",
+
+    // Running-total window frame (DECIMAL-exact cumulative sum).
+    "q_running_total" -> """
+      SELECT o_custkey, o_orderkey,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+      FROM orders""",
+
+    // Correlated EXISTS semijoin (WHERE) + left-join flag projection.
+    "q_exists_semijoin" -> """
+      SELECT c.c_custkey, c.c_name,
+             CAST(CASE WHEN b.o_custkey IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_big_order
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_totalprice > 449708.0) b
+        ON b.o_custkey = c.c_custkey
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+
     // Per-group top-k (window over text features): 3 longest docs/lang.
     "q_top_per_lang" -> """
       SELECT lang, doc_id, n_chars, CAST(rn AS BIGINT) AS rn FROM (
@@ -287,6 +324,18 @@ object SparkEntry {
       .select(col("vec_id"), col("score"), col("text"), col("lang"))
   }
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`: linear interpolation over sorted values). */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql("""
+      SELECT l_returnflag,
+             round(percentile(l_quantity, 0.5), 4) AS median_qty,
+             round(percentile(l_extendedprice, 0.9), 4) AS p90_price,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag""")
+  }
+
   private def qEventsHourly(s: SparkSession, dir: String): DataFrame = {
     registerViews(s, dir)
     // ts is BIGINT nanos (see table()); hour bucket in epoch seconds.
@@ -342,6 +391,7 @@ object SparkEntry {
       "q_essential_projection" -> (qEssentialProjection _),
       "q_point_lookup"        -> (qPointLookup _),
       "q_enrichment_join"     -> (qEnrichmentJoin _),
+      "q_percentiles"         -> (qPercentiles _),
       "q_events_hourly"       -> (qEventsHourly _),
       "q_events_sessionize"   -> (qEventsSessionize _)
     )
@@ -578,6 +628,13 @@ object SparkEntry {
         ORDER BY score DESC, e.vec_id LIMIT 10)
       SELECT h.vec_id, h.score, d.text, d.lang
       FROM hits h LEFT JOIN documents d ON d.doc_id = h.vec_id""",
+
+    "q_percentiles" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag""",
 
     "q_events_hourly" -> """
       SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
