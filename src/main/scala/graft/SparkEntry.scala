@@ -31,16 +31,33 @@ object SparkEntry {
   private val AllTables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private def table(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 rejects it unless
-    // read as raw nanos (BIGINT). DuckDB oracles use epoch_us(ts)*1000-
-    // compatible integer arithmetic, see q_events_*.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
-  }
+  // DataFrame handles are cached per (session, dir, table): re-creating
+  // one re-reads the parquet footer (an FS round-trip per query that
+  // multiplies by table count in registerViews). Cached handles still
+  // re-scan DATA per job — only plan-time metadata is reused.
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
 
-  private def registerViews(s: SparkSession, dir: String): Unit =
-    AllTables.foreach(n => table(s, dir, n).createOrReplaceTempView(n))
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    tableCache.getOrElseUpdate((System.identityHashCode(s), dir, name), {
+      // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 rejects it unless
+      // read as raw nanos (BIGINT). DuckDB oracles use epoch_us(ts)*1000-
+      // compatible integer arithmetic, see q_events_*.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+    })
+
+  // Temp views point at ONE dir per session; re-register only when the
+  // dir changes (tests hop between scale factors, the driver doesn't).
+  private val viewDir = scala.collection.concurrent.TrieMap.empty[Int, String]
+
+  private def registerViews(s: SparkSession, dir: String): Unit = {
+    val key = System.identityHashCode(s)
+    if (!viewDir.get(key).contains(dir)) {
+      AllTables.foreach(n => table(s, dir, n).createOrReplaceTempView(n))
+      viewDir.put(key, dir)
+    }
+  }
 
   /** Exact-decimal revenue term: price * (1 - discount), reference for
     * all money sums (identical SQL text runs on DuckDB). */
@@ -235,7 +252,8 @@ object SparkEntry {
     * comes from nprobe, not centroid polish. */
   private def qIvfSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    val model = IvfIndex.fit(emb, "embedding", nlist = 8, maxIter = 10)
+    val model = IvfIndex.fitCached(s"$dir/embeddings", emb, "embedding",
+      nlist = 8, maxIter = 10, initMode = "random", fitPartitions = 4)
     val assigned = emb.withColumn("cluster", model.assignCol(col("embedding")))
     val qv = emb.where(col("vec_id") === 0).select("embedding")
       .head.getSeq[Float](0).map(_.toDouble)

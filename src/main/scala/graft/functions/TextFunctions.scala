@@ -167,4 +167,17 @@ object TextFunctions {
   /** MinHash signature over a text column's n-gram shingles. */
   def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
     minhashSignatureFromShingles(shingles(text, n), numHashes)
+
+  /** Fused single-pass form of [[minhashSignatureFromShingles]]
+    * (value-identical; parity asserted in TextFunctionsSpec). */
+  def minhashSignatureFused(sh: Column, numHashes: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      MinHashSigExpr(org.apache.spark.sql.GraftSqlBridge.expression(sh), numHashes))
+
+  /** Fused LSH band keys "b|v0|..|v{r-1}" from one signature pass —
+    * the join key column for MinHash banding (see Dedup.minhashLshPairs).
+    */
+  def minhashBands(sh: Column, numHashes: Int, bands: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      MinHashBandsExpr(org.apache.spark.sql.GraftSqlBridge.expression(sh), numHashes, bands))
 }

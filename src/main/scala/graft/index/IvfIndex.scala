@@ -26,13 +26,19 @@ object IvfIndex {
 
     /** Cluster-assignment expression: argmin_c ||vec - centroid_c||².
       * Pure codegen'd built-ins (no UDF): distances via a fold over a
-      * centroid array literal, argmin via array_position of the min. */
-    def assignCol(vec: Column): Column = {
+      * centroid array literal, argmin via array_position of the min
+      * (ties -> lowest cluster id). `roundScale >= 0` rounds each
+      * distance first — use it when an external engine must reproduce
+      * the assignment exactly (float fold order then can't flip the
+      * argmin; see q_ivf_flat's oracle). */
+    def assignCol(vec: Column, roundScale: Int = -1): Column = {
       val cents = typedlit(centroids)
-      val dists = transform(cents, c =>
-        aggregate(
+      val dists = transform(cents, c => {
+        val d = aggregate(
           zip_with(asDouble(vec), c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x))
+          lit(0.0), (acc, x) => acc + x)
+        if (roundScale >= 0) round(d, roundScale) else d
+      })
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
 
@@ -54,16 +60,41 @@ object IvfIndex {
 
   /** Train a coarse quantizer with MLlib KMeans (seeded — deterministic
     * for fixed data/partitioning, like the reference's faiss kmeans on a
-    * fixed corpus, index.py:274). */
+    * fixed corpus, index.py:274).
+    *
+    * Coarse quantizers don't need polished centroids — recall comes from
+    * nprobe — so the production knobs are: `initMode = "random"` (skips
+    * the ~5 extra k-means|| init passes), low `maxIter`, and
+    * `fitFraction` < 1 to train on a seeded sample (at 100 TB you never
+    * fit k-means on the full corpus; FAISS trains on a sample too). The
+    * training set is coalesced into a few partitions: per-iteration task
+    * overhead dominates on a sample, and the sample is small by
+    * construction. */
   def fit(df: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L,
-          maxIter: Int = 20): Model = {
-    val prepared = df.select(array_to_vector(asDouble(col(vecCol))).as("features"))
+          maxIter: Int = 20, initMode: String = "k-means||",
+          fitFraction: Double = 1.0, fitPartitions: Int = 0): Model = {
+    val base = if (fitFraction < 1.0) df.sample(withReplacement = false, fitFraction, seed) else df
+    val vecs = base.select(array_to_vector(asDouble(col(vecCol))).as("features"))
+    val prepared = if (fitPartitions > 0) vecs.coalesce(fitPartitions) else vecs
     val km = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter).setInitMode(initMode)
       .setFeaturesCol("features")
     val model = km.fit(prepared)
     Model(model.clusterCenters.toIndexedSeq.map(_.toArray.toIndexedSeq))
   }
+
+  private val modelCache = scala.collection.concurrent.TrieMap.empty[String, Model]
+
+  /** Build-once/search-many: the reference trains IVF at ingest and
+    * reuses it for every search (index.py:239-291); `fitCached` is that
+    * lifecycle for callers that address a store by key (e.g. its path).
+    */
+  def fitCached(key: String, df: => DataFrame, vecCol: String, nlist: Int,
+                seed: Long = 42L, maxIter: Int = 20,
+                initMode: String = "k-means||", fitFraction: Double = 1.0,
+                fitPartitions: Int = 0): Model =
+    modelCache.getOrElseUpdate(s"$key|$vecCol|$nlist|$seed|$maxIter|$initMode|$fitFraction|$fitPartitions",
+      fit(df, vecCol, nlist, seed, maxIter, initMode, fitFraction, fitPartitions))
 
   /** The reference's IVF activation gate: IVF only pays off with
     * >= 30·nlist points (index.py:152-166, config.py:125-129). */

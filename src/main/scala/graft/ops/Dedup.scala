@@ -74,24 +74,18 @@ object Dedup {
                       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val sh = df.select(col(idCol).as("id"),
         TextFunctions.shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
 
-    // band key = "b|v0|v1|..|v{r-1}" over the band's minhash slice.
-    // The signature is let1-bound (computed ONCE per row — projection
-    // collapse would otherwise duplicate the whole minhash tree into
-    // every element_at). Only (id, band) flows through the self-join —
-    // the shingle arrays are re-attached to the (small) candidate set
+    // band key = "b|v0|v1|..|v{r-1}" over the band's minhash slice,
+    // emitted by the fused MinHashBandsExpr: ONE sha256+rehash pass per
+    // row (projection collapse can't duplicate a single expression's
+    // internals). Only (id, band) flows through the self-join — the
+    // shingle arrays are re-attached to the (small) candidate set
     // afterwards, keeping wide data out of the join shuffle.
     val banded = sh.select(col("id"),
-        explode(TextFunctions.let1(
-          TextFunctions.minhashSignatureFromShingles(col("sh"), numHashes)) { sig =>
-          transform(sequence(lit(0), lit(bands - 1)), b =>
-            concat_ws("|", (b.cast("string") +:
-              (0 until r).map(i => element_at(sig, b * r + i + 1).cast("string"))): _*))
-        }).as("band"))
+      explode(TextFunctions.minhashBands(col("sh"), numHashes, bands)).as("band"))
 
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))

@@ -82,4 +82,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(0) == r(1))
     assert(r(0) != r(2))
   }
+
+  test("fused minhash signature == HOF signature on real corpus (incl. empty)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .union(Seq("", "a b", "a b c", "a b c d e f g").toDF("text"))
+      .select(shingles($"text", 3).as("sh"))
+    val bad = docs.where(
+      minhashSignatureFused($"sh", 16) =!= minhashSignatureFromShingles($"sh", 16)
+    ).count()
+    assert(bad == 0)
+  }
+
+  test("fused minhash band keys == interpreted banding construction") {
+    val numHashes = 16; val bands = 4; val r = numHashes / bands
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(shingles($"text", 3).as("sh"))
+    // the construction minhashLshPairs used before the fused expr:
+    val interpreted = let1(minhashSignatureFromShingles($"sh", numHashes)) { sig =>
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        concat_ws("|", (b.cast("string") +:
+          (0 until r).map(i => element_at(sig, b * r + i + 1).cast("string"))): _*))
+    }
+    val bad = docs.where(minhashBands($"sh", numHashes, bands) =!= interpreted).count()
+    assert(bad == 0)
+  }
 }
