@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashEmbedder
 import graft.index.{IvfIndex, VectorIndex}
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{AsofJoin, Dedup, Sampling, SkewTools, TextAnalysis, TextSearch}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2, each with an equivalent DuckDB oracle in [[oracleSql]]
@@ -380,6 +380,84 @@ object SparkEntry {
       FROM m GROUP BY user_id""")
   }
 
+  /** Fixed-centroid IVF search — the full IVF machinery (assignment,
+    * nprobe pruning, in-cluster top-k) made EXACTLY oracle-checkable by
+    * pinning the coarse quantizer to 8 stored vectors instead of
+    * k-means output (q_ivf_search keeps the k-means path, rows-only).
+    * Distances are rounded before every argmin/rank so float fold order
+    * can't flip a cluster assignment across engines. */
+  private def qIvfFlat(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val cents = emb.where(col("vec_id").between(10, 17))
+      .orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    val model = IvfIndex.Model(cents)
+    val qv = emb.where(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble).toSeq
+    val probes = model.nearestCentroids(qv, 3, roundScale = 4)
+    val assigned = emb.withColumn("cluster",
+      model.assignCol(col("embedding"), roundScale = 4))
+    VectorIndex.topK(assigned.where(col("cluster").isin(probes: _*)),
+        "embedding", qv, 10, "cosine", scoreCol = "score",
+        tieBreak = Seq("vec_id"), roundScale = 4)
+      .select(col("vec_id"), col("cluster"), col("score"))
+  }
+
+  /** Near-dup families: jaccard pairs -> connected components -> each
+    * doc labelled with its family's canonical (minimum) id. */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5))
+      .select(col("node").as("doc_id"), col("component"))
+
+  /** BM25 keyword top-10 over the documents corpus. */
+  private val Bm25Terms = Seq("spark", "vector", "join", "stream")
+  private def qBm25Search(s: SparkSession, dir: String): DataFrame =
+    TextSearch.bm25(table(s, dir, "documents"), "doc_id", "text",
+      Bm25Terms, topK = 10)
+
+  /** Deterministic stratified sample: partition-independent, engine-
+    * reproducible membership (hash60-based, see Sampling). */
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(table(s, dir, "documents"), "doc_id", "lang",
+        rates = Map("en" -> 0.2), defaultFraction = 0.5)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** Backward as-of join: each purchase attributed to the same user's
+    * latest click at or before it (-1 sentinels keep the compare
+    * null-free). */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("event_type"), expr("ts DIV 1000").as("us"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_eid"),
+        col("us").as("purchase_us"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_eid"),
+        col("us").as("click_us"))
+    AsofJoin.asofBackward(purchases, clicks, Seq("user_id"),
+        "purchase_us", "click_us", "purchase_eid", "click_eid")
+      .select(col("user_id"), col("purchase_eid"), col("purchase_us"),
+        coalesce(col("click_eid"), lit(-1L)).as("click_eid"),
+        coalesce(col("click_us"), lit(-1L)).as("click_us"))
+  }
+
+  /** Skew-salted fact/dim join + aggregate — results identical to the
+    * plain join (the oracle IS the plain join), only the shuffle
+    * distribution differs. */
+  private def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val large = table(s, dir, "lineitem").select(
+      col("l_suppkey").as("suppkey"), col("l_orderkey"), col("l_extendedprice"))
+    val small = table(s, dir, "supplier").select(
+      col("s_suppkey").as("suppkey"), col("s_name"))
+    SkewTools.saltedInnerJoin(large, small, "suppkey", factor = 8)
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total"))
+  }
+
   // ==================================================================
   // Contract maps
   // ==================================================================
@@ -411,7 +489,13 @@ object SparkEntry {
       "q_enrichment_join"     -> (qEnrichmentJoin _),
       "q_percentiles"         -> (qPercentiles _),
       "q_events_hourly"       -> (qEventsHourly _),
-      "q_events_sessionize"   -> (qEventsSessionize _)
+      "q_events_sessionize"   -> (qEventsSessionize _),
+      "q_ivf_flat"            -> (qIvfFlat _),
+      "q_dedup_clusters"      -> (qDedupClusters _),
+      "q_bm25_search"         -> (qBm25Search _),
+      "q_sample_stratified"   -> (qSampleStratified _),
+      "q_asof_join"           -> (qAsofJoin _),
+      "q_skew_join"           -> (qSkewJoin _)
     )
 
   // ==================================================================
@@ -668,6 +752,111 @@ object SparkEntry {
               CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS brk
             FROM l)
       SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events
-      FROM m GROUP BY user_id"""
+      FROM m GROUP BY user_id""",
+
+    // Fixed-centroid IVF: assignment = argmin of ROUNDED squared L2 to
+    // the 8 pinned centroid vectors (ties -> lowest cid), probes = 3
+    // nearest centroids to the query under the same rounded ranking.
+    "q_ivf_flat" -> """
+      WITH c AS (SELECT CAST(vec_id - 10 AS INT) AS cid, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id BETWEEN 10 AND 17),
+      v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      d AS (SELECT v.vec_id, c.cid,
+              round(list_sum(list_transform(range(1, len(v.ev) + 1),
+                i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))), 4) AS dist
+            FROM v, c),
+      a AS (SELECT vec_id, cid AS cluster FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d) t WHERE rn = 1),
+      q AS (SELECT ev AS qv FROM v WHERE vec_id = 0),
+      p AS (SELECT cid FROM (
+              SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn
+              FROM d WHERE vec_id = 0) t WHERE rn <= 3)
+      SELECT v.vec_id, a.cluster, round(list_cosine_similarity(v.ev, q.qv), 4) AS score
+      FROM v JOIN a ON a.vec_id = v.vec_id, q
+      WHERE a.cluster IN (SELECT cid FROM p)
+      ORDER BY score DESC, v.vec_id LIMIT 10""",
+
+    // Connected components of the jaccard>=0.5 near-dup graph via a
+    // recursive reachability CTE; component = min reachable id.
+    "q_dedup_clusters" -> s"""
+      WITH RECURSIVE $ShingleCte,
+      e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      pairs AS (
+        SELECT id_a, id_b
+        FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
+      sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS node, dst AS r FROM sym
+        UNION
+        SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r)
+      SELECT node AS doc_id, CAST(least(node, min(r)) AS BIGINT) AS component
+      FROM reach GROUP BY node""",
+
+    // BM25: per-(doc,term) weights in double with one fixed expression
+    // shape, rounded to 6 dp, summed through exact DECIMAL (term order
+    // can't matter), rounded to 4 dp before ranking.
+    "q_bm25_search" -> s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+             FROM toks),
+      t AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term FROM toks),
+      tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+             WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+             GROUP BY doc_id, dl, term),
+      df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+      w AS (SELECT tf.doc_id,
+              ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                (tf.tf * ${1.2 + 1.0}) /
+                (tf.tf + ${1.2} * (${1.0 - 0.75} + ${0.75} * tf.dl / st.avgdl)) AS w
+            FROM tf, df, st WHERE tf.term = df.term)
+      SELECT doc_id, round(CAST(sum(CAST(round(w, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
+      FROM w GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // Deterministic stratified sample (mirror of Sampling.stratified).
+    "q_sample_stratified" -> s"""
+      SELECT doc_id, lang, source FROM documents
+      WHERE ${dk60("'sample::' || CAST(doc_id AS VARCHAR)")} % 1000000
+            < CASE WHEN lang = 'en' THEN 200000 ELSE 500000 END""",
+
+    // Backward as-of join via the same total ordering the Spark
+    // operator uses: (time, side, tie), clicks before purchases at
+    // equal time, max event_id among equal-time clicks.
+    "q_asof_join" -> """
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      u AS (
+        SELECT user_id, us AS t, 0 AS side, event_id AS tie,
+               NULL::BIGINT AS p_eid, NULL::BIGINT AS p_us,
+               event_id AS c_eid, us AS c_us
+        FROM e WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, us, 1, event_id, event_id, us, NULL, NULL
+        FROM e WHERE event_type = 'purchase'),
+      w AS (
+        SELECT user_id, side, p_eid, p_us,
+          last_value(c_eid IGNORE NULLS) OVER win AS click_eid,
+          last_value(c_us IGNORE NULLS) OVER win AS click_us
+        FROM u
+        WINDOW win AS (PARTITION BY user_id ORDER BY t, side, tie ROWS UNBOUNDED PRECEDING))
+      SELECT user_id, p_eid AS purchase_eid, p_us AS purchase_us,
+             coalesce(click_eid, -1) AS click_eid, coalesce(click_us, -1) AS click_us
+      FROM w WHERE side = 1""",
+
+    // The salted join must equal the plain join — the oracle IS the
+    // plain join.
+    "q_skew_join" -> """
+      SELECT s_name, count(*) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name"""
   )
 }

@@ -44,13 +44,20 @@ object IvfIndex {
 
     /** Driver-side nprobe: indices of the nprobe centroids nearest to
       * the query vector (L2 — equivalent ranking to cosine on the
-      * normalized vectors the store holds). */
-    def nearestCentroids(query: Seq[Double], nprobe: Int): Seq[Int] = {
+      * normalized vectors the store holds). `roundScale >= 0` rounds
+      * each squared distance (HALF_UP, matching Spark/DuckDB round())
+      * before ranking, with an index tie-break — same convention as
+      * [[assignCol]], so an external oracle reproduces the probe set. */
+    def nearestCentroids(query: Seq[Double], nprobe: Int,
+                         roundScale: Int = -1): Seq[Int] = {
       centroids.zipWithIndex
         .map { case (c, i) =>
           var d = 0.0; var j = 0
           while (j < c.length) { val t = c(j) - query(j); d += t * t; j += 1 }
-          (d, i)
+          val dr = if (roundScale >= 0)
+            BigDecimal(d).setScale(roundScale, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+          else d
+          (dr, i)
         }
         .sortBy { case (d, i) => (d, i) }
         .take(math.min(nprobe, centroids.length))

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join — for each left row, the single most recent
+  * right row at or before the left row's time, per key. The classic
+  * point-in-time enrichment of event pipelines ("attribute each
+  * purchase to the last preceding click"), an operator Spark has no
+  * built-in for.
+  *
+  * Spark-first implementation (SURVEY §4 preference order (a): compose
+  * built-ins): tag both sides, UNION, and run one
+  * `last(right, ignoreNulls)` window over (key, time) — a single
+  * shuffle on the join keys plus a per-partition sort, instead of the
+  * naive range join (which explodes to |L|·|R| per key before picking
+  * the max). Scales as a plain window: each key group is processed
+  * streamingly in one pass; skewed keys are bounded by the window
+  * sort, not a join blow-up.
+  */
+object AsofJoin {
+
+  /** Backward as-of join. Schema: all `left` columns, plus every
+    * non-key `right` column (null when no right row qualifies — left
+    * outer semantics).
+    *
+    * Ordering is made total and deterministic: rows sort by
+    * (time, side, tie). With `strict = false` (default) a right row at
+    * exactly the left row's time matches (right sorts first at equal
+    * time); with `strict = true` only strictly-earlier right rows match.
+    * Among right rows with the same time and key, the one with the
+    * LARGEST `rightTie` wins.
+    *
+    * Right non-key column names must not clash with left's — rename
+    * before joining. */
+  def asofBackward(left: DataFrame, right: DataFrame, on: Seq[String],
+                   leftTime: String, rightTime: String,
+                   leftTie: String, rightTie: String,
+                   strict: Boolean = false): DataFrame = {
+    require(on.nonEmpty, "need at least one join key")
+    val rPayload = right.columns.filterNot(on.contains).toSeq
+    val clash = left.columns.toSet.intersect(rPayload.toSet)
+    require(clash.isEmpty, s"right columns clash with left, rename them: $clash")
+
+    val lStructCol = struct(left.columns.map(col).toSeq: _*)
+    val rStructCol = struct(rPayload.map(col): _*)
+    val lType = left.select(lStructCol.as("s")).schema("s").dataType
+    val rType = right.select(rStructCol.as("s")).schema("s").dataType
+    // Equal-time right rows sort BEFORE left rows when inclusive
+    // (so they are visible to last()) and AFTER when strict.
+    val (lSide, rSide) = if (strict) (0, 1) else (1, 0)
+
+    val lTagged = left.select(
+      on.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(lSide).as("__side"), col(leftTie).as("__tie"),
+        lStructCol.as("__l"), lit(null).cast(rType).as("__r")): _*)
+    val rTagged = right.select(
+      on.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(rSide).as("__side"), col(rightTie).as("__tie"),
+        lit(null).cast(lType).as("__l"), rStructCol.as("__r")): _*)
+
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lTagged.unionByName(rTagged)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === lSide)
+      .select(left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
+        rPayload.map(c => col("__m").getField(c).as(c)): _*)
+  }
+}

@@ -185,6 +185,51 @@ object Dedup {
     out
   }
 
+  /** Connected components over an undirected pair list (the output shape
+    * of every near-dup detector above): labels each node with the MINIMUM
+    * id reachable from it, so a dedup pipeline can keep exactly one
+    * canonical document (the one with `id == component`) per duplicate
+    * family — pairs alone under-delete (A~B, B~C must drop B AND C).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * adopts min(own label, neighbours' labels); converges in
+    * O(component diameter) rounds. Near-dup graphs have tiny, shallow
+    * components, so 3-5 rounds settle real corpora; `maxIter` bounds
+    * pathological chains. Each round is one hash-shuffle join + agg on
+    * (node, label) pairs only — edges are never widened — and the label
+    * frontier is localCheckpoint'ed to cut lineage (plan growth, not
+    * data, is the usual iterative-Spark killer at scale). For graphs
+    * with continent-sized components, switch to large-star/small-star
+    * (Kiveris et al. 2014) — same primitives, O(log n) rounds.
+    *
+    * Returns (node, component), component = min id in the node's
+    * component; only nodes that appear in `pairs` are returned. */
+  def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
+                          idBCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val sym = pairs
+      .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+      .union(pairs.select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // reused every round — don't recompute the detector
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(col("src").as("n2")).agg(min("label").as("nbr"))
+      val stepped = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          (coalesce(col("nbr"), col("label")) < col("label")).as("changed"))
+        .localCheckpoint(true)
+      converged = stepped.where(col("changed")).isEmpty
+      labels = stepped.select("node", "label")
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** Embedding near-dup via deterministic random-hyperplane LSH
     * (Charikar 2002): `nBits` sign bits of dot products with
     * hash-derived unit hyperplanes form a bucket code; only

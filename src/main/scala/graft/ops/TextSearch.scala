@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Keyword relevance search over a document corpus — the lexical
+  * complement to the vector search the reference provides
+  * (reference: src/langchain_memvid/index.py:327 dense-only retrieval;
+  * production RAG pipelines pair it with BM25 — Robertson & Zaragoza
+  * 2009, see PAPERS.md).
+  *
+  * Scale shape: tf is an explode + partial-agg (map-side combine
+  * applies), df is a tiny per-term aggregate (broadcast), corpus stats
+  * are one scalar row (broadcast cross join) — the only full shuffle is
+  * the tf groupBy, keyed by (doc, term), which is near-uniform. Top-k
+  * goes through TakeOrderedAndProject (bounded per-partition heaps, no
+  * global sort).
+  */
+object TextSearch {
+
+  /** BM25 top-k: score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the standard
+    * Robertson/Sparck-Jones formulation with non-negative idf.
+    *
+    * Determinism across engines/partitionings: per-(doc,term) weights
+    * are computed in double with one fixed expression shape, rounded to
+    * 6 dp, and summed through exact DECIMAL(18,6) — so the per-doc sum
+    * cannot depend on term order — then rounded to 4 dp BEFORE ranking
+    * with a doc-id tie-break. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], topK: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val stats = toks.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(col("toks")).cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    val tf = toks
+      .select(col("id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("term")
+      .agg(count_distinct(col("id")).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("id")
+      .agg(round(sum(round(col("w"), 6).cast("decimal(18,6)")).cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+      .select(col("id").as(idCol), col("score"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // clicks per user: u1 at t=10,20,20(two ids),40; u2 none.
+  private val clicks = Seq(
+    (1L, 10L, 100L), (1L, 20L, 101L), (1L, 20L, 102L), (1L, 40L, 103L),
+    (3L, 5L, 300L)
+  ).toDF("user_id", "click_us", "click_eid")
+
+  private val purchases = Seq(
+    (1L, 20L, 900L),  // equal-time click exists (eids 101/102)
+    (1L, 39L, 901L),  // latest earlier click = t20
+    (1L, 50L, 902L),  // latest = t40
+    (2L, 15L, 903L),  // user with no clicks
+    (3L, 4L, 904L)    // click exists but only AFTER
+  ).toDF("user_id", "purchase_us", "purchase_eid")
+
+  private def run(strict: Boolean) =
+    AsofJoin.asofBackward(purchases, clicks, Seq("user_id"),
+        "purchase_us", "click_us", "purchase_eid", "click_eid", strict = strict)
+      .collect()
+      .map(r => r.getAs[Long]("purchase_eid") ->
+        Option(r.getAs[Any]("click_eid")).map(_.asInstanceOf[Long]))
+      .toMap
+
+  test("inclusive: equal-time click matches; ties pick max right tie; no-match is null") {
+    val m = run(strict = false)
+    assert(m(900L).contains(102L)) // t=20 click counts; max eid among equal-time wins
+    assert(m(901L).contains(102L))
+    assert(m(902L).contains(103L))
+    assert(m(903L).isEmpty)        // user 2: no clicks at all
+    assert(m(904L).isEmpty)        // user 3: click is strictly after
+  }
+
+  test("strict: equal-time click does NOT match") {
+    val m = run(strict = true)
+    assert(m(900L).contains(100L)) // only the t=10 click is strictly earlier
+    assert(m(901L).contains(102L))
+    assert(m(902L).contains(103L))
+  }
+
+  test("result carries every left row exactly once") {
+    assert(run(strict = false).size == purchases.count())
+  }
+
+  test("clashing right column names are rejected") {
+    val bad = clicks.withColumnRenamed("click_eid", "purchase_eid")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(purchases, bad, Seq("user_id"),
+        "purchase_us", "click_us", "purchase_eid", "purchase_eid")
+    }
+  }
+}

@@ -72,6 +72,27 @@ class DedupSpec extends SparkSpec {
     assert(block == brute)
   }
 
+  test("connected components: chains collapse to min id, components stay separate") {
+    val edges = Seq(
+      (5L, 3L), (3L, 9L),           // chain -> component 3
+      (20L, 21L),                   // pair  -> component 20
+      (30L, 31L), (31L, 30L)        // duplicate/reversed edges tolerated
+    ).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("connected components converge on a long path (label must propagate end-to-end)") {
+    val n = 12
+    val edges = (0 until n).map(i => (i.toLong + 1, i.toLong)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    assert(cc.size == n + 1)
+    assert(cc.values.forall(_ == 0L))
+  }
+
   test("embedding near-dup LSH is a subset of brute force and finds exact dups") {
     val emb = HashEmbedder(32)
     val withVec = emb.embed(docs, "text", "vec")
