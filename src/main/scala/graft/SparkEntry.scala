@@ -253,7 +253,7 @@ object SparkEntry {
   private def qIvfSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
     val model = IvfIndex.fitCached(s"$dir/embeddings", emb, "embedding",
-      nlist = 8, maxIter = 10, initMode = "random", fitPartitions = 4)
+      nlist = 8, maxIter = 5, initMode = "random", fitPartitions = 4)
     val assigned = emb.withColumn("cluster", model.assignCol(col("embedding")))
     val qv = emb.where(col("vec_id") === 0).select("embedding")
       .head.getSeq[Float](0).map(_.toDouble)

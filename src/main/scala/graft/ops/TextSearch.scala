@@ -39,10 +39,12 @@ object TextSearch {
       count(lit(1)).cast("double").as("n_docs"),
       (sum(size(col("toks")).cast("long")).cast("double") /
         count(lit(1)).cast("double")).as("avgdl"))
+    // Prune to query terms BEFORE exploding: the scan emits only hits
+    // (a few per doc), not every token of the corpus.
+    val termSet = typedlit(queryTerms.distinct)
     val tf = toks
       .select(col("id"), size(col("toks")).cast("double").as("dl"),
-        explode(col("toks")).as("term"))
-      .where(col("term").isin(queryTerms: _*))
+        explode(filter(col("toks"), t => array_contains(termSet, t))).as("term"))
       .groupBy("id", "dl", "term").agg(count(lit(1)).cast("double").as("tf"))
     val dfreq = tf.groupBy("term")
       .agg(count_distinct(col("id")).cast("double").as("df"))

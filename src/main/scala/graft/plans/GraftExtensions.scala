@@ -19,10 +19,14 @@ import graft.functions.{CosineSimilarityExpr, DotProductExpr, HashEmbedExpr, L2D
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // Opt-in ANN acceleration (inert until a store is registered AND
+    // spark.graft.ivf.autoPrune=true — see IvfTopKPruneRule).
+    ext.injectOptimizerRule(spark => IvfTopKPruneRule(spark))
+  }
 }
 
 object GraftExtensions {

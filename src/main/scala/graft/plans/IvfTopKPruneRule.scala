@@ -1,0 +1,124 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.functions.CosineSimilarityExpr
+import graft.index.IvfIndex
+
+/** Opt-in optimizer rule: `ORDER BY cosine(vec, <literal qv>) DESC
+  * LIMIT k` over a registered IVF-clustered store is rewritten into the
+  * same query over only the `nprobe` clusters nearest to qv — the
+  * driver computes the probe set from the (tiny) centroid table and
+  * injects `WHERE cluster IN (...)` directly above the scan, where it
+  * becomes partition pruning on a `partitionBy("cluster")` layout
+  * (SURVEY §4 "optional future rule"; the manual form of this pruning
+  * is q_ivf_search / DocumentStore's IVF path).
+  *
+  * This trades recall for scan cost exactly like FAISS IVF search
+  * (reference: src/langchain_memvid/index.py:239-291), so it is DOUBLY
+  * opt-in: the store must be registered via [[IvfTopKPruneRule.register]]
+  * AND `spark.graft.ivf.autoPrune` must be `true`. Everything else —
+  * any un-registered scan, ascending sorts, non-literal queries — is
+  * left untouched.
+  */
+object IvfTopKPruneRule {
+
+  val ConfKey = "spark.graft.ivf.autoPrune"
+
+  final case class Registration(model: IvfIndex.Model, clusterCol: String, nprobe: Int)
+
+  private val registry = TrieMap.empty[String, Registration]
+
+  private def normalize(path: String): String =
+    path.stripPrefix("file:").replaceAll("/+$", "")
+
+  /** Declare that the parquet store at `path` carries an IVF `clusterCol`
+    * assigned by `model`, and that ANN top-k over it may probe `nprobe`
+    * clusters. */
+  def register(path: String, model: IvfIndex.Model, nprobe: Int,
+               clusterCol: String = "cluster"): Unit =
+    registry.put(normalize(path), Registration(model, clusterCol, nprobe))
+
+  def unregister(path: String): Unit = registry.remove(normalize(path))
+
+  private[plans] def lookup(paths: Seq[String]): Option[Registration] =
+    paths.map(normalize).flatMap(registry.get).headOption
+
+  private[plans] def isEmpty: Boolean = registry.isEmpty
+
+  /** qv literal of an `array<double>` expression (through casts). */
+  private def literalVec(e: Expression): Option[Seq[Double]] = e match {
+    case Literal(ad: ArrayData, ArrayType(DoubleType, _)) => Some(ad.toDoubleArray.toSeq)
+    case Cast(child, _, _, _) => literalVec(child)
+    case _ => None
+  }
+
+  /** Match cosine(vec, literal) in either argument order, optionally
+    * wrapped in round(_, scale) (VectorIndex.topK's roundScale). */
+  private[plans] def scoreQueryVec(e: Expression): Option[Seq[Double]] = e match {
+    case Round(child, _, _) => scoreQueryVec(child)
+    case CosineSimilarityExpr(l, r) => literalVec(r).orElse(literalVec(l))
+    case _ => None
+  }
+}
+
+case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import IvfTopKPruneRule._
+
+  private def enabled: Boolean =
+    spark.conf.getOption(ConfKey).exists(_.equalsIgnoreCase("true"))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled || IvfTopKPruneRule.isEmpty) plan
+    else plan.transformDown {
+      case gl @ GlobalLimit(_, ll @ LocalLimit(_,
+          sort @ Sort(SortOrder(scoreAttr: Attribute, Descending, _, _) +: _, true, child, _))) =>
+        pruned(scoreAttr, child)
+          .map(c => gl.copy(child = ll.copy(child = sort.copy(child = c))))
+          .getOrElse(gl)
+    }
+
+  /** Rewrites `child` with a cluster-IN-probes filter above its scan if
+    * (a) `scoreAttr` is an alias of cosine(vec, literal qv) somewhere in
+    * `child`, (b) the scan underneath is a registered IVF store whose
+    * cluster column it outputs, and (c) no cluster filter is present
+    * yet (rule idempotence under fixed-point batches). */
+  private def pruned(scoreAttr: Attribute, child: LogicalPlan): Option[LogicalPlan] = {
+    val qv = child.collectFirst {
+      case Project(projectList, _) => projectList.collectFirst {
+        case a @ Alias(e, _) if a.exprId == scoreAttr.exprId => scoreQueryVec(e)
+      }.flatten
+    }.flatten
+    qv.flatMap { queryVec =>
+      child.collectFirst {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+          val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+          lookup(fs.location.rootPaths.map(_.toString))
+            .flatMap { reg =>
+              lr.output.find(_.name == reg.clusterCol).map(cl => (lr, reg, cl))
+            }
+      }.flatten.flatMap { case (lr, reg, clusterAttr) =>
+        val alreadyPruned = child.exists {
+          case Filter(cond, _) => cond.references.contains(clusterAttr)
+          case _ => false
+        }
+        if (alreadyPruned) None
+        else {
+          val probes = reg.model.nearestCentroids(queryVec, reg.nprobe)
+          val filter = In(clusterAttr, probes.map(p => Literal(p)))
+          Some(child.transformUp {
+            case l: LogicalRelation if l eq lr => Filter(filter, l)
+          })
+        }
+      }
+    }
+  }
+}

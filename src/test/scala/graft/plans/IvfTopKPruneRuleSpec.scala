@@ -1,0 +1,114 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.embed.HashEmbedder
+import graft.functions.VectorFunctions
+import graft.index.IvfIndex
+
+class IvfTopKPruneRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+  private val emb = HashEmbedder(dim)
+
+  // 4 well-separated "centroids": one-hot-ish unit vectors.
+  private val model = IvfIndex.Model(IndexedSeq(
+    IndexedSeq(1.0, 0, 0, 0, 0, 0, 0, 0),
+    IndexedSeq(0, 1.0, 0, 0, 0, 0, 0, 0),
+    IndexedSeq(0, 0, 1.0, 0, 0, 0, 0, 0),
+    IndexedSeq(0, 0, 0, 1.0, 0, 0, 0, 0)))
+
+  private lazy val storePath: String = {
+    val dir = Files.createTempDirectory("graft-ivf-rule").toString + "/store"
+    val docs = (0 until 64).map(i => (i.toLong, s"document number $i")).toDF("id", "text")
+    emb.embed(docs, "text", "vec")
+      .withColumn("cluster", model.assignCol(col("vec")))
+      .write.partitionBy("cluster").parquet(dir)
+    dir
+  }
+
+  private def topkPlan(qv: Seq[Double]): DataFrame =
+    spark.read.parquet(storePath)
+      .withColumn("score", VectorFunctions.cosineSimilarity(col("vec"), typedlit(qv)))
+      .orderBy(desc("score"), asc("id"))
+      .limit(5)
+
+  private def clusterFilters(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.references.exists(_.name == "cluster") => f.condition.sql
+    }
+
+  private def withRule[T](body: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ IvfTopKPruneRule(spark)
+    try body finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("inert without registration or conf; fires only when doubly opted in") {
+    val qv = emb.embedQuery("document number 7").toSeq
+    withRule {
+      assert(clusterFilters(topkPlan(qv)).isEmpty) // nothing registered
+      IvfTopKPruneRule.register(storePath, model, nprobe = 2)
+      try {
+        assert(clusterFilters(topkPlan(qv)).isEmpty) // conf still off
+        spark.conf.set(IvfTopKPruneRule.ConfKey, "true")
+        try {
+          val fs = clusterFilters(topkPlan(qv))
+          assert(fs.nonEmpty && fs.head.contains("IN"))
+        } finally spark.conf.unset(IvfTopKPruneRule.ConfKey)
+      } finally IvfTopKPruneRule.unregister(storePath)
+    }
+  }
+
+  test("pruned top-k returns exactly the manually probe-filtered result") {
+    val qv = emb.embedQuery("some query text").toSeq
+    val probes = model.nearestCentroids(qv, 2)
+    val manual = spark.read.parquet(storePath)
+      .where(col("cluster").isin(probes: _*))
+      .withColumn("score", VectorFunctions.cosineSimilarity(col("vec"), typedlit(qv)))
+      .orderBy(desc("score"), asc("id")).limit(5)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    withRule {
+      IvfTopKPruneRule.register(storePath, model, nprobe = 2)
+      spark.conf.set(IvfTopKPruneRule.ConfKey, "true")
+      try {
+        val auto = topkPlan(qv)
+          .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(auto == manual)
+        assert(clusterFilters(topkPlan(qv)).nonEmpty)
+      } finally {
+        spark.conf.unset(IvfTopKPruneRule.ConfKey)
+        IvfTopKPruneRule.unregister(storePath)
+      }
+    }
+  }
+
+  test("ascending sorts and non-literal queries are never rewritten") {
+    withRule {
+      IvfTopKPruneRule.register(storePath, model, nprobe = 2)
+      spark.conf.set(IvfTopKPruneRule.ConfKey, "true")
+      try {
+        val qv = emb.embedQuery("q").toSeq
+        val asc_ = spark.read.parquet(storePath)
+          .withColumn("score", VectorFunctions.cosineSimilarity(col("vec"), typedlit(qv)))
+          .orderBy(asc("score")).limit(5)
+        assert(clusterFilters(asc_).isEmpty)
+        // vec-vs-vec scoring (no literal query) must not be touched.
+        val selfScore = spark.read.parquet(storePath)
+          .withColumn("score", VectorFunctions.cosineSimilarity(col("vec"), col("vec")))
+          .orderBy(desc("score")).limit(5)
+        assert(clusterFilters(selfScore).isEmpty)
+      } finally {
+        spark.conf.unset(IvfTopKPruneRule.ConfKey)
+        IvfTopKPruneRule.unregister(storePath)
+      }
+    }
+  }
+}

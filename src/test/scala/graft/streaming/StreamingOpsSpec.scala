@@ -50,6 +50,34 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourlyEventCounts append mode: windows emit on watermark passage, late data dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingOps.hourlyEventCounts(
+      input.toDF().toDF("ts", "event_type", "value"), "ts", watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("hourly_append")
+      .outputMode("append").start()
+    try {
+      // window [0h,1h): two clicks.
+      input.addData((ts(0), "click", 1.0), (ts(30), "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("hourly_append").isEmpty) // watermark hasn't passed 1h yet
+      // event at +3h advances watermark to +2h -> [0h,1h) closes and emits.
+      input.addData((ts(180), "view", 5.0))
+      q.processAllAvailable()
+      val closed = spark.table("hourly_append")
+        .select("event_type", "n", "total_value").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(closed == Map("click" -> (2L, 3.0)))
+      // a late click at +0h10m is behind the watermark -> dropped, no new emit for that window.
+      input.addData((ts(10), "click", 100.0))
+      q.processAllAvailable()
+      val after = spark.table("hourly_append")
+        .where($"event_type" === "click").collect()
+      assert(after.length == 1 && after.head.getAs[Long]("n") == 2L)
+    } finally q.stop()
+  }
+
   test("sessionize: stateful gap sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.SessionEvent]
