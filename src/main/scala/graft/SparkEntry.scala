@@ -444,6 +444,33 @@ object SparkEntry {
         coalesce(col("click_us"), lit(-1L)).as("click_us"))
   }
 
+  /** Token-window chunking exploded to (doc, chunk_id, chunk) rows —
+    * the embed-pipeline pre-step at corpus scale (narrow, no shuffle). */
+  private def qChunk(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.chunks(col("text"), 32, 8)))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        col("col").as("chunk"))
+
+  /** Symmetric int8 quantization of the embedding store, verified by
+    * exact integer stats (sum/min/max of the quantized vector) — array
+    * cells don't hash-compare, scalars do. */
+  private def qQuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions, VectorFunctions}
+    val emb = table(s, dir, "embeddings")
+    val stats = TextFunctions.let1(VectorFunctions.quantizeInt8(col("embedding"))) { qv =>
+      struct(
+        aggregate(qv, lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
+        array_min(qv).as("q_min"),
+        array_max(qv).as("q_max"))
+    }
+    emb.select(col("vec_id"),
+      round(VectorFunctions.maxAbs(col("embedding")), 6).as("scale"),
+      stats.getField("q_sum").as("q_sum"),
+      stats.getField("q_min").as("q_min"),
+      stats.getField("q_max").as("q_max"))
+  }
+
   /** Skew-salted fact/dim join + aggregate — results identical to the
     * plain join (the oracle IS the plain join), only the shuffle
     * distribution differs. */
@@ -495,7 +522,9 @@ object SparkEntry {
       "q_bm25_search"         -> (qBm25Search _),
       "q_sample_stratified"   -> (qSampleStratified _),
       "q_asof_join"           -> (qAsofJoin _),
-      "q_skew_join"           -> (qSkewJoin _)
+      "q_skew_join"           -> (qSkewJoin _),
+      "q_chunk"               -> (qChunk _),
+      "q_quantize_int8"       -> (qQuantizeInt8 _)
     )
 
   // ==================================================================
@@ -857,6 +886,34 @@ object SparkEntry {
       SELECT s_name, count(*) AS n,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      GROUP BY s_name"""
+      GROUP BY s_name""",
+
+    // Token-window chunking (size 32, overlap 8 -> stride 24); the
+    // last window is clamped, <= 32 tokens is one chunk.
+    "q_chunk" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+      c AS (SELECT doc_id, toks,
+              CASE WHEN n <= 32 THEN 1
+                   ELSE CAST(floor(CAST(n - 32 + 23 AS DOUBLE) / 24) AS BIGINT) + 1 END AS nchunks
+            FROM n),
+      u AS (SELECT doc_id, toks, unnest(range(0, nchunks)) AS i FROM c)
+      SELECT doc_id, CAST(i AS INT) AS chunk_id,
+             array_to_string(toks[(CAST(i AS INT) * 24 + 1):(CAST(i AS INT) * 24 + 32)], ' ') AS chunk
+      FROM u""",
+
+    // Symmetric int8 quantization: identical double arithmetic shape
+    // (x*127)/maxabs then round-half-away-from-zero in both engines.
+    "q_quantize_int8" -> """
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      m AS (SELECT vec_id, ev, list_max(list_transform(ev, x -> abs(x))) AS s FROM v),
+      q AS (SELECT vec_id, round(s, 6) AS scale,
+              list_transform(ev, x -> CAST(round((x * 127.0) / s, 0) AS INT)) AS qv
+            FROM m)
+      SELECT vec_id, scale,
+             CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             CAST(list_min(qv) AS INT) AS q_min,
+             CAST(list_max(qv) AS INT) AS q_max
+      FROM q"""
   )
 }

@@ -95,6 +95,28 @@ object TextFunctions {
     }
   }
 
+  /** Token-window chunking for embedding pipelines: overlapping windows
+    * of `chunkSize` tokens advancing by `chunkSize - overlap`, each
+    * re-joined with single spaces. The last window is clamped (shorter
+    * tail kept, never dropped); texts with <= chunkSize tokens yield
+    * exactly one chunk. Pure codegen'd built-ins — no shuffle — and
+    * integer-exact chunk counts, so an external engine reproduces the
+    * chunking verbatim (see q_chunk's oracle). The reference ingests
+    * pre-chunked langchain documents (reference:
+    * src/langchain_memvid/vectorstore.py:197-212, Encoder.add_chunks);
+    * this operator brings the chunking step itself into the engine. */
+  def chunks(text: Column, chunkSize: Int, overlap: Int = 0): Column = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toks = tokens(text)
+    val n = size(toks)
+    val nChunks = when(n <= chunkSize, lit(1L)).otherwise(
+      floor((n - chunkSize + stride - 1).cast("double") / stride).cast("long") + 1L)
+    transform(sequence(lit(0L), nChunks - 1), i =>
+      concat_ws(" ", slice(toks, (i * stride + 1).cast("int"), lit(chunkSize))))
+  }
+
   /** Normalized-text content fingerprint: sha256 of lowercased,
     * whitespace-collapsed text (for exact near-canonical dedup).
     * The whitespace class is explicit ([ \t\n\r\f]) rather than \s:

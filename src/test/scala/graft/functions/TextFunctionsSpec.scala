@@ -83,6 +83,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(0) != r(2))
   }
 
+  test("chunks: overlap windows, clamped tail, single chunk for short text") {
+    val df = Seq(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (1L, "a b c"),                                  // 3 tokens -> one chunk
+      (2L, "")                                        // split('') = [""] -> one chunk
+    ).toDF("id", "text")
+    val got = df.select($"id", chunks($"text", 4, 2).as("ch")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // size 4, stride 2: starts 0,2,4,6 -> nChunks = floor((10-4+1)/2)+1 = 4
+    assert(got(0L) == Seq("t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    assert(got(1L) == Seq("a b c"))
+    assert(got(2L) == Seq(""))
+  }
+
+  test("chunks cover every token and respect the overlap invariant") {
+    val text = (1 to 53).map(i => s"w$i").mkString(" ")
+    val ch = Seq(text).toDF("text").select(chunks($"text", 8, 3).as("ch"))
+      .head.getSeq[String](0)
+    val toksSeen = ch.flatMap(_.split(" ")).toSet
+    assert(toksSeen == (1 to 53).map(i => s"w$i").toSet) // nothing dropped
+    ch.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.split(" ").takeRight(3).toSeq == b.split(" ").take(3).toSeq)
+    case _ => }
+  }
+
   test("fused minhash signature == HOF signature on real corpus (incl. empty)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"text")

@@ -49,4 +49,24 @@ class VectorFunctionsSpec extends SparkSpec {
     val r = f.select(dotProduct($"a", $"b").as("d")).as[Double].collect()
     assert(r(0) == 11.0)
   }
+
+  test("int8 quantization: known values, zero vector, byte range") {
+    val d = Seq(Seq(1.0, -0.5, 0.25, 0.0), Seq(0.0, 0.0, 0.0, 0.0)).toDF("v")
+    val r = d.select(quantizeInt8($"v").as("q")).as[Seq[Int]].collect()
+    assert(r(0) == Seq(127, -64, 32, 0)) // round(-63.5) HALF_UP -> -64 (away from zero)
+    assert(r(1) == Seq(0, 0, 0, 0))
+    assert(r(0).forall(q => q >= -127 && q <= 127))
+  }
+
+  test("int8 round-trip keeps cosine within 0.5% on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200).select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val rt = emb
+      .withColumn("scale", maxAbs($"v"))
+      .withColumn("deq", dequantizeInt8(quantizeInt8($"v"), $"scale"))
+      .select(cosineSimilarity($"v", $"deq").as("cos"))
+      .as[Double].collect()
+    assert(rt.nonEmpty)
+    assert(rt.forall(_ > 0.995))
+  }
 }
