@@ -22,12 +22,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: touch every table's footer + run one small codegen'd job.
+    // Warmup: touch every table's footer, then run one small job through
+    // each hot code path (decimal agg, window, broadcast join) so
+    // codegen/JIT compilation doesn't land on whichever query runs
+    // first — the bench measures steady-state throughput.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").schema
     }
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(5000)
+      val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("x"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(lit(1)).orderBy(col("x"))))
+        .count()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -253,7 +253,8 @@ object SparkEntry {
   private def qIvfSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
     val model = IvfIndex.fitCached(s"$dir/embeddings", emb, "embedding",
-      nlist = 8, maxIter = 5, initMode = "random", fitPartitions = 4)
+      nlist = 8, maxIter = 3, initMode = "random", fitFraction = 0.5,
+      fitPartitions = 4)
     val assigned = emb.withColumn("cluster", model.assignCol(col("embedding")))
     val qv = emb.where(col("vec_id") === 0).select("embedding")
       .head.getSeq[Float](0).map(_.toDouble)
@@ -471,6 +472,22 @@ object SparkEntry {
       stats.getField("q_max").as("q_max"))
   }
 
+  /** Bucketed range join: clicks within the hour before each purchase
+    * (same user) — equi-join on (user, time-bucket) + exact window
+    * filter; never a per-key cross product. */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("event_type"), expr("ts DIV 1000").as("us"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_eid"), col("us").as("p_us"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_eid"), col("us").as("c_us"))
+    graft.ops.RangeJoin.intervalJoin(purchases, clicks, Seq("user_id"),
+        "p_us", "c_us", before = 3600000000L, after = 0L, bucket = 3600000000L)
+      .groupBy("user_id", "purchase_eid")
+      .agg(count(lit(1)).as("n_clicks"), min("c_us").as("first_click_us"))
+  }
+
   /** Skew-salted fact/dim join + aggregate — results identical to the
     * plain join (the oracle IS the plain join), only the shuffle
     * distribution differs. */
@@ -524,7 +541,8 @@ object SparkEntry {
       "q_asof_join"           -> (qAsofJoin _),
       "q_skew_join"           -> (qSkewJoin _),
       "q_chunk"               -> (qChunk _),
-      "q_quantize_int8"       -> (qQuantizeInt8 _)
+      "q_quantize_int8"       -> (qQuantizeInt8 _),
+      "q_range_join"          -> (qRangeJoin _)
     )
 
   // ==================================================================
@@ -914,6 +932,17 @@ object SparkEntry {
              CAST(list_sum(qv) AS BIGINT) AS q_sum,
              CAST(list_min(qv) AS INT) AS q_min,
              CAST(list_max(qv) AS INT) AS q_max
-      FROM q"""
+      FROM q""",
+
+    // Range join: the oracle is the declarative BETWEEN join the
+    // bucketed implementation must equal exactly.
+    "q_range_join" -> """
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+      SELECT p.user_id, p.event_id AS purchase_eid, count(*) AS n_clicks,
+             min(c.us) AS first_click_us
+      FROM e p JOIN e c ON c.user_id = p.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.us >= p.us - 3600000000 AND c.us <= p.us
+      GROUP BY p.user_id, p.event_id"""
   )
 }

@@ -203,31 +203,79 @@ object Dedup {
     * (Kiveris et al. 2014) — same primitives, O(log n) rounds.
     *
     * Returns (node, component), component = min id in the node's
-    * component; only nodes that appear in `pairs` are returned. */
+    * component; only nodes that appear in `pairs` are returned.
+    *
+    * Size-adaptive: a near-dup edge list is usually MUCH smaller than
+    * the corpus that produced it (it lists only suspected duplicates),
+    * so when it fits on the driver (`smallGraphThreshold` edges,
+    * default 4M ≈ 64 MB) the components are solved in one collect +
+    * union-find — one job instead of 2·diameter. Above the threshold
+    * the distributed propagation loop runs. Both paths produce
+    * identical labels (asserted in DedupSpec). */
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
-                          idBCol: String = "id_b", maxIter: Int = 25): DataFrame = {
-    val sym = pairs
+                          idBCol: String = "id_b", maxIter: Int = 25,
+                          smallGraphThreshold: Long = 4L << 20): DataFrame = {
+    require(smallGraphThreshold >= 0 && smallGraphThreshold < Int.MaxValue - 1,
+      "smallGraphThreshold must fit a driver collect")
+    val spark = pairs.sparkSession
+    val edges = pairs
       .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
-      .union(pairs.select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
-      .distinct()
-      .localCheckpoint(true) // reused every round — don't recompute the detector
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
-        .groupBy(col("src").as("n2")).agg(min("label").as("nbr"))
-      val stepped = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
-          (coalesce(col("nbr"), col("label")) < col("label")).as("changed"))
-        .localCheckpoint(true)
-      converged = stepped.where(col("changed")).isEmpty
-      labels = stepped.select("node", "label")
-      iter += 1
+
+    val head = edges.limit((smallGraphThreshold + 1).toInt).collect()
+    if (head.length <= smallGraphThreshold) {
+      // Driver union-find (path-halving; component = min id via min-root merge).
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p)
+          x = parent(x)
+        }
+        x
+      }
+      head.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      import spark.implicits._
+      parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "component")
+    } else {
+      val sym = edges
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .localCheckpoint(true) // reused every round — don't recompute the detector
+      var labels = sym.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+          .groupBy(col("src").as("n2")).agg(min("label").as("nbr"))
+        val stepped = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+            (coalesce(col("nbr"), col("label")) < col("label")).as("changed"))
+          .localCheckpoint(true)
+        converged = stepped.where(col("changed")).isEmpty
+        labels = stepped.select("node", "label")
+        iter += 1
+      }
+      labels.select(col("node"), col("label").as("component"))
     }
-    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** End-to-end near-dup removal: given detector `pairs`, keep exactly
+    * one document (the minimum id) per duplicate family and every
+    * document that matched nothing. The anti-join ships only the
+    * non-canonical id set (tiny — duplicates minus survivors). */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .where(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
   }
 
   /** Embedding near-dup via deterministic random-hyperplane LSH

@@ -87,10 +87,33 @@ class DedupSpec extends SparkSpec {
   test("connected components converge on a long path (label must propagate end-to-end)") {
     val n = 12
     val edges = (0 until n).map(i => (i.toLong + 1, i.toLong)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(edges).collect()
+    // threshold 0 forces the distributed propagation path
+    val cc = Dedup.connectedComponents(edges, smallGraphThreshold = 0).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
     assert(cc.size == n + 1)
     assert(cc.values.forall(_ == 0L))
+  }
+
+  test("keepCanonical drops every family member but the min id") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", n = 3, threshold = 0.3)
+    val kept = Dedup.keepCanonical(docs, "id", pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 4L)) // 1 dups 0; 3 near-dups 2; 4 unrelated
+  }
+
+  test("connected components: driver union-find and distributed propagation agree") {
+    // random-ish multi-component graph (deterministic construction)
+    val edges = (0 until 200).map { i =>
+      val grp = i % 7
+      (grp * 1000L + (i * 13 % 50), grp * 1000L + (i * 29 % 50))
+    }.toDF("id_a", "id_b")
+    def run(threshold: Long) =
+      Dedup.connectedComponents(edges, smallGraphThreshold = threshold).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    val fast = run(Long.MaxValue >> 40) // driver path (threshold >> edge count)
+    val dist = run(0)                   // distributed path
+    assert(fast == dist)
+    assert(fast.nonEmpty)
   }
 
   test("embedding near-dup LSH is a subset of brute force and finds exact dups") {
