@@ -488,6 +488,26 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_clicks"), min("c_us").as("first_click_us"))
   }
 
+  /** Multimodal pipeline, end to end on the Spark side: synthesize
+    * binary assets (sha-derived bytes, 512 B) -> frame-sample each into
+    * 4 chunks via the partition-batched stub codec -> join frames back
+    * to their typed metadata -> per-frame byte length + content digest.
+    * The oracle reconstructs the identical bytes hex-side in DuckDB, so
+    * the binary plumbing (not just counts) is hash-verified; frames are
+    * digested as lowercase hex because DuckDB's sha256 takes VARCHAR
+    * only. */
+  private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
+    val assets = graft.ops.Multimodal.synthesizeAssets(
+      table(s, dir, "documents"), "doc_id", payloadBytes = 512)
+    val frames = graft.ops.Multimodal.sampleFrames(assets, framesPerAsset = 4)
+    frames.join(assets.select(col("asset_id"), col("meta.modality").as("modality")),
+        "asset_id")
+      .select(col("asset_id"), col("modality"),
+        col("frame_no").cast("long").as("frame_no"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        sha2(lower(hex(col("frame"))), 256).as("frame_sha"))
+  }
+
   /** Skew-salted fact/dim join + aggregate — results identical to the
     * plain join (the oracle IS the plain join), only the shuffle
     * distribution differs. */
@@ -542,7 +562,8 @@ object SparkEntry {
       "q_skew_join"           -> (qSkewJoin _),
       "q_chunk"               -> (qChunk _),
       "q_quantize_int8"       -> (qQuantizeInt8 _),
-      "q_range_join"          -> (qRangeJoin _)
+      "q_range_join"          -> (qRangeJoin _),
+      "q_multimodal"          -> (qMultimodal _)
     )
 
   // ==================================================================
@@ -943,6 +964,26 @@ object SparkEntry {
       FROM e p JOIN e c ON c.user_id = p.user_id
        AND p.event_type = 'purchase' AND c.event_type = 'click'
        AND c.us >= p.us - 3600000000 AND c.us <= p.us
-      GROUP BY p.user_id, p.event_id"""
+      GROUP BY p.user_id, p.event_id""",
+
+    // Multimodal: reconstruct the sha-derived asset bytes hex-side and
+    // verify per-frame lengths + digests — the binary pipeline itself is
+    // hash-checked, not just row counts. 512 B payload = 17 chained
+    // sha256 digests (1024 hex chars); frame j = hex [j*256+1, +256).
+    "q_multimodal" -> """
+      WITH h AS (
+        SELECT doc_id AS asset_id,
+               substring(list_aggr(
+                 [sha256(doc_id::VARCHAR || ':' || i::VARCHAR) for i in range(1, 18)],
+                 'string_agg', ''), 1, 1024) AS hx
+        FROM documents),
+      f AS (SELECT asset_id, hx, unnest(range(4)) AS frame_no FROM h)
+      SELECT asset_id,
+             CASE asset_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             CAST(frame_no AS BIGINT) AS frame_no,
+             octet_length(unhex(substr(hx, CAST(frame_no*256+1 AS INT), 256))) AS frame_bytes,
+             sha256(substr(hx, CAST(frame_no*256+1 AS INT), 256)) AS frame_sha
+      FROM f"""
   )
 }

@@ -242,9 +242,16 @@ object Dedup {
               i += 1
             }
             val cos = dot / (math.sqrt(na) * math.sqrt(nb))
-            // Spark round(): BigDecimal HALF_UP (away from zero on ties)
-            val r = BigDecimal(cos).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (r >= threshold) Some((idA, idB, r)) else None
+            // Cheap reject first: round(cos, 4) can lift cos by at most
+            // 5e-5, so anything below threshold - 1e-4 can never round
+            // up to the threshold. This keeps the exact BigDecimal
+            // HALF_UP rounding (same as Spark's round()) off the O(n^2)
+            // hot path — it runs only for near/above-threshold pairs.
+            if (cos < threshold - 1e-4) None
+            else {
+              val r = BigDecimal(cos).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (r >= threshold) Some((idA, idB, r)) else None
+            }
           }
       }
     }.toDF("id_a", "id_b", "cosine")
