@@ -79,4 +79,26 @@ object StreamingOps {
   def enrichTextStream(stream: DataFrame, textCol: String, embedder: Embedder): DataFrame =
     graft.ops.TextAnalysis.analyze(
       embedder.embed(stream, textCol, "vec"), textCol)
+
+  /** Streaming exact dedup on a (normalized) text key with BOUNDED
+    * state: `dropDuplicatesWithinWatermark` keeps each key's state only
+    * until the watermark passes it, so the state store cannot grow with
+    * the full corpus — the streaming analog of the batch
+    * `Dedup.exact` ingest gate. Duplicates arriving within the
+    * watermark horizon of the first occurrence are dropped; later
+    * re-sends are treated as new (the documented trade-off of
+    * watermark-bounded dedup at unbounded-corpus scale: exact global
+    * dedup needs the batch anti-join against the store, which
+    * foreachBatch ingest already applies). */
+  def dedupStream(stream: DataFrame, textCol: String, tsCol: String,
+                  watermark: String = "1 hour",
+                  normalize: Boolean = true): DataFrame = {
+    val keyed = stream.withColumn("dedup_key",
+      if (normalize) graft.functions.TextFunctions.fingerprint(col(textCol))
+      else col(textCol))
+    keyed
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("dedup_key")
+      .drop("dedup_key")
+  }
 }

@@ -78,6 +78,37 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops watermark-horizon duplicates across micro-batches, keeps state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val dd = StreamingOps.dedupStream(
+      input.toDF().toDF("ts", "text"), "text", "ts", watermark = "1 hour")
+    val q = dd.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct texts + one exact dup + one case/space dup
+      input.addData((ts(0), "Hello World"), (ts(1), "other text"),
+        (ts(2), "Hello World"), (ts(3), "  hello   WORLD "))
+      q.processAllAvailable()
+      // batch 2: a duplicate arriving within the watermark horizon -> dropped
+      input.addData((ts(20), "Hello World"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream").select("text").collect()
+        .map(_.getString(0)).toSeq
+      assert(kept.sorted == Seq("Hello World", "other text"))
+      // advance the watermark far past the first keys, then re-send:
+      // state has been evicted, so the key is treated as NEW (documented
+      // bounded-state trade-off).
+      input.addData((ts(600), "advance watermark"))
+      q.processAllAvailable()
+      input.addData((ts(610), "Hello World"))
+      q.processAllAvailable()
+      val again = spark.table("dedup_stream")
+        .where($"text" === "Hello World").count()
+      assert(again == 2L)
+    } finally q.stop()
+  }
+
   test("sessionize: stateful gap sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.SessionEvent]
