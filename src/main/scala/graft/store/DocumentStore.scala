@@ -102,7 +102,22 @@ final class DocumentStore private (
     val existing =
       if (manifest.count > 0) Some(essential.select("id", "text", "source", "category", "metadata_hash", "vec"))
       else None
+    val (newEssential, newPayload) = buildNewRows(staged, existing)
+    val allEssential = existing match {
+      case Some(ex) => ex.unionByName(newEssential)
+      case None     => newEssential
+    }
+    val allPayload = existing match {
+      case Some(_) => payload.unionByName(newPayload)
+      case None    => newPayload
+    }
+    writeVersion(allEssential, allPayload)
+  }
 
+  /** Dedup + embed + project one staged batch into (essential, payload)
+    * rows with dense ids starting at the current count. */
+  private def buildNewRows(staged: DataFrame, existing: Option[DataFrame])
+      : (DataFrame, DataFrame) = {
     // Input-order sequence for first-occurrence-wins dedup.
     val withSeq = withDenseId(staged.select(col("text"), col("metadata").cast("map<string,string>")), "seq")
 
@@ -126,23 +141,56 @@ final class DocumentStore private (
 
     // Dense id assignment at the append offset (index.py:230):
     // zipWithIndex (no shuffle), input order preserved via sort by seq.
-    val offset = manifest.count
-    val newRows = withDenseId(embedded.orderBy("seq"), "id", offset)
+    val newRows = withDenseId(embedded.orderBy("seq"), "id", manifest.count)
 
-    val newEssential = newRows.select("id", "text", "source", "category", "metadata_hash", "vec")
-    val allEssential = existing match {
-      case Some(ex) => ex.unionByName(newEssential)
-      case None     => newEssential
-    }
-    val newPayload = newRows.select(
-      col("id").as("doc_id"), col("text"), col("metadata"),
-      to_json(struct(col("text"), col("metadata"))).as("payload_json"))
-    val allPayload = existing match {
-      case Some(_) => payload.unionByName(newPayload)
-      case None    => newPayload
-    }
-    writeVersion(allEssential, allPayload)
+    (newRows.select("id", "text", "source", "category", "metadata_hash", "vec"),
+      newRows.select(
+        col("id").as("doc_id"), col("text"), col("metadata"),
+        to_json(struct(col("text"), col("metadata"))).as("payload_json")))
   }
+
+  /** SCALE-PATH append: write ONLY the new rows into the current
+    * version's directories (parquet append) instead of rewriting the
+    * whole snapshot. The reference rebuilds the entire store on every
+    * add (vectorstore.py:197-212) because FAISS flat indexes cannot be
+    * appended persistently; columnar storage can — at 100 TB a per-batch
+    * full rewrite is the difference between O(batch) and O(corpus) per
+    * ingest. Semantics match [[addDF]] exactly (same dedup-vs-store,
+    * same dense ids); only the physical write differs:
+    *  - IVF stores assign new rows to the EXISTING centroids (no
+    *    re-fit; cluster boundaries drift only as much as the data does),
+    *  - appended files are unsorted relative to old ones.
+    * Run [[compact]] after heavy append traffic to re-fit/re-layout.
+    * First-ever append delegates to the snapshot path (creates v1). */
+  def addDFIncremental(staged: DataFrame): Unit = {
+    if (manifest.count == 0) { appendBuild(staged); return }
+    val existing = essential.select("id", "text", "source", "category", "metadata_hash", "vec")
+    val (newEssential, newPayload) = buildNewRows(staged, Some(existing))
+    val added = newEssential.cache()
+    val nNew = added.count()
+    if (nNew > 0) {
+      loadCentroids() match {
+        case Some(model) =>
+          added.withColumn("cluster", model.assignCol(col("vec")))
+            .write.mode("append").partitionBy("cluster")
+            .parquet(essentialDir(manifest.version))
+        case None =>
+          added.write.mode("append").parquet(essentialDir(manifest.version))
+      }
+      newPayload.write.mode("append").parquet(payloadDir(manifest.version))
+      manifest = manifest.copy(count = manifest.count + nNew)
+      writeManifest(spark, path, manifest)
+    }
+    added.unpersist()
+  }
+
+  /** Re-layout the current snapshot (copy-on-write, same data): re-fit
+    * IVF clustering when gated, range-sort the flat layout by id, and
+    * merge the small files incremental appends accumulate. */
+  def compact(): Unit =
+    writeVersion(
+      essential.select("id", "text", "source", "category", "metadata_hash", "vec"),
+      payload)
 
   /** Write a new snapshot version (optionally IVF-clustered), swap the
     * manifest pointer, prune old versions. */
@@ -155,14 +203,25 @@ final class DocumentStore private (
     if (IvfIndex.shouldUseIvf(config.nlist, count)) {
       val model = IvfIndex.fit(ess, "vec", config.nlist)
       nlistUsed = model.nlist
+      // Within each cluster partition, sort by id so point lookups still
+      // prune row groups on the id min/max statistics.
       ess.withColumn("cluster", model.assignCol(col("vec")))
+        .sortWithinPartitions("cluster", "id")
         .write.mode("overwrite").partitionBy("cluster").parquet(essentialDir(v))
       import spark.implicits._
       model.centroids.zipWithIndex
         .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(centroidsDir(v))
     } else {
-      ess.write.mode("overwrite").parquet(essentialDir(v))
+      // Range-partition + sort by id: each file covers a disjoint id
+      // range, so getDocumentById/getDocumentsByIds read one file's row
+      // groups instead of the whole store (parquet min/max pruning).
+      // Partition count targets ~250k rows/file — snapshot writes are
+      // where incremental-append small files get merged away.
+      val nParts = math.max(1L, (count + 249999L) / 250000L).toInt
+      ess.repartitionByRange(nParts, col("id"))
+        .sortWithinPartitions("id")
+        .write.mode("overwrite").parquet(essentialDir(v))
     }
     payloadDf.write.mode("overwrite").parquet(payloadDir(v))
     ess.unpersist()

@@ -106,6 +106,63 @@ class DocumentStoreSpec extends SparkSpec {
     assert(byId == Map(0L -> "one", 1L -> "two", 2L -> "three"))
   }
 
+  test("incremental append matches snapshot append exactly; compact preserves data") {
+    import spark.implicits._
+    def staged(ts: Seq[String]) =
+      ts.map(t => (t, Map("source" -> "s.txt", "category" -> "c"))).toDF("text", "metadata")
+
+    val snapDir = tmp(); val incDir = tmp()
+    val snap = DocumentStore.fromTexts(spark, snapDir, texts.take(3),
+      metas.take(3), StoreConfig(), emb)
+    val inc = DocumentStore.fromTexts(spark, incDir, texts.take(3),
+      metas.take(3), StoreConfig(), emb)
+    // same second batch (with one dup against the store) via both paths
+    val batch = Seq(texts(1), texts(3), texts(4))
+    snap.addDF(staged(batch))
+    inc.addDFIncremental(staged(batch))
+
+    assert(inc.documentCount == snap.documentCount)
+    def dump(s: DocumentStore) = s.essential
+      .select("id", "text", "source", "category", "metadata_hash")
+      .collect().map(_.toSeq).toSet
+    assert(dump(inc) == dump(snap))
+
+    // incremental wrote into the SAME version; snapshot bumped it
+    assert(inc.currentManifest.version == 1L)
+    assert(snap.currentManifest.version == 2L)
+
+    // point lookup + search still correct on the appended store
+    assert(inc.getDocumentById(4L).map(_.text).contains(texts(4)))
+    val hits = inc.similaritySearch("foxes", k = 2).select("doc_id").collect()
+    assert(hits.length == 2)
+
+    // compact: new version, identical data, still searchable
+    inc.compact()
+    assert(inc.currentManifest.version == 2L)
+    assert(dump(inc) == dump(snap))
+    assert(inc.getDocumentById(4L).map(_.text).contains(texts(4)))
+  }
+
+  test("incremental append on an IVF store assigns existing centroids (no re-fit)") {
+    import spark.implicits._
+    val many = (0 until 120).map(i => s"doc number $i about topic ${i % 6}")
+    val store = DocumentStore.fromTexts(spark, tmp(), many, Nil,
+      StoreConfig(nlist = 4, nprobe = 4), emb)
+    assert(store.currentManifest.nlist > 0)
+    val before = store.currentManifest.version
+    store.addDFIncremental(
+      Seq(("a brand new doc about topic 3", Map.empty[String, String]))
+        .toDF("text", "metadata"))
+    assert(store.currentManifest.version == before) // no snapshot rewrite
+    assert(store.documentCount == 121)
+    // the appended row landed in a cluster partition and is searchable
+    assert(store.essential.where($"text" === "a brand new doc about topic 3")
+      .select("cluster").head.get(0) != null)
+    val hit = store.similaritySearch("a brand new doc about topic 3", k = 1)
+      .select("text").head.getString(0)
+    assert(hit == "a brand new doc about topic 3")
+  }
+
   test("getDocumentsByIds is a set lookup; getDocumentById returns typed hit") {
     val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
     assert(store.getDocumentsByIds(Seq(1L, 3L)).count() == 2)
