@@ -14,7 +14,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val which = if (args.nonEmpty) args.toSet
-      else Set("q_topk_cosine", "q3_top_orders", "q_knn_batch", "q_dedup_minhash_lsh")
+      else Set("q_topk_cosine", "q3_top_orders", "q_knn_batch",
+        "q_dedup_minhash_lsh", "q_range_join", "q_multimodal")
     graft.SparkEntry.queries.filter(kv => which(kv._1)).foreach { case (name, fn) =>
       println(s"\n========== $name ==========")
       println(fn(spark, dir).queryExecution.explainString(
