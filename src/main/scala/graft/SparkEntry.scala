@@ -508,6 +508,19 @@ object SparkEntry {
         sha2(lower(hex(col("frame"))), 256).as("frame_sha"))
   }
 
+  /** GPT-style sequence packing: concatenate documents in id order, cut
+    * into 2048-token sequences, assign each doc to the sequence it
+    * starts in. Runs the scalable two-phase cumulative sum (bucketed —
+    * no corpus-wide single-partition window); the oracle IS the naive
+    * global-window form, so the stitching is hash-verified. */
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val withToks = table(s, dir, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.ops.Packing.packSequences(withToks, "doc_id", "n_tokens",
+        capacity = 2048, bucketWidth = 1024)
+      .select("doc_id", "n_tokens", "cum_tokens_excl", "seq_id", "seq_offset")
+  }
+
   /** Skew-salted fact/dim join + aggregate — results identical to the
     * plain join (the oracle IS the plain join), only the shuffle
     * distribution differs. */
@@ -563,7 +576,8 @@ object SparkEntry {
       "q_chunk"               -> (qChunk _),
       "q_quantize_int8"       -> (qQuantizeInt8 _),
       "q_range_join"          -> (qRangeJoin _),
-      "q_multimodal"          -> (qMultimodal _)
+      "q_multimodal"          -> (qMultimodal _),
+      "q_pack_sequences"      -> (qPackSequences _)
     )
 
   // ==================================================================
@@ -984,6 +998,24 @@ object SparkEntry {
              CAST(frame_no AS BIGINT) AS frame_no,
              octet_length(unhex(substr(hx, CAST(frame_no*256+1 AS INT), 256))) AS frame_bytes,
              sha256(substr(hx, CAST(frame_no*256+1 AS INT), 256)) AS frame_sha
-      FROM f"""
+      FROM f""",
+
+    // Sequence packing oracle: the NAIVE global-window exclusive cumsum
+    // — the scalable bucketed implementation must stitch to exactly
+    // this. (sum(BIGINT) is HUGEINT in DuckDB; cast every output back.)
+    "q_pack_sequences" -> """
+      WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ce
+        FROM t)
+      SELECT doc_id, n_tokens,
+             CAST(ce AS BIGINT) AS cum_tokens_excl,
+             CAST(ce // 2048 AS BIGINT) AS seq_id,
+             CAST(ce % 2048 AS BIGINT) AS seq_offset
+      FROM c"""
   )
 }

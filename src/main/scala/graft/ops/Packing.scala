@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GPT-style sequence packing for LLM training pipelines: documents are
+  * concatenated in a deterministic order (ascending id) and cut into
+  * fixed-capacity token sequences; each document is assigned to the
+  * sequence in which it STARTS, with spillover running into the next
+  * sequence (the standard "concatenate + chunk" packing used to build
+  * training batches; the reference has no training-prep surface — this
+  * is a BASELINE.json pipeline extra alongside chunking/quantization).
+  *
+  * Scale design: the exclusive global cumulative sum that drives the
+  * assignment is inherently ordered, but it does NOT need a
+  * single-partition window over the corpus (the classic scalability
+  * trap — WindowExec with an empty PARTITION BY pulls every row into
+  * one task). Two phases instead:
+  *   1. per-bucket token subtotals over coarse ordered id buckets (one
+  *      small hash aggregate),
+  *   2. running offsets across the bucket table (a window over
+  *      corpus/bucketWidth rows — tiny),
+  *   3. offsets broadcast back; the cumulative sum windows only WITHIN
+  *      each bucket, so the widest window partition is one bucket,
+  *      never the corpus.
+  * Output is exactly what the naive global window computes (asserted in
+  * PackingSpec and by the DuckDB oracle, which uses the naive form).
+  */
+object Packing {
+
+  /** Assign each row to its packed sequence.
+    *
+    * @param bucketWidth width of the coarse cumsum buckets on the ID
+    *        DOMAIN (`floor(id / bucketWidth)`): balanced when ids are
+    *        roughly dense (store ids and the testdata tables are). Pick
+    *        so that corpus/bucketWidth buckets fit a driver-side window
+    *        (thousands to millions) and one bucket fits a task.
+    * @return input columns + `cum_tokens_excl` (tokens before this row),
+    *         `seq_id` (the capacity-sized sequence this row starts in),
+    *         `seq_offset` (token position of the row's start within it).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    capacity: Long, bucketWidth: Long = 1L << 16): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val base = df.withColumn("__bucket",
+      floor(col(idCol) / lit(bucketWidth)).cast("long"))
+    val bucketTotals = base.groupBy("__bucket")
+      .agg(sum(col(tokensCol).cast("long")).as("__bt"))
+    // The bucket table has corpus/bucketWidth rows — the single-ordered
+    // window here runs over that tiny table, not the corpus.
+    val offsets = bucketTotals.withColumn("__off",
+      coalesce(sum("__bt").over(
+        Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__bucket", "__off")
+    val within = Window.partitionBy("__bucket").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), "__bucket")
+      .withColumn("cum_tokens_excl",
+        col("__off") + coalesce(sum(col(tokensCol).cast("long")).over(within), lit(0L)))
+      .withColumn("seq_id", floor(col("cum_tokens_excl") / lit(capacity)).cast("long"))
+      .withColumn("seq_offset", (col("cum_tokens_excl") % lit(capacity)).cast("long"))
+      .drop("__bucket", "__off")
+  }
+}

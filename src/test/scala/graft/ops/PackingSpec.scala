@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = (0L until 100L).map(i => (i, (i * 7 % 23) + 1)) // 1..23 tokens
+  private val df = rows.toDF("id", "toks")
+
+  test("two-phase packing equals the naive global-window cumsum") {
+    val naive = df.withColumn("ce", coalesce(sum("toks").over(
+        Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("id"), floor(col("ce") / 50).cast("long").as("seq_id"),
+        (col("ce") % 50).cast("long").as("seq_offset"))
+      .collect().map(_.toSeq).toSet
+    // bucketWidth 7 forces many buckets (15 of ~7 rows): the offsets path
+    // must stitch them together exactly
+    val packed = Packing.packSequences(df, "id", "toks", capacity = 50, bucketWidth = 7)
+      .select("id", "seq_id", "seq_offset").collect().map(_.toSeq).toSet
+    assert(packed == naive)
+  }
+
+  test("packing invariants: offsets within capacity, seq ids monotone in id order") {
+    val out = Packing.packSequences(df, "id", "toks", capacity = 64, bucketWidth = 10)
+      .orderBy("id")
+      .select("id", "toks", "cum_tokens_excl", "seq_id", "seq_offset").collect()
+    assert(out.forall(r => r.getAs[Long]("seq_offset") >= 0 &&
+      r.getAs[Long]("seq_offset") < 64))
+    val seqIds = out.map(_.getAs[Long]("seq_id"))
+    assert(seqIds.zip(seqIds.tail).forall { case (a, b) => a <= b })
+    // total tokens before row k == sum of tokens of rows 0..k-1
+    val toks = out.map(_.getAs[Long]("toks"))
+    val cum = out.map(_.getAs[Long]("cum_tokens_excl"))
+    assert(cum.head == 0L)
+    assert(cum.toSeq == toks.scanLeft(0L)(_ + _).init.toSeq)
+  }
+
+  test("a document larger than capacity still starts in its own sequence (spillover)") {
+    val big = Seq((0L, 10L), (1L, 300L), (2L, 10L)).toDF("id", "toks")
+    val out = Packing.packSequences(big, "id", "toks", capacity = 100)
+      .orderBy("id").select("seq_id", "seq_offset").collect()
+    assert(out(0).getLong(0) == 0L && out(0).getLong(1) == 0L)
+    assert(out(1).getLong(0) == 0L && out(1).getLong(1) == 10L) // starts in seq 0
+    assert(out(2).getLong(0) == 3L) // 310 tokens precede -> seq 3
+  }
+}
