@@ -508,6 +508,24 @@ object SparkEntry {
         sha2(lower(hex(col("frame"))), 256).as("frame_sha"))
   }
 
+  /** Schema-on-read JSON decode over the events payload column — the
+    * Spark shape of the reference's per-frame JSON parse
+    * (retriever.py:427-459): typed `from_json` (codegen'd, single
+    * parse per row) then a grouped aggregate over the extracted field.
+    * Integer aggregates are exact; the average is derived from them. */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "events")
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").cast("long"))
+    e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum("k").as("sum_k"),
+      min("k").as("min_k"),
+      max("k").as("max_k"),
+      sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_high"),
+      round(sum("k").cast("double") / count(lit(1)), 4).as("avg_k"))
+  }
+
   /** GPT-style sequence packing: concatenate documents in id order, cut
     * into 2048-token sequences, assign each doc to the sequence it
     * starts in. Runs the scalable two-phase cumulative sum (bucketed —
@@ -577,7 +595,8 @@ object SparkEntry {
       "q_quantize_int8"       -> (qQuantizeInt8 _),
       "q_range_join"          -> (qRangeJoin _),
       "q_multimodal"          -> (qMultimodal _),
-      "q_pack_sequences"      -> (qPackSequences _)
+      "q_pack_sequences"      -> (qPackSequences _),
+      "q_json_extract"        -> (qJsonExtract _)
     )
 
   // ==================================================================
@@ -1016,6 +1035,18 @@ object SparkEntry {
              CAST(ce AS BIGINT) AS cum_tokens_excl,
              CAST(ce // 2048 AS BIGINT) AS seq_id,
              CAST(ce % 2048 AS BIGINT) AS seq_offset
-      FROM c"""
+      FROM c""",
+
+    // JSON schema-on-read decode + grouped aggregate.
+    "q_json_extract" -> """
+      WITH e AS (
+        SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events)
+      SELECT event_type, count(*) AS n,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             min(k) AS min_k, max(k) AS max_k,
+             CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             round(CAST(sum(k) AS DOUBLE) / count(*), 4) AS avg_k
+      FROM e GROUP BY event_type"""
   )
 }
