@@ -124,6 +124,41 @@ object SparkEntry {
                   JOIN lineitem ON l_orderkey = o_orderkey
       GROUP BY r_name, n_name""",
 
+    // TPC-H Q17 shape: correlated scalar subquery (per-part average),
+    // written decorrelated as the aggregate+join Spark executes anyway,
+    // so the text runs verbatim on both engines. The below-average
+    // comparison is kept EXACT by cross-multiplying instead of dividing:
+    // qty < 0.2 * (sq/cnt)  <=>  qty * cnt * 5 < sq  (all DECIMAL/int
+    // products, no rounding on either engine).
+    "q17_below_avg" -> """
+      WITH pa AS (
+        SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+               count(*) AS cnt
+        FROM lineitem GROUP BY l_partkey)
+      SELECT p_brand, count(*) AS n_below,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS below_revenue
+      FROM lineitem JOIN pa ON lineitem.l_partkey = pa.l_partkey
+           JOIN part ON p_partkey = lineitem.l_partkey
+      WHERE CAST(l_quantity AS DECIMAL(18,2)) * cnt * 5 < sq
+      GROUP BY p_brand""",
+
+    // Set operations: INTERSECT / EXCEPT between two customer cohorts
+    // (buyers in building vs machinery segments by nation).
+    "q_set_ops" -> """
+      SELECT 'both' AS cohort, c_nationkey, count(*) AS n FROM (
+        SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey IN (SELECT o_custkey FROM orders)
+        INTERSECT
+        SELECT c_custkey, c_nationkey FROM customer
+          WHERE c_acctbal > 0 AND c_custkey IN (SELECT o_custkey FROM orders)
+      ) GROUP BY c_nationkey
+      UNION ALL
+      SELECT 'only_building', c_nationkey, count(*) FROM (
+        SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 0
+      ) GROUP BY c_nationkey""",
+
     // TPC-H Q6 shape: pure scan-filter-agg (predicate pushdown showcase).
     "q6_forecast_revenue" -> """
       SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
