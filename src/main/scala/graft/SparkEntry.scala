@@ -282,6 +282,26 @@ object SparkEntry {
     knnSelf(s, dir, maxQid = 100L, k = 1)
       .select(col("qid"), col("vec_id"), col("score"))
 
+  /** kNN majority-vote classification over the labeled embeddings: one
+    * batched top-k job for ALL queries, neighbor labels joined in, vote
+    * with deterministic ties (most votes, then smallest label). The
+    * whole classification is integer arithmetic on top of the
+    * rounded-before-rank kNN, so it is exactly reproducible. */
+  private def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = table(s, dir, "embeddings")
+    // topKBatch carries every doc column through, so neighbor labels
+    // are already on the hits — no re-join needed.
+    val votes = knnSelf(s, dir, maxQid = 50L, k = 5)
+      .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+    val best = Window.partitionBy("qid").orderBy(desc("votes"), col("label"))
+    val pred = votes.withColumn("pr", row_number().over(best))
+      .where(col("pr") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+    pred.join(emb.select(col("vec_id").as("qid"), col("label").as("true_label")), "qid")
+      .select("qid", "pred_label", "votes", "true_label")
+  }
+
   /** IVF search (no SQL oracle — k-means; driver records rows-only).
     * maxIter 10: the coarse quantizer only needs rough cells — recall
     * comes from nprobe, not centroid polish. */
@@ -631,7 +651,8 @@ object SparkEntry {
       "q_range_join"          -> (qRangeJoin _),
       "q_multimodal"          -> (qMultimodal _),
       "q_pack_sequences"      -> (qPackSequences _),
-      "q_json_extract"        -> (qJsonExtract _)
+      "q_json_extract"        -> (qJsonExtract _),
+      "q_knn_classify"        -> (qKnnClassify _)
     )
 
   // ==================================================================
@@ -1082,6 +1103,28 @@ object SparkEntry {
              min(k) AS min_k, max(k) AS max_k,
              CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
              round(CAST(sum(k) AS DOUBLE) / count(*), 4) AS avg_k
-      FROM e GROUP BY event_type"""
+      FROM e GROUP BY event_type""",
+
+    // kNN majority-vote classification: same rounded/tie-broken kNN as
+    // q_knn_batch, then integer vote counting with (votes DESC, label)
+    // ties — exactly reproducible end to end.
+    "q_knn_classify" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 50),
+      s AS (SELECT q.qid, e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS score
+            FROM embeddings e, q WHERE e.vec_id <> q.qid),
+      r AS (SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+            FROM s),
+      v AS (SELECT r.qid, e.label, count(*) AS votes
+            FROM r JOIN embeddings e USING (vec_id) WHERE rn <= 5
+            GROUP BY r.qid, e.label),
+      p AS (SELECT qid, label, votes,
+                   row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS pr
+            FROM v)
+      SELECT p.qid, p.label AS pred_label, CAST(p.votes AS BIGINT) AS votes,
+             t.label AS true_label
+      FROM p JOIN embeddings t ON t.vec_id = p.qid WHERE pr = 1"""
   )
 }
