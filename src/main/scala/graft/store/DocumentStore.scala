@@ -30,8 +30,10 @@ import graft.index.{IvfIndex, VectorIndex}
   *
   * Mutation (add/delete) writes a NEW version directory and atomically
   * swaps the manifest pointer — the Spark-native version of the
-  * reference's temp-file + move dance (vectorstore.py:563-581). Readers
-  * of the old snapshot are never disturbed; stale versions are pruned.
+  * reference's temp-file + move dance (vectorstore.py:563-581).
+  * `StoreConfig.keepVersions` retains that many snapshots (MVCC-style
+  * grace for readers still planned against an older version); older
+  * ones are pruned on each swap.
   *
   * Deletion does NOT re-embed anything: vectors are stored as data, so
   * the reference's O(n) re-embed on delete (index.py:404-440, an
@@ -226,10 +228,15 @@ final class DocumentStore private (
     payloadDf.write.mode("overwrite").parquet(payloadDir(v))
     ess.unpersist()
 
-    val old = manifest
     manifest = StoreManifest(v, embedder.dim, config.metric, count, nlistUsed)
     writeManifest(spark, path, manifest)
-    if (old.version > 0) deleteDir(spark, versionDir(old.version))
+    // Snapshot retention: keep the last `keepVersions` versions so
+    // readers holding an older snapshot (a long job planned against
+    // v-1) finish undisturbed — MVCC-style grace. Default 1 = prune
+    // immediately after the pointer swap.
+    (1L to v - config.keepVersions).foreach { stale =>
+      deleteDir(spark, versionDir(stale))
+    }
   }
 
   // ------------------------------------------------------------------

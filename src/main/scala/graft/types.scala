@@ -64,8 +64,10 @@ final case class StoreConfig(
     metric: String = "cosine",
     dim: Int = 64,
     nlist: Int = 0,
-    nprobe: Int = 8) {
+    nprobe: Int = 8,
+    keepVersions: Int = 1) {
   require(Set("cosine", "ip", "l2")(metric), s"bad metric $metric")
+  require(keepVersions >= 1, "keepVersions must be >= 1")
 }
 
 /** Persisted store manifest (replaces index.faiss + metadata.json

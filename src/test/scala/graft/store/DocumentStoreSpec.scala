@@ -163,6 +163,27 @@ class DocumentStoreSpec extends SparkSpec {
     assert(hit == "a brand new doc about topic 3")
   }
 
+  test("keepVersions retains snapshots for in-flight readers, prunes older ones") {
+    val dir = tmp()
+    val store = DocumentStore.fromTexts(spark, dir, Seq("a", "b"), Nil,
+      StoreConfig(keepVersions = 2), emb)
+    // hold a reader on v1, then mutate (writes v2)
+    val v1Reader = store.essential.select("id", "text")
+    store.addTexts(Seq("c"))
+    assert(new java.io.File(s"$dir/v1").exists) // retained for the reader
+    assert(v1Reader.count() == 2)               // in-flight snapshot still readable
+    assert(store.essential.count() == 3)        // current pointer moved on
+    store.addTexts(Seq("d"))                    // writes v3 -> v1 pruned
+    assert(!new java.io.File(s"$dir/v1").exists)
+    assert(new java.io.File(s"$dir/v2").exists)
+
+    // default keepVersions=1 prunes immediately
+    val d2 = tmp()
+    val s2 = DocumentStore.fromTexts(spark, d2, Seq("a"), Nil, StoreConfig(), emb)
+    s2.addTexts(Seq("b"))
+    assert(!new java.io.File(s"$d2/v1").exists)
+  }
+
   test("getDocumentsByIds is a set lookup; getDocumentById returns typed hit") {
     val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
     assert(store.getDocumentsByIds(Seq(1L, 3L)).count() == 2)
