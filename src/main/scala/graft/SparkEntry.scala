@@ -256,6 +256,17 @@ object SparkEntry {
 
   private def qTopkCosine(s: SparkSession, dir: String): DataFrame =
     topkFromStored(s, dir, 0L, "cosine", "score")
+
+  /** Radius (range) search: every vector within cosine >= 0.15 of the
+    * query — scan + codegen'd filter, no sort/limit/shuffle. */
+  private def qRadiusSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0L).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    VectorIndex.radiusSearch(emb.where(col("vec_id") =!= 0L), "embedding",
+        qv, threshold = 0.15, metric = "cosine", scoreCol = "score", roundScale = 4)
+      .select(col("vec_id"), col("score"))
+  }
   private def qTopkL2(s: SparkSession, dir: String): DataFrame =
     topkFromStored(s, dir, 1L, "l2", "dist")
   private def qTopkIp(s: SparkSession, dir: String): DataFrame =
@@ -652,7 +663,8 @@ object SparkEntry {
       "q_multimodal"          -> (qMultimodal _),
       "q_pack_sequences"      -> (qPackSequences _),
       "q_json_extract"        -> (qJsonExtract _),
-      "q_knn_classify"        -> (qKnnClassify _)
+      "q_knn_classify"        -> (qKnnClassify _),
+      "q_radius_search"       -> (qRadiusSearch _)
     )
 
   // ==================================================================
@@ -1125,6 +1137,15 @@ object SparkEntry {
             FROM v)
       SELECT p.qid, p.label AS pred_label, CAST(p.votes AS BIGINT) AS votes,
              t.label AS true_label
-      FROM p JOIN embeddings t ON t.vec_id = p.qid WHERE pr = 1"""
+      FROM p JOIN embeddings t ON t.vec_id = p.qid WHERE pr = 1""",
+
+    // Radius search: all rows above the similarity threshold.
+    "q_radius_search" -> """
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS score
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+        AND round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) >= 0.15"""
   )
 }

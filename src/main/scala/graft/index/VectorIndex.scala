@@ -61,6 +61,27 @@ object VectorIndex {
       .orderBy(ranking(metric, scoreCol, tieBreak): _*)
       .limit(k)
 
+  /** Radius (range) search: ALL rows within the similarity threshold —
+    * score >= threshold for cosine/ip, distance <= threshold for l2 —
+    * rather than a fixed k. A pure scan + filter: no sort, no shuffle,
+    * no limit; the predicate stays inside whole-stage codegen and the
+    * result size is data-dependent (the right semantics for "find every
+    * near-duplicate of this vector"). */
+  def radiusSearch(
+      docs: DataFrame,
+      vecCol: String,
+      query: Seq[Double],
+      threshold: Double,
+      metric: String = "cosine",
+      scoreCol: String = "similarity",
+      roundScale: Int = -1): DataFrame = {
+    val s = scored(docs, vecCol, query, metric, scoreCol, roundScale)
+    val pred =
+      if (metric == "l2") col(scoreCol) <= threshold
+      else col(scoreCol) >= threshold
+    s.where(pred)
+  }
+
   /** Top-k for EVERY query row in one job — replaces the reference's
     * sequential `Retriever.batch` loop (retriever.py:110-155) with a
     * single distributed plan.

@@ -70,4 +70,47 @@ object AsofJoin {
       .select(left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
         rPayload.map(c => col("__m").getField(c).as(c)): _*)
   }
+
+  /** Forward as-of join: for each left row, the single EARLIEST right
+    * row at or after (strict: strictly after) the left row's time, per
+    * key — same union + one-window-pass shape as [[asofBackward]],
+    * mirrored. Among right rows with the same time and key, the one
+    * with the SMALLEST `rightTie` wins. */
+  def asofForward(left: DataFrame, right: DataFrame, on: Seq[String],
+                  leftTime: String, rightTime: String,
+                  leftTie: String, rightTie: String,
+                  strict: Boolean = false): DataFrame = {
+    require(on.nonEmpty, "need at least one join key")
+    val rPayload = right.columns.filterNot(on.contains).toSeq
+    val clash = left.columns.toSet.intersect(rPayload.toSet)
+    require(clash.isEmpty, s"right columns clash with left, rename them: $clash")
+
+    val lStructCol = struct(left.columns.map(col).toSeq: _*)
+    val rStructCol = struct(rPayload.map(col): _*)
+    val lType = left.select(lStructCol.as("s")).schema("s").dataType
+    val rType = right.select(rStructCol.as("s")).schema("s").dataType
+    // Equal-time right rows sort AFTER left rows when inclusive (so
+    // they are visible to first() over the following frame) and BEFORE
+    // when strict.
+    val (lSide, rSide) = if (strict) (1, 0) else (0, 1)
+
+    val lTagged = left.select(
+      on.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(lSide).as("__side"), col(leftTie).as("__tie"),
+        lStructCol.as("__l"), lit(null).cast(rType).as("__r")): _*)
+    val rTagged = right.select(
+      on.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(rSide).as("__side"), col(rightTie).as("__tie"),
+        lit(null).cast(lType).as("__l"), rStructCol.as("__r")): _*)
+
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    lTagged.unionByName(rTagged)
+      .withColumn("__m", first(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === lSide)
+      .select(left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
+        rPayload.map(c => col("__m").getField(c).as(c)): _*)
+  }
 }

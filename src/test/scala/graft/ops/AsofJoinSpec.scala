@@ -47,6 +47,34 @@ class AsofJoinSpec extends SparkSpec {
     assert(run(strict = false).size == purchases.count())
   }
 
+  private def runFwd(strict: Boolean) =
+    AsofJoin.asofForward(purchases, clicks, Seq("user_id"),
+        "purchase_us", "click_us", "purchase_eid", "click_eid", strict = strict)
+      .collect()
+      .map(r => r.getAs[Long]("purchase_eid") ->
+        Option(r.getAs[Any]("click_eid")).map(_.asInstanceOf[Long]))
+      .toMap
+
+  test("forward inclusive: equal-time matches with min tie; earliest later row otherwise") {
+    val m = runFwd(strict = false)
+    assert(m(900L).contains(101L)) // equal-time t=20, min eid wins
+    assert(m(901L).contains(103L)) // next click after t=39 is t=40
+    assert(m(902L).isEmpty)        // nothing after t=50
+    assert(m(903L).isEmpty)        // user 2: no clicks
+    assert(m(904L).contains(300L)) // user 3: click at t=5 is after t=4
+  }
+
+  test("forward strict: equal-time click does NOT match") {
+    val m = runFwd(strict = true)
+    assert(m(900L).contains(103L)) // skips the t=20 clicks, next is t=40
+    assert(m(901L).contains(103L))
+    assert(m(904L).contains(300L))
+  }
+
+  test("forward carries every left row exactly once") {
+    assert(runFwd(strict = false).size == purchases.count())
+  }
+
   test("clashing right column names are rejected") {
     val bad = clicks.withColumnRenamed("click_eid", "purchase_eid")
     intercept[IllegalArgumentException] {
