@@ -287,6 +287,36 @@ final class DocumentStore private (
     similaritySearch(query, k).collect().toSeq
       .map(rowToHit).map(h => (h, h.similarity))
 
+  /** Radius variant of [[similaritySearch]]: every document within the
+    * similarity threshold (>= for cosine/ip, distance <= for l2) —
+    * result size is data-dependent; pure scan + filter over the
+    * (IVF-pruned) search space, no sort or limit. */
+  def similaritySearchRadius(query: String, threshold: Double,
+                             includeFullMetadata: Boolean = false): DataFrame = {
+    require(manifest.count > 0, "store is empty or not built")
+    val qv = embedder.embedQuery(query)
+    val hits = VectorIndex.radiusSearch(
+        searchSpace(qv), "vec", qv.toSeq, threshold, config.metric,
+        scoreCol = "similarity")
+      .select(col("id").as("doc_id"), col("text"), col("source"),
+        col("category"), col("similarity"),
+        lit("essential").as("metadata_type"))
+    if (includeFullMetadata) enhanceWithFullMetadata(hits) else hits
+  }
+
+  /** Predicate delete — the Spark-natural generalization of the
+    * reference's by-id/by-text deletes: remove every document whose
+    * ESSENTIAL row matches `condition` (e.g. `col("category") ===
+    * "spam"`), with the same copy-on-write snapshot + dense id
+    * recompaction semantics as [[deleteByIds]]. Returns the number of
+    * documents removed. */
+  def deleteWhere(condition: org.apache.spark.sql.Column): Long = {
+    val ids = essential.where(condition).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    if (ids.nonEmpty) deleteByIds(ids)
+    ids.length.toLong
+  }
+
   /** All queries in ONE distributed job (replaces the reference's
     * sequential Retriever.batch loop, retriever.py:110-155). Output adds
     * (query, rank). */

@@ -163,6 +163,31 @@ class DocumentStoreSpec extends SparkSpec {
     assert(hit == "a brand new doc about topic 3")
   }
 
+  test("similaritySearchRadius returns exactly the docs above the threshold") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    val scored = store.similaritySearch("foxes", k = texts.length)
+      .select("doc_id", "similarity").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val t = scored.values.toSeq.sorted.reverse.apply(1) // 2nd-best score as cut
+    val radius = store.similaritySearchRadius("foxes", t)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(radius == scored.filter(_._2 >= t).keySet)
+    assert(radius.size == 2)
+  }
+
+  test("deleteWhere removes matching docs with dense id recompaction") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    val n = store.deleteWhere(org.apache.spark.sql.functions.col("category") === "weather")
+    assert(n == 2)
+    assert(store.documentCount == 4)
+    val cats = store.essential.select("category").collect().map(_.getString(0)).toSet
+    assert(!cats.contains("weather"))
+    // ids recompacted densely 0..3
+    val ids = store.essential.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(store.deleteWhere(org.apache.spark.sql.functions.col("category") === "nope") == 0)
+  }
+
   test("keepVersions retains snapshots for in-flight readers, prunes older ones") {
     val dir = tmp()
     val store = DocumentStore.fromTexts(spark, dir, Seq("a", "b"), Nil,
