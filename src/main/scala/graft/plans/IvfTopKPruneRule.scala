@@ -62,10 +62,15 @@ object IvfTopKPruneRule {
   }
 
   /** Match cosine(vec, literal) in either argument order, optionally
-    * wrapped in round(_, scale) (VectorIndex.topK's roundScale). */
-  private[plans] def scoreQueryVec(e: Expression): Option[Seq[Double]] = e match {
+    * wrapped in round(_, scale) (VectorIndex.topK's roundScale).
+    * Returns (query vector, the NON-literal side) — the caller must
+    * verify the non-literal side actually reads the registered store's
+    * vector column, or the rule would prune scans that the ranking
+    * never scores. */
+  private[plans] def scoreQueryVec(e: Expression): Option[(Seq[Double], Expression)] = e match {
     case Round(child, _, _) => scoreQueryVec(child)
-    case CosineSimilarityExpr(l, r) => literalVec(r).orElse(literalVec(l))
+    case CosineSimilarityExpr(l, r) =>
+      literalVec(r).map(v => (v, l)).orElse(literalVec(l).map(v => (v, r)))
     case _ => None
   }
 }
@@ -89,15 +94,19 @@ case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Rewrites `child` with a cluster-IN-probes filter above its scan if
     * (a) `scoreAttr` is an alias of cosine(vec, literal qv) somewhere in
     * `child`, (b) the scan underneath is a registered IVF store whose
-    * cluster column it outputs, and (c) no cluster filter is present
-    * yet (rule idempotence under fixed-point batches). */
+    * cluster column it outputs, (c) the cosine's vector side actually
+    * READS that scan (its attribute references resolve to the scan's
+    * output — without this, a ranking over some OTHER table's vectors
+    * joined with the store would wrongly prune store rows), and (d) no
+    * cluster filter is present yet (rule idempotence under fixed-point
+    * batches). */
   private def pruned(scoreAttr: Attribute, child: LogicalPlan): Option[LogicalPlan] = {
-    val qv = child.collectFirst {
+    val matched = child.collectFirst {
       case Project(projectList, _) => projectList.collectFirst {
         case a @ Alias(e, _) if a.exprId == scoreAttr.exprId => scoreQueryVec(e)
       }.flatten
     }.flatten
-    qv.flatMap { queryVec =>
+    matched.flatMap { case (queryVec, vecSide) =>
       child.collectFirst {
         case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
           val fs = lr.relation.asInstanceOf[HadoopFsRelation]
@@ -106,11 +115,13 @@ case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
               lr.output.find(_.name == reg.clusterCol).map(cl => (lr, reg, cl))
             }
       }.flatten.flatMap { case (lr, reg, clusterAttr) =>
+        val readsThisScan = vecSide.references.nonEmpty &&
+          vecSide.references.subsetOf(lr.outputSet)
         val alreadyPruned = child.exists {
           case Filter(cond, _) => cond.references.contains(clusterAttr)
           case _ => false
         }
-        if (alreadyPruned) None
+        if (!readsThisScan || alreadyPruned) None
         else {
           val probes = reg.model.nearestCentroids(queryVec, reg.nprobe)
           val filter = In(clusterAttr, probes.map(p => Literal(p)))

@@ -104,22 +104,35 @@ final class DocumentStore private (
     val existing =
       if (manifest.count > 0) Some(essential.select("id", "text", "source", "category", "metadata_hash", "vec"))
       else None
-    val (newEssential, newPayload) = buildNewRows(staged, existing)
-    val allEssential = existing match {
-      case Some(ex) => ex.unionByName(newEssential)
-      case None     => newEssential
-    }
-    val allPayload = existing match {
-      case Some(_) => payload.unionByName(newPayload)
-      case None    => newPayload
-    }
-    writeVersion(allEssential, allPayload)
+    val base = buildNewRows(staged, existing, manifest.count)
+    try {
+      val allEssential = existing match {
+        case Some(ex) => ex.unionByName(essentialProjection(base))
+        case None     => essentialProjection(base)
+      }
+      val allPayload = existing match {
+        case Some(_) => payload.unionByName(payloadProjection(base))
+        case None    => payloadProjection(base)
+      }
+      writeVersion(allEssential, allPayload)
+    } finally base.unpersist()
   }
 
-  /** Dedup + embed + project one staged batch into (essential, payload)
-    * rows with dense ids starting at the current count. */
-  private def buildNewRows(staged: DataFrame, existing: Option[DataFrame])
-      : (DataFrame, DataFrame) = {
+  private def essentialProjection(base: DataFrame): DataFrame =
+    base.select("id", "text", "source", "category", "metadata_hash", "vec")
+
+  private def payloadProjection(base: DataFrame): DataFrame =
+    base.select(col("id").as("doc_id"), col("text"), col("metadata"),
+      to_json(struct(col("text"), col("metadata"))).as("payload_json"))
+
+  /** Dedup + embed + project one staged batch into a CACHED base of new
+    * rows with dense ids starting at the current count. Caching is
+    * load-bearing, not an optimization: the essential and payload writes
+    * both derive from this plan, and recomputing it from a staged input
+    * that changed between the two writes would produce payload rows that
+    * do not match the essential rows already written. */
+  private def buildNewRows(staged: DataFrame, existing: Option[DataFrame],
+                           offset: Long): DataFrame = {
     // Input-order sequence for first-occurrence-wins dedup.
     val withSeq = withDenseId(staged.select(col("text"), col("metadata").cast("map<string,string>")), "seq")
 
@@ -143,12 +156,7 @@ final class DocumentStore private (
 
     // Dense id assignment at the append offset (index.py:230):
     // zipWithIndex (no shuffle), input order preserved via sort by seq.
-    val newRows = withDenseId(embedded.orderBy("seq"), "id", manifest.count)
-
-    (newRows.select("id", "text", "source", "category", "metadata_hash", "vec"),
-      newRows.select(
-        col("id").as("doc_id"), col("text"), col("metadata"),
-        to_json(struct(col("text"), col("metadata"))).as("payload_json")))
+    withDenseId(embedded.orderBy("seq"), "id", offset).cache()
   }
 
   /** SCALE-PATH append: write ONLY the new rows into the current
@@ -163,36 +171,59 @@ final class DocumentStore private (
     *    re-fit; cluster boundaries drift only as much as the data does),
     *  - appended files are unsorted relative to old ones.
     * Run [[compact]] after heavy append traffic to re-fit/re-layout.
-    * First-ever append delegates to the snapshot path (creates v1). */
+    * First-ever append delegates to the snapshot path (creates v1).
+    *
+    * Failure atomicity: both appends run off one CACHED row set
+    * (identical rows in both stores by construction), payload lands
+    * BEFORE essential, and the manifest count is bumped last — so a
+    * crash mid-append leaves either invisible orphan payload rows
+    * (harmless: payload is keyed by doc_id and joined from essential)
+    * or nothing; it never publishes essential rows without their
+    * payload, and the unbumped count means a retry re-derives the same
+    * id range for a batch that then dedups against what was already
+    * published. [[compact]] rewrites the snapshot from the essential
+    * rows and so also drops any orphan payload rows. */
   def addDFIncremental(staged: DataFrame): Unit = {
     if (manifest.count == 0) { appendBuild(staged); return }
     val existing = essential.select("id", "text", "source", "category", "metadata_hash", "vec")
-    val (newEssential, newPayload) = buildNewRows(staged, Some(existing))
-    val added = newEssential.cache()
-    val nNew = added.count()
-    if (nNew > 0) {
-      loadCentroids() match {
-        case Some(model) =>
-          added.withColumn("cluster", model.assignCol(col("vec")))
-            .write.mode("append").partitionBy("cluster")
-            .parquet(essentialDir(manifest.version))
-        case None =>
-          added.write.mode("append").parquet(essentialDir(manifest.version))
-      }
-      newPayload.write.mode("append").parquet(payloadDir(manifest.version))
-      manifest = manifest.copy(count = manifest.count + nNew)
-      writeManifest(spark, path, manifest)
+    // Offset from the DATA, not the manifest: if a prior incremental
+    // append crashed between the essential write and the manifest bump,
+    // manifest.count undercounts and reusing it would hand out ids that
+    // already exist on disk.
+    val offset = existing.agg(max("id")).head.get(0) match {
+      case null => 0L
+      case m    => m.asInstanceOf[Long] + 1L
     }
-    added.unpersist()
+    val base = buildNewRows(staged, Some(existing), offset)
+    try {
+      val nNew = base.count()
+      if (nNew > 0) {
+        payloadProjection(base)
+          .write.mode("append").parquet(payloadDir(manifest.version))
+        val added = essentialProjection(base)
+        loadCentroids() match {
+          case Some(model) =>
+            added.withColumn("cluster", model.assignCol(col("vec")))
+              .write.mode("append").partitionBy("cluster")
+              .parquet(essentialDir(manifest.version))
+          case None =>
+            added.write.mode("append").parquet(essentialDir(manifest.version))
+        }
+        manifest = manifest.copy(count = offset + nNew)
+        writeManifest(spark, path, manifest)
+      }
+    } finally base.unpersist()
   }
 
   /** Re-layout the current snapshot (copy-on-write, same data): re-fit
     * IVF clustering when gated, range-sort the flat layout by id, and
-    * merge the small files incremental appends accumulate. */
+    * merge the small files incremental appends accumulate. Also
+    * reconciles after a crashed incremental append: duplicate payload
+    * rows from a retried batch (same doc_id) collapse to one. */
   def compact(): Unit =
     writeVersion(
       essential.select("id", "text", "source", "category", "metadata_hash", "vec"),
-      payload)
+      payload.dropDuplicates("doc_id"))
 
   /** Write a new snapshot version (optionally IVF-clustered), swap the
     * manifest pointer, prune old versions. */
@@ -308,13 +339,25 @@ final class DocumentStore private (
     * reference's by-id/by-text deletes: remove every document whose
     * ESSENTIAL row matches `condition` (e.g. `col("category") ===
     * "spam"`), with the same copy-on-write snapshot + dense id
-    * recompaction semantics as [[deleteByIds]]. Returns the number of
-    * documents removed. */
+    * recompaction semantics as [[deleteByIds]]. Fully distributed: the
+    * matching id set flows through a semijoin, never the driver (a
+    * broad predicate can match hundreds of millions of rows). Returns
+    * the number of documents removed. */
   def deleteWhere(condition: org.apache.spark.sql.Column): Long = {
-    val ids = essential.where(condition).select("id")
-      .collect().map(_.getLong(0)).toSeq
-    if (ids.nonEmpty) deleteByIds(ids)
-    ids.length.toLong
+    require(manifest.count > 0, "store is empty or not built")
+    val doomedIds = essential.where(condition).select("id")
+    val removed = doomedIds.count()
+    if (removed == 0) return 0L
+    if (removed >= manifest.count) { drop(); return removed }
+    val survivorsE = essential.join(doomedIds, Seq("id"), "left_anti")
+    val survivorsP = payload.join(
+      doomedIds.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
+    val reE = withDenseId(survivorsE.orderBy("id").drop("id"), "id")
+      .select("id", "text", "source", "category", "metadata_hash", "vec")
+    val reP = withDenseId(survivorsP.orderBy("doc_id").drop("doc_id"), "doc_id")
+      .select("doc_id", "text", "metadata", "payload_json")
+    writeVersion(reE, reP)
+    removed
   }
 
   /** All queries in ONE distributed job (replaces the reference's

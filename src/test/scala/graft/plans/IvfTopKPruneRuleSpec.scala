@@ -90,6 +90,37 @@ class IvfTopKPruneRuleSpec extends SparkSpec {
     }
   }
 
+  test("ranking over ANOTHER table's vectors never prunes the joined registered store") {
+    withRule {
+      IvfTopKPruneRule.register(storePath, model, nprobe = 2)
+      spark.conf.set(IvfTopKPruneRule.ConfKey, "true")
+      try {
+        val qv = emb.embedQuery("q").toSeq
+        val other = emb.embed(
+          (100L until 140L).map(i => (i, s"other doc $i")).toDF("oid", "otext"),
+          "otext", "ovec")
+        // top-k ranked on OTHER's vectors; the registered store is just
+        // joined in — pruning it would silently drop join rows.
+        val joined = spark.read.parquet(storePath)
+          .join(other, col("id") === col("oid") % 64)
+          .withColumn("score", VectorFunctions.cosineSimilarity(col("ovec"), typedlit(qv)))
+          .orderBy(desc("score"), asc("id")).limit(5)
+        assert(clusterFilters(joined).isEmpty,
+          "rule pruned a store whose vectors the ranking never scores")
+        // and the rule still fires when the STORE's own vec is ranked in
+        // the same join shape
+        val rankedOnStore = spark.read.parquet(storePath)
+          .join(other, col("id") === col("oid") % 64)
+          .withColumn("score", VectorFunctions.cosineSimilarity(col("vec"), typedlit(qv)))
+          .orderBy(desc("score"), asc("id")).limit(5)
+        assert(clusterFilters(rankedOnStore).nonEmpty)
+      } finally {
+        spark.conf.unset(IvfTopKPruneRule.ConfKey)
+        IvfTopKPruneRule.unregister(storePath)
+      }
+    }
+  }
+
   test("ascending sorts and non-literal queries are never rewritten") {
     withRule {
       IvfTopKPruneRule.register(storePath, model, nprobe = 2)
