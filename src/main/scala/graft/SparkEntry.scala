@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashEmbedder
 import graft.index.{IvfIndex, VectorIndex}
-import graft.ops.{AsofJoin, Dedup, Sampling, SkewTools, TextAnalysis, TextSearch}
+import graft.ops.{AsofJoin, Contamination, Dedup, Pii, QualitySignals, Sampling, SkewTools, TextAnalysis, TextSearch}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2, each with an equivalent DuckDB oracle in [[oracleSql]]
@@ -619,6 +619,98 @@ object SparkEntry {
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total"))
   }
 
+  /** Gopher-style repetition/symbol quality signals (narrow projection;
+    * the keep flag is decided on the ROUNDED signals). */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    QualitySignals.signals(table(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_tokens"), col("distinct_token_ratio"),
+        col("top_token_frac"), col("dup_bigram_frac"), col("symbol_ratio"),
+        col("gopher_keep").cast("long").as("gopher_keep"))
+
+  /** Benchmark-contamination check: docs sharing word 3-grams with the
+    * deterministic "benchmark" slice (doc_id % 20 == 0). */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    Contamination.ngramOverlap(
+      docs.where(col("doc_id") % 20 =!= 0),
+      docs.where(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 3)
+  }
+
+  /** PII scrub over deterministically synthesized PII-bearing text
+    * (the corpus itself is clean, so each doc gets one typed PII tail
+    * by doc_id mod 3); redaction is verified by sha of the full
+    * redacted text, not just match counts. */
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val tail = when(id % 3 === 0,
+        concat(lit(" Contact user"), id.cast("string"), lit("@example.com")))
+      .when(id % 3 === 1,
+        concat(lit(" call +1-555-"), lpad((id % 10000).cast("string"), 4, "0")))
+      .otherwise(concat(lit(" from 10."), (id % 200).cast("string"), lit("."),
+        ((id * 7) % 250).cast("string"), lit(".8")))
+    Pii.redact(
+        table(s, dir, "documents").withColumn("pii_text", concat(col("text"), tail)),
+        "pii_text", "redacted")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        sha2(col("redacted"), 256).as("redacted_sha"))
+  }
+
+  /** Hybrid retrieval: BM25 keyword scores fused with dense cosine
+    * scores by reciprocal-rank fusion (top-50 per source, k=60). */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0L).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble).toSeq
+    val vecScores = emb.where(col("vec_id") =!= 0L)
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.VectorFunctions.cosineSimilarity(
+          col("embedding"), typedlit(qv)), 4).as("score"))
+    val bmScores = TextSearch.bm25Scores(
+      table(s, dir, "documents"), "doc_id", "text", Bm25Terms)
+    TextSearch.hybridRrf(bmScores, vecScores, "doc_id",
+      perSourceK = 50, rrfK = 60, topK = 10)
+  }
+
+  /** Deterministic seeded global shuffle into 8 training shards. */
+  private def qShuffleShards(s: SparkSession, dir: String): DataFrame =
+    Sampling.seededShuffle(table(s, dir, "documents"), "doc_id",
+        nShards = 8, seed = "r3")
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+
+  /** Deterministic domain mixing: en 2.5 epochs, de half, rest 1. */
+  private def qDomainMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.epochMix(table(s, dir, "documents"), "doc_id", "lang",
+        weights = Map("en" -> 2.5, "de" -> 0.5), defaultWeight = 1.0,
+        salt = "r3")
+      .select(col("doc_id"), col("lang"), col("copy_id"))
+
+  /** Binary (sign-bit) quantized vector search: 63-bit codes, Hamming
+    * top-100 candidate generation, exact cosine rerank to top-10 —
+    * deterministic end to end, so exactly oracle-checkable. */
+  private def qBinaryHamming(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val emb = table(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0L).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    val qbits = qv.take(63).zipWithIndex.foldLeft(0L) {
+      case (acc, (x, j)) => if (x > 0.0) acc | (1L << j) else acc
+    }
+    val cand = emb.where(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.hammingDistance(
+          VectorFunctions.binarySign63(col("embedding")), lit(qbits))
+          .cast("int").as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(100)
+    cand
+      .withColumn("score", round(VectorFunctions.cosineSimilarity(
+        col("embedding"), typedlit(qv.toSeq)), 4))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("hamming"), col("score"))
+  }
+
   // ==================================================================
   // Contract maps
   // ==================================================================
@@ -664,7 +756,14 @@ object SparkEntry {
       "q_pack_sequences"      -> (qPackSequences _),
       "q_json_extract"        -> (qJsonExtract _),
       "q_knn_classify"        -> (qKnnClassify _),
-      "q_radius_search"       -> (qRadiusSearch _)
+      "q_radius_search"       -> (qRadiusSearch _),
+      "q_repetition"          -> (qRepetition _),
+      "q_contamination"       -> (qContamination _),
+      "q_pii_redact"          -> (qPiiRedact _),
+      "q_hybrid_rrf"          -> (qHybridRrf _),
+      "q_shuffle_shards"      -> (qShuffleShards _),
+      "q_domain_mix"          -> (qDomainMix _),
+      "q_binary_hamming"      -> (qBinaryHamming _)
     )
 
   // ==================================================================
@@ -1146,6 +1245,153 @@ object SparkEntry {
              round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS score
       FROM embeddings e, q
       WHERE e.vec_id <> 0
-        AND round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) >= 0.15"""
+        AND round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) >= 0.15""",
+
+    // Gopher-style repetition/symbol signals; keep flag decided on the
+    // ROUNDED values so the boolean can't flip on a last-ulp diff.
+    "q_repetition" -> """
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+                        length(text) AS L
+                 FROM documents),
+      s AS (SELECT doc_id, toks, L, len(toks) AS n,
+              CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                   ELSE list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1]) END AS bg,
+              length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS alnum
+            FROM t),
+      g AS (SELECT doc_id,
+              CAST(n AS BIGINT) AS n_tokens,
+              round(CAST(len(list_distinct(toks)) AS DOUBLE) /
+                CAST(greatest(n, 1) AS DOUBLE), 4) AS distinct_token_ratio,
+              round(CAST(coalesce(list_max(list_transform(list_distinct(toks),
+                u -> len(list_filter(toks, x -> x = u)))), 0) AS DOUBLE) /
+                CAST(greatest(n, 1) AS DOUBLE), 4) AS top_token_frac,
+              CASE WHEN len(bg) = 0 THEN 0.0
+                   ELSE round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) /
+                     CAST(len(bg) AS DOUBLE), 4) END AS dup_bigram_frac,
+              round(CAST(L - alnum AS DOUBLE) /
+                CAST(greatest(L, 1) AS DOUBLE), 4) AS symbol_ratio
+            FROM s)
+      SELECT *, CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000
+                            AND distinct_token_ratio >= 0.3
+                            AND top_token_frac <= 0.2
+                            AND dup_bigram_frac <= 0.05
+                            AND symbol_ratio <= 0.1
+                          THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep
+      FROM g""",
+
+    // Benchmark-contamination: distinct-3-gram overlap vs the
+    // doc_id % 20 == 0 slice (reuses the shared shingle CTE).
+    "q_contamination" -> s"""
+      WITH $ShingleCte,
+      bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 20 = 0),
+      e AS (SELECT doc_id, len(sh) AS n_ngrams, unnest(sh) AS s
+            FROM sh WHERE doc_id % 20 <> 0)
+      SELECT e.doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+             CAST(count(*) AS BIGINT) AS n_overlap,
+             round(CAST(count(*) AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 4)
+               AS contamination_frac
+      FROM e JOIN bench ON e.s = bench.s
+      GROUP BY e.doc_id, n_ngrams""",
+
+    // PII scrub: identical synthesized tails, identical explicit-class
+    // regexes (no \\s/\\d, [.] not \\.), replace-all both sides; the
+    // sha over the redacted text checks redaction content + position.
+    "q_pii_redact" -> s"""
+      WITH s AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 0
+                 THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               WHEN doc_id % 3 = 1
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' ||
+                    CAST((doc_id * 7) % 250 AS VARCHAR) || '.8' END AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '${Pii.EmailPattern}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t, '${Pii.PhonePattern}')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(t, '${Pii.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+        sha256(regexp_replace(regexp_replace(regexp_replace(t,
+          '${Pii.EmailPattern}', '<EMAIL>', 'g'),
+          '${Pii.PhonePattern}', '<PHONE>', 'g'),
+          '${Pii.Ipv4Pattern}', '<IP>', 'g')) AS redacted_sha
+      FROM s""",
+
+    // Hybrid RRF: BM25 CTE chain (same as q_bm25_search) + cosine
+    // scores, rank top-50 each, fuse 1/(60+rank), round 6 before the
+    // final rank.
+    "q_hybrid_rrf" -> s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+             FROM toks),
+      t AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term FROM toks),
+      tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+             WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+             GROUP BY doc_id, dl, term),
+      df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+      w AS (SELECT tf.doc_id,
+              ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                (tf.tf * ${1.2 + 1.0}) /
+                (tf.tf + ${1.2} * (${1.0 - 0.75} + ${0.75} * tf.dl / st.avgdl)) AS w
+            FROM tf, df, st WHERE tf.term = df.term),
+      bs AS (SELECT doc_id, round(CAST(sum(CAST(round(w, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
+             FROM w GROUP BY doc_id),
+      br AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_a
+             FROM bs),
+      q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      vs AS (SELECT e.vec_id AS doc_id,
+                    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS score
+             FROM embeddings e, q WHERE e.vec_id <> 0),
+      vr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_b
+             FROM vs),
+      f AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.rank_a, b.rank_b,
+              round(coalesce(1.0 / (60.0 + a.rank_a), 0.0) +
+                    coalesce(1.0 / (60.0 + b.rank_b), 0.0), 6) AS rrf
+            FROM (SELECT * FROM br WHERE rank_a <= 50) a
+            FULL JOIN (SELECT * FROM vr WHERE rank_b <= 50) b ON a.doc_id = b.doc_id)
+      SELECT doc_id, coalesce(rank_a, -1) AS rank_a, coalesce(rank_b, -1) AS rank_b, rrf
+      FROM f ORDER BY rrf DESC, doc_id LIMIT 10""",
+
+    // Seeded deterministic shuffle into shards (mirror of
+    // Sampling.seededShuffle).
+    "q_shuffle_shards" -> s"""
+      WITH h AS (SELECT doc_id,
+          ${dk60("'shuffle:r3:' || CAST(doc_id AS VARCHAR)")} AS k
+        FROM documents)
+      SELECT doc_id, CAST(k % 8 AS INT) AS shard,
+             CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS BIGINT)
+               AS shard_pos
+      FROM h""",
+
+    // Deterministic domain mixing (mirror of Sampling.epochMix).
+    "q_domain_mix" -> s"""
+      WITH w AS (SELECT doc_id, lang,
+          CASE WHEN lang = 'en' THEN 2.5 WHEN lang = 'de' THEN 0.5 ELSE 1.0 END AS wt,
+          ${dk60("'mix:r3:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+        FROM documents),
+      c AS (SELECT doc_id, lang,
+              CAST(floor(wt) AS BIGINT) +
+                CASE WHEN h < CAST(round((wt - floor(wt)) * 1000000, 0) AS BIGINT)
+                     THEN 1 ELSE 0 END AS n
+            FROM w)
+      SELECT doc_id, lang, CAST(unnest(range(0, n)) AS INT) AS copy_id
+      FROM c WHERE n > 0""",
+
+    // Binary sign quantization + Hamming candidates + cosine rerank.
+    "q_binary_hamming" -> """
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      b AS (SELECT vec_id, ev,
+              CAST(list_sum(list_transform(range(0, least(len(ev), 63)),
+                j -> CASE WHEN ev[CAST(j + 1 AS INT)] > 0
+                          THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END))
+                AS BIGINT) AS bits
+            FROM v),
+      q AS (SELECT ev AS qv, bits AS qbits FROM b WHERE vec_id = 0),
+      h AS (SELECT b.vec_id, b.ev, q.qv,
+              CAST(bit_count(xor(b.bits, q.qbits)) AS INT) AS hamming
+            FROM b, q WHERE b.vec_id <> 0),
+      c AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 100)
+      SELECT vec_id, hamming, round(list_cosine_similarity(ev, qv), 4) AS score
+      FROM c ORDER BY score DESC, vec_id LIMIT 10"""
   )
 }

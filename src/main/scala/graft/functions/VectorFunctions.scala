@@ -99,6 +99,27 @@ object VectorFunctions {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale / 127.0)
 
+  /** 63-bit sign quantization: bit j of the result is 1 iff dimension
+    * j of the vector is > 0 (dimensions beyond 62 are ignored; 63 bits
+    * keep every engine's BIGINT shift well-defined — 1<<63 would hit
+    * the sign bit). 64 doubles collapse to one long: a 64× smaller
+    * candidate-generation index whose Hamming distance approximates
+    * angular distance (Charikar 2002 random-hyperplane LSH with
+    * axis-aligned planes — the "binary quantization" mode of modern
+    * vector stores). Pair with [[hammingDistance]] to pre-rank
+    * candidates cheaply, then rerank survivors with exact
+    * [[cosineSimilarity]] — see q_binary_hamming. */
+  def binarySign63(a: Column): Column =
+    TextFunctions.let1(asDouble(a)) { v =>
+      aggregate(sequence(lit(0), least(size(v), lit(63)) - 1), lit(0L),
+        (acc, j) => acc + when(element_at(v, (j + 1).cast("int")) > 0.0,
+          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+    }
+
+  /** Hamming distance between two bit-packed longs. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
   /** Score column for a metric name, mirroring the reference's metric
     * domain `cosine | ip | l2` (config.py:119-123). For l2 the score is
     * a *distance* (lower = better) surfaced as-is — the reference

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Benchmark-contamination check: for each candidate document, how many
+  * of its word n-grams also appear anywhere in a benchmark/eval set —
+  * the decontamination pass every serious pretraining pipeline runs
+  * (n-gram overlap against eval sets, as in GPT-3 App. C / PaLM §8;
+  * see PAPERS.md). The reference has nothing comparable; it is a
+  * first-class training-data operator here.
+  *
+  * Scale shape: the benchmark n-gram set is DISTINCT n-grams of the
+  * (small) eval corpus — broadcast it; candidates explode their n-grams
+  * and probe the broadcast set with an inner hash join, then one
+  * groupBy(doc) count. The corpus-side explode is the only large flow
+  * and it partitions by document; no all-pairs anything. If the eval
+  * set ever outgrows broadcast, drop the hint — the same plan shuffles
+  * on the n-gram key.
+  */
+object Contamination {
+
+  /** Per-candidate overlap counts against `bench`'s distinct n-grams.
+    * Returns (idCol, n_ngrams, n_overlap, contamination_frac) for
+    * candidates with >= 1 overlapping n-gram; n_ngrams counts the
+    * candidate's distinct n-grams, contamination_frac = n_overlap /
+    * n_ngrams rounded to 4 dp. Callers decide the drop threshold. */
+  def ngramOverlap(candidates: DataFrame, bench: DataFrame,
+                   idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val benchGrams = bench
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val withSh = candidates.select(col(idCol).as("id"),
+      TextFunctions.shingles(col(textCol), n).as("shs"))
+    // Candidate n-gram set size comes narrowly from the array length
+    // (shingles are distinct within a doc) — no extra aggregate.
+    val exploded = withSh.select(col("id"), size(col("shs")).as("n_ngrams"),
+      explode(col("shs")).as("sh"))
+    exploded.join(broadcast(benchGrams), "sh")
+      .groupBy(col("id"), col("n_ngrams"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(
+        col("id").as(idCol),
+        col("n_ngrams").cast("long").as("n_ngrams"),
+        col("n_overlap").cast("long").as("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_ngrams").cast("double"), 4)
+          .as("contamination_frac"))
+  }
+
+  /** Decontaminate: drop candidates whose contamination_frac meets the
+    * threshold; everything else (including zero-overlap docs the
+    * inner join never surfaced) passes through. */
+  def decontaminate(candidates: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3,
+                    maxFrac: Double = 0.2): DataFrame = {
+    val drop = ngramOverlap(candidates, bench, idCol, textCol, n)
+      .where(col("contamination_frac") >= maxFrac)
+      .select(col(idCol))
+    candidates.join(drop, Seq(idCol), "left_anti")
+  }
+}

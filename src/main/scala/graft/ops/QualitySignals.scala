@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Gopher/C4-style repetition and symbol signals — the per-document
+  * quality features web-scale training pipelines filter on (Rae et al.
+  * 2021 "Scaling Language Models" §A1.1 repetition rules; see
+  * PAPERS.md). Complements [[TextAnalysis]] (length/stopword/language
+  * features) with the *repetition* family: duplicate n-gram mass, token
+  * diversity, most-frequent-token share, symbol-to-alnum ratio.
+  *
+  * Everything is a narrow codegen'd projection — no shuffle, no UDF —
+  * and integer/double arithmetic with a fixed fold shape, so an
+  * external SQL engine reproduces every value exactly (q_repetition's
+  * oracle). The reference has no quality filtering at all (ingest is
+  * verbatim, reference: src/langchain_memvid/encoder.py:54-88); these
+  * are the operators a 100 TB corpus needs before it is worth
+  * embedding.
+  */
+object QualitySignals {
+
+  /** Raw (NON-distinct, order-preserving) word 2-grams — repetition
+    * signals need the multiset, unlike the dedup shingles which are
+    * distinct-set semantics. */
+  def rawBigrams(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+
+  /** Adds the repetition/symbol signal columns:
+    *  - n_tokens
+    *  - distinct_token_ratio: |distinct tokens| / n_tokens
+    *  - top_token_frac: occurrences of the most frequent token / n_tokens
+    *  - dup_bigram_frac: (bigrams - distinct bigrams) / bigrams
+    *  - symbol_ratio: chars outside [A-Za-z0-9 ] / chars
+    *  - gopher_keep: the composite keep/drop decision
+    *
+    * Ratios are rounded to 4 dp; the keep flag is computed from the
+    * ROUNDED values so the decision is reproducible cross-engine.
+    *
+    * The token array is let1-bound: Catalyst's projection collapse
+    * would otherwise re-split the text once per derived column. */
+  def signals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val sig = TextFunctions.let1(TextFunctions.tokens(t)) { toks =>
+      val n = size(toks)
+      val nD = greatest(n, lit(1)).cast("double")
+      val distinctRatio = round(size(array_distinct(toks)).cast("double") / nD, 4)
+      // Most-frequent-token share: O(distinct * n) per row — fine for
+      // document-sized token lists, and stays narrow (no explode/agg).
+      val topTokenFrac = round(
+        coalesce(
+          array_max(transform(array_distinct(toks),
+            u => size(filter(toks, x => x === u)))).cast("double"),
+          lit(0.0)) / nD, 4)
+      val dupBigramFrac = TextFunctions.let1(rawBigrams(toks)) { bg =>
+        when(size(bg) === 0, lit(0.0)).otherwise(
+          round((size(bg) - size(array_distinct(bg))).cast("double") /
+            size(bg).cast("double"), 4))
+      }
+      struct(
+        n.cast("long").as("n_tokens"),
+        distinctRatio.as("distinct_token_ratio"),
+        topTokenFrac.as("top_token_frac"),
+        dupBigramFrac.as("dup_bigram_frac"))
+    }
+    val symbolRatio = round(
+      (length(t) - length(regexp_replace(t, "[^A-Za-z0-9 ]", ""))).cast("double") /
+        greatest(length(t), lit(1)).cast("double"), 4)
+    val out = df
+      .withColumn("n_tokens", sig.getField("n_tokens"))
+      .withColumn("distinct_token_ratio", sig.getField("distinct_token_ratio"))
+      .withColumn("top_token_frac", sig.getField("top_token_frac"))
+      .withColumn("dup_bigram_frac", sig.getField("dup_bigram_frac"))
+      .withColumn("symbol_ratio", symbolRatio)
+    out.withColumn("gopher_keep",
+      col("n_tokens").between(10L, 100000L) &&
+        col("distinct_token_ratio") >= 0.3 &&
+        col("top_token_frac") <= 0.2 &&
+        col("dup_bigram_frac") <= 0.05 &&
+        col("symbol_ratio") <= 0.1)
+  }
+}

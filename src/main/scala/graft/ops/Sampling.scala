@@ -51,4 +51,62 @@ object Sampling {
       HashFunctions.hash60(concat(lit(s"sample:$salt:"), col(keyCol).cast("string"))) %
         1000000L < threshold)
   }
+
+  /** Deterministic global shuffle into training shards: every row gets
+    * a sha-derived sort key, a shard id (key mod nShards), and its
+    * 1-based position within the shard under (sort key, row key) order.
+    * The permutation depends only on (seed, row key) — NOT on
+    * partitioning, cluster size, or engine — so a re-run (or an
+    * external engine, see q_shuffle_shards's oracle) reproduces the
+    * exact same training order. This is the "global shuffle" step of a
+    * training-data pipeline done Spark-shaped: one hash-shuffle by
+    * shard + an in-shard sort, never a single global ORDER BY (shards
+    * are written/consumed independently; nShards sets write
+    * parallelism at 100 TB). */
+  def seededShuffle(df: DataFrame, keyCol: String, nShards: Int,
+                    seed: String = ""): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val sortKey =
+      HashFunctions.hash60(concat(lit(s"shuffle:$seed:"), col(keyCol).cast("string")))
+    val withShard = df
+      .withColumn("shuffle_key", sortKey)
+      .withColumn("shard", (col("shuffle_key") % nShards).cast("int"))
+    withShard.withColumn("shard_pos",
+      row_number().over(Window.partitionBy("shard")
+        .orderBy(col("shuffle_key"), col(keyCol))).cast("long"))
+  }
+
+  /** Deterministic domain mixing by repetition factor: each stratum
+    * (domain/language/source) gets a weight w — rows are repeated
+    * floor(w) times, plus one more copy with probability frac(w),
+    * decided by the row-key hash (so membership of the fractional
+    * epoch is reproducible and partition-independent; weight 0.25 =
+    * subsample to a quarter, 2.5 = 2 epochs plus a fractional third).
+    * This is the "epochs per dataset" knob of LLM data curricula
+    * (e.g. differing per-domain epoch counts in Llama/GPT data
+    * recipes) as one narrow explode — no shuffle.
+    *
+    * Output repeats input rows with `copy_id` in [0, copies); rows
+    * whose stratum weight rounds to zero copies disappear (explode of
+    * an empty sequence drops the row). */
+  def epochMix(df: DataFrame, keyCol: String, strataCol: String,
+               weights: Map[String, Double], defaultWeight: Double = 1.0,
+               salt: String = ""): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0.0 && w <= 100.0),
+      "weights must be in [0, 100]")
+    val weightExpr = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (stratum, w)) =>
+        when(col(strataCol) === stratum, lit(w)).otherwise(acc)
+    }
+    val whole = floor(weightExpr).cast("long")
+    val fracPpm = round((weightExpr - floor(weightExpr)) * 1000000.0).cast("long")
+    val extra = when(
+      HashFunctions.hash60(concat(lit(s"mix:$salt:"), col(keyCol).cast("string"))) %
+        1000000L < fracPpm, 1L).otherwise(0L)
+    val copies = (whole + extra).cast("int")
+    df.withColumn("copy_id",
+      explode(when(copies >= 1, sequence(lit(0), copies - 1))
+        .otherwise(array().cast("array<int>"))))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -31,7 +31,17 @@ object TextSearch {
     * with a doc-id tie-break. */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], topK: Int = 10,
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(docs, idCol, textCol, queryTerms, k1, b)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+
+  /** Full BM25 score set (every doc with >= 1 query-term hit), no
+    * truncation — the building block [[bm25]] top-k's and
+    * [[hybridRrf]] rank-fuses. */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val toks = docs.select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("toks"))
@@ -56,8 +66,47 @@ object TextSearch {
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("id")
       .agg(round(sum(round(col("w"), 6).cast("decimal(18,6)")).cast("double"), 4).as("score"))
-      .orderBy(col("score").desc, col("id"))
-      .limit(topK)
       .select(col("id").as(idCol), col("score"))
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    * rrf(d) = Σ_sources 1/(rrfK + rank_source(d)), over the top
+    * `perSourceK` of each source; absent-from-a-source contributes 0.
+    * The standard way production RAG stacks combine BM25 with dense
+    * vector search — scores from incomparable scales fuse by RANK, so
+    * no calibration is needed.
+    *
+    * Scale shape: each source is truncated FIRST with orderBy+limit
+    * (TakeOrderedAndProject — bounded per-partition heaps over
+    * arbitrarily large score sets), and ranks are then assigned by a
+    * window over those <= perSourceK rows (single tiny partition by
+    * construction). The fuse join touches at most 2·perSourceK rows.
+    * Both source rankings must already be deterministic (rounded
+    * scores, id tie-breaks) — every graft scorer is.
+    *
+    * Inputs are (idCol, score) DataFrames; returns (idCol, rank_a,
+    * rank_b, rrf) — ranks as nullable longs (-1 = absent), rrf rounded
+    * to 6 dp, ordered by (rrf DESC, id), limited to topK. */
+  def hybridRrf(scoresA: DataFrame, scoresB: DataFrame, idCol: String,
+                perSourceK: Int = 50, rrfK: Int = 60, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(scores: DataFrame, rankCol: String): DataFrame =
+      scores.orderBy(col("score").desc, col(idCol)).limit(perSourceK)
+        .withColumn(rankCol,
+          row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("long"))
+        .select(col(idCol), col(rankCol))
+    val a = ranked(scoresA, "rank_a")
+    val b = ranked(scoresB, "rank_b")
+    val contrib = (r: Column) =>
+      when(r.isNotNull, lit(1.0) / (lit(rrfK.toDouble) + r.cast("double")))
+        .otherwise(lit(0.0))
+    a.join(b, Seq(idCol), "full_outer")
+      .withColumn("rrf", round(contrib(col("rank_a")) + contrib(col("rank_b")), 6))
+      .select(col(idCol),
+        coalesce(col("rank_a"), lit(-1L)).as("rank_a"),
+        coalesce(col("rank_b"), lit(-1L)).as("rank_b"),
+        col("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
   }
 }

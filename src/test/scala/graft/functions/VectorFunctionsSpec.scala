@@ -58,6 +58,25 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r(0).forall(q => q >= -127 && q <= 127))
   }
 
+  test("binarySign63: known bit patterns and truncation at 63 dims") {
+    // Bits set exactly where the dimension is strictly positive.
+    val d = Seq(
+      Seq(1.0, -2.0, 0.5, 0.0),            // bits 0 and 2 -> 5
+      Seq(-1.0, -1.0),                      // no bits
+      (0 until 64).map(_.toDouble + 1.0).toSeq // all positive; dim 63 ignored
+    ).toDF("v")
+    val r = d.select(binarySign63($"v").as("b")).as[Long].collect()
+    assert(r(0) == 5L)
+    assert(r(1) == 0L)
+    assert(r(2) == (1L << 63) - 1) // 63 low bits, never the sign bit
+  }
+
+  test("hammingDistance counts differing bits") {
+    val d = Seq((5L, 6L), (0L, 0L), ((1L << 63) - 1, 0L)).toDF("a", "b")
+    val r = d.select(hammingDistance($"a", $"b").as("h")).as[Int].collect()
+    assert(r sameElements Array(2, 0, 63))
+  }
+
   test("int8 round-trip keeps cosine within 0.5% on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(200).select($"vec_id", $"embedding".cast("array<double>").as("v"))

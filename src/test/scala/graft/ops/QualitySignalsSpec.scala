@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class QualitySignalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sig(text: String): Row =
+    QualitySignals.signals(Seq((1L, text)).toDF("id", "text"), "text")
+      .select("n_tokens", "distinct_token_ratio", "top_token_frac",
+        "dup_bigram_frac", "symbol_ratio", "gopher_keep")
+      .head
+
+  test("known values on a fully repetitive text") {
+    // "a a a a": 4 tokens, 1 distinct, top token 4/4, bigrams
+    // ["a a","a a","a a"] -> 2 of 3 duplicated, no symbols.
+    val r = sig("a a a a")
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 0.25)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 0.6667)
+    assert(r.getDouble(4) == 0.0)
+    assert(!r.getBoolean(5)) // repetitive + too short -> dropped
+  }
+
+  test("known values on a clean distinct text") {
+    val words = (1 to 12).map(i => s"w$i")
+    val r = sig(words.mkString(" "))
+    assert(r.getLong(0) == 12L)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 0.0833) // 1/12
+    assert(r.getDouble(3) == 0.0)
+    assert(r.getDouble(4) == 0.0)
+    assert(r.getBoolean(5))
+  }
+
+  test("symbol ratio counts non-alphanumeric-non-space chars") {
+    // "a# b$" -> 2 symbols of 5 chars = 0.4
+    val r = sig("a# b$")
+    assert(r.getDouble(4) == 0.4)
+  }
+
+  test("gopher_keep boundary: too-symbol-heavy text is dropped") {
+    val clean = (1 to 20).map(i => s"tok$i").mkString(" ")
+    assert(sig(clean).getBoolean(5))
+    val noisy = (1 to 20).map(i => s"t#k$i!").mkString(" ")
+    assert(!sig(noisy).getBoolean(5))
+  }
+}

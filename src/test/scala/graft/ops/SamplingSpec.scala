@@ -50,4 +50,52 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.byKey(rows, "id", 0.0).isEmpty)
     assert(Sampling.byKey(rows, "id", 1.0).count() == n)
   }
+
+  test("seededShuffle: a permutation, partition-independent, seed-sensitive") {
+    def run(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Sampling.seededShuffle(df, "id", nShards = 4, seed = seed)
+        .select("id", "shard", "shard_pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    val a = run(rows, "s1")
+    // every row exactly once, shard positions are 1..count(shard) dense
+    assert(a.map(_._1).distinct.size == n)
+    a.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted == (1L to g.size).toSeq)
+    }
+    assert(a == run(rows.repartition(17), "s1")) // partitioning-independent
+    assert(a != run(rows, "s2"))                 // seed changes the order
+  }
+
+  test("seededShuffle shards are roughly balanced") {
+    val counts = Sampling.seededShuffle(rows, "id", nShards = 4)
+      .groupBy("shard").count().collect().map(_.getLong(1))
+    assert(counts.length == 4)
+    assert(counts.forall(c => c > n / 4 * 0.8 && c < n / 4 * 1.2))
+  }
+
+  test("epochMix: integer weights repeat exactly, weight 0 drops") {
+    val mixed = Sampling.epochMix(rows, "id", "lang",
+      weights = Map("en" -> 2.0, "de" -> 0.0), defaultWeight = 1.0)
+    val byLang = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == 2L * (n / 4)) // copy_id 0 and 1 each
+    assert(!byLang.contains("de"))
+    assert(byLang("fr") == n / 2)
+    val copyIds = mixed.where($"lang" === "en").groupBy("copy_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(copyIds == Map(0 -> n / 4, 1 -> n / 4))
+  }
+
+  test("epochMix: fractional weights sample the extra epoch deterministically") {
+    val mixed = Sampling.epochMix(rows, "id", "lang",
+      weights = Map("en" -> 1.5), defaultWeight = 1.0)
+    val en = mixed.where($"lang" === "en").count().toDouble / (n / 4)
+    assert(en > 1.35 && en < 1.65) // ~1.5 epochs
+    val again = Sampling.epochMix(rows.repartition(13), "id", "lang",
+      weights = Map("en" -> 1.5), defaultWeight = 1.0)
+      .select("id", "copy_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val first = mixed.select("id", "copy_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(first == again) // row-for-row reproducible
+  }
 }

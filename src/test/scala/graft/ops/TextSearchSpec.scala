@@ -57,4 +57,46 @@ class TextSearchSpec extends SparkSpec {
   test("topK truncates") {
     assert(TextSearch.bm25(corpus, "doc_id", "text", terms, topK = 2).count() == 2)
   }
+
+  test("hybridRrf fuses two rankings by reciprocal rank, full-outer") {
+    // Source A ranks: 10 (1st), 20 (2nd); source B: 20 (1st), 30 (2nd).
+    val a = Seq((10L, 0.9), (20L, 0.8)).toDF("doc_id", "score")
+    val b = Seq((20L, 5.0), (30L, 4.0)).toDF("doc_id", "score")
+    val got = TextSearch.hybridRrf(a, b, "doc_id", perSourceK = 50,
+        rrfK = 60, topK = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank_a"),
+        r.getAs[Long]("rank_b"), r.getAs[Double]("rrf")))
+    def rrf6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 20 is in both lists -> highest fused score; absent ranks are -1.
+    assert(got(0) == ((20L, 2L, 1L, rrf6(1.0 / 62 + 1.0 / 61))))
+    assert(got(1) == ((10L, 1L, -1L, rrf6(1.0 / 61))))
+    assert(got(2) == ((30L, -1L, 2L, rrf6(1.0 / 62))))
+  }
+
+  test("hybridRrf ties break by id and perSourceK truncates sources") {
+    // Symmetric case: 1 only in A (rank 1), 2 only in B (rank 1) ->
+    // equal rrf, id order decides.
+    val a = Seq((1L, 1.0)).toDF("doc_id", "score")
+    val b = Seq((2L, 1.0)).toDF("doc_id", "score")
+    val ids = TextSearch.hybridRrf(a, b, "doc_id").collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids == Seq(1L, 2L))
+    // perSourceK = 1 keeps only the top row of each source.
+    val a2 = Seq((1L, 9.0), (2L, 8.0)).toDF("doc_id", "score")
+    val b2 = Seq((3L, 9.0), (4L, 8.0)).toDF("doc_id", "score")
+    val fused = TextSearch.hybridRrf(a2, b2, "doc_id", perSourceK = 1)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(fused == Set(1L, 3L))
+  }
+
+  test("bm25 equals bm25Scores ordered+limited (refactor parity)") {
+    val viaTop = TextSearch.bm25(corpus, "doc_id", "text", terms, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaScores = TextSearch.bm25Scores(corpus, "doc_id", "text", terms)
+      .orderBy($"score".desc, $"doc_id").limit(3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaTop == viaScores)
+  }
 }
