@@ -124,24 +124,6 @@ object SparkEntry {
                   JOIN lineitem ON l_orderkey = o_orderkey
       GROUP BY r_name, n_name""",
 
-    // TPC-H Q17 shape: correlated scalar subquery (per-part average),
-    // written decorrelated as the aggregate+join Spark executes anyway,
-    // so the text runs verbatim on both engines. The below-average
-    // comparison is kept EXACT by cross-multiplying instead of dividing:
-    // qty < 0.2 * (sq/cnt)  <=>  qty * cnt * 5 < sq  (all DECIMAL/int
-    // products, no rounding on either engine).
-    "q17_below_avg" -> """
-      WITH pa AS (
-        SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
-               count(*) AS cnt
-        FROM lineitem GROUP BY l_partkey)
-      SELECT p_brand, count(*) AS n_below,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS below_revenue
-      FROM lineitem JOIN pa ON lineitem.l_partkey = pa.l_partkey
-           JOIN part ON p_partkey = lineitem.l_partkey
-      WHERE CAST(l_quantity AS DECIMAL(18,2)) * cnt * 5 < sq
-      GROUP BY p_brand""",
-
     // Set operations: INTERSECT / EXCEPT between two customer cohorts
     // (buyers in building vs machinery segments by nation).
     "q_set_ops" -> """
@@ -319,8 +301,8 @@ object SparkEntry {
   private def qIvfSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
     val model = IvfIndex.fitCached(s"$dir/embeddings", emb, "embedding",
-      nlist = 8, maxIter = 3, initMode = "random", fitFraction = 0.5,
-      fitPartitions = 4)
+      nlist = 8, maxIter = 2, initMode = "random", fitFraction = 0.25,
+      fitPartitions = 2)
     val assigned = emb.withColumn("cluster", model.assignCol(col("embedding")))
     val qv = emb.where(col("vec_id") === 0).select("embedding")
       .head.getSeq[Float](0).map(_.toDouble)
@@ -619,6 +601,33 @@ object SparkEntry {
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total"))
   }
 
+  /** TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    * decorrelated to aggregate + join; the below-average comparison
+    * stays EXACT by cross-multiplying (qty*cnt*5 < sq — DECIMAL/int
+    * products, no rounding on either engine). DataFrame impl so the
+    * BUILD SIDES are explicit: without hints Catalyst broadcasts the
+    * pruned LINEITEM scan itself (fits the static 10 MB threshold at
+    * bench scale — and would OOM outright at 100 TB); the per-part
+    * aggregate (one row per distinct partkey — orders of magnitude
+    * smaller than the fact table) and the part dim are the sides that
+    * stay broadcastable at any scale, so they get the hints. The
+    * oracle keeps the equivalent WITH-form SQL. */
+  private def q17BelowAvg(s: SparkSession, dir: String): DataFrame = {
+    val l = table(s, dir, "lineitem")
+    val pa = l.groupBy("l_partkey").agg(
+      sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+      count(lit(1)).as("cnt"))
+    val part = table(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    l.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(pa), Seq("l_partkey"))
+      .where(col("l_quantity").cast("decimal(18,2)") * col("cnt") * 5 < col("sq"))
+      .join(broadcast(part), col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_below"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("below_revenue"))
+  }
+
   /** Gopher-style repetition/symbol quality signals (narrow projection;
     * the keep flag is decided on the ROUNDED signals). */
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
@@ -757,6 +766,7 @@ object SparkEntry {
       "q_json_extract"        -> (qJsonExtract _),
       "q_knn_classify"        -> (qKnnClassify _),
       "q_radius_search"       -> (qRadiusSearch _),
+      "q17_below_avg"         -> (q17BelowAvg _),
       "q_repetition"          -> (qRepetition _),
       "q_contamination"       -> (qContamination _),
       "q_pii_redact"          -> (qPiiRedact _),
@@ -831,6 +841,19 @@ object SparkEntry {
   private lazy val MinhashBSql = minhashB.mkString("[", ", ", "]")
 
   def oracleSql: Map[String, String] = SharedSql ++ Map(
+    // Q17 decorrelated form (the Spark side is the hinted DataFrame
+    // twin of exactly this text).
+    "q17_below_avg" -> """
+      WITH pa AS (
+        SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+               count(*) AS cnt
+        FROM lineitem GROUP BY l_partkey)
+      SELECT p_brand, count(*) AS n_below,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS below_revenue
+      FROM lineitem JOIN pa ON lineitem.l_partkey = pa.l_partkey
+           JOIN part ON p_partkey = lineitem.l_partkey
+      WHERE CAST(l_quantity AS DECIMAL(18,2)) * cnt * 5 < sq
+      GROUP BY p_brand""",
     "q_search_pipeline" -> s"""
       WITH raw AS (
         SELECT doc_id, list_transform(range(0, 64), j ->

@@ -50,14 +50,21 @@ object TextSearch {
       (sum(size(col("toks")).cast("long")).cast("double") /
         count(lit(1)).cast("double")).as("avgdl"))
     // Prune to query terms BEFORE exploding: the scan emits only hits
-    // (a few per doc), not every token of the corpus.
+    // (a few per doc), not every token of the corpus. tf and df both
+    // derive from this narrow projection INDEPENDENTLY — deriving df
+    // from the tf aggregate would execute tf's shuffle subtree twice
+    // (it appears under the broadcast AND in the main join).
     val termSet = typedlit(queryTerms.distinct)
-    val tf = toks
-      .select(col("id"), size(col("toks")).cast("double").as("dl"),
-        explode(filter(col("toks"), t => array_contains(termSet, t))).as("term"))
+    val hits = toks.select(col("id"), size(col("toks")).cast("double").as("dl"),
+      filter(col("toks"), t => array_contains(termSet, t)).as("hits"))
+    val tf = hits
+      .select(col("id"), col("dl"), explode(col("hits")).as("term"))
       .groupBy("id", "dl", "term").agg(count(lit(1)).cast("double").as("tf"))
-    val dfreq = tf.groupBy("term")
-      .agg(count_distinct(col("id")).cast("double").as("df"))
+    // df = docs whose (distinct) hit set contains the term — same value
+    // as count_distinct(id) over tf, one narrow pass + tiny shuffle.
+    val dfreq = hits
+      .select(explode(array_distinct(col("hits"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("w",
