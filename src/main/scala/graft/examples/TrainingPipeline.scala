@@ -5,21 +5,25 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashEmbedder
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.ops.{Dedup, Packing, TextAnalysis}
+import graft.ops.{Contamination, Dedup, Packing, Pii, QualitySignals, Sampling, TextAnalysis}
 
 /** End-to-end LLM training-data pipeline over the testdata corpus,
   * composing the library's operators the way a 100 TB run would:
   *
-  *   quality filter -> exact dedup -> near-dup removal (MinHash-LSH
-  *   pairs -> connected components -> keep canonical) -> chunk ->
-  *   embed -> int8-quantize -> pack into training sequences ->
-  *   write sharded parquet.
+  *   quality filter (language/length + Gopher repetition signals) ->
+  *   PII redaction -> exact dedup -> near-dup removal (MinHash-LSH
+  *   pairs -> connected components -> keep canonical) -> benchmark
+  *   decontamination -> domain mixing (per-language epochs) -> chunk
+  *   -> embed -> int8-quantize -> pack into training sequences ->
+  *   seeded deterministic shard shuffle -> write sharded parquet.
   *
   * Every stage is a declarative DataFrame transform: filters and
-  * projections reach the parquet scan, dedup joins shuffle on keys (no
-  * all-pairs anywhere), packing uses the bucketed two-phase cumsum, and
-  * the final write is partitioned by packed sequence bucket so a
-  * trainer can read shards independently.
+  * projections reach the parquet scan, dedup/decontamination joins
+  * shuffle on keys (no all-pairs anywhere), packing uses the bucketed
+  * two-phase cumsum, and the final write is partitioned by shard so a
+  * trainer can read shards independently — with the row order inside
+  * each shard fully determined by (seed, doc key), not by cluster
+  * shape.
   *
   * Run: sbt "runMain graft.examples.TrainingPipeline [sfDir] [outDir]"
   */
@@ -39,51 +43,77 @@ object TrainingPipeline {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"corpus: ${docs.count()} docs")
 
-    // 1. Quality gate: language + heuristic quality score.
-    val quality = TextAnalysis.analyze(docs, "text")
-      .where(col("quality") >= 0.5)
-      .select("doc_id", "text", "lang", "n_tokens")
-    println(s"after quality filter: ${quality.count()}")
+    // 1. Quality gate: language + heuristic quality score + Gopher
+    //    repetition/symbol signals.
+    val quality = QualitySignals.signals(
+        TextAnalysis.analyze(docs, "text")
+          .where(col("quality") >= 0.5)
+          .select("doc_id", "text", "lang", "n_tokens"), "text")
+      .where(col("gopher_keep"))
+      .select("doc_id", "text", "lang")
+    println(s"after quality + repetition filter: ${quality.count()}")
 
-    // 2. Exact dedup (normalized): keep the lowest doc_id per fingerprint.
-    val exactKept = quality.join(
-      Dedup.exact(quality, "doc_id", "text", normalize = true)
+    // 2. PII scrub (narrow regex pass; counts kept for auditing).
+    val scrubbed = Pii.redact(quality, "text", "clean_text")
+      .select(col("doc_id"), col("clean_text").as("text"), col("lang"))
+
+    // 3. Exact dedup (normalized): keep the lowest doc_id per fingerprint.
+    val exactKept = scrubbed.join(
+      Dedup.exact(scrubbed, "doc_id", "text", normalize = true)
         .select("doc_id"), Seq("doc_id"), "left_semi")
     println(s"after exact dedup: ${exactKept.count()}")
 
-    // 3. Near-dup removal: MinHash-LSH candidates -> connected
+    // 4. Near-dup removal: MinHash-LSH candidates -> connected
     //    components -> one canonical doc per duplicate family.
     val pairs = Dedup.minhashLshPairs(exactKept, "doc_id", "text",
       n = 3, numHashes = 16, bands = 4, threshold = 0.5)
     val canonical = Dedup.keepCanonical(exactKept, "doc_id", pairs)
     println(s"after near-dup removal: ${canonical.count()}")
 
-    // 4. Chunk long docs into overlapping token windows.
-    val chunked = canonical.select(col("doc_id"), col("lang"),
+    // 5. Benchmark decontamination: drop docs sharing too many 3-grams
+    //    with the held-out "benchmark" slice (here: doc_id % 97 == 0).
+    val bench = docs.where(col("doc_id") % 97 === 0).select("doc_id", "text")
+    val decontaminated = Contamination.decontaminate(
+      canonical.where(col("doc_id") % 97 =!= 0), bench,
+      "doc_id", "text", n = 3, maxFrac = 0.8)
+    println(s"after decontamination: ${decontaminated.count()}")
+
+    // 6. Domain mixing: per-language epoch weights (dedup'd English is
+    //    abundant -> 1 epoch; others oversampled deterministically).
+    val mixed = Sampling.epochMix(decontaminated, "doc_id", "lang",
+      weights = Map("en" -> 1.0, "de" -> 2.0, "es" -> 1.5, "fr" -> 1.5),
+      defaultWeight = 1.0)
+    println(s"after domain mixing: ${mixed.count()} (with repeats)")
+
+    // 7. Chunk long docs into overlapping token windows.
+    val chunked = mixed.select(col("doc_id"), col("lang"), col("copy_id"),
         posexplode(TextFunctions.chunks(col("text"), chunkSize = 64, overlap = 8)))
       .withColumnRenamed("pos", "chunk_no").withColumnRenamed("col", "chunk")
     println(s"chunks: ${chunked.count()}")
 
-    // 5. Embed + int8-quantize (4x smaller vectors, cosine preserved to
+    // 8. Embed + int8-quantize (4x smaller vectors, cosine preserved to
     //    quantization error).
     val embedded = HashEmbedder(64).embed(chunked, "chunk", "vec")
       .withColumn("qvec", VectorFunctions.quantizeInt8(col("vec")))
       .drop("vec")
 
-    // 6. Pack chunks into fixed 2048-token training sequences (stable
-    //    (doc_id, chunk_no) order via a dense per-chunk id).
+    // 9. Pack chunks into fixed 2048-token training sequences (stable
+    //    (doc_id, copy_id, chunk_no) order via a dense per-chunk id).
     val withTokens = embedded
       .withColumn("chunk_tokens", TextFunctions.tokenCount(col("chunk")).cast("long"))
-      .withColumn("chunk_id",
-        col("doc_id") * 1000 + col("chunk_no")) // < 1000 chunks/doc at these sizes
+      .withColumn("chunk_id", // < 100 chunks/doc, < 10 copies at these sizes
+        col("doc_id") * 1000 + col("copy_id") * 100 + col("chunk_no"))
     val packed = Packing.packSequences(withTokens, "chunk_id", "chunk_tokens",
       capacity = 2048, bucketWidth = 1 << 20)
     val nSeqs = packed.agg(max("seq_id")).head.getLong(0) + 1
     println(s"packed into $nSeqs sequences of <=2048 tokens")
 
-    // 7. Shard by sequence bucket so trainers stream shards independently.
-    packed
-      .withColumn("shard", (col("seq_id") % 8).cast("int"))
+    // 10. Seeded deterministic shuffle into shards: training order is a
+    //     pure function of (seed, chunk_id) — rerunning on a different
+    //     cluster shape reproduces byte-identical shards.
+    val sharded = Sampling.seededShuffle(packed, "chunk_id", nShards = 8,
+      seed = "epoch0")
+    sharded
       .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/shards")
     val written = spark.read.parquet(s"$outDir/shards")
     println(s"wrote ${written.count()} rows to $outDir/shards " +
