@@ -720,6 +720,16 @@ object SparkEntry {
       .select(col("vec_id"), col("hamming"), col("score"))
   }
 
+  /** Duplicate-span mass per document (substring-level dedup signal,
+    * 8-token sliding windows shared across >= 2 docs). */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpanFraction(table(s, dir, "documents"), "doc_id", "text",
+      window = 8)
+
+  /** Per-doc TF-IDF top-3 keyword extraction. */
+  private def qKeywords(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topKeywords(table(s, dir, "documents"), "doc_id", "text", k = 3)
+
   // ==================================================================
   // Contract maps
   // ==================================================================
@@ -773,7 +783,9 @@ object SparkEntry {
       "q_hybrid_rrf"          -> (qHybridRrf _),
       "q_shuffle_shards"      -> (qShuffleShards _),
       "q_domain_mix"          -> (qDomainMix _),
-      "q_binary_hamming"      -> (qBinaryHamming _)
+      "q_binary_hamming"      -> (qBinaryHamming _),
+      "q_dup_spans"           -> (qDupSpans _),
+      "q_keywords"            -> (qKeywords _)
     )
 
   // ==================================================================
@@ -1415,6 +1427,43 @@ object SparkEntry {
             FROM b, q WHERE b.vec_id <> 0),
       c AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 100)
       SELECT vec_id, hamming, round(list_cosine_similarity(ev, qv), 4) AS score
-      FROM c ORDER BY score DESC, vec_id LIMIT 10"""
+      FROM c ORDER BY score DESC, vec_id LIMIT 10""",
+
+    // Duplicate 8-token spans across documents; spans are distinct
+    // within a doc, so count(*) per span == document count.
+    "q_dup_spans" -> """
+      WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+                         i -> array_to_string(toks[i:i+7], ' '))) END AS sh
+             FROM docs),
+      e AS (SELECT doc_id, len(sh) AS n_spans, unnest(sh) AS span FROM sh),
+      d AS (SELECT span FROM e GROUP BY span HAVING count(*) >= 2)
+      SELECT e.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+             CAST(count(*) AS BIGINT) AS n_dup_spans,
+             round(CAST(count(*) AS DOUBLE) / CAST(n_spans AS DOUBLE), 4)
+               AS dup_span_frac
+      FROM e JOIN d USING (span)
+      GROUP BY e.doc_id, n_spans""",
+
+    // TF-IDF top-3 keywords per doc: weight = tf * ln((1+N)/(1+df)),
+    // rounded to 6 dp BEFORE the per-doc rank, token tie-break.
+    "q_keywords" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      w AS (SELECT tf.doc_id, tf.token,
+              round(CAST(tf.tf AS DOUBLE) *
+                ln((1.0 + CAST(n.n_docs AS DOUBLE)) / (1.0 + CAST(dfq.df AS DOUBLE))), 6)
+                AS weight
+            FROM tf JOIN dfq USING (token), n),
+      r AS (SELECT doc_id, token, weight,
+              row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, token) AS rank
+            FROM w)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, weight
+      FROM r WHERE rank <= 3"""
   )
 }

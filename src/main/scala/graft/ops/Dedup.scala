@@ -340,6 +340,46 @@ object Dedup {
     }
   }
 
+  /** Duplicate token spans ACROSS documents — substring-level
+    * deduplication signal in the spirit of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better", see
+    * PAPERS.md): a span is a sliding `window`-token n-gram; any span
+    * occurring in >= 2 distinct documents is duplicated text that
+    * document-level dedup missed (boilerplate, quotes, templates).
+    * Returns (span, n_docs). Scale shape: explode + one hash-shuffle
+    * groupBy on the span — the count per span equals the document
+    * count because spans are distinct within a doc. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 8): DataFrame =
+    df.select(explode(TextFunctions.shingles(col(textCol), window)).as("span"))
+      .groupBy("span").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+
+  /** Per-document duplicated-span mass: how much of each doc's span set
+    * also occurs elsewhere in the corpus — the filter column for
+    * span-level dedup policies. Returns (idCol, n_spans, n_dup_spans,
+    * dup_span_frac) for docs with >= 1 duplicated span. The span-count
+    * side comes narrowly from the shingle-array length; the join
+    * against the duplicated-span set is a plain equi-join on the span
+    * key (hash-shuffles and scales out; NOT broadcast — at corpus
+    * scale the duplicated-span set is large). */
+  def duplicateSpanFraction(df: DataFrame, idCol: String, textCol: String,
+                            window: Int = 8): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"),
+      TextFunctions.shingles(col(textCol), window).as("shs"))
+    val spans = withSh.select(col("id"), size(col("shs")).as("n_spans"),
+      explode(col("shs")).as("span"))
+    val dups = duplicateSpans(df, idCol, textCol, window).select("span")
+    spans.join(dups, "span")
+      .groupBy(col("id"), col("n_spans"))
+      .agg(count(lit(1)).as("n_dup_spans"))
+      .select(col("id").as(idCol),
+        col("n_spans").cast("long").as("n_spans"),
+        col("n_dup_spans").cast("long").as("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans").cast("double"), 4)
+          .as("dup_span_frac"))
+  }
+
   /** End-to-end near-dup removal: given detector `pairs`, keep exactly
     * one document (the minimum id) per duplicate family and every
     * document that matched nothing. The anti-join ships only the

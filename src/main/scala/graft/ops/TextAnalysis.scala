@@ -26,4 +26,35 @@ object TextAnalysis {
       .withColumn("lang_guess", langGuess(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** Per-document TF-IDF top-k keyword extraction: tf = in-doc term
+    * count, idf = ln((1 + N) / (1 + df)) (smoothed — never negative,
+    * defined for df = N), weight = tf * idf rounded to 6 dp BEFORE the
+    * per-doc rank with a token tie-break, so the selected keywords are
+    * engine- and partitioning-independent.
+    *
+    * Scale shape: one explode + (doc, token) hash-shuffle agg with
+    * map-side combine; df is a token-keyed agg over the distinct
+    * (doc, token) pairs, broadcast back; the corpus size N is a scalar
+    * broadcast; the per-doc top-k is a window PARTITIONED BY doc —
+    * parallel in the number of documents, never a global sort. */
+  def topKeywords(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val w = tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("weight", round(col("tf").cast("double") *
+        log((lit(1.0) + col("n_docs").cast("double")) /
+          (lit(1.0) + col("df").cast("double"))), 6))
+    w.withColumn("rank", row_number().over(
+        Window.partitionBy("id").orderBy(col("weight").desc, col("token"))))
+      .where(col("rank") <= k)
+      .select(col("id").as(idCol), col("rank").cast("long").as("rank"),
+        col("token"), col("weight"))
+  }
 }

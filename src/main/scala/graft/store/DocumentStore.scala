@@ -8,7 +8,9 @@ import org.apache.spark.sql.types.{LongType, StructField}
 
 import graft._
 import graft.embed.Embedder
+import graft.functions.VectorFunctions
 import graft.index.{IvfIndex, VectorIndex}
+import graft.ops.TextSearch
 
 /** The VectorStore-equivalent facade (reference:
   * src/langchain_memvid/vectorstore.py — `MemVid`): ingest, top-k
@@ -371,6 +373,42 @@ final class DocumentStore private (
         config.metric, scoreCol = "similarity", tieBreak = Seq("id"))
       .select(col("query"), col("rank"), col("id").as("doc_id"), col("text"),
         col("source"), col("category"), col("similarity"),
+        lit("essential").as("metadata_type"))
+  }
+
+  /** Hybrid retrieval over the store: BM25 keyword relevance on the
+    * essential text fused with dense vector search by reciprocal-rank
+    * fusion (TextSearch.hybridRrf) — the lexical+semantic combination
+    * production RAG stacks run. For l2 the vector score is negated
+    * before fusion so "higher = better" holds for the rank; the rrf
+    * column is the fused score. The k fused ids are materialized
+    * driver-side and pushed into the essential scan as an isin filter
+    * (same scale shape as full-metadata enrichment: predicate pushdown
+    * reads only k rows, which become the broadcast build side). */
+  def hybridSearch(query: String, queryTerms: Seq[String], k: Int = 4,
+                   perSourceK: Int = 50, rrfK: Int = 60): DataFrame = {
+    require(manifest.count > 0, "store is empty or not built")
+    val qv = embedder.embedQuery(query)
+    val vecScores = VectorIndex.topK(searchSpace(qv), "vec", qv.toSeq,
+        perSourceK, config.metric, scoreCol = "score", tieBreak = Seq("id"))
+      .select(col("id"), col("score"))
+    val vecForFuse =
+      if (VectorFunctions.higherIsBetter(config.metric)) vecScores
+      else vecScores.withColumn("score", -col("score"))
+    val bmScores = TextSearch.bm25Scores(
+      essential.select(col("id"), col("text")), "id", "text", queryTerms)
+    val fused = TextSearch.hybridRrf(bmScores, vecForFuse, "id",
+      perSourceK, rrfK, k).collect()
+    import spark.implicits._
+    val fusedDf = fused.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq.toDF("id", "rank_keyword", "rank_vector", "rrf")
+    val matching = essential
+      .where(col("id").isin(fused.map(_.getLong(0)): _*))
+      .select(col("id"), col("text"), col("source"), col("category"))
+    fusedDf.join(broadcast(matching), Seq("id"), "left")
+      .orderBy(col("rrf").desc, col("id"))
+      .select(col("id").as("doc_id"), col("text"), col("source"),
+        col("category"), col("rrf"), col("rank_keyword"), col("rank_vector"),
         lit("essential").as("metadata_type"))
   }
 

@@ -140,4 +140,26 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(brute))
     assert(lsh.contains((0L, 1L)))
   }
+
+  test("duplicateSpans finds cross-doc shared windows; fraction is per-doc") {
+    import spark.implicits._
+    // 3-token windows: docs 1 and 2 share "p q r" and "q r s";
+    // doc 3 shares nothing; doc 4 repeats doc 1's span too.
+    val spanDocs = Seq(
+      (1L, "p q r s x"),
+      (2L, "a p q r s"),
+      (3L, "u v w y z"),
+      (4L, "m p q r n")).toDF("id", "text")
+    val spans = Dedup.duplicateSpans(spanDocs, "id", "text", window = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spans == Map("p q r" -> 3L, "q r s" -> 2L))
+    val frac = Dedup.duplicateSpanFraction(spanDocs, "id", "text", window = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // docs 1/2 have 3 windows, 2 duplicated; doc 4 has 3 windows, 1 dup.
+    assert(frac(1L) == ((3L, 2L, 0.6667)))
+    assert(frac(2L) == ((3L, 2L, 0.6667)))
+    assert(frac(4L) == ((3L, 1L, 0.3333)))
+    assert(!frac.contains(3L))
+  }
 }

@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha alpha beta common"),
+    (2L, "beta gamma common"),
+    (3L, "common common common")).toDF("id", "text")
+
+  test("topKeywords ranks by tf*idf with deterministic ties") {
+    val got = TextAnalysis.topKeywords(docs, "id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .groupBy(_._1)
+    // N=3. idf: alpha df=1 -> ln(4/2)=ln2; beta df=2 -> ln(4/3);
+    // gamma df=1 -> ln2; common df=3 -> ln(4/4)=0.
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln2 = r6(math.log(2.0)); val ln43 = r6(math.log(4.0 / 3.0))
+    // doc 1: alpha tf=2 -> 2ln2 top; beta ln(4/3) second.
+    assert(got(1L).sortBy(_._2).map(t => (t._3, t._4)).toSeq ==
+      Seq(("alpha", r6(2 * math.log(2.0))), ("beta", ln43)))
+    // doc 2: gamma ln2 top, beta second.
+    assert(got(2L).sortBy(_._2).map(t => (t._3, t._4)).toSeq ==
+      Seq(("gamma", ln2), ("beta", ln43)))
+    // doc 3: only 'common' (weight 0) -> still ranked, weight 0.
+    assert(got(3L).map(t => (t._3, t._4)).toSeq == Seq(("common", 0.0)))
+  }
+
+  test("topKeywords k truncates per doc and rank is dense from 1") {
+    val one = TextAnalysis.topKeywords(docs, "id", "text", k = 1)
+    assert(one.count() == 3)
+    assert(one.select("rank").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+}

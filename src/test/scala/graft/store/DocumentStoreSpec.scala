@@ -42,6 +42,27 @@ class DocumentStoreSpec extends SparkSpec {
     assert(sims.sorted.reverse.toSeq == sims.toSeq)
   }
 
+  test("hybridSearch fuses keyword and vector ranks (RRF) over the store") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    val hits = store.hybridSearch("programming languages",
+      queryTerms = Seq("programming", "language"), k = 3).collect()
+    assert(hits.length == 3)
+    assert(hits.head.schema.fieldNames.toSeq == Seq("doc_id", "text", "source",
+      "category", "rrf", "rank_keyword", "rank_vector", "metadata_type"))
+    // The only doc containing both query terms must fuse to the top.
+    assert(hits.head.getAs[String]("text").contains("programming language"))
+    assert(hits.head.getAs[Long]("rank_keyword") == 1L)
+    // rrf sorted desc; every returned doc was ranked by >= 1 source
+    val rrfs = hits.map(_.getAs[Double]("rrf"))
+    assert(rrfs.sorted.reverse.toSeq == rrfs.toSeq)
+    assert(hits.forall(r => r.getAs[Long]("rank_keyword") > 0 ||
+      r.getAs[Long]("rank_vector") > 0))
+    // deterministic: same call, same rows
+    val again = store.hybridSearch("programming languages",
+      queryTerms = Seq("programming", "language"), k = 3).collect()
+    assert(again.map(_.toString).toSeq == hits.map(_.toString).toSeq)
+  }
+
   test("full-metadata enrichment joins payload and tags metadata_type=full") {
     val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
     val hits = store.similaritySearch("foxes", k = 2, includeFullMetadata = true).collect()
