@@ -15,7 +15,9 @@ object PlanAudit {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val which = if (args.nonEmpty) args.toSet
       else Set("q_topk_cosine", "q3_top_orders", "q_knn_batch",
-        "q_dedup_minhash_lsh", "q_range_join", "q_multimodal")
+        "q_dedup_minhash_lsh", "q_range_join", "q_multimodal",
+        "q17_below_avg", "q_hybrid_rrf", "q_contamination",
+        "q_binary_hamming", "q_dup_spans")
     graft.SparkEntry.queries.filter(kv => which(kv._1)).foreach { case (name, fn) =>
       println(s"\n========== $name ==========")
       println(fn(spark, dir).queryExecution.explainString(
