@@ -203,6 +203,26 @@ object SparkEntry {
         ON b.o_custkey = c.c_custkey
       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
 
+    // TPC-H Q13 shape: LEFT OUTER join with a predicate INSIDE the join
+    // condition (customers keep their row at count 0), then a
+    // distribution over the grouped counts — two chained aggregations.
+    "q13_custdist" -> """
+      SELECT c_count, count(*) AS custdist FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0
+        GROUP BY c.c_custkey) t
+      GROUP BY c_count""",
+
+    // ntile window: quartile assignment per customer by order value
+    // (deterministic: total order includes the key tie-break).
+    "q_ntile_quartiles" -> """
+      SELECT o_orderkey, o_custkey,
+             CAST(ntile(4) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+               AS quartile
+      FROM orders""",
+
     // Per-group top-k (window over text features): 3 longest docs/lang.
     "q_top_per_lang" -> """
       SELECT lang, doc_id, n_chars, CAST(rn AS BIGINT) AS rn FROM (
