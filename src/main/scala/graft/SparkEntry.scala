@@ -750,6 +750,10 @@ object SparkEntry {
   private def qKeywords(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topKeywords(table(s, dir, "documents"), "doc_id", "text", k = 3)
 
+  /** Corpus-unigram LM surprisal per doc (perplexity-family filter). */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramSurprisal(table(s, dir, "documents"), "doc_id", "text")
+
   // ==================================================================
   // Contract maps
   // ==================================================================
@@ -805,7 +809,8 @@ object SparkEntry {
       "q_domain_mix"          -> (qDomainMix _),
       "q_binary_hamming"      -> (qBinaryHamming _),
       "q_dup_spans"           -> (qDupSpans _),
-      "q_keywords"            -> (qKeywords _)
+      "q_keywords"            -> (qKeywords _),
+      "q_lm_score"            -> (qLmScore _)
     )
 
   // ==================================================================
@@ -1484,6 +1489,22 @@ object SparkEntry {
               row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, token) AS rank
             FROM w)
       SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, weight
-      FROM r WHERE rank <= 3"""
+      FROM r WHERE rank <= 3""",
+
+    // Corpus-unigram surprisal: p(t) = (n_t + 1)/(T + V); per-token
+    // -ln p rounded to 6 dp, summed through exact DECIMAL, averaged.
+    "q_lm_score" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                   FROM documents),
+      vocab AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+      tot AS (SELECT CAST(sum(n) AS DOUBLE) AS T, CAST(count(*) AS DOUBLE) AS V
+              FROM vocab),
+      s AS (SELECT tok.doc_id,
+              round(-ln((CAST(vocab.n AS DOUBLE) + 1.0) / (tot.T + tot.V)), 6) AS sp
+            FROM tok JOIN vocab USING (t), tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(CAST(sum(CAST(sp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+               AS avg_surprisal
+      FROM s GROUP BY doc_id"""
   )
 }

@@ -27,6 +27,39 @@ object TextAnalysis {
       .withColumn("fingerprint", fingerprint(t))
   }
 
+  /** CCNet-style language-model quality score (Wenzek et al. 2019 use
+    * wiki-LM perplexity to rank web text; see PAPERS.md): average
+    * surprisal per token under the CORPUS unigram distribution with
+    * add-one smoothing, p(t) = (n_t + 1) / (T + V). Low surprisal =
+    * typical text, high = gibberish/outlier vocabulary — the cheap,
+    * external-model-free member of the perplexity-filter family.
+    *
+    * Determinism: per-token surprisal is rounded to 6 dp and summed
+    * through exact DECIMAL (token order can't matter), then averaged
+    * and rounded to 4 dp — engine- and partitioning-independent.
+    *
+    * Scale shape: one token explode + token-keyed vocab agg; the
+    * token→count join hash-shuffles on the token key (the vocab of a
+    * 100 TB corpus is NOT broadcastable); corpus totals are a scalar
+    * broadcast; the final per-doc agg partitions by doc. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("n"))
+    // "total"/"vsize", not T/V: Spark's default case-insensitive
+    // resolution would make a `T` column ambiguous with the token `t`.
+    val tot = vocab.agg(sum("n").cast("double").as("total"),
+      count(lit(1)).cast("double").as("vsize"))
+    tok.join(vocab, "t")
+      .crossJoin(broadcast(tot))
+      .withColumn("sp",
+        round(-log((col("n").cast("double") + 1.0) / (col("total") + col("vsize"))), 6))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(sum(col("sp").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)
+          .as("avg_surprisal"))
+      .select(col("id").as(idCol), col("n_tokens"), col("avg_surprisal"))
+  }
+
   /** Per-document TF-IDF top-k keyword extraction: tf = in-doc term
     * count, idf = ln((1 + N) / (1 + df)) (smoothed — never negative,
     * defined for df = N), weight = tf * idf rounded to 6 dp BEFORE the

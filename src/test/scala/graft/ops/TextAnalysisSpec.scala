@@ -34,4 +34,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one.count() == 3)
     assert(one.select("rank").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("unigramSurprisal matches a hand-computed reference") {
+    // Corpus: "a a b" / "b c". Vocab: a->2, b->2, c->1; T=5, V=3.
+    val tiny = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
+    def sp(n: Long) = BigDecimal(-math.log((n + 1.0) / 8.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def avg4(xs: Seq[BigDecimal]) =
+      (xs.sum / xs.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.unigramSurprisal(tiny, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((3L, avg4(Seq(sp(2), sp(2), sp(2))))))
+    assert(got(2L) == ((2L, avg4(Seq(sp(2), sp(1))))))
+    // rarer vocabulary -> higher surprisal
+    assert(got(2L)._2 > got(1L)._2)
+  }
 }
