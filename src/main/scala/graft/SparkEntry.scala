@@ -754,6 +754,29 @@ object SparkEntry {
   private def qLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramSurprisal(table(s, dir, "documents"), "doc_id", "text")
 
+  /** Chunk -> embed -> mean-pool back to one vector per document,
+    * through the exact fixed-point vector-sum aggregate
+    * (VectorSumFixed6Agg); verified by integer micro-sum stats plus
+    * one derived mean cell (arrays don't hash-compare, integers do). */
+  private def qMeanPool(s: SparkSession, dir: String): DataFrame = {
+    val chunked = table(s, dir, "documents").select(col("doc_id"),
+      explode(graft.functions.TextFunctions.chunks(col("text"), 32, 8)).as("chunk"))
+    val embedded = embedder.embed(chunked, "chunk", "vec")
+    graft.ops.Pooling.meanPool(embedded, "doc_id", "vec")
+      .select(col("doc_id"),
+        col("n_vecs").cast("long").as("n_chunks"),
+        aggregate(col("sum_micro"), lit(0L), (a, x) => a + x).as("micro_total"),
+        array_min(col("sum_micro")).as("micro_min"),
+        array_max(col("sum_micro")).as("micro_max"),
+        // UNROUNDED division: exact-integer inputs -> the IEEE quotient
+        // is bit-identical in any engine, whereas round(x, 6) here
+        // lands exactly on half-ulp boundaries (integer micros over
+        // small denominators), where Spark's HALF_UP and DuckDB's
+        // half-even double rounding disagree.
+        (element_at(col("sum_micro"), 1).cast("double") /
+          (lit(1e6) * col("n_vecs"))).as("mean_dim0"))
+  }
+
   // ==================================================================
   // Contract maps
   // ==================================================================
@@ -810,7 +833,8 @@ object SparkEntry {
       "q_binary_hamming"      -> (qBinaryHamming _),
       "q_dup_spans"           -> (qDupSpans _),
       "q_keywords"            -> (qKeywords _),
-      "q_lm_score"            -> (qLmScore _)
+      "q_lm_score"            -> (qLmScore _),
+      "q_mean_pool"           -> (qMeanPool _)
     )
 
   // ==================================================================
@@ -1505,6 +1529,39 @@ object SparkEntry {
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
              round(CAST(sum(CAST(sp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
                AS avg_surprisal
-      FROM s GROUP BY doc_id"""
+      FROM s GROUP BY doc_id""",
+
+    // Mean pooling: chunk (q_chunk's shape) -> hash-embed
+    // (q_search_pipeline's shape) -> per-(doc,dim) TRUNCATED-micro
+    // integer sums — exactly VectorSumFixed6Agg's fixed point, which is
+    // merge-order-free, so one per-dim grouped sum replays it.
+    "q_mean_pool" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      nn AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+      c AS (SELECT doc_id, toks,
+              CASE WHEN n <= 32 THEN 1
+                   ELSE CAST(floor(CAST(n - 32 + 23 AS DOUBLE) / 24) AS BIGINT) + 1 END AS nchunks
+            FROM nn),
+      u AS (SELECT doc_id,
+              array_to_string(toks[(CAST(i AS INT) * 24 + 1):(CAST(i AS INT) * 24 + 32)], ' ') AS chunk
+            FROM (SELECT doc_id, toks, unnest(range(0, nchunks)) AS i FROM c)),
+      raw AS (SELECT doc_id, list_transform(range(0, 64), j ->
+                CAST(${dk60("CAST(j AS VARCHAR) || ':' || chunk")} % 2000001 AS DOUBLE) / 1000000.0 - 1.0) AS r
+              FROM u),
+      vn AS (SELECT doc_id,
+               list_transform(r, x -> x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS v
+             FROM raw),
+      m AS (SELECT doc_id, j,
+              CAST(trunc(v[CAST(j + 1 AS INT)] * 1000000.0) AS BIGINT) AS micro
+            FROM vn, range(0, 64) rr(j)),
+      d AS (SELECT doc_id, j, CAST(sum(micro) AS BIGINT) AS ds FROM m GROUP BY doc_id, j),
+      cnt AS (SELECT doc_id, count(*) AS n_chunks FROM u GROUP BY doc_id)
+      SELECT d.doc_id, CAST(cnt.n_chunks AS BIGINT) AS n_chunks,
+             CAST(sum(ds) AS BIGINT) AS micro_total,
+             min(ds) AS micro_min, max(ds) AS micro_max,
+             CAST(min(CASE WHEN j = 0 THEN ds END) AS DOUBLE) /
+               (1000000.0 * cnt.n_chunks) AS mean_dim0
+      FROM d JOIN cnt USING (doc_id)
+      GROUP BY d.doc_id, cnt.n_chunks"""
   )
 }

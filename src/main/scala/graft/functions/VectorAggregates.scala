@@ -1,0 +1,104 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Element-wise vector sum aggregate in exact 1e-6 fixed point — the
+  * custom `TypedImperativeAggregate` behind [[graft.ops.Pooling]]
+  * (chunk-embedding -> document-embedding mean pooling).
+  *
+  * Why fixed point: a float element-wise sum would depend on the
+  * merge order of partial buffers (partitioning, AQE, speculative
+  * tasks), breaking graft's everything-is-reproducible contract. Each
+  * element is quantized by TRUNCATION toward zero at 1e-6
+  * (`(x * 1e6).toLong` — exactly `CAST(x * 1000000.0 AS BIGINT)`'s
+  * truncating Spark semantics and DuckDB's `trunc()`; deliberately not
+  * half-up rounding, whose float pre-add `floor(x + 0.5)` is NOT
+  * reproducible across engines at the ulp), and the sums are exact
+  * 64-bit integer adds — associative, commutative, merge-order-free.
+  * Headroom: |element| <= 1 (unit vectors) gives 2^63 / 1e6 ≈ 9.2e12
+  * rows per group before overflow.
+  *
+  * Buffers are primitive long arrays (8 bytes/dim); partial
+  * aggregation (map-side combine) applies as with any Spark aggregate.
+  * Ragged input lengths widen the buffer; missing tail elements count
+  * as zero. Null input arrays are skipped; an all-null group returns
+  * null.
+  */
+case class VectorSumFixed6Agg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  // (ExpectsInputTypes is unusable outside org.apache.spark.sql —
+  // AbstractDataType is private[sql] in Spark 4 — so check directly.)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_vec_sum_micro"
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val b = if (buffer.length >= n) buffer
+        else java.util.Arrays.copyOf(buffer, n)
+      var i = 0
+      while (i < n) {
+        b(i) += (arr.getDouble(i) * 1e6).toLong
+        i += 1
+      }
+      b
+    }
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    val (big, small) =
+      if (buffer.length >= other.length) (buffer, other) else (other, buffer)
+    var i = 0
+    while (i < small.length) { big(i) += small(i); i += 1 }
+    big
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer.length == 0) null else new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    var i = 0
+    while (i < buffer.length) { bb.putLong(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumFixed6Agg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSumFixed6Agg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorSumFixed6Agg =
+    copy(child = newChild)
+}

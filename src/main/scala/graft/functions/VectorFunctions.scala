@@ -111,14 +111,26 @@ object VectorFunctions {
     * [[cosineSimilarity]] — see q_binary_hamming. */
   def binarySign63(a: Column): Column =
     TextFunctions.let1(asDouble(a)) { v =>
-      aggregate(sequence(lit(0), least(size(v), lit(63)) - 1), lit(0L),
-        (acc, j) => acc + when(element_at(v, (j + 1).cast("int")) > 0.0,
-          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+      // Guard the empty vector: sequence(0, -1) would DESCEND and feed
+      // element_at an index of 0 (an error under ANSI mode).
+      when(size(v) === 0, lit(0L)).otherwise(
+        aggregate(sequence(lit(0), least(size(v), lit(63)) - 1), lit(0L),
+          (acc, j) => acc + when(element_at(v, (j + 1).cast("int")) > 0.0,
+            call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))))
     }
 
   /** Hamming distance between two bit-packed longs. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Element-wise vector SUM aggregate in exact 1e-6 fixed point
+    * (micros) — merge-order-free by construction; see
+    * [[VectorSumFixed6Agg]]. Returns `array<long>` of per-dimension
+    * micro sums (null for an all-null group). */
+  def vecSumMicro(a: Column): Column =
+    GraftSqlBridge.column(
+      VectorSumFixed6Agg(GraftSqlBridge.expression(asDouble(a)))
+        .toAggregateExpression())
 
   /** Score column for a metric name, mirroring the reference's metric
     * domain `cosine | ip | l2` (config.py:119-123). For l2 the score is

@@ -69,6 +69,10 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r(0) == 5L)
     assert(r(1) == 0L)
     assert(r(2) == (1L << 63) - 1) // 63 low bits, never the sign bit
+    // empty vector -> 0 (would otherwise error under ANSI element_at)
+    val e = Seq(Seq.empty[Double]).toDF("v")
+      .select(binarySign63($"v").as("b")).as[Long].collect()
+    assert(e(0) == 0L)
   }
 
   test("hammingDistance counts differing bits") {

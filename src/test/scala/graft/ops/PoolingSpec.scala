@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class PoolingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("meanPool: exact micro sums and rounded means, hand-checked") {
+    val df = Seq(
+      (1L, Seq(0.5, -0.25)),
+      (1L, Seq(0.1, 0.75)),
+      (2L, Seq(1.0, 0.0))).toDF("id", "v")
+    val got = Pooling.meanPool(df, "id", "v").collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2), r.getSeq[Double](3))))
+      .toMap
+    assert(got(1L) == ((Seq(600000L, 500000L), 2L, Seq(0.3, 0.25))))
+    assert(got(2L) == ((Seq(1000000L, 0L), 1L, Seq(1.0, 0.0))))
+  }
+
+  test("meanPool is partitioning-independent (merge-order-free fixed point)") {
+    val rows = (0 until 1000).map(i =>
+      ((i % 7).toLong, Seq(math.sin(i.toDouble), math.cos(i.toDouble), i / 1000.0)))
+    val df = rows.toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Pooling.meanPool(d, "id", "v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Double](3)))
+        .sortBy(_._1).toSeq
+    assert(run(df) == run(df.repartition(13)))
+    assert(run(df) == run(df.coalesce(1)))
+  }
+
+  test("meanPool: ragged lengths widen with zero-fill; nulls are skipped") {
+    val df = Seq(
+      (1L, Some(Seq(1.0))),
+      (1L, Some(Seq(1.0, 2.0))),
+      (1L, None),
+      (2L, None)).toDF("id", "v")
+    val got = Pooling.meanPool(df, "id", "v").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getSeq[Long](1)), r.getLong(2)))
+      .toMap
+    assert(got(1L) == ((Seq(2000000L, 2000000L), 2L)))
+    assert(got(2L) == ((null, 0L))) // all-null group -> null sum
+  }
+
+  test("truncation quantization matches the SQL cast twin") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val df = Seq(Seq(0.1234567, -0.9999995, 0.0000004)).toDF("v")
+    val viaAgg = df.groupBy(lit(1)).agg(VectorFunctions.vecSumMicro($"v").as("s"))
+      .select("s").as[Seq[Long]].head
+    val viaSql = df.select(transform($"v",
+        x => (x * 1e6).cast("long")).as("s")).as[Seq[Long]].head
+    assert(viaAgg == viaSql)
+  }
+}
