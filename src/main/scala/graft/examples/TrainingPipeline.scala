@@ -72,47 +72,57 @@ object TrainingPipeline {
 
     // 5. Benchmark decontamination: drop docs sharing too many 3-grams
     //    with the held-out "benchmark" slice (here: doc_id % 97 == 0).
-    val bench = docs.where(col("doc_id") % 97 === 0).select("doc_id", "text")
+    //    The bench side goes through the SAME PII redaction so both
+    //    texts live in one n-gram space — a copied benchmark passage
+    //    containing an email must still collide after scrubbing.
+    val bench = docs.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), Pii.redactCol(col("text")).as("text"))
     val decontaminated = Contamination.decontaminate(
       canonical.where(col("doc_id") % 97 =!= 0), bench,
       "doc_id", "text", n = 3, maxFrac = 0.8)
     println(s"after decontamination: ${decontaminated.count()}")
 
-    // 6. Domain mixing: per-language epoch weights (dedup'd English is
-    //    abundant -> 1 epoch; others oversampled deterministically).
-    val mixed = Sampling.epochMix(decontaminated, "doc_id", "lang",
-      weights = Map("en" -> 1.0, "de" -> 2.0, "es" -> 1.5, "fr" -> 1.5),
-      defaultWeight = 1.0)
-    println(s"after domain mixing: ${mixed.count()} (with repeats)")
-
-    // 7. Chunk long docs into overlapping token windows.
-    val chunked = mixed.select(col("doc_id"), col("lang"), col("copy_id"),
+    // 6. Chunk long docs into overlapping token windows.
+    val chunked = decontaminated.select(col("doc_id"), col("lang"),
         posexplode(TextFunctions.chunks(col("text"), chunkSize = 64, overlap = 8)))
       .withColumnRenamed("pos", "chunk_no").withColumnRenamed("col", "chunk")
     println(s"chunks: ${chunked.count()}")
 
-    // 8. Embed + int8-quantize (4x smaller vectors, cosine preserved to
+    // 7. Embed + int8-quantize (4x smaller vectors, cosine preserved to
     //    quantization error).
     val embedded = HashEmbedder(64).embed(chunked, "chunk", "vec")
       .withColumn("qvec", VectorFunctions.quantizeInt8(col("vec")))
       .drop("vec")
 
+    // 8. Domain mixing AFTER embedding: epoch copies are byte-identical,
+    //    so embedding before mixing computes each vector once, not once
+    //    per epoch. Keyed by doc_id, so a doc's fractional-epoch
+    //    decision is consistent across all its chunks.
+    val mixed = Sampling.epochMix(embedded, "doc_id", "lang",
+      weights = Map("en" -> 1.0, "de" -> 2.0, "es" -> 1.5, "fr" -> 1.5),
+      defaultWeight = 1.0)
+    println(s"after domain mixing: ${mixed.count()} chunk rows (with repeats)")
+
     // 9. Pack chunks into fixed 2048-token training sequences (stable
-    //    (doc_id, copy_id, chunk_no) order via a dense per-chunk id).
-    val withTokens = embedded
+    //    (doc_id, copy_id, chunk_no) order via a dense per-chunk id;
+    //    radix leaves headroom for 10k chunks/doc and 10 epoch copies).
+    val withTokens = mixed
       .withColumn("chunk_tokens", TextFunctions.tokenCount(col("chunk")).cast("long"))
-      .withColumn("chunk_id", // < 100 chunks/doc, < 10 copies at these sizes
-        col("doc_id") * 1000 + col("copy_id") * 100 + col("chunk_no"))
+      .withColumn("chunk_id",
+        col("doc_id") * 100000 + col("copy_id") * 10000 + col("chunk_no"))
     val packed = Packing.packSequences(withTokens, "chunk_id", "chunk_tokens",
       capacity = 2048, bucketWidth = 1 << 20)
     val nSeqs = packed.agg(max("seq_id")).head.getLong(0) + 1
     println(s"packed into $nSeqs sequences of <=2048 tokens")
 
-    // 10. Seeded deterministic shuffle into shards: training order is a
-    //     pure function of (seed, chunk_id) — rerunning on a different
-    //     cluster shape reproduces byte-identical shards.
-    val sharded = Sampling.seededShuffle(packed, "chunk_id", nShards = 8,
-      seed = "epoch0")
+    // 10. Seeded deterministic shuffle into shards, keyed by SEQUENCE:
+    //     a training sequence's chunks land in one shard, contiguous,
+    //     in chunk order — a trainer streams any shard independently —
+    //     and the order is a pure function of (seed, seq_id), so
+    //     rerunning on a different cluster shape reproduces identical
+    //     shards.
+    val sharded = Sampling.seededShuffle(packed, "seq_id", nShards = 8,
+      seed = "epoch0", tieCols = Seq("chunk_id"))
     sharded
       .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/shards")
     val written = spark.read.parquet(s"$outDir/shards")

@@ -369,7 +369,12 @@ object Dedup {
       TextFunctions.shingles(col(textCol), window).as("shs"))
     val spans = withSh.select(col("id"), size(col("shs")).as("n_spans"),
       explode(col("shs")).as("span"))
-    val dups = duplicateSpans(df, idCol, textCol, window).select("span")
+    // Derive the duplicated-span set from the SAME exploded frame (not
+    // a fresh duplicateSpans call): both the count agg and the join
+    // below shuffle `spans` by the span key, so Spark's exchange reuse
+    // computes the scan+shingle+explode once instead of twice.
+    val dups = spans.groupBy("span").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2).select("span")
     spans.join(dups, "span")
       .groupBy(col("id"), col("n_spans"))
       .agg(count(lit(1)).as("n_dup_spans"))

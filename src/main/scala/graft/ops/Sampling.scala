@@ -63,8 +63,14 @@ object Sampling {
     * shard + an in-shard sort, never a single global ORDER BY (shards
     * are written/consumed independently; nShards sets write
     * parallelism at 100 TB). */
+  /** `tieCols` orders rows that share the same shuffle key (e.g. the
+    * chunks of one packed sequence when `keyCol` is the sequence id):
+    * same-key rows stay CONTIGUOUS in their shard — the hash decides
+    * where the group goes and groups interleave pseudo-randomly, while
+    * tieCols fixes the in-group order. With a unique keyCol, leave it
+    * empty. The internal sort key is dropped from the output. */
   def seededShuffle(df: DataFrame, keyCol: String, nShards: Int,
-                    seed: String = ""): DataFrame = {
+                    seed: String = "", tieCols: Seq[String] = Nil): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     import org.apache.spark.sql.expressions.Window
     val sortKey =
@@ -74,7 +80,9 @@ object Sampling {
       .withColumn("shard", (col("shuffle_key") % nShards).cast("int"))
     withShard.withColumn("shard_pos",
       row_number().over(Window.partitionBy("shard")
-        .orderBy(col("shuffle_key"), col(keyCol))).cast("long"))
+        .orderBy(col("shuffle_key") +: col(keyCol) +: tieCols.map(col): _*))
+        .cast("long"))
+      .drop("shuffle_key")
   }
 
   /** Deterministic domain mixing by repetition factor: each stratum

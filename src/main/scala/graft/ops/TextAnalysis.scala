@@ -67,8 +67,10 @@ object TextAnalysis {
     * engine- and partitioning-independent.
     *
     * Scale shape: one explode + (doc, token) hash-shuffle agg with
-    * map-side combine; df is a token-keyed agg over the distinct
-    * (doc, token) pairs, broadcast back; the corpus size N is a scalar
+    * map-side combine; df is a token-keyed agg joined back on the
+    * token key — NOT broadcast: the vocabulary of a 100 TB corpus is
+    * vocab-sized/unbounded (AQE may still broadcast it at small scale,
+    * which is a safe runtime decision); the corpus size N is a scalar
     * broadcast; the per-doc top-k is a window PARTITIONED BY doc —
     * parallel in the number of documents, never a global sort. */
   def topKeywords(df: DataFrame, idCol: String, textCol: String,
@@ -79,7 +81,7 @@ object TextAnalysis {
     val tf = tok.groupBy("id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = df.select(count(lit(1)).as("n_docs"))
-    val w = tf.join(broadcast(dfreq), "token")
+    val w = tf.join(dfreq, "token")
       .crossJoin(broadcast(n))
       .withColumn("weight", round(col("tf").cast("double") *
         log((lit(1.0) + col("n_docs").cast("double")) /
