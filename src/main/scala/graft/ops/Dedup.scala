@@ -369,13 +369,15 @@ object Dedup {
       TextFunctions.shingles(col(textCol), window).as("shs"))
     val spans = withSh.select(col("id"), size(col("shs")).as("n_spans"),
       explode(col("shs")).as("span"))
-    // Derive the duplicated-span set from the SAME exploded frame (not
-    // a fresh duplicateSpans call): both the count agg and the join
-    // below shuffle `spans` by the span key, so Spark's exchange reuse
-    // computes the scan+shingle+explode once instead of twice.
-    val dups = spans.groupBy("span").agg(count(lit(1)).as("n_docs"))
-      .where(col("n_docs") >= 2).select("span")
-    spans.join(dups, "span")
+    // Per-span document counts come from a WINDOW over the exploded
+    // frame, not a groupBy+self-join: one shuffle on the span key, and
+    // the scan+shingle+explode runs exactly once (a join against a
+    // derived count aggregate would recompute it — the partial agg
+    // under the exchange defeats exchange reuse).
+    import org.apache.spark.sql.expressions.Window
+    spans
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("span")))
+      .where(col("nd") >= 2)
       .groupBy(col("id"), col("n_spans"))
       .agg(count(lit(1)).as("n_dup_spans"))
       .select(col("id").as(idCol),
