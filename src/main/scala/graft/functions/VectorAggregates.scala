@@ -102,3 +102,86 @@ case class VectorSumFixed6Agg(
   override protected def withNewChildInternal(newChild: Expression): VectorSumFixed6Agg =
     copy(child = newChild)
 }
+
+/** Element-wise MAX (or MIN) in the same 1e-6 truncating fixed point —
+  * the max-pooling sibling of [[VectorSumFixed6Agg]]. Max/min are
+  * idempotent and commutative, so merge order can't matter even in
+  * float; fixed point keeps the two aggregates' quantization
+  * identical so mixed pipelines (mean + max pooling over the same
+  * chunks) stay mutually consistent. A dimension absent from a ragged
+  * row is ABSENT (not zero): widened positions take the incoming
+  * row's values. */
+case class VectorMinMaxFixed6Agg(
+    child: Expression,
+    isMax: Boolean,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (isMax) "graft_vec_max_micro" else "graft_vec_min_micro"
+
+  @inline private def pick(a: Long, b: Long): Long =
+    if (isMax) math.max(a, b) else math.min(a, b)
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val m = buffer.length
+      val b = if (m >= n) buffer else java.util.Arrays.copyOf(buffer, n)
+      var i = 0
+      while (i < n) {
+        val x = (arr.getDouble(i) * 1e6).toLong
+        b(i) = if (i < m) pick(b(i), x) else x
+        i += 1
+      }
+      b
+    }
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    val (big, small) =
+      if (buffer.length >= other.length) (buffer, other) else (other, buffer)
+    var i = 0
+    while (i < small.length) { big(i) = pick(big(i), small(i)); i += 1 }
+    big
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer.length == 0) null else new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    var i = 0
+    while (i < buffer.length) { bb.putLong(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorMinMaxFixed6Agg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorMinMaxFixed6Agg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorMinMaxFixed6Agg =
+    copy(child = newChild)
+}

@@ -132,6 +132,19 @@ object VectorFunctions {
       VectorSumFixed6Agg(GraftSqlBridge.expression(asDouble(a)))
         .toAggregateExpression())
 
+  /** Element-wise vector MAX / MIN aggregates in the same fixed point
+    * (see [[VectorMinMaxFixed6Agg]]); ragged tails are absent, not
+    * zero. */
+  def vecMaxMicro(a: Column): Column =
+    GraftSqlBridge.column(
+      VectorMinMaxFixed6Agg(GraftSqlBridge.expression(asDouble(a)), isMax = true)
+        .toAggregateExpression())
+
+  def vecMinMicro(a: Column): Column =
+    GraftSqlBridge.column(
+      VectorMinMaxFixed6Agg(GraftSqlBridge.expression(asDouble(a)), isMax = false)
+        .toAggregateExpression())
+
   /** Score column for a metric name, mirroring the reference's metric
     * domain `cosine | ip | l2` (config.py:119-123). For l2 the score is
     * a *distance* (lower = better) surfaced as-is — the reference

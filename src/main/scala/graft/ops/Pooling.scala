@@ -34,4 +34,14 @@ object Pooling {
       .withColumn(outCol,
         transform(col("sum_micro"),
           s => round(s.cast("double") / (lit(1e6) * col("n_vecs")), 6)))
+
+  /** Max pooling (element-wise max per key) — the other standard
+    * chunk->doc reduction; same exact fixed point, idempotent merges. */
+  def maxPool(df: DataFrame, keyCol: String, vecCol: String,
+              outCol: String = "max_vec"): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(VectorFunctions.vecMaxMicro(col(vecCol)).as("max_micro"),
+        count(col(vecCol)).as("n_vecs"))
+      .withColumn(outCol,
+        transform(col("max_micro"), s => s.cast("double") / 1e6))
 }

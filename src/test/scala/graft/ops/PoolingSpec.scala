@@ -43,6 +43,33 @@ class PoolingSpec extends SparkSpec {
     assert(got(2L) == ((null, 0L))) // all-null group -> null sum
   }
 
+  test("maxPool: element-wise max, ragged tails absent not zero") {
+    val df = Seq(
+      (1L, Seq(0.5, -0.25)),
+      (1L, Seq(0.1, -0.75)),
+      (2L, Seq(-1.0))).toDF("id", "v")
+    val got = Pooling.maxPool(df, "id", "v").collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[Double](3))))
+      .toMap
+    assert(got(1L) == ((Seq(500000L, -250000L), Seq(0.5, -0.25))))
+    // single negative-element group: max is the value itself, NOT 0 —
+    // ragged/absent dims never inject zeros into a max
+    assert(got(2L) == ((Seq(-1000000L), Seq(-1.0))))
+    val ragged = Seq((1L, Seq(-0.5)), (1L, Seq(-0.1, -0.2))).toDF("id", "v")
+    val r = Pooling.maxPool(ragged, "id", "v").collect().head.getSeq[Long](1)
+    assert(r == Seq(-100000L, -200000L)) // dim 1 seen once -> its own value
+  }
+
+  test("maxPool is partitioning-independent") {
+    val rows = (0 until 500).map(i =>
+      ((i % 5).toLong, Seq(math.sin(i.toDouble), -math.cos(i.toDouble))))
+    val df = rows.toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Pooling.maxPool(d, "id", "v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    assert(run(df) == run(df.repartition(11)))
+  }
+
   test("truncation quantization matches the SQL cast twin") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
