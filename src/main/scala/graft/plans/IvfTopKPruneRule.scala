@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.CosineSimilarityExpr
+import graft.functions.{CosineSimilarityExpr, DotProductExpr, L2DistanceExpr}
 import graft.index.IvfIndex
 
 /** Opt-in optimizer rule: `ORDER BY cosine(vec, <literal qv>) DESC
@@ -61,18 +61,27 @@ object IvfTopKPruneRule {
     case _ => None
   }
 
-  /** Match cosine(vec, literal) in either argument order, optionally
-    * wrapped in round(_, scale) (VectorIndex.topK's roundScale).
-    * Returns (query vector, the NON-literal side) — the caller must
-    * verify the non-literal side actually reads the registered store's
-    * vector column, or the rule would prune scans that the ranking
-    * never scores. */
-  private[plans] def scoreQueryVec(e: Expression): Option[(Seq[Double], Expression)] = e match {
-    case Round(child, _, _) => scoreQueryVec(child)
-    case CosineSimilarityExpr(l, r) =>
-      literalVec(r).map(v => (v, l)).orElse(literalVec(l).map(v => (v, r)))
-    case _ => None
-  }
+  /** Match metric(vec, literal) in either argument order, optionally
+    * wrapped in round(_, scale) (VectorIndex.topK's roundScale), for
+    * all three graft metrics. Returns (query vector, the NON-literal
+    * side, higherIsBetter) — the caller must verify the non-literal
+    * side actually reads the registered store's vector column (or the
+    * rule would prune scans that the ranking never scores) AND that
+    * the sort direction matches the metric's better-direction
+    * (descending cosine/ip, ASCENDING l2 distance). */
+  private[plans] def scoreQueryVec(e: Expression): Option[(Seq[Double], Expression, Boolean)] =
+    e match {
+      case Round(child, _, _) => scoreQueryVec(child)
+      case CosineSimilarityExpr(l, r) => matchSides(l, r, higherIsBetter = true)
+      case DotProductExpr(l, r)       => matchSides(l, r, higherIsBetter = true)
+      case L2DistanceExpr(l, r)       => matchSides(l, r, higherIsBetter = false)
+      case _ => None
+    }
+
+  private def matchSides(l: Expression, r: Expression,
+                         higherIsBetter: Boolean): Option[(Seq[Double], Expression, Boolean)] =
+    literalVec(r).map(v => (v, l, higherIsBetter))
+      .orElse(literalVec(l).map(v => (v, r, higherIsBetter)))
 }
 
 case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -85,8 +94,9 @@ case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!enabled || IvfTopKPruneRule.isEmpty) plan
     else plan.transformDown {
       case gl @ GlobalLimit(_, ll @ LocalLimit(_,
-          sort @ Sort(SortOrder(scoreAttr: Attribute, Descending, _, _) +: _, true, child, _))) =>
-        pruned(scoreAttr, child)
+          sort @ Sort(SortOrder(scoreAttr: Attribute, dir, _, _) +: _, true, child, _)))
+          if dir == Descending || dir == Ascending =>
+        pruned(scoreAttr, child, wantHigher = dir == Descending)
           .map(c => gl.copy(child = ll.copy(child = sort.copy(child = c))))
           .getOrElse(gl)
     }
@@ -100,13 +110,15 @@ case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * joined with the store would wrongly prune store rows), and (d) no
     * cluster filter is present yet (rule idempotence under fixed-point
     * batches). */
-  private def pruned(scoreAttr: Attribute, child: LogicalPlan): Option[LogicalPlan] = {
+  private def pruned(scoreAttr: Attribute, child: LogicalPlan,
+                     wantHigher: Boolean): Option[LogicalPlan] = {
     val matched = child.collectFirst {
       case Project(projectList, _) => projectList.collectFirst {
         case a @ Alias(e, _) if a.exprId == scoreAttr.exprId => scoreQueryVec(e)
       }.flatten
     }.flatten
-    matched.flatMap { case (queryVec, vecSide) =>
+    matched.filter { case (_, _, higherIsBetter) => higherIsBetter == wantHigher }
+      .flatMap { case (queryVec, vecSide, _) =>
       child.collectFirst {
         case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
           val fs = lr.relation.asInstanceOf[HadoopFsRelation]

@@ -85,4 +85,53 @@ class PropertySpec extends SparkSpec {
     def est(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 == p._2).toDouble / a.size
     assert(est(sigs(0), sigs(1)) > est(sigs(0), sigs(2)))
   }
+
+  test("property: PII redaction is idempotent and never reintroduces matches") {
+    val piiGen = Gen.oneOf(
+      "mail me at x.y+z@host.org now", "+1-555-0100 is my line",
+      "from 8.8.8.8 and 10.0.0.1", "no pii here",
+      "a@b.io or c@d.co from 1.2.3.4 call +49-123-9999")
+    samples(Gen.listOfN(10, piiGen), 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val once = Pii.redact(df, "text").select(col("id"), col("text_redacted").as("text"))
+      // redacted text has zero remaining matches...
+      val counts = Pii.detect(once, "text")
+        .select(col("n_emails") + col("n_phones") + col("n_ips")).as[Long].collect()
+      assert(counts.forall(_ == 0L))
+      // ...so a second redaction is the identity.
+      val twice = Pii.redact(once, "text").select(col("text_redacted")).as[String].collect()
+      val first = once.select("text").as[String].collect()
+      assert(twice.toSeq == first.toSeq)
+    }
+  }
+
+  test("property: epochMix copy counts are floor(w) or ceil(w), rates within bounds") {
+    val weights = Seq(0.0, 0.4, 1.0, 1.7, 3.0)
+    val df = (0 until 400).map(i => (i.toLong, "s")).toDF("id", "lang")
+    weights.foreach { w =>
+      val copies = Sampling.epochMix(df, "id", "lang", Map("s" -> w))
+        .groupBy("id").count().as[(Long, Long)].collect().toMap
+      val (lo, hi) = (math.floor(w).toLong, math.ceil(w).toLong)
+      assert(copies.values.forall(c => c == lo.max(1L).min(hi) || c == hi),
+        s"copy count outside {floor,ceil} for w=$w")
+      val total = copies.values.sum + (400 - copies.size) * 0 // dropped rows count 0
+      assert(math.abs(total - w * 400) <= 400 * 0.1 + 1, s"rate off for w=$w: $total")
+    }
+  }
+
+  test("property: seededShuffle emits each input row exactly once (any nShards)") {
+    Seq(1, 3, 8).foreach { shards =>
+      val df = (0 until 300).map(i => (i.toLong, s"r$i")).toDF("id", "payload")
+      val out = Sampling.seededShuffle(df, "id", shards)
+      assert(out.count() == 300)
+      assert(out.select("id").distinct().count() == 300)
+      val perShard = out.groupBy("shard").count().as[(Int, Long)].collect().toMap
+      assert(perShard.keys.forall(s => s >= 0 && s < shards))
+      // positions dense per shard
+      perShard.foreach { case (s, n) =>
+        val pos = out.where(col("shard") === s).select("shard_pos").as[Long].collect().sorted
+        assert(pos.toSeq == (1L to n))
+      }
+    }
+  }
 }

@@ -121,21 +121,58 @@ class IvfTopKPruneRuleSpec extends SparkSpec {
     }
   }
 
-  test("ascending sorts and non-literal queries are never rewritten") {
+  test("direction-mismatched sorts and non-literal queries are never rewritten") {
     withRule {
       IvfTopKPruneRule.register(storePath, model, nprobe = 2)
       spark.conf.set(IvfTopKPruneRule.ConfKey, "true")
       try {
         val qv = emb.embedQuery("q").toSeq
+        // ascending COSINE = farthest-first: pruning to near clusters
+        // would be wrong — must stay untouched.
         val asc_ = spark.read.parquet(storePath)
           .withColumn("score", VectorFunctions.cosineSimilarity(col("vec"), typedlit(qv)))
           .orderBy(asc("score")).limit(5)
         assert(clusterFilters(asc_).isEmpty)
+        // descending L2 = farthest-first likewise.
+        val descL2 = spark.read.parquet(storePath)
+          .withColumn("dist", VectorFunctions.l2Distance(col("vec"), typedlit(qv)))
+          .orderBy(desc("dist")).limit(5)
+        assert(clusterFilters(descL2).isEmpty)
         // vec-vs-vec scoring (no literal query) must not be touched.
         val selfScore = spark.read.parquet(storePath)
           .withColumn("score", VectorFunctions.cosineSimilarity(col("vec"), col("vec")))
           .orderBy(desc("score")).limit(5)
         assert(clusterFilters(selfScore).isEmpty)
+      } finally {
+        spark.conf.unset(IvfTopKPruneRule.ConfKey)
+        IvfTopKPruneRule.unregister(storePath)
+      }
+    }
+  }
+
+  test("ip (desc) and l2 (asc) rankings prune like cosine") {
+    withRule {
+      IvfTopKPruneRule.register(storePath, model, nprobe = 2)
+      spark.conf.set(IvfTopKPruneRule.ConfKey, "true")
+      try {
+        val qv = emb.embedQuery("another query").toSeq
+        val ip = spark.read.parquet(storePath)
+          .withColumn("score", VectorFunctions.dotProduct(col("vec"), typedlit(qv)))
+          .orderBy(desc("score"), asc("id")).limit(5)
+        assert(clusterFilters(ip).nonEmpty)
+        val l2 = spark.read.parquet(storePath)
+          .withColumn("dist", VectorFunctions.l2Distance(col("vec"), typedlit(qv)))
+          .orderBy(asc("dist"), asc("id")).limit(5)
+        assert(clusterFilters(l2).nonEmpty)
+        // pruned l2 result == manual probe-filtered l2 result
+        val probes = model.nearestCentroids(qv, 2)
+        val manual = spark.read.parquet(storePath)
+          .where(col("cluster").isin(probes: _*))
+          .withColumn("dist", VectorFunctions.l2Distance(col("vec"), typedlit(qv)))
+          .orderBy(asc("dist"), asc("id")).limit(5)
+          .select("id").collect().map(_.getLong(0)).toSeq
+        val auto = l2.select("id").collect().map(_.getLong(0)).toSeq
+        assert(auto == manual)
       } finally {
         spark.conf.unset(IvfTopKPruneRule.ConfKey)
         IvfTopKPruneRule.unregister(storePath)
