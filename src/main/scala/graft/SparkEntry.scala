@@ -754,6 +754,10 @@ object SparkEntry {
   private def qLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramSurprisal(table(s, dir, "documents"), "doc_id", "text")
 
+  /** Top-25 vocabulary with cumulative corpus coverage. */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(table(s, dir, "documents"), "text", topN = 25)
+
   /** Chunk -> embed -> mean-pool back to one vector per document,
     * through the exact fixed-point vector-sum aggregate
     * (VectorSumFixed6Agg); verified by integer micro-sum stats plus
@@ -834,7 +838,8 @@ object SparkEntry {
       "q_dup_spans"           -> (qDupSpans _),
       "q_keywords"            -> (qKeywords _),
       "q_lm_score"            -> (qLmScore _),
-      "q_mean_pool"           -> (qMeanPool _)
+      "q_mean_pool"           -> (qMeanPool _),
+      "q_vocab_coverage"      -> (qVocabCoverage _)
     )
 
   // ==================================================================
@@ -1562,6 +1567,21 @@ object SparkEntry {
              CAST(min(CASE WHEN j = 0 THEN ds END) AS DOUBLE) /
                (1000000.0 * cnt.n_chunks) AS mean_dim0
       FROM d JOIN cnt USING (doc_id)
-      GROUP BY d.doc_id, cnt.n_chunks"""
+      GROUP BY d.doc_id, cnt.n_chunks""",
+
+    // Vocabulary coverage: exact integer counts; the coverage quotient
+    // divides exact integers (no rounding — IEEE-identical).
+    "q_vocab_coverage" -> """
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+      tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total_tokens FROM c),
+      r AS (SELECT token, cnt,
+              row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+              sum(cnt) OVER (ORDER BY cnt DESC, token
+                             ROWS UNBOUNDED PRECEDING) AS cum_cnt
+            FROM c)
+      SELECT CAST(rank AS BIGINT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
+             CAST(cum_cnt AS DOUBLE) / tot.total_tokens AS cum_coverage
+      FROM r, tot WHERE rank <= 25"""
   )
 }

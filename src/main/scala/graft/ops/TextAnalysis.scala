@@ -60,6 +60,35 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_tokens"), col("avg_surprisal"))
   }
 
+  /** Vocabulary coverage analysis — the tokenizer-design question
+    * "how much of the corpus do the top-N tokens cover?": the top
+    * `topN` tokens by corpus frequency (ties by token), each with its
+    * rank, count, and the CUMULATIVE fraction of all token occurrences
+    * covered through that rank. Counts are exact integers; the
+    * coverage quotient divides exact integers, so the IEEE result is
+    * engine-identical without rounding.
+    *
+    * Scale shape: one explode + token-keyed agg (map-side combine);
+    * the ranking window runs over the topN-truncated aggregate (tiny),
+    * never the full vocabulary. */
+  def vocabCoverage(df: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total_tokens"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(topN)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_cnt",
+        sum("cnt").over(Window.orderBy(col("cnt").desc, col("token"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("token"), col("cnt").cast("long").as("cnt"),
+        (col("cum_cnt").cast("double") / col("total_tokens").cast("double"))
+          .as("cum_coverage"))
+  }
+
   /** Per-document TF-IDF top-k keyword extraction: tf = in-doc term
     * count, idf = ln((1 + N) / (1 + df)) (smoothed — never negative,
     * defined for df = N), weight = tf * idf rounded to 6 dp BEFORE the
