@@ -35,6 +35,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one.select("rank").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("vocabCoverage ranks by frequency with exact cumulative coverage") {
+    val tiny = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("id", "text")
+    // counts: a=4, b=3, c=1, d=1 (ties by token); total 9
+    val got = TextAnalysis.vocabCoverage(tiny, "text", topN = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 4L, 4.0 / 9), (2L, "b", 3L, 7.0 / 9), (3L, "c", 1L, 8.0 / 9)))
+  }
+
   test("unigramSurprisal matches a hand-computed reference") {
     // Corpus: "a a b" / "b c". Vocab: a->2, b->2, c->1; T=5, V=3.
     val tiny = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
