@@ -758,6 +758,10 @@ object SparkEntry {
   private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabCoverage(table(s, dir, "documents"), "text", topN = 25)
 
+  /** Bigram conditional-surprisal LM score per doc. */
+  private def qLmBigram(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramSurprisal(table(s, dir, "documents"), "doc_id", "text")
+
   /** Chunk -> embed -> mean-pool back to one vector per document,
     * through the exact fixed-point vector-sum aggregate
     * (VectorSumFixed6Agg); verified by integer micro-sum stats plus
@@ -839,7 +843,8 @@ object SparkEntry {
       "q_keywords"            -> (qKeywords _),
       "q_lm_score"            -> (qLmScore _),
       "q_mean_pool"           -> (qMeanPool _),
-      "q_vocab_coverage"      -> (qVocabCoverage _)
+      "q_vocab_coverage"      -> (qVocabCoverage _),
+      "q_lm_bigram"           -> (qLmBigram _)
     )
 
   // ==================================================================
@@ -1582,6 +1587,29 @@ object SparkEntry {
             FROM c)
       SELECT CAST(rank AS BIGINT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
              CAST(cum_cnt AS DOUBLE) / tot.total_tokens AS cum_coverage
-      FROM r, tot WHERE rank <= 25"""
+      FROM r, tot WHERE rank <= 25""",
+
+    // Bigram conditional surprisal: -ln((c(w1w2)+1)/(c(w1)+V)), 6dp
+    // rounded, DECIMAL-exact per-doc mean. The bigram string "w1 w2"
+    // is the join key (tokens are space-free).
+    "q_lm_bigram" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      bg AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS b
+             FROM toks WHERE len(toks) >= 2),
+      e AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM bg),
+      u AS (SELECT w1, count(*) AS c1
+            FROM (SELECT unnest(toks) AS w1 FROM toks) GROUP BY w1),
+      vs AS (SELECT CAST(count(*) AS DOUBLE) AS vsize FROM u),
+      p AS (SELECT b, count(*) AS c2 FROM e GROUP BY b),
+      s AS (SELECT e.doc_id,
+              round(-ln((CAST(p.c2 AS DOUBLE) + 1.0) /
+                        (CAST(u.c1 AS DOUBLE) + vs.vsize)), 6) AS sp
+            FROM e JOIN p USING (b) JOIN u USING (w1), vs)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(CAST(sum(CAST(sp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+               AS avg_surprisal
+      FROM s GROUP BY doc_id"""
   )
 }

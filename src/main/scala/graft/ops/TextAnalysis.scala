@@ -60,6 +60,43 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_tokens"), col("avg_surprisal"))
   }
 
+  /** Bigram (conditional) LM surprisal — the sharper sibling of
+    * [[unigramSurprisal]]: average -ln p(w2 | w1) per bigram with
+    * add-one smoothing, p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V).
+    * Catches locally-incoherent text (shuffled words score high even
+    * when every word is common). Same determinism contract: 6
+    * dp-rounded surprisals summed through exact DECIMAL, averaged,
+    * rounded to 4 dp.
+    *
+    * Scale shape: bigram and unigram count tables are token-keyed
+    * aggregates joined back on their keys (hash-shuffle — neither is
+    * broadcastable at corpus scale); V is a scalar broadcast; the
+    * final per-doc agg partitions by doc. Only docs with >= 2 tokens
+    * appear. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    // The bigram STRING "w1 w2" is the join key (tokens contain no
+    // spaces, so it's injective); w1 re-derives narrowly for the
+    // unigram join.
+    val bg = toks.where(size(col("toks")) >= 2)
+      .select(col("id"), explode(QualitySignals.rawBigrams(col("toks"))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val uni = toks.select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vsize = uni.agg(count(lit(1)).cast("double").as("vsize"))
+    val pair = bg.groupBy(col("bg").as("pb")).agg(count(lit(1)).as("c2"))
+    bg.join(pair, col("bg") === col("pb"))
+      .join(uni, "w1")
+      .crossJoin(broadcast(vsize))
+      .withColumn("sp", round(-log(
+        (col("c2").cast("double") + 1.0) / (col("c1").cast("double") + col("vsize"))), 6))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(sum(col("sp").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)
+          .as("avg_surprisal"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("avg_surprisal"))
+  }
+
   /** Vocabulary coverage analysis — the tokenizer-design question
     * "how much of the corpus do the top-N tokens cover?": the top
     * `topN` tokens by corpus frequency (ties by token), each with its

@@ -29,6 +29,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L).map(t => (t._3, t._4)).toSeq == Seq(("common", 0.0)))
   }
 
+  test("bigramSurprisal matches a hand-computed reference; short docs absent") {
+    // Corpus: "a b a b" / "a c" / "x". Unigrams: a=3,b=2,c=1,x=1 -> V=4.
+    // Bigrams: "a b"x2, "b a"x1, "a c"x1.
+    val tiny = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x")).toDF("id", "text")
+    def sp(c2: Long, c1: Long) = BigDecimal(-math.log((c2 + 1.0) / (c1 + 4.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def avg4(xs: Seq[BigDecimal]) =
+      (xs.sum / xs.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.bigramSurprisal(tiny, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc 1: bigrams (a b), (b a), (a b) -> sp(2,3), sp(1,2), sp(2,3)
+    assert(got(1L) == ((3L, avg4(Seq(sp(2, 3), sp(1, 2), sp(2, 3))))))
+    assert(got(2L) == ((1L, avg4(Seq(sp(1, 3))))))
+    assert(!got.contains(3L)) // single-token doc has no bigrams
+  }
+
   test("topKeywords k truncates per doc and rank is dense from 1") {
     val one = TextAnalysis.topKeywords(docs, "id", "text", k = 1)
     assert(one.count() == 3)
