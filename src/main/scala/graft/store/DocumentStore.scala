@@ -337,6 +337,37 @@ final class DocumentStore private (
     if (includeFullMetadata) enhanceWithFullMetadata(hits) else hits
   }
 
+  /** Approximate top-k via a binary sign-bit prescreen: 63-bit codes
+    * derived on the (IVF-pruned) scan collapse each vector to one long
+    * — a 64× cheaper compare — Hamming-nearest `candidates` survive,
+    * and the exact metric reranks them to k. Recall < 1 by
+    * construction; raise `candidates` to trade scan cost for recall.
+    * Sign codes approximate ANGLE, so this serves cosine/ip; for l2
+    * it falls back to exact [[similaritySearch]]. Composable with IVF:
+    * the prescreen runs over the nprobe-pruned search space. */
+  def similaritySearchApprox(query: String, k: Int = 4,
+                             candidates: Int = 100): DataFrame = {
+    require(manifest.count > 0, "store is empty or not built")
+    if (!VectorFunctions.higherIsBetter(config.metric))
+      similaritySearch(query, k)
+    else {
+      val qv = embedder.embedQuery(query)
+      val qbits = qv.take(63).zipWithIndex.foldLeft(0L) {
+        case (acc, (x, j)) => if (x > 0.0) acc | (1L << j) else acc
+      }
+      val cand = searchSpace(qv)
+        .withColumn("hamming", VectorFunctions.hammingDistance(
+          VectorFunctions.binarySign63(col("vec")), lit(qbits)).cast("int"))
+        .orderBy(col("hamming"), col("id"))
+        .limit(candidates)
+      VectorIndex.topK(cand, "vec", qv.toSeq, k, config.metric,
+          scoreCol = "similarity", tieBreak = Seq("id"))
+        .select(col("id").as("doc_id"), col("text"), col("source"),
+          col("category"), col("similarity"),
+          lit("essential").as("metadata_type"))
+    }
+  }
+
   /** Predicate delete — the Spark-natural generalization of the
     * reference's by-id/by-text deletes: remove every document whose
     * ESSENTIAL row matches `condition` (e.g. `col("category") ===

@@ -42,6 +42,22 @@ class DocumentStoreSpec extends SparkSpec {
     assert(sims.sorted.reverse.toSeq == sims.toSeq)
   }
 
+  test("similaritySearchApprox: exact when candidates cover the corpus, k rows always") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    val exact = store.similaritySearch("Tell me about foxes", k = 3)
+      .select("doc_id", "similarity").collect().map(_.toString).toSeq
+    // candidate pool >= corpus -> the rerank sees every vector -> exact.
+    val full = store.similaritySearchApprox("Tell me about foxes", k = 3,
+      candidates = 100).select("doc_id", "similarity").collect().map(_.toString).toSeq
+    assert(full == exact)
+    // tight pool still returns k rows, scored and sorted
+    val tight = store.similaritySearchApprox("Tell me about foxes", k = 2,
+      candidates = 3).collect()
+    assert(tight.length == 2)
+    val sims = tight.map(_.getAs[Double]("similarity"))
+    assert(sims.sorted.reverse.toSeq == sims.toSeq)
+  }
+
   test("hybridSearch fuses keyword and vector ranks (RRF) over the store") {
     val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
     val hits = store.hybridSearch("programming languages",

@@ -129,6 +129,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quality + PII scrub + repetition signals compose on a stream (all narrow)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{Pii, QualitySignals}
+    val input = MemoryStream[(Long, String)]
+    // The round-3 pipeline stages are pure projections/filters, so the
+    // SAME operators run unchanged under readStream — no stateful ops,
+    // no watermark needed.
+    val cleaned = QualitySignals.signals(
+        Pii.redact(input.toDF().toDF("id", "text"), "text", "clean"), "clean")
+      .where(col("gopher_keep"))
+      .select(col("id"), col("clean"), col("n_tokens"), col("n_emails"))
+    val q = cleaned.writeStream.format("memory").queryName("scrub_stream")
+      .outputMode("append").start()
+    try {
+      val good = (1 to 15).map(i => s"word$i").mkString(" ")
+      input.addData(
+        (1L, s"$good mail me a@b.co"),
+        (2L, "spam spam spam spam spam"))  // repetitive -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("scrub_stream").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+      assert(rows.head.getAs[String]("clean").endsWith("mail me <EMAIL>"))
+      assert(rows.head.getAs[Long]("n_emails") == 1L)
+    } finally q.stop()
+  }
+
   test("enrichTextStream composes embedding + analysis on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
