@@ -740,6 +740,30 @@ object SparkEntry {
       .select(col("vec_id"), col("hamming"), col("score"))
   }
 
+  /** Product-quantization ADC search with pinned codebooks — the full
+    * PQ machinery (per-subspace encode, asymmetric-distance candidate
+    * ranking, exact rerank) made EXACTLY oracle-checkable by pinning
+    * the 4×8 codebooks to slices of 8 stored vectors, the same trick
+    * as [[qIvfFlat]]. Per-subspace distances round at 4 dp before the
+    * argmin; ADC totals are exact integer micros, so no float fold
+    * anywhere in the candidate ranking. */
+  private def qPqAdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.PqIndex
+    val emb = table(s, dir, "embeddings")
+    val dsub = 16
+    val books = emb.where(col("vec_id").between(20, 27))
+      .orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    val model = PqIndex.Model((0 until 4).map(sub =>
+      books.map(b => b.slice(sub * dsub, (sub + 1) * dsub))))
+    val qv = emb.where(col("vec_id") === 0L).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble).toSeq
+    PqIndex.search(emb, "embedding", model, qv, k = 5, candidates = 10,
+        metric = "cosine", idCol = "vec_id", roundScale = 4)
+      .select(col("vec_id"), col("adc_micros"), col("score"))
+  }
+
   /** Duplicate-span mass per document (substring-level dedup signal,
     * 8-token sliding windows shared across >= 2 docs). */
   private def qDupSpans(s: SparkSession, dir: String): DataFrame =
@@ -839,6 +863,7 @@ object SparkEntry {
       "q_shuffle_shards"      -> (qShuffleShards _),
       "q_domain_mix"          -> (qDomainMix _),
       "q_binary_hamming"      -> (qBinaryHamming _),
+      "q_pq_adc"              -> (qPqAdc _),
       "q_dup_spans"           -> (qDupSpans _),
       "q_keywords"            -> (qKeywords _),
       "q_lm_score"            -> (qLmScore _),
@@ -1487,6 +1512,40 @@ object SparkEntry {
       c AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 100)
       SELECT vec_id, hamming, round(list_cosine_similarity(ev, qv), 4) AS score
       FROM c ORDER BY score DESC, vec_id LIMIT 10""",
+
+    // Product quantization, pinned codebooks: subspace sub of vector v
+    // is components [sub*16+1, sub*16+16]; codebook entries come from
+    // vec_id 20..27. Per-subspace distances round at 4 dp (DECIMAL) so
+    // the argmin and the ADC sums are engine-exact.
+    "q_pq_adc" -> """
+      WITH cb AS (SELECT CAST(vec_id - 20 AS INT) AS code,
+                         embedding::DOUBLE[] AS cv
+                  FROM embeddings WHERE vec_id BETWEEN 20 AND 27),
+      v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      s AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
+      d AS (SELECT v.vec_id, s.sub, cb.code,
+              CAST(round(list_sum(list_transform(range(1, 17),
+                i -> (v.ev[s.sub * 16 + i] - cb.cv[s.sub * 16 + i]) *
+                     (v.ev[s.sub * 16 + i] - cb.cv[s.sub * 16 + i]))), 4)
+                AS DECIMAL(18, 4)) AS dist
+            FROM v, s, cb),
+      enc AS (SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY dist, code) AS rn
+                FROM d) t WHERE rn = 1),
+      qd AS (SELECT sub, code, dist FROM d WHERE vec_id = 0),
+      adc AS (SELECT enc.vec_id,
+                     CAST(sum(qd.dist) * 10000 AS BIGINT) AS adc_micros
+              FROM enc JOIN qd ON qd.sub = enc.sub AND qd.code = enc.code
+              GROUP BY enc.vec_id),
+      cand AS (SELECT vec_id, adc_micros FROM adc
+               ORDER BY adc_micros, vec_id LIMIT 10),
+      q AS (SELECT ev AS qv FROM v WHERE vec_id = 0)
+      SELECT c.vec_id, c.adc_micros,
+             round(list_cosine_similarity(v.ev, q.qv), 4) AS score
+      FROM cand c JOIN v ON v.vec_id = c.vec_id, q
+      ORDER BY score DESC, c.vec_id LIMIT 5""",
 
     // Duplicate 8-token spans across documents; spans are distinct
     // within a doc, so count(*) per span == document count.

@@ -1,0 +1,88 @@
+package graft.index
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // dim=4, m=2 subspaces of dsub=2, ksub=2 centroids each — small
+  // enough to verify every code and ADC entry by hand.
+  private val model = PqIndex.Model(IndexedSeq(
+    IndexedSeq(IndexedSeq(1.0, 0.0), IndexedSeq(0.0, 1.0)),   // sub 0
+    IndexedSeq(IndexedSeq(0.0, 0.0), IndexedSeq(1.0, 1.0))))  // sub 1
+
+  private val docs = Seq(
+    (0L, Seq(1.0, 0.0, 0.0, 0.0)),  // codes (0, 0): exact centroid combo
+    (1L, Seq(0.0, 1.0, 1.0, 1.0)),  // codes (1, 1): exact centroid combo
+    (2L, Seq(0.9, 0.1, 0.1, 0.0)),  // codes (0, 0)
+    (3L, Seq(0.1, 0.9, 0.9, 1.0))   // codes (1, 1)
+  ).toDF("vec_id", "vec")
+
+  test("encodeCol: argmin per subspace, hand-checked codes") {
+    val got = docs.withColumn("codes", model.encodeCol(col("vec"), roundScale = 4))
+      .orderBy("vec_id").select("codes").as[Seq[Int]].collect().toSeq
+    assert(got == Seq(Seq(0, 0), Seq(1, 1), Seq(0, 0), Seq(1, 1)))
+  }
+
+  test("encodeCol ties break to the lowest code") {
+    val mid = Seq((9L, Seq(0.5, 0.5, 0.5, 0.5))).toDF("vec_id", "vec")
+    val got = mid.withColumn("codes", model.encodeCol(col("vec"), roundScale = 4))
+      .select("codes").as[Seq[Int]].head
+    assert(got == Seq(0, 0)) // equidistant in both subspaces
+  }
+
+  test("adcTable and adcMicrosCol: exact for vectors that ARE centroid combos") {
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    // table(0) = (0, 2) * 1e4; table(1) = (0, 2) * 1e4
+    assert(model.adcTable(q, 4) == IndexedSeq(IndexedSeq(0L, 20000L), IndexedSeq(0L, 20000L)))
+    val adc = docs.withColumn("codes", model.encodeCol(col("vec"), 4))
+      .withColumn("adc", model.adcMicrosCol(col("codes"), q, 4))
+      .orderBy("vec_id").select("adc").as[Long].collect().toSeq
+    // doc0 reconstructs exactly to q -> 0; doc1 reconstructs to (0,1,1,1) -> 2+2
+    assert(adc == Seq(0L, 40000L, 0L, 40000L))
+  }
+
+  test("search: ADC candidates + exact rerank returns k rows, exact when candidates cover all") {
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val exact = VectorIndex.topK(docs, "vec", q, 3, "cosine",
+      tieBreak = Seq("vec_id"), roundScale = 4).select("vec_id").as[Long].collect().toSeq
+    val full = PqIndex.search(docs, "vec", model, q, k = 3, candidates = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == exact)
+    val tight = PqIndex.search(docs, "vec", model, q, k = 2, candidates = 2).collect()
+    assert(tight.length == 2)
+  }
+
+  test("fit: rectangular codebooks, valid codes, near-zero quantization error on separated clusters") {
+    // Two tight clusters per subspace -> k-means recovers them, and the
+    // reconstruction error of every point is far below the
+    // cross-cluster distance.
+    val rows = (0 until 40).map { i =>
+      val a = if (i % 2 == 0) 0.0 else 1.0
+      val b = if (i % 3 == 0) 0.0 else 1.0
+      val eps = (i % 5) * 0.01
+      (i.toLong, Seq(a + eps, a, b, b + eps))
+    }
+    val df = rows.toDF("vec_id", "vec")
+    val m = PqIndex.fit(df, "vec", m = 2, ksub = 2, seed = 7)
+    assert(m.m == 2 && m.ksub == 2 && m.dsub == 2)
+    val codes = df.withColumn("codes", m.encodeCol(col("vec")))
+      .select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 2)))
+    // both codes used somewhere (clusters actually separated)
+    assert(codes.map(_.head).distinct.sorted.toSeq == Seq(0, 1))
+    assert(codes.map(_(1)).distinct.sorted.toSeq == Seq(0, 1))
+  }
+
+  test("model validation rejects ragged codebooks") {
+    intercept[IllegalArgumentException] {
+      PqIndex.Model(IndexedSeq(
+        IndexedSeq(IndexedSeq(1.0, 0.0)),
+        IndexedSeq(IndexedSeq(1.0, 0.0), IndexedSeq(0.0, 1.0))))
+    }
+    intercept[IllegalArgumentException] {
+      PqIndex.Model(IndexedSeq(IndexedSeq(IndexedSeq(1.0), IndexedSeq(0.0, 1.0))))
+    }
+  }
+}
