@@ -764,6 +764,59 @@ object SparkEntry {
       .select(col("vec_id"), col("adc_micros"), col("score"))
   }
 
+  /** IVF×PQ (FAISS IndexIVFPQ shape) with BOTH quantizers pinned to
+    * stored vectors: coarse centroids = vec_id 10..17 (as in
+    * [[qIvfFlat]]), PQ codebooks = slices of vec_id 20..27 (as in
+    * [[qPqAdc]]). nprobe=3 cluster pruning, then ADC candidate ranking,
+    * then exact rerank — every stage exactly oracle-checkable. */
+  private def qIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.PqIndex
+    val emb = table(s, dir, "embeddings")
+    val cents = emb.where(col("vec_id").between(10, 17))
+      .orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    val ivf = IvfIndex.Model(cents)
+    val dsub = 16
+    val books = emb.where(col("vec_id").between(20, 27))
+      .orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    val pq = PqIndex.Model((0 until 4).map(sub =>
+      books.map(b => b.slice(sub * dsub, (sub + 1) * dsub))))
+    val qv = emb.where(col("vec_id") === 0L).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble).toSeq
+    PqIndex.searchIvf(emb, "embedding", ivf, pq, qv, k = 5,
+        candidates = 10, nprobe = 3, metric = "cosine",
+        idCol = "vec_id", roundScale = 4)
+      .select(col("vec_id"), col("cluster"), col("adc_micros"), col("score"))
+  }
+
+  /** Incremental dedup report: odd doc_ids play the incoming batch,
+    * even doc_ids the existing corpus. Per batch doc: exact text match
+    * against the corpus, count of near-dup corpus partners
+    * (3-gram Jaccard >= 0.5, batch×corpus only), and the resulting
+    * keep/drop decision — the per-shard ingest screen of a continuously
+    * growing training corpus. */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    val batch = d.where(col("doc_id") % 2 === 1)
+    val corpus = d.where(col("doc_id") % 2 === 0)
+    val near = Dedup.ngramJaccardAgainst(batch, corpus, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .groupBy(col("batch_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_near"))
+    val exactKeys = corpus.select(col("text").as("ctext")).distinct()
+    batch.select(col("doc_id"), col("text"))
+      .join(exactKeys, col("text") === col("ctext"), "left")
+      .select(col("doc_id"), col("ctext").isNotNull.as("exact_dup"))
+      .join(broadcast(near), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_near"))
+      .select(col("doc_id"), col("exact_dup"),
+        col("n_near").cast("long").as("n_near"),
+        (!col("exact_dup") && col("n_near") === 0).as("kept"))
+  }
+
   /** Duplicate-span mass per document (substring-level dedup signal,
     * 8-token sliding windows shared across >= 2 docs). */
   private def qDupSpans(s: SparkSession, dir: String): DataFrame =
@@ -864,6 +917,8 @@ object SparkEntry {
       "q_domain_mix"          -> (qDomainMix _),
       "q_binary_hamming"      -> (qBinaryHamming _),
       "q_pq_adc"              -> (qPqAdc _),
+      "q_dedup_incremental"   -> (qDedupIncremental _),
+      "q_ivfpq"               -> (qIvfPq _),
       "q_dup_spans"           -> (qDupSpans _),
       "q_keywords"            -> (qKeywords _),
       "q_lm_score"            -> (qLmScore _),
@@ -1546,6 +1601,101 @@ object SparkEntry {
              round(list_cosine_similarity(v.ev, q.qv), 4) AS score
       FROM cand c JOIN v ON v.vec_id = c.vec_id, q
       ORDER BY score DESC, c.vec_id LIMIT 5""",
+
+    // IVF×PQ: coarse assignment/probing exactly as q_ivf_flat, then
+    // the q_pq_adc machinery over the nprobe-pruned rows. The ADC
+    // lookup table (qd) comes from the query vector directly — the
+    // query need not survive the pruning for the table to exist.
+    "q_ivfpq" -> """
+      WITH cc AS (SELECT CAST(vec_id - 10 AS INT) AS cid,
+                         embedding::DOUBLE[] AS cv
+                  FROM embeddings WHERE vec_id BETWEEN 10 AND 17),
+      v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      cd AS (SELECT v.vec_id, cc.cid,
+               round(list_sum(list_transform(range(1, len(v.ev) + 1),
+                 i -> (v.ev[i] - cc.cv[i]) * (v.ev[i] - cc.cv[i]))), 4) AS dist
+             FROM v, cc),
+      a AS (SELECT vec_id, cid AS cluster FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM cd) t WHERE rn = 1),
+      p AS (SELECT cid FROM (
+              SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn
+              FROM cd WHERE vec_id = 0) t WHERE rn <= 3),
+      pruned AS (SELECT v.vec_id, v.ev, a.cluster
+                 FROM v JOIN a USING (vec_id)
+                 WHERE a.cluster IN (SELECT cid FROM p)),
+      cb AS (SELECT CAST(vec_id - 20 AS INT) AS code,
+                    embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id BETWEEN 20 AND 27),
+      s AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
+      d AS (SELECT pr.vec_id, s.sub, cb.code,
+              CAST(round(list_sum(list_transform(range(1, 17),
+                i -> (pr.ev[s.sub * 16 + i] - cb.cv[s.sub * 16 + i]) *
+                     (pr.ev[s.sub * 16 + i] - cb.cv[s.sub * 16 + i]))), 4)
+                AS DECIMAL(18, 4)) AS dist
+            FROM pruned pr, s, cb),
+      enc AS (SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY dist, code) AS rn
+                FROM d) t WHERE rn = 1),
+      q AS (SELECT ev AS qv FROM v WHERE vec_id = 0),
+      qd AS (SELECT s.sub, cb.code,
+               CAST(round(list_sum(list_transform(range(1, 17),
+                 i -> (q.qv[s.sub * 16 + i] - cb.cv[s.sub * 16 + i]) *
+                      (q.qv[s.sub * 16 + i] - cb.cv[s.sub * 16 + i]))), 4)
+                 AS DECIMAL(18, 4)) AS dist
+             FROM q, s, cb),
+      adc AS (SELECT enc.vec_id,
+                     CAST(sum(qd.dist) * 10000 AS BIGINT) AS adc_micros
+              FROM enc JOIN qd ON qd.sub = enc.sub AND qd.code = enc.code
+              GROUP BY enc.vec_id),
+      cand AS (SELECT vec_id, adc_micros FROM adc
+               ORDER BY adc_micros, vec_id LIMIT 10)
+      SELECT c.vec_id, pr.cluster, c.adc_micros,
+             round(list_cosine_similarity(pr.ev, q.qv), 4) AS score
+      FROM cand c JOIN pruned pr ON pr.vec_id = c.vec_id, q
+      ORDER BY score DESC, c.vec_id LIMIT 5""",
+
+    // Incremental dedup: odd ids = batch, even ids = corpus. Near-dup
+    // = 3-gram Jaccard >= 0.5 across sides only (same shingle/round
+    // conventions as q_dedup_jaccard).
+    "q_dedup_incremental" -> """
+      WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+      c AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      bsh AS (SELECT doc_id,
+                CASE WHEN len(string_split(text, ' ')) < 3 THEN CAST([] AS VARCHAR[])
+                     ELSE list_distinct(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) END AS sh
+              FROM b),
+      csh AS (SELECT doc_id,
+                CASE WHEN len(string_split(text, ' ')) < 3 THEN CAST([] AS VARCHAR[])
+                     ELSE list_distinct(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) END AS sh
+              FROM c),
+      be AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM bsh),
+      ce AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM csh),
+      common AS (SELECT be.doc_id AS bid, ce.doc_id AS cid,
+                        max(be.n) AS na, max(ce.n) AS nb, count(*) AS cc
+                 FROM be JOIN ce ON be.s = ce.s
+                 GROUP BY be.doc_id, ce.doc_id),
+      near AS (SELECT bid AS doc_id, count(*) AS n_near FROM common
+               WHERE round(CAST(cc AS DOUBLE) / CAST(na + nb - cc AS DOUBLE), 4) >= 0.5
+               GROUP BY bid),
+      ex AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON b.text = c.text)
+      SELECT b.doc_id,
+             (ex.doc_id IS NOT NULL) AS exact_dup,
+             CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near,
+             (ex.doc_id IS NULL AND coalesce(near.n_near, 0) = 0) AS kept
+      FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
+             LEFT JOIN near ON near.doc_id = b.doc_id""",
 
     // Duplicate 8-token spans across documents; spans are distinct
     // within a doc, so count(*) per span == document count.

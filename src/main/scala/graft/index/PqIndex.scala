@@ -143,4 +143,24 @@ object PqIndex {
     VectorIndex.topK(cand, vecCol, query, k, metric,
       scoreCol = "score", tieBreak = Seq(idCol), roundScale = roundScale)
   }
+
+  /** IVF×PQ composition — FAISS IndexIVFPQ, Spark-first: the coarse
+    * quantizer prunes the search space to `nprobe` clusters (partition
+    * pruning when the store is written `partitionBy("cluster")`), and
+    * PQ-ADC ranks only the surviving rows. The two prunings multiply:
+    * nprobe/nlist of the data is read, and each surviving row costs
+    * `m` integer lookups instead of a d-dim float dot. Unlike FAISS
+    * this encodes full vectors, not residuals — residual encoding
+    * needs per-cluster ADC tables (nlist·m·ksub driver work), a
+    * refinement the rerank stage makes unnecessary at these ksub. */
+  def searchIvf(docs: DataFrame, vecCol: String, ivf: IvfIndex.Model,
+                pq: Model, query: Seq[Double], k: Int, candidates: Int,
+                nprobe: Int = 8, metric: String = "cosine",
+                idCol: String = "vec_id", roundScale: Int = 4): DataFrame = {
+    val probes = ivf.nearestCentroids(query, nprobe, roundScale)
+    val pruned = docs
+      .withColumn("cluster", ivf.assignCol(col(vecCol), roundScale))
+      .where(col("cluster").isin(probes: _*))
+    search(pruned, vecCol, pq, query, k, candidates, metric, idCol, roundScale)
+  }
 }

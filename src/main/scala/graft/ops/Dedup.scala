@@ -387,6 +387,87 @@ object Dedup {
           .as("dup_span_frac"))
   }
 
+  /** Incremental exact dedup: the rows of `batch` whose (optionally
+    * normalized) text does NOT already exist in `corpus` — the
+    * batch-vs-store screen an ingest pipeline runs on every new shard
+    * (the reference dedups each add_texts batch against the store the
+    * same way, one document at a time; reference
+    * src/langchain_memvid/index.py:202-218). One left_anti equi-join on
+    * the text key: hash-shuffles both sides, never materializes the
+    * corpus on the driver, and at 100 TB the corpus side would be a
+    * pre-computed (and bucketed) fingerprint column, not a re-scan. */
+  def exactAgainst(batch: DataFrame, corpus: DataFrame, textCol: String,
+                   normalize: Boolean = false): DataFrame = {
+    def key(c: Column) = if (normalize) TextFunctions.fingerprint(c) else c
+    batch.join(corpus.select(key(col(textCol)).as("corpus_key")).distinct(),
+      key(col(textCol)) === col("corpus_key"), "left_anti")
+  }
+
+  /** Cross-side near-dup pairs: batch × corpus ONLY — never batch² or
+    * corpus², which is what makes incremental dedup cheap: the shingle
+    * equi-join's output is bounded by the batch's shingle mass, however
+    * big the corpus is. Returns (batch_id, corpus_id, jaccard) with
+    * jaccard >= threshold over distinct word-n-gram sets, same
+    * semantics as [[ngramJaccardPairs]].
+    *
+    * Size joins: the batch side broadcasts (a batch is small by
+    * definition); the corpus sizes join by shuffle — only ids that
+    * actually formed a candidate pair flow through it. */
+  def ngramJaccardAgainst(batch: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 3, threshold: Double = 0.5,
+                          maxShingleFreq: Option[Long] = None): DataFrame = {
+    def side(df: DataFrame) = df.select(col(idCol).as("id"),
+      TextFunctions.shingles(col(textCol), n).as("shs"))
+    val bs = side(batch)
+    val cs = side(corpus)
+    val be = bs.select(col("id"), explode(col("shs")).as("sh"))
+    val ce = cs.select(col("id"), explode(col("shs")).as("sh"))
+    // Hot-shingle cap (web-scale posture, see ngramJaccardPairs): df is
+    // computed over BOTH sides so a shingle hot in the corpus alone
+    // still gets dropped from the batch side of the join.
+    val (bKept, cKept, bSizes, cSizes) = maxShingleFreq match {
+      case Some(f) =>
+        val hot = be.union(ce).groupBy("sh").count()
+          .where(col("count") > f).select("sh")
+        val bk = be.join(broadcast(hot), Seq("sh"), "left_anti")
+        val ck = ce.join(broadcast(hot), Seq("sh"), "left_anti")
+        (bk, ck, bk.groupBy("id").agg(count(lit(1)).as("n_sh")),
+          ck.groupBy("id").agg(count(lit(1)).as("n_sh")))
+      case None =>
+        (be, ce, bs.select(col("id"), size(col("shs")).as("n_sh")),
+          cs.select(col("id"), size(col("shs")).as("n_sh")))
+    }
+    val common = bKept.as("a").join(cKept.as("b"), col("a.sh") === col("b.sh"))
+      .groupBy(col("a.id").as("batch_id"), col("b.id").as("corpus_id"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(bSizes.select(col("id").as("batch_id"), col("n_sh").as("n_a"))),
+        "batch_id")
+      .join(cSizes.select(col("id").as("corpus_id"), col("n_sh").as("n_b")),
+        "corpus_id")
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"), 4))
+      .where(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
+  }
+
+  /** Incremental ingest filter: the batch rows that survive BOTH the
+    * exact and the near-dup screen against the corpus. The near-dup
+    * drop set is distinct batch ids only — tiny — so its anti-join
+    * broadcasts. */
+  def dedupAgainst(batch: DataFrame, corpus: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3, threshold: Double = 0.5,
+                   normalize: Boolean = false,
+                   maxShingleFreq: Option[Long] = None): DataFrame = {
+    val near = ngramJaccardAgainst(batch, corpus, idCol, textCol, n,
+        threshold, maxShingleFreq)
+      .select(col("batch_id").as(idCol)).distinct()
+    exactAgainst(batch, corpus, textCol, normalize)
+      .join(broadcast(near), Seq(idCol), "left_anti")
+  }
+
   /** End-to-end near-dup removal: given detector `pairs`, keep exactly
     * one document (the minimum id) per duplicate family and every
     * document that matched nothing. The anti-join ships only the

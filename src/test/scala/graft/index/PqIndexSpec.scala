@@ -75,6 +75,23 @@ class PqIndexSpec extends SparkSpec {
     assert(codes.map(_(1)).distinct.sorted.toSeq == Seq(0, 1))
   }
 
+  test("searchIvf: probing every cluster with full candidates reduces to exact topK") {
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val ivf = IvfIndex.Model(IndexedSeq(
+      IndexedSeq(1.0, 0.0, 0.0, 0.0), IndexedSeq(0.0, 1.0, 1.0, 1.0)))
+    val exact = VectorIndex.topK(docs, "vec", q, 3, "cosine",
+      tieBreak = Seq("vec_id"), roundScale = 4).select("vec_id").as[Long].collect().toSeq
+    val full = PqIndex.searchIvf(docs, "vec", ivf, model, q, k = 3,
+        candidates = 10, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == exact)
+    // nprobe=1 prunes to the query's own cluster: docs 0 and 2 only
+    val pruned = PqIndex.searchIvf(docs, "vec", ivf, model, q, k = 3,
+        candidates = 10, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(pruned == Seq(0L, 2L))
+  }
+
   test("model validation rejects ragged codebooks") {
     intercept[IllegalArgumentException] {
       PqIndex.Model(IndexedSeq(

@@ -141,6 +141,73 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((0L, 1L)))
   }
 
+  test("exactAgainst drops batch rows whose text exists in the corpus (incl. normalized)") {
+    val corpus = Seq((10L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup
+      (21L, "THE  Quick brown fox jumps over the lazy dog again and again"), // dup only after normalize
+      (22L, "something else entirely")
+    ).toDF("id", "text")
+    val raw = Dedup.exactAgainst(batch, corpus, "text")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(raw == Seq(21L, 22L))
+    val norm = Dedup.exactAgainst(batch, corpus, "text", normalize = true)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(norm == Seq(22L))
+  }
+
+  test("ngramJaccardAgainst scores batch-vs-corpus only, never within a side") {
+    val corpus = docs // ids 0..4; 0 and 1 are identical texts
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog again and again"), // == 0,1
+      (21L, "pack my box with five dozen liquor jugs for the long journey away"), // near 2
+      (22L, "nothing in common with anything at all here truly")
+    ).toDF("id", "text")
+    val pairs = Dedup.ngramJaccardAgainst(batch, corpus, "id", "text",
+        n = 3, threshold = 0.3).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(pairs((20L, 0L)) == 1.0 && pairs((20L, 1L)) == 1.0)
+    assert(pairs.contains((21L, 2L)) && pairs((21L, 2L)) < 1.0)
+    assert(!pairs.keys.exists(_._1 == 22L))
+    // corpus-internal dup pair (0,1) must NOT appear
+    assert(pairs.keys.forall { case (b, _) => Seq(20L, 21L).contains(b) })
+  }
+
+  test("dedupAgainst = exact screen + near screen; survivors keep their rows") {
+    val corpus = docs
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+      (21L, "pack my box with five dozen liquor jugs for the long journey away"), // near-dup of 2
+      (22L, "nothing in common with anything at all here truly")
+    ).toDF("id", "text")
+    val kept = Dedup.dedupAgainst(batch, corpus, "id", "text",
+        n = 3, threshold = 0.3)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(22L))
+    // with a high threshold the near-dup survives, the exact dup still dies
+    val keptHigh = Dedup.dedupAgainst(batch, corpus, "id", "text",
+        n = 3, threshold = 0.99)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(keptHigh == Seq(21L, 22L))
+  }
+
+  test("ngramJaccardAgainst hot-shingle cap computes sizes from kept shingles") {
+    val corpus = Seq(
+      (0L, "aa bb cc dd ee ff gg"),
+      (1L, "aa bb cc xx yy zz ww")).toDF("id", "text")
+    val batch = Seq((20L, "aa bb cc dd ee ff gg")).toDF("id", "text")
+    // "aa bb cc" occurs 3x across sides -> dropped at cap 2; the pair
+    // (20, 0) must still score with REDUCED sets on both sides: 4/4 = 1.
+    val capped = Dedup.ngramJaccardAgainst(batch, corpus, "id", "text",
+        n = 3, threshold = 0.5, maxShingleFreq = Some(2L)).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(capped((20L, 0L)) == 1.0)
+    assert(!capped.contains((20L, 1L)))
+  }
+
   test("duplicateSpans finds cross-doc shared windows; fraction is per-doc") {
     import spark.implicits._
     // 3-token windows: docs 1 and 2 share "p q r" and "q r s";
