@@ -483,9 +483,41 @@ object SparkEntry {
 
   /** BM25 keyword top-10 over the documents corpus. */
   private val Bm25Terms = Seq("spark", "vector", "join", "stream")
+
+  /** Shared by q_bm25_search (scan-time scoring) and q_bm25_index (the
+    * persisted inverted-index round-trip) — both must hash-match it. */
+  private lazy val Bm25OracleSql = s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+             FROM toks),
+      t AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term FROM toks),
+      tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+             WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+             GROUP BY doc_id, dl, term),
+      df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+      w AS (SELECT tf.doc_id,
+              ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                (tf.tf * ${1.2 + 1.0}) /
+                (tf.tf + ${1.2} * (${1.0 - 0.75} + ${0.75} * tf.dl / st.avgdl)) AS w
+            FROM tf, df, st WHERE tf.term = df.term)
+      SELECT doc_id, round(CAST(sum(CAST(round(w, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
+      FROM w GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 10"""
   private def qBm25Search(s: SparkSession, dir: String): DataFrame =
     TextSearch.bm25(table(s, dir, "documents"), "doc_id", "text",
       Bm25Terms, topK = 10)
+
+  /** Persisted-inverted-index BM25: builds the postings/df/stats index
+    * under a per-dataset temp dir, then answers the SAME query as
+    * [[qBm25Search]] from the index alone — the build-once/query-many
+    * round-trip, hash-checked against the scan-time oracle. */
+  private def qBm25Index(s: SparkSession, dir: String): DataFrame = {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_idx_" +
+      Integer.toHexString(dir.hashCode)
+    TextSearch.writeIndex(table(s, dir, "documents"), "doc_id", "text", idx)
+    TextSearch.searchIndex(s, idx, Bm25Terms, topK = 10, idCol = "doc_id")
+  }
 
   /** Deterministic stratified sample: partition-independent, engine-
     * reproducible membership (hash60-based, see Sampling). */
@@ -817,6 +849,20 @@ object SparkEntry {
         (!col("exact_dup") && col("n_near") === 0).as("kept"))
   }
 
+  /** Bloom-prescreened incremental exact dedup: same odd/even split as
+    * [[qDedupIncremental]], but the exact screen runs through the
+    * corpus Bloom filter first — batch rows that miss the filter skip
+    * the confirm join entirely. The confirm join makes the output
+    * EXACTLY the no-exact-match survivors, so the whole Bloom path sits
+    * under the DuckDB oracle. */
+  private def qDedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    val batch = d.where(col("doc_id") % 2 === 1)
+    val corpus = d.where(col("doc_id") % 2 === 0)
+    Dedup.bloomExactAgainst(batch, corpus, "text", fpp = 0.01)
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Duplicate-span mass per document (substring-level dedup signal,
     * 8-token sliding windows shared across >= 2 docs). */
   private def qDupSpans(s: SparkSession, dir: String): DataFrame =
@@ -897,6 +943,7 @@ object SparkEntry {
       "q_ivf_flat"            -> (qIvfFlat _),
       "q_dedup_clusters"      -> (qDedupClusters _),
       "q_bm25_search"         -> (qBm25Search _),
+      "q_bm25_index"          -> (qBm25Index _),
       "q_sample_stratified"   -> (qSampleStratified _),
       "q_asof_join"           -> (qAsofJoin _),
       "q_skew_join"           -> (qSkewJoin _),
@@ -918,6 +965,7 @@ object SparkEntry {
       "q_binary_hamming"      -> (qBinaryHamming _),
       "q_pq_adc"              -> (qPqAdc _),
       "q_dedup_incremental"   -> (qDedupIncremental _),
+      "q_dedup_bloom"         -> (qDedupBloom _),
       "q_ivfpq"               -> (qIvfPq _),
       "q_dup_spans"           -> (qDupSpans _),
       "q_keywords"            -> (qKeywords _),
@@ -1245,24 +1293,12 @@ object SparkEntry {
     // BM25: per-(doc,term) weights in double with one fixed expression
     // shape, rounded to 6 dp, summed through exact DECIMAL (term order
     // can't matter), rounded to 4 dp before ranking.
-    "q_bm25_search" -> s"""
-      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-                    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-             FROM toks),
-      t AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term FROM toks),
-      tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM t
-             WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
-             GROUP BY doc_id, dl, term),
-      df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
-      w AS (SELECT tf.doc_id,
-              ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
-                (tf.tf * ${1.2 + 1.0}) /
-                (tf.tf + ${1.2} * (${1.0 - 0.75} + ${0.75} * tf.dl / st.avgdl)) AS w
-            FROM tf, df, st WHERE tf.term = df.term)
-      SELECT doc_id, round(CAST(sum(CAST(round(w, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
-      FROM w GROUP BY doc_id
-      ORDER BY score DESC, doc_id LIMIT 10""",
+    "q_bm25_search" -> Bm25OracleSql,
+
+    // Index-backed BM25 is score-identical to the scan-time form, so it
+    // shares the oracle: the persisted postings/df/stats round-trip must
+    // not change a single hash.
+    "q_bm25_index" -> Bm25OracleSql,
 
     // Deterministic stratified sample (mirror of Sampling.stratified).
     "q_sample_stratified" -> s"""
@@ -1696,6 +1732,15 @@ object SparkEntry {
              (ex.doc_id IS NULL AND coalesce(near.n_near, 0) = 0) AS kept
       FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
              LEFT JOIN near ON near.doc_id = b.doc_id""",
+
+    // Bloom-prescreen path is exact by construction: oracle is simply
+    // "batch rows with no exact text match in the corpus".
+    "q_dedup_bloom" -> """
+      SELECT b.doc_id, b.lang
+      FROM documents b
+      WHERE b.doc_id % 2 = 1
+        AND NOT EXISTS (SELECT 1 FROM documents c
+                        WHERE c.doc_id % 2 = 0 AND c.text = b.text)""",
 
     // Duplicate 8-token spans across documents; spans are distinct
     // within a doc, so count(*) per span == document count.

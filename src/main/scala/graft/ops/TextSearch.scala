@@ -76,6 +76,73 @@ object TextSearch {
       .select(col("id").as(idCol), col("score"))
   }
 
+  /** Write a persisted lexical (inverted) index for [[searchIndex]]:
+    * the build-once/query-many shape that replaces [[bm25Scores]]'s
+    * per-query corpus scan at scale. Layout under `dir`:
+    *
+    *   - `postings/` — (term, id, dl, tf), range-partitioned AND sorted
+    *     by term: a query for a handful of terms prunes to the files
+    *     (and row groups, via parquet min/max on the sort key) that
+    *     contain them — the inverted-index seek, expressed as columnar
+    *     layout + predicate pushdown. dl is denormalized into the
+    *     postings row so scoring never joins a corpus-sized side.
+    *   - `terms/`    — (term, df): per-term document frequency.
+    *   - `stats/`    — one row (n_docs, avgdl).
+    *
+    * All three derive from the same tokenization and aggregate shapes
+    * as [[bm25Scores]], so index-backed scores are bit-identical to the
+    * scan-time ones. */
+  def writeIndex(docs: DataFrame, idCol: String, textCol: String,
+                 dir: String, numFiles: Int = 16): Unit = {
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val stats = toks.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(col("toks")).cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    val postings = toks
+      .select(col("id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("term", "id", "dl").agg(count(lit(1)).cast("double").as("tf"))
+    postings.repartitionByRange(numFiles, col("term"))
+      .sortWithinPartitions("term", "id")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    // df = postings rows per term (one row per doc containing it)
+    postings.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      .repartitionByRange(math.max(numFiles / 4, 1), col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/terms")
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 top-k over a persisted [[writeIndex]] index. The postings
+    * scan carries `term IN (...)` into parquet (file/row-group pruning
+    * on the sort key); df and corpus stats broadcast. Scores are
+    * bit-identical to [[bm25]] over the original corpus. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  queryTerms: Seq[String], topK: Int = 10,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  idCol: String = "id"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.distinct
+    val postings = spark.read.parquet(s"$dir/postings")
+      .where(col("term").isin(terms: _*))
+    val dfreq = spark.read.parquet(s"$dir/terms")
+      .where(col("term").isin(terms: _*))
+    val stats = spark.read.parquet(s"$dir/stats")
+    postings.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("id")
+      .agg(round(sum(round(col("w"), 6).cast("decimal(18,6)")).cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+      .select(col("id").as(idCol), col("score"))
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
     * rrf(d) = Σ_sources 1/(rrfK + rank_source(d)), over the top
     * `perSourceK` of each source; absent-from-a-source contributes 0.

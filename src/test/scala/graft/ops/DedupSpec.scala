@@ -193,6 +193,39 @@ class DedupSpec extends SparkSpec {
     assert(keptHigh == Seq(21L, 22L))
   }
 
+  test("bloomExactAgainst == exactAgainst for any filter (incl. tiny, FP-heavy, prebuilt)") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "pack my box with five dozen liquor jugs for the long journey"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog again and again"), // dup
+      (21L, "something else entirely"),
+      (22L, "and a third thing too")
+    ).toDF("id", "text")
+    val want = Dedup.exactAgainst(batch, corpus, "text")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(want == Seq(21L, 22L))
+    val got = Dedup.bloomExactAgainst(batch, corpus, "text", fpp = 0.01)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == want)
+    // an undersized, high-fpp prebuilt filter (false positives likely)
+    // must still produce the exact result — positives are confirmed
+    val tiny = Dedup.buildTextBloom(corpus, "text", expectedItems = 1L, fpp = 0.5)
+    val gotTiny = Dedup.bloomExactAgainst(batch, corpus, "text",
+        prebuilt = Some(tiny))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(gotTiny == want)
+    // normalized variant shares the key derivation with exactAgainst
+    val normBatch = Seq(
+      (30L, "THE  Quick brown fox jumps over the lazy dog again and again"),
+      (31L, "fresh content")).toDF("id", "text")
+    val gotNorm = Dedup.bloomExactAgainst(normBatch, corpus, "text",
+        normalize = true)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(gotNorm == Seq(31L))
+  }
+
   test("ngramJaccardAgainst hot-shingle cap computes sizes from kept shingles") {
     val corpus = Seq(
       (0L, "aa bb cc dd ee ff gg"),

@@ -40,6 +40,27 @@ class TextSearchSpec extends SparkSpec {
     }.toMap
   }
 
+  test("persisted index round-trip: searchIndex == bm25, term filter pushed to parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_spec").toString
+    TextSearch.writeIndex(corpus, "doc_id", "text", dir, numFiles = 3)
+    val fromIndex = TextSearch.searchIndex(spark, dir, terms, topK = 10,
+        idCol = "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(fromIndex == expected())
+    // subset query: df/stats must come from the WHOLE indexed corpus,
+    // not the queried terms
+    val one = TextSearch.searchIndex(spark, dir, Seq("stream"), topK = 10,
+        idCol = "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val oneScan = TextSearch.bm25(corpus, "doc_id", "text", Seq("stream"), topK = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(one == oneScan && one.keySet == Set(3L, 4L))
+    // the postings scan must carry the term predicate into parquet
+    val plan = TextSearch.searchIndex(spark, dir, terms, idCol = "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"))
+  }
+
   test("bm25 scores match an independent reference implementation exactly") {
     val got = TextSearch.bm25(corpus, "doc_id", "text", terms, topK = 10)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
