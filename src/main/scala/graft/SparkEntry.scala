@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashEmbedder
 import graft.index.{IvfIndex, VectorIndex}
-import graft.ops.{AsofJoin, Contamination, Dedup, Pii, QualitySignals, Sampling, SkewTools, TextAnalysis, TextSearch}
+import graft.ops.{AsofJoin, Contamination, Dedup, Layout, Pii, QualitySignals, Sampling, SkewTools, TextAnalysis, TextSearch}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2, each with an equivalent DuckDB oracle in [[oracleSql]]
@@ -508,6 +508,20 @@ object SparkEntry {
     TextSearch.bm25(table(s, dir, "documents"), "doc_id", "text",
       Bm25Terms, topK = 10)
 
+  /** Z-order (Morton) clustering key over (user_id, event_id) cells:
+    * the multi-dimensional layout key [[graft.ops.Layout.zorderWrite]]
+    * range-partitions and sorts by, so parquet min/max prunes on BOTH
+    * dimensions. The interleaving itself is exactly oracle-checkable
+    * bit arithmetic; the first 200 cells of the curve are returned. */
+  private def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "events")
+      .select(col("event_id"), (col("user_id") % 1024).as("x"),
+        (col("event_id") % 1024).as("y"))
+    e.withColumn("zval", Layout.zvalue(Seq(col("x"), col("y"))))
+      .orderBy(col("zval"), col("event_id"))
+      .limit(200)
+  }
+
   /** Persisted-inverted-index BM25: builds the postings/df/stats index
     * under a per-dataset temp dir, then answers the SAME query as
     * [[qBm25Search]] from the index alone — the build-once/query-many
@@ -944,6 +958,7 @@ object SparkEntry {
       "q_dedup_clusters"      -> (qDedupClusters _),
       "q_bm25_search"         -> (qBm25Search _),
       "q_bm25_index"          -> (qBm25Index _),
+      "q_zorder"              -> (qZorder _),
       "q_sample_stratified"   -> (qSampleStratified _),
       "q_asof_join"           -> (qAsofJoin _),
       "q_skew_join"           -> (qSkewJoin _),
@@ -1732,6 +1747,18 @@ object SparkEntry {
              (ex.doc_id IS NULL AND coalesce(near.n_near, 0) = 0) AS kept
       FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
              LEFT JOIN near ON near.doc_id = b.doc_id""",
+
+    // Morton interleave: x bit i -> position 2i, y bit i -> 2i+1,
+    // 21 bits per dimension — pure bit arithmetic both engines compute
+    // identically.
+    "q_zorder" -> """
+      WITH e AS (SELECT event_id, user_id % 1024 AS x, event_id % 1024 AS y
+                 FROM events)
+      SELECT event_id, x, y,
+             CAST(list_sum(list_transform(range(0, 21), i ->
+               ((x >> i) & 1) * (1::BIGINT << (2*i)) +
+               ((y >> i) & 1) * (1::BIGINT << (2*i + 1)))) AS BIGINT) AS zval
+      FROM e ORDER BY zval, event_id LIMIT 200""",
 
     // Bloom-prescreen path is exact by construction: oracle is simply
     // "batch rows with no exact text match in the corpus".
