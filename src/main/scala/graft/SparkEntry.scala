@@ -694,6 +694,32 @@ object SparkEntry {
           .as("below_revenue"))
   }
 
+  /** TPC-H Q18 shape (large-volume customers): the IN-subquery-with-
+    * HAVING decorrelates to an aggregate + semijoin. The qualifying
+    * order set is threshold-filtered — provably small at any scale — so
+    * it broadcasts into BOTH the lineitem re-scan and orders; the only
+    * big shuffle left is the final per-order aggregate. Customer joins
+    * without a hint (corpus-sized dim — AQE decides, the q17 lesson). */
+  private def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val l = table(s, dir, "lineitem")
+    val big = l.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+      .where(col("sq") > 200).select("l_orderkey")
+    val o = table(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"), "left_semi")
+    val c = table(s, dir, "customer").select("c_custkey", "c_name")
+    l.select(col("l_orderkey"), col("l_quantity"))
+      .join(broadcast(big.select(col("l_orderkey").as("bk"))),
+        col("l_orderkey") === col("bk"), "left_semi")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Gopher-style repetition/symbol quality signals (narrow projection;
     * the keep flag is decided on the ROUNDED signals). */
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
@@ -971,6 +997,7 @@ object SparkEntry {
       "q_knn_classify"        -> (qKnnClassify _),
       "q_radius_search"       -> (qRadiusSearch _),
       "q17_below_avg"         -> (q17BelowAvg _),
+      "q18_large_orders"      -> (q18LargeOrders _),
       "q_repetition"          -> (qRepetition _),
       "q_contamination"       -> (qContamination _),
       "q_pii_redact"          -> (qPiiRedact _),
@@ -1057,6 +1084,21 @@ object SparkEntry {
   def oracleSql: Map[String, String] = SharedSql ++ Map(
     // Q17 decorrelated form (the Spark side is the hinted DataFrame
     // twin of exactly this text).
+    // TPC-H Q18: IN + HAVING subquery; limit ties broken by the unique
+    // group key o_orderkey.
+    "q18_large_orders" -> """
+      WITH big AS (SELECT l_orderkey FROM lineitem
+                   GROUP BY l_orderkey
+                   HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+      SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+      GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+      ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""",
+
     "q17_below_avg" -> """
       WITH pa AS (
         SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
 
 /** Approximate, MERGEABLE aggregates — the 100 TB profiling pattern:
   * build bounded-memory sketches once per shard/partition in a single
@@ -42,6 +43,43 @@ object Sketches {
     sketches.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false)))
         .as("approx_distinct"))
+
+  /** Per-group Count-Min frequency sketches (Cormode & Muthukrishnan
+    * 2005): one pass, `depth x width` long counters each, built by
+    * Spark's codegen'd `count_min_sketch` aggregate. The shard-side
+    * half of the heavy-hitter pattern: build per shard/day, persist the
+    * bytes, and answer "how often does value v occur?" later for ANY v
+    * without rescanning. Estimates overcount only (never under), by at
+    * most eps·N with the given confidence. */
+  def buildFreqSketches(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                        eps: Double = 0.001, confidence: Double = 0.99,
+                        seed: Int = 42): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"count_min_sketch($valueCol, ${eps}d, ${confidence}d, $seed)")
+        .as("sketch"))
+
+  /** Merge persisted Count-Min sketch bytes driver-side (sketches are
+    * KB–MB sized — collecting them is the point: a year of shard
+    * sketches merges in milliseconds where a rescan would read 100 TB).
+    * Cell-wise addition makes merge EXACTLY equal to having built one
+    * sketch over the union (same seed ⇒ same hash functions). */
+  def mergeFreqSketches(sketches: DataFrame,
+                        sketchCol: String = "sketch"): CountMinSketch =
+    sketches.select(col(sketchCol)).collect()
+      .map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
+      .reduce(_ mergeInPlace _)
+
+  /** Screen candidate values against a merged sketch: returns each
+    * candidate's estimated count, keeping those >= minCount — the
+    * query-side half of heavy-hitter detection (candidates come from a
+    * cheap per-shard top-k or a sample; the sketch gives whole-corpus
+    * counts without the corpus-wide groupBy). */
+  def heavyHitters(cms: CountMinSketch, candidates: Seq[String],
+                   minCount: Long): Seq[(String, Long)] =
+    candidates.distinct
+      .map(v => v -> cms.estimateCount(v))
+      .filter(_._2 >= minCount)
+      .sortBy { case (v, c) => (-c, v) }
 
   /** Single-pass approximate quantiles per group (positional-error
     * bounded: rank error <= 1/accuracy). */

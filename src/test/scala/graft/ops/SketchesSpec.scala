@@ -40,6 +40,36 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("count-min: overcount-only within eps*N; shard merge == whole-corpus build") {
+    val words = (0 until 10000).map { i =>
+      val w = if (i % 4 == 0) "hot" else if (i % 10 == 5) s"warm${i % 7}" else s"cold$i"
+      ((i % 5).toString, w)
+    }
+    val wdf = words.toDF("shard", "word")
+    val exactCounts = words.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val whole = Sketches.mergeFreqSketches(
+      Sketches.buildFreqSketches(wdf, Seq.empty, "word", eps = 0.001))
+    // never undercounts; overcount bounded by eps * N
+    exactCounts.foreach { case (w, n) =>
+      val est = whole.estimateCount(w)
+      assert(est >= n, s"$w undercounted: $est < $n")
+      assert(est <= n + (0.001 * 10000).toLong + 1, s"$w overcounted: $est vs $n")
+    }
+    // shard-built sketches merge to the SAME sketch (same seed => same
+    // hash functions; merge is cell-wise addition)
+    val merged = Sketches.mergeFreqSketches(
+      Sketches.buildFreqSketches(wdf, Seq("shard"), "word", eps = 0.001))
+    exactCounts.keys.foreach { w =>
+      assert(merged.estimateCount(w) == whole.estimateCount(w))
+    }
+    // heavy-hitter screen: candidates from any cheap source, counts from
+    // the sketch
+    val hh = Sketches.heavyHitters(merged,
+      Seq("hot", "warm0", "cold123", "absent"), minCount = 100L)
+    assert(hh.head._1 == "hot" && hh.head._2 >= 100L)
+    assert(!hh.exists(_._1 == "cold123") && !hh.exists(_._1 == "absent"))
+  }
+
   test("approxQuantiles rank error bounded vs exact percentiles") {
     val probs = Seq(0.25, 0.5, 0.95)
     val approx = Sketches.approxQuantiles(df, Seq("grp"), "member", probs, accuracy = 10000)
