@@ -94,25 +94,32 @@ object TextSearch {
     * scan-time ones. */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  dir: String, numFiles: Int = 16): Unit = {
-    val toks = docs.select(col(idCol).as("id"),
-      TextFunctions.tokens(col(textCol)).as("toks"))
-    val stats = toks.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      (sum(size(col("toks")).cast("long")).cast("double") /
-        count(lit(1)).cast("double")).as("avgdl"))
-    val postings = toks
+    val spark = docs.sparkSession
+    // ONE tokenize+explode+aggregate pass over the corpus; df and
+    // corpus stats then derive from the (already aggregated, smaller)
+    // written postings instead of re-scanning the raw text.
+    docs.select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("id"), size(col("toks")).cast("double").as("dl"),
         explode(col("toks")).as("term"))
       .groupBy("term", "id", "dl").agg(count(lit(1)).cast("double").as("tf"))
-    postings.repartitionByRange(numFiles, col("term"))
+      .repartitionByRange(numFiles, col("term"))
       .sortWithinPartitions("term", "id")
       .write.mode("overwrite").parquet(s"$dir/postings")
+    val postings = spark.read.parquet(s"$dir/postings")
     // df = postings rows per term (one row per doc containing it)
     postings.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
       .repartitionByRange(math.max(numFiles / 4, 1), col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/terms")
-    stats.write.mode("overwrite").parquet(s"$dir/stats")
+    // every doc has >= 1 token (split("") = [""]), so postings cover
+    // all docs; dl is constant per doc and integral, so the long-sum
+    // keeps n_docs/avgdl bit-identical to the scan-time aggregate.
+    postings.groupBy("id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl").cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
   /** BM25 top-k over a persisted [[writeIndex]] index. The postings

@@ -80,6 +80,27 @@ object StreamingOps {
     graft.ops.TextAnalysis.analyze(
       embedder.embed(stream, textCol, "vec"), textCol)
 
+  /** Watermarked stream-stream interval join: each left event pairs
+    * with right events for the same key whose timestamp falls in
+    * [left.ts - lookback, left.ts] — the streaming twin of the batch
+    * as-of/range join (e.g. attribute a purchase stream to the same
+    * user's recent click stream). Both sides carry watermarks AND the
+    * join carries the time-range condition, which is what lets Spark
+    * BOUND the join state: buffered rows are evicted as soon as the
+    * other side's watermark passes their eligibility window — without
+    * the range condition the state store would grow forever. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                         leftTsCol: String, rightTsCol: String,
+                         lookback: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermark).alias("l")
+    val r = right.withWatermark(rightTsCol, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTsCol") >= col(s"l.$leftTsCol") - expr(s"INTERVAL $lookback") &&
+        col(s"r.$rightTsCol") <= col(s"l.$leftTsCol"))
+  }
+
   /** Streaming exact dedup on a (normalized) text key with BOUNDED
     * state: `dropDuplicatesWithinWatermark` keeps each key's state only
     * until the watermark passes it, so the state store cannot grow with

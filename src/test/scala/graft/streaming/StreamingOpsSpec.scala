@@ -109,6 +109,42 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream: purchases join same-user clicks within lookback; state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamingOps.intervalJoinStream(
+      buys.toDF().toDF("user_id", "bts", "amount"),
+      clicks.toDF().toDF("user_id", "cts", "page"),
+      "user_id", "bts", "cts", lookback = "30 minutes", watermark = "1 hour")
+      .select(col("l.user_id"), col("amount"), col("page"), col("cts"))
+    val q = joined.writeStream.format("memory").queryName("ivj_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0), "home"), (1L, ts(10), "product"),
+        (2L, ts(5), "home"))
+      buys.addData((1L, ts(20), 9.99))
+      q.processAllAvailable()
+      // advance BOTH watermarks so eligible matches emit in append mode
+      clicks.addData((9L, ts(300), "x"))
+      buys.addData((9L, ts(300), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ivj_test")
+        .where($"amount" === 9.99).select("page").collect()
+        .map(_.getString(0)).sorted.toSeq
+      // user 1's purchase at +20min matches clicks at +0 and +10 (both
+      // within 30min lookback); user 2's click never matches
+      assert(rows == Seq("home", "product"))
+      // a click OUTSIDE the lookback window does not match
+      clicks.addData((3L, ts(100), "old"))
+      buys.addData((3L, ts(200), 5.0))
+      clicks.addData((9L, ts(600), "x"))
+      buys.addData((9L, ts(600), 0.0))
+      q.processAllAvailable()
+      assert(spark.table("ivj_test").where($"amount" === 5.0).isEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize: stateful gap sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.SessionEvent]
