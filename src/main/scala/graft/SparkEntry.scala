@@ -695,11 +695,11 @@ object SparkEntry {
   }
 
   /** TPC-H Q18 shape (large-volume customers): the IN-subquery-with-
-    * HAVING decorrelates to an aggregate + semijoin. The qualifying
-    * order set is threshold-filtered — provably small at any scale — so
-    * it broadcasts into BOTH the lineitem re-scan and orders; the only
-    * big shuffle left is the final per-order aggregate. Customer joins
-    * without a hint (corpus-sized dim — AQE decides, the q17 lesson). */
+    * HAVING decorrelates to an aggregate + two semijoins. The
+    * qualifying-order subtree is built IDENTICALLY for both semijoins
+    * so ReuseExchange computes it once; no side gets a broadcast hint —
+    * the qualifying set and the dims grow with the corpus (the q17
+    * lesson), so AQE picks broadcast vs shuffle from runtime sizes. */
   private def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
     val l = table(s, dir, "lineitem")
     val big = l.groupBy("l_orderkey")
@@ -707,11 +707,10 @@ object SparkEntry {
       .where(col("sq") > 200).select("l_orderkey")
     val o = table(s, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
-      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
     val c = table(s, dir, "customer").select("c_custkey", "c_name")
     l.select(col("l_orderkey"), col("l_quantity"))
-      .join(broadcast(big.select(col("l_orderkey").as("bk"))),
-        col("l_orderkey") === col("bk"), "left_semi")
+      .join(big, Seq("l_orderkey"), "left_semi")
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")

@@ -103,13 +103,19 @@ object TextSearch {
       .select(col("id"), size(col("toks")).cast("double").as("dl"),
         explode(col("toks")).as("term"))
       .groupBy("term", "id", "dl").agg(count(lit(1)).cast("double").as("tf"))
-      .repartitionByRange(numFiles, col("term"))
+      // HASH-partition by term, then sort within files: each term lives
+      // in exactly one file and row-group min/max stats on the sorted
+      // term column prune within it. Range partitioning would add
+      // file-level pruning but costs a sampling pass that re-executes
+      // the whole tokenize+aggregate subtree — row-group pruning after
+      // cheap footer reads is the same seek at half the build cost.
+      .repartition(numFiles, col("term"))
       .sortWithinPartitions("term", "id")
       .write.mode("overwrite").parquet(s"$dir/postings")
     val postings = spark.read.parquet(s"$dir/postings")
     // df = postings rows per term (one row per doc containing it)
     postings.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-      .repartitionByRange(math.max(numFiles / 4, 1), col("term"))
+      .repartition(math.max(numFiles / 4, 1), col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/terms")
     // every doc has >= 1 token (split("") = [""]), so postings cover
