@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout — Z-order (Morton) clustering, the
   * standard lakehouse technique for making parquet min/max statistics
-  * prune on SEVERAL columns at once (Morton 1966; used by Delta/Iceberg
-  * `OPTIMIZE ZORDER BY` — see PAPERS.md).
+  * prune on SEVERAL columns at once (Morton 1966; the technique behind
+  * Delta/Iceberg `OPTIMIZE ZORDER BY`).
   *
   * Why it matters at 100 TB: range-partitioning by one column gives
   * perfect pruning on that column and NONE on any other — a filter on

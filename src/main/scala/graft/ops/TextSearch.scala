@@ -128,14 +128,14 @@ object TextSearch {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
-  /** BM25 top-k over a persisted [[writeIndex]] index. The postings
-    * scan carries `term IN (...)` into parquet (file/row-group pruning
-    * on the sort key); df and corpus stats broadcast. Scores are
-    * bit-identical to [[bm25]] over the original corpus. */
-  def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                  queryTerms: Seq[String], topK: Int = 10,
-                  k1: Double = 1.2, b: Double = 0.75,
-                  idCol: String = "id"): DataFrame = {
+  /** Full BM25 score set from a persisted [[writeIndex]] index — the
+    * index-backed twin of [[bm25Scores]], bit-identical scores. The
+    * postings scan carries `term IN (...)` into parquet (row-group
+    * pruning on the sort key); df and corpus stats broadcast. */
+  def searchIndexScores(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        queryTerms: Seq[String],
+                        k1: Double = 1.2, b: Double = 0.75,
+                        idCol: String = "id"): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val terms = queryTerms.distinct
     val postings = spark.read.parquet(s"$dir/postings")
@@ -151,10 +151,18 @@ object TextSearch {
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("id")
       .agg(round(sum(round(col("w"), 6).cast("decimal(18,6)")).cast("double"), 4).as("score"))
-      .orderBy(col("score").desc, col("id"))
-      .limit(topK)
       .select(col("id").as(idCol), col("score"))
   }
+
+  /** BM25 top-k over a persisted [[writeIndex]] index — bit-identical
+    * to [[bm25]] over the original corpus. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  queryTerms: Seq[String], topK: Int = 10,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  idCol: String = "id"): DataFrame =
+    searchIndexScores(spark, dir, queryTerms, k1, b, idCol)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
 
   /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
     * rrf(d) = Σ_sources 1/(rrfK + rank_source(d)), over the top

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField}
+import org.apache.spark.util.sketch.BloomFilter
 
 import graft._
 import graft.embed.Embedder
@@ -63,6 +64,8 @@ final class DocumentStore private (
   private def essentialDir(v: Long) = s"${versionDir(v)}/essential"
   private def payloadDir(v: Long) = s"${versionDir(v)}/payload"
   private def centroidsDir(v: Long) = s"${versionDir(v)}/centroids"
+  private def bloomPath(v: Long) = s"${versionDir(v)}/dedup_bloom.bin"
+  private def lexicalDir(v: Long) = s"${versionDir(v)}/lexical"
 
   /** Current essential store (searchable projection + vectors). */
   def essential: DataFrame = spark.read.parquet(essentialDir(manifest.version))
@@ -106,7 +109,7 @@ final class DocumentStore private (
     val existing =
       if (manifest.count > 0) Some(essential.select("id", "text", "source", "category", "metadata_hash", "vec"))
       else None
-    val base = buildNewRows(staged, existing, manifest.count)
+    val base = buildNewRows(staged, existing, manifest.count, loadBloom())
     try {
       val allEssential = existing match {
         case Some(ex) => ex.unionByName(essentialProjection(base))
@@ -134,7 +137,8 @@ final class DocumentStore private (
     * that changed between the two writes would produce payload rows that
     * do not match the essential rows already written. */
   private def buildNewRows(staged: DataFrame, existing: Option[DataFrame],
-                           offset: Long): DataFrame = {
+                           offset: Long,
+                           bloom: Option[BloomFilter] = None): DataFrame = {
     // Input-order sequence for first-occurrence-wins dedup.
     val withSeq = withDenseId(staged.select(col("text"), col("metadata").cast("map<string,string>")), "seq")
 
@@ -144,8 +148,27 @@ final class DocumentStore private (
       .withColumn("__rn", row_number().over(firstPerText))
       .where(col("__rn") === 1).drop("__rn")
 
-    // Dedup vs. already-indexed texts.
-    existing.foreach { ex => fresh = fresh.join(ex.select("text"), Seq("text"), "left_anti") }
+    // Dedup vs. already-indexed texts. With a persisted store Bloom
+    // filter (keyed on sha2(text)), batch rows that MISS it are
+    // definitely new and skip the anti-join against the corpus-sized
+    // store entirely; positives (true dups + ~fpp of the batch) are
+    // confirmed exactly — same result as the plain anti-join for any
+    // filter contents, but per-ingest cost stops scaling with the
+    // corpus.
+    existing.foreach { ex =>
+      fresh = bloom match {
+        case Some(b) =>
+          val bc = spark.sparkContext.broadcast(b)
+          val probe = udf((h: String) => bc.value.mightContainString(h))
+          val flagged = fresh.withColumn("__maybe",
+            probe(sha2(col("text"), 256)))
+          flagged.where(!col("__maybe")).drop("__maybe")
+            .unionByName(flagged.where(col("__maybe")).drop("__maybe")
+              .join(ex.select("text"), Seq("text"), "left_anti"))
+        case None =>
+          fresh.join(ex.select("text"), Seq("text"), "left_anti")
+      }
+    }
 
     // Embed (narrow map stage) + essential projection + integrity hash
     // (index.py:220-237). Hash = sha256 over key-sorted metadata JSON —
@@ -196,7 +219,8 @@ final class DocumentStore private (
       case null => 0L
       case m    => m.asInstanceOf[Long] + 1L
     }
-    val base = buildNewRows(staged, Some(existing), offset)
+    val bloom = loadBloom()
+    val base = buildNewRows(staged, Some(existing), offset, bloom)
     try {
       val nNew = base.count()
       if (nNew > 0) {
@@ -213,6 +237,15 @@ final class DocumentStore private (
         }
         manifest = manifest.copy(count = offset + nNew)
         writeManifest(spark, path, manifest)
+        // Fold the new keys into the persisted Bloom filter (batch-sized
+        // driver work; the filter's capacity was sized at snapshot time,
+        // so sustained appends degrade fpp gracefully until the next
+        // compact()/writeVersion rebuilds it at the new count).
+        bloom.foreach { b =>
+          base.select(sha2(col("text"), 256)).collect()
+            .foreach(r => b.putString(r.getString(0)))
+          writeBloom(manifest.version, b)
+        }
       }
     } finally base.unpersist()
   }
@@ -259,6 +292,12 @@ final class DocumentStore private (
         .write.mode("overwrite").parquet(essentialDir(v))
     }
     payloadDf.write.mode("overwrite").parquet(payloadDir(v))
+    // Ingest-dedup Bloom filter for the new snapshot: one narrow pass
+    // over the (cached) essential rows; sized to the snapshot count.
+    if (config.dedupBloomFpp > 0.0) {
+      writeBloom(v, ess.select(sha2(col("text"), 256).as("k"))
+        .stat.bloomFilter("k", math.max(count, 1L), config.dedupBloomFpp))
+    }
     ess.unpersist()
 
     manifest = StoreManifest(v, embedder.dim, config.metric, count, nlistUsed)
@@ -276,6 +315,78 @@ final class DocumentStore private (
   // Search (reference Q1-Q10: vectorstore.py:602-684, index.py:309-338,
   // retriever.py:157-316)
   // ------------------------------------------------------------------
+
+  private def hadoopPath(s: String) = new Path(s)
+  private def fsFor(s: String) =
+    hadoopPath(s).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeBloom(v: Long, bloom: BloomFilter): Unit = {
+    val out = fsFor(bloomPath(v)).create(hadoopPath(bloomPath(v)), true)
+    try bloom.writeTo(out) finally out.close()
+  }
+
+  private def loadBloom(): Option[BloomFilter] = {
+    val p = bloomPath(manifest.version)
+    val fs = fsFor(p)
+    if (!fs.exists(hadoopPath(p))) None
+    else {
+      val in = fs.open(hadoopPath(p))
+      try Some(BloomFilter.readFrom(in)) finally in.close()
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Lexical (BM25) index over the essential store — the keyword
+  // complement to the vector index, persisted alongside the snapshot.
+  // ------------------------------------------------------------------
+
+  /** Build/refresh the persisted inverted index for the CURRENT
+    * snapshot version (postings/df/stats under the version dir — see
+    * TextSearch.writeIndex). Incremental appends after the build make
+    * it stale; stale indexes are detected and bypassed, so building is
+    * always safe and never required. */
+  def buildLexicalIndex(numFiles: Int = 16): Unit = {
+    require(manifest.count > 0, "store is empty or not built")
+    TextSearch.writeIndex(essential.select(col("id"), col("text")),
+      "id", "text", lexicalDir(manifest.version), numFiles)
+  }
+
+  /** BM25 score set for the query terms: served from the persisted
+    * index when one exists AND covers exactly the current document
+    * count (its stats row records the indexed n_docs — incremental
+    * appends since the build make it stale and force the scan path).
+    * Index-backed and scan-time scores are bit-identical, so callers
+    * cannot observe which path ran. */
+  private def lexicalScores(queryTerms: Seq[String]): DataFrame = {
+    val dir = lexicalDir(manifest.version)
+    val statsDir = s"$dir/stats"
+    val fresh = fsFor(statsDir).exists(hadoopPath(statsDir)) && {
+      spark.read.parquet(statsDir).head.getAs[Double]("n_docs").toLong ==
+        manifest.count
+    }
+    if (fresh) TextSearch.searchIndexScores(spark, dir, queryTerms)
+    else TextSearch.bm25Scores(essential.select(col("id"), col("text")),
+      "id", "text", queryTerms)
+  }
+
+  /** Keyword top-k over the store (BM25), the lexical sibling of
+    * [[similaritySearch]]: returns (doc_id, text, source, category,
+    * score, metadata_type). Uses the persisted index when fresh. */
+  def searchLexical(queryTerms: Seq[String], k: Int = 4): DataFrame = {
+    require(manifest.count > 0, "store is empty or not built")
+    val hits = lexicalScores(queryTerms)
+      .orderBy(col("score").desc, col("id")).limit(k).collect()
+    import spark.implicits._
+    val hitsDf = hits.map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq.toDF("id", "score")
+    val matching = essential
+      .where(col("id").isin(hits.map(_.getLong(0)): _*))
+      .select(col("id"), col("text"), col("source"), col("category"))
+    hitsDf.join(broadcast(matching), Seq("id"), "left")
+      .orderBy(col("score").desc, col("id"))
+      .select(col("id").as("doc_id"), col("text"), col("source"),
+        col("category"), col("score"), lit("essential").as("metadata_type"))
+  }
 
   private def loadCentroids(): Option[IvfIndex.Model] =
     if (manifest.nlist > 0) {
@@ -426,8 +537,7 @@ final class DocumentStore private (
     val vecForFuse =
       if (VectorFunctions.higherIsBetter(config.metric)) vecScores
       else vecScores.withColumn("score", -col("score"))
-    val bmScores = TextSearch.bm25Scores(
-      essential.select(col("id"), col("text")), "id", "text", queryTerms)
+    val bmScores = lexicalScores(queryTerms)
     val fused = TextSearch.hybridRrf(bmScores, vecForFuse, "id",
       perSourceK, rrfK, k).collect()
     import spark.implicits._

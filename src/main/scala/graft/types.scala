@@ -65,9 +65,16 @@ final case class StoreConfig(
     dim: Int = 64,
     nlist: Int = 0,
     nprobe: Int = 8,
-    keepVersions: Int = 1) {
+    keepVersions: Int = 1,
+    // False-positive rate for the persisted ingest-dedup Bloom filter
+    // (~1.2 bytes/doc at 0.01, driver/broadcast-resident). 0 disables —
+    // ingest dedup then always pays the full anti-join against the
+    // store.
+    dedupBloomFpp: Double = 0.01) {
   require(Set("cosine", "ip", "l2")(metric), s"bad metric $metric")
   require(keepVersions >= 1, "keepVersions must be >= 1")
+  require(dedupBloomFpp >= 0.0 && dedupBloomFpp < 1.0,
+    "dedupBloomFpp must be in [0, 1)")
 }
 
 /** Persisted store manifest (replaces index.faiss + metadata.json

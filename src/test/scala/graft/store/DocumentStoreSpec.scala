@@ -79,6 +79,64 @@ class DocumentStoreSpec extends SparkSpec {
     assert(again.map(_.toString).toSeq == hits.map(_.toString).toSeq)
   }
 
+  test("persisted dedup bloom: file exists, ingest dedup identical, fpp=0 disables") {
+    val dir = tmp()
+    val store = DocumentStore.fromTexts(spark, dir, texts.take(3), Nil,
+      StoreConfig(), emb)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val v = store.currentManifest.version
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v$v/dedup_bloom.bin")))
+    // incremental append screens through the bloom: dups dropped, new kept
+    import spark.implicits._
+    store.addDFIncremental(Seq(
+      (texts.head, Map.empty[String, String]),    // dup of stored row
+      ("a genuinely new doc", Map.empty[String, String]))
+      .toDF("text", "metadata"))
+    assert(store.documentCount == 4)
+    // the bloom was updated in place: appending the SAME new doc again dedups
+    store.addDFIncremental(Seq(("a genuinely new doc", Map.empty[String, String]))
+      .toDF("text", "metadata"))
+    assert(store.documentCount == 4)
+    // fpp = 0 disables the filter entirely; dedup still holds via anti-join
+    val d2 = tmp()
+    val s2 = DocumentStore.fromTexts(spark, d2, texts.take(3), Nil,
+      StoreConfig(dedupBloomFpp = 0.0), emb)
+    val v2 = s2.currentManifest.version
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d2/v$v2/dedup_bloom.bin")))
+    s2.addTexts(Seq(texts.head, "fresh"))
+    assert(s2.documentCount == 4)
+  }
+
+  test("lexical index: searchLexical == scan-time BM25; stale index bypassed") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    val terms = Seq("programming", "language")
+    def hitsNow() = store.searchLexical(terms, k = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    val scanHits = hitsNow()   // no index yet -> scan path
+    store.buildLexicalIndex()
+    val indexHits = hitsNow()  // index path, must be bit-identical
+    assert(indexHits == scanHits)
+    assert(indexHits.head._2 > 0.0)
+    // hybridSearch served from the index gives the same fusion
+    val hybrid = store.hybridSearch("programming languages", terms, k = 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    // append new docs WITHOUT rebuilding the index -> stats count
+    // mismatch -> scan fallback that sees the new doc
+    import spark.implicits._
+    store.addDFIncremental(Seq(
+      ("programming language programming language", Map.empty[String, String]))
+      .toDF("text", "metadata"))
+    val afterAppend = hitsNow()
+    assert(afterAppend.map(_._1).contains(6L)) // the new doc id surfaces
+    // rebuilding re-enables the index path with the new doc included
+    store.buildLexicalIndex()
+    assert(hitsNow() == afterAppend)
+    assert(store.hybridSearch("programming languages", terms, k = 3)
+      .collect().length == 3)
+    assert(hybrid.nonEmpty)
+  }
+
   test("full-metadata enrichment joins payload and tags metadata_type=full") {
     val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
     val hits = store.similaritySearch("foxes", k = 2, includeFullMetadata = true).collect()
