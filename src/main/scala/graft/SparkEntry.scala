@@ -508,6 +508,14 @@ object SparkEntry {
     TextSearch.bm25(table(s, dir, "documents"), "doc_id", "text",
       Bm25Terms, topK = 10)
 
+  /** Deterministic contrastive negatives: 3 pseudo-random partners per
+    * document (dense doc_id space), partner language fetched by the
+    * equi-join — the negative-pair generator of embedding training. */
+  private def qNegativePairs(s: SparkSession, dir: String): DataFrame =
+    Sampling.negativePairs(table(s, dir, "documents"), "doc_id", k = 3,
+        seed = "s1", partnerCols = Seq("lang"))
+      .select(col("anchor_id"), col("j"), col("neg_id"), col("neg_lang"))
+
   /** Z-order (Morton) clustering key over (user_id, event_id) cells:
     * the multi-dimensional layout key [[graft.ops.Layout.zorderWrite]]
     * range-partitions and sorts by, so parquet min/max prunes on BOTH
@@ -984,6 +992,7 @@ object SparkEntry {
       "q_bm25_search"         -> (qBm25Search _),
       "q_bm25_index"          -> (qBm25Index _),
       "q_zorder"              -> (qZorder _),
+      "q_negative_pairs"      -> (qNegativePairs _),
       "q_sample_stratified"   -> (qSampleStratified _),
       "q_asof_join"           -> (qAsofJoin _),
       "q_skew_join"           -> (qSkewJoin _),
@@ -1788,6 +1797,22 @@ object SparkEntry {
              (ex.doc_id IS NULL AND coalesce(near.n_near, 0) = 0) AS kept
       FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
              LEFT JOIN near ON near.doc_id = b.doc_id""",
+
+    // Deterministic negative draws: hash60("neg:s1:<anchor>:<j>") % n,
+    // +1 mod n on self-collision, partner lang via join.
+    "q_negative_pairs" -> s"""
+      WITH n AS (SELECT count(*) AS c FROM documents),
+      draws AS (SELECT d.doc_id AS anchor_id, CAST(j.j AS BIGINT) AS j,
+                       ${dk60("'neg:s1:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)")} % n.c AS raw,
+                       n.c AS c
+                FROM documents d, (SELECT unnest(range(0, 3)) AS j) j, n)
+      SELECT a.anchor_id, a.j,
+             CASE WHEN a.raw = a.anchor_id THEN (a.raw + 1) % a.c
+                  ELSE a.raw END AS neg_id,
+             p.lang AS neg_lang
+      FROM draws a JOIN documents p
+        ON p.doc_id = CASE WHEN a.raw = a.anchor_id THEN (a.raw + 1) % a.c
+                           ELSE a.raw END""",
 
     // Morton interleave: x bit i -> position 2i, y bit i -> 2i+1,
     // 21 bits per dimension — pure bit arithmetic both engines compute

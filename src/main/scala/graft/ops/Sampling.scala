@@ -117,4 +117,42 @@ object Sampling {
       explode(when(copies >= 1, sequence(lit(0), copies - 1))
         .otherwise(array().cast("array<int>"))))
   }
+
+  /** Deterministic negative sampling for contrastive/embedding
+    * training: k pseudo-random partner ids per anchor, a pure function
+    * of (seed, anchor id, draw index) — reproducible across runs,
+    * engines, and partitionings, like every sampler here. Requires
+    * DENSE ids 0..n-1 (the document store's id model): draw j for
+    * anchor a is hash60("neg:seed:a:j") mod n, bumped by one (mod n)
+    * when it lands on the anchor itself. Draws are with replacement
+    * across j — the standard in-batch/random-negatives regime.
+    *
+    * Scale shape: one narrow explode (k rows per anchor), then — only
+    * if `partnerCols` are requested — ONE equi-join on the partner id
+    * to fetch them (hash shuffle, ships just the id pairs plus the
+    * selected columns; never a cartesian). */
+  def negativePairs(df: DataFrame, idCol: String, k: Int, seed: String = "",
+                    partnerCols: Seq[String] = Nil,
+                    total: Option[Long] = None): DataFrame = {
+    require(k > 0, "k must be positive")
+    val n = total.getOrElse(df.count())
+    require(n > 1, "negative sampling needs at least 2 rows")
+    val raw = HashFunctions.hash60(concat(lit(s"neg:$seed:"),
+      col("anchor_id").cast("string"), lit(":"), col("j").cast("string"))) % n
+    val pairs = df.select(col(idCol).as("anchor_id"))
+      .select(col("anchor_id"),
+        explode(sequence(lit(0L), lit((k - 1).toLong))).as("j"))
+      .withColumn("__raw", raw)
+      .withColumn("neg_id",
+        when(col("__raw") === col("anchor_id"), (col("__raw") + 1L) % n)
+          .otherwise(col("__raw")))
+      .drop("__raw")
+    if (partnerCols.isEmpty) pairs
+    else pairs.join(
+        df.select(col(idCol).as("neg_id") +:
+          partnerCols.map(c => col(c).as(s"neg_$c")): _*),
+        Seq("neg_id"))
+      .select(col("anchor_id") +: col("j") +: col("neg_id") +:
+        partnerCols.map(c => col(s"neg_$c")): _*)
+  }
 }

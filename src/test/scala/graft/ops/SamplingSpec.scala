@@ -98,4 +98,29 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(first == again) // row-for-row reproducible
   }
+
+  test("negativePairs: k per anchor, never self, deterministic, partition-independent") {
+    val pairs = Sampling.negativePairs(rows, "id", k = 3, seed = "t",
+      partnerCols = Seq("lang"))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getString(3))).toSeq
+    assert(got.length == n * 3)
+    assert(got.forall { case (a, _, neg, _) => a != neg })
+    assert(got.forall { case (_, _, neg, _) => neg >= 0 && neg < n })
+    // partner columns match a direct lookup
+    val langOf = rows.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.forall { case (_, _, neg, l) => langOf(neg) == l })
+    // deterministic + partition-independent
+    val again = Sampling.negativePairs(rows.repartition(17), "id", k = 3,
+      seed = "t", partnerCols = Seq("lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3))).toSeq
+    assert(got.toSet == again.toSet)
+    // seed-sensitive
+    val other = Sampling.negativePairs(rows, "id", k = 3, seed = "u")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(other != got.map(t => (t._1, t._2, t._3)).toSet)
+    // draws spread across the corpus (not degenerate)
+    assert(got.map(_._3).distinct.length > n / 2)
+  }
 }
