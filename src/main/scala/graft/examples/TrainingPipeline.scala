@@ -36,6 +36,7 @@ object TrainingPipeline {
       .master("local[8]")
       .appName("graft-training-pipeline")
       .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -69,6 +70,22 @@ object TrainingPipeline {
       n = 3, numHashes = 16, bands = 4, threshold = 0.5)
     val canonical = Dedup.keepCanonical(exactKept, "doc_id", pairs)
     println(s"after near-dup removal: ${canonical.count()}")
+
+    // 4b. Incremental-ingest posture (what a FOLLOW-UP shard of this
+    //     corpus would run): screen a simulated new batch against the
+    //     kept corpus — Bloom prescreen (definitely-new rows skip the
+    //     join), exact confirm, then cross-side near-dup only. Shown
+    //     here on a slice so the whole screen is exercised end to end.
+    val incomingBatch = docs.where(col("doc_id") % 101 === 0)
+      .select(col("doc_id"), Pii.redactCol(col("text")).as("text"))
+    val screened = Dedup.bloomExactAgainst(incomingBatch, canonical, "text")
+    val accepted = screened.join(
+      Dedup.ngramJaccardAgainst(screened, canonical, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("batch_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    println(s"incremental screen: ${incomingBatch.count()} incoming -> " +
+      s"${accepted.count()} accepted")
 
     // 5. Benchmark decontamination: drop docs sharing too many 3-grams
     //    with the held-out "benchmark" slice (here: doc_id % 97 == 0).
@@ -128,6 +145,25 @@ object TrainingPipeline {
     val written = spark.read.parquet(s"$outDir/shards")
     println(s"wrote ${written.count()} rows to $outDir/shards " +
       s"(${written.select("shard").distinct().count()} shards)")
+
+    // 11. Contrastive negatives for the embedding-training variant of
+    //     this corpus: 2 deterministic partners per surviving doc.
+    val negs = Sampling.negativePairs(
+      docs.select("doc_id", "lang"), "doc_id", k = 2, seed = "epoch0",
+      partnerCols = Seq("lang"))
+    println(s"negative pairs: ${negs.count()}")
+
+    // 12. Analytics-side layout: the events table re-clustered on the
+    //     (user_id, time-cell) Morton curve so per-user time-boxed
+    //     queries prune files on both dimensions.
+    // ts reads as nanos-since-epoch long (nanosAsLong): hour cells.
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("tcell",
+        floor(col("ts") / lit(3600L * 1000000000L)).cast("long") % 1024)
+      .withColumn("ucell", col("user_id") % 1024)
+    graft.ops.Layout.zorderWrite(events, Seq("ucell", "tcell"),
+      s"$outDir/events_zorder", numFiles = 8)
+    println(s"z-ordered events: ${spark.read.parquet(s"$outDir/events_zorder").count()}")
     spark.stop()
   }
 }
