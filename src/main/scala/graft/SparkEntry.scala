@@ -508,6 +508,17 @@ object SparkEntry {
     TextSearch.bm25(table(s, dir, "documents"), "doc_id", "text",
       Bm25Terms, topK = 10)
 
+  /** Johnson-Lindenstrauss random projection 64 -> 16 with the seeded
+    * Rademacher matrix, exploded to scalar rows so every component is
+    * hash-checked (engines share the matrix by regenerating it from the
+    * seed — literal-coefficients discipline). */
+  private def qRandomProjection(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings").select(col("vec_id"),
+        posexplode(graft.functions.VectorFunctions.randomProjection(
+          col("embedding"), "rp1", 16, 64)))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        col("col").as("rp"))
+
   /** Deterministic contrastive negatives: 3 pseudo-random partners per
     * document (dense doc_id space), partner language fetched by the
     * equi-join — the negative-pair generator of embedding training. */
@@ -993,6 +1004,7 @@ object SparkEntry {
       "q_bm25_index"          -> (qBm25Index _),
       "q_zorder"              -> (qZorder _),
       "q_negative_pairs"      -> (qNegativePairs _),
+      "q_random_projection"   -> (qRandomProjection _),
       "q_sample_stratified"   -> (qSampleStratified _),
       "q_asof_join"           -> (qAsofJoin _),
       "q_skew_join"           -> (qSkewJoin _),
@@ -1797,6 +1809,21 @@ object SparkEntry {
              (ex.doc_id IS NULL AND coalesce(near.n_near, 0) = 0) AS kept
       FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
              LEFT JOIN near ON near.doc_id = b.doc_id""",
+
+    // Rademacher matrix regenerated as a literal from the same seed the
+    // Spark side uses; identical left-to-right sums, terminal 6dp round.
+    "q_random_projection" -> {
+      val m = graft.functions.VectorFunctions.rpSigns("rp1", 16, 64)
+        .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      s"""
+      WITH s AS (SELECT $m AS m),
+      v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      j AS (SELECT unnest(range(0, 16)) AS j)
+      SELECT v.vec_id, CAST(j.j AS BIGINT) AS j,
+             round(list_sum(list_transform(range(1, 65),
+               i -> v.ev[i] * s.m[CAST(j.j AS INT) + 1][i])) / sqrt(16.0), 6) AS rp
+      FROM v, j, s"""
+    },
 
     // Deterministic negative draws: hash60("neg:s1:<anchor>:<j>") % n,
     // +1 mod n on self-collision, partner lang via join.

@@ -99,6 +99,37 @@ object VectorFunctions {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale / 127.0)
 
+  /** Seeded Rademacher (+-1) sign matrix for [[randomProjection]]:
+    * s(j,i) = parity of hash60("rp:seed:j:i") — a pure function of the
+    * seed, so any engine regenerates the identical matrix (the same
+    * literal-coefficients discipline as minhashCoeffs). */
+  def rpSigns(seed: String, outDim: Int, inDim: Int): IndexedSeq[IndexedSeq[Double]] =
+    (0 until outDim).map(j => (0 until inDim).map(i =>
+      if (HashFunctions.hash60Local(s"rp:$seed:$j:$i") % 2 == 0) 1.0 else -1.0))
+
+  /** Johnson-Lindenstrauss random projection with a seeded Rademacher
+    * matrix (Achlioptas 2001's database-friendly +-1 variant):
+    * y_j = round(Σ_i x_i·s(j,i) / sqrt(outDim), 6). Distances/angles are
+    * preserved in expectation at outDim ~ O(log n / eps²) — the cheap
+    * linear companion to int8/binary/PQ compression: reduce DIMENSION
+    * first, quantize after. Narrow per-row arithmetic (no shuffle, no
+    * fit step, nothing to persist but the seed); the input rides
+    * let1-bound so projection collapse can't re-evaluate it per output
+    * dimension; left-to-right sums + terminal rounding keep results
+    * engine-reproducible. */
+  def randomProjection(a: Column, seed: String, outDim: Int, inDim: Int): Column = {
+    require(outDim > 0 && inDim > 0, "dims must be positive")
+    val signs = rpSigns(seed, outDim, inDim)
+    val scale = math.sqrt(outDim.toDouble)
+    TextFunctions.let1(asDouble(a)) { v =>
+      array((0 until outDim).map { j =>
+        round(
+          aggregate(zip_with(v, typedlit(signs(j)), (x, s) => x * s),
+            lit(0.0), (acc, x) => acc + x) / scale, 6)
+      }: _*)
+    }
+  }
+
   /** 63-bit sign quantization: bit j of the result is 1 iff dimension
     * j of the vector is > 0 (dimensions beyond 62 are ignored; 63 bits
     * keep every engine's BIGINT shift well-defined — 1<<63 would hit

@@ -92,4 +92,39 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(rt.nonEmpty)
     assert(rt.forall(_ > 0.995))
   }
+
+  test("randomProjection: matches direct computation, seeded, shape") {
+    val vec = (0 until 8).map(i => (i + 1) * 0.25)
+    val signs = VectorFunctions.rpSigns("t", 4, 8)
+    val expected = (0 until 4).map { j =>
+      BigDecimal(vec.zip(signs(j)).map { case (x, s) => x * s }.sum / math.sqrt(4.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Seq(Tuple1(vec)).toDF("v")
+      .select(VectorFunctions.randomProjection($"v", "t", 4, 8).as("rp"))
+      .as[Seq[Double]].head()
+    assert(got == expected)
+    // signs are genuinely mixed and seed-dependent
+    assert(signs.flatten.toSet == Set(1.0, -1.0))
+    assert(VectorFunctions.rpSigns("u", 4, 8) != signs)
+    // JL sanity on unit vectors: projected inner products track the
+    // originals closely on average (not a per-pair bound)
+    val dim = 64
+    val docs = (0 until 50).map { d =>
+      val raw = (0 until dim).map(i =>
+        math.sin(d * 31 + i * 7).abs + 0.1)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val proj = docs.map(v => (0 until 16).map { j =>
+      v.zip(VectorFunctions.rpSigns("t", 16, dim)(j))
+        .map { case (x, s) => x * s }.sum / math.sqrt(16.0)
+    })
+    val errs = for (a <- 0 until 10; b <- 0 until 10 if a < b) yield {
+      val exact = docs(a).zip(docs(b)).map { case (x, y) => x * y }.sum
+      val est = proj(a).zip(proj(b)).map { case (x, y) => x * y }.sum
+      math.abs(exact - est)
+    }
+    assert(errs.sum / errs.size < 0.3, s"mean JL error ${errs.sum / errs.size}")
+  }
 }
