@@ -508,6 +508,25 @@ object SparkEntry {
     TextSearch.bm25(table(s, dir, "documents"), "doc_id", "text",
       Bm25Terms, topK = 10)
 
+  /** MMR diversified search: top-25 cosine candidates for vec_id 0's
+    * embedding, greedy λ=0.5 relevance/redundancy trade, k=5. */
+  private def qMmr(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0L).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble).toSeq
+    VectorIndex.mmr(emb.where(col("vec_id") =!= 0L), "embedding", qv,
+      k = 5, fetchK = 25, lambdaParam = 0.5)
+  }
+
+  /** Fuzzy dedup over the 40-char document prefix (a bounded "title"
+    * field): word-2-gram blocking, length lower bound, exact
+    * levenshtein <= 10. */
+  private def qEditDistance(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(
+      table(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix")),
+      "doc_id", "prefix", maxDist = 10, n = 2)
+
   /** Johnson-Lindenstrauss random projection 64 -> 16 with the seeded
     * Rademacher matrix, exploded to scalar rows so every component is
     * hash-checked (engines share the matrix by regenerating it from the
@@ -1005,6 +1024,8 @@ object SparkEntry {
       "q_zorder"              -> (qZorder _),
       "q_negative_pairs"      -> (qNegativePairs _),
       "q_random_projection"   -> (qRandomProjection _),
+      "q_edit_distance"       -> (qEditDistance _),
+      "q_mmr"                 -> (qMmr _),
       "q_sample_stratified"   -> (qSampleStratified _),
       "q_asof_join"           -> (qAsofJoin _),
       "q_skew_join"           -> (qSkewJoin _),
@@ -1809,6 +1830,63 @@ object SparkEntry {
              (ex.doc_id IS NULL AND coalesce(near.n_near, 0) = 0) AS kept
       FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
              LEFT JOIN near ON near.doc_id = b.doc_id""",
+
+    // MMR greedy selection as a recursive CTE: the same rounded
+    // similarities, the same 0.5*qsim - 0.5*maxRedundancy objective,
+    // ties by vec_id. First pick = pure relevance argmax.
+    "q_mmr" -> """
+      WITH RECURSIVE
+      q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      cand AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+                      round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 4) AS qsim
+               FROM embeddings, q WHERE vec_id <> 0
+               ORDER BY qsim DESC, vec_id LIMIT 25),
+      pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                       round(list_cosine_similarity(a.ev, b.ev), 4) AS psim
+                FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+      sel AS (
+        SELECT 1 AS rank,
+               (SELECT vec_id FROM cand ORDER BY qsim DESC, vec_id LIMIT 1) AS picked,
+               [(SELECT vec_id FROM cand ORDER BY qsim DESC, vec_id LIMIT 1)] AS all_picked
+        UNION ALL
+        SELECT rank + 1,
+          (SELECT c.vec_id FROM cand c
+           WHERE NOT list_contains(sel.all_picked, c.vec_id)
+           ORDER BY 0.5 * c.qsim - 0.5 * (SELECT max(p.psim) FROM pairs p
+                                          WHERE p.ia = c.vec_id
+                                            AND list_contains(sel.all_picked, p.ib)) DESC,
+                    c.vec_id
+           LIMIT 1),
+          list_append(sel.all_picked,
+          (SELECT c.vec_id FROM cand c
+           WHERE NOT list_contains(sel.all_picked, c.vec_id)
+           ORDER BY 0.5 * c.qsim - 0.5 * (SELECT max(p.psim) FROM pairs p
+                                          WHERE p.ia = c.vec_id
+                                            AND list_contains(sel.all_picked, p.ib)) DESC,
+                    c.vec_id
+           LIMIT 1))
+        FROM sel WHERE rank < 5
+      )
+      SELECT CAST(s.rank AS BIGINT) AS rank, s.picked AS vec_id, c.qsim
+      FROM sel s JOIN cand c ON c.vec_id = s.picked""",
+
+    // Fuzzy dedup on the 40-char prefix: 2-gram blocking (same shingle
+    // convention as the Jaccard oracles), levenshtein <= 10.
+    "q_edit_distance" -> """
+      WITH b AS (SELECT doc_id AS id, substr(text, 1, 40) AS txt FROM documents),
+      toks AS (SELECT id, txt, string_split(txt, ' ') AS w FROM b),
+      sh AS (SELECT id, unnest(CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1])) END) AS s
+             FROM toks),
+      cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+               FROM sh a JOIN sh c ON a.s = c.s AND a.id < c.id)
+      SELECT cand.id_a, cand.id_b,
+             CAST(levenshtein(ta.txt, tb.txt) AS BIGINT) AS dist
+      FROM cand JOIN b ta ON ta.id = cand.id_a
+                JOIN b tb ON tb.id = cand.id_b
+      WHERE abs(len(ta.txt) - len(tb.txt)) <= 10
+        AND levenshtein(ta.txt, tb.txt) <= 10""",
 
     // Rademacher matrix regenerated as a literal from the same seed the
     // Spark side uses; identical left-to-right sums, terminal 6dp round.

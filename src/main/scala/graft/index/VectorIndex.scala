@@ -61,6 +61,67 @@ object VectorIndex {
       .orderBy(ranking(metric, scoreCol, tieBreak): _*)
       .limit(k)
 
+  /** Maximal-marginal-relevance search (Carbonell & Goldstein 1998; the
+    * `max_marginal_relevance_search` of the LangChain VectorStore
+    * surface the reference plugs into): fetch the top `fetchK`
+    * candidates by query similarity, then greedily pick k of them
+    * maximizing λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s) — relevance
+    * traded against redundancy, the standard diversified-RAG retrieval.
+    *
+    * Scale shape: the cluster does what scales (the scored scan +
+    * TakeOrdered candidate fetch, and the fetchK² pairwise-similarity
+    * block as one tiny crossJoin job using the SAME fused cosine
+    * expression as the scan — parity with external engines preserved);
+    * the O(k·fetchK) greedy walks driver-side over fetchK rows, exactly
+    * like the reference family's client-side MMR loop. Determinism: all
+    * similarities rounded before selection, λ=0.5-style exact binary
+    * multipliers recommended, ties broken by id. */
+  def mmr(
+      docs: DataFrame,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      fetchK: Int = 25,
+      lambdaParam: Double = 0.5,
+      metric: String = "cosine",
+      idCol: String = "vec_id",
+      roundScale: Int = 4): DataFrame = {
+    require(k > 0 && fetchK >= k, "need fetchK >= k > 0")
+    require(lambdaParam >= 0.0 && lambdaParam <= 1.0, "lambda in [0,1]")
+    val spark = docs.sparkSession
+    val cand = topK(docs, vecCol, query, fetchK, metric,
+        scoreCol = "qsim", tieBreak = Seq(idCol), roundScale = roundScale)
+      .select(col(idCol), col(vecCol), col("qsim")).cache()
+    try {
+      val pairRows = cand.as("a").crossJoin(cand.as("b"))
+        .where(col(s"a.$idCol") =!= col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("ia"), col(s"b.$idCol").as("ib"),
+          round(score(metric, col(s"a.$vecCol"), col(s"b.$vecCol")), roundScale)
+            .as("psim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val cands = cand.select(col(idCol), col("qsim")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+        .sortBy { case (id, q) => (if (higherIsBetter(metric)) -q else q, id) }
+      val sign = if (higherIsBetter(metric)) 1.0 else -1.0
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      while (picked.size < k && picked.size < cands.size) {
+        val remaining = cands.filterNot(c => picked.exists(_._1 == c._1))
+        val best = remaining.maxBy { case (id, q) =>
+          val maxRedundancy =
+            if (picked.isEmpty) 0.0
+            else picked.map(p => sign * pairRows((id, p._1))).max
+          (lambdaParam * sign * q - (1.0 - lambdaParam) *
+            (if (picked.isEmpty) 0.0 else maxRedundancy), -id.toDouble)
+        }
+        picked += best
+      }
+      import spark.implicits._
+      picked.toSeq.zipWithIndex
+        .map { case ((id, q), i) => (i + 1L, id, q) }
+        .toDF("rank", idCol, "qsim")
+    } finally cand.unpersist()
+  }
+
   /** Radius (range) search: ALL rows within the similarity threshold —
     * score >= threshold for cosine/ip, distance <= threshold for l2 —
     * rather than a fixed k. A pure scan + filter: no sort, no shuffle,

@@ -404,6 +404,43 @@ object Dedup {
       key(col(textCol)) === col("corpus_key"), "left_anti")
   }
 
+  /** Fuzzy (edit-distance) duplicate pairs: id_a < id_b with
+    * levenshtein(text_a, text_b) <= maxDist, candidates blocked by
+    * shared word n-grams — the typo/near-miss dedup for SHORT fields
+    * (titles, names, URLs; edit distance is O(len²) per pair, so feed
+    * it bounded-length columns).
+    *
+    * Scale shape: same candidate discipline as every detector here —
+    * no all-pairs. The n-gram equi-join proposes pairs (hash-shuffled
+    * by shingle key, hot-shingle cap available), a free
+    * |len_a - len_b| <= maxDist lower bound discards most of them
+    * before the quadratic distance runs, and levenshtein (a codegen'd
+    * built-in) touches only what survives. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, n: Int = 2,
+                        maxShingleFreq: Option[Long] = None): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val base = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val sh = base.select(col("id"),
+      explode(TextFunctions.shingles(col("txt"), n)).as("sh"))
+    val kept = maxShingleFreq match {
+      case Some(f) =>
+        val hot = sh.groupBy("sh").count().where(col("count") > f).select("sh")
+        sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      case None => sh
+    }
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("txt").as("txt_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("txt").as("txt_b")), Seq("id_b"))
+      .where(abs(length(col("txt_a")) - length(col("txt_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("txt_a"), col("txt_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   /** Build a broadcastable Bloom filter over the corpus text key — the
     * persistable half of [[bloomExactAgainst]]. At ingest time the store
     * maintains this alongside the data (serialize with

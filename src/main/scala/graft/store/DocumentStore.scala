@@ -369,6 +369,29 @@ final class DocumentStore private (
       "id", "text", queryTerms)
   }
 
+  /** Diversified top-k (maximal marginal relevance) — the
+    * `max_marginal_relevance_search` of the LangChain VectorStore
+    * surface: fetch `fetchK` candidates from the (IVF-prunable) search
+    * space, then greedily trade relevance against redundancy with
+    * weight `lambdaParam`. Returns the essential projection with the
+    * MMR rank and the query similarity. */
+  def maxMarginalRelevanceSearch(query: String, k: Int = 4,
+                                 fetchK: Int = 20,
+                                 lambdaParam: Double = 0.5): DataFrame = {
+    require(manifest.count > 0, "store is empty or not built")
+    val qv = embedder.embedQuery(query)
+    val sel = VectorIndex.mmr(searchSpace(qv), "vec", qv.toSeq, k, fetchK,
+      lambdaParam, config.metric, idCol = "id")
+    val ids = sel.select("id").collect().map(_.getLong(0))
+    val matching = essential.where(col("id").isin(ids: _*))
+      .select(col("id"), col("text"), col("source"), col("category"))
+    sel.join(broadcast(matching), Seq("id"), "left")
+      .orderBy("rank")
+      .select(col("id").as("doc_id"), col("rank"), col("text"),
+        col("source"), col("category"), col("qsim").as("similarity"),
+        lit("essential").as("metadata_type"))
+  }
+
   /** Keyword top-k over the store (BM25), the lexical sibling of
     * [[similaritySearch]]: returns (doc_id, text, source, category,
     * score, metadata_type). Uses the persisted index when fresh. */

@@ -45,6 +45,35 @@ class VectorIndexSpec extends SparkSpec {
     assert(r("q2") == Seq(2L, 4L))
   }
 
+  test("mmr diversifies: picks relevance first, then trades against redundancy") {
+    // relevance order vs e1: 0 (1.0), 1 (0.8), 4 (0.6), 2 (0.0), 3 (-1.0)
+    // pure top-3 = {0, 1, 4}; but 1 and 4 are close to each other
+    // (cos(1,4)=0.96), while 2 is orthogonal to everything picked.
+    val pure = VectorIndex.topK(docs, "vec", e1, 3, "cosine",
+      tieBreak = Seq("id")).select("id").as[Long].collect().toSeq
+    assert(pure == Seq(0L, 1L, 4L))
+    val diverse = VectorIndex.mmr(docs, "vec", e1, k = 3, fetchK = 5,
+        lambdaParam = 0.5, idCol = "id")
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    // rank 1 = most relevant (0); then 1 beats the tied 4 by id; then
+    // the ANTIPODAL 3 wins (negative redundancy: 0.5*(-1)-0.5*(-0.8)
+    // = -0.1 beats orthogonal 2's -0.3 and redundant 4's -0.18) —
+    // signed-cosine MMR rewards anti-correlation, and the redundant
+    // near-duplicate 4 is displaced.
+    assert(diverse == Seq(0L, 1L, 3L))
+    assert(!diverse.contains(4L))
+    // lambda = 1.0 reduces to pure relevance ranking
+    val pureLambda = VectorIndex.mmr(docs, "vec", e1, k = 3, fetchK = 5,
+        lambdaParam = 1.0, idCol = "id")
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(pureLambda == pure)
+    // output carries ranks 1..k and the candidates' rounded qsim
+    val rows = VectorIndex.mmr(docs, "vec", e1, k = 2, fetchK = 5, idCol = "id")
+      .orderBy("rank").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.head.getDouble(2) == 1.0)
+  }
+
   test("tie-break is deterministic") {
     val tied = Seq((5L, Seq(1.0, 0.0)), (3L, Seq(1.0, 0.0)), (9L, Seq(1.0, 0.0)))
       .toDF("id", "vec")

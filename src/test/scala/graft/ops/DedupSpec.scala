@@ -141,6 +141,34 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((0L, 1L)))
   }
 
+  test("editDistancePairs: blocking finds typo pairs, distance exact, bounds hold") {
+    val rows = Seq(
+      (0L, "the quick brown fox"),
+      (1L, "the quikc brown fox"),   // transposition-ish: 2 edits from 0
+      (2L, "the quick brown fax"),   // 1 sub from 0
+      (3L, "completely different words here"),
+      (4L, "the quick")              // shares "the quick" 2-gram with 0/1/2
+    ).toDF("id", "text")
+    val pairs = Dedup.editDistancePairs(rows, "id", "text", maxDist = 3, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 2L)) == 1L) // fox -> fax
+    assert(pairs((0L, 1L)) == 2L) // ck -> kc
+    // (1,2) is within distance 3 but shares NO word 2-gram — blocking
+    // deliberately trades that recall for never doing all-pairs
+    assert(!pairs.contains((1L, 2L)))
+    // doc 3 shares no 2-gram -> never a candidate; doc 4 is a candidate
+    // but 9 edits away -> filtered by distance
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+    // ordering invariant
+    assert(pairs.keys.forall { case (a, b) => a < b })
+    // hot-shingle cap: capping "the quick" (freq 4) out removes pairs
+    // that ONLY shared it
+    val capped = Dedup.editDistancePairs(rows, "id", "text", maxDist = 9,
+      n = 2, maxShingleFreq = Some(3L))
+    assert(capped.collect().forall(r => r.getLong(0) != 4L && r.getLong(1) != 4L))
+  }
+
   test("exactAgainst drops batch rows whose text exists in the corpus (incl. normalized)") {
     val corpus = Seq((10L, "the quick brown fox jumps over the lazy dog again and again"))
       .toDF("id", "text")

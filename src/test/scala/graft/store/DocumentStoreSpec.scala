@@ -79,6 +79,23 @@ class DocumentStoreSpec extends SparkSpec {
     assert(again.map(_.toString).toSeq == hits.map(_.toString).toSeq)
   }
 
+  test("maxMarginalRelevanceSearch: k diversified hits, rank 1 = top relevance") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    val top = store.similaritySearch("fox", k = 1).collect().head
+      .getAs[Long]("doc_id")
+    val hits = store.maxMarginalRelevanceSearch("fox", k = 3, fetchK = 6).collect()
+    assert(hits.length == 3)
+    assert(hits.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    assert(hits.head.getAs[Long]("doc_id") == top) // rank 1 = pure relevance
+    assert(hits.forall(_.getAs[String]("text").nonEmpty))
+    // lambda=1 reduces to plain similarity order
+    val pure = store.similaritySearch("fox", k = 3).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    val l1 = store.maxMarginalRelevanceSearch("fox", k = 3, fetchK = 6,
+      lambdaParam = 1.0).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(l1 == pure)
+  }
+
   test("persisted dedup bloom: file exists, ingest dedup identical, fpp=0 disables") {
     val dir = tmp()
     val store = DocumentStore.fromTexts(spark, dir, texts.take(3), Nil,
