@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashEmbedder
 import graft.index.{IvfIndex, VectorIndex}
-import graft.ops.{AsofJoin, Contamination, Dedup, Layout, Pii, QualitySignals, Sampling, SkewTools, TextAnalysis, TextSearch}
+import graft.ops.{AsofJoin, Contamination, Dedup, EventOps, Layout, Pii, QualitySignals, Sampling, SkewTools, TextAnalysis, TextSearch}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2, each with an equivalent DuckDB oracle in [[oracleSql]]
@@ -507,6 +507,14 @@ object SparkEntry {
   private def qBm25Search(s: SparkSession, dir: String): DataFrame =
     TextSearch.bm25(table(s, dir, "documents"), "doc_id", "text",
       Bm25Terms, topK = 10)
+
+  /** Conversion funnel view -> click -> purchase, 7-day entry-anchored
+    * window, microsecond timestamps (ts is nanos, see [[table]]). */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    EventOps.funnel(
+      table(s, dir, "events").withColumn("us", expr("ts DIV 1000")),
+      "user_id", "us", "event_type",
+      Seq("view", "click", "purchase"), window = 604800000000L)
 
   /** MMR diversified search: top-25 cosine candidates for vec_id 0's
     * embedding, greedy λ=0.5 relevance/redundancy trade, k=5. */
@@ -1026,6 +1034,7 @@ object SparkEntry {
       "q_random_projection"   -> (qRandomProjection _),
       "q_edit_distance"       -> (qEditDistance _),
       "q_mmr"                 -> (qMmr _),
+      "q_funnel"              -> (qFunnel _),
       "q_sample_stratified"   -> (qSampleStratified _),
       "q_asof_join"           -> (qAsofJoin _),
       "q_skew_join"           -> (qSkewJoin _),
@@ -1830,6 +1839,26 @@ object SparkEntry {
              (ex.doc_id IS NULL AND coalesce(near.n_near, 0) = 0) AS kept
       FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
              LEFT JOIN near ON near.doc_id = b.doc_id""",
+
+    // Funnel: greedy-earliest per-step min, strictly-after ordering,
+    // window anchored at the step-1 time; microsecond epochs.
+    "q_funnel" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+      l1 AS (SELECT user_id, min(us) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY user_id),
+      l2 AS (SELECT e.user_id, min(us) AS t2 FROM e
+             JOIN l1 USING (user_id)
+             WHERE event_type = 'click' AND us > t1
+               AND us <= t1 + 604800000000 GROUP BY e.user_id),
+      l3 AS (SELECT e.user_id, min(us) AS t3 FROM e
+             JOIN l1 USING (user_id) JOIN l2 USING (user_id)
+             WHERE event_type = 'purchase' AND us > t2
+               AND us <= t1 + 604800000000 GROUP BY e.user_id)
+      SELECT l1.user_id, l1.t1, l2.t2, l3.t3,
+             CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                       WHEN t2 IS NOT NULL THEN 2
+                       ELSE 1 END AS BIGINT) AS steps_completed
+      FROM l1 LEFT JOIN l2 USING (user_id) LEFT JOIN l3 USING (user_id)""",
 
     // MMR greedy selection as a recursive CTE: the same rounded
     // similarities, the same 0.5*qsim - 0.5*maxRedundancy objective,

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user, ts, type) — hand-designed funnel progressions
+  private val events = Seq(
+    // user 1 completes view -> click -> buy inside the window
+    (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "buy"),
+    // user 2: click BEFORE view doesn't count; no click after view
+    (2L, 10L, "click"), (2L, 20L, "view"), (2L, 30L, "buy"),
+    // user 3: completes but the buy lands outside the window (anchor t1)
+    (3L, 10L, "view"), (3L, 20L, "click"), (3L, 200L, "buy"),
+    // user 4: same-timestamp step is NOT strictly after -> stalls at view
+    (4L, 10L, "view"), (4L, 10L, "click"),
+    // user 5 never views
+    (5L, 10L, "click"), (5L, 20L, "buy"),
+    // user 6: multiple candidates -> greedy earliest anchors the window
+    (6L, 10L, "view"), (6L, 50L, "view"), (6L, 60L, "click"), (6L, 70L, "buy")
+  ).toDF("user_id", "ts", "etype")
+
+  test("funnel: strict order, entry-anchored window, greedy-earliest matching") {
+    val got = EventOps.funnel(events, "user_id", "ts", "etype",
+        Seq("view", "click", "buy"), window = 100L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("steps_completed")))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 6L -> 3L))
+    // user 5 absent (never entered the funnel)
+    assert(!got.contains(5L))
+    // user 6's window anchors at the EARLIEST view (10), and 60/70 are
+    // within 100 of it — matched times prove the greedy anchor
+    val u6 = EventOps.funnel(events, "user_id", "ts", "etype",
+        Seq("view", "click", "buy"), window = 100L)
+      .where($"user_id" === 6L).head
+    assert(u6.getLong(u6.fieldIndex("t1")) == 10L)
+    assert(u6.getLong(u6.fieldIndex("t2")) == 60L)
+    assert(u6.getLong(u6.fieldIndex("t3")) == 70L)
+    // tight window: user 6's click at 60 falls outside window 40
+    val tight = EventOps.funnel(events, "user_id", "ts", "etype",
+        Seq("view", "click", "buy"), window = 40L)
+      .collect().map(r => r.getLong(0) ->
+        r.getLong(r.fieldIndex("steps_completed"))).toMap
+    assert(tight(6L) == 1L && tight(1L) == 3L)
+    // single-step funnel degenerates to "did step 1"
+    val one = EventOps.funnel(events, "user_id", "ts", "etype",
+      Seq("buy"), window = 100L)
+    assert(one.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 5L, 6L))
+  }
+}
