@@ -508,6 +508,13 @@ object SparkEntry {
     TextSearch.bm25(table(s, dir, "documents"), "doc_id", "text",
       Bm25Terms, topK = 10)
 
+  /** Weekly cohort retention over the events stream (microsecond
+    * buckets of one week). */
+  private def qRetention(s: SparkSession, dir: String): DataFrame =
+    EventOps.retention(
+      table(s, dir, "events").withColumn("us", expr("ts DIV 1000")),
+      "user_id", "us", bucketWidth = 604800000000L)
+
   /** Conversion funnel view -> click -> purchase, 7-day entry-anchored
     * window, microsecond timestamps (ts is nanos, see [[table]]). */
   private def qFunnel(s: SparkSession, dir: String): DataFrame =
@@ -1035,6 +1042,7 @@ object SparkEntry {
       "q_edit_distance"       -> (qEditDistance _),
       "q_mmr"                 -> (qMmr _),
       "q_funnel"              -> (qFunnel _),
+      "q_retention"           -> (qRetention _),
       "q_sample_stratified"   -> (qSampleStratified _),
       "q_asof_join"           -> (qAsofJoin _),
       "q_skew_join"           -> (qSkewJoin _),
@@ -1839,6 +1847,24 @@ object SparkEntry {
              (ex.doc_id IS NULL AND coalesce(near.n_near, 0) = 0) AS kept
       FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
              LEFT JOIN near ON near.doc_id = b.doc_id""",
+
+    // Weekly cohort retention: cohort = first week bucket, activity
+    // distinct per (user, week), rate from exact counts.
+    "q_retention" -> """
+      WITH e AS (SELECT user_id,
+                        CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS bucket
+                 FROM events),
+      cohorts AS (SELECT user_id, min(bucket) AS cohort FROM e GROUP BY user_id),
+      active AS (SELECT cohort, bucket - cohort AS "offset",
+                        count(*) AS n_active
+                 FROM (SELECT DISTINCT user_id, bucket FROM e) d
+                 JOIN cohorts USING (user_id)
+                 GROUP BY cohort, bucket - cohort),
+      sizes AS (SELECT cohort, count(*) AS n_cohort FROM cohorts GROUP BY cohort)
+      SELECT a.cohort, a."offset", a.n_active, s.n_cohort,
+             round(CAST(a.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE), 4)
+               AS retention
+      FROM active a JOIN sizes s USING (cohort)""",
 
     // Funnel: greedy-earliest per-step min, strictly-after ordering,
     // window anchored at the step-1 time; microsecond epochs.

@@ -58,4 +58,35 @@ object EventOps {
       .select(col("user").as(userCol) +: (1 to steps.size).map(i => col(s"t$i")) :+
         col("steps_completed"): _*)
   }
+
+  /** Cohort retention: users grouped by the time bucket of their FIRST
+    * event (the cohort); for each (cohort, offset) the count and
+    * fraction of that cohort active `offset` buckets later. The other
+    * half of product analytics next to [[funnel]].
+    *
+    * `bucketWidth` is in the ts column's unit (e.g. 604800000000 for
+    * weekly cohorts over microsecond timestamps). Counts are exact
+    * integers; the rate is rounded to 4 dp from exact counts, so the
+    * result is engine- and partitioning-independent.
+    *
+    * Scale shape: one per-user min (cohort assignment), one distinct
+    * over (user, bucket) — both hash-partitioned by user — then a
+    * per-cohort count; cohort sizes re-join by the (tiny) cohort key. */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val e = events.select(col(userCol).as("user"),
+      floor(col(tsCol) / bucketWidth).cast("long").as("bucket"))
+    val cohorts = e.groupBy("user").agg(min("bucket").as("cohort"))
+    val active = e.distinct()
+      .join(cohorts, Seq("user"))
+      .withColumn("offset", col("bucket") - col("cohort"))
+      .groupBy("cohort", "offset")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cohorts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    active.join(sizes, Seq("cohort"))
+      .withColumn("retention",
+        round(col("n_active").cast("double") / col("n_cohort").cast("double"), 4))
+      .select("cohort", "offset", "n_active", "n_cohort", "retention")
+  }
 }

@@ -48,4 +48,22 @@ class EventOpsSpec extends SparkSpec {
       Seq("buy"), window = 100L)
     assert(one.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 5L, 6L))
   }
+
+  test("retention: cohort = first bucket, offsets counted once per user, exact rates") {
+    // bucket width 10: user A enters bucket 0, active 0 and 2;
+    // user B enters 0, active 0 only; user C enters 1, active 1 and 2.
+    val ev = Seq(
+      (1L, 1L), (1L, 3L), (1L, 25L), (1L, 29L), // A: buckets 0, 2 (dup rows collapse)
+      (2L, 5L),                                 // B: bucket 0
+      (3L, 12L), (3L, 22L)                      // C: buckets 1, 2 -> offsets 0, 1
+    ).toDF("user_id", "ts")
+    val got = EventOps.retention(ev, "user_id", "ts", bucketWidth = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == Map(
+      (0L, 0L) -> (2L, 2L, 1.0),   // both A and B active at entry
+      (0L, 2L) -> (1L, 2L, 0.5),   // only A back two buckets later
+      (1L, 0L) -> (1L, 1L, 1.0),
+      (1L, 1L) -> (1L, 1L, 1.0)))
+  }
 }
