@@ -73,6 +73,26 @@ final class DocumentStore private (
   /** Current full-fidelity payload store. */
   def payload: DataFrame = spark.read.parquet(payloadDir(manifest.version))
 
+  /** Time-travel read: the essential store AS OF snapshot `version`,
+    * readable for any version still retained by
+    * `StoreConfig.keepVersions` (mutations write new version dirs and
+    * prune `keepVersions` behind the pointer) — the audit/
+    * reproducibility read of a versioned store: "what did the store
+    * contain when job X ran?". */
+  def essentialAt(version: Long): DataFrame = versionedRead(version, essentialDir)
+
+  /** Time-travel read of the payload store — see [[essentialAt]]. */
+  def payloadAt(version: Long): DataFrame = versionedRead(version, payloadDir)
+
+  private def versionedRead(version: Long, dirOf: Long => String): DataFrame = {
+    require(version >= 1 && version <= manifest.version,
+      s"version $version out of range 1..${manifest.version}")
+    val dir = dirOf(version)
+    require(fsFor(dir).exists(hadoopPath(dir)),
+      s"version $version already pruned (keepVersions=${config.keepVersions})")
+    spark.read.parquet(dir)
+  }
+
   def documentCount: Long = manifest.count
   def currentManifest: StoreManifest = manifest
 

@@ -314,6 +314,12 @@ class DocumentStoreSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/v1").exists)
     assert(new java.io.File(s"$dir/v2").exists)
 
+    // time travel: v2 still readable as of its snapshot, v1 pruned
+    assert(store.essentialAt(2).count() == 3)
+    assert(store.payloadAt(store.currentManifest.version).count() == 4)
+    intercept[IllegalArgumentException] { store.essentialAt(1) }   // pruned
+    intercept[IllegalArgumentException] { store.essentialAt(99L) } // future
+
     // default keepVersions=1 prunes immediately
     val d2 = tmp()
     val s2 = DocumentStore.fromTexts(spark, d2, Seq("a"), Nil, StoreConfig(), emb)
