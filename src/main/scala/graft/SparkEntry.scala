@@ -508,6 +508,13 @@ object SparkEntry {
     TextSearch.bm25(table(s, dir, "documents"), "doc_id", "text",
       Bm25Terms, topK = 10)
 
+  /** Per-user daily grid over the events stream with LOCF fill:
+    * bucket-last observation per day, gaps carry the prior value. */
+  private def qGapfill(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.gapFillLocf(
+      table(s, dir, "events").withColumn("us", expr("ts DIV 1000")),
+      "user_id", "us", "value", step = 86400000000L, tieCol = "event_id")
+
   /** Weekly cohort retention over the events stream (microsecond
     * buckets of one week). */
   private def qRetention(s: SparkSession, dir: String): DataFrame =
@@ -1044,6 +1051,7 @@ object SparkEntry {
       "q_mmr"                 -> (qMmr _),
       "q_funnel"              -> (qFunnel _),
       "q_retention"           -> (qRetention _),
+      "q_gapfill"             -> (qGapfill _),
       "q_sample_stratified"   -> (qSampleStratified _),
       "q_asof_join"           -> (qAsofJoin _),
       "q_skew_join"           -> (qSkewJoin _),
@@ -1848,6 +1856,30 @@ object SparkEntry {
              (ex.doc_id IS NULL AND coalesce(near.n_near, 0) = 0) AS kept
       FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
              LEFT JOIN near ON near.doc_id = b.doc_id""",
+
+    // Daily LOCF grid: per-user tick range, bucket-last by
+    // (ts, event_id) desc, last_value IGNORE NULLS fill.
+    "q_gapfill" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, value, event_id FROM events),
+      b AS (SELECT user_id,
+                   CAST(floor(min(us) / 86400000000) * 86400000000 AS BIGINT) AS lo,
+                   CAST(floor(max(us) / 86400000000) * 86400000000 AS BIGINT) AS hi
+            FROM e GROUP BY user_id),
+      ticks AS (SELECT user_id, CAST(unnest(range(lo, hi + 1, 86400000000)) AS BIGINT) AS tick
+                FROM b),
+      obs AS (SELECT user_id, tick, v FROM (
+                SELECT user_id,
+                       CAST(floor(us / 86400000000) * 86400000000 AS BIGINT) AS tick,
+                       value AS v,
+                       row_number() OVER (
+                         PARTITION BY user_id, floor(us / 86400000000)
+                         ORDER BY us DESC, event_id DESC) AS rn
+                FROM e) t WHERE rn = 1)
+      SELECT ticks.user_id, ticks.tick,
+             last_value(obs.v IGNORE NULLS) OVER (
+               PARTITION BY ticks.user_id ORDER BY ticks.tick
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      FROM ticks LEFT JOIN obs USING (user_id, tick)""",
 
     // Weekly cohort retention: cohort = first week bucket, activity
     // distinct per (user, week), rate from exact counts.

@@ -455,11 +455,18 @@ final class DocumentStore private (
     * [, metadata]); `similarity` follows the reference's raw-score
     * semantics (higher=better for cosine/ip, distance for l2). */
   def similaritySearch(query: String, k: Int = 4,
-                       includeFullMetadata: Boolean = false): DataFrame = {
+                       includeFullMetadata: Boolean = false,
+                       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(manifest.count > 0, "store is empty or not built")
     val qv = embedder.embedQuery(query)
+    // Metadata-filtered ANN (the `filter` arg of the LangChain
+    // similarity_search surface): the predicate lands on the scored
+    // scan BEFORE top-k selection — pre-filtering, so the result is
+    // exactly "top-k among matching docs", never k minus casualties —
+    // and pushes into the parquet read where the columns allow.
+    val space = filter.foldLeft(searchSpace(qv))((df, f) => df.where(f))
     val hits = VectorIndex.topK(
-        searchSpace(qv), "vec", qv.toSeq, k, config.metric,
+        space, "vec", qv.toSeq, k, config.metric,
         scoreCol = "similarity", tieBreak = Seq("id"))
       .select(col("id").as("doc_id"), col("text"), col("source"),
         col("category"), col("similarity"),

@@ -79,6 +79,25 @@ class DocumentStoreSpec extends SparkSpec {
     assert(again.map(_.toString).toSeq == hits.map(_.toString).toSeq)
   }
 
+  test("filtered similaritySearch: pre-filter semantics (top-k AMONG matching docs)") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    import org.apache.spark.sql.functions.col
+    val hits = store.similaritySearch("fox", k = 2,
+      filter = Some(col("category") === "weather")).collect()
+    assert(hits.length == 2)
+    assert(hits.forall(_.getAs[String]("category") == "weather"))
+    // pre-filter, not post-filter: k slots are filled by matching docs
+    // even though the global top-k contains none of them
+    val unfiltered = store.similaritySearch("fox", k = 2).collect()
+      .map(_.getAs[String]("category")).toSeq
+    assert(!unfiltered.contains("weather"))
+    // filter composes with full-metadata enrichment
+    val full = store.similaritySearch("fox", k = 1, includeFullMetadata = true,
+      filter = Some(col("category") === "programming")).collect()
+    assert(full.length == 1 &&
+      full.head.getAs[String]("metadata_type") == "full")
+  }
+
   test("maxMarginalRelevanceSearch: k diversified hits, rank 1 = top relevance") {
     val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
     val top = store.similaritySearch("fox", k = 1).collect().head
