@@ -134,4 +134,75 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: bloomExactAgainst == exactAgainst on random corpora and batches") {
+    samples(Gen.zip(Gen.listOfN(20, textGen), Gen.listOfN(12, textGen)), 8)
+      .foreach { case (corpusTexts, batchTexts) =>
+        val corpus = corpusTexts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        val batch = batchTexts.zipWithIndex
+          .map { case (t, i) => (100L + i, t) }.toDF("id", "text")
+        val want = Dedup.exactAgainst(batch, corpus, "text")
+          .select("id").as[Long].collect().sorted.toSeq
+        // deliberately undersized + high-fpp filter: correctness must
+        // not depend on filter quality
+        val got = Dedup.bloomExactAgainst(batch, corpus, "text",
+            prebuilt = Some(Dedup.buildTextBloom(corpus, "text",
+              expectedItems = 2L, fpp = 0.4)))
+          .select("id").as[Long].collect().sorted.toSeq
+        assert(got == want, s"corpus=$corpusTexts batch=$batchTexts")
+      }
+  }
+
+  test("property: zvalue round-trips through bit de-interleaving") {
+    def deinterleave(z: Long, nCols: Int, bits: Int): Seq[Long] =
+      (0 until nCols).map { c =>
+        (0 until bits).map(i => ((z >> (i * nCols + c)) & 1L) << i).sum
+      }
+    val coord = Gen.chooseNum(0L, (1L << 21) - 1)
+    samples(Gen.zip(coord, coord), 40).foreach { case (x, y) =>
+      val z = Seq((x, y)).toDF("x", "y")
+        .select(graft.ops.Layout.zvalue(Seq(col("x"), col("y"))).as("z"))
+        .as[Long].head()
+      assert(deinterleave(z, 2, 21) == Seq(x, y), s"($x, $y) -> $z")
+    }
+  }
+
+  test("property: randomProjection is linear up to terminal rounding") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-5.0, 5.0))
+    samples(Gen.zip(vecGen, vecGen), 10).foreach { case (a, b) =>
+      val df = Seq((a, b, a.zip(b).map { case (x, y) => x + y }))
+        .toDF("a", "b", "ab")
+      val row = df.select(
+        graft.functions.VectorFunctions.randomProjection(col("a"), "t", 4, 8).as("ra"),
+        graft.functions.VectorFunctions.randomProjection(col("b"), "t", 4, 8).as("rb"),
+        graft.functions.VectorFunctions.randomProjection(col("ab"), "t", 4, 8).as("rab"))
+        .head()
+      val (ra, rb, rab) = (row.getSeq[Double](0), row.getSeq[Double](1), row.getSeq[Double](2))
+      ra.indices.foreach { j =>
+        assert(math.abs(rab(j) - (ra(j) + rb(j))) < 3e-6,
+          s"j=$j ${rab(j)} vs ${ra(j) + rb(j)}")
+      }
+    }
+  }
+
+  test("property: funnel depth is monotone in the window size") {
+    val ev = Gen.listOfN(40, Gen.zip(
+      Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 100L),
+      Gen.oneOf("view", "click", "buy")))
+    samples(ev, 6).foreach { events =>
+      val df = events.toDF("user_id", "ts", "etype")
+      def depths(w: Long): Map[Long, Long] =
+        EventOps.funnel(df, "user_id", "ts", "etype",
+            Seq("view", "click", "buy"), window = w)
+          .collect().map(r => r.getLong(0) ->
+            r.getLong(r.fieldIndex("steps_completed"))).toMap
+      val narrow = depths(20L)
+      val wide = depths(80L)
+      assert(narrow.keySet == wide.keySet) // entry is window-independent
+      narrow.foreach { case (u, d) =>
+        assert(d <= wide(u), s"user $u: narrow $d > wide ${wide(u)}")
+      }
+    }
+  }
 }
