@@ -508,6 +508,55 @@ object SparkEntry {
     TextSearch.bm25(table(s, dir, "documents"), "doc_id", "text",
       Bm25Terms, topK = 10)
 
+  /** TPC-H Q7 shape (volume shipping between two nations, by year):
+    * the nation dim joins TWICE in different roles (supplier's vs
+    * customer's) — broadcast both (25 rows at any scale); lineitem
+    * streams through one join chain; DECIMAL-exact revenue. */
+  private def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = table(s, dir, "nation")
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = table(s, dir, "nation")
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    val pair = (col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+      (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18")
+    table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(5,2)")))
+          .as("volume"))
+      .join(table(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(table(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(table(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .where(pair)
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("volume")).cast("double").as("revenue"))
+  }
+
+  /** Hopping (sliding) window counts: 1-hour windows every 30 minutes —
+    * each event lands in exactly 2 windows, materialized by a narrow
+    * per-row explode of the window starts it belongs to (the
+    * engine-portable form of `window(ts, '1 hour', '30 min')`). */
+  private def qHoppingWindow(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql("""
+      SELECT wstart, event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM (
+        SELECT explode(sequence(
+                 (CAST(floor((us - 3600000000) / 1800000000) AS BIGINT) + 1) * 1800,
+                 CAST(floor(us / 1800000000) AS BIGINT) * 1800,
+                 1800)) AS wstart,
+               event_type, value
+        FROM (SELECT ts DIV 1000 AS us, event_type, value FROM events))
+      GROUP BY wstart, event_type""")
+  }
+
   /** Per-user daily grid over the events stream with LOCF fill:
     * bucket-last observation per day, gaps carry the prior value. */
   private def qGapfill(s: SparkSession, dir: String): DataFrame =
@@ -1052,6 +1101,8 @@ object SparkEntry {
       "q_funnel"              -> (qFunnel _),
       "q_retention"           -> (qRetention _),
       "q_gapfill"             -> (qGapfill _),
+      "q_hopping_window"      -> (qHoppingWindow _),
+      "q7_nation_volume"      -> (q7NationVolume _),
       "q_sample_stratified"   -> (qSampleStratified _),
       "q_asof_join"           -> (qAsofJoin _),
       "q_skew_join"           -> (qSkewJoin _),
@@ -1856,6 +1907,35 @@ object SparkEntry {
              (ex.doc_id IS NULL AND coalesce(near.n_near, 0) = 0) AS kept
       FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
              LEFT JOIN near ON near.doc_id = b.doc_id""",
+
+    // TPC-H Q7: nation dim in two roles; exact decimal volume.
+    "q7_nation_volume" -> s"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(sum($RevTerm) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+         OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+      GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""",
+
+    // Hopping windows: starts from floor((us-width)/slide)+1 to
+    // floor(us/slide), in epoch seconds; [w, w+width) membership.
+    "q_hopping_window" -> """
+      SELECT wstart, event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM (
+        SELECT CAST(unnest(range(
+                 (CAST(floor((us - 3600000000) / 1800000000) AS BIGINT) + 1) * 1800,
+                 CAST(floor(us / 1800000000) AS BIGINT) * 1800 + 1,
+                 1800)) AS BIGINT) AS wstart,
+               event_type, value
+        FROM (SELECT epoch_us(ts) AS us, event_type, value FROM events) e) w
+      GROUP BY wstart, event_type""",
 
     // Daily LOCF grid: per-user tick range, bucket-last by
     // (ts, event_id) desc, last_value IGNORE NULLS fill.

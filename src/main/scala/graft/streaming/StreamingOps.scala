@@ -34,14 +34,19 @@ object StreamingOps {
       }
       .start()
 
-  /** Watermarked tumbling-window counts per event type:
+  /** Watermarked tumbling- or hopping-window counts per event type:
     * readStream -> withWatermark -> window agg (late data dropped after
-    * `watermark`). */
+    * `watermark`). With `slide` < `width` every event lands in
+    * width/slide overlapping windows — the hopping form; the default
+    * slide = width is tumbling. */
   def hourlyEventCounts(events: DataFrame, tsCol: String,
-                        watermark: String = "2 hours"): DataFrame =
+                        watermark: String = "2 hours",
+                        width: String = "1 hour",
+                        slide: String = null): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .groupBy(window(col(tsCol), width,
+        if (slide == null) width else slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)

@@ -50,6 +50,24 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping windows: each event counted in width/slide overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingOps.hourlyEventCounts(
+      input.toDF().toDF("ts", "event_type", "value"), "ts",
+      width = "1 hour", slide = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("hopping_test")
+      .outputMode("update").start()
+    try {
+      input.addData((ts(40), "click", 1.0)) // minute 40: windows [0,60) and [30,90)
+      q.processAllAvailable()
+      val wins = spark.table("hopping_test")
+        .selectExpr("window.start", "n").collect()
+      assert(wins.length == 2)
+      assert(wins.forall(_.getLong(1) == 1L))
+    } finally q.stop()
+  }
+
   test("hourlyEventCounts append mode: windows emit on watermark passage, late data dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
