@@ -508,6 +508,14 @@ object SparkEntry {
     TextSearch.bm25(table(s, dir, "documents"), "doc_id", "text",
       Bm25Terms, topK = 10)
 
+  /** Per-event-type 3-sigma outliers over the value stream (anomaly
+    * screen; decimal-exact moments, z rounded before the compare). */
+  private def qOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.zscoreOutliers(
+      table(s, dir, "events").select("event_id", "event_type", "value"),
+      Seq("event_type"), "value", threshold = 3.0)
+      .select("event_id", "event_type", "value", "mean", "sigma", "z")
+
   /** TPC-H Q7 shape (volume shipping between two nations, by year):
     * the nation dim joins TWICE in different roles (supplier's vs
     * customer's) — broadcast both (25 rows at any scale); lineitem
@@ -1103,6 +1111,7 @@ object SparkEntry {
       "q_gapfill"             -> (qGapfill _),
       "q_hopping_window"      -> (qHoppingWindow _),
       "q7_nation_volume"      -> (q7NationVolume _),
+      "q_outliers"            -> (qOutliers _),
       "q_sample_stratified"   -> (qSampleStratified _),
       "q_asof_join"           -> (qAsofJoin _),
       "q_skew_join"           -> (qSkewJoin _),
@@ -1907,6 +1916,24 @@ object SparkEntry {
              (ex.doc_id IS NULL AND coalesce(near.n_near, 0) = 0) AS kept
       FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
              LEFT JOIN near ON near.doc_id = b.doc_id""",
+
+    // 3-sigma outliers: moments through exact DECIMAL sums, then the
+    // identical double expression shape; z rounded before compare.
+    "q_outliers" -> """
+      WITH m AS (SELECT event_type, count(*) AS n,
+                        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                        CAST(sum(CAST(value AS DECIMAL(18,2)) *
+                                 CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+                 FROM events GROUP BY event_type),
+      m2 AS (SELECT event_type, s / n AS mean,
+                    sqrt(ss / n - (s / n) * (s / n)) AS sigma
+             FROM m)
+      SELECT e.event_id, e.event_type, e.value,
+             round(m2.mean, 4) AS mean, round(m2.sigma, 4) AS sigma,
+             round((e.value - m2.mean) / m2.sigma, 4) AS z
+      FROM events e JOIN m2 USING (event_type)
+      WHERE abs(round((e.value - m2.mean) / m2.sigma, 4)) >= 3.0
+        AND m2.sigma > 0""",
 
     // TPC-H Q7: nation dim in two roles; exact decimal volume.
     "q7_nation_volume" -> s"""

@@ -1,0 +1,31 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zscoreOutliers: flags known outliers per group, exact moments") {
+    // group a: nine 10.0s and one 100.0 -> mean 19, sigma 27
+    //   z(100) = (100-19)/27 = 3.0; z(10) = -1/3
+    val rows = (Seq.fill(9)(("a", 10.0)) :+ ("a", 100.0)) ++
+      Seq(("b", 5.0), ("b", 5.0)) // zero variance -> never flagged
+    val df = rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "grp", "value")
+    val got = Stats.zscoreOutliers(df, Seq("grp"), "value", threshold = 3.0)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("id") == 9L)
+    assert(r.getAs[Double]("mean") == 19.0)
+    assert(r.getAs[Double]("sigma") == 27.0)
+    assert(r.getAs[Double]("z") == 3.0)
+    // threshold just above excludes it
+    assert(Stats.zscoreOutliers(df, Seq("grp"), "value", threshold = 3.0001)
+      .collect().isEmpty)
+    // partition-independence (exact decimal moments)
+    val again = Stats.zscoreOutliers(df.repartition(7), Seq("grp"), "value",
+      threshold = 3.0).collect()
+    assert(again.map(_.getAs[Long]("id")).toSeq == Seq(9L))
+  }
+}
