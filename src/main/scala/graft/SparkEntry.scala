@@ -508,6 +508,20 @@ object SparkEntry {
     TextSearch.bm25(table(s, dir, "documents"), "doc_id", "text",
       Bm25Terms, topK = 10)
 
+  /** 7-event moving average per user (bounded sliding frame — the
+    * complement to q_running_total's unbounded cumulative frame):
+    * DECIMAL-exact frame sum, division by the frame count, rounded. */
+  private def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql("""
+      SELECT user_id, event_id,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) /
+                   (count(*) OVER w), 4) AS mavg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""")
+  }
+
   /** Per-event-type 3-sigma outliers over the value stream (anomaly
     * screen; decimal-exact moments, z rounded before the compare). */
   private def qOutliers(s: SparkSession, dir: String): DataFrame =
@@ -1112,6 +1126,7 @@ object SparkEntry {
       "q_hopping_window"      -> (qHoppingWindow _),
       "q7_nation_volume"      -> (q7NationVolume _),
       "q_outliers"            -> (qOutliers _),
+      "q_moving_avg"          -> (qMovingAvg _),
       "q_sample_stratified"   -> (qSampleStratified _),
       "q_asof_join"           -> (qAsofJoin _),
       "q_skew_join"           -> (qSkewJoin _),
@@ -1916,6 +1931,15 @@ object SparkEntry {
              (ex.doc_id IS NULL AND coalesce(near.n_near, 0) = 0) AS kept
       FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
              LEFT JOIN near ON near.doc_id = b.doc_id""",
+
+    // Bounded sliding frame: exact DECIMAL frame sum / frame count.
+    "q_moving_avg" -> """
+      SELECT user_id, event_id,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) /
+                   (count(*) OVER w), 4) AS mavg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
 
     // 3-sigma outliers: moments through exact DECIMAL sums, then the
     // identical double expression shape; z rounded before compare.
