@@ -214,6 +214,62 @@ object SparkEntry {
         GROUP BY c.c_custkey) t
       GROUP BY c_count""",
 
+    // TPC-H Q12 shape (shipmode → returnflag on this schema): two-way
+    // conditional counts per group — the CASE sums fold map-side.
+    "q12_priority_class" -> """
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_returnflag""",
+
+    // TPC-H Q14 (promo revenue): ratio of two exact DECIMAL sums; the
+    // month filter prunes the lineitem scan before the part join.
+    "q14_promo_revenue" -> s"""
+      SELECT CAST(100 AS DOUBLE) *
+             CAST(sum(CASE WHEN p_type = 'PROMO' THEN $RevTerm
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+             CAST(sum($RevTerm) AS DOUBLE) AS promo_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
+
+    // TPC-H Q19 shape: disjunctive brand/size/quantity blocks. Each OR
+    // branch pairs part and lineitem predicates; the common-factor
+    // part filter (brand IN ..., size upper bounds) is pushable.
+    "q19_disjunctive_revenue" -> s"""
+      SELECT CAST(sum($RevTerm) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity >= 1 AND l_quantity <= 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND l_quantity >= 10 AND l_quantity <= 20)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+             AND l_quantity >= 20 AND l_quantity <= 30)""",
+
+    // TPC-H Q22 shape (global sales opportunity): scalar subquery
+    // threshold (exact-DECIMAL mean of positive balances — the naive
+    // avg() over doubles is summation-order-dependent and would drift
+    // between engines) + NOT EXISTS anti-join + derived country code.
+    // Dense o_custkey means every customer has SOME order, so the
+    // anti-join target is "no finalized ('F') order" — non-empty at
+    // every SF.
+    "q22_never_ordered" -> """
+      SELECT c_custkey % 7 AS cntrycode,
+             CAST(count(*) AS BIGINT) AS numcust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                / count(*)
+                         FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      GROUP BY 1""",
+
     // ntile window: quartile assignment per customer by order value
     // (deterministic: total order includes the key tie-break).
     "q_ntile_quartiles" -> """
@@ -558,6 +614,135 @@ object SparkEntry {
       .where(pair)
       .groupBy("supp_nation", "cust_nation", "l_year")
       .agg(sum(col("volume")).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q4 (order-priority checking), adapted: this schema has no
+    * commit/receipt dates, so "late" = some lineitem ships > 60 days
+    * after the order date. The EXISTS becomes a left-semi hash join on
+    * orderkey (never materializes matches); the quarter filter prunes
+    * the orders parquet scan. */
+  private def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = table(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q8 (national market share): NATION_8 suppliers' share of
+    * STANDARD-part revenue sold to EUROPE customers, per order year.
+    * Only the fixed-size nation/region dims carry broadcast hints;
+    * part/supplier/customer grow with the data and stay hash joins
+    * (AQE may still broadcast them at small SF). Share = quotient of
+    * two exact DECIMAL sums cast to double — deterministic under any
+    * partitioning. */
+  private def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val euro = table(s, dir, "nation")
+      .join(broadcast(table(s, dir, "region").where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cust_nk"))
+    val suppNation = table(s, dir, "nation")
+      .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+    table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        expr(RevTerm).as("volume"))
+      .join(table(s, dir, "part").where(col("p_type") === "STANDARD")
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .join(table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(table(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(euro), col("c_nationkey") === col("cust_nk"), "left_semi")
+      .join(table(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("supp_nk"))
+      .groupBy("o_year")
+      .agg((sum(when(col("supp_nation") === "NATION_8", col("volume"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+        sum(col("volume")).cast("double")).as("mkt_share"))
+  }
+
+  /** TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    * lost to returns in a half-year window. Revenue through the exact
+    * DECIMAL term; ORDER BY revenue DESC with the unique custkey
+    * tie-break makes the LIMIT region deterministic. Nation is the
+    * only broadcast; the big joins shuffle on their keys. */
+  private def q10ReturnedCustomers(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), expr(RevTerm).as("rev"))
+    val o = table(s, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(table(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(s, dir, "nation").select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q16 (parts/supplier relationship), adapted: the schema has
+    * no partsupp, so the part↔supplier relation comes from lineitem;
+    * the excluded-supplier set is acctbal < 2000 (stand-in for the
+    * complaints predicate). The NOT IN is a left-anti join against the
+    * small excluded set (broadcast — it stays a filtered fraction of
+    * supplier at any scale); count(DISTINCT suppkey) per part group. */
+  private def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val p = table(s, dir, "part")
+      .where(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 50))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val excluded = table(s, dir, "supplier")
+      .where(col("s_acctbal") < 2000).select("s_suppkey")
+    table(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    * 60-days-after-order lateness criterion. Spark-first shape: instead
+    * of the classic EXISTS + NOT-EXISTS double self-join, ONE pass
+    * computes per-order supplier stats (distinct suppliers, distinct
+    * late suppliers) and a hash join re-attaches them to the late rows
+    * — the qualifying condition (multi-supplier order, exactly one late
+    * supplier, and it's this row's) becomes a plain filter. */
+  private def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(table(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+    val orderStats = li.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    li.where(col("late"))
+      .join(orderStats, col("l_orderkey") === col("ok"))
+      .where(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(table(s, dir, "supplier").select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .orderBy(desc("numwait"), col("s_name"), col("s_suppkey"))
+      .limit(10)
+      .select("s_name", "numwait")
   }
 
   /** Hopping (sliding) window counts: 1-hour windows every 30 minutes —
@@ -1125,6 +1310,11 @@ object SparkEntry {
       "q_gapfill"             -> (qGapfill _),
       "q_hopping_window"      -> (qHoppingWindow _),
       "q7_nation_volume"      -> (q7NationVolume _),
+      "q4_order_priority"     -> (q4OrderPriority _),
+      "q8_market_share"       -> (q8MarketShare _),
+      "q10_returned_customers" -> (q10ReturnedCustomers _),
+      "q16_supplier_cnt"      -> (q16SupplierCnt _),
+      "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
       "q_outliers"            -> (qOutliers _),
       "q_moving_avg"          -> (qMovingAvg _),
       "q_sample_stratified"   -> (qSampleStratified _),
@@ -1960,6 +2150,75 @@ object SparkEntry {
         AND m2.sigma > 0""",
 
     // TPC-H Q7: nation dim in two roles; exact decimal volume.
+    "q4_order_priority" -> """
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority""",
+
+    "q8_market_share" -> s"""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(sum(CASE WHEN n2.n_name = 'NATION_8' THEN $RevTerm
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+             CAST(sum($RevTerm) AS DOUBLE) AS mkt_share
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+      GROUP BY year(o_orderdate)""",
+
+    "q10_returned_customers" -> s"""
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+             CAST(sum($RevTerm) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""",
+
+    "q16_supplier_cnt" -> """
+      SELECT p_brand, p_type, p_size,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#1'
+        AND p_size IN (1, 9, 14, 19, 23, 36, 45, 50)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 2000)
+      GROUP BY p_brand, p_type, p_size""",
+
+    "q21_waiting_suppliers" -> """
+      SELECT s_name, numwait FROM (
+        SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_suppkey, s_name
+        ORDER BY numwait DESC, s_name, s_suppkey
+        LIMIT 10) t""",
+
     "q7_nation_volume" -> s"""
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS BIGINT) AS l_year,
