@@ -717,25 +717,29 @@ object SparkEntry {
 
   /** TPC-H Q21 (suppliers who kept orders waiting), adapted to the
     * 60-days-after-order lateness criterion. Spark-first shape: instead
-    * of the classic EXISTS + NOT-EXISTS double self-join, ONE pass
-    * computes per-order supplier stats (distinct suppliers, distinct
-    * late suppliers) and a hash join re-attaches them to the late rows
-    * — the qualifying condition (multi-supplier order, exactly one late
-    * supplier, and it's this row's) becomes a plain filter. */
+    * of the classic EXISTS + NOT-EXISTS double self-join (which
+    * executes the lineitem⋈orders subtree twice), per-order supplier
+    * stats (distinct suppliers, distinct late suppliers) come from two
+    * collect_set windows over ONE pass — the join output is already
+    * hash-partitioned by orderkey, so the window adds a sort but no
+    * second shuffle, and the qualifying condition (multi-supplier
+    * order, exactly one late supplier, and it's this row's) is a plain
+    * filter. */
   private def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
-    val li = table(s, dir, "lineitem")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey")
+    table(s, dir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(table(s, dir, "orders").where(col("o_orderstatus") === "F")
         .select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
-    val orderStats = li.groupBy(col("l_orderkey").as("ok"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
-    li.where(col("late"))
-      .join(orderStats, col("l_orderkey") === col("ok"))
-      .where(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .select(col("l_suppkey"), col("late"),
+        size(collect_set(col("l_suppkey")).over(w)).as("n_supp"),
+        size(collect_set(when(col("late"), col("l_suppkey"))).over(w))
+          .as("n_late_supp"))
+      .where(col("late") && col("n_supp") > 1 && col("n_late_supp") === 1)
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("numwait"))
       .join(table(s, dir, "supplier").select("s_suppkey", "s_name"),
