@@ -174,6 +174,18 @@ object SparkEntry {
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
 
+    // GROUPING SETS: four explicit grains in ONE pass (single Expand +
+    // one shuffle — Spark never rescans per grain); NULL keys coalesced
+    // to sentinels. The general form of q_rollup's hierarchy.
+    "q_grouping_sets" -> """
+      SELECT coalesce(event_type, 'ALL') AS etype,
+             coalesce(user_mod, -1) AS user_mod,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM (SELECT event_type, user_id % 10 AS user_mod, value FROM events) t
+      GROUP BY GROUPING SETS ((event_type), (user_mod),
+                              (event_type, user_mod), ())""",
+
     // Conditional-aggregation pivot (PIVOT syntax differs per engine;
     // CASE-sum form is portable and plans identically).
     "q_pivot_events" -> """
