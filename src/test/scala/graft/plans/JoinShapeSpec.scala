@@ -64,4 +64,72 @@ class JoinShapeSpec extends SparkSpec {
       assert(broadcasts("q_dup_spans").isEmpty)
     }
   }
+
+  private def executed(name: String) =
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+
+  private def parquetScans(plan: org.apache.spark.sql.execution.SparkPlan,
+                           table: String) =
+    plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.mkString.contains(s"$table.parquet") => s
+    }
+
+  test("q21 is one pass: lineitem scanned ONCE, stats from a single Window") {
+    withStaticPlans {
+      val plan = executed("q21_waiting_suppliers")
+      assert(parquetScans(plan, "lineitem").size == 1,
+        s"per-order stats must reuse the joined pass, not rescan lineitem:\n$plan")
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.size == 1,
+        s"both collect_set stats must fuse into one Window exec, got ${windows.size}")
+      assert(broadcasts("q21_waiting_suppliers").isEmpty,
+        "q21 carries no broadcast hints (orders/supplier grow with data)")
+    }
+  }
+
+  test("q4's EXISTS is a semi join and the quarter filter reaches the orders scan") {
+    withStaticPlans {
+      val plan = executed("q4_order_priority")
+      val semis = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semis.nonEmpty, s"expected a LeftSemi SMJ with broadcasts off:\n$plan")
+      val ordersScan = parquetScans(plan, "orders").head
+      val pushed = ordersScan.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("GreaterThanOrEqual(o_orderdate") &&
+        pushed.contains("LessThan(o_orderdate"),
+        s"quarter bounds must push into the orders parquet scan, got: $pushed")
+    }
+  }
+
+  test("q16's NOT IN broadcasts only the filtered supplier exclusion set") {
+    withStaticPlans {
+      val bes = broadcasts("q16_supplier_cnt")
+      assert(bes.size == 1, s"expected one hinted broadcast, got ${bes.size}")
+      assert(bes.head.child.toString.contains("supplier.parquet"),
+        "the broadcast side must be the excluded-supplier set")
+      val antis = executed("q16_supplier_cnt").collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+      assert(antis.size == 1, "the exclusion must stay a broadcast LeftAnti join")
+    }
+  }
+
+  test("q8 broadcasts only the fixed-size nation/region dims") {
+    withStaticPlans {
+      val bes = broadcasts("q8_market_share")
+      assert(bes.nonEmpty)
+      bes.foreach { b =>
+        val sub = b.child.toString
+        assert(!Seq("lineitem", "orders.parquet", "customer", "part.parquet",
+          "supplier").exists(sub.contains),
+          s"only nation/region may be broadcast (growing sides must shuffle):\n$sub")
+      }
+    }
+  }
 }
