@@ -298,7 +298,39 @@ object SparkEntry {
                row_number() OVER (PARTITION BY lang
                                   ORDER BY n_chars DESC, doc_id) AS rn
         FROM documents) t
-      WHERE rn <= 3"""
+      WHERE rn <= 3""",
+
+    // Fixed-width histogram (data profiling): 25k-wide buckets over the
+    // order-value distribution, capped at bucket 19. floor of an IEEE
+    // quotient of identical doubles is engine-independent; the per-bucket
+    // money sum goes through exact DECIMAL. One partial-agg shuffle.
+    "q_histogram" -> """
+      SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS BIGINT) AS bucket,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders GROUP BY 1""",
+
+    // Linearly-weighted moving average over each user's last 4 events
+    // (newest weight 4): the weighted complement to q_moving_avg's
+    // uniform frame. lag() keeps the frame explicit so per-offset
+    // weights apply; numerator exact DECIMAL, one double division,
+    // rounded. ORDER BY ts is BIGINT nanos on Spark (see table()) and
+    // TIMESTAMP on DuckDB — identical order either way.
+    "q_wma" -> """
+      WITH l AS (
+        SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+               lag(CAST(value AS DECIMAL(18,2)), 1) OVER w AS v1,
+               lag(CAST(value AS DECIMAL(18,2)), 2) OVER w AS v2,
+               lag(CAST(value AS DECIMAL(18,2)), 3) OVER w AS v3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id,
+             round(CAST(4 * v + 3 * coalesce(v1, 0) + 2 * coalesce(v2, 0)
+                        + coalesce(v3, 0) AS DOUBLE) /
+                   (4 + CASE WHEN v1 IS NULL THEN 0 ELSE 3 END
+                      + CASE WHEN v2 IS NULL THEN 0 ELSE 2 END
+                      + CASE WHEN v3 IS NULL THEN 0 ELSE 1 END), 4) AS wma
+      FROM l"""
   )
 
   // ==================================================================
@@ -680,6 +712,57 @@ object SparkEntry {
       .agg((sum(when(col("supp_nation") === "NATION_8", col("volume"))
           .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
         sum(col("volume")).cast("double")).as("mkt_share"))
+  }
+
+  /** TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
+    * max (ties included, like the view-based original). The scalar max
+    * is a one-row broadcast back onto the per-supplier aggregate; the
+    * winner set (tiny at any scale) then broadcasts into the supplier
+    * dim lookup. Exact-DECIMAL revenue makes the max compare exact, so
+    * tie membership can't drift between engines. */
+  private def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = table(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(expr(RevTerm)).as("total_rev"))
+    val winners = rev
+      .join(broadcast(rev.agg(max(col("total_rev")).as("max_rev"))),
+        col("total_rev") === col("max_rev"))
+      .select(col("l_suppkey"), col("total_rev"))
+    table(s, dir, "supplier").select("s_suppkey", "s_name")
+      .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q9 (product-type profit), adapted: no partsupp table, so
+    * supply cost is the part's retail price (profit = discounted
+    * revenue - retailprice*quantity). Five-way join: lineitem streams
+    * through part/orders/supplier hash joins; only the fixed-size
+    * nation dim carries a broadcast hint. Profit term is exact DECIMAL
+    * end to end. */
+  private def q9Profit(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+      .join(table(s, dir, "part")
+        .where(col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice"),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("profit_term",
+        expr(s"$RevTerm - CAST(p_retailprice AS DECIMAL(18,2)) * " +
+          "CAST(l_quantity AS DECIMAL(18,2))"))
+      .join(table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(table(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(table(s, dir, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum(col("profit_term")).cast("double").as("profit"))
   }
 
   /** TPC-H Q10 (returned-item reporting): top-20 customers by revenue
@@ -1362,7 +1445,9 @@ object SparkEntry {
       "q_lm_score"            -> (qLmScore _),
       "q_mean_pool"           -> (qMeanPool _),
       "q_vocab_coverage"      -> (qVocabCoverage _),
-      "q_lm_bigram"           -> (qLmBigram _)
+      "q_lm_bigram"           -> (qLmBigram _),
+      "q15_top_supplier"      -> (q15TopSupplier _),
+      "q9_profit"             -> (q9Profit _)
     )
 
   // ==================================================================
@@ -2234,6 +2319,29 @@ object SparkEntry {
         GROUP BY s_suppkey, s_name
         ORDER BY numwait DESC, s_name, s_suppkey
         LIMIT 10) t""",
+
+    "q15_top_supplier" -> s"""
+      WITH rev AS (
+        SELECT l_suppkey, sum($RevTerm) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      WHERE total_rev = (SELECT max(total_rev) FROM rev)""",
+
+    "q9_profit" -> s"""
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(sum($RevTerm - CAST(p_retailprice AS DECIMAL(18,2)) *
+                      CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY n_name, year(o_orderdate)""",
 
     "q7_nation_volume" -> s"""
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
