@@ -630,6 +630,21 @@ object SparkEntry {
       Seq("event_type"), "value", threshold = 3.0)
       .select("event_id", "event_type", "value", "mean", "sigma", "z")
 
+  /** Per-event-type Tukey-fence (IQR) outliers — the robust screen:
+    * quartiles via exact interpolated percentile, rounded before the
+    * fences derive, so the flag set is engine-independent. */
+  private def qIqrOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.iqrOutliers(
+      table(s, dir, "events").select("event_id", "event_type", "value"),
+      Seq("event_type"), "value", k = 1.5)
+      .select("event_id", "event_type", "value", "q1", "q3")
+
+  /** Asymmetric containment near-dup pairs (quote/excerpt detection):
+    * |A∩B| / min(|A|,|B|) over word 3-gram shingles. */
+  private def qDedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(table(s, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.6)
+
   /** TPC-H Q7 shape (volume shipping between two nations, by year):
     * the nation dim joins TWICE in different roles (supplier's vs
     * customer's) — broadcast both (25 rows at any scale); lineitem
@@ -1447,7 +1462,9 @@ object SparkEntry {
       "q_vocab_coverage"      -> (qVocabCoverage _),
       "q_lm_bigram"           -> (qLmBigram _),
       "q15_top_supplier"      -> (q15TopSupplier _),
-      "q9_profit"             -> (q9Profit _)
+      "q9_profit"             -> (q9Profit _),
+      "q_iqr_outliers"        -> (qIqrOutliers _),
+      "q_dedup_containment"   -> (qDedupContainment _)
     )
 
   // ==================================================================
@@ -1622,6 +1639,32 @@ object SparkEntry {
              round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 4) AS jaccard
       FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       WHERE round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5""",
+
+    "q_dedup_containment" -> s"""
+      WITH $ShingleCte,
+      e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b,
+             round(CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
+      FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) >= 0.6""",
+
+    // Tukey fences from 4dp-rounded quantile_cont quartiles: the rounded
+    // doubles (and therefore the derived fences and the flag set) are
+    // bit-identical to Spark's rounded exact `percentile`.
+    "q_iqr_outliers" -> """
+      WITH f AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 4) AS q1,
+               round(quantile_cont(value, 0.75), 4) AS q3
+        FROM events GROUP BY event_type)
+      SELECT event_id, e.event_type, value, q1, q3
+      FROM events e JOIN f ON e.event_type = f.event_type
+      WHERE value < q1 - (q3 - q1) * 1.5 OR value > q3 + (q3 - q1) * 1.5""",
 
     "q_dedup_minhash_lsh" -> s"""
       WITH $ShingleCte,

@@ -39,16 +39,30 @@ object Dedup {
     * `maxShingleFreq`. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxShingleFreq: Option[Long] = None): DataFrame = {
+                        maxShingleFreq: Option[Long] = None): DataFrame =
+    shinglePairCounts(df, idCol, textCol, n, maxShingleFreq)
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Shared candidate machinery for the exact set-similarity pairs:
+    * explode shingles → equi-join on shingle (hash shuffle; optional
+    * hot-shingle cap) → per-pair common count, sizes re-attached.
+    * Returns (id_a, id_b, common, n_a, n_b) with id_a < id_b.
+    *
+    * Sizes come NARROWLY from the shingle-array length (shingles are
+    * distinct within a doc, so array length == exploded count per id)
+    * and are broadcast: the size side is (id, int) — tiny relative to
+    * any corpus for which the pair join itself is feasible. With a
+    * hot-shingle cap, dedup runs over the REDUCED sets, so sizes must
+    * instead be aggregated from the kept rows. */
+  private def shinglePairCounts(df: DataFrame, idCol: String, textCol: String,
+                                n: Int, maxShingleFreq: Option[Long]): DataFrame = {
     val withSh = df.select(col(idCol).as("id"),
       TextFunctions.shingles(col(textCol), n).as("shs"))
     val sh = withSh.select(col("id"), explode(col("shs")).as("sh"))
-    // Sizes come NARROWLY from the shingle-array length (shingles are
-    // distinct within a doc, so array length == exploded count per id)
-    // and are broadcast: the size side is (id, int) — tiny relative to
-    // any corpus for which the pair join itself is feasible. With a
-    // hot-shingle cap, dedup runs over the REDUCED sets, so sizes must
-    // instead be aggregated from the kept rows.
     val (filtered, sizes) = maxShingleFreq match {
       case Some(f) =>
         val hot = sh.groupBy("sh").count().where(col("count") > f).select("sh")
@@ -64,12 +78,27 @@ object Dedup {
     common
       .join(broadcast(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a"))), "id_a")
       .join(broadcast(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b"))), "id_b")
-      .withColumn("jaccard",
-        round(col("common").cast("double") /
-          (col("n_a") + col("n_b") - col("common")).cast("double"), 4))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
+
+  /** Exact n-gram CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥ threshold.
+    * The asymmetric near-dup signal Jaccard misses — a short document
+    * wholly embedded in a long one scores containment ≈ 1 while its
+    * Jaccard stays below any practical threshold (the union is dominated
+    * by the long side). The quote/excerpt/boilerplate detector for
+    * training-data dedup.
+    *
+    * Same candidate machinery as [[ngramJaccardPairs]] (shingle
+    * equi-join — never all-pairs; optional hot-shingle cap), only the
+    * denominator differs. Ratio rounded before the threshold compare. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, threshold: Double = 0.8,
+                            maxShingleFreq: Option[Long] = None): DataFrame =
+    shinglePairCounts(df, idCol, textCol, n, maxShingleFreq)
+      .withColumn("containment",
+        round(col("common").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 4))
+      .where(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
 
   /** Exact Jaccard pair join via PREFIX FILTERING (the set-similarity-
     * join principle behind PPJoin, Xiao et al. 2008 — see PAPERS.md):

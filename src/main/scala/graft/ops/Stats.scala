@@ -39,4 +39,34 @@ object Stats {
       .withColumn("mean", round(col("mean"), roundScale))
       .withColumn("sigma", round(col("sigma"), roundScale))
   }
+
+  /** Per-group IQR (Tukey-fence) outliers — the robust complement to
+    * [[zscoreOutliers]]: a handful of extreme rows can't move the
+    * quartiles the way they move a mean/σ, so the fences hold on
+    * heavy-tailed value streams. Rows outside
+    * [q1 − k·iqr, q3 + k·iqr] are flagged (k = 1.5 classic).
+    *
+    * Determinism: `percentile` is Spark's EXACT interpolated quantile
+    * (same linear interpolation as DuckDB's quantile_cont — already
+    * relied on by q_percentiles); both quartiles are rounded before the
+    * fences are derived, so the comparison operates on doubles that are
+    * bit-identical across engines and partitionings.
+    *
+    * Scale shape: one grouped exact-percentile aggregate (one row per
+    * group; percentile is a sort-based agg — fine for bounded group
+    * count, use approx quantiles via [[graft.ops.Sketches]] when groups
+    * are huge), broadcast back onto the scan; the screen itself is a
+    * narrow filter. */
+  def iqrOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Double = 1.5, roundScale: Int = 4): DataFrame = {
+    require(k > 0, "k must be positive")
+    val fences = df.groupBy(groupCols.map(col): _*)
+      .agg(round(expr(s"percentile($valueCol, 0.25)"), roundScale).as("q1"),
+        round(expr(s"percentile($valueCol, 0.75)"), roundScale).as("q3"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * k)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * k)
+    df.join(broadcast(fences), groupCols)
+      .where(col(valueCol).cast("double") < col("lo") ||
+        col(valueCol).cast("double") > col("hi"))
+  }
 }

@@ -33,6 +33,28 @@ class DedupSpec extends SparkSpec {
     assert(!m.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("containment flags an excerpt its Jaccard misses") {
+    // doc 11 is a verbatim excerpt of doc 10: every shingle of 11 is in
+    // 10, so containment = 1.0 while jaccard = |B|/|A| stays low.
+    val d = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (11L, "alpha beta gamma delta epsilon"),
+      (12L, "totally unrelated words nothing shared here at all")
+    ).toDF("id", "text")
+    val cont = Dedup.ngramContainmentPairs(d, "id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(cont((10L, 11L)) == 1.0)
+    assert(cont.size == 1)
+    // the same pair under jaccard: 3 common shingles, 18 + 3 distinct
+    //   -> j = 3/18 = 0.1667, far below any dup threshold
+    val jac = Dedup.ngramJaccardPairs(d, "id", "text", n = 3, threshold = 0.0001)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(jac((10L, 11L)) < 0.2)
+  }
+
   test("prefixJaccardPairs is value-identical to ngramJaccardPairs") {
     for (t <- Seq(0.3, 0.5, 0.9)) {
       val naive = Dedup.ngramJaccardPairs(docs, "id", "text", n = 3, threshold = t)

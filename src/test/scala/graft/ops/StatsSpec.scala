@@ -28,4 +28,26 @@ class StatsSpec extends SparkSpec {
       threshold = 3.0).collect()
     assert(again.map(_.getAs[Long]("id")).toSeq == Seq(9L))
   }
+
+  test("iqrOutliers: Tukey fences from exact quartiles, robust to the outlier") {
+    // group a: 1..11 plus an extreme 1000. Quartiles of the 12 values:
+    //   q1 = 3.75, q3 = 9.25 (linear interpolation), iqr = 5.5
+    //   fences: lo = 3.75 - 8.25 = -4.5, hi = 9.25 + 8.25 = 17.5
+    // -> only 1000 is flagged: the robust point — one wild value can't
+    //    drag the fences the way it drags mean/sigma.
+    val vals = (1 to 11).map(_.toDouble) :+ 1000.0
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "a", v) }
+      .toDF("id", "grp", "value")
+    val got = Stats.iqrOutliers(df, Seq("grp"), "value", k = 1.5).collect()
+    assert(got.map(_.getAs[Long]("id")).toSeq == Seq(11L))
+    assert(got.head.getAs[Double]("q1") == 3.75)
+    assert(got.head.getAs[Double]("q3") == 9.25)
+    // partition-independence
+    val again = Stats.iqrOutliers(df.repartition(5), Seq("grp"), "value")
+      .collect()
+    assert(again.map(_.getAs[Long]("id")).toSeq == Seq(11L))
+    // wider fences exclude it only at an absurd k
+    assert(Stats.iqrOutliers(df, Seq("grp"), "value", k = 200.0)
+      .collect().isEmpty)
+  }
 }
