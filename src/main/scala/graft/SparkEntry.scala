@@ -645,6 +645,22 @@ object SparkEntry {
     Dedup.ngramContainmentPairs(table(s, dir, "documents"), "doc_id", "text",
       n = 3, threshold = 0.6)
 
+  /** MERGE/upsert (Mutations.upsert): a derived change batch (updates
+    * for doc_id % 10 == 0, inserts shifted past the id space) merged
+    * into the documents corpus; verified by per-row text shas. */
+  private def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val updates = docs.where(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(lit("v2 "), col("text")))
+    val inserts = docs.where(col("doc_id") % 25 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("text", concat(lit("new "), col("text")))
+    graft.ops.Mutations.upsert(docs, updates.unionByName(inserts), Seq("doc_id"))
+      .select(col("doc_id"), sha2(col("text"), 256).as("text_sha"),
+        col("lang"), col("source"))
+  }
+
   /** TPC-H Q7 shape (volume shipping between two nations, by year):
     * the nation dim joins TWICE in different roles (supplier's vs
     * customer's) — broadcast both (25 rows at any scale); lineitem
@@ -1464,7 +1480,8 @@ object SparkEntry {
       "q15_top_supplier"      -> (q15TopSupplier _),
       "q9_profit"             -> (q9Profit _),
       "q_iqr_outliers"        -> (qIqrOutliers _),
-      "q_dedup_containment"   -> (qDedupContainment _)
+      "q_dedup_containment"   -> (qDedupContainment _),
+      "q_upsert"              -> (qUpsert _)
     )
 
   // ==================================================================
@@ -1652,6 +1669,22 @@ object SparkEntry {
              round(CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
       FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       WHERE round(CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) >= 0.6""",
+
+    // MERGE semantics spelled as set algebra: batch rows win, untouched
+    // target rows pass through (anti-join on the key).
+    "q_upsert" -> """
+      WITH batch AS (
+        SELECT doc_id, 'v2 ' || text AS text, lang, source
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, 'new ' || text, lang, source
+        FROM documents WHERE doc_id % 25 = 0),
+      merged AS (
+        SELECT * FROM batch
+        UNION ALL
+        SELECT d.doc_id, d.text, d.lang, d.source FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.doc_id = d.doc_id))
+      SELECT doc_id, sha256(text) AS text_sha, lang, source FROM merged""",
 
     // Tukey fences from 4dp-rounded quantile_cont quartiles: the rounded
     // doubles (and therefore the derived fences and the flag set) are

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Relational mutation primitives — MERGE/upsert and CDC-apply as
+  * copy-on-write set algebra (the reference mutates via full rebuilds,
+  * vectorstore.py:469-537; the Spark shape is an anti-join + union that
+  * rewrites only what a snapshot write must rewrite anyway).
+  */
+object Mutations {
+
+  /** MERGE (upsert): every `batch` row lands in the result ("when
+    * matched then update, when not matched then insert"); `target` rows
+    * whose key the batch doesn't carry pass through unchanged.
+    *
+    * One left_anti equi-join + union — no per-row point writes. The
+    * join shuffles on the key at scale (Catalyst broadcasts the batch
+    * side when it's small); with both sides bucketed on the key it's
+    * exchange-free. Column sets must match (`unionByName`).
+    *
+    * If `batch` carries duplicate keys the result keeps them all —
+    * pre-aggregate the batch (e.g. latest by timestamp) when the key
+    * must stay unique. */
+  def upsert(target: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame =
+    batch.unionByName(
+      target.join(batch.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+
+  /** CDC apply: `changes` carries an operation column (`opCol`) whose
+    * value `"delete"` removes the key from the target; every other
+    * value upserts the row. The Delta-style
+    * whenMatchedDelete/whenMatchedUpdate/whenNotMatchedInsert MERGE,
+    * as one anti-join + union: any touched key leaves the target, and
+    * the non-delete change rows come back in. */
+  def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
+               opCol: String = "op"): DataFrame = {
+    val touched = changes.select(keys.map(col): _*).distinct()
+    val upserts = changes.where(col(opCol) =!= "delete").drop(opCol)
+    upserts.unionByName(target.join(touched, keys, "left_anti"))
+  }
+}

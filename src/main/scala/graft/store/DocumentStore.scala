@@ -693,6 +693,19 @@ final class DocumentStore private (
     if (firstIds.isEmpty) false else deleteByIds(firstIds.toSeq)
   }
 
+  /** Upsert by text identity: documents whose text matches an existing
+    * store row are REPLACED (the incoming metadata wins); new texts
+    * append. The ingest path's exact-text dedup would silently DROP a
+    * re-ingested text (first occurrence wins, index.py:202-218) —
+    * upsert is the "latest wins" complement, composed from the two
+    * copy-on-write primitives (anti-join delete + append build). Ids
+    * recompact exactly as any delete does. */
+  def upsertTexts(texts: Seq[String],
+                  metadatas: Seq[Map[String, String]] = Nil): Seq[String] = {
+    if (manifest.count > 0) deleteByTexts(texts)
+    addTexts(texts, metadatas)
+  }
+
   /** Remove the entire store from disk (reference empty-store removal,
     * vectorstore.py:482-490). */
   def drop(): Unit = {

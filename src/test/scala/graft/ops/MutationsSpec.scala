@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class MutationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq(
+    (1L, "one", 10), (2L, "two", 20), (3L, "three", 30)
+  ).toDF("k", "name", "v")
+
+  test("upsert: batch rows win on matched keys, unmatched target passes through") {
+    val batch = Seq((2L, "TWO", 200), (4L, "four", 40)).toDF("k", "name", "v")
+    val got = Mutations.upsert(target, batch, Seq("k")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got == Map(
+      1L -> (("one", 10)),      // untouched
+      2L -> (("TWO", 200)),     // updated
+      3L -> (("three", 30)),    // untouched
+      4L -> (("four", 40))))    // inserted
+  }
+
+  test("upsert: empty batch is identity; full-cover batch replaces everything") {
+    val empty = Seq.empty[(Long, String, Int)].toDF("k", "name", "v")
+    assert(Mutations.upsert(target, empty, Seq("k")).collect().toSet ==
+      target.collect().toSet)
+    val all = Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 0)).toDF("k", "name", "v")
+    assert(Mutations.upsert(target, all, Seq("k")).collect().toSet ==
+      all.collect().toSet)
+  }
+
+  test("applyCdc: deletes remove the key, other ops upsert") {
+    val changes = Seq(
+      (1L, "one-v2", 11, "update"),
+      (3L, "", 0, "delete"),
+      (5L, "five", 50, "insert")
+    ).toDF("k", "name", "v", "op")
+    val got = Mutations.applyCdc(target, changes, Seq("k")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got == Map(
+      1L -> (("one-v2", 11)),   // updated
+      2L -> (("two", 20)),      // untouched
+      5L -> (("five", 50))))    // inserted; 3 deleted
+  }
+}

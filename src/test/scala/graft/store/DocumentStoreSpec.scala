@@ -213,6 +213,24 @@ class DocumentStoreSpec extends SparkSpec {
     assert(kept == Set(texts(1), texts(3), texts(4), texts(5)))
   }
 
+  test("upsertTexts replaces matching texts (metadata wins) and appends new ones") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    // re-ingest of an existing text would be DROPPED by ingest dedup;
+    // upsert must instead replace its metadata and keep one copy.
+    store.upsertTexts(
+      Seq(texts.head, "An entirely new document about volcanoes"),
+      Seq(Map("source" -> "patched.txt", "category" -> "animals-v2"),
+        Map("source" -> "new.txt", "category" -> "geology")))
+    assert(store.documentCount == 7)
+    val e = store.essential.collect()
+    val patched = e.filter(_.getAs[String]("text") == texts.head)
+    assert(patched.length == 1)
+    assert(patched.head.getAs[String]("category") == "animals-v2")
+    assert(e.count(_.getAs[String]("category") == "geology") == 1)
+    // ids stay dense after the delete+append composition
+    assert(e.map(_.getAs[Long]("id")).sorted.toSeq == (0L until 7L))
+  }
+
   test("deleteByTexts deletes only first occurrence and reports misses") {
     val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
     assert(store.deleteByTexts(Seq(texts(0))))
