@@ -645,6 +645,39 @@ object SparkEntry {
     Dedup.ngramContainmentPairs(table(s, dir, "documents"), "doc_id", "text",
       n = 3, threshold = 0.6)
 
+  /** ANN evaluation harness (Eval.recallAtK): recall@10 of the
+    * pinned-centroid IVF search (nprobe 3 of 8 — the q_ivf_flat
+    * quantizer) against the exact scan, for 5 queries in one batched
+    * job each. Every ranking is rounded-before-rank with id tie-breaks,
+    * so the recall numbers themselves are engine-exact. */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = table(s, dir, "embeddings")
+    val cents = emb.where(col("vec_id").between(10, 17))
+      .orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    val model = IvfIndex.Model(cents)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1),
+        model.nearestCentroids(r.getSeq[Double](1), 3, roundScale = 4)))
+    val qdf = queries.toSeq.toDF("qid", "qv", "probes")
+    val exact = VectorIndex.topKBatch(emb, "embedding",
+      qdf.select("qid", "qv"), "qid", "qv", k = 10, "cosine",
+      scoreCol = "score", tieBreak = Seq("vec_id"), roundScale = 4,
+      keep = Some(col("vec_id") =!= col("qid")))
+    val assigned = emb.withColumn("cluster",
+      model.assignCol(col("embedding"), roundScale = 4))
+    val approx = VectorIndex.topKBatch(assigned, "embedding",
+      qdf, "qid", "qv", k = 10, "cosine",
+      scoreCol = "score", tieBreak = Seq("vec_id"), roundScale = 4,
+      keep = Some(col("vec_id") =!= col("qid") &&
+        array_contains(col("probes"), col("cluster"))))
+    graft.ops.Eval.recallAtK(exact, approx, "qid", "vec_id")
+  }
+
   /** MERGE/upsert (Mutations.upsert): a derived change batch (updates
     * for doc_id % 10 == 0, inserts shifted past the id space) merged
     * into the documents corpus; verified by per-row text shas. */
@@ -1481,7 +1514,8 @@ object SparkEntry {
       "q9_profit"             -> (q9Profit _),
       "q_iqr_outliers"        -> (qIqrOutliers _),
       "q_dedup_containment"   -> (qDedupContainment _),
-      "q_upsert"              -> (qUpsert _)
+      "q_upsert"              -> (qUpsert _),
+      "q_ann_recall"          -> (qAnnRecall _)
     )
 
   // ==================================================================
@@ -1832,6 +1866,42 @@ object SparkEntry {
       FROM v JOIN a ON a.vec_id = v.vec_id, q
       WHERE a.cluster IN (SELECT cid FROM p)
       ORDER BY score DESC, v.vec_id LIMIT 10""",
+
+    // recall@10 of the pinned-centroid IVF (q_ivf_flat's quantizer,
+    // nprobe 3) vs the exact scan, per query: both rank sets rebuilt
+    // with the same rounded-cosine + id-tiebreak windows, intersected.
+    "q_ann_recall" -> """
+      WITH c AS (SELECT CAST(vec_id - 10 AS INT) AS cid, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id BETWEEN 10 AND 17),
+      v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      d AS (SELECT v.vec_id, c.cid,
+              round(list_sum(list_transform(range(1, len(v.ev) + 1),
+                i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))), 4) AS dist
+            FROM v, c),
+      a AS (SELECT vec_id, cid AS cluster FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d) t WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, ev AS qv FROM v WHERE vec_id < 5),
+      p AS (SELECT vec_id AS qid, cid FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d WHERE vec_id < 5) t WHERE rn <= 3),
+      exact AS (SELECT qid, vec_id FROM (
+          SELECT q.qid, v.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY round(list_cosine_similarity(v.ev, q.qv), 4) DESC, v.vec_id) AS rn
+          FROM v, q WHERE v.vec_id <> q.qid) t WHERE rn <= 10),
+      approx AS (SELECT qid, vec_id FROM (
+          SELECT q.qid, v.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY round(list_cosine_similarity(v.ev, q.qv), 4) DESC, v.vec_id) AS rn
+          FROM v JOIN a ON a.vec_id = v.vec_id, q
+          JOIN p ON p.qid = q.qid AND p.cid = a.cluster
+          WHERE v.vec_id <> q.qid) t WHERE rn <= 10)
+      SELECT e.qid, count(*) AS n_exact,
+             CAST(count(ap.vec_id) AS BIGINT) AS n_overlap,
+             round(CAST(count(ap.vec_id) AS DOUBLE) / count(*), 4) AS recall
+      FROM exact e LEFT JOIN approx ap ON ap.qid = e.qid AND ap.vec_id = e.vec_id
+      GROUP BY e.qid""",
 
     // Connected components of the jaccard>=0.5 near-dup graph via a
     // recursive reachability CTE; component = min reachable id.
