@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** JSONL (one JSON object per line) source/sink — the lingua franca of
+  * training-data exchange (every open-data corpus and most training
+  * frameworks speak it). The reference's payload store is exactly this
+  * idea one frame at a time (a JSON document per QR frame,
+  * encoder.py:190-195); at scale the same contract becomes sharded
+  * line-delimited JSON files.
+  *
+  * Parquet remains the engine-internal format (columnar pruning,
+  * predicate pushdown, min/max indexes — none of which JSON can do);
+  * JSONL is the interchange boundary: export shards for a trainer or
+  * another team, import a corpus someone else produced.
+  */
+object Jsonl {
+
+  /** Export as sharded JSONL. Every column is serialized by `to_json`
+    * (maps/arrays/structs included). `shards` controls write
+    * parallelism AND downstream consumer granularity — one task per
+    * shard file.
+    *
+    * `compression`: "none" (default), "gzip", or "zstd". At scale
+    * prefer zstd — gzip shards are not splittable, so a later Spark
+    * read gets one task per FILE regardless of size; zstd (and plain)
+    * text splits normally. */
+  def write(df: DataFrame, path: String, shards: Int = 0,
+            compression: String = "none"): Unit = {
+    val lines = df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    val sharded = if (shards > 0) lines.repartition(shards) else lines
+    sharded.write.mode("overwrite")
+      .option("compression", compression)
+      .text(path)
+  }
+
+  /** Read JSONL with an explicit schema (the scale path: schema
+    * inference scans the data once before the real read — fine
+    * interactively, a full extra pass at 100 TB). Malformed lines land
+    * in nulls under the default PERMISSIVE mode rather than failing the
+    * job; count them via a null-filter if ingest must be strict. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Read JSONL inferring the schema from the data (one extra pass —
+    * interactive use only; prefer [[read]] with a pinned schema in
+    * pipelines: inference can widen types between runs and silently
+    * change downstream semantics). */
+  def readInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+}
