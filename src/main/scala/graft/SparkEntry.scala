@@ -300,6 +300,24 @@ object SparkEntry {
         FROM documents) t
       WHERE rn <= 3""",
 
+    // Ranking-window surface in one pass: percent_rank/cume_dist (exact
+    // rational arithmetic on identical counts -> identical doubles,
+    // rounded anyway), dense_rank, and framed first/nth value. The
+    // ORDER BY carries the unique orderkey tie-break so every function
+    // is deterministic; ranking funcs use the default frame (w), value
+    // funcs an explicit ROWS frame (wf).
+    "q_window_suite" -> """
+      SELECT o_orderkey, o_custkey,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd,
+             CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             first_value(o_orderkey) OVER wf AS first_key,
+             nth_value(o_orderkey, 2) OVER wf AS second_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+             wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
     // Fixed-width histogram (data profiling): 25k-wide buckets over the
     // order-value distribution, capped at bucket 19. floor of an IEEE
     // quotient of identical doubles is engine-independent; the per-bucket

@@ -65,11 +65,18 @@ object TrainingPipeline {
     println(s"after exact dedup: ${exactKept.count()}")
 
     // 4. Near-dup removal: MinHash-LSH candidates -> connected
-    //    components -> one canonical doc per duplicate family.
+    //    components -> one canonical doc per duplicate family. The
+    //    containment pairs (common/min) additionally catch short
+    //    excerpts embedded in longer docs, which symmetric Jaccard
+    //    structurally under-scores — both pair sets feed the graph.
     val pairs = Dedup.minhashLshPairs(exactKept, "doc_id", "text",
       n = 3, numHashes = 16, bands = 4, threshold = 0.5)
-    val canonical = Dedup.keepCanonical(exactKept, "doc_id", pairs)
-    println(s"after near-dup removal: ${canonical.count()}")
+    val excerpts = Dedup.ngramContainmentPairs(exactKept, "doc_id", "text",
+      n = 3, threshold = 0.9)
+      .select("id_a", "id_b")
+    val canonical = Dedup.keepCanonical(exactKept, "doc_id",
+      pairs.select("id_a", "id_b").unionByName(excerpts).distinct())
+    println(s"after near-dup removal (incl. excerpt containment): ${canonical.count()}")
 
     // 4b. Incremental-ingest posture (what a FOLLOW-UP shard of this
     //     corpus would run): screen a simulated new batch against the
