@@ -34,6 +34,73 @@ object StreamingOps {
       }
       .start()
 
+  /** CDC-apply sink: each micro-batch of change rows (with an `opCol`
+    * where "delete" removes the key and anything else upserts) MERGEs
+    * into a versioned parquet table via [[graft.ops.Mutations.applyCdc]]
+    * — the streaming path that keeps a training corpus in sync with an
+    * operational source. Copy-on-write: every batch writes snapshot dir
+    * `v{n+1}` and atomically renames a pointer file over the old one,
+    * so concurrent readers always see a complete version (the same
+    * discipline as DocumentStore's manifest swap). Batch 0 against an
+    * absent table bootstraps from the non-delete change rows. */
+  def cdcApplyStream(changes: DataFrame, tablePath: String, keys: Seq[String],
+                     checkpointDir: String, opCol: String = "op"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val cur = currentCdcVersion(spark, tablePath)
+          val merged = cur match {
+            case Some(v) => graft.ops.Mutations.applyCdc(
+              spark.read.parquet(s"$tablePath/v$v"), batch, keys, opCol)
+            case None => batch.where(col(opCol) =!= "delete").drop(opCol)
+          }
+          val next = cur.getOrElse(-1L) + 1
+          merged.write.mode("overwrite").parquet(s"$tablePath/v$next")
+          writeCdcPointer(spark, tablePath, next)
+        }
+      }
+      .start()
+
+  /** Current table state written by [[cdcApplyStream]] (None before the
+    * first batch lands). */
+  def cdcTable(spark: SparkSession, tablePath: String): Option[DataFrame] =
+    currentCdcVersion(spark, tablePath)
+      .map(v => spark.read.parquet(s"$tablePath/v$v"))
+
+  private def pointerPath(tablePath: String) = s"$tablePath/LATEST"
+
+  private def fsFor(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def currentCdcVersion(spark: SparkSession, tablePath: String): Option[Long] = {
+    val fs = fsFor(spark, tablePath)
+    val p = new org.apache.hadoop.fs.Path(pointerPath(tablePath))
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeCdcPointer(spark: SparkSession, tablePath: String, v: Long): Unit = {
+    val fs = fsFor(spark, tablePath)
+    val tmp = new org.apache.hadoop.fs.Path(pointerPath(tablePath) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(pointerPath(tablePath))
+    // HDFS rename refuses an existing destination — swap like
+    // DocumentStore.writeManifest does.
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
   /** Watermarked tumbling- or hopping-window counts per event type:
     * readStream -> withWatermark -> window agg (late data dropped after
     * `watermark`). With `slide` < `width` every event lands in

@@ -32,6 +32,34 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcApplyStream: micro-batches merge into a versioned table; readers see complete snapshots") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Int, String)]
+    val dir = Files.createTempDirectory("graft-cdc").toString
+    val q = StreamingOps.cdcApplyStream(
+      input.toDF().toDF("k", "name", "v", "op"),
+      s"$dir/table", Seq("k"), s"$dir/ckpt")
+    try {
+      // batch 0 bootstraps from inserts
+      input.addData((1L, "one", 10, "insert"), (2L, "two", 20, "insert"))
+      q.processAllAvailable()
+      val t0 = StreamingOps.cdcTable(spark, s"$dir/table").get.collect()
+        .map(r => r.getAs[Long]("k") -> r.getAs[String]("name")).toMap
+      assert(t0 == Map(1L -> "one", 2L -> "two"))
+      // batch 1: update, delete, insert
+      input.addData((1L, "one-v2", 11, "update"), (2L, "", 0, "delete"),
+        (3L, "three", 30, "insert"))
+      q.processAllAvailable()
+      val t1 = StreamingOps.cdcTable(spark, s"$dir/table").get.collect()
+        .map(r => r.getAs[Long]("k") ->
+          ((r.getAs[String]("name"), r.getAs[Int]("v")))).toMap
+      assert(t1 == Map(1L -> (("one-v2", 11)), 3L -> (("three", 30))))
+      // both snapshot versions exist (copy-on-write, readers unbroken)
+      assert(new java.io.File(s"$dir/table/v0").isDirectory)
+      assert(new java.io.File(s"$dir/table/v1").isDirectory)
+    } finally q.stop()
+  }
+
   test("hourlyEventCounts: watermarked windowed agg over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
