@@ -132,4 +132,27 @@ class JoinShapeSpec extends SparkSpec {
       }
     }
   }
+
+  test("q9 broadcasts only the nation dim; the four growing joins shuffle") {
+    withStaticPlans {
+      val bes = broadcasts("q9_profit")
+      assert(bes.size == 1, s"expected the one nation hint, got ${bes.size}")
+      assert(bes.head.child.toString.contains("nation.parquet"),
+        "the broadcast side must be the nation dim")
+    }
+  }
+
+  test("q15 broadcasts only aggregate-derived sides (max row + winner set), never a scan") {
+    withStaticPlans {
+      val bes = broadcasts("q15_top_supplier")
+      assert(bes.size == 2, s"expected the two hinted broadcasts, got ${bes.size}")
+      bes.foreach { b =>
+        val sub = b.child.toString
+        assert(sub.contains("HashAggregate"),
+          s"every broadcast side must derive from the per-supplier aggregate:\n$sub")
+        assert(!sub.contains("supplier.parquet"),
+          s"the supplier dim must stream, not broadcast:\n$sub")
+      }
+    }
+  }
 }
