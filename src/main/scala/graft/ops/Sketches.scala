@@ -90,4 +90,43 @@ object Sketches {
     df.groupBy(groupCols.map(col): _*)
       .agg(percentile_approx(col(valueCol), probs, lit(accuracy)).as("approx_quantiles"))
   }
+
+  /** Per-partition KLL quantile sketch bytes — the PERSISTABLE quantile
+    * sketch (percentile_approx's summary cannot leave the query).
+    * One row of bytes per partition/shard; a few KB each at the default
+    * k=200 (~1.65% rank error). Build once per shard at write time,
+    * persist next to the data, and answer later quantile queries over
+    * any shard subset by merging sketches instead of rescanning — the
+    * quantile leg of the HLL/CMS shard-merge pattern above.
+    * (No native Spark KLL aggregate exists, hence mapPartitions; the
+    * pass is narrow and emits one row per partition.) */
+  def buildQuantileShardSketches(df: DataFrame, valueCol: String,
+                                 k: Int = 200): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    df.select(col(valueCol).cast("double"))
+      .as[Double](Encoders.scalaDouble)
+      .mapPartitions { it =>
+        val sk = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k)
+        it.foreach(sk.update)
+        Iterator.single(sk.toByteArray)
+      }(Encoders.BINARY)
+      .toDF("sketch")
+  }
+
+  /** Merge persisted KLL sketch bytes driver-side (KBs per shard —
+    * collecting them is the point). KLL merge is a true union: the
+    * merged sketch carries the same rank-error guarantee as one built
+    * over the concatenated data. */
+  def mergeQuantileSketches(sketches: DataFrame, sketchCol: String = "sketch")
+      : org.apache.datasketches.kll.KllDoublesSketch =
+    sketches.select(col(sketchCol)).collect()
+      .map(r => org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(r.getAs[Array[Byte]](0))))
+      .reduceLeft { (a, b) => a.merge(b); a }
+
+  /** Quantile estimates from a (merged) KLL sketch. */
+  def quantilesFrom(sk: org.apache.datasketches.kll.KllDoublesSketch,
+                    probabilities: Seq[Double]): Seq[Double] =
+    probabilities.map(p =>
+      sk.getQuantile(p, org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
 }

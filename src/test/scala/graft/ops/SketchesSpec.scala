@@ -85,4 +85,25 @@ class SketchesSpec extends SparkSpec {
         s"p=$p est=$est rank=$rank target=${p * n}")
     }
   }
+
+  test("KLL shard sketches: persisted bytes merge to bounded-rank-error quantiles") {
+    val vals = df.select(col("member").cast("double")).as[Double].collect().sorted
+    val n = vals.length
+    // build per-partition sketches over an 8-shard layout, round-trip
+    // the BYTES through a collect (stand-in for parquet persistence),
+    // then merge and query — no rescan of the data.
+    val shardBytes = Sketches.buildQuantileShardSketches(
+      df.repartition(8), "member", k = 200)
+    assert(shardBytes.count() == 8)
+    val merged = Sketches.mergeQuantileSketches(shardBytes)
+    assert(merged.getN == n)
+    val probs = Seq(0.1, 0.5, 0.9)
+    val ests = Sketches.quantilesFrom(merged, probs)
+    probs.zip(ests).foreach { case (p, est) =>
+      val rank = vals.count(_ <= est)
+      // k=200 gives ~1.65% rank error at 99% confidence; assert 3%
+      assert(math.abs(rank - p * n) <= 0.03 * n,
+        s"p=$p est=$est rank=$rank target=${p * n}")
+    }
+  }
 }
