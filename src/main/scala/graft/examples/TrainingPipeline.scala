@@ -114,9 +114,36 @@ object TrainingPipeline {
 
     // 7. Embed + int8-quantize (4x smaller vectors, cosine preserved to
     //    quantization error).
-    val embedded = HashEmbedder(64).embed(chunked, "chunk", "vec")
+    val embeddedFull = HashEmbedder(64).embed(chunked, "chunk", "vec")
+    val embedded = embeddedFull
       .withColumn("qvec", VectorFunctions.quantizeInt8(col("vec")))
       .drop("vec")
+
+    // 7b. MEASURE the quantization's retrieval cost instead of assuming
+    //     it: recall@10 of top-k over dequantized int8 vectors vs the
+    //     full-precision scan, for a few sample queries (Eval.recallAtK
+    //     — the shortcut-shipping discipline: every approximation gets
+    //     a recall number).
+    val chunkVecs = embeddedFull
+      .withColumn("cid", col("doc_id") * 100000 + col("chunk_no"))
+      .select(col("cid"), col("vec"))
+    val dequant = chunkVecs
+      .withColumn("scale", VectorFunctions.maxAbs(col("vec")))
+      .withColumn("vec", VectorFunctions.dequantizeInt8(
+        VectorFunctions.quantizeInt8(col("vec")), col("scale")))
+      .drop("scale")
+    val sampleQs = chunkVecs.orderBy("cid").limit(3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    import spark.implicits._
+    val qdf = sampleQs.toSeq.toDF("qid", "qv")
+    def top10(space: org.apache.spark.sql.DataFrame) =
+      graft.index.VectorIndex.topKBatch(space, "vec", qdf, "qid", "qv",
+        k = 10, "cosine", scoreCol = "score", tieBreak = Seq("cid"),
+        roundScale = 6, keep = Some(col("cid") =!= col("qid")))
+    val recall = graft.ops.Eval.recallAtK(top10(chunkVecs), top10(dequant),
+      "qid", "cid")
+      .agg(round(avg("recall"), 4).as("mean_recall")).head.getDouble(0)
+    println(s"int8 retrieval recall@10 vs full precision: $recall")
 
     // 8. Domain mixing AFTER embedding: epoch copies are byte-identical,
     //    so embedding before mixing computes each vector once, not once
