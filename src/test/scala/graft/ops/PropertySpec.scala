@@ -34,6 +34,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: upsert is idempotent; key set = target ∪ batch; batch rows win") {
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 20L), word)
+    samples(Gen.zip(Gen.listOfN(15, rowGen), Gen.listOfN(8, rowGen)), 8)
+      .foreach { case (t, b) =>
+        // unique keys per side (last wins pre-aggregation, as documented)
+        val target = t.toMap.toSeq.toDF("k", "v")
+        val batch = b.toMap.toSeq.toDF("k", "v")
+        val once = Mutations.upsert(target, batch, Seq("k"))
+        val onceRows = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(onceRows.keySet == t.toMap.keySet ++ b.toMap.keySet)
+        b.toMap.foreach { case (k, v) => assert(onceRows(k) == v) }
+        (t.toMap -- b.toMap.keySet).foreach { case (k, v) => assert(onceRows(k) == v) }
+        val twice = Mutations.upsert(once, batch, Seq("k")).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(twice == onceRows, "upsert must be idempotent")
+      }
+  }
+
   test("property: hash60 is non-negative, < 2^60, distinct on distinct inputs") {
     val strs = samples(Gen.listOfN(50, Gen.alphaNumStr), 20).flatten
     val hs = strs.map(HashFunctions.hash60Local)
