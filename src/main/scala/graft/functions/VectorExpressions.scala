@@ -137,6 +137,56 @@ case class L2DistanceExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** argmin over centroids of (optionally rounded) squared L2 distance to
+  * `vec[start, start+len)` — the fused quantizer-assignment kernel
+  * shared by IVF coarse assignment (start=0, full vector) and PQ
+  * per-subspace encoding (start=sub·dsub, len=dsub). Ties resolve to
+  * the lowest centroid index, and `roundScale >= 0` rounds each
+  * distance EXACTLY like Spark/DuckDB `round()` (BigDecimal.valueOf,
+  * HALF_UP) before the argmin — bit-identical to the HOF twin
+  * (`transform` + `aggregate` + `array_position`, kept as *Sql forms
+  * and asserted equal in specs), which interprets a lambda per element
+  * per centroid. CodegenFallback like [[HashEmbedExpr]]: one JVM call
+  * per row running nlist·dim primitive multiply-adds is the win.
+  */
+case class NearestCentroidExpr(child: Expression,
+    centroids: IndexedSeq[IndexedSeq[Double]], start: Int, len: Int,
+    roundScale: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty, "need at least one centroid")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val avail = x.numElements() - start
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(cent.length, math.min(len, avail))
+      var d = 0.0
+      var j = 0
+      while (j < n) {
+        val t = x.getDouble(start + j) - cent(j); d += t * t; j += 1
+      }
+      if (roundScale >= 0)
+        d = java.math.BigDecimal.valueOf(d)
+          .setScale(roundScale, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Deterministic hash embedding of a string — the fused form of
   * HashEmbedder's SQL expression (bit-identical; see HashEmbedderSpec).
   * CodegenFallback: one JVM call per row beats 64 interpreted sha2

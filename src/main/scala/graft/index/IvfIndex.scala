@@ -24,14 +24,26 @@ object IvfIndex {
   final case class Model(centroids: IndexedSeq[IndexedSeq[Double]]) {
     def nlist: Int = centroids.length
 
-    /** Cluster-assignment expression: argmin_c ||vec - centroid_c||².
-      * Pure codegen'd built-ins (no UDF): distances via a fold over a
-      * centroid array literal, argmin via array_position of the min
-      * (ties -> lowest cluster id). `roundScale >= 0` rounds each
-      * distance first — use it when an external engine must reproduce
-      * the assignment exactly (float fold order then can't flip the
-      * argmin; see q_ivf_flat's oracle). */
-    def assignCol(vec: Column, roundScale: Int = -1): Column = {
+    /** Cluster-assignment expression: argmin_c ||vec - centroid_c||²
+      * (ties -> lowest cluster id). Runs the fused
+      * [[graft.functions.NearestCentroidExpr]] kernel — one primitive
+      * loop per row instead of an interpreted lambda per element per
+      * centroid (at ingest scale the assignment IS the narrow map over
+      * the corpus, so the kernel constant matters). `roundScale >= 0`
+      * rounds each distance first — use it when an external engine must
+      * reproduce the assignment exactly (float fold order then can't
+      * flip the argmin; see q_ivf_flat's oracle). Bit-identical to
+      * [[assignColSql]] (asserted in IvfIndexSpec). */
+    def assignCol(vec: Column, roundScale: Int = -1): Column =
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.NearestCentroidExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(asDouble(vec)),
+          centroids, 0, Int.MaxValue, roundScale))
+
+    /** HOF reference twin of [[assignCol]] (pure built-ins: fold over a
+      * centroid array literal, argmin via array_position of the min) —
+      * kept as the replayable specification of the assignment. */
+    def assignColSql(vec: Column, roundScale: Int = -1): Column = {
       val cents = typedlit(centroids)
       val dists = transform(cents, c => {
         val d = aggregate(

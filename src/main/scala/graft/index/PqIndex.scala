@@ -47,9 +47,23 @@ object PqIndex {
 
     /** Encode expression: `array<int>` of `m` codes — per subspace, the
       * index of the L2-nearest centroid (ties -> lowest code, matching
-      * [[IvfIndex.Model.assignCol]]). Pure codegen'd built-ins; the
-      * codebooks travel as literals (tiny: m·ksub·dsub doubles). */
+      * [[IvfIndex.Model.assignCol]]). Each subspace runs the fused
+      * [[graft.functions.NearestCentroidExpr]] kernel over its slice
+      * (one primitive loop/row/subspace); the codebooks travel inside
+      * the expression (tiny: m·ksub·dsub doubles). Bit-identical to
+      * [[encodeColSql]] (asserted in PqIndexSpec). */
     def encodeCol(vec: Column, roundScale: Int = -1): Column = {
+      val ve = org.apache.spark.sql.GraftSqlBridge.expression(asDouble(vec))
+      array((0 until m).map { sub =>
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.NearestCentroidExpr(
+            ve, codebooks(sub), sub * dsub, dsub, roundScale))
+      }: _*)
+    }
+
+    /** HOF reference twin of [[encodeCol]] (pure built-ins) — the
+      * replayable specification of the encoding. */
+    def encodeColSql(vec: Column, roundScale: Int = -1): Column = {
       val v = asDouble(vec)
       val codes = (0 until m).map { sub =>
         val cb = typedlit(codebooks(sub))

@@ -32,6 +32,19 @@ class PqIndexSpec extends SparkSpec {
     assert(got == Seq(0, 0)) // equidistant in both subspaces
   }
 
+  test("fused encodeCol == HOF encodeColSql on random vectors (rounded and raw)") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(4)(rnd.nextDouble() * 2 - 1))).toDF("vec_id", "vec")
+    for (rs <- Seq(-1, 4)) {
+      val fused = vecs.withColumn("c", model.encodeCol(col("vec"), rs))
+        .orderBy("vec_id").select("c").as[Seq[Int]].collect().toSeq
+      val hof = vecs.withColumn("c", model.encodeColSql(col("vec"), rs))
+        .orderBy("vec_id").select("c").as[Seq[Int]].collect().toSeq
+      assert(fused == hof, s"mismatch at roundScale=$rs")
+    }
+  }
+
   test("adcTable and adcMicrosCol: exact for vectors that ARE centroid combos") {
     val q = Seq(1.0, 0.0, 0.0, 0.0)
     // table(0) = (0, 2) * 1e4; table(1) = (0, 2) * 1e4
