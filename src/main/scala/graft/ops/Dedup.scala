@@ -370,6 +370,79 @@ object Dedup {
     }
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * rewrites (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond" — PAPERS.md): converges in O(log n) rounds regardless
+    * of component DIAMETER, where [[connectedComponents]]'s label
+    * propagation needs O(diameter) rounds — this is the escalation
+    * path for continent-sized components (e.g. boilerplate families
+    * that chain millions of near-identical pages).
+    *
+    * Each round is the same primitive pair as propagation (one
+    * hash-shuffle groupBy for per-node minima + one join to rewrite
+    * edges), operating on the edge set only:
+    *  - large-star: every neighbor v > u re-points to
+    *    m = min(Γ(u) ∪ {u}) — tall trees flatten from above;
+    *  - small-star: every neighbor v ≤ u (and u itself) points to m —
+    *    the rest flatten.
+    * Self-loops drop each round; convergence = the small-star round is
+    * a fixpoint (set-equal edges), after which every node's edge points
+    * at its component min. Output matches [[connectedComponents]]
+    * exactly (asserted in DedupSpec on random graphs and a long chain).
+    *
+    * Returns (node, component), component = min id; only nodes
+    * appearing in `pairs` are returned. */
+  def connectedComponentsStar(pairs: DataFrame, idACol: String = "id_a",
+                              idBCol: String = "id_b",
+                              maxIter: Int = 30): DataFrame = {
+    var edges = pairs
+      .select(col(idACol).cast("long").as("u"), col(idBCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def symmetric(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+
+    def minsOf(sym: DataFrame): DataFrame =
+      sym.groupBy("u").agg(min(col("v")).as("__mv"))
+        .select(col("u"), least(col("__mv"), col("u")).as("m"))
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = symmetric(e)
+      sym.join(minsOf(sym), "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val sym = symmetric(e)
+      val mins = minsOf(sym)
+      sym.join(mins, "u")
+        .where(col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // Fixpoint test on the undirected view (cheap: edge-set sizes
+      // first, anti-join only when they match).
+      val a = symmetric(edges); val b = symmetric(next)
+      converged = a.count() == b.count() && b.except(a).isEmpty
+      edges = next
+      iter += 1
+    }
+    val sym = symmetric(edges)
+    minsOf(sym).select(col("u").as("node"), col("m").as("component"))
+  }
+
   /** Duplicate token spans ACROSS documents — substring-level
     * deduplication signal in the spirit of Lee et al. 2021
     * ("Deduplicating Training Data Makes Language Models Better", see

@@ -129,6 +129,28 @@ class DedupSpec extends SparkSpec {
     assert(cc.values.forall(_ == 0L))
   }
 
+  test("large-star/small-star CC == label propagation on random graphs and a long chain") {
+    val rnd = new scala.util.Random(19)
+    // random graphs of varying density
+    for (trial <- 0 until 3) {
+      val n = 60
+      val edges = (0 until 80).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      val viaProp = Dedup.connectedComponents(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStar = Dedup.connectedComponentsStar(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStar == viaProp, s"trial $trial")
+    }
+    // a 60-node path: diameter 60, but star rounds are O(log n) — a
+    // maxIter far below the diameter must still converge exactly
+    val chain = (0 until 60).map(i => (i.toLong + 1, i.toLong)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentsStar(chain, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 61 && cc.values.forall(_ == 0L))
+  }
+
   test("keepCanonical drops every family member but the min id") {
     val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", n = 3, threshold = 0.3)
     val kept = Dedup.keepCanonical(docs, "id", pairs)
