@@ -693,6 +693,28 @@ final class DocumentStore private (
     if (firstIds.isEmpty) false else deleteByIds(firstIds.toSeq)
   }
 
+  // ------------------------------------------------------------------
+  // Async API parity (reference I4: aadd_texts / aadd_documents /
+  // asimilarity_search / adelete, vectorstore.py:227-252, :272-288,
+  // :913-1007 — thread-pool wrappers there, Future wrappers here).
+  // Spark job submission is already thread-safe; mutations serialize on
+  // the store's own snapshot swap. These exist for surface parity and
+  // for interleaving searches with driver-side work.
+  // ------------------------------------------------------------------
+
+  def addTextsAsync(texts: Seq[String], metadatas: Seq[Map[String, String]] = Nil)(
+      implicit ec: scala.concurrent.ExecutionContext): scala.concurrent.Future[Seq[String]] =
+    scala.concurrent.Future(addTexts(texts, metadatas))
+
+  def similaritySearchAsync(query: String, k: Int = 4)(
+      implicit ec: scala.concurrent.ExecutionContext)
+      : scala.concurrent.Future[Seq[(SearchHit, Double)]] =
+    scala.concurrent.Future(similaritySearchWithScore(query, k))
+
+  def deleteByIdsAsync(ids: Seq[Long])(
+      implicit ec: scala.concurrent.ExecutionContext): scala.concurrent.Future[Boolean] =
+    scala.concurrent.Future(deleteByIds(ids))
+
   /** Upsert by text identity: documents whose text matches an existing
     * store row are REPLACED (the incoming metadata wins); new texts
     * append. The ingest path's exact-text dedup would silently DROP a

@@ -213,6 +213,21 @@ class DocumentStoreSpec extends SparkSpec {
     assert(kept == Set(texts(1), texts(3), texts(4), texts(5)))
   }
 
+  test("async wrappers: add/search/delete through Futures (reference aadd/asearch parity)") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    val ids = Await.result(
+      store.addTextsAsync(Seq("an async document"), Seq(Map("source" -> "a.txt"))),
+      2.minutes)
+    assert(ids == Seq("0") && store.documentCount == 7)
+    val hits = Await.result(store.similaritySearchAsync("foxes", k = 2), 2.minutes)
+    assert(hits.length == 2 && hits.forall { case (h, s) => h.similarity == s })
+    assert(Await.result(store.deleteByIdsAsync(Seq(6L)), 2.minutes))
+    assert(store.documentCount == 6)
+  }
+
   test("upsertTexts replaces matching texts (metadata wins) and appends new ones") {
     val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
     // re-ingest of an existing text would be DROPPED by ingest dedup;
