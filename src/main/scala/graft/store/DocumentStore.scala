@@ -10,7 +10,7 @@ import org.apache.spark.util.sketch.BloomFilter
 import graft._
 import graft.embed.Embedder
 import graft.functions.VectorFunctions
-import graft.index.{IvfIndex, VectorIndex}
+import graft.index.{IvfIndex, PqIndex, VectorIndex}
 import graft.ops.TextSearch
 
 /** The VectorStore-equivalent facade (reference:
@@ -66,6 +66,7 @@ final class DocumentStore private (
   private def centroidsDir(v: Long) = s"${versionDir(v)}/centroids"
   private def bloomPath(v: Long) = s"${versionDir(v)}/dedup_bloom.bin"
   private def lexicalDir(v: Long) = s"${versionDir(v)}/lexical"
+  private def pqDir(v: Long) = s"${versionDir(v)}/pq"
 
   /** Current essential store (searchable projection + vectors). */
   def essential: DataFrame = spark.read.parquet(essentialDir(manifest.version))
@@ -369,6 +370,85 @@ final class DocumentStore private (
     require(manifest.count > 0, "store is empty or not built")
     TextSearch.writeIndex(essential.select(col("id"), col("text")),
       "id", "text", lexicalDir(manifest.version), numFiles)
+  }
+
+  /** Build/refresh a product-quantization index for the CURRENT
+    * snapshot: fit per-subspace codebooks (PqIndex.fit, m·ksub KMeans
+    * centroids) on the stored vectors and persist codebooks + per-doc
+    * codes under the version dir — the store-level FAISS IndexPQ
+    * artifact. Codes are `m` small ints per doc (vs `dim` floats —
+    * 32× smaller at m=8/dim=64), so the ADC prescreen scans a fraction
+    * of the bytes the exact scan reads. Incremental appends make it
+    * stale; stale indexes are detected and bypassed, so building is
+    * always safe and never required. */
+  def buildPqIndex(m: Int = 8, ksub: Int = 16, seed: Long = 42L): Unit = {
+    require(manifest.count > 0, "store is empty or not built")
+    require(embedder.dim % m == 0, s"dim ${embedder.dim} not divisible by m=$m")
+    val model = PqIndex.fit(essential, "vec", m, ksub, seed)
+    val dir = pqDir(manifest.version)
+    import spark.implicits._
+    val cbRows = for {
+      (book, sub) <- model.codebooks.zipWithIndex
+      (cent, code) <- book.zipWithIndex
+    } yield (sub, code, cent)
+    cbRows.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    essential.select(col("id"),
+        model.encodeCol(col("vec"), roundScale = 4).as("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    Seq((manifest.count, m, ksub))
+      .toDF("n_docs", "m", "ksub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** The persisted PQ index for the current version, if present AND
+    * fresh (its meta row records the indexed n_docs). */
+  private def loadPq(): Option[(PqIndex.Model, DataFrame)] = {
+    val dir = pqDir(manifest.version)
+    val metaDir = s"$dir/meta"
+    if (!fsFor(metaDir).exists(hadoopPath(metaDir))) None
+    else {
+      val meta = spark.read.parquet(metaDir).head
+      if (meta.getAs[Long]("n_docs") != manifest.count) None
+      else {
+        val books = spark.read.parquet(s"$dir/codebooks")
+          .orderBy("sub", "code").collect()
+          .groupBy(_.getAs[Int]("sub")).toSeq.sortBy(_._1)
+          .map(_._2.sortBy(_.getAs[Int]("code"))
+            .map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq)
+          .toIndexedSeq
+        Some((PqIndex.Model(books), spark.read.parquet(s"$dir/codes")))
+      }
+    }
+  }
+
+  /** Approximate top-k served from the persisted PQ index: the ADC
+    * prescreen ranks the CODES table (m integer lookups per row, no
+    * float math, 32× fewer bytes than the vector scan), the surviving
+    * `candidates` ids fetch their exact vectors via the id-sorted
+    * layout's min/max pruning, and the exact metric reranks to k —
+    * recall < 1 by construction, `candidates` is the knob. Absent or
+    * stale index falls back to exact [[similaritySearch]] (same output
+    * shape, so callers can't break on staleness). */
+  def similaritySearchPq(query: String, k: Int = 4,
+                         candidates: Int = 100): DataFrame = {
+    require(manifest.count > 0, "store is empty or not built")
+    loadPq() match {
+      case None => similaritySearch(query, k)
+      case Some((model, codes)) =>
+        val qv = embedder.embedQuery(query)
+        val candIds = codes
+          .withColumn("adc", model.adcMicrosCol(col("codes"), qv.toSeq, 4))
+          .orderBy(col("adc"), col("id"))
+          .limit(candidates)
+          .select("id").collect().map(_.getLong(0))
+        val cand = essential.where(col("id").isin(candIds: _*))
+        VectorIndex.topK(cand, "vec", qv.toSeq, k, config.metric,
+            scoreCol = "similarity", tieBreak = Seq("id"))
+          .select(col("id").as("doc_id"), col("text"), col("source"),
+            col("category"), col("similarity"),
+            lit("essential").as("metadata_type"))
+    }
   }
 
   /** BM25 score set for the query terms: served from the persisted

@@ -213,6 +213,28 @@ class DocumentStoreSpec extends SparkSpec {
     assert(kept == Set(texts(1), texts(3), texts(4), texts(5)))
   }
 
+  test("persisted PQ index: exact when candidates cover the corpus; stale index bypassed") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    store.buildPqIndex(m = 8, ksub = 4)
+    val exact = store.similaritySearch("Tell me about foxes", k = 3)
+      .select("doc_id", "similarity").collect().map(_.toString).toSeq
+    // candidate pool >= corpus -> the exact rerank sees every vector
+    val viaPq = store.similaritySearchPq("Tell me about foxes", k = 3,
+      candidates = 100)
+      .select("doc_id", "similarity").collect().map(_.toString).toSeq
+    assert(viaPq == exact)
+    // append WITHOUT rebuilding: index is stale -> exact fallback, and
+    // the new doc is searchable immediately
+    store.addTexts(Seq("a brand new fox document"), Seq(Map("source" -> "n.txt")))
+    val afterAppend = store.similaritySearchPq("fox document", k = 7,
+      candidates = 100)
+    assert(afterAppend.count() == 7)
+    val exactAfter = store.similaritySearch("fox document", k = 7)
+      .select("doc_id", "similarity").collect().map(_.toString).toSeq
+    assert(afterAppend.select("doc_id", "similarity").collect()
+      .map(_.toString).toSeq == exactAfter)
+  }
+
   test("async wrappers: add/search/delete through Futures (reference aadd/asearch parity)") {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.Await
