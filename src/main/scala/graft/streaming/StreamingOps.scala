@@ -145,6 +145,27 @@ object StreamingOps {
       }
   }
 
+  /** Declarative gap sessions via Spark's NATIVE `session_window`
+    * aggregate — the built-in twin of [[sessionize]] and the preferred
+    * form when per-session aggregates are all that's needed: Catalyst
+    * owns the state (merged on overlap, evicted by the watermark), so
+    * there's no custom state function to maintain. Use [[sessionize]]
+    * when running per-USER counters across sessions — cross-session
+    * state is exactly what session_window cannot express. Emits one
+    * row per closed (watermark-expired) session in append mode:
+    * (user_id, session start/end, n_events, total_value). */
+  def sessionWindowAgg(events: DataFrame, tsCol: String,
+                       gap: String = "30 minutes",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col("user_id"), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Streaming text-pipeline pass: per-batch embedding + quality
     * features over a text stream (narrow transforms only — safe under
     * any trigger). */

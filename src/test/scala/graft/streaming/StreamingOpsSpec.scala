@@ -124,6 +124,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindowAgg: native session_window merges gap sessions, emits on watermark close") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val agg = StreamingOps.sessionWindowAgg(
+      input.toDF().toDF("user_id", "ts", "value"), "ts",
+      gap = "30 minutes", watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("sess_native")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 40-min
+      // gap -> a second session. user 2: one event.
+      input.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(50), 4.0),
+        (2L, ts(5), 8.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_native").isEmpty) // nothing closed yet
+      // +5h advances the watermark far past every session's end
+      input.addData((9L, ts(300), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_native")
+        .select("user_id", "n_events", "total_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops watermark-horizon duplicates across micro-batches, keeps state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
