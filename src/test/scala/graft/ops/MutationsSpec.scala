@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class MutationsSpec extends SparkSpec {
   import spark.implicits._
@@ -27,6 +28,20 @@ class MutationsSpec extends SparkSpec {
     val all = Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 0)).toDF("k", "name", "v")
     assert(Mutations.upsert(target, all, Seq("k")).collect().toSet ==
       all.collect().toSet)
+  }
+
+  test("latestByKey collapses multi-version batches; composed with upsert the last version wins") {
+    val changes = Seq(
+      (1L, "v1", 100), (1L, "v2", 200), (1L, "v3", 300),
+      (4L, "first", 10)
+    ).toDF("k", "name", "seq")
+    val latest = Mutations.latestByKey(changes, Seq("k"), "seq")
+    assert(latest.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "v3", 4L -> "first"))
+    val merged = Mutations.upsert(target, latest.drop("seq")
+        .withColumn("v", lit(0)), Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged(1L) == "v3" && merged(4L) == "first" && merged(2L) == "two")
   }
 
   test("applyCdc: deletes remove the key, other ops upsert") {
