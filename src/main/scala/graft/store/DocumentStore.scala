@@ -636,13 +636,33 @@ final class DocumentStore private (
 
   /** All queries in ONE distributed job (replaces the reference's
     * sequential Retriever.batch loop, retriever.py:110-155). Output adds
-    * (query, rank). */
+    * (query, rank).
+    *
+    * On an IVF store the batch prunes like single search: the scan is
+    * filtered to the UNION of every query's nprobe clusters (partition
+    * pruning — files outside any query's probes are never read), and a
+    * per-(doc, query) probe-membership predicate restricts each query's
+    * ranking to ITS clusters, so batch and single-query results agree
+    * exactly. */
   def similaritySearchBatch(queries: Seq[String], k: Int = 4): DataFrame = {
     require(manifest.count > 0, "store is empty or not built")
     import spark.implicits._
-    val qdf = queries.map(q => (q, embedder.embedQuery(q).toSeq)).toDF("query", "qv")
-    VectorIndex.topKBatch(essential, "vec", qdf, "query", "qv", k,
-        config.metric, scoreCol = "similarity", tieBreak = Seq("id"))
+    val embedded = queries.map(q => (q, embedder.embedQuery(q).toSeq))
+    val (docs, qdf, keep) = loadCentroids() match {
+      case Some(model) =>
+        val withProbes = embedded.map { case (q, qv) =>
+          (q, qv, model.nearestCentroids(qv, config.nprobe))
+        }
+        val union = withProbes.flatMap(_._3).distinct
+        (essential.where(col("cluster").isin(union: _*)),
+          withProbes.toDF("query", "qv", "probes"),
+          Some(array_contains(col("probes"), col("cluster"))))
+      case None =>
+        (essential, embedded.toDF("query", "qv"), None)
+    }
+    VectorIndex.topKBatch(docs, "vec", qdf, "query", "qv", k,
+        config.metric, scoreCol = "similarity", tieBreak = Seq("id"),
+        keep = keep)
       .select(col("query"), col("rank"), col("id").as("doc_id"), col("text"),
         col("source"), col("category"), col("similarity"),
         lit("essential").as("metadata_type"))

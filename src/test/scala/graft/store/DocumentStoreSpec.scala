@@ -484,6 +484,24 @@ class DocumentStoreSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall@10=$recall too low for nprobe=2/nlist=4")
   }
 
+  test("similaritySearchBatch on an IVF store prunes per query and matches single-query results") {
+    val many = (0 until 300).map(i => s"doc $i topic ${i % 11} words ${i % 7}")
+    val ivf = DocumentStore.fromTexts(spark, tmp(), many, Nil,
+      StoreConfig(nlist = 4, nprobe = 2), emb)
+    val qs = Seq("topic 3 words", "topic 7 words", "doc 42")
+    val batch = ivf.similaritySearchBatch(qs, k = 5).collect()
+      .groupBy(_.getAs[String]("query"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Int]("rank"))
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("similarity"))).toSeq
+      }
+    qs.foreach { q =>
+      val single = ivf.similaritySearch(q, 5).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("similarity"))).toSeq
+      assert(batch(q) == single, s"batch != single for '$q'")
+    }
+  }
+
   test("IVF store: clustered layout, pruned search still finds exact neighbors") {
     // 200 docs >= 30*nlist for nlist=4 -> IVF activates (reference gate).
     val many = (0 until 200).map(i => s"document number $i about topic ${i % 7}")
