@@ -696,6 +696,16 @@ object SparkEntry {
     graft.ops.Eval.recallAtK(exact, approx, "qid", "vec_id")
   }
 
+  /** Latest-version-per-key compaction (Mutations.latestByKey): each
+    * user's most recent event row — the CDC/changelog compaction
+    * primitive. (ts, event_id) makes the order unique, so the survivor
+    * set is deterministic. */
+  private def qLatestByKey(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Mutations.latestByKey(
+      table(s, dir, "events").select("event_id", "user_id", "ts", "event_type"),
+      Seq("user_id"), Seq("ts", "event_id"))
+      .select("user_id", "event_id", "event_type")
+
   /** MERGE/upsert (Mutations.upsert): a derived change batch (updates
     * for doc_id % 10 == 0, inserts shifted past the id space) merged
     * into the documents corpus; verified by per-row text shas. */
@@ -1533,7 +1543,8 @@ object SparkEntry {
       "q_iqr_outliers"        -> (qIqrOutliers _),
       "q_dedup_containment"   -> (qDedupContainment _),
       "q_upsert"              -> (qUpsert _),
-      "q_ann_recall"          -> (qAnnRecall _)
+      "q_ann_recall"          -> (qAnnRecall _),
+      "q_latest_by_key"       -> (qLatestByKey _)
     )
 
   // ==================================================================
@@ -1721,6 +1732,15 @@ object SparkEntry {
              round(CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
       FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       WHERE round(CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) >= 0.6""",
+
+    // Changelog compaction: last row per key under (ts, event_id).
+    "q_latest_by_key" -> """
+      SELECT user_id, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1""",
 
     // MERGE semantics spelled as set algebra: batch rows win, untouched
     // target rows pass through (anti-join on the key).

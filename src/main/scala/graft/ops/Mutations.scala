@@ -26,17 +26,18 @@ object Mutations {
     batch.unionByName(
       target.join(batch.select(keys.map(col): _*).distinct(), keys, "left_anti"))
 
-  /** Latest change per key: keeps the row with the greatest `orderCol`
-    * (ties broken arbitrarily-but-deterministically by the remaining
-    * sort stability of row_number — pass a unique orderCol, e.g. a
-    * change sequence number, for full determinism). The documented
+  /** Latest change per key: keeps the row that is greatest under
+    * `orderCols` (descending, in order — make the combination unique,
+    * e.g. (ts, sequence_id), for full determinism). The documented
     * pre-aggregation for [[upsert]]/[[applyCdc]] when a change batch
     * can carry several versions of one key: one key-partitioned window
     * (single shuffle), no join. */
   def latestByKey(changes: DataFrame, keys: Seq[String],
-                  orderCol: String): DataFrame = {
+                  orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col(_).desc): _*)
     changes.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
   }

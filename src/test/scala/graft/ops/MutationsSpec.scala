@@ -35,7 +35,7 @@ class MutationsSpec extends SparkSpec {
       (1L, "v1", 100), (1L, "v2", 200), (1L, "v3", 300),
       (4L, "first", 10)
     ).toDF("k", "name", "seq")
-    val latest = Mutations.latestByKey(changes, Seq("k"), "seq")
+    val latest = Mutations.latestByKey(changes, Seq("k"), Seq("seq"))
     assert(latest.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
       Map(1L -> "v3", 4L -> "first"))
     val merged = Mutations.upsert(target, latest.drop("seq")
