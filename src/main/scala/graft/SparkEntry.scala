@@ -318,6 +318,25 @@ object SparkEntry {
              wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
 
+    // Path analysis (sequence mining): the 10 most common 3-step
+    // event-type journeys across users — lead() windows build the
+    // per-user ordered trigrams without materializing per-user arrays;
+    // unique (ts, event_id) order + the path tie-break pin the LIMIT.
+    // ORDER BY ts is BIGINT nanos on Spark, TIMESTAMP on DuckDB — same
+    // order.
+    "q_event_paths" -> """
+      WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT event_type || ' -> ' || e2 || ' -> ' || e3 AS path, count(*) AS n
+      FROM s WHERE e3 IS NOT NULL
+      GROUP BY 1
+      ORDER BY n DESC, path
+      LIMIT 10""",
+
     // Fixed-width histogram (data profiling): 25k-wide buckets over the
     // order-value distribution, capped at bucket 19. floor of an IEEE
     // quotient of identical doubles is engine-independent; the per-bucket
