@@ -715,6 +715,24 @@ object SparkEntry {
     graft.ops.Eval.recallAtK(exact, approx, "qid", "vec_id")
   }
 
+  /** Data-quality gate (Checks): constraint battery over the star
+    * schema — key uniqueness, referential integrity, null and range
+    * screens — as one unioned report. The validation a pipeline runs
+    * before trusting an input drop. */
+  private def qDataChecks(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val o = table(s, dir, "orders")
+    graft.ops.Checks.report(Seq(
+      graft.ops.Checks.uniqueKey(o, Seq("o_orderkey")),
+      graft.ops.Checks.uniqueKey(li, Seq("l_orderkey", "l_linenumber")),
+      graft.ops.Checks.notNull(li, Seq("l_orderkey", "l_partkey")),
+      graft.ops.Checks.inRange(li, "l_discount", 0.0, 0.1),
+      graft.ops.Checks.inRange(o, "o_totalprice", 0.0, 100000.0),
+      graft.ops.Checks.foreignKey(li, "l_orderkey", o, "o_orderkey"),
+      graft.ops.Checks.foreignKey(o, "o_custkey",
+        table(s, dir, "customer"), "c_custkey")))
+  }
+
   /** Latest-version-per-key compaction (Mutations.latestByKey): each
     * user's most recent event row — the CDC/changelog compaction
     * primitive. (ts, event_id) makes the order unique, so the survivor
@@ -1563,7 +1581,8 @@ object SparkEntry {
       "q_dedup_containment"   -> (qDedupContainment _),
       "q_upsert"              -> (qUpsert _),
       "q_ann_recall"          -> (qAnnRecall _),
-      "q_latest_by_key"       -> (qLatestByKey _)
+      "q_latest_by_key"       -> (qLatestByKey _),
+      "q_data_checks"         -> (qDataChecks _)
     )
 
   // ==================================================================
@@ -1751,6 +1770,54 @@ object SparkEntry {
              round(CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
       FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       WHERE round(CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) >= 0.6""",
+
+    // Constraint battery: same definitions as ops.Checks, one UNION ALL.
+    "q_data_checks" -> """
+      SELECT 'unique_key(o_orderkey)' AS check,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+             count(*) - count(DISTINCT o_orderkey) = 0 AS pass
+      FROM orders WHERE o_orderkey IS NOT NULL
+      UNION ALL
+      SELECT 'unique_key(l_orderkey,l_linenumber)',
+             CAST(count(*) - n AS BIGINT), count(*) - n = 0
+      FROM lineitem, (SELECT count(*) AS n FROM
+        (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+         WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL) d)
+      WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+      GROUP BY n
+      UNION ALL
+      SELECT 'not_null(l_orderkey,l_partkey)',
+             CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                + sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+               + sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) = 0
+      FROM lineitem
+      UNION ALL
+      SELECT 'in_range(l_discount,[0.0,0.1])',
+             CAST(sum(CASE WHEN l_discount IS NOT NULL
+                            AND (l_discount < 0.0 OR l_discount > 0.1)
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN l_discount IS NOT NULL
+                       AND (l_discount < 0.0 OR l_discount > 0.1)
+                      THEN 1 ELSE 0 END) = 0
+      FROM lineitem
+      UNION ALL
+      SELECT 'in_range(o_totalprice,[0.0,100000.0])',
+             CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                            AND (o_totalprice < 0.0 OR o_totalprice > 100000.0)
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN o_totalprice IS NOT NULL
+                       AND (o_totalprice < 0.0 OR o_totalprice > 100000.0)
+                      THEN 1 ELSE 0 END) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'foreign_key(l_orderkey->o_orderkey)', CAST(count(*) AS BIGINT), count(*) = 0
+      FROM lineitem WHERE l_orderkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      UNION ALL
+      SELECT 'foreign_key(o_custkey->c_custkey)', CAST(count(*) AS BIGINT), count(*) = 0
+      FROM orders WHERE o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)""",
 
     // Changelog compaction: last row per key under (ts, event_id).
     "q_latest_by_key" -> """
