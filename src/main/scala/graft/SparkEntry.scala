@@ -715,6 +715,12 @@ object SparkEntry {
     graft.ops.Eval.recallAtK(exact, approx, "qid", "vec_id")
   }
 
+  /** Numeric profiling (Stats.profile): per-column observability row
+    * (counts, nulls, exact distincts, min/max, DECIMAL-exact mean). */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.profile(table(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+
   /** Data-quality gate (Checks): constraint battery over the star
     * schema — key uniqueness, referential integrity, null and range
     * screens — as one unioned report. The validation a pipeline runs
@@ -1582,7 +1588,8 @@ object SparkEntry {
       "q_upsert"              -> (qUpsert _),
       "q_ann_recall"          -> (qAnnRecall _),
       "q_latest_by_key"       -> (qLatestByKey _),
-      "q_data_checks"         -> (qDataChecks _)
+      "q_data_checks"         -> (qDataChecks _),
+      "q_profile"             -> (qProfile _)
     )
 
   // ==================================================================
@@ -1770,6 +1777,29 @@ object SparkEntry {
              round(CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
       FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       WHERE round(CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) >= 0.6""",
+
+    // Column profile: same aggregate definitions as Stats.profile.
+    "q_profile" -> """
+      SELECT 'l_quantity' AS column, count(*) AS n_rows,
+             CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+             CAST(min(l_quantity) AS DOUBLE) AS min, CAST(max(l_quantity) AS DOUBLE) AS max,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 4) AS mean
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', count(*),
+             CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+             CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 4)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', count(*),
+             CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT l_discount) AS BIGINT),
+             CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
+             round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 4)
+      FROM lineitem""",
 
     // Constraint battery: same definitions as ops.Checks, one UNION ALL.
     "q_data_checks" -> """

@@ -44,6 +44,18 @@ object TrainingPipeline {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"corpus: ${docs.count()} docs")
 
+    // 0. Contract gate: refuse the input drop outright if its schema
+    //    contract is broken (the cheap insurance every pipeline run
+    //    buys before burning cluster hours on bad data).
+    val contract = graft.ops.Checks.report(Seq(
+      graft.ops.Checks.uniqueKey(docs, Seq("doc_id")),
+      graft.ops.Checks.notNull(docs, Seq("doc_id", "text")),
+      graft.ops.Checks.inRange(docs, "n_chars", 1, 1000000)))
+    val broken = contract.where(!col("pass")).collect()
+    require(broken.isEmpty,
+      s"input contract violated: ${broken.mkString("; ")}")
+    println("input contract: all checks pass")
+
     // 1. Quality gate: language + heuristic quality score + Gopher
     //    repetition/symbol signals.
     val quality = QualitySignals.signals(

@@ -69,4 +69,30 @@ object Stats {
       .where(col(valueCol).cast("double") < col("lo") ||
         col(valueCol).cast("double") > col("hi"))
   }
+
+  /** Numeric column profile — the observability pass next to the
+    * [[Checks]] constraint gate: one row per column with row/null
+    * counts, exact distinct count, min/max, and a DECIMAL-exact mean
+    * (the double division of two exact numbers is engine-identical).
+    * One aggregation job per column batch over a single scan each;
+    * every aggregate is partial-agg friendly except the exact distinct
+    * (two-phase) — swap in approx_count_distinct via
+    * [[Sketches.approxDistinct]] when cardinality is huge and 2% error
+    * is fine. */
+  def profile(df: DataFrame, cols: Seq[String],
+              roundScale: Int = 4): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("double").as("min"),
+        max(col(c)).cast("double").as("max"),
+        round(sum(col(c).cast("decimal(18,2)")).cast("double") /
+          count(col(c)), roundScale).as("mean"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min"), col("max"), col("mean"))
+    }.reduce(_ unionByName _)
+  }
 }
