@@ -145,7 +145,14 @@ object TextAnalysis {
     val tok = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("token"))
     val tf = tok.groupBy("id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // df derives from its own NARROW distinct-tokens explode, not from
+    // tf: the tf subtree can't be exchange-reused across its two
+    // consumers (column pruning makes the subplans differ), so deriving
+    // df from tf re-runs the full (id, token) shuffle. This pass
+    // partial-aggregates straight to (token, count) — same values
+    // (df = number of docs containing the token), one cheap shuffle.
+    val dfreq = df.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
     val n = df.select(count(lit(1)).as("n_docs"))
     val w = tf.join(dfreq, "token")
       .crossJoin(broadcast(n))
