@@ -715,6 +715,15 @@ object SparkEntry {
     graft.ops.Eval.recallAtK(exact, approx, "qid", "vec_id")
   }
 
+  /** Per-user EWMA over the value stream (Timeseries.ewma): the
+    * sequential recurrence as one per-key ordered fold. α=0.25 keeps
+    * 1−α binary-exact, so the left-to-right IEEE fold replays
+    * identically in any engine. */
+  private def qEwma(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.ewma(
+      table(s, dir, "events").select("user_id", "ts", "event_id", "value"),
+      "user_id", Seq("ts", "event_id"), "value", alpha = 0.25)
+
   /** Numeric profiling (Stats.profile): per-column observability row
     * (counts, nulls, exact distincts, min/max, DECIMAL-exact mean). */
   private def qProfile(s: SparkSession, dir: String): DataFrame =
@@ -1589,7 +1598,8 @@ object SparkEntry {
       "q_ann_recall"          -> (qAnnRecall _),
       "q_latest_by_key"       -> (qLatestByKey _),
       "q_data_checks"         -> (qDataChecks _),
-      "q_profile"             -> (qProfile _)
+      "q_profile"             -> (qProfile _),
+      "q_ewma"                -> (qEwma _)
     )
 
   // ==================================================================
@@ -1777,6 +1787,19 @@ object SparkEntry {
              round(CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
       FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       WHERE round(CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) >= 0.6""",
+
+    // EWMA: DuckDB's list_reduce left-folds with the first element as
+    // the seed — exactly Timeseries.ewma's shape; 0.25/0.75 are
+    // binary-exact doubles, so the folds agree bitwise.
+    "q_ewma" -> """
+      WITH s AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+        FROM events GROUP BY user_id)
+      SELECT user_id,
+             round(list_reduce(vs, (acc, x) ->
+               CAST(0.25 AS DOUBLE) * x + CAST(0.75 AS DOUBLE) * acc), 4) AS ewma,
+             CAST(len(vs) AS BIGINT) AS n
+      FROM s""",
 
     // Column profile: same aggregate definitions as Stats.profile.
     "q_profile" -> """

@@ -11,6 +11,39 @@ import org.apache.spark.sql.functions._
   */
 object Timeseries {
 
+  /** Per-key exponentially-weighted moving average (final value):
+    * ewma_i = α·x_i + (1−α)·ewma_{i−1}, seeded with the key's first
+    * observation — the classic SEQUENTIAL recurrence, made distributed
+    * by folding each key's ordered value array once (one shuffle to
+    * group, then a narrow fused fold; no iterative jobs, no windows).
+    * Returns (keyCol, ewma, n).
+    *
+    * State bound: one key's full series materializes as an in-memory
+    * array during the fold — fine for per-entity event streams
+    * (thousands of points/key); re-bucket the key (e.g. per day) when
+    * a single key's history is unbounded.
+    *
+    * Determinism: `orderCols` must be a unique order (e.g. ts + id);
+    * the fold is left-to-right over that order, so engines replay it
+    * exactly (same IEEE ops in the same order — pick an α whose 1−α is
+    * binary-exact, e.g. 0.25/0.5/0.75, for cross-engine bit equality). */
+  def ewma(df: DataFrame, keyCol: String, orderCols: Seq[String],
+           valueCol: String, alpha: Double, roundScale: Int = 4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(orderCols.nonEmpty, "need at least one order column")
+    val fields = orderCols.map(col) :+ col(valueCol).cast("double").as("__v")
+    val g = df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(fields: _*))).as("__s"))
+    val vs = transform(col("__s"), s => s("__v"))
+    g.select(col(keyCol),
+      round(aggregate(
+        slice(vs, lit(2), greatest(size(vs) - 1, lit(0))),
+        element_at(vs, 1),
+        (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc), roundScale)
+        .as("ewma"),
+      size(col("__s")).cast("long").as("n"))
+  }
+
   /** Per-key gap-filled resampling: a tick grid of `step` (in the ts
     * column's unit) spans each key's OWN observed range (no global
     * bounds collect, no cross-key skew from one long-lived key), each

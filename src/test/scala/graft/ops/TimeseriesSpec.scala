@@ -5,6 +5,29 @@ import graft.SparkSpec
 class TimeseriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ewma: left fold seeded with the first value, hand-checked; order ties broken by id") {
+    // key a ordered: 8, 4, 2 -> seed 8; 0.25*4+0.75*8 = 7; 0.25*2+0.75*7 = 5.75
+    // key b: single value -> ewma == value
+    val df = Seq(
+      ("a", 3L, 1L, 8.0), ("a", 5L, 2L, 4.0), ("a", 9L, 3L, 2.0),
+      ("b", 1L, 4L, 42.0),
+      // key c: equal ts -> event_id breaks the tie (10 then 20)
+      ("c", 7L, 5L, 10.0), ("c", 7L, 6L, 20.0)
+    ).toDF("k", "ts", "event_id", "v")
+    val got = Timeseries.ewma(df, "k", Seq("ts", "event_id"), "v", alpha = 0.25)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got("a") == ((5.75, 3L)))
+    assert(got("b") == ((42.0, 1L)))
+    assert(got("c") == ((0.25 * 20.0 + 0.75 * 10.0, 2L)))
+    // partition independence: the fold order is the sort order, not
+    // the arrival order
+    val again = Timeseries.ewma(df.repartition(5), "k", Seq("ts", "event_id"),
+      "v", alpha = 0.25).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again("a") == 5.75)
+  }
+
   test("gapFillLocf: per-key grid, bucket-last wins, gaps carry forward") {
     val obs = Seq(
       // key A: obs in buckets 0 (two, last wins) and 30; gaps at 10, 20
