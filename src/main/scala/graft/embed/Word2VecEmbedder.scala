@@ -1,0 +1,110 @@
+package graft.embed
+
+import org.apache.spark.ml.feature.Word2Vec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Word2Vec-backed embedder — the second MLlib path from the blueprint
+  * (SURVEY §7.1: "HashingTF+IDF / Word2Vec"), standing in for the
+  * reference's pluggable LangChain embedding model
+  * (reference: src/langchain_memvid/index.py:119-122). Dense
+  * distributional vectors: words that co-occur get nearby vectors, and
+  * a document embeds as the L2-normalized MEAN of its known word
+  * vectors (the same composition MLlib's own transform applies).
+  *
+  * Spark-first embed path: tokenize → explode → broadcast-join the
+  * (word, vector) table → exact fixed-point mean pool
+  * ([[graft.ops.Pooling]]) → normalize. The word-vector table is
+  * vocabulary-sized (tiny next to any corpus), so the join broadcasts;
+  * the pool is the one shuffle. Out-of-vocabulary tokens drop out;
+  * documents with NO known tokens embed as the zero vector.
+  *
+  * `fit` is explicit and reusable (fit once on a sample, reuse across
+  * ingests); `save`/`load` persist the (word, vector) table itself, so
+  * a loaded embedder needs no MLlib model object at all.
+  */
+final case class Word2VecEmbedder(dim: Int = 64, minCount: Int = 1,
+                                  seed: Long = 42L) extends Embedder {
+  require(dim > 0, "dim must be positive")
+
+  @transient private[embed] var wordVecs: Option[DataFrame] = None
+  @transient private var queryMap: Option[Map[String, Array[Double]]] = None
+
+  private def vecsOrThrow: DataFrame = wordVecs.getOrElse(
+    throw new IllegalStateException(
+      "Word2VecEmbedder: call fit(corpus) or load(path) before embedding"))
+
+  /** Fit word vectors on a corpus column (one MLlib Word2Vec fit). */
+  def fit(df: DataFrame, textCol: String): Word2VecEmbedder = {
+    val toks = df.select(split(lower(col(textCol)), "\\s+").as("__toks"))
+    val model = new Word2Vec()
+      .setInputCol("__toks").setOutputCol("__vec")
+      .setVectorSize(dim).setMinCount(minCount).setSeed(seed)
+      .fit(toks)
+    wordVecs = Some(model.getVectors
+      .select(col("word").as("__w"),
+        org.apache.spark.ml.functions.vector_to_array(col("vector"))
+          .as("__wv"))
+      .cache())
+    queryMap = None
+    this
+  }
+
+  override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val vecs = vecsOrThrow
+    val withId = df.withColumn("__rid", monotonically_increasing_id())
+    val pooled = graft.ops.Pooling.meanPool(
+      withId.select(col("__rid"),
+          explode(split(lower(col(textCol)), "\\s+")).as("__w"))
+        .join(broadcast(vecs), Seq("__w")),
+      "__rid", "__wv")
+      .select(col("__rid"), col("mean_vec").as("__mv"))
+    withId.join(pooled, Seq("__rid"), "left")
+      .withColumn(outCol, VectorFunctions.l2Normalize(
+        coalesce(col("__mv"),
+          typedlit(Seq.fill(dim)(0.0)))))
+      .drop("__rid", "__mv")
+  }
+
+  /** Driver-side single-text embedding: mean of known word vectors,
+    * L2-normalized — the vocabulary map materializes lazily once (it is
+    * vocabulary-sized; fine on any driver that could broadcast it). */
+  override def embedQuery(text: String): Array[Double] = {
+    val map = queryMap.getOrElse {
+      val m = vecsOrThrow.collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+      queryMap = Some(m)
+      m
+    }
+    val hits = text.toLowerCase.split("\\s+").filter(_.nonEmpty).flatMap(map.get)
+    val out = new Array[Double](dim)
+    if (hits.nonEmpty) {
+      hits.foreach { v => var i = 0; while (i < dim) { out(i) += v(i); i += 1 } }
+      var i = 0
+      while (i < dim) { out(i) /= hits.length; i += 1 }
+      var ss = 0.0
+      i = 0
+      while (i < dim) { ss += out(i) * out(i); i += 1 }
+      val n = math.sqrt(ss)
+      if (n > 0) { i = 0; while (i < dim) { out(i) /= n; i += 1 } }
+    }
+    out
+  }
+
+  /** Persist the fitted (word, vector) table. */
+  def save(spark: SparkSession, path: String): Unit =
+    vecsOrThrow.write.mode("overwrite").parquet(path)
+}
+
+object Word2VecEmbedder {
+  /** Restore a fitted embedder from [[Word2VecEmbedder.save]] output. */
+  def load(spark: SparkSession, path: String): Word2VecEmbedder = {
+    val vecs = spark.read.parquet(path).cache()
+    val dim = vecs.head.getSeq[Double](1).length
+    val emb = Word2VecEmbedder(dim)
+    emb.wordVecs = Some(vecs)
+    emb
+  }
+}

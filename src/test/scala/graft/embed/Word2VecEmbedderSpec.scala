@@ -1,0 +1,61 @@
+package graft.embed
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Word2VecEmbedderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    "spark cluster compute engine distributed",
+    "spark engine query compute",
+    "cat dog pet animal fur",
+    "dog cat animal pet"
+  ).toDF("text")
+
+  test("fit -> embed: unit vectors for in-vocab docs, zero vector for OOV-only docs") {
+    val emb = Word2VecEmbedder(dim = 16).fit(corpus, "text")
+    val docs = Seq((0L, "spark compute engine"), (1L, "zzz qqq www")).toDF("id", "text")
+    val out = emb.embed(docs, "text", "vec").orderBy("id")
+      .select("vec").as[Seq[Double]].collect()
+    val norm0 = math.sqrt(out(0).map(x => x * x).sum)
+    assert(math.abs(norm0 - 1.0) < 1e-3, s"in-vocab doc should be ~unit, got $norm0")
+    assert(out(1).forall(_ == 0.0), "OOV-only doc should embed as the zero vector")
+  }
+
+  test("embedQuery agrees with the distributed embed path (to pooling precision)") {
+    val emb = Word2VecEmbedder(dim = 16).fit(corpus, "text")
+    val text = "spark engine distributed"
+    val viaJob = emb.embed(Seq((0L, text)).toDF("id", "text"), "text", "vec")
+      .select("vec").as[Seq[Double]].head
+    val viaDriver = emb.embedQuery(text)
+    viaJob.zip(viaDriver).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-4, s"component mismatch: $a vs $b")
+    }
+  }
+
+  test("save/load round-trip reproduces embeddings exactly") {
+    val emb = Word2VecEmbedder(dim = 16).fit(corpus, "text")
+    val dir = Files.createTempDirectory("graft-w2v").toString + "/vecs"
+    emb.save(spark, dir)
+    val loaded = Word2VecEmbedder.load(spark, dir)
+    assert(loaded.dim == 16)
+    val docs = Seq((0L, "spark compute"), (1L, "cat dog")).toDF("id", "text")
+    val a = emb.embed(docs, "text", "vec").orderBy("id").select("vec")
+      .as[Seq[Double]].collect().toSeq
+    val b = loaded.embed(docs, "text", "vec").orderBy("id").select("vec")
+      .as[Seq[Double]].collect().toSeq
+    assert(a == b)
+  }
+
+  test("works as a DocumentStore embedder end-to-end") {
+    val emb = Word2VecEmbedder(dim = 16).fit(corpus, "text")
+    val dir = Files.createTempDirectory("graft-w2v-store").toString + "/store"
+    val store = graft.store.DocumentStore.fromTexts(spark, dir,
+      Seq("spark compute engine", "cat dog pet"), Nil, graft.StoreConfig(), emb)
+    val hits = store.similaritySearch("spark engine", k = 2).collect()
+    assert(hits.length == 2)
+    assert(hits.head.getAs[String]("text") == "spark compute engine")
+  }
+}
