@@ -36,6 +36,15 @@ class ChecksSpec extends SparkSpec {
     assert(row(Checks.uniqueKey(df, Seq("id", "name")))._3) // composite unique
   }
 
+  test("empty input: every check passes with zero violations") {
+    val empty = Seq.empty[(Option[Long], Option[String], Double)]
+      .toDF("id", "name", "v")
+    assert(row(Checks.notNull(empty, Seq("id"))) == (("not_null(id)", 0L, true)))
+    assert(row(Checks.inRange(empty, "v", 0.0, 1.0))._3)
+    assert(row(Checks.uniqueKey(empty, Seq("id")))._3)
+    assert(row(Checks.foreignKey(empty, "id", Seq(1L).toDF("pid"), "pid"))._3)
+  }
+
   test("foreignKey counts orphans; report unions everything") {
     val parent = Seq(1L, 3L).toDF("pid")
     val fkRes = row(Checks.foreignKey(df, "id", parent, "pid"))
