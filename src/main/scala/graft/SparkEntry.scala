@@ -715,6 +715,12 @@ object SparkEntry {
     graft.ops.Eval.recallAtK(exact, approx, "qid", "vec_id")
   }
 
+  /** PMI collocations (TextAnalysis.collocations): top phrase pairs by
+    * pointwise mutual information over corpus uni/bigram counts. */
+  private def qCollocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(table(s, dir, "documents"), "text",
+      minCount = 5, k = 10)
+
   /** Per-user EWMA over the value stream (Timeseries.ewma): the
     * sequential recurrence as one per-key ordered fold. α=0.25 keeps
     * 1−α binary-exact, so the left-to-right IEEE fold replays
@@ -1599,7 +1605,8 @@ object SparkEntry {
       "q_latest_by_key"       -> (qLatestByKey _),
       "q_data_checks"         -> (qDataChecks _),
       "q_profile"             -> (qProfile _),
-      "q_ewma"                -> (qEwma _)
+      "q_ewma"                -> (qEwma _),
+      "q_collocations"        -> (qCollocations _)
     )
 
   // ==================================================================
@@ -1787,6 +1794,27 @@ object SparkEntry {
              round(CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
       FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       WHERE round(CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) >= 0.6""",
+
+    // PMI over exact counts; the quotient expression shape (left-assoc
+    // products) matches the Spark side exactly, so the IEEE result and
+    // the 6dp rounding agree bitwise.
+    "q_collocations" -> """
+      WITH toks AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      u AS (SELECT w, count(*) AS c
+            FROM (SELECT unnest(toks) AS w FROM toks) GROUP BY w),
+      n1 AS (SELECT CAST(sum(c) AS DOUBLE) AS n1 FROM u),
+      allbg AS (SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM toks WHERE len(toks) >= 2),
+      n2 AS (SELECT CAST(count(*) AS DOUBLE) AS n2 FROM allbg),
+      p AS (SELECT bg, count(*) AS c12 FROM allbg GROUP BY bg
+            HAVING count(*) >= 5)
+      SELECT bg, c12,
+             round(ln(CAST(c12 AS DOUBLE) * n1.n1 * n1.n1 /
+                      (n2.n2 * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+      FROM p JOIN u u1 ON u1.w = string_split(p.bg, ' ')[1]
+             JOIN u u2 ON u2.w = string_split(p.bg, ' ')[2], n1, n2
+      ORDER BY pmi DESC, bg LIMIT 10""",
 
     // EWMA: DuckDB's list_reduce left-folds with the first element as
     // the seed — exactly Timeseries.ewma's shape; 0.25/0.75 are

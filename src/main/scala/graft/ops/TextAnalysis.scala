@@ -139,6 +139,45 @@ object TextAnalysis {
     * which is a safe runtime decision); the corpus size N is a scalar
     * broadcast; the per-doc top-k is a window PARTITIONED BY doc —
     * parallel in the number of documents, never a global sort. */
+  /** Top-k collocations by pointwise mutual information:
+    * pmi(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) ) over corpus bigram and
+    * unigram frequencies — the phrase-mining signal ("new york"-style
+    * units a whitespace tokenizer splits). `minCount` suppresses the
+    * low-frequency noise PMI is notorious for.
+    *
+    * Scale shape: one unigram agg, one bigram agg (both map-side
+    * partial), two vocabulary-sized joins onto the SURVIVING (≥
+    * minCount) bigrams only, two one-row count broadcasts. No hint on
+    * the unigram side — vocabulary grows with the corpus, AQE decides.
+    * PMI is one fixed-shape expression over exact counts, rounded
+    * before the rank. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
+                   k: Int = 10): DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n1 = uni.agg(sum("c").cast("double").as("n1"))
+    val n2 = toks.select(greatest(size(col("toks")) - 1, lit(0))
+        .cast("long").as("nb"))
+      .agg(sum("nb").cast("double").as("n2"))
+    toks.where(size(col("toks")) >= 2)
+      .select(explode(QualitySignals.rawBigrams(col("toks"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2))
+      .withColumn("pmi", round(log(
+        col("c12").cast("double") * col("n1") * col("n1") /
+          (col("n2") * col("c1").cast("double") * col("c2").cast("double"))), 6))
+      .orderBy(col("pmi").desc, col("bg"))
+      .limit(k)
+      .select("bg", "c12", "pmi")
+  }
+
   def topKeywords(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -5,6 +5,22 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("collocations: a glued pair outranks common-word pairs; minCount suppresses rares") {
+    // "new york" always co-occurs (5 times); "the" is everywhere, so
+    // "of the" has high counts but low PMI; "rare pair" appears once.
+    val docs = (
+      Seq.fill(5)("travel to new york by the sea") ++
+      Seq.fill(5)("the cost of the trip of the year") :+
+      "rare pair"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 3, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.head._1 == "new york", s"top collocation was ${got.head}")
+    assert(!got.map(_._1).contains("rare pair"))
+    val pmis = got.map(_._3)
+    assert(pmis.sorted.reverse.toSeq == pmis.toSeq) // ranked desc
+  }
+
   private lazy val docs = Seq(
     (1L, "alpha alpha beta common"),
     (2L, "beta gamma common"),
