@@ -118,6 +118,15 @@ object TrainingPipeline {
       "doc_id", "text", n = 3, maxFrac = 0.8)
     println(s"after decontamination: ${decontaminated.count()}")
 
+    // 5b. Tokenizer training on the cleaned corpus (distributed word
+    //     counting + driver merge loop — the vocabulary is MBs where
+    //     the corpus is TBs): the merge table ships with the dataset.
+    val merges = graft.ops.Bpe.train(decontaminated, "text", numMerges = 50)
+    graft.ops.Bpe.mergesDF(spark, merges)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/bpe_merges")
+    println(s"BPE: trained ${merges.length} merges; first 3 = " +
+      merges.take(3).map { case (l, r) => s"$l+$r" }.mkString(", "))
+
     // 6. Chunk long docs into overlapping token windows.
     val chunked = decontaminated.select(col("doc_id"), col("lang"),
         posexplode(TextFunctions.chunks(col("text"), chunkSize = 64, overlap = 8)))

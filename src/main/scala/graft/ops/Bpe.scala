@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units" —
+  * PAPERS.md) — the tokenizer-construction step of an LLM data
+  * pipeline, split the way production trainers split it:
+  *
+  *  - the CORPUS pass (word frequency counting) is distributed — one
+  *    explode + hash-shuffle groupBy over however many TB of text;
+  *  - the merge LOOP runs over the (word, count) vocabulary on the
+  *    driver — the vocabulary is MBs where the corpus is TBs, and the
+  *    loop is inherently sequential (each merge depends on the last).
+  *
+  * Determinism: pair counts are exact longs; frequency ties break to
+  * the lexicographically smallest (left, right) pair, so the merge
+  * table is a pure function of the corpus.
+  */
+object Bpe {
+
+  /** A learned merge table: ordered (left, right) symbol pairs. */
+  type Merges = IndexedSeq[(String, String)]
+
+  /** Train `numMerges` merges on a text column. Characters are the
+    * initial symbols (word-internal BPE; whitespace tokenization is the
+    * pre-pass, matching [[graft.functions.TextFunctions.tokens]]). */
+  def train(df: DataFrame, textCol: String, numMerges: Int): Merges = {
+    val wordCounts = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    trainFromCounts(wordCounts, numMerges)
+  }
+
+  /** The driver-side merge loop over a (word, count) vocabulary. */
+  def trainFromCounts(wordCounts: Seq[(String, Long)], numMerges: Int): Merges = {
+    var words: Array[(Array[String], Long)] = wordCounts
+      .map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val best = pairCounts.toSeq
+          .minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += best
+        val joined = best._1 + best._2
+        words = words.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += joined; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, c)
+        }
+      }
+      round += 1
+    }
+    merges.toIndexedSeq
+  }
+
+  /** Encode one word with a learned merge table (merges applied in
+    * training order — the standard greedy BPE segmenter). */
+  def encodeWord(word: String, merges: Merges): Seq[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    merges.foreach { case (l, r) =>
+      if (syms.length > 1) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+    }
+    syms.toSeq
+  }
+
+  /** Subword-tokenize a text column with a learned merge table: one
+    * narrow pass; the merge table rides the task closure (it is
+    * numMerges-sized). Emits `array<string>` of subword tokens. */
+  def encodeCol(spark: SparkSession, text: org.apache.spark.sql.Column,
+                merges: Merges): org.apache.spark.sql.Column = {
+    val ser = merges.toArray
+    val enc = udf { (t: String) =>
+      if (t == null) Array.empty[String]
+      else t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => encodeWord(w, ser.toIndexedSeq))
+    }
+    enc(text)
+  }
+
+  /** The merge table as a DataFrame (rank, left, right) — persist it
+    * next to the corpus it was trained on. */
+  def mergesDF(spark: SparkSession, merges: Merges): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "left", "right")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainFromCounts: hand-checked merge sequence on the classic low/lower corpus") {
+    // pair counts round 1: (l,o)=10, (o,w)=10, (w,e)=5, (e,r)=2,
+    // (e,s)=3, (s,t)=3 -> tie (l,o) vs (o,w) at 10 breaks lexicographic
+    val counts = Seq(("low", 5L), ("lower", 2L), ("lowest", 3L))
+    val merges = Bpe.trainFromCounts(counts, 3)
+    assert(merges(0) == (("l", "o")))
+    // round 2: (lo,w)=10 dominates
+    assert(merges(1) == (("lo", "w")))
+    // round 3: (low,e)=5 beats (e,s)/(s,t)=3 and (e,r)=2
+    assert(merges(2) == (("low", "e")))
+  }
+
+  test("train: distributed word counting feeds the same loop; encode round-trips") {
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++ Seq.fill(3)("lowest"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val merges = Bpe.train(docs, "text", 3)
+    assert(merges == Bpe.trainFromCounts(
+      Seq(("low", 5L), ("lower", 2L), ("lowest", 3L)), 3))
+    assert(Bpe.encodeWord("lowest", merges) == Seq("lowe", "s", "t"))
+    assert(Bpe.encodeWord("low", merges) == Seq("low"))
+    // round-trip property: concatenated subwords reconstruct the word
+    Seq("low", "lower", "lowest", "slow", "unseen").foreach { w =>
+      assert(Bpe.encodeWord(w, merges).mkString == w)
+    }
+  }
+
+  test("encodeCol tokenizes a column with the learned merges") {
+    val docs = Seq((0L, "low lowest")).toDF("id", "text")
+    val merges = Bpe.trainFromCounts(
+      Seq(("low", 5L), ("lower", 2L), ("lowest", 3L)), 3)
+    val got = docs.select(Bpe.encodeCol(spark, org.apache.spark.sql.functions.col("text"), merges))
+      .as[Seq[String]].head
+    assert(got == Seq("low", "lowe", "s", "t"))
+  }
+
+  test("merge count caps at available pairs; single-char vocab trains nothing") {
+    assert(Bpe.trainFromCounts(Seq(("a", 10L), ("b", 2L)), 5).isEmpty)
+    val m = Bpe.trainFromCounts(Seq(("ab", 1L)), 100)
+    assert(m == IndexedSeq(("a", "b")))
+  }
+}
