@@ -94,18 +94,15 @@ object Bpe {
   }
 
   /** Subword-tokenize a text column with a learned merge table: one
-    * narrow pass; the merge table rides the task closure (it is
-    * numMerges-sized). Emits `array<string>` of subword tokens. */
-  def encodeCol(spark: SparkSession, text: org.apache.spark.sql.Column,
-                merges: Merges): org.apache.spark.sql.Column = {
-    val ser = merges.toArray
-    val enc = udf { (t: String) =>
-      if (t == null) Array.empty[String]
-      else t.toLowerCase.split("\\s+").filter(_.nonEmpty)
-        .flatMap(w => encodeWord(w, ser.toIndexedSeq))
-    }
-    enc(text)
-  }
+    * narrow pass; the merge table rides inside the expression (it is
+    * numMerges-sized). Emits `array<string>` of subword tokens.
+    * A fused expression, not a UDF (the repo posture everywhere):
+    * CodegenFallback like HashEmbedExpr — one JVM call per row doing
+    * primitive array work. */
+  def encodeCol(text: org.apache.spark.sql.Column,
+                merges: Merges): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      BpeEncodeExpr(org.apache.spark.sql.GraftSqlBridge.expression(text), merges))
 
   /** The merge table as a DataFrame (rank, left, right) — persist it
     * next to the corpus it was trained on. */
@@ -115,4 +112,32 @@ object Bpe {
       .map { case ((l, r), i) => (i.toLong, l, r) }
       .toDF("rank", "left", "right")
   }
+}
+
+/** Fused BPE segmentation of one text row: lowercase whitespace
+  * tokenization (matching TextFunctions.tokens) then greedy
+  * training-order merges per word. */
+private[ops] case class BpeEncodeExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    merges: Bpe.Merges)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val out = text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty)
+      .flatMap(w => Bpe.encodeWord(w, merges))
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+      .toArray[Any]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
 }

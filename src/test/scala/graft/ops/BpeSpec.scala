@@ -35,7 +35,7 @@ class BpeSpec extends SparkSpec {
     val docs = Seq((0L, "low lowest")).toDF("id", "text")
     val merges = Bpe.trainFromCounts(
       Seq(("low", 5L), ("lower", 2L), ("lowest", 3L)), 3)
-    val got = docs.select(Bpe.encodeCol(spark, org.apache.spark.sql.functions.col("text"), merges))
+    val got = docs.select(Bpe.encodeCol(org.apache.spark.sql.functions.col("text"), merges))
       .as[Seq[String]].head
     assert(got == Seq("low", "lowe", "s", "t"))
   }
