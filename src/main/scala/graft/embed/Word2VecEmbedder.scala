@@ -54,7 +54,11 @@ final case class Word2VecEmbedder(dim: Int = 64, minCount: Int = 1,
 
   override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val vecs = vecsOrThrow
-    val withId = df.withColumn("__rid", monotonically_increasing_id())
+    // The row id must agree between the two plan branches that join
+    // below (the exploded tokens and the original rows); cache pins one
+    // evaluation of the nondeterministic id so a re-computed branch
+    // (shuffle retry, AQE re-plan) cannot re-number rows.
+    val withId = df.withColumn("__rid", monotonically_increasing_id()).cache()
     val pooled = graft.ops.Pooling.meanPool(
       withId.select(col("__rid"),
           explode(split(lower(col(textCol)), "\\s+")).as("__w"))
