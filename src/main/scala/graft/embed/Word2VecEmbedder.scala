@@ -55,10 +55,14 @@ final case class Word2VecEmbedder(dim: Int = 64, minCount: Int = 1,
   override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val vecs = vecsOrThrow
     // The row id must agree between the two plan branches that join
-    // below (the exploded tokens and the original rows); cache pins one
-    // evaluation of the nondeterministic id so a re-computed branch
-    // (shuffle retry, AQE re-plan) cannot re-number rows.
+    // below (the exploded tokens and the original rows): cache + eager
+    // count pins ONE evaluation of the nondeterministic id before
+    // either branch reads, so a recomputed branch (shuffle retry, AQE
+    // re-plan) cannot re-number rows. The cached blocks live as long as
+    // the returned plan references them and are reclaimed by Spark's
+    // ContextCleaner when the caller drops the result.
     val withId = df.withColumn("__rid", monotonically_increasing_id()).cache()
+    withId.count()
     val pooled = graft.ops.Pooling.meanPool(
       withId.select(col("__rid"),
           explode(split(lower(col(textCol)), "\\s+")).as("__w"))

@@ -3,8 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.tokens
-
 /** Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016,
   * "Neural Machine Translation of Rare Words with Subword Units" —
   * PAPERS.md) — the tokenizer-construction step of an LLM data
@@ -26,10 +24,15 @@ object Bpe {
   type Merges = IndexedSeq[(String, String)]
 
   /** Train `numMerges` merges on a text column. Characters are the
-    * initial symbols (word-internal BPE; whitespace tokenization is the
-    * pre-pass, matching [[graft.functions.TextFunctions.tokens]]). */
+    * initial symbols (word-internal BPE). The pre-pass is LOWERCASE +
+    * whitespace split — exactly what [[encodeCol]] applies, so the
+    * trained vocabulary and the encoder see identical words (a
+    * case-preserving trainer would learn merges the lowercasing
+    * encoder could never fire). */
   def train(df: DataFrame, textCol: String, numMerges: Int): Merges = {
-    val wordCounts = df.select(explode(tokens(col(textCol))).as("w"))
+    val wordCounts = df
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     trainFromCounts(wordCounts, numMerges)
@@ -114,9 +117,10 @@ object Bpe {
   }
 }
 
-/** Fused BPE segmentation of one text row: lowercase whitespace
-  * tokenization (matching TextFunctions.tokens) then greedy
-  * training-order merges per word. */
+/** Fused BPE segmentation of one text row: lowercase + whitespace
+  * split (the SAME pre-pass [[Bpe.train]] counts words with — both
+  * sides go through Java's \s+ regex) then greedy training-order
+  * merges per word. */
 private[ops] case class BpeEncodeExpr(
     child: org.apache.spark.sql.catalyst.expressions.Expression,
     merges: Bpe.Merges)

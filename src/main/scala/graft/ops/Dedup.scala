@@ -395,8 +395,14 @@ object Dedup {
   def connectedComponentsStar(pairs: DataFrame, idACol: String = "id_a",
                               idBCol: String = "id_b",
                               maxIter: Int = 30): DataFrame = {
-    var edges = pairs
+    val raw = pairs
       .select(col(idACol).cast("long").as("u"), col(idBCol).cast("long").as("v"))
+    // Every node in the INPUT must appear in the output, including one
+    // that only occurs in self-pairs (u == v) — the union-find path
+    // registers those too, and the parity guarantee holds to it.
+    val allNodes = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node"))).distinct()
+    var edges = raw
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
@@ -440,7 +446,9 @@ object Dedup {
       iter += 1
     }
     val sym = symmetric(edges)
-    minsOf(sym).select(col("u").as("node"), col("m").as("component"))
+    allNodes.join(
+        minsOf(sym).select(col("u").as("node"), col("m")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("m"), col("node")).as("component"))
   }
 
   /** Duplicate token spans ACROSS documents — substring-level

@@ -51,7 +51,12 @@ object Mutations {
   def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
                opCol: String = "op"): DataFrame = {
     val touched = changes.select(keys.map(col): _*).distinct()
-    val upserts = changes.where(col(opCol) =!= "delete").drop(opCol)
+    // Null-safe: a NULL op is "not delete" and must upsert — a bare
+    // =!= would evaluate to NULL and silently DROP the row while its
+    // key still anti-joins the target (a malformed CDC record would
+    // delete data).
+    val upserts = changes
+      .where(col(opCol).isNull || col(opCol) =!= "delete").drop(opCol)
     upserts.unionByName(target.join(touched, keys, "left_anti"))
   }
 }

@@ -23,10 +23,12 @@ object Jsonl {
     * parallelism AND downstream consumer granularity — one task per
     * shard file.
     *
-    * `compression`: "none" (default), "gzip", or "zstd". At scale
-    * prefer zstd — gzip shards are not splittable, so a later Spark
-    * read gets one task per FILE regardless of size; zstd (and plain)
-    * text splits normally. */
+    * `compression`: "none" (default), "gzip", or "zstd". NO compressed
+    * text codec splits under Hadoop's readers (zstd included — only
+    * bzip2 implements SplittableCompressionCodec), so a compressed
+    * shard always reads as ONE task: when exporting compressed, the
+    * shard COUNT is the read-parallelism knob — size shards to a few
+    * hundred MB compressed. Plain text splits normally. */
   def write(df: DataFrame, path: String, shards: Int = 0,
             compression: String = "none"): Unit = {
     val lines = df.select(to_json(struct(df.columns.map(col): _*)).as("value"))

@@ -39,24 +39,40 @@ object StreamingOps {
     * into a versioned parquet table via [[graft.ops.Mutations.applyCdc]]
     * — the streaming path that keeps a training corpus in sync with an
     * operational source. Copy-on-write: every batch writes snapshot dir
-    * `v{n+1}` and atomically renames a pointer file over the old one,
-    * so concurrent readers always see a complete version (the same
-    * discipline as DocumentStore's manifest swap). Batch 0 against an
-    * absent table bootstraps from the non-delete change rows. */
+    * `v{n+1}` then swaps a pointer file; readers resolve the pointer
+    * with a version-dir-scan fallback, so they always land on a
+    * complete version even mid-swap. Batch 0 against an absent table
+    * bootstraps from the non-delete change rows.
+    *
+    * `orderCols`: when a micro-batch can carry SEVERAL changes for one
+    * key (any real CDC feed), pass the change-sequence columns — each
+    * batch is first compacted to the latest change per key
+    * ([[graft.ops.Mutations.latestByKey]]), so an insert+delete pair in
+    * one batch nets to deleted instead of resurrecting the row (the
+    * sequence columns are transport metadata and are NOT stored in the
+    * table). Without orderCols the caller asserts
+    * at-most-one-change-per-key-per-batch. */
   def cdcApplyStream(changes: DataFrame, tablePath: String, keys: Seq[String],
-                     checkpointDir: String, opCol: String = "op"):
+                     checkpointDir: String, opCol: String = "op",
+                     orderCols: Seq[String] = Nil):
       org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        if (!rawBatch.isEmpty) {
+          val spark = rawBatch.sparkSession
+          val batch =
+            if (orderCols.nonEmpty)
+              graft.ops.Mutations.latestByKey(rawBatch, keys, orderCols)
+                .drop(orderCols: _*)
+            else rawBatch
           val cur = currentCdcVersion(spark, tablePath)
           val merged = cur match {
             case Some(v) => graft.ops.Mutations.applyCdc(
               spark.read.parquet(s"$tablePath/v$v"), batch, keys, opCol)
-            case None => batch.where(col(opCol) =!= "delete").drop(opCol)
+            case None => batch
+              .where(col(opCol).isNull || col(opCol) =!= "delete").drop(opCol)
           }
           val next = cur.getOrElse(-1L) + 1
           merged.write.mode("overwrite").parquet(s"$tablePath/v$next")
@@ -80,11 +96,29 @@ object StreamingOps {
   private def currentCdcVersion(spark: SparkSession, tablePath: String): Option[Long] = {
     val fs = fsFor(spark, tablePath)
     val p = new org.apache.hadoop.fs.Path(pointerPath(tablePath))
-    if (!fs.exists(p)) None
-    else {
+    if (fs.exists(p)) {
       val in = fs.open(p)
       try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
       finally in.close()
+    } else {
+      // Pointer-swap window (delete-then-rename isn't atomic on every
+      // FS) or a crash between snapshot write and pointer update: fall
+      // back to the highest complete version directory — every written
+      // v<N> is complete before the pointer ever references it, so the
+      // max is always safe to read.
+      val root = new org.apache.hadoop.fs.Path(tablePath)
+      if (!fs.exists(root)) None
+      else {
+        val versions = fs.listStatus(root).toSeq
+          .map(_.getPath.getName)
+          .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+          .map(_.drop(1).toLong)
+          // a crash mid-write leaves a version dir without its
+          // _SUCCESS marker — never resolve to one
+          .filter(v => fs.exists(
+            new org.apache.hadoop.fs.Path(s"$tablePath/v$v/_SUCCESS")))
+        if (versions.isEmpty) None else Some(versions.max)
+      }
     }
   }
 

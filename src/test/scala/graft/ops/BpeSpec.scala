@@ -40,6 +40,18 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq("low", "lowe", "s", "t"))
   }
 
+  test("train and encode share the lowercase pre-pass (capitalized corpus still merges)") {
+    val docs = Seq((0L, "Low LOW Lower"), (1L, "low\tlowest  low")).toDF("id", "text")
+    val merges = Bpe.train(docs, "text", 2)
+    // all case variants count as "low"/"lower"/"lowest": (l,o) then (lo,w)
+    assert(merges == IndexedSeq(("l", "o"), ("lo", "w")))
+    val got = docs.where($"id" === 0L)
+      .select(Bpe.encodeCol(org.apache.spark.sql.functions.col("text"), merges))
+      .as[Seq[String]].head
+    // the learned merges FIRE on the capitalized text after lowercasing
+    assert(got == Seq("low", "low", "low", "e", "r"))
+  }
+
   test("merge count caps at available pairs; single-char vocab trains nothing") {
     assert(Bpe.trainFromCounts(Seq(("a", 10L), ("b", 2L)), 5).isEmpty)
     val m = Bpe.trainFromCounts(Seq(("ab", 1L)), 100)

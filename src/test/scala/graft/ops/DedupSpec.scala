@@ -149,6 +149,11 @@ class DedupSpec extends SparkSpec {
     val cc = Dedup.connectedComponentsStar(chain, maxIter = 10).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size == 61 && cc.values.forall(_ == 0L))
+    // self-pair-only nodes stay in the output (parity with union-find)
+    val withSelf = Seq((5L, 5L), (1L, 2L)).toDF("id_a", "id_b")
+    val ccSelf = Dedup.connectedComponentsStar(withSelf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccSelf == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
   }
 
   test("keepCanonical drops every family member but the min id") {

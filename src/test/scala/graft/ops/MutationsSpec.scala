@@ -44,7 +44,7 @@ class MutationsSpec extends SparkSpec {
     assert(merged(1L) == "v3" && merged(4L) == "first" && merged(2L) == "two")
   }
 
-  test("applyCdc: deletes remove the key, other ops upsert") {
+  test("applyCdc: deletes remove the key, other ops upsert, NULL op upserts (not deletes)") {
     val changes = Seq(
       (1L, "one-v2", 11, "update"),
       (3L, "", 0, "delete"),
@@ -56,5 +56,11 @@ class MutationsSpec extends SparkSpec {
       1L -> (("one-v2", 11)),   // updated
       2L -> (("two", 20)),      // untouched
       5L -> (("five", 50))))    // inserted; 3 deleted
+    // a malformed record with op = NULL must upsert, never silently delete
+    val withNull = Seq((2L, "two-v2", 21, null.asInstanceOf[String]))
+      .toDF("k", "name", "v", "op")
+    val after = Mutations.applyCdc(target, withNull, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(2L) == "two-v2" && after.size == 3)
   }
 }

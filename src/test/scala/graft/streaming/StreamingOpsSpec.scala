@@ -57,6 +57,31 @@ class StreamingOpsSpec extends SparkSpec {
       // both snapshot versions exist (copy-on-write, readers unbroken)
       assert(new java.io.File(s"$dir/table/v0").isDirectory)
       assert(new java.io.File(s"$dir/table/v1").isDirectory)
+      // reader survives a missing pointer (mid-swap window): falls back
+      // to the highest complete version dir
+      assert(new java.io.File(s"$dir/table/LATEST").delete())
+      val viaFallback = StreamingOps.cdcTable(spark, s"$dir/table").get
+        .collect().map(_.getAs[Long]("k")).toSet
+      assert(viaFallback == Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("cdcApplyStream with orderCols compacts multi-change batches (insert+delete nets to deleted)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Int, String, Long)]
+    val dir = Files.createTempDirectory("graft-cdc2").toString
+    val q = StreamingOps.cdcApplyStream(
+      input.toDF().toDF("k", "name", "v", "op", "seq"),
+      s"$dir/table", Seq("k"), s"$dir/ckpt", orderCols = Seq("seq"))
+    try {
+      // one batch: k=1 inserted then deleted (seq order); k=2 updated twice
+      input.addData(
+        (1L, "one", 10, "insert", 1L), (1L, "", 0, "delete", 2L),
+        (2L, "two-v1", 20, "insert", 3L), (2L, "two-v2", 21, "update", 4L))
+      q.processAllAvailable()
+      val t = StreamingOps.cdcTable(spark, s"$dir/table").get.collect()
+        .map(r => r.getAs[Long]("k") -> r.getAs[String]("name")).toMap
+      assert(t == Map(2L -> "two-v2"), s"got $t") // k=1 net-deleted, no dup k=2
     } finally q.stop()
   }
 
