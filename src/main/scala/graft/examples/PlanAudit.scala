@@ -17,7 +17,9 @@ object PlanAudit {
       else Set("q_topk_cosine", "q3_top_orders", "q_knn_batch",
         "q_dedup_minhash_lsh", "q_range_join", "q_multimodal",
         "q17_below_avg", "q_hybrid_rrf", "q_contamination",
-        "q_binary_hamming", "q_dup_spans")
+        "q_binary_hamming", "q_dup_spans",
+        "q9_profit", "q15_top_supplier", "q_upsert", "q_ann_recall",
+        "q_collocations", "q_window_suite")
     graft.SparkEntry.queries.filter(kv => which(kv._1)).foreach { case (name, fn) =>
       println(s"\n========== $name ==========")
       println(fn(spark, dir).queryExecution.explainString(
