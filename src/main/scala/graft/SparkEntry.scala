@@ -715,6 +715,16 @@ object SparkEntry {
     graft.ops.Eval.recallAtK(exact, approx, "qid", "vec_id")
   }
 
+  /** Per-domain token-budget sampling (Sampling.tokenBudget): fill each
+    * language's budget in seeded-hash order; membership is a pure
+    * function of (seed, corpus). */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("lang"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
+    Sampling.tokenBudget(docs, "doc_id", "lang", "n_tokens",
+      budget = 2000, seed = "r3")
+  }
+
   /** PMI collocations (TextAnalysis.collocations): top phrase pairs by
     * pointwise mutual information over corpus uni/bigram counts. */
   private def qCollocations(s: SparkSession, dir: String): DataFrame =
@@ -1606,7 +1616,8 @@ object SparkEntry {
       "q_data_checks"         -> (qDataChecks _),
       "q_profile"             -> (qProfile _),
       "q_ewma"                -> (qEwma _),
-      "q_collocations"        -> (qCollocations _)
+      "q_collocations"        -> (qCollocations _),
+      "q_token_budget"        -> (qTokenBudget _)
     )
 
   // ==================================================================
@@ -1794,6 +1805,18 @@ object SparkEntry {
              round(CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
       FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       WHERE round(CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) >= 0.6""",
+
+    // Budget fill in hash order: exact-long running sum in a unique
+    // order, strict <= cut.
+    "q_token_budget" -> s"""
+      WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, lang, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY lang
+                ORDER BY ${dk60("'budget:r3:' || CAST(doc_id AS VARCHAR)")}, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d)
+      SELECT doc_id, lang, n_tokens FROM c WHERE cum <= 2000""",
 
     // PMI over exact counts; the quotient expression shape (left-assoc
     // products) matches the Spark side exactly, so the IEEE result and

@@ -52,6 +52,37 @@ object Sampling {
         1000000L < threshold)
   }
 
+  /** Per-domain TOKEN-BUDGET sampling: keep each domain's documents in
+    * a seeded-hash order until the domain's running token total reaches
+    * `budget` — "give me ~N training tokens per language/source", the
+    * budget-driven complement to [[epochMix]]'s ratio-driven mixing.
+    * A document that would cross the budget is excluded (totals
+    * under-fill by at most one document).
+    *
+    * Deterministic: the fill order is hash60(seed, id) with an id
+    * tie-break, and the cumulative sum runs over exact longs in that
+    * unique order — membership is a pure function of (seed, corpus),
+    * independent of partitioning or engine.
+    *
+    * Scale shape: one window (hash-shuffle by domain) with a running
+    * ROWS frame — per-domain state is one long. Skewed domain sizes are
+    * window skew; split hot domains upstream if one domain dominates
+    * the corpus. */
+  def tokenBudget(df: DataFrame, idCol: String, domainCol: String,
+                  tokenCol: String, budget: Long,
+                  seed: String = ""): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(HashFunctions.hash60(
+        concat(lit(s"budget:$seed:"), col(idCol).cast("string"))), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+      .where(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Deterministic global shuffle into training shards: every row gets
     * a sha-derived sort key, a shard id (key mod nShards), and its
     * 1-based position within the shard under (sort key, row key) order.

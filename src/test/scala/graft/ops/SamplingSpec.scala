@@ -10,6 +10,29 @@ class SamplingSpec extends SparkSpec {
     .map(i => (i.toLong, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "fr"))
     .toDF("id", "lang")
 
+  test("tokenBudget: per-domain totals stay under budget; deterministic; budget-monotone") {
+    val docs = (0 until 200).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", 10L + i % 7)).toDF("id", "dom", "toks")
+    val kept = Sampling.tokenBudget(docs, "id", "dom", "toks", budget = 300, seed = "s")
+    val totals = kept.groupBy("dom").sum("toks").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals.values.forall(_ <= 300), s"over budget: $totals")
+    // fills close to the budget (within one max-sized doc)
+    assert(totals.values.forall(_ > 300 - 17), s"under-filled: $totals")
+    // membership is a pure function of (seed, corpus)
+    val again = Sampling.tokenBudget(docs.repartition(7), "id", "dom", "toks",
+      budget = 300, seed = "s").select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+    // a bigger budget strictly extends the same fill order
+    val bigger = Sampling.tokenBudget(docs, "id", "dom", "toks", budget = 600,
+      seed = "s").select("id").as[Long].collect().toSet
+    assert(kept.select("id").as[Long].collect().toSet.subsetOf(bigger))
+    // a different seed picks a different prefix
+    val otherSeed = Sampling.tokenBudget(docs, "id", "dom", "toks", budget = 300,
+      seed = "t").select("id").as[Long].collect().toSet
+    assert(otherSeed != again)
+  }
+
   private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.select("id").collect().map(_.getLong(0)).toSet
 
