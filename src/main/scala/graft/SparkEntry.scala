@@ -720,7 +720,7 @@ object SparkEntry {
     * function of (seed, corpus). */
   private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents").select(col("doc_id"), col("lang"),
-      size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
     Sampling.tokenBudget(docs, "doc_id", "lang", "n_tokens",
       budget = 2000, seed = "r3")
   }
@@ -1812,7 +1812,7 @@ object SparkEntry {
       WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
                  FROM documents),
       c AS (SELECT doc_id, lang, n_tokens,
-              sum(n_tokens) OVER (PARTITION BY lang
+              sum(greatest(n_tokens, 0)) OVER (PARTITION BY lang
                 ORDER BY ${dk60("'budget:r3:' || CAST(doc_id AS VARCHAR)")}, doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
             FROM d)

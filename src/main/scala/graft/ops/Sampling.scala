@@ -78,9 +78,15 @@ object Sampling {
         concat(lit(s"budget:$seed:"), col(idCol).cast("string"))), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
-      .where(col("__cum") <= budget)
-      .drop("__cum")
+    // NULL/negative counts clamp to 0 inside the running sum (size()
+    // of a null array is -1 under Spark's legacy default — unguarded,
+    // one such row would make the cumulative sum dip back under budget
+    // and break the monotone-prefix guarantee).
+    val cum = "__graft_token_budget_cum"
+    df.withColumn(cum,
+        sum(greatest(col(tokenCol).cast("long"), lit(0L))).over(w))
+      .where(col(cum) <= budget)
+      .drop(cum)
   }
 
   /** Deterministic global shuffle into training shards: every row gets
