@@ -715,6 +715,34 @@ object SparkEntry {
     graft.ops.Eval.recallAtK(exact, approx, "qid", "vec_id")
   }
 
+  /** RFM segmentation (recency / frequency / monetary): per-customer
+    * order stats against the corpus-max anchor date, quartiled by
+    * ntile with custkey tie-breaks. NOTE the global ntile windows are
+    * single-reducer by construction — fine for a customer DIMENSION
+    * (always orders of magnitude smaller than facts); at genuinely
+    * huge customer counts swap quartiles to percentile-threshold
+    * buckets (Stats/Sketches) instead. */
+  private def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val anchor = table(s, dir, "orders").agg(max("o_orderdate").as("mx"))
+    val per = table(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(max("o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days", datediff(col("mx"), col("last_order")).cast("long"))
+    import org.apache.spark.sql.expressions.Window
+    per.select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        ntile(4).over(Window.orderBy(col("recency_days"), col("o_custkey")))
+          .cast("long").as("r_quartile"),
+        ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
+          .cast("long").as("f_quartile"),
+        ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey")))
+          .cast("long").as("m_quartile"))
+  }
+
   /** Per-domain token-budget sampling (Sampling.tokenBudget): fill each
     * language's budget in seeded-hash order; membership is a pure
     * function of (seed, corpus). */
@@ -1617,7 +1645,8 @@ object SparkEntry {
       "q_profile"             -> (qProfile _),
       "q_ewma"                -> (qEwma _),
       "q_collocations"        -> (qCollocations _),
-      "q_token_budget"        -> (qTokenBudget _)
+      "q_token_budget"        -> (qTokenBudget _),
+      "q_rfm"                 -> (qRfm _)
     )
 
   // ==================================================================
@@ -1805,6 +1834,27 @@ object SparkEntry {
              round(CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
       FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       WHERE round(CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) >= 0.6""",
+
+    // RFM: monetary through exact DECIMAL; quartiles via ntile with
+    // unique tie-breaks (deterministic bucket boundaries).
+    "q_rfm" -> """
+      WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+      per AS (
+        SELECT o_custkey, max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        FROM orders GROUP BY o_custkey)
+      SELECT o_custkey,
+             CAST(date_diff('day', last_order, (SELECT mx FROM anchor)) AS BIGINT)
+               AS recency_days,
+             frequency, monetary,
+             CAST(ntile(4) OVER (ORDER BY date_diff('day', last_order,
+               (SELECT mx FROM anchor)), o_custkey) AS BIGINT) AS r_quartile,
+             CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+               AS f_quartile,
+             CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT)
+               AS m_quartile
+      FROM per""",
 
     // Budget fill in hash order: exact-long running sum in a unique
     // order, strict <= cut.
