@@ -451,6 +451,27 @@ object Dedup {
       .select(col("node"), coalesce(col("m"), col("node")).as("component"))
   }
 
+  /** Attribute-pair rollup of a duplicate-pair set — the governance
+    * view "which SOURCES (languages, crawls, snapshots) duplicate each
+    * other, and how much": joins any pair output from this module
+    * (jaccard / minhash-LSH / containment / simhash / embedding) to a
+    * per-document attribute and counts pairs per unordered attribute
+    * combination. Diagonal rows (x == y) are intra-attribute
+    * duplication; off-diagonal rows are cross-source copying.
+    *
+    * Scale shape: two equi-joins on the doc id (attribute table is a
+    * projection of the corpus — hash join at scale) + one tiny groupBy
+    * (attribute-pair cardinality is |attrs|²). */
+  def attributeOverlap(pairs: DataFrame, attrs: DataFrame,
+                       idCol: String, attrCol: String): DataFrame =
+    pairs
+      .join(attrs.select(col(idCol).as("id_a"), col(attrCol).as("__aa")), "id_a")
+      .join(attrs.select(col(idCol).as("id_b"), col(attrCol).as("__ab")), "id_b")
+      .select(least(col("__aa"), col("__ab")).as("attr_a"),
+        greatest(col("__aa"), col("__ab")).as("attr_b"))
+      .groupBy("attr_a", "attr_b")
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** Duplicate token spans ACROSS documents — substring-level
     * deduplication signal in the spirit of Lee et al. 2021
     * ("Deduplicating Training Data Makes Language Models Better", see

@@ -156,6 +156,18 @@ class DedupSpec extends SparkSpec {
     assert(ccSelf == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("attributeOverlap rolls duplicate pairs up to unordered attribute combinations") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L)).toDF("id_a", "id_b")
+    val attrs = Seq((1L, "web"), (2L, "wiki"), (3L, "web"), (4L, "wiki"),
+      (5L, "web"), (6L, "books"), (7L, "books")).toDF("doc_id", "source")
+    val got = Dedup.attributeOverlap(pairs, attrs, "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("web", "wiki") -> 2L,    // (1,2) and (4,5), order-normalized
+      ("web", "web") -> 1L,     // (1,3) intra-source
+      ("books", "books") -> 1L))
+  }
+
   test("keepCanonical drops every family member but the min id") {
     val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", n = 3, threshold = 0.3)
     val kept = Dedup.keepCanonical(docs, "id", pairs)
