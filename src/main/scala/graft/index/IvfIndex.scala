@@ -107,13 +107,22 @@ object IvfIndex {
   /** Build-once/search-many: the reference trains IVF at ingest and
     * reuses it for every search (index.py:239-291); `fitCached` is that
     * lifecycle for callers that address a store by key (e.g. its path).
-    */
+    *
+    * NOTE the cache key carries no data-version component: entries are
+    * correct only for IMMUTABLE inputs (benchmark/test corpora — its
+    * use in this repo). For a mutable store, key by (path, version) or
+    * call [[invalidateCached]] after every mutation. */
   def fitCached(key: String, df: => DataFrame, vecCol: String, nlist: Int,
                 seed: Long = 42L, maxIter: Int = 20,
                 initMode: String = "k-means||", fitFraction: Double = 1.0,
                 fitPartitions: Int = 0): Model =
     modelCache.getOrElseUpdate(s"$key|$vecCol|$nlist|$seed|$maxIter|$initMode|$fitFraction|$fitPartitions",
       fit(df, vecCol, nlist, seed, maxIter, initMode, fitFraction, fitPartitions))
+
+  /** Drop every cached model whose key starts with `keyPrefix` — call
+    * after mutating the data a [[fitCached]] key addresses. */
+  def invalidateCached(keyPrefix: String): Unit =
+    modelCache.keys.filter(_.startsWith(keyPrefix)).foreach(modelCache.remove)
 
   /** The reference's IVF activation gate: IVF only pays off with
     * >= 30·nlist points (index.py:152-166, config.py:125-129). */

@@ -172,9 +172,14 @@ object PqIndex {
                 nprobe: Int = 8, metric: String = "cosine",
                 idCol: String = "vec_id", roundScale: Int = 4): DataFrame = {
     val probes = ivf.nearestCentroids(query, nprobe, roundScale)
-    val pruned = docs
-      .withColumn("cluster", ivf.assignCol(col(vecCol), roundScale))
-      .where(col("cluster").isin(probes: _*))
+    // Reuse a stored cluster column when the docs come from an
+    // IVF-partitioned layout — filtering the PARTITION column is what
+    // makes the pruning file-level; recomputing the assignment over it
+    // would force a full-corpus scan AND pay the kernel per row.
+    val assigned =
+      if (docs.columns.contains("cluster")) docs
+      else docs.withColumn("cluster", ivf.assignCol(col(vecCol), roundScale))
+    val pruned = assigned.where(col("cluster").isin(probes: _*))
     search(pruned, vecCol, pq, query, k, candidates, metric, idCol, roundScale)
   }
 }

@@ -53,9 +53,13 @@ final class DocumentStore private (
 
   import DocumentStore._
 
-  // Full-metadata merge must be "full wins" (vectorstore.py:799) —
-  // map_concat keeps the LAST value for duplicate keys under this policy.
-  spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+  // Serializes MUTATIONS within this driver: concurrent add/delete
+  // Futures (the async API) must not race on the same next-version
+  // directory and manifest swap. Reads stay lock-free (snapshot
+  // isolation via version dirs + keepVersions). Cross-driver writers
+  // are out of scope — one writer process per store path, like any
+  // single-writer table format.
+  private val mutationLock = new Object
 
   @volatile private var manifest: StoreManifest = readManifest(spark, path)
     .getOrElse(StoreManifest(0L, embedder.dim, config.metric, 0L, config.nlist))
@@ -126,12 +130,16 @@ final class DocumentStore private (
   def addDocuments(docs: Seq[Doc]): Seq[String] =
     addTexts(docs.map(_.text), docs.map(_.metadata))
 
-  private def appendBuild(staged: DataFrame): Unit = {
+  private def appendBuild(staged: DataFrame): Unit = mutationLock.synchronized {
     val existing =
       if (manifest.count > 0) Some(essential.select("id", "text", "source", "category", "metadata_hash", "vec"))
       else None
     val base = buildNewRows(staged, existing, manifest.count, loadBloom())
     try {
+      // A fully-deduped (or empty) batch against an existing store is a
+      // no-op: don't rewrite the corpus, re-fit IVF, and churn versions
+      // for zero new rows (the incremental path has the same guard).
+      if (existing.isDefined && base.isEmpty) return
       val allEssential = existing match {
         case Some(ex) => ex.unionByName(essentialProjection(base))
         case None     => essentialProjection(base)
@@ -180,7 +188,10 @@ final class DocumentStore private (
       fresh = bloom match {
         case Some(b) =>
           val bc = spark.sparkContext.broadcast(b)
-          val probe = udf((h: String) => bc.value.mightContainString(h))
+          // Null-safe: a null text hashes to null — route it to the
+          // confirm anti-join (treat as "maybe") instead of NPEing
+          // inside the task.
+          val probe = udf((h: String) => h == null || bc.value.mightContainString(h))
           val flagged = fresh.withColumn("__maybe",
             probe(sha2(col("text"), 256)))
           flagged.where(!col("__maybe")).drop("__maybe")
@@ -229,7 +240,7 @@ final class DocumentStore private (
     * id range for a batch that then dedups against what was already
     * published. [[compact]] rewrites the snapshot from the essential
     * rows and so also drops any orphan payload rows. */
-  def addDFIncremental(staged: DataFrame): Unit = {
+  def addDFIncremental(staged: DataFrame): Unit = mutationLock.synchronized {
     if (manifest.count == 0) { appendBuild(staged); return }
     val existing = essential.select("id", "text", "source", "category", "metadata_hash", "vec")
     // Offset from the DATA, not the manifest: if a prior incremental
@@ -245,6 +256,21 @@ final class DocumentStore private (
     try {
       val nNew = base.count()
       if (nNew > 0) {
+        // Fold the new keys into the persisted Bloom filter BEFORE the
+        // essential rows publish (batch-sized driver work; capacity was
+        // sized at snapshot time, so sustained appends degrade fpp
+        // gracefully until the next compact()/writeVersion rebuilds
+        // it). Ordering is load-bearing for crash-retry dedup: a bloom
+        // that OVERAPPROXIMATES published texts only sends extra rows
+        // to the confirm anti-join, but a crash after the essential
+        // write with a stale bloom would make a retried batch MISS the
+        // probe and skip the anti-join — re-ingesting every text.
+        bloom.foreach { b =>
+          base.where(col("text").isNotNull)
+            .select(sha2(col("text"), 256)).collect()
+            .foreach(r => b.putString(r.getString(0)))
+          writeBloom(manifest.version, b)
+        }
         payloadProjection(base)
           .write.mode("append").parquet(payloadDir(manifest.version))
         val added = essentialProjection(base)
@@ -258,15 +284,6 @@ final class DocumentStore private (
         }
         manifest = manifest.copy(count = offset + nNew)
         writeManifest(spark, path, manifest)
-        // Fold the new keys into the persisted Bloom filter (batch-sized
-        // driver work; the filter's capacity was sized at snapshot time,
-        // so sustained appends degrade fpp gracefully until the next
-        // compact()/writeVersion rebuilds it at the new count).
-        bloom.foreach { b =>
-          base.select(sha2(col("text"), 256)).collect()
-            .foreach(r => b.putString(r.getString(0)))
-          writeBloom(manifest.version, b)
-        }
       }
     } finally base.unpersist()
   }
@@ -276,10 +293,11 @@ final class DocumentStore private (
     * merge the small files incremental appends accumulate. Also
     * reconciles after a crashed incremental append: duplicate payload
     * rows from a retried batch (same doc_id) collapse to one. */
-  def compact(): Unit =
+  def compact(): Unit = mutationLock.synchronized {
     writeVersion(
       essential.select("id", "text", "source", "category", "metadata_hash", "vec"),
       payload.dropDuplicates("doc_id"))
+  }
 
   /** Write a new snapshot version (optionally IVF-clustered), swap the
     * manifest pointer, prune old versions. */
@@ -617,7 +635,7 @@ final class DocumentStore private (
     * matching id set flows through a semijoin, never the driver (a
     * broad predicate can match hundreds of millions of rows). Returns
     * the number of documents removed. */
-  def deleteWhere(condition: org.apache.spark.sql.Column): Long = {
+  def deleteWhere(condition: org.apache.spark.sql.Column): Long = mutationLock.synchronized {
     require(manifest.count > 0, "store is empty or not built")
     val doomedIds = essential.where(condition).select("id")
     val removed = doomedIds.count()
@@ -647,7 +665,9 @@ final class DocumentStore private (
   def similaritySearchBatch(queries: Seq[String], k: Int = 4): DataFrame = {
     require(manifest.count > 0, "store is empty or not built")
     import spark.implicits._
-    val embedded = queries.map(q => (q, embedder.embedQuery(q).toSeq))
+    // Distinct queries: a duplicated query string would score every doc
+    // once per copy and interleave duplicate rows inside its own top-k.
+    val embedded = queries.distinct.map(q => (q, embedder.embedQuery(q).toSeq))
     val (docs, qdf, keep) = loadCentroids() match {
       case Some(model) =>
         val withProbes = embedded.map { case (q, qv) =>
@@ -757,7 +777,7 @@ final class DocumentStore private (
     * (reference delete matrix, tests/test_index.py:162-261). Ids are
     * recompacted to 0..n-1 afterwards (index.py:433-435). Deleting the
     * last document removes the store (vectorstore.py:482-490). */
-  def deleteByIds(ids: Seq[Long]): Boolean = {
+  def deleteByIds(ids: Seq[Long]): Boolean = mutationLock.synchronized {
     if (ids.isEmpty) return false
     require(manifest.count > 0, "store is empty or not built")
     val bad = ids.filter(i => i < 0 || i >= manifest.count)
@@ -830,7 +850,7 @@ final class DocumentStore private (
 
   /** Remove the entire store from disk (reference empty-store removal,
     * vectorstore.py:482-490). */
-  def drop(): Unit = {
+  def drop(): Unit = mutationLock.synchronized {
     deleteDir(spark, path)
     manifest = StoreManifest(0L, embedder.dim, config.metric, 0L, config.nlist)
   }
@@ -901,7 +921,12 @@ object DocumentStore {
       throw new IllegalArgumentException(s"no store manifest at $path"))
     require(m.dim == embedder.dim,
       s"embedder dim ${embedder.dim} != stored dim ${m.dim}")
-    new DocumentStore(spark, path, config.copy(metric = m.metric), embedder)
+    // Restore STORED index parameters, not the caller's defaults: a
+    // reloaded IVF store whose config said nlist=0 would silently write
+    // its next snapshot flat (searches keep working off manifest.nlist,
+    // which makes the clustering loss invisible until it's gone).
+    new DocumentStore(spark, path,
+      config.copy(metric = m.metric, nlist = m.nlist.toInt), embedder)
   }
 
   // ---------------- manifest + fs helpers ----------------
@@ -911,11 +936,19 @@ object DocumentStore {
   private[store] def readManifest(spark: SparkSession, path: String): Option[StoreManifest] = {
     val p = new Path(s"$path/$ManifestName")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
+    val target =
+      if (fs.exists(p)) Some(p)
+      else {
+        // Crash window of writeManifest's delete+rename: the .tmp was
+        // fully written and closed before the swap began, so it is the
+        // manifest.
+        val tmp = new Path(s"$path/.$ManifestName.tmp")
+        if (fs.exists(tmp)) Some(tmp) else None
+      }
+    target.map { f =>
+      val in = fs.open(f)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      Some(parseManifest(txt))
+      parseManifest(txt)
     }
   }
 
@@ -927,9 +960,11 @@ object DocumentStore {
     val out = fs.create(tmp, true)
     try out.write(renderManifest(m).getBytes("UTF-8")) finally out.close()
     val dst = new Path(s"$path/$ManifestName")
-    // Atomic pointer swap (reference's shutil.move, vectorstore.py:563-581).
+    // Pointer swap (reference's shutil.move, vectorstore.py:563-581).
+    // delete+rename isn't atomic on every FS: readManifest heals the
+    // crash window by falling back to the fully-written .tmp file.
     if (fs.exists(dst)) fs.delete(dst, false)
-    fs.rename(tmp, dst)
+    require(fs.rename(tmp, dst), s"manifest rename failed: $tmp -> $dst")
   }
 
   private[store] def renderManifest(m: StoreManifest): String =

@@ -235,6 +235,50 @@ class DocumentStoreSpec extends SparkSpec {
       .map(_.toString).toSeq == exactAfter)
   }
 
+  test("no-op re-ingest of existing texts does not churn a new version") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    val v = store.currentManifest.version
+    store.addTexts(texts.take(3), metas.take(3)) // all dups
+    assert(store.currentManifest.version == v, "all-dup batch must be a no-op")
+    assert(store.documentCount == 6)
+  }
+
+  test("concurrent async mutations serialize: both batches land, count exact") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    val fs = (0 until 3).map { i =>
+      store.addTextsAsync(Seq(s"concurrent doc $i"), Seq(Map("source" -> s"c$i")))
+    }
+    Await.result(Future.sequence(fs), 5.minutes)
+    assert(store.documentCount == 9)
+    assert(store.essential.select("text").collect()
+      .map(_.getString(0)).count(_.startsWith("concurrent doc")) == 3)
+  }
+
+  test("load restores stored IVF nlist: a reloaded store keeps its clustering on mutation") {
+    val many = (0 until 200).map(i => s"doc $i topic ${i % 11}")
+    val dir = tmp()
+    val built = DocumentStore.fromTexts(spark, dir, many, Nil,
+      StoreConfig(nlist = 4, nprobe = 2), emb)
+    assert(built.currentManifest.nlist == 4)
+    // reload with DEFAULT config (the Quickstart pattern)
+    val reloaded = DocumentStore.load(spark, dir, emb)
+    assert(reloaded.config.nlist == 4, "stored nlist must be restored")
+    reloaded.deleteByIds(Seq(0L))
+    assert(reloaded.currentManifest.nlist == 4,
+      "mutation after reload must keep the IVF layout")
+  }
+
+  test("batch search with duplicated query strings matches the distinct run") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    val dup = store.similaritySearchBatch(Seq("foxes", "foxes"), k = 3).collect()
+    val single = store.similaritySearchBatch(Seq("foxes"), k = 3).collect()
+    assert(dup.map(_.toString).sorted.toSeq == single.map(_.toString).sorted.toSeq)
+    assert(dup.map(_.getAs[Long]("doc_id")).distinct.length == 3)
+  }
+
   test("async wrappers: add/search/delete through Futures (reference aadd/asearch parity)") {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.Await
