@@ -204,15 +204,26 @@ object Dedup {
     * Hamming distance 3 collides in >= 1 band — pigeonhole); verified
     * with exact Hamming distance <= maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    // Recall guarantee (pigeonhole) holds only for maxHamming < bands;
+    // a larger maxHamming still works but finds such pairs best-effort
+    // (only when they happen to share a band).
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val withH = df.select(col(idCol).as("id"),
       TextFunctions.simhash63(col(textCol)).as("simhash"))
-    // 4 bands of ~16 bits: band key = (bandId, those bits of the hash).
+    // `bands` bands of 64/bands bits: band key = (bandId, those bits).
+    // Pigeonhole: hamming <= bands-1 guarantees an identical band.
+    // SCALE NOTE: expected band-bucket size is n / 2^width — with the
+    // default 4x16 bands the candidate join grows ~n^2/65536, fine to
+    // ~10M docs; beyond that use FEWER, WIDER bands (e.g. bands=2,
+    // 32-bit buckets, maxHamming=1) or prefilter with minhash-LSH.
     val banded = withH.select(col("id"), col("simhash"),
-      explode(transform(sequence(lit(0), lit(3)), b =>
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         concat_ws("|", b.cast("string"),
-          call_function("shiftright", col("simhash"), b * 16)
-            .bitwiseAND(0xFFFF).cast("string"))
+          call_function("shiftright", col("simhash"), b * width)
+            .bitwiseAND(mask).cast("string"))
       )).as("band"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
@@ -277,7 +288,10 @@ object Dedup {
             // up to the threshold. This keeps the exact BigDecimal
             // HALF_UP rounding (same as Spark's round()) off the O(n^2)
             // hot path — it runs only for near/above-threshold pairs.
-            if (cos < threshold - 1e-4) None
+            // NaN (an all-zero vector on either side) never passes —
+            // exactly like the brute join's `where(NaN >= t)` — and must
+            // not reach BigDecimal, which throws on NaN.
+            if (cos.isNaN || cos < threshold - 1e-4) None
             else {
               val r = BigDecimal(cos).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
               if (r >= threshold) Some((idA, idB, r)) else None
@@ -311,13 +325,15 @@ object Dedup {
     * Size-adaptive: a near-dup edge list is usually MUCH smaller than
     * the corpus that produced it (it lists only suspected duplicates),
     * so when it fits on the driver (`smallGraphThreshold` edges,
-    * default 4M ≈ 64 MB) the components are solved in one collect +
-    * union-find — one job instead of 2·diameter. Above the threshold
-    * the distributed propagation loop runs. Both paths produce
-    * identical labels (asserted in DedupSpec). */
+    * default 1M — budget ~100-200 MB of driver heap: collected Rows
+    * box both longs, and the union-find map holds up to 2 entries per
+    * edge) the components are solved in one collect + union-find — one
+    * job instead of 2·diameter. Above the threshold the distributed
+    * propagation loop runs. Both paths produce identical labels
+    * (asserted in DedupSpec). */
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b", maxIter: Int = 25,
-                          smallGraphThreshold: Long = 4L << 20): DataFrame = {
+                          smallGraphThreshold: Long = 1L << 20): DataFrame = {
     require(smallGraphThreshold >= 0 && smallGraphThreshold < Int.MaxValue - 1,
       "smallGraphThreshold must fit a driver collect")
     val spark = pairs.sparkSession
@@ -366,6 +382,12 @@ object Dedup {
         labels = stepped.select("node", "label")
         iter += 1
       }
+      if (!converged)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"connectedComponents stopped at maxIter=$maxIter without " +
+            "converging: labels are min-within-" + maxIter + "-hops, not " +
+            "component minima. Raise maxIter or use connectedComponentsStar " +
+            "(O(log n) rounds).")
       labels.select(col("node"), col("label").as("component"))
     }
   }
@@ -445,6 +467,11 @@ object Dedup {
       edges = next
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponentsStar stopped at maxIter=$maxIter without a " +
+          "fixpoint; labels may be incomplete. O(log n) rounds suffice in " +
+          "theory - raise maxIter.")
     val sym = symmetric(edges)
     allNodes.join(
         minsOf(sym).select(col("u").as("node"), col("m")), Seq("node"), "left")

@@ -27,7 +27,11 @@ object Sampling {
   /** Membership predicate: keep the row iff
     * hash60("sample:<salt>:" || key) mod 1e6 < fraction·1e6. */
   def keep(key: Column, fraction: Double, salt: String = ""): Column =
-    HashFunctions.hash60(concat(lit(s"sample:$salt:"), key.cast("string"))) % 1000000L <
+    // coalesce: a NULL key must get a deterministic membership decision,
+    // not a NULL predicate (where() would silently drop the row even at
+    // fraction 1.0).
+    HashFunctions.hash60(concat(lit(s"sample:$salt:"),
+      coalesce(key.cast("string"), lit("<graft-null-key>")))) % 1000000L <
       lit(ppm(fraction))
 
   /** Uniform deterministic sample by key. */
@@ -48,7 +52,8 @@ object Sampling {
         when(col(strataCol) === stratum, lit(ppm(fraction))).otherwise(acc)
     }
     df.where(
-      HashFunctions.hash60(concat(lit(s"sample:$salt:"), col(keyCol).cast("string"))) %
+      HashFunctions.hash60(concat(lit(s"sample:$salt:"),
+        coalesce(col(keyCol).cast("string"), lit("<graft-null-key>")))) %
         1000000L < threshold)
   }
 
@@ -147,7 +152,8 @@ object Sampling {
     val whole = floor(weightExpr).cast("long")
     val fracPpm = round((weightExpr - floor(weightExpr)) * 1000000.0).cast("long")
     val extra = when(
-      HashFunctions.hash60(concat(lit(s"mix:$salt:"), col(keyCol).cast("string"))) %
+      HashFunctions.hash60(concat(lit(s"mix:$salt:"),
+        coalesce(col(keyCol).cast("string"), lit("<graft-null-key>")))) %
         1000000L < fracPpm, 1L).otherwise(0L)
     val copies = (whole + extra).cast("int")
     df.withColumn("copy_id",

@@ -43,8 +43,12 @@ object TextSearch {
                  queryTerms: Seq[String],
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val toks = docs.select(col(idCol).as("id"),
-      TextFunctions.tokens(col(textCol)).as("toks"))
+    // Null-text docs are excluded from the corpus model (they cannot
+    // score anyway); writeIndex applies the SAME filter, keeping index
+    // stats bit-identical to these scan-time stats.
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
     val stats = toks.agg(
       count(lit(1)).cast("double").as("n_docs"),
       (sum(size(col("toks")).cast("long")).cast("double") /
@@ -98,7 +102,8 @@ object TextSearch {
     // ONE tokenize+explode+aggregate pass over the corpus; df and
     // corpus stats then derive from the (already aggregated, smaller)
     // written postings instead of re-scanning the raw text.
-    docs.select(col(idCol).as("id"),
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("id"), size(col("toks")).cast("double").as("dl"),
         explode(col("toks")).as("term"))
@@ -118,9 +123,11 @@ object TextSearch {
       .repartition(math.max(numFiles / 4, 1), col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/terms")
-    // every doc has >= 1 token (split("") = [""]), so postings cover
-    // all docs; dl is constant per doc and integral, so the long-sum
-    // keeps n_docs/avgdl bit-identical to the scan-time aggregate.
+    // every NON-NULL-text doc has >= 1 token (split("") = [""]), so
+    // postings cover exactly the docs bm25Scores models (both paths
+    // filter null text); dl is constant per doc and integral, so the
+    // long-sum keeps n_docs/avgdl bit-identical to the scan-time
+    // aggregate.
     postings.groupBy("id").agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).cast("double").as("n_docs"),
         (sum(col("dl").cast("long")).cast("double") /

@@ -51,10 +51,15 @@ object StreamingOps {
     * one batch nets to deleted instead of resurrecting the row (the
     * sequence columns are transport metadata and are NOT stored in the
     * table). Without orderCols the caller asserts
-    * at-most-one-change-per-key-per-batch. */
+    * at-most-one-change-per-key-per-batch.
+    *
+    * `keepVersions` snapshots are retained behind the pointer (reader
+    * grace); older ones are deleted each batch — a snapshot per
+    * micro-batch would otherwise grow storage without bound. */
   def cdcApplyStream(changes: DataFrame, tablePath: String, keys: Seq[String],
                      checkpointDir: String, opCol: String = "op",
-                     orderCols: Seq[String] = Nil):
+                     orderCols: Seq[String] = Nil,
+                     keepVersions: Int = 2):
       org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .outputMode(OutputMode.Append())
@@ -77,6 +82,15 @@ object StreamingOps {
           val next = cur.getOrElse(-1L) + 1
           merged.write.mode("overwrite").parquet(s"$tablePath/v$next")
           writeCdcPointer(spark, tablePath, next)
+          // Retention: a full snapshot per micro-batch grows without
+          // bound otherwise. keepVersions snapshots stay behind the
+          // pointer as reader grace (same posture as the document
+          // store's keepVersions).
+          val fs = fsFor(spark, tablePath)
+          (0L to next - keepVersions).foreach { stale =>
+            val d = new org.apache.hadoop.fs.Path(s"$tablePath/v$stale")
+            if (fs.exists(d)) { fs.delete(d, true); () }
+          }
         }
       }
       .start()
@@ -157,7 +171,14 @@ object StreamingOps {
   /** Stateful gap sessionization with mapGroupsWithState: a new session
     * starts when > `gapMs` elapses between a user's events. Emits the
     * running (sessions, events) per user each micro-batch — the
-    * streaming equivalent of the batch q_events_sessionize query. */
+    * streaming equivalent of the batch q_events_sessionize query.
+    *
+    * State note: per-user state lives forever (NoTimeout) because the
+    * emitted counters are lifetime-cumulative — bounded only by the
+    * user keyspace. For an unbounded keyspace prefer
+    * [[sessionWindowAgg]] (per-session aggregates, watermark-evicted
+    * state) or add a GroupStateTimeout eviction if lifetime counters
+    * for idle users may be dropped. */
   def sessionize(events: Dataset[SessionEvent],
                  gapMs: Long = 30L * 60 * 1000): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
@@ -172,7 +193,15 @@ object StreamingOps {
             st =
               if (st.lastTsMs == Long.MinValue || t - st.lastTsMs >= gapMs)
                 SessionState(st.sessionCount + 1, t, st.eventsInSession + 1)
-              else st.copy(lastTsMs = t, eventsInSession = st.eventsInSession + 1)
+              else
+                // A LATE event (t < lastTsMs, possible across
+                // micro-batches — there is no watermark here) must not
+                // move the frontier backwards: a regressed lastTsMs
+                // would let the next in-gap event open a phantom
+                // session the batch twin (which sorts globally) never
+                // counts.
+                st.copy(lastTsMs = math.max(st.lastTsMs, t),
+                  eventsInSession = st.eventsInSession + 1)
           }
           state.update(st)
           SessionUpdate(userId, st.sessionCount, st.eventsInSession)

@@ -261,6 +261,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a late cross-batch event cannot open a phantom session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val q = StreamingOps.sessionize(input.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("update").start()
+    try {
+      // t=0, then t=40 (session 2, frontier at 40)
+      input.addData(StreamingOps.SessionEvent(7L, ts(0)))
+      q.processAllAvailable()
+      input.addData(StreamingOps.SessionEvent(7L, ts(40)))
+      q.processAllAvailable()
+      // LATE event t=5: in-gap vs the frontier; must NOT regress it
+      input.addData(StreamingOps.SessionEvent(7L, ts(5)))
+      q.processAllAvailable()
+      // t=38: within gap of frontier 40 -> same session (a regressed
+      // frontier at 5 would have counted a phantom session 3)
+      input.addData(StreamingOps.SessionEvent(7L, ts(38)))
+      q.processAllAvailable()
+      val last = spark.table("sess_late")
+        .where($"user_id" === 7L).orderBy(desc("n_events")).head
+      assert(last.getAs[Long]("n_sessions") == 2L)
+      assert(last.getAs[Long]("n_events") == 4L)
+    } finally q.stop()
+  }
+
   test("quality + PII scrub + repetition signals compose on a stream (all narrow)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.{Pii, QualitySignals}
