@@ -61,12 +61,16 @@ final case class MLlibEmbedder(dim: Int = 1024) extends Embedder {
       .drop("__graft_text", "__graft_tokens", "__graft_tf")
   }
 
-  /** Driver-side single-text embedding: replicates Tokenizer (lowercase
-    * whitespace split) + HashingTF (murmur3 term hashing, TF counts) +
-    * idf weighting + L2 normalization without launching a job. */
+  /** Driver-side single-text embedding: replicates Tokenizer + HashingTF
+    * (murmur3 term hashing, TF counts) + idf weighting + L2
+    * normalization without launching a job. Tokenization is the EXACT
+    * Tokenizer expression — default-locale toLowerCase then
+    * split("\\s"), which KEEPS empty tokens from leading/consecutive
+    * whitespace (they hash into a bucket like any term); dropping them
+    * here would break the bit-identity contract with [[embed]]. */
   override def embedQuery(text: String): Array[Double] = {
     val idf = weightsOrThrow
-    val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val terms = text.toLowerCase.split("\\s").toSeq
     val counts = new Array[Double](dim)
     terms.foreach { t => counts(hashingTF.indexOf(t)) += 1.0 }
     var ss = 0.0

@@ -1,7 +1,7 @@
 package graft.embed
 
 import org.apache.spark.ml.feature.Word2Vec
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -36,9 +36,15 @@ final case class Word2VecEmbedder(dim: Int = 64, minCount: Int = 1,
     throw new IllegalStateException(
       "Word2VecEmbedder: call fit(corpus) or load(path) before embedding"))
 
+  /** The shared tokenization of fit/embed/embedQuery: lowercase,
+    * whitespace split, empty tokens dropped (a leading-whitespace doc
+    * must not put "" into the vocabulary). */
+  private def tokensCol(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
   /** Fit word vectors on a corpus column (one MLlib Word2Vec fit). */
   def fit(df: DataFrame, textCol: String): Word2VecEmbedder = {
-    val toks = df.select(split(lower(col(textCol)), "\\s+").as("__toks"))
+    val toks = df.select(tokensCol(col(textCol)).as("__toks"))
     val model = new Word2Vec()
       .setInputCol("__toks").setOutputCol("__vec")
       .setVectorSize(dim).setMinCount(minCount).setSeed(seed)
@@ -65,7 +71,7 @@ final case class Word2VecEmbedder(dim: Int = 64, minCount: Int = 1,
     withId.count()
     val pooled = graft.ops.Pooling.meanPool(
       withId.select(col("__rid"),
-          explode(split(lower(col(textCol)), "\\s+")).as("__w"))
+          explode(tokensCol(col(textCol))).as("__w"))
         .join(broadcast(vecs), Seq("__w")),
       "__rid", "__wv")
       .select(col("__rid"), col("mean_vec").as("__mv"))
@@ -76,9 +82,12 @@ final case class Word2VecEmbedder(dim: Int = 64, minCount: Int = 1,
       .drop("__rid", "__mv")
   }
 
-  /** Driver-side single-text embedding: mean of known word vectors,
-    * L2-normalized — the vocabulary map materializes lazily once (it is
-    * vocabulary-sized; fine on any driver that could broadcast it). */
+  /** Driver-side single-text embedding, BIT-IDENTICAL to [[embed]] on
+    * the same text (the Embedder contract): same tokenization, and the
+    * mean goes through the SAME 1e-6 fixed-point truncation + 6 dp
+    * HALF_UP rounding as Pooling.meanPool before normalizing — a raw
+    * double mean would differ in the last ulps and shift scores. The
+    * vocabulary map materializes lazily once (vocabulary-sized). */
   override def embedQuery(text: String): Array[Double] = {
     val map = queryMap.getOrElse {
       val m = vecsOrThrow.collect()
@@ -86,17 +95,27 @@ final case class Word2VecEmbedder(dim: Int = 64, minCount: Int = 1,
       queryMap = Some(m)
       m
     }
-    val hits = text.toLowerCase.split("\\s+").filter(_.nonEmpty).flatMap(map.get)
+    val hits = text.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).flatMap(map.get)
     val out = new Array[Double](dim)
     if (hits.nonEmpty) {
-      hits.foreach { v => var i = 0; while (i < dim) { out(i) += v(i); i += 1 } }
+      val micros = new Array[Long](dim)
+      hits.foreach { v =>
+        var i = 0
+        while (i < dim) { micros(i) += (v(i) * 1e6).toLong; i += 1 }
+      }
       var i = 0
-      while (i < dim) { out(i) /= hits.length; i += 1 }
+      while (i < dim) {
+        out(i) = java.math.BigDecimal
+          .valueOf(micros(i).toDouble / (1e6 * hits.length))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        i += 1
+      }
       var ss = 0.0
       i = 0
       while (i < dim) { ss += out(i) * out(i); i += 1 }
       val n = math.sqrt(ss)
-      if (n > 0) { i = 0; while (i < dim) { out(i) /= n; i += 1 } }
+      if (n != 0.0) { i = 0; while (i < dim) { out(i) /= n; i += 1 } }
     }
     out
   }

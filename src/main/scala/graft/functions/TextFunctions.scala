@@ -126,10 +126,14 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     sha2(regexp_replace(trim(lower(text)), "[ \\t\\n\\r\\f]+", " "), 256)
 
-  /** 63-bit SimHash over the (multiset of) whitespace tokens: each
-    * token's hash60 votes ±1 on bits 0..62; bit j of the result is 1
-    * when the vote sum is positive. Pure array-fold expression — no
-    * shuffle, no UDF. */
+  /** SimHash over the (multiset of) whitespace tokens: each token's
+    * hash60 votes ±1 on bits 0..62; bit j of the result is 1 when the
+    * vote sum is positive. Pure array-fold expression — no shuffle, no
+    * UDF. EFFECTIVE RESOLUTION is 60 bits: hash60 values never set
+    * bits 60-62, so those positions always vote −1 and stay 0 in every
+    * output (both engines compute them identically — the oracle mirrors
+    * this — they just carry no signal; Dedup.simhashPairs' top band has
+    * correspondingly fewer effective bits). */
   def simhash63(text: Column): Column = {
     val votes = aggregate(
       tokens(text),

@@ -71,11 +71,17 @@ object VectorFunctions {
 
   /** L2-normalize a vector column (reference: faiss.normalize_L2,
     * index.py:293-295). Zero vectors pass through unchanged. */
-  def l2Normalize(a: Column): Column = {
-    val ad = asDouble(a)
-    val n = l2Norm(ad)
-    when(n === 0.0, ad).otherwise(transform(ad, x => x / n))
-  }
+  def l2Normalize(a: Column): Column =
+    // let1-bind the array AND the norm: referencing the O(d) norm (and
+    // through it the whole input expression tree) inside the transform
+    // lambda would re-evaluate it once per OUTPUT ELEMENT — O(d^2) per
+    // row on the embedder hot paths (same projection-collapse trap the
+    // minhash signature hit; quantizeInt8 binds for the same reason).
+    TextFunctions.let1(asDouble(a)) { ad =>
+      TextFunctions.let1(l2Norm(ad)) { n =>
+        when(n === 0.0, ad).otherwise(transform(ad, x => x / n))
+      }
+    }
 
   /** Max |x_i| — the symmetric int8 quantization scale. */
   def maxAbs(a: Column): Column =
@@ -122,11 +128,18 @@ object VectorFunctions {
     val signs = rpSigns(seed, outDim, inDim)
     val scale = math.sqrt(outDim.toDouble)
     TextFunctions.let1(asDouble(a)) { v =>
-      array((0 until outDim).map { j =>
+      val projected = array((0 until outDim).map { j =>
         round(
           aggregate(zip_with(v, typedlit(signs(j)), (x, s) => x * s),
             lit(0.0), (acc, x) => acc + x) / scale, 6)
       }: _*)
+      // Fail fast on a dimension mismatch: zip_with pads the shorter
+      // side with nulls, which would otherwise propagate silently to
+      // all-null output components.
+      when(size(v) === inDim, projected)
+        .otherwise(raise_error(concat(
+          lit(s"randomProjection: expected vector of dim $inDim, got dim "),
+          size(v).cast("string"))))
     }
   }
 

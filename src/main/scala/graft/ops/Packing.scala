@@ -44,7 +44,13 @@ object Packing {
                     capacity: Long, bucketWidth: Long = 1L << 16): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val base = df.withColumn("__bucket",
+    // PRECONDITIONS: ids must be non-null (a null id would form a
+    // null bucket whose token total shifts every real bucket's offset
+    // while its own rows vanish in the equi-join — excluded here
+    // explicitly instead) and UNIQUE (the within-bucket cumulative sum
+    // orders by id alone; duplicate ids would make tied rows'
+    // cum_tokens_excl depend on physical row order).
+    val base = df.where(col(idCol).isNotNull).withColumn("__bucket",
       floor(col(idCol) / lit(bucketWidth)).cast("long"))
     val bucketTotals = base.groupBy("__bucket")
       .agg(sum(col(tokensCol).cast("long")).as("__bt"))

@@ -24,14 +24,14 @@ class Word2VecEmbedderSpec extends SparkSpec {
     assert(out(1).forall(_ == 0.0), "OOV-only doc should embed as the zero vector")
   }
 
-  test("embedQuery agrees with the distributed embed path (to pooling precision)") {
+  test("embedQuery is BIT-IDENTICAL to the distributed embed path (Embedder contract)") {
     val emb = Word2VecEmbedder(dim = 16).fit(corpus, "text")
-    val text = "spark engine distributed"
-    val viaJob = emb.embed(Seq((0L, text)).toDF("id", "text"), "text", "vec")
-      .select("vec").as[Seq[Double]].head
-    val viaDriver = emb.embedQuery(text)
-    viaJob.zip(viaDriver).foreach { case (a, b) =>
-      assert(math.abs(a - b) < 1e-4, s"component mismatch: $a vs $b")
+    for (text <- Seq("spark engine distributed", "  spark  engine", "cat")) {
+      val viaJob = emb.embed(Seq((0L, text)).toDF("id", "text"), "text", "vec")
+        .select("vec").as[Seq[Double]].head
+      val viaDriver = emb.embedQuery(text)
+      assert(viaJob == viaDriver.toSeq,
+        s"'$text': job=$viaJob driver=${viaDriver.toSeq}")
     }
   }
 
