@@ -452,18 +452,44 @@ object SparkEntry {
       .select("qid", "pred_label", "votes", "true_label")
   }
 
-  /** IVF search (no SQL oracle — k-means; driver records rows-only).
-    * maxIter 10: the coarse quantizer only needs rough cells — recall
-    * comes from nprobe, not centroid polish. */
+  /** The q_ivf_search quantizer's centroids as DuckDB VALUES literals,
+    * captured when [[qIvfSearch]] last ran. The k-means FIT is not
+    * SQL-expressible, but everything downstream of the centroids is —
+    * so the query pins the fitted centroids (rounded to 6 dp so the
+    * decimal literal parses to the identical double in any engine) and
+    * [[oracleSql]] inlines them, turning the whole search half
+    * (assignment, nprobe, in-cluster top-k) into exact SQL. Verify runs
+    * every query BEFORE dumping oracleSql, so the capture is always
+    * fresh within a run. */
+  @volatile private var ivfSearchCentroidValues: Option[String] = None
+
+  /** IVF search with the k-means-fitted coarse quantizer. Two-phase for
+    * oracle checkability: (1) fit (driver-side, not SQL-expressible),
+    * (2) pinned-centroid search with every distance rounded before each
+    * argmin/rank — phase 2 is exact SQL over the exported centroid
+    * literals (see [[ivfSearchCentroidValues]]). maxIter 2: the coarse
+    * quantizer only needs rough cells — recall comes from nprobe, not
+    * centroid polish. */
   private def qIvfSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    val model = IvfIndex.fitCached(s"$dir/embeddings", emb, "embedding",
+    val fitted = IvfIndex.fitCached(s"$dir/embeddings", emb, "embedding",
       nlist = 8, maxIter = 2, initMode = "random", fitFraction = 0.25,
       fitPartitions = 2)
-    val assigned = emb.withColumn("cluster", model.assignCol(col("embedding")))
+    // Pin: round each centroid coordinate to 6 dp. BOTH engines then
+    // start from bit-identical doubles (nearest-double of the same
+    // decimal string), and roundScale=4 below makes every downstream
+    // ranking decision engine-independent on top of that.
+    val centsBd = fitted.centroids.map(_.map(d =>
+      BigDecimal(d).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)))
+    val model = IvfIndex.Model(centsBd.map(_.map(_.toDouble)))
+    ivfSearchCentroidValues = Some(centsBd.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.underlying.toPlainString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n        "))
+    val assigned = emb.withColumn("cluster",
+      model.assignCol(col("embedding"), roundScale = 4))
     val qv = emb.where(col("vec_id") === 0).select("embedding")
       .head.getSeq[Float](0).map(_.toDouble)
-    val probes = model.nearestCentroids(qv.toSeq, 3)
+    val probes = model.nearestCentroids(qv.toSeq, 3, roundScale = 4)
     VectorIndex.topK(assigned.where(col("cluster").isin(probes: _*)),
         "embedding", qv, 10, "cosine", scoreCol = "score",
         tieBreak = Seq("vec_id"), roundScale = 4)
@@ -1908,21 +1934,21 @@ object SparkEntry {
              CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
              CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
              CAST(min(l_quantity) AS DOUBLE) AS min, CAST(max(l_quantity) AS DOUBLE) AS max,
-             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 4) AS mean
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) / count(l_quantity), 4) AS mean
       FROM lineitem
       UNION ALL
       SELECT 'l_extendedprice', count(*),
              CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              CAST(count(DISTINCT l_extendedprice) AS BIGINT),
              CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
-             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 4)
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) / count(l_extendedprice), 4)
       FROM lineitem
       UNION ALL
       SELECT 'l_discount', count(*),
              CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              CAST(count(DISTINCT l_discount) AS BIGINT),
              CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
-             round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 4)
+             round(CAST(sum(CAST(l_discount AS DECIMAL(38,12))) AS DOUBLE) / count(l_discount), 4)
       FROM lineitem""",
 
     // Constraint battery: same definitions as ops.Checks, one UNION ALL.
@@ -3089,5 +3115,40 @@ object SparkEntry {
              round(CAST(sum(CAST(sp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
                AS avg_surprisal
       FROM s GROUP BY doc_id"""
-  )
+  ) ++ ivfSearchOracle
+
+  /** Dynamic oracle for q_ivf_search: the k-means fit exports its
+    * (6dp-rounded) centroids via [[ivfSearchCentroidValues]], and the
+    * search half — rounded-distance argmin assignment, nprobe-3 probe
+    * set, in-probe rounded-cosine top-10 — is exact SQL over those
+    * literals (same shape as the q_ivf_flat oracle, which pins stored
+    * vectors instead of fitted ones). Empty until qIvfSearch has run in
+    * this JVM; Verify runs every query before dumping oracleSql, so the
+    * driver always sees the entry. */
+  private def ivfSearchOracle: Map[String, String] =
+    ivfSearchCentroidValues.map { vals =>
+      "q_ivf_search" -> s"""
+      WITH c AS (SELECT CAST(cid AS INT) AS cid, cv FROM (VALUES
+        $vals) AS t(cid, cv)),
+      v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      d AS (SELECT v.vec_id, c.cid,
+              round(list_sum(list_transform(range(1, len(v.ev) + 1),
+                i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))), 4) AS dist
+            FROM v, c),
+      a AS (SELECT vec_id, cid AS cluster FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d) t WHERE rn = 1),
+      q AS (SELECT ev AS qv FROM v WHERE vec_id = 0),
+      qd AS (SELECT c.cid,
+               round(list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), 4) AS dist
+             FROM q, c),
+      p AS (SELECT cid FROM (
+              SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn
+              FROM qd) t WHERE rn <= 3)
+      SELECT v.vec_id, a.cluster, round(list_cosine_similarity(v.ev, q.qv), 4) AS score
+      FROM v JOIN a ON a.vec_id = v.vec_id, q
+      WHERE a.cluster IN (SELECT cid FROM p)
+      ORDER BY score DESC, v.vec_id LIMIT 10"""
+    }.toMap
 }

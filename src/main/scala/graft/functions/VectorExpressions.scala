@@ -154,6 +154,10 @@ case class NearestCentroidExpr(child: Expression,
     roundScale: Int)
     extends UnaryExpression with CodegenFallback {
   require(centroids.nonEmpty, "need at least one centroid")
+  require(centroids.forall(_.length == centroids.head.length),
+    "centroids must all have the same dimension")
+  require(len == Int.MaxValue || centroids.head.length == len,
+    s"centroid dim ${centroids.head.length} != subvector len $len")
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "graft_nearest_centroid"
 
@@ -163,15 +167,27 @@ case class NearestCentroidExpr(child: Expression,
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
     val avail = x.numElements() - start
+    val need = cents(0).length
+    // Fail fast on malformed vectors instead of truncating the distance
+    // loop: a silently shortened loop returns a plausible but WRONG
+    // assignment (and diverges from the zip_with HOF twin, which
+    // null-pads) — corrupted IVF/PQ assignments are worse than a task
+    // failure. len == Int.MaxValue claims "whole vector", so extra
+    // elements are a dimension mismatch too; a sliced subspace
+    // (start/len) legitimately leaves a tail beyond the slice.
+    if (avail < need || (len == Int.MaxValue && avail != need))
+      throw new IllegalArgumentException(
+        s"graft_nearest_centroid: input has ${x.numElements()} elements, " +
+          s"need ${if (len == Int.MaxValue) s"exactly ${start + need}" else s">= ${start + need}"} " +
+          s"(start=$start, centroid dim $need)")
     var best = 0
     var bestD = Double.PositiveInfinity
     var c = 0
     while (c < cents.length) {
       val cent = cents(c)
-      val n = math.min(cent.length, math.min(len, avail))
       var d = 0.0
       var j = 0
-      while (j < n) {
+      while (j < need) {
         val t = x.getDouble(start + j) - cent(j); d += t * t; j += 1
       }
       if (roundScale >= 0)

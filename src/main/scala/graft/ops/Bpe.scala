@@ -28,12 +28,31 @@ object Bpe {
     * whitespace split — exactly what [[encodeCol]] applies, so the
     * trained vocabulary and the encoder see identical words (a
     * case-preserving trainer would learn merges the lowercasing
-    * encoder could never fire). */
-  def train(df: DataFrame, textCol: String, numMerges: Int): Merges = {
-    val wordCounts = df
+    * encoder could never fire).
+    *
+    * Driver-memory bound: the merge loop runs over the (word, count)
+    * vocabulary on the driver, and a web-scale corpus has a long-tail
+    * vocabulary (typos, ids, urls) that can blow the driver heap if
+    * collected whole. `minCount` drops words seen fewer times (standard
+    * BPE practice — Sennrich's learn_bpe has the same knob) and
+    * `maxVocab` keeps only the top-N words by count (ties to the
+    * lexicographically smaller word, so the kept set is deterministic);
+    * both cut BEFORE the collect, so the driver holds at most
+    * `maxVocab` rows no matter the corpus size. Tail words contribute
+    * ~nothing to pair counts, so merges are stable under reasonable
+    * cutoffs — but they are a different (smaller) training set, so
+    * extreme cutoffs can change late merges. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            minCount: Long = 1L, maxVocab: Int = 0): Merges = {
+    require(minCount >= 1L, "minCount must be >= 1")
+    var vocab = df
       .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
+    if (minCount > 1L) vocab = vocab.where(col("c") >= minCount)
+    if (maxVocab > 0)
+      vocab = vocab.orderBy(col("c").desc, col("w")).limit(maxVocab)
+    val wordCounts = vocab
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     trainFromCounts(wordCounts, numMerges)
   }

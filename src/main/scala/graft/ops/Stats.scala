@@ -74,6 +74,13 @@ object Stats {
     * [[Checks]] constraint gate: one row per column with row/null
     * counts, exact distinct count, min/max, and a DECIMAL-exact mean
     * (the double division of two exact numbers is engine-identical).
+    * "Exact" here means: each value is rounded to 12 fractional digits
+    * (decimal(38,12) — a binary double is dyadic so it can never sit
+    * exactly on a decimal half-way point, making the rounding
+    * engine-independent), then summed with no further error; the mean
+    * is exact for inputs with ≤12 fractional digits and |x| < 10^26.
+    * Sub-1e-12 magnitudes lose precision — profile a scaled copy of
+    * such a column.
     * One aggregation job per column batch over a single scan each;
     * every aggregate is partial-agg friendly except the exact distinct
     * (two-phase) — swap in approx_count_distinct via
@@ -89,7 +96,7 @@ object Stats {
         countDistinct(col(c)).as("n_distinct"),
         min(col(c)).cast("double").as("min"),
         max(col(c)).cast("double").as("max"),
-        round(sum(col(c).cast("decimal(18,2)")).cast("double") /
+        round(sum(col(c).cast("decimal(38,12)")).cast("double") /
           count(col(c)), roundScale).as("mean"))
         .select(lit(c).as("column"), col("n_rows"), col("n_null"),
           col("n_distinct"), col("min"), col("max"), col("mean"))

@@ -839,13 +839,52 @@ final class DocumentStore private (
     * store row are REPLACED (the incoming metadata wins); new texts
     * append. The ingest path's exact-text dedup would silently DROP a
     * re-ingested text (first occurrence wins, index.py:202-218) —
-    * upsert is the "latest wins" complement, composed from the two
-    * copy-on-write primitives (anti-join delete + append build). Ids
-    * recompact exactly as any delete does. */
+    * upsert is the "latest wins" complement. Only the FIRST (lowest-id)
+    * occurrence per matching text is replaced, mirroring
+    * [[deleteByTexts]]; ids recompact exactly as any delete does.
+    *
+    * Atomicity: the whole merge — anti-join out the replaced rows,
+    * recompact survivor ids, build the incoming batch at the survivor
+    * offset — is ONE copy-on-write version under ONE lock acquisition.
+    * There is no intermediate "deleted but not yet re-added" published
+    * state for a crash to expose or a concurrent async mutation to
+    * interleave into (the lock is re-entrant, so the empty-store /
+    * pure-append delegations to [[addTexts]] stay atomic too). */
   def upsertTexts(texts: Seq[String],
-                  metadatas: Seq[Map[String, String]] = Nil): Seq[String] = {
-    if (manifest.count > 0) deleteByTexts(texts)
-    addTexts(texts, metadatas)
+                  metadatas: Seq[Map[String, String]] = Nil): Seq[String] = mutationLock.synchronized {
+    require(metadatas.isEmpty || metadatas.length == texts.length,
+      s"texts/metadatas length mismatch: ${texts.length} vs ${metadatas.length}")
+    if (manifest.count == 0) return addTexts(texts, metadatas)
+    import spark.implicits._
+    val tdf = texts.distinct.toDF("text")
+    val firstIds = essential.join(broadcast(tdf), Seq("text"), "left_semi")
+      .groupBy("text").agg(min("id").as("id"))
+      .select("id").as[Long].collect().toSeq
+    if (firstIds.isEmpty) return addTexts(texts, metadatas) // pure append
+    val idsDf = firstIds.toDF("id")
+    val survivorsE = essential.join(broadcast(idsDf), Seq("id"), "left_anti")
+    val survivorsP = payload.join(
+      broadcast(idsDf.withColumnRenamed("id", "doc_id")), Seq("doc_id"), "left_anti")
+    // Dense-id recompaction of the survivors (delete semantics,
+    // index.py:433-435), then the incoming batch builds at the
+    // survivor-count offset — same dedup-vs-store as any ingest, now
+    // against the survivors (later duplicate copies of a matched text
+    // still win over the incoming row, as in the composed form). The
+    // persisted Bloom is NOT passed: it still contains the just-replaced
+    // texts, and correctness here needs the exact anti-join anyway.
+    val reE = withDenseId(survivorsE.orderBy("id").drop("id"), "id")
+      .select("id", "text", "source", "category", "metadata_hash", "vec")
+    val reP = withDenseId(survivorsP.orderBy("doc_id").drop("doc_id"), "doc_id")
+      .select("doc_id", "text", "metadata", "payload_json")
+    val metas = if (metadatas.isEmpty) Seq.fill(texts.length)(Map.empty[String, String]) else metadatas
+    val staged = texts.zip(metas).toDF("text", "metadata")
+    val base = buildNewRows(staged, Some(reE), manifest.count - firstIds.length)
+    try {
+      if (base.isEmpty) writeVersion(reE, reP) // publish just the deletes
+      else writeVersion(reE.unionByName(essentialProjection(base)),
+        reP.unionByName(payloadProjection(base)))
+    } finally base.unpersist()
+    texts.indices.map(_.toString)
   }
 
   /** Remove the entire store from disk (reference empty-store removal,
@@ -899,6 +938,26 @@ object DocumentStore {
       config: StoreConfig = StoreConfig(), embedder: Embedder): DocumentStore =
     fromTexts(spark, path, docs.map(_.text), docs.map(_.metadata), config, embedder)
 
+  /** Async factory twins (reference afrom_texts/afrom_documents,
+    * vectorstore.py:914-943 — thread-pool wrappers there, Future
+    * wrappers here, same posture as the instance async API). The
+    * returned Future completes when the store is fully built and
+    * published. */
+  def fromTextsAsync(
+      spark: SparkSession, path: String,
+      texts: Seq[String], metadatas: Seq[Map[String, String]] = Nil,
+      config: StoreConfig = StoreConfig(), embedder: Embedder)(
+      implicit ec: scala.concurrent.ExecutionContext)
+      : scala.concurrent.Future[DocumentStore] =
+    scala.concurrent.Future(fromTexts(spark, path, texts, metadatas, config, embedder))
+
+  def fromDocumentsAsync(
+      spark: SparkSession, path: String, docs: Seq[Doc],
+      config: StoreConfig = StoreConfig(), embedder: Embedder)(
+      implicit ec: scala.concurrent.ExecutionContext)
+      : scala.concurrent.Future[DocumentStore] =
+    scala.concurrent.Future(fromDocuments(spark, path, docs, config, embedder))
+
   /** Factory from a (text, metadata) DataFrame — the 100TB-scale entry
     * point: data never touches the driver. */
   def fromDF(
@@ -936,19 +995,23 @@ object DocumentStore {
   private[store] def readManifest(spark: SparkSession, path: String): Option[StoreManifest] = {
     val p = new Path(s"$path/$ManifestName")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target =
-      if (fs.exists(p)) Some(p)
-      else {
-        // Crash window of writeManifest's delete+rename: the .tmp was
-        // fully written and closed before the swap began, so it is the
-        // manifest.
-        val tmp = new Path(s"$path/.$ManifestName.tmp")
-        if (fs.exists(tmp)) Some(tmp) else None
-      }
-    target.map { f =>
+    def readParsed(f: Path): Option[StoreManifest] = {
       val in = fs.open(f)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      parseManifest(txt)
+      Some(parseManifest(txt))
+    }
+    if (fs.exists(p)) readParsed(p)
+    else {
+      // Crash window of writeManifest's delete+rename: if the .tmp was
+      // fully written and closed before the swap began, it IS the
+      // manifest. But a crash mid-write of the very FIRST manifest (no
+      // dst yet) leaves a PARTIAL .tmp — so the fallback only trusts a
+      // .tmp that parses; garbage means no store was ever published,
+      // and the correct answer is "absent", not a parse exception.
+      val tmp = new Path(s"$path/.$ManifestName.tmp")
+      if (!fs.exists(tmp)) None
+      else try readParsed(tmp)
+      catch { case scala.util.control.NonFatal(_) => None }
     }
   }
 

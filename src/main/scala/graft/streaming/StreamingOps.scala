@@ -85,9 +85,14 @@ object StreamingOps {
           // Retention: a full snapshot per micro-batch grows without
           // bound otherwise. keepVersions snapshots stay behind the
           // pointer as reader grace (same posture as the document
-          // store's keepVersions).
+          // store's keepVersions). The sweep probes only a BOUNDED
+          // window below the cutoff: each batch makes at most one new
+          // version stale and earlier batches already swept everything
+          // older, so on a long-running stream the per-batch cost stays
+          // O(window) filesystem calls, not O(total batches). The +8
+          // slack absorbs sweeps skipped by crashes mid-batch.
           val fs = fsFor(spark, tablePath)
-          (0L to next - keepVersions).foreach { stale =>
+          (math.max(0L, next - keepVersions - 8) to next - keepVersions).foreach { stale =>
             val d = new org.apache.hadoop.fs.Path(s"$tablePath/v$stale")
             if (fs.exists(d)) { fs.delete(d, true); () }
           }

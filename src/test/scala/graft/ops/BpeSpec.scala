@@ -57,4 +57,25 @@ class BpeSpec extends SparkSpec {
     val m = Bpe.trainFromCounts(Seq(("ab", 1L)), 100)
     assert(m == IndexedSeq(("a", "b")))
   }
+
+  test("vocab cutoffs bound the driver collect without changing the merges") {
+    // 5x low, 3x lowest, 2x lower, plus a one-off long-tail "word"
+    // (the web-corpus noise class minCount exists to drop).
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(3)("lowest") ++ Seq("zq9xk7"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val full = Bpe.train(docs, "text", 3)
+    // minCount=2 drops only the singleton tail word -> identical merges
+    assert(Bpe.train(docs, "text", 3, minCount = 2L) == full)
+    // maxVocab=3 keeps the top-3 words by count (all the real ones),
+    // cutting the collect to a fixed driver-side bound -> identical
+    assert(Bpe.train(docs, "text", 3, maxVocab = 3) == full)
+    // both knobs together
+    assert(Bpe.train(docs, "text", 3, minCount = 2L, maxVocab = 3) == full)
+    // maxVocab tie-break is deterministic: equal counts keep the
+    // lexicographically smaller word ("ab" over "cd")
+    val tied = Seq("ab", "cd", "ab", "cd").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    assert(Bpe.train(tied, "text", 1, maxVocab = 1) == IndexedSeq(("a", "b")))
+  }
 }

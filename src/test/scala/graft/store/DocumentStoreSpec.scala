@@ -294,6 +294,33 @@ class DocumentStoreSpec extends SparkSpec {
     assert(store.documentCount == 6)
   }
 
+  test("async factories build a complete store (reference afrom_texts/afrom_documents parity)") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val s1 = Await.result(
+      DocumentStore.fromTextsAsync(spark, tmp(), texts, metas, StoreConfig(), emb),
+      5.minutes)
+    assert(s1.documentCount == 6)
+    val docs = texts.zip(metas).map { case (t, m) => graft.Doc(t, m) }
+    val s2 = Await.result(
+      DocumentStore.fromDocumentsAsync(spark, tmp(), docs, StoreConfig(), emb),
+      5.minutes)
+    assert(s2.documentCount == 6)
+    assert(s2.similaritySearch("foxes", k = 1).count() == 1)
+  }
+
+  test("upsertTexts publishes exactly ONE new version (no intermediate deleted-state)") {
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    val v = store.currentManifest.version
+    store.upsertTexts(
+      Seq(texts.head, "an upsert-only new row"),
+      Seq(Map("source" -> "patch.txt"), Map("source" -> "fresh.txt")))
+    assert(store.currentManifest.version == v + 1,
+      "merge must be one copy-on-write version, not delete+add's two")
+    assert(store.documentCount == 7)
+  }
+
   test("upsertTexts replaces matching texts (metadata wins) and appends new ones") {
     val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
     // re-ingest of an existing text would be DROPPED by ingest dedup;
@@ -310,6 +337,23 @@ class DocumentStoreSpec extends SparkSpec {
     assert(e.count(_.getAs[String]("category") == "geology") == 1)
     // ids stay dense after the delete+append composition
     assert(e.map(_.getAs[Long]("id")).sorted.toSeq == (0L until 7L))
+  }
+
+  test("readManifest treats a partial .tmp with no published manifest as absent") {
+    // crash mid-write of the very FIRST manifest: a truncated .tmp and
+    // no dst — the store was never published, so load must say absent
+    // (None), not throw a parse error on the garbage.
+    val dir = tmp()
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ".MANIFEST.json.tmp"), """{"ver""")
+    assert(DocumentStore.readManifest(spark, dir).isEmpty)
+    // but a COMPLETE .tmp (crash after close, before the swap) heals
+    val m = graft.StoreManifest(3L, 8, "cosine", 42L, 0)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ".MANIFEST.json.tmp"),
+      DocumentStore.renderManifest(m))
+    assert(DocumentStore.readManifest(spark, dir).contains(m))
   }
 
   test("deleteByTexts deletes only first occurrence and reports misses") {
