@@ -175,13 +175,34 @@ object VectorIndex {
     val s = if (roundScale >= 0) round(raw, roundScale) else raw
     val joined = docs.crossJoin(broadcast(queries))
     val kept = keep.map(joined.where).getOrElse(joined)
-    val scoredAll = kept
-      .withColumn(scoreCol, s)
-      .withColumn("__part", spark_partition_id())
+    val scoredAll = kept.withColumn(scoreCol, s)
+
+    if (k == 1) {
+      // Top-1 fast path: a min_by aggregate instead of two ranking
+      // windows. The win is PARTIAL AGGREGATION — each task reduces its
+      // scored rows to one candidate per query map-side, so the shuffle
+      // carries numPartitions × numQueries tiny rows instead of every
+      // scored (doc, query) pair. Ordering is identical to the window
+      // path: lexicographic (score-direction, tieBreak...) via a struct
+      // key (negated score for higher-is-better metrics), which is
+      // deterministic whenever tieBreak makes the window deterministic.
+      val ordKey = struct(
+        (if (higherIsBetter(metric)) negate(col(scoreCol)) else col(scoreCol))
+          +: tieBreak.map(col): _*)
+      val payloadCols = scoredAll.columns.filterNot(_ == queryVecCol)
+      val payload = struct(payloadCols.map(col).toIndexedSeq: _*)
+      return scoredAll
+        .groupBy(col(queryIdCol).as("__qid"))
+        .agg(min_by(payload, ordKey).as("__best"))
+        .select(col("__best.*"))
+        .withColumn("rank", lit(1))
+    }
+
+    val withPart = scoredAll.withColumn("__part", spark_partition_id())
     val order = ranking(metric, scoreCol, tieBreak)
     val local = Window.partitionBy(col(queryIdCol), col("__part")).orderBy(order: _*)
     val global = Window.partitionBy(col(queryIdCol)).orderBy(order: _*)
-    scoredAll
+    withPart
       .withColumn("__lr", row_number().over(local))
       .where(col("__lr") <= k)
       .withColumn("rank", row_number().over(global))
