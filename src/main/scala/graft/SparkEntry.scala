@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.embed.HashEmbedder
@@ -547,6 +547,30 @@ object SparkEntry {
       col("doc_id"), col("text"), col("source"),
       sha2(concat_ws("|", col("lang"), col("source"),
         col("n_chars").cast("string")), 256).as("metadata_hash"))
+
+  /** Integrity audit over the store's ACTUAL hashing recipe
+    * (DocumentStore.metadataHashCol — sha256 of key-sorted metadata
+    * JSON, the token index.py:224-226 writes but never re-checks):
+    * a synthetic metadata map is built from the documents columns, the
+    * "stored" token is deliberately corrupted for doc_id % 7 == 0
+    * (n_chars off by one), and the audit recomputes and flags exactly
+    * those rows. The oracle rebuilds both hashes byte-for-byte (same
+    * JSON rendering), so this pins the store's canonical-JSON hashing
+    * AND the verifier's compare logic. */
+  private def qIntegrityCheck(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    def meta(nChars: Column) = map(
+      lit("lang"), col("lang"),
+      lit("n_chars"), nChars.cast("string"),
+      lit("source"), col("source"))
+    val canonical = graft.store.DocumentStore.metadataHashCol(meta(col("n_chars")))
+    val stored = graft.store.DocumentStore.metadataHashCol(meta(
+      when(col("doc_id") % 7 === 0, col("n_chars") + 1).otherwise(col("n_chars"))))
+    docs.select(col("doc_id"), stored.as("stored_hash"), canonical.as("computed_hash"))
+      .withColumn("status",
+        when(col("stored_hash") === col("computed_hash"), lit("ok"))
+          .otherwise(lit("mismatch")))
+  }
 
   /** Q7/Q8: point lookup as a set semijoin. */
   private def qPointLookup(s: SparkSession, dir: String): DataFrame =
@@ -1604,6 +1628,7 @@ object SparkEntry {
       "q_quality_filter"      -> (qQualityFilter _),
       "q_wordcount"           -> (qWordcount _),
       "q_essential_projection" -> (qEssentialProjection _),
+      "q_integrity_check"     -> (qIntegrityCheck _),
       "q_point_lookup"        -> (qPointLookup _),
       "q_enrichment_join"     -> (qEnrichmentJoin _),
       "q_percentiles"         -> (qPercentiles _),
@@ -2111,6 +2136,22 @@ object SparkEntry {
       SELECT doc_id, text, source,
              sha256(lang || '|' || source || '|' || CAST(n_chars AS VARCHAR)) AS metadata_hash
       FROM documents""",
+
+    // Integrity audit: both hashes rebuilt byte-for-byte as the store's
+    // canonical key-sorted metadata JSON (keys lang < n_chars < source),
+    // stored side corrupted for doc_id % 7 = 0 (n_chars off by one).
+    "q_integrity_check" -> """
+      WITH h AS (
+        SELECT doc_id,
+          sha256('{"lang":"' || lang || '","n_chars":"' ||
+                 CAST(CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS VARCHAR) ||
+                 '","source":"' || source || '"}') AS stored_hash,
+          sha256('{"lang":"' || lang || '","n_chars":"' || CAST(n_chars AS VARCHAR) ||
+                 '","source":"' || source || '"}') AS computed_hash
+        FROM documents)
+      SELECT doc_id, stored_hash, computed_hash,
+             CASE WHEN stored_hash = computed_hash THEN 'ok' ELSE 'mismatch' END AS status
+      FROM h""",
 
     "q_point_lookup" -> """
       SELECT doc_id, text, lang, source FROM documents

@@ -1,7 +1,7 @@
 package graft.store
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField}
@@ -204,12 +204,12 @@ final class DocumentStore private (
 
     // Embed (narrow map stage) + essential projection + integrity hash
     // (index.py:220-237). Hash = sha256 over key-sorted metadata JSON —
-    // an opaque self-consistency token (SURVEY §7.4).
+    // an opaque self-consistency token (SURVEY §7.4), recomputable by
+    // [[verifyIntegrity]] (same shared expression).
     val embedded = embedder.embed(fresh, "text", "vec")
       .withColumn("source", col("metadata").getItem("source"))
       .withColumn("category", col("metadata").getItem("category"))
-      .withColumn("metadata_hash",
-        sha2(to_json(map_from_entries(array_sort(map_entries(col("metadata"))))), 256))
+      .withColumn("metadata_hash", DocumentStore.metadataHashCol(col("metadata")))
 
     // Dense id assignment at the append offset (index.py:230):
     // zipWithIndex (no shuffle), input order preserved via sort by seq.
@@ -914,9 +914,46 @@ final class DocumentStore private (
     dirSize(spark, payloadDir(manifest.version)),
     dirSize(spark, essentialDir(manifest.version)),
     frameMappingStats)
+
+  /** Integrity audit: recompute each document's `metadata_hash` from
+    * the PAYLOAD store's metadata and compare to the token stored in
+    * the essential store at ingest. The reference computes and persists
+    * this hash (index.py:224-226) but never re-checks it — this is the
+    * consumption side. One full-outer hash-join on doc_id; both sides
+    * are narrow projections, so the audit cost is one shuffle of
+    * (id, hash) pairs, not the corpus payloads.
+    *
+    * Statuses: `ok` (hashes agree), `mismatch` (payload metadata no
+    * longer hashes to the stored token — corruption or out-of-band
+    * edit), `missing_payload` (essential row with no payload row —
+    * broken store), `orphan_payload` (payload row with no essential
+    * row — harmless leftover of a crashed incremental append; compact()
+    * removes them). Filter `status != 'ok'` for the defect list. */
+  def verifyIntegrity(): DataFrame = {
+    require(manifest.count > 0, "store is empty or not built")
+    val stored = essential.select(col("id").as("doc_id"),
+      col("metadata_hash").as("stored_hash"))
+    val recomputed = payload.select(col("doc_id"),
+      DocumentStore.metadataHashCol(col("metadata")).as("computed_hash"))
+    stored.join(recomputed, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("stored_hash").isNull, lit("orphan_payload"))
+          .when(col("computed_hash").isNull, lit("missing_payload"))
+          .when(col("stored_hash") === col("computed_hash"), lit("ok"))
+          .otherwise(lit("mismatch")))
+  }
 }
 
 object DocumentStore {
+
+  /** The store's metadata integrity token (reference index.py:224-226):
+    * sha256 over the key-sorted JSON rendering of the metadata map.
+    * ONE definition shared by ingest (buildNewRows), the audit
+    * ([[DocumentStore.verifyIntegrity]]), and the oracle-checked
+    * q_integrity_check query — the recipe can't drift between the
+    * producer and the checker. */
+  def metadataHashCol(metadata: Column): Column =
+    sha2(to_json(map_from_entries(array_sort(map_entries(metadata)))), 256)
 
   /** Factory: construct + ingest (reference from_texts,
     * vectorstore.py:881-911). */

@@ -339,6 +339,32 @@ class DocumentStoreSpec extends SparkSpec {
     assert(e.map(_.getAs[Long]("id")).sorted.toSeq == (0L until 7L))
   }
 
+  test("verifyIntegrity: clean store all ok; corrupted payload metadata flagged") {
+    import org.apache.spark.sql.functions.{col, map_concat, map, lit, when}
+    val dir = tmp()
+    val store = DocumentStore.fromTexts(spark, dir, texts, metas, StoreConfig(), emb)
+    val audit0 = store.verifyIntegrity()
+    assert(audit0.count() == 6)
+    assert(audit0.where(col("status") =!= "ok").count() == 0)
+    // Out-of-band corruption: rewrite the payload store with doc 2's
+    // metadata altered (what a buggy external writer / bit-rot repair
+    // tool would do). The stored essential hash no longer matches.
+    val v = store.currentManifest.version
+    val payloadPath = s"$dir/v$v/payload"
+    val corrupted = spark.read.parquet(payloadPath)
+      .withColumn("metadata",
+        when(col("doc_id") === 2L,
+          map_concat(col("metadata"), map(lit("source"), lit("tampered.txt"))))
+          .otherwise(col("metadata")))
+    val staging = s"$dir/payload_tmp"
+    corrupted.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(payloadPath)
+    val bad = store.verifyIntegrity().where(col("status") =!= "ok").collect()
+    assert(bad.length == 1)
+    assert(bad.head.getAs[Long]("doc_id") == 2L)
+    assert(bad.head.getAs[String]("status") == "mismatch")
+  }
+
   test("readManifest treats a partial .tmp with no published manifest as absent") {
     // crash mid-write of the very FIRST manifest: a truncated .tmp and
     // no dst — the store was never published, so load must say absent
