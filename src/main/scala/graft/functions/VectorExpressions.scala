@@ -203,6 +203,62 @@ case class NearestCentroidExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** Top-`nprobe` nearest-centroid INDICES (ascending (distance, index)
+  * order) of a full vector — the multi-probe generalization of
+  * [[NearestCentroidExpr]] (which is the nprobe=1 argmin), used by the
+  * batch IVF prune rule to compute each query row's probe set ONCE on
+  * the (small) queries side instead of per joined pair. Distance
+  * rounding and the index tie-break replicate
+  * `IvfIndex.Model.nearestCentroids` exactly (asserted in spec), so a
+  * plan pruned by this expression probes the same clusters the
+  * driver-side path probes. CodegenFallback for the same reason as
+  * [[NearestCentroidExpr]]: one JVM call per query row running
+  * nlist·dim primitive ops.
+  */
+case class NearestCentroidsExpr(child: Expression,
+    centroids: IndexedSeq[IndexedSeq[Double]], nprobe: Int,
+    roundScale: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(centroids.forall(_.length == centroids.head.length),
+    "centroids must all have the same dimension")
+  require(nprobe >= 1, "nprobe must be >= 1")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_centroids"
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val need = cents(0).length
+    if (x.numElements() != need)
+      throw new IllegalArgumentException(
+        s"graft_nearest_centroids: input has ${x.numElements()} elements, " +
+          s"need exactly $need (centroid dim)")
+    val dists = new Array[(Double, Int)](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0
+      var j = 0
+      while (j < need) { val t = x.getDouble(j) - cent(j); d += t * t; j += 1 }
+      if (roundScale >= 0)
+        d = java.math.BigDecimal.valueOf(d)
+          .setScale(roundScale, java.math.RoundingMode.HALF_UP).doubleValue()
+      dists(c) = (d, c)
+      c += 1
+    }
+    val top = dists.sortBy { case (d, i) => (d, i) }
+      .take(math.min(nprobe, cents.length)).map(_._2)
+    new GenericArrayData(top)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Deterministic hash embedding of a string — the fused form of
   * HashEmbedder's SQL expression (bit-identical; see HashEmbedderSpec).
   * CodegenFallback: one JVM call per row beats 64 interpreted sha2

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, Window}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.functions.{CosineSimilarityExpr, DotProductExpr, L2DistanceExpr}
@@ -82,6 +83,20 @@ object IvfTopKPruneRule {
                          higherIsBetter: Boolean): Option[(Seq[Double], Expression, Boolean)] =
     literalVec(r).map(v => (v, l, higherIsBetter))
       .orElse(literalVec(l).map(v => (v, r, higherIsBetter)))
+
+  /** Batch twin of [[scoreQueryVec]]: metric(l, r) with BOTH sides
+    * non-literal (the multi-query shape — the query vector is a column
+    * of the queries side, not a literal). Returns (l, r,
+    * higherIsBetter); the caller decides which side is the store's
+    * vector and which is the query by reference-set membership. */
+  private[plans] def scoreSides(e: Expression): Option[(Expression, Expression, Boolean)] =
+    e match {
+      case Round(child, _, _) => scoreSides(child)
+      case CosineSimilarityExpr(l, r) => Some((l, r, true))
+      case DotProductExpr(l, r)       => Some((l, r, true))
+      case L2DistanceExpr(l, r)       => Some((l, r, false))
+      case _ => None
+    }
 }
 
 case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -99,7 +114,108 @@ case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         pruned(scoreAttr, child, wantHigher = dir == Descending)
           .map(c => gl.copy(child = ll.copy(child = sort.copy(child = c))))
           .getOrElse(gl)
+      case w: Window => prunedBatch(w).getOrElse(w)
     }
+
+  /** Batch (multi-query) pruning: `VectorIndex.topKBatch`'s shape — a
+    * per-query ranking window over metric(store vec, query vec column)
+    * of a scored cross join — is rewritten to probe only each query's
+    * `nprobe` nearest clusters: the probe set is computed ONCE per
+    * query row by projecting [[graft.functions.NearestCentroidsExpr]]
+    * onto the (small, broadcast) queries side, and
+    * `array_contains(probes, cluster)` is filtered directly above the
+    * join, cutting the ranking/shuffle input to ~nprobe/nlist of the
+    * scored pairs. The probe set is bit-identical to the driver-side
+    * `Model.nearestCentroids` path (same rounding and index tie-break),
+    * so this is the single-query rewrite's recall trade, per query.
+    *
+    * Fires only when ALL of: the window has a rank-like function
+    * partitioned by something from the queries side and ordered first
+    * by the score; the score aliases metric(l, r) with the vector side
+    * reading a REGISTERED store scan whose cluster column survives to
+    * the join output; the query side is `array<double>`; the sort
+    * direction matches the metric; and no cluster filter exists yet
+    * (idempotence — also what stops the second window of the same
+    * tower from re-firing). */
+  private def prunedBatch(w: Window): Option[LogicalPlan] = {
+    val rankLike = w.windowExpressions.exists {
+      case Alias(WindowExpression(_: RowNumber | _: Rank | _: DenseRank, _), _) => true
+      case _ => false
+    }
+    if (!rankLike) return None
+    val scoreOrder = w.orderSpec.headOption.collect {
+      case SortOrder(a: Attribute, dir, _, _) if dir == Descending || dir == Ascending =>
+        (a, dir == Descending)
+    }
+    scoreOrder.flatMap { case (scoreAttr, wantHigher) =>
+      val scoreExpr = w.child.collect { case Project(pl, _) => pl }.flatten
+        .collectFirst { case a @ Alias(e, _) if a.exprId == scoreAttr.exprId => e }
+      scoreExpr.flatMap(scoreSides).filter(_._3 == wantHigher)
+        .flatMap { case (l, r, _) =>
+          w.child.collectFirst { case j: Join => j }.flatMap { join =>
+            val scan = join.collectFirst {
+              case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+                val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+                lookup(fs.location.rootPaths.map(_.toString))
+                  .flatMap(reg => lr.output.find(_.name == reg.clusterCol)
+                    .map(cl => (lr, reg, cl)))
+            }.flatten
+            scan.flatMap { case (lr, reg, clusterAttr) =>
+              // which join child holds the scan — the other is queries
+              val scanOnLeft = join.left.collectFirst {
+                case l2: LogicalRelation if l2 eq lr => l2 }.isDefined
+              val qSide = if (scanOnLeft) join.right else join.left
+              // classify the metric's sides by reference sets
+              val sides = Seq((l, r), (r, l)).collectFirst {
+                case (vec, qv)
+                    if vec.references.nonEmpty && vec.references.subsetOf(lr.outputSet) &&
+                      qv.references.nonEmpty && qv.references.subsetOf(qSide.outputSet) &&
+                      qv.dataType.isInstanceOf[ArrayType] &&
+                      qv.dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
+                  qv
+              }
+              val perQuery = w.partitionSpec.exists(
+                _.references.exists(qSide.outputSet.contains))
+              val alreadyPruned = w.child.exists {
+                case Filter(cond, _) => cond.references.contains(clusterAttr)
+                case _ => false
+              }
+              // Column pruning may have dropped the cluster column from
+              // the docs-side Projects (the query never selects it) —
+              // re-thread it bottom-up so the filter above the join can
+              // see it; the tower's own Projects prune it right back
+              // above the filter. Bail if something other than Projects
+              // (an agg, another join) sits between the scan and the
+              // join — threading through those would change semantics.
+              val docsSide = if (scanOnLeft) join.left else join.right
+              val docsWithCluster = docsSide.transformUp {
+                case p: Project
+                    if !p.projectList.exists(_.toAttribute.exprId == clusterAttr.exprId) &&
+                      p.child.outputSet.contains(clusterAttr) =>
+                  p.copy(projectList = p.projectList :+ clusterAttr)
+              }
+              val clusterReachable = docsWithCluster.outputSet.contains(clusterAttr)
+              sides.filter(_ => perQuery && !alreadyPruned && clusterReachable)
+                .map { qv =>
+                  val probesAlias = Alias(
+                    graft.functions.NearestCentroidsExpr(
+                      qv, reg.model.centroids, reg.nprobe, roundScale = -1),
+                    "__graft_probes")()
+                  val newQSide = Project(qSide.output :+ probesAlias, qSide)
+                  val newJoin =
+                    if (scanOnLeft) join.copy(left = docsWithCluster, right = newQSide)
+                    else join.copy(left = newQSide, right = docsWithCluster)
+                  val filtered = Filter(
+                    ArrayContains(probesAlias.toAttribute, clusterAttr), newJoin)
+                  w.copy(child = w.child.transformUp {
+                    case j: Join if j eq join => filtered
+                  })
+                }
+            }
+          }
+        }
+    }
+  }
 
   /** Rewrites `child` with a cluster-IN-probes filter above its scan if
     * (a) `scoreAttr` is an alias of cosine(vec, literal qv) somewhere in

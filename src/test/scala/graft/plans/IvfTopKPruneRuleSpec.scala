@@ -150,6 +150,52 @@ class IvfTopKPruneRuleSpec extends SparkSpec {
     }
   }
 
+  test("batch (multi-query window-rank) shape prunes per query via a probes column") {
+    withRule {
+      IvfTopKPruneRule.register(storePath, model, nprobe = 2)
+      spark.conf.set(IvfTopKPruneRule.ConfKey, "true")
+      try {
+        val queries = Seq(
+          (1000L, emb.embedQuery("document number 3").toSeq),
+          (1001L, emb.embedQuery("some other thing").toSeq),
+          (1002L, emb.embedQuery("a third query").toSeq))
+        val qdf = queries.toDF("qid", "qv")
+        val docs = spark.read.parquet(storePath)
+        val batch = graft.index.VectorIndex.topKBatch(docs, "vec", qdf,
+          "qid", "qv", k = 3, "cosine", scoreCol = "score", tieBreak = Seq("id"))
+        // the rewritten plan computes each query's probe set once and
+        // filters the joined pairs on it
+        def probeFiltered(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.exists {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition.references.exists(_.name == "__graft_probes")
+            case _ => false
+          }
+        assert(probeFiltered(batch), "batch shape must carry the probes filter")
+        val auto = batch.select("qid", "rank", "id").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+        // manual expectation: each query ranked over ITS OWN 2 probes
+        val manual = queries.flatMap { case (qid, qv) =>
+          val probes = model.nearestCentroids(qv, 2)
+          graft.index.VectorIndex.topK(
+              docs.where(col("cluster").isin(probes: _*)),
+              "vec", qv, 3, "cosine", scoreCol = "score", tieBreak = Seq("id"))
+            .select("id").collect().zipWithIndex
+            .map { case (r, i) => (qid, i + 1, r.getLong(0)) }
+        }.sorted
+        assert(auto == manual)
+        // same batch over an UN-registered copy of the data: untouched
+        IvfTopKPruneRule.unregister(storePath)
+        val untouched = graft.index.VectorIndex.topKBatch(docs, "vec", qdf,
+          "qid", "qv", k = 3, "cosine", scoreCol = "score", tieBreak = Seq("id"))
+        assert(!probeFiltered(untouched))
+      } finally {
+        spark.conf.unset(IvfTopKPruneRule.ConfKey)
+        IvfTopKPruneRule.unregister(storePath)
+      }
+    }
+  }
+
   test("ip (desc) and l2 (asc) rankings prune like cosine") {
     withRule {
       IvfTopKPruneRule.register(storePath, model, nprobe = 2)
