@@ -1,0 +1,121 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence harness: measures per-family runtime ratios between
+  * sf0.1 and a synthesized 10× replica of it ("sf1.0-synth"), because
+  * the driver ships no sf1.0 tables. The 100 TB claims in SCALE.md rest
+  * on plan-shape arguments; this turns them into a measured 10× point.
+  *
+  * Replication is keyed and salted so the 10× corpus scales the ENGINE
+  * work linearly instead of exploding the OUTPUT combinatorially:
+  *  - every replica's ids/keys are offset (docs, vectors, users,
+  *    orders/customers) so joins and groupings see 10× more groups of
+  *    the same size, not 10× bigger groups;
+  *  - document text is token-interleaved with a per-replica salt
+  *    (`a b c` → `a z3 b z3 c`): the ORIGINAL tokens stay (BM25 terms
+  *    still match corpus-wide, tf unchanged, df ×10), but every word
+  *    3-gram spans a salt token, so shingle/minhash/band keys are
+  *    distinct ACROSS replicas and near-dup candidate pairs grow 10×
+  *    (linear), not 100× (all-pairs between identical replicas). The
+  *    ×1 corpus gets the SAME transform (replica 0), so the ratio
+  *    compares identical per-row work.
+  *
+  * Output: one line per query with t(×1), t(×10) (best of 2 runs each)
+  * and the ratio; ~linear (≤ ~10×) on scan/join/shuffle-bound families
+  * and sublinear on TakeOrdered families is the expected posture.
+  */
+object ScaleBench {
+
+  private val Queries = Seq(
+    "q1_lineitem_agg",      // scan + hash agg (partial agg)
+    "q18_large_orders",     // 3-way join + HAVING subquery
+    "q_topk_cosine",        // zero-shuffle scored scan + TakeOrdered
+    "q_knn_self_top1",      // fixed 100 queries × corpus, min_by agg
+    "q_dedup_exact",        // one hash-shuffle groupBy
+    "q_dedup_minhash_lsh",  // banded LSH equi-join
+    "q_dedup_jaccard",      // shingle pair-join floor
+    "q_bm25_search",        // tokenize + df/tf join + TakeOrdered
+    "q_events_sessionize",  // per-user window (10× users, same size)
+    "q_pack_sequences",     // two-phase bucketed cumsum
+    "q_lm_bigram")          // bigram/unigram count joins
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val base = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val x1 = s"$base/x1"
+    val x10 = s"$base/x10"
+    build(spark, src, x1, 1)
+    build(spark, src, x10, 10)
+
+    println(f"${"query"}%-22s ${"t_x1"}%8s ${"t_x10"}%8s  ratio")
+    Queries.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      def best(dir: String): Double =
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).collect()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      val t1 = best(x1)
+      val t10 = best(x10)
+      println(f"$name%-22s $t1%8.2f $t10%8.2f  ${t10 / t1}%5.1fx")
+    }
+    spark.stop()
+  }
+
+  /** Write `replicas` key-offset copies of the sf tables into `out`
+    * (idempotent: skips if the directory already exists). */
+  private def build(spark: SparkSession, src: String, out: String,
+                    replicas: Int): Unit = {
+    val done = new java.io.File(s"$out/_BUILT")
+    if (done.exists()) return
+    def rep(table: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val srcDf = spark.read.parquet(s"$src/$table.parquet")
+      (0 until replicas).map(i => f(srcDf, i))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
+    rep("documents") { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + i * 10000000L)
+        .withColumn("text", regexp_replace(col("text"), " ", s" z$i "))
+    }
+    rep("embeddings") { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + i * 10000000L)
+    }
+    rep("events") { (df, i) =>
+      df.withColumn("event_id", col("event_id") + i * 100000000L)
+        .withColumn("user_id", col("user_id") + i * 10000000L)
+    }
+    rep("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + i * 100000000L)
+        .withColumn("l_partkey", col("l_partkey") + i * 100000000L)
+        .withColumn("l_suppkey", col("l_suppkey") + i * 100000000L)
+    }
+    rep("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + i * 100000000L)
+        .withColumn("o_custkey", col("o_custkey") + i * 100000000L)
+    }
+    rep("customer") { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + i * 100000000L)
+    }
+    // dimension tables ride along unreplicated
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    done.getParentFile.mkdirs()
+    done.createNewFile()
+    ()
+  }
+}

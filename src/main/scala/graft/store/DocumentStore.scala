@@ -90,10 +90,10 @@ final class DocumentStore private (
   def payloadAt(version: Long): DataFrame = versionedRead(version, payloadDir)
 
   private def versionedRead(version: Long, dirOf: Long => String): DataFrame = {
-    require(version >= 1 && version <= manifest.version,
+    if (!(version >= 1 && version <= manifest.version)) throw new StorageException(
       s"version $version out of range 1..${manifest.version}")
     val dir = dirOf(version)
-    require(fsFor(dir).exists(hadoopPath(dir)),
+    if (!fsFor(dir).exists(hadoopPath(dir))) throw new StorageException(
       s"version $version already pruned (keepVersions=${config.keepVersions})")
     spark.read.parquet(dir)
   }
@@ -112,7 +112,7 @@ final class DocumentStore private (
     * str(0..len(texts)-1) of the INPUT — a reference surface
     * inconsistency we replicate deliberately (vectorstore.py:221). */
   def addTexts(texts: Seq[String], metadatas: Seq[Map[String, String]] = Nil): Seq[String] = {
-    require(metadatas.isEmpty || metadatas.length == texts.length,
+    if (!(metadatas.isEmpty || metadatas.length == texts.length)) throw new IngestException(
       s"texts/metadatas length mismatch: ${texts.length} vs ${metadatas.length}")
     val metas = if (metadatas.isEmpty) Seq.fill(texts.length)(Map.empty[String, String]) else metadatas
     import spark.implicits._
@@ -385,7 +385,7 @@ final class DocumentStore private (
     * it stale; stale indexes are detected and bypassed, so building is
     * always safe and never required. */
   def buildLexicalIndex(numFiles: Int = 16): Unit = {
-    require(manifest.count > 0, "store is empty or not built")
+    if (manifest.count == 0) throw new IndexException("store is empty or not built")
     TextSearch.writeIndex(essential.select(col("id"), col("text")),
       "id", "text", lexicalDir(manifest.version), numFiles)
   }
@@ -400,8 +400,8 @@ final class DocumentStore private (
     * stale; stale indexes are detected and bypassed, so building is
     * always safe and never required. */
   def buildPqIndex(m: Int = 8, ksub: Int = 16, seed: Long = 42L): Unit = {
-    require(manifest.count > 0, "store is empty or not built")
-    require(embedder.dim % m == 0, s"dim ${embedder.dim} not divisible by m=$m")
+    if (manifest.count == 0) throw new IndexException("store is empty or not built")
+    if (embedder.dim % m != 0) throw new IndexException(s"dim ${embedder.dim} not divisible by m=$m")
     val model = PqIndex.fit(essential, "vec", m, ksub, seed)
     val dir = pqDir(manifest.version)
     import spark.implicits._
@@ -450,7 +450,7 @@ final class DocumentStore private (
     * shape, so callers can't break on staleness). */
   def similaritySearchPq(query: String, k: Int = 4,
                          candidates: Int = 100): DataFrame = {
-    require(manifest.count > 0, "store is empty or not built")
+    if (manifest.count == 0) throw new SearchException("store is empty or not built")
     loadPq() match {
       case None => similaritySearch(query, k)
       case Some((model, codes)) =>
@@ -496,7 +496,7 @@ final class DocumentStore private (
   def maxMarginalRelevanceSearch(query: String, k: Int = 4,
                                  fetchK: Int = 20,
                                  lambdaParam: Double = 0.5): DataFrame = {
-    require(manifest.count > 0, "store is empty or not built")
+    if (manifest.count == 0) throw new SearchException("store is empty or not built")
     val qv = embedder.embedQuery(query)
     val sel = VectorIndex.mmr(searchSpace(qv), "vec", qv.toSeq, k, fetchK,
       lambdaParam, config.metric, idCol = "id")
@@ -514,7 +514,7 @@ final class DocumentStore private (
     * [[similaritySearch]]: returns (doc_id, text, source, category,
     * score, metadata_type). Uses the persisted index when fresh. */
   def searchLexical(queryTerms: Seq[String], k: Int = 4): DataFrame = {
-    require(manifest.count > 0, "store is empty or not built")
+    if (manifest.count == 0) throw new SearchException("store is empty or not built")
     val hits = lexicalScores(queryTerms)
       .orderBy(col("score").desc, col("id")).limit(k).collect()
     import spark.implicits._
@@ -555,7 +555,7 @@ final class DocumentStore private (
   def similaritySearch(query: String, k: Int = 4,
                        includeFullMetadata: Boolean = false,
                        filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    require(manifest.count > 0, "store is empty or not built")
+    if (manifest.count == 0) throw new SearchException("store is empty or not built")
     val qv = embedder.embedQuery(query)
     // Metadata-filtered ANN (the `filter` arg of the LangChain
     // similarity_search surface): the predicate lands on the scored
@@ -585,7 +585,7 @@ final class DocumentStore private (
     * (IVF-pruned) search space, no sort or limit. */
   def similaritySearchRadius(query: String, threshold: Double,
                              includeFullMetadata: Boolean = false): DataFrame = {
-    require(manifest.count > 0, "store is empty or not built")
+    if (manifest.count == 0) throw new SearchException("store is empty or not built")
     val qv = embedder.embedQuery(query)
     val hits = VectorIndex.radiusSearch(
         searchSpace(qv), "vec", qv.toSeq, threshold, config.metric,
@@ -606,7 +606,7 @@ final class DocumentStore private (
     * the prescreen runs over the nprobe-pruned search space. */
   def similaritySearchApprox(query: String, k: Int = 4,
                              candidates: Int = 100): DataFrame = {
-    require(manifest.count > 0, "store is empty or not built")
+    if (manifest.count == 0) throw new SearchException("store is empty or not built")
     if (!VectorFunctions.higherIsBetter(config.metric))
       similaritySearch(query, k)
     else {
@@ -636,7 +636,7 @@ final class DocumentStore private (
     * broad predicate can match hundreds of millions of rows). Returns
     * the number of documents removed. */
   def deleteWhere(condition: org.apache.spark.sql.Column): Long = mutationLock.synchronized {
-    require(manifest.count > 0, "store is empty or not built")
+    if (manifest.count == 0) throw new IndexException("store is empty or not built")
     val doomedIds = essential.where(condition).select("id")
     val removed = doomedIds.count()
     if (removed == 0) return 0L
@@ -663,7 +663,7 @@ final class DocumentStore private (
     * ranking to ITS clusters, so batch and single-query results agree
     * exactly. */
   def similaritySearchBatch(queries: Seq[String], k: Int = 4): DataFrame = {
-    require(manifest.count > 0, "store is empty or not built")
+    if (manifest.count == 0) throw new SearchException("store is empty or not built")
     import spark.implicits._
     // Distinct queries: a duplicated query string would score every doc
     // once per copy and interleave duplicate rows inside its own top-k.
@@ -699,7 +699,7 @@ final class DocumentStore private (
     * reads only k rows, which become the broadcast build side). */
   def hybridSearch(query: String, queryTerms: Seq[String], k: Int = 4,
                    perSourceK: Int = 50, rrfK: Int = 60): DataFrame = {
-    require(manifest.count > 0, "store is empty or not built")
+    if (manifest.count == 0) throw new SearchException("store is empty or not built")
     val qv = embedder.embedQuery(query)
     val vecScores = VectorIndex.topK(searchSpace(qv), "vec", qv.toSeq,
         perSourceK, config.metric, scoreCol = "score", tieBreak = Seq("id"))
@@ -779,9 +779,9 @@ final class DocumentStore private (
     * last document removes the store (vectorstore.py:482-490). */
   def deleteByIds(ids: Seq[Long]): Boolean = mutationLock.synchronized {
     if (ids.isEmpty) return false
-    require(manifest.count > 0, "store is empty or not built")
+    if (manifest.count == 0) throw new IndexException("store is empty or not built")
     val bad = ids.filter(i => i < 0 || i >= manifest.count)
-    require(bad.isEmpty, s"invalid ids: ${bad.mkString(",")} (count=${manifest.count})")
+    if (bad.nonEmpty) throw new IndexException(s"invalid ids: ${bad.mkString(",")} (count=${manifest.count})")
 
     import spark.implicits._
     val idsDf = ids.toDF("id")
@@ -804,7 +804,7 @@ final class DocumentStore private (
     * deleted, reference semantics (index.py:389-393). */
   def deleteByTexts(texts: Seq[String]): Boolean = {
     if (texts.isEmpty) return false
-    require(manifest.count > 0, "store is empty or not built")
+    if (manifest.count == 0) throw new IndexException("store is empty or not built")
     import spark.implicits._
     val tdf = texts.distinct.toDF("text")
     val firstIds = essential.join(broadcast(tdf), Seq("text"), "left_semi")
@@ -852,7 +852,7 @@ final class DocumentStore private (
     * pure-append delegations to [[addTexts]] stay atomic too). */
   def upsertTexts(texts: Seq[String],
                   metadatas: Seq[Map[String, String]] = Nil): Seq[String] = mutationLock.synchronized {
-    require(metadatas.isEmpty || metadatas.length == texts.length,
+    if (!(metadatas.isEmpty || metadatas.length == texts.length)) throw new IngestException(
       s"texts/metadatas length mismatch: ${texts.length} vs ${metadatas.length}")
     if (manifest.count == 0) return addTexts(texts, metadatas)
     import spark.implicits._
@@ -930,7 +930,7 @@ final class DocumentStore private (
     * row — harmless leftover of a crashed incremental append; compact()
     * removes them). Filter `status != 'ok'` for the defect list. */
   def verifyIntegrity(): DataFrame = {
-    require(manifest.count > 0, "store is empty or not built")
+    if (manifest.count == 0) throw new StorageException("store is empty or not built")
     val stored = essential.select(col("id").as("doc_id"),
       col("metadata_hash").as("stored_hash"))
     val recomputed = payload.select(col("doc_id"),
@@ -1014,8 +1014,8 @@ object DocumentStore {
   def load(spark: SparkSession, path: String, embedder: Embedder,
            config: StoreConfig = StoreConfig()): DocumentStore = {
     val m = readManifest(spark, path).getOrElse(
-      throw new IllegalArgumentException(s"no store manifest at $path"))
-    require(m.dim == embedder.dim,
+      throw new StorageException(s"no store manifest at $path"))
+    if (m.dim != embedder.dim) throw new IndexException(
       s"embedder dim ${embedder.dim} != stored dim ${m.dim}")
     // Restore STORED index parameters, not the caller's defaults: a
     // reloaded IVF store whose config said nlist=0 would silently write
