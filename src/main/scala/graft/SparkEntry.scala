@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashEmbedder
 import graft.index.{IvfIndex, VectorIndex}
-import graft.ops.{AsofJoin, Contamination, Dedup, EventOps, Layout, Pii, QualitySignals, Sampling, SkewTools, TextAnalysis, TextSearch}
+import graft.ops.{AsofJoin, Contamination, Dedup, Dsir, EventOps, Layout, Pii, QualitySignals, Sampling, SemDedup, SkewTools, TextAnalysis, TextSearch}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2, each with an equivalent DuckDB oracle in [[oracleSql]]
@@ -494,6 +494,47 @@ object SparkEntry {
         "embedding", qv, 10, "cosine", scoreCol = "score",
         tieBreak = Seq("vec_id"), roundScale = 4)
       .select(col("vec_id"), col("cluster"), col("score"))
+  }
+
+  /** The q_semdedup coarse quantizer's pinned centroids (same capture
+    * protocol as [[ivfSearchCentroidValues]]; the fit is shared with
+    * q_ivf_search via fitCached, so this query adds no second k-means
+    * cost — it captures its OWN copy so the oracle never depends on
+    * query execution order). */
+  @volatile private var semdedupCentroidValues: Option[String] = None
+
+  /** SemDeDup (cluster-pruned semantic dedup, Abbas et al. 2023): the
+    * same two-phase oracle split as [[qIvfSearch]] — the k-means fit is
+    * driver work, the pinned-centroid flag pass (rounded-argmin
+    * assignment, within-cluster rounded-cosine pairs, min-id survivor)
+    * is exact SQL. τ = 0.4 matches q_neardup_embedding, so the two
+    * queries together measure what cluster pruning costs in recall. */
+  private def qSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val fitted = IvfIndex.fitCached(s"$dir/embeddings", emb, "embedding",
+      nlist = 8, maxIter = 2, initMode = "random", fitFraction = 0.25,
+      fitPartitions = 2)
+    val centsBd = fitted.centroids.map(_.map(d =>
+      BigDecimal(d).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)))
+    val model = IvfIndex.Model(centsBd.map(_.map(_.toDouble)))
+    semdedupCentroidValues = Some(centsBd.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.underlying.toPlainString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n        "))
+    SemDedup.flag(emb, "vec_id", "embedding", model, threshold = 0.4,
+      roundScale = 4)
+  }
+
+  /** DSIR importance weights (Xie et al. 2023): score every document by
+    * target-vs-raw hashed-bigram log-likelihood ratio, select the top
+    * 200. Target domain = the `src0` slice of the corpus itself (the
+    * paper's continued-pretraining setup: target ⊂ raw is fine — it
+    * only contributes counts). */
+  private def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    Dsir.selectTopK(
+      Dsir.importanceWeights(docs, docs.where(col("source") === "src0"),
+        "doc_id", "text", buckets = 4096),
+      "doc_id", k = 200)
   }
 
   private def qNeardupEmbedding(s: SparkSession, dir: String): DataFrame =
@@ -1618,6 +1659,8 @@ object SparkEntry {
       "q_knn_batch"           -> (qKnnBatch _),
       "q_knn_self_top1"       -> (qKnnSelfTop1 _),
       "q_ivf_search"          -> (qIvfSearch _),
+      "q_semdedup"            -> (qSemdedup _),
+      "q_dsir_weights"        -> (qDsirWeights _),
       "q_neardup_embedding"   -> (qNeardupEmbedding _),
       "q_dedup_exact"         -> (qDedupExact _),
       "q_dedup_fingerprint"   -> (qDedupFingerprint _),
@@ -3155,8 +3198,42 @@ object SparkEntry {
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
              round(CAST(sum(CAST(sp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
                AS avg_surprisal
-      FROM s GROUP BY doc_id"""
-  ) ++ ivfSearchOracle
+      FROM s GROUP BY doc_id""",
+
+    // DSIR hashed-bigram importance weights: bucket = hash60(bigram)
+    // mod 4096 (sha-derived, engine-independent); per-bucket log-ratio
+    // rounded 6dp; per-doc DECIMAL-exact sum rounded 4dp BEFORE the
+    // top-200 selection rank (ties by doc_id).
+    "q_dsir_weights" -> s"""
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                    FROM documents),
+      bg AS (SELECT doc_id, source,
+               unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS bg
+             FROM toks WHERE len(toks) >= 2),
+      db AS (SELECT doc_id, source,
+               ${dk60("bg")} % 4096 AS bkt FROM bg),
+      rc AS (SELECT bkt, count(*) AS rcnt FROM db GROUP BY bkt),
+      tc AS (SELECT bkt, count(*) AS tcnt FROM db
+             WHERE source = 'src0' GROUP BY bkt),
+      tot AS (SELECT (SELECT CAST(sum(rcnt) AS DOUBLE) FROM rc) AS rtot,
+                     (SELECT CAST(sum(tcnt) AS DOUBLE) FROM tc) AS ttot),
+      ratio AS (SELECT rc.bkt,
+                  round(ln((CAST(coalesce(tc.tcnt, 0) AS DOUBLE) + 1.0) /
+                           (tot.ttot + 4096.0))
+                      - ln((CAST(rc.rcnt AS DOUBLE) + 1.0) /
+                           (tot.rtot + 4096.0)), 6) AS logr
+                FROM rc LEFT JOIN tc USING (bkt), tot),
+      w AS (SELECT db.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(round(sum(CAST(r.logr AS DECIMAL(18,6))), 4) AS DOUBLE)
+                AS logweight
+            FROM db JOIN ratio r USING (bkt) GROUP BY db.doc_id)
+      SELECT doc_id, n_bigrams, logweight,
+             CAST(CASE WHEN row_number() OVER
+                    (ORDER BY logweight DESC, doc_id) <= 200
+                  THEN 1 ELSE 0 END AS INT) AS selected
+      FROM w"""
+  ) ++ ivfSearchOracle ++ semdedupOracle
 
   /** Dynamic oracle for q_ivf_search: the k-means fit exports its
     * (6dp-rounded) centroids via [[ivfSearchCentroidValues]], and the
@@ -3191,5 +3268,34 @@ object SparkEntry {
       FROM v JOIN a ON a.vec_id = v.vec_id, q
       WHERE a.cluster IN (SELECT cid FROM p)
       ORDER BY score DESC, v.vec_id LIMIT 10"""
+    }.toMap
+
+  /** Dynamic oracle for q_semdedup — same pinned-centroid protocol as
+    * [[ivfSearchOracle]]: rounded-argmin cluster assignment over the
+    * exported centroid literals, within-cluster rounded-cosine pairs at
+    * τ = 0.4, min-id survivor rule. */
+  private def semdedupOracle: Map[String, String] =
+    semdedupCentroidValues.map { vals =>
+      "q_semdedup" -> s"""
+      WITH c AS (SELECT CAST(cid AS INT) AS cid, cv FROM (VALUES
+        $vals) AS t(cid, cv)),
+      v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      d AS (SELECT v.vec_id, c.cid,
+              round(list_sum(list_transform(range(1, len(v.ev) + 1),
+                i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))), 4) AS dist
+            FROM v, c),
+      a AS (SELECT vec_id, cid AS cluster FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d) t WHERE rn = 1),
+      m AS (SELECT v.vec_id, v.ev, a.cluster FROM v JOIN a USING (vec_id)),
+      pr AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+             FROM m x JOIN m y
+               ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+             WHERE round(list_cosine_similarity(x.ev, y.ev), 4) >= 0.4),
+      g AS (SELECT id_b, min(id_a) AS dup_of FROM pr GROUP BY id_b)
+      SELECT a.vec_id, a.cluster,
+             CAST(CASE WHEN g.dup_of IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup,
+             g.dup_of
+      FROM a LEFT JOIN g ON g.id_b = a.vec_id"""
     }.toMap
 }

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+import graft.functions.TextFunctions.tokens
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+  * arXiv:2302.03169): score every raw document by how much more likely
+  * its hashed-n-gram bag is under a target-domain LM than under the raw
+  * corpus LM, then keep the top-weighted documents. This is the
+  * "select pretraining data that looks like the target domain" step of
+  * a modern pipeline — the reference engine has nothing like it, but a
+  * 100 TB curation run is exactly where it pays.
+  *
+  * Model (paper §3, hashed generative importance weights): features are
+  * word bigrams hashed into `buckets` buckets; both corpora get a
+  * unigram-of-buckets LM with add-one smoothing over the bucket space,
+  * and a document's log-weight is
+  *   Σ_g [ ln (tcnt(g)+1)/(T+B)  −  ln (rcnt(g)+1)/(R+B) ]
+  * over its bigram OCCURRENCES g (T/R = total target/raw bigram mass,
+  * B = bucket count).
+  *
+  * Scale shape: one explode over the raw corpus and one over the
+  * (smaller) target corpus, each aggregated by bucket with map-side
+  * combine. The per-bucket log-ratio table has AT MOST `buckets` rows —
+  * fixed by config, independent of corpus size — so the scoring join is
+  * a broadcast hash join against the corpus bigram stream: the whole
+  * operator is two aggregations plus one broadcast-joined pass, no
+  * corpus-sized shuffle on the scoring side. (The bucket table is
+  * hash-dense by construction; 4k-1M buckets ≪ any broadcast limit.)
+  *
+  * Determinism contract: bucket ids are sha-derived
+  * ([[HashFunctions.hash60]] mod B — engine/partition independent);
+  * each bucket's log-ratio is rounded HALF_UP to `logScale` dp; the
+  * per-doc sum runs through exact DECIMAL(18,logScale) so addition
+  * order can't matter; the final weight rounds to `outScale` dp BEFORE
+  * any ranking, and selection ties break by id. Bit-identical across
+  * engines given the same tokenization (single-space split). */
+object Dsir {
+
+  /** Per-document importance log-weights of `raw` against `target`.
+    * Output: (idCol, n_bigrams, logweight) — one row per raw document
+    * with >= 2 tokens (no bigrams → no evidence → no row, same rule as
+    * [[TextAnalysis.bigramSurprisal]]). `target` is typically a small
+    * in-domain sample; it only contributes counts, so it needs no id
+    * column and may overlap `raw`. */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String,
+                        buckets: Int = 4096, logScale: Int = 6,
+                        outScale: Int = 4): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val docBuckets = bucketed(
+      raw.select(col(idCol).as("id"), col(textCol).as("txt")), buckets)
+    val rawCnt = docBuckets.groupBy("bkt").agg(count(lit(1)).as("rcnt"))
+    val tgtCnt = bucketed(
+      target.select(lit(0L).as("id"), col(textCol).as("txt")), buckets)
+      .groupBy("bkt").agg(count(lit(1)).as("tcnt"))
+    // Totals as one broadcast scalar row. B joins in as a literal.
+    val totals = rawCnt.agg(sum("rcnt").cast("double").as("rtot"))
+      .crossJoin(tgtCnt.agg(sum("tcnt").cast("double").as("ttot")))
+    // Per-bucket log-ratio over buckets PRESENT IN RAW (a scored doc's
+    // buckets are raw buckets by construction); target-absent buckets
+    // smooth to tcnt=0. At most `buckets` rows -> broadcast.
+    val ratio = rawCnt.join(tgtCnt, Seq("bkt"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bkt"), round(
+        log((coalesce(col("tcnt"), lit(0L)).cast("double") + 1.0) /
+            (col("ttot") + buckets.toDouble)) -
+        log((col("rcnt").cast("double") + 1.0) /
+            (col("rtot") + buckets.toDouble)), logScale).as("logr"))
+    docBuckets.join(broadcast(ratio), "bkt")
+      .groupBy("id")
+      // Round the exact DECIMAL sum FIRST, cast after: rounding through
+      // an intermediate double can flip a x.xxx05 boundary (the nearest
+      // double may sit just below it) and diverge between engines.
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(sum(col("logr").cast(s"decimal(18,$logScale)")), outScale)
+          .cast("double").as("logweight"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("logweight"))
+  }
+
+  /** Deterministic top-k selection over [[importanceWeights]] output:
+    * adds `selected` = 1 for the k highest-weight documents (weight
+    * already rounded, ties by ascending id — round-before-rank). The
+    * rank window is a single total order; run it on the WEIGHTS table
+    * (one row per doc, already aggregated), and at extreme corpus
+    * cardinality swap in an approx-quantile weight cutoff instead. */
+  def selectTopK(weights: DataFrame, idCol: String, k: Int): DataFrame = {
+    val w = Window.orderBy(col("logweight").desc, col(idCol))
+    weights.withColumn("selected",
+      (row_number().over(w) <= k).cast("int"))
+  }
+
+  /** (id, bkt) per bigram occurrence: single-space tokenization (the
+    * corpus contract shared by all text ops here), sha-derived bucket. */
+  private def bucketed(df: DataFrame, buckets: Int): DataFrame =
+    df.select(col("id"), tokens(col("txt")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("id"), explode(QualitySignals.rawBigrams(col("toks"))).as("bg"))
+      .select(col("id"), pmod(HashFunctions.hash60(col("bg")), lit(buckets.toLong)).as("bkt"))
+}
