@@ -463,6 +463,38 @@ object SparkEntry {
     * fresh within a run. */
   @volatile private var ivfSearchCentroidValues: Option[String] = None
 
+  /** The pinned-centroid protocol, shared by every query whose oracle
+    * must replicate a k-means fit: round each fitted centroid
+    * coordinate to 6 dp, so BOTH engines start from bit-identical
+    * doubles (nearest-double of the same decimal string). Returns the
+    * rounded model (use IT, not the raw fit, in the Spark plan) and the
+    * DuckDB VALUES literal for the oracle. */
+  private def pinCentroids(fitted: IvfIndex.Model): (IvfIndex.Model, String) = {
+    val centsBd = fitted.centroids.map(_.map(d =>
+      BigDecimal(d).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)))
+    (IvfIndex.Model(centsBd.map(_.map(_.toDouble))),
+      centsBd.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.map(_.underlying.toPlainString).mkString(", ")}]::DOUBLE[])"
+      }.mkString(",\n        "))
+  }
+
+  /** Shared oracle CTE prefix for pinned-centroid queries: centroid
+    * table `c`, non-null vectors `v`, rounded squared distances `d`,
+    * and the rounded-argmin assignment `a` (lowest-cid tie-break) —
+    * the SQL twin of [[IvfIndex.Model.assignCol]] at roundScale 4. */
+  private def centroidAssignCtes(vals: String): String = s"""
+      WITH c AS (SELECT CAST(cid AS INT) AS cid, cv FROM (VALUES
+        $vals) AS t(cid, cv)),
+      v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+            WHERE embedding IS NOT NULL),
+      d AS (SELECT v.vec_id, c.cid,
+              round(list_sum(list_transform(range(1, len(v.ev) + 1),
+                i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))), 4) AS dist
+            FROM v, c),
+      a AS (SELECT vec_id, cid AS cluster FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d) t WHERE rn = 1)"""
+
   /** IVF search with the k-means-fitted coarse quantizer. Two-phase for
     * oracle checkability: (1) fit (driver-side, not SQL-expressible),
     * (2) pinned-centroid search with every distance rounded before each
@@ -472,19 +504,13 @@ object SparkEntry {
     * centroid polish. */
   private def qIvfSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    val fitted = IvfIndex.fitCached(s"$dir/embeddings", emb, "embedding",
+    // Pin the fit (see pinCentroids); roundScale=4 below makes every
+    // downstream ranking decision engine-independent on top of that.
+    val (model, vals) = pinCentroids(IvfIndex.fitCached(
+      s"$dir/embeddings", emb, "embedding",
       nlist = 8, maxIter = 2, initMode = "random", fitFraction = 0.25,
-      fitPartitions = 2)
-    // Pin: round each centroid coordinate to 6 dp. BOTH engines then
-    // start from bit-identical doubles (nearest-double of the same
-    // decimal string), and roundScale=4 below makes every downstream
-    // ranking decision engine-independent on top of that.
-    val centsBd = fitted.centroids.map(_.map(d =>
-      BigDecimal(d).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)))
-    val model = IvfIndex.Model(centsBd.map(_.map(_.toDouble)))
-    ivfSearchCentroidValues = Some(centsBd.zipWithIndex.map { case (c, i) =>
-      s"($i, [${c.map(_.underlying.toPlainString).mkString(", ")}]::DOUBLE[])"
-    }.mkString(",\n        "))
+      fitPartitions = 2))
+    ivfSearchCentroidValues = Some(vals)
     val assigned = emb.withColumn("cluster",
       model.assignCol(col("embedding"), roundScale = 4))
     val qv = emb.where(col("vec_id") === 0).select("embedding")
@@ -511,15 +537,11 @@ object SparkEntry {
     * queries together measure what cluster pruning costs in recall. */
   private def qSemdedup(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    val fitted = IvfIndex.fitCached(s"$dir/embeddings", emb, "embedding",
+    val (model, vals) = pinCentroids(IvfIndex.fitCached(
+      s"$dir/embeddings", emb, "embedding",
       nlist = 8, maxIter = 2, initMode = "random", fitFraction = 0.25,
-      fitPartitions = 2)
-    val centsBd = fitted.centroids.map(_.map(d =>
-      BigDecimal(d).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)))
-    val model = IvfIndex.Model(centsBd.map(_.map(_.toDouble)))
-    semdedupCentroidValues = Some(centsBd.zipWithIndex.map { case (c, i) =>
-      s"($i, [${c.map(_.underlying.toPlainString).mkString(", ")}]::DOUBLE[])"
-    }.mkString(",\n        "))
+      fitPartitions = 2))
+    semdedupCentroidValues = Some(vals)
     SemDedup.flag(emb, "vec_id", "embedding", model, threshold = 0.4,
       roundScale = 4)
   }
@@ -3245,17 +3267,7 @@ object SparkEntry {
     * driver always sees the entry. */
   private def ivfSearchOracle: Map[String, String] =
     ivfSearchCentroidValues.map { vals =>
-      "q_ivf_search" -> s"""
-      WITH c AS (SELECT CAST(cid AS INT) AS cid, cv FROM (VALUES
-        $vals) AS t(cid, cv)),
-      v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-      d AS (SELECT v.vec_id, c.cid,
-              round(list_sum(list_transform(range(1, len(v.ev) + 1),
-                i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))), 4) AS dist
-            FROM v, c),
-      a AS (SELECT vec_id, cid AS cluster FROM (
-              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-              FROM d) t WHERE rn = 1),
+      "q_ivf_search" -> s"""${centroidAssignCtes(vals)},
       q AS (SELECT ev AS qv FROM v WHERE vec_id = 0),
       qd AS (SELECT c.cid,
                round(list_sum(list_transform(range(1, len(q.qv) + 1),
@@ -3276,17 +3288,7 @@ object SparkEntry {
     * τ = 0.4, min-id survivor rule. */
   private def semdedupOracle: Map[String, String] =
     semdedupCentroidValues.map { vals =>
-      "q_semdedup" -> s"""
-      WITH c AS (SELECT CAST(cid AS INT) AS cid, cv FROM (VALUES
-        $vals) AS t(cid, cv)),
-      v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-      d AS (SELECT v.vec_id, c.cid,
-              round(list_sum(list_transform(range(1, len(v.ev) + 1),
-                i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))), 4) AS dist
-            FROM v, c),
-      a AS (SELECT vec_id, cid AS cluster FROM (
-              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-              FROM d) t WHERE rn = 1),
+      "q_semdedup" -> s"""${centroidAssignCtes(vals)},
       m AS (SELECT v.vec_id, v.ev, a.cluster FROM v JOIN a USING (vec_id)),
       pr AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
              FROM m x JOIN m y

@@ -109,8 +109,18 @@ object ScaleBench {
     rep("customer") { (df, i) =>
       df.withColumn("c_custkey", col("c_custkey") + i * 100000000L)
     }
-    // dimension tables ride along unreplicated
-    Seq("region", "nation", "supplier", "part").foreach { t =>
+    // part/supplier must replicate WITH the lineitem FK offsets, or
+    // replicas 1..n-1 of lineitem silently join to nothing and any
+    // part/supplier-joining query reads ~1/n of the expected rows.
+    rep("part") { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + i * 100000000L)
+    }
+    rep("supplier") { (df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + i * 100000000L)
+    }
+    // region/nation are genuinely global dimensions (customer/supplier
+    // nationkeys are unchanged) — they ride along unreplicated.
+    Seq("region", "nation").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }

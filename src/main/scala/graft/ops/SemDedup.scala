@@ -40,8 +40,33 @@ object SemDedup {
     * with fewer clusters, not all-pairs). */
   def pairs(df: DataFrame, idCol: String, vecCol: String,
             model: IvfIndex.Model, threshold: Double,
-            roundScale: Int = 4): DataFrame = {
+            roundScale: Int = 4): DataFrame =
+    pairsFrom(assign(df, idCol, vecCol, model, roundScale),
+      threshold, roundScale)
+
+  /** Per-row keep/drop verdict: every input row (with a non-null
+    * vector) with its cluster, an `is_dup` flag, and `dup_of` = the
+    * LOWEST id it duplicates within its cluster (null when kept).
+    * "Keep the first occurrence" by id — the same survivor rule as the
+    * exact-dedup tier, so a pipeline can `where(not(is_dup))` and get
+    * a deterministic corpus. The assignment kernel (the dominant
+    * narrow map at scale: corpus scan × argmin over all centroids)
+    * runs ONCE — both pair-join sides and the output derive from the
+    * same assigned frame. */
+  def flag(df: DataFrame, idCol: String, vecCol: String,
+           model: IvfIndex.Model, threshold: Double,
+           roundScale: Int = 4): DataFrame = {
     val assigned = assign(df, idCol, vecCol, model, roundScale)
+    val dupOf = pairsFrom(assigned, threshold, roundScale)
+      .groupBy(col("id_b").as("id")).agg(min("id_a").as("dup_of"))
+    assigned.select(col("id"), col("cluster"))
+      .join(dupOf, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        col("dup_of").isNotNull.cast("int").as("is_dup"), col("dup_of"))
+  }
+
+  private def pairsFrom(assigned: DataFrame, threshold: Double,
+                        roundScale: Int): DataFrame = {
     val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("cluster"))
@@ -52,26 +77,15 @@ object SemDedup {
       .select("cluster", "id_a", "id_b", "cosine")
   }
 
-  /** Per-row keep/drop verdict: every input row with its cluster, an
-    * `is_dup` flag, and `dup_of` = the LOWEST id it duplicates within
-    * its cluster (null when kept). "Keep the first occurrence" by id —
-    * the same survivor rule as the exact-dedup tier, so a pipeline can
-    * `where(not(is_dup))` and get a deterministic corpus. */
-  def flag(df: DataFrame, idCol: String, vecCol: String,
-           model: IvfIndex.Model, threshold: Double,
-           roundScale: Int = 4): DataFrame = {
-    val dupOf = pairs(df, idCol, vecCol, model, threshold, roundScale)
-      .groupBy(col("id_b").as("id")).agg(min("id_a").as("dup_of"))
-    assign(df, idCol, vecCol, model, roundScale)
-      .select(col("id"), col("cluster"))
-      .join(dupOf, Seq("id"), "left")
-      .select(col("id").as(idCol), col("cluster"),
-        col("dup_of").isNotNull.cast("int").as("is_dup"), col("dup_of"))
-  }
-
+  /** Null vectors are EXCLUDED here, not silently mis-clustered: a null
+    * embedding has no meaningful cluster (the argmin expression yields
+    * null) and could never pair anyway, but left in it would surface as
+    * a null-keyed row the equi-join silently drops from one path and
+    * not the other. Callers route undecodable rows separately. */
   private def assign(df: DataFrame, idCol: String, vecCol: String,
                      model: IvfIndex.Model, roundScale: Int): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("cluster", model.assignCol(col("v"), roundScale))
 }

@@ -1064,7 +1064,7 @@ object DocumentStore {
     // delete+rename isn't atomic on every FS: readManifest heals the
     // crash window by falling back to the fully-written .tmp file.
     if (fs.exists(dst)) fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"manifest rename failed: $tmp -> $dst")
+    if (!fs.rename(tmp, dst)) throw new StorageException(s"manifest rename failed: $tmp -> $dst")
   }
 
   private[store] def renderManifest(m: StoreManifest): String =
@@ -1074,11 +1074,11 @@ object DocumentStore {
     def longOf(k: String): Long =
       s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s)
         .map(_.group(1).toLong)
-        .getOrElse(throw new IllegalArgumentException(s"manifest missing $k: $s"))
+        .getOrElse(throw new StorageException(s"manifest missing $k: $s"))
     def strOf(k: String): String =
       s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(s)
         .map(_.group(1))
-        .getOrElse(throw new IllegalArgumentException(s"manifest missing $k: $s"))
+        .getOrElse(throw new StorageException(s"manifest missing $k: $s"))
     StoreManifest(longOf("version"), longOf("dim").toInt, strOf("metric"),
       longOf("count"), longOf("nlist").toInt)
   }

@@ -46,8 +46,16 @@ class ExceptionsSpec extends SparkSpec {
     intercept[IndexException] { store.deleteByIds(Seq(5L)) }
   }
 
-  test("pruned time-travel read is a StorageException") {
+  test("out-of-range and genuinely-pruned time-travel reads are StorageExceptions") {
+    // Branch 1: version beyond the manifest's range.
     val store = DocumentStore.fromTexts(spark, tmp(), Seq("a"), Nil, StoreConfig(), emb)
     intercept[StorageException] { store.essentialAt(99L) }
+    // Branch 2: version IN range but its snapshot dir already swept.
+    // keepVersions=1 + two mutations -> version 1 is retained-count out.
+    val pruned = DocumentStore.fromTexts(spark, tmp(), Seq("a", "b"), Nil,
+      StoreConfig(keepVersions = 1), emb)
+    pruned.addTexts(Seq("c"))
+    pruned.addTexts(Seq("d"))
+    intercept[StorageException] { pruned.essentialAt(1L) }
   }
 }
