@@ -94,6 +94,30 @@ object Dsir {
       (row_number().over(w) <= k).cast("int"))
   }
 
+  /** Inference half, decoupled from ratio training: score documents
+    * against a GIVEN (bkt, weight) table — e.g. a linear quality
+    * classifier trained offline (the fastText-style educational-value
+    * scorers used by FineWeb-Edu-like pipelines reduce to exactly this
+    * once their features are hashed n-grams). Same determinism contract
+    * as [[importanceWeights]] (weights are expected pre-rounded; the
+    * per-doc sum is DECIMAL-exact), same broadcast-joined single-pass
+    * shape: the weight table is bounded by the bucket space, the corpus
+    * is scanned once. Unmatched buckets contribute 0 (out-of-vocabulary
+    * features carry no evidence). */
+  def scoreWithWeights(df: DataFrame, idCol: String, textCol: String,
+                       weights: DataFrame, buckets: Int = 4096,
+                       logScale: Int = 6, outScale: Int = 4): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    bucketed(df.select(col(idCol).as("id"), col(textCol).as("txt")), buckets)
+      .join(broadcast(weights.select(col("bkt"), col("weight"))), Seq("bkt"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(sum(coalesce(col("weight"), lit(0.0))
+          .cast(s"decimal(18,$logScale)")), outScale)
+          .cast("double").as("score"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("score"))
+  }
+
   /** (id, bkt) per bigram occurrence: single-space tokenization (the
     * corpus contract shared by all text ops here), sha-derived bucket. */
   private def bucketed(df: DataFrame, buckets: Int): DataFrame =

@@ -54,4 +54,29 @@ class DsirSpec extends SparkSpec {
     val b = weights.orderBy("doc_id").collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("scoreWithWeights: out-of-vocabulary features score 0, docs are kept") {
+    import spark.implicits._
+    // bkt -1 can never be produced (pmod is non-negative), so every
+    // feature misses the table: scores must be 0.0 via the left join,
+    // and every >= 2-token doc still appears.
+    val oov = Seq((-1L, 0.5)).toDF("bkt", "weight")
+    val scored = Dsir.scoreWithWeights(corpus, "doc_id", "text",
+      oov, buckets = 256).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored === Map(0L -> 0.0, 1L -> 0.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0))
+  }
+
+  test("scoreWithWeights sums matched bucket weights DECIMAL-exactly") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    // Doc 0's bigrams: "a b", "b a", "a b" -> buckets h(a b), h(b a).
+    val ab = graft.functions.HashFunctions.hash60Local("a b") % 256
+    val ba = graft.functions.HashFunctions.hash60Local("b a") % 256
+    val wtab = Seq((ab, 0.25), (ba, -0.1)).toDF("bkt", "weight")
+    val out = Dsir.scoreWithWeights(docs, "doc_id", "text", wtab,
+      buckets = 256).collect().head
+    assert(out.getLong(1) === 3L)          // three bigram occurrences
+    assert(out.getDouble(2) === 0.4)       // 0.25 + (-0.1) + 0.25
+  }
 }

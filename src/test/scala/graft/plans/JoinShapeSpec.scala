@@ -155,4 +155,26 @@ class JoinShapeSpec extends SparkSpec {
       }
     }
   }
+
+  test("DSIR broadcasts only the bounded bucket-ratio/totals tables, never the corpus") {
+    withStaticPlans {
+      val bes = broadcasts("q_dsir_weights")
+      // Both hinted sides derive from bucket-keyed aggregates (<= B
+      // rows by construction); the corpus bigram stream must never be
+      // a build side.
+      assert(bes.nonEmpty, "expected the hinted ratio/totals broadcasts")
+      bes.foreach { b =>
+        val sub = b.child.toString
+        assert(sub.contains("HashAggregate"),
+          s"broadcast side must be a bucket/total aggregate, not a scan:\n$sub")
+      }
+    }
+  }
+
+  test("SemDedup's pair join shuffles on the cluster key — neither corpus side broadcasts") {
+    withStaticPlans {
+      assert(broadcasts("q_semdedup").isEmpty,
+        "the within-cluster self-join must be a shuffle join: both sides are corpus-sized")
+    }
+  }
 }
