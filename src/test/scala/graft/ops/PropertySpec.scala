@@ -223,4 +223,46 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: SemDedup flag agrees with pairs (greedy min-id survivor rule)") {
+    import graft.index.IvfIndex
+    val model = IvfIndex.Model(IndexedSeq(
+      IndexedSeq(1.0, 0.0, 0.0), IndexedSeq(0.0, 1.0, 0.0), IndexedSeq(0.0, 0.0, 1.0)))
+    val coord = Gen.chooseNum(0.0, 1.0)
+    val vecGen = Gen.listOfN(3, coord).map(_.toArray)
+    samples(Gen.listOfN(20, vecGen), 6).foreach { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+      val pairs = SemDedup.pairs(df, "id", "vec", model, 0.97)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      val flags = SemDedup.flag(df, "id", "vec", model, 0.97).collect()
+      // Every flagged dup appears as id_b of some pair; dup_of < id and
+      // dup_of is the min id_a among its pairs.
+      flags.foreach { r =>
+        val id = r.getLong(0)
+        if (r.getInt(2) == 1) {
+          val mates = pairs.collect { case (a, b) if b == id => a }
+          assert(mates.nonEmpty && r.getLong(3) == mates.min && r.getLong(3) < id)
+        } else assert(!pairs.exists(_._2 == id) && r.isNullAt(3))
+      }
+      // NOTE deliberately NOT asserted: "dup_of references a kept row".
+      // That closure does NOT hold for the greedy-by-id rule — in a
+      // similarity chain 0~1~2 with 0≁2, rows 1 AND 2 are both dropped
+      // and 2's dup_of points at the (also dropped) row 1. Both engines
+      // implement exactly this, and the oracle pins it.
+    }
+  }
+
+  test("property: DSIR weights are invariant to doc order and partitioning") {
+    samples(Gen.listOfN(12, textGen), 6).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val shuffled = texts.zipWithIndex.reverse.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text").repartition(3)
+      val tgt = docs.where(col("doc_id") < 4)
+      val a = Dsir.importanceWeights(docs, tgt, "doc_id", "text", buckets = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      val b = Dsir.importanceWeights(shuffled, tgt, "doc_id", "text", buckets = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(a.toSeq === b.toSeq, s"order/partitioning changed weights for $texts")
+    }
+  }
 }
