@@ -138,8 +138,10 @@ object TextFunctions {
     val votes = aggregate(
       tokens(text),
       array_repeat(lit(0L), 63),
-      (acc, t) => {
-        val h = HashFunctions.hash60(t)
+      // let1-bound: referenced bare inside the per-bit transform, the
+      // hash60 tree (sha256+substring+conv) would inline 63× per token
+      // — the projection-collapse trap let1 exists for.
+      (acc, t) => let1(HashFunctions.hash60(t)) { h =>
         zip_with(acc, transform(sequence(lit(0), lit(62)),
           j => when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1L)
             .otherwise(-1L)),

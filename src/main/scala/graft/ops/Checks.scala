@@ -60,6 +60,8 @@ object Checks {
   }
 
   /** Union of check results into one report. */
-  def report(checks: Seq[DataFrame]): DataFrame =
+  def report(checks: Seq[DataFrame]): DataFrame = {
+    require(checks.nonEmpty, "no checks to report")
     checks.reduce(_ unionByName _)
+  }
 }

@@ -24,8 +24,11 @@ object Eval {
     * recall) with recall rounded to 4 dp. */
   def recallAtK(exact: DataFrame, approx: DataFrame,
                 queryCol: String, idCol: String): DataFrame = {
-    val e = exact.select(col(queryCol), col(idCol))
-    val a = approx.select(col(queryCol), col(idCol))
+    // Distinct both sides: a duplicate (query, id) — an id surfaced by
+    // two IVF probes or two LSH bands — would fan the join out and
+    // inflate n_exact AND n_overlap (recall 0.67 where truth is 0.5).
+    val e = exact.select(col(queryCol), col(idCol)).distinct()
+    val a = approx.select(col(queryCol), col(idCol)).distinct()
       .withColumn("__hit", lit(1))
     e.join(a, Seq(queryCol, idCol), "left")
       .groupBy(queryCol)

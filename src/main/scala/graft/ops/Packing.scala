@@ -50,8 +50,14 @@ object Packing {
     // explicitly instead) and UNIQUE (the within-bucket cumulative sum
     // orders by id alone; duplicate ids would make tied rows'
     // cum_tokens_excl depend on physical row order).
+    // The bucket key only needs to GROUP and ORDER consistently, so use
+    // the exact bucket START (id - pmod(id, width)) rather than
+    // floor(id/width): the latter's double quotient mis-buckets ids
+    // above 2^53 (hash-derived ids get there), and __bucket never
+    // reaches the output. seq_id's floor below IS safe: cumulative
+    // token counts stay far under 2^53 for any real corpus.
     val base = df.where(col(idCol).isNotNull).withColumn("__bucket",
-      floor(col(idCol) / lit(bucketWidth)).cast("long"))
+      col(idCol).cast("long") - pmod(col(idCol).cast("long"), lit(bucketWidth)))
     val bucketTotals = base.groupBy("__bucket")
       .agg(sum(col(tokensCol).cast("long")).as("__bt"))
     // The bucket table has corpus/bucketWidth rows — the single-ordered

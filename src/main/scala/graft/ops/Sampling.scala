@@ -79,8 +79,13 @@ object Sampling {
     require(budget > 0, "budget must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol))
+      // NULL ids coalesce so the hash stays defined; ids are expected
+      // unique (rows sharing an id — e.g. several nulls — share a hash
+      // and tie, and the boundary row among EXACT ties is
+      // engine-arbitrary, as for any non-unique id).
       .orderBy(HashFunctions.hash60(
-        concat(lit(s"budget:$seed:"), col(idCol).cast("string"))), col(idCol))
+        concat(lit(s"budget:$seed:"),
+          coalesce(col(idCol).cast("string"), lit("<graft-null-key>")))), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     // NULL/negative counts clamp to 0 inside the running sum (size()
@@ -115,8 +120,12 @@ object Sampling {
                     seed: String = "", tieCols: Seq[String] = Nil): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     import org.apache.spark.sql.expressions.Window
+    // NULL keys coalesce like every sampler here: unguarded, concat
+    // goes null -> null shard (lands in __HIVE_DEFAULT_PARTITION__ on a
+    // partitioned write) and null sort keys make shard_pos run-varying.
     val sortKey =
-      HashFunctions.hash60(concat(lit(s"shuffle:$seed:"), col(keyCol).cast("string")))
+      HashFunctions.hash60(concat(lit(s"shuffle:$seed:"),
+        coalesce(col(keyCol).cast("string"), lit("<graft-null-key>"))))
     val withShard = df
       .withColumn("shuffle_key", sortKey)
       .withColumn("shard", (col("shuffle_key") % nShards).cast("int"))

@@ -54,9 +54,15 @@ object Sketches {
   def buildFreqSketches(df: DataFrame, groupCols: Seq[String], valueCol: String,
                         eps: Double = 0.001, confidence: Double = 0.99,
                         seed: Int = 42): DataFrame =
+    // Cast to string BEFORE sketching: CountMinSketch hashes longs and
+    // UTF-8 string bytes into DIFFERENT cells, and the query side
+    // ([[heavyHitters]]) probes with strings — sketching a BIGINT
+    // column raw would silently estimate ~0 for every true heavy
+    // hitter. The Column-based builtin also survives column names
+    // (spaces, dots) that a spliced SQL string would not parse.
     df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"count_min_sketch($valueCol, ${eps}d, ${confidence}d, $seed)")
-        .as("sketch"))
+      .agg(count_min_sketch(col(valueCol).cast("string"),
+        lit(eps), lit(confidence), lit(seed)).as("sketch"))
 
   /** Merge persisted Count-Min sketch bytes driver-side (sketches are
     * KB–MB sized — collecting them is the point: a year of shard
@@ -64,10 +70,12 @@ object Sketches {
     * Cell-wise addition makes merge EXACTLY equal to having built one
     * sketch over the union (same seed ⇒ same hash functions). */
   def mergeFreqSketches(sketches: DataFrame,
-                        sketchCol: String = "sketch"): CountMinSketch =
-    sketches.select(col(sketchCol)).collect()
-      .map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
+                        sketchCol: String = "sketch"): CountMinSketch = {
+    val rows = sketches.select(col(sketchCol)).collect()
+    require(rows.nonEmpty, "no sketches to merge (shard selection empty?)")
+    rows.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
       .reduce(_ mergeInPlace _)
+  }
 
   /** Screen candidate values against a merged sketch: returns each
     * candidate's estimated count, keeping those >= minCount — the
@@ -103,7 +111,12 @@ object Sketches {
   def buildQuantileShardSketches(df: DataFrame, valueCol: String,
                                  k: Int = 200): DataFrame = {
     import org.apache.spark.sql.Encoders
-    df.select(col(valueCol).cast("double"))
+    // Nulls are skipped (the aggregate-based builders' semantics);
+    // unguarded, the primitive-Double decode would throw on the first
+    // null. Filter AFTER the cast so un-castable values (null-yielding
+    // casts) are skipped too, not just literal nulls.
+    df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
       .as[Double](Encoders.scalaDouble)
       .mapPartitions { it =>
         val sk = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k)
@@ -118,11 +131,13 @@ object Sketches {
     * merged sketch carries the same rank-error guarantee as one built
     * over the concatenated data. */
   def mergeQuantileSketches(sketches: DataFrame, sketchCol: String = "sketch")
-      : org.apache.datasketches.kll.KllDoublesSketch =
-    sketches.select(col(sketchCol)).collect()
-      .map(r => org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      : org.apache.datasketches.kll.KllDoublesSketch = {
+    val rows = sketches.select(col(sketchCol)).collect()
+    require(rows.nonEmpty, "no sketches to merge (shard selection empty?)")
+    rows.map(r => org.apache.datasketches.kll.KllDoublesSketch.heapify(
         org.apache.datasketches.memory.Memory.wrap(r.getAs[Array[Byte]](0))))
       .reduceLeft { (a, b) => a.merge(b); a }
+  }
 
   /** Quantile estimates from a (merged) KLL sketch. */
   def quantilesFrom(sk: org.apache.datasketches.kll.KllDoublesSketch,

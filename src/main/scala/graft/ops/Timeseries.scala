@@ -64,7 +64,11 @@ object Timeseries {
     require(step > 0, "step must be positive")
     val e = df.select(col(keyCol).as("key"), col(tsCol).as("ts"),
       col(valueCol).as("v"), col(tieCol).as("tie"))
-    val bucket = (c: Column) => (floor(c / step) * step).cast("long")
+    // Exact integer bucketing: floor(c/step)*step routes through a
+    // DOUBLE quotient, which mis-buckets timestamps above 2^53 (epoch
+    // nanos are ~1.6e18). c - pmod(c, step) is the same floor-multiple
+    // in pure long arithmetic at any magnitude.
+    val bucket = (c: Column) => (c.cast("long") - pmod(c.cast("long"), lit(step)))
     val bounds = e.groupBy("key")
       .agg(bucket(min(col("ts"))).as("lo"), bucket(max(col("ts"))).as("hi"))
     val ticks = bounds.select(col("key"),
