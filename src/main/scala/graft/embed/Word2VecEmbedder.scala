@@ -82,6 +82,24 @@ final case class Word2VecEmbedder(dim: Int = 64, minCount: Int = 1,
       .drop("__rid", "__mv")
   }
 
+  /** Driver twin of SQL `lower()`, byte-for-byte: UTF8String lowercases
+    * ASCII-only strings on a byte fast path (locale-independent) but
+    * falls back to DEFAULT-locale String.toLowerCase for anything else
+    * — so a Locale.ROOT lowercase here would break the bit-identical
+    * embed/embedQuery contract on non-ASCII text under e.g. tr_TR
+    * (and a default-locale lowercase alone would break it on ASCII:
+    * 'I'.toLowerCase(tr) is dotless 'ı' where the fast path gives 'i'). */
+  private def sqlLower(s: String): String =
+    if (s.forall(_ < 0x80)) {
+      val a = s.toCharArray
+      var i = 0
+      while (i < a.length) {
+        if (a(i) >= 'A' && a(i) <= 'Z') a(i) = (a(i) + 32).toChar
+        i += 1
+      }
+      new String(a)
+    } else s.toLowerCase
+
   /** Driver-side single-text embedding, BIT-IDENTICAL to [[embed]] on
     * the same text (the Embedder contract): same tokenization, and the
     * mean goes through the SAME 1e-6 fixed-point truncation + 6 dp
@@ -95,7 +113,7 @@ final case class Word2VecEmbedder(dim: Int = 64, minCount: Int = 1,
       queryMap = Some(m)
       m
     }
-    val hits = text.toLowerCase(java.util.Locale.ROOT)
+    val hits = sqlLower(text)
       .split("\\s+").filter(_.nonEmpty).flatMap(map.get)
     val out = new Array[Double](dim)
     if (hits.nonEmpty) {

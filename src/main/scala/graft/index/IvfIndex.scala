@@ -62,6 +62,13 @@ object IvfIndex {
       * [[assignCol]], so an external oracle reproduces the probe set. */
     def nearestCentroids(query: Seq[Double], nprobe: Int,
                          roundScale: Int = -1): Seq[Int] = {
+      // Fail fast on dimension mismatch like NearestCentroidExpr and
+      // PqIndex.adcTable do: a longer query would silently compute
+      // prefix-only distances — a plausible but WRONG probe set that
+      // prunes away the true neighbors; a shorter one would throw a
+      // bare IndexOutOfBounds mid-loop.
+      require(centroids.isEmpty || query.length == centroids.head.length,
+        s"query dim ${query.length} != centroid dim ${centroids.head.length}")
       centroids.zipWithIndex
         .map { case (c, i) =>
           var d = 0.0; var j = 0

@@ -47,6 +47,20 @@ object VectorIndex {
     docs.withColumn(scoreCol, s)
   }
 
+  /** A similarity/distance is USABLE only when it is a real number: a
+    * null vector scores null, and a ZERO vector scores NaN under cosine
+    * (0/0) — and Spark orders NaN ABOVE every real double, so unguarded
+    * desc ranking would put an all-OOV/empty document at rank 1 of
+    * every cosine query (and `NaN >= t` is TRUE under Spark comparison
+    * semantics, so radius search would include it too). The uniform
+    * rule everywhere scores are ranked or thresholded: undefined
+    * scores never match. Also keeps the k=1 min_by fast path and the
+    * k>1 window path of [[topKBatch]] consistent — the two order
+    * null/NaN OPPOSITELY, so without this filter they could return
+    * contradictory winners. */
+  private def usable(scoreCol: String): Column =
+    col(scoreCol).isNotNull && !isnan(col(scoreCol))
+
   /** Exact top-k for a single query vector. */
   def topK(
       docs: DataFrame,
@@ -58,6 +72,7 @@ object VectorIndex {
       tieBreak: Seq[String] = Nil,
       roundScale: Int = -1): DataFrame =
     scored(docs, vecCol, query, metric, scoreCol, roundScale)
+      .where(usable(scoreCol))
       .orderBy(ranking(metric, scoreCol, tieBreak): _*)
       .limit(k)
 
@@ -88,6 +103,10 @@ object VectorIndex {
       roundScale: Int = 4): DataFrame = {
     require(k > 0 && fetchK >= k, "need fetchK >= k > 0")
     require(lambdaParam >= 0.0 && lambdaParam <= 1.0, "lambda in [0,1]")
+    // Fail fast instead of a ClassCastException at collect: the driver
+    // walk reads ids as Long (and the store's ids are Long throughout).
+    require(docs.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
+      s"mmr requires a LongType id column; $idCol is ${docs.schema(idCol).dataType}")
     val spark = docs.sparkSession
     val cand = topK(docs, vecCol, query, fetchK, metric,
         scoreCol = "qsim", tieBreak = Seq(idCol), roundScale = roundScale)
@@ -106,12 +125,14 @@ object VectorIndex {
       val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
       while (picked.size < k && picked.size < cands.size) {
         val remaining = cands.filterNot(c => picked.exists(_._1 == c._1))
-        val best = remaining.maxBy { case (id, q) =>
+        // Ties break by MIN id through an exact (Double, Long) ordering
+        // — a -id.toDouble surrogate would collapse distinct ids above
+        // 2^53 and silently lose determinism.
+        val best = remaining.minBy { case (id, q) =>
           val maxRedundancy =
             if (picked.isEmpty) 0.0
             else picked.map(p => sign * pairRows((id, p._1))).max
-          (lambdaParam * sign * q - (1.0 - lambdaParam) *
-            (if (picked.isEmpty) 0.0 else maxRedundancy), -id.toDouble)
+          (-(lambdaParam * sign * q - (1.0 - lambdaParam) * maxRedundancy), id)
         }
         picked += best
       }
@@ -140,7 +161,7 @@ object VectorIndex {
     val pred =
       if (metric == "l2") col(scoreCol) <= threshold
       else col(scoreCol) >= threshold
-    s.where(pred)
+    s.where(usable(scoreCol) && pred)
   }
 
   /** Top-k for EVERY query row in one job — replaces the reference's
@@ -175,7 +196,7 @@ object VectorIndex {
     val s = if (roundScale >= 0) round(raw, roundScale) else raw
     val joined = docs.crossJoin(broadcast(queries))
     val kept = keep.map(joined.where).getOrElse(joined)
-    val scoredAll = kept.withColumn(scoreCol, s)
+    val scoredAll = kept.withColumn(scoreCol, s).where(usable(scoreCol))
 
     if (k == 1) {
       // Top-1 fast path: a min_by aggregate instead of two ranking

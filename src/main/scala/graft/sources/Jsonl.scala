@@ -31,7 +31,13 @@ object Jsonl {
     * hundred MB compressed. Plain text splits normally. */
   def write(df: DataFrame, path: String, shards: Int = 0,
             compression: String = "none"): Unit = {
-    val lines = df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    // Backtick-quote names (a dotted column would parse as a nested
+    // field reference) and KEEP null fields: to_json drops them by
+    // default, which breaks the "every column on every line"
+    // interchange contract for fixed-key-set consumers.
+    val lines = df.select(to_json(
+      struct(df.columns.map(n => col(s"`$n`")).toIndexedSeq: _*),
+      Map("ignoreNullFields" -> "false")).as("value"))
     val sharded = if (shards > 0) lines.repartition(shards) else lines
     sharded.write.mode("overwrite")
       .option("compression", compression)

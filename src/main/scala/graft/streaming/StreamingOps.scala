@@ -21,16 +21,20 @@ import graft.store.DocumentStore
 object StreamingOps {
 
   /** Continuous ingest: stream of (text, metadata) rows appended to a
-    * DocumentStore per micro-batch. Dedup-vs-store semantics are
-    * preserved because appendBuild anti-joins each batch against the
-    * current snapshot. */
+    * DocumentStore per micro-batch, via the O(batch) incremental append
+    * path — NOT addDF/appendBuild, which unions the batch with the
+    * whole corpus and rewrites a full snapshot: on a continuous stream
+    * that is O(N) I/O per micro-batch and O(N²) cumulative, with batch
+    * duration growing until it blows the trigger interval. Dedup-vs-
+    * store semantics are identical (addDFIncremental anti-joins each
+    * batch against the current snapshot, Bloom-prescreened). */
   def ingestStream(stream: DataFrame, store: DocumentStore,
                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) store.addDF(batch)
+        if (!batch.isEmpty) store.addDFIncremental(batch)
       }
       .start()
 
@@ -91,8 +95,13 @@ object StreamingOps {
           // older, so on a long-running stream the per-batch cost stays
           // O(window) filesystem calls, not O(total batches). The +8
           // slack absorbs sweeps skipped by crashes mid-batch.
+          // EXCLUSIVE upper bound: versions next-keepVersions .. next
+          // must survive as the reader-grace window — deleting AT the
+          // bound would leave only keepVersions-1 snapshots and yank
+          // the just-replaced version from under a reader that resolved
+          // the pointer moments before the swap.
           val fs = fsFor(spark, tablePath)
-          (math.max(0L, next - keepVersions - 8) to next - keepVersions).foreach { stale =>
+          (math.max(0L, next - keepVersions - 8) until next - keepVersions).foreach { stale =>
             val d = new org.apache.hadoop.fs.Path(s"$tablePath/v$stale")
             if (fs.exists(d)) { fs.delete(d, true); () }
           }
@@ -275,9 +284,15 @@ object StreamingOps {
   def dedupStream(stream: DataFrame, textCol: String, tsCol: String,
                   watermark: String = "1 hour",
                   normalize: Boolean = true): DataFrame = {
+    // NULL text must NOT become a null dedup key: the state store
+    // groups null keys as EQUAL, so every null-text row after the first
+    // would be silently swallowed as a "duplicate". A unique surrogate
+    // key lets undecodable rows pass through untouched.
     val keyed = stream.withColumn("dedup_key",
-      if (normalize) graft.functions.TextFunctions.fingerprint(col(textCol))
-      else col(textCol))
+      coalesce(
+        if (normalize) graft.functions.TextFunctions.fingerprint(col(textCol))
+        else col(textCol).cast("string"),
+        concat(lit("<graft-null-text>:"), expr("uuid()"))))
     keyed
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("dedup_key")

@@ -35,6 +35,18 @@ class Word2VecEmbedderSpec extends SparkSpec {
     }
   }
 
+  test("embedQuery parity holds on uppercase ASCII and non-ASCII text") {
+    // fit/embed tokenize through SQL lower(); embedQuery must lowercase
+    // byte-identically (ASCII fast path + default-locale slow path for
+    // non-ASCII), or a query stops retrieving its own stored document.
+    val emb = Word2VecEmbedder(dim = 16).fit(corpus, "text")
+    for (text <- Seq("SPARK Engine COMPUTE", "CAT ÉCOLE dog", "Straße SPARK cat")) {
+      val viaJob = emb.embed(Seq((0L, text)).toDF("id", "text"), "text", "vec")
+        .select("vec").as[Seq[Double]].head
+      assert(viaJob == emb.embedQuery(text).toSeq, s"parity broke on '$text'")
+    }
+  }
+
   test("save/load round-trip reproduces embeddings exactly") {
     val emb = Word2VecEmbedder(dim = 16).fit(corpus, "text")
     val dir = Files.createTempDirectory("graft-w2v").toString + "/vecs"

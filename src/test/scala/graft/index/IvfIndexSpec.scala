@@ -36,6 +36,18 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("nearestCentroids fails fast on query/centroid dim mismatch") {
+    // A longer query would silently rank prefix-only distances (a
+    // plausible but wrong probe set); a shorter one would throw a bare
+    // IndexOutOfBounds mid-loop. Both must be a clear require instead.
+    intercept[IllegalArgumentException] {
+      model.nearestCentroids(Seq(1.0, 0.0), 1)
+    }
+    intercept[IllegalArgumentException] {
+      model.nearestCentroids(Seq(1.0, 0.0, 0.0, 0.0), 1)
+    }
+  }
+
   test("nearestCentroids agrees with assignCol's nearest at nprobe=1") {
     val rnd = new scala.util.Random(3)
     (0 until 50).foreach { _ =>

@@ -74,6 +74,42 @@ class VectorIndexSpec extends SparkSpec {
     assert(rows.head.getDouble(2) == 1.0)
   }
 
+  test("undefined scores never match: zero-vector NaN and null vectors excluded uniformly") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // id 10 is the zero vector -> cosine = 0/0 = NaN, which Spark
+    // orders ABOVE every real double; id 11 has a null vector -> null
+    // score. Without the usable() guard, 10 would be rank 1 of every
+    // cosine top-k and would pass every `>= threshold` radius test.
+    val poisoned = docs
+      .unionByName(Seq((10L, Seq(0.0, 0.0))).toDF("id", "vec"))
+      .unionByName(Seq(11L).toDF("id")
+        .withColumn("vec", lit(null).cast("array<double>")))
+    val top = VectorIndex.topK(poisoned, "vec", e1, 3, "cosine",
+      tieBreak = Seq("id")).select("id").as[Long].collect().toSeq
+    assert(top == Seq(0L, 1L, 4L))
+    val rad = VectorIndex.radiusSearch(poisoned, "vec", e1, -1.5, "cosine")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(rad == Seq(0L, 1L, 2L, 3L, 4L))
+    // The k=1 min_by path and the k>1 window path order null/NaN
+    // OPPOSITELY inside their sort keys; the shared filter is what
+    // makes their rank-1 rows agree.
+    val queries = Seq(("q1", Seq(1.0, 0.0))).toDF("qid", "qv")
+    def rank1(k: Int): Long = VectorIndex.topKBatch(poisoned, "vec",
+        queries, "qid", "qv", k, "cosine", tieBreak = Seq("id"))
+      .where(col("rank") === 1).select("id").as[Long].head
+    assert(rank1(1) == 0L)
+    assert(rank1(2) == 0L)
+  }
+
+  test("mmr rejects a non-Long id column up front, not CCE at collect") {
+    val strIds = Seq(("a", Seq(1.0, 0.0)), ("b", Seq(0.0, 1.0)))
+      .toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.mmr(strIds, "vec", e1, k = 1, fetchK = 2, idCol = "id")
+    }
+    assert(e.getMessage.contains("LongType"))
+  }
+
   test("tie-break is deterministic") {
     val tied = Seq((5L, Seq(1.0, 0.0)), (3L, Seq(1.0, 0.0)), (9L, Seq(1.0, 0.0)))
       .toDF("id", "vec")

@@ -28,6 +28,22 @@ class JsonlSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("write keeps null fields on every line and accepts dotted column names") {
+    // to_json drops null fields by default, which breaks the
+    // "every column on every line" interchange contract; and a dotted
+    // column name must not be parsed as a nested-field reference.
+    val df = Seq((0L, Option("en")), (1L, Option.empty[String]))
+      .toDF("id", "meta.lang")
+    val dir = tmp()
+    Jsonl.write(df, dir, shards = 1)
+    val lines = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq
+    assert(lines.length == 2)
+    assert(lines.forall(_.contains("\"meta.lang\"")), lines.mkString("\n"))
+    assert(lines.exists(_.contains("\"meta.lang\":null")), lines.mkString("\n"))
+  }
+
   test("shards controls file count; lines are one JSON object each") {
     val df = (0 until 100).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
     val dir = tmp()

@@ -174,6 +174,48 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: null-text rows each pass through, never merged as one key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val dd = StreamingOps.dedupStream(
+      input.toDF().toDF("ts", "text"), "text", "ts", watermark = "1 hour")
+    val q = dd.writeStream.format("memory").queryName("dedup_null_stream")
+      .outputMode("append").start()
+    try {
+      // fingerprint(null) is null and the state store groups null keys
+      // as EQUAL — without the surrogate key the second null-text row
+      // would be silently swallowed as a "duplicate".
+      input.addData((ts(0), null), (ts(1), null),
+        (ts(2), "real text"), (ts(3), "real text"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_null_stream")
+      assert(out.where($"text".isNull).count() == 2)
+      assert(out.where($"text" === "real text").count() == 1)
+    } finally q.stop()
+  }
+
+  test("cdcApplyStream retention keeps keepVersions snapshots BEHIND the pointer") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Int, String)]
+    val dir = Files.createTempDirectory("graft-cdc-ret").toString
+    val q = StreamingOps.cdcApplyStream(
+      input.toDF().toDF("k", "name", "v", "op"),
+      s"$dir/table", Seq("k"), s"$dir/ckpt", keepVersions = 1)
+    try {
+      for (i <- 0 to 2) {
+        input.addData((i.toLong, s"row$i", i, "insert"))
+        q.processAllAvailable()
+      }
+      // After v2 lands with keepVersions=1: v1 is the reader-grace
+      // snapshot and must SURVIVE (an inclusive sweep bound deleted it,
+      // yanking the just-replaced version from under readers); v0 is
+      // past the grace window and must be gone.
+      assert(!new java.io.File(s"$dir/table/v0").exists())
+      assert(new java.io.File(s"$dir/table/v1").isDirectory)
+      assert(new java.io.File(s"$dir/table/v2").isDirectory)
+    } finally q.stop()
+  }
+
   test("dedupStream drops watermark-horizon duplicates across micro-batches, keeps state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
