@@ -2792,9 +2792,9 @@ object SparkEntry {
     // identical double expression shape; z rounded before compare.
     "q_outliers" -> """
       WITH m AS (SELECT event_type, count(*) AS n,
-                        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
-                        CAST(sum(CAST(value AS DECIMAL(18,2)) *
-                                 CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+                        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                        CAST(sum(CAST(value AS DECIMAL(18,6)) *
+                                 CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS ss
                  FROM events GROUP BY event_type),
       m2 AS (SELECT event_type, s / n AS mean,
                     sqrt(ss / n - (s / n) * (s / n)) AS sigma

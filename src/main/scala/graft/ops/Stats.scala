@@ -15,6 +15,12 @@ object Stats {
     * for the mean/variance divisions — identical expression shape on
     * any engine; the z-score is rounded before the threshold compare.
     *
+    * The cast is decimal(18,6) — NOT wider — because the sum-of-squares
+    * must also be exact: (18,6)×(18,6) = (37,12) is the largest square
+    * that still fits decimal(38) identically on Spark and DuckDB. The
+    * exactness domain is therefore |value| < 10^12 with ≤6 fractional
+    * digits; values finer than 1e-6 are rounded before the moments.
+    *
     * Returns the input columns plus (mean, sigma, z) for flagged rows.
     *
     * Scale shape: one partial-aggregated groupBy for the moments (tiny
@@ -23,7 +29,7 @@ object Stats {
   def zscoreOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      threshold: Double = 3.0, roundScale: Int = 4): DataFrame = {
     require(threshold > 0, "threshold must be positive")
-    val v = col(valueCol).cast("decimal(18,2)")
+    val v = col(valueCol).cast("decimal(18,6)")
     val moments = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__n"),
         sum(v).cast("double").as("__s"),

@@ -29,6 +29,19 @@ class StatsSpec extends SparkSpec {
     assert(again.map(_.getAs[Long]("id")).toSeq == Seq(9L))
   }
 
+  test("zscoreOutliers: sub-cent magnitudes survive the decimal cast") {
+    // Scaled-down copy of the known-outlier group: values of order 1e-4
+    // would all truncate to 0.00 under a decimal(18,2) cast (no outlier
+    // ever flagged); decimal(18,6) keeps them exact.
+    val rows = (Seq.fill(9)(("a", 0.001)) :+ ("a", 0.01)) // z(0.01) = 3.0
+    val df = rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "grp", "value")
+    val got = Stats.zscoreOutliers(df, Seq("grp"), "value", threshold = 3.0,
+      roundScale = 8).collect()
+    assert(got.map(_.getAs[Long]("id")).toSeq == Seq(9L))
+    assert(got.head.getAs[Double]("z") == 3.0)
+  }
+
   test("iqrOutliers: Tukey fences from exact quartiles, robust to the outlier") {
     // group a: 1..11 plus an extreme 1000. Quartiles of the 12 values:
     //   q1 = 3.75, q3 = 9.25 (linear interpolation), iqr = 5.5
