@@ -2956,7 +2956,7 @@ object SparkEntry {
     "q_retention" -> """
       WITH e AS (SELECT user_id,
                         CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS bucket
-                 FROM events),
+                 FROM events WHERE user_id IS NOT NULL),
       cohorts AS (SELECT user_id, min(bucket) AS cohort FROM e GROUP BY user_id),
       active AS (SELECT cohort, bucket - cohort AS "offset",
                         count(*) AS n_active

@@ -37,39 +37,9 @@ object AsofJoin {
   def asofBackward(left: DataFrame, right: DataFrame, on: Seq[String],
                    leftTime: String, rightTime: String,
                    leftTie: String, rightTie: String,
-                   strict: Boolean = false): DataFrame = {
-    require(on.nonEmpty, "need at least one join key")
-    val rPayload = right.columns.filterNot(on.contains).toSeq
-    val clash = left.columns.toSet.intersect(rPayload.toSet)
-    require(clash.isEmpty, s"right columns clash with left, rename them: $clash")
-
-    val lStructCol = struct(left.columns.map(col).toSeq: _*)
-    val rStructCol = struct(rPayload.map(col): _*)
-    val lType = left.select(lStructCol.as("s")).schema("s").dataType
-    val rType = right.select(rStructCol.as("s")).schema("s").dataType
-    // Equal-time right rows sort BEFORE left rows when inclusive
-    // (so they are visible to last()) and AFTER when strict.
-    val (lSide, rSide) = if (strict) (0, 1) else (1, 0)
-
-    val lTagged = left.select(
-      on.map(col) ++ Seq(
-        col(leftTime).as("__t"), lit(lSide).as("__side"), col(leftTie).as("__tie"),
-        lStructCol.as("__l"), lit(null).cast(rType).as("__r")): _*)
-    val rTagged = right.select(
-      on.map(col) ++ Seq(
-        col(rightTime).as("__t"), lit(rSide).as("__side"), col(rightTie).as("__tie"),
-        lit(null).cast(lType).as("__l"), rStructCol.as("__r")): _*)
-
-    val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__t"), col("__side"), col("__tie"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    lTagged.unionByName(rTagged)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .where(col("__side") === lSide)
-      .select(left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
-        rPayload.map(c => col("__m").getField(c).as(c)): _*)
-  }
+                   strict: Boolean = false): DataFrame =
+    asofImpl(left, right, on, leftTime, rightTime, leftTie, rightTie,
+      strict, forward = false)
 
   /** Forward as-of join: for each left row, the single EARLIEST right
     * row at or after (strict: strictly after) the left row's time, per
@@ -79,7 +49,22 @@ object AsofJoin {
   def asofForward(left: DataFrame, right: DataFrame, on: Seq[String],
                   leftTime: String, rightTime: String,
                   leftTie: String, rightTie: String,
-                  strict: Boolean = false): DataFrame = {
+                  strict: Boolean = false): DataFrame =
+    asofImpl(left, right, on, leftTime, rightTime, leftTie, rightTie,
+      strict, forward = true)
+
+  /** The one union + one-window pass both directions share. The
+    * direction decides three things only: the window frame (preceding
+    * + last for backward, following + first for forward — which also
+    * yields largest-tie-wins backward, smallest-tie-wins forward under
+    * the one ascending (__t, __side, __tie) ordering), and the side
+    * encoding: equal-time right rows must sort INSIDE the frame when
+    * inclusive and OUTSIDE it when strict, and which side of the left
+    * row "inside" is flips with the direction. */
+  private def asofImpl(left: DataFrame, right: DataFrame, on: Seq[String],
+                       leftTime: String, rightTime: String,
+                       leftTie: String, rightTie: String,
+                       strict: Boolean, forward: Boolean): DataFrame = {
     require(on.nonEmpty, "need at least one join key")
     val rPayload = right.columns.filterNot(on.contains).toSeq
     val clash = left.columns.toSet.intersect(rPayload.toSet)
@@ -89,10 +74,7 @@ object AsofJoin {
     val rStructCol = struct(rPayload.map(col): _*)
     val lType = left.select(lStructCol.as("s")).schema("s").dataType
     val rType = right.select(rStructCol.as("s")).schema("s").dataType
-    // Equal-time right rows sort AFTER left rows when inclusive (so
-    // they are visible to first() over the following frame) and BEFORE
-    // when strict.
-    val (lSide, rSide) = if (strict) (1, 0) else (0, 1)
+    val (lSide, rSide) = if (strict ^ forward) (0, 1) else (1, 0)
 
     val lTagged = left.select(
       on.map(col) ++ Seq(
@@ -103,12 +85,18 @@ object AsofJoin {
         col(rightTime).as("__t"), lit(rSide).as("__side"), col(rightTie).as("__tie"),
         lit(null).cast(lType).as("__l"), rStructCol.as("__r")): _*)
 
-    val w = Window.partitionBy(on.map(col): _*)
+    val ordered = Window.partitionBy(on.map(col): _*)
       .orderBy(col("__t"), col("__side"), col("__tie"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched =
+      if (forward)
+        first(col("__r"), ignoreNulls = true)
+          .over(ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("__r"), ignoreNulls = true)
+          .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
     lTagged.unionByName(rTagged)
-      .withColumn("__m", first(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__m", matched)
       .where(col("__side") === lSide)
       .select(left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
         rPayload.map(c => col("__m").getField(c).as(c)): _*)

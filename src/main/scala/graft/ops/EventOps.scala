@@ -67,7 +67,13 @@ object EventOps {
     * `bucketWidth` is in the ts column's unit (e.g. 604800000000 for
     * weekly cohorts over microsecond timestamps). Counts are exact
     * integers; the rate is rounded to 4 dp from exact counts, so the
-    * result is engine- and partitioning-independent.
+    * result is engine- and partitioning-independent. Bucketing is pure
+    * long arithmetic (a floor(ts/width) double quotient would
+    * mis-bucket epoch-nano magnitudes above 2^53). Null-user events
+    * are dropped up front: they are unattributable, and letting them
+    * through would count them in cohort sizes while the null-rejecting
+    * activity join could never count them active — silently deflating
+    * every fraction of their cohort.
     *
     * Scale shape: one per-user min (cohort assignment), one distinct
     * over (user, bucket) — both hash-partitioned by user — then a
@@ -75,8 +81,16 @@ object EventOps {
   def retention(events: DataFrame, userCol: String, tsCol: String,
                 bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val e = events.select(col(userCol).as("user"),
-      floor(col(tsCol) / bucketWidth).cast("long").as("bucket"))
+    val ts = col(tsCol).cast("long")
+    val e = events
+      .where(col(userCol).isNotNull)
+      .select(col(userCol).as("user"),
+        (ts - pmod(ts, lit(bucketWidth))).as("__start"))
+      // __start is an exact multiple of the width, so the integral
+      // `div` (truncating) equals the true floored quotient — exact at
+      // any magnitude, long arithmetic end to end.
+      .withColumn("bucket", expr(s"__start div ${bucketWidth}L"))
+      .drop("__start")
     val cohorts = e.groupBy("user").agg(min("bucket").as("cohort"))
     val active = e.distinct()
       .join(cohorts, Seq("user"))

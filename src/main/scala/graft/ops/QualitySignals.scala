@@ -76,11 +76,17 @@ object QualitySignals {
       .withColumn("top_token_frac", sig.getField("top_token_frac"))
       .withColumn("dup_bigram_frac", sig.getField("dup_bigram_frac"))
       .withColumn("symbol_ratio", symbolRatio)
+    // coalesce to FALSE: a null text nulls every signal, and a null
+    // keep flag would put the doc in NEITHER the keep nor the drop set
+    // (both where(keep) and where(!keep) exclude it). Undecodable text
+    // is a drop, not a limbo row.
     out.withColumn("gopher_keep",
-      col("n_tokens").between(10L, 100000L) &&
-        col("distinct_token_ratio") >= 0.3 &&
-        col("top_token_frac") <= 0.2 &&
-        col("dup_bigram_frac") <= 0.05 &&
-        col("symbol_ratio") <= 0.1)
+      coalesce(
+        col("n_tokens").between(10L, 100000L) &&
+          col("distinct_token_ratio") >= 0.3 &&
+          col("top_token_frac") <= 0.2 &&
+          col("dup_bigram_frac") <= 0.05 &&
+          col("symbol_ratio") <= 0.1,
+        lit(false)))
   }
 }

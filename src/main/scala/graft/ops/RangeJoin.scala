@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * post-filter, which explodes on hot keys and cannot prune.
   *
   * Bucketed implementation (the standard distributed range-join trick):
-  * both sides get a bucket id `floor(time / bucket)`; the LEFT side is
+  * both sides get a bucket key (the bucket's START, in pure long
+  * arithmetic — a `floor(time / bucket)` id routes through a DOUBLE
+  * quotient that mis-buckets times above 2^53, silently dropping
+  * boundary matches on epoch-nano data); the LEFT side is
   * exploded to every bucket its window overlaps (a small constant:
   * `(before + after) / bucket + 1`), the join runs as a plain equi-join
   * on (keys, bucket) — hash-shuffled, AQE/skew-splittable, no cross
@@ -32,17 +35,20 @@ object RangeJoin {
     val lo = (col(leftTime) - before).cast("long")
     val hi = (col(leftTime) + after).cast("long")
     val lBucketed = left.withColumn("__bucket",
-      explode(sequence(floorDiv(lo, bucket), floorDiv(hi, bucket))))
+      explode(sequence(bucketStart(lo, bucket), bucketStart(hi, bucket),
+        lit(bucket))))
     val rBucketed = right.withColumn("__bucket",
-      floorDiv(col(rightTime).cast("long"), bucket))
+      bucketStart(col(rightTime).cast("long"), bucket))
     lBucketed.join(rBucketed, on :+ "__bucket")
       .where(col(rightTime) >= col(leftTime) - before &&
         col(rightTime) <= col(leftTime) + after)
       .drop("__bucket")
   }
 
-  /** Floored division that is exact for negative values too (SQL `/` on
-    * longs truncates toward zero; bucket ids must floor). */
-  private def floorDiv(x: Column, d: Long): Column =
-    floor(x.cast("double") / d).cast("long")
+  /** Largest multiple of `d` ≤ x — the bucket's start, used directly as
+    * the equi-join key. Pure long arithmetic (pmod is exact for
+    * negative x too), exact at ANY magnitude — same discipline as
+    * Timeseries.gapFillLocf's bucketing. */
+  private def bucketStart(x: Column, d: Long): Column =
+    x - pmod(x, lit(d))
 }

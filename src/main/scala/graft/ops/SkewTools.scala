@@ -31,7 +31,15 @@ object SkewTools {
     require(factor > 0, "salt factor must be positive")
     val saltSrc =
       if (saltFrom.nonEmpty) saltFrom.map(col)
-      else large.columns.filterNot(_ == key).map(col).toSeq
+      else large.columns.filterNot(_ == key).map(col).toSeq match {
+        // A keys-only large side has no other columns to hash (and
+        // hashing the key alone would give every hot-key row the SAME
+        // salt — no spreading). spark_partition_id() still spreads the
+        // hot key by source partition, and is retry/speculation-safe:
+        // a re-run task recomputes the same partition id.
+        case Seq() => Seq(spark_partition_id())
+        case cols  => cols
+      }
     val saltedLarge = large.withColumn("__salt", saltCol(factor, saltSrc: _*))
     val explodedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1)))).withColumn("__salt",

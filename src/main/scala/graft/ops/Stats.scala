@@ -8,6 +8,22 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Broadcast-join per-group aggregates back onto the scan, NULL-SAFE
+    * on the group keys: a plain equi-join silently drops every row
+    * whose group key is null — the groupBy pays to compute the null
+    * group's aggregate, then the join back never matches it, so null-
+    * group outliers vanish with no error (the recurring null-key
+    * pattern). `<=>` treats null as a group like any other. */
+  private def joinGroupsNullSafe(df: DataFrame, grouped: DataFrame,
+                                 groupCols: Seq[String]): DataFrame = {
+    if (groupCols.isEmpty) return df.crossJoin(broadcast(grouped))
+    val renamed = groupCols.foldLeft(grouped) {
+      case (g, c) => g.withColumnRenamed(c, s"__g_$c")
+    }
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    df.join(broadcast(renamed), cond).drop(groupCols.map(c => s"__g_$c"): _*)
+  }
+
   /** Per-group z-score outliers: rows with |value − mean| ≥ threshold·σ
     * of their group (population σ). The determinism discipline: sum and
     * sum-of-squares run through EXACT DECIMAL aggregation (order-free,
@@ -38,7 +54,7 @@ object Stats {
       .withColumn("sigma",
         sqrt(col("__ss") / col("__n") - col("mean") * col("mean")))
       .drop("__n", "__s", "__ss")
-    df.join(broadcast(moments), groupCols)
+    joinGroupsNullSafe(df, moments, groupCols)
       .withColumn("z", round(
         (col(valueCol).cast("double") - col("mean")) / col("sigma"), roundScale))
       .where(abs(col("z")) >= threshold && col("sigma") > 0.0)
@@ -67,11 +83,11 @@ object Stats {
                   k: Double = 1.5, roundScale: Int = 4): DataFrame = {
     require(k > 0, "k must be positive")
     val fences = df.groupBy(groupCols.map(col): _*)
-      .agg(round(expr(s"percentile($valueCol, 0.25)"), roundScale).as("q1"),
-        round(expr(s"percentile($valueCol, 0.75)"), roundScale).as("q3"))
+      .agg(round(expr(s"percentile(`$valueCol`, 0.25)"), roundScale).as("q1"),
+        round(expr(s"percentile(`$valueCol`, 0.75)"), roundScale).as("q3"))
       .withColumn("lo", col("q1") - (col("q3") - col("q1")) * k)
       .withColumn("hi", col("q3") + (col("q3") - col("q1")) * k)
-    df.join(broadcast(fences), groupCols)
+    joinGroupsNullSafe(df, fences, groupCols)
       .where(col(valueCol).cast("double") < col("lo") ||
         col(valueCol).cast("double") > col("hi"))
   }

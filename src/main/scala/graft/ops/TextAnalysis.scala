@@ -126,19 +126,6 @@ object TextAnalysis {
           .as("cum_coverage"))
   }
 
-  /** Per-document TF-IDF top-k keyword extraction: tf = in-doc term
-    * count, idf = ln((1 + N) / (1 + df)) (smoothed — never negative,
-    * defined for df = N), weight = tf * idf rounded to 6 dp BEFORE the
-    * per-doc rank with a token tie-break, so the selected keywords are
-    * engine- and partitioning-independent.
-    *
-    * Scale shape: one explode + (doc, token) hash-shuffle agg with
-    * map-side combine; df is a token-keyed agg joined back on the
-    * token key — NOT broadcast: the vocabulary of a 100 TB corpus is
-    * vocab-sized/unbounded (AQE may still broadcast it at small scale,
-    * which is a safe runtime decision); the corpus size N is a scalar
-    * broadcast; the per-doc top-k is a window PARTITIONED BY doc —
-    * parallel in the number of documents, never a global sort. */
   /** Top-k collocations by pointwise mutual information:
     * pmi(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) ) over corpus bigram and
     * unigram frequencies — the phrase-mining signal ("new york"-style
@@ -178,6 +165,19 @@ object TextAnalysis {
       .select("bg", "c12", "pmi")
   }
 
+  /** Per-document TF-IDF top-k keyword extraction: tf = in-doc term
+    * count, idf = ln((1 + N) / (1 + df)) (smoothed — never negative,
+    * defined for df = N), weight = tf * idf rounded to 6 dp BEFORE the
+    * per-doc rank with a token tie-break, so the selected keywords are
+    * engine- and partitioning-independent.
+    *
+    * Scale shape: one explode + (doc, token) hash-shuffle agg with
+    * map-side combine; df is a token-keyed agg joined back on the
+    * token key — NOT broadcast: the vocabulary of a 100 TB corpus is
+    * vocab-sized/unbounded (AQE may still broadcast it at small scale,
+    * which is a safe runtime decision); the corpus size N is a scalar
+    * broadcast; the per-doc top-k is a window PARTITIONED BY doc —
+    * parallel in the number of documents, never a global sort. */
   def topKeywords(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

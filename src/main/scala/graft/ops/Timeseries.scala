@@ -80,7 +80,15 @@ object Timeseries {
           .orderBy(col("ts").desc, col("tie").desc)))
       .where(col("__rn") === 1)
       .select(col("key"), col("tick"), col("v"))
-    ticks.join(lastPerBucket, Seq("key", "tick"), "left")
+    // Null-safe on key: a null-key group gets its grid and LOCF like
+    // any other (the plain equi-join would fabricate an all-null grid
+    // for it — the groupBys keep the null group but `null = null` never
+    // matches, so its observed values could never join back).
+    ticks.join(
+        lastPerBucket.withColumnRenamed("key", "__k")
+          .withColumnRenamed("tick", "__t"),
+        col("key") <=> col("__k") && col("tick") <=> col("__t"), "left")
+      .drop("__k", "__t")
       .withColumn("value", last(col("v"), ignoreNulls = true).over(
         Window.partitionBy("key").orderBy("tick")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -66,4 +66,21 @@ class EventOpsSpec extends SparkSpec {
       (1L, 0L) -> (1L, 1L, 1.0),
       (1L, 1L) -> (1L, 1L, 1.0)))
   }
+
+  test("retention: epoch-nano magnitudes bucket exactly; null users dropped") {
+    // base ~1.6e18 is above 2^53, where floor(ts/width) through a
+    // double quotient mis-buckets boundary events. Width 1000:
+    // base is a multiple of 1000, so base+999 is still offset 0 and
+    // base+1000 is offset 1 — exactly.
+    val base = 1600000000000000000L
+    val ev = Seq(
+      (Option(1L), base + 999L), (Option(1L), base + 1000L),
+      (Option.empty[Long], base + 1L), (Option.empty[Long], base + 2000L)
+    ).toDF("user_id", "ts")
+    val got = EventOps.retention(ev, "user_id", "ts", bucketWidth = 1000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    // one real user: offsets 0 and 1, cohort size 1 — null users are
+    // neither cohort members (no deflated denominator) nor active rows.
+    assert(got == Seq((0L, 1L, 1L), (1L, 1L, 1L)))
+  }
 }

@@ -41,6 +41,16 @@ class QualitySignalsSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.4)
   }
 
+  test("null text is a DROP (false), not a null limbo row") {
+    // A null keep flag would exclude the doc from BOTH where(keep)
+    // and where(!keep) — 3VL leak.
+    val out = QualitySignals.signals(
+      Seq((1L, Option.empty[String]), (2L, Option("real text here ok")))
+        .toDF("id", "text"), "text")
+    assert(out.where($"id" === 1L).select("gopher_keep").head.getBoolean(0) == false)
+    assert(out.where(!$"gopher_keep").count() == 2) // both fail (short text too)
+  }
+
   test("gopher_keep boundary: too-symbol-heavy text is dropped") {
     val clean = (1 to 20).map(i => s"tok$i").mkString(" ")
     assert(sig(clean).getBoolean(5))

@@ -21,6 +21,19 @@ class SkewToolsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("keys-only large side still salts (partition-id fallback)") {
+    // With no non-key columns, xxhash64() of zero args would fail
+    // analysis; the fallback salts by source partition instead.
+    val large = (0 until 200).map(i => if (i % 2 == 0) 42L else i.toLong)
+      .toDF("k").repartition(8)
+    val small = Seq((42L, "hot"), (3L, "b")).toDF("k", "label")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "label").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(rows(SkewTools.saltedInnerJoin(large, small, "k", factor = 4)) ==
+      rows(large.join(small, Seq("k"))))
+  }
+
   test("salt is deterministic and within range") {
     val df = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
     val s1 = df.select(SkewTools.saltCol(8, $"v").as("s")).as[Int].collect()

@@ -42,6 +42,21 @@ class StatsSpec extends SparkSpec {
     assert(got.head.getAs[Double]("z") == 3.0)
   }
 
+  test("null group keys are screened like any other group (null-safe join)") {
+    // The groupBy keeps the null group, but a plain equi-join back on
+    // the group key would never match it — null-group outliers would
+    // silently vanish.
+    val rows = (Seq.fill(9)((Option.empty[String], 10.0)) :+
+      (Option.empty[String], 100.0)) ++ Seq((Option("b"), 5.0), (Option("b"), 5.0))
+    val df = rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "grp", "value")
+    val z = Stats.zscoreOutliers(df, Seq("grp"), "value", threshold = 3.0)
+      .collect()
+    assert(z.map(_.getAs[Long]("id")).toSeq == Seq(9L))
+    val iqr = Stats.iqrOutliers(df, Seq("grp"), "value", k = 1.5).collect()
+    assert(iqr.map(_.getAs[Long]("id")).toSeq == Seq(9L))
+  }
+
   test("iqrOutliers: Tukey fences from exact quartiles, robust to the outlier") {
     // group a: 1..11 plus an extreme 1000. Quartiles of the 12 values:
     //   q1 = 3.75, q3 = 9.25 (linear interpolation), iqr = 5.5

@@ -54,4 +54,23 @@ class TimeseriesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(again == got)
   }
+
+  test("gapFillLocf: a null key is a group like any other (null-safe join)") {
+    // A plain equi-join back on the key would fabricate an all-null
+    // grid for the null-key group (null = null never matches).
+    val obs = Seq(
+      (Option("a"), 3L, 1.0, 1L),
+      (Option.empty[String], 5L, 7.0, 2L),
+      (Option.empty[String], 25L, 9.0, 3L)
+    ).toDF("k", "ts", "v", "eid")
+    val got = Timeseries.gapFillLocf(obs, "k", "ts", "v", step = 10L,
+        tieCol = "eid")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        r.getDouble(2)).toMap
+    assert(got == Map(
+      (Option("a"), 0L) -> 1.0,
+      (None, 0L) -> 7.0,
+      (None, 10L) -> 7.0,  // gap -> LOCF inside the null-key group
+      (None, 20L) -> 9.0))
+  }
 }
