@@ -2561,16 +2561,22 @@ object SparkEntry {
                  THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                ELSE ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' ||
                     CAST((doc_id * 7) % 250 AS VARCHAR) || '.8' END AS t
-        FROM documents)
+        FROM documents),
+      -- Counts run on the PROGRESSIVELY redacted text, mirroring
+      -- Pii.redact's cascade-consistent contract: n_phones on the
+      -- email-redacted text, n_ips on the email+phone-redacted text.
+      r1 AS (SELECT doc_id, t,
+               regexp_replace(t, '${Pii.EmailPattern}', '<EMAIL>', 'g') AS t1
+             FROM s),
+      r2 AS (SELECT doc_id, t, t1,
+               regexp_replace(t1, '${Pii.PhonePattern}', '<PHONE>', 'g') AS t2
+             FROM r1)
       SELECT doc_id,
         CAST(len(regexp_extract_all(t, '${Pii.EmailPattern}')) AS BIGINT) AS n_emails,
-        CAST(len(regexp_extract_all(t, '${Pii.PhonePattern}')) AS BIGINT) AS n_phones,
-        CAST(len(regexp_extract_all(t, '${Pii.Ipv4Pattern}')) AS BIGINT) AS n_ips,
-        sha256(regexp_replace(regexp_replace(regexp_replace(t,
-          '${Pii.EmailPattern}', '<EMAIL>', 'g'),
-          '${Pii.PhonePattern}', '<PHONE>', 'g'),
-          '${Pii.Ipv4Pattern}', '<IP>', 'g')) AS redacted_sha
-      FROM s""",
+        CAST(len(regexp_extract_all(t1, '${Pii.PhonePattern}')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(t2, '${Pii.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+        sha256(regexp_replace(t2, '${Pii.Ipv4Pattern}', '<IP>', 'g')) AS redacted_sha
+      FROM r2""",
 
     // Hybrid RRF: BM25 CTE chain (same as q_bm25_search) + cosine
     // scores, rank top-50 each, fuse 1/(60+rank), round 6 before the

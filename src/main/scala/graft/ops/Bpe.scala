@@ -134,6 +134,12 @@ object Bpe {
       .map { case ((l, r), i) => (i.toLong, l, r) }
       .toDF("rank", "left", "right")
   }
+
+  /** Shared compiled whitespace splitter for [[BpeEncodeExpr]] —
+    * `String.split("\\s+")` recompiles the pattern per call, which a
+    * per-row fused expression must not pay. */
+  private[ops] val Whitespace: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("\\s+")
 }
 
 /** Fused BPE segmentation of one text row: lowercase + whitespace
@@ -151,8 +157,15 @@ private[ops] case class BpeEncodeExpr(
   override def prettyName: String = "graft_bpe_encode"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-    val out = text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty)
+    // Lowercase on the UTF8String ITSELF — the exact code path SQL
+    // lower() runs (ASCII byte fast path, locale-independent), so the
+    // encoder sees byte-identical words to the ones train() counted.
+    // A String.toLowerCase here would diverge under e.g. a tr_TR
+    // default locale ('I' -> dotless 'ı') and break determinism
+    // across executor JVMs with different locales.
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.toString
+    val out = Bpe.Whitespace.split(text).iterator.filter(_.nonEmpty)
       .flatMap(w => Bpe.encodeWord(w, merges))
       .map(org.apache.spark.unsafe.types.UTF8String.fromString)
       .toArray[Any]

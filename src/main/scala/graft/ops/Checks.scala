@@ -21,6 +21,7 @@ object Checks {
   /** Null count over `cols` (any null in any listed column counts the
     * row once per column): one conditional-sum pass. */
   def notNull(df: DataFrame, cols: Seq[String], name: String = ""): DataFrame = {
+    require(cols.nonEmpty, "notNull: no columns to check")
     val label = if (name.nonEmpty) name else s"not_null(${cols.mkString(",")})"
     val nulls = cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)))
       .reduce(_ + _)
@@ -41,6 +42,7 @@ object Checks {
     * (violations = total non-null-key rows − distinct key values).
     * Exact two-phase count-distinct — no row-level materialization. */
   def uniqueKey(df: DataFrame, keys: Seq[String], name: String = ""): DataFrame = {
+    require(keys.nonEmpty, "uniqueKey: no key columns to check")
     val label = if (name.nonEmpty) name else s"unique_key(${keys.mkString(",")})"
     val keyed = df.na.drop(keys).select(keys.map(col): _*)
     keyed.agg(result(label,

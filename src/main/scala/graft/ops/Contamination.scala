@@ -26,14 +26,20 @@ object Contamination {
     * Returns (idCol, n_ngrams, n_overlap, contamination_frac) for
     * candidates with >= 1 overlapping n-gram; n_ngrams counts the
     * candidate's distinct n-grams, contamination_frac = n_overlap /
-    * n_ngrams rounded to 4 dp. Callers decide the drop threshold. */
+    * n_ngrams rounded to 4 dp. Callers decide the drop threshold.
+    *
+    * Null-id candidates are screened out: the per-doc groupBy would
+    * otherwise MERGE every null-id doc (with equal n_ngrams) into one
+    * bogus row, and no downstream join could attribute the result
+    * anyway. [[decontaminate]] drops them for the same reason. */
   def ngramOverlap(candidates: DataFrame, bench: DataFrame,
                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val benchGrams = bench
       .select(explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
       .distinct()
-    val withSh = candidates.select(col(idCol).as("id"),
-      TextFunctions.shingles(col(textCol), n).as("shs"))
+    val withSh = candidates.where(col(idCol).isNotNull)
+      .select(col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), n).as("shs"))
     // Candidate n-gram set size comes narrowly from the array length
     // (shingles are distinct within a doc) — no extra aggregate.
     val exploded = withSh.select(col("id"), size(col("shs")).as("n_ngrams"),
@@ -51,13 +57,20 @@ object Contamination {
 
   /** Decontaminate: drop candidates whose contamination_frac meets the
     * threshold; everything else (including zero-overlap docs the
-    * inner join never surfaced) passes through. */
+    * inner join never surfaced) passes through.
+    *
+    * Null-id candidates are DROPPED, not passed: the anti-join's
+    * null-rejecting equality would otherwise wave a fully contaminated
+    * null-id row straight into the training set (an unattributable doc
+    * cannot be cleared, so the conservative direction is out — the same
+    * call cohort retention makes for null users). */
   def decontaminate(candidates: DataFrame, bench: DataFrame,
                     idCol: String, textCol: String, n: Int = 3,
                     maxFrac: Double = 0.2): DataFrame = {
     val drop = ngramOverlap(candidates, bench, idCol, textCol, n)
       .where(col("contamination_frac") >= maxFrac)
       .select(col(idCol))
-    candidates.join(drop, Seq(idCol), "left_anti")
+    candidates.where(col(idCol).isNotNull)
+      .join(drop, Seq(idCol), "left_anti")
   }
 }

@@ -47,17 +47,31 @@ object Packing {
     // PRECONDITIONS: ids must be non-null (a null id would form a
     // null bucket whose token total shifts every real bucket's offset
     // while its own rows vanish in the equi-join — excluded here
-    // explicitly instead) and UNIQUE (the within-bucket cumulative sum
+    // explicitly instead), CASTABLE to long (a failed cast raises
+    // rather than silently dropping the row through the null-rejecting
+    // bucket join), and UNIQUE (the within-bucket cumulative sum
     // orders by id alone; duplicate ids would make tied rows'
-    // cum_tokens_excl depend on physical row order).
+    // cum_tokens_excl depend on physical row order). Ordering is on
+    // the CAST long value, so numeric-string ids ("99" < "100000")
+    // order the same way their buckets do.
     // The bucket key only needs to GROUP and ORDER consistently, so use
     // the exact bucket START (id - pmod(id, width)) rather than
     // floor(id/width): the latter's double quotient mis-buckets ids
     // above 2^53 (hash-derived ids get there), and __bucket never
     // reaches the output. seq_id's floor below IS safe: cumulative
     // token counts stay far under 2^53 for any real corpus.
-    val base = df.where(col(idCol).isNotNull).withColumn("__bucket",
-      col(idCol).cast("long") - pmod(col(idCol).cast("long"), lit(bucketWidth)))
+    // try_cast, not cast: under ANSI a failed cast throws Spark's
+    // generic CAST_INVALID_INPUT; with ANSI off it yields null and the
+    // row would vanish through the bucket equi-join. try_cast makes
+    // both modes land on the explicit raise below.
+    val idLong = col(idCol).try_cast("long")
+    val base = df.where(col(idCol).isNotNull)
+      .withColumn("__idl", when(idLong.isNull,
+        raise_error(concat(
+          lit(s"packSequences: id in '$idCol' is not castable to long: "),
+          col(idCol).cast("string")))).otherwise(idLong))
+      .withColumn("__bucket",
+        col("__idl") - pmod(col("__idl"), lit(bucketWidth)))
     val bucketTotals = base.groupBy("__bucket")
       .agg(sum(col(tokensCol).cast("long")).as("__bt"))
     // The bucket table has corpus/bucketWidth rows — the single-ordered
@@ -67,13 +81,13 @@ object Packing {
         Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select("__bucket", "__off")
-    val within = Window.partitionBy("__bucket").orderBy(col(idCol))
+    val within = Window.partitionBy("__bucket").orderBy(col("__idl"))
       .rowsBetween(Window.unboundedPreceding, -1)
     base.join(broadcast(offsets), "__bucket")
       .withColumn("cum_tokens_excl",
         col("__off") + coalesce(sum(col(tokensCol).cast("long")).over(within), lit(0L)))
       .withColumn("seq_id", floor(col("cum_tokens_excl") / lit(capacity)).cast("long"))
       .withColumn("seq_offset", (col("cum_tokens_excl") % lit(capacity)).cast("long"))
-      .drop("__bucket", "__off")
+      .drop("__bucket", "__off", "__idl")
   }
 }

@@ -23,7 +23,12 @@ object Pii {
   /** Dotted-quad IPv4 (syntactic — no octet range check). */
   val Ipv4Pattern = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
 
-  /** Adds n_emails / n_phones / n_ips match counts. */
+  /** Adds n_emails / n_phones / n_ips RAW-TEXT match counts. The three
+    * patterns can overlap on raw text (a phone or dotted-quad inside
+    * an email's local part is counted by ITS pattern too), so these
+    * counts answer "what does each detector see", not "how many
+    * placeholders would [[redact]] write" — [[redact]] computes its own
+    * cascade-consistent counts. */
   def detect(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     df.withColumn("n_emails", regexp_count(t, lit(EmailPattern)).cast("long"))
@@ -41,8 +46,24 @@ object Pii {
         PhonePattern, "<PHONE>"),
       Ipv4Pattern, "<IP>")
 
-  /** Adds `outCol` with the redacted text plus the detect counts. */
+  /** Adds `outCol` with the redacted text plus counts that agree with
+    * the placeholders actually written: each count runs its pattern on
+    * the text AFTER the earlier replacements in [[redactCol]]'s cascade
+    * (n_phones on the email-redacted text, n_ips on the email+phone-
+    * redacted text), so `count of <PHONE> placeholders == n_phones`
+    * holds even when a phone-shaped span sits inside an email match
+    * that the <EMAIL> replacement consumed. Raw-text detector counts
+    * are [[detect]]'s contract, not this one's. */
   def redact(df: DataFrame, textCol: String,
-             outCol: String = "text_redacted"): DataFrame =
-    detect(df, textCol).withColumn(outCol, redactCol(col(textCol)))
+             outCol: String = "text_redacted"): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhonePattern, "<PHONE>")
+    df.withColumn("n_emails",
+        regexp_count(col(textCol), lit(EmailPattern)).cast("long"))
+      .withColumn("n_phones",
+        regexp_count(afterEmail, lit(PhonePattern)).cast("long"))
+      .withColumn("n_ips",
+        regexp_count(afterPhone, lit(Ipv4Pattern)).cast("long"))
+      .withColumn(outCol, regexp_replace(afterPhone, Ipv4Pattern, "<IP>"))
+  }
 }

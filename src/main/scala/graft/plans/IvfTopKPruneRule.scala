@@ -228,11 +228,13 @@ case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * batches). */
   private def pruned(scoreAttr: Attribute, child: LogicalPlan,
                      wantHigher: Boolean): Option[LogicalPlan] = {
-    val matched = child.collectFirst {
-      case Project(projectList, _) => projectList.collectFirst {
-        case a @ Alias(e, _) if a.exprId == scoreAttr.exprId => scoreQueryVec(e)
-      }.flatten
-    }.flatten
+    // Collect ALL Projects under the sort (same shape as prunedBatch):
+    // a collectFirst on the outer Project would stop at the first one
+    // even when the score alias lives in a deeper projection that
+    // CollapseProject declined to merge, silently disabling the rewrite.
+    val matched = child.collect { case Project(pl, _) => pl }.flatten
+      .collectFirst { case a @ Alias(e, _) if a.exprId == scoreAttr.exprId => e }
+      .flatMap(scoreQueryVec)
     matched.filter { case (_, _, higherIsBetter) => higherIsBetter == wantHigher }
       .flatMap { case (queryVec, vecSide, _) =>
       child.collectFirst {

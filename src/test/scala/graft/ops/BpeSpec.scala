@@ -52,6 +52,23 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq("low", "low", "low", "e", "r"))
   }
 
+  test("encodeCol lowercases like SQL lower() even under a tr_TR default locale") {
+    val docs = Seq((0L, "III iii")).toDF("id", "text")
+    val merges = Bpe.train(docs, "text", 2)
+    assert(merges == IndexedSeq(("i", "i"), ("ii", "i")))
+    // Under tr_TR, String.toLowerCase("III") is dotless "ııı" and no
+    // trained merge would ever fire; the expression must take the same
+    // locale-independent ASCII path SQL lower() takes in train().
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+    try {
+      val got = docs
+        .select(Bpe.encodeCol(org.apache.spark.sql.functions.col("text"), merges))
+        .as[Seq[String]].head
+      assert(got == Seq("iii", "iii"))
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("merge count caps at available pairs; single-char vocab trains nothing") {
     assert(Bpe.trainFromCounts(Seq(("a", 10L), ("b", 2L)), 5).isEmpty)
     val m = Bpe.trainFromCounts(Seq(("ab", 1L)), 100)

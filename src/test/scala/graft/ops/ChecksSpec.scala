@@ -45,6 +45,17 @@ class ChecksSpec extends SparkSpec {
     assert(row(Checks.foreignKey(empty, "id", Seq(1L).toDF("pid"), "pid"))._3)
   }
 
+  test("empty column lists fail fast with a named require, not reduce/head noise") {
+    val msg1 = intercept[IllegalArgumentException] {
+      Checks.notNull(df, Seq.empty)
+    }.getMessage
+    assert(msg1.contains("notNull"))
+    val msg2 = intercept[IllegalArgumentException] {
+      Checks.uniqueKey(df, Seq.empty)
+    }.getMessage
+    assert(msg2.contains("uniqueKey"))
+  }
+
   test("foreignKey counts orphans; report unions everything") {
     val parent = Seq(1L, 3L).toDF("pid")
     val fkRes = row(Checks.foreignKey(df, "id", parent, "pid"))

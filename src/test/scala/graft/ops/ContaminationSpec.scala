@@ -32,6 +32,24 @@ class ContaminationSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("null-id candidates are screened out, never merged or waved through") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // Two fully contaminated null-id rows: without the screen they
+    // would (a) merge into one bogus overlap row (frac 2.0) and
+    // (b) sail through decontaminate's null-rejecting anti-join.
+    val nullRows = Seq("the quick brown fox jumps", "the quick brown fox jumps")
+      .toDF("text").withColumn("doc_id", lit(null).cast("long"))
+      .select("doc_id", "text")
+    val withNull = cands.unionByName(nullRows)
+    val overlap = Contamination.ngramOverlap(withNull, bench, "doc_id", "text", 3)
+    assert(overlap.where(col("doc_id").isNull).isEmpty)
+    assert(overlap.count() == 2) // docs 1 and 3, unchanged
+    val kept = Contamination.decontaminate(withNull, bench, "doc_id", "text",
+        n = 3, maxFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L)) // contaminated null-id rows are OUT
+  }
+
   test("short texts (fewer than n tokens) have no n-grams and pass") {
     val tiny = Seq((9L, "too short")).toDF("doc_id", "text")
     assert(Contamination.ngramOverlap(tiny, bench, "doc_id", "text", 3).isEmpty)

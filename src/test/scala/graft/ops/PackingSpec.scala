@@ -38,6 +38,26 @@ class PackingSpec extends SparkSpec {
     assert(cum.toSeq == toks.scanLeft(0L)(_ + _).init.toSeq)
   }
 
+  test("non-long-castable ids raise instead of vanishing through the bucket join") {
+    val bad = Seq(("doc-1", 5L), ("doc-2", 7L)).toDF("id", "toks")
+    val ex = intercept[Exception] {
+      Packing.packSequences(bad, "id", "toks", capacity = 64).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("not castable to long")))
+  }
+
+  test("numeric-string ids order numerically, matching their buckets") {
+    // Lexicographically "10" < "9" but the packing order is the CAST
+    // long order (9 before 10) — the same domain the buckets live on.
+    val sdf = Seq(("9", 4L), ("10", 6L), ("100", 2L)).toDF("id", "toks")
+    val out = Packing.packSequences(sdf, "id", "toks", capacity = 64, bucketWidth = 16)
+      .select("id", "cum_tokens_excl").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("9" -> 0L, "10" -> 4L, "100" -> 10L))
+  }
+
   test("a document larger than capacity still starts in its own sequence (spillover)") {
     val big = Seq((0L, 10L), (1L, 300L), (2L, 10L)).toDF("id", "toks")
     val out = Packing.packSequences(big, "id", "toks", capacity = 100)

@@ -30,6 +30,18 @@ class PiiSpec extends SparkSpec {
     assert(red == "<EMAIL> <EMAIL>")
   }
 
+  test("redact counts agree with placeholders when patterns overlap; detect counts raw") {
+    // The email's local part swallows a phone-shaped span: redact must
+    // report n_phones=0 (no <PHONE> was written) while detect, the raw
+    // per-pattern counter, still sees 1.
+    val text = "reach a+1-555-1234@x.com today"
+    val (e, p, _, red) = one(text)
+    assert(e == 1L && p == 0L)
+    assert(red == "reach <EMAIL> today")
+    val d = Pii.detect(Seq((1L, text)).toDF("id", "text"), "text").head
+    assert(d.getAs[Long]("n_emails") == 1L && d.getAs[Long]("n_phones") == 1L)
+  }
+
   test("clean text passes through untouched") {
     val (e, p, i, red) = one("no personal data at all")
     assert((e, p, i) == ((0L, 0L, 0L)))

@@ -90,6 +90,34 @@ class IvfTopKPruneRuleSpec extends SparkSpec {
     }
   }
 
+  test("score alias in a deeper non-collapsed Project still fires the rewrite") {
+    withRule {
+      IvfTopKPruneRule.register(storePath, model, nprobe = 2)
+      spark.conf.set(IvfTopKPruneRule.ConfKey, "true")
+      try {
+        val qv = emb.embedQuery("deep project query").toSeq
+        // Re-projecting the (non-cheap) score multiple times makes
+        // CollapseProject decline to merge, so the alias lives in the
+        // SECOND Project under the sort — a first-Project-only match
+        // would silently skip the rewrite.
+        val deep = spark.read.parquet(storePath)
+          .withColumn("score",
+            VectorFunctions.cosineSimilarity(col("vec"), typedlit(qv)))
+          .select(col("id"), col("score"),
+            (col("score") * 2).as("s2"), (col("score") + 1).as("s3"))
+          .orderBy(desc("score"), asc("id")).limit(5)
+        val projects = deep.queryExecution.optimizedPlan.collect {
+          case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+        }
+        assert(projects.size >= 2, "precondition: projections must not collapse")
+        assert(clusterFilters(deep).nonEmpty)
+      } finally {
+        spark.conf.unset(IvfTopKPruneRule.ConfKey)
+        IvfTopKPruneRule.unregister(storePath)
+      }
+    }
+  }
+
   test("ranking over ANOTHER table's vectors never prunes the joined registered store") {
     withRule {
       IvfTopKPruneRule.register(storePath, model, nprobe = 2)
