@@ -702,9 +702,12 @@ object SparkEntry {
   /** Fixed-centroid IVF search — the full IVF machinery (assignment,
     * nprobe pruning, in-cluster top-k) made EXACTLY oracle-checkable by
     * pinning the coarse quantizer to 8 stored vectors instead of
-    * k-means output (q_ivf_search keeps the k-means path, rows-only).
-    * Distances are rounded before every argmin/rank so float fold order
-    * can't flip a cluster assignment across engines. */
+    * k-means output. q_ivf_search exercises the real k-means fit and is
+    * ALSO hash-checked since the pinned-centroid split (its fit exports
+    * the fitted centroid values into a dynamic oracle); this query
+    * keeps a fit-free twin so the search math stays pinned even if the
+    * fit changes. Distances are rounded before every argmin/rank so
+    * float fold order can't flip a cluster assignment across engines. */
   private def qIvfFlat(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
     val cents = emb.where(col("vec_id").between(10, 17))
@@ -830,11 +833,10 @@ object SparkEntry {
 
   /** RFM segmentation (recency / frequency / monetary): per-customer
     * order stats against the corpus-max anchor date, quartiled by
-    * ntile with custkey tie-breaks. NOTE the global ntile windows are
-    * single-reducer by construction — fine for a customer DIMENSION
-    * (always orders of magnitude smaller than facts); at genuinely
-    * huge customer counts swap quartiles to percentile-threshold
-    * buckets (Stats/Sketches) instead. */
+    * [[graft.ops.Ranking.ntileGlobal]] with custkey tie-breaks — exact
+    * ntile semantics with NO single-reducer window (range-partitioned
+    * distributed rank), so the segmentation survives a customer table
+    * that grows with the business. */
   private def qRfm(s: SparkSession, dir: String): DataFrame = {
     val anchor = table(s, dir, "orders").agg(max("o_orderdate").as("mx"))
     val per = table(s, dir, "orders")
@@ -845,15 +847,13 @@ object SparkEntry {
           .as("monetary"))
       .crossJoin(broadcast(anchor))
       .withColumn("recency_days", datediff(col("mx"), col("last_order")).cast("long"))
-    import org.apache.spark.sql.expressions.Window
-    per.select(col("o_custkey"), col("recency_days"), col("frequency"),
-        col("monetary"),
-        ntile(4).over(Window.orderBy(col("recency_days"), col("o_custkey")))
-          .cast("long").as("r_quartile"),
-        ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
-          .cast("long").as("f_quartile"),
-        ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey")))
-          .cast("long").as("m_quartile"))
+      .select("o_custkey", "recency_days", "frequency", "monetary")
+    val r = graft.ops.Ranking.ntileGlobal(per, 4,
+      Seq(col("recency_days").asc, col("o_custkey").asc), "r_quartile")
+    val rf = graft.ops.Ranking.ntileGlobal(r, 4,
+      Seq(col("frequency").desc, col("o_custkey").asc), "f_quartile")
+    graft.ops.Ranking.ntileGlobal(rf, 4,
+      Seq(col("monetary").desc, col("o_custkey").asc), "m_quartile")
   }
 
   /** Per-domain token-budget sampling (Sampling.tokenBudget): fill each
@@ -2796,6 +2796,9 @@ object SparkEntry {
 
     // 3-sigma outliers: moments through exact DECIMAL sums, then the
     // identical double expression shape; z rounded before compare.
+    // IS NOT DISTINCT FROM mirrors the Spark side's <=> null-safe
+    // group join: a null event_type forms a real group on BOTH engines
+    // (USING would silently drop it from the oracle only).
     "q_outliers" -> """
       WITH m AS (SELECT event_type, count(*) AS n,
                         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
@@ -2808,7 +2811,7 @@ object SparkEntry {
       SELECT e.event_id, e.event_type, e.value,
              round(m2.mean, 4) AS mean, round(m2.sigma, 4) AS sigma,
              round((e.value - m2.mean) / m2.sigma, 4) AS z
-      FROM events e JOIN m2 USING (event_type)
+      FROM events e JOIN m2 ON e.event_type IS NOT DISTINCT FROM m2.event_type
       WHERE abs(round((e.value - m2.mean) / m2.sigma, 4)) >= 3.0
         AND m2.sigma > 0""",
 

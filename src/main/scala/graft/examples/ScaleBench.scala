@@ -39,7 +39,52 @@ object ScaleBench {
     "q_bm25_search",        // tokenize + df/tf join + TakeOrdered
     "q_events_sessionize",  // per-user window (10× users, same size)
     "q_pack_sequences",     // two-phase bucketed cumsum
-    "q_lm_bigram")          // bigram/unigram count joins
+    "q_lm_bigram",          // bigram/unigram count joins
+    // round-4/5 families
+    "q_semdedup",           // cluster-pruned pair join + int8 screen
+    "q_dsir_weights",       // 2 bucket aggs + broadcast join + TakeOrdered boundary
+    "q_integrity_check",    // full-outer hash compare
+    "q_ivf_search",         // k-means fit + nprobe-pruned scored scan
+    "q_knn_batch",          // k>1 bounded top-k partial aggregate
+    "q_rfm")                // 3 distributed ntiles (range-partitioned rank)
+
+  /** Shapes that no longer exist in SparkEntry but whose 10× behavior
+    * documents WHY the shipped shape replaced them — the before/after
+    * evidence the round-4 verdict asked for. */
+  private val BeforeShapes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // r4's Dsir.selectTopK: unpartitioned row_number over the corpus —
+    // every weighted doc lands on ONE reducer for the rank.
+    "dsir_window_BEFORE" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val w = graft.ops.Dsir.importanceWeights(
+        docs, docs.where(col("source") === "src0"), "doc_id", "text", 4096)
+      w.withColumn("selected",
+        (row_number().over(
+          Window.orderBy(col("logweight").desc, col("doc_id"))) <= 200).cast("int"))
+    }),
+    // r4's topKBatch k>1: two ranking windows over every scored
+    // (doc, query) pair — the shuffle scales with the corpus. Same
+    // workload as q_knn_batch (5 queries, k=5, cosine, rounded) so the
+    // pair is directly comparable.
+    "knn_window_BEFORE" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+      val docs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("dv"))
+      val scored = docs.crossJoin(broadcast(queries))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("score", round(
+          graft.functions.VectorFunctions.cosineSimilarity(col("dv"), col("qv")), 4))
+        .withColumn("__part", spark_partition_id())
+      val order = Seq(col("score").desc, col("vec_id").asc)
+      val local = Window.partitionBy(col("qid"), col("__part")).orderBy(order: _*)
+      val global = Window.partitionBy(col("qid")).orderBy(order: _*)
+      scored.withColumn("__lr", row_number().over(local)).where(col("__lr") <= 5)
+        .withColumn("rank", row_number().over(global)).where(col("rank") <= 5)
+        .select("qid", "vec_id", "score", "rank")
+    }))
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -59,8 +104,8 @@ object ScaleBench {
     build(spark, src, x10, 10)
 
     println(f"${"query"}%-22s ${"t_x1"}%8s ${"t_x10"}%8s  ratio")
-    Queries.foreach { name =>
-      val fn = graft.SparkEntry.queries(name)
+    val all = Queries.map(n => n -> graft.SparkEntry.queries(n)) ++ BeforeShapes
+    all.foreach { case (name, fn) =>
       def best(dir: String): Double =
         (1 to 2).map { _ =>
           val t0 = System.nanoTime()

@@ -1,0 +1,193 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+
+/** Bounded top-k aggregate: keeps the k SMALLEST input structs by the
+  * lexicographic order of their first `numOrdFields` fields, returning
+  * them rank-sorted as `array<struct>`.
+  *
+  * This is the k>1 generalization of the `min_by` partial-aggregate
+  * trick (see [[graft.index.VectorIndex.topKBatch]]'s k=1 path): as a
+  * `TypedImperativeAggregate` it participates in map-side partial
+  * aggregation, so each task reduces its rows to AT MOST k candidates
+  * per group before the exchange — the shuffle carries
+  * numPartitions × numGroups × k rows instead of every scored row. A
+  * window (`row_number` ≤ k) over the same input would shuffle the
+  * whole input to the rank reducers; this is the operator Spark lacks
+  * for "exact grouped top-k at scale".
+  *
+  * Ordering contract: callers encode direction by negating descending
+  * fields (exactly like `min_by`'s struct key — the two paths must stay
+  * consistent) and MUST include tie-break fields that make the order
+  * total, or the k-th element is nondeterministic. Field comparisons
+  * match Spark's interpreted ordering: nulls first, NaN greatest,
+  * -0.0 < 0.0, binary UTF8 strings.
+  *
+  * Buffers hold at most k UnsafeRow copies in a size-k binary heap;
+  * update/merge are O(log k) per row, serialization is the raw
+  * UnsafeRow bytes.
+  */
+case class BoundedTopKAgg(
+    child: Expression,
+    k: Int,
+    numOrdFields: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.PriorityQueue[UnsafeRow]]
+  with UnaryLike[Expression] {
+
+  private def orderableField(dt: DataType): Boolean = dt match {
+    case DoubleType | FloatType | LongType | IntegerType | ShortType |
+         ByteType | BooleanType | StringType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case s: StructType if s.fields.length < numOrdFields =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: struct has ${s.fields.length} fields, need >= $numOrdFields order fields")
+    case s: StructType =>
+      s.fields.take(numOrdFields).find(f => !orderableField(f.dataType)) match {
+        case Some(f) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: order field '${f.name}' has unsupported type ${f.dataType.simpleString}")
+        case None => TypeCheckResult.TypeCheckSuccess
+      }
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a struct input, got ${other.simpleString}")
+  }
+
+  require(k > 0, "k must be positive")
+  require(numOrdFields > 0, "need at least one order field")
+
+  private lazy val structType = child.dataType.asInstanceOf[StructType]
+  private lazy val fieldTypes: Array[DataType] = structType.fields.map(_.dataType)
+  @transient private lazy val toUnsafe = UnsafeProjection.create(fieldTypes)
+
+  override def dataType: DataType = ArrayType(structType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_top_k"
+
+  /** Nulls-first ascending lexicographic compare over the order fields —
+    * the interpreted-ordering semantics `min_by`'s struct key uses, so
+    * the k=1 and k>1 paths of a caller can never disagree. */
+  private def compareKeys(a: InternalRow, b: InternalRow): Int = {
+    var i = 0
+    while (i < numOrdFields) {
+      val an = a.isNullAt(i)
+      val bn = b.isNullAt(i)
+      if (an || bn) {
+        if (an != bn) return if (an) -1 else 1
+      } else {
+        val c = fieldTypes(i) match {
+          case DoubleType => java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
+          case FloatType => java.lang.Float.compare(a.getFloat(i), b.getFloat(i))
+          case LongType | TimestampType | TimestampNTZType =>
+            java.lang.Long.compare(a.getLong(i), b.getLong(i))
+          case IntegerType | DateType => Integer.compare(a.getInt(i), b.getInt(i))
+          case ShortType => java.lang.Short.compare(a.getShort(i), b.getShort(i))
+          case ByteType => java.lang.Byte.compare(a.getByte(i), b.getByte(i))
+          case BooleanType => java.lang.Boolean.compare(a.getBoolean(i), b.getBoolean(i))
+          case StringType => a.getUTF8String(i).compareTo(b.getUTF8String(i))
+          case d: DecimalType =>
+            a.getDecimal(i, d.precision, d.scale)
+              .compareTo(b.getDecimal(i, d.precision, d.scale))
+          case other => throw new IllegalStateException(
+            s"unreachable: checkInputDataTypes admits no $other")
+        }
+        if (c != 0) return c
+      }
+      i += 1
+    }
+    0
+  }
+
+  // Max-heap on the key: the WORST retained row sits at the head, ready
+  // to be evicted by anything smaller.
+  private object reverseKeyOrder extends java.util.Comparator[UnsafeRow] {
+    override def compare(a: UnsafeRow, b: UnsafeRow): Int = compareKeys(b, a)
+  }
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[UnsafeRow] =
+    new java.util.PriorityQueue[UnsafeRow](k, reverseKeyOrder)
+
+  private def insert(buffer: java.util.PriorityQueue[UnsafeRow], row: UnsafeRow): Unit =
+    if (buffer.size < k) buffer.add(row)
+    else if (compareKeys(row, buffer.peek()) < 0) { buffer.poll(); buffer.add(row) }
+
+  override def update(
+      buffer: java.util.PriorityQueue[UnsafeRow],
+      input: InternalRow): java.util.PriorityQueue[UnsafeRow] = {
+    val v = child.eval(input)
+    if (v != null) {
+      // Copy: both the projection's backing buffer and the source row
+      // are reused by the caller.
+      insert(buffer, toUnsafe(v.asInstanceOf[InternalRow]).copy())
+    }
+    buffer
+  }
+
+  override def merge(
+      buffer: java.util.PriorityQueue[UnsafeRow],
+      other: java.util.PriorityQueue[UnsafeRow]): java.util.PriorityQueue[UnsafeRow] = {
+    val it = other.iterator()
+    while (it.hasNext) insert(buffer, it.next())
+    buffer
+  }
+
+  override def eval(buffer: java.util.PriorityQueue[UnsafeRow]): Any = {
+    val arr = buffer.toArray(new Array[UnsafeRow](buffer.size))
+    java.util.Arrays.sort(arr, (a: UnsafeRow, b: UnsafeRow) => compareKeys(a, b))
+    new GenericArrayData(arr.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buffer: java.util.PriorityQueue[UnsafeRow]): Array[Byte] = {
+    var size = 4
+    val it0 = buffer.iterator()
+    while (it0.hasNext) size += 4 + it0.next().getSizeInBytes
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(buffer.size)
+    val it = buffer.iterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val bytes = r.getBytes
+      bb.putInt(bytes.length)
+      bb.put(bytes)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[UnsafeRow] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buffer = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val rowBytes = new Array[Byte](len)
+      bb.get(rowBytes)
+      val row = new UnsafeRow(fieldTypes.length)
+      row.pointTo(rowBytes, Platform.BYTE_ARRAY_OFFSET, len)
+      buffer.add(row)
+      i += 1
+    }
+    buffer
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedTopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BoundedTopKAgg =
+    copy(child = newChild)
+}

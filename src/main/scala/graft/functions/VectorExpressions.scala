@@ -105,6 +105,47 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** dot(a, b) over int8-quantized vectors (`array<tinyint>`) in exact
+  * 64-bit integer arithmetic — the screening kernel of SemDeDup's
+  * quantized pre-filter ([[graft.ops.SemDedup]]). Integer adds are
+  * associative, so the fold is order-free by construction; the fused
+  * byte loop stays inside whole-stage codegen like its double sibling
+  * [[DotProductExpr]]. */
+case class DotProductInt8Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_dot_int8"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getByte(i).toLong * y.getByte(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+        long $s = 0L;
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        for (int $i = 0; $i < $n; $i++) {
+          $s += (long) $a.getByte($i) * $b.getByte($i);
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** L2 distance = sqrt(sum_i (a_i - b_i)^2), sequential fold. */
 case class L2DistanceExpr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -105,6 +105,12 @@ object VectorFunctions {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale / 127.0)
 
+  /** Exact integer dot product over two `array<tinyint>` int8 vectors
+    * (fused codegen loop, see [[DotProductInt8Expr]]). */
+  def dotProductInt8(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotProductInt8Expr(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** Seeded Rademacher (+-1) sign matrix for [[randomProjection]]:
     * s(j,i) = parity of hash60("rp:seed:j:i") — a pure function of the
     * seed, so any engine regenerates the identical matrix (the same
@@ -187,6 +193,16 @@ object VectorFunctions {
   def vecMinMicro(a: Column): Column =
     GraftSqlBridge.column(
       VectorMinMaxFixed6Agg(GraftSqlBridge.expression(asDouble(a)), isMax = false)
+        .toAggregateExpression())
+
+  /** Bounded grouped top-k aggregate (see [[BoundedTopKAgg]]): keeps
+    * the k smallest structs by the lexicographic order of the first
+    * `numOrdFields` fields, returned rank-sorted. Encode descending
+    * fields by negation, include a total tie-break — the same ordering
+    * contract as `min_by` over a struct key. */
+  def topKStructs(ordAndPayload: Column, k: Int, numOrdFields: Int): Column =
+    GraftSqlBridge.column(
+      BoundedTopKAgg(GraftSqlBridge.expression(ordAndPayload), k, numOrdFields)
         .toAggregateExpression())
 
   /** Score column for a metric name, mirroring the reference's metric

@@ -1,7 +1,6 @@
 package graft.index
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
@@ -168,12 +167,16 @@ object VectorIndex {
     * sequential `Retriever.batch` loop (retriever.py:110-155) with a
     * single distributed plan.
     *
-    * Two-phase ranking for scale: a first window partitioned by
-    * (query, input partition) keeps at most k rows per doc-partition per
-    * query — this shuffle spreads across numPartitions × numQueries
-    * reducers instead of piling every scored row onto one reducer per
-    * query — then a cheap second window over the ≤ P·k survivors picks
-    * the global top-k per query.
+    * Scale shape: ONE aggregation with map-side partial combine. Each
+    * task reduces its scored rows to at most k candidates per query
+    * inside a bounded heap ([[graft.functions.BoundedTopKAgg]]; the
+    * k=1 case stays on the equivalent built-in `min_by`), so the
+    * exchange carries numPartitions × numQueries × k candidate rows —
+    * corpus-size-independent — and the merge side finishes the exact
+    * rank. No scored (doc, query) pair ever crosses the wire beyond
+    * those survivors; ordering is the same lexicographic
+    * (score-direction, tieBreak...) struct key in both paths, which is
+    * deterministic whenever the tie-break makes the order total.
     *
     * @param queries small DataFrame with (queryIdCol, queryVecCol);
     *   broadcast-joined against docs.
@@ -198,36 +201,29 @@ object VectorIndex {
     val kept = keep.map(joined.where).getOrElse(joined)
     val scoredAll = kept.withColumn(scoreCol, s).where(usable(scoreCol))
 
+    val scoreOrd =
+      if (higherIsBetter(metric)) negate(col(scoreCol)) else col(scoreCol)
+    val ordCols = scoreOrd +: tieBreak.map(col)
+    val payloadCols = scoredAll.columns.filterNot(_ == queryVecCol)
+    val payload = struct(payloadCols.map(col).toIndexedSeq: _*)
+
     if (k == 1) {
-      // Top-1 fast path: a min_by aggregate instead of two ranking
-      // windows. The win is PARTIAL AGGREGATION — each task reduces its
-      // scored rows to one candidate per query map-side, so the shuffle
-      // carries numPartitions × numQueries tiny rows instead of every
-      // scored (doc, query) pair. Ordering is identical to the window
-      // path: lexicographic (score-direction, tieBreak...) via a struct
-      // key (negated score for higher-is-better metrics), which is
-      // deterministic whenever tieBreak makes the window deterministic.
-      val ordKey = struct(
-        (if (higherIsBetter(metric)) negate(col(scoreCol)) else col(scoreCol))
-          +: tieBreak.map(col): _*)
-      val payloadCols = scoredAll.columns.filterNot(_ == queryVecCol)
-      val payload = struct(payloadCols.map(col).toIndexedSeq: _*)
+      // Top-1 fast path: min_by IS the k=1 bounded top-k, already a
+      // partial-aggregating built-in — keep it (native codegen'd
+      // update, no struct array materialized).
       return scoredAll
         .groupBy(col(queryIdCol).as("__qid"))
-        .agg(min_by(payload, ordKey).as("__best"))
+        .agg(min_by(payload, struct(ordCols: _*)).as("__best"))
         .select(col("__best.*"))
         .withColumn("rank", lit(1))
     }
 
-    val withPart = scoredAll.withColumn("__part", spark_partition_id())
-    val order = ranking(metric, scoreCol, tieBreak)
-    val local = Window.partitionBy(col(queryIdCol), col("__part")).orderBy(order: _*)
-    val global = Window.partitionBy(col(queryIdCol)).orderBy(order: _*)
-    withPart
-      .withColumn("__lr", row_number().over(local))
-      .where(col("__lr") <= k)
-      .withColumn("rank", row_number().over(global))
-      .where(col("rank") <= k)
-      .drop("__part", "__lr", queryVecCol)
+    val ordNamed = ordCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    scoredAll
+      .groupBy(col(queryIdCol).as("__qid"))
+      .agg(topKStructs(struct(ordNamed :+ payload.as("__row"): _*),
+        k, ordNamed.size).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("__e.__row.*") +: Seq((col("__pos") + 1).cast("int").as("rank")): _*)
   }
 }

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFunctions
@@ -59,8 +58,17 @@ object Dsir {
       target.select(lit(0L).as("id"), col(textCol).as("txt")), buckets)
       .groupBy("bkt").agg(count(lit(1)).as("tcnt"))
     // Totals as one broadcast scalar row. B joins in as a literal.
+    // A target with NO bigrams (empty frame, or every doc < 2 tokens)
+    // would null ttot and cascade null into every logweight — fail loud
+    // instead of returning a meaningless all-null scoring (same screen
+    // discipline as [[Packing.packSequences]]'s id cast).
     val totals = rawCnt.agg(sum("rcnt").cast("double").as("rtot"))
       .crossJoin(tgtCnt.agg(sum("tcnt").cast("double").as("ttot")))
+      .select(col("rtot"),
+        when(col("ttot").isNull, raise_error(lit(
+          "importanceWeights: target contributed no bigrams " +
+          "(empty target, or every target doc has < 2 tokens)")))
+          .otherwise(col("ttot")).as("ttot"))
     // Per-bucket log-ratio over buckets PRESENT IN RAW (a scored doc's
     // buckets are raw buckets by construction); target-absent buckets
     // smooth to tcnt=0. At most `buckets` rows -> broadcast.
@@ -84,14 +92,37 @@ object Dsir {
 
   /** Deterministic top-k selection over [[importanceWeights]] output:
     * adds `selected` = 1 for the k highest-weight documents (weight
-    * already rounded, ties by ascending id — round-before-rank). The
-    * rank window is a single total order; run it on the WEIGHTS table
-    * (one row per doc, already aggregated), and at extreme corpus
-    * cardinality swap in an approx-quantile weight cutoff instead. */
+    * already rounded, ties by ascending id — round-before-rank).
+    *
+    * Scale shape — NO global window: DSIR selection runs over the full
+    * raw corpus by definition (paper §3), so an unpartitioned
+    * `row_number` would serialize one row per document onto a single
+    * reducer. Instead the k-th row of the (logweight desc, id asc)
+    * total order is found with `orderBy(...).limit(k)` — which plans as
+    * `TakeOrderedAndProject`: a per-partition bounded heap merging
+    * numPartitions × k rows on the driver, no corpus shuffle at all —
+    * re-sorted the opposite way and cut to 1 row (the boundary). The
+    * flag is then a pure broadcast-scalar comparison: strictly higher
+    * weight selects, equal weight selects iff id <= the boundary id.
+    * Exact and bit-identical to the old rank semantics (the order is
+    * total, so the k-th row is unique); when the corpus has fewer than
+    * k rows the boundary is the globally last row and every row
+    * selects. Cost: the weights lineage evaluates twice (once pruned to
+    * two columns for the boundary, once for the output) — at corpus
+    * scale two narrow passes beat one single-reducer sort; persist
+    * `weights` first if recompute is expensive. */
   def selectTopK(weights: DataFrame, idCol: String, k: Int): DataFrame = {
-    val w = Window.orderBy(col("logweight").desc, col(idCol))
-    weights.withColumn("selected",
-      (row_number().over(w) <= k).cast("int"))
+    require(k > 0, "k must be positive")
+    val boundary = weights
+      .select(col("logweight").as("__bw"), col(idCol).as("__bid"))
+      .orderBy(col("__bw").desc, col("__bid").asc).limit(k)
+      .orderBy(col("__bw").asc, col("__bid").desc).limit(1)
+    weights.crossJoin(broadcast(boundary))
+      .withColumn("selected",
+        coalesce(col("logweight") > col("__bw") ||
+          (col("logweight") === col("__bw") && col(idCol) <= col("__bid")),
+          lit(false)).cast("int"))
+      .drop("__bw", "__bid")
   }
 
   /** Inference half, decoupled from ratio training: score documents

@@ -37,12 +37,16 @@ object SemDedup {
     * with id_a < id_b and rounded cosine >= threshold. The SemDeDup
     * candidate set — pairs in DIFFERENT clusters are never examined
     * (that miss rate is the algorithm's documented recall trade; tune
-    * with fewer clusters, not all-pairs). */
+    * with fewer clusters, not all-pairs).
+    *
+    * @param int8Screen route the pair join through the lossless
+    *   quantized pre-filter (default on; see [[pairsFrom]]). Results
+    *   are identical either way — the flag exists for A/B measurement. */
   def pairs(df: DataFrame, idCol: String, vecCol: String,
             model: IvfIndex.Model, threshold: Double,
-            roundScale: Int = 4): DataFrame =
+            roundScale: Int = 4, int8Screen: Boolean = true): DataFrame =
     pairsFrom(assign(df, idCol, vecCol, model, roundScale),
-      threshold, roundScale)
+      threshold, roundScale, int8Screen)
 
   /** Per-row keep/drop verdict: every input row (with a non-null
     * vector) with its cluster, an `is_dup` flag, and `dup_of` = the
@@ -55,9 +59,9 @@ object SemDedup {
     * same assigned frame. */
   def flag(df: DataFrame, idCol: String, vecCol: String,
            model: IvfIndex.Model, threshold: Double,
-           roundScale: Int = 4): DataFrame = {
+           roundScale: Int = 4, int8Screen: Boolean = true): DataFrame = {
     val assigned = assign(df, idCol, vecCol, model, roundScale)
-    val dupOf = pairsFrom(assigned, threshold, roundScale)
+    val dupOf = pairsFrom(assigned, threshold, roundScale, int8Screen)
       .groupBy(col("id_b").as("id")).agg(min("id_a").as("dup_of"))
     assigned.select(col("id"), col("cluster"))
       .join(dupOf, Seq("id"), "left")
@@ -65,12 +69,79 @@ object SemDedup {
         col("dup_of").isNotNull.cast("int").as("is_dup"), col("dup_of"))
   }
 
+  /** The within-cluster pair search over an assigned frame.
+    *
+    * With `int8Screen` on (the 100 TB path), the cluster-key shuffle
+    * ships an int8-quantized vector (1 byte/dim vs 8) plus three
+    * scalars per side; candidate pairs are screened on a PROVABLY
+    * SAFE upper bound of their cosine, and only survivors fetch the
+    * full double vectors (two id equi-joins — identical subtrees, so
+    * the exchange is reused — with AQE runtime filters pruning the
+    * vector scans to candidate ids) for the exact rounded cosine.
+    * ~8× fewer candidate-shuffle bytes at corpus scale, bit-identical
+    * output.
+    *
+    * Why the screen is lossless: with ua = maxAbs(a)/127, each element
+    * is a_i = qa_i·ua + e_i with |e_i| <= ua/2 (round to nearest), so
+    *   |dot(a,b) − ua·ub·dotq| <= ua·ub·(Σ|qa|/2 + Σ|qb|/2 + d/4)
+    * and dividing by the EXACT norms gives a hard upper bound on
+    * cosine(a,b). A pair is screened out only when that bound (plus a
+    * 1e-9 slack absorbing the bound arithmetic's own float error —
+    * cosines live in [-1,1], so absolute slack is meaningful) sits
+    * below threshold − 0.5·10^-roundScale, i.e. when even rounding
+    * HALF_UP could not lift the true cosine to the threshold. NaN
+    * bounds (zero-norm vectors) are never screened out — Spark orders
+    * NaN above every double, which here errs on the keep side. */
   private def pairsFrom(assigned: DataFrame, threshold: Double,
-                        roundScale: Int): DataFrame = {
-    val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("cluster"))
+                        roundScale: Int, int8Screen: Boolean = true): DataFrame = {
+    if (!int8Screen) {
+      val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
+      val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
+      return a.join(b, Seq("cluster"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("cosine",
+          round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), roundScale))
+        .where(col("cosine") >= threshold)
+        .select("cluster", "id_a", "id_b", "cosine")
+    }
+    // Per-row compact representation: int8 vector, quantization step,
+    // exact L2 norm, Σ|q| (all narrow, computed once per row; the
+    // lambdas reference only materialized attributes).
+    val quant = assigned
+      .select(col("cluster"), col("id"), col("v"),
+        VectorFunctions.maxAbs(col("v")).as("__m"))
+      .select(col("cluster"), col("id"),
+        when(col("__m") === 0.0, transform(col("v"), _ => lit(0).cast("byte")))
+          .otherwise(transform(col("v"),
+            x => round((x * 127.0) / col("__m")).cast("byte"))).as("q"),
+        (col("__m") / 127.0).as("ua"),
+        VectorFunctions.l2Norm(col("v")).as("nrm"))
+      .withColumn("sq", aggregate(col("q"),
+        lit(0L), (acc, x) => acc + abs(x.cast("long"))).cast("double"))
+    val a = quant.select(col("cluster"), col("id").as("id_a"), col("q").as("q_a"),
+      col("ua").as("ua_a"), col("nrm").as("n_a"), col("sq").as("sq_a"))
+    val b = quant.select(col("cluster"), col("id").as("id_b"), col("q").as("q_b"),
+      col("ua").as("ua_b"), col("nrm").as("n_b"), col("sq").as("sq_b"))
+    val cutoff = threshold - 0.5 * math.pow(10.0, -roundScale) - 1e-9
+    val cand = a.join(b, Seq("cluster"))
       .where(col("id_a") < col("id_b"))
+      .withColumn("__dotq",
+        VectorFunctions.dotProductInt8(col("q_a"), col("q_b")).cast("double"))
+      .withColumn("__upper",
+        try_divide(col("ua_a") * col("ua_b") *
+          (col("__dotq") + lit(0.5) * (col("sq_a") + col("sq_b")) +
+            lit(0.25) * size(col("q_a")).cast("double")),
+          col("n_a") * col("n_b")))
+      // A zero-norm side makes the bound NULL (try_divide — plain `/`
+      // would raise under ANSI) and a NaN numerator keeps it NaN;
+      // neither may be screened out, so survive on NOT(upper < cutoff)
+      // with the null branch coalesced to keep. The exact rerank then
+      // decides, identically to the unscreened path.
+      .where(coalesce(!(col("__upper") < lit(cutoff)), lit(true)))
+      .select("cluster", "id_a", "id_b")
+    val va = assigned.select(col("id").as("id_a"), col("v").as("v_a"))
+    val vb = assigned.select(col("id").as("id_b"), col("v").as("v_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine",
         round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), roundScale))
       .where(col("cosine") >= threshold)
@@ -81,11 +152,23 @@ object SemDedup {
     * embedding has no meaningful cluster (the argmin expression yields
     * null) and could never pair anyway, but left in it would surface as
     * a null-keyed row the equi-join silently drops from one path and
-    * not the other. Callers route undecodable rows separately. */
+    * not the other. Callers route undecodable rows separately.
+    *
+    * Ids: a NON-NULL id that fails the long cast raises instead of
+    * becoming a null that can never pair (silent duplicate
+    * under-reporting — the same try_cast + raise_error screen as
+    * [[Packing.packSequences]]). A genuinely null id passes through:
+    * the row is kept and never flagged, since there is no identity to
+    * dedup against. */
   private def assign(df: DataFrame, idCol: String, vecCol: String,
-                     model: IvfIndex.Model, roundScale: Int): DataFrame =
+                     model: IvfIndex.Model, roundScale: Int): DataFrame = {
+    val idLong = col(idCol).try_cast("long")
     df.where(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"),
+      .select(when(col(idCol).isNotNull && idLong.isNull,
+          raise_error(concat(
+            lit(s"SemDedup: id in '$idCol' is not castable to long: "),
+            col(idCol).cast("string")))).otherwise(idLong).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("cluster", model.assignCol(col("v"), roundScale))
+  }
 }

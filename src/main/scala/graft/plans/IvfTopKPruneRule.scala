@@ -4,6 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, MinBy}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -115,6 +116,7 @@ case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
           .map(c => gl.copy(child = ll.copy(child = sort.copy(child = c))))
           .getOrElse(gl)
       case w: Window => prunedBatch(w).getOrElse(w)
+      case a: Aggregate => prunedBatchAgg(a).getOrElse(a)
     }
 
   /** Batch (multi-query) pruning: `VectorIndex.topKBatch`'s shape — a
@@ -148,74 +150,127 @@ case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         (a, dir == Descending)
     }
     scoreOrder.flatMap { case (scoreAttr, wantHigher) =>
-      val scoreExpr = w.child.collect { case Project(pl, _) => pl }.flatten
-        .collectFirst { case a @ Alias(e, _) if a.exprId == scoreAttr.exprId => e }
-      scoreExpr.flatMap(scoreSides).filter(_._3 == wantHigher)
+      resolveAlias(w.child, scoreAttr)
+        .flatMap(scoreSides).filter(_._3 == wantHigher)
         .flatMap { case (l, r, _) =>
-          w.child.collectFirst { case j: Join => j }.flatMap { join =>
-            val scan = join.collectFirst {
-              case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-                val fs = lr.relation.asInstanceOf[HadoopFsRelation]
-                lookup(fs.location.rootPaths.map(_.toString))
-                  .flatMap(reg => lr.output.find(_.name == reg.clusterCol)
-                    .map(cl => (lr, reg, cl)))
-            }.flatten
-            scan.flatMap { case (lr, reg, clusterAttr) =>
-              // which join child holds the scan — the other is queries
-              val scanOnLeft = join.left.collectFirst {
-                case l2: LogicalRelation if l2 eq lr => l2 }.isDefined
-              val qSide = if (scanOnLeft) join.right else join.left
-              // classify the metric's sides by reference sets
-              val sides = Seq((l, r), (r, l)).collectFirst {
-                case (vec, qv)
-                    if vec.references.nonEmpty && vec.references.subsetOf(lr.outputSet) &&
-                      qv.references.nonEmpty && qv.references.subsetOf(qSide.outputSet) &&
-                      qv.dataType.isInstanceOf[ArrayType] &&
-                      qv.dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
-                  qv
-              }
-              val perQuery = w.partitionSpec.exists(
-                _.references.exists(qSide.outputSet.contains))
-              val alreadyPruned = w.child.exists {
-                case Filter(cond, _) => cond.references.contains(clusterAttr)
-                case _ => false
-              }
-              // Column pruning may have dropped the cluster column from
-              // the docs-side Projects (the query never selects it) —
-              // re-thread it bottom-up so the filter above the join can
-              // see it; the tower's own Projects prune it right back
-              // above the filter. Bail if something other than Projects
-              // (an agg, another join) sits between the scan and the
-              // join — threading through those would change semantics.
-              val docsSide = if (scanOnLeft) join.left else join.right
-              val docsWithCluster = docsSide.transformUp {
-                case p: Project
-                    if !p.projectList.exists(_.toAttribute.exprId == clusterAttr.exprId) &&
-                      p.child.outputSet.contains(clusterAttr) =>
-                  p.copy(projectList = p.projectList :+ clusterAttr)
-              }
-              val clusterReachable = docsWithCluster.outputSet.contains(clusterAttr)
-              sides.filter(_ => perQuery && !alreadyPruned && clusterReachable)
-                .map { qv =>
-                  val probesAlias = Alias(
-                    graft.functions.NearestCentroidsExpr(
-                      qv, reg.model.centroids, reg.nprobe, roundScale = -1),
-                    "__graft_probes")()
-                  val newQSide = Project(qSide.output :+ probesAlias, qSide)
-                  val newJoin =
-                    if (scanOnLeft) join.copy(left = docsWithCluster, right = newQSide)
-                    else join.copy(left = newQSide, right = docsWithCluster)
-                  val filtered = Filter(
-                    ArrayContains(probesAlias.toAttribute, clusterAttr), newJoin)
-                  w.copy(child = w.child.transformUp {
-                    case j: Join if j eq join => filtered
-                  })
-                }
-            }
-          }
+          pruneAboveJoin(w.child, l, r,
+            qSide => w.partitionSpec.exists(
+              _.references.exists(qSide.outputSet.contains)))
+            .map(newChild => w.copy(child = newChild))
         }
     }
   }
+
+  /** Aggregate twin of [[prunedBatch]] — `VectorIndex.topKBatch`'s
+    * partial-aggregate shapes: a grouped [[graft.functions.BoundedTopKAgg]]
+    * (k > 1) or `min_by` (k = 1) whose ordering struct leads with the
+    * score (negated when higher-is-better, verbatim when
+    * lower-is-better), grouped by something from the queries side of a
+    * scored join over a registered store. Same probes-column rewrite,
+    * same recall trade, same idempotence guard. */
+  private def prunedBatchAgg(a: Aggregate): Option[LogicalPlan] = {
+    val ordHead = a.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case graft.functions.BoundedTopKAgg(s: CreateNamedStruct, _, _, _, _) =>
+          s.valExprs.headOption
+        case MinBy(_, s: CreateNamedStruct) => s.valExprs.headOption
+        case _ => None
+      }
+    }).flatten.headOption
+    ordHead.flatMap { head =>
+      val (scoreExpr, wantHigher) = head match {
+        case UnaryMinus(e, _) => (e, true)
+        case e => (e, false)
+      }
+      val resolved = scoreExpr match {
+        case attr: Attribute => resolveAlias(a.child, attr)
+        case other => Some(other)
+      }
+      resolved.flatMap(scoreSides).filter(_._3 == wantHigher)
+        .flatMap { case (l, r, _) =>
+          pruneAboveJoin(a.child, l, r,
+            qSide => a.groupingExpressions.exists(
+              _.references.exists(qSide.outputSet.contains)))
+            .map(newChild => a.copy(child = newChild))
+        }
+    }
+  }
+
+  /** The expression a `scoreAttr` aliases in the Projects below.
+    * Collects ALL Projects — a collectFirst on the outer Project would
+    * stop at the first one even when the score alias lives in a deeper
+    * projection that CollapseProject declined to merge. */
+  private def resolveAlias(child: LogicalPlan, scoreAttr: Attribute): Option[Expression] =
+    child.collect { case Project(pl, _) => pl }.flatten
+      .collectFirst { case al @ Alias(e, _) if al.exprId == scoreAttr.exprId => e }
+
+  /** Shared rewrite core for the batch shapes: locate the scored join
+    * under `child`, verify one metric side reads a REGISTERED store
+    * scan and the other an `array<double>` queries side that the
+    * consumer is per-query over (`perQueryOf`), then project each
+    * query's probe set onto the queries side and filter the join on
+    * `array_contains(probes, cluster)`. Returns `child` with the join
+    * replaced, or None when any guard fails. */
+  private def pruneAboveJoin(child: LogicalPlan, l: Expression, r: Expression,
+                             perQueryOf: LogicalPlan => Boolean): Option[LogicalPlan] =
+    child.collectFirst { case j: Join => j }.flatMap { join =>
+      val scan = join.collectFirst {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+          val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+          lookup(fs.location.rootPaths.map(_.toString))
+            .flatMap(reg => lr.output.find(_.name == reg.clusterCol)
+              .map(cl => (lr, reg, cl)))
+      }.flatten
+      scan.flatMap { case (lr, reg, clusterAttr) =>
+        // which join child holds the scan — the other is queries
+        val scanOnLeft = join.left.collectFirst {
+          case l2: LogicalRelation if l2 eq lr => l2 }.isDefined
+        val qSide = if (scanOnLeft) join.right else join.left
+        // classify the metric's sides by reference sets
+        val sides = Seq((l, r), (r, l)).collectFirst {
+          case (vec, qv)
+              if vec.references.nonEmpty && vec.references.subsetOf(lr.outputSet) &&
+                qv.references.nonEmpty && qv.references.subsetOf(qSide.outputSet) &&
+                qv.dataType.isInstanceOf[ArrayType] &&
+                qv.dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
+            qv
+        }
+        val perQuery = perQueryOf(qSide)
+        val alreadyPruned = child.exists {
+          case Filter(cond, _) => cond.references.contains(clusterAttr)
+          case _ => false
+        }
+        // Column pruning may have dropped the cluster column from
+        // the docs-side Projects (the query never selects it) —
+        // re-thread it bottom-up so the filter above the join can
+        // see it; the tower's own Projects prune it right back
+        // above the filter. Bail if something other than Projects
+        // (an agg, another join) sits between the scan and the
+        // join — threading through those would change semantics.
+        val docsSide = if (scanOnLeft) join.left else join.right
+        val docsWithCluster = docsSide.transformUp {
+          case p: Project
+              if !p.projectList.exists(_.toAttribute.exprId == clusterAttr.exprId) &&
+                p.child.outputSet.contains(clusterAttr) =>
+            p.copy(projectList = p.projectList :+ clusterAttr)
+        }
+        val clusterReachable = docsWithCluster.outputSet.contains(clusterAttr)
+        sides.filter(_ => perQuery && !alreadyPruned && clusterReachable)
+          .map { qv =>
+            val probesAlias = Alias(
+              graft.functions.NearestCentroidsExpr(
+                qv, reg.model.centroids, reg.nprobe, roundScale = -1),
+              "__graft_probes")()
+            val newQSide = Project(qSide.output :+ probesAlias, qSide)
+            val newJoin =
+              if (scanOnLeft) join.copy(left = docsWithCluster, right = newQSide)
+              else join.copy(left = newQSide, right = docsWithCluster)
+            val filtered = Filter(
+              ArrayContains(probesAlias.toAttribute, clusterAttr), newJoin)
+            child.transformUp { case j2: Join if j2 eq join => filtered }
+          }
+      }
+    }
 
   /** Rewrites `child` with a cluster-IN-probes filter above its scan if
     * (a) `scoreAttr` is an alias of cosine(vec, literal qv) somewhere in

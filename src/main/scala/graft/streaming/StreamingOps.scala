@@ -64,7 +64,14 @@ object StreamingOps {
                      checkpointDir: String, opCol: String = "op",
                      orderCols: Seq[String] = Nil,
                      keepVersions: Int = 2):
-      org.apache.spark.sql.streaming.StreamingQuery =
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    // One full sweep per stream (re)start: the steady-state sweep below
+    // probes a bounded window, so versions stranded by >8 missed
+    // opportunities (crash-looping stream, table produced before the
+    // sweep existed) would otherwise leak forever. A directory LISTING
+    // here is per-start, not per-batch, so its O(versions) cost never
+    // lands on the hot loop.
+    val fullSweepArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
     changes.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -101,13 +108,27 @@ object StreamingOps {
           // the just-replaced version from under a reader that resolved
           // the pointer moments before the swap.
           val fs = fsFor(spark, tablePath)
-          (math.max(0L, next - keepVersions - 8) until next - keepVersions).foreach { stale =>
-            val d = new org.apache.hadoop.fs.Path(s"$tablePath/v$stale")
-            if (fs.exists(d)) { fs.delete(d, true); () }
+          val cutoff = next - keepVersions
+          if (fullSweepArmed.getAndSet(false)) {
+            val tableDir = new org.apache.hadoop.fs.Path(tablePath)
+            val VDir = "v(\\d+)".r
+            fs.listStatus(tableDir).foreach { st =>
+              st.getPath.getName match {
+                case VDir(n) if st.isDirectory && n.toLong < cutoff =>
+                  fs.delete(st.getPath, true); ()
+                case _ => ()
+              }
+            }
+          } else {
+            (math.max(0L, cutoff - 8) until cutoff).foreach { stale =>
+              val d = new org.apache.hadoop.fs.Path(s"$tablePath/v$stale")
+              if (fs.exists(d)) { fs.delete(d, true); () }
+            }
           }
         }
       }
       .start()
+  }
 
   /** Current table state written by [[cdcApplyStream]] (None before the
     * first batch lands). */

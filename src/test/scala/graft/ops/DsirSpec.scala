@@ -49,6 +49,48 @@ class DsirSpec extends SparkSpec {
     assert(chosen === Set(0L, 1L))
   }
 
+  test("selectTopK: boundary ties split by ascending id, exactly k selected") {
+    import spark.implicits._
+    val w = Seq(
+      (1L, 3L, 2.5), (2L, 3L, 1.0), (3L, 3L, 1.0), (4L, 3L, 1.0),
+      (5L, 3L, 0.5)).toDF("doc_id", "n_bigrams", "logweight")
+    val sel = Dsir.selectTopK(w, "doc_id", k = 3).orderBy("doc_id")
+      .collect().map(_.getInt(3)).toSeq
+    assert(sel === Seq(1, 1, 1, 0, 0))
+  }
+
+  test("selectTopK: fewer rows than k selects every row") {
+    val sel = Dsir.selectTopK(weights, "doc_id", k = 100).collect()
+    assert(sel.nonEmpty && sel.forall(_.getInt(3) == 1))
+  }
+
+  test("selectTopK plans as a TakeOrdered boundary — no global window") {
+    // AQE off: AdaptiveSparkPlanExec is a leaf, collect() can't see in.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try Dsir.selectTopK(weights, "doc_id", k = 2)
+      .queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"selection must not run a corpus-sized window:\n$plan")
+    assert(plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"boundary lookup should plan as TakeOrderedAndProject:\n$plan")
+  }
+
+  test("importanceWeights fails loud when the target contributes no bigrams") {
+    import spark.implicits._
+    val tgt = Seq((9L, "solo")).toDF("doc_id", "text")
+    val ex = intercept[Throwable] {
+      Dsir.importanceWeights(corpus, tgt, "doc_id", "text", buckets = 256)
+        .collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("no bigrams"), s"unexpected failure: $msgs")
+  }
+
   test("weights are reproducible across runs (sha-derived buckets)") {
     val a = weights.orderBy("doc_id").collect().map(_.toSeq)
     val b = weights.orderBy("doc_id").collect().map(_.toSeq)

@@ -64,4 +64,57 @@ class SemDedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(kept === Seq(0L, 2L, 3L))
   }
+
+  test("int8 screen is lossless: screened pairs == exact pairs on a boundary-heavy corpus") {
+    import spark.implicits._
+    // Deterministic pseudo-random vectors with MANY pairs straddling
+    // the threshold: cosines concentrate near cos(angle between
+    // same-cluster members), and the 0.97 threshold cuts through the
+    // populated band. The screen may only ever ADD candidates to the
+    // rerank, never lose one — so the two paths must match exactly.
+    def vec(i: Int): Array[Double] = {
+      val base = if (i % 2 == 0) Array(1.0, 0.0, 0.0, 0.0)
+                 else Array(0.0, 1.0, 0.0, 0.0)
+      val r1 = ((i * 2654435761L) % 1000).toDouble / 4000.0
+      val r2 = ((i * 40503L) % 1000).toDouble / 4000.0
+      Array(base(0) + r1 * 0.3, base(1) + r2 * 0.3, r1, r2)
+    }
+    val many = (0 until 120).map(i => (i.toLong, vec(i))).toDF("id", "vec")
+    for (t <- Seq(0.9, 0.97, 0.995)) {
+      val exact = SemDedup.pairs(many, "id", "vec", model, t,
+          int8Screen = false)
+        .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      val screened = SemDedup.pairs(many, "id", "vec", model, t)
+        .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      assert(screened === exact, s"threshold=$t")
+      assert(exact.nonEmpty, s"threshold=$t must exercise real pairs")
+    }
+  }
+
+  test("zero vectors survive the screen path identically (NaN bound kept)") {
+    import spark.implicits._
+    val withZero = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 0.0, 0.0, 0.0)),  // zero vector: NaN cosine
+      (2L, Array(0.99, 0.01, 0.0, 0.0))
+    ).toDF("id", "vec")
+    val exact = SemDedup.flag(withZero, "id", "vec", model, 0.99,
+        int8Screen = false)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val screened = SemDedup.flag(withZero, "id", "vec", model, 0.99)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(screened === exact)
+  }
+
+  test("a non-castable id raises instead of silently never pairing") {
+    import spark.implicits._
+    val bad = Seq(("x1", Array(1.0, 0.0, 0.0, 0.0)),
+      ("7", Array(0.99, 0.0, 0.0, 0.0))).toDF("id", "vec")
+    val ex = intercept[Throwable] {
+      SemDedup.flag(bad, "id", "vec", model, 0.9).collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("not castable"), s"unexpected failure: $msgs")
+  }
 }

@@ -178,7 +178,7 @@ class IvfTopKPruneRuleSpec extends SparkSpec {
     }
   }
 
-  test("batch (multi-query window-rank) shape prunes per query via a probes column") {
+  test("batch (multi-query bounded-top-k aggregate) shape prunes per query via a probes column") {
     withRule {
       IvfTopKPruneRule.register(storePath, model, nprobe = 2)
       spark.conf.set(IvfTopKPruneRule.ConfKey, "true")

@@ -159,15 +159,45 @@ class JoinShapeSpec extends SparkSpec {
   test("DSIR broadcasts only the bounded bucket-ratio/totals tables, never the corpus") {
     withStaticPlans {
       val bes = broadcasts("q_dsir_weights")
-      // Both hinted sides derive from bucket-keyed aggregates (<= B
-      // rows by construction); the corpus bigram stream must never be
-      // a build side.
+      // Hinted sides derive from bucket-keyed aggregates (<= B rows by
+      // construction) or the 1-row selection boundary; the corpus
+      // bigram stream must never be a build side.
       assert(bes.nonEmpty, "expected the hinted ratio/totals broadcasts")
       bes.foreach { b =>
         val sub = b.child.toString
-        assert(sub.contains("HashAggregate"),
-          s"broadcast side must be a bucket/total aggregate, not a scan:\n$sub")
+        assert(sub.contains("HashAggregate") ||
+          sub.contains("TakeOrderedAndProject"),
+          s"broadcast side must be a bounded aggregate/boundary, not a scan:\n$sub")
       }
+    }
+  }
+
+  test("DSIR selection has no global window — TakeOrdered boundary only") {
+    withStaticPlans {
+      val plan = executed("q_dsir_weights")
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        s"q_dsir_weights must not ship a corpus-sized window:\n$plan")
+      assert(plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, "the top-k boundary should plan as TakeOrderedAndProject")
+    }
+  }
+
+  test("batch kNN ranks inside a bounded aggregate — no window over scored pairs") {
+    withStaticPlans {
+      val plan = executed("q_knn_batch")
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty,
+        s"k>1 batch kNN must not window over every scored (doc, query) pair:\n$plan")
+      val objAggs = plan.collect {
+        case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+      }
+      assert(objAggs.exists(_.toString.contains("graft_top_k")),
+        s"expected the BoundedTopKAgg partial aggregate:\n$plan")
     }
   }
 

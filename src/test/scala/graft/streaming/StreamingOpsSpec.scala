@@ -32,6 +32,34 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestStream maintains the Bloom prescreen and metadata_hash across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Map[String, String])]
+    val dir = Files.createTempDirectory("graft-stream-int").toString
+    val store = DocumentStore.fromTexts(spark, s"$dir/store",
+      Seq("seed doc"), Nil, StoreConfig(), HashEmbedder(16))
+    val q = StreamingOps.ingestStream(
+      input.toDF().toDF("text", "metadata"), store, s"$dir/ckpt")
+    try {
+      input.addData(("alpha", Map("source" -> "s1", "k" -> "v")),
+        ("beta", Map.empty[String, String]))
+      q.processAllAvailable()
+      // A later batch replaying an earlier batch's text must dedup
+      // against the STORE (Bloom prescreen + confirm anti-join), not
+      // just within its own batch.
+      input.addData(("alpha", Map("source" -> "other")), ("gamma", Map.empty[String, String]))
+      q.processAllAvailable()
+      assert(store.documentCount == 4) // seed, alpha, beta, gamma
+      // Streamed appends carry the SAME canonical metadata_hash the
+      // batch path writes: the full-outer integrity audit sees every
+      // row ok — no mismatch/missing/orphan from the streaming surface.
+      val statuses = store.verifyIntegrity()
+        .groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(statuses == Map("ok" -> 4L), s"integrity after stream: $statuses")
+    } finally q.stop()
+  }
+
   test("cdcApplyStream: micro-batches merge into a versioned table; readers see complete snapshots") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Int, String)]
@@ -213,6 +241,34 @@ class StreamingOpsSpec extends SparkSpec {
       assert(!new java.io.File(s"$dir/table/v0").exists())
       assert(new java.io.File(s"$dir/table/v1").isDirectory)
       assert(new java.io.File(s"$dir/table/v2").isDirectory)
+    } finally q.stop()
+  }
+
+  test("a (re)started stream full-sweeps versions leaked beyond the bounded window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Int, String)]
+    val dir = Files.createTempDirectory("graft-cdc-leak").toString
+    // A table with a long history whose sweeps were missed: pointer at
+    // v12, live snapshot v12, and stale v0/v1/v3 leaked BELOW the
+    // steady-state probe window (which only reaches 8 versions back).
+    val snap = Seq((1L, "old", 0)).toDF("k", "name", "v")
+    for (ver <- Seq(0, 1, 3, 12)) snap.write.parquet(s"$dir/table/v$ver")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/table/LATEST"),
+      "12".getBytes("UTF-8"))
+    val q = StreamingOps.cdcApplyStream(
+      input.toDF().toDF("k", "name", "v", "op"),
+      s"$dir/table", Seq("k"), s"$dir/ckpt", keepVersions = 1)
+    try {
+      input.addData((2L, "new", 2, "insert"))
+      q.processAllAvailable()
+      // First batch after the (re)start full-sweeps everything below
+      // the cutoff (v13 − keepVersions = v12), including versions the
+      // bounded per-batch window could never reach.
+      for (ver <- Seq(0, 1, 3))
+        assert(!new java.io.File(s"$dir/table/v$ver").exists(), s"v$ver leaked")
+      assert(new java.io.File(s"$dir/table/v12").isDirectory) // reader grace
+      assert(new java.io.File(s"$dir/table/v13").isDirectory)
     } finally q.stop()
   }
 
