@@ -83,12 +83,6 @@ object SparkEntry {
   // ==================================================================
 
   private val SharedSql: Map[String, String] = Map(
-    // D1/D2: delete = anti-join + dense id recompaction.
-    "q_delete_antijoin" -> """
-      SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS new_id,
-             doc_id, lang
-      FROM documents WHERE doc_id % 7 <> 0""",
-
     // S1-S4: storage/introspection stats as aggregations.
     "q_storage_stats" -> """
       SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -837,6 +831,23 @@ object SparkEntry {
     * ntile semantics with NO single-reducer window (range-partitioned
     * distributed rank), so the segmentation survives a customer table
     * that grows with the business. */
+  /** D1/D2: delete = anti-join + dense id recompaction. The recompacted
+    * id is a GLOBAL row_number over the survivors — by definition a
+    * corpus total order — so it goes through
+    * [[graft.ops.Ranking.globalRowNumber]] (range shuffle + zipWithIndex,
+    * every stage parallel), not an unpartitioned window: the previous
+    * SharedSql form sent every surviving document to one reducer for
+    * the rank. Same discipline as [[graft.store.DocumentStore]]'s own
+    * delete path (orderBy + zipWithIndex `withDenseId`). */
+  private def qDeleteAntijoin(s: SparkSession, dir: String): DataFrame = {
+    val survivors = table(s, dir, "documents")
+      .where(col("doc_id") % 7 =!= 0)
+      .select("doc_id", "lang")
+    graft.ops.Ranking.globalRowNumber(survivors, Seq(col("doc_id").asc), "__rn")
+      .select((col("__rn") - 1).cast("long").as("new_id"),
+        col("doc_id"), col("lang"))
+  }
+
   private def qRfm(s: SparkSession, dir: String): DataFrame = {
     val anchor = table(s, dir, "orders").agg(max("o_orderdate").as("mx"))
     val per = table(s, dir, "orders")
@@ -1762,7 +1773,8 @@ object SparkEntry {
       "q_ewma"                -> (qEwma _),
       "q_collocations"        -> (qCollocations _),
       "q_token_budget"        -> (qTokenBudget _),
-      "q_rfm"                 -> (qRfm _)
+      "q_rfm"                 -> (qRfm _),
+      "q_delete_antijoin"     -> (qDeleteAntijoin _)
     )
 
   // ==================================================================
@@ -1830,6 +1842,14 @@ object SparkEntry {
   private lazy val MinhashBSql = minhashB.mkString("[", ", ", "]")
 
   def oracleSql: Map[String, String] = SharedSql ++ Map(
+    // D1/D2: delete = anti-join + dense id recompaction. Oracle-only
+    // since r5: the global row_number is fine for DuckDB but the Spark
+    // side uses the distributed Ranking.globalRowNumber form.
+    "q_delete_antijoin" -> """
+      SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS new_id,
+             doc_id, lang
+      FROM documents WHERE doc_id % 7 <> 0""",
+
     // Q17 decorrelated form (the Spark side is the hinted DataFrame
     // twin of exactly this text).
     // TPC-H Q18: IN + HAVING subquery; limit ties broken by the unique

@@ -89,6 +89,10 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val base = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    // Optional comma-separated query filter (3rd arg): re-measure a
+    // subset without paying for the whole table again.
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -104,7 +108,8 @@ object ScaleBench {
     build(spark, src, x10, 10)
 
     println(f"${"query"}%-22s ${"t_x1"}%8s ${"t_x10"}%8s  ratio")
-    val all = Queries.map(n => n -> graft.SparkEntry.queries(n)) ++ BeforeShapes
+    val all = (Queries.map(n => n -> graft.SparkEntry.queries(n)) ++ BeforeShapes)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     all.foreach { case (name, fn) =>
       def best(dir: String): Double =
         (1 to 2).map { _ =>

@@ -201,6 +201,24 @@ class JoinShapeSpec extends SparkSpec {
     }
   }
 
+  test("delete-recompaction ranks distributed — no window, a range shuffle instead") {
+    withStaticPlans {
+      val out = graft.SparkEntry.queries("q_delete_antijoin")(spark, dir)
+      assert(out.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty,
+        "dense-id recompaction must not rank on a single reducer")
+      // The distributed rank runs inside the RDD lineage (behind the
+      // LogicalRDD scan): range shuffle -> per-partition sort ->
+      // zipWithIndex. Its signature is visible in the lineage string.
+      val lineage = out.rdd.toDebugString
+      assert(lineage.contains("ZippedWithIndexRDD"),
+        s"expected the zipWithIndex numbering pass in the lineage:\n$lineage")
+      assert(lineage.contains("ShuffledRowRDD"),
+        s"expected the range-partitioning exchange in the lineage:\n$lineage")
+    }
+  }
+
   test("SemDedup's pair join shuffles on the cluster key — neither corpus side broadcasts") {
     withStaticPlans {
       assert(broadcasts("q_semdedup").isEmpty,
