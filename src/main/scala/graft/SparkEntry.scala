@@ -825,12 +825,6 @@ object SparkEntry {
     graft.ops.Eval.recallAtK(exact, approx, "qid", "vec_id")
   }
 
-  /** RFM segmentation (recency / frequency / monetary): per-customer
-    * order stats against the corpus-max anchor date, quartiled by
-    * [[graft.ops.Ranking.ntileGlobal]] with custkey tie-breaks — exact
-    * ntile semantics with NO single-reducer window (range-partitioned
-    * distributed rank), so the segmentation survives a customer table
-    * that grows with the business. */
   /** D1/D2: delete = anti-join + dense id recompaction. The recompacted
     * id is a GLOBAL row_number over the survivors — by definition a
     * corpus total order — so it goes through
@@ -848,6 +842,12 @@ object SparkEntry {
         col("doc_id"), col("lang"))
   }
 
+  /** RFM segmentation (recency / frequency / monetary): per-customer
+    * order stats against the corpus-max anchor date, quartiled by
+    * [[graft.ops.Ranking.ntileGlobal]] with custkey tie-breaks — exact
+    * ntile semantics with NO single-reducer window (range-partitioned
+    * distributed rank), so the segmentation survives a customer table
+    * that grows with the business. */
   private def qRfm(s: SparkSession, dir: String): DataFrame = {
     val anchor = table(s, dir, "orders").agg(max("o_orderdate").as("mx"))
     val per = table(s, dir, "orders")
