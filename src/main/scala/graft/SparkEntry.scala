@@ -414,7 +414,11 @@ object SparkEntry {
         col("embedding").cast("array<double>").as("qv"))
     VectorIndex.topKBatch(emb, "embedding", queries, "qid", "qv", k,
       "cosine", scoreCol = "score", tieBreak = Seq("vec_id"), roundScale = 4,
-      keep = Some(col("vec_id") =!= col("qid")))
+      keep = Some(col("vec_id") =!= col("qid")),
+      // No consumer reads vectors off the hits — carrying `embedding`
+      // would write the full array into every scored pair's candidate
+      // struct for nothing.
+      payloadKeep = Some(Seq("vec_id", "label")))
   }
 
   private def qKnnBatch(s: SparkSession, dir: String): DataFrame =

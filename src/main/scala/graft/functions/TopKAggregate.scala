@@ -78,6 +78,35 @@ case class BoundedTopKAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "graft_top_k"
 
+  /** Per-field comparators resolved ONCE from the schema — the update
+    * path runs compareKeys per input row, so a per-compare DataType
+    * pattern match would sit in the hot loop. */
+  @transient private lazy val fieldCmps: Array[(InternalRow, InternalRow, Int) => Int] =
+    fieldTypes.take(numOrdFields).map {
+      case DoubleType => (a: InternalRow, b: InternalRow, i: Int) =>
+        java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
+      case FloatType => (a: InternalRow, b: InternalRow, i: Int) =>
+        java.lang.Float.compare(a.getFloat(i), b.getFloat(i))
+      case LongType | TimestampType | TimestampNTZType =>
+        (a: InternalRow, b: InternalRow, i: Int) =>
+          java.lang.Long.compare(a.getLong(i), b.getLong(i))
+      case IntegerType | DateType => (a: InternalRow, b: InternalRow, i: Int) =>
+        Integer.compare(a.getInt(i), b.getInt(i))
+      case ShortType => (a: InternalRow, b: InternalRow, i: Int) =>
+        java.lang.Short.compare(a.getShort(i), b.getShort(i))
+      case ByteType => (a: InternalRow, b: InternalRow, i: Int) =>
+        java.lang.Byte.compare(a.getByte(i), b.getByte(i))
+      case BooleanType => (a: InternalRow, b: InternalRow, i: Int) =>
+        java.lang.Boolean.compare(a.getBoolean(i), b.getBoolean(i))
+      case StringType => (a: InternalRow, b: InternalRow, i: Int) =>
+        a.getUTF8String(i).compareTo(b.getUTF8String(i))
+      case d: DecimalType => (a: InternalRow, b: InternalRow, i: Int) =>
+        a.getDecimal(i, d.precision, d.scale)
+          .compareTo(b.getDecimal(i, d.precision, d.scale))
+      case other => throw new IllegalStateException(
+        s"unreachable: checkInputDataTypes admits no $other")
+    }
+
   /** Nulls-first ascending lexicographic compare over the order fields —
     * the interpreted-ordering semantics `min_by`'s struct key uses, so
     * the k=1 and k>1 paths of a caller can never disagree. */
@@ -89,22 +118,7 @@ case class BoundedTopKAgg(
       if (an || bn) {
         if (an != bn) return if (an) -1 else 1
       } else {
-        val c = fieldTypes(i) match {
-          case DoubleType => java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
-          case FloatType => java.lang.Float.compare(a.getFloat(i), b.getFloat(i))
-          case LongType | TimestampType | TimestampNTZType =>
-            java.lang.Long.compare(a.getLong(i), b.getLong(i))
-          case IntegerType | DateType => Integer.compare(a.getInt(i), b.getInt(i))
-          case ShortType => java.lang.Short.compare(a.getShort(i), b.getShort(i))
-          case ByteType => java.lang.Byte.compare(a.getByte(i), b.getByte(i))
-          case BooleanType => java.lang.Boolean.compare(a.getBoolean(i), b.getBoolean(i))
-          case StringType => a.getUTF8String(i).compareTo(b.getUTF8String(i))
-          case d: DecimalType =>
-            a.getDecimal(i, d.precision, d.scale)
-              .compareTo(b.getDecimal(i, d.precision, d.scale))
-          case other => throw new IllegalStateException(
-            s"unreachable: checkInputDataTypes admits no $other")
-        }
+        val c = fieldCmps(i)(a, b, i)
         if (c != 0) return c
       }
       i += 1
@@ -130,9 +144,23 @@ case class BoundedTopKAgg(
       input: InternalRow): java.util.PriorityQueue[UnsafeRow] = {
     val v = child.eval(input)
     if (v != null) {
-      // Copy: both the projection's backing buffer and the source row
-      // are reused by the caller.
-      insert(buffer, toUnsafe(v.asInstanceOf[InternalRow]).copy())
+      // When the child is an attribute over an UnsafeRow input (the
+      // caller projects the candidate struct in a codegen'd Project
+      // upstream — see topKBatch), eval returns an UnsafeRow VIEW into
+      // the input buffer: no per-row projection at all. Other shapes
+      // fall back to the unsafe projection.
+      val u = v match {
+        case ur: UnsafeRow => ur
+        case ir: InternalRow => toUnsafe(ir)
+      }
+      // Copy-on-admit: the view/projection buffer is reused by the
+      // caller, so a RETAINED row must be copied — but in steady state
+      // nearly every input loses to the heap head, and those rows can
+      // be compared (read-only) in place. Copying before the test
+      // would allocate per input row; this allocates per admitted row
+      // (≤ k live + evicted churn).
+      if (buffer.size < k) buffer.add(u.copy())
+      else if (compareKeys(u, buffer.peek()) < 0) { buffer.poll(); buffer.add(u.copy()) }
     }
     buffer
   }

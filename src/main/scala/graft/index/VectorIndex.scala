@@ -182,6 +182,14 @@ object VectorIndex {
     *   broadcast-joined against docs.
     * @param keep optional predicate over (doc, query) pairs evaluated
     *   before ranking (e.g. self-match exclusion for all-pairs kNN).
+    * @param payloadKeep columns to carry through the ranking (the query
+    *   id and score ride along automatically). Default None = every doc
+    *   column — reference parity — but that includes `vecCol`: EVERY
+    *   scored pair then writes the full vector into the candidate
+    *   struct the aggregate consumes, dominating the per-pair cost.
+    *   Callers that don't read vectors off the hits should pass the
+    *   columns they use (the store's Q6 enrichment join is the pattern
+    *   for recovering wide payloads from a k-row result instead).
     */
   def topKBatch(
       docs: DataFrame,
@@ -194,7 +202,8 @@ object VectorIndex {
       scoreCol: String = "similarity",
       tieBreak: Seq[String] = Nil,
       roundScale: Int = -1,
-      keep: Option[Column] = None): DataFrame = {
+      keep: Option[Column] = None,
+      payloadKeep: Option[Seq[String]] = None): DataFrame = {
     val raw = score(metric, col(vecCol), col(queryVecCol))
     val s = if (roundScale >= 0) round(raw, roundScale) else raw
     val joined = docs.crossJoin(broadcast(queries))
@@ -204,7 +213,9 @@ object VectorIndex {
     val scoreOrd =
       if (higherIsBetter(metric)) negate(col(scoreCol)) else col(scoreCol)
     val ordCols = scoreOrd +: tieBreak.map(col)
-    val payloadCols = scoredAll.columns.filterNot(_ == queryVecCol)
+    val payloadCols = payloadKeep
+      .map(ks => (queryIdCol +: ks :+ scoreCol).distinct.filterNot(_ == queryVecCol))
+      .getOrElse(scoredAll.columns.filterNot(_ == queryVecCol).toSeq)
     val payload = struct(payloadCols.map(col).toIndexedSeq: _*)
 
     if (k == 1) {
@@ -219,10 +230,15 @@ object VectorIndex {
     }
 
     val ordNamed = ordCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    // Materialize the candidate struct in a codegen'd Project BEFORE
+    // the aggregate: the agg's child is then a bare attribute, so its
+    // per-row eval is an UnsafeRow slice view (no interpreted struct
+    // construction, no per-row unsafe projection inside the
+    // non-codegen aggregate stage).
     scoredAll
+      .withColumn("__cand", struct(ordNamed :+ payload.as("__row"): _*))
       .groupBy(col(queryIdCol).as("__qid"))
-      .agg(topKStructs(struct(ordNamed :+ payload.as("__row"): _*),
-        k, ordNamed.size).as("__top"))
+      .agg(topKStructs(col("__cand"), k, ordNamed.size).as("__top"))
       .select(posexplode(col("__top")).as(Seq("__pos", "__e")))
       .select(col("__e.__row.*") +: Seq((col("__pos") + 1).cast("int").as("rank")): _*)
   }

@@ -11,10 +11,10 @@ import org.apache.spark.sql.types.LongType
   * replaces (see the DSIR-selection verdict finding). The alternative
   * here is the classic distributed rank: range-repartition on the sort
   * key (each reducer owns a contiguous key range, sampled boundaries),
-  * sort within partitions, then assign global positions with
-  * `RDD.zipWithIndex` — whose per-partition counting pass and indexing
-  * pass both reuse the range shuffle's output files, so the data is
-  * shuffled ONCE and every stage is parallel.
+  * sort within partitions, then assign global positions from
+  * per-partition size offsets — one counting job plus one numbering
+  * pass, both parallel, and the counting job materializes the range
+  * shuffle whose files every later pass over the same lineage reuses.
   *
   * The `.rdd` hop is deliberate: the per-partition "number rows by
   * position, offset by the sizes of all earlier partitions" step is
@@ -34,40 +34,60 @@ object Ranking {
     * appends `outCol` (1-based LongType global position). `order` must
     * be a total order for deterministic output. */
   def globalRowNumber(df: DataFrame, order: Seq[Column], outCol: String,
-                      numPartitions: Int = 0): DataFrame = {
-    require(order.nonEmpty, "globalRowNumber needs at least one sort key")
-    val spark = df.sparkSession
-    val sorted = (if (numPartitions > 0) df.repartitionByRange(numPartitions, order: _*)
-                  else df.repartitionByRange(order: _*))
-      .sortWithinPartitions(order: _*)
-    val schema = sorted.schema.add(outCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex()
-      .map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
-    spark.createDataFrame(rdd, schema)
-  }
+                      numPartitions: Int = 0): DataFrame =
+    numberedWithTotal(df, order, outCol, numPartitions)._1
 
   /** `ntile(buckets) OVER (ORDER BY order...)` as a distributed plan:
     * appends `outCol` (1-based LongType bucket). Replicates SQL ntile
     * exactly — with n rows, the first n % buckets buckets hold
     * ceil(n/buckets) rows, the rest floor(n/buckets) — so ties split
     * across bucket boundaries by the order's tie-break, just like the
-    * window form. Total row count joins in as a broadcast max over the
-    * already-computed positions (no extra pass over the input). */
+    * window form. The total row count falls out of the same counting
+    * job that computes the numbering offsets, so the bucket arithmetic
+    * is pure literals — no extra pass, no agg, no crossJoin. */
   def ntileGlobal(df: DataFrame, buckets: Int, order: Seq[Column],
                   outCol: String, numPartitions: Int = 0): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val ranked = globalRowNumber(df, order, "__gr", numPartitions)
-    val total = ranked.agg(max(col("__gr")).as("__n"))
-    val b = lit(buckets.toLong)
-    val base = floor(col("__n") / b).cast("long")          // floor(n / buckets)
-    val rem = col("__n") - base * b                        // n % buckets
-    val bigSpan = rem * (base + lit(1L))                   // rows in the +1-sized buckets
-    ranked.crossJoin(broadcast(total))
-      .withColumn(outCol,
-        when(col("__gr") <= bigSpan,
-          floor((col("__gr") - lit(1L)) / (base + lit(1L))).cast("long") + lit(1L))
-        .otherwise(
-          rem + floor((col("__gr") - lit(1L) - bigSpan) / base).cast("long") + lit(1L)))
-      .drop("__gr", "__n")
+    val (ranked, n) = numberedWithTotal(df, order, "__gr", numPartitions)
+    val b = buckets.toLong
+    val base = n / b                    // floor(n / buckets)
+    val rem = n % b
+    val bigSpan = rem * (base + 1L)     // rows in the +1-sized buckets
+    // base == 0 (n < buckets) puts every row inside bigSpan, so the
+    // otherwise-branch divisor is dead there; math.max keeps it
+    // non-zero anyway (ANSI-safe even if an engine pre-evaluates).
+    ranked.withColumn(outCol,
+      when(col("__gr") <= bigSpan,
+        floor((col("__gr") - 1L) / (base + 1L)).cast("long") + 1L)
+      .otherwise(
+        lit(rem) + floor((col("__gr") - 1L - bigSpan) / math.max(base, 1L))
+          .cast("long") + 1L))
+      .drop("__gr")
+  }
+
+  /** Range-sort + number in two cooperating jobs: the counting job
+    * returns per-partition sizes (whose prefix sums are the numbering
+    * offsets AND whose sum is the total), then the numbering pass maps
+    * positions in place. Both passes share one RDD lineage, so the
+    * range shuffle's map side runs once and is reused. */
+  private def numberedWithTotal(df: DataFrame, order: Seq[Column],
+                                outCol: String, numPartitions: Int): (DataFrame, Long) = {
+    require(order.nonEmpty, "global ranking needs at least one sort key")
+    val spark = df.sparkSession
+    val sorted = (if (numPartitions > 0) df.repartitionByRange(numPartitions, order: _*)
+                  else df.repartitionByRange(order: _*))
+      .sortWithinPartitions(order: _*)
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    val base = sorted.rdd
+    val sizes = base
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.foldLeft(0L)((n, _) => n + 1L))),
+        preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val rdd = base.mapPartitionsWithIndex({ (i, it) =>
+      var pos = offsets(i)
+      it.map { r => pos += 1; Row.fromSeq(r.toSeq :+ pos) }
+    }, preservesPartitioning = true)
+    (spark.createDataFrame(rdd, schema), offsets.last)
   }
 }

@@ -173,6 +173,14 @@ case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case ae: AggregateExpression => ae.aggregateFunction match {
         case graft.functions.BoundedTopKAgg(s: CreateNamedStruct, _, _, _, _) =>
           s.valExprs.headOption
+        // topKBatch materializes the candidate struct in a codegen'd
+        // Project below the aggregate (so the agg's per-row eval is an
+        // UnsafeRow view) — chase the attribute to its defining alias.
+        case graft.functions.BoundedTopKAgg(attr: Attribute, _, _, _, _) =>
+          resolveAlias(a.child, attr) match {
+            case Some(s: CreateNamedStruct) => s.valExprs.headOption
+            case _ => None
+          }
         case MinBy(_, s: CreateNamedStruct) => s.valExprs.headOption
         case _ => None
       }

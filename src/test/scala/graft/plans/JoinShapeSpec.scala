@@ -212,8 +212,8 @@ class JoinShapeSpec extends SparkSpec {
       // LogicalRDD scan): range shuffle -> per-partition sort ->
       // zipWithIndex. Its signature is visible in the lineage string.
       val lineage = out.rdd.toDebugString
-      assert(lineage.contains("ZippedWithIndexRDD"),
-        s"expected the zipWithIndex numbering pass in the lineage:\n$lineage")
+      assert(lineage.contains("mapPartitionsWithIndex at Ranking.scala"),
+        s"expected the offset-numbering pass in the lineage:\n$lineage")
       assert(lineage.contains("ShuffledRowRDD"),
         s"expected the range-partitioning exchange in the lineage:\n$lineage")
     }
