@@ -551,10 +551,18 @@ object SparkEntry {
     * only contributes counts). */
   private def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
-    Dsir.selectTopK(
-      Dsir.importanceWeights(docs, docs.where(col("source") === "src0"),
-        "doc_id", "text", buckets = 4096),
-      "doc_id", k = 200)
+    // selectTopK evaluates the weights lineage twice (boundary row +
+    // flagged output), and column pruning rewrites the two subtrees
+    // differently, so exchange reuse cannot dedupe the corpus-sized
+    // tokenize/explode/agg underneath — persist the (one-row-per-doc,
+    // three-column) weights table instead, exactly the trade the
+    // Dsir.selectTopK scaladoc prescribes. The cache is bounded by the
+    // document count, not the bigram stream, and the ContextCleaner
+    // reclaims it once the result is materialized and dereferenced.
+    val weights = Dsir.importanceWeights(docs,
+      docs.where(col("source") === "src0"), "doc_id", "text", buckets = 4096)
+      .persist()
+    Dsir.selectTopK(weights, "doc_id", k = 200)
   }
 
   private def qNeardupEmbedding(s: SparkSession, dir: String): DataFrame =
