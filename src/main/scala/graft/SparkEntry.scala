@@ -856,10 +856,21 @@ object SparkEntry {
 
   /** RFM segmentation (recency / frequency / monetary): per-customer
     * order stats against the corpus-max anchor date, quartiled by
-    * [[graft.ops.Ranking.ntileGlobal]] with custkey tie-breaks — exact
-    * ntile semantics with NO single-reducer window (range-partitioned
-    * distributed rank), so the segmentation survives a customer table
-    * that grows with the business. */
+    * [[graft.ops.Ranking.ntileGlobalKeyed]] with custkey tie-breaks —
+    * exact ntile semantics with NO single-reducer window (the
+    * boundary-routed distributed rank), so the segmentation survives a
+    * customer table that grows with the business.
+    *
+    * The ranking's partition count is sized from the DATA (64k rows
+    * per partition — the same adaptive collapse AQE applies to tiny
+    * exchanges): a small customer table ranks in one partition with
+    * zero extra jobs, a 100 TB one fans out to thousands. When fanned
+    * out, all three chain members' range boundaries come from ONE
+    * `percentile_approx` aggregate over the persisted per-customer
+    * table (boundaries only govern balance, so approximation cannot
+    * move a quartile) — replacing the three range-partitioner sampling
+    * jobs the order-Seq form would run. Descending metrics route on
+    * exact negation (doubles and sub-2^53 longs recode losslessly). */
   private def qRfm(s: SparkSession, dir: String): DataFrame = {
     val anchor = table(s, dir, "orders").agg(max("o_orderdate").as("mx"))
     val per = table(s, dir, "orders")
@@ -871,12 +882,30 @@ object SparkEntry {
       .crossJoin(broadcast(anchor))
       .withColumn("recency_days", datediff(col("mx"), col("last_order")).cast("long"))
       .select("o_custkey", "recency_days", "frequency", "monetary")
-    val r = graft.ops.Ranking.ntileGlobal(per, 4,
-      Seq(col("recency_days").asc, col("o_custkey").asc), "r_quartile")
-    val rf = graft.ops.Ranking.ntileGlobal(r, 4,
-      Seq(col("frequency").desc, col("o_custkey").asc), "f_quartile")
-    graft.ops.Ranking.ntileGlobal(rf, 4,
-      Seq(col("monetary").desc, col("o_custkey").asc), "m_quartile")
+      .persist()
+    val n = per.count() // one job; doubles as the cache materialization
+    val parts = math.max(1L, (n + 65535L) / 65536L).toInt
+    // One boundary agg for ALL chain members when fanned out; none at
+    // one partition (the bounds are vacuous there).
+    val bounds: IndexedSeq[Seq[Double]] =
+      if (parts == 1) IndexedSeq(Nil, Nil, Nil)
+      else {
+        val probs = typedlit(graft.ops.Ranking.boundaryProbs(parts))
+        val row = per.agg(
+          percentile_approx(col("recency_days").cast("double"), probs, lit(10000)),
+          percentile_approx(-col("frequency").cast("double"), probs, lit(10000)),
+          percentile_approx(-col("monetary"), probs, lit(10000))).collect()(0)
+        (0 to 2).map(i => if (row.isNullAt(i)) Nil else row.getSeq[Double](i))
+      }
+    val r = graft.ops.Ranking.ntileGlobalKeyed(per, 4,
+      col("recency_days"), col("o_custkey"), "r_quartile",
+      bounds(0), knownTotal = Some(n))
+    val rf = graft.ops.Ranking.ntileGlobalKeyed(r, 4,
+      -col("frequency").cast("double"), col("o_custkey"), "f_quartile",
+      bounds(1), knownTotal = Some(n))
+    graft.ops.Ranking.ntileGlobalKeyed(rf, 4,
+      -col("monetary"), col("o_custkey"), "m_quartile",
+      bounds(2), knownTotal = Some(n))
   }
 
   /** Per-domain token-budget sampling (Sampling.tokenBudget): fill each

@@ -49,6 +49,48 @@ object Ranking {
                   outCol: String, numPartitions: Int = 0): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val (ranked, n) = numberedWithTotal(df, order, "__gr", numPartitions)
+    bucketFromRank(ranked, buckets, n, outCol)
+  }
+
+  /** [[ntileGlobal]] with caller-supplied range boundaries — kills the
+    * range-partitioner SAMPLING JOB, the dominant fixed cost when
+    * several rankings chain (q_rfm's three quartiles): the caller
+    * computes every chain member's boundaries in ONE
+    * `percentile_approx` aggregate up front, and each ranking then
+    * costs exactly one shuffle + one counting job.
+    *
+    * Boundary quality affects only BALANCE, never correctness: rows
+    * route to the partition whose (bounds(p-1), bounds(p)] half-open
+    * interval holds their route key, every partition owns a contiguous
+    * key range in ascending route order, and the within-partition sort
+    * plus size-offset numbering recover the exact global positions
+    * regardless of where the boundaries fell (a skewed boundary set
+    * degrades to fewer effective partitions — the same failure mode as
+    * a skewed sampled range shuffle).
+    *
+    * Contract: `routeKey` (double) must be an order-isomorphic recoding
+    * of the caller's primary sort key — strictly increasing, equal iff
+    * equal (cast longs below 2^53 directly; NEGATE for descending) —
+    * and non-null; `tieKey` (long) must complete a TOTAL order. The
+    * shuffle sorts by (routeKey, tieKey) with the external pair-RDD
+    * sorter, so partitions spill instead of buffering. */
+  def ntileGlobalKeyed(df: DataFrame, buckets: Int, routeKey: Column,
+                       tieKey: Column, outCol: String,
+                       bounds: Seq[Double],
+                       knownTotal: Option[Long] = None): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val (ranked, n) =
+      numberedKeyed(df, routeKey, tieKey, outCol = "__gr", bounds, knownTotal)
+    bucketFromRank(ranked, buckets, n, outCol)
+  }
+
+  /** Evenly spaced interior probabilities (1/n .. (n-1)/n) for sizing a
+    * [[ntileGlobalKeyed]] boundary set to `numPartitions` partitions. */
+  def boundaryProbs(numPartitions: Int): Seq[Double] =
+    (1 until numPartitions).map(_.toDouble / numPartitions)
+
+  private def bucketFromRank(ranked: DataFrame, buckets: Int, n: Long,
+                             outCol: String): DataFrame = {
     val b = buckets.toLong
     val base = n / b                    // floor(n / buckets)
     val rem = n % b
@@ -77,8 +119,57 @@ object Ranking {
     val sorted = (if (numPartitions > 0) df.repartitionByRange(numPartitions, order: _*)
                   else df.repartitionByRange(order: _*))
       .sortWithinPartitions(order: _*)
-    val schema = sorted.schema.add(outCol, LongType, nullable = false)
-    val base = sorted.rdd
+    numberFromSorted(spark, sorted.schema.add(outCol, LongType, nullable = false),
+      sorted.rdd, outCol)
+  }
+
+  /** [[numberedWithTotal]] on caller-supplied boundaries: route with a
+    * binary-search partitioner (no sampling job) and sort the pairs in
+    * the shuffle itself (external sorter — spills, never buffers a
+    * partition in memory). With EMPTY bounds and a caller-known total,
+    * even the counting job disappears (one partition owns position 0,
+    * so the offsets are trivial) — a tiny input then ranks with zero
+    * extra jobs, which is exactly the adaptive small-shuffle collapse
+    * AQE applies to Exchange nodes but `.rdd` lineages must do by
+    * hand. `knownTotal`, when supplied, MUST equal df's row count. */
+  private def numberedKeyed(df: DataFrame, routeKey: Column, tieKey: Column,
+                            outCol: String, bounds: Seq[Double],
+                            knownTotal: Option[Long]): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val keyed = df.withColumn("__rk", routeKey.cast("double"))
+      .withColumn("__tk", tieKey.cast("long"))
+    val width = keyed.schema.size
+    val b: Array[Double] = bounds.distinct.sorted.toArray
+    val part = new org.apache.spark.Partitioner {
+      override val numPartitions: Int = b.length + 1
+      override def getPartition(key: Any): Int = {
+        val k = key.asInstanceOf[(Double, Long)]._1
+        // first boundary >= k: rows route to (b(p-1), b(p)]
+        val i = java.util.Arrays.binarySearch(b, k)
+        if (i >= 0) i else -(i + 1)
+      }
+    }
+    val sorted = keyed.rdd
+      .map(r => ((r.getDouble(width - 2), r.getLong(width - 1)), r))
+      .repartitionAndSortWithinPartitions(part)
+      .values
+    val schema = keyed.schema.add(outCol, LongType, nullable = false)
+    val (numbered, n) = knownTotal match {
+      case Some(total) if b.isEmpty =>
+        val rdd = sorted.mapPartitions({ it =>
+          var pos = 0L
+          it.map { r => pos += 1; Row.fromSeq(r.toSeq :+ pos) }
+        }, preservesPartitioning = true)
+        (spark.createDataFrame(rdd, schema), total)
+      case _ => numberFromSorted(spark, schema, sorted, outCol)
+    }
+    (numbered.drop("__rk", "__tk"), n)
+  }
+
+  private def numberFromSorted(spark: org.apache.spark.sql.SparkSession,
+                               schema: org.apache.spark.sql.types.StructType,
+                               base: org.apache.spark.rdd.RDD[Row],
+                               outCol: String): (DataFrame, Long) = {
     val sizes = base
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.foldLeft(0L)((n, _) => n + 1L))),
         preservesPartitioning = true)

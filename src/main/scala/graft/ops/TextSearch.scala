@@ -107,14 +107,18 @@ object TextSearch {
         TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("id"), size(col("toks")).cast("double").as("dl"),
         explode(col("toks")).as("term"))
-      .groupBy("term", "id", "dl").agg(count(lit(1)).cast("double").as("tf"))
-      // HASH-partition by term, then sort within files: each term lives
-      // in exactly one file and row-group min/max stats on the sorted
-      // term column prune within it. Range partitioning would add
-      // file-level pruning but costs a sampling pass that re-executes
-      // the whole tokenize+aggregate subtree — row-group pruning after
-      // cheap footer reads is the same seek at half the build cost.
+      // HASH-partition by term BEFORE the tf aggregate: partitioning on
+      // [term] already clusters [term, id, dl], so the aggregate runs
+      // on the repartition exchange with NO second shuffle of the token
+      // stream (tf is mostly 1, so the map-side combine this forgoes
+      // compacts almost nothing). Each term then lives in exactly one
+      // file and row-group min/max stats on the sorted term column
+      // prune within it. Range partitioning would add file-level
+      // pruning but costs a sampling pass that re-executes the whole
+      // tokenize subtree — row-group pruning after cheap footer reads
+      // is the same seek at half the build cost.
       .repartition(numFiles, col("term"))
+      .groupBy("term", "id", "dl").agg(count(lit(1)).cast("double").as("tf"))
       .sortWithinPartitions("term", "id")
       .write.mode("overwrite").parquet(s"$dir/postings")
     val postings = spark.read.parquet(s"$dir/postings")

@@ -49,4 +49,59 @@ class RankingSpec extends SparkSpec {
       .orderBy("id").collect().map(_.toSeq).toSeq
     assert(a === b)
   }
+
+  // Non-null route keys (the keyed contract): w in [0,6], heavy ties.
+  private def keyedDf = {
+    import spark.implicits._
+    (1 to 103).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "w")
+  }
+
+  test("ntileGlobalKeyed matches ntile() under any boundary set — balance only") {
+    val expected = keyedDf.withColumn("q",
+        ntile(4).over(Window.orderBy(col("w").asc, col("id").asc)).cast("long"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val boundarySets = Seq(
+      Seq(1.5, 3.5, 5.5),            // well-placed
+      Seq(0.0, 2.0, 4.0),            // ON tie values (equal keys co-route)
+      Seq(2.0, 2.0, 2.0, 100.0),     // duplicates + one empty tail range
+      Seq(-10.0),                    // everything lands in one partition
+      Nil)                           // single partition, sizes job path
+    for (bs <- boundarySets) {
+      val got = Ranking.ntileGlobalKeyed(keyedDf, 4, col("w"), col("id"), "q", bs)
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      assert(got === expected, s"bounds=$bs")
+    }
+  }
+
+  test("ntileGlobalKeyed: empty bounds + knownTotal skips the counting job, same result") {
+    val expected = keyedDf.withColumn("q",
+        ntile(4).over(Window.orderBy(col("w").asc, col("id").asc)).cast("long"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val got = Ranking.ntileGlobalKeyed(keyedDf, 4, col("w"), col("id"), "q",
+        Nil, knownTotal = Some(103L))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(got === expected)
+  }
+
+  test("ntileGlobalKeyed: descending metrics route on exact negation") {
+    val expected = keyedDf.withColumn("q",
+        ntile(3).over(Window.orderBy(col("w").desc, col("id").asc)).cast("long"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val got = Ranking.ntileGlobalKeyed(keyedDf, 3,
+        -col("w").cast("double"), col("id"), "q", Seq(-5.5, -2.5))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(got === expected)
+  }
+
+  test("ntileGlobalKeyed: all-equal route keys (giant tie group) still exact") {
+    import spark.implicits._
+    val flat = (1 to 50).map(i => (i.toLong, 7.0)).toDF("id", "w")
+    val expected = flat.withColumn("q",
+        ntile(4).over(Window.orderBy(col("w").asc, col("id").asc)).cast("long"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val got = Ranking.ntileGlobalKeyed(flat, 4, col("w"), col("id"), "q",
+        Seq(1.0, 7.0, 9.0))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(got === expected)
+  }
 }
