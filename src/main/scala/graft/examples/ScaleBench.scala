@@ -113,6 +113,10 @@ object ScaleBench {
     all.foreach { case (name, fn) =>
       def best(dir: String): Double =
         (1 to 2).map { _ =>
+          // Queries that persist intermediates (qDsirWeights, qRfm)
+          // would otherwise serve run 2 from run 1's cache and report
+          // a warm number as "best" — clear between timed runs.
+          spark.catalog.clearCache()
           val t0 = System.nanoTime()
           fn(spark, dir).collect()
           (System.nanoTime() - t0) / 1e9
