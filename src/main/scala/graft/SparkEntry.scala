@@ -918,6 +918,19 @@ object SparkEntry {
       budget = 2000, seed = "r3")
   }
 
+  /** Per-domain cap (Sampling.capPerKey): keep the 15 longest documents
+    * per source — the RefinedWeb-style "no host dominates the corpus"
+    * curation step, as an exact grouped top-k through the bounded-heap
+    * partial aggregate (shuffle carries partitions × keys × cap rows;
+    * a hot domain never sorts through one reducer the way a
+    * PARTITION BY window would). Priority: n_chars desc (negated),
+    * doc_id tie-break. */
+  private def qDomainCap(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerKey(
+      table(s, dir, "documents").select("doc_id", "source", "n_chars"),
+      Seq("source"), cap = 15,
+      priority = Seq(-col("n_chars"), col("doc_id")))
+
   /** PMI collocations (TextAnalysis.collocations): top phrase pairs by
     * pointwise mutual information over corpus uni/bigram counts. */
   private def qCollocations(s: SparkSession, dir: String): DataFrame =
@@ -1791,6 +1804,7 @@ object SparkEntry {
       "q_hybrid_rrf"          -> (qHybridRrf _),
       "q_shuffle_shards"      -> (qShuffleShards _),
       "q_domain_mix"          -> (qDomainMix _),
+      "q_domain_cap"          -> (qDomainCap _),
       "q_binary_hamming"      -> (qBinaryHamming _),
       "q_pq_adc"              -> (qPqAdc _),
       "q_dedup_incremental"   -> (qDedupIncremental _),
@@ -2685,6 +2699,17 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS BIGINT)
                AS shard_pos
       FROM h""",
+
+    // Per-domain cap: exact grouped top-k = the rank-window semantics
+    // (the Spark side computes it with a bounded-heap aggregate, not a
+    // window — same rows, same ranks, by the total-order contract).
+    "q_domain_cap" -> """
+      SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rank
+        FROM documents) t
+      WHERE rank <= 15""",
 
     // Deterministic domain mixing (mirror of Sampling.epochMix).
     "q_domain_mix" -> s"""

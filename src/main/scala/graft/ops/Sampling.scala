@@ -99,6 +99,45 @@ object Sampling {
       .drop(cum)
   }
 
+  /** Per-key cap: keep at most `cap` rows per key group, chosen by an
+    * explicit priority order — the per-DOMAIN cap of web-corpus
+    * curation (RefinedWeb, Penedo et al. 2023 §3.3, caps documents per
+    * registered domain so no host dominates the corpus; C4 applies the
+    * same idea per URL). Appends a 1-based `rankCol` (priority position
+    * within the key group).
+    *
+    * Scale shape: exact grouped top-k via the bounded-heap partial
+    * aggregate ([[graft.functions.BoundedTopKAgg]]) — each task reduces
+    * to at most `cap` candidates per key BEFORE the exchange, so the
+    * shuffle carries partitions × keys × cap rows and a hot domain with
+    * millions of pages costs its map-side heaps, never a corpus-sized
+    * window sort (`row_number() OVER (PARTITION BY domain)` would
+    * shuffle every row of every hot domain to one reducer each — the
+    * skewed-key failure mode this op exists to avoid).
+    *
+    * `priority` follows the [[graft.functions.VectorFunctions.topKStructs]]
+    * ordering contract: ascending lexicographic; encode DESCENDING
+    * fields by negation and include a tie-break making the order total
+    * (else the boundary row is nondeterministic). */
+  def capPerKey(df: DataFrame, keyCols: Seq[String], cap: Int,
+                priority: Seq[Column], rankCol: String = "rank"): DataFrame = {
+    require(keyCols.nonEmpty, "capPerKey needs at least one key column")
+    require(cap > 0, "cap must be positive")
+    require(priority.nonEmpty, "capPerKey needs a priority order")
+    val ordNamed = priority.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    // Struct materialized in a codegen'd Project BEFORE the aggregate
+    // (same shape as topKBatch): the agg child evals to an UnsafeRow
+    // view, no interpreted struct construction per row.
+    df.withColumn("__cand", struct(ordNamed :+ payload.as("__row"): _*))
+      .groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.VectorFunctions.topKStructs(
+        col("__cand"), cap, ordNamed.size).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("__e.__row.*") +:
+        Seq((col("__pos") + 1).cast("long").as(rankCol)): _*)
+  }
+
   /** Deterministic global shuffle into training shards: every row gets
     * a sha-derived sort key, a shard id (key mod nShards), and its
     * 1-based position within the shard under (sort key, row key) order.

@@ -146,4 +146,31 @@ class SamplingSpec extends SparkSpec {
     // draws spread across the corpus (not degenerate)
     assert(got.map(_._3).distinct.length > n / 2)
   }
+
+  test("capPerKey matches the rank-window form: ties, hot key, cap > group, partition-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // One hot key (70% of rows), heavy score ties, one tiny group that
+    // the cap exceeds.
+    val rows = (1 to 200).map { i =>
+      val key = if (i % 10 < 7) "hot" else if (i % 10 < 9) "warm" else "cold"
+      (i.toLong, key, (i % 5).toLong)
+    }.toDF("id", "domain", "score")
+    val expected = rows.withColumn("rank",
+        row_number().over(Window.partitionBy("domain")
+          .orderBy(col("score").desc, col("id"))).cast("long"))
+      .where(col("rank") <= 7)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val got = Sampling.capPerKey(rows, Seq("domain"), cap = 7,
+        priority = Seq(-col("score"), col("id")))
+      .select("id", "domain", "score", "rank")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(got === expected)
+    val repart = Sampling.capPerKey(rows.repartition(13), Seq("domain"), cap = 7,
+        priority = Seq(-col("score"), col("id")))
+      .select("id", "domain", "score", "rank")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(repart === expected)
+  }
 }
