@@ -36,7 +36,7 @@ object TrainingPipeline {
       .master("local[8]")
       .appName("graft-training-pipeline")
       .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -211,10 +211,11 @@ object TrainingPipeline {
     // 12. Analytics-side layout: the events table re-clustered on the
     //     (user_id, time-cell) Morton curve so per-user time-boxed
     //     queries prune files on both dimensions.
-    // ts reads as nanos-since-epoch long (nanosAsLong): hour cells.
+    // ts is TIMESTAMP_NTZ (parquet micros): hour cells via epoch micros.
     val events = spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("tcell",
-        floor(col("ts") / lit(3600L * 1000000000L)).cast("long") % 1024)
+        (expr("unix_micros(CAST(ts AS TIMESTAMP))") / lit(3600L * 1000000L))
+          .cast("long") % 1024)
       .withColumn("ucell", col("user_id") % 1024)
     graft.ops.Layout.zorderWrite(events, Seq("ucell", "tcell"),
       s"$outDir/events_zorder", numFiles = 8)
