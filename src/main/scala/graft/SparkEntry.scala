@@ -50,22 +50,35 @@ object SparkEntry {
       val df = s.read.parquet(s"$dir/$name.parquet")
       // Starved-scan guard: the driver's testdata writes each table as a
       // single parquet row group, so the scan — and every map stage
-      // whole-stage codegen fuses into it (tokenize, explode, partial
-      // agg) — runs as ONE task regardless of cores. When the scan has
-      // materially fewer splits than the session has cores and the file
-      // is big enough for fan-out to pay, break the fusion with one
+      // whole-stage codegen fuses into it (tokenize, shingle, vector
+      // math) — runs as ONE task regardless of cores. When the scan has
+      // materially fewer splits than the session has cores AND the rows
+      // are wide (text/vector payloads, where per-row map work dominates
+      // and fan-out measurably wins), break the fusion with one
       // round-robin exchange; filters and column pruning still push
-      // below it. On a real cluster (many files / row groups per table)
-      // the gate never fires — scans already parallelize, and a blanket
+      // below it. Narrow relational rows stay fused: their map work is
+      // cheap column arithmetic, every downstream groupBy/join
+      // re-shuffles anyway, and an extra exchange is pure cost (A/B:
+      // +0.6-1.2 s on the lineitem joins, -0.4-1.2 s on the documents
+      // text ops). On a real cluster (many files / row groups) the gate
+      // never fires — scans already parallelize, and a blanket
       // repartition of a 100 TB read would be an extra full shuffle.
       val cores = s.sparkContext.defaultParallelism
-      val onDisk = {
-        val f = new java.io.File(s"$dir/$name.parquet")
-        if (f.isFile) f.length
-        else Option(f.listFiles).map(_.filter(_.isFile).map(_.length).sum).getOrElse(0L)
-      }
+      val file = new java.io.File(s"$dir/$name.parquet")
+      val (onDisk, rows) =
+        if (file.isFile) {
+          val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(file.getPath),
+              s.sessionState.newHadoopConf()))
+          try (file.length, in.getRecordCount) finally in.close()
+        } else (0L, 1L) // multi-file layout: scans already parallelize
       val scanParts = df.rdd.getNumPartitions
-      if (scanParts * 4 < cores && onDisk >= 256 * 1024) df.repartition(cores)
+      val bytesPerRow = onDisk / math.max(rows, 1L)
+      // SPARK_GRAFT_NO_FANOUT=1 disables the guard (perf A/B debugging).
+      if (scanParts * 4 < cores && onDisk >= 256 * 1024 && bytesPerRow >= 64 &&
+          !sys.env.get("SPARK_GRAFT_NO_FANOUT").contains("1"))
+        df.repartition(cores)
       else df
     })
 
@@ -933,27 +946,32 @@ object SparkEntry {
         datediff(lit(head.get(0)), col("last_order")).cast("long"))
       .select("o_custkey", "recency_days", "frequency", "monetary")
     val parts = math.max(1L, (n + 65535L) / 65536L).toInt
-    // One boundary agg for ALL chain members when fanned out; none at
-    // one partition (the bounds are vacuous there).
-    val bounds: IndexedSeq[Seq[Double]] =
-      if (parts == 1) IndexedSeq(Nil, Nil, Nil)
-      else {
-        val probs = typedlit(graft.ops.Ranking.boundaryProbs(parts))
-        val row = withR.agg(
-          percentile_approx(col("recency_days").cast("double"), probs, lit(10000)),
-          percentile_approx(-col("frequency").cast("double"), probs, lit(10000)),
-          percentile_approx(-col("monetary"), probs, lit(10000))).collect()(0)
-        (0 to 2).map(i => if (row.isNullAt(i)) Nil else row.getSeq[Double](i))
-      }
-    val r = graft.ops.Ranking.ntileGlobalKeyed(withR, 4,
-      col("recency_days"), col("o_custkey"), "r_quartile",
-      bounds(0), knownTotal = Some(n))
-    val rf = graft.ops.Ranking.ntileGlobalKeyed(r, 4,
-      -col("frequency").cast("double"), col("o_custkey"), "f_quartile",
-      bounds(1), knownTotal = Some(n))
-    graft.ops.Ranking.ntileGlobalKeyed(rf, 4,
-      -col("monetary"), col("o_custkey"), "m_quartile",
-      bounds(2), knownTotal = Some(n))
+    if (parts == 1)
+      // Small-table collapse: all three quartile chain members in one
+      // single-task pass (bit-identical buckets — see ntileChainSmall).
+      graft.ops.Ranking.ntileChainSmall(withR, 4, Seq(
+        (col("recency_days"), col("o_custkey"), "r_quartile"),
+        (-col("frequency").cast("double"), col("o_custkey"), "f_quartile"),
+        (-col("monetary"), col("o_custkey"), "m_quartile")))
+    else {
+      // One boundary agg for ALL chain members when fanned out.
+      val probs = typedlit(graft.ops.Ranking.boundaryProbs(parts))
+      val row = withR.agg(
+        percentile_approx(col("recency_days").cast("double"), probs, lit(10000)),
+        percentile_approx(-col("frequency").cast("double"), probs, lit(10000)),
+        percentile_approx(-col("monetary"), probs, lit(10000))).collect()(0)
+      val bounds = (0 to 2).map(i =>
+        if (row.isNullAt(i)) Nil else row.getSeq[Double](i))
+      val r = graft.ops.Ranking.ntileGlobalKeyed(withR, 4,
+        col("recency_days"), col("o_custkey"), "r_quartile",
+        bounds(0), knownTotal = Some(n))
+      val rf = graft.ops.Ranking.ntileGlobalKeyed(r, 4,
+        -col("frequency").cast("double"), col("o_custkey"), "f_quartile",
+        bounds(1), knownTotal = Some(n))
+      graft.ops.Ranking.ntileGlobalKeyed(rf, 4,
+        -col("monetary"), col("o_custkey"), "m_quartile",
+        bounds(2), knownTotal = Some(n))
+    }
   }
 
   /** Per-domain token-budget sampling (Sampling.tokenBudget): fill each

@@ -53,32 +53,45 @@ object Dsir {
     require(buckets > 0, "buckets must be positive")
     val docBuckets = bucketed(
       raw.select(col(idCol).as("id"), col(textCol).as("txt")), buckets)
-    val rawCnt = docBuckets.groupBy("bkt").agg(count(lit(1)).as("rcnt"))
-    val tgtCnt = bucketed(
+    // Both count tables have AT MOST `buckets` rows — fixed by config,
+    // independent of corpus size — so the per-bucket log-ratio table is
+    // computed ON THE DRIVER from two bounded collects (the same
+    // driver-side discipline as the PQ ADC table): one parallel
+    // explode+agg pass per corpus, then pure scalar arithmetic. The
+    // previous all-in-plan form re-evaluated the raw bigram aggregate
+    // under two separate broadcast exchanges (totals + ratio), costing
+    // a serialized job chain and one extra corpus-sized explode.
+    val rawCnt: Map[Long, Long] = docBuckets
+      .groupBy("bkt").agg(count(lit(1)).as("rcnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tgtCnt: Map[Long, Long] = bucketed(
       target.select(lit(0L).as("id"), col(textCol).as("txt")), buckets)
       .groupBy("bkt").agg(count(lit(1)).as("tcnt"))
-    // Totals as one broadcast scalar row. B joins in as a literal.
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // A target with NO bigrams (empty frame, or every doc < 2 tokens)
-    // would null ttot and cascade null into every logweight — fail loud
-    // instead of returning a meaningless all-null scoring (same screen
-    // discipline as [[Packing.packSequences]]'s id cast).
-    val totals = rawCnt.agg(sum("rcnt").cast("double").as("rtot"))
-      .crossJoin(tgtCnt.agg(sum("tcnt").cast("double").as("ttot")))
-      .select(col("rtot"),
-        when(col("ttot").isNull, raise_error(lit(
-          "importanceWeights: target contributed no bigrams " +
-          "(empty target, or every target doc has < 2 tokens)")))
-          .otherwise(col("ttot")).as("ttot"))
-    // Per-bucket log-ratio over buckets PRESENT IN RAW (a scored doc's
-    // buckets are raw buckets by construction); target-absent buckets
-    // smooth to tcnt=0. At most `buckets` rows -> broadcast.
-    val ratio = rawCnt.join(tgtCnt, Seq("bkt"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("bkt"), round(
-        log((coalesce(col("tcnt"), lit(0L)).cast("double") + 1.0) /
-            (col("ttot") + buckets.toDouble)) -
-        log((col("rcnt").cast("double") + 1.0) /
-            (col("rtot") + buckets.toDouble)), logScale).as("logr"))
+    // carries no evidence — fail loud instead of returning a
+    // meaningless all-null scoring (same screen discipline as
+    // [[Packing.packSequences]]'s id cast).
+    require(tgtCnt.nonEmpty,
+      "importanceWeights: target contributed no bigrams " +
+      "(empty target, or every target doc has < 2 tokens)")
+    val rtot = rawCnt.values.sum.toDouble
+    val ttot = tgtCnt.values.sum.toDouble
+    // Bit-parity with the former in-plan expression: Catalyst's LOG is
+    // StrictMath.log and round(_, n) on a double goes through
+    // BigDecimal.valueOf + HALF_UP — replicate both exactly.
+    def roundN(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(logScale, java.math.RoundingMode.HALF_UP).doubleValue
+    // Ratio over buckets PRESENT IN RAW (a scored doc's buckets are raw
+    // buckets by construction); target-absent buckets smooth to tcnt=0.
+    val ratioRows = rawCnt.toSeq.sortBy(_._1).map { case (bkt, rcnt) =>
+      (bkt, roundN(
+        StrictMath.log((tgtCnt.getOrElse(bkt, 0L) + 1.0) / (ttot + buckets.toDouble)) -
+        StrictMath.log((rcnt + 1.0) / (rtot + buckets.toDouble))))
+    }
+    val sq = raw.sparkSession
+    import sq.implicits._
+    val ratio = ratioRows.toDF("bkt", "logr")
     docBuckets.join(broadcast(ratio), "bkt")
       .groupBy("id")
       // Round the exact DECIMAL sum FIRST, cast after: rounding through

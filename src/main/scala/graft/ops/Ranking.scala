@@ -89,6 +89,63 @@ object Ranking {
   def boundaryProbs(numPartitions: Int): Seq[Double] =
     (1 until numPartitions).map(_.toDouble / numPartitions)
 
+  /** Small-input collapse of a CHAIN of [[ntileGlobalKeyed]] calls:
+    * every chain member computed in ONE single-task pass. Each spec is
+    * (routeKey, tieKey, outCol) under the same key contract as
+    * [[ntileGlobalKeyed]]; buckets are shared. Chaining k rankings the
+    * generic way costs k serial shuffle-sort stages — the right shape
+    * when the table is large, pure fixed overhead when it fits one
+    * partition. This is the by-hand twin of AQE's small-exchange
+    * collapse for `.rdd` lineages: coalesce(1) (narrow — no shuffle),
+    * buffer the partition, sort in memory once per spec, and emit all
+    * bucket columns together. Bit-identical to the chained form — the
+    * buckets are a pure function of each spec's total order.
+    *
+    * CALLER CONTRACT: only route here when the row count is known small
+    * (the ≤64k-per-partition gate callers already size `parts` with) —
+    * the single task buffers the whole input. */
+  def ntileChainSmall(df: DataFrame, buckets: Int,
+                      specs: Seq[(Column, Column, String)]): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(specs.nonEmpty, "need at least one ranking spec")
+    val width = df.schema.size
+    val keyed = specs.zipWithIndex.foldLeft(df) { case (d, ((rk, tk, _), i)) =>
+      d.withColumn(s"__rk$i", rk.cast("double"))
+        .withColumn(s"__tk$i", tk.cast("long"))
+    }
+    val m = specs.size
+    val schema = specs.foldLeft(df.schema)((sch, sp) =>
+      sch.add(sp._3, LongType, nullable = false))
+    val b = buckets.toLong
+    val rdd = keyed.coalesce(1).rdd.mapPartitions { it =>
+      val rows = it.toArray
+      val n = rows.length.toLong
+      val base = n / b
+      val rem = n % b
+      val bigSpan = rem * (base + 1L)
+      def bucketOf(gr: Long): Long =
+        if (gr <= bigSpan) (gr - 1L) / (base + 1L) + 1L
+        else rem + (gr - 1L - bigSpan) / math.max(base, 1L) + 1L
+      val out = Array.ofDim[Long](rows.length, m)
+      var j = 0
+      while (j < m) {
+        val rkIdx = width + 2 * j
+        val order = rows.indices.sortBy(i =>
+          (rows(i).getDouble(rkIdx), rows(i).getLong(rkIdx + 1)))
+        var pos = 0
+        while (pos < order.length) {
+          out(order(pos))(j) = bucketOf(pos + 1L)
+          pos += 1
+        }
+        j += 1
+      }
+      rows.iterator.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq.take(width) ++ out(i).toSeq)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   private def bucketFromRank(ranked: DataFrame, buckets: Int, n: Long,
                              outCol: String): DataFrame = {
     val b = buckets.toLong

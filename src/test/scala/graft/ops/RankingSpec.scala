@@ -104,4 +104,32 @@ class RankingSpec extends SparkSpec {
       .orderBy("id").collect().map(_.toSeq).toSeq
     assert(got === expected)
   }
+
+  test("ntileChainSmall is bit-identical to the chained keyed form") {
+    import spark.implicits._
+    // Ties in both metrics, a descending member, uneven buckets (n=23,
+    // b=4), multiple input partitions (coalesce path exercised).
+    val t = (1 to 23).map(i => (i.toLong, (i % 5).toDouble, (i % 3).toLong))
+      .toDF("id", "w", "c").repartition(4)
+    val specs = Seq(
+      (col("w"), col("id"), "qw"),
+      (-col("c").cast("double"), col("id"), "qc"))
+    val chained = {
+      val a = Ranking.ntileGlobalKeyed(t, 4, specs(0)._1, specs(0)._2, "qw",
+        Nil, knownTotal = Some(23L))
+      Ranking.ntileGlobalKeyed(a, 4, specs(1)._1, specs(1)._2, "qc",
+        Nil, knownTotal = Some(23L))
+    }.orderBy("id").collect().map(_.toSeq).toSeq
+    val small = Ranking.ntileChainSmall(t, 4, specs)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(small === chained)
+    // and both match the window ntile on each member's own order
+    val win = t
+      .withColumn("qw", ntile(4).over(
+        Window.orderBy(col("w").asc, col("id").asc)).cast("long"))
+      .withColumn("qc", ntile(4).over(
+        Window.orderBy(col("c").desc, col("id").asc)).cast("long"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(small === win)
+  }
 }
