@@ -743,6 +743,22 @@ object SparkEntry {
       FROM events GROUP BY 1, 2""")
   }
 
+  /** Native-timestamp twin of [[qEventsHourly]]: the tumbling window
+    * comes from Spark's streaming-native `window(ts, '1 hour')` on the
+    * TIMESTAMP_NTZ column directly — no epoch arithmetic anywhere.
+    * This is the shape a Structured Streaming job shares verbatim
+    * (`readStream` + the same aggregation); the batch oracle pins its
+    * semantics to DuckDB's `date_trunc` (aligned 1-hour tumbles are
+    * truncation). */
+  private def qEventsHourlyNative(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql("""
+      SELECT window(ts, '1 hour').start AS hour_start,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2""")
+  }
+
   /** Batch sessionization (30-min gap) — the batch shape of the
     * streaming session-window operator. Integer-micros arithmetic. */
   private def qEventsSessionize(s: SparkSession, dir: String): DataFrame = {
@@ -1833,6 +1849,7 @@ object SparkEntry {
       "q_enrichment_join"     -> (qEnrichmentJoin _),
       "q_percentiles"         -> (qPercentiles _),
       "q_events_hourly"       -> (qEventsHourly _),
+      "q_events_hourly_native" -> (qEventsHourlyNative _),
       "q_events_sessionize"   -> (qEventsSessionize _),
       "q_ivf_flat"            -> (qIvfFlat _),
       "q_dedup_clusters"      -> (qDedupClusters _),
@@ -2385,6 +2402,12 @@ object SparkEntry {
 
     "q_events_hourly" -> """
       SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2""",
+
+    "q_events_hourly_native" -> """
+      SELECT date_trunc('hour', ts) AS hour_start,
              event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2""",

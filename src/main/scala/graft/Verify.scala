@@ -68,9 +68,9 @@ object Verify {
     // never sets it, so the gate always covers every query.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -98,8 +98,8 @@ object Verify {
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
-    println(s"[verify] ${SparkEntry.queries.size - errors.count(!_._1.startsWith("_schema"))}" +
-      s"/${SparkEntry.queries.size} queries ok, ${errors.size} errors -> $outDir/errors.json")
+    println(s"[verify] ${selected.size - errors.count(!_._1.startsWith("_schema"))}" +
+      s"/${selected.size} queries ok, ${errors.size} errors -> $outDir/errors.json")
     spark.stop()
   }
 }
