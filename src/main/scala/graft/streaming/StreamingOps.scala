@@ -292,6 +292,106 @@ object StreamingOps {
         col(s"r.$rightTsCol") <= col(s"l.$leftTsCol"))
   }
 
+  /** Streaming NEAR-dup ingest gate: MinHash-LSH banding against a
+    * persisted band index — the streaming twin of
+    * [[graft.ops.Dedup.minhashLshPairs]], and the near-dup complement
+    * of [[dedupStream]]'s exact gate. Each micro-batch:
+    *
+    *  1. bands every doc (same fused `minhashBands` expression as the
+    *     batch op — identical S-curve, P[collide] = 1-(1-j^r)^b);
+    *  2. drops any doc band-colliding with an EARLIER-ARRIVED doc of
+    *     the same batch (earlier = smaller (ts, id); one parallel
+    *     pass — transitive chains over-drop exactly like the batch
+    *     cluster dedup that keeps one representative per component);
+    *  3. drops any doc band-colliding with the RETAINED corpus (an
+    *     equi-join on band against the index — never all-pairs);
+    *  4. appends the survivors' bands to the index and emits the
+    *     surviving rows to `survivorsPath`.
+    *
+    * The index holds KEPT docs' bands only (numHashes/bands short
+    * strings per retained doc — tiny next to the corpus), and stays
+    * duplicate-free by construction: two batch survivors can never
+    * share a band, and a survivor matching an indexed band would have
+    * been dropped. Docs with fewer than `n` tokens have no shingles,
+    * hence no bands, and always pass (no evidence — same rule as the
+    * batch op). Banding is the SCREEN; no Jaccard verify runs here
+    * (a retained-corpus verify would need stored shingle sets — at
+    * ingest-gate scale the S-curve false-accept rate is the documented
+    * trade, tuned by numHashes/bands).
+    *
+    * At 100 TB the band index is what a real deployment would keep in
+    * a proper key-value/Delta table; plain parquet appends one small
+    * file per batch — compact periodically (same note as the CDC
+    * sink's retention). */
+  def nearDupIngestStream(stream: DataFrame, indexPath: String,
+                          survivorsPath: String, checkpointDir: String,
+                          idCol: String = "id", textCol: String = "text",
+                          tsCol: String = "ts", n: Int = 3,
+                          numHashes: Int = 16, bands: Int = 4):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val kept = nearDupScreenBatch(batch, indexPath, idCol, textCol,
+            tsCol, n, numHashes, bands)
+          kept.write.mode("append").parquet(survivorsPath)
+        }
+      }
+      .start()
+
+  /** One micro-batch of the near-dup gate (also usable as a batch-mode
+    * incremental screen): returns the retained rows of `batch` and
+    * appends their bands to `indexPath`. See [[nearDupIngestStream]]
+    * for semantics. */
+  def nearDupScreenBatch(batch: DataFrame, indexPath: String, idCol: String,
+                         textCol: String, tsCol: String, n: Int = 3,
+                         numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    import graft.functions.TextFunctions
+    val spark = batch.sparkSession
+    val sh = TextFunctions.shingles(col(textCol), n)
+    val banded = batch
+      .select(col(idCol), col(tsCol), sh.as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .select(col(idCol), struct(col(tsCol), col(idCol)).as("__tie"),
+        explode(TextFunctions.minhashBands(col("__sh"), numHashes, bands))
+          .as("band"))
+    // Within-batch: non-first arrival in ANY band drops. Ids are unique
+    // so __tie is a total order; min(__tie) per band is the band's
+    // first arrival.
+    val firstPerBand = banded.groupBy("band").agg(min("__tie").as("__first"))
+    val dropInBatch = banded.join(firstPerBand, "band")
+      .where(col("__tie") =!= col("__first"))
+      .select(col(idCol))
+    // Cross-batch: any band already in the retained index drops.
+    val index =
+      if (new java.io.File(indexPath).exists())
+        spark.read.schema("band STRING").parquet(indexPath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("band",
+            org.apache.spark.sql.types.StringType))))
+    val dropCross = banded.join(index, "band").select(col(idCol))
+    // Materialize the dropped-id set NOW (batch-bounded — at most one
+    // row per incoming doc, the same batch-sized-collect discipline as
+    // the ingest Bloom fold): the returned `kept` frame must not hold a
+    // lazy scan of indexPath, which this function appends to below —
+    // a deferred re-read could see this batch's own bands and drop
+    // every survivor against itself.
+    val droppedIds = dropInBatch.union(dropCross).distinct().collect()
+    val dropDf = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(droppedIds: _*),
+      org.apache.spark.sql.types.StructType(Seq(batch.schema(idCol)))))
+    val kept = batch.join(dropDf, Seq(idCol), "left_anti")
+    // Persist survivors' bands BEFORE returning: the caller's write of
+    // `kept` must observe an index that already covers this batch.
+    banded.join(dropDf, Seq(idCol), "left_anti").select("band")
+      .write.mode("append").parquet(indexPath)
+    kept
+  }
+
   /** Streaming exact dedup on a (normalized) text key with BOUNDED
     * state: `dropDuplicatesWithinWatermark` keeps each key's state only
     * until the watermark passes it, so the state store cannot grow with

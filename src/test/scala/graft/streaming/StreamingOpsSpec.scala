@@ -32,6 +32,45 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupIngestStream: LSH gate drops within-batch and cross-batch near-dups, passes shingle-less rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val dir = Files.createTempDirectory("graft-neardup").toString
+    val q = StreamingOps.nearDupIngestStream(
+      input.toDF().toDF("id", "text", "ts"),
+      s"$dir/index", s"$dir/kept", s"$dir/ckpt")
+    try {
+      // Batch 1: doc 2 is an exact near-dup of doc 1 (identical text →
+      // jaccard 1.0 → every band collides → guaranteed drop; arrival
+      // order = (ts, id)); doc 3 is distinct; doc 4 has < n tokens (no
+      // shingles → no evidence → passes).
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog", ts(0)),
+        (2L, "the quick brown fox jumps over the lazy dog", ts(1)),
+        (3L, "completely different text about spark streaming engines and state", ts(2)),
+        (4L, "tiny", ts(3)))
+      q.processAllAvailable()
+      val kept1 = spark.read.parquet(s"$dir/kept").select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept1 == Set(1L, 3L, 4L), s"batch 1 kept: $kept1")
+      // Batch 2: doc 5 replays doc 1's text → dropped against the
+      // PERSISTED index (cross-batch); doc 6 is new and survives.
+      input.addData(
+        (5L, "the quick brown fox jumps over the lazy dog", ts(10)),
+        (6L, "yet another unrelated document mentioning catalysts and codegen", ts(11)))
+      q.processAllAvailable()
+      val kept2 = spark.read.parquet(s"$dir/kept").select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept2 == Set(1L, 3L, 4L, 6L), s"after batch 2 kept: $kept2")
+      // Index holds retained docs' bands only: doc 1's 4 bands + doc
+      // 3's 4 + doc 6's 4 (doc 4 banded nothing) — and is
+      // duplicate-free by construction.
+      val bands = spark.read.parquet(s"$dir/index").collect().map(_.getString(0))
+      assert(bands.length == 12 && bands.distinct.length == 12,
+        s"index bands: ${bands.length} (${bands.distinct.length} distinct)")
+    } finally q.stop()
+  }
+
   test("ingestStream maintains the Bloom prescreen and metadata_hash across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Map[String, String])]
