@@ -1776,6 +1776,13 @@ object SparkEntry {
     Dedup.duplicateSpanFraction(table(s, dir, "documents"), "doc_id", "text",
       window = 8)
 
+  /** Maximal duplicated token ranges per doc — the removable-range
+    * output of substring-level dedup (merged gaps-and-islands over the
+    * duplicated 8-token span positions). */
+  private def qDupSpanRanges(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpanRanges(table(s, dir, "documents"), "doc_id", "text",
+      window = 8)
+
   /** Per-doc TF-IDF top-3 keyword extraction. */
   private def qKeywords(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topKeywords(table(s, dir, "documents"), "doc_id", "text", k = 3)
@@ -1898,6 +1905,7 @@ object SparkEntry {
       "q_dedup_bloom"         -> (qDedupBloom _),
       "q_ivfpq"               -> (qIvfPq _),
       "q_dup_spans"           -> (qDupSpans _),
+      "q_dup_span_ranges"     -> (qDupSpanRanges _),
       "q_keywords"            -> (qKeywords _),
       "q_lm_score"            -> (qLmScore _),
       "q_mean_pool"           -> (qMeanPool _),
@@ -3288,6 +3296,29 @@ object SparkEntry {
 
     // Duplicate 8-token spans across documents; spans are distinct
     // within a doc, so count(*) per span == document count.
+    // Positional twin of q_dup_spans: spans duplicated across >= 2
+    // DISTINCT docs, positions merged into maximal [start, end] token
+    // intervals (equal widths => merge iff p <= prev_p + 8).
+    "q_dup_span_ranges" -> """
+      WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sp AS (SELECT doc_id,
+               unnest(range(1, len(toks) - 6)) AS p,
+               unnest(list_transform(range(1, len(toks) - 6),
+                      i -> array_to_string(toks[i:i+7], ' '))) AS span
+             FROM docs WHERE len(toks) >= 8),
+      d AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM sp)
+            GROUP BY span HAVING count(*) >= 2),
+      h AS (SELECT doc_id, p FROM sp JOIN d USING (span)),
+      l AS (SELECT doc_id, p,
+              lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp FROM h),
+      m AS (SELECT doc_id, p,
+              CASE WHEN pp IS NULL OR p > pp + 8 THEN 1 ELSE 0 END AS brk FROM l),
+      g AS (SELECT doc_id, p,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM m)
+      SELECT doc_id, CAST(min(p) AS BIGINT) AS start_tok,
+             CAST(max(p) + 7 AS BIGINT) AS end_tok
+      FROM g GROUP BY doc_id, grp""",
+
     "q_dup_spans" -> """
       WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       sh AS (SELECT doc_id,

@@ -514,6 +514,52 @@ object Dedup {
       .groupBy("span").agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2)
 
+  /** Maximal duplicated token RANGES per document — the step after
+    * [[duplicateSpans]]: positions of every `window`-token span that
+    * occurs in >= 2 DISTINCT documents, merged into maximal
+    * (start_tok, end_tok) intervals (1-based, inclusive). This is the
+    * removable-range output of substring-level dedup (Lee et al. 2021):
+    * a downstream pass can cut exactly these token ranges instead of
+    * dropping whole documents.
+    *
+    * Scale shape: positional spans explode once; the duplicated-span
+    * set is a hash-shuffled distinct+count (never broadcast — it is
+    * corpus-sized); hit positions then merge with ONE per-document
+    * window (gaps-and-islands on lag only: all intervals share the same
+    * width, so "overlapping or contiguous" reduces to
+    * `p <= prev_p + window`, and a running max-end is unnecessary).
+    * Per-doc windows partition by id — no global sort anywhere. */
+  def duplicateSpanRanges(df: DataFrame, idCol: String, textCol: String,
+                          window: Int = 8): DataFrame = {
+    require(window >= 2, "window must be >= 2 tokens")
+    val spans = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= window)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - (window - 1)),
+        i => struct(i.as("p"),
+          concat_ws(" ", slice(col("toks"), i, lit(window))).as("span"))))
+        .as("u"))
+      .select(col("id"), col("u.p").as("p"), col("u.span").as("span"))
+    val dup = spans.select("id", "span").distinct()
+      .groupBy("span").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2)
+      .select("span")
+    val hits = spans.join(dup, "span").select("id", "p")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("p")
+    hits
+      .withColumn("prev_p", lag("p", 1).over(w))
+      .withColumn("brk",
+        when(col("prev_p").isNull || col("p") > col("prev_p") + window, 1)
+          .otherwise(0))
+      .withColumn("grp", sum("brk").over(w))
+      .groupBy("id", "grp")
+      .agg(min("p").cast("long").as("start_tok"),
+        (max("p") + window - 1).cast("long").as("end_tok"))
+      .select(col("id").as(idCol), col("start_tok"), col("end_tok"))
+  }
+
   /** Per-document duplicated-span mass: how much of each doc's span set
     * also occurs elsewhere in the corpus — the filter column for
     * span-level dedup policies. Returns (idCol, n_spans, n_dup_spans,

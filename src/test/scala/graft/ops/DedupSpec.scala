@@ -351,4 +351,27 @@ class DedupSpec extends SparkSpec {
     assert(frac(4L) == ((3L, 1L, 0.3333)))
     assert(!frac.contains(3L))
   }
+
+  test("duplicateSpanRanges merges overlapping/adjacent spans into maximal intervals") {
+    import spark.implicits._
+    // window=3. Docs 1/2 share "p q r" (doc1 pos 2, doc2 pos 1) and
+    // "q r s" (doc1 pos 3, doc2 pos 2): overlapping hits merge into one
+    // interval per doc. Docs 1/3 also share "x y z" at doc1 pos 7 —
+    // separated from pos 2-3 by a gap, so doc 1 gets TWO intervals.
+    // A span repeated only WITHIN one doc (doc 4's "k k k" twice) is
+    // not cross-doc duplicated and produces nothing.
+    val docs = Seq(
+      (1L, "a p q r s m x y z"),   // 9 tokens
+      (2L, "p q r s n"),
+      (3L, "u x y z w"),
+      (4L, "k k k k k")).toDF("id", "text")
+    val got = Dedup.duplicateSpanRanges(docs, "id", "text", window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 2L, 5L),   // "p q r"@2 + "q r s"@3 -> tokens 2..5
+      (1L, 7L, 9L),   // "x y z"@7
+      (2L, 1L, 4L),   // "p q r"@1 + "q r s"@2
+      (3L, 2L, 4L)),  // "x y z"@2
+      s"got $got")
+  }
 }
