@@ -1783,6 +1783,15 @@ object SparkEntry {
     Dedup.duplicateSpanRanges(table(s, dir, "documents"), "doc_id", "text",
       window = 8)
 
+  /** Substring-dedup applied end to end: detect duplicated 8-token
+    * ranges, then CUT them from the text (document survives with the
+    * boilerplate removed — the Lee et al. policy, vs dropping docs). */
+  private def qDedupCut(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val ranges = Dedup.duplicateSpanRanges(docs, "doc_id", "text", window = 8)
+    Dedup.removeSpanRanges(docs, ranges, "doc_id", "text")
+  }
+
   /** Per-doc TF-IDF top-3 keyword extraction. */
   private def qKeywords(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topKeywords(table(s, dir, "documents"), "doc_id", "text", k = 3)
@@ -1906,6 +1915,7 @@ object SparkEntry {
       "q_ivfpq"               -> (qIvfPq _),
       "q_dup_spans"           -> (qDupSpans _),
       "q_dup_span_ranges"     -> (qDupSpanRanges _),
+      "q_dedup_cut"           -> (qDedupCut _),
       "q_keywords"            -> (qKeywords _),
       "q_lm_score"            -> (qLmScore _),
       "q_mean_pool"           -> (qMeanPool _),
@@ -3318,6 +3328,40 @@ object SparkEntry {
       SELECT doc_id, CAST(min(p) AS BIGINT) AS start_tok,
              CAST(max(p) + 7 AS BIGINT) AS end_tok
       FROM g GROUP BY doc_id, grp""",
+
+    // q_dup_span_ranges' cut list APPLIED: tokens inside any duplicated
+    // range drop, the rest re-join. DuckDB lambdas take the optional
+    // (element, index) form; index is 1-based, matching the Spark side.
+    "q_dedup_cut" -> """
+      WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      sp AS (SELECT doc_id,
+               unnest(range(1, len(toks) - 6)) AS p,
+               unnest(list_transform(range(1, len(toks) - 6),
+                      i -> array_to_string(toks[i:i+7], ' '))) AS span
+             FROM docs WHERE len(toks) >= 8),
+      d AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM sp)
+            GROUP BY span HAVING count(*) >= 2),
+      h AS (SELECT doc_id, p FROM sp JOIN d USING (span)),
+      l AS (SELECT doc_id, p,
+              lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp FROM h),
+      m AS (SELECT doc_id, p,
+              CASE WHEN pp IS NULL OR p > pp + 8 THEN 1 ELSE 0 END AS brk FROM l),
+      g AS (SELECT doc_id, p,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM m),
+      r AS (SELECT doc_id, min(p) AS s, max(p) + 7 AS e FROM g GROUP BY doc_id, grp),
+      rs AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS rs FROM r GROUP BY doc_id),
+      cut AS (SELECT docs.doc_id, docs.text, docs.toks, rs.rs,
+                list_filter(docs.toks, (t, i) ->
+                  len(list_filter(rs.rs, rr -> i >= rr.s AND i <= rr.e)) = 0) AS kept
+              FROM docs LEFT JOIN rs ON docs.doc_id = rs.doc_id)
+      SELECT doc_id,
+             -- coalesce: array_to_string([]) is NULL in DuckDB, but a
+             -- FULLY-cut doc keeps empty text (id survives, text goes)
+             CASE WHEN rs IS NULL THEN text
+                  ELSE coalesce(array_to_string(kept, ' '), '') END AS text,
+             CAST(CASE WHEN rs IS NULL THEN 0
+                       ELSE len(toks) - len(kept) END AS BIGINT) AS n_tokens_removed
+      FROM cut""",
 
     "q_dup_spans" -> """
       WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

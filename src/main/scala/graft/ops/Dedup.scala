@@ -560,6 +560,43 @@ object Dedup {
       .select(col("id").as(idCol), col("start_tok"), col("end_tok"))
   }
 
+  /** Apply a [[duplicateSpanRanges]] cut list: drop every token whose
+    * 1-based position falls inside one of the doc's (start_tok,
+    * end_tok) intervals and re-join the survivors — the "remove the
+    * duplicated text, keep the document" final step of substring-level
+    * dedup. Docs with no ranges pass through unchanged.
+    *
+    * Scale shape: ranges aggregate to ONE array per doc (bounded: merged
+    * maximal intervals, at most tokens/window per doc) and join back on
+    * the id — a narrow per-row array filter afterwards, no explode of
+    * the token stream. Output: (idCol, cleaned text, n_tokens_removed). */
+  def removeSpanRanges(df: DataFrame, ranges: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val perDoc = ranges.groupBy(col(idCol))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("__rs"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("__kept",
+        when(col("__rs").isNull, col("__toks")).otherwise(
+          transform(
+            filter(
+              zip_with(col("__toks"),
+                sequence(lit(1), size(col("__toks"))),
+                (t, i) => struct(t.as("t"), i.as("i"))),
+              x => !exists(col("__rs"), r =>
+                x.getField("i") >= r.getField("start_tok") &&
+                x.getField("i") <= r.getField("end_tok"))),
+            x => x.getField("t"))))
+      .select(col(idCol),
+        // NULL text passes through as NULL (concat_ws would silently
+        // flatten it to '' — a null-vs-empty drift the oracle catches).
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", col("__kept"))).as("text"),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise((size(col("__toks")) - size(col("__kept"))).cast("long"))
+          .as("n_tokens_removed"))
+  }
+
   /** Per-document duplicated-span mass: how much of each doc's span set
     * also occurs elsewhere in the corpus — the filter column for
     * span-level dedup policies. Returns (idCol, n_spans, n_dup_spans,

@@ -374,4 +374,25 @@ class DedupSpec extends SparkSpec {
       (3L, 2L, 4L)),  // "x y z"@2
       s"got $got")
   }
+
+  test("removeSpanRanges cuts exactly the listed intervals; full cut keeps an empty doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a p q r s m x y z"),
+      (2L, "p q r s n"),
+      (5L, "entirely duplicated"),   // fully covered by its range below
+      (9L, "untouched doc here")).toDF("id", "text")
+    val ranges = Seq(
+      (1L, 2L, 5L), (1L, 7L, 9L),
+      (2L, 1L, 4L),
+      (5L, 1L, 2L)).toDF("id", "start_tok", "end_tok")
+    val got = Dedup.removeSpanRanges(docs, ranges, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, "a m", 7L),
+      (2L, "n", 4L),
+      (5L, "", 2L),
+      (9L, "untouched doc here", 0L)),
+      s"got $got")
+  }
 }
