@@ -1427,6 +1427,26 @@ object SparkEntry {
         coalesce(col("click_us"), lit(-1L)).as("click_us"))
   }
 
+  /** Forward as-of join (the mirrored direction, oracle-checked): each
+    * click paired with the same user's NEXT purchase at or after it —
+    * smallest-tie-wins among equal times, -1 sentinels for clicks with
+    * no later purchase. */
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("event_type"), expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_eid"),
+        col("us").as("click_us"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_eid"),
+        col("us").as("purchase_us"))
+    AsofJoin.asofForward(clicks, purchases, Seq("user_id"),
+        "click_us", "purchase_us", "click_eid", "purchase_eid")
+      .select(col("user_id"), col("click_eid"), col("click_us"),
+        coalesce(col("purchase_eid"), lit(-1L)).as("purchase_eid"),
+        coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"))
+  }
+
   /** Token-window chunking exploded to (doc, chunk_id, chunk) rows —
     * the embed-pipeline pre-step at corpus scale (narrow, no shuffle). */
   private def qChunk(s: SparkSession, dir: String): DataFrame =
@@ -1890,6 +1910,7 @@ object SparkEntry {
       "q_moving_avg"          -> (qMovingAvg _),
       "q_sample_stratified"   -> (qSampleStratified _),
       "q_asof_join"           -> (qAsofJoin _),
+      "q_asof_forward"        -> (qAsofForward _),
       "q_skew_join"           -> (qSkewJoin _),
       "q_chunk"               -> (qChunk _),
       "q_quantize_int8"       -> (qQuantizeInt8 _),
@@ -2560,6 +2581,32 @@ object SparkEntry {
       SELECT user_id, p_eid AS purchase_eid, p_us AS purchase_us,
              coalesce(click_eid, -1) AS click_eid, coalesce(click_us, -1) AS click_us
       FROM w WHERE side = 1""",
+
+    // Forward mirror of q_asof_join: equal-time purchases match
+    // (inclusive), the SMALLEST tie wins, first_value over the
+    // FOLLOWING frame — side 0 (click) sorts before side 1 at equal
+    // time, so an equal-time purchase is inside the click's frame.
+    "q_asof_forward" -> """
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      u AS (
+        SELECT user_id, us AS t, 0 AS side, event_id AS tie,
+               event_id AS c_eid, us AS c_us,
+               NULL::BIGINT AS p_eid, NULL::BIGINT AS p_us
+        FROM e WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, us, 1, event_id, NULL, NULL, event_id, us
+        FROM e WHERE event_type = 'purchase'),
+      w AS (
+        SELECT user_id, side, c_eid, c_us,
+          first_value(p_eid IGNORE NULLS) OVER win AS purchase_eid,
+          first_value(p_us IGNORE NULLS) OVER win AS purchase_us
+        FROM u
+        WINDOW win AS (PARTITION BY user_id ORDER BY t, side, tie
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, c_eid AS click_eid, c_us AS click_us,
+             coalesce(purchase_eid, -1) AS purchase_eid,
+             coalesce(purchase_us, -1) AS purchase_us
+      FROM w WHERE side = 0""",
 
     // The salted join must equal the plain join — the oracle IS the
     // plain join.
