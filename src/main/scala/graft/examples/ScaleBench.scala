@@ -46,7 +46,10 @@ object ScaleBench {
     "q_integrity_check",    // full-outer hash compare
     "q_ivf_search",         // k-means fit + nprobe-pruned scored scan
     "q_knn_batch",          // k>1 bounded top-k partial aggregate
-    "q_rfm")                // 3 distributed ntiles (range-partitioned rank)
+    "q_rfm",                // 3 distributed ntiles (range-partitioned rank)
+    // round-6 families
+    "q_dup_span_ranges",    // positional spans + per-doc island merge
+    "q_dedup_cut")          // ranges applied as a narrow array filter
 
   /** Shapes that no longer exist in SparkEntry but whose 10× behavior
     * documents WHY the shipped shape replaced them — the before/after
