@@ -65,18 +65,23 @@ object SparkEntry {
       // repartition of a 100 TB read would be an extra full shuffle.
       val cores = s.sparkContext.defaultParallelism
       val file = new java.io.File(s"$dir/$name.parquet")
-      val (onDisk, rows) =
+      val (onDisk, rows, rowGroups) =
         if (file.isFile) {
           val in = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               new org.apache.hadoop.fs.Path(file.getPath),
               s.sessionState.newHadoopConf()))
-          try (file.length, in.getRecordCount) finally in.close()
-        } else (0L, 1L) // multi-file layout: scans already parallelize
-      val scanParts = df.rdd.getNumPartitions
+          try (file.length, in.getRecordCount,
+            in.getFooter.getBlocks.size.toLong)
+          finally in.close()
+        } else (0L, 1L, Long.MaxValue) // multi-file: already parallel
+      // Effective scan parallelism is bounded by ROW GROUPS, not byte
+      // splits: Spark plans size-based splits, but a split only yields
+      // rows when a row-group midpoint falls inside it, so a one-group
+      // file runs as one task no matter how many splits cover it.
       val bytesPerRow = onDisk / math.max(rows, 1L)
       // SPARK_GRAFT_NO_FANOUT=1 disables the guard (perf A/B debugging).
-      if (scanParts * 4 < cores && onDisk >= 256 * 1024 && bytesPerRow >= 64 &&
+      if (rowGroups * 4 < cores && onDisk >= 256 * 1024 && bytesPerRow >= 64 &&
           !sys.env.get("SPARK_GRAFT_NO_FANOUT").contains("1"))
         df.repartition(cores)
       else df
@@ -90,15 +95,15 @@ object SparkEntry {
   // for the rest of the session (poisoning every later measurement) and
   // still pays the full lineage on first evaluation. On a cluster this
   // is a checkpoint to the job's scratch storage — same shape.
-  private lazy val matDir = {
-    val d = java.nio.file.Files.createTempDirectory("graft-mat")
-    d.toFile.deleteOnExit()
-    d.toString
-  }
-  private val matCounter = new java.util.concurrent.atomic.AtomicLong()
+  private lazy val matDir =
+    java.nio.file.Files.createTempDirectory("graft-mat").toString
 
-  private def materialize(df: DataFrame): DataFrame = {
-    val path = s"$matDir/m${matCounter.incrementAndGet()}"
+  /** `name` keys the scratch slot: repeated builds of the same query
+    * OVERWRITE one directory instead of accumulating a new one per call
+    * (bench/verify loops would otherwise leak scratch parquet without
+    * bound — the dir count is fixed by the set of distinct names). */
+  private def materialize(df: DataFrame, name: String): DataFrame = {
+    val path = s"$matDir/$name"
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
@@ -615,7 +620,8 @@ object SparkEntry {
     // it. The write is bounded by the document count, not the bigram
     // stream, and nothing lingers in executor memory afterwards.
     val weights = materialize(Dsir.importanceWeights(docs,
-      docs.where(col("source") === "src0"), "doc_id", "text", buckets = 4096))
+      docs.where(col("source") === "src0"), "doc_id", "text", buckets = 4096),
+      "dsir_weights")
     Dsir.selectTopK(weights, "doc_id", k = 200)
   }
 
@@ -954,7 +960,7 @@ object SparkEntry {
       .agg(max("o_orderdate").as("last_order"),
         count(lit(1)).as("frequency"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
-          .as("monetary")))
+          .as("monetary")), "rfm_per")
     val head = per.agg(max("last_order").as("mx"), count(lit(1)).as("n")).collect()(0)
     val n = head.getLong(1)
     val withR = per

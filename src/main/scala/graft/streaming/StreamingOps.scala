@@ -332,22 +332,37 @@ object StreamingOps {
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val kept = nearDupScreenBatch(batch, indexPath, idCol, textCol,
-            tsCol, n, numHashes, bands)
-          kept.write.mode("append").parquet(survivorsPath)
+          val kept = nearDupScreenBatch(batch, indexPath, batchId, idCol,
+            textCol, tsCol, n, numHashes, bands)
+          // Overwrite the batch's own partition: replays rewrite the
+          // same dir instead of duplicating rows (idempotent under
+          // foreachBatch's at-least-once delivery).
+          kept.write.mode("overwrite").parquet(s"$survivorsPath/batch=$batchId")
         }
       }
       .start()
 
   /** One micro-batch of the near-dup gate (also usable as a batch-mode
-    * incremental screen): returns the retained rows of `batch` and
-    * appends their bands to `indexPath`. See [[nearDupIngestStream]]
-    * for semantics. */
-  def nearDupScreenBatch(batch: DataFrame, indexPath: String, idCol: String,
-                         textCol: String, tsCol: String, n: Int = 3,
-                         numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    * incremental screen with a caller-managed monotone `batchId`):
+    * returns the retained rows of `batch` and writes their bands to
+    * `indexPath/batch=<batchId>`. See [[nearDupIngestStream]] for
+    * semantics.
+    *
+    * Replay-safe by construction: the cross-batch screen reads ONLY
+    * band partitions with `batch < batchId`, and this batch's bands
+    * OVERWRITE its own partition — so when foreachBatch re-delivers a
+    * batch after a mid-batch failure, the rerun sees exactly the state
+    * the first attempt saw (its own half-written bands are invisible to
+    * the screen and replaced by the rewrite), and the index never
+    * accumulates duplicate band rows. All index I/O goes through the
+    * Hadoop filesystem of the path, so hdfs:///s3a:// index locations
+    * behave the same as local ones. */
+  def nearDupScreenBatch(batch: DataFrame, indexPath: String, batchId: Long,
+                         idCol: String, textCol: String, tsCol: String,
+                         n: Int = 3, numHashes: Int = 16,
+                         bands: Int = 4): DataFrame = {
     import graft.functions.TextFunctions
     val spark = batch.sparkSession
     val sh = TextFunctions.shingles(col(textCol), n)
@@ -357,39 +372,51 @@ object StreamingOps {
       .select(col(idCol), struct(col(tsCol), col(idCol)).as("__tie"),
         explode(TextFunctions.minhashBands(col("__sh"), numHashes, bands))
           .as("band"))
-    // Within-batch: non-first arrival in ANY band drops. Ids are unique
-    // so __tie is a total order; min(__tie) per band is the band's
-    // first arrival.
-    val firstPerBand = banded.groupBy("band").agg(min("__tie").as("__first"))
-    val dropInBatch = banded.join(firstPerBand, "band")
-      .where(col("__tie") =!= col("__first"))
-      .select(col(idCol))
-    // Cross-batch: any band already in the retained index drops.
-    val index =
-      if (new java.io.File(indexPath).exists())
-        spark.read.schema("band STRING").parquet(indexPath)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("band",
-            org.apache.spark.sql.types.StringType))))
-    val dropCross = banded.join(index, "band").select(col(idCol))
-    // Materialize the dropped-id set NOW (batch-bounded — at most one
-    // row per incoming doc, the same batch-sized-collect discipline as
-    // the ingest Bloom fold): the returned `kept` frame must not hold a
-    // lazy scan of indexPath, which this function appends to below —
-    // a deferred re-read could see this batch's own bands and drop
-    // every survivor against itself.
-    val droppedIds = dropInBatch.union(dropCross).distinct().collect()
-    val dropDf = broadcast(spark.createDataFrame(
-      java.util.Arrays.asList(droppedIds: _*),
-      org.apache.spark.sql.types.StructType(Seq(batch.schema(idCol)))))
-    val kept = batch.join(dropDf, Seq(idCol), "left_anti")
-    // Persist survivors' bands BEFORE returning: the caller's write of
-    // `kept` must observe an index that already covers this batch.
-    banded.join(dropDf, Seq(idCol), "left_anti").select("band")
-      .write.mode("append").parquet(indexPath)
-    kept
+      // Shingling + minhashing is the operator's dominant per-row work
+      // and feeds FOUR consumers (first-per-band agg, in-batch probe,
+      // cross-batch probe, band write) — cache the batch-bounded result
+      // so it runs once, and release it before returning.
+      .persist()
+    try {
+      // Within-batch: non-first arrival in ANY band drops. Ids are
+      // unique so __tie is a total order; min(__tie) per band is the
+      // band's first arrival.
+      val firstPerBand = banded.groupBy("band").agg(min("__tie").as("__first"))
+      val dropInBatch = banded.join(firstPerBand, "band")
+        .where(col("__tie") =!= col("__first"))
+        .select(col(idCol))
+      // Cross-batch: any band retained by an EARLIER batch drops.
+      // Partition discovery surfaces the batch=N dirs as a `batch`
+      // column; strictly-earlier filtering keeps replays deterministic.
+      val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val index =
+        if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
+          spark.read.option("basePath", indexPath).parquet(indexPath)
+            .where(col("batch") < batchId)
+            .select("band")
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("band",
+              org.apache.spark.sql.types.StringType))))
+      val dropCross = banded.join(index, "band").select(col(idCol))
+      // Materialize the dropped-id set NOW (batch-bounded — at most one
+      // row per incoming doc, the same batch-sized-collect discipline
+      // as the ingest Bloom fold): the returned `kept` frame must not
+      // hold a lazy scan of indexPath, which this function writes below.
+      val droppedIds = dropInBatch.union(dropCross).distinct().collect()
+      val dropDf = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(droppedIds: _*),
+        org.apache.spark.sql.types.StructType(Seq(batch.schema(idCol)))))
+      val kept = batch.join(dropDf, Seq(idCol), "left_anti")
+      // Persist survivors' bands BEFORE returning (overwrite = replay
+      // rewrites, never duplicates): the caller's write of `kept` must
+      // observe an index that already covers this batch.
+      banded.join(dropDf, Seq(idCol), "left_anti").select("band")
+        .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+      kept
+    } finally banded.unpersist()
   }
 
   /** Streaming exact dedup on a (normalized) text key with BOUNDED

@@ -71,6 +71,30 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupScreenBatch: replaying a batch id is idempotent (no self-collision, no index dup)") {
+    val dir = Files.createTempDirectory("graft-neardup-replay").toString
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", ts(0)),
+      (2L, "the quick brown fox jumps over the lazy dog", ts(1)))
+      .toDF("id", "text", "ts")
+    def run(batchId: Long, df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.nearDupScreenBatch(df, s"$dir/index", batchId,
+        "id", "text", "ts").select("id").collect().map(_.getLong(0)).toSet
+    assert(run(0L, b0) == Set(1L))
+    // Replay of batch 0 (foreachBatch at-least-once): the rerun must
+    // see the pre-batch index state — doc 1 survives again instead of
+    // colliding with its own bands, and the index has no duplicates.
+    assert(run(0L, b0) == Set(1L))
+    val bandsAfterReplay = spark.read.parquet(s"$dir/index")
+      .select("band").collect().map(_.getString(0))
+    assert(bandsAfterReplay.length == 4 &&
+      bandsAfterReplay.distinct.length == 4, s"index: ${bandsAfterReplay.toSeq}")
+    // A later batch still screens against batch 0's retained bands.
+    val b1 = Seq((7L, "the quick brown fox jumps over the lazy dog", ts(9)))
+      .toDF("id", "text", "ts")
+    assert(run(1L, b1) == Set.empty[Long])
+  }
+
   test("ingestStream maintains the Bloom prescreen and metadata_hash across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Map[String, String])]
