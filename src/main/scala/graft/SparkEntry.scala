@@ -98,12 +98,17 @@ object SparkEntry {
   private lazy val matDir =
     java.nio.file.Files.createTempDirectory("graft-mat").toString
 
-  /** `name` keys the scratch slot: repeated builds of the same query
+  /** `(dir, name)` keys the scratch slot — mirroring [[tableCache]]'s
+    * key: repeated builds of the same query on the same input dir
     * OVERWRITE one directory instead of accumulating a new one per call
     * (bench/verify loops would otherwise leak scratch parquet without
-    * bound — the dir count is fixed by the set of distinct names). */
-  private def materialize(df: DataFrame, name: String): DataFrame = {
-    val path = s"$matDir/$name"
+    * bound — the dir count is fixed by the distinct (dir, name) pairs),
+    * while builds across DIFFERENT scale-factor dirs get distinct slots,
+    * so a DataFrame returned for one dir never lazily reads scratch that
+    * a later build for another dir overwrote. */
+  private def materialize(df: DataFrame, dir: String, name: String): DataFrame = {
+    val dirKey = java.lang.Integer.toHexString(dir.hashCode)
+    val path = s"$matDir/$dirKey/$name"
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
@@ -500,8 +505,16 @@ object SparkEntry {
     import org.apache.spark.sql.expressions.Window
     val emb = table(s, dir, "embeddings")
     // topKBatch carries every doc column through, so neighbor labels
-    // are already on the hits — no re-join needed.
-    val votes = knnSelf(s, dir, maxQid = 50L, k = 5)
+    // are already on the hits — no re-join needed. The hit table is
+    // materialized ONCE (queries×k rows): the vote aggregate and the
+    // true-label join sit in separate subtrees, and without the scratch
+    // write each would re-execute the fanned-out embeddings scan +
+    // BoundedTopKAgg — a fixed cost that dominated this query's
+    // cold-run time (~3 s for a 250-row result).
+    val hits = materialize(
+      knnSelf(s, dir, maxQid = 50L, k = 5).select("qid", "label"),
+      dir, "knn_classify_hits")
+    val votes = hits
       .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
     val best = Window.partitionBy("qid").orderBy(desc("votes"), col("label"))
     val pred = votes.withColumn("pr", row_number().over(best))
@@ -621,7 +634,7 @@ object SparkEntry {
     // stream, and nothing lingers in executor memory afterwards.
     val weights = materialize(Dsir.importanceWeights(docs,
       docs.where(col("source") === "src0"), "doc_id", "text", buckets = 4096),
-      "dsir_weights")
+      dir, "dsir_weights")
     Dsir.selectTopK(weights, "doc_id", k = 200)
   }
 
@@ -960,7 +973,7 @@ object SparkEntry {
       .agg(max("o_orderdate").as("last_order"),
         count(lit(1)).as("frequency"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
-          .as("monetary")), "rfm_per")
+          .as("monetary")), dir, "rfm_per")
     val head = per.agg(max("last_order").as("mx"), count(lit(1)).as("n")).collect()(0)
     val n = head.getLong(1)
     val withR = per

@@ -95,18 +95,30 @@ object IvfIndex {
     * fit k-means on the full corpus; FAISS trains on a sample too). The
     * training set is coalesced into a few partitions: per-iteration task
     * overhead dominates on a sample, and the sample is small by
-    * construction. */
+    * construction.
+    *
+    * The sample is persisted and FORCED (count) before `km.fit`: KMeans
+    * runs several jobs (init passes + one per iteration), and an uncached
+    * lineage of scan → exchange → sample → coalesce would re-execute per
+    * job — a long dependency chain that amplifies any contention window.
+    * With the persist forced up front, every fit job reads a
+    * sample-sized cached table; non-NONE storage also tells MLlib to
+    * skip its own (lazy) internal persist. */
   def fit(df: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L,
           maxIter: Int = 20, initMode: String = "k-means||",
           fitFraction: Double = 1.0, fitPartitions: Int = 0): Model = {
     val base = if (fitFraction < 1.0) df.sample(withReplacement = false, fitFraction, seed) else df
     val vecs = base.select(array_to_vector(asDouble(col(vecCol))).as("features"))
     val prepared = if (fitPartitions > 0) vecs.coalesce(fitPartitions) else vecs
-    val km = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(maxIter).setInitMode(initMode)
-      .setFeaturesCol("features")
-    val model = km.fit(prepared)
-    Model(model.clusterCenters.toIndexedSeq.map(_.toArray.toIndexedSeq))
+    prepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      prepared.count() // force: one lineage execution, not one per fit job
+      val km = new KMeans()
+        .setK(nlist).setSeed(seed).setMaxIter(maxIter).setInitMode(initMode)
+        .setFeaturesCol("features")
+      val model = km.fit(prepared)
+      Model(model.clusterCenters.toIndexedSeq.map(_.toArray.toIndexedSeq))
+    } finally { prepared.unpersist(); () }
   }
 
   private val modelCache = scala.collection.concurrent.TrieMap.empty[String, Model]

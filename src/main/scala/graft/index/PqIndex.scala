@@ -125,8 +125,14 @@ object PqIndex {
     val cached = base.select((0 until m).map(sub =>
       array_to_vector(slice(v, sub * dsub + 1, dsub)).as(s"f$sub")): _*)
     val prepared = if (fitPartitions > 0) cached.coalesce(fitPartitions) else cached
-    prepared.cache()
+    prepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // Force before the m fit loops: KMeans runs several jobs per
+      // subspace, and a lazy cache leaves the first job of each JVM-cold
+      // run re-executing the full scan→sample lineage (and racing
+      // eviction under memory pressure). One forced count = one
+      // execution, all m subspace fits read the cached slices.
+      prepared.count()
       val books = (0 until m).map { sub =>
         val km = new KMeans().setK(ksub).setSeed(seed + sub).setMaxIter(maxIter)
           .setFeaturesCol(s"f$sub")

@@ -577,7 +577,13 @@ object Dedup {
     df.join(perDoc, Seq(idCol), "left")
       .withColumn("__toks", TextFunctions.tokens(col(textCol)))
       .withColumn("__kept",
-        when(col("__rs").isNull, col("__toks")).otherwise(
+        // The empty-token guard matters: sequence(1, 0) (Spark defaults
+        // to step -1 when start > stop) would zip phantom positions onto
+        // nothing and corrupt n_tokens_removed for a doc that has ranges
+        // but tokenizes empty — unreachable from duplicateSpanRanges
+        // output, but this is a public API accepting arbitrary ranges.
+        when(col("__rs").isNull || size(col("__toks")) === 0, col("__toks"))
+          .otherwise(
           transform(
             filter(
               zip_with(col("__toks"),

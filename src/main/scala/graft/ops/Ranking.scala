@@ -110,7 +110,14 @@ object Ranking {
     require(specs.nonEmpty, "need at least one ranking spec")
     val width = df.schema.size
     val keyed = specs.zipWithIndex.foldLeft(df) { case (d, ((rk, tk, _), i)) =>
-      d.withColumn(s"__rk$i", rk.cast("double"))
+      // + 0.0 normalizes -0.0 to +0.0 (IEEE: x + 0.0 == x except at
+      // -0.0) BEFORE the in-memory sort below: java.lang.Double.compare
+      // orders -0.0 < 0.0, while Spark's sort (the large-input route in
+      // ntileGlobalKeyed) treats them equal and falls to the tie key —
+      // and descending metrics are encoded by negation, so -(0.0)
+      // produces real -0.0 keys. Without this, a -0.0/0.0 tie straddling
+      // a bucket boundary could bucket differently per route.
+      d.withColumn(s"__rk$i", rk.cast("double") + lit(0.0))
         .withColumn(s"__tk$i", tk.cast("long"))
     }
     val m = specs.size

@@ -266,9 +266,25 @@ final class DocumentStore private (
         // write with a stale bloom would make a retried batch MISS the
         // probe and skip the anti-join — re-ingesting every text.
         bloom.foreach { b =>
-          base.where(col("text").isNotNull)
-            .select(sha2(col("text"), 256)).collect()
-            .foreach(r => b.putString(r.getString(0)))
+          val keys = base.where(col("text").isNotNull)
+            .select(sha2(col("text"), 256).as("k"))
+          // Fold executor-side: build the batch's keys into a filter
+          // with the SAME creation params as the persisted one (from
+          // the .meta sidecar) — identical (expectedNumItems, fpp)
+          // yields identical numBits/numHashFunctions, so the bitwise
+          // mergeInPlace is exact. The driver receives ONE bloom-sized
+          // blob from the aggregate instead of every batch key — a
+          // 100M-row ingest batch no longer pins the driver. Legacy
+          // stores without the sidecar (or an incompatible merge) fall
+          // back to the driver fold, which is correct at batch size.
+          val merged = loadBloomParams() match {
+            case Some((n, fpp)) =>
+              try { b.mergeInPlace(keys.stat.bloomFilter("k", n, fpp)); true }
+              catch { case _: Exception => false }
+            case None => false
+          }
+          if (!merged)
+            keys.collect().foreach(r => b.putString(r.getString(0)))
           writeBloom(manifest.version, b)
         }
         payloadProjection(base)
@@ -334,8 +350,13 @@ final class DocumentStore private (
     // Ingest-dedup Bloom filter for the new snapshot: one narrow pass
     // over the (cached) essential rows; sized to the snapshot count.
     if (config.dedupBloomFpp > 0.0) {
+      val expected = math.max(count, 1L)
       writeBloom(v, ess.select(sha2(col("text"), 256).as("k"))
-        .stat.bloomFilter("k", math.max(count, 1L), config.dedupBloomFpp))
+        .stat.bloomFilter("k", expected, config.dedupBloomFpp))
+      // Sidecar the creation params: incremental appends rebuild a
+      // BATCH filter with the same (n, fpp) so the executor-side merge
+      // is bit-compatible (see addDFIncremental).
+      writeBloomMeta(v, expected, config.dedupBloomFpp)
     }
     ess.unpersist()
 
@@ -372,6 +393,30 @@ final class DocumentStore private (
       val in = fs.open(hadoopPath(p))
       try Some(BloomFilter.readFrom(in)) finally in.close()
     }
+  }
+
+  /** The persisted bloom's creation params (`expectedNumItems fpp`),
+    * written by [[writeBloomMeta]] at snapshot time. None for stores
+    * written before the sidecar existed. */
+  private def loadBloomParams(): Option[(Long, Double)] = {
+    val p = bloomPath(manifest.version) + ".meta"
+    val fs = fsFor(p)
+    if (!fs.exists(hadoopPath(p))) None
+    else {
+      val in = fs.open(hadoopPath(p))
+      try {
+        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        val parts = txt.split("\\s+")
+        Some((parts(0).toLong, parts(1).toDouble))
+      } catch { case _: Exception => None }
+      finally in.close()
+    }
+  }
+
+  private def writeBloomMeta(v: Long, n: Long, fpp: Double): Unit = {
+    val p = bloomPath(v) + ".meta"
+    val out = fsFor(p).create(hadoopPath(p), true)
+    try out.write(s"$n $fpp".getBytes("UTF-8")) finally out.close()
   }
 
   // ------------------------------------------------------------------

@@ -390,9 +390,22 @@ object StreamingOps {
       // column; strictly-earlier filtering keeps replays deterministic.
       val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(
         spark.sessionState.newHadoopConf())
+      // Replay safety: a crash between an attempt's partial batch=N
+      // write and the sink commit can leave indexPath existing but
+      // holding NO readable data files (e.g. only a _temporary dir), so
+      // schema INFERENCE would throw and wedge every later micro-batch.
+      // An explicit schema (band + the batch partition column) never
+      // infers: an effectively-empty index reads as zero rows and the
+      // replay proceeds down the normal path.
+      val indexSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.LongType)))
       val index =
         if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
-          spark.read.option("basePath", indexPath).parquet(indexPath)
+          spark.read.schema(indexSchema)
+            .option("basePath", indexPath).parquet(indexPath)
             .where(col("batch") < batchId)
             .select("band")
         else spark.createDataFrame(
