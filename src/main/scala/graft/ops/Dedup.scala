@@ -54,30 +54,37 @@ object Dedup {
     *
     * Sizes come NARROWLY from the shingle-array length (shingles are
     * distinct within a doc, so array length == exploded count per id)
-    * and are broadcast: the size side is (id, int) — tiny relative to
-    * any corpus for which the pair join itself is feasible. With a
-    * hot-shingle cap, dedup runs over the REDUCED sets, so sizes must
-    * instead be aggregated from the kept rows. */
+    * and are CARRIED THROUGH the pair join as one extra int per
+    * exploded row, recovered per pair with max() in the same aggregate
+    * that counts common shingles. NOT broadcast and NOT re-joined: a
+    * (id, size) table has one row per document — it grows with the
+    * corpus, so broadcasting it ships O(corpus) to every executor and
+    * re-joining it shuffles the pair table twice for nothing. With a
+    * hot-shingle cap, dedup runs over the REDUCED sets, so sizes are
+    * instead counted by an id-partitioned window over the kept rows
+    * (one extra shuffle of the exploded stream, still never a
+    * corpus-sized broadcast). */
   private def shinglePairCounts(df: DataFrame, idCol: String, textCol: String,
                                 n: Int, maxShingleFreq: Option[Long]): DataFrame = {
     val withSh = df.select(col(idCol).as("id"),
       TextFunctions.shingles(col(textCol), n).as("shs"))
-    val sh = withSh.select(col("id"), explode(col("shs")).as("sh"))
-    val (filtered, sizes) = maxShingleFreq match {
+    val filtered = maxShingleFreq match {
       case Some(f) =>
+        val sh = withSh.select(col("id"), explode(col("shs")).as("sh"))
         val hot = sh.groupBy("sh").count().where(col("count") > f).select("sh")
         val kept = sh.join(broadcast(hot), Seq("sh"), "left_anti")
-        (kept, kept.groupBy("id").agg(count(lit(1)).as("n_sh")))
+        import org.apache.spark.sql.expressions.Window
+        kept.withColumn("n_sh",
+          count(lit(1)).over(Window.partitionBy("id")).cast("int"))
       case None =>
-        (sh, withSh.select(col("id"), size(col("shs")).as("n_sh")))
+        withSh.select(col("id"), size(col("shs")).as("n_sh"),
+          explode(col("shs")).as("sh"))
     }
-    val common = filtered.as("a").join(filtered.as("b"),
+    filtered.as("a").join(filtered.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(broadcast(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a"))), "id_a")
-      .join(broadcast(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b"))), "id_b")
+      .agg(count(lit(1)).as("common"),
+        max(col("a.n_sh")).as("n_a"), max(col("b.n_sh")).as("n_b"))
   }
 
   /** Exact n-gram CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥ threshold.

@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{CollectLimitExec, FileSourceScanExec,
+  GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Mechanized plan-quality gate: walks a physical plan and reports the
+  * shapes that are fine at benchmark scale but sink a 1000-executor run
+  * at 100 TB. The rules encode lessons this engine has already paid
+  * for (the q17 raw-fact broadcast among them) as assertions rather
+  * than memory:
+  *
+  *  1. No `CartesianProductExec`, ever — an all-pairs join over any
+  *     corpus-sized input is quadratic work no cluster absorbs.
+  *  2. No unpartitioned `WindowExec` fed by an unbounded input: a
+  *     global window moves every row to ONE task. Allowed when
+  *     something between the window and every table scan provably
+  *     shrinks the stream (an aggregate or a limit).
+  *  3. No `BroadcastExchangeExec` whose build side is an unbounded
+  *     table scan: the build side ships to every executor and must
+  *     stay size-bounded as the corpus grows.
+  *
+  * "Unbounded" is a reachability check: from the suspect node walk
+  * DOWN; crossing an aggregate (partial or final) or a limit prunes
+  * the branch (the stream is reduced there — an approximation: a
+  * group-by on a key that grows with the corpus still grows, but
+  * that is a sizing question, not a shape bug); hitting a
+  * `FileSourceScanExec` over one of `unboundedTables` is a violation.
+  *
+  * Run it with AQE and auto-broadcast DISABLED so the compile-time
+  * plan is the final plan and every broadcast in it is one the code
+  * asked for (runtime AQE conversions are stats-driven and
+  * legitimate). */
+object PlanAudit {
+
+  /** Tables whose raw row streams grow with the corpus — scans of
+    * these must never feed a global window or a broadcast unbarriered. */
+  val DefaultUnbounded: Set[String] = Set(
+    "lineitem", "orders", "events", "documents", "embeddings",
+    "customer", "part", "supplier")
+
+  private def isBarrier(p: SparkPlan): Boolean = p match {
+    case _: BaseAggregateExec => true
+    case _: TakeOrderedAndProjectExec | _: CollectLimitExec |
+         _: LocalLimitExec | _: GlobalLimitExec => true
+    case _ => false
+  }
+
+  private def scanOf(p: SparkPlan, tables: Set[String]): Option[String] =
+    p match {
+      case f: FileSourceScanExec =>
+        val paths = f.relation.location.rootPaths.map(_.toString)
+        tables.find(t => paths.exists(_.contains(t + ".parquet")))
+      case _ => None
+    }
+
+  /** Unbounded-table names reachable from `p` (inclusive) without
+    * crossing a stream-reducing barrier. Subquery results (scalar / IN
+    * lists) are bounded by construction and not descended into. */
+  private def reachable(p: SparkPlan, tables: Set[String]): Seq[String] =
+    if (isBarrier(p)) Nil
+    else scanOf(p, tables) match {
+      case Some(t) => Seq(t)
+      case None    => p.children.flatMap(reachable(_, tables))
+    }
+
+  /** Audit one physical plan (including its subquery plans as extra
+    * roots). Returns human-readable violations; empty = clean. */
+  def audit(plan: SparkPlan,
+            unboundedTables: Set[String] = DefaultUnbounded): Seq[String] = {
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    plan.foreachWithSubqueries {
+      case c: CartesianProductExec =>
+        violations += s"CartesianProduct: ${c.simpleStringWithNodeId()}"
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        val hit = reachable(w.child, unboundedTables)
+        if (hit.nonEmpty)
+          violations += s"unpartitioned Window over unbounded input (${hit.distinct.mkString(",")})"
+      case b: BroadcastExchangeExec =>
+        val hit = reachable(b.child, unboundedTables)
+        if (hit.nonEmpty)
+          violations += s"broadcast of unbounded side (${hit.distinct.mkString(",")})"
+      case _ => ()
+    }
+    violations.toSeq
+  }
+
+  /** Convenience: audit a DataFrame's executed plan. Call under AQE-off
+    * + auto-broadcast-off confs (see scaladoc above). */
+  def audit(df: DataFrame): Seq[String] =
+    audit(df.queryExecution.executedPlan)
+}
