@@ -490,4 +490,87 @@ class StreamingOpsSpec extends SparkSpec {
       assert(row.getAs[String]("fingerprint").nonEmpty)
     } finally q.stop()
   }
+
+  test("nearDupIngestStream: restart from checkpoint loses no index updates and re-admits nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-neardup-restart").toString
+    val mk = () => MemoryStream[(Long, String, Timestamp)]
+
+    // Run 1: two batches land, then the query stops (simulated crash —
+    // from the engine's view a stop and a crash both end mid-stream;
+    // recovery must come from the checkpoint + persisted index alone).
+    val in1 = mk()
+    val q1 = StreamingOps.nearDupIngestStream(
+      in1.toDF().toDF("id", "text", "ts"),
+      s"$dir/index", s"$dir/kept", s"$dir/ckpt")
+    try {
+      in1.addData(
+        (1L, "the quick brown fox jumps over the lazy dog", ts(0)),
+        (2L, "completely different text about spark streaming engines and state", ts(1)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // Run 2: a FRESH query over the same checkpoint/index/survivor
+    // paths (MemoryStream state cannot survive a JVM crash, so the new
+    // source stands in for the re-attached upstream; batchIds continue
+    // from the checkpoint). A replayable source re-serves the already-
+    // committed offsets — model that by re-adding batch 0's data first
+    // (the checkpoint marks it committed, so it is NOT re-processed;
+    // asserted below by doc 1/2 appearing in `kept` exactly once). Doc
+    // 3 then duplicates pre-restart survivor 1 — only the persisted
+    // band index can know that.
+    val in2 = mk()
+    val q2 = StreamingOps.nearDupIngestStream(
+      in2.toDF().toDF("id", "text", "ts"),
+      s"$dir/index", s"$dir/kept", s"$dir/ckpt")
+    try {
+      in2.addData(
+        (1L, "the quick brown fox jumps over the lazy dog", ts(0)),
+        (2L, "completely different text about spark streaming engines and state", ts(1)))
+      in2.addData(
+        (3L, "the quick brown fox jumps over the lazy dog", ts(10)),
+        (4L, "yet another unrelated document mentioning catalysts and codegen", ts(11)))
+      q2.processAllAvailable()
+
+      val kept = spark.read.parquet(s"$dir/kept").select("id")
+        .collect().map(_.getLong(0)).toSeq
+      // No duplicate admissions: doc 3 dropped against the pre-restart
+      // index; no id admitted twice across the restart.
+      assert(kept.sorted == Seq(1L, 2L, 4L), s"kept after restart: $kept")
+      assert(kept.distinct.length == kept.length)
+      // No lost index updates: all three survivors' bands present
+      // (4 bands each), still duplicate-free.
+      val bands = spark.read.parquet(s"$dir/index")
+        .select("band").collect().map(_.getString(0))
+      assert(bands.length == 12 && bands.distinct.length == 12,
+        s"index bands after restart: ${bands.length} (${bands.distinct.length} distinct)")
+      // And the recovered gate keeps screening: a dup of a POST-restart
+      // survivor dies in the next batch.
+      in2.addData((5L, "yet another unrelated document mentioning catalysts and codegen", ts(20)))
+      q2.processAllAvailable()
+      val keptIds = spark.read.parquet(s"$dir/kept").select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(keptIds == Set(1L, 2L, 4L), s"kept after batch 3: $keptIds")
+    } finally q2.stop()
+  }
+
+  test("nearDupScreenBatch: a crash-orphaned index with no data files does not wedge replay") {
+    val dir = Files.createTempDirectory("graft-neardup-orphan").toString
+    // Simulate a first attempt that died mid-write: indexPath exists
+    // but holds only an empty batch dir (e.g. a leftover _temporary) —
+    // no parquet data files anywhere, so schema INFERENCE would throw.
+    val orphan = java.nio.file.Paths.get(dir, "index", "batch=0", "_temporary")
+    java.nio.file.Files.createDirectories(orphan)
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", ts(0)),
+      (2L, "the quick brown fox jumps over the lazy dog", ts(1)))
+      .toDF("id", "text", "ts")
+    // The replay must read the orphaned index as empty and proceed.
+    val kept = StreamingOps.nearDupScreenBatch(b0, s"$dir/index", 0L,
+      "id", "text", "ts").select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"kept: $kept")
+    val bands = spark.read.parquet(s"$dir/index")
+      .select("band").collect().map(_.getString(0))
+    assert(bands.length == 4 && bands.distinct.length == 4)
+  }
 }
