@@ -49,7 +49,12 @@ object ScaleBench {
     "q_rfm",                // 3 distributed ntiles (range-partitioned rank)
     // round-6 families
     "q_dup_span_ranges",    // positional spans + per-doc island merge
-    "q_dedup_cut")          // ranges applied as a narrow array filter
+    "q_dedup_cut",          // ranges applied as a narrow array filter
+    // round-7 families
+    "q_ivfpq",              // pinned IVF×PQ: prune + ADC rank + rerank
+    "q_hybrid_rrf",         // BM25 + dense top-k fused by RRF
+    "q_funnel",             // per-user ordered-step progression
+    "q_retention")          // cohort × activity-day semijoin grid
 
   /** Shapes that no longer exist in SparkEntry but whose 10× behavior
     * documents WHY the shipped shape replaced them — the before/after
@@ -89,6 +94,20 @@ object ScaleBench {
         .select("qid", "vec_id", "score", "rank")
     }))
 
+  /** Non-SparkEntry shapes measured alongside: the streaming near-dup
+    * gate's batch twin (one micro-batch screened against an empty
+    * index — the dominant cost is banding + the in-batch band
+    * collision pass, which is what scales with ingest volume; batchId
+    * 0 overwrites its own partition, so repeat runs are idempotent). */
+  private val ExtraShapes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "neardup_gate_batch" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("id"), col("text"),
+          col("doc_id").cast("timestamp").as("ts"))
+      graft.streaming.StreamingOps.nearDupScreenBatch(
+        docs, s"$dir/_neardup_index", 0L, "id", "text", "ts")
+    }))
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val base = if (args.length > 1) args(1) else "/tmp/graft_scale"
@@ -110,15 +129,19 @@ object ScaleBench {
     build(spark, src, x10, 10)
 
     println(f"${"query"}%-22s ${"t_x1"}%8s ${"t_x10"}%8s  ratio")
-    val all = (Queries.map(n => n -> graft.SparkEntry.queries(n)) ++ BeforeShapes)
+    val all = (Queries.map(n => n -> graft.SparkEntry.queries(n))
+        ++ ExtraShapes ++ BeforeShapes)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     all.foreach { case (name, fn) =>
       def best(dir: String): Double =
         (1 to 2).map { _ =>
           // Queries that persist intermediates (qDsirWeights, qRfm)
           // would otherwise serve run 2 from run 1's cache and report
-          // a warm number as "best" — clear between timed runs.
+          // a warm number as "best" — clear between timed runs. Model
+          // caches too: the k-means FIT is part of what must scale
+          // linearly, so every timed IVF run pays it cold.
           spark.catalog.clearCache()
+          graft.index.IvfIndex.invalidateCached(s"$dir/embeddings")
           val t0 = System.nanoTime()
           fn(spark, dir).collect()
           (System.nanoTime() - t0) / 1e9
