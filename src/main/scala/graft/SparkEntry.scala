@@ -148,6 +148,29 @@ object SparkEntry {
   // as the Spark implementation AND the oracle.
   // ==================================================================
 
+  /** Derived PARTSUPP: the driver's testdata ships no partsupp table
+    * (COVERAGE.md's standing request), so the three partsupp-centric
+    * TPC-H shapes (Q2/Q11/Q20) derive one deterministically from
+    * part × supplier — TPC-H's own generator gives each part 4
+    * suppliers; here the 4 are consecutive supplier keys mod |supplier|
+    * (keys are 0-based dense in the testdata, so every pair join
+    * lands), and availqty/supplycost are fixed modular functions of the
+    * key pair. Integer math only — both engines compute bit-identical
+    * tables from the same SQL text, and cost stays in CENTS so no
+    * downstream compare touches floats. One CTE, interpolated into all
+    * three queries (no copy to drift). */
+  private val PartsuppCte: String = """
+      WITH ps0 AS (
+        SELECT p_partkey, (p_partkey + i) % (SELECT count(*) FROM supplier) AS sk
+        FROM part CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i)
+      ),
+      partsupp AS (
+        SELECT p_partkey AS ps_partkey, sk AS ps_suppkey,
+               (p_partkey * 13 + sk * 17) % 999 + 1 AS ps_availqty,
+               (p_partkey * 7 + sk * 11) % 9000 + 100 AS ps_supplycost_cents
+        FROM ps0
+      )"""
+
   private val SharedSql: Map[String, String] = Map(
     // S1-S4: storage/introspection stats as aggregations.
     "q_storage_stats" -> """
@@ -341,6 +364,80 @@ object SparkEntry {
         AND NOT EXISTS (SELECT 1 FROM orders
                         WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       GROUP BY 1""",
+
+    // TPC-H Q2 shape (min-cost supplier per part in a region):
+    // correlated scalar-min subquery over the derived partsupp. The
+    // testdata ships no partsupp table, so [[PartsuppCte]] derives one
+    // deterministically — see its doc; the whole text (CTE included)
+    // runs verbatim on both engines, so the oracle is exact. Cost kept
+    // in integer CENTS end-to-end: no float drift can enter the
+    // min/equality logic.
+    "q2_min_cost_supplier" -> s"""
+      $PartsuppCte
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+             CAST(ps_supplycost_cents AS BIGINT) AS cost_cents
+      FROM partsupp
+        JOIN part ON p_partkey = ps_partkey
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+        AND ps_supplycost_cents = (
+          SELECT min(ps2.ps_supplycost_cents)
+          FROM partsupp ps2
+            JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+            JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+            JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+          WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100""",
+
+    // TPC-H Q11 shape (important-stock identification): per-part value
+    // of EUROPE-held stock vs a threshold on the total. The classic
+    // query's fraction must shrink with scale factor; comparing against
+    // 2× the MEAN part value instead makes one SQL text scale-invariant
+    // (and keeps the HAVING an exact integer compare in cents).
+    "q11_part_value" -> s"""
+      $PartsuppCte,
+      value_by_part AS (
+        SELECT ps_partkey, sum(ps_supplycost_cents * ps_availqty) AS value_cents
+        FROM partsupp
+          JOIN supplier ON s_suppkey = ps_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY ps_partkey
+      )
+      SELECT ps_partkey, CAST(value_cents AS BIGINT) AS value_cents
+      FROM value_by_part
+      WHERE value_cents * (SELECT count(*) FROM value_by_part)
+            > 2 * (SELECT sum(value_cents) FROM value_by_part)""",
+
+    // TPC-H Q20 shape (surplus-stock suppliers): derived partsupp
+    // semijoined to 'small%' parts, availability compared against 2×
+    // the part's 1996 shipped quantity (LEFT JOIN: an unshipped part
+    // counts as zero demand). Pair-level output — the supplier-level
+    // DISTINCT of the classic query collapses to "every supplier" at
+    // bench scale, which would hash-check nothing.
+    "q20_stock_surplus" -> s"""
+      $PartsuppCte,
+      shipped AS (
+        SELECT l_partkey, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_partkey
+      )
+      SELECT s_name, n_name, ps_partkey,
+             CAST(ps_availqty AS BIGINT) AS availqty,
+             CAST(COALESCE(qty, 0) AS DOUBLE) AS shipped_qty
+      FROM partsupp
+        JOIN part ON p_partkey = ps_partkey
+        LEFT JOIN shipped ON l_partkey = ps_partkey
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE 'small%' AND ps_availqty > 2 * COALESCE(qty, 0)
+      ORDER BY s_name, ps_partkey""",
 
     // ntile window: quartile assignment per customer by order value
     // (deterministic: total order includes the key tie-break).
