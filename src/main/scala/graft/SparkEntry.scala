@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashEmbedder
 import graft.index.{IvfIndex, VectorIndex}
-import graft.ops.{AsofJoin, Contamination, Dedup, Dsir, EventOps, Layout, Pii, QualitySignals, Sampling, SemDedup, SkewTools, TextAnalysis, TextSearch}
+import graft.ops.{AsofJoin, Contamination, Dedup, Dsir, EventOps, Layout, Pii, QualitySignals, Sampling, SemDedup, SkewTools, TextAnalysis, TextSearch, UrlOps}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2, each with an equivalent DuckDB oracle in [[oracleSql]]
@@ -926,6 +926,39 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
           n = 3, threshold = 0.5))
       .select(col("node").as("doc_id"), col("component"))
+
+  /** Quality-keeper selection per duplicate cluster: production dedup
+    * keeps the BEST member of each near-dup family (here: longest doc,
+    * ties to smallest id), not an arbitrary one. One hash aggregate over
+    * cluster members — see Dedup.bestRepresentative. */
+  private def qDedupBest(s: SparkSession, dir: String): DataFrame =
+    Dedup.bestRepresentative(
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5)),
+      table(s, dir, "documents"), "doc_id", "n_chars")
+
+  /** Canonical-URL dedup (the crawl pipeline's first gate). The testdata
+    * ships no URL column, so both engines derive one deterministically
+    * from (doc_id, source) — same trick as the derived partsupp —
+    * exercising every canonicalization rule: mixed-case scheme/host,
+    * default port, trailing slash, utm_ params, unsorted params,
+    * fragment. The DuckDB oracle computes the analytically-known
+    * canonical form DIRECTLY (no shared regexp logic), so it checks the
+    * canonicalizer's semantics, not its implementation. */
+  private def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").withColumn("raw_url", concat(
+      when(col("doc_id") % 3 === 0, "HTTPS").otherwise("https"), lit("://"),
+      when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".Example.com"),
+      when(col("doc_id") % 5 === 0, ":443").otherwise(""),
+      lit("/docs/"), (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 4 === 0, "/").otherwise(""),
+      lit("?utm_source=feed&b="), (col("doc_id") % 5).cast("string"),
+      lit("&a="), (col("doc_id") % 7).cast("string"),
+      when(col("doc_id") % 2 === 0, "#frag").otherwise("")))
+    UrlOps.dedupByUrl(docs, "doc_id", "raw_url")
+  }
 
   /** BM25 keyword top-10 over the documents corpus. */
   private val Bm25Terms = Seq("spark", "vector", "join", "stream")
@@ -2005,6 +2038,8 @@ object SparkEntry {
       "q_events_sessionize"   -> (qEventsSessionize _),
       "q_ivf_flat"            -> (qIvfFlat _),
       "q_dedup_clusters"      -> (qDedupClusters _),
+      "q_dedup_best"          -> (qDedupBest _),
+      "q_url_dedup"           -> (qUrlDedup _),
       "q_bm25_search"         -> (qBm25Search _),
       "q_bm25_index"          -> (qBm25Index _),
       "q_zorder"              -> (qZorder _),
@@ -2088,6 +2123,27 @@ object SparkEntry {
              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
       FROM docs)"""
+
+  /** Shared dup-graph CTE chain (shingles -> Jaccard pairs -> transitive
+    * reach), the oracle twin of ngramJaccardPairs + connectedComponents;
+    * used by q_dedup_clusters and q_dedup_best. Ends at `reach`. */
+  private lazy val DupGraphCtes = s"""$ShingleCte,
+      e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      pairs AS (
+        SELECT id_a, id_b
+        FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
+      sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS node, dst AS r FROM sym
+        UNION
+        SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r)"""
 
   /** DuckDB text-feature CTEs shared by the analysis/quality oracles —
     * mirror TextFunctions.{wordRatio,meanTokenLen,qualityScore,langGuess}
@@ -2639,25 +2695,32 @@ object SparkEntry {
     // Connected components of the jaccard>=0.5 near-dup graph via a
     // recursive reachability CTE; component = min reachable id.
     "q_dedup_clusters" -> s"""
-      WITH RECURSIVE $ShingleCte,
-      e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-      sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
-      common AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id),
-      pairs AS (
-        SELECT id_a, id_b
-        FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-        WHERE round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
-      sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION SELECT id_b, id_a FROM pairs),
-      reach AS (
-        SELECT src AS node, dst AS r FROM sym
-        UNION
-        SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r)
+      WITH RECURSIVE $DupGraphCtes
       SELECT node AS doc_id, CAST(least(node, min(r)) AS BIGINT) AS component
       FROM reach GROUP BY node""",
+    "q_dedup_best" -> s"""
+      WITH RECURSIVE $DupGraphCtes,
+      comp AS (SELECT node, CAST(least(node, min(r)) AS BIGINT) AS component
+               FROM reach GROUP BY node),
+      m AS (SELECT c.component, d.doc_id, d.n_chars
+            FROM comp c JOIN documents d ON d.doc_id = c.node),
+      agg AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size,
+                     CAST(max(n_chars) AS BIGINT) AS best_n_chars
+              FROM m GROUP BY component)
+      SELECT a.component, a.cluster_size, a.best_n_chars,
+             CAST(min(m.doc_id) AS BIGINT) AS keeper_doc_id
+      FROM agg a JOIN m ON m.component = a.component AND m.n_chars = a.best_n_chars
+      GROUP BY a.component, a.cluster_size, a.best_n_chars""",
+    "q_url_dedup" -> """
+      WITH c AS (SELECT doc_id,
+        'https://' || lower(source) || '.example.com/docs/' ||
+        CAST(doc_id % 40 AS VARCHAR) ||
+        '?a=' || CAST(doc_id % 7 AS VARCHAR) ||
+        '&b=' || CAST(doc_id % 5 AS VARCHAR) AS url
+        FROM documents)
+      SELECT url, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+             CAST(count(*) AS BIGINT) AS n_dups
+      FROM c GROUP BY url""",
 
     // BM25: per-(doc,term) weights in double with one fixed expression
     // shape, rounded to 6 dp, summed through exact DECIMAL (term order

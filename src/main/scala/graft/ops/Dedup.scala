@@ -839,4 +839,31 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
+
+  /** Pick the document to KEEP from each duplicate cluster by quality
+    * instead of by id: production dedup keeps the best-quality member of
+    * a near-dup family (longest, highest LM score, ...), not an arbitrary
+    * one. `components` is `connectedComponents` output (node, component);
+    * `docs` supplies the quality column. Keeper = max quality, ties
+    * broken by SMALLEST id — encoded as one `max(struct(quality, -id))`
+    * aggregate, so the whole selection is a single map-side-combining
+    * hash aggregate after a hash join on id: no window, no second
+    * shuffle, nothing corpus-sized on the driver. Scale: rows entering
+    * the aggregate = cluster members (suspected dups), not the corpus.
+    *
+    * Returns one row per cluster: (component, cluster_size,
+    * best_<qualityCol>, keeper_<idCol>). */
+  def bestRepresentative(components: DataFrame, docs: DataFrame,
+                         idCol: String, qualityCol: String): DataFrame = {
+    val members = components
+      .join(docs.select(col(idCol).cast("long").as("node"),
+        col(qualityCol).cast("long").as("__q")), "node")
+    members.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("__q"), (-col("node")).as("__negid"))).as("__m"))
+      .select(col("component"),
+        col("cluster_size"),
+        col("__m.__q").as(s"best_$qualityCol"),
+        (-col("__m.__negid")).as(s"keeper_$idCol"))
+  }
 }

@@ -395,4 +395,21 @@ class DedupSpec extends SparkSpec {
       (9L, "untouched doc here", 0L)),
       s"got $got")
   }
+
+  test("bestRepresentative keeps max quality per cluster, ties to smallest id") {
+    import spark.implicits._
+    // components: {1,2,3} labeled 1, {7,8} labeled 7
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("node", "component")
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L),   // tie at 30 -> keeper 2
+      (7L, 5L), (8L, 9L),                 // keeper 8
+      (42L, 99L))                         // not in any cluster -> no row
+      .toDF("doc_id", "quality")
+    val got = Dedup.bestRepresentative(comps, docs, "doc_id", "quality")
+      .orderBy("component")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq((1L, 3L, 30L, 2L), (7L, 2L, 9L, 8L)), s"got $got")
+  }
 }
