@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashEmbedder
 import graft.index.{IvfIndex, VectorIndex}
-import graft.ops.{AsofJoin, Contamination, Dedup, Dsir, EventOps, Layout, Pii, QualitySignals, Sampling, SemDedup, SkewTools, TextAnalysis, TextSearch, UrlOps}
+import graft.ops.{AsofJoin, Contamination, Dedup, Drift, Dsir, EventOps, Layout, Pii, QualitySignals, Sampling, SemDedup, SkewTools, TextAnalysis, TextSearch, UrlOps}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2, each with an equivalent DuckDB oracle in [[oracleSql]]
@@ -1557,6 +1557,31 @@ object SparkEntry {
         rates = Map("en" -> 0.2), defaultFraction = 0.5)
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** Leakage-safe split: whole SOURCE groups assigned 80/10/10 by
+    * deterministic hash, so near-dups within a source can't straddle
+    * train and eval. One narrow projection, no shuffle. */
+  private def qSplitGroups(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitByGroup(table(s, dir, "documents"), "source",
+        Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)), salt = "r7")
+      .select(col("doc_id"), col("source"), col("split"))
+
+  /** Snapshot drift monitor: PSI + KL per bucket between the even-id
+    * half ("reference snapshot") and the odd-id half ("current batch")
+    * of the corpus, over both a categorical feature (lang) and a
+    * fixed-breaks numeric one (n_chars length bands). Two narrow
+    * single-column aggregates per feature; bucket tables are tiny. */
+  private def qDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val ref = docs.where(col("doc_id") % 2 === 0)
+    val cur = docs.where(col("doc_id") % 2 === 1)
+    val lang = Drift.bucketContributions(ref, cur, col("lang"))
+      .select(lit("lang").as("feature"), col("*"))
+    val len = Drift.bucketContributions(ref, cur,
+        Drift.numericBucket(col("n_chars"), Seq(60.0, 100.0, 140.0, 180.0)))
+      .select(lit("len").as("feature"), col("*"))
+    lang.unionAll(len)
+  }
+
   /** Backward as-of join: each purchase attributed to the same user's
     * latest click at or before it (-1 sentinels keep the compare
     * null-free). */
@@ -2060,6 +2085,8 @@ object SparkEntry {
       "q_outliers"            -> (qOutliers _),
       "q_moving_avg"          -> (qMovingAvg _),
       "q_sample_stratified"   -> (qSampleStratified _),
+      "q_split_groups"        -> (qSplitGroups _),
+      "q_drift_psi"           -> (qDriftPsi _),
       "q_asof_join"           -> (qAsofJoin _),
       "q_asof_forward"        -> (qAsofForward _),
       "q_skew_join"           -> (qSkewJoin _),
@@ -2737,6 +2764,50 @@ object SparkEntry {
       SELECT doc_id, lang, source FROM documents
       WHERE ${dk60("'sample::' || CAST(doc_id AS VARCHAR)")} % 1000000
             < CASE WHEN lang = 'en' THEN 200000 ELSE 500000 END""",
+
+    // Leakage-safe grouped split (mirror of Sampling.splitByGroup):
+    // cumulative ppm intervals over the group-key hash.
+    "q_split_groups" -> s"""
+      SELECT doc_id, source,
+        CASE WHEN ${dk60("'split:r7:' || source")} % 1000000 < 800000 THEN 'train'
+             WHEN ${dk60("'split:r7:' || source")} % 1000000 < 900000 THEN 'valid'
+             ELSE 'test' END AS split
+      FROM documents""",
+
+    // PSI/KL drift between the even-id and odd-id corpus halves, per
+    // bucket, over lang (categorical) and n_chars bands (fixed breaks) —
+    // same epsilon floor and 6-dp rounding as Drift.bucketContributions.
+    "q_drift_psi" -> """
+      WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+      cur AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+      b AS (
+        SELECT 'lang' AS feature, lang AS bucket, 1 AS is_ref FROM ref
+        UNION ALL SELECT 'lang', lang, 0 FROM cur
+        UNION ALL SELECT 'len',
+          CAST(CASE WHEN n_chars < 60 THEN 0 WHEN n_chars < 100 THEN 1
+                    WHEN n_chars < 140 THEN 2 WHEN n_chars < 180 THEN 3
+                    ELSE 4 END AS VARCHAR), 1 FROM ref
+        UNION ALL SELECT 'len',
+          CAST(CASE WHEN n_chars < 60 THEN 0 WHEN n_chars < 100 THEN 1
+                    WHEN n_chars < 140 THEN 2 WHEN n_chars < 180 THEN 3
+                    ELSE 4 END AS VARCHAR), 0 FROM cur),
+      j AS (SELECT feature, bucket,
+                   sum(is_ref) AS n_ref,
+                   sum(1 - is_ref) AS n_cur
+            FROM b GROUP BY feature, bucket),
+      t AS (SELECT feature, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+            FROM j GROUP BY feature),
+      pq AS (SELECT j.feature, j.bucket,
+                    CAST(j.n_ref AS BIGINT) AS n_ref,
+                    CAST(j.n_cur AS BIGINT) AS n_cur,
+                    greatest(CAST(j.n_ref AS DOUBLE) / CAST(t.t_ref AS DOUBLE), 1e-6) AS p,
+                    greatest(CAST(j.n_cur AS DOUBLE) / CAST(t.t_cur AS DOUBLE), 1e-6) AS q
+             FROM j JOIN t ON t.feature = j.feature)
+      SELECT feature, bucket, n_ref, n_cur,
+             round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+             round((p - q) * ln(p / q), 6) AS psi_contrib,
+             round(p * ln(p / q), 6) AS kl_contrib
+      FROM pq""",
 
     // Backward as-of join via the same total ordering the Spark
     // operator uses: (time, side, tie), clicks before purchases at

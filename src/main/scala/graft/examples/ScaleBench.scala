@@ -54,7 +54,9 @@ object ScaleBench {
     "q_ivfpq",              // pinned IVF×PQ: prune + ADC rank + rerank
     "q_hybrid_rrf",         // BM25 + dense top-k fused by RRF
     "q_funnel",             // per-user ordered-step progression
-    "q_retention")          // cohort × activity-day semijoin grid
+    "q_retention",          // cohort × activity-day semijoin grid
+    "q_url_dedup",          // canonical-key hash agg, text never shuffled
+    "q_dedup_best")         // dup-graph CC + quality-keeper hash agg
 
   /** Shapes that no longer exist in SparkEntry but whose 10× behavior
     * documents WHY the shipped shape replaced them — the before/after

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two corpus snapshots — the
+  * guardrail a continuously-ingesting training pipeline runs before a
+  * new crawl batch is allowed to shift the data mixture (language mix
+  * collapse, length distribution drift, domain imbalance).
+  *
+  * Population Stability Index per bucket:
+  *   psi = Σ_b (p_b − q_b) · ln(p_b / q_b)
+  * with an epsilon floor so an empty bucket on either side contributes a
+  * large-but-finite score instead of ±∞. KL(ref ‖ cur) rides along from
+  * the same per-bucket proportions.
+  *
+  * Rule-of-thumb thresholds (credit-risk lineage, standard in data
+  * monitoring): psi < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 action.
+  *
+  * Scale shape: one narrow aggregate per snapshot (only the bucket
+  * column is read — at 100 TB the scans prune to a single column and the
+  * groupBy is map-side combined), then a full outer join on the bucket
+  * key, whose cardinality is the number of DISTINCT buckets (languages,
+  * length bands, domains) — tiny by construction. Nothing corpus-sized
+  * ever shuffles or reaches the driver.
+  */
+object Drift {
+
+  /** Per-bucket drift contributions between a reference snapshot and a
+    * current snapshot. `bucket` is any categorical expression over the
+    * rows (a column, a CASE over ranges, [[numericBucket]]...).
+    *
+    * Returns one row per bucket present in EITHER snapshot:
+    * (bucket, n_ref, n_cur, p_ref, p_cur, psi_contrib, kl_contrib),
+    * proportions and contributions rounded to `scale` decimals so two
+    * engines computing the same doubles agree bit-for-bit.
+    */
+  def bucketContributions(ref: DataFrame, cur: DataFrame, bucket: Column,
+                          eps: Double = 1e-6, scale: Int = 6): DataFrame = {
+    def sideCounts(df: DataFrame, n: String): DataFrame =
+      df.select(bucket.cast("string").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(n))
+    val r = sideCounts(ref, "n_ref")
+    val c = sideCounts(cur, "n_cur")
+    val joined = r.join(c, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // Totals over ALL buckets — explicitly broadcast: the totals row is
+    // a single-row aggregate, so the cross join is a broadcast nested
+    // loop of one row under ANY config (not just when AQE rescues it).
+    val totals = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    val p = greatest(col("n_ref") / col("t_ref"), lit(eps))
+    val q = greatest(col("n_cur") / col("t_cur"), lit(eps))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(p, scale).as("p_ref"),
+        round(q, scale).as("p_cur"),
+        round((p - q) * log(p / q), scale).as("psi_contrib"),
+        round(p * log(p / q), scale).as("kl_contrib"))
+  }
+
+  /** Total PSI between the snapshots (sum of [[bucketContributions]]). */
+  def psi(ref: DataFrame, cur: DataFrame, bucket: Column,
+          eps: Double = 1e-6): Double =
+    bucketContributions(ref, cur, bucket, eps, scale = 12)
+      .agg(sum("psi_contrib")).head().getDouble(0)
+
+  /** Fixed-breaks numeric bucketing: value < breaks(0) -> 0,
+    * breaks(i-1) <= value < breaks(i) -> i, value >= last -> breaks.size.
+    * Explicit literal breaks (not sampled quantiles) so the bucket ids
+    * are stable across snapshots and engines — drift monitoring needs
+    * the HISTOGRAM frozen, only the masses moving. */
+  def numericBucket(value: Column, breaks: Seq[Double]): Column = {
+    require(breaks.nonEmpty && breaks == breaks.sorted, "breaks must be sorted")
+    breaks.zipWithIndex.foldRight(lit(breaks.size): Column) {
+      case ((b, i), rest) => when(value < b, lit(i)).otherwise(rest)
+    }
+  }
+}

@@ -246,4 +246,38 @@ object Sampling {
       .select(col("anchor_id") +: col("j") +: col("neg_id") +:
         partnerCols.map(c => col(s"neg_$c")): _*)
   }
+
+  /** Leakage-safe train/valid/test split: the split is decided by a
+    * deterministic hash of a GROUP key (domain, canonical URL, dup-family
+    * component...), so every row of a group lands in the same split and
+    * near-duplicates can never straddle train and eval — splitting i.i.d.
+    * by row is the classic contamination bug this op exists to prevent.
+    *
+    * `fractions` are (name, fraction) in priority order and must sum to
+    * 1; the group hash lands in cumulative ppm intervals
+    * [0, f1), [f1, f1+f2), ... Deterministic and engine-reproducible
+    * (hash60, same as the sampling family) — re-running on a grown
+    * corpus keeps every already-seen group in its old split.
+    *
+    * Scale shape: a single narrow projection — no shuffle, no join, no
+    * group materialization; the "grouping" exists only inside the hash.
+    */
+  def splitByGroup(df: DataFrame, groupCol: String,
+                   fractions: Seq[(String, Double)],
+                   salt: String = ""): DataFrame = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1: $fractions")
+    val h = HashFunctions.hash60(concat(lit(s"split:$salt:"),
+      coalesce(col(groupCol).cast("string"), lit("<graft-null-key>")))) %
+      1000000L
+    val bounds = fractions.map(_._2).scanLeft(0L)((acc, f) => acc + ppm(f))
+    // last bound may land at 999999 < hash max from fp rounding; the
+    // final otherwise() absorbs the remainder into the last split.
+    val split = fractions.init.zipWithIndex.foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), i), rest) =>
+        when(h < lit(bounds(i + 1)), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
 }

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical snapshots have zero PSI in every bucket") {
+    val a = Seq("en", "en", "de", "fr").toDF("lang")
+    val got = Drift.bucketContributions(a, a, col("lang"))
+      .select("psi_contrib", "kl_contrib").as[(Double, Double)].collect()
+    assert(got.forall(_ == (0.0, 0.0)), got.toSeq)
+    assert(Drift.psi(a, a, col("lang")) === 0.0)
+  }
+
+  test("bucket contributions match the hand formula, incl. one-sided buckets") {
+    // ref: 3 en, 1 de; cur: 2 en, 2 fr -> de only in ref, fr only in cur
+    val ref = Seq("en", "en", "en", "de").toDF("lang")
+    val cur = Seq("en", "en", "fr", "fr").toDF("lang")
+    val rows = Drift.bucketContributions(ref, cur, col("lang"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6))).toMap
+    def contrib(p: Double, q: Double): Double = {
+      val (pp, qq) = (math.max(p, 1e-6), math.max(q, 1e-6))
+      BigDecimal((pp - qq) * math.log(pp / qq))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(rows("en") === ((3L, 2L, contrib(0.75, 0.5), rows("en")._4)))
+    assert(rows("de")._3 === contrib(0.25, 0.0))   // eps floor on cur side
+    assert(rows("fr")._3 === contrib(0.0, 0.5))
+    // moved mass => strictly positive total
+    assert(Drift.psi(ref, cur, col("lang")) > 0.25)
+  }
+
+  test("numericBucket assigns sorted fixed breaks half-open intervals") {
+    val vals = Seq(-5.0, 0.0, 59.9, 60.0, 99.9, 100.0, 500.0).toDF("v")
+    val got = vals.select(
+        Drift.numericBucket(col("v"), Seq(60.0, 100.0)).as("b"))
+      .as[Int].collect().toSeq
+    assert(got === Seq(0, 0, 0, 1, 1, 2, 2))
+    intercept[IllegalArgumentException] {
+      Drift.numericBucket(col("v"), Seq(100.0, 60.0))
+    }
+  }
+}

@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.countDistinct
+
 import graft.SparkSpec
 
 class SamplingSpec extends SparkSpec {
@@ -172,5 +174,31 @@ class SamplingSpec extends SparkSpec {
       .select("id", "domain", "score", "rank")
       .orderBy("id").collect().map(_.toSeq).toSeq
     assert(repart === expected)
+  }
+
+  test("splitByGroup keeps every group in exactly one split, fractions sum-checked") {
+    import spark.implicits._
+    val df = (0 until 400).map(i => (i.toLong, s"g${i % 40}")).toDF("id", "grp")
+    val out = Sampling.splitByGroup(df, "grp",
+      Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)), salt = "s")
+    // group-atomic: one distinct split per group
+    val perGroup = out.groupBy("grp")
+      .agg(countDistinct("split").as("n")).as[(String, Long)].collect()
+    assert(perGroup.forall(_._2 == 1L), perGroup.toSeq)
+    // all three splits appear over 40 groups and are deterministic
+    val splits = out.select("split").distinct().as[String].collect().toSet
+    assert(splits === Set("train", "valid", "test"))
+    val again = Sampling.splitByGroup(df, "grp",
+      Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)), salt = "s")
+      .orderBy("id").select("split").as[String].collect().toSeq
+    assert(again === out.orderBy("id").select("split").as[String].collect().toSeq)
+    // a different salt reshuffles group assignment
+    val other = Sampling.splitByGroup(df, "grp",
+      Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)), salt = "other")
+      .orderBy("id").select("split").as[String].collect().toSeq
+    assert(other !== again)
+    intercept[IllegalArgumentException] {
+      Sampling.splitByGroup(df, "grp", Seq(("a", 0.5), ("b", 0.4)))
+    }
   }
 }

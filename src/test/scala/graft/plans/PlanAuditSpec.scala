@@ -36,7 +36,9 @@ class PlanAuditSpec extends SparkSpec {
   private val expensive = Seq(
     "q_knn_classify", "q_bm25_index", "q_dsir_weights", "q_dedup_clusters",
     "q_rfm", "q_ivf_search", "q_ivfpq", "q_hybrid_rrf", "q_dedup_jaccard",
-    "q_semdedup")
+    "q_semdedup",
+    // round-7 additions: the new pipeline gates must hold the same bar
+    "q_dedup_best", "q_url_dedup", "q_split_groups", "q_drift_psi")
 
   for (name <- expensive)
     test(s"$name plan has no scale-killing shape") {
