@@ -40,7 +40,9 @@ object UrlOps {
       .otherwise(hostport)
     val path = regexp_replace(
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/+$", "")
-    val query  = regexp_extract(url, "\\?([^#]*)", 1)
+    // the '?' must precede any '#': a '?' inside the fragment is
+    // fragment text, not a query (RFC 3986 §3.4-3.5 ordering)
+    val query  = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val params = filter(split(query, "&"),
       p => !p.startsWith("utm_") && (p =!= ""))
     val sortedQuery = array_join(array_sort(params), "&")

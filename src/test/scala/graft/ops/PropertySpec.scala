@@ -265,4 +265,72 @@ class PropertySpec extends SparkSpec {
       assert(a.toSeq === b.toSeq, s"order/partitioning changed weights for $texts")
     }
   }
+
+  test("property: URL canonicalization is idempotent on randomized URL shapes") {
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "Https")
+      host <- Gen.oneOf("A.com", "www.Ex.org", "x.Y.z.net")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/a", "/a/B/", "/a//", "/Tr/ail///")
+      q <- Gen.oneOf("", "?b=2&a=1", "?utm_x=1", "?utm_a=1&z=Z&b=2", "?a=1&a=0")
+      frag <- Gen.oneOf("", "#f", "#Frag/x?y=1")
+    } yield s"$scheme://$host$port$path$q$frag"
+    val urls = samples(urlGen, 120).distinct
+    val once = urls.toDF("u").select(UrlOps.canonicalize(col("u")).as("c"))
+      .as[String].collect().toSeq
+    val twice = once.toDF("u").select(UrlOps.canonicalize(col("u")).as("c"))
+      .as[String].collect().toSeq
+    assert(twice === once, "canonicalize is not idempotent")
+    // canonical forms never retain the stripped material (default ports
+    // are scheme-conditional, so they are covered by UrlOpsSpec instead)
+    once.foreach { c =>
+      assert(!c.contains("#") && !c.contains("utm_") && !c.endsWith("/") &&
+        c.take(c.indexOf("://") max 0).forall(ch => !ch.isUpper), c)
+    }
+  }
+
+  test("property: splitByGroup covers every row, is group-atomic, names valid") {
+    val fracs = Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1))
+    samples(Gen.listOfN(60, Gen.chooseNum(0, 12)), 8).foreach { groups =>
+      val df = groups.zipWithIndex.map { case (g, i) => (i.toLong, s"g$g") }
+        .toDF("id", "grp")
+      val out = Sampling.splitByGroup(df, "grp", fracs, salt = "p")
+        .select("id", "grp", "split")
+        .as[(Long, String, String)].collect()
+      assert(out.length == groups.length)                    // no row lost
+      assert(out.forall(r => Set("train", "valid", "test")(r._3)))
+      val byGroup = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+      assert(byGroup.values.forall(_.size == 1), byGroup.toMap)
+    }
+  }
+
+  test("property: PSI is non-negative and zero only for identical masses") {
+    val langGen = Gen.oneOf("en", "de", "fr", "es")
+    samples(Gen.listOfN(40, langGen), 6).foreach { xs =>
+      val half = xs.length / 2
+      val (a, b) = (xs.take(half), xs.drop(half))
+      val psi = Drift.psi(a.toDF("lang"), b.toDF("lang"), col("lang"))
+      assert(psi >= 0.0, s"negative PSI $psi for $xs")
+      val contribs = Drift.bucketContributions(a.toDF("lang"), b.toDF("lang"),
+        col("lang")).select("psi_contrib").as[Double].collect()
+      assert(contribs.forall(_ >= 0.0), contribs.toSeq) // (p-q)ln(p/q) >= 0
+    }
+  }
+
+  test("property: bestRepresentative keeper is a max-quality member of its cluster") {
+    samples(Gen.listOfN(30, Gen.chooseNum(0, 5)), 6).foreach { comps =>
+      val members = comps.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toLong) }.toDF("node", "component")
+      val quality = comps.indices
+        .map(i => (i.toLong, ((i * 7919) % 13).toLong)).toDF("doc_id", "q")
+      val got = Dedup.bestRepresentative(members, quality, "doc_id", "q")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val expect = comps.zipWithIndex.groupBy(_._1.toLong).map { case (c, ms) =>
+        val qs = ms.map { case (_, i) => (i.toLong, ((i * 7919) % 13).toLong) }
+        val mx = qs.map(_._2).max
+        (c, ms.size.toLong, mx, qs.filter(_._2 == mx).map(_._1).min)
+      }.toSet
+      assert(got.toSet === expect, s"for $comps")
+    }
+  }
 }

@@ -30,6 +30,8 @@ class UrlOpsSpec extends SparkSpec {
     // all params tracking -> no '?' at all
     assert(canon("https://a.com/p?utm_source=x&utm_medium=y") ===
       Seq("https://a.com/p"))
+    // a '?' inside the fragment is NOT a query
+    assert(canon("https://a.com/p#frag/x?y=1") === Seq("https://a.com/p"))
   }
 
   test("canonicalize strips trailing slashes, including a bare-root path") {
