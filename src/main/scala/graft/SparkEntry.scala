@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashEmbedder
 import graft.index.{IvfIndex, VectorIndex}
-import graft.ops.{AsofJoin, Contamination, Dedup, Drift, Dsir, EventOps, Layout, Pii, QualitySignals, Sampling, SemDedup, SkewTools, TextAnalysis, TextSearch, UrlOps}
+import graft.ops.{AsofJoin, Contamination, Dedup, Drift, Dsir, Eval, EventOps, Layout, Pii, QualitySignals, Sampling, SemDedup, SkewTools, TextAnalysis, TextSearch, UrlOps}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2, each with an equivalent DuckDB oracle in [[oracleSql]]
@@ -1986,6 +1986,39 @@ object SparkEntry {
     Dedup.removeSpanRanges(docs, ranges, "doc_id", "text")
   }
 
+  /** C4/CCNet-style boilerplate removal: same span machinery as
+    * q_dedup_cut but only spans repeated across >= 4 DISTINCT documents
+    * are cut — corpus-wide chrome goes, a passage two docs share
+    * stays. */
+  private def qDedupBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val ranges = Dedup.duplicateSpanRanges(docs, "doc_id", "text",
+      window = 8, minDocs = 4)
+    Dedup.removeSpanRanges(docs, ranges, "doc_id", "text")
+  }
+
+  /** Ranking-metric math (MRR@10, nDCG@10) pinned by an exact oracle: a
+    * deterministic per-lang ranking (longest docs first, id ties)
+    * scored against a synthetic relevance set (doc_id % 3 == 0). The
+    * REAL consumers are the search paths (EvalSpec drives
+    * rankingMetrics over knnSelf output); this query pins the metric
+    * arithmetic engine-exactly. */
+  private def qRetrievalMetrics(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    // ranked lists via the bounded top-k partial aggregate (capPerKey),
+    // not a per-lang rank window: lang is low-cardinality, so a window
+    // would sort whole-language partitions through single tasks at
+    // corpus scale; the aggregate's shuffle is partitions × langs × 10.
+    val results = Sampling.capPerKey(
+        docs.select(col("lang"), col("doc_id"), col("n_chars")),
+        Seq("lang"), cap = 10,
+        priority = Seq((-col("n_chars")).as("nc"), col("doc_id")))
+      .select(col("lang"), col("doc_id"), col("rank"))
+    val relevant = docs.where(col("doc_id") % 3 === 0)
+      .select(col("lang"), col("doc_id"))
+    Eval.rankingMetrics(results, relevant, "lang", "doc_id", "rank", k = 10)
+  }
+
   /** Per-doc TF-IDF top-3 keyword extraction. */
   private def qKeywords(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topKeywords(table(s, dir, "documents"), "doc_id", "text", k = 3)
@@ -2115,6 +2148,8 @@ object SparkEntry {
       "q_dup_spans"           -> (qDupSpans _),
       "q_dup_span_ranges"     -> (qDupSpanRanges _),
       "q_dedup_cut"           -> (qDedupCut _),
+      "q_dedup_boilerplate"   -> (qDedupBoilerplate _),
+      "q_retrieval_metrics"   -> (qRetrievalMetrics _),
       "q_keywords"            -> (qKeywords _),
       "q_lm_score"            -> (qLmScore _),
       "q_mean_pool"           -> (qMeanPool _),
@@ -2150,6 +2185,41 @@ object SparkEntry {
              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
       FROM docs)"""
+
+  /** Oracle twin of duplicateSpanRanges(window=8, minDocs) +
+    * removeSpanRanges: spans repeated in >= minDocs distinct docs merge
+    * into maximal ranges and are cut from the text. Shared by
+    * q_dedup_cut (minDocs=2) and q_dedup_boilerplate (minDocs=4). */
+  private def dedupCutOracle(minDocs: Int): String = s"""
+      WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      sp AS (SELECT doc_id,
+               unnest(range(1, len(toks) - 6)) AS p,
+               unnest(list_transform(range(1, len(toks) - 6),
+                      i -> array_to_string(toks[i:i+7], ' '))) AS span
+             FROM docs WHERE len(toks) >= 8),
+      d AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM sp)
+            GROUP BY span HAVING count(*) >= $minDocs),
+      h AS (SELECT doc_id, p FROM sp JOIN d USING (span)),
+      l AS (SELECT doc_id, p,
+              lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp FROM h),
+      m AS (SELECT doc_id, p,
+              CASE WHEN pp IS NULL OR p > pp + 8 THEN 1 ELSE 0 END AS brk FROM l),
+      g AS (SELECT doc_id, p,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM m),
+      r AS (SELECT doc_id, min(p) AS s, max(p) + 7 AS e FROM g GROUP BY doc_id, grp),
+      rs AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS rs FROM r GROUP BY doc_id),
+      cut AS (SELECT docs.doc_id, docs.text, docs.toks, rs.rs,
+                list_filter(docs.toks, (t, i) ->
+                  len(list_filter(rs.rs, rr -> i >= rr.s AND i <= rr.e)) = 0) AS kept
+              FROM docs LEFT JOIN rs ON docs.doc_id = rs.doc_id)
+      SELECT doc_id,
+             -- coalesce: array_to_string([]) is NULL in DuckDB, but a
+             -- FULLY-cut doc keeps empty text (id survives, text goes)
+             CASE WHEN rs IS NULL THEN text
+                  ELSE coalesce(array_to_string(kept, ' '), '') END AS text,
+             CAST(CASE WHEN rs IS NULL THEN 0
+                       ELSE len(toks) - len(kept) END AS BIGINT) AS n_tokens_removed
+      FROM cut"""
 
   /** Shared dup-graph CTE chain (shingles -> Jaccard pairs -> transitive
     * reach), the oracle twin of ngramJaccardPairs + connectedComponents;
@@ -3629,36 +3699,45 @@ object SparkEntry {
     // q_dup_span_ranges' cut list APPLIED: tokens inside any duplicated
     // range drop, the rest re-join. DuckDB lambdas take the optional
     // (element, index) form; index is 1-based, matching the Spark side.
-    "q_dedup_cut" -> """
-      WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-      sp AS (SELECT doc_id,
-               unnest(range(1, len(toks) - 6)) AS p,
-               unnest(list_transform(range(1, len(toks) - 6),
-                      i -> array_to_string(toks[i:i+7], ' '))) AS span
-             FROM docs WHERE len(toks) >= 8),
-      d AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM sp)
-            GROUP BY span HAVING count(*) >= 2),
-      h AS (SELECT doc_id, p FROM sp JOIN d USING (span)),
-      l AS (SELECT doc_id, p,
-              lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp FROM h),
-      m AS (SELECT doc_id, p,
-              CASE WHEN pp IS NULL OR p > pp + 8 THEN 1 ELSE 0 END AS brk FROM l),
-      g AS (SELECT doc_id, p,
-              sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM m),
-      r AS (SELECT doc_id, min(p) AS s, max(p) + 7 AS e FROM g GROUP BY doc_id, grp),
-      rs AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS rs FROM r GROUP BY doc_id),
-      cut AS (SELECT docs.doc_id, docs.text, docs.toks, rs.rs,
-                list_filter(docs.toks, (t, i) ->
-                  len(list_filter(rs.rs, rr -> i >= rr.s AND i <= rr.e)) = 0) AS kept
-              FROM docs LEFT JOIN rs ON docs.doc_id = rs.doc_id)
-      SELECT doc_id,
-             -- coalesce: array_to_string([]) is NULL in DuckDB, but a
-             -- FULLY-cut doc keeps empty text (id survives, text goes)
-             CASE WHEN rs IS NULL THEN text
-                  ELSE coalesce(array_to_string(kept, ' '), '') END AS text,
-             CAST(CASE WHEN rs IS NULL THEN 0
-                       ELSE len(toks) - len(kept) END AS BIGINT) AS n_tokens_removed
-      FROM cut""",
+    "q_dedup_cut" -> dedupCutOracle(minDocs = 2),
+
+    // Same machinery at the boilerplate threshold: only spans repeated
+    // across >= 4 distinct documents are cut.
+    "q_dedup_boilerplate" -> dedupCutOracle(minDocs = 4),
+
+    // MRR@10 / nDCG@10 of the deterministic per-lang length ranking
+    // against the doc_id%3 relevance set — gains rounded to 6 dp and
+    // summed through DECIMAL exactly like Eval.rankingMetrics.
+    "q_retrieval_metrics" -> """
+      WITH res AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC, doc_id) AS r
+        FROM documents QUALIFY r <= 10),
+      rel AS (SELECT lang, doc_id FROM documents WHERE doc_id % 3 = 0),
+      j AS (SELECT res.lang, res.r,
+                   CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+            FROM res LEFT JOIN rel
+              ON rel.lang = res.lang AND rel.doc_id = res.doc_id),
+      pq AS (SELECT lang,
+               min(CASE WHEN is_rel = 1 THEN r END) AS fr,
+               sum(CASE WHEN is_rel = 1 THEN
+                     CAST(round(CAST(1.0 AS DOUBLE) / log2(r + 1.0), 6)
+                          AS DECIMAL(18,6)) END) AS dcg
+             FROM j GROUP BY lang),
+      nr AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY lang),
+      idcg AS (SELECT lang,
+                 sum(CAST(round(CAST(1.0 AS DOUBLE) / log2(i + 1.0), 6)
+                          AS DECIMAL(18,6))) AS idcg
+               FROM (SELECT lang, unnest(range(1, least(n_rel, 10) + 1)) AS i
+                     FROM nr)
+               GROUP BY lang)
+      SELECT pq.lang, coalesce(nr.n_rel, 0) AS n_rel,
+             round(coalesce(CAST(1.0 AS DOUBLE) / fr, 0.0), 4) AS mrr,
+             CASE WHEN coalesce(nr.n_rel, 0) = 0 OR dcg IS NULL THEN 0.0
+                  ELSE round(CAST(dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE), 4)
+             END AS ndcg
+      FROM pq LEFT JOIN nr USING (lang) LEFT JOIN idcg USING (lang)""",
 
     "q_dup_spans" -> """
       WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -523,11 +523,15 @@ object Dedup {
 
   /** Maximal duplicated token RANGES per document — the step after
     * [[duplicateSpans]]: positions of every `window`-token span that
-    * occurs in >= 2 DISTINCT documents, merged into maximal
+    * occurs in >= `minDocs` DISTINCT documents, merged into maximal
     * (start_tok, end_tok) intervals (1-based, inclusive). This is the
     * removable-range output of substring-level dedup (Lee et al. 2021):
     * a downstream pass can cut exactly these token ranges instead of
-    * dropping whole documents.
+    * dropping whole documents. `minDocs` = 2 is the Lee-et-al any-dup
+    * policy; raising it (e.g. 4+) turns the same machinery into
+    * C4/CCNet-style BOILERPLATE removal — only spans repeated across
+    * many documents (nav chrome, license headers) are cut, while a
+    * passage shared by two docs survives.
     *
     * Scale shape: positional spans explode once; the duplicated-span
     * set is a hash-shuffled distinct+count (never broadcast — it is
@@ -537,8 +541,9 @@ object Dedup {
     * `p <= prev_p + window`, and a running max-end is unnecessary).
     * Per-doc windows partition by id — no global sort anywhere. */
   def duplicateSpanRanges(df: DataFrame, idCol: String, textCol: String,
-                          window: Int = 8): DataFrame = {
+                          window: Int = 8, minDocs: Int = 2): DataFrame = {
     require(window >= 2, "window must be >= 2 tokens")
+    require(minDocs >= 2, "minDocs must be >= 2 distinct documents")
     val spans = df
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= window)
@@ -550,7 +555,7 @@ object Dedup {
       .select(col("id"), col("u.p").as("p"), col("u.span").as("span"))
     val dup = spans.select("id", "span").distinct()
       .groupBy("span").agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= 2)
+      .where(col("nd") >= minDocs)
       .select("span")
     val hits = spans.join(dup, "span").select("id", "p")
     import org.apache.spark.sql.expressions.Window

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Retrieval-quality evaluation — the harness that makes an approximate
@@ -36,5 +36,60 @@ object Eval {
         sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_overlap"))
       .withColumn("recall",
         round(col("n_overlap").cast("double") / col("n_exact"), 4))
+  }
+
+  /** Binary-relevance MRR@k and nDCG@k per query — the other half of
+    * retrieval evaluation: [[recallAtK]] asks "did the shortcut find
+    * the same set", this asks "did the ranker put the RIGHT things on
+    * top" (BM25 vs hybrid vs dense A/B at pipeline scale).
+    *
+    * `results` holds ranked lists as (queryCol, idCol, rankCol 1-based);
+    * `relevant` is the (queryCol, idCol) ground-truth set. Per query:
+    * mrr = 1/rank of the first relevant hit in the top k (0 if none);
+    * ndcg = DCG@k / IDCG@k with gain 1 for relevant, 0 otherwise, where
+    * IDCG@k uses min(|relevant|, k) ideal hits — relevant ids the
+    * ranker never surfaced still lower its nDCG.
+    *
+    * Engine-exact determinism: each 1/log2(rank+1) gain is rounded to
+    * 6 dp and summed through exact DECIMAL (the BM25-oracle pattern),
+    * so DCG never depends on float fold order; final metrics round to
+    * 4 dp. Scale shape: everything is bounded by queries×k result rows
+    * plus one count-aggregate over the relevance set — one hash join +
+    * two grouped aggregates, nothing corpus-sized. */
+  def rankingMetrics(results: DataFrame, relevant: DataFrame,
+                     queryCol: String, idCol: String, rankCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    def gain(rank: Column): Column =
+      round(lit(1.0) / log2(rank.cast("double") + 1.0), 6)
+        .cast("decimal(18,6)")
+    val rel = relevant.select(col(queryCol), col(idCol)).distinct()
+      .withColumn("__rel", lit(1))
+    val perQuery = results.where(col(rankCol) <= k)
+      .join(rel, Seq(queryCol, idCol), "left")
+      .groupBy(queryCol)
+      .agg(min(when(col("__rel") === 1, col(rankCol)))
+             .cast("long").as("__first"),
+        sum(when(col("__rel") === 1, gain(col(rankCol)))).as("__dcg"))
+    val nRel = rel.groupBy(queryCol)
+      .agg(count(lit(1)).cast("long").as("n_rel"))
+    // IDCG over the ideal prefix min(n_rel, k): explode a generated
+    // rank sequence (bounded by queries×k rows) and sum the DECIMAL
+    // gains through the same grouped aggregate as DCG — exact,
+    // order-free addition, no float fold anywhere.
+    val idcg = nRel.select(col(queryCol),
+        explode(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))))
+          .as("__i"))
+      .groupBy(queryCol).agg(sum(gain(col("__i"))).as("__idcg"))
+    perQuery.join(nRel, Seq(queryCol), "full_outer")
+      .join(idcg, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 4).as("mrr"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0 || col("__dcg").isNull,
+            lit(0.0))
+          .otherwise(round(
+            col("__dcg").cast("double") / col("__idcg").cast("double"), 4))
+          .as("ndcg"))
   }
 }

@@ -396,6 +396,27 @@ class DedupSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("duplicateSpanRanges minDocs raises the boilerplate threshold") {
+    import spark.implicits._
+    // "p q r s" (4-token window) appears in 3 docs; "w x y z" in only 2
+    val docs = Seq(
+      (1L, "p q r s a w x y z"),
+      (2L, "b p q r s c"),
+      (3L, "p q r s d"),
+      (4L, "e w x y z")).toDF("id", "text")
+    def ranges(minDocs: Int) =
+      Dedup.duplicateSpanRanges(docs, "id", "text", window = 4, minDocs = minDocs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val atTwo = ranges(2)
+    assert(atTwo.contains((4L, 2L, 5L)) && atTwo.exists(_._1 == 1L), atTwo)
+    val atThree = ranges(3)
+    // the 2-doc span drops everywhere; the 3-doc span stays
+    assert(atThree === Set((1L, 1L, 4L), (2L, 2L, 5L), (3L, 1L, 4L)), atThree)
+    intercept[IllegalArgumentException] {
+      Dedup.duplicateSpanRanges(docs, "id", "text", window = 4, minDocs = 1)
+    }
+  }
+
   test("bestRepresentative keeps max quality per cluster, ties to smallest id") {
     import spark.implicits._
     // components: {1,2,3} labeled 1, {7,8} labeled 7
