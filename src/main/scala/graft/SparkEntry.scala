@@ -773,6 +773,16 @@ object SparkEntry {
       .where(col("quality") >= 0.6 && col("lang_guess") === "en")
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"), col("quality"))
 
+  /** FineWeb-style per-language quantile gate: keep docs whose quality
+    * score reaches their OWN language's 70th percentile — a weak
+    * language is not wiped out by a strong one's score scale. One tiny
+    * grouped percentile broadcast back onto the scan. */
+  private def qQualityTopFrac(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.keepAboveQuantile(
+      TextAnalysis.analyze(table(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang"), col("quality")),
+      Seq("lang"), "quality", q = 0.7)
+
   /** Token frequency over the corpus (explode + shuffle agg with
     * map-side partial aggregation). */
   private def qWordcount(s: SparkSession, dir: String): DataFrame =
@@ -2150,6 +2160,7 @@ object SparkEntry {
       "q_dedup_cut"           -> (qDedupCut _),
       "q_dedup_boilerplate"   -> (qDedupBoilerplate _),
       "q_retrieval_metrics"   -> (qRetrievalMetrics _),
+      "q_quality_topfrac"     -> (qQualityTopFrac _),
       "q_keywords"            -> (qKeywords _),
       "q_lm_score"            -> (qLmScore _),
       "q_mean_pool"           -> (qMeanPool _),
@@ -2666,6 +2677,21 @@ object SparkEntry {
       SELECT t AS word, count(*) AS cnt
       FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
       GROUP BY t""",
+
+    // Per-language 70th-percentile quality gate (mirror of
+    // Stats.keepAboveQuantile over TextAnalysis.analyze's quality):
+    // quantile_cont == Spark's exact percentile, both rounded to 4 dp
+    // BEFORE the compare; threshold ties survive.
+    "q_quality_topfrac" -> s"""
+      WITH $TextFeatureCte,
+      q AS (SELECT g.doc_id, d.lang,
+                   round((len_score + sw_score + word_score) / 3.0, 4) AS quality
+            FROM g JOIN documents d ON d.doc_id = g.doc_id),
+      t AS (SELECT lang, round(quantile_cont(quality, 0.7), 4) AS thr
+            FROM q GROUP BY lang)
+      SELECT q.doc_id, q.lang, q.quality, t.thr
+      FROM q JOIN t USING (lang)
+      WHERE q.quality >= t.thr""",
 
     "q_essential_projection" -> """
       SELECT doc_id, text, source,

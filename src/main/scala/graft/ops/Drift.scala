@@ -36,12 +36,26 @@ object Drift {
     * engines computing the same doubles agree bit-for-bit.
     */
   def bucketContributions(ref: DataFrame, cur: DataFrame, bucket: Column,
-                          eps: Double = 1e-6, scale: Int = 6): DataFrame = {
-    def sideCounts(df: DataFrame, n: String): DataFrame =
-      df.select(bucket.cast("string").as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as(n))
-    val r = sideCounts(ref, "n_ref")
-    val c = sideCounts(cur, "n_cur")
+                          eps: Double = 1e-6, scale: Int = 6): DataFrame =
+    bucketContributionsFromCounts(
+      sideCounts(ref, bucket, "n_ref"), cur, bucket, eps, scale)
+
+  /** One side's bucket histogram: (bucket, <n>) — the precompute for
+    * [[bucketContributionsFromCounts]] when the reference corpus is
+    * large or scored repeatedly (streaming: aggregate the 100 TB
+    * reference ONCE, score every micro-batch against the tiny result). */
+  def sideCounts(df: DataFrame, bucket: Column, n: String): DataFrame =
+    df.select(bucket.cast("string").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(n))
+
+  /** [[bucketContributions]] against an already-aggregated reference
+    * histogram `refCounts` = (bucket string, n_ref long). */
+  def bucketContributionsFromCounts(refCounts: DataFrame, cur: DataFrame,
+                                    bucket: Column, eps: Double = 1e-6,
+                                    scale: Int = 6): DataFrame = {
+    val r = refCounts.select(col("bucket").cast("string").as("bucket"),
+      col("n_ref").cast("long").as("n_ref"))
+    val c = sideCounts(cur, bucket, "n_cur")
     val joined = r.join(c, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),

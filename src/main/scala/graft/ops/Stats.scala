@@ -92,6 +92,32 @@ object Stats {
         col(valueCol).cast("double") > col("hi"))
   }
 
+  /** Per-group quantile-threshold filter — FineWeb-style "keep the top
+    * (1−q) fraction by quality score WITHIN each language/domain": rows
+    * whose value >= their group's exact interpolated q-quantile
+    * survive, with the threshold returned alongside (`thr`). Groups
+    * score against their own distribution, so a weak language isn't
+    * wiped out by a strong one's scale.
+    *
+    * Determinism: the exact `percentile` aggregate (== DuckDB
+    * quantile_cont, the q_percentiles-pinned equivalence) rounded to
+    * `roundScale` BEFORE the compare — no float-order or engine drift
+    * at the boundary. Score ties at the threshold all survive, so the
+    * kept fraction is >= (1−q), never an arbitrary tie cut.
+    *
+    * Scale shape: one grouped percentile aggregate (one row per group)
+    * broadcast back onto the scan; the filter itself is a narrow
+    * projection — same plan family as [[iqrOutliers]]. */
+  def keepAboveQuantile(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, q: Double,
+                        roundScale: Int = 4): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"quantile out of (0,1): $q")
+    val thr = df.groupBy(groupCols.map(col): _*)
+      .agg(round(expr(s"percentile(`$valueCol`, $q)"), roundScale).as("thr"))
+    joinGroupsNullSafe(df, thr, groupCols)
+      .where(col(valueCol).cast("double") >= col("thr"))
+  }
+
   /** Numeric column profile — the observability pass next to the
     * [[Checks]] constraint gate: one row per column with row/null
     * counts, exact distinct count, min/max, and a DECIMAL-exact mean

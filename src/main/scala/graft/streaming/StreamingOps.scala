@@ -459,4 +459,49 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("dedup_key")
       .drop("dedup_key")
   }
+
+  /** Streaming drift gate: score every micro-batch's bucket histogram
+    * against a FIXED reference histogram (`refCounts` =
+    * `Drift.sideCounts` output — aggregate the reference corpus ONCE,
+    * not per batch) and append one log row per batch:
+    * (batch_id, n_rows, psi, kl, worst_bucket, worst_psi_contrib).
+    * The caller alerts on psi (0.1/0.25 rule-of-thumb thresholds,
+    * see [[graft.ops.Drift]]).
+    *
+    * Replay-safe: each batch writes to its own `batch=<id>` directory
+    * with overwrite, so a crash-retried micro-batch replaces its row
+    * instead of duplicating it — same idempotency discipline as the
+    * near-dup gate's index writes. Read the log back with [[driftLog]].
+    */
+  def driftMonitorStream(stream: DataFrame, refCounts: DataFrame,
+                         bucket: org.apache.spark.sql.Column,
+                         logPath: String, checkpoint: String,
+                         eps: Double = 1e-6): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ref = refCounts.cache()
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val contribs = graft.ops.Drift
+          .bucketContributionsFromCounts(ref, batch, bucket, eps)
+          .cache()
+        try {
+          contribs
+            .agg(sum("n_cur").as("n_rows"),
+              round(sum("psi_contrib"), 6).as("psi"),
+              round(sum("kl_contrib"), 6).as("kl"),
+              max_by(col("bucket"), struct(col("psi_contrib"), col("bucket")))
+                .as("worst_bucket"),
+              max("psi_contrib").as("worst_psi_contrib"))
+            .select(lit(id).as("batch_id"), col("n_rows"), col("psi"),
+              col("kl"), col("worst_bucket"), col("worst_psi_contrib"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$logPath/batch=$id")
+        } finally { contribs.unpersist(); () }
+      }
+      .start()
+  }
+
+  /** Read the [[driftMonitorStream]] log (one row per micro-batch). */
+  def driftLog(spark: SparkSession, logPath: String): DataFrame =
+    spark.read.option("basePath", logPath).parquet(s"$logPath/batch=*")
 }

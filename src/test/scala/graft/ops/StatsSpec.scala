@@ -78,4 +78,26 @@ class StatsSpec extends SparkSpec {
     assert(Stats.iqrOutliers(df, Seq("grp"), "value", k = 200.0)
       .collect().isEmpty)
   }
+
+  test("keepAboveQuantile keeps per-group top fraction incl. threshold ties") {
+    import spark.implicits._
+    // group a: 1..10 -> p70 (interpolated) = 7.3 -> keep 8, 9, 10
+    // group b: five 5s -> p70 = 5.0 -> ALL survive (tie policy)
+    val df = ((1 to 10).map(v => ("a", v.toDouble)) ++
+      Seq.fill(5)(("b", 5.0))).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "grp", "value")
+    val got = Stats.keepAboveQuantile(df, Seq("grp"), "value", q = 0.7)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Double]("value"),
+        r.getAs[Double]("thr")))
+    assert(got.filter(_._1 == "a").map(_._2).sorted.toSeq == Seq(8.0, 9.0, 10.0))
+    assert(got.filter(_._1 == "a").forall(_._3 == 7.3))
+    assert(got.count(_._1 == "b") == 5)
+    // partition independence
+    val again = Stats.keepAboveQuantile(df.repartition(7), Seq("grp"), "value", 0.7)
+      .collect()
+    assert(again.length == got.length)
+    intercept[IllegalArgumentException] {
+      Stats.keepAboveQuantile(df, Seq("grp"), "value", q = 1.0)
+    }
+  }
 }

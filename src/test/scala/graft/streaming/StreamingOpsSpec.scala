@@ -573,4 +573,39 @@ class StreamingOpsSpec extends SparkSpec {
       .select("band").collect().map(_.getString(0))
     assert(bands.length == 4 && bands.distinct.length == 4)
   }
+
+  test("driftMonitorStream logs per-batch PSI against a fixed reference; replay overwrites") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val dir = Files.createTempDirectory("graft-drift").toString
+    val ref = Seq("en", "en", "en", "de").toDF("lang") // 75/25
+    val refCounts = graft.ops.Drift.sideCounts(ref, col("lang"), "n_ref")
+    val q = StreamingOps.driftMonitorStream(input.toDF().toDF("lang"),
+      refCounts, col("lang"), s"$dir/log", s"$dir/ckpt")
+    try {
+      input.addData("en", "en", "en", "de") // matches ref -> psi 0
+      q.processAllAvailable()
+      input.addData("fr", "fr", "fr", "fr") // unseen bucket -> big psi
+      q.processAllAvailable()
+      val log = StreamingOps.driftLog(spark, s"$dir/log")
+        .orderBy("batch_id").collect()
+      assert(log.length == 2, log.mkString("; "))
+      assert(log(0).getAs[Double]("psi") == 0.0)
+      assert(log(0).getAs[Long]("n_rows") == 4L)
+      assert(log(1).getAs[Double]("psi") > 0.25)
+      assert(log(1).getAs[String]("worst_bucket") == "fr")
+    } finally q.stop()
+    // a re-run of the same batch id replaces its row (idempotent log)
+    val before = StreamingOps.driftLog(spark, s"$dir/log").count()
+    val input2 = MemoryStream[String]
+    val q2 = StreamingOps.driftMonitorStream(input2.toDF().toDF("lang"),
+      refCounts, col("lang"), s"$dir/log", s"$dir/ckpt2")
+    try {
+      input2.addData("en", "de") // batch id 0 again, fresh checkpoint
+      q2.processAllAvailable()
+      val log = StreamingOps.driftLog(spark, s"$dir/log")
+      assert(log.count() == before) // overwrote batch=0, no duplicate
+      assert(log.where(col("batch_id") === 0).head().getAs[Long]("n_rows") == 2L)
+    } finally q2.stop()
+  }
 }
