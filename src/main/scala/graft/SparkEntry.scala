@@ -1578,19 +1578,16 @@ object SparkEntry {
   /** Snapshot drift monitor: PSI + KL per bucket between the even-id
     * half ("reference snapshot") and the odd-id half ("current batch")
     * of the corpus, over both a categorical feature (lang) and a
-    * fixed-breaks numeric one (n_chars length bands). Two narrow
-    * single-column aggregates per feature; bucket tables are tiny. */
-  private def qDriftPsi(s: SparkSession, dir: String): DataFrame = {
-    val docs = table(s, dir, "documents")
-    val ref = docs.where(col("doc_id") % 2 === 0)
-    val cur = docs.where(col("doc_id") % 2 === 1)
-    val lang = Drift.bucketContributions(ref, cur, col("lang"))
-      .select(lit("lang").as("feature"), col("*"))
-    val len = Drift.bucketContributions(ref, cur,
-        Drift.numericBucket(col("n_chars"), Seq(60.0, 100.0, 140.0, 180.0)))
-      .select(lit("len").as("feature"), col("*"))
-    lang.unionAll(len)
-  }
+    * fixed-breaks numeric one (n_chars length bands) — BOTH features
+    * scored in one corpus pass (multiFeatureContributions: one scan,
+    * one (feature, bucket) shuffle, broadcast totals). */
+  private def qDriftPsi(s: SparkSession, dir: String): DataFrame =
+    Drift.multiFeatureContributions(table(s, dir, "documents"),
+      isRef = col("doc_id") % 2 === 0,
+      features = Seq(
+        "lang" -> col("lang"),
+        "len" -> Drift.numericBucket(col("n_chars"),
+          Seq(60.0, 100.0, 140.0, 180.0))))
 
   /** Backward as-of join: each purchase attributed to the same user's
     * latest click at or before it (-1 sentinels keep the compare

@@ -74,6 +74,41 @@ object Drift {
         round(p * log(p / q), scale).as("kl_contrib"))
   }
 
+  /** Contributions for MANY features in ONE corpus pass. `isRef` splits
+    * one frame into the reference side (true) and current side (false
+    * or null); each (name, bucket expression) feature explodes to a
+    * (feature, bucket) pair per row. At 100 TB this is the shape that
+    * matters: scoring F features costs one scan + one shuffle of
+    * (feature, bucket) pairs, not 2·F scans — the per-feature totals
+    * table stays feature-cardinality-sized and broadcasts.
+    *
+    * Same output schema and identical arithmetic per feature as
+    * [[bucketContributions]] (asserted in DriftSpec), plus the leading
+    * `feature` column. */
+  def multiFeatureContributions(df: DataFrame, isRef: Column,
+                                features: Seq[(String, Column)],
+                                eps: Double = 1e-6,
+                                scale: Int = 6): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    val pairs = array(features.map { case (n, b) =>
+      struct(lit(n).as("feature"), b.cast("string").as("bucket")) }: _*)
+    val counts = df
+      .select(explode(pairs).as("fb"),
+        when(isRef, 1L).otherwise(0L).as("__r"))
+      .groupBy(col("fb.feature").as("feature"), col("fb.bucket").as("bucket"))
+      .agg(sum("__r").as("n_ref"), sum(lit(1L) - col("__r")).as("n_cur"))
+    val totals = counts.groupBy("feature")
+      .agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    val p = greatest(col("n_ref") / col("t_ref"), lit(eps))
+    val q = greatest(col("n_cur") / col("t_cur"), lit(eps))
+    counts.join(broadcast(totals), "feature")
+      .select(col("feature"), col("bucket"), col("n_ref"), col("n_cur"),
+        round(p, scale).as("p_ref"),
+        round(q, scale).as("p_cur"),
+        round((p - q) * log(p / q), scale).as("psi_contrib"),
+        round(p * log(p / q), scale).as("kl_contrib"))
+  }
+
   /** Total PSI between the snapshots (sum of [[bucketContributions]]). */
   def psi(ref: DataFrame, cur: DataFrame, bucket: Column,
           eps: Double = 1e-6): Double =

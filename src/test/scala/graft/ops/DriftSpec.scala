@@ -34,6 +34,27 @@ class DriftSpec extends SparkSpec {
     assert(Drift.psi(ref, cur, col("lang")) > 0.25)
   }
 
+  test("multiFeatureContributions == per-feature bucketContributions, one pass") {
+    val df = Seq(
+      (0L, "en", 10.0), (1L, "en", 80.0), (2L, "de", 10.0), (3L, "fr", 80.0),
+      (4L, "fr", 200.0), (5L, "en", 10.0), (6L, "de", 80.0), (7L, "en", 200.0))
+      .toDF("id", "lang", "score")
+    val isRef = col("id") % 2 === 0
+    val lenB = Drift.numericBucket(col("score"), Seq(50.0, 100.0))
+    val multi = Drift.multiFeatureContributions(df, isRef,
+        Seq("lang" -> col("lang"), "len" -> lenB))
+      .collect().map(_.toSeq).toSet
+    val ref = df.where(isRef)
+    val cur = df.where(!isRef)
+    val twoPass =
+      Drift.bucketContributions(ref, cur, col("lang"))
+        .select(lit("lang").as("feature"), col("*"))
+        .unionAll(Drift.bucketContributions(ref, cur, lenB)
+          .select(lit("len").as("feature"), col("*")))
+        .collect().map(_.toSeq).toSet
+    assert(multi === twoPass)
+  }
+
   test("numericBucket assigns sorted fixed breaks half-open intervals") {
     val vals = Seq(-5.0, 0.0, 59.9, 60.0, 99.9, 100.0, 500.0).toDF("v")
     val got = vals.select(
