@@ -56,7 +56,11 @@ object ScaleBench {
     "q_funnel",             // per-user ordered-step progression
     "q_retention",          // cohort × activity-day semijoin grid
     "q_url_dedup",          // canonical-key hash agg, text never shuffled
-    "q_dedup_best")         // dup-graph CC + quality-keeper hash agg
+    "q_dedup_best",         // dup-graph CC + quality-keeper hash agg
+    "q_drift_psi",          // one-pass multi-feature PSI/KL histogram
+    "q_split_groups",       // narrow hash projection, no shuffle
+    "q_quality_topfrac",    // grouped exact percentile + broadcast gate
+    "q_retrieval_metrics")  // bounded top-k lists + decimal DCG aggs
 
   /** Shapes that no longer exist in SparkEntry but whose 10× behavior
     * documents WHY the shipped shape replaced them — the before/after
