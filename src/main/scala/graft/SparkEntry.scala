@@ -2046,6 +2046,19 @@ object SparkEntry {
     * through the exact fixed-point vector-sum aggregate
     * (VectorSumFixed6Agg); verified by integer micro-sum stats plus
     * one derived mean cell (arrays don't hash-compare, integers do). */
+  /** Late-interaction retrieval (ColBERT-style max-sim): chunk every
+    * doc, embed each chunk, score the query against every chunk, keep
+    * each doc's BEST chunk, top-10 docs. One narrow agg + TakeOrdered —
+    * the multi-vector twin of q_topk_cosine. */
+  private def qMaxsim(s: SparkSession, dir: String): DataFrame = {
+    val chunked = table(s, dir, "documents").select(col("doc_id"),
+      explode(graft.functions.TextFunctions.chunks(col("text"), 32, 8)).as("chunk"))
+    val embedded = embedder.embed(chunked, "chunk", "vec")
+    VectorIndex.maxSimTopK(embedded, "doc_id", "vec",
+      embedder.embedQuery(MaxsimQuery).toSeq, k = 10)
+  }
+  private val MaxsimQuery = "spark stream join"
+
   private def qMeanPool(s: SparkSession, dir: String): DataFrame = {
     val chunked = table(s, dir, "documents").select(col("doc_id"),
       explode(graft.functions.TextFunctions.chunks(col("text"), 32, 8)).as("chunk"))
@@ -2158,6 +2171,7 @@ object SparkEntry {
       "q_dedup_boilerplate"   -> (qDedupBoilerplate _),
       "q_retrieval_metrics"   -> (qRetrievalMetrics _),
       "q_quality_topfrac"     -> (qQualityTopFrac _),
+      "q_maxsim"              -> (qMaxsim _),
       "q_keywords"            -> (qKeywords _),
       "q_lm_score"            -> (qLmScore _),
       "q_mean_pool"           -> (qMeanPool _),
@@ -3817,6 +3831,36 @@ object SparkEntry {
     // (q_search_pipeline's shape) -> per-(doc,dim) TRUNCATED-micro
     // integer sums — exactly VectorSumFixed6Agg's fixed point, which is
     // merge-order-free, so one per-dim grouped sum replays it.
+    // Late-interaction max-sim: same chunk-embed twin as q_mean_pool
+    // (bit-identical normalized doubles), query embedded by the same
+    // formula, cosine rounded to 4 dp before max and rank (the
+    // q_topk_cosine convention).
+    "q_maxsim" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      nn AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+      c AS (SELECT doc_id, toks,
+              CASE WHEN n <= 32 THEN 1
+                   ELSE CAST(floor(CAST(n - 32 + 23 AS DOUBLE) / 24) AS BIGINT) + 1 END AS nchunks
+            FROM nn),
+      u AS (SELECT doc_id,
+              array_to_string(toks[(CAST(i AS INT) * 24 + 1):(CAST(i AS INT) * 24 + 32)], ' ') AS chunk
+            FROM (SELECT doc_id, toks, unnest(range(0, nchunks)) AS i FROM c)),
+      raw AS (SELECT doc_id, list_transform(range(0, 64), j ->
+                CAST(${dk60("CAST(j AS VARCHAR) || ':' || chunk")} % 2000001 AS DOUBLE) / 1000000.0 - 1.0) AS r
+              FROM u),
+      vn AS (SELECT doc_id,
+               list_transform(r, x -> x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS v
+             FROM raw),
+      qraw AS (SELECT list_transform(range(0, 64), j ->
+                 CAST(${dk60("CAST(j AS VARCHAR) || ':spark stream join'")} % 2000001 AS DOUBLE) / 1000000.0 - 1.0) AS r),
+      q AS (SELECT list_transform(r, x -> x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS v
+            FROM qraw),
+      cs AS (SELECT doc_id, round(list_cosine_similarity(vn.v, q.v), 4) AS s
+             FROM vn, q)
+      SELECT doc_id, max(s) AS score, CAST(count(*) AS BIGINT) AS n_chunks
+      FROM cs GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 10""",
+
     "q_mean_pool" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       nn AS (SELECT doc_id, toks, len(toks) AS n FROM t),

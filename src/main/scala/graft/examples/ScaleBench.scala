@@ -60,7 +60,8 @@ object ScaleBench {
     "q_drift_psi",          // one-pass multi-feature PSI/KL histogram
     "q_split_groups",       // narrow hash projection, no shuffle
     "q_quality_topfrac",    // grouped exact percentile + broadcast gate
-    "q_retrieval_metrics")  // bounded top-k lists + decimal DCG aggs
+    "q_retrieval_metrics",  // bounded top-k lists + decimal DCG aggs
+    "q_maxsim")             // chunk-scored scan + per-doc max + TakeOrdered
 
   /** Shapes that no longer exist in SparkEntry but whose 10× behavior
     * documents WHY the shipped shape replaced them — the before/after

@@ -75,6 +75,42 @@ object VectorIndex {
       .orderBy(ranking(metric, scoreCol, tieBreak): _*)
       .limit(k)
 
+  /** Late-interaction (ColBERT-family max-sim) top-k over MULTI-VECTOR
+    * documents: each document is a bag of chunk/passage vectors
+    * (`chunks` = one row per chunk), and its score for the query is the
+    * similarity of its BEST-matching chunk — long-document retrieval
+    * without pooling away the passage that actually matches. The
+    * single-vector `topK` is the degenerate one-chunk case.
+    *
+    * Determinism: chunk similarity rounded BEFORE the max and the rank
+    * (round-before-rank), ties by ascending doc id.
+    *
+    * Scale shape: narrow scan of (doc, vec) → per-chunk fused score →
+    * partial-aggregating hash max per doc (combiner shrinks each scan
+    * task to its distinct docs) → TakeOrderedAndProject for the global
+    * top-k: per-partition bounded heaps, no corpus shuffle and no
+    * window. Returns (docIdCol, score, n_chunks). */
+  def maxSimTopK(
+      chunks: DataFrame,
+      docIdCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      metric: String = "cosine",
+      roundScale: Int = 4): DataFrame = {
+    val sim = score(metric, col(vecCol), typedlit(query))
+    val rounded = if (roundScale >= 0) round(sim, roundScale) else sim
+    val best =
+      if (higherIsBetter(metric)) max(col("__chunk_sim")).as("score")
+      else min(col("__chunk_sim")).as("score")
+    chunks.select(col(docIdCol), rounded.as("__chunk_sim"))
+      .where(usable("__chunk_sim"))
+      .groupBy(docIdCol)
+      .agg(best, count(lit(1)).as("n_chunks"))
+      .orderBy(ranking(metric, "score", Seq(docIdCol)): _*)
+      .limit(k)
+  }
+
   /** Maximal-marginal-relevance search (Carbonell & Goldstein 1998; the
     * `max_marginal_relevance_search` of the LangChain VectorStore
     * surface the reference plugs into): fetch the top `fetchK`

@@ -117,4 +117,32 @@ class VectorIndexSpec extends SparkSpec {
       .select("id").as[Long].collect()
     assert(r.toSeq == Seq(3L, 5L))
   }
+
+  test("maxSimTopK scores a doc by its best chunk, not its average") {
+    // doc 1: one perfect chunk + one orthogonal; doc 2: two mediocre
+    // chunks; doc 3: all orthogonal. Mean-pooling would rank 2 over 1.
+    val n = math.sqrt(2.0) / 2.0
+    val chunks = Seq(
+      (1L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(n, n)), (2L, Seq(n, n)),
+      (3L, Seq(0.0, 1.0))).toDF("doc", "vec")
+    val got = VectorIndex.maxSimTopK(chunks, "doc", "vec", Seq(1.0, 0.0), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1.0, 2L), (2L, 0.7071, 2L), (3L, 0.0, 1L)),
+      got.toSeq)
+    // degenerate one-chunk-per-doc == single-vector topK ranking
+    val single = chunks.groupBy("doc").agg(
+      org.apache.spark.sql.functions.first("vec").as("vec"))
+    val viaMax = VectorIndex.maxSimTopK(single, "doc", "vec", Seq(1.0, 0.0), k = 2)
+      .select("doc").as[Long].collect().toSeq
+    val viaTopK = VectorIndex.topK(single, "vec", Seq(1.0, 0.0), 2, "cosine",
+        tieBreak = Seq("doc"), roundScale = 4)
+      .select("doc").as[Long].collect().toSeq
+    assert(viaMax == viaTopK)
+    // l2 metric: best chunk = smallest distance, ascending rank
+    val l2 = VectorIndex.maxSimTopK(chunks, "doc", "vec", Seq(1.0, 0.0), k = 3,
+        metric = "l2")
+      .select("doc").as[Long].collect().toSeq
+    assert(l2.head == 1L, l2)
+  }
 }
