@@ -107,7 +107,12 @@ object SparkEntry {
     * so a DataFrame returned for one dir never lazily reads scratch that
     * a later build for another dir overwrote. */
   private def materialize(df: DataFrame, dir: String, name: String): DataFrame = {
-    val dirKey = java.lang.Integer.toHexString(dir.hashCode)
+    // sha-derived slot key: a 32-bit String.hashCode collision between
+    // two dirs would silently alias their scratch (the exact cross-dir
+    // contamination this key exists to rule out); 64 bits of sha256
+    // makes that astronomically unlikely.
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val path = s"$matDir/$dirKey/$name"
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)

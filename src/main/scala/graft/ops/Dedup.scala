@@ -860,9 +860,12 @@ object Dedup {
     * best_<qualityCol>, keeper_<idCol>). */
   def bestRepresentative(components: DataFrame, docs: DataFrame,
                          idCol: String, qualityCol: String): DataFrame = {
+    // quality keeps its NATIVE type (long n_chars, double LM score, ...):
+    // struct ordering is defined for any orderable type, and a cast to
+    // long would silently truncate fractional scores into spurious ties.
     val members = components
       .join(docs.select(col(idCol).cast("long").as("node"),
-        col(qualityCol).cast("long").as("__q")), "node")
+        col(qualityCol).as("__q")), "node")
     members.groupBy("component")
       .agg(count(lit(1)).as("cluster_size"),
         max(struct(col("__q"), (-col("node")).as("__negid"))).as("__m"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift monitoring between two corpus snapshots — the
@@ -17,6 +18,11 @@ import org.apache.spark.sql.functions._
   * Rule-of-thumb thresholds (credit-risk lineage, standard in data
   * monitoring): psi < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 action.
   *
+  * Null handling: a null bucket value (missing language, null length)
+  * is a real population — it gets its own [[NullBucket]] label on BOTH
+  * sides, so a null-rate regression shows up as drift in that bucket
+  * instead of being mis-attributed or dropped.
+  *
   * Scale shape: one narrow aggregate per snapshot (only the bucket
   * column is read — at 100 TB the scans prune to a single column and the
   * groupBy is map-side combined), then a full outer join on the bucket
@@ -25,6 +31,12 @@ import org.apache.spark.sql.functions._
   * ever shuffles or reaches the driver.
   */
 object Drift {
+
+  /** Label rows whose bucket expression is null land in — a sentinel
+    * (not SQL NULL) so the full-outer join matches the bucket across
+    * sides (NULL keys never equi-join) and the "missing" population is
+    * compared like any other. */
+  val NullBucket = "<graft-null-bucket>"
 
   /** Per-bucket drift contributions between a reference snapshot and a
     * current snapshot. `bucket` is any categorical expression over the
@@ -45,28 +57,37 @@ object Drift {
     * large or scored repeatedly (streaming: aggregate the 100 TB
     * reference ONCE, score every micro-batch against the tiny result). */
   def sideCounts(df: DataFrame, bucket: Column, n: String): DataFrame =
-    df.select(bucket.cast("string").as("bucket"))
+    df.select(coalesce(bucket.cast("string"), lit(NullBucket)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as(n))
 
   /** [[bucketContributions]] against an already-aggregated reference
-    * histogram `refCounts` = (bucket string, n_ref long). */
+    * histogram `refCounts` = (bucket string, n_ref long); a null bucket
+    * label in `refCounts` is normalized to [[NullBucket]]. */
   def bucketContributionsFromCounts(refCounts: DataFrame, cur: DataFrame,
                                     bucket: Column, eps: Double = 1e-6,
                                     scale: Int = 6): DataFrame = {
-    val r = refCounts.select(col("bucket").cast("string").as("bucket"),
+    val r = refCounts.select(
+      coalesce(col("bucket").cast("string"), lit(NullBucket)).as("bucket"),
       col("n_ref").cast("long").as("n_ref"))
     val c = sideCounts(cur, bucket, "n_cur")
     val joined = r.join(c, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    // Totals over ALL buckets — explicitly broadcast: the totals row is
-    // a single-row aggregate, so the cross join is a broadcast nested
-    // loop of one row under ANY config (not just when AQE rescues it).
-    val totals = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
-    val p = greatest(col("n_ref") / col("t_ref"), lit(eps))
-    val q = greatest(col("n_cur") / col("t_cur"), lit(eps))
-    joined.crossJoin(broadcast(totals))
+    // Totals over ALL buckets via a constant-key window: the window's
+    // input is the already-aggregated bucket table (bounded by bucket
+    // cardinality), and unlike a totals-aggregate + cross join it
+    // evaluates `joined`'s lineage exactly ONCE. The lit(0) partition
+    // key keeps the partitionSpec non-empty (no stray "no partition
+    // defined" warnings; the plan gate allows windows over aggregated
+    // input either way).
+    val wAll = Window.partitionBy(lit(0))
+    val withTotals = joined
+      .withColumn("__t_ref", sum("n_ref").over(wAll))
+      .withColumn("__t_cur", sum("n_cur").over(wAll))
+    val p = greatest(col("n_ref") / col("__t_ref"), lit(eps))
+    val q = greatest(col("n_cur") / col("__t_cur"), lit(eps))
+    withTotals
       .select(col("bucket"), col("n_ref"), col("n_cur"),
         round(p, scale).as("p_ref"),
         round(q, scale).as("p_cur"),
@@ -79,8 +100,9 @@ object Drift {
     * or null); each (name, bucket expression) feature explodes to a
     * (feature, bucket) pair per row. At 100 TB this is the shape that
     * matters: scoring F features costs one scan + one shuffle of
-    * (feature, bucket) pairs, not 2·F scans — the per-feature totals
-    * table stays feature-cardinality-sized and broadcasts.
+    * (feature, bucket) pairs, not 2·F scans; the per-feature totals
+    * come from a feature-partitioned window over the bucket table
+    * (bounded input, single evaluation — no join, no re-execution).
     *
     * Same output schema and identical arithmetic per feature as
     * [[bucketContributions]] (asserted in DriftSpec), plus the leading
@@ -91,17 +113,20 @@ object Drift {
                                 scale: Int = 6): DataFrame = {
     require(features.nonEmpty, "need at least one feature")
     val pairs = array(features.map { case (n, b) =>
-      struct(lit(n).as("feature"), b.cast("string").as("bucket")) }: _*)
+      struct(lit(n).as("feature"),
+        coalesce(b.cast("string"), lit(NullBucket)).as("bucket")) }: _*)
     val counts = df
       .select(explode(pairs).as("fb"),
         when(isRef, 1L).otherwise(0L).as("__r"))
       .groupBy(col("fb.feature").as("feature"), col("fb.bucket").as("bucket"))
       .agg(sum("__r").as("n_ref"), sum(lit(1L) - col("__r")).as("n_cur"))
-    val totals = counts.groupBy("feature")
-      .agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
-    val p = greatest(col("n_ref") / col("t_ref"), lit(eps))
-    val q = greatest(col("n_cur") / col("t_cur"), lit(eps))
-    counts.join(broadcast(totals), "feature")
+    val wFeature = Window.partitionBy("feature")
+    val withTotals = counts
+      .withColumn("__t_ref", sum("n_ref").over(wFeature))
+      .withColumn("__t_cur", sum("n_cur").over(wFeature))
+    val p = greatest(col("n_ref") / col("__t_ref"), lit(eps))
+    val q = greatest(col("n_cur") / col("__t_cur"), lit(eps))
+    withTotals
       .select(col("feature"), col("bucket"), col("n_ref"), col("n_cur"),
         round(p, scale).as("p_ref"),
         round(q, scale).as("p_cur"),
@@ -116,14 +141,17 @@ object Drift {
       .agg(sum("psi_contrib")).head().getDouble(0)
 
   /** Fixed-breaks numeric bucketing: value < breaks(0) -> 0,
-    * breaks(i-1) <= value < breaks(i) -> i, value >= last -> breaks.size.
-    * Explicit literal breaks (not sampled quantiles) so the bucket ids
-    * are stable across snapshots and engines — drift monitoring needs
-    * the HISTOGRAM frozen, only the masses moving. */
+    * breaks(i-1) <= value < breaks(i) -> i, value >= last -> breaks.size;
+    * a NULL value buckets to NULL (which the contribution functions
+    * then label [[NullBucket]]), never to the top band. Explicit
+    * literal breaks (not sampled quantiles) so the bucket ids are
+    * stable across snapshots and engines — drift monitoring needs the
+    * HISTOGRAM frozen, only the masses moving. */
   def numericBucket(value: Column, breaks: Seq[Double]): Column = {
     require(breaks.nonEmpty && breaks == breaks.sorted, "breaks must be sorted")
-    breaks.zipWithIndex.foldRight(lit(breaks.size): Column) {
+    val banded = breaks.zipWithIndex.foldRight(lit(breaks.size): Column) {
       case ((b, i), rest) => when(value < b, lit(i)).otherwise(rest)
     }
+    when(value.isNull, lit(null).cast("int")).otherwise(banded)
   }
 }

@@ -29,10 +29,17 @@ object UrlOps {
     *   - tracking params (`utm_*`) dropped, remaining query params sorted
     *   - trailing slashes stripped from the path
     *
-    * Null-safe: a null URL canonicalizes to null (regexp_extract of null
-    * is null and every step propagates it).
+    * Null-safe AND malformed-safe: a null URL canonicalizes to null,
+    * and so does anything without a `scheme://` prefix (scheme-less
+    * crawl rows like `www.a.com/page`) — otherwise every malformed URL
+    * would collapse to the same degenerate `"://"`-prefixed key and
+    * [[dedupByUrl]] would silently merge unrelated documents. Callers
+    * that want to keep scheme-less rows should normalize a scheme in
+    * first; the dedup gate treats null as "no canonical identity" and
+    * leaves those rows alone.
     */
   def canonicalize(url: Column): Column = {
+    val wellFormed = url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
     val scheme   = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     val host = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
@@ -46,8 +53,10 @@ object UrlOps {
     val params = filter(split(query, "&"),
       p => !p.startsWith("utm_") && (p =!= ""))
     val sortedQuery = array_join(array_sort(params), "&")
-    concat(scheme, lit("://"), host, path,
-      when(sortedQuery === "", "").otherwise(concat(lit("?"), sortedQuery)))
+    when(wellFormed,
+      concat(scheme, lit("://"), host, path,
+        when(sortedQuery === "", "").otherwise(concat(lit("?"), sortedQuery))))
+      .otherwise(lit(null).cast("string"))
   }
 
   /** Group documents by canonical URL, keeping the smallest id per group
@@ -57,8 +66,10 @@ object UrlOps {
     * read, never shuffled.
     */
   def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame =
-    df.where(col(urlCol).isNotNull)
-      .select(canonicalize(col(urlCol)).as("url"), col(idCol))
+    df.select(canonicalize(col(urlCol)).as("url"), col(idCol))
+      // null canonical form = no URL identity (null or malformed input):
+      // those rows are KEPT by the gate, never merged into one keeper.
+      .where(col("url").isNotNull)
       .groupBy("url")
       .agg(min(col(idCol)).as(s"keeper_$idCol"),
         count(lit(1)).as("n_dups"))

@@ -89,8 +89,17 @@ object PlanAudit {
     violations.toSeq
   }
 
-  /** Convenience: audit a DataFrame's executed plan. Call under AQE-off
-    * + auto-broadcast-off confs (see scaladoc above). */
+  /** Convenience: audit a DataFrame's physical plan. Under AQE the
+    * executed plan is a single AdaptiveSparkPlanExec LEAF — traversing
+    * it directly would visit nothing and report every plan clean — so
+    * the adaptive wrapper is unwrapped to its initial physical plan
+    * (the audited shapes are static properties the adaptive re-plan
+    * does not introduce). Auto-broadcast-off confs still give the
+    * strictest reading for the broadcast check (see scaladoc above). */
   def audit(df: DataFrame): Seq[String] =
-    audit(df.queryExecution.executedPlan)
+    audit(df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    })
 }

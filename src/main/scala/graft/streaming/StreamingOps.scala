@@ -477,10 +477,19 @@ object StreamingOps {
                          bucket: org.apache.spark.sql.Column,
                          logPath: String, checkpoint: String,
                          eps: Double = 1e-6): org.apache.spark.sql.streaming.StreamingQuery = {
-    val ref = refCounts.cache()
+    // Collect the reference histogram ONCE (bucket-cardinality-sized by
+    // construction) and rebuild a local DataFrame per batch: unlike
+    // cache(), nothing stays pinned in executor storage after the query
+    // stops, and no corpus-sized lineage is re-executed per micro-batch.
+    val refRows = refCounts
+      .select(col("bucket").cast("string"), col("n_ref").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sq = batch.sparkSession
+        import sq.implicits._
+        val ref = refRows.toDF("bucket", "n_ref")
         val contribs = graft.ops.Drift
           .bucketContributionsFromCounts(ref, batch, bucket, eps)
           .cache()

@@ -433,4 +433,13 @@ class DedupSpec extends SparkSpec {
       .toSeq
     assert(got === Seq((1L, 3L, 30L, 2L), (7L, 2L, 9L, 8L)), s"got $got")
   }
+
+  test("bestRepresentative keeps fractional quality intact (no long truncation)") {
+    import spark.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L)).toDF("node", "component")
+    val docs = Seq((1L, 0.45), (2L, 0.87)).toDF("doc_id", "lm")
+    val r = Dedup.bestRepresentative(comps, docs, "doc_id", "lm").head()
+    // a long cast would truncate both to 0, tie, and pick doc 1
+    assert(r.getDouble(2) == 0.87 && r.getLong(3) == 2L, r.toString)
+  }
 }

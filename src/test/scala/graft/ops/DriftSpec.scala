@@ -34,6 +34,36 @@ class DriftSpec extends SparkSpec {
     assert(Drift.psi(ref, cur, col("lang")) > 0.25)
   }
 
+  test("null buckets match across sides and get their own label") {
+    // identical distributions incl. 50% nulls -> zero PSI everywhere;
+    // a non-null-safe join would split the null bucket into two
+    // eps-floored rows and report huge false drift
+    val a = Seq[String]("en", null, "de", null).toDF("lang")
+    assert(Drift.psi(a, a, col("lang")) === 0.0)
+    val rows = Drift.bucketContributions(a, a, col("lang")).collect()
+    assert(rows.length == 3) // en, de, <null> — one row each
+    val nullRow = rows.find(_.getString(0) == Drift.NullBucket)
+    assert(nullRow.exists(r => r.getLong(1) == 2L && r.getLong(2) == 2L))
+    // a genuine null-rate regression shows up as drift IN that bucket
+    val b = Seq[String]("en", "en", "de", "en").toDF("lang")
+    val moved = Drift.bucketContributions(a, b, col("lang"))
+      .where(col("bucket") === Drift.NullBucket).head()
+    assert(moved.getDouble(5) > 0.0)
+  }
+
+  test("numericBucket sends NULL values to NULL, not the top band") {
+    val vals = Seq(Some(5.0), None, Some(500.0)).toDF("v")
+    val got = vals.select(
+        Drift.numericBucket(col("v"), Seq(60.0, 100.0)).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(got.toSeq === Seq(Some(0), None, Some(2)))
+    // and the contribution pass labels those rows as the null bucket
+    val c = Drift.bucketContributions(vals, vals,
+        Drift.numericBucket(col("v"), Seq(60.0, 100.0)))
+      .collect().map(_.getString(0)).toSet
+    assert(c.contains(Drift.NullBucket))
+  }
+
   test("multiFeatureContributions == per-feature bucketContributions, one pass") {
     val df = Seq(
       (0L, "en", 10.0), (1L, "en", 80.0), (2L, "de", 10.0), (3L, "fr", 80.0),

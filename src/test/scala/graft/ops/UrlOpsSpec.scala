@@ -48,6 +48,19 @@ class UrlOpsSpec extends SparkSpec {
     assert(out.head.isNullAt(0))
   }
 
+  test("scheme-less or malformed URLs canonicalize to null, never a shared key") {
+    assert(canon("www.a.com/page", "news.b.org/story", "not a url") ===
+      Seq(null, null, null))
+    // and dedupByUrl leaves such rows alone instead of merging them
+    val df = Seq(
+      (1L, "www.a.com/page"), (2L, "news.b.org/story"),
+      (3L, "https://c.com/x"), (4L, "https://c.com/x/")).toDF("doc_id", "url")
+    val got = UrlOps.dedupByUrl(df, "doc_id", "url").collect()
+    assert(got.length == 1) // only the well-formed group appears
+    assert(got.head.getString(0) == "https://c.com/x" &&
+      got.head.getLong(1) == 3L && got.head.getLong(2) == 2L)
+  }
+
   test("dedupByUrl groups by canonical form and keeps the smallest id") {
     val df = Seq(
       (3L, "https://A.com/x?utm_s=1"),

@@ -63,6 +63,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("auditor is not blinded by AQE: adaptive wrapper is unwrapped") {
+    // default confs (AQE on): executedPlan is an AdaptiveSparkPlanExec
+    // LEAF — without unwrapping, audit would traverse nothing and pass
+    // every plan as clean. The unpartitioned-window shape is
+    // conf-independent (a cartesian would be, under default
+    // auto-broadcast, rescued into a broadcast nested loop).
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    import org.apache.spark.sql.expressions.Window
+    val bad = PlanAudit.audit(
+      lineitem.withColumn("rn", row_number().over(Window.orderBy("l_orderkey"))))
+    assert(bad.exists(_.contains("unpartitioned Window")), bad.mkString("; "))
+  }
+
   test("auditor flags an unpartitioned window over a raw fact scan") {
     withStaticPlans {
       import org.apache.spark.sql.expressions.Window
