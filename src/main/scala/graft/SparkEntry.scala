@@ -778,6 +778,19 @@ object SparkEntry {
       .where(col("quality") >= 0.6 && col("lang_guess") === "en")
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"), col("quality"))
 
+  /** Unicode normalization pass over a deterministically-dirtied corpus
+    * (tabs, NBSP, a combining accent, a zero-width space appended in
+    * BOTH engines): NFC + Cf-strip + Zs/Cc collapse must produce
+    * byte-identical clean text and char counts. */
+  private def qNormalizeText(s: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit("  x\ty \u00A0 cafe\u0301 fin\u200Bend "))
+    val norm = graft.functions.TextFunctions.normalizeText(dirty)
+    table(s, dir, "documents").select(col("doc_id"),
+      norm.as("text_norm"),
+      length(norm).cast("long").as("n_chars_norm"))
+  }
+
   /** FineWeb-style per-language quantile gate: keep docs whose quality
     * score reaches their OWN language's 70th percentile — a weak
     * language is not wiped out by a strong one's score scale. One tiny
@@ -2177,6 +2190,7 @@ object SparkEntry {
       "q_retrieval_metrics"   -> (qRetrievalMetrics _),
       "q_quality_topfrac"     -> (qQualityTopFrac _),
       "q_maxsim"              -> (qMaxsim _),
+      "q_normalize_text"      -> (qNormalizeText _),
       "q_keywords"            -> (qKeywords _),
       "q_lm_score"            -> (qLmScore _),
       "q_mean_pool"           -> (qMeanPool _),
@@ -2693,6 +2707,21 @@ object SparkEntry {
       SELECT t AS word, count(*) AS cnt
       FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
       GROUP BY t""",
+
+    // Unicode normalization twin: DuckDB nfc_normalize == Java
+    // Normalizer NFC; property classes (\p{Cf}, \p{Zs}, \p{Cc}) mean
+    // the same character sets in RE2 and Java (unlike \s).
+    "q_normalize_text" -> """
+      WITH d AS (SELECT doc_id,
+        text || '  x' || chr(9) || 'y ' || chr(160) || ' cafe' || chr(769) ||
+        ' fin' || chr(8203) || 'end ' AS dirty
+        FROM documents),
+      n AS (SELECT doc_id,
+        trim(regexp_replace(regexp_replace(nfc_normalize(dirty),
+          '\p{Cf}', '', 'g'), '[\p{Zs}\p{Cc}]+', ' ', 'g')) AS text_norm
+        FROM d)
+      SELECT doc_id, text_norm, CAST(length(text_norm) AS BIGINT) AS n_chars_norm
+      FROM n""",
 
     // Per-language 70th-percentile quality gate (mirror of
     // Stats.keepAboveQuantile over TextAnalysis.analyze's quality):

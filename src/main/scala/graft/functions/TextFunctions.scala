@@ -126,6 +126,25 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     sha2(regexp_replace(trim(lower(text)), "[ \\t\\n\\r\\f]+", " "), 256)
 
+  /** Unicode cleanup for crawl text (the C4/CCNet pre-pass): NFC
+    * canonicalization ([[NfcNormalizeExpr]], codegen'd — combining-mark
+    * and precomposed encodings of the same text get identical bytes),
+    * then format-character strip (ZWSP, BOM, bidi marks — Cf), then
+    * unicode-space + control collapse to single ASCII spaces, trimmed.
+    * Cf strips BEFORE the collapse so "space ZWSP space" can't survive
+    * as a double space. Character classes are Unicode-property-based
+    * ([\\p{Zs}\\p{Cc}], never \\s) — Java and RE2 engines agree on
+    * properties, while \\s differs between them (see [[fingerprint]]).
+    * Everything but the NFC kernel is codegen'd built-ins; case is
+    * deliberately PRESERVED (lowercase is [[fingerprint]]'s job). */
+  def normalizeText(text: Column): Column = {
+    val nfc = org.apache.spark.sql.GraftSqlBridge.column(
+      NfcNormalizeExpr(org.apache.spark.sql.GraftSqlBridge.expression(text)))
+    trim(regexp_replace(
+      regexp_replace(nfc, "\\p{Cf}", ""),
+      "[\\p{Zs}\\p{Cc}]+", " "))
+  }
+
   /** SimHash over the (multiset of) whitespace tokens: each token's
     * hash60 votes ±1 on bits 0..62; bit j of the result is 1 when the
     * vote sum is positive. Pure array-fold expression — no shuffle, no

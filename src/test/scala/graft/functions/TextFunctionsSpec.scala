@@ -132,4 +132,23 @@ class TextFunctionsSpec extends SparkSpec {
     val bad = docs.where(minhashBands($"sh", numHashes, bands) =!= interpreted).count()
     assert(bad == 0)
   }
+
+  test("normalizeText: NFC composition, Cf strip, Zs/Cc collapse, trim, case kept") {
+    def norm(ss: String*): Seq[String] =
+      ss.toDF("t").select(normalizeText($"t").as("n")).as[String].collect().toSeq
+    // combining acute composes to precomposed é (same bytes as "café")
+    assert(norm("café") === Seq("café"))
+    // tabs/newlines/NBSP collapse to single ASCII spaces; ends trimmed
+    assert(norm("  a\t\tb\n c   d  ") === Seq("a b c d"))
+    // ZWSP (Cf) strips BEFORE collapse: no double space survives it
+    assert(norm("a ​ b", "fin​end", "﻿bom") ===
+      Seq("a b", "finend", "bom"))
+    // case preserved (lowercase is fingerprint's job), ASCII untouched
+    assert(norm("Mixed CASE text") === Seq("Mixed CASE text"))
+    // idempotent and null-safe
+    val once = norm("  Á ​ B  ").head
+    assert(norm(once) === Seq(once))
+    val r = Seq[String](null).toDF("t").select(normalizeText($"t")).head()
+    assert(r.isNullAt(0))
+  }
 }

@@ -40,7 +40,7 @@ class PlanAuditSpec extends SparkSpec {
     // round-7 additions: the new pipeline gates must hold the same bar
     "q_dedup_best", "q_url_dedup", "q_split_groups", "q_drift_psi",
     "q_dedup_boilerplate", "q_retrieval_metrics", "q_quality_topfrac",
-    "q_maxsim")
+    "q_maxsim", "q_normalize_text")
 
   for (name <- expensive)
     test(s"$name plan has no scale-killing shape") {
