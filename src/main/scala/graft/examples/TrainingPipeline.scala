@@ -10,12 +10,17 @@ import graft.ops.{Contamination, Dedup, Packing, Pii, QualitySignals, Sampling, 
 /** End-to-end LLM training-data pipeline over the testdata corpus,
   * composing the library's operators the way a 100 TB run would:
   *
-  *   quality filter (language/length + Gopher repetition signals) ->
-  *   PII redaction -> exact dedup -> near-dup removal (MinHash-LSH
-  *   pairs -> connected components -> keep canonical) -> benchmark
-  *   decontamination -> domain mixing (per-language epochs) -> chunk
-  *   -> embed -> int8-quantize -> pack into training sequences ->
-  *   seeded deterministic shard shuffle -> write sharded parquet.
+  *   contract gate -> distribution-drift gate (PSI vs the accepted
+  *   snapshot) -> Unicode normalization (NFC) -> quality filter
+  *   (language/length + Gopher repetition signals + per-language
+  *   quantile gate) -> PII redaction -> exact dedup -> near-dup
+  *   removal (MinHash-LSH pairs -> connected components -> keep the
+  *   BEST-quality member per family) -> benchmark decontamination ->
+  *   corpus-boilerplate span cut -> leakage-safe train/valid/test
+  *   split by source -> tokenizer training (train split only) ->
+  *   domain mixing (per-language epochs) -> chunk -> embed ->
+  *   int8-quantize -> pack into training sequences -> seeded
+  *   deterministic shard shuffle -> write sharded parquet.
   *
   * Every stage is a declarative DataFrame transform: filters and
   * projections reach the parquet scan, dedup/decontamination joins
@@ -56,19 +61,45 @@ object TrainingPipeline {
       s"input contract violated: ${broken.mkString("; ")}")
     println("input contract: all checks pass")
 
-    // 1. Quality gate: language + heuristic quality score + Gopher
-    //    repetition/symbol signals.
-    val quality = QualitySignals.signals(
-        TextAnalysis.analyze(docs, "text")
+    // 0b. Distribution-drift gate: before this drop joins the corpus,
+    //     compare its language and length histograms against the
+    //     accepted reference snapshot (simulated here as the even-id
+    //     half). One corpus pass scores ALL features; PSI > 0.25 is
+    //     the standard act-now threshold.
+    val drift = graft.ops.Drift.multiFeatureContributions(docs,
+        isRef = col("doc_id") % 2 === 0,
+        features = Seq("lang" -> col("lang"),
+          "len" -> graft.ops.Drift.numericBucket(col("n_chars"),
+            Seq(60.0, 100.0, 140.0, 180.0))))
+      .groupBy("feature").agg(round(sum("psi_contrib"), 4).as("psi"))
+      .collect().map(r => s"${r.getString(0)}=${r.getDouble(1)}").mkString(", ")
+    println(s"drift gate (PSI vs reference snapshot): $drift")
+
+    // 1. Unicode normalization (NFC + format-char strip + whitespace
+    //    collapse) BEFORE anything keyed on bytes — then the quality
+    //    gate: language + heuristic score + Gopher repetition signals,
+    //    topped by a PER-LANGUAGE quantile gate (keep each language's
+    //    top 70% by its OWN score distribution, so a weak language
+    //    isn't wiped out by a strong one's scale).
+    val normalized = docs.select(col("doc_id"),
+      TextFunctions.normalizeText(col("text")).as("text"),
+      col("lang"), col("source"))
+    val quality0 = QualitySignals.signals(
+        TextAnalysis.analyze(normalized, "text")
           .where(col("quality") >= 0.5)
-          .select("doc_id", "text", "lang", "n_tokens"), "text")
+          .select("doc_id", "text", "lang", "source", "n_tokens", "quality"),
+        "text")
       .where(col("gopher_keep"))
-      .select("doc_id", "text", "lang")
-    println(s"after quality + repetition filter: ${quality.count()}")
+    val quality = graft.ops.Stats.keepAboveQuantile(
+        quality0.select("doc_id", "text", "lang", "source", "quality"),
+        Seq("lang"), "quality", q = 0.3)
+      .select("doc_id", "text", "lang", "source")
+    println(s"after quality + repetition + per-lang quantile: ${quality.count()}")
 
     // 2. PII scrub (narrow regex pass; counts kept for auditing).
     val scrubbed = Pii.redact(quality, "text", "clean_text")
-      .select(col("doc_id"), col("clean_text").as("text"), col("lang"))
+      .select(col("doc_id"), col("clean_text").as("text"),
+        col("lang"), col("source"))
 
     // 3. Exact dedup (normalized): keep the lowest doc_id per fingerprint.
     val exactKept = scrubbed.join(
@@ -86,9 +117,19 @@ object TrainingPipeline {
     val excerpts = Dedup.ngramContainmentPairs(exactKept, "doc_id", "text",
       n = 3, threshold = 0.9)
       .select("id_a", "id_b")
-    val canonical = Dedup.keepCanonical(exactKept, "doc_id",
-      pairs.select("id_a", "id_b").unionByName(excerpts).distinct())
-    println(s"after near-dup removal (incl. excerpt containment): ${canonical.count()}")
+    val allPairs = pairs.select("id_a", "id_b").unionByName(excerpts).distinct()
+    // Keep the BEST member of each duplicate family (longest normalized
+    // text, ties to smallest id) — production dedup keeps quality, not
+    // whichever id happens to be smallest.
+    val comps = Dedup.connectedComponents(allPairs)
+    val keepers = Dedup.bestRepresentative(comps,
+        exactKept.withColumn("len", length(col("text"))), "doc_id", "len")
+      .select(col("keeper_doc_id").as("doc_id"))
+    val canonical = exactKept
+      .join(comps.select(col("node").as("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(exactKept.join(keepers, Seq("doc_id"), "left_semi"))
+    println(s"after near-dup removal (quality keeper per family, incl. " +
+      s"excerpt containment): ${canonical.count()}")
 
     // 4b. Incremental-ingest posture (what a FOLLOW-UP shard of this
     //     corpus would run): screen a simulated new batch against the
@@ -118,17 +159,41 @@ object TrainingPipeline {
       "doc_id", "text", n = 3, maxFrac = 0.8)
     println(s"after decontamination: ${decontaminated.count()}")
 
-    // 5b. Tokenizer training on the cleaned corpus (distributed word
+    // 5c. Corpus-boilerplate cut: 8-token spans repeated across >= 4
+    //     distinct docs (nav chrome, license headers) are removed IN
+    //     PLACE — documents survive with the boilerplate cut out, and
+    //     a passage merely shared by two docs is left alone.
+    val boilerRanges = Dedup.duplicateSpanRanges(decontaminated,
+      "doc_id", "text", window = 8, minDocs = 4)
+    val cleaned = Dedup.removeSpanRanges(decontaminated, boilerRanges,
+        "doc_id", "text")
+      .where(col("text") =!= "")
+      .select("doc_id", "text")
+      .join(decontaminated.select("doc_id", "lang", "source"), "doc_id")
+    println(s"boilerplate cut: " +
+      s"${boilerRanges.select("doc_id").distinct().count()} docs trimmed")
+
+    // 5d. Leakage-safe splits BEFORE packing: whole SOURCES are
+    //     assigned to train/valid/test by deterministic hash, so
+    //     near-dups within a source can never straddle train and eval;
+    //     only the train split flows into tokenizer + sequences.
+    val split = Sampling.splitByGroup(cleaned, "source",
+      Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)), salt = "r7")
+    split.groupBy("split").count().orderBy("split").collect()
+      .foreach(r => println(s"  split ${r.getString(0)}: ${r.getLong(1)} docs"))
+    val trainDocs = split.where(col("split") === "train").drop("split")
+
+    // 5b. Tokenizer training on the TRAIN split only (distributed word
     //     counting + driver merge loop — the vocabulary is MBs where
     //     the corpus is TBs): the merge table ships with the dataset.
-    val merges = graft.ops.Bpe.train(decontaminated, "text", numMerges = 50)
+    val merges = graft.ops.Bpe.train(trainDocs, "text", numMerges = 50)
     graft.ops.Bpe.mergesDF(spark, merges)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/bpe_merges")
     println(s"BPE: trained ${merges.length} merges; first 3 = " +
       merges.take(3).map { case (l, r) => s"$l+$r" }.mkString(", "))
 
     // 6. Chunk long docs into overlapping token windows.
-    val chunked = decontaminated.select(col("doc_id"), col("lang"),
+    val chunked = trainDocs.select(col("doc_id"), col("lang"),
         posexplode(TextFunctions.chunks(col("text"), chunkSize = 64, overlap = 8)))
       .withColumnRenamed("pos", "chunk_no").withColumnRenamed("col", "chunk")
     println(s"chunks: ${chunked.count()}")
