@@ -65,6 +65,20 @@ object RagPipeline {
     println("== top hit with full payload metadata ==")
     store.similaritySearch(query, k = 1, includeFullMetadata = true).show(1, 60)
 
+    println("== late-interaction (max-sim) over chunked long docs ==")
+    // multi-vector retrieval: chunk every doc, embed each chunk, score
+    // the doc by its BEST-matching chunk — the passage that matches is
+    // never pooled away.
+    val embedder = HashEmbedder(64)
+    val chunkVecs = embedder.embed(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.chunks(col("text"), 32, 8))
+            .as("chunk")),
+      "chunk", "vec")
+    graft.index.VectorIndex.maxSimTopK(chunkVecs, "doc_id", "vec",
+      embedder.embedQuery(query).toSeq, k = 3).show(3, 60)
+
     spark.stop()
   }
 }
