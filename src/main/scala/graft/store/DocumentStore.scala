@@ -61,6 +61,12 @@ final class DocumentStore private (
   // single-writer table format.
   private val mutationLock = new Object
 
+  // Arms a one-time directory-list retention sweep on this instance's
+  // first snapshot write (collects stray version dirs a previous
+  // process's crash left behind); subsequent writes sweep a bounded
+  // window only. See writeVersion.
+  private val fullSweepArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+
   @volatile private var manifest: StoreManifest = readManifest(spark, path)
     .getOrElse(StoreManifest(0L, embedder.dim, config.metric, 0L, config.nlist))
 
@@ -72,11 +78,33 @@ final class DocumentStore private (
   private def lexicalDir(v: Long) = s"${versionDir(v)}/lexical"
   private def pqDir(v: Long) = s"${versionDir(v)}/pq"
 
+  // --- snapshot pinning for multi-step reads -------------------------
+  // A read operation that touches the store more than once (hits +
+  // payload enrichment, fused ranks + text fetch, stats over two dirs)
+  // must see ONE version even if a concurrent async mutation swaps
+  // `manifest` mid-operation: ids are densely REASSIGNED across
+  // versions, so mixing two versions silently attaches wrong rows (or
+  // hits a pruned dir). Multi-step read methods wrap their body in
+  // [[withSnapshot]]; every read accessor resolves through [[snap]] —
+  // the pinned manifest inside such an operation, the live pointer
+  // otherwise. Mutations never pin: they hold mutationLock and must see
+  // the live pointer.
+  private val pinnedSnapshot = new ThreadLocal[StoreManifest]
+  private def snap: StoreManifest = {
+    val p = pinnedSnapshot.get(); if (p != null) p else manifest
+  }
+  private def withSnapshot[A](body: => A): A =
+    if (pinnedSnapshot.get() != null) body // nested op: keep the outer pin
+    else {
+      pinnedSnapshot.set(manifest)
+      try body finally pinnedSnapshot.remove()
+    }
+
   /** Current essential store (searchable projection + vectors). */
-  def essential: DataFrame = spark.read.parquet(essentialDir(manifest.version))
+  def essential: DataFrame = spark.read.parquet(essentialDir(snap.version))
 
   /** Current full-fidelity payload store. */
-  def payload: DataFrame = spark.read.parquet(payloadDir(manifest.version))
+  def payload: DataFrame = spark.read.parquet(payloadDir(snap.version))
 
   /** Time-travel read: the essential store AS OF snapshot `version`,
     * readable for any version still retained by
@@ -134,7 +162,20 @@ final class DocumentStore private (
     val existing =
       if (manifest.count > 0) Some(essential.select("id", "text", "source", "category", "metadata_hash", "vec"))
       else None
-    val base = buildNewRows(staged, existing, manifest.count, loadBloom())
+    // Offset from the DATA, not the manifest (same hardening as
+    // addDFIncremental): a crashed incremental append can leave orphan
+    // rows with ids >= manifest.count on disk; since `existing` reads
+    // the disk (orphans included), minting new ids from the stale count
+    // would publish DUPLICATE ids and permanently break the dense-id
+    // invariant.
+    val offset = existing match {
+      case None => 0L
+      case Some(ex) => ex.agg(max("id")).head.get(0) match {
+        case null => 0L
+        case m    => m.asInstanceOf[Long] + 1L
+      }
+    }
+    val base = buildNewRows(staged, existing, offset, loadBloom())
     try {
       // A fully-deduped (or empty) batch against an existing store is a
       // no-op: don't rewrite the corpus, re-fit IVF, and churn versions
@@ -196,9 +237,15 @@ final class DocumentStore private (
             probe(sha2(col("text"), 256)))
           flagged.where(!col("__maybe")).drop("__maybe")
             .unionByName(flagged.where(col("__maybe")).drop("__maybe")
-              .join(ex.select("text"), Seq("text"), "left_anti"))
+              .join(ex.select(col("text").as("__ex_text")),
+                col("text") <=> col("__ex_text"), "left_anti"))
         case None =>
-          fresh.join(ex.select("text"), Seq("text"), "left_anti")
+          // <=> (null-safe): the intra-batch window already dedupes
+          // null texts as equal, so the cross-batch screen must too —
+          // a plain equi-anti-join never matches null = null and would
+          // append one null-text doc per ingest batch forever.
+          fresh.join(ex.select(col("text").as("__ex_text")),
+            col("text") <=> col("__ex_text"), "left_anti")
       }
     }
 
@@ -365,9 +412,29 @@ final class DocumentStore private (
     // Snapshot retention: keep the last `keepVersions` versions so
     // readers holding an older snapshot (a long job planned against
     // v-1) finish undisturbed — MVCC-style grace. Default 1 = prune
-    // immediately after the pointer swap.
-    (1L to v - config.keepVersions).foreach { stale =>
-      deleteDir(spark, versionDir(stale))
+    // immediately after the pointer swap. The sweep probes only a
+    // BOUNDED window below the cutoff (each write makes at most one new
+    // version stale; earlier writes already swept everything older), so
+    // per-mutation cost is O(window) filesystem calls, not O(total
+    // versions) — a store at v10000 must not issue 10000 exists() RPCs
+    // per write. The first write of this instance arms a directory-list
+    // full sweep to collect strays left by a previous process's crash;
+    // the +8 slack absorbs sweeps skipped by crashes since.
+    val cutoff = v - config.keepVersions
+    if (fullSweepArmed.getAndSet(false)) {
+      val VDir = "v(\\d+)".r
+      val fs = fsFor(path)
+      if (fs.exists(hadoopPath(path))) fs.listStatus(hadoopPath(path)).foreach { st =>
+        st.getPath.getName match {
+          case VDir(n) if st.isDirectory && n.toLong <= cutoff =>
+            fs.delete(st.getPath, true); ()
+          case _ => ()
+        }
+      }
+    } else {
+      (math.max(1L, cutoff - 8) to cutoff).foreach { stale =>
+        deleteDir(spark, versionDir(stale))
+      }
     }
   }
 
@@ -467,12 +534,12 @@ final class DocumentStore private (
   /** The persisted PQ index for the current version, if present AND
     * fresh (its meta row records the indexed n_docs). */
   private def loadPq(): Option[(PqIndex.Model, DataFrame)] = {
-    val dir = pqDir(manifest.version)
+    val dir = pqDir(snap.version)
     val metaDir = s"$dir/meta"
     if (!fsFor(metaDir).exists(hadoopPath(metaDir))) None
     else {
       val meta = spark.read.parquet(metaDir).head
-      if (meta.getAs[Long]("n_docs") != manifest.count) None
+      if (meta.getAs[Long]("n_docs") != snap.count) None
       else {
         val books = spark.read.parquet(s"$dir/codebooks")
           .orderBy("sub", "code").collect()
@@ -494,8 +561,8 @@ final class DocumentStore private (
     * stale index falls back to exact [[similaritySearch]] (same output
     * shape, so callers can't break on staleness). */
   def similaritySearchPq(query: String, k: Int = 4,
-                         candidates: Int = 100): DataFrame = {
-    if (manifest.count == 0) throw new SearchException("store is empty or not built")
+                         candidates: Int = 100): DataFrame = withSnapshot {
+    if (snap.count == 0) throw new SearchException("store is empty or not built")
     loadPq() match {
       case None => similaritySearch(query, k)
       case Some((model, codes)) =>
@@ -521,11 +588,11 @@ final class DocumentStore private (
     * Index-backed and scan-time scores are bit-identical, so callers
     * cannot observe which path ran. */
   private def lexicalScores(queryTerms: Seq[String]): DataFrame = {
-    val dir = lexicalDir(manifest.version)
+    val dir = lexicalDir(snap.version)
     val statsDir = s"$dir/stats"
     val fresh = fsFor(statsDir).exists(hadoopPath(statsDir)) && {
       spark.read.parquet(statsDir).head.getAs[Double]("n_docs").toLong ==
-        manifest.count
+        snap.count
     }
     if (fresh) TextSearch.searchIndexScores(spark, dir, queryTerms)
     else TextSearch.bm25Scores(essential.select(col("id"), col("text")),
@@ -540,8 +607,8 @@ final class DocumentStore private (
     * MMR rank and the query similarity. */
   def maxMarginalRelevanceSearch(query: String, k: Int = 4,
                                  fetchK: Int = 20,
-                                 lambdaParam: Double = 0.5): DataFrame = {
-    if (manifest.count == 0) throw new SearchException("store is empty or not built")
+                                 lambdaParam: Double = 0.5): DataFrame = withSnapshot {
+    if (snap.count == 0) throw new SearchException("store is empty or not built")
     val qv = embedder.embedQuery(query)
     val sel = VectorIndex.mmr(searchSpace(qv), "vec", qv.toSeq, k, fetchK,
       lambdaParam, config.metric, idCol = "id")
@@ -558,8 +625,8 @@ final class DocumentStore private (
   /** Keyword top-k over the store (BM25), the lexical sibling of
     * [[similaritySearch]]: returns (doc_id, text, source, category,
     * score, metadata_type). Uses the persisted index when fresh. */
-  def searchLexical(queryTerms: Seq[String], k: Int = 4): DataFrame = {
-    if (manifest.count == 0) throw new SearchException("store is empty or not built")
+  def searchLexical(queryTerms: Seq[String], k: Int = 4): DataFrame = withSnapshot {
+    if (snap.count == 0) throw new SearchException("store is empty or not built")
     val hits = lexicalScores(queryTerms)
       .orderBy(col("score").desc, col("id")).limit(k).collect()
     import spark.implicits._
@@ -575,8 +642,8 @@ final class DocumentStore private (
   }
 
   private def loadCentroids(): Option[IvfIndex.Model] =
-    if (manifest.nlist > 0) {
-      val rows = spark.read.parquet(centroidsDir(manifest.version))
+    if (snap.nlist > 0) {
+      val rows = spark.read.parquet(centroidsDir(snap.version))
         .orderBy("cluster").collect()
       Some(IvfIndex.Model(rows.map(r =>
         r.getSeq[Double](r.fieldIndex("centroid")).toIndexedSeq).toIndexedSeq))
@@ -599,8 +666,8 @@ final class DocumentStore private (
     * semantics (higher=better for cosine/ip, distance for l2). */
   def similaritySearch(query: String, k: Int = 4,
                        includeFullMetadata: Boolean = false,
-                       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    if (manifest.count == 0) throw new SearchException("store is empty or not built")
+                       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = withSnapshot {
+    if (snap.count == 0) throw new SearchException("store is empty or not built")
     val qv = embedder.embedQuery(query)
     // Metadata-filtered ANN (the `filter` arg of the LangChain
     // similarity_search surface): the predicate lands on the scored
@@ -629,8 +696,8 @@ final class DocumentStore private (
     * result size is data-dependent; pure scan + filter over the
     * (IVF-pruned) search space, no sort or limit. */
   def similaritySearchRadius(query: String, threshold: Double,
-                             includeFullMetadata: Boolean = false): DataFrame = {
-    if (manifest.count == 0) throw new SearchException("store is empty or not built")
+                             includeFullMetadata: Boolean = false): DataFrame = withSnapshot {
+    if (snap.count == 0) throw new SearchException("store is empty or not built")
     val qv = embedder.embedQuery(query)
     val hits = VectorIndex.radiusSearch(
         searchSpace(qv), "vec", qv.toSeq, threshold, config.metric,
@@ -650,8 +717,8 @@ final class DocumentStore private (
     * it falls back to exact [[similaritySearch]]. Composable with IVF:
     * the prescreen runs over the nprobe-pruned search space. */
   def similaritySearchApprox(query: String, k: Int = 4,
-                             candidates: Int = 100): DataFrame = {
-    if (manifest.count == 0) throw new SearchException("store is empty or not built")
+                             candidates: Int = 100): DataFrame = withSnapshot {
+    if (snap.count == 0) throw new SearchException("store is empty or not built")
     if (!VectorFunctions.higherIsBetter(config.metric))
       similaritySearch(query, k)
     else {
@@ -707,8 +774,8 @@ final class DocumentStore private (
     * per-(doc, query) probe-membership predicate restricts each query's
     * ranking to ITS clusters, so batch and single-query results agree
     * exactly. */
-  def similaritySearchBatch(queries: Seq[String], k: Int = 4): DataFrame = {
-    if (manifest.count == 0) throw new SearchException("store is empty or not built")
+  def similaritySearchBatch(queries: Seq[String], k: Int = 4): DataFrame = withSnapshot {
+    if (snap.count == 0) throw new SearchException("store is empty or not built")
     import spark.implicits._
     // Distinct queries: a duplicated query string would score every doc
     // once per copy and interleave duplicate rows inside its own top-k.
@@ -743,8 +810,8 @@ final class DocumentStore private (
     * (same scale shape as full-metadata enrichment: predicate pushdown
     * reads only k rows, which become the broadcast build side). */
   def hybridSearch(query: String, queryTerms: Seq[String], k: Int = 4,
-                   perSourceK: Int = 50, rrfK: Int = 60): DataFrame = {
-    if (manifest.count == 0) throw new SearchException("store is empty or not built")
+                   perSourceK: Int = 50, rrfK: Int = 60): DataFrame = withSnapshot {
+    if (snap.count == 0) throw new SearchException("store is empty or not built")
     val qv = embedder.embedQuery(query)
     val vecScores = VectorIndex.topK(searchSpace(qv), "vec", qv.toSeq,
         perSourceK, config.metric, scoreCol = "score", tieBreak = Seq("id"))
@@ -801,7 +868,7 @@ final class DocumentStore private (
 
   /** Set lookup — one semijoin job, not a loop (reference Q8 loops Q7,
     * retriever.py:372-394). */
-  def getDocumentsByIds(ids: Seq[Long], includeFullMetadata: Boolean = false): DataFrame = {
+  def getDocumentsByIds(ids: Seq[Long], includeFullMetadata: Boolean = false): DataFrame = withSnapshot {
     val base = essential.where(col("id").isin(ids: _*))
       .select(col("id").as("doc_id"), col("text"), col("source"),
         col("category"), lit(0.0).as("similarity"),
@@ -923,7 +990,12 @@ final class DocumentStore private (
       .select("doc_id", "text", "metadata", "payload_json")
     val metas = if (metadatas.isEmpty) Seq.fill(texts.length)(Map.empty[String, String]) else metadatas
     val staged = texts.zip(metas).toDF("text", "metadata")
-    val base = buildNewRows(staged, Some(reE), manifest.count - firstIds.length)
+    // Offset = ACTUAL survivor count (recompacted ids are dense
+    // 0..n-1): deriving it from manifest.count would collide with the
+    // recompacted ids when crash-orphaned rows inflate the on-disk row
+    // count past the manifest (see appendBuild).
+    val survivorCount = survivorsE.count()
+    val base = buildNewRows(staged, Some(reE), survivorCount)
     try {
       if (base.isEmpty) writeVersion(reE, reP) // publish just the deletes
       else writeVersion(reE.unionByName(essentialProjection(base)),
@@ -943,22 +1015,26 @@ final class DocumentStore private (
   // Stats (reference S1-S4: vectorstore.py:815-879, index.py:590-607)
   // ------------------------------------------------------------------
 
-  def frameMappingStats: FrameMappingStats = {
-    if (manifest.count == 0) return FrameMappingStats(0, -1, -1, 0.0)
-    val r = payload.agg(
-      count(col("doc_id")).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi")
-    ).collect()(0)
-    val n = r.getAs[Long]("n")
-    val span = r.getAs[Long]("hi") - r.getAs[Long]("lo") + 1
-    FrameMappingStats(n, r.getAs[Long]("lo"), r.getAs[Long]("hi"),
-      if (span > 0) 100.0 * n / span else 0.0)
+  def frameMappingStats: FrameMappingStats = withSnapshot {
+    if (snap.count == 0) FrameMappingStats(0, -1, -1, 0.0)
+    else {
+      val r = payload.agg(
+        count(col("doc_id")).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi")
+      ).collect()(0)
+      val n = r.getAs[Long]("n")
+      val span = r.getAs[Long]("hi") - r.getAs[Long]("lo") + 1
+      FrameMappingStats(n, r.getAs[Long]("lo"), r.getAs[Long]("hi"),
+        if (span > 0) 100.0 * n / span else 0.0)
+    }
   }
 
-  def storageStats: StorageStats = StorageStats(
-    manifest.count,
-    dirSize(spark, payloadDir(manifest.version)),
-    dirSize(spark, essentialDir(manifest.version)),
-    frameMappingStats)
+  def storageStats: StorageStats = withSnapshot {
+    StorageStats(
+      snap.count,
+      dirSize(spark, payloadDir(snap.version)),
+      dirSize(spark, essentialDir(snap.version)),
+      frameMappingStats)
+  }
 
   /** Integrity audit: recompute each document's `metadata_hash` from
     * the PAYLOAD store's metadata and compare to the token stored in
@@ -974,18 +1050,26 @@ final class DocumentStore private (
     * broken store), `orphan_payload` (payload row with no essential
     * row — harmless leftover of a crashed incremental append; compact()
     * removes them). Filter `status != 'ok'` for the defect list. */
-  def verifyIntegrity(): DataFrame = {
-    if (manifest.count == 0) throw new StorageException("store is empty or not built")
+  def verifyIntegrity(): DataFrame = withSnapshot {
+    if (snap.count == 0) throw new StorageException("store is empty or not built")
+    // Presence is tracked with explicit side flags, NOT hash nullness:
+    // a doc ingested with a null metadata map has a null hash on BOTH
+    // sides and is healthy — using the hash as a join-miss sentinel
+    // would flag it orphan_payload forever (and compact() would never
+    // clear the alarm).
     val stored = essential.select(col("id").as("doc_id"),
       col("metadata_hash").as("stored_hash"))
+      .withColumn("__has_essential", lit(true))
     val recomputed = payload.select(col("doc_id"),
       DocumentStore.metadataHashCol(col("metadata")).as("computed_hash"))
+      .withColumn("__has_payload", lit(true))
     stored.join(recomputed, Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when(col("stored_hash").isNull, lit("orphan_payload"))
-          .when(col("computed_hash").isNull, lit("missing_payload"))
-          .when(col("stored_hash") === col("computed_hash"), lit("ok"))
+        when(col("__has_essential").isNull, lit("orphan_payload"))
+          .when(col("__has_payload").isNull, lit("missing_payload"))
+          .when(col("stored_hash") <=> col("computed_hash"), lit("ok"))
           .otherwise(lit("mismatch")))
+      .drop("__has_essential", "__has_payload")
   }
 }
 

@@ -204,7 +204,9 @@ object StreamingOps {
   final case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
 
   /** Stateful gap sessionization with mapGroupsWithState: a new session
-    * starts when > `gapMs` elapses between a user's events. Emits the
+    * starts when >= `gapMs` elapses between a user's events (two events
+    * exactly `gapMs` apart open a new session — the same boundary as
+    * the batch twin's `us - prev >= gap`). Emits the
     * running (sessions, events) per user each micro-batch — the
     * streaming equivalent of the batch q_events_sessionize query.
     *
@@ -287,9 +289,14 @@ object StreamingOps {
     val l = left.withWatermark(leftTsCol, watermark).alias("l")
     val r = right.withWatermark(rightTsCol, watermark).alias("r")
     l.join(r,
-      col(s"l.$keyCol") === col(s"r.$keyCol") &&
-        col(s"r.$rightTsCol") >= col(s"l.$leftTsCol") - expr(s"INTERVAL $lookback") &&
-        col(s"r.$rightTsCol") <= col(s"l.$leftTsCol"))
+        col(s"l.$keyCol") === col(s"r.$keyCol") &&
+          col(s"r.$rightTsCol") >= col(s"l.$leftTsCol") - expr(s"INTERVAL $lookback") &&
+          col(s"r.$rightTsCol") <= col(s"l.$leftTsCol"))
+      // The condition-form join keeps BOTH key columns under one name,
+      // which makes the result unwritable (file sinks reject duplicate
+      // column names) and every unqualified select ambiguous — drop the
+      // right copy (equal by the join condition).
+      .drop(col(s"r.$keyCol"))
   }
 
   /** Streaming NEAR-dup ingest gate: MinHash-LSH banding against a
@@ -487,25 +494,33 @@ object StreamingOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val sq = batch.sparkSession
-        import sq.implicits._
-        val ref = refRows.toDF("bucket", "n_ref")
-        val contribs = graft.ops.Drift
-          .bucketContributionsFromCounts(ref, batch, bucket, eps)
-          .cache()
-        try {
-          contribs
-            .agg(sum("n_cur").as("n_rows"),
-              round(sum("psi_contrib"), 6).as("psi"),
-              round(sum("kl_contrib"), 6).as("kl"),
-              max_by(col("bucket"), struct(col("psi_contrib"), col("bucket")))
-                .as("worst_bucket"),
-              max("psi_contrib").as("worst_psi_contrib"))
-            .select(lit(id).as("batch_id"), col("n_rows"), col("psi"),
-              col("kl"), col("worst_bucket"), col("worst_psi_contrib"))
-            .coalesce(1)
-            .write.mode("overwrite").parquet(s"$logPath/batch=$id")
-        } finally { contribs.unpersist(); () }
+        // Empty micro-batch (recovery tick, all rows filtered): SKIP.
+        // Scoring it would divide by a zero current total, clamp every
+        // current proportion to eps, and log a maximal-PSI row — a
+        // false drift alert for a batch that contained no data (same
+        // guard shape as every other sink in this file; a `return` here
+        // would be a non-local return that kills the stream).
+        if (!batch.isEmpty) {
+          val sq = batch.sparkSession
+          import sq.implicits._
+          val ref = refRows.toDF("bucket", "n_ref")
+          val contribs = graft.ops.Drift
+            .bucketContributionsFromCounts(ref, batch, bucket, eps)
+            .cache()
+          try {
+            contribs
+              .agg(sum("n_cur").as("n_rows"),
+                round(sum("psi_contrib"), 6).as("psi"),
+                round(sum("kl_contrib"), 6).as("kl"),
+                max_by(col("bucket"), struct(col("psi_contrib"), col("bucket")))
+                  .as("worst_bucket"),
+                max("psi_contrib").as("worst_psi_contrib"))
+              .select(lit(id).as("batch_id"), col("n_rows"), col("psi"),
+                col("kl"), col("worst_bucket"), col("worst_psi_contrib"))
+              .coalesce(1)
+              .write.mode("overwrite").parquet(s"$logPath/batch=$id")
+          } finally { contribs.unpersist(); () }
+        }
       }
       .start()
   }

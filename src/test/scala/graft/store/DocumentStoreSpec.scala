@@ -630,4 +630,48 @@ class DocumentStoreSpec extends SparkSpec {
     val b = flat.similaritySearch(q, 5).collect().map(_.getAs[String]("text")).toSeq
     assert(a == b)
   }
+
+  test("verifyIntegrity: a doc with NULL metadata is ok, not orphan/missing") {
+    import spark.implicits._
+    val store = DocumentStore.fromTexts(spark, tmp(), Seq("seed doc"), Nil,
+      StoreConfig(), emb)
+    // metadata map NULL -> both stored and computed hashes are null for
+    // a doc present in BOTH stores; presence flags must classify it ok
+    store.addDF(Seq(("null-meta doc", null: Map[String, String]))
+      .toDF("text", "metadata"))
+    val statuses = store.verifyIntegrity()
+      .select("status").as[String].collect().toSeq
+    assert(statuses.length == 2 && statuses.forall(_ == "ok"), statuses)
+  }
+
+  test("appendBuild mints ids past crash-orphaned rows instead of duplicating") {
+    val dir = tmp()
+    val store = DocumentStore.fromTexts(spark, dir,
+      Seq("doc zero", "doc one"), Nil, StoreConfig(), emb)
+    // Simulate addDFIncremental's crash window: essential rows landed
+    // on disk with ids >= manifest.count, but the manifest bump never
+    // happened.
+    val v = store.currentManifest.version
+    val orphan = store.essential.limit(1)
+      .withColumn("id", org.apache.spark.sql.functions.lit(7L))
+      .withColumn("text", org.apache.spark.sql.functions.lit("orphan row"))
+    orphan.write.mode("append").parquet(s"$dir/v$v/essential")
+    store.addTexts(Seq("doc two"))
+    import spark.implicits._
+    val ids = store.essential.select("id").as[Long].collect().sorted.toSeq
+    assert(ids.distinct.length == ids.length, s"duplicate ids: $ids")
+    assert(ids.contains(8L), s"new id must mint past the orphan: $ids")
+  }
+
+  test("cross-batch dedup treats null text like the intra-batch screen (one kept)") {
+    import spark.implicits._
+    val store = DocumentStore.fromTexts(spark, tmp(), Seq("seed doc"), Nil,
+      StoreConfig(), emb)
+    val nullRow = Seq((null: String, Map.empty[String, String])).toDF("text", "metadata")
+    store.addDF(nullRow)
+    val after1 = store.documentCount
+    store.addDF(nullRow) // second batch: the null-text doc is a DUP now
+    assert(store.documentCount == after1,
+      s"null-text doc re-ingested: ${store.documentCount} != $after1")
+  }
 }
