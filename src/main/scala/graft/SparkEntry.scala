@@ -1918,7 +1918,8 @@ object SparkEntry {
     val qv = emb.where(col("vec_id") === 0L).select("embedding")
       .head.getSeq[Float](0).map(_.toDouble).toSeq
     PqIndex.search(emb, "embedding", model, qv, k = 5, candidates = 10,
-        metric = "cosine", idCol = "vec_id", roundScale = 4)
+        metric = "cosine", idCol = "vec_id", roundScale = 4,
+        exposeInternals = true)
       .select(col("vec_id"), col("adc_micros"), col("score"))
   }
 
@@ -1946,7 +1947,7 @@ object SparkEntry {
       .head.getSeq[Float](0).map(_.toDouble).toSeq
     PqIndex.searchIvf(emb, "embedding", ivf, pq, qv, k = 5,
         candidates = 10, nprobe = 3, metric = "cosine",
-        idCol = "vec_id", roundScale = 4)
+        idCol = "vec_id", roundScale = 4, exposeInternals = true)
       .select(col("vec_id"), col("cluster"), col("adc_micros"), col("score"))
   }
 
@@ -2318,9 +2319,11 @@ object SparkEntry {
              ELSE 'und' END"""
 
   /** DuckDB fingerprint — mirror of TextFunctions.fingerprint (explicit
-    * whitespace class: Java's \s includes \x0B, RE2's doesn't). */
+    * whitespace class: Java's \s includes \x0B, RE2's doesn't; trim
+    * AFTER the collapse so leading/trailing tabs/newlines — reduced to
+    * edge spaces by the collapse — are actually stripped). */
   private val FingerprintSql =
-    """sha256(regexp_replace(trim(lower(text)), '[ \t\n\r\f]+', ' ', 'g'))"""
+    """sha256(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')))"""
 
   /** 60-bit sha-derived hash in DuckDB, mirroring HashFunctions.hash60. */
   private def dk60(arg: String): String =

@@ -124,7 +124,11 @@ object TextFunctions {
     * (DuckDB) \s does not — the explicit class means one character set
     * in every engine. */
   def fingerprint(text: Column): Column =
-    sha2(regexp_replace(trim(lower(text)), "[ \\t\\n\\r\\f]+", " "), 256)
+    // trim AFTER collapsing: Spark trim strips only ASCII spaces, so a
+    // leading tab/newline must first collapse to a space to be trimmed —
+    // trim-first left whitespace-variant duplicates with different
+    // fingerprints (oracle twin FingerprintSql mirrors this order).
+    sha2(trim(regexp_replace(lower(text), "[ \\t\\n\\r\\f]+", " ")), 256)
 
   /** Unicode cleanup for crawl text (the C4/CCNet pre-pass): NFC
     * canonicalization ([[NfcNormalizeExpr]], codegen'd — combining-mark
@@ -197,18 +201,24 @@ object TextFunctions {
     * rehashes h_s = (a_s*h0 + b_s) mod P — NOT numHashes sha256 passes
     * (16x less hashing; the classic Broder '97 construction). The base
     * hash array is let1-bound so it's computed once, not per seed.
-    * Docs with no shingle get Long.MaxValue entries. */
+    * Docs with an EMPTY shingle array get Long.MaxValue entries; a NULL
+    * shingle array yields a NULL signature — matching the fused
+    * [[minhashSignatureFused]] (whose null-safe eval short-circuits),
+    * so the documented value-identity holds for null input too instead
+    * of the HOF form fabricating a MaxValue signature that would band
+    * every null-text doc into one giant candidate bucket. */
   def minhashSignatureFromShingles(sh: Column, numHashes: Int): Column = {
     val (as, bs) = minhashCoeffs(numHashes)
     val aLit = typedlit(as)
     val bLit = typedlit(bs)
-    let1(transform(sh, x => HashFunctions.hash60(x) % MinhashP)) { h0 =>
+    val sig = let1(transform(sh, x => HashFunctions.hash60(x) % MinhashP)) { h0 =>
       transform(sequence(lit(0), lit(numHashes - 1)), s =>
         coalesce(
           array_min(transform(h0, h =>
             (element_at(aLit, s + 1) * h + element_at(bLit, s + 1)) % MinhashP)),
           lit(Long.MaxValue)))
     }
+    when(sh.isNull, lit(null).cast("array<bigint>")).otherwise(sig)
   }
 
   /** MinHash signature over a text column's n-gram shingles. */

@@ -142,7 +142,10 @@ object VectorFunctions {
       // Fail fast on a dimension mismatch: zip_with pads the shorter
       // side with nulls, which would otherwise propagate silently to
       // all-null output components.
-      when(size(v) === inDim, projected)
+      // Null input propagates null (like every sibling vector
+      // function); only a PRESENT vector of the wrong dimension fails.
+      when(v.isNull, lit(null).cast("array<double>"))
+        .when(size(v) === inDim, projected)
         .otherwise(raise_error(concat(
           lit(s"randomProjection: expected vector of dim $inDim, got dim "),
           size(v).cast("string"))))

@@ -118,25 +118,35 @@ object PqIndex {
           fitPartitions: Int = 0): Model = {
     val base =
       if (fitFraction < 1.0) df.sample(withReplacement = false, fitFraction, seed) else df
-    val v = asDouble(col(vecCol))
-    val dim = base.select(size(v)).head.getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val dsub = dim / m
-    val cached = base.select((0 until m).map(sub =>
-      array_to_vector(slice(v, sub * dsub + 1, dsub)).as(s"f$sub")): _*)
-    val prepared = if (fitPartitions > 0) cached.coalesce(fitPartitions) else cached
+    // Cache the RAW sampled vectors first and probe the dimension from
+    // the cache: probing with a head() on the uncached lineage executed
+    // the whole scan+sample once just to read one array size — the
+    // exact double execution the persist exists to avoid. Null vectors
+    // are dropped (they carry no training signal and would NPE the
+    // probe); an empty sample fails loudly instead of with a bare
+    // NoSuchElementException.
+    val sampled = base.select(asDouble(col(vecCol)).as("__v"))
+      .where(col("__v").isNotNull)
+    val prepared = if (fitPartitions > 0) sampled.coalesce(fitPartitions) else sampled
     prepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // Force before the m fit loops: KMeans runs several jobs per
+      // Force before anything else: KMeans runs several jobs per
       // subspace, and a lazy cache leaves the first job of each JVM-cold
       // run re-executing the full scan→sample lineage (and racing
       // eviction under memory pressure). One forced count = one
-      // execution, all m subspace fits read the cached slices.
-      prepared.count()
+      // execution; the dim probe and all m subspace fits read the cache.
+      val nSample = prepared.count()
+      require(nSample > 0,
+        "PqIndex.fit: empty (or all-null) training sample — raise fitFraction or check the vector column")
+      val dim = prepared.select(size(col("__v"))).head.getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val dsub = dim / m
+      val features = prepared.select((0 until m).map(sub =>
+        array_to_vector(slice(col("__v"), sub * dsub + 1, dsub)).as(s"f$sub")): _*)
       val books = (0 until m).map { sub =>
         val km = new KMeans().setK(ksub).setSeed(seed + sub).setMaxIter(maxIter)
           .setFeaturesCol(s"f$sub")
-        km.fit(prepared).clusterCenters.toIndexedSeq.map(_.toArray.toIndexedSeq)
+        km.fit(features).clusterCenters.toIndexedSeq.map(_.toArray.toIndexedSeq)
       }
       Model(books)
     } finally { prepared.unpersist(); () }
@@ -153,15 +163,20 @@ object PqIndex {
   def search(docs: DataFrame, vecCol: String, model: Model,
              query: Seq[Double], k: Int, candidates: Int,
              metric: String = "cosine", idCol: String = "vec_id",
-             roundScale: Int = 4): DataFrame = {
+             roundScale: Int = 4,
+             exposeInternals: Boolean = false): DataFrame = {
     val coded = docs.withColumn("pq_codes",
       model.encodeCol(col(vecCol), roundScale))
     val cand = coded
       .withColumn("adc_micros", model.adcMicrosCol(col("pq_codes"), query, roundScale))
       .orderBy(col("adc_micros"), col(idCol))
       .limit(candidates)
-    VectorIndex.topK(cand, vecCol, query, k, metric,
+    val ranked = VectorIndex.topK(cand, vecCol, query, k, metric,
       scoreCol = "score", tieBreak = Seq(idCol), roundScale = roundScale)
+    // Internal working columns must not leak into the result schema by
+    // default (callers write these frames out). exposeInternals keeps
+    // them for verification harnesses that hash-check the ADC math.
+    if (exposeInternals) ranked else ranked.drop("pq_codes", "adc_micros")
   }
 
   /** IVF×PQ composition — FAISS IndexIVFPQ, Spark-first: the coarse
@@ -176,16 +191,23 @@ object PqIndex {
   def searchIvf(docs: DataFrame, vecCol: String, ivf: IvfIndex.Model,
                 pq: Model, query: Seq[Double], k: Int, candidates: Int,
                 nprobe: Int = 8, metric: String = "cosine",
-                idCol: String = "vec_id", roundScale: Int = 4): DataFrame = {
+                idCol: String = "vec_id", roundScale: Int = 4,
+                exposeInternals: Boolean = false): DataFrame = {
     val probes = ivf.nearestCentroids(query, nprobe, roundScale)
     // Reuse a stored cluster column when the docs come from an
     // IVF-partitioned layout — filtering the PARTITION column is what
     // makes the pruning file-level; recomputing the assignment over it
     // would force a full-corpus scan AND pay the kernel per row.
+    val hasStoredCluster = docs.columns.contains("cluster")
     val assigned =
-      if (docs.columns.contains("cluster")) docs
+      if (hasStoredCluster) docs
       else docs.withColumn("cluster", ivf.assignCol(col(vecCol), roundScale))
     val pruned = assigned.where(col("cluster").isin(probes: _*))
-    search(pruned, vecCol, pq, query, k, candidates, metric, idCol, roundScale)
+    val out = search(pruned, vecCol, pq, query, k, candidates, metric, idCol,
+      roundScale, exposeInternals)
+    // A COMPUTED cluster column is internal (drop unless exposed); a
+    // stored one is a real doc column and stays — so the schema never
+    // differs between the two paths by accident.
+    if (exposeInternals || hasStoredCluster) out else out.drop("cluster")
   }
 }

@@ -45,16 +45,25 @@ object PlanAudit {
 
   private def isBarrier(p: SparkPlan): Boolean = p match {
     case _: BaseAggregateExec => true
+    // NOT LocalLimitExec: a per-partition limit grows with partition
+    // count, so a plan's row stream below it is NOT bounded in corpus
+    // size — treating it as a barrier would let a broadcast of
+    // partitions x N rows pass the gate.
     case _: TakeOrderedAndProjectExec | _: CollectLimitExec |
-         _: LocalLimitExec | _: GlobalLimitExec => true
+         _: GlobalLimitExec => true
     case _ => false
   }
 
   private def scanOf(p: SparkPlan, tables: Set[String]): Option[String] =
     p match {
       case f: FileSourceScanExec =>
+        // Segment-anchored match: "/<t>.parquet" or a "/<t>/" directory
+        // component — a bare contains(t + ".parquet") would flag
+        // "multipart.parquet" for table "part".
         val paths = f.relation.location.rootPaths.map(_.toString)
-        tables.find(t => paths.exists(_.contains(t + ".parquet")))
+        tables.find(t => paths.exists(p =>
+          p.endsWith(s"/$t.parquet") || p.contains(s"/$t.parquet/") ||
+            p.endsWith(s"/$t") || p.contains(s"/$t/")))
       case _ => None
     }
 
