@@ -2911,10 +2911,14 @@ object SparkEntry {
 
     // Leakage-safe grouped split (mirror of Sampling.splitByGroup):
     // cumulative ppm intervals over the group-key hash.
+    // Null group keys mirror Sampling.splitByGroup's '<graft-null-key>'
+    // sentinel (coalesce) so a null source still maps to ONE deterministic
+    // split on both engines instead of DuckDB's NULL-concat falling
+    // through to 'test' (ADVICE r7).
     "q_split_groups" -> s"""
       SELECT doc_id, source,
-        CASE WHEN ${dk60("'split:r7:' || source")} % 1000000 < 800000 THEN 'train'
-             WHEN ${dk60("'split:r7:' || source")} % 1000000 < 900000 THEN 'valid'
+        CASE WHEN ${dk60("'split:r7:' || coalesce(source, '<graft-null-key>')")} % 1000000 < 800000 THEN 'train'
+             WHEN ${dk60("'split:r7:' || coalesce(source, '<graft-null-key>')")} % 1000000 < 900000 THEN 'valid'
              ELSE 'test' END AS split
       FROM documents""",
 

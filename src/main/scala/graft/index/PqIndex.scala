@@ -165,18 +165,25 @@ object PqIndex {
              metric: String = "cosine", idCol: String = "vec_id",
              roundScale: Int = 4,
              exposeInternals: Boolean = false): DataFrame = {
-    val coded = docs.withColumn("pq_codes",
+    // Working columns use collision-proof __ names so a docs frame that
+    // legitimately carries a `pq_codes`/`adc_micros` column is never
+    // overwritten or silently dropped; the public names appear only in
+    // the exposeInternals verification schema (renamed at the end).
+    val coded = docs.withColumn("__pq_codes",
       model.encodeCol(col(vecCol), roundScale))
     val cand = coded
-      .withColumn("adc_micros", model.adcMicrosCol(col("pq_codes"), query, roundScale))
-      .orderBy(col("adc_micros"), col(idCol))
+      .withColumn("__adc_micros", model.adcMicrosCol(col("__pq_codes"), query, roundScale))
+      .orderBy(col("__adc_micros"), col(idCol))
       .limit(candidates)
     val ranked = VectorIndex.topK(cand, vecCol, query, k, metric,
       scoreCol = "score", tieBreak = Seq(idCol), roundScale = roundScale)
     // Internal working columns must not leak into the result schema by
     // default (callers write these frames out). exposeInternals keeps
     // them for verification harnesses that hash-check the ADC math.
-    if (exposeInternals) ranked else ranked.drop("pq_codes", "adc_micros")
+    if (exposeInternals)
+      ranked.withColumnRenamed("__pq_codes", "pq_codes")
+        .withColumnRenamed("__adc_micros", "adc_micros")
+    else ranked.drop("__pq_codes", "__adc_micros")
   }
 
   /** IVF×PQ composition — FAISS IndexIVFPQ, Spark-first: the coarse

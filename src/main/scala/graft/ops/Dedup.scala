@@ -863,9 +863,21 @@ object Dedup {
     // quality keeps its NATIVE type (long n_chars, double LM score, ...):
     // struct ordering is defined for any orderable type, and a cast to
     // long would silently truncate fractional scores into spurious ties.
+    // NaN scores (e.g. a 0/0 LM score) would order ABOVE every real
+    // double in struct ordering and silently win the cluster — null them
+    // out instead: null fields order lowest, so a NaN-scored member can
+    // only be keeper when the whole cluster is NaN (best_<q> then null).
+    val isFloating = docs.schema(qualityCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
+    val qExpr =
+      if (isFloating) when(isnan(col(qualityCol)), lit(null)).otherwise(col(qualityCol))
+      else col(qualityCol)
     val members = components
       .join(docs.select(col(idCol).cast("long").as("node"),
-        col(qualityCol).as("__q")), "node")
+        qExpr.as("__q")), "node")
     members.groupBy("component")
       .agg(count(lit(1)).as("cluster_size"),
         max(struct(col("__q"), (-col("node")).as("__negid"))).as("__m"))

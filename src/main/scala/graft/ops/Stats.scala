@@ -107,15 +107,27 @@ object Stats {
     *
     * Scale shape: one grouped percentile aggregate (one row per group)
     * broadcast back onto the scan; the filter itself is a narrow
-    * projection — same plan family as [[iqrOutliers]]. */
+    * projection — same plan family as [[iqrOutliers]].
+    *
+    * NULL values: by default (`keepNullValues = false`) rows whose
+    * `valueCol` is null are DROPPED — `null >= thr` is null — and the
+    * percentile ignores them, so a null-rate regression in the quality
+    * score silently shrinks the corpus. If the score can legitimately be
+    * null (scorer outage, new unscored docs), pass
+    * `keepNullValues = true` to route those rows through the gate
+    * unfiltered (their `thr` is still attached for downstream triage),
+    * or monitor the null rate separately with [[profile]] /
+    * [[graft.ops.Drift]] (which gives nulls their own bucket). */
   def keepAboveQuantile(df: DataFrame, groupCols: Seq[String],
                         valueCol: String, q: Double,
-                        roundScale: Int = 4): DataFrame = {
+                        roundScale: Int = 4,
+                        keepNullValues: Boolean = false): DataFrame = {
     require(q > 0.0 && q < 1.0, s"quantile out of (0,1): $q")
     val thr = df.groupBy(groupCols.map(col): _*)
       .agg(round(expr(s"percentile(`$valueCol`, $q)"), roundScale).as("thr"))
+    val pass = col(valueCol).cast("double") >= col("thr")
     joinGroupsNullSafe(df, thr, groupCols)
-      .where(col(valueCol).cast("double") >= col("thr"))
+      .where(if (keepNullValues) col(valueCol).isNull || pass else pass)
   }
 
   /** Numeric column profile — the observability pass next to the

@@ -89,6 +89,12 @@ final class DocumentStore private (
   // the pinned manifest inside such an operation, the live pointer
   // otherwise. Mutations never pin: they hold mutationLock and must see
   // the live pointer.
+  // CAVEAT: pinning gives version-CONSISTENCY, not retention. With
+  // keepVersions=1 (the default) a concurrent mutation prunes the
+  // pinned version's dirs right after its pointer swap, so the pinned
+  // reader can still crash loudly with FileNotFound mid-operation.
+  // Concurrent async mutation + read requires keepVersions >= 2
+  // (see StoreConfig.keepVersions).
   private val pinnedSnapshot = new ThreadLocal[StoreManifest]
   private def snap: StoreManifest = {
     val p = pinnedSnapshot.get(); if (p != null) p else manifest

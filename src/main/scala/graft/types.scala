@@ -65,6 +65,14 @@ final case class StoreConfig(
     dim: Int = 64,
     nlist: Int = 0,
     nprobe: Int = 8,
+    // Snapshot versions retained behind the live pointer (MVCC grace for
+    // readers pinned to an older version). With the default 1, the
+    // retention sweep deletes the just-replaced version dir immediately
+    // after the pointer swap — a reader pinned concurrently with an
+    // async mutation can then fail loudly with FileNotFound
+    // mid-operation (never wrong rows). Concurrent async mutation +
+    // read REQUIRES keepVersions >= 2; keep 1 only for single-writer,
+    // no-overlapping-reads usage.
     keepVersions: Int = 1,
     // False-positive rate for the persisted ingest-dedup Bloom filter
     // (~1.2 bytes/doc at 0.01, driver/broadcast-resident). 0 disables —

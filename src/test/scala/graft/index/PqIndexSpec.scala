@@ -67,6 +67,22 @@ class PqIndexSpec extends SparkSpec {
     assert(tight.length == 2)
   }
 
+  test("search: caller columns named pq_codes/adc_micros survive (collision-proof internals)") {
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val withClash = docs
+      .withColumn("pq_codes", org.apache.spark.sql.functions.lit("mine"))
+      .withColumn("adc_micros", org.apache.spark.sql.functions.lit(-1L))
+    val out = PqIndex.search(withClash, "vec", model, q, k = 3, candidates = 10)
+    // the caller's columns are untouched, not overwritten or dropped
+    assert(out.columns.count(_ == "pq_codes") == 1)
+    assert(out.select("pq_codes").as[String].collect().forall(_ == "mine"))
+    assert(out.select("adc_micros").as[Long].collect().forall(_ == -1L))
+    // and the ranking itself is unchanged by the clash
+    val clean = PqIndex.search(docs, "vec", model, q, k = 3, candidates = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out.select("vec_id").as[Long].collect().toSeq == clean)
+  }
+
   test("fit: rectangular codebooks, valid codes, near-zero quantization error on separated clusters") {
     // Two tight clusters per subspace -> k-means recovers them, and the
     // reconstruction error of every point is far below the

@@ -442,4 +442,19 @@ class DedupSpec extends SparkSpec {
     // a long cast would truncate both to 0, tie, and pick doc 1
     assert(r.getDouble(2) == 0.87 && r.getLong(3) == 2L, r.toString)
   }
+
+  test("bestRepresentative never crowns a NaN-scored member over a real score") {
+    import spark.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L), (10L, 9L))
+      .toDF("node", "component")
+    val docs = Seq(
+      (1L, 0.4), (2L, Double.NaN), (3L, 0.6), // NaN would out-order 0.6 raw
+      (9L, Double.NaN), (10L, Double.NaN))    // all-NaN cluster -> null best
+      .toDF("doc_id", "lm")
+    val rows = Dedup.bestRepresentative(comps, docs, "doc_id", "lm")
+      .orderBy("component").collect()
+    assert(rows(0).getDouble(2) == 0.6 && rows(0).getLong(3) == 3L, rows(0).toString)
+    // whole cluster NaN: best is null, keeper still deterministic (smallest id)
+    assert(rows(1).isNullAt(2) && rows(1).getLong(3) == 9L, rows(1).toString)
+  }
 }

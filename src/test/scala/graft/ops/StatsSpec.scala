@@ -100,4 +100,21 @@ class StatsSpec extends SparkSpec {
       Stats.keepAboveQuantile(df, Seq("grp"), "value", q = 1.0)
     }
   }
+
+  test("keepAboveQuantile null scores: dropped by default, routed through with keepNullValues") {
+    import spark.implicits._
+    val df = Seq((1L, "a", Some(1.0)), (2L, "a", Some(2.0)),
+      (3L, "a", Some(3.0)), (4L, "a", None), (5L, "a", None))
+      .toDF("id", "grp", "value")
+    // default: nulls silently dropped AND ignored by the percentile
+    val dropped = Stats.keepAboveQuantile(df, Seq("grp"), "value", q = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(dropped == Seq(2L, 3L), s"got $dropped")
+    // keepNullValues: null-scored rows pass through with thr attached
+    val kept = Stats.keepAboveQuantile(df, Seq("grp"), "value", q = 0.5,
+      keepNullValues = true)
+    val ids = kept.select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(2L, 3L, 4L, 5L), s"got $ids")
+    assert(kept.where($"id" === 4L).select("thr").head().getDouble(0) == 2.0)
+  }
 }
