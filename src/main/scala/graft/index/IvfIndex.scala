@@ -121,27 +121,56 @@ object IvfIndex {
     } finally { prepared.unpersist(); () }
   }
 
-  private val modelCache = scala.collection.concurrent.TrieMap.empty[String, Model]
+  // (logical key, data version) -> model. Versioned so mutable stores
+  // get correctness by construction: a mutation bumps the version, the
+  // next read misses, and the stale entry for the SAME logical key is
+  // evicted on insert (bounded memory over any number of mutations).
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Model]
+
+  /** Memoize an arbitrary model load/build under (key, version) —
+    * [[fitCached]] for k-means fits, DocumentStore's persisted-centroid
+    * read for versioned stores. Inserting version v drops every OTHER
+    * version cached under the same logical key, so the cache holds at
+    * most one model per key. */
+  def modelCached(key: String, version: Long)(load: => Model): Model =
+    modelCache.get((key, version)).getOrElse {
+      val m = modelCache.getOrElseUpdate((key, version), load)
+      modelCache.keys.foreach { case k @ (k1, v) =>
+        if (k1 == key && v != version) modelCache.remove(k)
+      }
+      m
+    }
 
   /** Build-once/search-many: the reference trains IVF at ingest and
     * reuses it for every search (index.py:239-291); `fitCached` is that
     * lifecycle for callers that address a store by key (e.g. its path).
     *
-    * NOTE the cache key carries no data-version component: entries are
-    * correct only for IMMUTABLE inputs (benchmark/test corpora — its
-    * use in this repo). For a mutable store, key by (path, version) or
-    * call [[invalidateCached]] after every mutation. */
+    * `version` is the DATA version of whatever `key` addresses: pass
+    * the store's snapshot version for mutable inputs and staleness is
+    * impossible by construction — a mutation bumps the version, the
+    * cache misses, and the old entry is evicted. The default 0 is for
+    * genuinely immutable inputs (benchmark/test corpora); for those,
+    * [[invalidateCached]] remains as the manual hatch. */
   def fitCached(key: String, df: => DataFrame, vecCol: String, nlist: Int,
                 seed: Long = 42L, maxIter: Int = 20,
                 initMode: String = "k-means||", fitFraction: Double = 1.0,
-                fitPartitions: Int = 0): Model =
-    modelCache.getOrElseUpdate(s"$key|$vecCol|$nlist|$seed|$maxIter|$initMode|$fitFraction|$fitPartitions",
+                fitPartitions: Int = 0, version: Long = 0L): Model =
+    modelCached(s"$key|$vecCol|$nlist|$seed|$maxIter|$initMode|$fitFraction|$fitPartitions",
+      version)(
       fit(df, vecCol, nlist, seed, maxIter, initMode, fitFraction, fitPartitions))
 
-  /** Drop every cached model whose key starts with `keyPrefix` — call
-    * after mutating the data a [[fitCached]] key addresses. */
+  /** Drop every cached model whose logical key starts with `keyPrefix`
+    * — the manual hatch for unversioned (version = 0) [[fitCached]]
+    * callers that mutate their data in place. */
   def invalidateCached(keyPrefix: String): Unit =
-    modelCache.keys.filter(_.startsWith(keyPrefix)).foreach(modelCache.remove)
+    modelCache.keys.filter(_._1.startsWith(keyPrefix)).foreach(modelCache.remove)
+
+  /** The version currently cached under `key` (None if not cached) —
+    * observability for tests/ops: lets a caller assert the cache tracks
+    * its data version without exposing the model map. */
+  def cachedVersion(key: String): Option[Long] =
+    modelCache.keys.collectFirst { case (k, v) if k == key => v }
 
   /** The reference's IVF activation gate: IVF only pays off with
     * >= 30·nlist points (index.py:152-166, config.py:125-129). */

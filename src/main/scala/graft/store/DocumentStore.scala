@@ -647,12 +647,19 @@ final class DocumentStore private (
         col("category"), col("score"), lit("essential").as("metadata_type"))
   }
 
+  // Centroids are persisted per snapshot version, so the in-memory copy
+  // is memoized under (path, version): search-many pays the parquet
+  // read + collect once per snapshot instead of once per query, and a
+  // mutation (version bump) gets fresh centroids with NO manual
+  // invalidation — the versioned key IS the invalidation.
   private def loadCentroids(): Option[IvfIndex.Model] =
     if (snap.nlist > 0) {
-      val rows = spark.read.parquet(centroidsDir(snap.version))
-        .orderBy("cluster").collect()
-      Some(IvfIndex.Model(rows.map(r =>
-        r.getSeq[Double](r.fieldIndex("centroid")).toIndexedSeq).toIndexedSeq))
+      Some(IvfIndex.modelCached(s"$path#centroids", snap.version) {
+        val rows = spark.read.parquet(centroidsDir(snap.version))
+          .orderBy("cluster").collect()
+        IvfIndex.Model(rows.map(r =>
+          r.getSeq[Double](r.fieldIndex("centroid")).toIndexedSeq).toIndexedSeq)
+      })
     } else None
 
   /** Search-space DataFrame for a query vector: IVF-pruned (nprobe

@@ -443,6 +443,33 @@ class DocumentStoreSpec extends SparkSpec {
     assert(inc.getDocumentById(4L).map(_.text).contains(texts(4)))
   }
 
+  test("mutate-then-search refreshes centroids with NO manual invalidation (versioned cache)") {
+    import graft.index.IvfIndex
+    val many = (0 until 150).map(i => s"document $i in family ${i % 5}")
+    val dir = tmp()
+    val store = DocumentStore.fromTexts(spark, dir, many, Nil,
+      StoreConfig(nlist = 4, nprobe = 4), emb)
+    assert(store.currentManifest.nlist > 0)
+    val key = s"$dir#centroids"
+    // first search populates the versioned centroid cache at v1
+    assert(store.similaritySearch("document 7 in family 2", k = 1)
+      .select("text").head.getString(0) == "document 7 in family 2")
+    assert(IvfIndex.cachedVersion(key).contains(store.currentManifest.version))
+    val v1 = store.currentManifest.version
+    // mutate: snapshot rewrite re-fits centroids and bumps the version
+    store.deleteWhere(org.apache.spark.sql.functions.col("text")
+      .endsWith("family 4"))
+    assert(store.currentManifest.version > v1)
+    // search after the mutation: correct result AND the cache rolled
+    // to the new version by itself — the versioned key is the
+    // invalidation, nobody called invalidateCached
+    assert(store.similaritySearch("document 7 in family 2", k = 1)
+      .select("text").head.getString(0) == "document 7 in family 2")
+    assert(IvfIndex.cachedVersion(key).contains(store.currentManifest.version))
+    // the stale v1 entry was evicted on insert (bounded memory)
+    assert(IvfIndex.cachedVersion(key).get != v1)
+  }
+
   test("incremental append on an IVF store assigns existing centroids (no re-fit)") {
     import spark.implicits._
     val many = (0 until 120).map(i => s"doc number $i about topic ${i % 6}")
