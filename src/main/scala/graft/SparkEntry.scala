@@ -2078,6 +2078,26 @@ object SparkEntry {
   }
   private val MaxsimQuery = "spark stream join"
 
+  /** Late-interaction retrieval through the STORE surface: build a
+    * multi-vector DocumentStore (persisted chunk table, q_bm25_index's
+    * build-per-run cost profile), then searchMaxSim — the same
+    * best-chunk semantics as [[qMaxsim]] but over persisted chunks with
+    * the payload-enrichment path. Store ids are dense ingest-order ids
+    * over the exact-text-deduped corpus (first occurrence by doc_id
+    * wins), which the oracle reproduces with min(doc_id)/row_number. */
+  private def qMaxsimStore(s: SparkSession, dir: String): DataFrame = {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_maxsim_store_" +
+      Integer.toHexString(dir.hashCode)
+    val staged = table(s, dir, "documents").orderBy("doc_id")
+      .select(col("text"),
+        map(lit("src"), coalesce(col("source"), lit(""))).as("metadata"))
+    val store = graft.store.DocumentStore.fromDF(s, idx, staged,
+      graft.StoreConfig(chunkSize = 32, chunkOverlap = 8,
+        dedupBloomFpp = 0.0), embedder)
+    store.searchMaxSim(MaxsimQuery, k = 10)
+      .select(col("doc_id"), col("similarity"), col("n_chunks"))
+  }
+
   private def qMeanPool(s: SparkSession, dir: String): DataFrame = {
     val chunked = table(s, dir, "documents").select(col("doc_id"),
       explode(graft.functions.TextFunctions.chunks(col("text"), 32, 8)).as("chunk"))
@@ -2191,6 +2211,7 @@ object SparkEntry {
       "q_retrieval_metrics"   -> (qRetrievalMetrics _),
       "q_quality_topfrac"     -> (qQualityTopFrac _),
       "q_maxsim"              -> (qMaxsim _),
+      "q_maxsim_store"        -> (qMaxsimStore _),
       "q_normalize_text"      -> (qNormalizeText _),
       "q_keywords"            -> (qKeywords _),
       "q_lm_score"            -> (qLmScore _),
@@ -3901,6 +3922,39 @@ object SparkEntry {
       SELECT doc_id, max(s) AS score, CAST(count(*) AS BIGINT) AS n_chunks
       FROM cs GROUP BY doc_id
       ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // Store-surface max-sim: the same chunk-embed twin, but over the
+    // STORE's view of the corpus — exact-text dedup (first occurrence
+    // by doc_id wins) then dense ingest-order ids, which is what
+    // DocumentStore.fromDF(orderBy doc_id) persists. doc_id here is
+    // the STORE id, not the source doc_id.
+    "q_maxsim_store" -> s"""
+      WITH keep AS (SELECT text, min(doc_id) AS src_id FROM documents GROUP BY text),
+      ids AS (SELECT row_number() OVER (ORDER BY src_id) - 1 AS doc_id, text FROM keep),
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ids),
+      nn AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+      c AS (SELECT doc_id, toks,
+              CASE WHEN n <= 32 THEN 1
+                   ELSE CAST(floor(CAST(n - 32 + 23 AS DOUBLE) / 24) AS BIGINT) + 1 END AS nchunks
+            FROM nn),
+      u AS (SELECT doc_id,
+              array_to_string(toks[(CAST(i AS INT) * 24 + 1):(CAST(i AS INT) * 24 + 32)], ' ') AS chunk
+            FROM (SELECT doc_id, toks, unnest(range(0, nchunks)) AS i FROM c)),
+      raw AS (SELECT doc_id, list_transform(range(0, 64), j ->
+                CAST(${dk60("CAST(j AS VARCHAR) || ':' || chunk")} % 2000001 AS DOUBLE) / 1000000.0 - 1.0) AS r
+              FROM u),
+      vn AS (SELECT doc_id,
+               list_transform(r, x -> x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS v
+             FROM raw),
+      qraw AS (SELECT list_transform(range(0, 64), j ->
+                 CAST(${dk60("CAST(j AS VARCHAR) || ':spark stream join'")} % 2000001 AS DOUBLE) / 1000000.0 - 1.0) AS r),
+      q AS (SELECT list_transform(r, x -> x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS v
+            FROM qraw),
+      cs AS (SELECT doc_id, round(list_cosine_similarity(vn.v, q.v), 4) AS s
+             FROM vn, q)
+      SELECT doc_id, max(s) AS similarity, CAST(count(*) AS BIGINT) AS n_chunks
+      FROM cs GROUP BY doc_id
+      ORDER BY similarity DESC, doc_id LIMIT 10""",
 
     "q_mean_pool" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

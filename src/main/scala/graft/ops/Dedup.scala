@@ -87,6 +87,17 @@ object Dedup {
         max(col("a.n_sh")).as("n_a"), max(col("b.n_sh")).as("n_b"))
   }
 
+  /** Diagnostic surface: the CANDIDATE pairs the shingle equi-join
+    * produces before any threshold — (id_a, id_b, common, n_a, n_b).
+    * `candidatePairs(...).count()` is the number that explodes
+    * quadratically on a hot shingle (df d contributes ~d²/2 joined
+    * rows) and is what the `maxShingleFreq` cap bounds; SkewSpec pins
+    * the naive-vs-capped-vs-prefix counts on a Zipf-skewed corpus. */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3,
+                     maxShingleFreq: Option[Long] = None): DataFrame =
+    shinglePairCounts(df, idCol, textCol, n, maxShingleFreq)
+
   /** Exact n-gram CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥ threshold.
     * The asymmetric near-dup signal Jaccard misses — a short document
     * wholly embedded in a long one scores containment ≈ 1 while its
@@ -136,9 +147,35 @@ object Dedup {
     * only lengthens the prefix (more candidates, never a miss). */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val withSh = df.select(col(idCol).as("id"),
       TextFunctions.shingles(col(textCol), n).as("shs"))
+    val cand = prefixCandidatesOf(withSh, threshold)
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("shs").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("shs").as("sh_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The prefix-filtered candidate stage of [[prefixJaccardPairs]]:
+    * (id_a, id_b, n_a, n_b) pairs colliding within their
+    * rarest-shingle prefixes. Split out so SkewSpec/SkewBench can pin
+    * HOW MANY candidates prefix filtering admits vs the naive
+    * equi-join on a skewed corpus — the number the PPJoin principle
+    * exists to bound. */
+  def prefixCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.5): DataFrame =
+    prefixCandidatesOf(
+      df.select(col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), n).as("shs")), threshold)
+
+  private def prefixCandidatesOf(withSh: DataFrame,
+                                 threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = withSh.select(col("id"), size(col("shs")).as("n_sh"),
       explode(col("shs")).as("sh"))
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -149,20 +186,11 @@ object Dedup {
         Window.partitionBy("id").orderBy(col("df"), col("sh"))))
       .where(col("rn") <= prefixLen)
       .select("id", "n_sh", "sh")
-    val cand = prefix.as("a").join(prefix.as("b"),
+    prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("a.n_sh").as("n_a"),
         col("b.id").as("id_b"), col("b.n_sh").as("n_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
-      .join(withSh.select(col("id").as("id_a"), col("shs").as("sh_a")), "id_a")
-      .join(withSh.select(col("id").as("id_b"), col("shs").as("sh_b")), "id_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        round(col("common").cast("double") /
-          (col("n_a") + col("n_b") - col("common")).cast("double"), 4))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** MinHash + LSH banding near-dup detection: signature of `numHashes`

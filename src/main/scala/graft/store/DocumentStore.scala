@@ -77,6 +77,7 @@ final class DocumentStore private (
   private def bloomPath(v: Long) = s"${versionDir(v)}/dedup_bloom.bin"
   private def lexicalDir(v: Long) = s"${versionDir(v)}/lexical"
   private def pqDir(v: Long) = s"${versionDir(v)}/pq"
+  private def chunksDir(v: Long) = s"${versionDir(v)}/chunks"
 
   // --- snapshot pinning for multi-step reads -------------------------
   // A read operation that touches the store more than once (hits +
@@ -111,6 +112,14 @@ final class DocumentStore private (
 
   /** Current full-fidelity payload store. */
   def payload: DataFrame = spark.read.parquet(payloadDir(snap.version))
+
+  /** Current chunk table (multi-vector mode only): (id, vec[, cluster])
+    * — one row per chunkSize-token window of each document. */
+  def chunkVectors: DataFrame = {
+    if (snap.chunkSize <= 0) throw new SearchException(
+      "store is not multi-vector: build with StoreConfig.chunkSize > 0")
+    spark.read.parquet(chunksDir(snap.version))
+  }
 
   /** Time-travel read: the essential store AS OF snapshot `version`,
     * readable for any version still retained by
@@ -201,6 +210,18 @@ final class DocumentStore private (
 
   private def essentialProjection(base: DataFrame): DataFrame =
     base.select("id", "text", "source", "category", "metadata_hash", "vec")
+
+  /** Derive the chunk table rows for multi-vector mode: every document
+    * split into chunkSize-token windows (chunkOverlap overlap), each
+    * window embedded with the SAME embedder as the doc vector. Narrow
+    * explode + map — no shuffle; null-text docs produce no chunks
+    * (their doc vector is null too, so search behavior is consistent). */
+  private def chunkRows(docs: DataFrame): DataFrame = {
+    val chunked = docs.select(col("id"), explode(
+      graft.functions.TextFunctions.chunks(
+        col("text"), config.chunkSize, config.chunkOverlap)).as("__chunk"))
+    embedder.embed(chunked, "__chunk", "vec").select(col("id"), col("vec"))
+  }
 
   private def payloadProjection(base: DataFrame): DataFrame =
     base.select(col("id").as("doc_id"), col("text"), col("metadata"),
@@ -351,6 +372,19 @@ final class DocumentStore private (
           case None =>
             added.write.mode("append").parquet(essentialDir(manifest.version))
         }
+        // Multi-vector mode: O(batch) chunk append, matching the chunk
+        // table's layout (clustered iff the store is clustered).
+        if (manifest.chunkSize > 0) {
+          val ch = chunkRows(added)
+          loadCentroids() match {
+            case Some(model) =>
+              ch.withColumn("cluster", model.assignCol(col("vec")))
+                .write.mode("append").partitionBy("cluster")
+                .parquet(chunksDir(manifest.version))
+            case None =>
+              ch.write.mode("append").parquet(chunksDir(manifest.version))
+          }
+        }
         manifest = manifest.copy(count = offset + nNew)
         writeManifest(spark, path, manifest)
       }
@@ -376,8 +410,10 @@ final class DocumentStore private (
     val count = ess.count()
 
     var nlistUsed = 0
+    var modelOpt: Option[IvfIndex.Model] = None
     if (IvfIndex.shouldUseIvf(config.nlist, count)) {
       val model = IvfIndex.fit(ess, "vec", config.nlist)
+      modelOpt = Some(model)
       nlistUsed = model.nlist
       // Within each cluster partition, sort by id so point lookups still
       // prune row groups on the id min/max statistics.
@@ -411,9 +447,29 @@ final class DocumentStore private (
       // is bit-compatible (see addDFIncremental).
       writeBloomMeta(v, expected, config.dedupBloomFpp)
     }
+    // Multi-vector mode: the chunk table is DERIVED state (chunk +
+    // embed over the essential text), so every snapshot write rebuilds
+    // it — deletes/upserts/compaction stay correct for free, at the
+    // same O(corpus) cost the snapshot rewrite already pays. Chunks are
+    // partitioned by the DOC-level coarse quantizer when IVF is active
+    // (chunk vectors live in the same metric space), which is what
+    // makes searchMaxSim's nprobe pruning file-level.
+    if (config.chunkSize > 0) {
+      val ch = chunkRows(ess)
+      modelOpt match {
+        case Some(model) =>
+          ch.withColumn("cluster", model.assignCol(col("vec")))
+            .sortWithinPartitions("cluster", "id")
+            .write.mode("overwrite").partitionBy("cluster").parquet(chunksDir(v))
+        case None =>
+          ch.write.mode("overwrite").parquet(chunksDir(v))
+      }
+    }
     ess.unpersist()
 
-    manifest = StoreManifest(v, embedder.dim, config.metric, count, nlistUsed)
+    manifest = StoreManifest(v, embedder.dim, config.metric, count, nlistUsed,
+      chunkSize = config.chunkSize,
+      chunkOverlap = if (config.chunkSize > 0) config.chunkOverlap else 0)
     writeManifest(spark, path, manifest)
     // Snapshot retention: keep the last `keepVersions` versions so
     // readers holding an older snapshot (a long job planned against
@@ -645,6 +701,52 @@ final class DocumentStore private (
       .orderBy(col("score").desc, col("id"))
       .select(col("id").as("doc_id"), col("text"), col("source"),
         col("category"), col("score"), lit("essential").as("metadata_type"))
+  }
+
+  /** Late-interaction (ColBERT-style max-sim) top-k over the persisted
+    * chunk table: a document scores as its BEST chunk against the
+    * query, so long documents whose relevant passage is buried are
+    * found where single-vector pooling dilutes them. Multi-vector mode
+    * only (StoreConfig.chunkSize > 0).
+    *
+    * Composition mirrors [[hybridSearch]]'s building blocks: the
+    * IVF-prunable chunk space (nprobe nearest clusters of the DOC-level
+    * coarse quantizer → partition pruning on the chunk table) →
+    * [[graft.index.VectorIndex.maxSimTopK]] (per-doc best-chunk partial
+    * aggregate + TakeOrdered, no window, no join) → k-row payload
+    * enrichment ([[searchLexical]]'s broadcast shape). Returns
+    * (doc_id, text, source, category, similarity, n_chunks,
+    * metadata_type); `n_chunks` is the doc's chunk count in the scored
+    * space. */
+  def searchMaxSim(query: String, k: Int = 4,
+                   includeFullMetadata: Boolean = false): DataFrame = withSnapshot {
+    if (snap.count == 0) throw new SearchException("store is empty or not built")
+    if (snap.chunkSize <= 0) throw new SearchException(
+      "store is not multi-vector: build with StoreConfig.chunkSize > 0")
+    val qv = embedder.embedQuery(query)
+    val chunks = spark.read.parquet(chunksDir(snap.version))
+    val space = loadCentroids() match {
+      case Some(model) =>
+        val probes = model.nearestCentroids(qv.toSeq, config.nprobe)
+        chunks.where(col("cluster").isin(probes: _*))
+      case None => chunks
+    }
+    val hits = VectorIndex.maxSimTopK(space, "id", "vec", qv.toSeq, k,
+        config.metric)
+      .withColumnRenamed("score", "similarity")
+      .collect()
+    import spark.implicits._
+    val hitsDf = hits.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toSeq.toDF("id", "similarity", "n_chunks")
+    val matching = essential
+      .where(col("id").isin(hits.map(_.getLong(0)): _*))
+      .select(col("id"), col("text"), col("source"), col("category"))
+    val enriched = hitsDf.join(broadcast(matching), Seq("id"), "left")
+      .orderBy(VectorIndex.ranking(config.metric, "similarity", Seq("id")): _*)
+      .select(col("id").as("doc_id"), col("text"), col("source"),
+        col("category"), col("similarity"), col("n_chunks"),
+        lit("essential").as("metadata_type"))
+    if (includeFullMetadata) enhanceWithFullMetadata(enriched) else enriched
   }
 
   // Centroids are persisted per snapshot version, so the in-memory copy
@@ -1162,9 +1264,12 @@ object DocumentStore {
     // Restore STORED index parameters, not the caller's defaults: a
     // reloaded IVF store whose config said nlist=0 would silently write
     // its next snapshot flat (searches keep working off manifest.nlist,
-    // which makes the clustering loss invisible until it's gone).
+    // which makes the clustering loss invisible until it's gone). Same
+    // for multi-vector mode: a reloaded chunked store must keep writing
+    // its chunk table on mutation.
     new DocumentStore(spark, path,
-      config.copy(metric = m.metric, nlist = m.nlist.toInt), embedder)
+      config.copy(metric = m.metric, nlist = m.nlist.toInt,
+        chunkSize = m.chunkSize, chunkOverlap = m.chunkOverlap), embedder)
   }
 
   // ---------------- manifest + fs helpers ----------------
@@ -1210,19 +1315,26 @@ object DocumentStore {
   }
 
   private[store] def renderManifest(m: StoreManifest): String =
-    s"""{"version":${m.version},"dim":${m.dim},"metric":"${m.metric}","count":${m.count},"nlist":${m.nlist}}"""
+    s"""{"version":${m.version},"dim":${m.dim},"metric":"${m.metric}","count":${m.count},"nlist":${m.nlist},"chunk_size":${m.chunkSize},"chunk_overlap":${m.chunkOverlap}}"""
 
   private[store] def parseManifest(s: String): StoreManifest = {
     def longOf(k: String): Long =
       s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s)
         .map(_.group(1).toLong)
         .getOrElse(throw new StorageException(s"manifest missing $k: $s"))
+    // Lenient: manifests written before multi-vector mode existed have
+    // no chunk fields — they are single-vector stores (0).
+    def longOr0(k: String): Long =
+      s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong).getOrElse(0L)
     def strOf(k: String): String =
       s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(s)
         .map(_.group(1))
         .getOrElse(throw new StorageException(s"manifest missing $k: $s"))
     StoreManifest(longOf("version"), longOf("dim").toInt, strOf("metric"),
-      longOf("count"), longOf("nlist").toInt)
+      longOf("count"), longOf("nlist").toInt,
+      chunkSize = longOr0("chunk_size").toInt,
+      chunkOverlap = longOr0("chunk_overlap").toInt)
   }
 
   private[store] def deleteDir(spark: SparkSession, dir: String): Unit = {

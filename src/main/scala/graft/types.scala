@@ -78,11 +78,21 @@ final case class StoreConfig(
     // (~1.2 bytes/doc at 0.01, driver/broadcast-resident). 0 disables —
     // ingest dedup then always pays the full anti-join against the
     // store.
-    dedupBloomFpp: Double = 0.01) {
+    dedupBloomFpp: Double = 0.01,
+    // Multi-vector (late-interaction) mode: chunkSize > 0 additionally
+    // persists a chunk table per snapshot — every document split into
+    // chunkSize-token windows with chunkOverlap-token overlap, each
+    // chunk embedded — serving DocumentStore.searchMaxSim (ColBERT-
+    // style max-sim over a doc's best chunk). 0 = single-vector only.
+    chunkSize: Int = 0,
+    chunkOverlap: Int = 8) {
   require(Set("cosine", "ip", "l2")(metric), s"bad metric $metric")
   require(keepVersions >= 1, "keepVersions must be >= 1")
   require(dedupBloomFpp >= 0.0 && dedupBloomFpp < 1.0,
     "dedupBloomFpp must be in [0, 1)")
+  require(chunkSize >= 0, "chunkSize must be >= 0")
+  require(chunkSize == 0 || (chunkOverlap >= 0 && chunkOverlap < chunkSize),
+    "chunkOverlap must be in [0, chunkSize)")
 }
 
 /** Persisted store manifest (replaces index.faiss + metadata.json
@@ -94,4 +104,9 @@ final case class StoreManifest(
     metric: String,
     count: Long,
     nlist: Int,
-    centroids: Seq[Seq[Double]] = Nil)
+    centroids: Seq[Seq[Double]] = Nil,
+    // Multi-vector mode persisted with the store (like nlist), so a
+    // load() restores chunked search without the caller re-specifying
+    // it. 0 = single-vector store.
+    chunkSize: Int = 0,
+    chunkOverlap: Int = 0)

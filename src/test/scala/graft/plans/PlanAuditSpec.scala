@@ -40,7 +40,9 @@ class PlanAuditSpec extends SparkSpec {
     // round-7 additions: the new pipeline gates must hold the same bar
     "q_dedup_best", "q_url_dedup", "q_split_groups", "q_drift_psi",
     "q_dedup_boilerplate", "q_retrieval_metrics", "q_quality_topfrac",
-    "q_maxsim", "q_normalize_text")
+    "q_maxsim", "q_normalize_text",
+    // round-8: store-surface late interaction (build + search per run)
+    "q_maxsim_store")
 
   for (name <- expensive)
     test(s"$name plan has no scale-killing shape") {

@@ -443,6 +443,58 @@ class DocumentStoreSpec extends SparkSpec {
     assert(inc.getDocumentById(4L).map(_.text).contains(texts(4)))
   }
 
+  test("searchMaxSim: multi-vector store finds the buried passage, survives mutation and reload") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val q = "quick brown fox jumps high"
+    // 40 filler tokens, then the query phrase ALIGNED on a chunk
+    // boundary (chunkSize 5, overlap 0): doc 0's last chunk IS the
+    // query text, so its hash embedding matches with cosine 1.0 —
+    // the buried passage a single doc vector would dilute away.
+    val filler = (0 until 40).map(i => s"filler$i").mkString(" ")
+    val docsTx = Seq(
+      s"$filler $q",
+      "completely unrelated words about cooking pasta tonight",
+      "another document mentioning fox briefly " + (0 until 30).map(i => s"pad$i").mkString(" "))
+    val dir = tmp()
+    val store = DocumentStore.fromTexts(spark, dir, docsTx, Nil,
+      StoreConfig(chunkSize = 5, chunkOverlap = 0), emb)
+    // chunk table exists and has more rows than docs
+    assert(store.chunkVectors.count() > 3)
+    val hits = store.searchMaxSim(q, k = 2)
+    val cols = Seq("doc_id", "text", "source", "category", "similarity",
+      "n_chunks", "metadata_type")
+    assert(hits.columns.toSeq == cols)
+    val top = hits.collect()
+    assert(top.length == 2)
+    // the buried-passage doc wins with an exact-chunk match
+    assert(top(0).getAs[Long]("doc_id") == 0L, top(0).toString)
+    assert(top(0).getAs[Double]("similarity") == 1.0, top(0).toString)
+    assert(top(0).getAs[Long]("n_chunks") == 9L, top(0).toString)
+    // parity with the index-level op over scan-derived chunks
+    def direct(k: Int) = graft.index.VectorIndex.maxSimTopK(
+      emb.embed(store.essential.select(col("id"), explode(
+        graft.functions.TextFunctions.chunks(col("text"), 5, 0)).as("c")),
+        "c", "v"), "id", "v", emb.embedQuery(q).toSeq, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Double]("similarity"))).toSeq == direct(2))
+    // mutation rebuilds the chunk table: doc 0 gone, ids recompacted,
+    // and the store result still tracks a fresh scan-time recompute
+    store.deleteByIds(Seq(0L))
+    val after = store.searchMaxSim(q, k = 1).collect()
+    assert(after.head.getAs[Double]("similarity") < 1.0)
+    assert((after.head.getAs[Long]("doc_id"),
+      after.head.getAs[Double]("similarity")) == direct(1).head)
+    // reload restores multi-vector mode from the manifest alone
+    val reloaded = DocumentStore.load(spark, dir, emb)
+    assert(reloaded.config.chunkSize == 5 && reloaded.config.chunkOverlap == 0)
+    assert(reloaded.searchMaxSim(q, k = 1).collect().head
+      .getAs[Long]("doc_id") == after.head.getAs[Long]("doc_id"))
+    // single-vector stores refuse loudly
+    val flat = DocumentStore.fromTexts(spark, tmp(), docsTx, Nil, StoreConfig(), emb)
+    intercept[graft.SearchException] { flat.searchMaxSim("fox", 1) }
+  }
+
   test("mutate-then-search refreshes centroids with NO manual invalidation (versioned cache)") {
     import graft.index.IvfIndex
     val many = (0 until 150).map(i => s"document $i in family ${i % 5}")
