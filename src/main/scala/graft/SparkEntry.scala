@@ -720,6 +720,25 @@ object SparkEntry {
       roundScale = 4)
   }
 
+  /** Multi-probe SemDeDup (round-8): nProbes = 2 membership closes the
+    * classic algorithm's cross-cluster miss — a near-dup pair
+    * straddling a cluster boundary meets under a shared probe. Shares
+    * [[qSemdedup]]'s fitCached k-means (no second fit cost) but
+    * captures its OWN centroid copy so neither oracle depends on query
+    * execution order. Compared against q_semdedup, the extra `is_dup`
+    * rows ARE the recovered boundary pairs. */
+  @volatile private var semdedup2CentroidValues: Option[String] = None
+  private def qSemdedup2(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val (model, vals) = pinCentroids(IvfIndex.fitCached(
+      s"$dir/embeddings", emb, "embedding",
+      nlist = 8, maxIter = 2, initMode = "random", fitFraction = 0.25,
+      fitPartitions = 2))
+    semdedup2CentroidValues = Some(vals)
+    SemDedup.flag(emb, "vec_id", "embedding", model, threshold = 0.4,
+      roundScale = 4, nProbes = 2)
+  }
+
   /** DSIR importance weights (Xie et al. 2023): score every document by
     * target-vs-raw hashed-bigram log-likelihood ratio, select the top
     * 200. Target domain = the `src0` slice of the corpus itself (the
@@ -2135,6 +2154,7 @@ object SparkEntry {
       "q_knn_self_top1"       -> (qKnnSelfTop1 _),
       "q_ivf_search"          -> (qIvfSearch _),
       "q_semdedup"            -> (qSemdedup _),
+      "q_semdedup2"           -> (qSemdedup2 _),
       "q_dsir_weights"        -> (qDsirWeights _),
       "q_neardup_embedding"   -> (qNeardupEmbedding _),
       "q_dedup_exact"         -> (qDedupExact _),
@@ -4056,7 +4076,7 @@ object SparkEntry {
                     (ORDER BY logweight DESC, doc_id) <= 200
                   THEN 1 ELSE 0 END AS INT) AS selected
       FROM w"""
-  ) ++ ivfSearchOracle ++ semdedupOracle
+  ) ++ ivfSearchOracle ++ semdedupOracle ++ semdedup2Oracle
 
   /** Dynamic oracle for q_ivf_search: the k-means fit exports its
     * (6dp-rounded) centroids via [[ivfSearchCentroidValues]], and the
@@ -4092,6 +4112,30 @@ object SparkEntry {
       "q_semdedup" -> s"""${centroidAssignCtes(vals)},
       m AS (SELECT v.vec_id, v.ev, a.cluster FROM v JOIN a USING (vec_id)),
       pr AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+             FROM m x JOIN m y
+               ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+             WHERE round(list_cosine_similarity(x.ev, y.ev), 4) >= 0.4),
+      g AS (SELECT id_b, min(id_a) AS dup_of FROM pr GROUP BY id_b)
+      SELECT a.vec_id, a.cluster,
+             CAST(CASE WHEN g.dup_of IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup,
+             g.dup_of
+      FROM a LEFT JOIN g ON g.id_b = a.vec_id"""
+    }.toMap
+
+  /** Dynamic oracle for q_semdedup2 — the multi-probe extension of
+    * [[semdedupOracle]]: each vector carries its 2 nearest cells
+    * (rn <= 2 over the same rounded (dist, cid) ranking), pairs meet
+    * under ANY shared cell (DISTINCT collapses double meetings — the
+    * dup_of/is_dup verdict is cluster-agnostic), identity columns come
+    * from the primary assignment `a` exactly as in q_semdedup. */
+  private def semdedup2Oracle: Map[String, String] =
+    semdedup2CentroidValues.map { vals =>
+      "q_semdedup2" -> s"""${centroidAssignCtes(vals)},
+      a2 AS (SELECT vec_id, cid AS cluster FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d) t WHERE rn <= 2),
+      m AS (SELECT v.vec_id, v.ev, a2.cluster FROM v JOIN a2 USING (vec_id)),
+      pr AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
              FROM m x JOIN m y
                ON x.cluster = y.cluster AND x.vec_id < y.vec_id
              WHERE round(list_cosine_similarity(x.ev, y.ev), 4) >= 0.4),

@@ -61,7 +61,9 @@ object ScaleBench {
     "q_split_groups",       // narrow hash projection, no shuffle
     "q_quality_topfrac",    // grouped exact percentile + broadcast gate
     "q_retrieval_metrics",  // bounded top-k lists + decimal DCG aggs
-    "q_maxsim")             // chunk-scored scan + per-doc max + TakeOrdered
+    "q_maxsim",             // chunk-scored scan + per-doc max + TakeOrdered
+    // round-8 families
+    "q_semdedup2")          // multi-probe cluster-pruned pair join
 
   /** Shapes that no longer exist in SparkEntry but whose 10× behavior
     * documents WHY the shipped shape replaced them — the before/after

@@ -54,6 +54,44 @@ object IvfIndex {
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
 
+    /** Multi-probe assignment: the `nProbes` nearest centroid ids per
+      * row, probe-rank ordered (element 0 == [[assignCol]]'s answer —
+      * asserted in IvfIndexSpec). SemDeDup's boundary-miss closer: a
+      * near-dup pair straddling a cluster boundary meets in at least
+      * one shared probe when both members carry their 2 nearest cells.
+      *
+      * Ties break to the LOWEST cluster id at every rank (distances
+      * rounded first when `roundScale >= 0`), so an external engine
+      * reproduces the whole probe list with a row_number over
+      * (dist, cid) — the same contract as [[assignCol]]. Built from
+      * HOF built-ins: the distance array is computed ONCE per row,
+      * then argmin-and-mask `nProbes` times — per-row cost is the same
+      * distance loop as the fused kernel plus O(nProbes·nlist)
+      * bookkeeping (use [[assignCol]] when nProbes == 1; callers probe
+      * 2, at most a handful). */
+    def assignProbesCol(vec: Column, nProbes: Int, roundScale: Int = -1): Column = {
+      require(nProbes >= 1 && nProbes <= nlist,
+        s"nProbes $nProbes out of 1..$nlist")
+      val cents = typedlit(centroids)
+      val dists = transform(cents, c => {
+        val d = aggregate(
+          zip_with(asDouble(vec), c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+        if (roundScale >= 0) round(d, roundScale) else d
+      })
+      // Iteratively: pick the argmin (array_position returns the FIRST
+      // occurrence of the min -> lowest-id tie-break), mask it to +inf,
+      // repeat. nProbes is tiny, so the expression tree stays small.
+      val picks = Seq.iterate(
+        (dists, (array_position(dists, array_min(dists)) - 1).cast("int")),
+        nProbes) { case (d, p) =>
+        val masked = transform(d, (x, i) =>
+          when(i === p, lit(Double.PositiveInfinity)).otherwise(x))
+        (masked, (array_position(masked, array_min(masked)) - 1).cast("int"))
+      }.map(_._2)
+      array(picks: _*)
+    }
+
     /** Driver-side nprobe: indices of the nprobe centroids nearest to
       * the query vector (L2 — equivalent ranking to cosine on the
       * normalized vectors the store holds). `roundScale >= 0` rounds

@@ -41,12 +41,23 @@ object SemDedup {
     *
     * @param int8Screen route the pair join through the lossless
     *   quantized pre-filter (default on; see [[pairsFrom]]). Results
-    *   are identical either way — the flag exists for A/B measurement. */
+    *   are identical either way — the flag exists for A/B measurement.
+    * @param nProbes multi-probe membership (default 1 = classic
+    *   SemDeDup): each vector joins the pair search under its nProbes
+    *   nearest clusters, so a near-dup pair straddling a cluster
+    *   boundary meets in at least one shared probe — closing the
+    *   documented cross-cluster miss at ~nProbes× the candidate
+    *   volume (still Σ_c (n_c choose 2), never all-pairs). Pairs
+    *   found under several shared probes are deduplicated to the
+    *   meeting with the lowest combined probe rank (home cluster when
+    *   they meet primary-primary; ties to the smallest cluster id),
+    *   so the output stays one row per pair. */
   def pairs(df: DataFrame, idCol: String, vecCol: String,
             model: IvfIndex.Model, threshold: Double,
-            roundScale: Int = 4, int8Screen: Boolean = true): DataFrame =
-    pairsFrom(assign(df, idCol, vecCol, model, roundScale),
-      threshold, roundScale, int8Screen)
+            roundScale: Int = 4, int8Screen: Boolean = true,
+            nProbes: Int = 1): DataFrame =
+    pairsFrom(assign(df, idCol, vecCol, model, roundScale, nProbes),
+      threshold, roundScale, int8Screen, dedupPairs = nProbes > 1)
 
   /** Per-row keep/drop verdict: every input row (with a non-null
     * vector) with its cluster, an `is_dup` flag, and `dup_of` = the
@@ -59,11 +70,15 @@ object SemDedup {
     * same assigned frame. */
   def flag(df: DataFrame, idCol: String, vecCol: String,
            model: IvfIndex.Model, threshold: Double,
-           roundScale: Int = 4, int8Screen: Boolean = true): DataFrame = {
-    val assigned = assign(df, idCol, vecCol, model, roundScale)
-    val dupOf = pairsFrom(assigned, threshold, roundScale, int8Screen)
+           roundScale: Int = 4, int8Screen: Boolean = true,
+           nProbes: Int = 1): DataFrame = {
+    val assigned = assign(df, idCol, vecCol, model, roundScale, nProbes)
+    val dupOf = pairsFrom(assigned, threshold, roundScale, int8Screen,
+        dedupPairs = nProbes > 1)
       .groupBy(col("id_b").as("id")).agg(min("id_a").as("dup_of"))
-    assigned.select(col("id"), col("cluster"))
+    // Output identity rows come from the PRIMARY assignment only —
+    // multi-probe rows exist for candidate generation, not identity.
+    assigned.where(col("probe_rank") === 0).select(col("id"), col("cluster"))
       .join(dupOf, Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster"),
         col("dup_of").isNotNull.cast("int").as("is_dup"), col("dup_of"))
@@ -93,24 +108,40 @@ object SemDedup {
     * bounds (zero-norm vectors) are never screened out — Spark orders
     * NaN above every double, which here errs on the keep side. */
   private def pairsFrom(assigned: DataFrame, threshold: Double,
-                        roundScale: Int, int8Screen: Boolean = true): DataFrame = {
+                        roundScale: Int, int8Screen: Boolean = true,
+                        dedupPairs: Boolean = false): DataFrame = {
+    // Multi-probe dedup: a pair sharing BOTH probes surfaces once per
+    // shared cluster — collapse to the meeting with the LOWEST combined
+    // probe rank (so a pair that meets primary-primary is reported
+    // under its home cluster), ties to the smallest cluster id. The
+    // rounded cosine is identical across copies, so min() is exact.
+    def dedup(p: DataFrame): DataFrame =
+      if (!dedupPairs) p.select("cluster", "id_a", "id_b", "cosine")
+      else p.groupBy("id_a", "id_b")
+        .agg(min(struct(col("__rsum"), col("cluster"))).as("__m"),
+          min("cosine").as("cosine"))
+        .select(col("__m.cluster").as("cluster"), col("id_a"), col("id_b"),
+          col("cosine"))
     if (!int8Screen) {
-      val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
-      val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
-      return a.join(b, Seq("cluster"))
+      val a = assigned.select(col("cluster"), col("id").as("id_a"),
+        col("v").as("v_a"), col("probe_rank").as("__ra"))
+      val b = assigned.select(col("cluster"), col("id").as("id_b"),
+        col("v").as("v_b"), col("probe_rank").as("__rb"))
+      return dedup(a.join(b, Seq("cluster"))
         .where(col("id_a") < col("id_b"))
         .withColumn("cosine",
           round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), roundScale))
         .where(col("cosine") >= threshold)
-        .select("cluster", "id_a", "id_b", "cosine")
+        .select(col("cluster"), col("id_a"), col("id_b"), col("cosine"),
+          (col("__ra") + col("__rb")).as("__rsum")))
     }
     // Per-row compact representation: int8 vector, quantization step,
     // exact L2 norm, Σ|q| (all narrow, computed once per row; the
     // lambdas reference only materialized attributes).
     val quant = assigned
-      .select(col("cluster"), col("id"), col("v"),
+      .select(col("cluster"), col("probe_rank"), col("id"), col("v"),
         VectorFunctions.maxAbs(col("v")).as("__m"))
-      .select(col("cluster"), col("id"),
+      .select(col("cluster"), col("probe_rank"), col("id"),
         when(col("__m") === 0.0, transform(col("v"), _ => lit(0).cast("byte")))
           .otherwise(transform(col("v"),
             x => round((x * 127.0) / col("__m")).cast("byte"))).as("q"),
@@ -119,9 +150,11 @@ object SemDedup {
       .withColumn("sq", aggregate(col("q"),
         lit(0L), (acc, x) => acc + abs(x.cast("long"))).cast("double"))
     val a = quant.select(col("cluster"), col("id").as("id_a"), col("q").as("q_a"),
-      col("ua").as("ua_a"), col("nrm").as("n_a"), col("sq").as("sq_a"))
+      col("ua").as("ua_a"), col("nrm").as("n_a"), col("sq").as("sq_a"),
+      col("probe_rank").as("__ra"))
     val b = quant.select(col("cluster"), col("id").as("id_b"), col("q").as("q_b"),
-      col("ua").as("ua_b"), col("nrm").as("n_b"), col("sq").as("sq_b"))
+      col("ua").as("ua_b"), col("nrm").as("n_b"), col("sq").as("sq_b"),
+      col("probe_rank").as("__rb"))
     val cutoff = threshold - 0.5 * math.pow(10.0, -roundScale) - 1e-9
     val cand = a.join(b, Seq("cluster"))
       .where(col("id_a") < col("id_b"))
@@ -138,10 +171,25 @@ object SemDedup {
       // with the null branch coalesced to keep. The exact rerank then
       // decides, identically to the unscreened path.
       .where(coalesce(!(col("__upper") < lit(cutoff)), lit(true)))
-      .select("cluster", "id_a", "id_b")
-    val va = assigned.select(col("id").as("id_a"), col("v").as("v_a"))
-    val vb = assigned.select(col("id").as("id_b"), col("v").as("v_b"))
-    cand.join(va, "id_a").join(vb, "id_b")
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        (col("__ra") + col("__rb")).as("__rsum"))
+    // Multi-probe: collapse duplicate candidates BEFORE the exact
+    // verify so a boundary pair is re-scored once, not per shared
+    // probe — keeping the meeting with the lowest combined probe rank
+    // (home cluster for pairs that meet primary-primary), ties to the
+    // smallest cluster id.
+    val candDeduped =
+      if (dedupPairs) cand.groupBy("id_a", "id_b")
+        .agg(min(struct(col("__rsum"), col("cluster"))).as("__m"))
+        .select(col("__m.cluster").as("cluster"), col("id_a"), col("id_b"))
+      else cand.select("cluster", "id_a", "id_b")
+    // Vector fetch joins use the PRIMARY rows only — under multi-probe
+    // `assigned` holds one row per (id, probe) and an unfiltered join
+    // would multiply every candidate by nProbes².
+    val primary = assigned.where(col("probe_rank") === 0)
+    val va = primary.select(col("id").as("id_a"), col("v").as("v_a"))
+    val vb = primary.select(col("id").as("id_b"), col("v").as("v_b"))
+    candDeduped.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine",
         round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), roundScale))
       .where(col("cosine") >= threshold)
@@ -161,14 +209,24 @@ object SemDedup {
     * the row is kept and never flagged, since there is no identity to
     * dedup against. */
   private def assign(df: DataFrame, idCol: String, vecCol: String,
-                     model: IvfIndex.Model, roundScale: Int): DataFrame = {
+                     model: IvfIndex.Model, roundScale: Int,
+                     nProbes: Int = 1): DataFrame = {
     val idLong = col(idCol).try_cast("long")
-    df.where(col(vecCol).isNotNull)
+    val base = df.where(col(vecCol).isNotNull)
       .select(when(col(idCol).isNotNull && idLong.isNull,
           raise_error(concat(
             lit(s"SemDedup: id in '$idCol' is not castable to long: "),
             col(idCol).cast("string")))).otherwise(idLong).as("id"),
         col(vecCol).cast("array<double>").as("v"))
-      .withColumn("cluster", model.assignCol(col("v"), roundScale))
+    if (nProbes <= 1)
+      // Single-probe: the fused kernel (the hot narrow map at scale).
+      base.withColumn("cluster", model.assignCol(col("v"), roundScale))
+        .withColumn("probe_rank", lit(0))
+    else
+      // Multi-probe: one row per (id, probe), rank 0 = the primary
+      // assignment (element 0 equals assignCol — IvfIndexSpec pin).
+      base.select(col("id"), col("v"),
+        posexplode(model.assignProbesCol(col("v"), nProbes, roundScale))
+          .as(Seq("probe_rank", "cluster")))
   }
 }

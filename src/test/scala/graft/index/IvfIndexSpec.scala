@@ -36,6 +36,28 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("assignProbesCol: element 0 == assignCol; full list == per-row nearestCentroids") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(3)(rnd.nextDouble() * 2 - 1)))
+    val vecs = rows.toDF("id", "vec")
+    for (rs <- Seq(-1, 4)) {
+      val got = vecs
+        .withColumn("p", model.assignProbesCol(col("vec"), 2, rs))
+        .withColumn("c", model.assignCol(col("vec"), rs))
+        .orderBy("id").select("p", "c")
+        .collect().map(r => (r.getSeq[Int](0).toSeq, r.getInt(1)))
+      got.zip(rows).foreach { case ((probes, primary), (_, v)) =>
+        assert(probes.head == primary, s"probe 0 != assignCol at rs=$rs")
+        assert(probes == model.nearestCentroids(v, 2, rs),
+          s"probe list != nearestCentroids at rs=$rs")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      model.assignProbesCol(col("vec"), 99)
+    }
+  }
+
   test("nearestCentroids fails fast on query/centroid dim mismatch") {
     // A longer query would silently rank prefix-only distances (a
     // plausible but wrong probe set); a shorter one would throw a bare

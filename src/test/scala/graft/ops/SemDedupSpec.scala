@@ -58,6 +58,39 @@ class SemDedupSpec extends SparkSpec {
     assert(f.forall(_.getInt(2) == 0))
   }
 
+  test("multi-probe membership closes the cross-cluster miss (nProbes = 2)") {
+    import spark.implicits._
+    val tricky = Seq(
+      (0L, Array(1.0, 0.9, 0.0, 0.0)),  // nearer e1 -> cluster 0
+      (1L, Array(0.9, 1.0, 0.0, 0.0))   // nearer e2 -> cluster 1
+    ).toDF("id", "vec")
+    // single-probe misses it (the pinned behavior above); 2 probes
+    // give both members the probe set {0, 1}, so they meet
+    val p2 = SemDedup.pairs(tricky, "id", "vec", model, 0.9, nProbes = 2)
+      .collect()
+    assert(p2.length == 1, p2.mkString(";"))
+    assert((p2(0).getInt(0), p2(0).getLong(1), p2(0).getLong(2)) == ((0, 0L, 1L)),
+      p2(0).toString)  // deduped to the SMALLEST shared cluster, once
+    // both screen paths agree
+    val p2ref = SemDedup.pairs(tricky, "id", "vec", model, 0.9,
+      int8Screen = false, nProbes = 2).collect()
+    assert(p2ref.length == 1 &&
+      (p2ref(0).getLong(1), p2ref(0).getLong(2)) == ((0L, 1L)))
+    // flag: dup flagged, identity columns still from the PRIMARY cell
+    val f2 = SemDedup.flag(tricky, "id", "vec", model, 0.9, nProbes = 2)
+      .orderBy("id").collect()
+    assert(f2.length == 2)
+    assert(f2.map(_.getInt(1)).toSeq == Seq(0, 1), "primary clusters kept")
+    assert(f2(0).getInt(2) == 0 && f2(1).getInt(2) == 1 && f2(1).getLong(3) == 0L)
+    // on the well-separated corpus multi-probe adds NOTHING (cosines
+    // across clusters sit far below the threshold): byte-identical
+    val base = SemDedup.pairs(df, "id", "vec", model, 0.995)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val multi = SemDedup.pairs(df, "id", "vec", model, 0.995, nProbes = 2)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(multi == base)
+  }
+
   test("filtering on the flag yields a deterministic survivor corpus") {
     val kept = SemDedup.flag(df, "id", "vec", model, threshold = 0.995)
       .where(col("is_dup") === 0).select("id").orderBy("id")

@@ -41,8 +41,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_dedup_best", "q_url_dedup", "q_split_groups", "q_drift_psi",
     "q_dedup_boilerplate", "q_retrieval_metrics", "q_quality_topfrac",
     "q_maxsim", "q_normalize_text",
-    // round-8: store-surface late interaction (build + search per run)
-    "q_maxsim_store")
+    // round-8: store-surface late interaction (build + search per run),
+    // multi-probe SemDeDup (2x candidate volume must stay clean)
+    "q_maxsim_store", "q_semdedup2")
 
   for (name <- expensive)
     test(s"$name plan has no scale-killing shape") {
