@@ -78,6 +78,7 @@ final class DocumentStore private (
   private def lexicalDir(v: Long) = s"${versionDir(v)}/lexical"
   private def pqDir(v: Long) = s"${versionDir(v)}/pq"
   private def chunksDir(v: Long) = s"${versionDir(v)}/chunks"
+  private def tuningDir(v: Long) = s"${versionDir(v)}/tuning"
 
   // --- snapshot pinning for multi-step reads -------------------------
   // A read operation that touches the store more than once (hits +
@@ -498,6 +499,14 @@ final class DocumentStore private (
         deleteDir(spark, versionDir(stale))
       }
     }
+    // Measured-recall auto-tuning (opt-in): every IVF snapshot build
+    // re-measures the nprobe/recall trade-off on the fresh clustering
+    // and persists the curve; searches pick up the choice via
+    // effectiveNprobe. Sample-sized work, but a real cost per build —
+    // hence the explicit config gate.
+    if (config.tuneTargetRecall > 0.0 && nlistUsed > 0)
+      tuneNprobe(config.tuneTargetRecall)
+    ()
   }
 
   // ------------------------------------------------------------------
@@ -591,7 +600,205 @@ final class DocumentStore private (
     Seq((manifest.count, m, ksub))
       .toDF("n_docs", "m", "ksub")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // Opt-in measured-recall tuning: the PQ build ships with its
+    // rerank-depth/recall curve (see tunePqCandidates).
+    if (config.tuneTargetRecall > 0.0)
+      tunePqCandidates(config.tuneTargetRecall)
+    ()
   }
+
+  // ------------------------------------------------------------------
+  // Measured-recall ANN auto-tuning (round-8): recall is a measured
+  // number, not a hope — completes the Eval story (ops/Eval.scala).
+  // ------------------------------------------------------------------
+
+  /** Deterministic query sample for tuning: every row whose seeded id
+    * hash lands on a stride, capped at `n` — stable across runs and
+    * partitionings, spread over the id range. */
+  private def tuningSample(n: Int, seed: Long): Array[(Long, Seq[Double])] = {
+    val stride = math.max(1L, snap.count / n)
+    essential
+      .where(pmod(abs(hash(col("id"), lit(seed.toInt))), lit(stride)) === 0)
+      .select(col("id"), col("vec")).orderBy("id").limit(n)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+  }
+
+  /** Exact top-k ids per sample query — ONE batched job (the ground
+    * truth the approximate settings are scored against). */
+  private def exactTopIds(sample: Array[(Long, Seq[Double])],
+                          k: Int): DataFrame = {
+    import spark.implicits._
+    val queries = sample.toSeq.toDF("qid", "qv")
+    VectorIndex.topKBatch(essential, "vec", queries, "qid", "qv", k,
+        config.metric, scoreCol = "__s", tieBreak = Seq("id"), roundScale = 4)
+      .select(col("qid"), col("id"))
+  }
+
+  /** Tune nprobe from a MEASURED recall target: sweep `candidates`
+    * nprobe values over a seeded `sampleQueries`-query sample, score
+    * each against the exact top-k ([[graft.ops.Eval.recallAtK]]), and
+    * persist the (nprobe, mean recall, mean scanned-corpus fraction)
+    * curve under the snapshot's `tuning/nprobe` dir — next to the
+    * manifest, so the trade-off travels with the store. The cheapest
+    * setting meeting `targetRecall` is marked `chosen` (the largest
+    * candidate if none reaches it) and becomes [[effectiveNprobe]] —
+    * every subsequent search on this snapshot uses it automatically.
+    *
+    * Cost: |candidates| + 1 batched sample×corpus scoring jobs plus a
+    * cluster-size aggregate — sample-sized driver state only. Runs
+    * automatically at IVF snapshot build when
+    * `StoreConfig.tuneTargetRecall > 0`. */
+  def tuneNprobe(targetRecall: Double = 0.95, k: Int = 10,
+                 sampleQueries: Int = 20,
+                 candidates: Seq[Int] = Seq(1, 2, 4, 8),
+                 seed: Long = 42L): Seq[TuningPoint] = withSnapshot {
+    if (snap.count == 0) throw new SearchException("store is empty or not built")
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall out of (0,1]: $targetRecall")
+    val model = loadCentroids().getOrElse(throw new IndexException(
+      "tuneNprobe requires an IVF store (nlist > 0 and enough rows)"))
+    val cands = candidates.filter(_ >= 1).map(math.min(_, model.nlist))
+      .distinct.sorted
+    require(cands.nonEmpty, "no usable nprobe candidates")
+    val sample = tuningSample(sampleQueries, seed)
+    val exact = exactTopIds(sample, k)
+    val clusterSizes = essential.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = snap.count.toDouble
+    import spark.implicits._
+    val points = cands.map { np =>
+      val probed = sample.map { case (qid, qv) =>
+        (qid, qv, model.nearestCentroids(qv, np))
+      }
+      val queries = probed.toSeq.toDF("qid", "qv", "__probes")
+      val approx = VectorIndex.topKBatch(essential, "vec", queries,
+          "qid", "qv", k, config.metric, scoreCol = "__s",
+          tieBreak = Seq("id"), roundScale = 4,
+          keep = Some(expr("array_contains(__probes, cluster)")))
+        .select(col("qid"), col("id"))
+      val recall = graft.ops.Eval.recallAtK(exact, approx, "qid", "id")
+        .agg(avg("recall")).head.getDouble(0)
+      val frac = probed.map { case (_, _, ps) =>
+        ps.map(p => clusterSizes.getOrElse(p, 0L)).sum / total
+      }.sum / probed.length
+      (np, math.rint(recall * 10000) / 10000.0,
+        math.rint(frac * 10000) / 10000.0)
+    }
+    val chosenNp = points.find(_._2 >= targetRecall).map(_._1)
+      .getOrElse(points.last._1)
+    val curve = points.map { case (np, r, f) =>
+      TuningPoint(np, r, f, chosen = np == chosenNp)
+    }
+    curve.toDF().withColumnRenamed("costFraction", "cost_fraction")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${tuningDir(snap.version)}/nprobe")
+    tuningCache.put(snap.version, Some(chosenNp))
+    curve
+  }
+
+  /** Tune the PQ rerank depth the same way: for each depth d =
+    * factor·k, approx top-k = exact rerank of the d best ADC
+    * candidates; the curve (depth, mean recall, rerank fraction d/N)
+    * is persisted under `tuning/pq`. The scan side is the persisted
+    * codes table; per query the top max-depth ADC candidates (with
+    * their exact vectors) come back to the driver ONCE, so the depth
+    * sweep is driver arithmetic — |sample| bounded jobs total. The
+    * chosen depth is recorded in the curve (searchers pass their own
+    * `candidates`; the curve is the measured guidance). Requires
+    * [[buildPqIndex]] for the current snapshot. */
+  def tunePqCandidates(targetRecall: Double = 0.95, k: Int = 10,
+                       sampleQueries: Int = 20,
+                       depthFactors: Seq[Int] = Seq(2, 4, 8),
+                       seed: Long = 42L): Seq[TuningPoint] = withSnapshot {
+    if (snap.count == 0) throw new SearchException("store is empty or not built")
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall out of (0,1]: $targetRecall")
+    val (pqModel, codes) = loadPq().getOrElse(throw new IndexException(
+      "tunePqCandidates requires a fresh buildPqIndex for this snapshot"))
+    val depths = depthFactors.filter(_ >= 1).map(f =>
+      math.min(f.toLong * k, snap.count).toInt).distinct.sorted
+    require(depths.nonEmpty, "no usable rerank depths")
+    val sample = tuningSample(sampleQueries, seed)
+    val exactIds = exactTopIds(sample, k).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val maxDepth = depths.max
+    val higherBetter = config.metric != "l2"
+    // One job per sample query: top max-depth ADC candidates joined to
+    // their exact vectors (depth-bounded collect).
+    val perQuery = sample.map { case (qid, qv) =>
+      val top = codes
+        .withColumn("__am", pqModel.adcMicrosCol(col("codes"), qv, roundScale = 4))
+        .orderBy(col("__am"), col("id")).limit(maxDepth)
+        .join(essential.select(col("id"), col("vec")), Seq("id"))
+        .select(col("id"), col("__am"), col("vec")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+        .sortBy(t => (t._2, t._1))
+      (qid, qv, top)
+    }
+    def scoreOf(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var l2 = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+        val d = a(i) - b(i); l2 += d * d; i += 1
+      }
+      val raw = config.metric match {
+        case "cosine" => dot / math.sqrt(na * nb)
+        case "ip"     => dot
+        case _        => math.sqrt(l2)
+      }
+      BigDecimal(raw).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val points = depths.map { d =>
+      val recalls = perQuery.map { case (qid, qv, top) =>
+        val rerank = top.take(d)
+          .map { case (id, _, v) => (id, scoreOf(qv, v)) }
+          .sortBy { case (id, s) => (if (higherBetter) -s else s, id) }
+          .take(k).map(_._1).toSet
+        val truth = exactIds.getOrElse(qid, Set.empty)
+        if (truth.isEmpty) 1.0 else rerank.intersect(truth).size.toDouble / truth.size
+      }
+      val recall = math.rint(recalls.sum / recalls.length * 10000) / 10000.0
+      val frac = math.rint(d / snap.count.toDouble * 10000) / 10000.0
+      (d, recall, frac)
+    }
+    val chosenD = points.find(_._2 >= targetRecall).map(_._1)
+      .getOrElse(points.last._1)
+    val curve = points.map { case (d, r, f) =>
+      TuningPoint(d, r, f, chosen = d == chosenD)
+    }
+    import spark.implicits._
+    curve.toDF().withColumnRenamed("costFraction", "cost_fraction")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${tuningDir(snap.version)}/pq")
+    curve
+  }
+
+  /** The persisted tuning curve for the current snapshot (`"nprobe"` or
+    * `"pq"`), if a tuning pass has written one. */
+  def tuningCurve(kind: String): Option[Seq[TuningPoint]] = {
+    val dir = s"${tuningDir(snap.version)}/$kind"
+    if (!fsFor(dir).exists(hadoopPath(dir))) None
+    else Some(spark.read.parquet(dir).orderBy("setting").collect()
+      .map(r => TuningPoint(r.getAs[Int]("setting"), r.getAs[Double]("recall"),
+        r.getAs[Double]("cost_fraction"), r.getAs[Boolean]("chosen"))).toSeq)
+  }
+
+  // (version -> tuned nprobe) memo: one tiny parquet read per snapshot,
+  // not per search; a mutation bumps the version, so staleness is
+  // impossible by construction (same doctrine as the centroid cache).
+  private val tuningCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Option[Int]]
+  private def tunedNprobe(v: Long): Option[Int] =
+    tuningCache.getOrElseUpdate(v, {
+      val dir = s"${tuningDir(v)}/nprobe"
+      if (!fsFor(dir).exists(hadoopPath(dir))) None
+      else spark.read.parquet(dir).where(col("chosen"))
+        .select("setting").collect().headOption.map(_.getInt(0))
+    })
+
+  /** The nprobe searches actually use: the measured-recall choice when
+    * a tuning pass has run on this snapshot, else the static config. */
+  def effectiveNprobe: Int = tunedNprobe(snap.version).getOrElse(config.nprobe)
 
   /** The persisted PQ index for the current version, if present AND
     * fresh (its meta row records the indexed n_docs). */
@@ -770,7 +977,9 @@ final class DocumentStore private (
   private def searchSpace(qv: Array[Double]): DataFrame =
     loadCentroids() match {
       case Some(model) =>
-        val probes = model.nearestCentroids(qv.toSeq, config.nprobe)
+        // effectiveNprobe: the measured-recall tuning choice when a
+        // tuning pass has run on this snapshot (see tuneNprobe).
+        val probes = model.nearestCentroids(qv.toSeq, effectiveNprobe)
         essential.where(col("cluster").isin(probes: _*))
       case None => essential
     }

@@ -47,6 +47,19 @@ final case class StorageStats(
     indexSizeBytes: Long,
     mapping: FrameMappingStats)
 
+/** One point of a measured ANN tuning curve (DocumentStore.tuneNprobe /
+  * tunePqCandidates): `setting` is the knob value (nprobe, or PQ rerank
+  * candidate depth), `recall` the mean measured recall@k over the
+  * seeded query sample, `costFraction` the mean fraction of the corpus
+  * the setting scans (probed-cluster rows / corpus for IVF; rerank
+  * candidates / corpus for PQ), `chosen` marks the cheapest setting
+  * meeting the target. */
+final case class TuningPoint(
+    setting: Int,
+    recall: Double,
+    costFraction: Double,
+    chosen: Boolean)
+
 /** Id↔row mapping stats (reference FrameMappingStats, types.py:12-18,
   * index.py:590-607). Frames are parquet row ordinals here. */
 final case class FrameMappingStats(
@@ -79,6 +92,13 @@ final case class StoreConfig(
     // ingest dedup then always pays the full anti-join against the
     // store.
     dedupBloomFpp: Double = 0.01,
+    // Measured-recall ANN auto-tuning: > 0 makes every IVF snapshot
+    // build (and buildPqIndex) run a recall sweep over a seeded query
+    // sample and persist the (setting, recall, cost-fraction) curve
+    // next to the manifest; searches then use the cheapest nprobe whose
+    // measured recall meets this target instead of the static `nprobe`.
+    // 0 (default) = off: builds stay cheap, `nprobe` is used as-is.
+    tuneTargetRecall: Double = 0.0,
     // Multi-vector (late-interaction) mode: chunkSize > 0 additionally
     // persists a chunk table per snapshot — every document split into
     // chunkSize-token windows with chunkOverlap-token overlap, each
@@ -90,6 +110,8 @@ final case class StoreConfig(
   require(keepVersions >= 1, "keepVersions must be >= 1")
   require(dedupBloomFpp >= 0.0 && dedupBloomFpp < 1.0,
     "dedupBloomFpp must be in [0, 1)")
+  require(tuneTargetRecall >= 0.0 && tuneTargetRecall <= 1.0,
+    "tuneTargetRecall must be in [0, 1]")
   require(chunkSize >= 0, "chunkSize must be >= 0")
   require(chunkSize == 0 || (chunkOverlap >= 0 && chunkOverlap < chunkSize),
     "chunkOverlap must be in [0, chunkSize)")

@@ -522,6 +522,51 @@ class DocumentStoreSpec extends SparkSpec {
     assert(IvfIndex.cachedVersion(key).get != v1)
   }
 
+  test("tuneNprobe: measured curve, cheapest setting meeting target chosen, searches use it") {
+    val many = (0 until 200).map(i => s"tuning doc $i about theme ${i % 8}")
+    val store = DocumentStore.fromTexts(spark, tmp(), many, Nil,
+      StoreConfig(nlist = 4, nprobe = 1), emb)
+    assert(store.currentManifest.nlist == 4)
+    val curve = store.tuneNprobe(targetRecall = 0.99, k = 5, sampleQueries = 8)
+    assert(curve.map(_.setting) == Seq(1, 2, 4))  // capped at nlist, deduped
+    // probing every cluster IS the exact scan: recall must be 1.0
+    assert(curve.last.recall == 1.0, curve.mkString(";"))
+    assert(curve.last.costFraction == 1.0)
+    // cost grows with probes; recall never decreases along this curve
+    assert(curve.map(_.costFraction) == curve.map(_.costFraction).sorted)
+    assert(curve.map(_.recall) == curve.map(_.recall).sorted, curve.mkString(";"))
+    // exactly one chosen point: the cheapest meeting the target
+    val chosen = curve.filter(_.chosen)
+    assert(chosen.length == 1)
+    assert(chosen.head.setting == curve.find(_.recall >= 0.99).get.setting)
+    // searches pick it up; the persisted curve round-trips
+    assert(store.effectiveNprobe == chosen.head.setting)
+    assert(store.tuningCurve("nprobe").contains(curve))
+    assert(store.similaritySearch("tuning doc 7 about theme 7", k = 1)
+      .collect().head.getAs[String]("text") == "tuning doc 7 about theme 7")
+    // a mutation drops the stale tuning: back to the static config
+    store.deleteWhere(org.apache.spark.sql.functions.col("text").endsWith("theme 7"))
+    assert(store.tuningCurve("nprobe").isEmpty)
+    assert(store.effectiveNprobe == store.config.nprobe)
+  }
+
+  test("tuneTargetRecall in config: IVF build and buildPqIndex write their curves unprompted") {
+    val many = (0 until 200).map(i => s"auto doc $i theme ${i % 8}")
+    val store = DocumentStore.fromTexts(spark, tmp(), many, Nil,
+      StoreConfig(nlist = 4, nprobe = 2, tuneTargetRecall = 0.9), emb)
+    val np = store.tuningCurve("nprobe")
+    assert(np.isDefined && np.get.count(_.chosen) == 1)
+    assert(store.effectiveNprobe == np.get.find(_.chosen).get.setting)
+    store.buildPqIndex(m = 8, ksub = 4)
+    val pq = store.tuningCurve("pq")
+    assert(pq.isDefined && pq.get.count(_.chosen) == 1)
+    // rerank depth d = corpus means the rerank IS the exact scan
+    assert(pq.get.last.recall == 1.0 || pq.get.last.setting < 200,
+      pq.get.mkString(";"))
+    // depth curve: recall non-decreasing in depth
+    assert(pq.get.map(_.recall) == pq.get.map(_.recall).sorted, pq.get.mkString(";"))
+  }
+
   test("incremental append on an IVF store assigns existing centroids (no re-fit)") {
     import spark.implicits._
     val many = (0 until 120).map(i => s"doc number $i about topic ${i % 6}")
