@@ -54,6 +54,18 @@ object IvfIndex {
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
 
+    /** Squared L2 distance from `vec` to centroid `cluster` (HOF
+      * built-ins over the centroid literal). With `cluster` =
+      * [[assignCol]]'s output this is the row's ASSIGNMENT distance —
+      * the per-row term of the k-means cost, which DocumentStore's
+      * centroid-staleness gate aggregates to detect frozen-centroid
+      * drift under incremental ingest. */
+    def distToCol(vec: Column, cluster: Column): Column =
+      aggregate(
+        zip_with(asDouble(vec), element_at(typedlit(centroids), cluster + 1),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+
     /** Multi-probe assignment: the `nProbes` nearest centroid ids per
       * row, probe-rank ordered (element 0 == [[assignCol]]'s answer —
       * asserted in IvfIndexSpec). SemDeDup's boundary-miss closer: a

@@ -79,6 +79,7 @@ final class DocumentStore private (
   private def pqDir(v: Long) = s"${versionDir(v)}/pq"
   private def chunksDir(v: Long) = s"${versionDir(v)}/chunks"
   private def tuningDir(v: Long) = s"${versionDir(v)}/tuning"
+  private def ivfStatsDir(v: Long) = s"${versionDir(v)}/ivf_stats"
 
   // --- snapshot pinning for multi-step reads -------------------------
   // A read operation that touches the store more than once (hits +
@@ -370,6 +371,19 @@ final class DocumentStore private (
             added.withColumn("cluster", model.assignCol(col("vec")))
               .write.mode("append").partitionBy("cluster")
               .parquet(essentialDir(manifest.version))
+            // Staleness ledger: fold this batch's assignment distances
+            // into the per-version sidecar (batch-sized agg + a tiny
+            // overwrite — the same cost class as the bloom fold).
+            readIvfStats(manifest.version).foreach { case (base0, n0, s0) =>
+              val r = added
+                .withColumn("__c", model.assignCol(col("vec")))
+                .withColumn("__d", model.distToCol(col("vec"), col("__c")))
+                .agg(count(col("__d")).as("n"),
+                  sum(coalesce(col("__d"), lit(0.0))).as("s")).head
+              val batchSum = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+              writeIvfStats(manifest.version, base0,
+                n0 + r.getLong(0), s0 + batchSum)
+            }
           case None =>
             added.write.mode("append").parquet(essentialDir(manifest.version))
         }
@@ -425,6 +439,16 @@ final class DocumentStore private (
       model.centroids.zipWithIndex
         .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(centroidsDir(v))
+      // Staleness baseline for incremental ingest: the fit-time mean
+      // assignment distance (per-row k-means cost). Appends against
+      // frozen centroids accumulate their own mean next to it; the
+      // ratio is the drift gate (see needsCompaction). One extra agg
+      // over the cached essential rows.
+      val baseRow = ess
+        .withColumn("__c", model.assignCol(col("vec")))
+        .agg(avg(model.distToCol(col("vec"), col("__c"))).as("m")).head
+      val baseline = if (baseRow.isNullAt(0)) 0.0 else baseRow.getDouble(0)
+      writeIvfStats(v, baseline, 0L, 0.0)
     } else {
       // Range-partition + sort by id: each file covers a disjoint id
       // range, so getDocumentById/getDocumentsByIds read one file's row
@@ -799,6 +823,58 @@ final class DocumentStore private (
   /** The nprobe searches actually use: the measured-recall choice when
     * a tuning pass has run on this snapshot, else the static config. */
   def effectiveNprobe: Int = tunedNprobe(snap.version).getOrElse(config.nprobe)
+
+  // ------------------------------------------------------------------
+  // Centroid-staleness gate (round-8): incremental appends assign new
+  // rows to FROZEN centroids, so the partition layout drifts as the
+  // data does. The gate compares appended rows' mean assignment
+  // distance to the fit-time baseline — one tiny sidecar per version.
+  // ------------------------------------------------------------------
+
+  private def writeIvfStats(v: Long, baseline: Double,
+                            appendedN: Long, appendedSum: Double): Unit = {
+    import spark.implicits._
+    Seq((baseline, appendedN, appendedSum))
+      .toDF("baseline_mean", "appended_n", "appended_sum")
+      .coalesce(1).write.mode("overwrite").parquet(ivfStatsDir(v))
+  }
+
+  private def readIvfStats(v: Long): Option[(Double, Long, Double)] = {
+    val dir = ivfStatsDir(v)
+    if (!fsFor(dir).exists(hadoopPath(dir))) None
+    else {
+      val r = spark.read.parquet(dir).head
+      Some((r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    }
+  }
+
+  /** Appended-rows drift: mean assignment distance of rows added by
+    * [[addDFIncremental]] since the last snapshot fit, as a RATIO to
+    * the fit-time baseline. None when nothing was appended (or the
+    * store is flat / predates the gate). ~1.0 = appends look like the
+    * fitted data; growing ratio = the frozen centroids no longer
+    * describe what is being ingested. */
+  def centroidDriftRatio: Option[Double] = withSnapshot {
+    readIvfStats(snap.version).flatMap { case (baseline, n, sum) =>
+      if (n == 0L) None
+      else {
+        val appendedMean = sum / n
+        Some(
+          if (baseline > 0.0) appendedMean / baseline
+          else if (appendedMean > 0.0) Double.PositiveInfinity
+          else 1.0)
+      }
+    }
+  }
+
+  /** The staleness gate: true when incremental ingest has drifted past
+    * `driftThreshold` × the fit baseline — time to [[compact]] (which
+    * re-fits the centroids on ALL current rows, resetting both the
+    * baseline and the appended ledger, so the flag clears itself). */
+  def needsCompaction(driftThreshold: Double = 1.25): Boolean = {
+    require(driftThreshold > 0.0, "driftThreshold must be positive")
+    centroidDriftRatio.exists(_ > driftThreshold)
+  }
 
   /** The persisted PQ index for the current version, if present AND
     * fresh (its meta row records the indexed n_docs). */

@@ -567,6 +567,78 @@ class DocumentStoreSpec extends SparkSpec {
     assert(pq.get.map(_.recall) == pq.get.map(_.recall).sorted, pq.get.mkString(";"))
   }
 
+  test("centroid-staleness gate: drifted appends flip needsCompaction, compact clears it and recall recovers") {
+    import org.apache.spark.sql.functions.{col, udf}
+    import graft.index.IvfIndex
+    // Geometric embedder: "c<k> ..." lands near axis k, "far±..." lands
+    // in a distant region straddling the axis-0/axis-1 boundary — so
+    // frozen centroids assign the far family SPLIT across two clusters.
+    val geo = new graft.embed.Embedder {
+      val dim = 4
+      private def vecOf(text: String): Array[Double] = {
+        val v = new Array[Double](4)
+        if (text.startsWith("far")) {
+          // sits between the axis-0 and axis-1 cells; the ±0.8 decides
+          // which frozen centroid claims it (e0 vs e1, margin ~1.5 —
+          // well past the fitted-centroid noise), so the family splits
+          // across two cells until a re-fit gives it its own
+          v(0) = 4.0; v(1) = if (text.contains("+")) 4.8 else 3.2
+        } else {
+          val k = text.charAt(1) - '0'
+          v(k) = 1.0
+          v((k + 1) % 4) = 0.05 * (text.length % 3)
+        }
+        v
+      }
+      private val vecUdf = udf((t: String) => vecOf(t))
+      def embed(df: org.apache.spark.sql.DataFrame, textCol: String,
+                outCol: String): org.apache.spark.sql.DataFrame =
+        df.withColumn(outCol, vecUdf(col(textCol)))
+      def embedQuery(text: String): Array[Double] = vecOf(text)
+    }
+    val base = (0 until 160).map(i => s"c${i % 4} base doc number $i")
+    val store = DocumentStore.fromTexts(spark, tmp(), base, Nil,
+      StoreConfig(nlist = 4, nprobe = 1), geo)
+    assert(store.currentManifest.nlist == 4)
+    assert(store.centroidDriftRatio.isEmpty && !store.needsCompaction())
+    import spark.implicits._
+    // on-distribution appends: ratio stays near 1, gate stays quiet
+    store.addDFIncremental((160 until 180).map(i => (s"c${i % 4} extra doc $i",
+      Map.empty[String, String])).toDF("text", "metadata"))
+    val calm = store.centroidDriftRatio.get
+    assert(calm < 1.25, s"calm ratio $calm")
+    assert(!store.needsCompaction())
+    // drifted appends: the far family is ~7 away from every centroid;
+    // only 4 of 40 are the "+" variant, so the exact top-10 for a "+"
+    // query must reach into the "-" half — which the frozen centroids
+    // put in the OTHER cell
+    val farTexts = (0 until 40).map(i => s"far${if (i < 4) "+" else "-"} doc $i")
+    store.addDFIncremental(farTexts.map((_, Map.empty[String, String]))
+      .toDF("text", "metadata"))
+    val drifted = store.centroidDriftRatio.get
+    assert(drifted > 10.0, s"drift ratio $drifted")
+    assert(store.needsCompaction())
+    // recall at nprobe=1 BEFORE compaction: a far query probes one
+    // cluster but the far family is split across two -> misses half
+    val farQuery = "far+ doc 0"
+    def top10Ids() = store.similaritySearch(farQuery, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    def exactTop10() = graft.index.VectorIndex.topK(store.essential, "vec",
+        geo.embedQuery(farQuery).toSeq, 10, "cosine", tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSet
+    val before = top10Ids(); val exactBefore = exactTop10()
+    val recallBefore = before.intersect(exactBefore).size / 10.0
+    assert(recallBefore < 1.0, s"expected a recall hole, got $recallBefore")
+    // compact(): re-fit on ALL rows -> far region gets its own cell,
+    // gate clears itself (fresh baseline, empty ledger)
+    store.compact()
+    assert(store.centroidDriftRatio.isEmpty && !store.needsCompaction())
+    val after = top10Ids(); val exactAfter = exactTop10()
+    val recallAfter = after.intersect(exactAfter).size / 10.0
+    assert(recallAfter == 1.0, s"recall after compact $recallAfter")
+    assert(recallAfter > recallBefore)
+  }
+
   test("incremental append on an IVF store assigns existing centroids (no re-fit)") {
     import spark.implicits._
     val many = (0 until 120).map(i => s"doc number $i about topic ${i % 6}")
