@@ -14,11 +14,13 @@ import org.apache.spark.sql.SparkSession
   * contention spikes (r5/r6/r7 ledgers all burned adjudication time on
   * them). A timed run that exceeds max(5x its own warmup-pass time,
   * 1.0 s) is treated as suspect and re-run ONCE; `queries` reports the
-  * best of the two (so one spike can never distort the line), and the
-  * `retries` map reports BOTH times ({"first":spiked,"best":kept}) so
-  * nothing is hidden. Caveat recorded in BENCH_NOTES.md: for queries
-  * with per-dir model caches (IVF family) the re-run is fit-warm, so
-  * read `first` for the honest cold cost of a retried entry.
+  * re-run only when it CONFIRMS a spike (>= 2x faster — a genuinely
+  * data-bound query reruns at about the same time and keeps its honest
+  * first measurement), and the `retries` map reports BOTH times
+  * ({"first":t1,"best":kept}) so nothing is hidden. Caveat recorded in
+  * BENCH_NOTES.md: for queries with per-dir model caches (IVF family)
+  * the re-run is fit-warm and will look like a spike, so read `first`
+  * for the honest cold cost of a retried entry.
   * SPARK_GRAFT_BENCH_RETRY_TEST=<name> forces the retry path for one
   * query (documentation/testing of the mechanism, never set by the
   * driver).
@@ -75,13 +77,19 @@ object Bench {
       val t1 = timed(name, fn)
       val threshold = math.max(5.0 * warmupSec.getOrElse(name, Double.MaxValue), 1.0)
       val suspect = t1 > threshold || forceRetry.contains(name)
-      val best = if (suspect) {
+      val reported = if (suspect) {
         val t2 = timed(name, fn)
-        val b = math.min(t1, t2)
-        retries(name) = (t1, b)
-        b
+        // Only a CONFIRMED spike (rerun at least 2x faster) replaces
+        // the first measurement: a genuinely data-bound query whose
+        // sf0.1 cost legitimately exceeds 5x its tiny-data warmup
+        // reruns at about the same time, and then t1 — the honest cold
+        // number — stays the reported value instead of a
+        // best-of-2-biased one. Both times land in `retries` either way.
+        val r = if (t2 < t1 / 2.0) t2 else t1
+        retries(name) = (t1, r)
+        r
       } else t1
-      name -> best
+      name -> reported
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

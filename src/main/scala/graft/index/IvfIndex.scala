@@ -180,14 +180,18 @@ object IvfIndex {
 
   /** Memoize an arbitrary model load/build under (key, version) —
     * [[fitCached]] for k-means fits, DocumentStore's persisted-centroid
-    * read for versioned stores. Inserting version v drops every OTHER
-    * version cached under the same logical key, so the cache holds at
-    * most one model per key. */
+    * read for versioned stores. On insert, versions older than
+    * (newest cached for the key) − 1 are evicted: the cache keeps the
+    * latest TWO versions per key, so the supported concurrent pattern
+    * (a reader pinned one snapshot behind a live mutator,
+    * keepVersions >= 2) doesn't thrash the memoization by alternately
+    * evicting each other's entry. */
   def modelCached(key: String, version: Long)(load: => Model): Model =
     modelCache.get((key, version)).getOrElse {
       val m = modelCache.getOrElseUpdate((key, version), load)
+      val newest = modelCache.keys.collect { case (k1, v) if k1 == key => v }.max
       modelCache.keys.foreach { case k @ (k1, v) =>
-        if (k1 == key && v != version) modelCache.remove(k)
+        if (k1 == key && v < newest - 1) modelCache.remove(k)
       }
       m
     }

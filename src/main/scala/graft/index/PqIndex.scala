@@ -180,8 +180,13 @@ object PqIndex {
     // Internal working columns must not leak into the result schema by
     // default (callers write these frames out). exposeInternals keeps
     // them for verification harnesses that hash-check the ADC math.
+    // Expose mode CLAIMS the public names (verification harnesses
+    // select them): drop any caller columns with those names first, or
+    // the rename would produce a duplicate-column schema that fails on
+    // the next select.
     if (exposeInternals)
-      ranked.withColumnRenamed("__pq_codes", "pq_codes")
+      ranked.drop("pq_codes", "adc_micros")
+        .withColumnRenamed("__pq_codes", "pq_codes")
         .withColumnRenamed("__adc_micros", "adc_micros")
     else ranked.drop("__pq_codes", "__adc_micros")
   }

@@ -641,10 +641,21 @@ final class DocumentStore private (
     * partitionings, spread over the id range. */
   private def tuningSample(n: Int, seed: Long): Array[(Long, Seq[Double])] = {
     val stride = math.max(1L, snap.count / n)
-    essential
+    // Null vectors (null-text docs, which the store supports) can't be
+    // queries; and the hash-stride filter can come back empty for tiny
+    // n — fall back to the first n embeddable rows rather than NPE
+    // inside a snapshot build.
+    val base = essential.where(col("vec").isNotNull)
+    val picked = base
       .where(pmod(abs(hash(col("id"), lit(seed.toInt))), lit(stride)) === 0)
       .select(col("id"), col("vec")).orderBy("id").limit(n)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .collect()
+    val rows =
+      if (picked.nonEmpty) picked
+      else base.select(col("id"), col("vec")).orderBy("id").limit(n).collect()
+    if (rows.isEmpty) throw new IndexException(
+      "tuning: store has no non-null vectors to sample")
+    rows.map(r => (r.getLong(0), r.getSeq[Double](1)))
   }
 
   /** Exact top-k ids per sample query — ONE batched job (the ground
@@ -686,8 +697,10 @@ final class DocumentStore private (
     require(cands.nonEmpty, "no usable nprobe candidates")
     val sample = tuningSample(sampleQueries, seed)
     val exact = exactTopIds(sample, k)
+    // Null-vec docs land under the null cluster partition — they are
+    // unreachable by any probe, so they don't belong in the scan cost.
     val clusterSizes = essential.groupBy("cluster").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .filter(!_.isNullAt(0)).map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = snap.count.toDouble
     import spark.implicits._
     val points = cands.map { np =>
@@ -700,8 +713,9 @@ final class DocumentStore private (
           tieBreak = Seq("id"), roundScale = 4,
           keep = Some(expr("array_contains(__probes, cluster)")))
         .select(col("qid"), col("id"))
-      val recall = graft.ops.Eval.recallAtK(exact, approx, "qid", "id")
-        .agg(avg("recall")).head.getDouble(0)
+      val recallRow = graft.ops.Eval.recallAtK(exact, approx, "qid", "id")
+        .agg(avg("recall")).head
+      val recall = if (recallRow.isNullAt(0)) 0.0 else recallRow.getDouble(0)
       val frac = probed.map { case (_, _, ps) =>
         ps.map(p => clusterSizes.getOrElse(p, 0L)).sum / total
       }.sum / probed.length
@@ -1010,7 +1024,7 @@ final class DocumentStore private (
     val chunks = spark.read.parquet(chunksDir(snap.version))
     val space = loadCentroids() match {
       case Some(model) =>
-        val probes = model.nearestCentroids(qv.toSeq, config.nprobe)
+        val probes = model.nearestCentroids(qv.toSeq, effectiveNprobe)
         chunks.where(col("cluster").isin(probes: _*))
       case None => chunks
     }
@@ -1182,8 +1196,11 @@ final class DocumentStore private (
     val embedded = queries.distinct.map(q => (q, embedder.embedQuery(q).toSeq))
     val (docs, qdf, keep) = loadCentroids() match {
       case Some(model) =>
+        // effectiveNprobe everywhere a probe set is computed: batch
+        // and single-query search MUST prune identically or the
+        // documented batch==single parity breaks under tuning.
         val withProbes = embedded.map { case (q, qv) =>
-          (q, qv, model.nearestCentroids(qv, config.nprobe))
+          (q, qv, model.nearestCentroids(qv, effectiveNprobe))
         }
         val union = withProbes.flatMap(_._3).distinct
         (essential.where(col("cluster").isin(union: _*)),
@@ -1409,6 +1426,13 @@ final class DocumentStore private (
   def drop(): Unit = mutationLock.synchronized {
     deleteDir(spark, path)
     manifest = StoreManifest(0L, embedder.dim, config.metric, 0L, config.nlist)
+    // A rebuild at this path restarts versions at 1, so every
+    // version-keyed cache for the old generation must go: the global
+    // centroid cache (keyed (path, version) — a collision would prune
+    // searches with the DEAD corpus's centroids) and this instance's
+    // tuned-nprobe memo.
+    DocumentStore.invalidateModelCaches(path)
+    tuningCache.clear()
   }
 
   // ------------------------------------------------------------------
@@ -1484,6 +1508,13 @@ object DocumentStore {
   def metadataHashCol(metadata: Column): Column =
     sha2(to_json(map_from_entries(array_sort(map_entries(metadata)))), 256)
 
+  /** Drop every global version-keyed cache entry for a store path —
+    * called whenever a path's version history restarts (drop, factory
+    * rebuild), because generation 2's v1 would otherwise alias
+    * generation 1's cached centroids. */
+  private[store] def invalidateModelCaches(path: String): Unit =
+    IvfIndex.invalidateCached(s"$path#centroids")
+
   /** Factory: construct + ingest (reference from_texts,
     * vectorstore.py:881-911). */
   def fromTexts(
@@ -1491,7 +1522,13 @@ object DocumentStore {
       texts: Seq[String], metadatas: Seq[Map[String, String]] = Nil,
       config: StoreConfig = StoreConfig(), embedder: Embedder): DocumentStore = {
     val store = new DocumentStore(spark, path, config, embedder)
-    if (readManifest(spark, path).isDefined) deleteDir(spark, path)
+    if (readManifest(spark, path).isDefined) {
+      deleteDir(spark, path)
+      // New generation at an existing path: versions restart at 1, so
+      // the old generation's (path, version)-keyed centroid cache
+      // entries would silently serve the DEAD corpus's centroids.
+      invalidateModelCaches(path)
+    }
     store.manifest = StoreManifest(0L, embedder.dim, config.metric, 0L, config.nlist)
     store.addTexts(texts, metadatas)
     store
@@ -1530,7 +1567,10 @@ object DocumentStore {
       spark: SparkSession, path: String, staged: DataFrame,
       config: StoreConfig = StoreConfig(), embedder: Embedder): DocumentStore = {
     val store = new DocumentStore(spark, path, config, embedder)
-    if (readManifest(spark, path).isDefined) deleteDir(spark, path)
+    if (readManifest(spark, path).isDefined) {
+      deleteDir(spark, path)
+      invalidateModelCaches(path) // see fromTexts
+    }
     store.manifest = StoreManifest(0L, embedder.dim, config.metric, 0L, config.nlist)
     store.addDF(staged)
     store

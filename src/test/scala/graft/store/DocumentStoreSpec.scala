@@ -518,8 +518,35 @@ class DocumentStoreSpec extends SparkSpec {
     assert(store.similaritySearch("document 7 in family 2", k = 1)
       .select("text").head.getString(0) == "document 7 in family 2")
     assert(IvfIndex.cachedVersion(key).contains(store.currentManifest.version))
-    // the stale v1 entry was evicted on insert (bounded memory)
+    // the stale v1 entry was evicted on insert (bounded memory: the
+    // cache keeps at most the latest two versions per key)
     assert(IvfIndex.cachedVersion(key).get != v1)
+  }
+
+  test("rebuilding a store at the same path invalidates the old generation's centroid cache") {
+    import graft.index.IvfIndex
+    val dir = tmp()
+    val corpusA = (0 until 150).map(i => s"gen-A doc $i topic ${i % 5}")
+    val a = DocumentStore.fromTexts(spark, dir, corpusA, Nil,
+      StoreConfig(nlist = 4, nprobe = 4), emb)
+    val key = s"$dir#centroids"
+    assert(a.similaritySearch("gen-A doc 3 topic 3", 1).count() == 1)
+    assert(IvfIndex.cachedVersion(key).isDefined) // generation 1 cached at v1
+    // rebuild at the SAME path: versions restart at 1 — without
+    // invalidation the (path, 1) entry would serve generation 1's
+    // centroids against generation 2's cluster assignments
+    val corpusB = (0 until 150).map(i => s"gen-B fresh $i family ${i % 5}")
+    val b = DocumentStore.fromTexts(spark, dir, corpusB, Nil,
+      StoreConfig(nlist = 4, nprobe = 4), emb)
+    // the factory rebuild evicted generation 1's entry BEFORE any read
+    assert(IvfIndex.cachedVersion(key).isEmpty,
+      "stale generation-1 centroids survived the rebuild")
+    val hit = b.similaritySearch("gen-B fresh 7 family 2", k = 1)
+      .select("text").head.getString(0)
+    assert(hit == "gen-B fresh 7 family 2")
+    // drop() clears it too
+    b.drop()
+    assert(IvfIndex.cachedVersion(key).isEmpty)
   }
 
   test("tuneNprobe: measured curve, cheapest setting meeting target chosen, searches use it") {
