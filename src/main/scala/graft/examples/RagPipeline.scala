@@ -79,6 +79,16 @@ object RagPipeline {
     graft.index.VectorIndex.maxSimTopK(chunkVecs, "doc_id", "vec",
       embedder.embedQuery(query).toSeq, k = 3).show(3, 60)
 
+    println("== the same, as a STORE surface (multi-vector mode) ==")
+    // chunkSize > 0 persists the chunk table with every snapshot;
+    // searchMaxSim composes the (IVF-prunable) chunk space, the
+    // best-chunk aggregate, and payload enrichment — the one-call
+    // late-interaction sibling of similaritySearch.
+    val mvDir = Files.createTempDirectory("graft-rag-mv").toString + "/store"
+    val mvStore = DocumentStore.fromDF(spark, mvDir, docs,
+      StoreConfig(chunkSize = 32, chunkOverlap = 8), HashEmbedder(64))
+    mvStore.searchMaxSim(query, k = 3).show(3, 60)
+
     spark.stop()
   }
 }
