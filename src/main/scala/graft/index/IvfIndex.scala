@@ -220,11 +220,15 @@ object IvfIndex {
   def invalidateCached(keyPrefix: String): Unit =
     modelCache.keys.filter(_._1.startsWith(keyPrefix)).foreach(modelCache.remove)
 
-  /** The version currently cached under `key` (None if not cached) —
-    * observability for tests/ops: lets a caller assert the cache tracks
-    * its data version without exposing the model map. */
-  def cachedVersion(key: String): Option[Long] =
-    modelCache.keys.collectFirst { case (k, v) if k == key => v }
+  /** The NEWEST version currently cached under `key` (None if not
+    * cached) — observability for tests/ops: lets a caller assert the
+    * cache tracks its data version without exposing the model map.
+    * (The cache may also hold version newest−1 for a pinned reader —
+    * see [[modelCached]].) */
+  def cachedVersion(key: String): Option[Long] = {
+    val vs = modelCache.keys.collect { case (k, v) if k == key => v }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
 
   /** The reference's IVF activation gate: IVF only pays off with
     * >= 30·nlist points (index.py:152-166, config.py:125-129). */

@@ -306,10 +306,11 @@ final class DocumentStore private (
     * Run [[compact]] after heavy append traffic to re-fit/re-layout.
     * First-ever append delegates to the snapshot path (creates v1).
     *
-    * Failure atomicity: both appends run off one CACHED row set
-    * (identical rows in both stores by construction), payload lands
-    * BEFORE essential, and the manifest count is bumped last — so a
-    * crash mid-append leaves either invisible orphan payload rows
+    * Failure atomicity: all appends run off one CACHED row set
+    * (identical rows in every store by construction), payload and (in
+    * multi-vector mode) chunk rows land BEFORE essential, and the
+    * manifest count is bumped last — so a
+    * crash mid-append leaves either invisible orphan payload/chunk rows
     * (harmless: payload is keyed by doc_id and joined from essential)
     * or nothing; it never publishes essential rows without their
     * payload, and the unbumped count means a retry re-derives the same
@@ -366,6 +367,27 @@ final class DocumentStore private (
         payloadProjection(base)
           .write.mode("append").parquet(payloadDir(manifest.version))
         val added = essentialProjection(base)
+        // Multi-vector mode: O(batch) chunk append, matching the chunk
+        // table's layout (clustered iff the store is clustered).
+        // Ordered BEFORE the essential append for the same reason
+        // payload is: a crash here leaves orphan chunk rows for ids
+        // that never published — invisible (searchMaxSim's enrichment
+        // drops hits with no essential row) — and never publishes
+        // searchable docs that silently have no chunks. A retried
+        // batch re-appends the same chunk rows (duplicate n_chunks
+        // until compact(), which rebuilds the chunk table — the same
+        // heal as duplicate payload rows).
+        if (manifest.chunkSize > 0) {
+          val ch = chunkRows(added)
+          loadCentroids() match {
+            case Some(model) =>
+              ch.withColumn("cluster", model.assignCol(col("vec")))
+                .write.mode("append").partitionBy("cluster")
+                .parquet(chunksDir(manifest.version))
+            case None =>
+              ch.write.mode("append").parquet(chunksDir(manifest.version))
+          }
+        }
         loadCentroids() match {
           case Some(model) =>
             added.withColumn("cluster", model.assignCol(col("vec")))
@@ -386,19 +408,6 @@ final class DocumentStore private (
             }
           case None =>
             added.write.mode("append").parquet(essentialDir(manifest.version))
-        }
-        // Multi-vector mode: O(batch) chunk append, matching the chunk
-        // table's layout (clustered iff the store is clustered).
-        if (manifest.chunkSize > 0) {
-          val ch = chunkRows(added)
-          loadCentroids() match {
-            case Some(model) =>
-              ch.withColumn("cluster", model.assignCol(col("vec")))
-                .write.mode("append").partitionBy("cluster")
-                .parquet(chunksDir(manifest.version))
-            case None =>
-              ch.write.mode("append").parquet(chunksDir(manifest.version))
-          }
         }
         manifest = manifest.copy(count = offset + nNew)
         writeManifest(spark, path, manifest)
@@ -595,6 +604,14 @@ final class DocumentStore private (
     if (manifest.count == 0) throw new IndexException("store is empty or not built")
     TextSearch.writeIndex(essential.select(col("id"), col("text")),
       "id", "text", lexicalDir(manifest.version), numFiles)
+    // Freshness sidecar: the STORE count at build time. The index's
+    // own stats n_docs counts non-null-TEXT docs only (writeIndex
+    // filters them), so comparing it to snap.count would brand a fresh
+    // index permanently stale the moment one null-text doc exists.
+    import spark.implicits._
+    Seq(manifest.count).toDF("store_count").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"${lexicalDir(manifest.version)}/built_for")
   }
 
   /** Build/refresh a product-quantization index for the CURRENT
@@ -766,8 +783,14 @@ final class DocumentStore private (
     val perQuery = sample.map { case (qid, qv) =>
       val top = codes
         .withColumn("__am", pqModel.adcMicrosCol(col("codes"), qv, roundScale = 4))
+        // null ADC = null-codes (null-vec) doc: never a result, and
+        // ASC NULLS FIRST would rank it ahead of every real candidate
+        // (then NPE at getLong). Same null discipline as
+        // similaritySearchPq's prescreen.
+        .where(col("__am").isNotNull)
         .orderBy(col("__am"), col("id")).limit(maxDepth)
         .join(essential.select(col("id"), col("vec")), Seq("id"))
+        .where(col("vec").isNotNull)
         .select(col("id"), col("__am"), col("vec")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
         .sortBy(t => (t._2, t._1))
@@ -784,7 +807,11 @@ final class DocumentStore private (
         case "ip"     => dot
         case _        => math.sqrt(l2)
       }
-      BigDecimal(raw).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      // A zero-norm vector under cosine gives NaN (BigDecimal(NaN)
+      // would throw); rank it strictly worst, mirroring the engine's
+      // usable() gate that drops unusable scores from results.
+      if (raw.isNaN) { if (higherBetter) Double.NegativeInfinity else Double.PositiveInfinity }
+      else BigDecimal(raw).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     val points = depths.map { d =>
       val recalls = perQuery.map { case (qid, qv, top) =>
@@ -928,6 +955,10 @@ final class DocumentStore private (
         val qv = embedder.embedQuery(query)
         val candIds = codes
           .withColumn("adc", model.adcMicrosCol(col("codes"), qv.toSeq, 4))
+          // null adc = null codes = null-vec doc: it can never be a
+          // result, and ASC NULLS FIRST would let such rows consume
+          // the whole candidate budget before any real row.
+          .where(col("adc").isNotNull)
           .orderBy(col("adc"), col("id"))
           .limit(candidates)
           .select("id").collect().map(_.getLong(0))
@@ -948,11 +979,21 @@ final class DocumentStore private (
     * cannot observe which path ran. */
   private def lexicalScores(queryTerms: Seq[String]): DataFrame = {
     val dir = lexicalDir(snap.version)
+    // Freshness = the store count recorded at build time (the
+    // `built_for` sidecar) still matches: incremental appends since
+    // the build bump the count and force the scan path. Legacy indexes
+    // without the sidecar fall back to the stats n_docs compare (which
+    // is exact only for all-non-null-text stores — the sidecar exists
+    // because stats counts only docs writeIndex could tokenize).
+    val builtForDir = s"$dir/built_for"
     val statsDir = s"$dir/stats"
-    val fresh = fsFor(statsDir).exists(hadoopPath(statsDir)) && {
-      spark.read.parquet(statsDir).head.getAs[Double]("n_docs").toLong ==
-        snap.count
-    }
+    val fresh =
+      if (fsFor(builtForDir).exists(hadoopPath(builtForDir)))
+        spark.read.parquet(builtForDir).head.getLong(0) == snap.count
+      else fsFor(statsDir).exists(hadoopPath(statsDir)) && {
+        spark.read.parquet(statsDir).head.getAs[Double]("n_docs").toLong ==
+          snap.count
+      }
     if (fresh) TextSearch.searchIndexScores(spark, dir, queryTerms)
     else TextSearch.bm25Scores(essential.select(col("id"), col("text")),
       "id", "text", queryTerms)
@@ -972,9 +1013,7 @@ final class DocumentStore private (
     val sel = VectorIndex.mmr(searchSpace(qv), "vec", qv.toSeq, k, fetchK,
       lambdaParam, config.metric, idCol = "id")
     val ids = sel.select("id").collect().map(_.getLong(0))
-    val matching = essential.where(col("id").isin(ids: _*))
-      .select(col("id"), col("text"), col("source"), col("category"))
-    sel.join(broadcast(matching), Seq("id"), "left")
+    attachEssential(sel, ids.toSeq)
       .orderBy("rank")
       .select(col("id").as("doc_id"), col("rank"), col("text"),
         col("source"), col("category"), col("qsim").as("similarity"),
@@ -991,10 +1030,7 @@ final class DocumentStore private (
     import spark.implicits._
     val hitsDf = hits.map(r => (r.getLong(0), r.getDouble(1)))
       .toSeq.toDF("id", "score")
-    val matching = essential
-      .where(col("id").isin(hits.map(_.getLong(0)): _*))
-      .select(col("id"), col("text"), col("source"), col("category"))
-    hitsDf.join(broadcast(matching), Seq("id"), "left")
+    attachEssential(hitsDf, hits.map(_.getLong(0)).toSeq)
       .orderBy(col("score").desc, col("id"))
       .select(col("id").as("doc_id"), col("text"), col("source"),
         col("category"), col("score"), lit("essential").as("metadata_type"))
@@ -1035,10 +1071,7 @@ final class DocumentStore private (
     import spark.implicits._
     val hitsDf = hits.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
       .toSeq.toDF("id", "similarity", "n_chunks")
-    val matching = essential
-      .where(col("id").isin(hits.map(_.getLong(0)): _*))
-      .select(col("id"), col("text"), col("source"), col("category"))
-    val enriched = hitsDf.join(broadcast(matching), Seq("id"), "left")
+    val enriched = attachEssential(hitsDf, hits.map(_.getLong(0)).toSeq)
       .orderBy(VectorIndex.ranking(config.metric, "similarity", Seq("id")): _*)
       .select(col("id").as("doc_id"), col("text"), col("source"),
         col("category"), col("similarity"), col("n_chunks"),
@@ -1143,6 +1176,9 @@ final class DocumentStore private (
       val cand = searchSpace(qv)
         .withColumn("hamming", VectorFunctions.hammingDistance(
           VectorFunctions.binarySign63(col("vec")), lit(qbits)).cast("int"))
+        // null hamming = null-vec doc: never a result, and ASC NULLS
+        // FIRST would let such rows starve the candidate budget.
+        .where(col("hamming").isNotNull)
         .orderBy(col("hamming"), col("id"))
         .limit(candidates)
       VectorIndex.topK(cand, "vec", qv.toSeq, k, config.metric,
@@ -1166,8 +1202,13 @@ final class DocumentStore private (
     val doomedIds = essential.where(condition).select("id")
     val removed = doomedIds.count()
     if (removed == 0) return 0L
-    if (removed >= manifest.count) { drop(); return removed }
     val survivorsE = essential.join(doomedIds, Seq("id"), "left_anti")
+    // Whole-store wipe is decided by SURVIVORS being empty, never by
+    // `removed >= manifest.count`: crash-orphaned essential rows (ids
+    // >= manifest.count, see addDFIncremental) can inflate the match
+    // count past the live total, and the count-based test would then
+    // drop() surviving documents — silent data loss.
+    if (survivorsE.isEmpty) { drop(); return removed }
     val survivorsP = payload.join(
       doomedIds.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
     val reE = withDenseId(survivorsE.orderBy("id").drop("id"), "id")
@@ -1242,14 +1283,28 @@ final class DocumentStore private (
     import spark.implicits._
     val fusedDf = fused.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
       r.getDouble(3))).toSeq.toDF("id", "rank_keyword", "rank_vector", "rrf")
-    val matching = essential
-      .where(col("id").isin(fused.map(_.getLong(0)): _*))
-      .select(col("id"), col("text"), col("source"), col("category"))
-    fusedDf.join(broadcast(matching), Seq("id"), "left")
+    attachEssential(fusedDf, fused.map(_.getLong(0)).toSeq)
       .orderBy(col("rrf").desc, col("id"))
       .select(col("id").as("doc_id"), col("text"), col("source"),
         col("category"), col("rrf"), col("rank_keyword"), col("rank_vector"),
         lit("essential").as("metadata_type"))
+  }
+
+  /** Shared k-row enrichment: attach (text, source, category) from the
+    * essential store to a driver-materialized hit frame keyed by `id`.
+    * The id set pushes into the essential scan as an `isin` filter
+    * (parquet pruning reads only the matching row groups) and the k-row
+    * result is the broadcast build side. INNER join on purpose: a hit
+    * id with no essential row can only be a crash-orphan (e.g. chunk
+    * rows whose batch never published — see addDFIncremental), and
+    * surfacing it as a null-text result would be worse than one
+    * short-of-k response in a crash window. One definition for every
+    * search surface, so a fix here fixes them all. */
+  private def attachEssential(hitsDf: DataFrame, ids: Seq[Long]): DataFrame = {
+    val matching = essential
+      .where(col("id").isin(ids: _*))
+      .select(col("id"), col("text"), col("source"), col("category"))
+    hitsDf.join(broadcast(matching), Seq("id"), "inner")
   }
 
   /** Full-metadata enrichment (reference Q6,
@@ -1279,13 +1334,19 @@ final class DocumentStore private (
 
   /** Point lookup by id (reference Q7, retriever.py:258-316). */
   def getDocumentById(id: Long, includeFullMetadata: Boolean = false): Option[SearchHit] = {
+    // An empty store has no v-dir to read: the point lookup answers
+    // "not found" (None) instead of leaking a path-not-found error.
+    if (currentManifest.count == 0) return None
     val df = getDocumentsByIds(Seq(id), includeFullMetadata)
     df.collect().headOption.map(rowToHit)
   }
 
   /** Set lookup — one semijoin job, not a loop (reference Q8 loops Q7,
-    * retriever.py:372-394). */
+    * retriever.py:372-394). Empty store: typed SearchException like
+    * every other DataFrame-returning read (there is no version dir to
+    * derive an empty frame's schema from). */
   def getDocumentsByIds(ids: Seq[Long], includeFullMetadata: Boolean = false): DataFrame = withSnapshot {
+    if (snap.count == 0) throw new SearchException("store is empty or not built")
     val base = essential.where(col("id").isin(ids: _*))
       .select(col("id").as("doc_id"), col("text"), col("source"),
         col("category"), lit(0.0).as("similarity"),
@@ -1331,7 +1392,12 @@ final class DocumentStore private (
 
   /** Delete by texts — only the FIRST (lowest-id) occurrence per text is
     * deleted, reference semantics (index.py:389-393). */
-  def deleteByTexts(texts: Seq[String]): Boolean = {
+  def deleteByTexts(texts: Seq[String]): Boolean = mutationLock.synchronized {
+    // The whole resolve-then-delete runs under the (re-entrant)
+    // mutation lock: ids are POSITIONAL and densely recompacted by
+    // every mutation, so resolving them outside the lock opens a
+    // TOCTOU window in which a concurrent delete re-numbers the store
+    // and the inner deleteByIds removes the WRONG documents.
     if (texts.isEmpty) return false
     if (manifest.count == 0) throw new IndexException("store is empty or not built")
     import spark.implicits._
@@ -1401,8 +1467,14 @@ final class DocumentStore private (
     // still win over the incoming row, as in the composed form). The
     // persisted Bloom is NOT passed: it still contains the just-replaced
     // texts, and correctness here needs the exact anti-join anyway.
+    // CACHED like buildNewRows' base and writeVersion's ess: the
+    // recompaction pipeline (anti-join + global orderBy + zipWithIndex)
+    // is consumed at least three times — the survivor count, the
+    // dedup anti-join inside buildNewRows, and the snapshot write —
+    // and uncached it would re-scan the corpus each time.
     val reE = withDenseId(survivorsE.orderBy("id").drop("id"), "id")
       .select("id", "text", "source", "category", "metadata_hash", "vec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reP = withDenseId(survivorsP.orderBy("doc_id").drop("doc_id"), "doc_id")
       .select("doc_id", "text", "metadata", "payload_json")
     val metas = if (metadatas.isEmpty) Seq.fill(texts.length)(Map.empty[String, String]) else metadatas
@@ -1410,14 +1482,15 @@ final class DocumentStore private (
     // Offset = ACTUAL survivor count (recompacted ids are dense
     // 0..n-1): deriving it from manifest.count would collide with the
     // recompacted ids when crash-orphaned rows inflate the on-disk row
-    // count past the manifest (see appendBuild).
-    val survivorCount = survivorsE.count()
+    // count past the manifest (see appendBuild). Counting reE (not
+    // survivorsE) also forces the cache before its other consumers.
+    val survivorCount = reE.count()
     val base = buildNewRows(staged, Some(reE), survivorCount)
     try {
       if (base.isEmpty) writeVersion(reE, reP) // publish just the deletes
       else writeVersion(reE.unionByName(essentialProjection(base)),
         reP.unionByName(payloadProjection(base)))
-    } finally base.unpersist()
+    } finally { base.unpersist(); reE.unpersist(); () }
     texts.indices.map(_.toString)
   }
 

@@ -518,9 +518,10 @@ class DocumentStoreSpec extends SparkSpec {
     assert(store.similaritySearch("document 7 in family 2", k = 1)
       .select("text").head.getString(0) == "document 7 in family 2")
     assert(IvfIndex.cachedVersion(key).contains(store.currentManifest.version))
-    // the stale v1 entry was evicted on insert (bounded memory: the
-    // cache keeps at most the latest two versions per key)
-    assert(IvfIndex.cachedVersion(key).get != v1)
+    // the cache rolled forward: newest cached version is the live one
+    // (v1 may legitimately linger as the pinned-reader grace copy —
+    // the cache keeps at most the latest two versions per key)
+    assert(IvfIndex.cachedVersion(key).get > v1)
   }
 
   test("rebuilding a store at the same path invalidates the old generation's centroid cache") {
