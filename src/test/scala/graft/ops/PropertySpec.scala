@@ -333,4 +333,27 @@ class PropertySpec extends SparkSpec {
       assert(got.toSet === expect, s"for $comps")
     }
   }
+
+  test("property: prefixJaccardPairs == ngramJaccardPairs on random corpora (incl. repeated hot phrases)") {
+    // Random texts from a small vocabulary produce heavy shingle
+    // sharing (both common AND rare shingles per doc), plus a planted
+    // boilerplate phrase on a subset — the regime prefix filtering
+    // prunes hardest and where an unsound prefix length would MISS
+    // pairs. The PPJoin path must stay value-identical to the naive
+    // join everywhere, at several thresholds.
+    val boiler = "legal notice all rights reserved"
+    samples(Gen.listOfN(24, textGen), 5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, if (i % 3 == 0) s"$t $boiler" else t)
+      }.toDF("id", "text")
+      for (thr <- Seq(0.3, 0.5, 0.8)) {
+        def norm(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            .sortBy(t => (t._1, t._2)).toSeq
+        val naive = norm(Dedup.ngramJaccardPairs(docs, "id", "text", 3, thr, None))
+        val pref = norm(Dedup.prefixJaccardPairs(docs, "id", "text", 3, thr))
+        assert(pref == naive, s"thr=$thr texts=$texts")
+      }
+    }
+  }
 }
