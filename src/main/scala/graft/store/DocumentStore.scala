@@ -377,37 +377,30 @@ final class DocumentStore private (
         // batch re-appends the same chunk rows (duplicate n_chunks
         // until compact(), which rebuilds the chunk table — the same
         // heal as duplicate payload rows).
-        if (manifest.chunkSize > 0) {
-          val ch = chunkRows(added)
-          loadCentroids() match {
-            case Some(model) =>
-              ch.withColumn("cluster", model.assignCol(col("vec")))
-                .write.mode("append").partitionBy("cluster")
-                .parquet(chunksDir(manifest.version))
-            case None =>
-              ch.write.mode("append").parquet(chunksDir(manifest.version))
-          }
-        }
-        loadCentroids() match {
+        val centroidModel = loadCentroids()
+        def appendTo(df: DataFrame, dir: String): Unit = centroidModel match {
           case Some(model) =>
-            added.withColumn("cluster", model.assignCol(col("vec")))
-              .write.mode("append").partitionBy("cluster")
-              .parquet(essentialDir(manifest.version))
-            // Staleness ledger: fold this batch's assignment distances
-            // into the per-version sidecar (batch-sized agg + a tiny
-            // overwrite — the same cost class as the bloom fold).
-            readIvfStats(manifest.version).foreach { case (base0, n0, s0) =>
-              val r = added
-                .withColumn("__c", model.assignCol(col("vec")))
-                .withColumn("__d", model.distToCol(col("vec"), col("__c")))
-                .agg(count(col("__d")).as("n"),
-                  sum(coalesce(col("__d"), lit(0.0))).as("s")).head
-              val batchSum = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
-              writeIvfStats(manifest.version, base0,
-                n0 + r.getLong(0), s0 + batchSum)
-            }
-          case None =>
-            added.write.mode("append").parquet(essentialDir(manifest.version))
+            df.withColumn("cluster", model.assignCol(col("vec")))
+              .write.mode("append").partitionBy("cluster").parquet(dir)
+          case None => df.write.mode("append").parquet(dir)
+        }
+        if (manifest.chunkSize > 0)
+          appendTo(chunkRows(added), chunksDir(manifest.version))
+        appendTo(added, essentialDir(manifest.version))
+        // Staleness ledger: fold this batch's assignment distances
+        // into the per-version sidecar (batch-sized agg + a tiny
+        // overwrite — the same cost class as the bloom fold).
+        centroidModel.foreach { model =>
+          readIvfStats(manifest.version).foreach { case (base0, n0, s0) =>
+            val r = added
+              .withColumn("__c", model.assignCol(col("vec")))
+              .withColumn("__d", model.distToCol(col("vec"), col("__c")))
+              .agg(count(col("__d")).as("n"),
+                sum(coalesce(col("__d"), lit(0.0))).as("s")).head
+            val batchSum = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+            writeIvfStats(manifest.version, base0,
+              n0 + r.getLong(0), s0 + batchSum)
+          }
         }
         manifest = manifest.copy(count = offset + nNew)
         writeManifest(spark, path, manifest)
@@ -433,12 +426,10 @@ final class DocumentStore private (
     val ess = essentialDf.cache()
     val count = ess.count()
 
-    var nlistUsed = 0
     var modelOpt: Option[IvfIndex.Model] = None
     if (IvfIndex.shouldUseIvf(config.nlist, count)) {
       val model = IvfIndex.fit(ess, "vec", config.nlist)
       modelOpt = Some(model)
-      nlistUsed = model.nlist
       // Within each cluster partition, sort by id so point lookups still
       // prune row groups on the id min/max statistics.
       ess.withColumn("cluster", model.assignCol(col("vec")))
@@ -501,6 +492,7 @@ final class DocumentStore private (
     }
     ess.unpersist()
 
+    val nlistUsed = modelOpt.map(_.nlist).getOrElse(0)
     manifest = StoreManifest(v, embedder.dim, config.metric, count, nlistUsed,
       chunkSize = config.chunkSize,
       chunkOverlap = if (config.chunkSize > 0) config.chunkOverlap else 0)
@@ -744,11 +736,18 @@ final class DocumentStore private (
     val curve = points.map { case (np, r, f) =>
       TuningPoint(np, r, f, chosen = np == chosenNp)
     }
-    curve.toDF().withColumnRenamed("costFraction", "cost_fraction")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"${tuningDir(snap.version)}/nprobe")
+    writeCurve("nprobe", curve)
     tuningCache.put(snap.version, Some(chosenNp))
     curve
+  }
+
+  /** Persist a tuning curve under the snapshot's tuning dir (the
+    * parquet twin of [[tuningCurve]]'s reader). */
+  private def writeCurve(kind: String, curve: Seq[TuningPoint]): Unit = {
+    import spark.implicits._
+    curve.toDF().withColumnRenamed("costFraction", "cost_fraction")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${tuningDir(snap.version)}/$kind")
   }
 
   /** Tune the PQ rerank depth the same way: for each depth d =
@@ -831,10 +830,7 @@ final class DocumentStore private (
     val curve = points.map { case (d, r, f) =>
       TuningPoint(d, r, f, chosen = d == chosenD)
     }
-    import spark.implicits._
-    curve.toDF().withColumnRenamed("costFraction", "cost_fraction")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"${tuningDir(snap.version)}/pq")
+    writeCurve("pq", curve)
     curve
   }
 
