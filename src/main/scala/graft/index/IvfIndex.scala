@@ -75,13 +75,26 @@ object IvfIndex {
       * Ties break to the LOWEST cluster id at every rank (distances
       * rounded first when `roundScale >= 0`), so an external engine
       * reproduces the whole probe list with a row_number over
-      * (dist, cid) — the same contract as [[assignCol]]. Built from
-      * HOF built-ins: the distance array is computed ONCE per row,
-      * then argmin-and-mask `nProbes` times — per-row cost is the same
-      * distance loop as the fused kernel plus O(nProbes·nlist)
-      * bookkeeping (use [[assignCol]] when nProbes == 1; callers probe
-      * 2, at most a handful). */
+      * (dist, cid) — the same contract as [[assignCol]]. Runs the
+      * fused [[graft.functions.NearestCentroidsExpr]] kernel (the same
+      * one the batch IVF prune rule projects): one primitive distance
+      * loop per row — at ingest scale the multi-probe assignment is
+      * the narrow map over the corpus, exactly like [[assignCol]].
+      * Bit-identical to [[assignProbesColSql]] (IvfIndexSpec). */
     def assignProbesCol(vec: Column, nProbes: Int, roundScale: Int = -1): Column = {
+      require(nProbes >= 1 && nProbes <= nlist,
+        s"nProbes $nProbes out of 1..$nlist")
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.NearestCentroidsExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(asDouble(vec)),
+          centroids, nProbes, roundScale))
+    }
+
+    /** HOF reference twin of [[assignProbesCol]] (pure built-ins: one
+      * distance array per row, then argmin-and-mask `nProbes` times) —
+      * kept as the replayable specification of the probe list, like
+      * [[assignColSql]] for the single-probe kernel. */
+    def assignProbesColSql(vec: Column, nProbes: Int, roundScale: Int = -1): Column = {
       require(nProbes >= 1 && nProbes <= nlist,
         s"nProbes $nProbes out of 1..$nlist")
       val cents = typedlit(centroids)

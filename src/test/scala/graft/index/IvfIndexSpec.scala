@@ -44,11 +44,14 @@ class IvfIndexSpec extends SparkSpec {
     for (rs <- Seq(-1, 4)) {
       val got = vecs
         .withColumn("p", model.assignProbesCol(col("vec"), 2, rs))
+        .withColumn("ps", model.assignProbesColSql(col("vec"), 2, rs))
         .withColumn("c", model.assignCol(col("vec"), rs))
-        .orderBy("id").select("p", "c")
-        .collect().map(r => (r.getSeq[Int](0).toSeq, r.getInt(1)))
-      got.zip(rows).foreach { case ((probes, primary), (_, v)) =>
+        .orderBy("id").select("p", "ps", "c")
+        .collect().map(r =>
+          (r.getSeq[Int](0).toSeq, r.getSeq[Int](1).toSeq, r.getInt(2)))
+      got.zip(rows).foreach { case ((probes, probesSql, primary), (_, v)) =>
         assert(probes.head == primary, s"probe 0 != assignCol at rs=$rs")
+        assert(probes == probesSql, s"fused kernel != HOF twin at rs=$rs")
         assert(probes == model.nearestCentroids(v, 2, rs),
           s"probe list != nearestCentroids at rs=$rs")
       }
