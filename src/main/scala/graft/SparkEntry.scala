@@ -739,6 +739,61 @@ object SparkEntry {
       roundScale = 4, nProbes = 2)
   }
 
+  /** The ANN auto-tuning loop as an ORACLE-CHECKED query: the measured
+    * (nprobe, recall, scan-fraction) curve over the pinned coarse
+    * quantizer — DocumentStore.tuneNprobe's math on a relational
+    * surface (its store form is spec-gated because the store fit isn't
+    * SQL-replayable; the pinned-centroid protocol makes this one
+    * exactly replayable). 5 sample queries (vec_id < 5), k = 10,
+    * nprobe ∈ {1,2,3}; every rank decided on rounded values with id
+    * ties, and BOTH ratios aggregate integer totals with ONE final
+    * division, so no float fold order exists for the engines to
+    * disagree on. Engine shape: one batched exact top-k + one batched
+    * probe-filtered top-k per nprobe (broadcast queries, bounded
+    * TakeOrdered), a cluster-cardinality agg — nothing corpus². */
+  @volatile private var tuningCurveCentroidValues: Option[String] = None
+  private def qTuningCurve(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val (model, vals) = pinCentroids(IvfIndex.fitCached(
+      s"$dir/embeddings", emb, "embedding",
+      nlist = 8, maxIter = 2, initMode = "random", fitFraction = 0.25,
+      fitPartitions = 2))
+    tuningCurveCentroidValues = Some(vals)
+    val assigned = emb.withColumn("cluster",
+      model.assignCol(col("embedding"), roundScale = 4))
+    val k = 10
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    import s.implicits._
+    val qdf = queries.toSeq.toDF("qid", "qv")
+    val exact = VectorIndex.topKBatch(emb, "embedding", qdf, "qid", "qv", k,
+        "cosine", scoreCol = "__s", tieBreak = Seq("vec_id"), roundScale = 4)
+      .select(col("qid"), col("vec_id"))
+    val sizes = assigned.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = emb.count()
+    val rows = Seq(1, 2, 3).map { np =>
+      val probed = queries.map { case (qid, qv) =>
+        (qid, qv, model.nearestCentroids(qv, np, roundScale = 4))
+      }
+      val approx = VectorIndex.topKBatch(assigned, "embedding",
+          probed.toSeq.toDF("qid", "qv", "__probes"), "qid", "qv", k,
+          "cosine", scoreCol = "__s", tieBreak = Seq("vec_id"),
+          roundScale = 4,
+          keep = Some(expr("array_contains(__probes, cluster)")))
+        .select(col("qid"), col("vec_id"))
+      val agg = graft.ops.Eval.recallAtK(exact, approx, "qid", "vec_id")
+        .agg(sum("n_overlap").as("o"), sum("n_exact").as("e")).head
+      val recall = math.rint(agg.getLong(0).toDouble / agg.getLong(1) * 10000) / 10000.0
+      val probedRows = probed.map(_._3.map(p => sizes.getOrElse(p, 0L)).sum).sum
+      val frac = math.rint(probedRows.toDouble / (queries.length * total) * 10000) / 10000.0
+      (np, recall, frac)
+    }
+    rows.toDF("nprobe", "recall", "scan_fraction")
+  }
+
   /** DSIR importance weights (Xie et al. 2023): score every document by
     * target-vs-raw hashed-bigram log-likelihood ratio, select the top
     * 200. Target domain = the `src0` slice of the corpus itself (the
@@ -2155,6 +2210,7 @@ object SparkEntry {
       "q_ivf_search"          -> (qIvfSearch _),
       "q_semdedup"            -> (qSemdedup _),
       "q_semdedup2"           -> (qSemdedup2 _),
+      "q_tuning_curve"        -> (qTuningCurve _),
       "q_dsir_weights"        -> (qDsirWeights _),
       "q_neardup_embedding"   -> (qNeardupEmbedding _),
       "q_dedup_exact"         -> (qDedupExact _),
@@ -4076,7 +4132,7 @@ object SparkEntry {
                     (ORDER BY logweight DESC, doc_id) <= 200
                   THEN 1 ELSE 0 END AS INT) AS selected
       FROM w"""
-  ) ++ ivfSearchOracle ++ semdedupOracle ++ semdedup2Oracle
+  ) ++ ivfSearchOracle ++ semdedupOracle ++ semdedup2Oracle ++ tuningCurveOracle
 
   /** Dynamic oracle for q_ivf_search: the k-means fit exports its
     * (6dp-rounded) centroids via [[ivfSearchCentroidValues]], and the
@@ -4144,5 +4200,49 @@ object SparkEntry {
              CAST(CASE WHEN g.dup_of IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup,
              g.dup_of
       FROM a LEFT JOIN g ON g.id_b = a.vec_id"""
+    }.toMap
+
+  /** Dynamic oracle for q_tuning_curve — the pinned-centroid protocol
+    * applied to the auto-tuning MATH: exact top-10 per sample query
+    * (rounded cosine, id ties), probe ranks per (query, centroid)
+    * (rounded distance, cid ties), within-probe top-10 per nprobe, and
+    * the two ratios from INTEGER totals with one final division each
+    * (overlap/50, probed-rows/(5·N)) — no float fold order anywhere. */
+  private def tuningCurveOracle: Map[String, String] =
+    tuningCurveCentroidValues.map { vals =>
+      "q_tuning_curve" -> s"""${centroidAssignCtes(vals)},
+      q AS (SELECT vec_id AS qid, ev AS qv FROM v WHERE vec_id < 5),
+      ex AS (SELECT qid, vec_id FROM (
+              SELECT q.qid, v.vec_id,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY round(list_cosine_similarity(v.ev, q.qv), 4) DESC, v.vec_id) AS rn
+              FROM q, v) t WHERE rn <= 10),
+      qd AS (SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 round(list_sum(list_transform(range(1, len(q.qv) + 1),
+                   i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), 4), c.cid) AS rn_p
+             FROM q, c),
+      np AS (SELECT * FROM (VALUES (1),(2),(3)) t(n)),
+      probes AS (SELECT np.n, qd.qid, qd.cid FROM np, qd WHERE qd.rn_p <= np.n),
+      ax AS (SELECT n, qid, vec_id FROM (
+              SELECT p.n, p.qid, v.vec_id,
+                     row_number() OVER (PARTITION BY p.n, p.qid
+                       ORDER BY round(list_cosine_similarity(v.ev, q2.qv), 4) DESC, v.vec_id) AS rn
+              FROM probes p
+              JOIN a ON a.cluster = p.cid
+              JOIN v ON v.vec_id = a.vec_id
+              JOIN q q2 ON q2.qid = p.qid) t WHERE rn <= 10),
+      ov AS (SELECT n, CAST(count(*) AS BIGINT) AS o
+             FROM ax JOIN ex ON ex.qid = ax.qid AND ex.vec_id = ax.vec_id
+             GROUP BY n),
+      sizes AS (SELECT cluster, count(*) AS sz FROM a GROUP BY cluster),
+      tot AS (SELECT count(*) AS nt FROM v),
+      pr AS (SELECT p.n, sum(s.sz) AS probed
+             FROM probes p JOIN sizes s ON s.cluster = p.cid GROUP BY p.n)
+      SELECT np.n AS nprobe,
+             round(CAST(ov.o AS DOUBLE) / 50.0, 4) AS recall,
+             round(CAST(pr.probed AS DOUBLE) / (5.0 * tot.nt), 4) AS scan_fraction
+      FROM np JOIN ov ON ov.n = np.n JOIN pr ON pr.n = np.n, tot
+      ORDER BY nprobe"""
     }.toMap
 }

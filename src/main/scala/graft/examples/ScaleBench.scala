@@ -63,7 +63,8 @@ object ScaleBench {
     "q_retrieval_metrics",  // bounded top-k lists + decimal DCG aggs
     "q_maxsim",             // chunk-scored scan + per-doc max + TakeOrdered
     // round-8 families
-    "q_semdedup2")          // multi-probe cluster-pruned pair join
+    "q_semdedup2",          // multi-probe cluster-pruned pair join
+    "q_tuning_curve")       // 4 batched sample-topk jobs + cluster agg
 
   /** Shapes that no longer exist in SparkEntry but whose 10× behavior
     * documents WHY the shipped shape replaced them — the before/after

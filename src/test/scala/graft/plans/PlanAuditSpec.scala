@@ -43,7 +43,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_maxsim", "q_normalize_text",
     // round-8: store-surface late interaction (build + search per run),
     // multi-probe SemDeDup (2x candidate volume must stay clean)
-    "q_maxsim_store", "q_semdedup2")
+    "q_maxsim_store", "q_semdedup2", "q_tuning_curve")
 
   for (name <- expensive)
     test(s"$name plan has no scale-killing shape") {
