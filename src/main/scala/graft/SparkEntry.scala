@@ -774,20 +774,34 @@ object SparkEntry {
     val sizes = assigned.groupBy("cluster").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = emb.count()
-    val rows = Seq(1, 2, 3).map { np =>
-      val probed = queries.map { case (qid, qv) =>
-        (qid, qv, model.nearestCentroids(qv, np, roundScale = 4))
-      }
-      val approx = VectorIndex.topKBatch(assigned, "embedding",
-          probed.toSeq.toDF("qid", "qv", "__probes"), "qid", "qv", k,
-          "cosine", scoreCol = "__s", tieBreak = Seq("vec_id"),
-          roundScale = 4,
-          keep = Some(expr("array_contains(__probes, cluster)")))
-        .select(col("qid"), col("vec_id"))
-      val agg = graft.ops.Eval.recallAtK(exact, approx, "qid", "vec_id")
-        .agg(sum("n_overlap").as("o"), sum("n_exact").as("e")).head
-      val recall = math.rint(agg.getLong(0).toDouble / agg.getLong(1) * 10000) / 10000.0
-      val probedRows = probed.map(_._3.map(p => sizes.getOrElse(p, 0L)).sum).sum
+    // ONE batched approx job for the whole sweep: (nprobe, query)
+    // pairs become composite query ids, same shape as
+    // DocumentStore.tuneNprobe — job count stays 2 however many
+    // settings are swept.
+    val nps = Seq(1, 2, 3)
+    def cqid(np: Int, qid: Long): Long = (np.toLong << 40) | qid
+    val exactRows = exact.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact2 = nps.flatMap(np =>
+      exactRows.map { case (q, id) => (cqid(np, q), id) }).toDF("qid", "vec_id")
+    val probedAll = nps.flatMap(np => queries.map { case (qid, qv) =>
+      (cqid(np, qid), qv, model.nearestCentroids(qv, np, roundScale = 4))
+    })
+    val approx = VectorIndex.topKBatch(assigned, "embedding",
+        probedAll.toDF("qid", "qv", "__probes"), "qid", "qv", k,
+        "cosine", scoreCol = "__s", tieBreak = Seq("vec_id"),
+        roundScale = 4,
+        keep = Some(expr("array_contains(__probes, cluster)")))
+      .select(col("qid"), col("vec_id"))
+    val perC = graft.ops.Eval.recallAtK(exact2, approx, "qid", "vec_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(1))).toMap
+    val rows = nps.map { np =>
+      val (o, e) = queries.map { case (qid, _) =>
+        perC.getOrElse(cqid(np, qid), (0L, 0L)) }
+        .foldLeft((0L, 0L)) { case ((ao, ae), (qo, qe)) => (ao + qo, ae + qe) }
+      val recall = math.rint(o.toDouble / e * 10000) / 10000.0
+      val probedRows = queries.map { case (_, qv) =>
+        model.nearestCentroids(qv, np, roundScale = 4)
+          .map(p => sizes.getOrElse(p, 0L)).sum }.sum
       val frac = math.rint(probedRows.toDouble / (queries.length * total) * 10000) / 10000.0
       (np, recall, frac)
     }

@@ -688,9 +688,11 @@ final class DocumentStore private (
     * candidate if none reaches it) and becomes [[effectiveNprobe]] —
     * every subsequent search on this snapshot uses it automatically.
     *
-    * Cost: |candidates| + 1 batched sample×corpus scoring jobs plus a
-    * cluster-size aggregate — sample-sized driver state only. Runs
-    * automatically at IVF snapshot build when
+    * Cost: TWO batched scoring jobs total (exact ground truth, then
+    * every (candidate, query) pair as one composite-id batch) plus a
+    * cluster-size aggregate — sample-sized driver state only; adding
+    * candidates widens the broadcast query side, it does not add jobs.
+    * Runs automatically at IVF snapshot build when
     * `StoreConfig.tuneTargetRecall > 0`. */
   def tuneNprobe(targetRecall: Double = 0.95, k: Int = 10,
                  sampleQueries: Int = 20,
@@ -705,29 +707,46 @@ final class DocumentStore private (
       .distinct.sorted
     require(cands.nonEmpty, "no usable nprobe candidates")
     val sample = tuningSample(sampleQueries, seed)
-    val exact = exactTopIds(sample, k)
     // Null-vec docs land under the null cluster partition — they are
     // unreachable by any probe, so they don't belong in the scan cost.
     val clusterSizes = essential.groupBy("cluster").count().collect()
       .filter(!_.isNullAt(0)).map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = snap.count.toDouble
     import spark.implicits._
-    val points = cands.map { np =>
-      val probed = sample.map { case (qid, qv) =>
-        (qid, qv, model.nearestCentroids(qv, np))
+    // The WHOLE sweep is ONE batched scoring job: every (candidate
+    // nprobe, sample query) pair becomes a composite query id with its
+    // own probe set, so the cost is |settings|·|sample| broadcast query
+    // rows against one corpus scan — not one job per setting (at a
+    // handful of fixed-overhead jobs each, the job count, not the
+    // work, dominated the sweep).
+    def cqid(np: Int, qid: Long): Long = (np.toLong << 40) | qid
+    require(sample.forall(_._1 < (1L << 40)),
+      "tuning sample id exceeds the composite-id range (2^40)")
+    val exactRows = exactTopIds(sample, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exact2 = cands.flatMap(np =>
+      exactRows.map { case (q, id) => (cqid(np, q), id) }).toDF("qid", "id")
+    val probedAll = cands.flatMap { np =>
+      sample.map { case (qid, qv) =>
+        (cqid(np, qid), qv, model.nearestCentroids(qv, np))
       }
-      val queries = probed.toSeq.toDF("qid", "qv", "__probes")
-      val approx = VectorIndex.topKBatch(essential, "vec", queries,
-          "qid", "qv", k, config.metric, scoreCol = "__s",
-          tieBreak = Seq("id"), roundScale = 4,
-          keep = Some(expr("array_contains(__probes, cluster)")))
-        .select(col("qid"), col("id"))
-      val recallRow = graft.ops.Eval.recallAtK(exact, approx, "qid", "id")
-        .agg(avg("recall")).head
-      val recall = if (recallRow.isNullAt(0)) 0.0 else recallRow.getDouble(0)
-      val frac = probed.map { case (_, _, ps) =>
-        ps.map(p => clusterSizes.getOrElse(p, 0L)).sum / total
-      }.sum / probed.length
+    }
+    val approx = VectorIndex.topKBatch(essential, "vec",
+        probedAll.toDF("qid", "qv", "__probes"),
+        "qid", "qv", k, config.metric, scoreCol = "__s",
+        tieBreak = Seq("id"), roundScale = 4,
+        keep = Some(expr("array_contains(__probes, cluster)")))
+      .select(col("qid"), col("id"))
+    val perQuery = graft.ops.Eval.recallAtK(exact2, approx, "qid", "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val points = cands.map { np =>
+      val recalls = sample.map { case (qid, _) =>
+        perQuery.getOrElse(cqid(np, qid), 0.0) }
+      val recall = recalls.sum / recalls.length
+      val frac = sample.map { case (qid, qv) =>
+        model.nearestCentroids(qv, np)
+          .map(p => clusterSizes.getOrElse(p, 0L)).sum / total
+      }.sum / sample.length
       (np, math.rint(recall * 10000) / 10000.0,
         math.rint(frac * 10000) / 10000.0)
     }
