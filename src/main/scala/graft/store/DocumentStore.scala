@@ -206,7 +206,12 @@ final class DocumentStore private (
         case Some(_) => payload.unionByName(payloadProjection(base))
         case None    => payloadProjection(base)
       }
-      writeVersion(allEssential, allPayload)
+      // Multi-vector append: ids are stable (append never renumbers),
+      // so existing chunks carry verbatim and only the BATCH's chunks
+      // are embedded — O(batch) inference, not O(corpus).
+      val carry = existing.flatMap(_ => existingChunks())
+        .map(_.unionByName(chunkRows(essentialProjection(base))))
+      writeVersion(allEssential, allPayload, carry)
     } finally base.unpersist()
   }
 
@@ -224,6 +229,34 @@ final class DocumentStore private (
         col("text"), config.chunkSize, config.chunkOverlap)).as("__chunk"))
     embedder.embed(chunked, "__chunk", "vec").select(col("id"), col("vec"))
   }
+
+  /** The CURRENT snapshot's chunk table as carry input — Some((id, vec))
+    * only when carrying across a mutation is sound: the store is
+    * multi-vector, the live config still matches the manifest's chunk
+    * geometry (a changed chunkSize/chunkOverlap invalidates every
+    * existing window), and the table exists on disk. None ⇒ the caller
+    * lets writeVersion rebuild from the essential text. */
+  private def existingChunks(): Option[DataFrame] = {
+    val dir = chunksDir(manifest.version)
+    if (manifest.chunkSize > 0 && config.chunkSize == manifest.chunkSize &&
+        config.chunkOverlap == manifest.chunkOverlap &&
+        fsFor(dir).exists(hadoopPath(dir)))
+      Some(spark.read.parquet(dir).select("id", "vec"))
+    else None
+  }
+
+  /** Carry surviving chunk vectors across a delete/renumber WITHOUT
+    * re-embedding: inner-join the previous snapshot's chunk table
+    * against `idMap` (__old_id → id, the dense renumbering the mutation
+    * already computes) — deleted docs' chunks drop out of the join,
+    * survivors get their new doc id, and the vectors travel as data.
+    * One equi-join shuffling (old_id, vec) pairs — survivor IO, the
+    * cost class the copy-on-write rewrite already pays — versus model
+    * inference over every chunk in the corpus. */
+  private def chunkCarry(idMap: DataFrame): Option[DataFrame] =
+    existingChunks().map(_.withColumnRenamed("id", "__old_id")
+      .join(idMap, Seq("__old_id"))
+      .select("id", "vec"))
 
   private def payloadProjection(base: DataFrame): DataFrame =
     base.select(col("id").as("doc_id"), col("text"), col("metadata"),
@@ -420,8 +453,16 @@ final class DocumentStore private (
   }
 
   /** Write a new snapshot version (optionally IVF-clustered), swap the
-    * manifest pointer, prune old versions. */
-  private def writeVersion(essentialDf: DataFrame, payloadDf: DataFrame): Unit = {
+    * manifest pointer, prune old versions.
+    *
+    * `carriedChunks` (multi-vector mode): pre-embedded chunk rows
+    * (id, vec) — already renumbered to the NEW snapshot's ids — that
+    * replace the from-scratch chunk+embed rebuild. Mutation callers pass
+    * the previous snapshot's chunk table carried through their delete/
+    * renumber (see [[chunkCarry]]); None rebuilds from the essential
+    * text (first build, compact(), chunk-config change). */
+  private def writeVersion(essentialDf: DataFrame, payloadDf: DataFrame,
+                           carriedChunks: Option[DataFrame] = None): Unit = {
     val v = manifest.version + 1
     val ess = essentialDf.cache()
     val count = ess.count()
@@ -472,15 +513,25 @@ final class DocumentStore private (
       // is bit-compatible (see addDFIncremental).
       writeBloomMeta(v, expected, config.dedupBloomFpp)
     }
-    // Multi-vector mode: the chunk table is DERIVED state (chunk +
-    // embed over the essential text), so every snapshot write rebuilds
-    // it — deletes/upserts/compaction stay correct for free, at the
-    // same O(corpus) cost the snapshot rewrite already pays. Chunks are
-    // partitioned by the DOC-level coarse quantizer when IVF is active
-    // (chunk vectors live in the same metric space), which is what
-    // makes searchMaxSim's nprobe pruning file-level.
+    // Multi-vector mode: chunk VECTORS are data, not derived state —
+    // mutation callers carry survivors through the delete/renumber
+    // (`carriedChunks`) so a delete/upsert performs ZERO embedding
+    // calls over the standing corpus (chunk text didn't change; only
+    // ids did). Model inference is the dominant per-row cost with any
+    // real embedder, and re-running it per mutation is exactly the
+    // reference artifact SURVEY §3.3 rules out (index.py:404-440's
+    // O(n) re-embed on delete). The from-scratch chunk+embed rebuild
+    // runs only when no carry is possible: first build, compact()
+    // (which is also the heal for crash-orphaned duplicate chunk rows,
+    // same as for payload), or a chunk-config change. Cluster
+    // assignment below is always recomputed against the NEW coarse
+    // quantizer — that's vector arithmetic over carried vecs, not
+    // embedding. Chunks are partitioned by the DOC-level coarse
+    // quantizer when IVF is active (chunk vectors live in the same
+    // metric space), which is what makes searchMaxSim's nprobe pruning
+    // file-level.
     if (config.chunkSize > 0) {
-      val ch = chunkRows(ess)
+      val ch = carriedChunks.getOrElse(chunkRows(ess))
       modelOpt match {
         case Some(model) =>
           ch.withColumn("cluster", model.assignCol(col("vec")))
@@ -1226,11 +1277,19 @@ final class DocumentStore private (
     if (survivorsE.isEmpty) { drop(); return removed }
     val survivorsP = payload.join(
       doomedIds.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
-    val reE = withDenseId(survivorsE.orderBy("id").drop("id"), "id")
-      .select("id", "text", "source", "category", "metadata_hash", "vec")
+    // Old id retained through the renumbering for the multi-vector
+    // chunk carry — see deleteByIds for the caching rationale.
+    val chunked = manifest.chunkSize > 0
+    val reKeyed = withDenseId(
+      survivorsE.withColumnRenamed("id", "__old_id").orderBy("__old_id"), "id")
+    val reBase = if (chunked)
+      reKeyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else reKeyed
+    val reE = reBase.select("id", "text", "source", "category", "metadata_hash", "vec")
     val reP = withDenseId(survivorsP.orderBy("doc_id").drop("doc_id"), "doc_id")
       .select("doc_id", "text", "metadata", "payload_json")
-    writeVersion(reE, reP)
+    try writeVersion(reE, reP, chunkCarry(reBase.select("__old_id", "id")))
+    finally if (chunked) { reBase.unpersist(); () }
     removed
   }
 
@@ -1396,12 +1455,24 @@ final class DocumentStore private (
 
     if (manifest.count - ids.distinct.length <= 0) { drop(); return true }
 
-    // Dense id reassignment preserving order (index.py:433-435).
-    val reE = withDenseId(survivorsE.orderBy("id").drop("id"), "id")
-      .select("id", "text", "source", "category", "metadata_hash", "vec")
+    // Dense id reassignment preserving order (index.py:433-435). The
+    // old id rides along as __old_id: multi-vector stores use the
+    // old→new map to carry surviving chunk vectors instead of
+    // re-embedding the corpus (see chunkCarry). Cached when chunked —
+    // the essential write and the carry join both consume the
+    // renumbering, and ONE materialization guarantees they see the
+    // same assignment.
+    val chunked = manifest.chunkSize > 0
+    val reKeyed = withDenseId(
+      survivorsE.withColumnRenamed("id", "__old_id").orderBy("__old_id"), "id")
+    val reBase = if (chunked)
+      reKeyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else reKeyed
+    val reE = reBase.select("id", "text", "source", "category", "metadata_hash", "vec")
     val reP = withDenseId(survivorsP.orderBy("doc_id").drop("doc_id"), "doc_id")
       .select("doc_id", "text", "metadata", "payload_json")
-    writeVersion(reE, reP)
+    try writeVersion(reE, reP, chunkCarry(reBase.select("__old_id", "id")))
+    finally if (chunked) { reBase.unpersist(); () }
     true
   }
 
@@ -1487,9 +1558,10 @@ final class DocumentStore private (
     // is consumed at least three times — the survivor count, the
     // dedup anti-join inside buildNewRows, and the snapshot write —
     // and uncached it would re-scan the corpus each time.
-    val reE = withDenseId(survivorsE.orderBy("id").drop("id"), "id")
-      .select("id", "text", "source", "category", "metadata_hash", "vec")
+    val reBase = withDenseId(
+      survivorsE.withColumnRenamed("id", "__old_id").orderBy("__old_id"), "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reE = reBase.select("id", "text", "source", "category", "metadata_hash", "vec")
     val reP = withDenseId(survivorsP.orderBy("doc_id").drop("doc_id"), "doc_id")
       .select("doc_id", "text", "metadata", "payload_json")
     val metas = if (metadatas.isEmpty) Seq.fill(texts.length)(Map.empty[String, String]) else metadatas
@@ -1501,11 +1573,16 @@ final class DocumentStore private (
     // survivorsE) also forces the cache before its other consumers.
     val survivorCount = reE.count()
     val base = buildNewRows(staged, Some(reE), survivorCount)
+    // Multi-vector carry: survivors' chunk vectors travel through the
+    // old→new id map un-re-embedded; only the INCOMING batch's chunks
+    // are embedded (its text may differ from anything replaced).
+    val carrySurv = chunkCarry(reBase.select("__old_id", "id"))
     try {
-      if (base.isEmpty) writeVersion(reE, reP) // publish just the deletes
+      if (base.isEmpty) writeVersion(reE, reP, carrySurv) // publish just the deletes
       else writeVersion(reE.unionByName(essentialProjection(base)),
-        reP.unionByName(payloadProjection(base)))
-    } finally { base.unpersist(); reE.unpersist(); () }
+        reP.unionByName(payloadProjection(base)),
+        carrySurv.map(_.unionByName(chunkRows(essentialProjection(base)))))
+    } finally { base.unpersist(); reBase.unpersist(); () }
     texts.indices.map(_.toString)
   }
 

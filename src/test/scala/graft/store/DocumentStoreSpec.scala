@@ -495,6 +495,77 @@ class DocumentStoreSpec extends SparkSpec {
     intercept[graft.SearchException] { flat.searchMaxSim("fox", 1) }
   }
 
+  test("multi-vector mutations carry chunk vectors: ZERO embed calls on delete, O(batch) on append/upsert") {
+    import org.apache.spark.sql.functions.{col, explode}
+    // Counts every embed-plan construction: the store's mutation paths
+    // are driver-eager, so each chunkRows/buildNewRows invocation calls
+    // embedder.embed exactly once — a delete that re-embedded the chunk
+    // corpus (the reference's index.py:404-440 artifact, SURVEY §3.3)
+    // would increment this.
+    final class CountingEmbedder(inner: HashEmbedder) extends graft.embed.Embedder {
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def dim: Int = inner.dim
+      override def embed(df: org.apache.spark.sql.DataFrame, textCol: String,
+                         outCol: String): org.apache.spark.sql.DataFrame = {
+        calls.incrementAndGet(); inner.embed(df, textCol, outCol)
+      }
+      override def embedQuery(text: String): Array[Double] = inner.embedQuery(text)
+    }
+    val counting = new CountingEmbedder(emb)
+    val q = "quick brown fox jumps high"
+    val filler = (0 until 40).map(i => s"filler$i").mkString(" ")
+    val docsTx = Seq(
+      s"$filler $q",
+      "completely unrelated words about cooking pasta tonight",
+      "another document mentioning fox briefly " + (0 until 30).map(i => s"pad$i").mkString(" "),
+      "a fourth document with some more words in it entirely")
+    val store = DocumentStore.fromTexts(spark, tmp(), docsTx, Nil,
+      StoreConfig(chunkSize = 5, chunkOverlap = 0), counting)
+    val afterBuild = counting.calls.get()
+    assert(afterBuild >= 2) // doc embed + chunk embed at minimum
+
+    // Fresh-scan recompute oracle for the top hit at any point in time.
+    def direct(k: Int) = graft.index.VectorIndex.maxSimTopK(
+      emb.embed(store.essential.select(col("id"), explode(
+        graft.functions.TextFunctions.chunks(col("text"), 5, 0)).as("c")),
+        "c", "v"), "id", "v", emb.embedQuery(q).toSeq, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val chunksBefore = store.chunkVectors.count()
+    val doc3Chunks = store.chunkVectors.where(col("id") === 3L).count()
+
+    // DELETE: zero embedding work — survivors carried via the old→new map.
+    assert(store.deleteByIds(Seq(3L)))
+    assert(counting.calls.get() == afterBuild, "deleteByIds re-embedded chunks")
+    assert(store.chunkVectors.count() == chunksBefore - doc3Chunks)
+    val hit = store.searchMaxSim(q, k = 1).collect().head
+    assert((hit.getAs[Long]("doc_id"), hit.getAs[Double]("similarity")) == direct(1).head)
+
+    // deleteWhere: same carry, still zero.
+    assert(store.deleteWhere(col("text").contains("pasta")) == 1L)
+    assert(counting.calls.get() == afterBuild, "deleteWhere re-embedded chunks")
+    val hit2 = store.searchMaxSim(q, k = 1).collect().head
+    assert((hit2.getAs[Long]("doc_id"), hit2.getAs[Double]("similarity")) == direct(1).head)
+
+    // APPEND: exactly the batch's two embed calls (docs + its chunks).
+    store.addTexts(Seq("brand new appended document about sailing boats"))
+    assert(counting.calls.get() == afterBuild + 2, "append embedded more than the batch")
+    assert((hit2.getAs[Long]("doc_id"), hit2.getAs[Double]("similarity")) == direct(1).head)
+
+    // UPSERT of an existing text: batch-sized too (replace + re-add).
+    store.upsertTexts(Seq(docsTx(0)), Seq(Map("source" -> "u.txt")))
+    assert(counting.calls.get() == afterBuild + 4, "upsert embedded more than the batch")
+    val hit3 = store.searchMaxSim(q, k = 1).collect().head
+    assert((hit3.getAs[Long]("doc_id"), hit3.getAs[Double]("similarity")) == direct(1).head)
+    assert(hit3.getAs[Double]("similarity") == 1.0) // buried passage still exact
+
+    // compact(): the one mutation that rebuilds chunks from text.
+    val preCompact = counting.calls.get()
+    store.compact()
+    assert(counting.calls.get() > preCompact)
+    val hit4 = store.searchMaxSim(q, k = 1).collect().head
+    assert((hit4.getAs[Long]("doc_id"), hit4.getAs[Double]("similarity")) == direct(1).head)
+  }
+
   test("mutate-then-search refreshes centroids with NO manual invalidation (versioned cache)") {
     import graft.index.IvfIndex
     val many = (0 until 150).map(i => s"document $i in family ${i % 5}")
