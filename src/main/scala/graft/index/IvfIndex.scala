@@ -202,10 +202,16 @@ object IvfIndex {
   def modelCached(key: String, version: Long)(load: => Model): Model =
     modelCache.get((key, version)).getOrElse {
       val m = modelCache.getOrElseUpdate((key, version), load)
-      val newest = modelCache.keys.collect { case (k1, v) if k1 == key => v }.max
-      modelCache.keys.foreach { case k @ (k1, v) =>
-        if (k1 == key && v < newest - 1) modelCache.remove(k)
-      }
+      // maxOption, not max: a concurrent invalidateCached (factory
+      // rebuild / drop at the same path) can empty this key's entries
+      // between the insert above and this scan — eviction then has
+      // nothing to do, and .max would crash the reader instead.
+      modelCache.keys.collect { case (k1, v) if k1 == key => v }
+        .maxOption.foreach { newest =>
+          modelCache.keys.foreach { case k @ (k1, v) =>
+            if (k1 == key && v < newest - 1) modelCache.remove(k)
+          }
+        }
       m
     }
 

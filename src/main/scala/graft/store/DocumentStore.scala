@@ -762,7 +762,11 @@ final class DocumentStore private (
     // unreachable by any probe, so they don't belong in the scan cost.
     val clusterSizes = essential.groupBy("cluster").count().collect()
       .filter(!_.isNullAt(0)).map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val total = snap.count.toDouble
+    // Denominator = REACHABLE rows (sum of non-null cluster sizes), not
+    // snap.count: null-vec docs are excluded from the numerator's probe
+    // sums, and counting them below would make costFraction understate
+    // the scan and never reach 1.0 even when every cluster is probed.
+    val total = math.max(clusterSizes.values.sum, 1L).toDouble
     import spark.implicits._
     // The WHOLE sweep is ONE batched scoring job: every (candidate
     // nprobe, sample query) pair becomes a composite query id with its
