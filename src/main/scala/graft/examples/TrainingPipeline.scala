@@ -285,6 +285,28 @@ object TrainingPipeline {
     graft.ops.Layout.zorderWrite(events, Seq("ucell", "tcell"),
       s"$outDir/events_zorder", numFiles = 8)
     println(s"z-ordered events: ${spark.read.parquet(s"$outDir/events_zorder").count()}")
+
+    // 13. Store-maintenance advisory: a retrieval store fed by this
+    //     pipeline's incremental appends degrades in measurable ways
+    //     (new small files per batch, a dedup Bloom sized for the
+    //     original count, centroid drift on IVF stores).
+    //     recommendCompaction names what it detected; compact() fixes
+    //     all of it in one snapshot rewrite.
+    val storeDir = s"$outDir/maint_store"
+    val maint = graft.store.DocumentStore.fromDF(spark, storeDir,
+      docs.limit(60).select(col("text"),
+        map(lit("source"), col("source")).as("metadata")),
+      graft.StoreConfig(), graft.embed.HashEmbedder(64))
+    (0 until 10).foreach { i =>
+      maint.addDFIncremental(
+        Seq((s"synthetic maintenance append batch $i", Map("source" -> s"b$i")))
+          .toDF("text", "metadata"))
+    }
+    println(s"compaction advisory after 10 appends: " +
+      maint.recommendCompaction().mkString("[", "; ", "]"))
+    maint.compact()
+    println(s"compaction advisory after compact(): " +
+      maint.recommendCompaction().mkString("[", "; ", "]"))
     spark.stop()
   }
 }

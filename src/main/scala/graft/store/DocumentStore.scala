@@ -501,6 +501,10 @@ final class DocumentStore private (
         .sortWithinPartitions("id")
         .write.mode("overwrite").parquet(essentialDir(v))
     }
+    // Layout baseline for the small-files advisory: the data-file
+    // count this fresh write produced (one listing; appends grow the
+    // count from here, recommendCompaction compares against it).
+    writeLayoutBaseline(v, countDataFiles(essentialDir(v)))
     payloadDf.write.mode("overwrite").parquet(payloadDir(v))
     // Ingest-dedup Bloom filter for the new snapshot: one narrow pass
     // over the (cached) essential rows; sized to the snapshot count.
@@ -623,6 +627,43 @@ final class DocumentStore private (
         val parts = txt.split("\\s+")
         Some((parts(0).toLong, parts(1).toDouble))
       } catch { case _: Exception => None }
+      finally in.close()
+    }
+  }
+
+  // --- layout baseline sidecar (small-files compaction advisory) -----
+
+  private def layoutMetaPath(v: Long) = s"${versionDir(v)}/layout_files.meta"
+
+  /** Count the `part-*` data files under `dir` (recursive — clustered
+    * layouts nest them under partition dirs). One listing, no data IO. */
+  private def countDataFiles(dir: String): Long = {
+    val fs = fsFor(dir)
+    if (!fs.exists(hadoopPath(dir))) 0L
+    else {
+      var files = 0L
+      val it = fs.listFiles(hadoopPath(dir), true)
+      while (it.hasNext) {
+        if (it.next().getPath.getName.startsWith("part-")) files += 1
+      }
+      files
+    }
+  }
+
+  private def writeLayoutBaseline(v: Long, files: Long): Unit = {
+    val p = layoutMetaPath(v)
+    val out = fsFor(p).create(hadoopPath(p), true)
+    try out.write(files.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readLayoutBaseline(v: Long): Option[Long] = {
+    val p = layoutMetaPath(v)
+    val fs = fsFor(p)
+    if (!fs.exists(hadoopPath(p))) None
+    else {
+      val in = fs.open(hadoopPath(p))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      catch { case _: Exception => None }
       finally in.close()
     }
   }
@@ -831,9 +872,10 @@ final class DocumentStore private (
     * codes table; per query the top max-depth ADC candidates (with
     * their exact vectors) come back to the driver ONCE, so the depth
     * sweep is driver arithmetic — |sample| bounded jobs total. The
-    * chosen depth is recorded in the curve (searchers pass their own
-    * `candidates`; the curve is the measured guidance). Requires
-    * [[buildPqIndex]] for the current snapshot. */
+    * chosen depth is recorded in the curve AND adopted: a
+    * [[similaritySearchPq]] call that doesn't pass `candidates` uses it
+    * via [[effectivePqCandidates]], symmetric with [[effectiveNprobe]].
+    * Requires [[buildPqIndex]] for the current snapshot. */
   def tunePqCandidates(targetRecall: Double = 0.95, k: Int = 10,
                        sampleQueries: Int = 20,
                        depthFactors: Seq[Int] = Seq(2, 4, 8),
@@ -905,6 +947,7 @@ final class DocumentStore private (
       TuningPoint(d, r, f, chosen = d == chosenD)
     }
     writeCurve("pq", curve)
+    pqTuningCache.put(snap.version, Some(chosenD))
     curve
   }
 
@@ -934,6 +977,26 @@ final class DocumentStore private (
   /** The nprobe searches actually use: the measured-recall choice when
     * a tuning pass has run on this snapshot, else the static config. */
   def effectiveNprobe: Int = tunedNprobe(snap.version).getOrElse(config.nprobe)
+
+  // (version -> tuned PQ rerank depth) memo — the PQ twin of
+  // tunedNprobe, same staleness-by-construction doctrine (a mutation
+  // bumps the version; the new version has no curve until re-tuned).
+  private val pqTuningCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Option[Int]]
+  private def tunedPqDepth(v: Long): Option[Int] =
+    pqTuningCache.getOrElseUpdate(v, {
+      val dir = s"${tuningDir(v)}/pq"
+      if (!fsFor(dir).exists(hadoopPath(dir))) None
+      else spark.read.parquet(dir).where(col("chosen"))
+        .select("setting").collect().headOption.map(_.getInt(0))
+    })
+
+  /** The PQ rerank depth a no-argument [[similaritySearchPq]] uses:
+    * the measured-recall choice when [[tunePqCandidates]] has run on
+    * this snapshot, else the static default (100) — the adoption twin
+    * of [[effectiveNprobe]], so both tuned knobs apply symmetrically. */
+  def effectivePqCandidates: Int =
+    tunedPqDepth(snap.version).getOrElse(DefaultPqCandidates)
 
   // ------------------------------------------------------------------
   // Centroid-staleness gate (round-8): incremental appends assign new
@@ -987,6 +1050,55 @@ final class DocumentStore private (
     centroidDriftRatio.exists(_ > driftThreshold)
   }
 
+  /** Reason-coded compaction advisory — the operational superset of
+    * [[needsCompaction]] (which gates on centroid drift alone).
+    * Incremental appends degrade a snapshot in three independent ways;
+    * each returned string names one detected condition:
+    *  - `centroid-drift(ratio=r)` — appended rows' mean assignment
+    *    distance vs the fit-time baseline exceeds `driftThreshold`
+    *    (recall of nprobe-pruned searches erodes);
+    *  - `small-files(files=n, baseline=b)` — the essential layout
+    *    holds more than max(2×, +8) the data files the snapshot write
+    *    itself produced (recorded in a per-version sidecar at write
+    *    time); every append lands new unsorted files, and scan task
+    *    count + footer overhead grow with them;
+    *  - `bloom-capacity(count=n, sized_for=m)` — the live count
+    *    exceeds `bloomSlack` × the dedup Bloom's creation capacity, so
+    *    its fpp has degraded past the design point and ingest batches
+    *    pay more confirm anti-join traffic.
+    * Empty = nothing to recommend. [[compact]] resolves all three
+    * (re-fit + re-layout + Bloom rebuild at the current count). Cost:
+    * the drift sidecar read, ONE recursive directory listing, and the
+    * Bloom .meta sidecar — no data scan, safe to poll after every
+    * append. */
+  def recommendCompaction(driftThreshold: Double = 1.25,
+                          bloomSlack: Double = 2.0): Seq[String] = withSnapshot {
+    require(driftThreshold > 0.0, "driftThreshold must be positive")
+    require(bloomSlack >= 1.0, "bloomSlack must be >= 1.0")
+    val reasons = scala.collection.mutable.ArrayBuffer.empty[String]
+    centroidDriftRatio.filter(_ > driftThreshold).foreach { r =>
+      reasons += f"centroid-drift(ratio=$r%.3f)"
+    }
+    val files = countDataFiles(essentialDir(snap.version))
+    if (files > 0) {
+      // Baseline = the file count the snapshot write itself produced
+      // (sidecar written by writeVersion); legacy versions without one
+      // fall back to the fresh-write estimate (ceil(count/250k) range
+      // files, or >= one per cluster for IVF). The absolute +8 slack
+      // keeps tiny stores from flagging after a couple of appends.
+      val baseline = readLayoutBaseline(snap.version).getOrElse(
+        math.max(math.max(1L, (snap.count + 249999L) / 250000L),
+          snap.nlist.toLong))
+      if (files > math.max(2L * baseline, baseline + 8L))
+        reasons += s"small-files(files=$files, baseline=$baseline)"
+    }
+    loadBloomParams().foreach { case (sizedFor, _) =>
+      if (snap.count > bloomSlack * sizedFor)
+        reasons += s"bloom-capacity(count=${snap.count}, sized_for=$sizedFor)"
+    }
+    reasons.toSeq
+  }
+
   /** The persisted PQ index for the current version, if present AND
     * fresh (its meta row records the indexed n_docs). */
   private def loadPq(): Option[(PqIndex.Model, DataFrame)] = {
@@ -1015,10 +1127,16 @@ final class DocumentStore private (
     * layout's min/max pruning, and the exact metric reranks to k —
     * recall < 1 by construction, `candidates` is the knob. Absent or
     * stale index falls back to exact [[similaritySearch]] (same output
-    * shape, so callers can't break on staleness). */
+    * shape, so callers can't break on staleness).
+    *
+    * `candidates <= 0` (the default) means AUTO: use the measured
+    * rerank depth [[tunePqCandidates]] chose for this snapshot when its
+    * curve is fresh, else the static default — the same adoption rule
+    * as [[effectiveNprobe]]. An explicit positive value always wins. */
   def similaritySearchPq(query: String, k: Int = 4,
-                         candidates: Int = 100): DataFrame = withSnapshot {
+                         candidates: Int = 0): DataFrame = withSnapshot {
     if (snap.count == 0) throw new SearchException("store is empty or not built")
+    val depth = if (candidates > 0) candidates else effectivePqCandidates
     loadPq() match {
       case None => similaritySearch(query, k)
       case Some((model, codes)) =>
@@ -1030,7 +1148,7 @@ final class DocumentStore private (
           // the whole candidate budget before any real row.
           .where(col("adc").isNotNull)
           .orderBy(col("adc"), col("id"))
-          .limit(candidates)
+          .limit(depth)
           .select("id").collect().map(_.getLong(0))
         val cand = essential.where(col("id").isin(candIds: _*))
         VectorIndex.topK(cand, "vec", qv.toSeq, k, config.metric,
@@ -1602,6 +1720,7 @@ final class DocumentStore private (
     // tuned-nprobe memo.
     DocumentStore.invalidateModelCaches(path)
     tuningCache.clear()
+    pqTuningCache.clear()
   }
 
   // ------------------------------------------------------------------
@@ -1667,6 +1786,10 @@ final class DocumentStore private (
 }
 
 object DocumentStore {
+
+  /** Static PQ rerank depth when no measured curve exists for the
+    * snapshot — see [[DocumentStore.similaritySearchPq]]. */
+  val DefaultPqCandidates: Int = 100
 
   /** The store's metadata integrity token (reference index.py:224-226):
     * sha256 over the key-sorted JSON rendering of the metadata map.

@@ -235,6 +235,36 @@ class DocumentStoreSpec extends SparkSpec {
       .map(_.toString).toSeq == exactAfter)
   }
 
+  test("tuned PQ rerank depth is ADOPTED: no-arg searchPq uses the chosen depth, explicit wins, mutation resets") {
+    val many = (0 until 120).map(i => s"pq tuning corpus document number $i about topic ${i % 7}")
+    val store = DocumentStore.fromTexts(spark, tmp(), many, Nil, StoreConfig(), emb)
+    // No curve yet: the static default applies.
+    assert(store.effectivePqCandidates == DocumentStore.DefaultPqCandidates)
+    store.buildPqIndex(m = 8, ksub = 4)
+    val curve = store.tunePqCandidates(targetRecall = 0.9, k = 5, sampleQueries = 8)
+    val chosen = curve.find(_.chosen).get.setting
+    // Adoption is symmetric with effectiveNprobe: the measured choice
+    // IS what a no-argument search runs with.
+    assert(store.effectivePqCandidates == chosen)
+    val auto = store.similaritySearchPq("topic 3 document", k = 5)
+      .select("doc_id", "similarity").collect().map(_.toString).toSeq
+    val explicit = store.similaritySearchPq("topic 3 document", k = 5,
+      candidates = chosen)
+      .select("doc_id", "similarity").collect().map(_.toString).toSeq
+    assert(auto == explicit)
+    // An explicit argument still wins: corpus-wide depth = exact.
+    val exact = store.similaritySearch("topic 3 document", k = 5)
+      .select("doc_id", "similarity").collect().map(_.toString).toSeq
+    val full = store.similaritySearchPq("topic 3 document", k = 5,
+      candidates = many.length)
+      .select("doc_id", "similarity").collect().map(_.toString).toSeq
+    assert(full == exact)
+    // A mutation bumps the version; the new snapshot has no curve, so
+    // the adoption falls back to the static default (no stale reuse).
+    store.addTexts(Seq("a freshly appended pq document"))
+    assert(store.effectivePqCandidates == DocumentStore.DefaultPqCandidates)
+  }
+
   test("no-op re-ingest of existing texts does not churn a new version") {
     val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
     val v = store.currentManifest.version
@@ -717,6 +747,9 @@ class DocumentStoreSpec extends SparkSpec {
     val drifted = store.centroidDriftRatio.get
     assert(drifted > 10.0, s"drift ratio $drifted")
     assert(store.needsCompaction())
+    // the reason-coded advisory names the drift explicitly
+    assert(store.recommendCompaction().exists(_.startsWith("centroid-drift(")),
+      store.recommendCompaction().toString)
     // recall at nprobe=1 BEFORE compaction: a far query probes one
     // cluster but the far family is split across two -> misses half
     val farQuery = "far+ doc 0"
@@ -736,6 +769,32 @@ class DocumentStoreSpec extends SparkSpec {
     val recallAfter = after.intersect(exactAfter).size / 10.0
     assert(recallAfter == 1.0, s"recall after compact $recallAfter")
     assert(recallAfter > recallBefore)
+  }
+
+  test("recommendCompaction: reason-coded advisory fires on small-files + bloom capacity, compact clears it") {
+    import spark.implicits._
+    val seedTexts = (0 until 30).map(i => s"advisory corpus doc $i")
+    val store = DocumentStore.fromTexts(spark, tmp(), seedTexts, Nil, StoreConfig(), emb)
+    // Fresh snapshot: nothing to recommend.
+    assert(store.recommendCompaction().isEmpty)
+    // 12 incremental appends: each lands new files (layout degrades
+    // past the write-time baseline) and grows the count past 2x the
+    // Bloom's creation capacity (30).
+    (0 until 12).foreach { b =>
+      store.addDFIncremental(
+        (0 until 3).map(j => (s"appended batch $b doc $j", Map.empty[String, String]))
+          .toDF("text", "metadata"))
+    }
+    val reasons = store.recommendCompaction()
+    assert(reasons.exists(_.startsWith("small-files(")), reasons.toString)
+    assert(reasons.exists(_.startsWith("bloom-capacity(")), reasons.toString)
+    // Flat store: no centroid-drift reason possible.
+    assert(!reasons.exists(_.startsWith("centroid-drift(")), reasons.toString)
+    // compact() = re-layout + Bloom rebuild at the current count: clean.
+    store.compact()
+    assert(store.recommendCompaction().isEmpty,
+      store.recommendCompaction().toString)
+    assert(store.documentCount == 66)
   }
 
   test("incremental append on an IVF store assigns existing centroids (no re-fit)") {
