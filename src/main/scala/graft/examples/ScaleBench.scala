@@ -116,7 +116,43 @@ object ScaleBench {
           col("doc_id").cast("timestamp").as("ts"))
       graft.streaming.StreamingOps.nearDupScreenBatch(
         docs, s"$dir/_neardup_index", 0L, "id", "text", "ts")
+    }),
+    // Multi-vector store BUILD at ×N (the r8 verdict's missing write-
+    // path row): ingest-dedup + doc embed + chunk explode/embed + dual
+    // parquet + chunk-table write. fromDF drops any existing store at
+    // the path, so every timed run pays the full build cold.
+    "mv_store_build" -> ((s: SparkSession, dir: String) => {
+      val store = graft.store.DocumentStore.fromDF(s, s"$dir/_mv_store",
+        mvStagedDocs(s, dir),
+        graft.StoreConfig(chunkSize = 32, chunkOverlap = 8),
+        graft.embed.HashEmbedder(64))
+      s.range(1).select(lit(store.documentCount).as("docs"),
+        lit(store.chunkVectors.count()).as("chunks"))
+    }),
+    // Multi-vector store DELETE at ×N: loads the store the build shape
+    // left behind (builds on first touch if absent) and deletes 10
+    // docs. With chunk-vector carry the cost is survivor IO — two
+    // anti-joins, the dense renumber, and the copy-on-write snapshot
+    // rewrite — with ZERO embedding calls (DocumentStoreSpec pins the
+    // call count); before the carry this path re-embedded every chunk
+    // in the corpus.
+    "mv_store_delete" -> ((s: SparkSession, dir: String) => {
+      val path = s"$dir/_mv_store"
+      val emb = graft.embed.HashEmbedder(64)
+      val store =
+        try graft.store.DocumentStore.load(s, path, emb)
+        catch { case _: graft.StorageException =>
+          graft.store.DocumentStore.fromDF(s, path, mvStagedDocs(s, dir),
+            graft.StoreConfig(chunkSize = 32, chunkOverlap = 8), emb)
+        }
+      store.deleteByIds(0L until 10L)
+      s.range(1).select(lit(store.documentCount).as("docs"))
     }))
+
+  /** documents table staged as (text, metadata) for the store shapes. */
+  private def mvStagedDocs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("text"), map(lit("source"), col("source")).as("metadata"))
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

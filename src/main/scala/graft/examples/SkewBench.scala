@@ -61,7 +61,11 @@ object SkewCorpus {
     * `idCol`. */
   def zipfDomain(idCol: Column): Column =
     when(pmod(idCol, lit(2L)) === 0, lit("hot.example.com"))
-      .otherwise(concat(lit("dom-"), pmod(idCol * 2654435761L, lit(997L))))
+      // (id·c) mod 997 computed as ((id mod 997)·(c mod 997)) mod 997 —
+      // the SAME spread (mod-multiplication is homomorphic) without the
+      // long overflow `id * c` hits once replicated ids pass ~3.5e9.
+      .otherwise(concat(lit("dom-"),
+        pmod(pmod(idCol, lit(997L)) * lit(2654435761L % 997L), lit(997L))))
 
   /** Replicate documents `replicas`× with ids offset and every content
     * token PREFIXED per replica (`quick fox` → `r3_quick r3_fox`), so
@@ -110,12 +114,18 @@ object SkewBench {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val base = if (args.length > 1) args(1) else "/tmp/graft_skew"
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Extra confs, Verify-protocol style (`SPARK_GRAFT_CONF="k=v;k=v"`)
+    // — used to A/B e.g. the ObjectHashAggregate sort fallback below.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.ops.{Dedup, Sampling}
 
@@ -124,13 +134,19 @@ object SkewBench {
     build(spark, src, x1, 1)
     build(spark, src, x10, 10)
 
+    // SPARK_GRAFT_SKEW_ONLY=hotkey skips the shingle sections (A/B
+    // debugging of the hot-key clock section, never set by the driver).
+    val hotkeyOnly = sys.env.get("SPARK_GRAFT_SKEW_ONLY").contains("hotkey")
+
     // The mechanism: candidate pairs admitted by each path at ×1.
-    val d1 = spark.read.parquet(s"$x1/documents.parquet")
-    val nNaive = Dedup.candidatePairs(d1, "doc_id", "text", 3, None).count()
-    val nCapped = Dedup.candidatePairs(d1, "doc_id", "text", 3,
-      Some(SkewCorpus.CapFreq)).count()
-    val nPrefix = Dedup.prefixCandidatePairs(d1, "doc_id", "text", 3, 0.5).count()
-    println(s"candidate pairs at x1: naive=$nNaive capped=$nCapped prefix=$nPrefix")
+    if (!hotkeyOnly) {
+      val d1 = spark.read.parquet(s"$x1/documents.parquet")
+      val nNaive = Dedup.candidatePairs(d1, "doc_id", "text", 3, None).count()
+      val nCapped = Dedup.candidatePairs(d1, "doc_id", "text", 3,
+        Some(SkewCorpus.CapFreq)).count()
+      val nPrefix = Dedup.prefixCandidatePairs(d1, "doc_id", "text", 3, 0.5).count()
+      println(s"candidate pairs at x1: naive=$nNaive capped=$nCapped prefix=$nPrefix")
+    }
 
     val shapes: Seq[(String, String => DataFrame)] = Seq(
       "jaccard_naive" -> (dir => Dedup.ngramJaccardPairs(
@@ -154,23 +170,90 @@ object SkewBench {
           .where(col("rank") <= 5)
       }))
 
-    println(f"${"shape"}%-24s ${"t_x1"}%8s ${"t_x10"}%8s  ratio")
-    shapes.foreach { case (name, fn) =>
-      def timeOn(dir: String, runs: Int): Double =
-        (1 to runs).map { _ =>
+    if (!hotkeyOnly) {
+      println(f"${"shape"}%-24s ${"t_x1"}%8s ${"t_x10"}%8s  ratio")
+      shapes.foreach { case (name, fn) =>
+        def timeOn(dir: String, runs: Int): Double =
+          (1 to runs).map { _ =>
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            fn(dir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        val t1 = timeOn(x1, 2)
+        // the naive path at ×10 is the deliberately-exploding row — run
+        // it once (it is its own demonstration; best-of-2 would double a
+        // multi-minute cost to shave noise that can't change the verdict)
+        val t10 = timeOn(x10, if (name == "jaccard_naive") 1 else 2)
+        println(f"$name%-24s $t1%8.2f $t10%8.2f  ${t10 / t1}%5.1fx")
+      }
+    }
+
+    // --- capPerKey hot-key pile-up ON THE CLOCK (round-9) -------------
+    // At ×10 the hot domain sorts in one reducer in well under a second
+    // — the shapes don't separate locally (r8 BENCH_NOTES; the evidence
+    // was SkewSpec's boundedness pin). Events replicate far cheaper
+    // than documents (no shingle explosion), so push the SAME Zipf
+    // domain to ×`evReplicas` events-only: the window form must shuffle
+    // the hot key's half of the corpus to ONE task and sort it there,
+    // while capPerKey's bounded partial aggregate keeps 5 rows per map
+    // task per key and stays scan-bound.
+    //
+    // capperkey_agg is measured TWICE: at the default ObjectHashAggregate
+    // sort fallback (128 hash-map entries per task — with ~1000 domains
+    // every task silently degrades to SORT-based aggregation, paying a
+    // distributed sort of its input) and with the fallback threshold
+    // raised past the key count (true bounded hash aggregation; state is
+    // ≤ cap rows per key, so the memory the threshold guards is bounded
+    // by construction here). The conf is runtime-settable, so the A/B
+    // runs in one session; capPerKey's scaladoc records the knob.
+    val evReplicas = args.lift(2).map(_.toInt).getOrElse(40)
+    val xev = s"$base/x${evReplicas}ev"
+    buildEventsOnly(spark, src, xev, evReplicas)
+    val FallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val fallback0 = spark.conf.get(FallbackKey)
+    val hotShapes: Seq[(String, String => DataFrame)] =
+      shapes.filter(_._1.startsWith("capperkey")) :+
+        ("capperkey_agg_hashmode" -> shapes.toMap.apply("capperkey_agg"))
+    println(s"hot-key pile-up, events x10 -> x$evReplicas " +
+      s"(hot domain = half the rows; data grows ${evReplicas / 10.0}x)")
+    println(f"${"shape"}%-24s ${"t_x10"}%8s ${"t_xN"}%8s  ratio")
+    hotShapes.foreach { case (name, fn) =>
+      if (name.endsWith("_hashmode")) spark.conf.set(FallbackKey, "1000000")
+      def timeOn(dir: String): Double =
+        (1 to 2).map { _ =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
           fn(dir).count()
           (System.nanoTime() - t0) / 1e9
         }.min
-      val t1 = timeOn(x1, 2)
-      // the naive path at ×10 is the deliberately-exploding row — run
-      // it once (it is its own demonstration; best-of-2 would double a
-      // multi-minute cost to shave noise that can't change the verdict)
-      val t10 = timeOn(x10, if (name == "jaccard_naive") 1 else 2)
-      println(f"$name%-24s $t1%8.2f $t10%8.2f  ${t10 / t1}%5.1fx")
+      try {
+        val t10 = timeOn(x10)
+        val tN = timeOn(xev)
+        println(f"$name%-24s $t10%8.2f $tN%8.2f  ${tN / t10}%5.1fx")
+      } finally if (name.endsWith("_hashmode")) spark.conf.set(FallbackKey, fallback0)
     }
     spark.stop()
+  }
+
+  /** Events-only replica build for the hot-key clock section — same
+    * key-offset + Zipf-domain protocol as [[build]], skipping the
+    * documents table (whose planted shingle skew would make a ×40
+    * corpus needlessly expensive to write and irrelevant here). */
+  private def buildEventsOnly(spark: SparkSession, src: String, out: String,
+                              replicas: Int): Unit = {
+    val done = new java.io.File(s"$out/_BUILT")
+    if (done.exists()) return
+    val events = spark.read.parquet(s"$src/events.parquet")
+    (0 until replicas).map { i =>
+      events.withColumn("event_id", col("event_id") + i * 100000000L)
+        .withColumn("user_id", col("user_id") + i * 10000000L)
+    }.reduce(_ unionByName _)
+      .withColumn("domain", SkewCorpus.zipfDomain(col("event_id")))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    done.getParentFile.mkdirs()
+    done.createNewFile()
+    ()
   }
 
   /** Write the ×`replicas` skewed corpus (documents + events) —

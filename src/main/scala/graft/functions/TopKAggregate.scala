@@ -35,6 +35,16 @@ import org.apache.spark.unsafe.Platform
   * Buffers hold at most k UnsafeRow copies in a size-k binary heap;
   * update/merge are O(log k) per row, serialization is the raw
   * UnsafeRow bytes.
+  *
+  * Execution note: as a TypedImperativeAggregate this runs under
+  * ObjectHashAggregateExec, whose hash map falls back to sort-based
+  * aggregation past `spark.sql.objectHashAggregate.sortBased.
+  * fallbackThreshold` (default 128) distinct keys per task. The
+  * partial-aggregation shuffle bound survives the fallback; only
+  * per-task CPU degrades (a sort of the task's input). Because this
+  * buffer is bounded at k rows per key, raising the threshold to the
+  * expected key count is memory-safe and restores hash mode — see
+  * Sampling.capPerKey's scaladoc for the measured effect.
   */
 case class BoundedTopKAgg(
     child: Expression,

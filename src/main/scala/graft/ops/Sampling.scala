@@ -118,7 +118,19 @@ object Sampling {
     * `priority` follows the [[graft.functions.VectorFunctions.topKStructs]]
     * ordering contract: ascending lexicographic; encode DESCENDING
     * fields by negation and include a tie-break making the order total
-    * (else the boundary row is nondeterministic). */
+    * (else the boundary row is nondeterministic).
+    *
+    * TUNING at high key cardinality: the aggregate executes under
+    * ObjectHashAggregateExec, which silently degrades to SORT-based
+    * aggregation once a task's hash map passes
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (default 128 keys) — the partial aggregation (and so the bounded
+    * shuffle) survives, but each task then pays a sort of its input.
+    * This aggregate's per-key state is bounded at `cap` rows, so
+    * raising the threshold to ≥ the expected distinct keys per task is
+    * safe by construction and restores true hash aggregation — measured
+    * 3.5× faster at 200M rows / ~1000 keys (SkewBench's
+    * `capperkey_agg_hashmode` row, BENCH_NOTES round-9). */
   def capPerKey(df: DataFrame, keyCols: Seq[String], cap: Int,
                 priority: Seq[Column], rankCol: String = "rank"): DataFrame = {
     require(keyCols.nonEmpty, "capPerKey needs at least one key column")
