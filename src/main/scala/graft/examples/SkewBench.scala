@@ -121,10 +121,7 @@ object SkewBench {
       .config("spark.ui.enabled", "false")
     // Extra confs, Verify-protocol style (`SPARK_GRAFT_CONF="k=v;k=v"`)
     // — used to A/B e.g. the ObjectHashAggregate sort fallback below.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
-      })
+    graft.MainUtil.applyConfEnv(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.ops.{Dedup, Sampling}
@@ -207,7 +204,11 @@ object SkewBench {
     // ≤ cap rows per key, so the memory the threshold guards is bounded
     // by construction here). The conf is runtime-settable, so the A/B
     // runs in one session; capPerKey's scaladoc records the knob.
-    val evReplicas = args.lift(2).map(_.toInt).getOrElse(40)
+    // Default 2000 (200M events, hot key 100M rows): the scale the
+    // BENCH_NOTES round-9 table was measured at — smaller corpora
+    // (×40 = 4M events) do NOT separate the shapes on this box, the
+    // hot key must outgrow what one task sorts sub-second.
+    val evReplicas = args.lift(2).map(_.toInt).getOrElse(2000)
     val xev = s"$base/x${evReplicas}ev"
     buildEventsOnly(spark, src, xev, evReplicas)
     val FallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
@@ -236,14 +237,12 @@ object SkewBench {
     spark.stop()
   }
 
-  /** Events-only replica build for the hot-key clock section — same
-    * key-offset + Zipf-domain protocol as [[build]], skipping the
-    * documents table (whose planted shingle skew would make a ×40
-    * corpus needlessly expensive to write and irrelevant here). */
-  private def buildEventsOnly(spark: SparkSession, src: String, out: String,
-                              replicas: Int): Unit = {
-    val done = new java.io.File(s"$out/_BUILT")
-    if (done.exists()) return
+  /** The ONE definition of the replicated Zipf-domain events table —
+    * shared by [[build]] and [[buildEventsOnly]] so the ×10 and ×N
+    * corpora can never drift apart (the hot-key table compares them
+    * directly; a one-sided protocol change would invalidate it). */
+  private def writeReplicatedEvents(spark: SparkSession, src: String,
+                                    out: String, replicas: Int): Unit = {
     val events = spark.read.parquet(s"$src/events.parquet")
     (0 until replicas).map { i =>
       events.withColumn("event_id", col("event_id") + i * 100000000L)
@@ -251,6 +250,17 @@ object SkewBench {
     }.reduce(_ unionByName _)
       .withColumn("domain", SkewCorpus.zipfDomain(col("event_id")))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
+  /** Events-only replica build for the hot-key clock section — same
+    * protocol as [[build]], skipping the documents table (whose planted
+    * shingle skew would make a large corpus needlessly expensive to
+    * write and is irrelevant here). */
+  private def buildEventsOnly(spark: SparkSession, src: String, out: String,
+                              replicas: Int): Unit = {
+    val done = new java.io.File(s"$out/_BUILT")
+    if (done.exists()) return
+    writeReplicatedEvents(spark, src, out, replicas)
     done.getParentFile.mkdirs()
     done.createNewFile()
     ()
@@ -266,13 +276,7 @@ object SkewBench {
     SkewCorpus.withBoilerplate(
         SkewCorpus.replicateTokenPrefixed(docs, replicas), "doc_id", "text")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    val events = spark.read.parquet(s"$src/events.parquet")
-    (0 until replicas).map { i =>
-      events.withColumn("event_id", col("event_id") + i * 100000000L)
-        .withColumn("user_id", col("user_id") + i * 10000000L)
-    }.reduce(_ unionByName _)
-      .withColumn("domain", SkewCorpus.zipfDomain(col("event_id")))
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    writeReplicatedEvents(spark, src, out, replicas)
     done.getParentFile.mkdirs()
     done.createNewFile()
     ()

@@ -208,9 +208,18 @@ final class DocumentStore private (
       }
       // Multi-vector append: ids are stable (append never renumbers),
       // so existing chunks carry verbatim and only the BATCH's chunks
-      // are embedded — O(batch) inference, not O(corpus).
+      // are embedded — O(batch) inference, not O(corpus). The carry is
+      // clipped to ids BELOW the mint offset: a crashed incremental
+      // append can leave orphan chunk rows for ids its essential write
+      // never published (chunks land first — see addDFIncremental), and
+      // this batch mints exactly those ids next, so carrying the orphans
+      // verbatim would attach the dead batch's vectors to the NEW
+      // documents (a poisoned searchMaxSim hit, not just a stale stat).
+      // Live essential ids are 0..offset-1 by construction, so the
+      // clip drops precisely the orphans.
       val carry = existing.flatMap(_ => existingChunks())
-        .map(_.unionByName(chunkRows(essentialProjection(base))))
+        .map(_.where(col("id") < offset)
+          .unionByName(chunkRows(essentialProjection(base))))
       writeVersion(allEssential, allPayload, carry)
     } finally base.unpersist()
   }

@@ -596,6 +596,29 @@ class DocumentStoreSpec extends SparkSpec {
     assert((hit4.getAs[Long]("doc_id"), hit4.getAs[Double]("similarity")) == direct(1).head)
   }
 
+  test("append carry clips crash-orphaned chunk rows so a new doc can't inherit dead vectors") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = tmp()
+    val store = DocumentStore.fromTexts(spark, dir,
+      Seq("alpha beta gamma delta epsilon", "one two three four five"), Nil,
+      StoreConfig(chunkSize = 5, chunkOverlap = 0), emb)
+    val v = store.currentManifest.version
+    val n = store.documentCount
+    // Simulate addDFIncremental's crash window: chunk rows landed for a
+    // batch whose essential rows never published — orphan ids >= n.
+    val poison = "secret poison passage tokens here"
+    Seq((n, emb.embedQuery(poison).toSeq)).toDF("id", "vec")
+      .write.mode("append").parquet(s"$dir/v$v/chunks")
+    // The next append mints exactly id n for a NEW document; an
+    // unclipped carry would attach the dead batch's vector to it.
+    store.addTexts(Seq("innocent appended doc about gardens"))
+    val hit = store.searchMaxSim(poison, k = 1).collect().head
+    assert(hit.getAs[Double]("similarity") < 0.99, s"poisoned hit: $hit")
+    // the new doc's chunk rows are exactly its own text's (one window)
+    assert(store.chunkVectors.where(col("id") === n).count() == 1)
+  }
+
   test("mutate-then-search refreshes centroids with NO manual invalidation (versioned cache)") {
     import graft.index.IvfIndex
     val many = (0 until 150).map(i => s"document $i in family ${i % 5}")
