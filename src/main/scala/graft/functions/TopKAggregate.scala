@@ -30,7 +30,8 @@ import org.apache.spark.unsafe.Platform
   * consistent) and MUST include tie-break fields that make the order
   * total, or the k-th element is nondeterministic. Field comparisons
   * match Spark's interpreted ordering: nulls first, NaN greatest,
-  * -0.0 < 0.0, binary UTF8 strings.
+  * -0.0 == 0.0 (SQLOrderingUtil semantics, SPARK-32110), binary UTF8
+  * strings.
   *
   * Buffers hold at most k UnsafeRow copies in a size-k binary heap;
   * update/merge are O(log k) per row, serialization is the raw
@@ -93,10 +94,20 @@ case class BoundedTopKAgg(
     * pattern match would sit in the hot loop. */
   @transient private lazy val fieldCmps: Array[(InternalRow, InternalRow, Int) => Int] =
     fieldTypes.take(numOrdFields).map {
-      case DoubleType => (a: InternalRow, b: InternalRow, i: Int) =>
-        java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
-      case FloatType => (a: InternalRow, b: InternalRow, i: Int) =>
-        java.lang.Float.compare(a.getFloat(i), b.getFloat(i))
+      // The == short-circuit replicates SQLOrderingUtil.compareDoubles
+      // (SPARK-32110): -0.0 and 0.0 compare EQUAL in Spark's interpreted
+      // ordering (min_by's struct key, the k=1 path), while a bare
+      // java.lang.Double.compare ranks -0.0 strictly first — the one
+      // input where the k=1 and k>1 paths could disagree. NaN still
+      // sorts greatest via the compare fallback (== is false for NaN).
+      case DoubleType => (a: InternalRow, b: InternalRow, i: Int) => {
+        val av = a.getDouble(i); val bv = b.getDouble(i)
+        if (av == bv) 0 else java.lang.Double.compare(av, bv)
+      }
+      case FloatType => (a: InternalRow, b: InternalRow, i: Int) => {
+        val av = a.getFloat(i); val bv = b.getFloat(i)
+        if (av == bv) 0 else java.lang.Float.compare(av, bv)
+      }
       case LongType | TimestampType | TimestampNTZType =>
         (a: InternalRow, b: InternalRow, i: Int) =>
           java.lang.Long.compare(a.getLong(i), b.getLong(i))

@@ -26,24 +26,46 @@ object VectorExpressions {
     val n = ctx.freshName("n")
     val i = ctx.freshName("i")
     s"""
-      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      int $n = $a.numElements();
       for (int $i = 0; $i < $n; $i++) {
         ${body(s"$a.getDouble($i)", s"$b.getDouble($i)")}
       }
     """
   }
+
+  /** Dimension-mismatch guard shared by every fused binary kernel:
+    * wraps `resultCode` so unequal-length inputs yield NULL instead of
+    * a silently truncated (plausible but WRONG) score. NULL — not a
+    * throw — because that is bit-what the `aggregate(zip_with(...))`
+    * SQL twins produce (zip_with null-pads the shorter side, the
+    * multiply nulls, the fold nulls the total — exactly a null score),
+    * and usable()-style score filters already drop null scores; the
+    * twins and the fused forms must stay indistinguishable on EVERY
+    * input. */
+  private[functions] def dimGuard(a: String, b: String, ev: ExprCode,
+                                  resultCode: String): String =
+    s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        $resultCode
+      }
+    """
 }
 
-/** dot(a, b) = sum_i a_i * b_i, sequential fold. */
+/** dot(a, b) = sum_i a_i * b_i, sequential fold. Unequal lengths yield
+  * NULL (the zip_with twin's behavior — see VectorExpressions.dimGuard). */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -53,11 +75,11 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val s = ctx.freshName("s")
-      s"""
+      VectorExpressions.dimGuard(a, b, ev, s"""
         double $s = 0.0;
         ${VectorExpressions.loopCode(ctx, a, b, (x, y) => s"$s += $x * $y;")}
         ${ev.value} = $s;
-      """
+      """)
     })
 
   override protected def withNewChildrenInternal(
@@ -71,12 +93,14 @@ case class DotProductExpr(left: Expression, right: Expression)
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -92,12 +116,12 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
-      s"""
+      VectorExpressions.dimGuard(a, b, ev, s"""
         double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
         ${VectorExpressions.loopCode(ctx, a, b,
           (x, y) => s"double xv = $x; double yv = $y; $dot += xv * yv; $na += xv * xv; $nb += yv * yv;")}
         ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
-      """
+      """)
     })
 
   override protected def withNewChildrenInternal(
@@ -114,12 +138,14 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 case class DotProductInt8Expr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot_int8"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0L
     var i = 0
     while (i < n) { s += x.getByte(i).toLong * y.getByte(i); i += 1 }
@@ -131,14 +157,14 @@ case class DotProductInt8Expr(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
-      s"""
+      VectorExpressions.dimGuard(a, b, ev, s"""
         long $s = 0L;
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = $a.numElements();
         for (int $i = 0; $i < $n; $i++) {
           $s += (long) $a.getByte($i) * $b.getByte($i);
         }
         ${ev.value} = $s;
-      """
+      """)
     })
 
   override protected def withNewChildrenInternal(
@@ -150,12 +176,14 @@ case class DotProductInt8Expr(left: Expression, right: Expression)
 case class L2DistanceExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_l2"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
@@ -165,12 +193,12 @@ case class L2DistanceExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val s = ctx.freshName("s")
-      s"""
+      VectorExpressions.dimGuard(a, b, ev, s"""
         double $s = 0.0;
         ${VectorExpressions.loopCode(ctx, a, b,
           (x, y) => s"double d = $x - $y; $s += d * d;")}
         ${ev.value} = java.lang.Math.sqrt($s);
-      """
+      """)
     })
 
   override protected def withNewChildrenInternal(
@@ -192,7 +220,7 @@ case class L2DistanceExpr(left: Expression, right: Expression)
   */
 case class NearestCentroidExpr(child: Expression,
     centroids: IndexedSeq[IndexedSeq[Double]], start: Int, len: Int,
-    roundScale: Int)
+    roundScale: Int, totalDim: Int = -1)
     extends UnaryExpression with CodegenFallback {
   require(centroids.nonEmpty, "need at least one centroid")
   require(centroids.forall(_.length == centroids.head.length),
@@ -214,12 +242,20 @@ case class NearestCentroidExpr(child: Expression,
     // assignment (and diverges from the zip_with HOF twin, which
     // null-pads) — corrupted IVF/PQ assignments are worse than a task
     // failure. len == Int.MaxValue claims "whole vector", so extra
-    // elements are a dimension mismatch too; a sliced subspace
-    // (start/len) legitimately leaves a tail beyond the slice.
-    if (avail < need || (len == Int.MaxValue && avail != need))
+    // elements are a dimension mismatch too. A sliced subspace
+    // (start/len) legitimately leaves a tail beyond ITS slice, so the
+    // per-slice check alone would silently prefix-encode an OVERLONG
+    // vector (every subspace sees avail >= need) — `totalDim` is the
+    // whole-vector dimension the slicing caller (PQ encode) knows, and
+    // closes that one-sided hole with an exact-length check.
+    if (avail < need || (len == Int.MaxValue && avail != need) ||
+        (totalDim >= 0 && x.numElements() != totalDim))
       throw new IllegalArgumentException(
         s"graft_nearest_centroid: input has ${x.numElements()} elements, " +
-          s"need ${if (len == Int.MaxValue) s"exactly ${start + need}" else s">= ${start + need}"} " +
+          s"need ${
+            if (totalDim >= 0) s"exactly $totalDim"
+            else if (len == Int.MaxValue) s"exactly ${start + need}"
+            else s">= ${start + need}"} " +
           s"(start=$start, centroid dim $need)")
     var best = 0
     var bestD = Double.PositiveInfinity

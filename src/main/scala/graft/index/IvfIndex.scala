@@ -170,18 +170,46 @@ object IvfIndex {
   def fit(df: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L,
           maxIter: Int = 20, initMode: String = "k-means||",
           fitFraction: Double = 1.0, fitPartitions: Int = 0): Model = {
-    val base = if (fitFraction < 1.0) df.sample(withReplacement = false, fitFraction, seed) else df
-    val vecs = base.select(array_to_vector(asDouble(col(vecCol))).as("features"))
-    val prepared = if (fitPartitions > 0) vecs.coalesce(fitPartitions) else vecs
-    prepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prepared = trainingSample(df, vecCol, fitFraction, fitPartitions,
+      seed, "IvfIndex.fit")
     try {
-      prepared.count() // force: one lineage execution, not one per fit job
+      val features = prepared.select(array_to_vector(col("__v")).as("features"))
       val km = new KMeans()
         .setK(nlist).setSeed(seed).setMaxIter(maxIter).setInitMode(initMode)
         .setFeaturesCol("features")
-      val model = km.fit(prepared)
+      val model = km.fit(features)
       Model(model.clusterCenters.toIndexedSeq.map(_.toArray.toIndexedSeq))
     } finally { prepared.unpersist(); () }
+  }
+
+  /** The ONE fit-sample scaffolding shared by [[fit]] and
+    * [[PqIndex.fit]]: seeded sample → NULL-vector drop (nulls carry no
+    * training signal and NPE inside MLlib's feature conversion) →
+    * optional coalesce (per-iteration task overhead dominates on a
+    * sample) → persisted and FORCED (KMeans runs several jobs; an
+    * unforced lineage re-executes scan→sample per job) → loud
+    * empty-sample guard instead of an opaque KMeans failure. Returns
+    * the CACHED frame with the raw double vectors as `__v`; the caller
+    * owns the unpersist. */
+  private[index] def trainingSample(df: DataFrame, vecCol: String,
+      fitFraction: Double, fitPartitions: Int, seed: Long,
+      who: String): DataFrame = {
+    val base =
+      if (fitFraction < 1.0) df.sample(withReplacement = false, fitFraction, seed) else df
+    val sampled = base
+      .select(graft.functions.VectorFunctions.asDouble(col(vecCol)).as("__v"))
+      .where(col("__v").isNotNull)
+    val prepared = if (fitPartitions > 0) sampled.coalesce(fitPartitions) else sampled
+    prepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = try prepared.count() catch {
+      case e: Throwable => prepared.unpersist(); throw e
+    }
+    if (n == 0L) {
+      prepared.unpersist()
+      throw new IllegalArgumentException(
+        s"$who: empty (or all-null) training sample — raise fitFraction or check the vector column")
+    }
+    prepared
   }
 
   // (logical key, data version) -> model. Versioned so mutable stores

@@ -54,10 +54,13 @@ object PqIndex {
       * [[encodeColSql]] (asserted in PqIndexSpec). */
     def encodeCol(vec: Column, roundScale: Int = -1): Column = {
       val ve = org.apache.spark.sql.GraftSqlBridge.expression(asDouble(vec))
+      // totalDim closes the overlong-vector hole: every subspace slice
+      // of a 72-dim vector "fits" a 64-dim model (avail >= dsub in all
+      // of them), so only the whole-vector length check can reject it.
       array((0 until m).map { sub =>
         org.apache.spark.sql.GraftSqlBridge.column(
           graft.functions.NearestCentroidExpr(
-            ve, codebooks(sub), sub * dsub, dsub, roundScale))
+            ve, codebooks(sub), sub * dsub, dsub, roundScale, totalDim = dim))
       }: _*)
     }
 
@@ -116,28 +119,13 @@ object PqIndex {
   def fit(df: DataFrame, vecCol: String, m: Int, ksub: Int, seed: Long = 42L,
           maxIter: Int = 20, fitFraction: Double = 1.0,
           fitPartitions: Int = 0): Model = {
-    val base =
-      if (fitFraction < 1.0) df.sample(withReplacement = false, fitFraction, seed) else df
-    // Cache the RAW sampled vectors first and probe the dimension from
-    // the cache: probing with a head() on the uncached lineage executed
-    // the whole scan+sample once just to read one array size — the
-    // exact double execution the persist exists to avoid. Null vectors
-    // are dropped (they carry no training signal and would NPE the
-    // probe); an empty sample fails loudly instead of with a bare
-    // NoSuchElementException.
-    val sampled = base.select(asDouble(col(vecCol)).as("__v"))
-      .where(col("__v").isNotNull)
-    val prepared = if (fitPartitions > 0) sampled.coalesce(fitPartitions) else sampled
-    prepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Shared scaffolding (null-drop, coalesce, persist+force, empty
+    // guard) lives in IvfIndex.trainingSample — the two fit paths had
+    // drifted (the IVF side was missing the null/empty guards) before
+    // it was extracted. The dim probe reads the forced cache.
+    val prepared = IvfIndex.trainingSample(df, vecCol, fitFraction,
+      fitPartitions, seed, "PqIndex.fit")
     try {
-      // Force before anything else: KMeans runs several jobs per
-      // subspace, and a lazy cache leaves the first job of each JVM-cold
-      // run re-executing the full scan→sample lineage (and racing
-      // eviction under memory pressure). One forced count = one
-      // execution; the dim probe and all m subspace fits read the cache.
-      val nSample = prepared.count()
-      require(nSample > 0,
-        "PqIndex.fit: empty (or all-null) training sample — raise fitFraction or check the vector column")
       val dim = prepared.select(size(col("__v"))).head.getInt(0)
       require(dim % m == 0, s"dim $dim not divisible by m=$m")
       val dsub = dim / m

@@ -158,8 +158,13 @@ object VectorIndex {
         .sortBy { case (id, q) => (if (higherIsBetter(metric)) -q else q, id) }
       val sign = if (higherIsBetter(metric)) 1.0 else -1.0
       val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-      while (picked.size < k && picked.size < cands.size) {
-        val remaining = cands.filterNot(c => picked.exists(_._1 == c._1))
+      // Loop on REMAINING emptiness, not on picked.size vs cands.size:
+      // a candidate set with duplicate ids (e.g. a corrupted upstream
+      // store) shrinks `remaining` by more than one row per pick, and
+      // the size-based condition would keep iterating into a minBy on
+      // an empty collection.
+      var remaining = cands
+      while (picked.size < k && remaining.nonEmpty) {
         // Ties break by MIN id through an exact (Double, Long) ordering
         // — a -id.toDouble surrogate would collapse distinct ids above
         // 2^53 and silently lose determinism.
@@ -170,6 +175,7 @@ object VectorIndex {
           (-(lambdaParam * sign * q - (1.0 - lambdaParam) * maxRedundancy), id)
         }
         picked += best
+        remaining = remaining.filterNot(_._1 == best._1)
       }
       import spark.implicits._
       picked.toSeq.zipWithIndex

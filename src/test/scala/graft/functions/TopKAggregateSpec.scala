@@ -69,6 +69,29 @@ class TopKAggregateSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("-0.0 and 0.0 compare EQUAL (SQLOrderingUtil semantics) so k=1 and k>1 paths agree") {
+    import spark.implicits._
+    // Keys -0.0 vs 0.0: Spark's interpreted struct ordering (min_by,
+    // the k=1 path of topKBatch) treats them equal post-SPARK-32110, so
+    // the id tie-break must decide — a bare Double.compare would rank
+    // -0.0 strictly first and let the two paths return different
+    // winners for the same input.
+    val df = Seq(
+      (0L, 0.0, 10L),    // +0.0, lower id
+      (0L, -0.0, 20L))   // -0.0, higher id
+      .toDF("g", "score", "id").repartition(2)
+    val top1 = df.groupBy(col("g"))
+      .agg(topKStructs(struct(col("score").as("__o0"), col("id").as("__o1"),
+        struct(col("id")).as("__row")), 1, 2).as("t"))
+      .select(explode(col("t")).as("e")).select(col("e.__row.id"))
+      .as[Long].head()
+    val viaMinBy = df.groupBy(col("g"))
+      .agg(min_by(col("id"), struct(col("score"), col("id"))).as("id"))
+      .select("id").as[Long].head()
+    assert(top1 == viaMinBy, s"agg=$top1 min_by=$viaMinBy")
+    assert(top1 == 10L) // ids break the tie; -0.0 does not outrank +0.0
+  }
+
   test("rejects non-struct input and unorderable key fields at analysis") {
     import spark.implicits._
     val df = Seq((0L, Seq(1.0), 1L)).toDF("g", "arr", "id")

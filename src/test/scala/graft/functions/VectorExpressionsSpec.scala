@@ -52,4 +52,27 @@ class VectorExpressionsSpec extends SparkSpec {
     val r = withNull.select(dotProduct($"a", $"b")).collect()
     assert(r(0).isNullAt(0))
   }
+
+  test("dimension mismatch yields NULL — matching the zip_with twins, never a truncated score") {
+    // A 2-dim vs 3-dim pair: the old min-length loop scored the shared
+    // prefix (plausible but WRONG — an inflated cosine could take rank
+    // 1); the SQL twins null out (zip_with null-pads -> null fold), and
+    // the fused kernels must be indistinguishable from them on EVERY
+    // input. Both engines (codegen'd select AND interpreted eval via a
+    // filter that defeats codegen are covered by the parity tests).
+    val mixed = Seq(
+      (1L, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),
+      (2L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0))).toDF("id", "a", "b")
+    def nullsOf(c: org.apache.spark.sql.Column): Seq[Boolean] =
+      mixed.orderBy("id").select(c).collect().map(_.isNullAt(0)).toSeq
+    for (f <- Seq(dotProduct _, cosineSimilarity _, l2Distance _)) {
+      assert(nullsOf(f($"a", $"b")) == Seq(true, false))
+    }
+    // fused == SQL twin on the mismatched input too (null == null)
+    val bad = mixed.where(
+      !(dotProduct($"a", $"b") <=> dotProductSql($"a", $"b")) ||
+      !(cosineSimilarity($"a", $"b") <=> cosineSimilaritySql($"a", $"b")) ||
+      !(l2Distance($"a", $"b") <=> l2DistanceSql($"a", $"b"))).count()
+    assert(bad == 0)
+  }
 }

@@ -11,6 +11,25 @@ class IvfIndexSpec extends SparkSpec {
     IndexedSeq(0.0, 1.0, 0.0),
     IndexedSeq(0.0, 0.0, 1.0)))
 
+  test("fit tolerates null vectors and fails LOUDLY on an all-null sample (shared scaffolding)") {
+    // Null vectors carry no training signal and used to NPE inside
+    // MLlib's feature conversion on the IVF side (the PQ side already
+    // guarded — the shared trainingSample helper makes both uniform).
+    val withNull = (Seq.tabulate(60)(i =>
+        Some(Seq((i % 5).toDouble, ((i * 7) % 11).toDouble, (i % 3) * 0.5))) :+
+        Option.empty[Seq[Double]])
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+    val m = IvfIndex.fit(withNull, "vec", nlist = 3, maxIter = 2,
+      initMode = "random")
+    assert(m.nlist == 3)
+    // all-null: the clear require message, not an opaque KMeans crash
+    val allNull = Seq((1L, Option.empty[Seq[Double]])).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.fit(allNull, "vec", nlist = 2)
+    }
+    assert(e.getMessage.contains("training sample"))
+  }
+
   test("assignCol: hand-checked assignments, ties to lowest cluster") {
     val docs = Seq(
       (0L, Seq(0.9, 0.1, 0.0)),   // -> 0

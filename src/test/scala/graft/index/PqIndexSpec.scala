@@ -121,6 +121,22 @@ class PqIndexSpec extends SparkSpec {
     assert(pruned == Seq(0L, 2L))
   }
 
+  test("encodeCol fails fast on an OVERLONG vector instead of prefix-encoding it") {
+    // A 5-dim vector in the 4-dim model: every subspace slice still
+    // "fits" (avail >= dsub in both), so only the whole-vector length
+    // check can reject it — silent prefix codes would corrupt ADC
+    // ranking with no error.
+    val overlong = Seq((7L, Seq(1.0, 0.0, 0.0, 0.0, 9.9))).toDF("vec_id", "vec")
+    val e = intercept[Exception] {
+      overlong.withColumn("codes", model.encodeCol(col("vec"), roundScale = 4))
+        .collect()
+    }
+    // task failures arrive wrapped — search the cause chain
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("exactly 4"), msgs)
+  }
+
   test("model validation rejects ragged codebooks") {
     intercept[IllegalArgumentException] {
       PqIndex.Model(IndexedSeq(

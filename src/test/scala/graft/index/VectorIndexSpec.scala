@@ -110,6 +110,20 @@ class VectorIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("LongType"))
   }
 
+  test("mmr survives duplicate ids in the candidate set (no empty-minBy crash)") {
+    // Two rows share id 1 (a corrupted-upstream shape): picking id 1
+    // removes BOTH copies from the remaining pool, so a loop gated on
+    // picked.size vs candidate COUNT would run one extra iteration
+    // into minBy-on-empty. The walk must instead stop when the pool
+    // drains, returning the distinct picks.
+    val dup = Seq((1L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("id", "vec")
+    val r = VectorIndex.mmr(dup, "vec", e1, k = 3, fetchK = 3, idCol = "id")
+      .select("id").as[Long].collect().toSeq
+    assert(r.distinct == r, s"duplicate pick: $r")
+    assert(r.toSet == Set(1L, 2L))
+  }
+
   test("tie-break is deterministic") {
     val tied = Seq((5L, Seq(1.0, 0.0)), (3L, Seq(1.0, 0.0)), (9L, Seq(1.0, 0.0)))
       .toDF("id", "vec")
