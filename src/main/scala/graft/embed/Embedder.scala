@@ -19,6 +19,14 @@ trait Embedder extends Serializable {
   /** Driver-side single-string embedding (for query vectors). Must be
     * bit-identical to [[embed]] on the same text. */
   def embedQuery(text: String): Array[Double]
+
+  /** Whether [[embed]] is a pure NARROW transform runnable on a
+    * streaming DataFrame (no cache/count/join/aggregate over the
+    * input). HashEmbedder and a pre-fit MLlibEmbedder qualify;
+    * Word2VecEmbedder's mean-pool join form does not and overrides
+    * this to false — [[graft.streaming.StreamingOps.enrichTextStream]]
+    * checks it up front instead of dying inside the stream planner. */
+  def streamingSafe: Boolean = true
 }
 
 /** Deterministic sha256-seeded unit-vector embedder.

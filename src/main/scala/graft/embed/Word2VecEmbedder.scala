@@ -58,6 +58,10 @@ final case class Word2VecEmbedder(dim: Int = 64, minCount: Int = 1,
     this
   }
 
+  // embed() caches/counts its input and joins through an aggregate —
+  // batch-only by construction (see Embedder.streamingSafe).
+  override def streamingSafe: Boolean = false
+
   override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val vecs = vecsOrThrow
     // The row id must agree between the two plan branches that join

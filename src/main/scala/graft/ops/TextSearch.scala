@@ -95,10 +95,25 @@ object TextSearch {
     *
     * All three derive from the same tokenization and aggregate shapes
     * as [[bm25Scores]], so index-backed scores are bit-identical to the
-    * scan-time ones. */
+    * scan-time ones. PRECONDITION (both paths): `idCol` is unique — the
+    * index merges duplicate-(term, id, dl) rows in its tf aggregate
+    * while the scan path counts each row as a document, so duplicate
+    * ids would give the two paths different df/n_docs and silently
+    * break the bit-identity contract.
+    *
+    * Crash atomicity: the three dirs are written in sequence, so a
+    * crash mid-rebuild leaves a TORN index (new postings with stale
+    * df/stats — silently wrong scores, not an error). A `_complete`
+    * marker is therefore removed FIRST and rewritten only after the
+    * last write: readers gate on [[indexComplete]] (DocumentStore's
+    * lexical freshness check does) and treat a marker-less index as
+    * absent, falling back to the scan path instead of mixing epochs. */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  dir: String, numFiles: Int = 16): Unit = {
     val spark = docs.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_complete")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) fs.delete(marker, false)
     // ONE tokenize+explode+aggregate pass over the corpus; df and
     // corpus stats then derive from the (already aggregated, smaller)
     // written postings instead of re-scanning the raw text.
@@ -137,6 +152,16 @@ object TextSearch {
         (sum(col("dl").cast("long")).cast("double") /
           count(lit(1)).cast("double")).as("avgdl"))
       .write.mode("overwrite").parquet(s"$dir/stats")
+    fs.create(marker, true).close()
+  }
+
+  /** True when `dir` holds a fully-written index ([[writeIndex]]'s
+    * `_complete` marker present). A rebuild removes the marker before
+    * touching any data dir, so a torn (crashed-mid-rebuild) index reads
+    * as absent rather than as silently wrong scores. */
+  def indexComplete(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_complete")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Full BM25 score set from a persisted [[writeIndex]] index — the

@@ -1184,13 +1184,18 @@ final class DocumentStore private (
     // because stats counts only docs writeIndex could tokenize).
     val builtForDir = s"$dir/built_for"
     val statsDir = s"$dir/stats"
-    val fresh =
+    // Completeness first: a crash mid-writeIndex leaves new postings
+    // next to stale df/stats (silently wrong scores); the _complete
+    // marker is removed before any data write, so a torn index reads
+    // as absent here and the scan path serves instead.
+    val fresh = TextSearch.indexComplete(spark, dir) && {
       if (fsFor(builtForDir).exists(hadoopPath(builtForDir)))
         spark.read.parquet(builtForDir).head.getLong(0) == snap.count
       else fsFor(statsDir).exists(hadoopPath(statsDir)) && {
         spark.read.parquet(statsDir).head.getAs[Double]("n_docs").toLong ==
           snap.count
       }
+    }
     if (fresh) TextSearch.searchIndexScores(spark, dir, queryTerms)
     else TextSearch.bm25Scores(essential.select(col("id"), col("text")),
       "id", "text", queryTerms)

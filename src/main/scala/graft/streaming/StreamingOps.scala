@@ -220,6 +220,11 @@ object StreamingOps {
                  gapMs: Long = 30L * 60 * 1000): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
+      // A null event time carries no session semantics, and unguarded
+      // it would NPE inside the state function — which crash-LOOPS a
+      // streaming query (the failed micro-batch replays from the
+      // checkpoint into the same row forever).
+      .filter((e: SessionEvent) => e.ts != null)
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
@@ -268,10 +273,19 @@ object StreamingOps {
 
   /** Streaming text-pipeline pass: per-batch embedding + quality
     * features over a text stream (narrow transforms only — safe under
-    * any trigger). */
-  def enrichTextStream(stream: DataFrame, textCol: String, embedder: Embedder): DataFrame =
+    * any trigger). Requires a streaming-safe embedder: one whose
+    * `embed` is a pure narrow transform (HashEmbedder, a pre-fit
+    * MLlibEmbedder). Word2VecEmbedder caches/joins its input and is
+    * rejected HERE with a clear message instead of dying inside the
+    * stream planner at start(). */
+  def enrichTextStream(stream: DataFrame, textCol: String, embedder: Embedder): DataFrame = {
+    require(!stream.isStreaming || embedder.streamingSafe,
+      s"enrichTextStream: ${embedder.getClass.getSimpleName}.embed is not a " +
+        "narrow transform and cannot run on a streaming DataFrame — use a " +
+        "streaming-safe embedder or embed inside foreachBatch")
     graft.ops.TextAnalysis.analyze(
       embedder.embed(stream, textCol, "vec"), textCol)
+  }
 
   /** Watermarked stream-stream interval join: each left event pairs
     * with right events for the same key whose timestamp falls in
@@ -286,12 +300,22 @@ object StreamingOps {
                          leftTsCol: String, rightTsCol: String,
                          lookback: String = "1 hour",
                          watermark: String = "2 hours"): DataFrame = {
+    // Any right column sharing a left column's name (beyond the key,
+    // which is dropped below) is renamed `<name>_right` BEFORE the
+    // join: two same-schema streams — both called their time column
+    // "ts", say — would otherwise produce duplicate output names,
+    // which file sinks reject and unqualified selects can't reference.
+    val collisions = right.columns.toSet
+      .intersect(left.columns.toSet) - keyCol
+    val rightSafe = collisions.foldLeft(right)((df, c) =>
+      df.withColumnRenamed(c, s"${c}_right"))
+    val rTs = if (collisions.contains(rightTsCol)) s"${rightTsCol}_right" else rightTsCol
     val l = left.withWatermark(leftTsCol, watermark).alias("l")
-    val r = right.withWatermark(rightTsCol, watermark).alias("r")
+    val r = rightSafe.withWatermark(rTs, watermark).alias("r")
     l.join(r,
         col(s"l.$keyCol") === col(s"r.$keyCol") &&
-          col(s"r.$rightTsCol") >= col(s"l.$leftTsCol") - expr(s"INTERVAL $lookback") &&
-          col(s"r.$rightTsCol") <= col(s"l.$leftTsCol"))
+          col(s"r.$rTs") >= col(s"l.$leftTsCol") - expr(s"INTERVAL $lookback") &&
+          col(s"r.$rTs") <= col(s"l.$leftTsCol"))
       // The condition-form join keeps BOTH key columns under one name,
       // which makes the result unwritable (file sinks reject duplicate
       // column names) and every unqualified select ambiguous — drop the
@@ -395,8 +419,7 @@ object StreamingOps {
       // Cross-batch: any band retained by an EARLIER batch drops.
       // Partition discovery surfaces the batch=N dirs as a `batch`
       // column; strictly-earlier filtering keeps replays deterministic.
-      val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(
-        spark.sessionState.newHadoopConf())
+      val fs = fsFor(spark, indexPath)
       // Replay safety: a crash between an attempt's partial batch=N
       // write and the sink commit can leave indexPath existing but
       // holding NO readable data files (e.g. only a _temporary dir), so
@@ -455,16 +478,19 @@ object StreamingOps {
     // NULL text must NOT become a null dedup key: the state store
     // groups null keys as EQUAL, so every null-text row after the first
     // would be silently swallowed as a "duplicate". A unique surrogate
-    // key lets undecodable rows pass through untouched.
-    val keyed = stream.withColumn("dedup_key",
+    // key lets undecodable rows pass through untouched. The key column
+    // is __-prefixed (the file's internal-name convention): a plain
+    // "dedup_key" would silently OVERWRITE-then-drop a user column of
+    // that name.
+    val keyed = stream.withColumn("__graft_dedup_key",
       coalesce(
         if (normalize) graft.functions.TextFunctions.fingerprint(col(textCol))
         else col(textCol).cast("string"),
         concat(lit("<graft-null-text>:"), expr("uuid()"))))
     keyed
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("dedup_key")
-      .drop("dedup_key")
+      .dropDuplicatesWithinWatermark("__graft_dedup_key")
+      .drop("__graft_dedup_key")
   }
 
   /** Streaming drift gate: score every micro-batch's bucket histogram

@@ -61,6 +61,22 @@ class TextSearchSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [In(term"))
   }
 
+  test("writeIndex is completeness-marked: a torn rebuild reads as absent, not as wrong scores") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_marker").toString
+    assert(!TextSearch.indexComplete(spark, dir))
+    TextSearch.writeIndex(corpus, "doc_id", "text", dir, numFiles = 2)
+    assert(TextSearch.indexComplete(spark, dir))
+    // Simulate the crash window: writeIndex removes the marker FIRST,
+    // so any interruption before the last write leaves it absent.
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_complete")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
+    assert(!TextSearch.indexComplete(spark, dir))
+    // a fresh rebuild restores it
+    TextSearch.writeIndex(corpus, "doc_id", "text", dir, numFiles = 2)
+    assert(TextSearch.indexComplete(spark, dir))
+  }
+
   test("bm25 scores match an independent reference implementation exactly") {
     val got = TextSearch.bm25(corpus, "doc_id", "text", terms, topK = 10)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap

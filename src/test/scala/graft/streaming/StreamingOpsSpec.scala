@@ -402,6 +402,63 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream: same-named ts columns don't collide (right side renamed)") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    // BOTH streams call their time column "ts" — the common same-schema
+    // case; the result must still be writable (no duplicate names).
+    val joined = StreamingOps.intervalJoinStream(
+      buys.toDF().toDF("user_id", "ts", "amount"),
+      clicks.toDF().toDF("user_id", "ts", "page"),
+      "user_id", "ts", "ts", lookback = "30 minutes", watermark = "1 hour")
+    assert(joined.columns.toSeq.distinct == joined.columns.toSeq,
+      joined.columns.mkString(","))
+    assert(joined.columns.contains("ts") && joined.columns.contains("ts_right"))
+    val q = joined.writeStream.format("memory").queryName("ivj_samename")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0), "home"))
+      buys.addData((1L, ts(20), 9.99))
+      clicks.addData((9L, ts(300), "x")); buys.addData((9L, ts(300), 0.0))
+      q.processAllAvailable()
+      assert(spark.table("ivj_samename").where($"amount" === 9.99).count() == 1)
+    } finally q.stop()
+  }
+
+  test("enrichTextStream rejects a non-streaming-safe embedder up front with a clear message") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val stream = input.toDF().toDF("ts", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.enrichTextStream(stream, "text",
+        graft.embed.Word2VecEmbedder(dim = 8))
+    }
+    assert(e.getMessage.contains("narrow transform"), e.getMessage)
+    // the streaming-safe embedder passes the same gate
+    val ok = StreamingOps.enrichTextStream(stream, "text",
+      graft.embed.HashEmbedder(8))
+    assert(ok.isStreaming)
+  }
+
+  test("sessionize: a null event time is dropped, not a crash-looping NPE") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val q = StreamingOps.sessionize(input.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("sess_nullts")
+      .outputMode("update").start()
+    try {
+      input.addData(StreamingOps.SessionEvent(1L, ts(0)),
+        StreamingOps.SessionEvent(1L, null),
+        StreamingOps.SessionEvent(1L, ts(10)))
+      q.processAllAvailable() // would throw on an unguarded null sort key
+      val last = spark.table("sess_nullts")
+        .where($"user_id" === 1L).orderBy($"n_events".desc).head
+      assert(last.getAs[Long]("n_events") == 2L) // the null row contributed nothing
+      assert(last.getAs[Long]("n_sessions") == 1L)
+    } finally q.stop()
+  }
+
   test("sessionize: stateful gap sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.SessionEvent]
