@@ -3193,7 +3193,7 @@ object SparkEntry {
         FROM documents),
       c AS (
         SELECT doc_id, n_tokens,
-               COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+               COALESCE(sum(GREATEST(COALESCE(n_tokens, 0), 0)) OVER (ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ce
         FROM t)
       SELECT doc_id, n_tokens,

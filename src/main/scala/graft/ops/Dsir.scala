@@ -22,9 +22,14 @@ import graft.functions.TextFunctions.tokens
   * over its bigram OCCURRENCES g (T/R = total target/raw bigram mass,
   * B = bucket count).
   *
-  * Scale shape: one explode over the raw corpus and one over the
-  * (smaller) target corpus, each aggregated by bucket with map-side
-  * combine. The per-bucket log-ratio table has AT MOST `buckets` rows —
+  * Scale shape: TWO evaluations of the raw corpus's tokenize+explode
+  * lineage (the per-bucket count collect, then the scoring pass) and
+  * one over the (smaller) target corpus, each aggregated by bucket
+  * with map-side combine — persist the raw corpus (or its bucketed
+  * projection) upstream if tokenization is the dominant cost; the
+  * exploded bigram stream itself is deliberately NOT cached here (it
+  * is bigger than the corpus). The per-bucket log-ratio table has AT
+  * MOST `buckets` rows —
   * fixed by config, independent of corpus size — so the scoring join is
   * a broadcast hash join against the corpus bigram stream: the whole
   * operator is two aggregations plus one broadcast-joined pass, no
@@ -126,10 +131,17 @@ object Dsir {
     * `weights` first if recompute is expensive. */
   def selectTopK(weights: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    // NULLS LAST in BOTH passes: desc defaults to nulls-last but asc
+    // defaults to nulls-FIRST, so with k >= the non-null row count a
+    // null logweight row would enter the k-set and then WIN the
+    // boundary cut — a null boundary nulls every comparison and
+    // selects ZERO rows. With nulls pushed last, the boundary is the
+    // worst NON-null weight in the k-set (null-weight rows can never
+    // select anyway — the coalesce below flags them 0).
     val boundary = weights
       .select(col("logweight").as("__bw"), col(idCol).as("__bid"))
-      .orderBy(col("__bw").desc, col("__bid").asc).limit(k)
-      .orderBy(col("__bw").asc, col("__bid").desc).limit(1)
+      .orderBy(col("__bw").desc_nulls_last, col("__bid").asc).limit(k)
+      .orderBy(col("__bw").asc_nulls_last, col("__bid").desc).limit(1)
     weights.crossJoin(broadcast(boundary))
       .withColumn("selected",
         coalesce(col("logweight") > col("__bw") ||
@@ -152,8 +164,17 @@ object Dsir {
                        weights: DataFrame, buckets: Int = 4096,
                        logScale: Int = 6, outScale: Int = 4): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    val w = weights.select(col("bkt"), col("weight"))
+    // Fail loud on duplicate buckets (e.g. two trained tables unioned):
+    // the left join below would MULTIPLY every occurrence in a
+    // duplicated bucket, silently inflating n_bigrams and score. The
+    // check is one aggregate over the bucket-bounded table — trivial
+    // next to the corpus scan it protects.
+    require(w.groupBy("bkt").count().where(col("count") > 1).isEmpty,
+      "scoreWithWeights: duplicate bkt entries in the weight table — " +
+        "deduplicate (one weight per bucket) before scoring")
     bucketed(df.select(col(idCol).as("id"), col(textCol).as("txt")), buckets)
-      .join(broadcast(weights.select(col("bkt"), col("weight"))), Seq("bkt"), "left")
+      .join(broadcast(w), Seq("bkt"), "left")
       .groupBy("id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(sum(coalesce(col("weight"), lit(0.0))

@@ -31,14 +31,31 @@ object Packing {
 
   /** Assign each row to its packed sequence.
     *
+    * Token counts clamp to 0 inside both cumulative sums (null → 0,
+    * negative → 0): `size()` of a null array is -1 under Spark's legacy
+    * default — the exact hazard [[Sampling.tokenBudget]] clamps for —
+    * and one unguarded -1 makes the exclusive cumsum NON-monotone
+    * (a row lands in seq_id -1 and every later offset shifts). The
+    * DuckDB oracle and the naive-window parity spec clamp identically.
+    *
     * @param bucketWidth width of the coarse cumsum buckets on the ID
     *        DOMAIN (`floor(id / bucketWidth)`): balanced when ids are
     *        roughly dense (store ids and the testdata tables are). Pick
     *        so that corpus/bucketWidth buckets fit a driver-side window
     *        (thousands to millions) and one bucket fits a task.
+    *        WARNING — sparse ids (e.g. hash-derived, spread over
+    *        [0, 2^60)) put nearly every row in its own bucket at the
+    *        default width, making the bucket table corpus-sized and
+    *        pulling it through the ONE ordered window below — the exact
+    *        trap this op exists to avoid. Renumber to dense ids first
+    *        (zipWithIndex / the store's dense ids) or widen bucketWidth
+    *        until corpus/bucketWidth is comfortably driver-sized.
     * @return input columns + `cum_tokens_excl` (tokens before this row),
     *         `seq_id` (the capacity-sized sequence this row starts in),
     *         `seq_offset` (token position of the row's start within it).
+    *         Rows with a NULL id are DROPPED (a null id has no position
+    *         in the ascending-id concatenation order); a non-castable
+    *         id raises instead.
     */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
                     capacity: Long, bucketWidth: Long = 1L << 16): DataFrame = {
@@ -72,8 +89,11 @@ object Packing {
           col(idCol).cast("string")))).otherwise(idLong))
       .withColumn("__bucket",
         col("__idl") - pmod(col("__idl"), lit(bucketWidth)))
+    // Clamped token term shared by BOTH sums (the clamp must agree or
+    // the stitched offsets diverge from the within-bucket partials).
+    val tok = greatest(col(tokensCol).cast("long"), lit(0L))
     val bucketTotals = base.groupBy("__bucket")
-      .agg(sum(col(tokensCol).cast("long")).as("__bt"))
+      .agg(sum(tok).as("__bt"))
     // The bucket table has corpus/bucketWidth rows — the single-ordered
     // window here runs over that tiny table, not the corpus.
     val offsets = bucketTotals.withColumn("__off",
@@ -85,7 +105,7 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     base.join(broadcast(offsets), "__bucket")
       .withColumn("cum_tokens_excl",
-        col("__off") + coalesce(sum(col(tokensCol).cast("long")).over(within), lit(0L)))
+        col("__off") + coalesce(sum(tok).over(within), lit(0L)))
       .withColumn("seq_id", floor(col("cum_tokens_excl") / lit(capacity)).cast("long"))
       .withColumn("seq_offset", (col("cum_tokens_excl") % lit(capacity)).cast("long"))
       .drop("__bucket", "__off", "__idl")

@@ -24,15 +24,22 @@ object Sampling {
     math.round(fraction * 1000000.0)
   }
 
+  /** The ONE salted decision hash every sampler here derives from:
+    * hash60(prefix || key-as-string), NULL keys coalesced to a fixed
+    * sentinel so every row gets a deterministic decision (an unguarded
+    * null key nulls the predicate and where() silently drops the row
+    * even at fraction 1.0). The external SQL oracles mirror this exact
+    * expression (q_sample_stratified, q_shuffle_shards, q_split_groups,
+    * q_domain_mix, q_token_budget) — any change here must change them
+    * all, which is why the spelling lives in exactly one place. */
+  private def saltedHash(prefix: String, key: Column): Column =
+    HashFunctions.hash60(concat(lit(prefix),
+      coalesce(key.cast("string"), lit("<graft-null-key>"))))
+
   /** Membership predicate: keep the row iff
     * hash60("sample:<salt>:" || key) mod 1e6 < fraction·1e6. */
   def keep(key: Column, fraction: Double, salt: String = ""): Column =
-    // coalesce: a NULL key must get a deterministic membership decision,
-    // not a NULL predicate (where() would silently drop the row even at
-    // fraction 1.0).
-    HashFunctions.hash60(concat(lit(s"sample:$salt:"),
-      coalesce(key.cast("string"), lit("<graft-null-key>")))) % 1000000L <
-      lit(ppm(fraction))
+    saltedHash(s"sample:$salt:", key) % 1000000L < lit(ppm(fraction))
 
   /** Uniform deterministic sample by key. */
   def byKey(df: DataFrame, keyCol: String, fraction: Double,
@@ -51,10 +58,7 @@ object Sampling {
       case (acc, (stratum, fraction)) =>
         when(col(strataCol) === stratum, lit(ppm(fraction))).otherwise(acc)
     }
-    df.where(
-      HashFunctions.hash60(concat(lit(s"sample:$salt:"),
-        coalesce(col(keyCol).cast("string"), lit("<graft-null-key>")))) %
-        1000000L < threshold)
+    df.where(saltedHash(s"sample:$salt:", col(keyCol)) % 1000000L < threshold)
   }
 
   /** Per-domain TOKEN-BUDGET sampling: keep each domain's documents in
@@ -83,9 +87,7 @@ object Sampling {
       // unique (rows sharing an id — e.g. several nulls — share a hash
       // and tie, and the boundary row among EXACT ties is
       // engine-arbitrary, as for any non-unique id).
-      .orderBy(HashFunctions.hash60(
-        concat(lit(s"budget:$seed:"),
-          coalesce(col(idCol).cast("string"), lit("<graft-null-key>")))), col(idCol))
+      .orderBy(saltedHash(s"budget:$seed:", col(idCol)), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     // NULL/negative counts clamp to 0 inside the running sum (size()
@@ -136,6 +138,9 @@ object Sampling {
     require(keyCols.nonEmpty, "capPerKey needs at least one key column")
     require(cap > 0, "cap must be positive")
     require(priority.nonEmpty, "capPerKey needs a priority order")
+    require(!df.columns.contains(rankCol),
+      s"capPerKey writes `$rankCol` — the input already has a column of that " +
+        "name; pass a different rankCol or rename the input column")
     val ordNamed = priority.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
     val payload = struct(df.columns.map(col).toIndexedSeq: _*)
     // Struct materialized in a codegen'd Project BEFORE the aggregate
@@ -174,9 +179,10 @@ object Sampling {
     // NULL keys coalesce like every sampler here: unguarded, concat
     // goes null -> null shard (lands in __HIVE_DEFAULT_PARTITION__ on a
     // partitioned write) and null sort keys make shard_pos run-varying.
-    val sortKey =
-      HashFunctions.hash60(concat(lit(s"shuffle:$seed:"),
-        coalesce(col(keyCol).cast("string"), lit("<graft-null-key>"))))
+    val sortKey = saltedHash(s"shuffle:$seed:", col(keyCol))
+    require(!df.columns.contains("shard") && !df.columns.contains("shard_pos"),
+      "seededShuffle writes `shard`/`shard_pos` — the input already has a column " +
+        "of that name and withColumn would silently replace it; rename it first")
     val withShard = df
       .withColumn("shuffle_key", sortKey)
       .withColumn("shard", (col("shuffle_key") % nShards).cast("int"))
@@ -212,10 +218,12 @@ object Sampling {
     val whole = floor(weightExpr).cast("long")
     val fracPpm = round((weightExpr - floor(weightExpr)) * 1000000.0).cast("long")
     val extra = when(
-      HashFunctions.hash60(concat(lit(s"mix:$salt:"),
-        coalesce(col(keyCol).cast("string"), lit("<graft-null-key>")))) %
-        1000000L < fracPpm, 1L).otherwise(0L)
+      saltedHash(s"mix:$salt:", col(keyCol)) % 1000000L < fracPpm,
+      1L).otherwise(0L)
     val copies = (whole + extra).cast("int")
+    require(!df.columns.contains("copy_id"),
+      "epochMix writes `copy_id` — the input already has a column of that name " +
+        "(a second mixing pass?) and withColumn would silently replace it; rename it first")
     df.withColumn("copy_id",
       explode(when(copies >= 1, sequence(lit(0), copies - 1))
         .otherwise(array().cast("array<int>"))))
@@ -233,7 +241,14 @@ object Sampling {
     * Scale shape: one narrow explode (k rows per anchor), then — only
     * if `partnerCols` are requested — ONE equi-join on the partner id
     * to fetch them (hash shuffle, ships just the id pairs plus the
-    * selected columns; never a cartesian). */
+    * selected columns; never a cartesian).
+    *
+    * COST NOTE: when `total` is None this runs an EAGER `df.count()` at
+    * call time (the modulus must be the exact corpus size), and the
+    * input lineage is then re-read for the anchors and — with
+    * partnerCols — a third time for the partner join. Pass `total` when
+    * the count is already known, and persist an expensive input first
+    * (same guidance as [[Dsir.selectTopK]]). */
   def negativePairs(df: DataFrame, idCol: String, k: Int, seed: String = "",
                     partnerCols: Seq[String] = Nil,
                     total: Option[Long] = None): DataFrame = {
@@ -280,9 +295,10 @@ object Sampling {
     require(fractions.nonEmpty, "need at least one split")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1: $fractions")
-    val h = HashFunctions.hash60(concat(lit(s"split:$salt:"),
-      coalesce(col(groupCol).cast("string"), lit("<graft-null-key>")))) %
-      1000000L
+    val h = saltedHash(s"split:$salt:", col(groupCol)) % 1000000L
+    require(!df.columns.contains("split"),
+      "splitByGroup writes `split` — the input already has a column of that " +
+        "name and withColumn would silently replace it; rename it first")
     val bounds = fractions.map(_._2).scanLeft(0L)((acc, f) => acc + ppm(f))
     // last bound may land at 999999 < hash max from fp rounding; the
     // final otherwise() absorbs the remainder into the last split.

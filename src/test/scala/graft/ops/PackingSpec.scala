@@ -58,6 +58,25 @@ class PackingSpec extends SparkSpec {
     assert(out == Map("9" -> 0L, "10" -> 4L, "100" -> 10L))
   }
 
+  test("null/negative token counts clamp to 0: the cumsum stays monotone, seq ids never negative") {
+    // A null count (size(null) = -1 upstream hazard) and an outright -5
+    // must contribute 0 tokens, not drag the exclusive cumsum backwards
+    // (one -1 put a row in seq_id -1 and shifted every later offset).
+    val dirty = Seq((0L, Some(10L)), (1L, None), (2L, Some(-5L)), (3L, Some(7L)))
+      .toDF("id", "toks")
+    val out = Packing.packSequences(dirty, "id", "toks", capacity = 8)
+      .orderBy("id").select("id", "cum_tokens_excl", "seq_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 10L, 10L, 10L))
+    assert(out.forall(_.getLong(2) >= 0L))
+    // null ids are DROPPED (documented), never a phantom bucket
+    val withNullId = Seq((Some(0L), 5L), (None, 7L), (Some(2L), 3L))
+      .toDF("id", "toks")
+    val kept = Packing.packSequences(withNullId, "id", "toks", capacity = 8)
+      .select("id", "cum_tokens_excl").orderBy("id").collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(0L, 2L))
+    assert(kept.map(_.getLong(1)).toSeq == Seq(0L, 5L)) // null row contributed nothing
+  }
+
   test("a document larger than capacity still starts in its own sequence (spillover)") {
     val big = Seq((0L, 10L), (1L, 300L), (2L, 10L)).toDF("id", "toks")
     val out = Packing.packSequences(big, "id", "toks", capacity = 100)
