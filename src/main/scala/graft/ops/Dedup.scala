@@ -295,10 +295,31 @@ object Dedup {
     * to the brute join (same fold order, same HALF_UP rounding as
     * Spark's round()); asserted in DedupSpec. Beyond one-side-fits,
     * use [[embeddingNearDupLsh]]. */
+  /** Long id projection with the repo's loud-cast contract (the
+    * SemDedup.assign standard): a null or non-castable id RAISES with
+    * the offending value. The alternative — cast("long") quietly
+    * yielding null — either crashes the union-find with an opaque NPE
+    * (small-graph path) or, worse, silently under-deletes through
+    * null-skipping joins (large-graph path) — and every pair detector
+    * in this file happily accepts string ids, so UUID corpora reach
+    * these casts routinely. */
+  private def idAsLong(c: Column, who: String): Column = {
+    val t = c.try_cast("long")
+    when(t.isNull, raise_error(concat(
+      lit(s"$who: id is null or not castable to long: "),
+      coalesce(c.cast("string"), lit("NULL")))))
+      .otherwise(t)
+  }
+
   def embeddingNearDupBroadcastBlock(df: DataFrame, idCol: String, vecCol: String,
                                      threshold: Double = 0.9): DataFrame = {
     val spark = df.sparkSession
+    // Null ids/vectors drop BEFORE the driver collect — the brute twin
+    // scores them null and its threshold filter drops the pairs, so
+    // value-identity requires dropping them here too (getLong/getSeq on
+    // a null would NPE the driver instead).
     val rows = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
     val all = rows.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     val bc = spark.sparkContext.broadcast(all)
@@ -373,10 +394,18 @@ object Dedup {
       "smallGraphThreshold must fit a driver collect")
     val spark = pairs.sparkSession
     val edges = pairs
-      .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+      .select(idAsLong(col(idACol), "connectedComponents").as("src"),
+        idAsLong(col(idBCol), "connectedComponents").as("dst"))
+      // ONE evaluation of the (often expensive) upstream pair detector:
+      // the size probe and whichever solver branch runs both read this
+      // materialization. The old shape executed the detector for a
+      // 1M-row probe COLLECT, threw the rows away on the large path,
+      // and ran the detector again for the propagation rounds.
+      .localCheckpoint(true)
 
-    val head = edges.limit((smallGraphThreshold + 1).toInt).collect()
-    if (head.length <= smallGraphThreshold) {
+    val cnt = edges.limit((smallGraphThreshold + 1).toInt).count()
+    if (cnt <= smallGraphThreshold) {
+      val head = edges.collect()
       // Driver union-find (path-halving; component = min id via min-root merge).
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x0: Long): Long = {
@@ -400,7 +429,7 @@ object Dedup {
       val sym = edges
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
-        .localCheckpoint(true) // reused every round — don't recompute the detector
+        .localCheckpoint(true) // reused every round — one materialization
       var labels = sym.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
       var iter = 0
@@ -453,7 +482,8 @@ object Dedup {
                               idBCol: String = "id_b",
                               maxIter: Int = 30): DataFrame = {
     val raw = pairs
-      .select(col(idACol).cast("long").as("u"), col(idBCol).cast("long").as("v"))
+      .select(idAsLong(col(idACol), "connectedComponentsStar").as("u"),
+        idAsLong(col(idBCol), "connectedComponentsStar").as("v"))
     // Every node in the INPUT must appear in the output, including one
     // that only occurs in self-pairs (u == v) — the union-find path
     // registers those too, and the parity guarantee holds to it.
@@ -529,8 +559,18 @@ object Dedup {
     pairs
       .join(attrs.select(col(idCol).as("id_a"), col(attrCol).as("__aa")), "id_a")
       .join(attrs.select(col(idCol).as("id_b"), col(attrCol).as("__ab")), "id_b")
-      .select(least(col("__aa"), col("__ab")).as("attr_a"),
-        greatest(col("__aa"), col("__ab")).as("attr_b"))
+      // NULL attributes must not collapse into a real diagonal bucket:
+      // least/greatest SKIP nulls, so a (null, 'en') pair would count
+      // as ('en','en') — inflating confident intra-attribute
+      // duplication in the governance view. A pair with an unknown side
+      // surfaces as (null, attr) instead; both-null pairs group under
+      // (null, null).
+      .select(
+        when(col("__aa").isNull || col("__ab").isNull, lit(null))
+          .otherwise(least(col("__aa"), col("__ab"))).as("attr_a"),
+        when(col("__aa").isNull, col("__ab"))
+          .when(col("__ab").isNull, col("__aa"))
+          .otherwise(greatest(col("__aa"), col("__ab"))).as("attr_b"))
       .groupBy("attr_a", "attr_b")
       .agg(count(lit(1)).as("n_pairs"))
 
@@ -636,8 +676,11 @@ object Dedup {
       .select(col(idCol),
         // NULL text passes through as NULL (concat_ws would silently
         // flatten it to '' — a null-vs-empty drift the oracle catches).
+        // The cleaned column keeps the CALLER's text column name, like
+        // the id does — a hardcoded "text" broke any frame whose column
+        // is named otherwise.
         when(col(textCol).isNull, lit(null).cast("string"))
-          .otherwise(concat_ws(" ", col("__kept"))).as("text"),
+          .otherwise(concat_ws(" ", col("__kept"))).as(textCol),
         when(col(textCol).isNull, lit(0L))
           .otherwise((size(col("__toks")) - size(col("__kept"))).cast("long"))
           .as("n_tokens_removed"))
@@ -693,9 +736,21 @@ object Dedup {
 
   /** Fuzzy (edit-distance) duplicate pairs: id_a < id_b with
     * levenshtein(text_a, text_b) <= maxDist, candidates blocked by
-    * shared word n-grams — the typo/near-miss dedup for SHORT fields
+    * shared n-grams — the typo/near-miss dedup for SHORT fields
     * (titles, names, URLs; edit distance is O(len²) per pair, so feed
     * it bounded-length columns).
+    *
+    * BLOCKING = the recall contract: only pairs sharing at least one
+    * blocking n-gram are even considered. The default `blockOn =
+    * "word"` (word `n`-grams) suits multi-word fields, but is BLIND to
+    * single-token texts (a URL has no word bigram at all — zero
+    * candidates) and to short fields where one edit breaks every
+    * shared word bigram ("John Smith" vs "Jon Smith"). For those, use
+    * `blockOn = "char"`: distinct CHARACTER n-grams (use n = 3+; an
+    * edit destroys at most n char-grams, so texts longer than
+    * n·(maxDist+1) chars always share a surviving block — a real
+    * recall guarantee where the word form has none on short fields).
+    * Char-grams are denser, so the hot-shingle cap matters more there.
     *
     * Scale shape: same candidate discipline as every detector here —
     * no all-pairs. The n-gram equi-join proposes pairs (hash-shuffled
@@ -705,11 +760,24 @@ object Dedup {
     * built-in) touches only what survives. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         maxDist: Int, n: Int = 2,
-                        maxShingleFreq: Option[Long] = None): DataFrame = {
+                        maxShingleFreq: Option[Long] = None,
+                        blockOn: String = "word"): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
+    require(blockOn == "word" || blockOn == "char",
+      s"blockOn must be 'word' or 'char', got '$blockOn'")
     val base = df.select(col(idCol).as("id"), col(textCol).as("txt"))
-    val sh = base.select(col("id"),
-      explode(TextFunctions.shingles(col("txt"), n)).as("sh"))
+    val blocks = blockOn match {
+      case "word" => TextFunctions.shingles(col("txt"), n)
+      case "char" =>
+        // distinct character n-grams; empty for texts shorter than n
+        // (sequence(1, <1) would count DOWN — guard it away)
+        when(col("txt").isNull || length(col("txt")) < n,
+          array().cast("array<string>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), length(col("txt")) - (n - 1)),
+            i => col("txt").substr(i, lit(n)))))
+    }
+    val sh = base.select(col("id"), explode(blocks).as("sh"))
     val kept = maxShingleFreq match {
       case Some(f) =>
         val hot = sh.groupBy("sh").count().where(col("count") > f).select("sh")
@@ -731,8 +799,10 @@ object Dedup {
   /** Build a broadcastable Bloom filter over the corpus text key — the
     * persistable half of [[bloomExactAgainst]]. At ingest time the store
     * maintains this alongside the data (serialize with
-    * `BloomFilter.writeTo`), so screening a new batch never rescans the
-    * corpus at all. `expectedItems <= 0` triggers a counting pass;
+    * `BloomFilter.writeTo`), so the PRESCREEN never rescans the corpus
+    * (the exact confirm join over the Bloom-positive rows still reads
+    * it — but only ~fpp of a dup-free batch reaches that join).
+    * `expectedItems <= 0` triggers a counting pass;
     * passing the known corpus size skips it. Sizing: at fpp=0.01 the
     * filter costs ~1.2 bytes/doc — ~1.2 GB per billion documents, well
     * inside executor broadcast range. */
@@ -750,11 +820,19 @@ object Dedup {
     * batch rows whose key misses the filter are DEFINITELY new (Bloom
     * filters have no false negatives) and skip the join entirely; only
     * the positives — true duplicates plus ~fpp of the batch — go through
-    * the exact confirm anti-join. The corpus is touched once to build
-    * the filter (or not at all with `prebuilt`, the persisted-filter
-    * path), instead of being hash-shuffled wholesale per batch. The
-    * confirm join makes the result EXACTLY equal to [[exactAgainst]]
-    * for any filter contents. mightContain is a (driver-built,
+    * the exact confirm anti-join (which still reads the corpus — the
+    * win is that only Bloom-POSITIVE rows reach it).
+    *
+    * EXACTNESS CONTRACT: equal to [[exactAgainst]] iff the filter
+    * contains (a superset of) the corpus's keys — true for the filter
+    * this call builds itself and for the store's maintained filter
+    * (folded forward on every append BEFORE rows publish). A `prebuilt`
+    * filter that is MISSING corpus keys (e.g. persisted from an older
+    * corpus snapshot) produces false NEGATIVES — Bloom filters have no
+    * false negatives only w.r.t. inserted items — and those rows skip
+    * the confirm join and admit duplicates. Rebuild or fold the filter
+    * forward when the corpus grows; never screen today's corpus with
+    * yesterday's filter. mightContain is a (driver-built,
     * closure-shipped) sketch probe with no Catalyst equivalent — the
     * one place a UDF is the right tool. */
   def bloomExactAgainst(batch: DataFrame, corpus: DataFrame, textCol: String,
@@ -904,7 +982,7 @@ object Dedup {
       if (isFloating) when(isnan(col(qualityCol)), lit(null)).otherwise(col(qualityCol))
       else col(qualityCol)
     val members = components
-      .join(docs.select(col(idCol).cast("long").as("node"),
+      .join(docs.select(idAsLong(col(idCol), "bestRepresentative").as("node"),
         qExpr.as("__q")), "node")
     members.groupBy("component")
       .agg(count(lit(1)).as("cluster_size"),

@@ -107,6 +107,40 @@ class DedupSpec extends SparkSpec {
     assert(block == brute)
   }
 
+  test("broadcast-block near-dup tolerates null ids/vectors like brute (drop, not driver NPE)") {
+    val emb = HashEmbedder(16)
+    val some = emb.embed(
+      Seq((0L, "alpha beta"), (1L, "alpha beta"), (2L, "gamma delta")).toDF("id", "text"),
+      "text", "vec")
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val dirty = some.withColumn("vec",
+        when(col("id") === 2L, lit(null)).otherwise(col("vec")))
+      .unionByName(some.limit(1).withColumn("id", lit(null).cast("long")))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val block = norm(Dedup.embeddingNearDupBroadcastBlock(dirty, "id", "vec", 0.9))
+    val brute = norm(Dedup.embeddingNearDupBrute(
+      dirty.where(col("id").isNotNull), "id", "vec", 0.9))
+    assert(block == brute && block.map(p => (p._1, p._2)) == Set((0L, 1L)))
+  }
+
+  test("connectedComponents / bestRepresentative RAISE on non-numeric ids instead of silent no-op") {
+    // UUID-style string ids: every pair detector accepts them, so the
+    // component pipeline must fail LOUD — cast-to-null either NPE'd the
+    // union-find or silently deleted nothing on the distributed path.
+    val uuidPairs = Seq(("a-1", "b-2"), ("b-2", "c-3")).toDF("id_a", "id_b")
+    def rootMsgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ rootMsgs(e.getCause))
+    val e1 = intercept[Exception] { Dedup.connectedComponents(uuidPairs).collect() }
+    assert(rootMsgs(e1).exists(_.contains("not castable to long")), rootMsgs(e1).mkString("|"))
+    val e2 = intercept[Exception] {
+      Dedup.connectedComponents(uuidPairs, smallGraphThreshold = 0).collect()
+    }
+    assert(rootMsgs(e2).exists(_.contains("not castable to long")), rootMsgs(e2).mkString("|"))
+    val e3 = intercept[Exception] { Dedup.connectedComponentsStar(uuidPairs).collect() }
+    assert(rootMsgs(e3).exists(_.contains("not castable to long")), rootMsgs(e3).mkString("|"))
+  }
+
   test("connected components: chains collapse to min id, components stay separate") {
     val edges = Seq(
       (5L, 3L), (3L, 9L),           // chain -> component 3
@@ -166,6 +200,35 @@ class DedupSpec extends SparkSpec {
       ("web", "wiki") -> 2L,    // (1,2) and (4,5), order-normalized
       ("web", "web") -> 1L,     // (1,3) intra-source
       ("books", "books") -> 1L))
+  }
+
+  test("attributeOverlap: a null-attribute side surfaces as (null, attr), never a confident diagonal") {
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val attrs = Seq((1L, Some("en")), (2L, Option.empty[String]),
+      (3L, Option.empty[String]), (4L, Option.empty[String])).toDF("doc_id", "lang")
+    val got = Dedup.attributeOverlap(pairs, attrs, "doc_id", "lang")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2)).toMap
+    // least/greatest skip nulls — unguarded, (null,'en') counted as ('en','en')
+    assert(got == Map(
+      (None, Some("en")) -> 1L,
+      (None, None) -> 1L))
+  }
+
+  test("editDistancePairs blockOn=char reaches single-token fields the word blocking is blind to") {
+    // URLs: no spaces, so word 2-grams are EMPTY and the default
+    // blocking proposes zero candidates — the documented use case was
+    // unreachable. Character 3-grams share plenty across a 1-edit pair.
+    val urls = Seq(
+      (0L, "https://example.com/page"),
+      (1L, "https://example.com/paga"),   // 1 edit
+      (2L, "https://other.org/entirely")
+    ).toDF("id", "text")
+    val word = Dedup.editDistancePairs(urls, "id", "text", maxDist = 1, n = 2)
+    assert(word.isEmpty) // honest: word blocking can't see these
+    val char = Dedup.editDistancePairs(urls, "id", "text", maxDist = 1, n = 3,
+        blockOn = "char")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(char == Map((0L, 1L) -> 1L))
   }
 
   test("keepCanonical drops every family member but the min id") {
@@ -282,7 +345,11 @@ class DedupSpec extends SparkSpec {
     assert(keptHigh == Seq(21L, 22L))
   }
 
-  test("bloomExactAgainst == exactAgainst for any filter (incl. tiny, FP-heavy, prebuilt)") {
+  // "corpus-covering" is the exactness precondition (see the op's
+  // scaladoc): false POSITIVES are confirmed away at any rate, but a
+  // prebuilt filter MISSING corpus keys would produce false negatives
+  // that skip the confirm join entirely.
+  test("bloomExactAgainst == exactAgainst for any corpus-covering filter (incl. tiny, FP-heavy, prebuilt)") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog again and again"),
       (11L, "pack my box with five dozen liquor jugs for the long journey"))
