@@ -66,6 +66,18 @@ object AsofJoin {
                        leftTie: String, rightTie: String,
                        strict: Boolean, forward: Boolean): DataFrame = {
     require(on.nonEmpty, "need at least one join key")
+    // NULL discipline = equi-join semantics (what the naive range join
+    // this op replaces would produce): a right row with a null key or
+    // null time can never legitimately qualify — unscreened, the
+    // ascending nulls-FIRST sort would put it before every real time
+    // and backward joins would "match" it, and partitionBy groups null
+    // keys together so null-key sides would enrich each other. Left
+    // rows always survive (left-outer contract): a null-key left row
+    // sits alone in its partition, and a null-TIME left row is blanked
+    // below (its frame would otherwise span the whole partition on the
+    // forward side).
+    val rightClean = right.where(
+      (on.map(col(_).isNotNull) :+ col(rightTime).isNotNull).reduce(_ && _))
     val rPayload = right.columns.filterNot(on.contains).toSeq
     val clash = left.columns.toSet.intersect(rPayload.toSet)
     require(clash.isEmpty, s"right columns clash with left, rename them: $clash")
@@ -80,7 +92,7 @@ object AsofJoin {
       on.map(col) ++ Seq(
         col(leftTime).as("__t"), lit(lSide).as("__side"), col(leftTie).as("__tie"),
         lStructCol.as("__l"), lit(null).cast(rType).as("__r")): _*)
-    val rTagged = right.select(
+    val rTagged = rightClean.select(
       on.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(rSide).as("__side"), col(rightTie).as("__tie"),
         lit(null).cast(lType).as("__l"), rStructCol.as("__r")): _*)
@@ -96,7 +108,13 @@ object AsofJoin {
           .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
     lTagged.unionByName(rTagged)
-      .withColumn("__m", matched)
+      .withColumn("__m0", matched)
+      // A null-TIME left row has no position on the time axis: blank
+      // its enrichment (forward's [current, following) frame would
+      // otherwise cover the whole partition and hand it the key's
+      // earliest right row).
+      .withColumn("__m",
+        when(col("__t").isNull, lit(null).cast(rType)).otherwise(col("__m0")))
       .where(col("__side") === lSide)
       .select(left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
         rPayload.map(c => col("__m").getField(c).as(c)): _*)

@@ -29,8 +29,15 @@ object EventOps {
              typeCol: String, steps: Seq[String], window: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(window > 0, "window must be positive")
-    val e = events.select(col(userCol).as("user"), col(tsCol).as("ts"),
-      col(typeCol).as("etype"))
+    // Null users/timestamps drop up front, same rationale as
+    // [[retention]]'s screen: a null-user group would emit a phantom
+    // "user" permanently stuck at steps_completed = 1 (the step>=2
+    // equi-joins on user reject NULL, so it can never progress), and a
+    // null ts carries no funnel position.
+    val e = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("user"), col(tsCol).as("ts"),
+        col(typeCol).as("etype"))
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var acc = e.where(col("etype") === steps.head)
       .groupBy("user").agg(min("ts").as("t1"))
@@ -48,13 +55,14 @@ object EventOps {
     for (i <- 2 to steps.size)
       out = out.join(levels(i - 1).select(col("user"), col(s"t$i")),
         Seq("user"), "left")
-    // when() chains evaluate in order, so build outermost = deepest step
+    // when() chains evaluate in order, so build outermost = deepest
+    // step; a 1-step funnel falls out naturally (empty fold range keeps
+    // the lit(1L) init — no special case needed).
     val completedOrdered = (steps.size to 2 by -1)
       .foldRight(lit(1L): org.apache.spark.sql.Column) { case (i, els) =>
         when(col(s"t$i").isNotNull, lit(i.toLong)).otherwise(els)
       }
-    out.withColumn("steps_completed",
-        if (steps.size == 1) lit(1L) else completedOrdered)
+    out.withColumn("steps_completed", completedOrdered)
       .select(col("user").as(userCol) +: (1 to steps.size).map(i => col(s"t$i")) :+
         col("steps_completed"): _*)
   }
@@ -81,11 +89,14 @@ object EventOps {
   def retention(events: DataFrame, userCol: String, tsCol: String,
                 bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val ts = col(tsCol).cast("long")
+    // Null timestamps drop with null users: a null ts would bucket to
+    // null, ride through as (cohort, offset=null) garbage rows, and an
+    // all-null-ts user would get cohort=null and vanish from the size
+    // join while remaining possible in `active` — inconsistent both ways.
     val e = events
-      .where(col(userCol).isNotNull)
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("user"),
-        (ts - pmod(ts, lit(bucketWidth))).as("__start"))
+        Timeseries.bucketStart(col(tsCol), bucketWidth).as("__start"))
       // __start is an exact multiple of the width, so the integral
       // `div` (truncating) equals the true floored quotient — exact at
       // any magnitude, long arithmetic end to end.

@@ -14,17 +14,25 @@ object Mutations {
     * matched then update, when not matched then insert"); `target` rows
     * whose key the batch doesn't carry pass through unchanged.
     *
-    * One left_anti equi-join + union — no per-row point writes. The
-    * join shuffles on the key at scale (Catalyst broadcasts the batch
-    * side when it's small); with both sides bucketed on the key it's
+    * One left_anti join + union — no per-row point writes. The join
+    * shuffles on the key at scale (Catalyst broadcasts the batch side
+    * when it's small); with both sides bucketed on the key it's
     * exchange-free. Column sets must match (`unionByName`).
+    *
+    * Keys compare NULL-SAFELY (`<=>`): null is a legitimate key VALUE
+    * here, so a null-key batch row REPLACES the null-key target row —
+    * a plain equi-anti-join never matches NULL and would keep both
+    * (silent duplication on every upsert of that row).
     *
     * If `batch` carries duplicate keys the result keeps them all —
     * pre-aggregate the batch (e.g. latest by timestamp) when the key
     * must stay unique. */
-  def upsert(target: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame =
+  def upsert(target: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame = {
+    val keysDf = batch.select(keys.map(col): _*).distinct()
     batch.unionByName(
-      target.join(batch.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+      target.join(keysDf,
+        keys.map(k => target(k) <=> keysDf(k)).reduce(_ && _), "left_anti"))
+  }
 
   /** Latest change per key: keeps the row that is greatest under
     * `orderCols` (descending, in order — make the combination unique,
@@ -47,7 +55,12 @@ object Mutations {
     * value upserts the row. The Delta-style
     * whenMatchedDelete/whenMatchedUpdate/whenNotMatchedInsert MERGE,
     * as one anti-join + union: any touched key leaves the target, and
-    * the non-delete change rows come back in. */
+    * the non-delete change rows come back in. Keys compare NULL-SAFELY
+    * like [[upsert]]'s — a null-key delete actually deletes and a
+    * null-key update replaces, instead of silently no-opping through a
+    * null-rejecting equi-join (which would also make the streaming
+    * [[graft.streaming.StreamingOps]] CDC sink accumulate a duplicate
+    * null-key row per micro-batch). */
   def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
                opCol: String = "op"): DataFrame = {
     val touched = changes.select(keys.map(col): _*).distinct()
@@ -57,6 +70,7 @@ object Mutations {
     // delete data).
     val upserts = changes
       .where(col(opCol).isNull || col(opCol) =!= "delete").drop(opCol)
-    upserts.unionByName(target.join(touched, keys, "left_anti"))
+    upserts.unionByName(target.join(touched,
+      keys.map(k => target(k) <=> touched(k)).reduce(_ && _), "left_anti"))
   }
 }

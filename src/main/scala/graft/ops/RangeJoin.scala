@@ -46,9 +46,9 @@ object RangeJoin {
   }
 
   /** Largest multiple of `d` ≤ x — the bucket's start, used directly as
-    * the equi-join key. Pure long arithmetic (pmod is exact for
-    * negative x too), exact at ANY magnitude — same discipline as
-    * Timeseries.gapFillLocf's bucketing. */
+    * the equi-join key. Delegates to the ONE shared definition
+    * ([[Timeseries.bucketStart]] — exact long arithmetic at any
+    * magnitude, pmod exact for negative x too). */
   private def bucketStart(x: Column, d: Long): Column =
-    x - pmod(x, lit(d))
+    Timeseries.bucketStart(x, d)
 }

@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object Timeseries {
 
+  /** Exact integer bucket start: `c - pmod(c, step)` in pure long
+    * arithmetic. The ONE definition shared by [[gapFillLocf]],
+    * [[EventOps.retention]], and [[RangeJoin]]: `floor(c/step)*step`
+    * routes through a DOUBLE quotient, which mis-buckets magnitudes
+    * above 2^53 (epoch nanos are ~1.6e18). */
+  private[ops] def bucketStart(c: Column, step: Long): Column =
+    c.cast("long") - pmod(c.cast("long"), lit(step))
+
   /** Per-key exponentially-weighted moving average (final value):
     * ewma_i = α·x_i + (1−α)·ewma_{i−1}, seeded with the key's first
     * observation — the classic SEQUENTIAL recurrence, made distributed
@@ -26,13 +34,20 @@ object Timeseries {
     * Determinism: `orderCols` must be a unique order (e.g. ts + id);
     * the fold is left-to-right over that order, so engines replay it
     * exactly (same IEEE ops in the same order — pick an α whose 1−α is
-    * binary-exact, e.g. 0.25/0.5/0.75, for cross-engine bit equality). */
+    * binary-exact, e.g. 0.25/0.5/0.75, for cross-engine bit equality).
+    *
+    * Null discipline: rows whose value is null (or a non-numeric
+    * string, which casts to null) are DROPPED before the fold and `n`
+    * counts only the folded observations — one unscreened null would
+    * poison the entire key's recurrence to NULL with no trace of which
+    * row caused it. A key whose values are ALL null is absent. */
   def ewma(df: DataFrame, keyCol: String, orderCols: Seq[String],
            valueCol: String, alpha: Double, roundScale: Int = 4): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     require(orderCols.nonEmpty, "need at least one order column")
     val fields = orderCols.map(col) :+ col(valueCol).cast("double").as("__v")
-    val g = df.groupBy(col(keyCol))
+    val g = df.where(col(valueCol).cast("double").isNotNull)
+      .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(fields: _*))).as("__s"))
     val vs = transform(col("__s"), s => s("__v"))
     g.select(col(keyCol),
@@ -50,8 +65,13 @@ object Timeseries {
     * tick takes the bucket's LAST observation (latest (ts, tieCol))
     * and empty buckets carry the previous value forward (LOCF).
     *
-    * Returns (key, tick, value) with no leading nulls (the grid starts
-    * at each key's first observed bucket).
+    * Returns (key, tick, value). The grid starts at each key's first
+    * observed bucket, so `value` has no leading nulls PROVIDED the
+    * first bucket's winning observation has a non-null value; observed
+    * NULL values are treated as "no observation" by the fill (the
+    * ignoreNulls LOCF carries the previous non-null forward — the
+    * output does not distinguish an observed null from a gap; screen
+    * nulls upstream if that distinction matters).
     *
     * Scale shape: bounds are one per-key min/max aggregate; the grid is
     * a narrow per-key explode (range/step rows); bucket-last is an
@@ -64,11 +84,7 @@ object Timeseries {
     require(step > 0, "step must be positive")
     val e = df.select(col(keyCol).as("key"), col(tsCol).as("ts"),
       col(valueCol).as("v"), col(tieCol).as("tie"))
-    // Exact integer bucketing: floor(c/step)*step routes through a
-    // DOUBLE quotient, which mis-buckets timestamps above 2^53 (epoch
-    // nanos are ~1.6e18). c - pmod(c, step) is the same floor-multiple
-    // in pure long arithmetic at any magnitude.
-    val bucket = (c: Column) => (c.cast("long") - pmod(c.cast("long"), lit(step)))
+    val bucket = (c: Column) => bucketStart(c, step) // exact long arithmetic
     val bounds = e.groupBy("key")
       .agg(bucket(min(col("ts"))).as("lo"), bucket(max(col("ts"))).as("hi"))
     val ticks = bounds.select(col("key"),

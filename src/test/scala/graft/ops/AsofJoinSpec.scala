@@ -75,6 +75,37 @@ class AsofJoinSpec extends SparkSpec {
     assert(runFwd(strict = false).size == purchases.count())
   }
 
+  test("null times/keys never fabricate matches: right nulls screened, null-time left rows blank") {
+    // Right rows with a null time or null key sort before every real
+    // time (asc nulls first) / share a null-key partition — unscreened,
+    // backward joins "matched" them and null-key sides enriched each
+    // other. A null-TIME left row's forward frame would span the whole
+    // partition.
+    val dirtyClicks = Seq(
+      (Some(1L), Option.empty[Long], 555L),   // null time, real key
+      (Option.empty[Long], Some(10L), 666L),  // null key
+      (Some(1L), Some(20L), 101L)
+    ).toDF("user_id", "click_us", "click_eid")
+    val dirtyPurch = Seq(
+      (Some(1L), Some(5L), 900L),             // before every real click
+      (Some(1L), Option.empty[Long], 901L),   // null purchase time
+      (Option.empty[Long], Some(15L), 902L)   // null key
+    ).toDF("user_id", "purchase_us", "purchase_eid")
+    def enrichOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("purchase_eid") ->
+        Option(r.getAs[Any]("click_eid"))).toMap
+    val back = enrichOf(AsofJoin.asofBackward(dirtyPurch, dirtyClicks,
+      Seq("user_id"), "purchase_us", "click_us", "purchase_eid", "click_eid"))
+    // all three left rows present; none picks up the null-time or
+    // null-key click
+    assert(back == Map(900L -> None, 901L -> None, 902L -> None))
+    val fwd = enrichOf(AsofJoin.asofForward(dirtyPurch, dirtyClicks,
+      Seq("user_id"), "purchase_us", "click_us", "purchase_eid", "click_eid"))
+    // forward: the t=5 purchase legitimately matches the t=20 click;
+    // the null-time and null-key left rows stay blank
+    assert(fwd == Map(900L -> Some(101L), 901L -> None, 902L -> None))
+  }
+
   test("clashing right column names are rejected") {
     val bad = clicks.withColumnRenamed("click_eid", "purchase_eid")
     intercept[IllegalArgumentException] {

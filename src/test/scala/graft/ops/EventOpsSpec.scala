@@ -49,6 +49,24 @@ class EventOpsSpec extends SparkSpec {
     assert(one.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 5L, 6L))
   }
 
+  test("funnel/retention drop null users and null timestamps (no phantom groups, no null-offset rows)") {
+    val dirty = Seq(
+      (Some(1L), Some(10L), "view"), (Some(1L), Some(20L), "click"),
+      (Option.empty[Long], Some(10L), "view"),     // null user
+      (Some(1L), Option.empty[Long], "view"),      // null ts
+      (Some(9L), Option.empty[Long], "view")       // user with ONLY a null-ts event
+    ).toDF("user_id", "ts", "etype")
+    val f = EventOps.funnel(dirty, "user_id", "ts", "etype",
+        Seq("view", "click"), window = 100L)
+      .collect().map(r => Option(r.get(0)) -> r.getLong(r.fieldIndex("steps_completed"))).toMap
+    // no phantom null-user row stuck at step 1; the null-ts-only user
+    // never entered
+    assert(f == Map(Some(1L) -> 2L))
+    val ret = EventOps.retention(dirty.select($"user_id", $"ts"), "user_id", "ts", 10L)
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(ret.forall(_._2.isDefined), ret.mkString(",")) // no offset=null garbage
+  }
+
   test("retention: cohort = first bucket, offsets counted once per user, exact rates") {
     // bucket width 10: user A enters bucket 0, active 0 and 2;
     // user B enters 0, active 0 only; user C enters 1, active 1 and 2.

@@ -21,6 +21,22 @@ class MutationsSpec extends SparkSpec {
       4L -> (("four", 40))))    // inserted
   }
 
+  test("null is a key VALUE: upsert replaces the null-key row, applyCdc delete removes it") {
+    // A plain equi-anti-join never matches NULL = NULL, so the old
+    // shape DUPLICATED a null-key row on every upsert and a null-key
+    // CDC delete silently no-opped.
+    val t = Seq((Some(1L), "one", 10), (Option.empty[Long], "nil", 99))
+      .toDF("k", "name", "v")
+    val batch = Seq((Option.empty[Long], "NIL", 990)).toDF("k", "name", "v")
+    val up = Mutations.upsert(t, batch, Seq("k")).collect()
+      .map(r => Option(r.get(0)) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(up == Map(Some(1L) -> (("one", 10)), None -> (("NIL", 990))))
+    val del = Seq((Option.empty[Long], "x", 0, "delete")).toDF("k", "name", "v", "op")
+    val after = Mutations.applyCdc(t, del, Seq("k")).collect()
+      .map(r => Option(r.get(0))).toSet
+    assert(after == Set(Some(1L)))
+  }
+
   test("upsert: empty batch is identity; full-cover batch replaces everything") {
     val empty = Seq.empty[(Long, String, Int)].toDF("k", "name", "v")
     assert(Mutations.upsert(target, empty, Seq("k")).collect().toSet ==

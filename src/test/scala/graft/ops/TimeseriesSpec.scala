@@ -28,6 +28,18 @@ class TimeseriesSpec extends SparkSpec {
     assert(again("a") == 5.75)
   }
 
+  test("ewma: null values are dropped observations, never a poisoned NULL fold") {
+    val dirty = Seq(
+      (1L, 1L, Some(1.0)), (1L, 2L, Option.empty[Double]), (1L, 3L, Some(3.0)),
+      (2L, 1L, Option.empty[Double])  // all-null key: absent
+    ).toDF("k", "id", "v")
+    val got = Timeseries.ewma(dirty, "k", Seq("id"), "v", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // fold over [1.0, 3.0] only: 0.5*3 + 0.5*1 = 2.0; n counts the 2
+    // observations actually folded
+    assert(got == Map(1L -> ((2.0, 2L))))
+  }
+
   test("gapFillLocf: per-key grid, bucket-last wins, gaps carry forward") {
     val obs = Seq(
       // key A: obs in buckets 0 (two, last wins) and 30; gaps at 10, 20
