@@ -3255,14 +3255,14 @@ object SparkEntry {
               CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
                    ELSE list_transform(range(1, len(toks)),
                         i -> toks[i] || ' ' || toks[i+1]) END AS bg,
-              length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS alnum
+              length(regexp_replace(text, '[^\p{L}\p{N} ]', '', 'g')) AS alnum
             FROM t),
       g AS (SELECT doc_id,
               CAST(n AS BIGINT) AS n_tokens,
               round(CAST(len(list_distinct(toks)) AS DOUBLE) /
                 CAST(greatest(n, 1) AS DOUBLE), 4) AS distinct_token_ratio,
-              round(CAST(coalesce(list_max(list_transform(list_distinct(toks),
-                u -> len(list_filter(toks, x -> x = u)))), 0) AS DOUBLE) /
+              round(CAST(list_max(list_transform(list_distinct(toks),
+                u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE) /
                 CAST(greatest(n, 1) AS DOUBLE), 4) AS top_token_frac,
               CASE WHEN len(bg) = 0 THEN 0.0
                    ELSE round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) /

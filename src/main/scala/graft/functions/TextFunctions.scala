@@ -41,14 +41,31 @@ object TextFunctions {
   val StopwordsEs: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no")
   val StopwordsFr: Seq[String] = Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce")
 
+  /** Raw (NON-distinct, order-preserving) word 2-grams — repetition and
+    * LM-surprisal signals need the multiset, unlike the dedup shingles'
+    * distinct-set semantics. Lives HERE with the other tokenization
+    * contracts (tokens/shingles) its consumers must stay consistent
+    * with — the concat_ws(" ") join key is injective because tokens
+    * contain no spaces, a contract bigramSurprisal relies on. */
+  def rawBigrams(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+
   /** Fraction of tokens that appear in `words`. */
-  def wordRatio(text: Column, words: Seq[String]): Column = {
-    val toks = tokens(text)
+  def wordRatio(text: Column, words: Seq[String]): Column =
+    wordRatioOf(tokens(text), words)
+
+  /** [[wordRatio]] over an already-bound token array — the form callers
+    * use under a [[let1]] binding so the split isn't rebuilt per
+    * consumer (see TextAnalysis.analyze). Same expression, same values. */
+  def wordRatioOf(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit(_)): _*))).cast("double") /
       greatest(size(toks), lit(1)).cast("double")
-  }
 
   def stopwordRatio(text: Column): Column = wordRatio(text, StopwordsEn)
+
+  def stopwordRatioOf(toks: Column): Column = wordRatioOf(toks, StopwordsEn)
 
   /** Fraction of characters in [.,!?;:]. */
   def punctRatio(text: Column): Column =
@@ -59,25 +76,30 @@ object TextFunctions {
     * ceil(len/4) subwords (the ~4-chars-per-BPE-token rule of thumb),
     * summed. Integer arithmetic — exact in any engine. */
   def bpeTokenEstimate(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
+    bpeTokenEstimateOf(tokens(text))
+
+  def bpeTokenEstimateOf(toks: Column): Column =
+    aggregate(toks, lit(0L),
       (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
 
   /** Mean token length in characters. */
-  def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  def meanTokenLen(text: Column): Column = meanTokenLenOf(tokens(text))
+
+  def meanTokenLenOf(toks: Column): Column =
     aggregate(toks, lit(0.0), (acc, t) => acc + length(t).cast("double")) /
       greatest(size(toks), lit(1)).cast("double")
-  }
 
   /** Composite [0,1] quality score from cheap surface features —
     * length band + stopword presence + reasonable word lengths.
     * A heuristic in the spirit of C4/Gopher-style quality filters. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = qualityScoreOf(text, tokens(text))
+
+  def qualityScoreOf(text: Column, toks: Column): Column = {
     val lenScore = when(length(text).between(50, 2000), 1.0)
       .when(length(text) < 50, length(text).cast("double") / 50.0)
       .otherwise(lit(2000.0) / length(text).cast("double"))
-    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    val mtl = meanTokenLen(text)
+    val swScore = least(stopwordRatioOf(toks) * 5.0, lit(1.0))
+    val mtl = meanTokenLenOf(toks)
     val wordScore = when(mtl.between(3.0, 10.0), 1.0).otherwise(0.5)
     round((lenScore + swScore + wordScore) / 3.0, 4)
   }
@@ -85,10 +107,12 @@ object TextFunctions {
   /** Heuristic language ID: argmax of per-language stopword hit ratios;
     * 'und' when every score is zero. Ties break in fixed order
     * en > de > es > fr. */
-  def langGuess(text: Column): Column = {
+  def langGuess(text: Column): Column = langGuessOf(tokens(text))
+
+  def langGuessOf(toks: Column): Column = {
     val scores = Seq(
-      "en" -> wordRatio(text, StopwordsEn), "de" -> wordRatio(text, StopwordsDe),
-      "es" -> wordRatio(text, StopwordsEs), "fr" -> wordRatio(text, StopwordsFr))
+      "en" -> wordRatioOf(toks, StopwordsEn), "de" -> wordRatioOf(toks, StopwordsDe),
+      "es" -> wordRatioOf(toks, StopwordsEs), "fr" -> wordRatioOf(toks, StopwordsFr))
     val best = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((lang, s), acc) =>
       when(s > 0.0 && s === best, lit(lang)).otherwise(acc)

@@ -31,7 +31,13 @@ object Contamination {
     * Null-id candidates are screened out: the per-doc groupBy would
     * otherwise MERGE every null-id doc (with equal n_ngrams) into one
     * bogus row, and no downstream join could attribute the result
-    * anyway. [[decontaminate]] drops them for the same reason. */
+    * anyway. [[decontaminate]] drops them for the same reason.
+    *
+    * Candidate ids must be UNIQUE: duplicate ids with equal n-gram
+    * counts merge in the same groupBy and their overlaps sum — the
+    * only way n_overlap can exceed n_ngrams (bench grams are distinct,
+    * candidate shingles are distinct per doc), so that condition is
+    * checked and RAISES instead of emitting contamination_frac > 1. */
   def ngramOverlap(candidates: DataFrame, bench: DataFrame,
                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val benchGrams = bench
@@ -51,7 +57,12 @@ object Contamination {
         col("id").as(idCol),
         col("n_ngrams").cast("long").as("n_ngrams"),
         col("n_overlap").cast("long").as("n_overlap"),
-        round(col("n_overlap").cast("double") / col("n_ngrams").cast("double"), 4)
+        when(col("n_overlap") > col("n_ngrams"),
+          raise_error(concat(
+            lit("ngramOverlap: overlap exceeds the doc's n-gram count — " +
+              "duplicate candidate id: "), col("id").cast("string"))))
+          .otherwise(
+            round(col("n_overlap").cast("double") / col("n_ngrams").cast("double"), 4))
           .as("contamination_frac"))
   }
 

@@ -22,20 +22,22 @@ import graft.functions.TextFunctions
   */
 object QualitySignals {
 
-  /** Raw (NON-distinct, order-preserving) word 2-grams — repetition
-    * signals need the multiset, unlike the dedup shingles which are
-    * distinct-set semantics. */
-  def rawBigrams(toks: Column): Column =
-    when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+  /** Raw word 2-grams — moved to the tokenization-contract surface
+    * ([[TextFunctions.rawBigrams]]); this alias keeps existing callers
+    * compiling. */
+  def rawBigrams(toks: Column): Column = TextFunctions.rawBigrams(toks)
 
   /** Adds the repetition/symbol signal columns:
     *  - n_tokens
     *  - distinct_token_ratio: |distinct tokens| / n_tokens
     *  - top_token_frac: occurrences of the most frequent token / n_tokens
     *  - dup_bigram_frac: (bigrams - distinct bigrams) / bigrams
-    *  - symbol_ratio: chars outside [A-Za-z0-9 ] / chars
+    *  - symbol_ratio: chars that are neither letters, digits, nor
+    *    spaces — UNICODE letter/digit classes (\p{L}\p{N}), not ASCII:
+    *    an ASCII-only class counts every accented or non-Latin letter
+    *    as a "symbol", so the 0.1 gate would structurally drop all
+    *    non-English text (including the de/es/fr documents langGuess
+    *    exists to recognize)
     *  - gopher_keep: the composite keep/drop decision
     *
     * Ratios are rounded to 4 dp; the keep flag is computed from the
@@ -51,11 +53,15 @@ object QualitySignals {
       val distinctRatio = round(size(array_distinct(toks)).cast("double") / nD, 4)
       // Most-frequent-token share: O(distinct * n) per row — fine for
       // document-sized token lists, and stays narrow (no explode/agg).
+      // NO coalesce-to-0: for non-null text the distinct array is never
+      // empty (split always yields >= 1 token), so the only way this is
+      // null is a NULL text — which must null the signal like every
+      // other ("a null text nulls every signal" below); a 0.0 here made
+      // undecodable docs look maximally diverse to any consumer reading
+      // this column alone.
       val topTokenFrac = round(
-        coalesce(
-          array_max(transform(array_distinct(toks),
-            u => size(filter(toks, x => x === u)))).cast("double"),
-          lit(0.0)) / nD, 4)
+        array_max(transform(array_distinct(toks),
+          u => size(filter(toks, x => x === u)))).cast("double") / nD, 4)
       val dupBigramFrac = TextFunctions.let1(rawBigrams(toks)) { bg =>
         when(size(bg) === 0, lit(0.0)).otherwise(
           round((size(bg) - size(array_distinct(bg))).cast("double") /
@@ -67,8 +73,13 @@ object QualitySignals {
         topTokenFrac.as("top_token_frac"),
         dupBigramFrac.as("dup_bigram_frac"))
     }
+    // Unicode letter/digit classes, NOT [A-Za-z0-9]: both engines (Java
+    // regex and DuckDB's RE2) agree on \p{L}/\p{N} general categories,
+    // and the ASCII class counted every ä/é/ñ — and every non-Latin
+    // letter — as a symbol, structurally failing non-English documents
+    // at the 0.1 gate.
     val symbolRatio = round(
-      (length(t) - length(regexp_replace(t, "[^A-Za-z0-9 ]", ""))).cast("double") /
+      (length(t) - length(regexp_replace(t, "[^\\p{L}\\p{N} ]", ""))).cast("double") /
         greatest(length(t), lit(1)).cast("double"), 4)
     val out = df
       .withColumn("n_tokens", sig.getField("n_tokens"))

@@ -13,17 +13,35 @@ import graft.functions.TextFunctions._
 object TextAnalysis {
 
   /** Adds: n_tokens, est_bpe_tokens, n_chars_calc, stopword_ratio,
-    * punct_ratio, mean_token_len, quality, lang_guess, fingerprint. */
+    * punct_ratio, mean_token_len, quality, lang_guess, fingerprint.
+    *
+    * The token array is [[graft.functions.TextFunctions.let1]]-bound
+    * ONCE and every token-derived column reads it (same discipline as
+    * QualitySignals.signals): projection collapse would otherwise
+    * rebuild the split per use site — quality alone re-derives it ~5×
+    * and langGuess's when-branches ~16×, multiplying the dominant
+    * per-row cost of this "one codegen'd projection". Values are
+    * bit-identical to the unbound forms (same expressions, one shared
+    * binding — the q_text_analysis oracle pins it). */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_tokens", tokenCount(t))
-      .withColumn("est_bpe_tokens", bpeTokenEstimate(t))
+    val sig = let1(tokens(t)) { toks =>
+      struct(
+        size(toks).as("n_tokens"),
+        bpeTokenEstimateOf(toks).as("est_bpe_tokens"),
+        round(stopwordRatioOf(toks), 4).as("stopword_ratio"),
+        round(meanTokenLenOf(toks), 4).as("mean_token_len"),
+        qualityScoreOf(t, toks).as("quality"),
+        langGuessOf(toks).as("lang_guess"))
+    }
+    df.withColumn("n_tokens", sig.getField("n_tokens"))
+      .withColumn("est_bpe_tokens", sig.getField("est_bpe_tokens"))
       .withColumn("n_chars_calc", length(t))
-      .withColumn("stopword_ratio", round(stopwordRatio(t), 4))
+      .withColumn("stopword_ratio", sig.getField("stopword_ratio"))
       .withColumn("punct_ratio", round(punctRatio(t), 4))
-      .withColumn("mean_token_len", round(meanTokenLen(t), 4))
-      .withColumn("quality", qualityScore(t))
-      .withColumn("lang_guess", langGuess(t))
+      .withColumn("mean_token_len", sig.getField("mean_token_len"))
+      .withColumn("quality", sig.getField("quality"))
+      .withColumn("lang_guess", sig.getField("lang_guess"))
       .withColumn("fingerprint", fingerprint(t))
   }
 
@@ -43,7 +61,14 @@ object TextAnalysis {
     * 100 TB corpus is NOT broadcastable); corpus totals are a scalar
     * broadcast; the final per-doc agg partitions by doc. */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+    // Null-id docs are screened ENTIRELY (same rationale as
+    // Contamination's screen): the per-doc groupBy would MERGE them
+    // into one bogus pseudo-document whose stats cover the union of
+    // their tokens, and no downstream join could attribute the row
+    // anyway — so unattributable docs contribute neither a row nor
+    // corpus-LM counts.
+    val tok = df.where(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
     val vocab = tok.groupBy("t").agg(count(lit(1)).as("n"))
     // "total"/"vsize", not T/V: Spark's default case-insensitive
     // resolution would make a `T` column ambiguous with the token `t`.
@@ -74,7 +99,9 @@ object TextAnalysis {
     * final per-doc agg partitions by doc. Only docs with >= 2 tokens
     * appear. */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    // Null-id screen — see unigramSurprisal.
+    val toks = df.where(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
     // The bigram STRING "w1 w2" is the join key (tokens contain no
     // spaces, so it's injective); w1 re-derives narrowly for the
     // unigram join.
@@ -181,8 +208,10 @@ object TextAnalysis {
   def topKeywords(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = df.select(col(idCol).as("id"),
-      explode(tokens(col(textCol))).as("token"))
+    // Null-id screen — see unigramSurprisal (Window.partitionBy("id")
+    // would merge every null-id doc's tokens into one top-k).
+    val tok = df.where(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
     val tf = tok.groupBy("id", "token").agg(count(lit(1)).as("tf"))
     // df derives from its own NARROW distinct-tokens explode, not from
     // tf: the tf subtree can't be exchange-reused across its two

@@ -50,6 +50,21 @@ class ContaminationSpec extends SparkSpec {
     assert(kept == Set(1L, 2L)) // contaminated null-id rows are OUT
   }
 
+  test("duplicate candidate ids RAISE instead of emitting contamination_frac > 1") {
+    // The same doc replayed (e.g. an upstream union repeats a shard):
+    // the groupBy merges the equal-n_ngrams rows, overlaps sum, and
+    // frac would silently read 2.0 — the exact symptom the null screen
+    // exists for, now loud for non-null dups too.
+    val dup = cands.unionByName(
+      Seq((3L, "the quick brown fox jumps")).toDF("doc_id", "text"))
+    val e = intercept[Exception] {
+      Contamination.ngramOverlap(dup, bench, "doc_id", "text", 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("duplicate candidate id")), msgs(e).mkString("|"))
+  }
+
   test("short texts (fewer than n tokens) have no n-grams and pass") {
     val tiny = Seq((9L, "too short")).toDF("doc_id", "text")
     assert(Contamination.ngramOverlap(tiny, bench, "doc_id", "text", 3).isEmpty)

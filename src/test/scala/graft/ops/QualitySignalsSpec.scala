@@ -57,4 +57,28 @@ class QualitySignalsSpec extends SparkSpec {
     val noisy = (1 to 20).map(i => s"t#k$i!").mkString(" ")
     assert(!sig(noisy).getBoolean(5))
   }
+
+  test("accented and non-Latin LETTERS are not symbols: non-English text survives the gate") {
+    // The old ASCII class counted every non-[A-Za-z0-9] char as a
+    // symbol, so German umlauts — let alone Cyrillic — pushed
+    // symbol_ratio toward 1.0 and the 0.1 gate structurally dropped
+    // whole languages the pipeline claims to support.
+    val de = (1 to 15).map(i => s"schön$i größe$i").mkString(" ")
+    val rDe = sig(de)
+    assert(rDe.getDouble(4) == 0.0, s"umlauts counted as symbols: ${rDe.getDouble(4)}")
+    assert(rDe.getBoolean(5), "clean German text must pass gopher_keep")
+    val ru = (1 to 15).map(i => s"слово$i текст$i").mkString(" ")
+    assert(sig(ru).getDouble(4) == 0.0, "Cyrillic letters counted as symbols")
+    // real punctuation still counts
+    assert(sig("a# b$").getDouble(4) == 0.4)
+  }
+
+  test("null text NULLS top_token_frac like every other signal (no fake 0.0 diversity)") {
+    val out = QualitySignals.signals(
+      Seq((1L, Option.empty[String])).toDF("id", "text"), "text")
+    val r = out.head
+    assert(r.isNullAt(r.fieldIndex("top_token_frac")),
+      "null text must null the signal, not report perfect diversity")
+    assert(r.isNullAt(r.fieldIndex("distinct_token_ratio")))
+  }
 }
