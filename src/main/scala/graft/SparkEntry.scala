@@ -3059,8 +3059,12 @@ object SparkEntry {
       pq AS (SELECT j.feature, j.bucket,
                     CAST(j.n_ref AS BIGINT) AS n_ref,
                     CAST(j.n_cur AS BIGINT) AS n_cur,
-                    greatest(CAST(j.n_ref AS DOUBLE) / CAST(t.t_ref AS DOUBLE), 1e-6) AS p,
-                    greatest(CAST(j.n_cur AS DOUBLE) / CAST(t.t_cur AS DOUBLE), 1e-6) AS q
+                    greatest(CASE WHEN t.t_ref > 0
+                               THEN CAST(j.n_ref AS DOUBLE) / CAST(t.t_ref AS DOUBLE)
+                               ELSE 0.0 END, 1e-6) AS p,
+                    greatest(CASE WHEN t.t_cur > 0
+                               THEN CAST(j.n_cur AS DOUBLE) / CAST(t.t_cur AS DOUBLE)
+                               ELSE 0.0 END, 1e-6) AS q
              FROM j JOIN t ON t.feature = j.feature)
       SELECT feature, bucket, n_ref, n_cur,
              round(p, 6) AS p_ref, round(q, 6) AS p_cur,
@@ -3553,13 +3557,13 @@ object SparkEntry {
     // group join: a null event_type forms a real group on BOTH engines
     // (USING would silently drop it from the oracle only).
     "q_outliers" -> """
-      WITH m AS (SELECT event_type, count(*) AS n,
+      WITH m AS (SELECT event_type, count(value) AS n,
                         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
                         CAST(sum(CAST(value AS DECIMAL(18,6)) *
                                  CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS ss
                  FROM events GROUP BY event_type),
       m2 AS (SELECT event_type, s / n AS mean,
-                    sqrt(ss / n - (s / n) * (s / n)) AS sigma
+                    sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)) AS sigma
              FROM m)
       SELECT e.event_id, e.event_type, e.value,
              round(m2.mean, 4) AS mean, round(m2.sigma, 4) AS sigma,

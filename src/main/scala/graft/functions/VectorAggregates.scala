@@ -30,7 +30,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * aggregation (map-side combine) applies as with any Spark aggregate.
   * Ragged input lengths widen the buffer; missing tail elements count
   * as zero. Null input arrays are skipped; an all-null group returns
-  * null.
+  * null. A null ELEMENT inside a vector throws: ArrayData.getDouble on
+  * a null slot silently decodes 0.0, which would bias that dimension's
+  * pooled value with no error (and [[graft.ops.Pooling]]'s n_vecs
+  * denominator could never know) — a partially-null embedding is
+  * corrupt input to fix upstream, not a value.
   */
 case class VectorSumFixed6Agg(
     child: Expression,
@@ -62,6 +66,10 @@ case class VectorSumFixed6Agg(
         else java.util.Arrays.copyOf(buffer, n)
       var i = 0
       while (i < n) {
+        if (arr.isNullAt(i)) throw new graft.GraftException(
+          s"$prettyName: null element at dim $i — a partially-null " +
+            "vector is corrupt input; filter or repair it upstream " +
+            "(a silent 0.0 would bias the pooled dimension)")
         b(i) += (arr.getDouble(i) * 1e6).toLong
         i += 1
       }
@@ -144,6 +152,10 @@ case class VectorMinMaxFixed6Agg(
       val b = if (m >= n) buffer else java.util.Arrays.copyOf(buffer, n)
       var i = 0
       while (i < n) {
+        if (arr.isNullAt(i)) throw new graft.GraftException(
+          s"$prettyName: null element at dim $i — a partially-null " +
+            "vector is corrupt input; filter or repair it upstream " +
+            "(a silent 0.0 would bias the pooled dimension)")
         val x = (arr.getDouble(i) * 1e6).toLong
         b(i) = if (i < m) pick(b(i), x) else x
         i += 1

@@ -40,11 +40,17 @@ object Checks {
 
   /** Duplicate-key mass: rows beyond the first per key value
     * (violations = total non-null-key rows − distinct key values).
-    * Exact two-phase count-distinct — no row-level materialization. */
+    * Exact two-phase count-distinct — no row-level materialization.
+    * Null-key rows are out of scope (pair with [[notNull]]) — but only
+    * SQL-NULL: the filter is explicit isNotNull, NOT na.drop, because
+    * na.drop also discards NaN key values and a pile of duplicate-NaN
+    * keys would silently pass the uniqueness gate (groupBy/countDistinct
+    * treat NaN = NaN, so they're countable duplicates). */
   def uniqueKey(df: DataFrame, keys: Seq[String], name: String = ""): DataFrame = {
     require(keys.nonEmpty, "uniqueKey: no key columns to check")
     val label = if (name.nonEmpty) name else s"unique_key(${keys.mkString(",")})"
-    val keyed = df.na.drop(keys).select(keys.map(col): _*)
+    val keyed = df.where(keys.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(keys.map(col): _*)
     keyed.agg(result(label,
         count(lit(1)) - countDistinct(keys.map(col).head, keys.map(col).tail: _*))
       .as("r")).select("r.*")

@@ -52,6 +52,16 @@ object Drift {
     bucketContributionsFromCounts(
       sideCounts(ref, bucket, "n_ref"), cur, bucket, eps, scale)
 
+  /** Floored proportion n/t. An EMPTY side has t = 0, and 0/0 in double
+    * is NaN — which Spark orders GREATEST, so greatest(NaN, eps) stays
+    * NaN, every contribution goes NaN, and a driver-side `psi > 0.25`
+    * check reads the one snapshot that should scream (an empty crawl
+    * batch) as STABLE (`NaN > 0.25` is false in Scala). A zero total
+    * routes to the eps floor instead, so every bucket contributes its
+    * large-but-finite score and the monitor fires. */
+  private def flooredProportion(n: Column, t: Column, eps: Double): Column =
+    greatest(when(t > 0, n / t).otherwise(lit(0.0)), lit(eps))
+
   /** One side's bucket histogram: (bucket, <n>) — the precompute for
     * [[bucketContributionsFromCounts]] when the reference corpus is
     * large or scored repeatedly (streaming: aggregate the 100 TB
@@ -62,13 +72,21 @@ object Drift {
 
   /** [[bucketContributions]] against an already-aggregated reference
     * histogram `refCounts` = (bucket string, n_ref long); a null bucket
-    * label in `refCounts` is normalized to [[NullBucket]]. */
+    * label in `refCounts` is normalized to [[NullBucket]].
+    *
+    * `refCounts` is re-aggregated by bucket before the join: unioned
+    * shard histograms (the natural way to accumulate a streaming
+    * reference) or a SQL-NULL row collapsing onto a literal
+    * [[NullBucket]] row would otherwise fan out the full-outer join and
+    * double-count that bucket in every proportion. The re-aggregate is
+    * over the bucket-cardinality table — free. */
   def bucketContributionsFromCounts(refCounts: DataFrame, cur: DataFrame,
                                     bucket: Column, eps: Double = 1e-6,
                                     scale: Int = 6): DataFrame = {
     val r = refCounts.select(
       coalesce(col("bucket").cast("string"), lit(NullBucket)).as("bucket"),
       col("n_ref").cast("long").as("n_ref"))
+      .groupBy("bucket").agg(sum("n_ref").as("n_ref"))
     val c = sideCounts(cur, bucket, "n_cur")
     val joined = r.join(c, Seq("bucket"), "full_outer")
       .select(col("bucket"),
@@ -85,8 +103,8 @@ object Drift {
     val withTotals = joined
       .withColumn("__t_ref", sum("n_ref").over(wAll))
       .withColumn("__t_cur", sum("n_cur").over(wAll))
-    val p = greatest(col("n_ref") / col("__t_ref"), lit(eps))
-    val q = greatest(col("n_cur") / col("__t_cur"), lit(eps))
+    val p = flooredProportion(col("n_ref"), col("__t_ref"), eps)
+    val q = flooredProportion(col("n_cur"), col("__t_cur"), eps)
     withTotals
       .select(col("bucket"), col("n_ref"), col("n_cur"),
         round(p, scale).as("p_ref"),
@@ -124,8 +142,8 @@ object Drift {
     val withTotals = counts
       .withColumn("__t_ref", sum("n_ref").over(wFeature))
       .withColumn("__t_cur", sum("n_cur").over(wFeature))
-    val p = greatest(col("n_ref") / col("__t_ref"), lit(eps))
-    val q = greatest(col("n_cur") / col("__t_cur"), lit(eps))
+    val p = flooredProportion(col("n_ref"), col("__t_ref"), eps)
+    val q = flooredProportion(col("n_cur"), col("__t_cur"), eps)
     withTotals
       .select(col("feature"), col("bucket"), col("n_ref"), col("n_cur"),
         round(p, scale).as("p_ref"),
@@ -134,11 +152,14 @@ object Drift {
         round(p * log(p / q), scale).as("kl_contrib"))
   }
 
-  /** Total PSI between the snapshots (sum of [[bucketContributions]]). */
+  /** Total PSI between the snapshots (sum of [[bucketContributions]]).
+    * Both snapshots empty → no buckets → 0.0 (no population on either
+    * side IS the same distribution; the bare sum would be null and
+    * NPE at getDouble). */
   def psi(ref: DataFrame, cur: DataFrame, bucket: Column,
           eps: Double = 1e-6): Double =
     bucketContributions(ref, cur, bucket, eps, scale = 12)
-      .agg(sum("psi_contrib")).head().getDouble(0)
+      .agg(coalesce(sum("psi_contrib"), lit(0.0))).head().getDouble(0)
 
   /** Fixed-breaks numeric bucketing: value < breaks(0) -> 0,
     * breaks(i-1) <= value < breaks(i) -> i, value >= last -> breaks.size;

@@ -65,7 +65,17 @@ object Eval {
         .cast("decimal(18,6)")
     val rel = relevant.select(col(queryCol), col(idCol)).distinct()
       .withColumn("__rel", lit(1))
-    val perQuery = results.where(col(rankCol) <= k)
+    // Dedup (query, id) to its BEST rank before scoring: the same
+    // producers recallAtK distincts for (an id surfaced by two IVF
+    // probes or two LSH bands) would otherwise count one relevant hit
+    // once per surfaced rank in DCG while IDCG caps at distinct hits —
+    // a duplicating ranker could score nDCG > 1.0, beating a perfect
+    // one. Min-rank keeps MRR's "first hit" semantics unchanged.
+    val res = results.select(col(queryCol), col(idCol), col(rankCol))
+      .where(col(rankCol) <= k)
+      .groupBy(col(queryCol), col(idCol))
+      .agg(min(col(rankCol)).as(rankCol))
+    val perQuery = res
       .join(rel, Seq(queryCol, idCol), "left")
       .groupBy(queryCol)
       .agg(min(when(col("__rel") === 1, col(rankCol)))

@@ -14,6 +14,18 @@ object Stats {
     * group's aggregate, then the join back never matches it, so null-
     * group outliers vanish with no error (the recurring null-key
     * pattern). `<=>` treats null as a group like any other. */
+  /** The screens join fixed-name stat columns back onto the caller's
+    * frame; a frame that already carries one of those names would hit
+    * an ambiguous-reference AnalysisException deep inside the join.
+    * Fail at the API boundary with the actual contract instead. */
+  private def requireFreshColumns(df: DataFrame, op: String,
+                                  names: Seq[String]): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$op appends column(s) ${names.mkString(", ")}; the input already " +
+        s"has ${clash.mkString(", ")} — rename or drop before calling")
+  }
+
   private def joinGroupsNullSafe(df: DataFrame, grouped: DataFrame,
                                  groupCols: Seq[String]): DataFrame = {
     if (groupCols.isEmpty) return df.crossJoin(broadcast(grouped))
@@ -35,7 +47,20 @@ object Stats {
     * must also be exact: (18,6)×(18,6) = (37,12) is the largest square
     * that still fits decimal(38) identically on Spark and DuckDB. The
     * exactness domain is therefore |value| < 10^12 with ≤6 fractional
-    * digits; values finer than 1e-6 are rounded before the moments.
+    * digits; values finer than 1e-6 are rounded before the moments —
+    * AND, per group, Σ value² < 10^26 (the decimal(38,12) sum's integer
+    * headroom): a million-row group is safe up to |value| ≈ 10^10, and
+    * an overflow fails LOUD under Spark 4's default ANSI mode rather
+    * than silently nulling the group's moments.
+    *
+    * Null values are excluded from the moments (count(v), matching the
+    * sums, which skip nulls — count(*) would bias mean and σ low in any
+    * group with null scores) and null-valued rows can never be flagged
+    * (their z is null). A constant-valued group flags nothing: float
+    * cancellation can leave the variance a hair NEGATIVE, and sqrt of
+    * that is NaN — which Spark orders GREATER than every number, so
+    * both `|z| >= t` and `sigma > 0` would turn true and flag the whole
+    * group; the greatest(·, 0) clamp pins it to σ = 0 on both engines.
     *
     * Returns the input columns plus (mean, sigma, z) for flagged rows.
     *
@@ -45,14 +70,16 @@ object Stats {
   def zscoreOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      threshold: Double = 3.0, roundScale: Int = 4): DataFrame = {
     require(threshold > 0, "threshold must be positive")
+    requireFreshColumns(df, "zscoreOutliers", Seq("mean", "sigma", "z"))
     val v = col(valueCol).cast("decimal(18,6)")
     val moments = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"),
+      .agg(count(v).as("__n"),
         sum(v).cast("double").as("__s"),
         sum(v * v).cast("double").as("__ss"))
       .withColumn("mean", col("__s") / col("__n"))
       .withColumn("sigma",
-        sqrt(col("__ss") / col("__n") - col("mean") * col("mean")))
+        sqrt(greatest(col("__ss") / col("__n") - col("mean") * col("mean"),
+          lit(0.0))))
       .drop("__n", "__s", "__ss")
     joinGroupsNullSafe(df, moments, groupCols)
       .withColumn("z", round(
@@ -82,9 +109,14 @@ object Stats {
   def iqrOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Double = 1.5, roundScale: Int = 4): DataFrame = {
     require(k > 0, "k must be positive")
+    requireFreshColumns(df, "iqrOutliers", Seq("q1", "q3", "lo", "hi"))
+    // Column-based percentile builtin, NOT an expr(...) SQL splice — no
+    // string re-assembly of the column name or the threshold between
+    // the API and the aggregate (the hazard Sketches.buildFreqSketches
+    // documents; any name col() resolves works here).
     val fences = df.groupBy(groupCols.map(col): _*)
-      .agg(round(expr(s"percentile(`$valueCol`, 0.25)"), roundScale).as("q1"),
-        round(expr(s"percentile(`$valueCol`, 0.75)"), roundScale).as("q3"))
+      .agg(round(percentile(col(valueCol), lit(0.25)), roundScale).as("q1"),
+        round(percentile(col(valueCol), lit(0.75)), roundScale).as("q3"))
       .withColumn("lo", col("q1") - (col("q3") - col("q1")) * k)
       .withColumn("hi", col("q3") + (col("q3") - col("q1")) * k)
     joinGroupsNullSafe(df, fences, groupCols)
@@ -123,8 +155,9 @@ object Stats {
                         roundScale: Int = 4,
                         keepNullValues: Boolean = false): DataFrame = {
     require(q > 0.0 && q < 1.0, s"quantile out of (0,1): $q")
+    requireFreshColumns(df, "keepAboveQuantile", Seq("thr"))
     val thr = df.groupBy(groupCols.map(col): _*)
-      .agg(round(expr(s"percentile(`$valueCol`, $q)"), roundScale).as("thr"))
+      .agg(round(percentile(col(valueCol), lit(q)), roundScale).as("thr"))
     val pass = col(valueCol).cast("double") >= col("thr")
     joinGroupsNullSafe(df, thr, groupCols)
       .where(if (keepNullValues) col(valueCol).isNull || pass else pass)

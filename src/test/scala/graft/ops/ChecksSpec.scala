@@ -67,4 +67,16 @@ class ChecksSpec extends SparkSpec {
     assert(rep.count() == 3)
     assert(rep.where($"pass").count() == 1)
   }
+
+  test("uniqueKey: duplicate NaN keys are violations (NaN is not null)") {
+    // na.drop would discard NaN keys along with nulls and the duplicate
+    // mass would silently pass; groupBy semantics treat NaN = NaN, so
+    // five NaN rows are four violations. Nulls stay out of scope.
+    val nan = Double.NaN
+    val df = Seq(Option(nan), Option(nan), Option(nan), Option(nan),
+      Option(nan), Option(1.0), Option.empty[Double], Option.empty[Double])
+      .toDF("k")
+    val r = row(Checks.uniqueKey(df, Seq("k")))
+    assert(r == (("unique_key(k)", 4L, false)))
+  }
 }

@@ -95,4 +95,39 @@ class DriftSpec extends SparkSpec {
       Drift.numericBucket(col("v"), Seq(100.0, 60.0))
     }
   }
+
+  test("an EMPTY current snapshot fires the monitor instead of going NaN-stable") {
+    // 0/0 in double is NaN; Spark orders NaN greatest, so an unguarded
+    // greatest(NaN, eps) stays NaN, psi sums to NaN, and a driver-side
+    // `psi > 0.25` reads the empty crawl batch as STABLE.
+    val ref = Seq("en", "en", "de", "fr").toDF("lang")
+    val cur = ref.where(lit(false))
+    val rows = Drift.bucketContributions(ref, cur, col("lang")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => !r.getDouble(5).isNaN && !r.getDouble(6).isNaN))
+    val p = Drift.psi(ref, cur, col("lang"))
+    assert(!p.isNaN && p > 0.25, s"psi=$p") // the guardrail FIRES
+    // mirrored: empty reference, populated current
+    val p2 = Drift.psi(cur, ref, col("lang"))
+    assert(!p2.isNaN && p2 > 0.25, s"psi=$p2")
+    // both sides empty: no buckets, no evidence, psi 0 (and no NPE)
+    assert(Drift.psi(cur, cur.limit(0), col("lang")) === 0.0)
+  }
+
+  test("bucketContributionsFromCounts re-aggregates duplicate histogram rows") {
+    // Two shard histograms unioned as the reference: bucket 'en' appears
+    // twice; an un-aggregated join would fan out and double-count it.
+    val cur = Seq("en", "en", "de").toDF("lang")
+    val shardA = Drift.sideCounts(Seq("en", "de").toDF("lang"), col("lang"), "n_ref")
+    val shardB = Drift.sideCounts(Seq("en").toDF("lang"), col("lang"), "n_ref")
+    val unioned = shardA.unionAll(shardB)
+    val whole = Drift.sideCounts(Seq("en", "de", "en").toDF("lang"),
+      col("lang"), "n_ref")
+    val got = Drift.bucketContributionsFromCounts(unioned, cur, col("lang"))
+      .collect().map(_.toSeq).toSet
+    val want = Drift.bucketContributionsFromCounts(whole, cur, col("lang"))
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got.size == 2) // en, de — one row per bucket, no fan-out
+  }
 }

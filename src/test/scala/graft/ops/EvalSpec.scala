@@ -92,4 +92,21 @@ class EvalSpec extends SparkSpec {
       assert(rows.exists(_.getDouble(2) > 0.0))
     } finally { emb.unpersist(); () }
   }
+
+  test("rankingMetrics: a duplicated hit can't score above a perfect ranking") {
+    // The same relevant id surfaced at ranks 1 AND 2 (two IVF probes /
+    // two LSH bands): without the (query, id) min-rank dedup, DCG sums
+    // the gain twice while IDCG caps at the 1 distinct hit — nDCG 1.63.
+    val dup = Seq((1L, 10L, 1), (1L, 10L, 2), (1L, 11L, 3)).toDF("q", "id", "rank")
+    val relevant = Seq((1L, 10L)).toDF("q", "id")
+    val m = Eval.rankingMetrics(dup, relevant, "q", "id", "rank", k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(m.toSeq == Seq((1L, 1.0, 1.0))) // == the perfect ranker, not better
+    // duplicate at WORSE ranks keeps first-hit semantics: hit at 2 and 3
+    val dup2 = Seq((1L, 99L, 1), (1L, 10L, 2), (1L, 10L, 3)).toDF("q", "id", "rank")
+    val m2 = Eval.rankingMetrics(dup2, relevant, "q", "id", "rank", k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(m2.toSeq == Seq((1L, 0.5,
+      (g(2) / g(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
 }

@@ -80,4 +80,30 @@ class PoolingSpec extends SparkSpec {
         x => (x * 1e6).cast("long")).as("s")).as[Seq[Long]].head
     assert(viaAgg == viaSql)
   }
+
+  test("a null vector ELEMENT is corrupt input and throws, not a silent 0.0") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    // ArrayData.getDouble on a null slot decodes 0.0 — a mean-pooled
+    // dimension would be silently biased and n_vecs could never know.
+    val df = Seq((1L, Seq(Option(1.0), Option.empty[Double])),
+      (1L, Seq(Option(3.0), Option(4.0)))).toDF("k", "v")
+    def assertNullElementThrow(f: => Unit): Unit = {
+      val e = intercept[Exception](f)
+      val chain = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString("|")
+      assert(chain.contains("null element"), chain)
+    }
+    assertNullElementThrow(
+      df.groupBy($"k").agg(VectorFunctions.vecSumMicro($"v")).collect())
+    assertNullElementThrow(
+      df.groupBy($"k").agg(VectorFunctions.vecMaxMicro($"v")).collect())
+    // whole-vector nulls stay SKIPPED (the documented contract)
+    val ok = Seq((1L, Option(Seq(1.0, 2.0))), (1L, Option.empty[Seq[Double]]))
+      .toDF("k", "v")
+    val got = ok.groupBy($"k").agg(VectorFunctions.vecSumMicro($"v").as("s"))
+      .select("s").as[Seq[Long]].head
+    assert(got == Seq(1000000L, 2000000L))
+  }
 }

@@ -117,4 +117,64 @@ class StatsSpec extends SparkSpec {
     assert(ids == Seq(2L, 3L, 4L, 5L), s"got $ids")
     assert(kept.where($"id" === 4L).select("thr").head().getDouble(0) == 2.0)
   }
+
+  test("zscoreOutliers: a constant group flags NOTHING, even when float " +
+    "cancellation makes the variance a hair negative") {
+    import spark.implicits._
+    // Ten identical 0.1s: the decimal sums are exact, but in double
+    // __ss/__n - mean^2 lands at ~-1.7e-18; sqrt of that is NaN, and
+    // Spark orders NaN GREATER than every number — so without the
+    // greatest(.,0) clamp BOTH `|z| >= 3` and `sigma > 0` turn true and
+    // the whole group is "outliers".
+    val df = (0 until 10).map(i => (i.toLong, "a", 0.1)).toDF("id", "grp", "value")
+    assert(Stats.zscoreOutliers(df, Seq("grp"), "value").collect().isEmpty)
+  }
+
+  test("zscoreOutliers: null values don't bias the group moments") {
+    import spark.implicits._
+    // Same known-outlier group as the hand-checked test, plus two
+    // null-valued rows. count(*) moments would read n=12 (mean 15.83,
+    // sigma inflated); count(value) keeps mean 19 / sigma 27 exact.
+    val rows = (Seq.fill(9)(("a", Option(10.0))) :+ ("a", Option(100.0))) ++
+      Seq(("a", Option.empty[Double]), ("a", Option.empty[Double]))
+    val df = rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "grp", "value")
+    val got = Stats.zscoreOutliers(df, Seq("grp"), "value", threshold = 3.0)
+      .collect()
+    assert(got.map(_.getAs[Long]("id")).toSeq == Seq(9L))
+    assert(got.head.getAs[Double]("mean") == 19.0)
+    assert(got.head.getAs[Double]("sigma") == 27.0)
+  }
+
+  test("screens refuse an input that already carries their output columns") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.0, 9.9)).toDF("id", "grp", "value", "mean")
+    val e = intercept[IllegalArgumentException] {
+      Stats.zscoreOutliers(df, Seq("grp"), "value")
+    }
+    assert(e.getMessage.contains("mean"))
+    val df2 = Seq((1L, "a", 1.0, 9.9)).toDF("id", "grp", "value", "thr")
+    intercept[IllegalArgumentException] {
+      Stats.keepAboveQuantile(df2, Seq("grp"), "value", q = 0.5)
+    }
+    val df3 = Seq((1L, "a", 1.0, 9.9)).toDF("id", "grp", "value", "lo")
+    intercept[IllegalArgumentException] {
+      Stats.iqrOutliers(df3, Seq("grp"), "value")
+    }
+  }
+
+  test("percentile screens take Column-resolved names (no SQL splice)") {
+    import spark.implicits._
+    // Any name col() can resolve must work — no string re-assembly of
+    // the name or the threshold between the API and the aggregate.
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "a", 100.0)).toDF("id", "grp", "the score")
+    val kept = Stats.keepAboveQuantile(df, Seq("grp"), "the score", q = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 4L))
+    // q1 = 1.75, q3 = 27.25, hi = 27.25 + 1.5*25.5 = 65.5 -> 100 flagged
+    val iqr = Stats.iqrOutliers(df, Seq("grp"), "the score")
+      .select("id").as[Long].collect().toSeq
+    assert(iqr == Seq(4L))
+  }
 }
