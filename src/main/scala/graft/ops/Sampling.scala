@@ -183,14 +183,20 @@ object Sampling {
     require(!df.columns.contains("shard") && !df.columns.contains("shard_pos"),
       "seededShuffle writes `shard`/`shard_pos` — the input already has a column " +
         "of that name and withColumn would silently replace it; rename it first")
+    // The sort key lives under the repo's __-prefixed internal-name
+    // convention (like streamDedup's __graft_dedup_key): a user column
+    // named `shuffle_key` used to be silently overwritten and dropped.
+    require(!df.columns.contains("__shuffle_key"),
+      "seededShuffle uses internal column `__shuffle_key` — the input already " +
+        "has a column of that name; rename it first")
     val withShard = df
-      .withColumn("shuffle_key", sortKey)
-      .withColumn("shard", (col("shuffle_key") % nShards).cast("int"))
+      .withColumn("__shuffle_key", sortKey)
+      .withColumn("shard", (col("__shuffle_key") % nShards).cast("int"))
     withShard.withColumn("shard_pos",
       row_number().over(Window.partitionBy("shard")
-        .orderBy(col("shuffle_key") +: col(keyCol) +: tieCols.map(col): _*))
+        .orderBy(col("__shuffle_key") +: col(keyCol) +: tieCols.map(col): _*))
         .cast("long"))
-      .drop("shuffle_key")
+      .drop("__shuffle_key")
   }
 
   /** Deterministic domain mixing by repetition factor: each stratum

@@ -1141,11 +1141,17 @@ final class DocumentStore private (
     * `candidates <= 0` (the default) means AUTO: use the measured
     * rerank depth [[tunePqCandidates]] chose for this snapshot when its
     * curve is fresh, else the static default — the same adoption rule
-    * as [[effectiveNprobe]]. An explicit positive value always wins. */
+    * as [[effectiveNprobe]]. An explicit positive value always wins.
+    * Either way the depth is clamped to ≥ k: a tuned depth was measured
+    * at the TUNING-time k (default 10), so a later search with a larger
+    * k must not be starved below k candidates — and its measured recall
+    * does not transfer to that larger k (the exact rerank still makes
+    * the returned k best-of-depth). */
   def similaritySearchPq(query: String, k: Int = 4,
                          candidates: Int = 0): DataFrame = withSnapshot {
     if (snap.count == 0) throw new SearchException("store is empty or not built")
-    val depth = if (candidates > 0) candidates else effectivePqCandidates
+    val depth = math.max(k,
+      if (candidates > 0) candidates else effectivePqCandidates)
     loadPq() match {
       case None => similaritySearch(query, k)
       case Some((model, codes)) =>
@@ -1187,7 +1193,12 @@ final class DocumentStore private (
     // Completeness first: a crash mid-writeIndex leaves new postings
     // next to stale df/stats (silently wrong scores); the _complete
     // marker is removed before any data write, so a torn index reads
-    // as absent here and the scan path serves instead.
+    // as absent here and the scan path serves instead. An index written
+    // BEFORE the marker existed is indistinguishable from a torn
+    // rebuild (neither has the marker), so it also reads as absent:
+    // scores stay correct via the scan path, but such stores pay the
+    // full BM25 scan until buildLexicalIndex is re-run once — a
+    // documented perf-only upgrade step, never a wrong answer.
     val fresh = TextSearch.indexComplete(spark, dir) && {
       if (fsFor(builtForDir).exists(hadoopPath(builtForDir)))
         spark.read.parquet(builtForDir).head.getLong(0) == snap.count

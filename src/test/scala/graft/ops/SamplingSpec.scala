@@ -91,6 +91,19 @@ class SamplingSpec extends SparkSpec {
     assert(a != run(rows, "s2"))                 // seed changes the order
   }
 
+  test("seededShuffle: a user column named shuffle_key survives; internal __shuffle_key is guarded") {
+    val withUserCol = rows.withColumn("shuffle_key", $"id" * 2)
+    val out = Sampling.seededShuffle(withUserCol, "id", nShards = 4)
+    // The internal sort key is __-prefixed, so the user's column is
+    // neither overwritten nor dropped.
+    assert(out.columns.contains("shuffle_key"))
+    assert(out.where($"shuffle_key" =!= $"id" * 2).isEmpty)
+    val clash = intercept[IllegalArgumentException] {
+      Sampling.seededShuffle(rows.withColumn("__shuffle_key", $"id"), "id", 4)
+    }
+    assert(clash.getMessage.contains("__shuffle_key"))
+  }
+
   test("seededShuffle shards are roughly balanced") {
     val counts = Sampling.seededShuffle(rows, "id", nShards = 4)
       .groupBy("shard").count().collect().map(_.getLong(1))

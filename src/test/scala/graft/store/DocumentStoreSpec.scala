@@ -265,6 +265,22 @@ class DocumentStoreSpec extends SparkSpec {
     assert(store.effectivePqCandidates == DocumentStore.DefaultPqCandidates)
   }
 
+  test("searchPq depth clamps to k: a depth below k (tuned or explicit) still returns k rows") {
+    val many = (0 until 60).map(i => s"pq clamp corpus document number $i about topic ${i % 5}")
+    val store = DocumentStore.fromTexts(spark, tmp(), many, Nil, StoreConfig(), emb)
+    store.buildPqIndex(m = 8, ksub = 4)
+    // Explicit candidates < k: the clamp lifts the depth to k instead of
+    // silently returning 3 rows.
+    val starved = store.similaritySearchPq("topic 3 document", k = 9, candidates = 3)
+    assert(starved.count() == 9)
+    // Tuned path: a curve measured at a small k must not starve a later
+    // larger-k search either.
+    store.tunePqCandidates(targetRecall = 0.9, k = 2, sampleQueries = 6,
+      depthFactors = Seq(2))
+    val bigK = math.min(40, many.length)
+    assert(store.similaritySearchPq("topic 1 document", k = bigK).count() == bigK)
+  }
+
   test("no-op re-ingest of existing texts does not churn a new version") {
     val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
     val v = store.currentManifest.version

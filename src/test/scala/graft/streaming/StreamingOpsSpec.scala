@@ -426,6 +426,19 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream refuses when the right side already has the <name>_right rename target") {
+    import org.apache.spark.sql.functions.lit
+    val left = Seq((1L, ts(0), 1.0)).toDF("user_id", "ts", "amount")
+    // Right has BOTH `ts` (clashing) and `ts_right` (the rename target):
+    // the rename would mint a duplicate `ts_right` — refuse loudly.
+    val right = Seq((1L, ts(0), "home")).toDF("user_id", "ts", "page")
+      .withColumn("ts_right", lit("taken"))
+    val ex = intercept[IllegalArgumentException] {
+      StreamingOps.intervalJoinStream(left, right, "user_id", "ts", "ts")
+    }
+    assert(ex.getMessage.contains("ts_right"))
+  }
+
   test("enrichTextStream rejects a non-streaming-safe embedder up front with a clear message") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
