@@ -3,12 +3,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
+  * SPARK_GRAFT_SF_DIR, writes the FULL result JSON
   * {"metric":"total","value":N,"unit":"sec","queries":{...},
-  * "retries":{...},"errors":{...},"sf":...}. `errors` is {} on a clean
-  * run; any query that threw appears there with its exception, and the
-  * process exits nonzero — bench-scale failures are never silently
-  * reported as timings.
+  * "retries":{...},"errors":{...},"sf":...} to `SPARK_GRAFT_BENCH_OUT`
+  * (default `<cwd>/bench_out.json`), and prints a SHORT one-line JSON
+  * summary (total, worst query, error/retry counts, the file path) as
+  * the LAST stdout line. The split exists because the full per-query
+  * map is ~6 KB on one line and the driver's bounded stdout-tail
+  * capture truncated it in round 9 (BENCH_r09.json `"parsed": null`,
+  * 59/134 timings lost) — the vitals now always fit the tail, and the
+  * complete timings live in the file. If the file can't be written the
+  * full JSON falls back to stdout so nothing is ever lost. `errors` is
+  * {} on a clean run; any query that threw appears there with its
+  * exception, and the process exits nonzero — bench-scale failures are
+  * never silently reported as timings.
   *
   * A warmup pass (schema reads + one trivial job) runs first so JVM/
   * codegen startup cost doesn't land on whichever query happens to run
@@ -148,7 +156,20 @@ object Bench {
     val es = errors.map { case (k, msg) => jstr(k) + ":" + jstr(msg) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retries":$rs,"errors":$es,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retries":$rs,"errors":$es,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File("bench_out.json").getAbsolutePath)
+    val wrote =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          (fullJson + "\n").getBytes("UTF-8"))
+        true
+      } catch { case _: Throwable => false }
+    if (!wrote) println(fullJson)
+    val (worstName, worstSec) = results.maxBy(_._2)
+    // Vitals LAST so any bounded stdout-tail capture gets them whole.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"worst":{${jstr(worstName)}:$worstSec},"n_errors":${errors.size},"n_retries":${retries.size},"file":${if (wrote) jstr(outPath) else "null"},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

@@ -196,14 +196,19 @@ object SkewBench {
     // while capPerKey's bounded partial aggregate keeps 5 rows per map
     // task per key and stays scan-bound.
     //
-    // capperkey_agg is measured TWICE: at the default ObjectHashAggregate
-    // sort fallback (128 hash-map entries per task — with ~1000 domains
-    // every task silently degrades to SORT-based aggregation, paying a
-    // distributed sort of its input) and with the fallback threshold
-    // raised past the key count (true bounded hash aggregation; state is
-    // ≤ cap rows per key, so the memory the threshold guards is bounded
-    // by construction here). The conf is runtime-settable, so the A/B
-    // runs in one session; capPerKey's scaladoc records the knob.
+    // Three agg rows clock the round-10 change (capPerKey now applies
+    // the raised ObjectHashAggregate fallback threshold ITSELF, scoped
+    // to its own plan via a cloned-session conf):
+    //  - capperkey_agg           the shipped operator — hash mode, no
+    //                            conf set anywhere in this harness;
+    //  - capperkey_agg_hashmode  the same fn under a MANUALLY raised
+    //                            session threshold (the r9 knob) — must
+    //                            MATCH capperkey_agg, proving the
+    //                            scoped conf equals the manual one;
+    //  - capperkey_agg_sortmode  the raw plan (capPerKeyPlan) at the
+    //                            stock 128 threshold — the silent sort
+    //                            fallback the default used to pay
+    //                            (~3× slower at ×2000).
     // Default 2000 (200M events, hot key 100M rows): the scale the
     // BENCH_NOTES round-9 table was measured at — smaller corpora
     // (×40 = 4M events) do NOT separate the shapes on this box, the
@@ -214,8 +219,11 @@ object SkewBench {
     val FallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val fallback0 = spark.conf.get(FallbackKey)
     val hotShapes: Seq[(String, String => DataFrame)] =
-      shapes.filter(_._1.startsWith("capperkey")) :+
-        ("capperkey_agg_hashmode" -> shapes.toMap.apply("capperkey_agg"))
+      shapes.filter(_._1.startsWith("capperkey")) ++ Seq(
+        "capperkey_agg_hashmode" -> shapes.toMap.apply("capperkey_agg"),
+        "capperkey_agg_sortmode" -> ((dir: String) => Sampling.capPerKeyPlan(
+          spark.read.parquet(s"$dir/events.parquet"), Seq("domain"), 5,
+          priority = Seq(-col("value"), col("event_id")))))
     println(s"hot-key pile-up, events x10 -> x$evReplicas " +
       s"(hot domain = half the rows; data grows ${evReplicas / 10.0}x)")
     println(f"${"shape"}%-24s ${"t_x10"}%8s ${"t_xN"}%8s  ratio")

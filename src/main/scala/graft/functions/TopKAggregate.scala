@@ -44,8 +44,12 @@ import org.apache.spark.unsafe.Platform
   * partial-aggregation shuffle bound survives the fallback; only
   * per-task CPU degrades (a sort of the task's input). Because this
   * buffer is bounded at k rows per key, raising the threshold to the
-  * expected key count is memory-safe and restores hash mode — see
-  * Sampling.capPerKey's scaladoc for the measured effect.
+  * expected key count is memory-safe and restores hash mode (3× at
+  * high key cardinality, BENCH_NOTES round-9). Library operators that
+  * build this aggregate (Sampling.capPerKey, VectorIndex.topKBatch)
+  * apply the raised threshold BY DEFAULT, scoped to their own plan via
+  * VectorFunctions.withBoundedTopKConf — callers constructing plans
+  * directly from topKStructs should wrap theirs the same way.
   */
 case class BoundedTopKAgg(
     child: Expression,

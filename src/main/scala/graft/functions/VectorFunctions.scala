@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.functions._
 
@@ -207,6 +207,38 @@ object VectorFunctions {
     GraftSqlBridge.column(
       BoundedTopKAgg(GraftSqlBridge.expression(ordAndPayload), k, numOrdFields)
         .toAggregateExpression())
+
+  /** Default ObjectHashAggregate fallback threshold applied by
+    * [[withBoundedTopKConf]]: matches the key count the BENCH_NOTES
+    * round-9 hot-key table was measured at (1M keys/task; 3× faster
+    * than the silent sort fallback at the stock 128). */
+  val BoundedTopKFallbackThreshold: Int = 1000000
+
+  /** Scope the ObjectHashAggregate hash-mode conf to ONE bounded-top-k
+    * plan: every [[BoundedTopKAgg]] runs under ObjectHashAggregateExec,
+    * which silently degrades to SORT-based aggregation past
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (default 128) distinct keys per task — 3× slower at high key
+    * cardinality (BENCH_NOTES round-9: 15.0 s → 5.2 s at ×2000 events).
+    * That default guards UNBOUNDED agg states (collect_list); a bounded
+    * top-k buffer holds ≤ k rows per key, so hash-map memory is
+    * `keysPerTask × k × rowBytes` — bounded by construction — and
+    * raising the threshold is safe up to the point where the partial
+    * aggregate's OUTPUT (keys × k rows) is itself the cost, which the
+    * shuffle pays either way.
+    *
+    * Scoping: the returned frame is bound to a CLONE of the session
+    * carrying the raised threshold ([[GraftSqlBridge.withSessionConfs]])
+    * — actions on it plan and run in hash mode, while the caller's
+    * session conf (and every other query) is untouched. Operators that
+    * produce bounded-top-k plans ([[graft.ops.Sampling.capPerKey]],
+    * [[graft.index.VectorIndex.topKBatch]]) apply this themselves, so
+    * hash mode is the shipped default, not a documented knob. */
+  def withBoundedTopKConf(df: DataFrame,
+                          keysPerTask: Int = BoundedTopKFallbackThreshold): DataFrame =
+    GraftSqlBridge.withSessionConfs(df, Map(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" ->
+        keysPerTask.toString))
 
   /** Score column for a metric name, mirroring the reference's metric
     * domain `cosine | ip | l2` (config.py:119-123). For l2 the score is

@@ -277,11 +277,14 @@ object VectorIndex {
     // per-row eval is an UnsafeRow slice view (no interpreted struct
     // construction, no per-row unsafe projection inside the
     // non-codegen aggregate stage).
-    scoredAll
+    // Hash-mode conf scoped to this plan (see withBoundedTopKConf):
+    // past 128 queries/task ObjectHashAggregate would silently sort;
+    // the bounded heap (k rows per query) makes raising it safe.
+    graft.functions.VectorFunctions.withBoundedTopKConf(scoredAll
       .withColumn("__cand", struct(ordNamed :+ payload.as("__row"): _*))
       .groupBy(col(queryIdCol).as("__qid"))
       .agg(topKStructs(col("__cand"), k, ordNamed.size).as("__top"))
       .select(posexplode(col("__top")).as(Seq("__pos", "__e")))
-      .select(col("__e.__row.*") +: Seq((col("__pos") + 1).cast("int").as("rank")): _*)
+      .select(col("__e.__row.*") +: Seq((col("__pos") + 1).cast("int").as("rank")): _*))
   }
 }

@@ -122,19 +122,29 @@ object Sampling {
     * fields by negation and include a tie-break making the order total
     * (else the boundary row is nondeterministic).
     *
-    * TUNING at high key cardinality: the aggregate executes under
+    * Hash mode is the SHIPPED DEFAULT: the aggregate executes under
     * ObjectHashAggregateExec, which silently degrades to SORT-based
     * aggregation once a task's hash map passes
     * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
-    * (default 128 keys) — the partial aggregation (and so the bounded
-    * shuffle) survives, but each task then pays a sort of its input.
-    * This aggregate's per-key state is bounded at `cap` rows, so
-    * raising the threshold to ≥ the expected distinct keys per task is
-    * safe by construction and restores true hash aggregation — measured
-    * 3.5× faster at 200M rows / ~1000 keys (SkewBench's
-    * `capperkey_agg_hashmode` row, BENCH_NOTES round-9). */
+    * (default 128 keys) — 3× slower at high key cardinality (measured
+    * at 200M rows / ~1000 keys: SkewBench's hot-key table, BENCH_NOTES
+    * round-9). Because per-key state is bounded at `cap` rows, raising
+    * the threshold is memory-safe by construction, so capPerKey applies
+    * it ITSELF, scoped to this plan's execution via
+    * [[graft.functions.VectorFunctions.withBoundedTopKConf]] — the
+    * caller's session conf is untouched. */
   def capPerKey(df: DataFrame, keyCols: Seq[String], cap: Int,
-                priority: Seq[Column], rankCol: String = "rank"): DataFrame = {
+                priority: Seq[Column], rankCol: String = "rank"): DataFrame =
+    graft.functions.VectorFunctions.withBoundedTopKConf(
+      capPerKeyPlan(df, keyCols, cap, priority, rankCol))
+
+  /** The raw [[capPerKey]] plan WITHOUT the scoped hash-mode conf —
+    * runs at whatever fallback threshold the caller's session has (the
+    * stock 128 = sort mode past 128 keys/task). Exists so SkewBench can
+    * clock the sort-fallback shape against the shipped default; library
+    * callers want [[capPerKey]]. */
+  private[graft] def capPerKeyPlan(df: DataFrame, keyCols: Seq[String], cap: Int,
+                                   priority: Seq[Column], rankCol: String = "rank"): DataFrame = {
     require(keyCols.nonEmpty, "capPerKey needs at least one key column")
     require(cap > 0, "cap must be positive")
     require(priority.nonEmpty, "capPerKey needs a priority order")

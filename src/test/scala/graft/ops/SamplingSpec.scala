@@ -91,6 +91,43 @@ class SamplingSpec extends SparkSpec {
     assert(a != run(rows, "s2"))                 // seed changes the order
   }
 
+  test("capPerKey ships hash mode: zero sort-fallback tasks, caller conf untouched, same rows") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val FallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val before = spark.conf.get(FallbackKey)
+    // 500 distinct keys in ONE input partition: far past the stock 128
+    // threshold, so the unscoped plan's partial aggregate must fall
+    // back to sort mode while the shipped operator stays hashed.
+    val df = spark.range(0, 20000, 1, 1).toDF("id")
+      .withColumn("key", $"id" % 500)
+      .withColumn("value", ($"id" * 37 % 1000).cast("double"))
+    // The PARTIAL aggregate (where 500 keys/task live) sits inside a
+    // materialized ShuffleQueryStageExec LEAF under AQE — descend into
+    // stages, not just the final plan.
+    def aggNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[ObjectHashAggregateExec] =
+      p.collect {
+        case o: ObjectHashAggregateExec => Seq(o)
+        case a: AdaptiveSparkPlanExec => aggNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => aggNodes(q.plan)
+      }.flatten
+    def fallbackTasks(out: org.apache.spark.sql.DataFrame): Long = {
+      out.collect()
+      val aggs = aggNodes(out.queryExecution.executedPlan)
+      assert(aggs.nonEmpty, "expected ObjectHashAggregateExec nodes in the plan")
+      aggs.map(_.metrics("numTasksFallBacked").value).sum
+    }
+    val shipped = Sampling.capPerKey(df, Seq("key"), 2, Seq(-$"value", $"id"))
+    val raw = Sampling.capPerKeyPlan(df, Seq("key"), 2, Seq(-$"value", $"id"))
+    assert(fallbackTasks(shipped) == 0L, "shipped capPerKey must run in hash mode")
+    assert(fallbackTasks(raw) > 0L, "raw plan at stock conf should witness the fallback")
+    assert(shipped.collect().map(_.toString).sorted.toSeq ==
+      raw.collect().map(_.toString).sorted.toSeq)
+    // The conf is scoped to the operator's plan: the caller's session
+    // (and its later queries) never sees the raised threshold.
+    assert(spark.conf.get(FallbackKey) == before)
+  }
+
   test("seededShuffle: a user column named shuffle_key survives; internal __shuffle_key is guarded") {
     val withUserCol = rows.withColumn("shuffle_key", $"id" * 2)
     val out = Sampling.seededShuffle(withUserCol, "id", nShards = 4)
