@@ -93,7 +93,56 @@ final case class Word2VecEmbedder(dim: Int = 64, minCount: Int = 1,
     * embed/embedQuery contract on non-ASCII text under e.g. tr_TR
     * (and a default-locale lowercase alone would break it on ASCII:
     * 'I'.toLowerCase(tr) is dotless 'ı' where the fast path gives 'i'). */
-  private def sqlLower(s: String): String =
+  private def sqlLower(s: String): String = Word2VecEmbedder.sqlLower(s)
+
+  /** Driver-side single-text embedding, BIT-IDENTICAL to [[embed]] on
+    * the same text (the Embedder contract): same tokenization, and the
+    * mean goes through the SAME 1e-6 fixed-point truncation + 6 dp
+    * HALF_UP rounding as Pooling.meanPool before normalizing — a raw
+    * double mean would differ in the last ulps and shift scores. The
+    * vocabulary map materializes lazily once (vocabulary-sized). */
+  override def embedQuery(text: String): Array[Double] =
+    Word2VecEmbedder.poolTokens(vocabMap, dim,
+      sqlLower(text).split("\\s+").iterator.filter(_.nonEmpty))
+
+  private def vocabMap: Map[String, Array[Double]] =
+    queryMap.getOrElse {
+      val m = vecsOrThrow.collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+      queryMap = Some(m)
+      m
+    }
+
+  /** Snapshot the fitted vocabulary into a Spark broadcast and return
+    * the STREAMING-SAFE twin: same vectors, same fixed-point mean-pool
+    * kernel, but [[BroadcastWord2VecEmbedder.embed]] is a pure narrow
+    * map (no cache/count/join over its input), so it runs inside a
+    * streaming micro-batch plan. Bounded driver+executor memory:
+    * |vocab| × dim doubles, shipped once per executor. Embeddings are
+    * bit-identical to this embedder's (spec-pinned): both paths reduce
+    * to [[Word2VecEmbedder.poolTokens]] over the same token stream. */
+  def broadcastEmbedder(spark: SparkSession): BroadcastWord2VecEmbedder =
+    new BroadcastWord2VecEmbedder(dim,
+      spark.sparkContext.broadcast(vocabMap))
+
+  /** Persist the fitted (word, vector) table. */
+  def save(spark: SparkSession, path: String): Unit =
+    vecsOrThrow.write.mode("overwrite").parquet(path)
+}
+
+object Word2VecEmbedder {
+  /** Restore a fitted embedder from [[Word2VecEmbedder.save]] output. */
+  def load(spark: SparkSession, path: String): Word2VecEmbedder = {
+    val vecs = spark.read.parquet(path).cache()
+    val dim = vecs.head.getSeq[Double](1).length
+    val emb = Word2VecEmbedder(dim)
+    emb.wordVecs = Some(vecs)
+    emb
+  }
+
+  /** Driver/executor twin of SQL `lower()`, byte-for-byte (see the
+    * locale note on [[Word2VecEmbedder]]'s embedQuery). */
+  private[embed] def sqlLower(s: String): String =
     if (s.forall(_ < 0x80)) {
       val a = s.toCharArray
       var i = 0
@@ -104,21 +153,16 @@ final case class Word2VecEmbedder(dim: Int = 64, minCount: Int = 1,
       new String(a)
     } else s.toLowerCase
 
-  /** Driver-side single-text embedding, BIT-IDENTICAL to [[embed]] on
-    * the same text (the Embedder contract): same tokenization, and the
-    * mean goes through the SAME 1e-6 fixed-point truncation + 6 dp
-    * HALF_UP rounding as Pooling.meanPool before normalizing — a raw
-    * double mean would differ in the last ulps and shift scores. The
-    * vocabulary map materializes lazily once (vocabulary-sized). */
-  override def embedQuery(text: String): Array[Double] = {
-    val map = queryMap.getOrElse {
-      val m = vecsOrThrow.collect()
-        .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
-      queryMap = Some(m)
-      m
-    }
-    val hits = sqlLower(text)
-      .split("\\s+").filter(_.nonEmpty).flatMap(map.get)
+  /** THE word-vector pooling kernel, shared by every Word2Vec embed
+    * path (batch embedQuery, the broadcast streaming twin): keep known
+    * tokens, 1e-6 fixed-point micros mean (truncate, then 6 dp HALF_UP
+    * — exactly Pooling.meanPool), sequential-fold L2 normalize. A doc
+    * with no known token is the ZERO vector (matching the batch
+    * plan's coalesce-to-zeros for pool-less rows). One definition so
+    * the bit-parity contract can't drift between paths. */
+  private[embed] def poolTokens(map: Map[String, Array[Double]], dim: Int,
+                                tokens: Iterator[String]): Array[Double] = {
+    val hits = tokens.flatMap(map.get).toArray
     val out = new Array[Double](dim)
     if (hits.nonEmpty) {
       val micros = new Array[Long](dim)
@@ -141,19 +185,47 @@ final case class Word2VecEmbedder(dim: Int = 64, minCount: Int = 1,
     }
     out
   }
-
-  /** Persist the fitted (word, vector) table. */
-  def save(spark: SparkSession, path: String): Unit =
-    vecsOrThrow.write.mode("overwrite").parquet(path)
 }
 
-object Word2VecEmbedder {
-  /** Restore a fitted embedder from [[Word2VecEmbedder.save]] output. */
-  def load(spark: SparkSession, path: String): Word2VecEmbedder = {
-    val vecs = spark.read.parquet(path).cache()
-    val dim = vecs.head.getSeq[Double](1).length
-    val emb = Word2VecEmbedder(dim)
-    emb.wordVecs = Some(vecs)
-    emb
+/** STREAMING-SAFE Word2Vec embedding: the trained vocabulary snapshot
+  * travels as a Spark broadcast (|vocab| × dim doubles, shipped once
+  * per executor) and [[embed]] is a pure narrow map — SQL-side
+  * tokenization (bit-identical `lower`/split semantics to the batch
+  * path) feeding the shared fixed-point pooling kernel per row. No
+  * cache, no count, no join, no aggregate over the input, so it runs
+  * inside a Structured Streaming micro-batch plan
+  * (`streamingSafe = true`; the batch [[Word2VecEmbedder]] is rejected
+  * there — its mean-pool join caches its input).
+  *
+  * The per-row kernel runs as a Scala UDF over the broadcast map —
+  * the documented UDF-tier exception (like the Bloom-filter wrap): a
+  * broadcast-map lookup has no built-in Column form, and inlining the
+  * vocabulary as a map literal would put |vocab| entries into the
+  * expression tree. Embeddings are BIT-IDENTICAL to the batch
+  * embedder's output on the same text (both reduce to
+  * [[Word2VecEmbedder.poolTokens]]; spec-pinned).
+  *
+  * Obtain via [[Word2VecEmbedder.broadcastEmbedder]] (fit first).
+  * Reference anchor: the pluggable embedding seam, SURVEY §2.6
+  * (reference: src/langchain_memvid/index.py:119-122). */
+final class BroadcastWord2VecEmbedder private[embed] (
+    val dim: Int,
+    vocab: org.apache.spark.broadcast.Broadcast[Map[String, Array[Double]]])
+  extends Embedder {
+
+  override def streamingSafe: Boolean = true
+
+  override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val b = vocab
+    val d = dim
+    val pool = udf((toks: Seq[String]) =>
+      if (toks == null) new Array[Double](d)
+      else Word2VecEmbedder.poolTokens(b.value, d, toks.iterator))
+    df.withColumn(outCol,
+      pool(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")))
   }
+
+  override def embedQuery(text: String): Array[Double] =
+    Word2VecEmbedder.poolTokens(vocab.value, dim,
+      Word2VecEmbedder.sqlLower(text).split("\\s+").iterator.filter(_.nonEmpty))
 }

@@ -454,11 +454,25 @@ final class DocumentStore private (
     * IVF clustering when gated, range-sort the flat layout by id, and
     * merge the small files incremental appends accumulate. Also
     * reconciles after a crashed incremental append: duplicate payload
-    * rows from a retried batch (same doc_id) collapse to one. */
+    * rows from a retried batch (same doc_id) collapse to one.
+    *
+    * Tuning lifecycle: if nprobe was ever tuned on this store
+    * (manually or via the config gate) and the fresh snapshot didn't
+    * get a curve from `tuneTargetRecall`, compact REPLAYS the last
+    * recorded tuneNprobe params on the new clustering — a re-layout
+    * must not silently demote searches from a measured-recall choice
+    * to the static default. PQ is reported stale by [[tuningStale]]
+    * instead (rebuilding its per-snapshot index is an explicit
+    * [[buildPqIndex]] + [[tunePqCandidates]] decision). */
   def compact(): Unit = mutationLock.synchronized {
     writeVersion(
       essential.select("id", "text", "source", "category", "metadata_hash", "vec"),
       payload.dropDuplicates("doc_id"))
+    readTuningHistory("nprobe").foreach { h =>
+      val dir = s"${tuningDir(manifest.version)}/nprobe"
+      if (manifest.nlist > 0 && !fsFor(dir).exists(hadoopPath(dir)))
+        tuneNprobe(h.targetRecall, h.k, h.sampleQueries, h.settings, h.seed)
+    }
   }
 
   /** Write a new snapshot version (optionally IVF-clustered), swap the
@@ -862,6 +876,7 @@ final class DocumentStore private (
     }
     writeCurve("nprobe", curve)
     tuningCache.put(snap.version, Some(chosenNp))
+    writeTuningHistory("nprobe", targetRecall, k, sampleQueries, seed, candidates)
     curve
   }
 
@@ -957,6 +972,7 @@ final class DocumentStore private (
     }
     writeCurve("pq", curve)
     pqTuningCache.put(snap.version, Some(chosenD))
+    writeTuningHistory("pq", targetRecall, k, sampleQueries, seed, depthFactors)
     curve
   }
 
@@ -968,6 +984,71 @@ final class DocumentStore private (
     else Some(spark.read.parquet(dir).orderBy("setting").collect()
       .map(r => TuningPoint(r.getAs[Int]("setting"), r.getAs[Double]("recall"),
         r.getAs[Double]("cost_fraction"), r.getAs[Boolean]("chosen"))).toSeq)
+  }
+
+  // ------------------------------------------------------------------
+  // Tuning lifecycle across mutations (round-10): curves live in the
+  // VERSION dir (staleness-by-construction — a mutation orphans them),
+  // but the PARAMS of the last explicit tuning pass live in a
+  // store-level sidecar that survives version pruning. That is what
+  // lets compact() replay the measurement on the fresh layout, and
+  // what lets tuningStale REPORT (instead of silently reverting to
+  // static defaults) on snapshots whose curve a mutation dropped.
+  // ------------------------------------------------------------------
+  private def tuningHistoryDir(kind: String) = s"$path/tuning_last/$kind"
+
+  private case class TuneParams(version: Long, targetRecall: Double, k: Int,
+                                sampleQueries: Int, seed: Long, settings: Seq[Int])
+
+  private def writeTuningHistory(kind: String, targetRecall: Double, k: Int,
+                                 sampleQueries: Int, seed: Long,
+                                 settings: Seq[Int]): Unit = {
+    import spark.implicits._
+    Seq((snap.version, targetRecall, k, sampleQueries, seed, settings))
+      .toDF("version", "target_recall", "k", "sample_queries", "seed", "settings")
+      .coalesce(1).write.mode("overwrite").parquet(tuningHistoryDir(kind))
+  }
+
+  private def readTuningHistory(kind: String): Option[TuneParams] = {
+    val dir = tuningHistoryDir(kind)
+    if (!fsFor(dir).exists(hadoopPath(dir))) None
+    else spark.read.parquet(dir).collect().headOption.map(r => TuneParams(
+      r.getAs[Long]("version"), r.getAs[Double]("target_recall"),
+      r.getAs[Int]("k"), r.getAs[Int]("sample_queries"),
+      r.getAs[Long]("seed"), r.getSeq[Int](r.fieldIndex("settings"))))
+  }
+
+  /** Forget the recorded last-tuning params for `"nprobe"` or `"pq"`
+    * — the opt-out for a store that deliberately abandoned a tuned
+    * index (otherwise [[tuningStale]] keeps reporting it). */
+  def clearTuningHistory(kind: String): Unit =
+    deleteDir(spark, tuningHistoryDir(kind))
+
+  /** Reason-coded tuning staleness — the mutation-side complement of
+    * the adoption rule: a tuned nprobe/PQ depth applies only to the
+    * snapshot it was measured on, so any mutation silently drops
+    * searches back to the static defaults. Each entry names a kind
+    * whose LAST tuning pass (recorded params sidecar) predates the
+    * current snapshot and whose current snapshot has no fresh curve:
+    * `nprobe(tuned_at=v3, current=v5)`. Fixes: [[compact]] re-tunes
+    * nprobe automatically from the recorded params; PQ needs
+    * [[buildPqIndex]] + [[tunePqCandidates]] (the index itself is
+    * per-snapshot — auto-rebuilding it would silently re-add its full
+    * encode cost to every compact, so it stays explicit);
+    * [[clearTuningHistory]] opts out. Empty = nothing stale. Flat
+    * (non-IVF) snapshots skip the nprobe entry — no probe pruning to
+    * tune. */
+  def tuningStale: Seq[String] = withSnapshot {
+    Seq("nprobe", "pq").flatMap { kind =>
+      readTuningHistory(kind) match {
+        case Some(h) if h.version < snap.version &&
+            (kind != "nprobe" || snap.nlist > 0) &&
+            !fsFor(s"${tuningDir(snap.version)}/$kind")
+              .exists(hadoopPath(s"${tuningDir(snap.version)}/$kind")) =>
+          Some(s"$kind(tuned_at=v${h.version}, current=v${snap.version})")
+        case _ => None
+      }
+    }
   }
 
   // (version -> tuned nprobe) memo: one tiny parquet read per snapshot,
@@ -1074,12 +1155,17 @@ final class DocumentStore private (
     *  - `bloom-capacity(count=n, sized_for=m)` — the live count
     *    exceeds `bloomSlack` × the dedup Bloom's creation capacity, so
     *    its fpp has degraded past the design point and ingest batches
-    *    pay more confirm anti-join traffic.
-    * Empty = nothing to recommend. [[compact]] resolves all three
-    * (re-fit + re-layout + Bloom rebuild at the current count). Cost:
-    * the drift sidecar read, ONE recursive directory listing, and the
-    * Bloom .meta sidecar — no data scan, safe to poll after every
-    * append. */
+    *    pay more confirm anti-join traffic;
+    *  - `tuning-stale(kind(tuned_at=vK, current=vN))` — a measured
+    *    nprobe/PQ tuning choice was dropped by a mutation and searches
+    *    silently run at static defaults (see [[tuningStale]]).
+    * Empty = nothing to recommend. [[compact]] resolves the first
+    * three (re-fit + re-layout + Bloom rebuild at the current count)
+    * and the nprobe half of the fourth (it replays the recorded
+    * tuning); a stale PQ curve needs [[buildPqIndex]] +
+    * [[tunePqCandidates]]. Cost: the drift sidecar read, ONE recursive
+    * directory listing, the Bloom .meta sidecar, and two tiny tuning
+    * sidecar reads — no data scan, safe to poll after every append. */
   def recommendCompaction(driftThreshold: Double = 1.25,
                           bloomSlack: Double = 2.0): Seq[String] = withSnapshot {
     require(driftThreshold > 0.0, "driftThreshold must be positive")
@@ -1105,6 +1191,7 @@ final class DocumentStore private (
       if (snap.count > bloomSlack * sizedFor)
         reasons += s"bloom-capacity(count=${snap.count}, sized_for=$sizedFor)"
     }
+    reasons ++= tuningStale.map(s => s"tuning-stale($s)")
     reasons.toSeq
   }
 

@@ -61,6 +61,25 @@ class Word2VecEmbedderSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("broadcastEmbedder: streaming-safe twin, embeddings BIT-IDENTICAL to the batch path") {
+    val emb = Word2VecEmbedder(dim = 16).fit(corpus, "text")
+    val bcast = emb.broadcastEmbedder(spark)
+    assert(bcast.streamingSafe && !emb.streamingSafe)
+    assert(bcast.dim == emb.dim)
+    val docs = Seq((0L, "spark compute engine"), (1L, "zzz qqq www"),
+      (2L, "CAT ÉCOLE dog"), (3L, "  spark  engine"), (4L, null))
+      .toDF("id", "text")
+    val viaBatch = emb.embed(docs, "text", "vec").orderBy("id")
+      .select("vec").as[Seq[Double]].collect().toSeq
+    val viaBcast = bcast.embed(docs, "text", "vec").orderBy("id")
+      .select("vec").as[Seq[Double]].collect().toSeq
+    assert(viaBatch == viaBcast)
+    // and its embedQuery keeps the Embedder contract against ITS embed
+    for (text <- Seq("spark engine distributed", "CAT dog", "zzz"))
+      assert(bcast.embedQuery(text).toSeq ==
+        emb.embedQuery(text).toSeq, s"kernel drift on '$text'")
+  }
+
   test("works as a DocumentStore embedder end-to-end") {
     val emb = Word2VecEmbedder(dim = 16).fit(corpus, "text")
     val dir = Files.createTempDirectory("graft-w2v-store").toString + "/store"

@@ -26,6 +26,38 @@ class LayoutSpec extends SparkSpec {
     assert(three == 7L)
   }
 
+  test("zvalue enforces its input contract: negative/overwide keys raise with the value; clamp opts in") {
+    val df = Seq((-7L, 5L)).toDF("x", "y")
+    val neg = intercept[Exception] {
+      df.select(Layout.zvalue(Seq(col("x"), col("y"))).as("z")).collect()
+    }
+    // raise_error surfaces wrapped in a SparkException chain — the
+    // offending tuple must be visible somewhere in it.
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    assert(messages(neg).contains("-7"))
+    // a key wider than `bits` raises too (silently dropping high bits
+    // would collapse distant keys onto the same curve cell)
+    val wide = intercept[Exception] {
+      Seq(Tuple1(1L << 22)).toDF("x")
+        .select(Layout.zvalue(Seq(col("x")), bits = 21).as("z")).collect()
+    }
+    assert(messages(wide).contains((1L << 22).toString))
+    // clamp = true pins to the curve edge instead of raising
+    val clamped = df
+      .select(Layout.zvalue(Seq(col("x"), col("y")), clamp = true).as("z"))
+      .as[Long].head()
+    val atEdge = Seq((0L, 5L)).toDF("x", "y")
+      .select(Layout.zvalue(Seq(col("x"), col("y"))).as("z")).as[Long].head()
+    assert(clamped == atEdge)
+    // null inputs keep propagating to a null z-value (not an error)
+    val nullZ = Seq((Some(3L), Option.empty[Long])).toDF("x", "y")
+      .select(Layout.zvalue(Seq(col("x"), col("y"))).as("z"))
+      .collect().head
+    assert(nullZ.isNullAt(0))
+  }
+
   test("zvalue monotone on the curve: nearby cells share prefixes, quadrants order") {
     // the four 2x2 quadrants of a 4x4 grid occupy disjoint, ordered
     // z-ranges: (x<2,y<2) < (x>=2,y<2) < (x<2,y>=2) < (x>=2,y>=2)

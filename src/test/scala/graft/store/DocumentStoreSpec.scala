@@ -718,6 +718,38 @@ class DocumentStoreSpec extends SparkSpec {
     assert(store.effectiveNprobe == store.config.nprobe)
   }
 
+  test("tuning lifecycle: mutations REPORT staleness; compact() replays the recorded tuneNprobe; PQ stays reported until cleared") {
+    val many = (0 until 200).map(i => s"lifecycle doc $i about theme ${i % 8}")
+    val store = DocumentStore.fromTexts(spark, tmp(), many, Nil,
+      StoreConfig(nlist = 4, nprobe = 1), emb)
+    assert(store.tuningStale.isEmpty) // never tuned: nothing to report
+    store.tuneNprobe(targetRecall = 0.99, k = 5, sampleQueries = 8)
+    store.buildPqIndex(m = 8, ksub = 4)
+    store.tunePqCandidates(targetRecall = 0.9, k = 5, sampleQueries = 6)
+    assert(store.tuningStale.isEmpty) // both tuned ON this snapshot
+    // A mutation drops both curves — staleness is now reported, not a
+    // silent fallback to static defaults.
+    store.deleteWhere(org.apache.spark.sql.functions.col("text").endsWith("theme 7"))
+    val stale = store.tuningStale
+    assert(stale.exists(_.startsWith("nprobe(")), stale.mkString(";"))
+    assert(stale.exists(_.startsWith("pq(")), stale.mkString(";"))
+    assert(store.recommendCompaction().exists(_.startsWith("tuning-stale(nprobe")),
+      store.recommendCompaction().mkString(";"))
+    // compact() replays the recorded tuneNprobe params on the fresh
+    // clustering: searches keep a measured-recall choice.
+    store.compact()
+    val replayed = store.tuningCurve("nprobe")
+    assert(replayed.isDefined && replayed.get.count(_.chosen) == 1)
+    assert(store.effectiveNprobe == replayed.get.find(_.chosen).get.setting)
+    val after = store.tuningStale
+    assert(!after.exists(_.startsWith("nprobe(")), after.mkString(";"))
+    // PQ stays reported (rebuilding its per-snapshot index is an
+    // explicit decision) until re-tuned or opted out.
+    assert(after.exists(_.startsWith("pq(")), after.mkString(";"))
+    store.clearTuningHistory("pq")
+    assert(store.tuningStale.isEmpty)
+  }
+
   test("tuneTargetRecall in config: IVF build and buildPqIndex write their curves unprompted") {
     val many = (0 until 200).map(i => s"auto doc $i theme ${i % 8}")
     val store = DocumentStore.fromTexts(spark, tmp(), many, Nil,

@@ -454,6 +454,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(ok.isStreaming)
   }
 
+  test("broadcast Word2Vec embedder enriches a DENSE stream; vectors equal the batch path bitwise") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("spark cluster compute engine distributed",
+      "spark engine query compute", "cat dog pet animal fur")
+      .toDF("text")
+    val w2v = graft.embed.Word2VecEmbedder(dim = 8).fit(corpus, "text")
+    val bcast = w2v.broadcastEmbedder(spark)
+    val input = MemoryStream[(Timestamp, String)]
+    val enriched = StreamingOps.enrichTextStream(
+      input.toDF().toDF("ts", "text"), "text", bcast)
+    assert(enriched.isStreaming)
+    val q = enriched.writeStream.format("memory").queryName("w2v_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), "spark compute engine"), (ts(1), "cat dog"),
+        (ts(2), "zzz oov only"))
+      q.processAllAvailable()
+      val streamed = spark.table("w2v_stream")
+        .select($"text", $"vec").as[(String, Seq[Double])].collect().toMap
+      val batch = w2v.embed(
+          Seq("spark compute engine", "cat dog", "zzz oov only").toDF("text"),
+          "text", "vec")
+        .select($"text", $"vec").as[(String, Seq[Double])].collect().toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("sessionize: a null event time is dropped, not a crash-looping NPE") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.SessionEvent]
