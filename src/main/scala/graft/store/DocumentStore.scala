@@ -75,6 +75,7 @@ final class DocumentStore private (
   private def payloadDir(v: Long) = s"${versionDir(v)}/payload"
   private def centroidsDir(v: Long) = s"${versionDir(v)}/centroids"
   private def bloomPath(v: Long) = s"${versionDir(v)}/dedup_bloom.bin"
+  private def dedupKeysDir(v: Long) = s"${versionDir(v)}/dedup_keys"
   private def lexicalDir(v: Long) = s"${versionDir(v)}/lexical"
   private def pqDir(v: Long) = s"${versionDir(v)}/pq"
   private def chunksDir(v: Long) = s"${versionDir(v)}/chunks"
@@ -291,25 +292,23 @@ final class DocumentStore private (
 
     // Dedup vs. already-indexed texts. With a persisted store Bloom
     // filter (keyed on sha2(text)), batch rows that MISS it are
-    // definitely new and skip the anti-join against the corpus-sized
-    // store entirely; positives (true dups + ~fpp of the batch) are
-    // confirmed exactly — same result as the plain anti-join for any
-    // filter contents, but per-ingest cost stops scaling with the
-    // corpus.
+    // definitely new; positives (true dups + ~fpp of the batch) are
+    // confirmed EXACTLY through the sha-sorted key table + id-pruned
+    // point lookups (see confirmDups) — same result as the plain
+    // anti-join for any filter contents, and per-ingest cost genuinely
+    // stops scaling with the corpus (the r10 witness run caught the
+    // previous shape still shuffling the whole corpus for the confirm
+    // branch even when every row missed the filter).
     existing.foreach { ex =>
       fresh = bloom match {
         case Some(b) =>
           val bc = spark.sparkContext.broadcast(b)
           // Null-safe: a null text hashes to null — route it to the
-          // confirm anti-join (treat as "maybe") instead of NPEing
-          // inside the task.
+          // confirm path (treat as "maybe") instead of NPEing inside
+          // the task.
           val probe = udf((h: String) => h == null || bc.value.mightContainString(h))
-          val flagged = fresh.withColumn("__maybe",
-            probe(sha2(col("text"), 256)))
-          flagged.where(!col("__maybe")).drop("__maybe")
-            .unionByName(flagged.where(col("__maybe")).drop("__maybe")
-              .join(ex.select(col("text").as("__ex_text")),
-                col("text") <=> col("__ex_text"), "left_anti"))
+          confirmDups(fresh.withColumn("__maybe",
+            probe(sha2(col("text"), 256))), ex)
         case None =>
           // <=> (null-safe): the intra-batch window already dedupes
           // null texts as equal, so the cross-batch screen must too —
@@ -332,6 +331,83 @@ final class DocumentStore private (
     // Dense id assignment at the append offset (index.py:230):
     // zipWithIndex (no shuffle), input order preserved via sort by seq.
     withDenseId(embedded.orderBy("seq"), "id", offset).cache()
+  }
+
+  /** Exact cross-batch dedup for rows the Bloom flagged `__maybe`,
+    * WITHOUT a corpus-sized anti-join. The previous shape unioned a
+    * "definitely new" branch with a maybe-rows anti-join against the
+    * whole essential store — but that branch executes regardless of
+    * how few maybe rows exist, so every ingest still paid a
+    * corpus-sized shuffle (caught by ScaleBench's ingest row at ×200).
+    * Now the confirm walks bounded, PRUNED reads:
+    *
+    *  1. collect the distinct maybe shas (≤ batch-sized; driver
+    *     decision point);
+    *  2. probe the snapshot's sha-SORTED key table with an `isin`
+    *     pushdown — parquet min/max skips every row group not
+    *     containing a probed key, so this reads O(|maybe|) row groups,
+    *     not the corpus;
+    *  3. fetch the matched candidate ids' TEXTS from the id-laid-out
+    *     essential store (the same pruned point-lookup path as
+    *     getDocumentsByIds) and anti-join the batch against that small
+    *     broadcast set — the final compare stays EXACT TEXT equality,
+    *     so a sha collision can only cost a wasted fetch, never a
+    *     wrong drop.
+    *
+    * Crash safety: the key table is appended BEFORE rows publish (the
+    * bloom-fold discipline), so it only ever OVERAPPROXIMATES — a
+    * phantom (k, id) from a crashed append matches in step 2, fetches
+    * nothing in step 3 (the id never published), and the row is
+    * re-admitted. Fallbacks preserve the old exact shape: a missing
+    * key table (legacy store), or more than [[DocumentStore.MaxConfirmKeys]]
+    * maybe keys / candidate ids (a batch that is mostly dups —
+    * corpus-sized work is then inherent), run the plain anti-join. */
+  private def confirmDups(flagged: DataFrame, ex: DataFrame): DataFrame = {
+    val keysDir = dedupKeysDir(manifest.version)
+    def legacyConfirm(): DataFrame =
+      flagged.where(!col("__maybe")).drop("__maybe")
+        .unionByName(flagged.where(col("__maybe")).drop("__maybe")
+          .join(ex.select(col("text").as("__ex_text")),
+            col("text") <=> col("__ex_text"), "left_anti"))
+    if (!fsFor(keysDir).exists(hadoopPath(keysDir))) return legacyConfirm()
+    val cap = DocumentStore.MaxConfirmKeys
+    val maybeKeys = flagged.where(col("__maybe"))
+      .select(sha2(col("text"), 256).as("__k")).distinct()
+      .limit(cap + 1).collect().map(r => Option(r.getString(0)))
+    if (maybeKeys.isEmpty) return flagged.drop("__maybe")
+    if (maybeKeys.length > cap) return legacyConfirm()
+    val nonNull = maybeKeys.flatten.toSeq
+    val hasNull = maybeKeys.exists(_.isEmpty)
+    val probeCond = (if (nonNull.nonEmpty) Some(col("k").isin(nonNull: _*)) else None) ++
+      (if (hasNull) Some(col("k").isNull) else None)
+    // Above `pushdown.inFilterThreshold` (default 10) Spark degrades a
+    // parquet In filter to a [min, max] RANGE filter — random shas span
+    // the whole key space, so every row group would "match" and the
+    // probe silently reads the full corpus-sized table. Keep the true
+    // In filter for any probe set this path can produce, scoped to
+    // this one read (cloned-session conf, same mechanism as
+    // withBoundedTopKConf).
+    val candIds = org.apache.spark.sql.GraftSqlBridge.withSessionConfs(
+        spark.read.parquet(keysDir).where(probeCond.reduce(_ || _)),
+        Map("spark.sql.parquet.pushdown.inFilterThreshold" -> (cap + 1).toString))
+      .select("id").distinct().limit(cap + 1).collect().map(_.getLong(0))
+    if (candIds.isEmpty) return flagged.drop("__maybe")
+    if (candIds.length > cap) return legacyConfirm()
+    val dupTexts = ex.where(col("id").isin(candIds.toSeq: _*))
+      .select(col("text").as("__ex_text")).distinct()
+    // Bloom misses are definitely new and can't equal any candidate
+    // text, so ONE anti-join of the whole batch against the small
+    // broadcast candidate set suffices. The whole plan is rebound with
+    // the raised In-filter threshold (an action executes under its own
+    // frame's session conf, so wrapping only the fetch subtree would
+    // not reach execution): the id fetch keeps a true In filter and
+    // prunes the essential layout's row groups instead of degrading to
+    // a [min(id), max(id)] range scan.
+    org.apache.spark.sql.GraftSqlBridge.withSessionConfs(
+      flagged.drop("__maybe")
+        .join(broadcast(dupTexts), col("text") <=> col("__ex_text"), "left_anti"),
+      Map("spark.sql.parquet.pushdown.inFilterThreshold" ->
+        (cap + 1).toString))
   }
 
   /** SCALE-PATH append: write ONLY the new rows into the current
@@ -406,6 +482,19 @@ final class DocumentStore private (
             keys.collect().foreach(r => b.putString(r.getString(0)))
           writeBloom(manifest.version, b)
         }
+        // Key-table append, also BEFORE any row publishes (the same
+        // overapproximation discipline as the bloom fold): a phantom
+        // (k, id) left by a crash here matches in confirmDups step 2
+        // but fetches no essential row in step 3, so the retried batch
+        // is re-admitted — while appending AFTER publish would let a
+        // crash UNDERapproximate and re-ingest published texts as
+        // duplicates. One batch-sized file per ingest; writeVersion
+        // regenerates the sorted layout (compact() is the heal for
+        // accumulated small key files too).
+        if (fsFor(dedupKeysDir(manifest.version))
+            .exists(hadoopPath(dedupKeysDir(manifest.version))))
+          base.select(sha2(col("text"), 256).as("k"), col("id"))
+            .write.mode("append").parquet(dedupKeysDir(manifest.version))
         payloadProjection(base)
           .write.mode("append").parquet(payloadDir(manifest.version))
         val added = essentialProjection(base)
@@ -539,6 +628,17 @@ final class DocumentStore private (
       // BATCH filter with the same (n, fpp) so the executor-side merge
       // is bit-compatible (see addDFIncremental).
       writeBloomMeta(v, expected, config.dedupBloomFpp)
+      // Dedup key table, SORTED by sha: the Bloom-confirm path probes
+      // it with an isin pushdown so parquet min/max skips every row
+      // group without a probed key — per-ingest confirm cost is then
+      // O(|maybe set|) row groups, corpus-independent (confirmDups).
+      // ~72 B/row; ≤ 4M keys per range partition keeps row-group stats
+      // selective.
+      val kparts = math.max(1L, (count + 3999999L) / 4000000L).toInt
+      ess.select(sha2(col("text"), 256).as("k"), col("id"))
+        .repartitionByRange(kparts, col("k"))
+        .sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(dedupKeysDir(v))
     }
     // Multi-vector mode: chunk VECTORS are data, not derived state —
     // mutation callers carry survivors through the delete/renumber
@@ -1902,6 +2002,14 @@ object DocumentStore {
   /** Static PQ rerank depth when no measured curve exists for the
     * snapshot — see [[DocumentStore.similaritySearchPq]]. */
   val DefaultPqCandidates: Int = 100
+
+  /** Bound on the driver-collected probe sets of the Bloom-confirm
+    * path (distinct maybe shas; candidate ids) — ~64 B per sha, so the
+    * cap holds the confirm's driver state under ~10 MB. Batches whose
+    * maybe set exceeds it are dominated by duplicates, where
+    * corpus-sized confirm work is inherent — they fall back to the
+    * plain exact anti-join. */
+  val MaxConfirmKeys: Int = 100000
 
   /** The store's metadata integrity token (reference index.py:224-226):
     * sha256 over the key-sorted JSON rendering of the metadata map.

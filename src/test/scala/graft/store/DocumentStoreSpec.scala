@@ -144,6 +144,53 @@ class DocumentStoreSpec extends SparkSpec {
     assert(s2.documentCount == 4)
   }
 
+  test("dedup key table: incremental dedup exact (incl. null text); phantom keys from a crashed append re-admit") {
+    import spark.implicits._
+    val dir = tmp()
+    val store = DocumentStore.fromTexts(spark, dir, texts.take(3), Nil,
+      StoreConfig(), emb)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val v = store.currentManifest.version
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v$v/dedup_keys")))
+    // Null text dedups CROSS-BATCH through the key-table confirm (null
+    // sha rows are real key rows; the final compare is null-safe <=>).
+    val nullRow = Seq((null: String, Map.empty[String, String])).toDF("text", "metadata")
+    store.addDFIncremental(nullRow)
+    val afterNull = store.documentCount
+    store.addDFIncremental(nullRow)
+    assert(store.documentCount == afterNull, "null-text doc re-ingested")
+    // Mixed batch: one stored dup + one new -> exactly one admitted.
+    store.addDFIncremental(Seq(
+      (texts.head, Map.empty[String, String]),
+      ("keytable brand new doc", Map.empty[String, String])).toDF("text", "metadata"))
+    assert(store.documentCount == afterNull + 1)
+    // PHANTOM: simulate the crash window where the bloom fold and the
+    // key append landed but the essential rows never published — the
+    // key table then OVERAPPROXIMATES, and a retried batch must be
+    // re-admitted (its id fetch finds no essential row), never dropped.
+    def dataFiles(sub: String) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/v$v/$sub"))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).toSet
+    val essBefore = dataFiles("essential")
+    store.addDFIncremental(Seq(("phantom crash doc", Map.empty[String, String]))
+      .toDF("text", "metadata"))
+    (dataFiles("essential") -- essBefore).foreach(p => fs.delete(p, false))
+    assert(store.essential.where($"text" === "phantom crash doc").isEmpty)
+    // Retry: bloom says maybe, the key table matches the phantom, but
+    // the id never published -> re-admitted with a fresh id.
+    store.addDFIncremental(Seq(("phantom crash doc", Map.empty[String, String]))
+      .toDF("text", "metadata"))
+    assert(store.essential.where($"text" === "phantom crash doc").count() == 1)
+    val ids = store.essential.select("id").as[Long].collect().toSeq
+    assert(ids.distinct.length == ids.length, s"duplicate ids: $ids")
+    // And the retried doc is a normal citizen: ingesting it AGAIN dedups.
+    val settled = store.essential.count()
+    store.addDFIncremental(Seq(("phantom crash doc", Map.empty[String, String]))
+      .toDF("text", "metadata"))
+    assert(store.essential.count() == settled)
+  }
+
   test("lexical index: searchLexical == scan-time BM25; stale index bypassed") {
     val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
     val terms = Seq("programming", "language")
