@@ -343,16 +343,23 @@ final class DocumentStore private (
     *
     *  1. collect the distinct maybe shas (≤ batch-sized; driver
     *     decision point);
-    *  2. probe the snapshot's sha-SORTED key table with an `isin`
-    *     pushdown — parquet min/max skips every row group not
-    *     containing a probed key, so this reads O(|maybe|) row groups,
-    *     not the corpus;
+    *  2. probe the snapshot's sha-SORTED key table: up to
+    *     [[DocumentStore.SafeInProbe]] keys as an `isin` pushdown —
+    *     parquet min/max skips every row group not containing a probed
+    *     key, so this reads O(|maybe|) row groups, not the corpus;
+    *     larger sets as a BROADCAST join against the key table — no
+    *     row-group pruning, but a shuffle-free columnar scan of the
+    *     2-column table (never of the corpus texts). The split exists
+    *     because a parquet In pushdown compiles to an or-CHAIN whose
+    *     evaluation recursion overflows the task stack at depth
+    *     ~768 on a cold JVM (measured; see SafeInProbe) — the In form
+    *     is only safe when small;
     *  3. fetch the matched candidate ids' TEXTS from the id-laid-out
     *     essential store (the same pruned point-lookup path as
-    *     getDocumentsByIds) and anti-join the batch against that small
-    *     broadcast set — the final compare stays EXACT TEXT equality,
-    *     so a sha collision can only cost a wasted fetch, never a
-    *     wrong drop.
+    *     getDocumentsByIds; same In-vs-broadcast split) and anti-join
+    *     the batch against that small broadcast set — the final
+    *     compare stays EXACT TEXT equality, so a sha collision can
+    *     only cost a wasted fetch, never a wrong drop.
     *
     * Crash safety: the key table is appended BEFORE rows publish (the
     * bloom-fold discipline), so it only ever OVERAPPROXIMATES — a
@@ -378,36 +385,61 @@ final class DocumentStore private (
     if (maybeKeys.length > cap) return legacyConfirm()
     val nonNull = maybeKeys.flatten.toSeq
     val hasNull = maybeKeys.exists(_.isEmpty)
-    val probeCond = (if (nonNull.nonEmpty) Some(col("k").isin(nonNull: _*)) else None) ++
-      (if (hasNull) Some(col("k").isNull) else None)
-    // Above `pushdown.inFilterThreshold` (default 10) Spark degrades a
-    // parquet In filter to a [min, max] RANGE filter — random shas span
-    // the whole key space, so every row group would "match" and the
-    // probe silently reads the full corpus-sized table. Keep the true
-    // In filter for any probe set this path can produce, scoped to
-    // this one read (cloned-session conf, same mechanism as
-    // withBoundedTopKConf).
-    val candIds = org.apache.spark.sql.GraftSqlBridge.withSessionConfs(
-        spark.read.parquet(keysDir).where(probeCond.reduce(_ || _)),
-        Map("spark.sql.parquet.pushdown.inFilterThreshold" -> (cap + 1).toString))
+    val inCap = DocumentStore.SafeInProbe
+    val keyTable = spark.read.parquet(keysDir)
+    // Probe-mode split. In form: above `pushdown.inFilterThreshold`
+    // (default 10) Spark degrades a parquet In filter to a [min, max]
+    // RANGE filter — random shas span the whole key space, so every
+    // row group would "match" and the probe silently reads the full
+    // corpus-sized table; the threshold is therefore raised, scoped to
+    // this one plan (cloned-session conf, same mechanism as
+    // withBoundedTopKConf) — but ONLY up to SafeInProbe values,
+    // because the pushed In compiles to an or-chain whose evaluation
+    // overflows a cold-JVM task stack at depth ~768 (measured; JIT'd
+    // frames survive 1000+, so warm tests lie). Join form: broadcast
+    // the probe keys and null-safe-join the key table — no pruning,
+    // but a shuffle-free scan of 2 thin columns, never of the corpus.
+    val matched =
+      if (nonNull.length <= inCap) {
+        val probeCond =
+          (if (nonNull.nonEmpty) Some(col("k").isin(nonNull: _*)) else None) ++
+            (if (hasNull) Some(col("k").isNull) else None)
+        org.apache.spark.sql.GraftSqlBridge.withSessionConfs(
+          keyTable.where(probeCond.reduce(_ || _)),
+          Map("spark.sql.parquet.pushdown.inFilterThreshold" ->
+            (inCap + 1).toString))
+      } else {
+        import spark.implicits._
+        val probe = maybeKeys.map(_.orNull).toSeq.toDF("__pk")
+        keyTable.join(broadcast(probe), col("k") <=> col("__pk"), "leftsemi")
+      }
+    val candIds = matched
       .select("id").distinct().limit(cap + 1).collect().map(_.getLong(0))
     if (candIds.isEmpty) return flagged.drop("__maybe")
     if (candIds.length > cap) return legacyConfirm()
-    val dupTexts = ex.where(col("id").isin(candIds.toSeq: _*))
-      .select(col("text").as("__ex_text")).distinct()
+    val dupTexts =
+      if (candIds.length <= inCap)
+        ex.where(col("id").isin(candIds.toSeq: _*))
+          .select(col("text").as("__ex_text")).distinct()
+      else {
+        import spark.implicits._
+        ex.join(broadcast(candIds.toSeq.toDF("__cid")),
+            col("id") === col("__cid"), "leftsemi")
+          .select(col("text").as("__ex_text")).distinct()
+      }
     // Bloom misses are definitely new and can't equal any candidate
     // text, so ONE anti-join of the whole batch against the small
     // broadcast candidate set suffices. The whole plan is rebound with
     // the raised In-filter threshold (an action executes under its own
     // frame's session conf, so wrapping only the fetch subtree would
-    // not reach execution): the id fetch keeps a true In filter and
+    // not reach execution): a small-id fetch keeps a true In filter and
     // prunes the essential layout's row groups instead of degrading to
-    // a [min(id), max(id)] range scan.
+    // a [min(id), max(id)] range scan; the join-form fetch ignores it.
     org.apache.spark.sql.GraftSqlBridge.withSessionConfs(
       flagged.drop("__maybe")
         .join(broadcast(dupTexts), col("text") <=> col("__ex_text"), "left_anti"),
       Map("spark.sql.parquet.pushdown.inFilterThreshold" ->
-        (cap + 1).toString))
+        (inCap + 1).toString))
   }
 
   /** SCALE-PATH append: write ONLY the new rows into the current
@@ -2010,6 +2042,20 @@ object DocumentStore {
     * corpus-sized confirm work is inherent — they fall back to the
     * plain exact anti-join. */
   val MaxConfirmKeys: Int = 100000
+
+  /** Bound on probe values pushed as a parquet In filter (the
+    * Bloom-confirm key probe and id fetch). The pushed In compiles to
+    * an or-CHAIN of equalities whose recursive evaluation overflows
+    * the task thread's stack once the chain is deep enough — measured
+    * on this Spark: 768 string equalities SOE a COLD JVM every run,
+    * 512 pass; after JIT compilation shrinks the frames, 1000+ pass,
+    * so warm measurements are not evidence of safety. 256 leaves a 2×
+    * margin below the worst observed cliff (the margin matters: real
+    * confirm plans sit deeper in the call stack than the bare-scan
+    * harness that measured it). Probe sets larger than this switch to
+    * a broadcast-join probe — no row-group pruning, but a shuffle-free
+    * columnar scan bounded by the thin key table, never the corpus. */
+  val SafeInProbe: Int = 256
 
   /** The store's metadata integrity token (reference index.py:224-226):
     * sha256 over the key-sorted JSON rendering of the metadata map.

@@ -191,6 +191,31 @@ class DocumentStoreSpec extends SparkSpec {
     assert(store.essential.count() == settled)
   }
 
+  test("dedup key table: a maybe set past SafeInProbe confirms via the broadcast-join probe") {
+    import spark.implicits._
+    // > SafeInProbe distinct dup texts in ONE batch forces the confirm's
+    // join-mode probe (and join-mode id fetch) — the In-pushdown form
+    // would build an or-chain deep enough to overflow a cold task stack
+    // (the measured cliff that motivated the split). Semantics must be
+    // identical to the small-probe path: stored dups dropped, new rows
+    // and the null text admitted once.
+    val n = DocumentStore.SafeInProbe + 44
+    val corpus = (0 until n).map(i => s"join-probe doc $i")
+    val store = DocumentStore.fromTexts(spark, tmp(), corpus, Nil,
+      StoreConfig(), emb)
+    val batch = (corpus.map(t => (t, Map.empty[String, String])) ++ Seq(
+      ("join-probe brand new A", Map.empty[String, String]),
+      (null: String, Map.empty[String, String]),
+      ("join-probe brand new B", Map.empty[String, String])))
+      .toDF("text", "metadata")
+    store.addDFIncremental(batch)
+    assert(store.documentCount == n + 3)
+    store.addDFIncremental(batch)   // now every row is a stored dup
+    assert(store.documentCount == n + 3)
+    val ids = store.essential.select("id").as[Long].collect().toSeq
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("lexical index: searchLexical == scan-time BM25; stale index bypassed") {
     val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
     val terms = Seq("programming", "language")
