@@ -2011,6 +2011,42 @@ object SparkEntry {
       .select(col("vec_id"), col("adc_micros"), col("score"))
   }
 
+  /** OPQ — rotated-PQ ADC search ([[graft.index.PqIndex.searchRotated]])
+    * with the rotation AND the codebooks pinned to stored vectors: the
+    * rotation is the Householder reflection of vec_id 30 (orthonormal
+    * by CONSTRUCTION, closed form `v − c·u`, so DuckDB replays it as
+    * plain list arithmetic — no matrix literal, no eigensolver), the
+    * codebooks are subspace slices of the ROTATED vec_id 20..27, and
+    * the query is the rotated vec_id 0. Exercises the full rotated
+    * path: engine-side `rotateCol` over the corpus, driver-side query
+    * rotation, ADC candidate ranking and the exact rerank — all in the
+    * rotated space, every stage hash-checked. (The PCA-trained
+    * [[graft.index.PqIndex.MatrixRotation]] quality path — recall
+    * uplift at the same code budget — is pinned in PqIndexSpec; a
+    * KMeans/eigen fit can't be replayed in SQL.) */
+  private def qOpqAdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.PqIndex
+    val emb = table(s, dir, "embeddings")
+    val u = emb.where(col("vec_id") === 30L)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0).toIndexedSeq
+    val rot = PqIndex.HouseholderRotation(u)
+    val dsub = 16
+    val books = emb.where(col("vec_id").between(20, 27))
+      .orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(r => rot.applyVec(r.getSeq[Double](0))).toIndexedSeq
+    val model = PqIndex.Model((0 until 4).map(sub =>
+      books.map(b => b.slice(sub * dsub, (sub + 1) * dsub))))
+    val qv = emb.where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0).toSeq
+    PqIndex.searchRotated(emb, "embedding", rot, model, qv, k = 5,
+        candidates = 10, metric = "cosine", idCol = "vec_id",
+        roundScale = 4, exposeInternals = true)
+      .select(col("vec_id"), col("adc_micros"), col("score"))
+  }
+
   /** IVF×PQ (FAISS IndexIVFPQ shape) with BOTH quantizers pinned to
     * stored vectors: coarse centroids = vec_id 10..17 (as in
     * [[qIvfFlat]]), PQ codebooks = slices of vec_id 20..27 (as in
@@ -2291,6 +2327,7 @@ object SparkEntry {
       "q_domain_cap"          -> (qDomainCap _),
       "q_binary_hamming"      -> (qBinaryHamming _),
       "q_pq_adc"              -> (qPqAdc _),
+      "q_opq_adc"             -> (qOpqAdc _),
       "q_dedup_incremental"   -> (qDedupIncremental _),
       "q_dedup_bloom"         -> (qDedupBloom _),
       "q_ivfpq"               -> (qIvfPq _),
@@ -3445,6 +3482,54 @@ object SparkEntry {
       SELECT c.vec_id, c.adc_micros,
              round(list_cosine_similarity(v.ev, q.qv), 4) AS score
       FROM cand c JOIN v ON v.vec_id = c.vec_id, q
+      ORDER BY score DESC, c.vec_id LIMIT 5""",
+
+    // OPQ: the q_pq_adc machinery in HOUSEHOLDER-ROTATED space. The
+    // rotation R = I - 2*u*ut/(ut*u) (u = row 30) is applied in closed
+    // form — rv[i] = round(ev[i] - c*u[i], 6) with c = 2*(u.ev)/(u.u)
+    // — exactly the arithmetic (and component rounding) of
+    // HouseholderRotation.applyVec/rotateCol. Codebooks are slices of
+    // the ROTATED rows 20..27; everything downstream (per-subspace
+    // argmin at 4 dp, integer-micros ADC, cosine rerank at 4 dp) is
+    // q_pq_adc verbatim over rv instead of ev.
+    "q_opq_adc" -> """
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      u AS (SELECT ev AS uv,
+                   list_sum(list_transform(ev, x -> x * x)) AS duu
+            FROM v WHERE vec_id = 30),
+      cf AS (SELECT v.vec_id,
+               2 * list_sum(list_transform(range(1, 65),
+                 j -> u.uv[j] * v.ev[j])) / u.duu AS c
+             FROM v, u),
+      r AS (SELECT v.vec_id,
+              list_transform(range(1, 65),
+                i -> round(v.ev[i] - cf.c * u.uv[i], 6)) AS rv
+            FROM v JOIN cf ON cf.vec_id = v.vec_id, u),
+      cb AS (SELECT CAST(vec_id - 20 AS INT) AS code, rv AS cv
+             FROM r WHERE vec_id BETWEEN 20 AND 27),
+      s AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
+      d AS (SELECT r.vec_id, s.sub, cb.code,
+              CAST(round(list_sum(list_transform(range(1, 17),
+                i -> (r.rv[s.sub * 16 + i] - cb.cv[s.sub * 16 + i]) *
+                     (r.rv[s.sub * 16 + i] - cb.cv[s.sub * 16 + i]))), 4)
+                AS DECIMAL(18, 4)) AS dist
+            FROM r, s, cb),
+      enc AS (SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY dist, code) AS rn
+                FROM d) t WHERE rn = 1),
+      qd AS (SELECT sub, code, dist FROM d WHERE vec_id = 0),
+      adc AS (SELECT enc.vec_id,
+                     CAST(sum(qd.dist) * 10000 AS BIGINT) AS adc_micros
+              FROM enc JOIN qd ON qd.sub = enc.sub AND qd.code = enc.code
+              GROUP BY enc.vec_id),
+      cand AS (SELECT vec_id, adc_micros FROM adc
+               ORDER BY adc_micros, vec_id LIMIT 10),
+      q AS (SELECT rv AS qv FROM r WHERE vec_id = 0)
+      SELECT c.vec_id, c.adc_micros,
+             round(list_cosine_similarity(r2.rv, q.qv), 4) AS score
+      FROM cand c JOIN r r2 ON r2.vec_id = c.vec_id, q
       ORDER BY score DESC, c.vec_id LIMIT 5""",
 
     // IVF×PQ: coarse assignment/probing exactly as q_ivf_flat, then

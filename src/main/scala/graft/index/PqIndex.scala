@@ -179,6 +179,197 @@ object PqIndex {
     else ranked.drop("__pq_codes", "__adc_micros")
   }
 
+  // ------------------------------------------------------------------
+  // OPQ — rotated product quantization (Ge et al., "Optimized Product
+  // Quantization", CVPR 2013; FAISS OPQMatrix is the same idea). Plain
+  // PQ quantizes FIXED contiguous subspaces, so when the corpus's
+  // variance concentrates in a few correlated dimensions one codebook
+  // carries all the signal and the other m−1 quantize noise. An
+  // orthonormal rotation R applied before encoding decorrelates and
+  // BALANCES the subspaces (cosine/L2/IP are rotation-invariant, so
+  // search semantics are unchanged); recall at the same (m, ksub) code
+  // budget goes up — measured in PqIndexSpec on a variance-concentrated
+  // corpus. Scale posture: training reads a sample (covariance is a
+  // d² aggregate — one pass, no shuffle of the corpus); encoding adds
+  // a d² multiply-add per row at ingest; search rotates only the QUERY
+  // on the driver — the ADC scan cost is identical to plain PQ.
+  // ------------------------------------------------------------------
+
+  /** An orthonormal rotation with bit-pinned arithmetic: every
+    * implementation defines `applyVec` (driver), `rotateCol` (engine)
+    * and — for the Householder form — a DuckDB-replayable SQL twin,
+    * all evaluating the SAME operations in the SAME order, with each
+    * output component rounded HALF_UP at `roundScale` so the three
+    * agree bit-for-bit (the determinism convention of [[IvfIndex]]). */
+  sealed trait Rotation {
+    def dim: Int
+    /** Driver-side rotation (for queries), component-rounded. */
+    def applyVec(v: Seq[Double], roundScale: Int = RotationScale): IndexedSeq[Double]
+    /** Engine-side rotation over an `array<double>` column,
+      * component-rounded identically to [[applyVec]]. */
+    def rotateCol(vec: Column, roundScale: Int = RotationScale): Column
+  }
+
+  /** Component rounding scale shared by every [[Rotation]] path:
+    * rotated coordinates carry 6 decimal places. Coarse enough that
+    * driver/codegen/DuckDB float-fold ulp differences can't surface,
+    * fine enough that downstream distance rounding (4 dp) dominates. */
+  val RotationScale: Int = 6
+
+  private def roundHalfUp(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  /** Dense orthonormal rotation (rows of R), the PCA-trained form from
+    * [[fitRotation]]. rotated(i) = Σ_j rows(i)(j)·v(j), summed in
+    * ascending j — the engine HOF fold and the driver loop are the
+    * same left fold, so outputs match bitwise before the shared
+    * component round. */
+  final case class MatrixRotation(rows: IndexedSeq[IndexedSeq[Double]])
+    extends Rotation {
+    require(rows.nonEmpty && rows.forall(_.length == rows.length),
+      "rotation matrix must be square")
+    def dim: Int = rows.length
+
+    def applyVec(v: Seq[Double], roundScale: Int = RotationScale): IndexedSeq[Double] = {
+      require(v.length == dim, s"vector dim ${v.length} != $dim")
+      val in = v.toIndexedSeq
+      rows.map { r =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += r(j) * in(j); j += 1 }
+        if (roundScale >= 0) roundHalfUp(s, roundScale) else s
+      }
+    }
+
+    def rotateCol(vec: Column, roundScale: Int = RotationScale): Column = {
+      val v = asDouble(vec)
+      transform(typedlit(rows), r => {
+        val d = aggregate(zip_with(r, v, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)
+        if (roundScale >= 0) round(d, roundScale) else d
+      })
+    }
+  }
+
+  /** Householder reflection R = I − 2·u·uᵀ/(uᵀu): orthonormal by
+    * CONSTRUCTION for any non-zero `u`, and applied in closed form —
+    * rotated(i) = v(i) − c·u(i) with c = 2·(u·v)/(u·u) — which is
+    * O(d) per row and exactly replayable as DuckDB list arithmetic.
+    * That makes it the ORACLE-CHECKABLE rotation: `q_opq_adc` drives
+    * the full rotated-PQ path (engine-side rotateCol, rotated
+    * codebooks, rotated query, ADC, exact rerank) against a DuckDB
+    * twin with `u` taken from a data row. The PCA-trained
+    * [[MatrixRotation]] is the quality path; this is the proof
+    * harness for the shared plumbing. */
+  final case class HouseholderRotation(u: IndexedSeq[Double]) extends Rotation {
+    require(u.nonEmpty && u.exists(_ != 0.0), "u must be non-zero")
+    def dim: Int = u.length
+    // Left fold of squares in ascending order — the same order DuckDB's
+    // list_sum(list_transform(uv, x -> x*x)) folds.
+    private val duu: Double = {
+      var s = 0.0; var j = 0
+      while (j < dim) { s += u(j) * u(j); j += 1 }
+      s
+    }
+
+    def applyVec(v: Seq[Double], roundScale: Int = RotationScale): IndexedSeq[Double] = {
+      require(v.length == dim, s"vector dim ${v.length} != $dim")
+      val in = v.toIndexedSeq
+      var duv = 0.0; var j = 0
+      while (j < dim) { duv += u(j) * in(j); j += 1 }
+      val c = 2.0 * duv / duu
+      IndexedSeq.tabulate(dim) { i =>
+        val x = in(i) - c * u(i)
+        if (roundScale >= 0) roundHalfUp(x, roundScale) else x
+      }
+    }
+
+    def rotateCol(vec: Column, roundScale: Int = RotationScale): Column = {
+      val v = asDouble(vec)
+      val uLit = typedlit(u)
+      val c = lit(2.0) * aggregate(zip_with(uLit, v, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x) / lit(duu)
+      zip_with(v, uLit, (x, ux) => {
+        val r = x - c * ux
+        if (roundScale >= 0) round(r, roundScale) else r
+      })
+    }
+  }
+
+  /** Train the parametric-OPQ rotation: PCA of a corpus sample, with
+    * the principal components dealt ROUND-ROBIN across the `m`
+    * subspaces (component t goes to subspace t mod m) so every
+    * subspace receives an even share of high-variance directions —
+    * the eigenvalue-allocation heuristic of parametric OPQ (Ge et al.
+    * §4.1; FAISS OPQMatrix's PCA+random-rotation init is the same
+    * family). Deterministic for a given sample: covariance + symmetric
+    * eigendecomposition have no seed, and `seed` pins the sample.
+    *
+    * Scale: covariance is ONE distributed pass producing a d×d driver
+    * matrix (fine for embedding dims; this is the standard OPQ
+    * training shape), the eigendecomposition is driver-side d³. */
+  def fitRotation(df: DataFrame, vecCol: String, m: Int,
+                  fitFraction: Double = 1.0, fitPartitions: Int = 0,
+                  seed: Long = 42L): MatrixRotation = {
+    val prepared = IvfIndex.trainingSample(df, vecCol, fitFraction,
+      fitPartitions, seed, "PqIndex.fitRotation")
+    try {
+      val dim = prepared.select(size(col("__v"))).head.getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val dsub = dim / m
+      val mat = new org.apache.spark.mllib.linalg.distributed.RowMatrix(
+        prepared.select("__v").rdd.map(r =>
+          org.apache.spark.mllib.linalg.Vectors.dense(
+            r.getSeq[Double](0).toArray)))
+      // Columns of `pc` are the principal components, ordered by
+      // decreasing explained variance.
+      val (pc, _) = mat.computePrincipalComponentsAndExplainedVariance(dim)
+      val rows = IndexedSeq.tabulate(dim) { ri =>
+        val sub = ri / dsub
+        val slot = ri % dsub
+        val comp = slot * m + sub   // round-robin deal over sorted components
+        IndexedSeq.tabulate(dim)(i => pc(i, comp))
+      }
+      MatrixRotation(rows)
+    } finally { prepared.unpersist(); () }
+  }
+
+  /** Train rotation + codebooks together: fit the rotation on a
+    * sample, rotate, fit PQ in the rotated space (where the codebooks
+    * actually live). This is the OPQ training pipeline — use the
+    * returned pair with [[searchRotated]]. */
+  def fitRotated(df: DataFrame, vecCol: String, m: Int, ksub: Int,
+                 seed: Long = 42L, maxIter: Int = 20,
+                 fitFraction: Double = 1.0,
+                 fitPartitions: Int = 0): (MatrixRotation, Model) = {
+    val rot = fitRotation(df, vecCol, m, fitFraction, fitPartitions, seed)
+    val rotated = df.withColumn("__rvec", rot.rotateCol(col(vecCol)))
+    val model = fit(rotated, "__rvec", m, ksub, seed, maxIter,
+      fitFraction, fitPartitions)
+    (rot, model)
+  }
+
+  /** Rotated-PQ search: rotate the corpus column in the plan (a narrow
+    * map — at real scale the rotated/encoded columns are written at
+    * ingest, as with plain PQ), rotate the QUERY once on the driver,
+    * and run the standard ADC + exact-rerank search in the rotated
+    * space. Rotation is orthonormal, so cosine/IP/L2 ranks there are
+    * the original-space ranks (up to the shared component rounding,
+    * which both the engine and the oracle apply identically). */
+  def searchRotated(docs: DataFrame, vecCol: String, rot: Rotation,
+                    model: Model, query: Seq[Double], k: Int,
+                    candidates: Int, metric: String = "cosine",
+                    idCol: String = "vec_id", roundScale: Int = 4,
+                    exposeInternals: Boolean = false): DataFrame = {
+    require(!docs.columns.contains("__rvec"),
+      "searchRotated uses internal column `__rvec` — the input already has " +
+        "a column of that name; rename it first")
+    val rdocs = docs.withColumn("__rvec", rot.rotateCol(col(vecCol)))
+    search(rdocs, "__rvec", model, rot.applyVec(query), k, candidates,
+      metric, idCol, roundScale, exposeInternals)
+      .drop("__rvec")
+  }
+
   /** IVF×PQ composition — FAISS IndexIVFPQ, Spark-first: the coarse
     * quantizer prunes the search space to `nprobe` clusters (partition
     * pruning when the store is written `partitionBy("cluster")`), and

@@ -147,4 +147,113 @@ class PqIndexSpec extends SparkSpec {
       PqIndex.Model(IndexedSeq(IndexedSeq(IndexedSeq(1.0), IndexedSeq(0.0, 1.0))))
     }
   }
+
+  // ---- OPQ: rotations -------------------------------------------------
+
+  private def randVecs(n: Int, dim: Int, seed: Int): Seq[(Long, Seq[Double])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1)))
+  }
+
+  test("HouseholderRotation: engine rotateCol == driver applyVec bitwise; orthonormal") {
+    val u = IndexedSeq(0.3, -1.2, 0.7, 2.1)
+    val rot = PqIndex.HouseholderRotation(u)
+    val vecs = randVecs(100, 4, 11)
+    val df = vecs.toDF("vec_id", "vec")
+    val engine = df.withColumn("r", rot.rotateCol(col("vec")))
+      .orderBy("vec_id").select("r").as[Seq[Double]].collect().toSeq
+    val driver = vecs.map { case (_, v) => rot.applyVec(v).toSeq }
+    assert(engine == driver)
+    // R is orthonormal: |R v| == |v| for all v (reflection preserves norms).
+    vecs.foreach { case (_, v) =>
+      val rv = rot.applyVec(v, roundScale = -1)
+      val n0 = math.sqrt(v.map(x => x * x).sum)
+      val n1 = math.sqrt(rv.map(x => x * x).sum)
+      assert(math.abs(n0 - n1) < 1e-9, s"norm changed: $n0 -> $n1")
+    }
+  }
+
+  test("MatrixRotation: engine rotateCol == driver applyVec bitwise") {
+    // Any square matrix exercises the arithmetic parity (orthonormality
+    // is a property of the FIT, pinned separately below).
+    val rot = PqIndex.MatrixRotation(IndexedSeq(
+      IndexedSeq(0.5, -0.5, 0.5, 0.5),
+      IndexedSeq(0.5, 0.5, -0.5, 0.5),
+      IndexedSeq(0.5, 0.5, 0.5, -0.5),
+      IndexedSeq(-0.5, 0.5, 0.5, 0.5)))
+    val vecs = randVecs(100, 4, 13)
+    val df = vecs.toDF("vec_id", "vec")
+    val engine = df.withColumn("r", rot.rotateCol(col("vec")))
+      .orderBy("vec_id").select("r").as[Seq[Double]].collect().toSeq
+    val driver = vecs.map { case (_, v) => rot.applyVec(v).toSeq }
+    assert(engine == driver)
+  }
+
+  test("fitRotation: orthonormal rows (R Rt == I) and all dims covered") {
+    val df = randVecs(400, 8, 17).toDF("vec_id", "vec")
+    val rot = PqIndex.fitRotation(df, "vec", m = 2)
+    assert(rot.dim == 8)
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val dot = (0 until 8).map(t => rot.rows(i)(t) * rot.rows(j)(t)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"R Rt [$i][$j] = $dot")
+    }
+  }
+
+  test("OPQ beats plain PQ recall when variance concentrates in one subspace") {
+    // Adversarial-for-PQ corpus: TWO independent signal directions
+    // both live in the FIRST subspace (dims 0-1 at m=4, dsub=2), the
+    // rest is tiny noise. Plain PQ must cover a genuine 2-D grid with
+    // subspace 0's ksub centroids while subspaces 1-3 spend all their
+    // bits on noise; the PCA rotation deals the two signal directions
+    // into DIFFERENT subspaces, so each gets ksub centroids along ~one
+    // dimension — the textbook OPQ win (Ge et al. §1, fig. 1).
+    val rnd = new scala.util.Random(23)
+    def vec(): Seq[Double] = {
+      val a = rnd.nextDouble() * 4 - 2
+      val b = rnd.nextDouble() * 4 - 2
+      Seq(a, b,
+        rnd.nextDouble() * 0.01, rnd.nextDouble() * 0.01,
+        rnd.nextDouble() * 0.01, rnd.nextDouble() * 0.01,
+        rnd.nextDouble() * 0.01, rnd.nextDouble() * 0.01)
+    }
+    val corpus = (0 until 1500).map(i => (i.toLong, vec()))
+    val df = corpus.toDF("vec_id", "vec").cache()
+    val queries = corpus.take(15)
+    val k = 10
+    val m = 4; val ksub = 8
+    val pq = PqIndex.fit(df, "vec", m, ksub, seed = 5L)
+    val (rot, opq) = PqIndex.fitRotated(df, "vec", m, ksub, seed = 5L)
+
+    def recall(search: Seq[Double] => org.apache.spark.sql.DataFrame): Double = {
+      val hits = queries.map { case (qid, qv) =>
+        val exact = VectorIndex.topK(df, "vec", qv, k, "l2",
+          scoreCol = "score", tieBreak = Seq("vec_id"), roundScale = 6)
+          .select("vec_id").as[Long].collect().toSet
+        val approx = search(qv).select("vec_id").as[Long].collect().toSet
+        (exact intersect approx).size.toDouble / k
+      }
+      hits.sum / hits.size
+    }
+    // candidates == k: NO exact-rerank slack, the codes must rank well
+    // on their own for the difference to show.
+    val rPq = recall(qv => PqIndex.search(df, "vec", pq, qv, k,
+      candidates = k, metric = "l2", roundScale = 6))
+    val rOpq = recall(qv => PqIndex.searchRotated(df, "vec", rot, opq, qv, k,
+      candidates = k, metric = "l2", roundScale = 6))
+    df.unpersist()
+    assert(rOpq > rPq + 0.05,
+      f"OPQ recall $rOpq%.3f not better than PQ $rPq%.3f")
+  }
+
+  test("searchRotated refuses an input that already has __rvec") {
+    val df = randVecs(5, 4, 3).toDF("vec_id", "vec")
+      .withColumn("__rvec", col("vec"))
+    val rot = PqIndex.HouseholderRotation(IndexedSeq(1.0, 0.0, 0.0, 0.0))
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.searchRotated(df, "vec", rot, model, Seq(1.0, 0.0, 0.0, 0.0),
+        k = 2, candidates = 4)
+    }
+    assert(e.getMessage.contains("__rvec"))
+  }
 }
