@@ -889,6 +889,27 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("quality")),
       Seq("lang"), "quality", q = 0.7)
 
+  /** TRAINED quality scoring ([[graft.ops.QualityModel]]) with the
+    * model PINNED to stored data: weights = the flattened embeddings
+    * of vec_id 40..47 (512 hash buckets), bias 0 — the same
+    * pin-to-data trick as the PQ/IVF oracles, so the whole scoring
+    * plan (sha-derived token bucketing, decimal-exact mean-TF fold,
+    * sigmoid) is hash-checked externally. The FIT path (MLlib logistic
+    * regression over identical features) is spec-tested — an LBFGS fit
+    * can't be replayed in SQL, but the fitted weights run through
+    * exactly this plan. */
+  private def qQualityModel(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val w = emb.where(col("vec_id").between(40, 47)).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().flatMap(_.getSeq[Double](0)).toIndexedSeq
+    val model = graft.ops.QualityModel.Model(w, bias = 0.0, salt = "qm")
+    table(s, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), round(model.scoreCol(col("text")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(100)
+  }
+
   /** Token frequency over the corpus (explode + shuffle agg with
     * map-side partial aggregation). */
   private def qWordcount(s: SparkSession, dir: String): DataFrame =
@@ -2337,6 +2358,7 @@ object SparkEntry {
       "q_dedup_boilerplate"   -> (qDedupBoilerplate _),
       "q_retrieval_metrics"   -> (qRetrievalMetrics _),
       "q_quality_topfrac"     -> (qQualityTopFrac _),
+      "q_quality_model"       -> (qQualityModel _),
       "q_maxsim"              -> (qMaxsim _),
       "q_maxsim_store"        -> (qMaxsimStore _),
       "q_normalize_text"      -> (qNormalizeText _),
@@ -2888,6 +2910,32 @@ object SparkEntry {
       SELECT q.doc_id, q.lang, q.quality, t.thr
       FROM q JOIN t USING (lang)
       WHERE q.quality >= t.thr""",
+
+    // Trained quality model with PINNED weights (flattened embeddings
+    // 40..47 -> 512 buckets, bias 0): bucket = hash60('qm:'||token) mod
+    // 512, per-token weight rounded at 7 dp and summed through exact
+    // DECIMAL (token order can't matter), one double division by the
+    // token count, sigmoid, rounded at 6 dp. Mirrors
+    // QualityModel.Model.scoreCol line by line.
+    "q_quality_model" -> s"""
+      WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+                 FROM embeddings WHERE vec_id BETWEEN 40 AND 47),
+      toks AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), t -> t <> '') AS toks
+               FROM documents WHERE text IS NOT NULL),
+      tok AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS t FROM toks),
+      tb AS (SELECT doc_id, n, ${dk60("'qm:' || t")} % 512 AS b FROM tok),
+      tw AS (SELECT tb.doc_id, tb.n,
+                    CAST(round(w.ev[(tb.b % 64) + 1], 7) AS DECIMAL(28, 7)) AS wt
+             FROM tb JOIN w ON w.vec_id = 40 + tb.b // 64),
+      sc AS (SELECT doc_id,
+                    round(1 / (1 + exp(-(CAST(sum(wt) AS DOUBLE) / max(n)))), 6) AS score
+             FROM tw GROUP BY doc_id),
+      alldocs AS (SELECT d.doc_id, coalesce(sc.score, round(0.5, 6)) AS score
+                  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+                  WHERE d.text IS NOT NULL)
+      SELECT doc_id, score FROM alldocs
+      ORDER BY score DESC, doc_id LIMIT 100""",
 
     "q_essential_projection" -> """
       SELECT doc_id, text, source,

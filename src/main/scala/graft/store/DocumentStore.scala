@@ -861,21 +861,55 @@ final class DocumentStore private (
     * 32× smaller at m=8/dim=64), so the ADC prescreen scans a fraction
     * of the bytes the exact scan reads. Incremental appends make it
     * stale; stale indexes are detected and bypassed, so building is
-    * always safe and never required. */
-  def buildPqIndex(m: Int = 8, ksub: Int = 16, seed: Long = 42L): Unit = {
+    * always safe and never required.
+    *
+    * `rotate = true` builds the OPQ variant: a PCA rotation is fitted
+    * first ([[PqIndex.fitRotation]] — parametric OPQ) and codebooks +
+    * codes live in the ROTATED space, which balances per-subspace
+    * variance and lifts prescreen recall at the same (m, ksub) budget
+    * when corpus variance is concentrated (spec-measured in
+    * PqIndexSpec). Search/tuning stay transparent: the persisted
+    * rotation rotates only the QUERY for the ADC stage (driver-side,
+    * O(d²) once per search); the exact rerank keeps original-space
+    * vectors — rotations are orthonormal, so the ranks agree. */
+  def buildPqIndex(m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+                   rotate: Boolean = false): Unit = {
     if (manifest.count == 0) throw new IndexException("store is empty or not built")
     if (embedder.dim % m != 0) throw new IndexException(s"dim ${embedder.dim} not divisible by m=$m")
-    val model = PqIndex.fit(essential, "vec", m, ksub, seed)
     val dir = pqDir(manifest.version)
     import spark.implicits._
+    val rotOpt =
+      if (rotate) Some(PqIndex.fitRotation(essential, "vec", m, seed = seed))
+      else None
+    val (model, encodeInput) = rotOpt match {
+      case Some(rot) =>
+        val rotated = essential.withColumn("__rvec", rot.rotateCol(col("vec")))
+        (PqIndex.fit(rotated, "__rvec", m, ksub, seed), rotated)
+      case None =>
+        (PqIndex.fit(essential, "vec", m, ksub, seed), essential)
+    }
+    // Rotation state lands BEFORE meta (the freshness gate): a torn
+    // build reads as absent, never as unrotated-codes-with-rotation or
+    // vice versa. A plain rebuild over a previously-rotated index must
+    // REMOVE the stale rotation, or loadPq would rotate queries against
+    // unrotated codes — silently wrong ADC ranks.
+    rotOpt match {
+      case Some(rot) =>
+        rot.rows.zipWithIndex.map { case (r, i) => (i, r) }
+          .toDF("idx", "row")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
+      case None =>
+        DocumentStore.deleteDir(spark, s"$dir/rotation")
+    }
     val cbRows = for {
       (book, sub) <- model.codebooks.zipWithIndex
       (cent, code) <- book.zipWithIndex
     } yield (sub, code, cent)
     cbRows.toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    essential.select(col("id"),
-        model.encodeCol(col("vec"), roundScale = 4).as("codes"))
+    encodeInput.select(col("id"),
+        model.encodeCol(
+          col(if (rotate) "__rvec" else "vec"), roundScale = 4).as("codes"))
       .write.mode("overwrite").parquet(s"$dir/codes")
     Seq((manifest.count, m, ksub))
       .toDF("n_docs", "m", "ksub")
@@ -1039,7 +1073,7 @@ final class DocumentStore private (
     if (snap.count == 0) throw new SearchException("store is empty or not built")
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall out of (0,1]: $targetRecall")
-    val (pqModel, codes) = loadPq().getOrElse(throw new IndexException(
+    val (pqModel, codes, pqRot) = loadPq().getOrElse(throw new IndexException(
       "tunePqCandidates requires a fresh buildPqIndex for this snapshot"))
     val depths = depthFactors.filter(_ >= 1).map(f =>
       math.min(f.toLong * k, snap.count).toInt).distinct.sorted
@@ -1052,8 +1086,12 @@ final class DocumentStore private (
     // One job per sample query: top max-depth ADC candidates joined to
     // their exact vectors (depth-bounded collect).
     val perQuery = sample.map { case (qid, qv) =>
+      // Rotated (OPQ) index: ADC against rotated codes needs the
+      // rotated query; the recall ground truth (exactTopIds) and the
+      // rerank scores below stay original-space, as in search.
+      val qAdc = pqRot.map(_.applyVec(qv).toSeq).getOrElse(qv)
       val top = codes
-        .withColumn("__am", pqModel.adcMicrosCol(col("codes"), qv, roundScale = 4))
+        .withColumn("__am", pqModel.adcMicrosCol(col("codes"), qAdc, roundScale = 4))
         // null ADC = null-codes (null-vec) doc: never a result, and
         // ASC NULLS FIRST would rank it ahead of every real candidate
         // (then NPE at getLong). Same null discipline as
@@ -1329,7 +1367,12 @@ final class DocumentStore private (
 
   /** The persisted PQ index for the current version, if present AND
     * fresh (its meta row records the indexed n_docs). */
-  private def loadPq(): Option[(PqIndex.Model, DataFrame)] = {
+  /** Load the persisted PQ artifact for the pinned snapshot: the
+    * codebook model, the codes table, and — when the index was built
+    * with `rotate = true` — the OPQ rotation, which consumers apply to
+    * the QUERY before any ADC against these (rotated-space) codes. */
+  private def loadPq(): Option[(PqIndex.Model, DataFrame,
+      Option[PqIndex.MatrixRotation])] = {
     val dir = pqDir(snap.version)
     val metaDir = s"$dir/meta"
     if (!fsFor(metaDir).exists(hadoopPath(metaDir))) None
@@ -1343,7 +1386,13 @@ final class DocumentStore private (
           .map(_._2.sortBy(_.getAs[Int]("code"))
             .map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq)
           .toIndexedSeq
-        Some((PqIndex.Model(books), spark.read.parquet(s"$dir/codes")))
+        val rotDir = s"$dir/rotation"
+        val rot =
+          if (!fsFor(rotDir).exists(hadoopPath(rotDir))) None
+          else Some(PqIndex.MatrixRotation(
+            spark.read.parquet(rotDir).orderBy("idx").collect()
+              .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq))
+        Some((PqIndex.Model(books), spark.read.parquet(s"$dir/codes"), rot))
       }
     }
   }
@@ -1373,10 +1422,15 @@ final class DocumentStore private (
       if (candidates > 0) candidates else effectivePqCandidates)
     loadPq() match {
       case None => similaritySearch(query, k)
-      case Some((model, codes)) =>
+      case Some((model, codes, rot)) =>
         val qv = embedder.embedQuery(query)
+        // OPQ index: codes live in rotated space — the ADC query must
+        // too. The exact rerank below stays in ORIGINAL space (the
+        // rotation is orthonormal; ranks agree, and the returned
+        // similarity is the plain-metric number callers expect).
+        val qAdc = rot.map(_.applyVec(qv.toSeq).toSeq).getOrElse(qv.toSeq)
         val candIds = codes
-          .withColumn("adc", model.adcMicrosCol(col("codes"), qv.toSeq, 4))
+          .withColumn("adc", model.adcMicrosCol(col("codes"), qAdc, 4))
           // null adc = null codes = null-vec doc: it can never be a
           // result, and ASC NULLS FIRST would let such rows consume
           // the whole candidate budget before any real row.

@@ -307,6 +307,44 @@ class DocumentStoreSpec extends SparkSpec {
       .map(_.toString).toSeq == exactAfter)
   }
 
+  test("rotated (OPQ) PQ index: exact when candidates cover the corpus; tuning rotates its probes; plain rebuild clears the rotation") {
+    val many = (0 until 80).map(i => s"opq store corpus document number $i about topic ${i % 6}")
+    val store = DocumentStore.fromTexts(spark, tmp(), many, Nil, StoreConfig(), emb)
+    store.buildPqIndex(m = 8, ksub = 4, rotate = true)
+    // Full-depth rotated search == exact search: the rotated ADC only
+    // ORDERS candidates; with the corpus-wide pool the original-space
+    // rerank sees everything, so OPQ cannot change the answer.
+    val exact = store.similaritySearch("topic 2 document", k = 5)
+      .select("doc_id", "similarity").collect().map(_.toString).toSeq
+    val viaOpq = store.similaritySearchPq("topic 2 document", k = 5,
+      candidates = many.length)
+      .select("doc_id", "similarity").collect().map(_.toString).toSeq
+    assert(viaOpq == exact)
+    // Tight depth still returns k rows and original-space similarities.
+    assert(store.similaritySearchPq("topic 2 document", k = 5,
+      candidates = 5).count() == 5)
+    // Tuning against the rotated index must rotate its ADC probes —
+    // an unrotated probe against rotated codes would rank garbage and
+    // the measured recall would collapse; full-depth recall must be 1.
+    val curve = store.tunePqCandidates(targetRecall = 0.99, k = 5,
+      sampleQueries = 6, depthFactors = Seq(2, many.length / 5))
+    assert(curve.map(_.recall).max >= 0.99,
+      s"rotated tuning recall collapsed: $curve")
+    // A plain (unrotated) rebuild on the same snapshot REMOVES the
+    // stale rotation — otherwise searches would rotate queries against
+    // unrotated codes.
+    store.buildPqIndex(m = 8, ksub = 4)
+    val viaPlain = store.similaritySearchPq("topic 2 document", k = 5,
+      candidates = many.length)
+      .select("doc_id", "similarity").collect().map(_.toString).toSeq
+    assert(viaPlain == exact)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val v = store.currentManifest.version
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"${store.path}/v$v/pq/rotation")))
+  }
+
   test("tuned PQ rerank depth is ADOPTED: no-arg searchPq uses the chosen depth, explicit wins, mutation resets") {
     val many = (0 until 120).map(i => s"pq tuning corpus document number $i about topic ${i % 7}")
     val store = DocumentStore.fromTexts(spark, tmp(), many, Nil, StoreConfig(), emb)
