@@ -47,7 +47,13 @@ object Layout {
     val maxVal = (1L << bits) - 1L
     val casts = cols.map(_.cast("long"))
     val inputs =
-      if (clamp) casts.map(c => greatest(lit(0L), least(c, lit(maxVal))))
+      // NULL must survive the clamp: least/greatest SKIP null arguments
+      // (least(NULL, max) = max), so the bare clamp would silently pin
+      // a NULL key to the curve's top edge among genuine max-key rows
+      // instead of propagating to a NULL z-value like the unclamped
+      // path does.
+      if (clamp) casts.map(c =>
+        when(c.isNotNull, greatest(lit(0L), least(c, lit(maxVal)))))
       else casts
     val n = cols.size
     val terms = for {

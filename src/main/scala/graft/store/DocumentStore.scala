@@ -281,8 +281,22 @@ final class DocumentStore private (
   private def buildNewRows(staged: DataFrame, existing: Option[DataFrame],
                            offset: Long,
                            bloom: Option[BloomFilter] = None): DataFrame = {
+    // Pin the staged batch ONCE before anything reads it: zipWithIndex
+    // alone runs a partition-count job plus the final compute, and the
+    // Bloom confirm both COLLECTS maybe-keys from and anti-joins
+    // against plans over this input — independent executions all. A
+    // nondeterministic source (unseeded sample(), rand()-derived, a
+    // directory racing appends) could otherwise disagree with itself
+    // between the dedup decision and the published rows — admitting a
+    // true duplicate past the screen or shifting ids under the embed.
+    // Batch-sized by contract; released in the finally once the result
+    // cache is materialized.
+    val pinned = staged
+      .select(col("text"), col("metadata").cast("map<string,string>"))
+      .cache()
+    try {
     // Input-order sequence for first-occurrence-wins dedup.
-    val withSeq = withDenseId(staged.select(col("text"), col("metadata").cast("map<string,string>")), "seq")
+    val withSeq = withDenseId(pinned, "seq")
 
     // Intra-batch dedup: first occurrence per text (index.py:202-218).
     val firstPerText = Window.partitionBy(col("text")).orderBy(col("seq"))
@@ -330,7 +344,13 @@ final class DocumentStore private (
 
     // Dense id assignment at the append offset (index.py:230):
     // zipWithIndex (no shuffle), input order preserved via sort by seq.
-    withDenseId(embedded.orderBy("seq"), "id", offset).cache()
+    val base = withDenseId(embedded.orderBy("seq"), "id", offset).cache()
+    // Materialize base's cache (load-bearing — see callers) from the
+    // still-pinned input before the finally releases it; otherwise the
+    // first downstream action would re-execute the raw staged plan.
+    base.count()
+    base
+    } finally { pinned.unpersist(); () }
   }
 
   /** Exact cross-batch dedup for rows the Bloom flagged `__maybe`,
@@ -888,6 +908,15 @@ final class DocumentStore private (
       case None =>
         (PqIndex.fit(essential, "vec", m, ksub, seed), essential)
     }
+    // REBUILD discipline: the previous build's meta stays fresh-looking
+    // for this whole rebuild (same snapshot, same n_docs), so a crash
+    // between the first artifact write and the final meta write would
+    // otherwise pair OLD codes with a NEW rotation (or rotated codes
+    // with a deleted rotation) behind a passing freshness gate —
+    // silently garbage ADC ranks. Invalidate meta FIRST (the lexical
+    // index's _complete discipline): any torn state now reads as
+    // absent and searches fall back to exact.
+    DocumentStore.deleteDir(spark, s"$dir/meta")
     // Rotation state lands BEFORE meta (the freshness gate): a torn
     // build reads as absent, never as unrotated-codes-with-rotation or
     // vice versa. A plain rebuild over a previously-rotated index must

@@ -307,15 +307,17 @@ object StreamingOps {
     // which file sinks reject and unqualified selects can't reference.
     val collisions = right.columns.toSet
       .intersect(left.columns.toSet) - keyCol
-    // A rename target that already exists on the right (`ts` AND
-    // `ts_right`, say) would itself create the duplicate name the
-    // rename exists to prevent — refuse loudly instead of producing an
+    // A rename target that already exists on EITHER side (`ts` AND
+    // `ts_right`, say — on the right, or `ts_right` sitting on the
+    // LEFT) would itself create the duplicate output name the rename
+    // exists to prevent — refuse loudly instead of producing an
     // unwritable result at sink time.
     val blocked = collisions.map(c => c -> s"${c}_right")
-      .filter { case (_, t) => right.columns.contains(t) }
+      .filter { case (_, t) =>
+        right.columns.contains(t) || left.columns.contains(t) }
     require(blocked.isEmpty,
       s"intervalJoinStream renames clashing right columns to `<name>_right`, " +
-        s"but the right side already has ${blocked.map(_._2).toSeq.sorted.mkString(", ")} — " +
+        s"but ${blocked.map(_._2).toSeq.sorted.mkString(", ")} already exists on an input — " +
         "rename the clashing columns on one side first")
     val rightSafe = collisions.foldLeft(right)((df, c) =>
       df.withColumnRenamed(c, s"${c}_right"))

@@ -56,6 +56,13 @@ class LayoutSpec extends SparkSpec {
       .select(Layout.zvalue(Seq(col("x"), col("y"))).as("z"))
       .collect().head
     assert(nullZ.isNullAt(0))
+    // ... under clamp too: least/greatest SKIP nulls, so the naive
+    // clamp pinned a NULL key to the curve's top edge among genuine
+    // max-key rows instead of yielding NULL.
+    val nullClamped = Seq((Some(3L), Option.empty[Long])).toDF("x", "y")
+      .select(Layout.zvalue(Seq(col("x"), col("y")), clamp = true).as("z"))
+      .collect().head
+    assert(nullClamped.isNullAt(0))
   }
 
   test("zvalue monotone on the curve: nearby cells share prefixes, quadrants order") {

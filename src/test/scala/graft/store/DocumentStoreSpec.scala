@@ -562,6 +562,35 @@ class DocumentStoreSpec extends SparkSpec {
     assert(byId == Map(0L -> "one", 1L -> "two", 2L -> "three"))
   }
 
+  test("ingest evaluates the staged plan exactly once (pinned input)") {
+    // zipWithIndex runs a size job plus the final compute, and the
+    // Bloom confirm both collects keys from and anti-joins against
+    // plans over the batch — before the pin, a nondeterministic staged
+    // source (unseeded sample(), a directory racing appends) could
+    // disagree with itself between the dedup decision and the published
+    // rows. An accumulator-instrumented source counts row-passes.
+    val store = DocumentStore.fromTexts(spark, tmp(),
+      Seq("pin corpus doc a", "pin corpus doc b"), Nil, StoreConfig(), emb)
+    val acc = spark.sparkContext.longAccumulator("staged_evals")
+    val rows = (0 until 12).map(i =>
+      if (i == 0) "pin corpus doc a" else s"pin new doc $i")
+    val rdd = spark.sparkContext.parallelize(rows, 3).map { t =>
+      acc.add(1L)
+      org.apache.spark.sql.Row(t, Map("source" -> "pin"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("metadata",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))))
+    store.addDF(spark.createDataFrame(rdd, schema))
+    assert(store.documentCount == 13) // one duplicate screened, 11 new
+    assert(acc.value == rows.length.toLong,
+      s"staged plan made ${acc.value} row-passes for ${rows.length} rows — must be exactly one evaluation")
+  }
+
   test("incremental append matches snapshot append exactly; compact preserves data") {
     import spark.implicits._
     def staged(ts: Seq[String]) =

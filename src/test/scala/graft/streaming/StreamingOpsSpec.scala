@@ -437,6 +437,14 @@ class StreamingOpsSpec extends SparkSpec {
       StreamingOps.intervalJoinStream(left, right, "user_id", "ts", "ts")
     }
     assert(ex.getMessage.contains("ts_right"))
+    // The LEFT side owning the rename target is the same duplicate:
+    // left (ts, ts_right) joined to right's ts renamed ts_right.
+    val leftTaken = left.withColumn("ts_right", lit("taken"))
+    val rightPlain = Seq((1L, ts(0), "home")).toDF("user_id", "ts", "page")
+    val ex2 = intercept[IllegalArgumentException] {
+      StreamingOps.intervalJoinStream(leftTaken, rightPlain, "user_id", "ts", "ts")
+    }
+    assert(ex2.getMessage.contains("ts_right"))
   }
 
   test("enrichTextStream rejects a non-streaming-safe embedder up front with a clear message") {
