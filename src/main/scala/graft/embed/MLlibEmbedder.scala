@@ -54,10 +54,18 @@ final case class MLlibEmbedder(dim: Int = 1024) extends Embedder {
 
   override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val idfLit = typedlit(weightsOrThrow.toSeq)
-    val renamed = df.withColumn("__graft_text", col(textCol))
+    // Tokenizer's lowercase UDF NPEs on a null input (the one embedder
+    // in the family that would abort the job on a null-text doc):
+    // screen nulls through an empty string for the pipeline, then NULL
+    // the OUTPUT vector — the HashEmbedder null-text contract, which
+    // the store's null-vec discipline already handles everywhere.
+    val renamed = df.withColumn("__graft_text",
+      coalesce(col(textCol), lit("")))
     val tf = hashingTF.transform(tokenizer.transform(renamed))
-    tf.withColumn(outCol, VectorFunctions.l2Normalize(
-        zip_with(vector_to_array(col("__graft_tf")), idfLit, (t, w) => t * w)))
+    tf.withColumn(outCol,
+        when(col(textCol).isNull, lit(null).cast("array<double>"))
+          .otherwise(VectorFunctions.l2Normalize(
+            zip_with(vector_to_array(col("__graft_tf")), idfLit, (t, w) => t * w))))
       .drop("__graft_text", "__graft_tokens", "__graft_tf")
   }
 
@@ -69,6 +77,8 @@ final case class MLlibEmbedder(dim: Int = 1024) extends Embedder {
     * whitespace (they hash into a bucket like any term); dropping them
     * here would break the bit-identity contract with [[embed]]. */
   override def embedQuery(text: String): Array[Double] = {
+    require(text != null,
+      "embedQuery(null): null text embeds as a NULL vector in the column form")
     val idf = weightsOrThrow
     val terms = text.toLowerCase.split("\\s").toSeq
     val counts = new Array[Double](dim)

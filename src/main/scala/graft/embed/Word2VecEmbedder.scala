@@ -36,11 +36,11 @@ final case class Word2VecEmbedder(dim: Int = 64, minCount: Int = 1,
     throw new IllegalStateException(
       "Word2VecEmbedder: call fit(corpus) or load(path) before embedding"))
 
-  /** The shared tokenization of fit/embed/embedQuery: lowercase,
-    * whitespace split, empty tokens dropped (a leading-whitespace doc
-    * must not put "" into the vocabulary). */
+  /** The shared tokenization of fit/embed/embedQuery — ONE definition
+    * in the companion so the batch and broadcast-streaming paths can't
+    * drift (see [[Word2VecEmbedder.tokensCol]]). */
   private def tokensCol(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+    Word2VecEmbedder.tokensCol(text)
 
   /** Fit word vectors on a corpus column (one MLlib Word2Vec fit). */
   def fit(df: DataFrame, textCol: String): Word2VecEmbedder = {
@@ -103,7 +103,7 @@ final case class Word2VecEmbedder(dim: Int = 64, minCount: Int = 1,
     * vocabulary map materializes lazily once (vocabulary-sized). */
   override def embedQuery(text: String): Array[Double] =
     Word2VecEmbedder.poolTokens(vocabMap, dim,
-      sqlLower(text).split("\\s+").iterator.filter(_.nonEmpty))
+      Word2VecEmbedder.driverTokens(text))
 
   private def vocabMap: Map[String, Array[Double]] =
     queryMap.getOrElse {
@@ -125,20 +125,54 @@ final case class Word2VecEmbedder(dim: Int = 64, minCount: Int = 1,
     new BroadcastWord2VecEmbedder(dim,
       spark.sparkContext.broadcast(vocabMap))
 
-  /** Persist the fitted (word, vector) table. */
+  /** Persist the fitted (word, vector) table, stamped with this
+    * embedder's fit hyperparameters (constant columns on a
+    * vocabulary-sized table cost nothing) so a loaded instance can be
+    * RE-fit reproducibly — load used to reconstruct with default
+    * minCount/seed, silently training a different vocabulary on the
+    * next fit. */
   def save(spark: SparkSession, path: String): Unit =
-    vecsOrThrow.write.mode("overwrite").parquet(path)
+    vecsOrThrow
+      .withColumn("__minCount", lit(minCount))
+      .withColumn("__seed", lit(seed))
+      .write.mode("overwrite").parquet(path)
 }
 
 object Word2VecEmbedder {
-  /** Restore a fitted embedder from [[Word2VecEmbedder.save]] output. */
+  /** Restore a fitted embedder from [[Word2VecEmbedder.save]] output,
+    * including its fit-time minCount/seed (tables written before those
+    * columns existed load with the defaults). An empty vocabulary is
+    * refused loudly — there is no dim to infer and every embedding
+    * would be the zero vector. */
   def load(spark: SparkSession, path: String): Word2VecEmbedder = {
-    val vecs = spark.read.parquet(path).cache()
-    val dim = vecs.head.getSeq[Double](1).length
-    val emb = Word2VecEmbedder(dim)
-    emb.wordVecs = Some(vecs)
+    val raw = spark.read.parquet(path)
+    val hasParams = raw.columns.contains("__minCount")
+    val head = raw.limit(1).collect().headOption.getOrElse(
+      throw new IllegalStateException(
+        s"Word2VecEmbedder.load($path): saved vocabulary is EMPTY — " +
+          "re-fit with a lower minCount or a larger corpus"))
+    val dim = head.getAs[scala.collection.Seq[Double]]("__wv").length
+    val emb =
+      if (hasParams)
+        Word2VecEmbedder(dim, head.getAs[Int]("__minCount"),
+          head.getAs[Long]("__seed"))
+      else Word2VecEmbedder(dim)
+    emb.wordVecs = Some(raw.select(col("__w"), col("__wv")).cache())
     emb
   }
+
+  /** THE tokenization of every Word2Vec path (fit, batch embed, the
+    * broadcast streaming twin): lowercase, whitespace split, empty
+    * tokens dropped (a leading-whitespace doc must not put "" into
+    * the vocabulary). One definition so the bit-parity contract can't
+    * drift between paths. */
+  private[embed] def tokensCol(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Driver twin of [[tokensCol]] (sqlLower = byte-for-byte SQL
+    * `lower`), shared by both embedQuery paths. */
+  private[embed] def driverTokens(text: String): Iterator[String] =
+    sqlLower(text).split("\\s+").iterator.filter(_.nonEmpty)
 
   /** Driver/executor twin of SQL `lower()`, byte-for-byte (see the
     * locale note on [[Word2VecEmbedder]]'s embedQuery). */
@@ -222,10 +256,10 @@ final class BroadcastWord2VecEmbedder private[embed] (
       if (toks == null) new Array[Double](d)
       else Word2VecEmbedder.poolTokens(b.value, d, toks.iterator))
     df.withColumn(outCol,
-      pool(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")))
+      pool(Word2VecEmbedder.tokensCol(col(textCol))))
   }
 
   override def embedQuery(text: String): Array[Double] =
     Word2VecEmbedder.poolTokens(vocab.value, dim,
-      Word2VecEmbedder.sqlLower(text).split("\\s+").iterator.filter(_.nonEmpty))
+      Word2VecEmbedder.driverTokens(text))
 }

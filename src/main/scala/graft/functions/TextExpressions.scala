@@ -73,12 +73,17 @@ private[functions] object MinHashKernel {
     val m = arr.numElements()
     var i = 0
     while (i < m) {
-      val h0 = HashFunctions.hash60Parts(arr.getUTF8String(i).getBytes) % p
-      var s = 0
-      while (s < numHashes) {
-        val v = (coefA(s) * h0 + coefB(s)) % p
-        if (v < sig(s)) sig(s) = v
-        s += 1
+      // Skip null elements like the HOF twin does (a null shingle's
+      // rehash is null, which array_min ignores) — getUTF8String on a
+      // null slot would NPE the task instead.
+      if (!arr.isNullAt(i)) {
+        val h0 = HashFunctions.hash60Parts(arr.getUTF8String(i).getBytes) % p
+        var s = 0
+        while (s < numHashes) {
+          val v = (coefA(s) * h0 + coefB(s)) % p
+          if (v < sig(s)) sig(s) = v
+          s += 1
+        }
       }
       i += 1
     }

@@ -158,7 +158,13 @@ case class BoundedTopKAgg(
   }
 
   override def createAggregationBuffer(): java.util.PriorityQueue[UnsafeRow] =
-    new java.util.PriorityQueue[UnsafeRow](k, reverseKeyOrder)
+    // Initial capacity min(k, 16), NOT k: hash-mode aggregation holds
+    // one buffer per live key per task, and withBoundedTopKConf raises
+    // the hash-mode key threshold on the premise that memory tracks
+    // rows HELD — a size-k preallocation would pay keysPerTask × k
+    // refs of empty array up front (k=1000 at 1M keys/task = ~8 GB of
+    // empty heap) before any row is admitted. The queue grows itself.
+    new java.util.PriorityQueue[UnsafeRow](math.min(k, 16), reverseKeyOrder)
 
   private def insert(buffer: java.util.PriorityQueue[UnsafeRow], row: UnsafeRow): Unit =
     if (buffer.size < k) buffer.add(row)

@@ -36,10 +36,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * denominator could never know) — a partially-null embedding is
   * corrupt input to fix upstream, not a value.
   */
-case class VectorSumFixed6Agg(
-    child: Expression,
-    override val mutableAggBufferOffset: Int = 0,
-    override val inputAggBufferOffset: Int = 0)
+/** The shared shell of the fixed-point vector aggregates: long[]
+  * buffer lifecycle, the one serde format, the array<double> type
+  * check, and the null-element guard — ONE definition so the two
+  * aggregates' shuffle formats can't silently diverge (a length prefix
+  * or endianness change must reach both or partial merges corrupt). */
+sealed trait FixedPointVectorAgg
   extends TypedImperativeAggregate[Array[Long]]
   with UnaryLike[Expression] {
 
@@ -52,38 +54,14 @@ case class VectorSumFixed6Agg(
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
-  override def prettyName: String = "graft_vec_sum_micro"
 
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
-  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
-    val v = child.eval(input)
-    if (v == null) buffer
-    else {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val b = if (buffer.length >= n) buffer
-        else java.util.Arrays.copyOf(buffer, n)
-      var i = 0
-      while (i < n) {
-        if (arr.isNullAt(i)) throw new graft.GraftException(
-          s"$prettyName: null element at dim $i — a partially-null " +
-            "vector is corrupt input; filter or repair it upstream " +
-            "(a silent 0.0 would bias the pooled dimension)")
-        b(i) += (arr.getDouble(i) * 1e6).toLong
-        i += 1
-      }
-      b
-    }
-  }
-
-  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
-    val (big, small) =
-      if (buffer.length >= other.length) (buffer, other) else (other, buffer)
-    var i = 0
-    while (i < small.length) { big(i) += small(i); i += 1 }
-    big
-  }
+  protected final def nullElementError(i: Int): Nothing =
+    throw new graft.GraftException(
+      s"$prettyName: null element at dim $i — a partially-null " +
+        "vector is corrupt input; filter or repair it upstream " +
+        "(a silent 0.0 would bias the pooled dimension)")
 
   override def eval(buffer: Array[Long]): Any =
     if (buffer.length == 0) null else new GenericArrayData(buffer)
@@ -101,6 +79,41 @@ case class VectorSumFixed6Agg(
     var i = 0
     while (i < out.length) { out(i) = bb.getLong(); i += 1 }
     out
+  }
+}
+
+case class VectorSumFixed6Agg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends FixedPointVectorAgg {
+
+  override def prettyName: String = "graft_vec_sum_micro"
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val b = if (buffer.length >= n) buffer
+        else java.util.Arrays.copyOf(buffer, n)
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) nullElementError(i)
+        b(i) += (arr.getDouble(i) * 1e6).toLong
+        i += 1
+      }
+      b
+    }
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    val (big, small) =
+      if (buffer.length >= other.length) (buffer, other) else (other, buffer)
+    var i = 0
+    while (i < small.length) { big(i) += small(i); i += 1 }
+    big
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumFixed6Agg =
@@ -124,23 +137,13 @@ case class VectorMinMaxFixed6Agg(
     isMax: Boolean,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]]
-  with UnaryLike[Expression] {
+  extends FixedPointVectorAgg {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<double>, got ${other.simpleString}")
-  }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = true
   override def prettyName: String =
     if (isMax) "graft_vec_max_micro" else "graft_vec_min_micro"
 
   @inline private def pick(a: Long, b: Long): Long =
     if (isMax) math.max(a, b) else math.min(a, b)
-
-  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -152,10 +155,7 @@ case class VectorMinMaxFixed6Agg(
       val b = if (m >= n) buffer else java.util.Arrays.copyOf(buffer, n)
       var i = 0
       while (i < n) {
-        if (arr.isNullAt(i)) throw new graft.GraftException(
-          s"$prettyName: null element at dim $i — a partially-null " +
-            "vector is corrupt input; filter or repair it upstream " +
-            "(a silent 0.0 would bias the pooled dimension)")
+        if (arr.isNullAt(i)) nullElementError(i)
         val x = (arr.getDouble(i) * 1e6).toLong
         b(i) = if (i < m) pick(b(i), x) else x
         i += 1
@@ -170,24 +170,6 @@ case class VectorMinMaxFixed6Agg(
     var i = 0
     while (i < small.length) { big(i) = pick(big(i), small(i)); i += 1 }
     big
-  }
-
-  override def eval(buffer: Array[Long]): Any =
-    if (buffer.length == 0) null else new GenericArrayData(buffer)
-
-  override def serialize(buffer: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(buffer.length * 8)
-    var i = 0
-    while (i < buffer.length) { bb.putLong(buffer(i)); i += 1 }
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val out = new Array[Long](bytes.length / 8)
-    var i = 0
-    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
-    out
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): VectorMinMaxFixed6Agg =

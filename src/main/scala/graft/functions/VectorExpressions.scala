@@ -344,6 +344,11 @@ case class NearestCentroidsExpr(child: Expression,
   */
 case class HashEmbedExpr(child: Expression, dim: Int)
     extends UnaryExpression with CodegenFallback {
+  // The SQL registration (graft_hash_embed) reaches here without
+  // HashEmbedder's constructor check: a non-positive dim would pass
+  // analysis and then fail (dim < 0) or silently emit empty vectors
+  // (dim == 0) per row at execution.
+  require(dim > 0, s"graft_hash_embed: dim must be positive, got $dim")
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_hash_embed"
 

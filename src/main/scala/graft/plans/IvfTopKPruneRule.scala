@@ -222,13 +222,18 @@ case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def pruneAboveJoin(child: LogicalPlan, l: Expression, r: Expression,
                              perQueryOf: LogicalPlan => Boolean): Option[LogicalPlan] =
     child.collectFirst { case j: Join => j }.flatMap { join =>
-      val scan = join.collectFirst {
+      // collect ALL file scans and keep the first REGISTERED one — a
+      // collectFirst would stop at whichever parquet relation pre-order
+      // reaches first (e.g. an unregistered queries table), return None
+      // from lookup, and silently disable the rewrite for the store
+      // scan sitting right next to it.
+      val scan = join.collect {
         case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
           val fs = lr.relation.asInstanceOf[HadoopFsRelation]
           lookup(fs.location.rootPaths.map(_.toString))
             .flatMap(reg => lr.output.find(_.name == reg.clusterCol)
               .map(cl => (lr, reg, cl)))
-      }.flatten
+      }.flatten.headOption
       scan.flatMap { case (lr, reg, clusterAttr) =>
         // which join child holds the scan — the other is queries
         val scanOnLeft = join.left.collectFirst {
@@ -300,14 +305,18 @@ case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .flatMap(scoreQueryVec)
     matched.filter { case (_, _, higherIsBetter) => higherIsBetter == wantHigher }
       .flatMap { case (queryVec, vecSide, _) =>
-      child.collectFirst {
+      // ALL scans, first REGISTERED one — see pruneAboveJoin: a
+      // collectFirst stops at the first parquet relation in pre-order
+      // even when it's not a registered store, silently disabling the
+      // rewrite.
+      child.collect {
         case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
           val fs = lr.relation.asInstanceOf[HadoopFsRelation]
           lookup(fs.location.rootPaths.map(_.toString))
             .flatMap { reg =>
               lr.output.find(_.name == reg.clusterCol).map(cl => (lr, reg, cl))
             }
-      }.flatten.flatMap { case (lr, reg, clusterAttr) =>
+      }.flatten.headOption.flatMap { case (lr, reg, clusterAttr) =>
         val readsThisScan = vecSide.references.nonEmpty &&
           vecSide.references.subsetOf(lr.outputSet)
         val alreadyPruned = child.exists {

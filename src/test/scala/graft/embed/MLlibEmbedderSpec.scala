@@ -47,6 +47,22 @@ class MLlibEmbedderSpec extends SparkSpec {
     intercept[IllegalStateException](MLlibEmbedder(64).embed(corpus, "text", "v"))
   }
 
+  test("null text embeds as a NULL vector (no NPE); other rows unaffected") {
+    // Tokenizer's lowercase UDF NPEs on null input — the embedder must
+    // screen it and honor the family's null-text -> null-vec contract
+    // (a HashEmbedder-backed pipeline must not die when switched here).
+    val emb = MLlibEmbedder(dim = 32).fit(corpus, "text")
+    val out = emb.embed(
+        Seq((0L, "the quick fox"), (1L, null.asInstanceOf[String]))
+          .toDF("id", "text"),
+        "text", "vec")
+      .orderBy("id").select("vec").collect()
+    assert(out(0).getSeq[Double](0).length == 32)
+    assert(out(1).isNullAt(0))
+    val ex = intercept[IllegalArgumentException](emb.embedQuery(null))
+    assert(ex.getMessage.contains("null"))
+  }
+
   test("save/load round-trips the fitted weights") {
     val dir = java.nio.file.Files.createTempDirectory("graft-idf").toString + "/idf"
     val emb = MLlibEmbedder(dim = 128).fit(corpus, "text")

@@ -61,6 +61,33 @@ class Word2VecEmbedderSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("load restores fit-time minCount/seed; an empty saved vocabulary is refused loudly") {
+    // "spark"/"compute"/"engine"/"cat"/"dog"/"pet"/"animal" appear
+    // twice in the corpus, the rest once: minCount = 2 keeps a real
+    // vocabulary while proving the params round-trip (load used to
+    // reconstruct with the DEFAULTS, so a re-fit on the loaded
+    // instance silently trained a different vocabulary).
+    val emb = Word2VecEmbedder(dim = 16, minCount = 2, seed = 7L)
+      .fit(corpus, "text")
+    val dir = Files.createTempDirectory("graft-w2v-p").toString + "/vecs"
+    emb.save(spark, dir)
+    val loaded = Word2VecEmbedder.load(spark, dir)
+    assert(loaded.minCount == 2 && loaded.seed == 7L && loaded.dim == 16)
+    val emptyDir = Files.createTempDirectory("graft-w2v-e").toString + "/vecs"
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__w",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__wv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+      .write.parquet(emptyDir)
+    val ex = intercept[IllegalStateException](
+      Word2VecEmbedder.load(spark, emptyDir))
+    assert(ex.getMessage.contains("EMPTY"))
+  }
+
   test("broadcastEmbedder: streaming-safe twin, embeddings BIT-IDENTICAL to the batch path") {
     val emb = Word2VecEmbedder(dim = 16).fit(corpus, "text")
     val bcast = emb.broadcastEmbedder(spark)

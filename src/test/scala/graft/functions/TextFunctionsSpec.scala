@@ -117,6 +117,19 @@ class TextFunctionsSpec extends SparkSpec {
       minhashSignatureFused($"sh", 16) =!= minhashSignatureFromShingles($"sh", 16)
     ).count()
     assert(bad == 0)
+    // A user-supplied shingle array with NULL elements: the fused
+    // kernel must SKIP them like the HOF twin (whose null rehashes
+    // array_min ignores) — getUTF8String on a null slot would NPE the
+    // task. All-null arrays hit both paths' empty sentinel.
+    val raw = Seq(1).toDF("i").select(
+      array(lit("a"), lit(null).cast("string"), lit("b")).as("mixed"),
+      array(lit(null).cast("string")).as("allnull"))
+    val parity = raw.select(
+      (minhashSignatureFused($"mixed", 16) <=>
+        minhashSignatureFromShingles($"mixed", 16)).as("m"),
+      (minhashSignatureFused($"allnull", 16) <=>
+        minhashSignatureFromShingles($"allnull", 16)).as("a")).head
+    assert(parity.getBoolean(0) && parity.getBoolean(1))
   }
 
   test("fused minhash band keys == interpreted banding construction") {

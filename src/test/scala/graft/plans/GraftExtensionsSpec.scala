@@ -32,4 +32,18 @@ class GraftExtensionsSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))").head)
     assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("graft_dot"))
   }
+
+  test("graft_hash_embed rejects a non-positive dim at analysis, not per row") {
+    GraftExtensions.register(spark)
+    // The SQL route bypasses HashEmbedder's constructor check; without
+    // the expression-level guard dim=-1 passed analysis and threw
+    // NegativeArraySizeException inside every task (dim=0 silently
+    // returned empty vectors as embeddings).
+    val neg = intercept[Exception](
+      spark.sql("SELECT graft_hash_embed('x', -1)").head)
+    assert(neg.getMessage.contains("positive"))
+    val zero = intercept[Exception](
+      spark.sql("SELECT graft_hash_embed('x', 0)").head)
+    assert(zero.getMessage.contains("positive"))
+  }
 }

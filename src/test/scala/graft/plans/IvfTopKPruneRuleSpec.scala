@@ -224,6 +224,34 @@ class IvfTopKPruneRuleSpec extends SparkSpec {
     }
   }
 
+  test("an unregistered parquet scan ahead of the store in plan order does not disable pruning") {
+    withRule {
+      IvfTopKPruneRule.register(storePath, model, nprobe = 2)
+      spark.conf.set(IvfTopKPruneRule.ConfKey, "true")
+      try {
+        // The metadata table is the FIRST LogicalRelation in pre-order
+        // (left side of the join): a collectFirst over scans matched it,
+        // lookup() returned None, and the rewrite silently bailed for
+        // the registered store right next to it.
+        val metaDir = Files.createTempDirectory("graft-ivf-meta").toString + "/meta"
+        (0 until 64).map(i => (i.toLong, s"m$i")).toDF("id", "tag")
+          .write.parquet(metaDir)
+        val qv = emb.embedQuery("document number 7").toSeq
+        val joined = spark.read.parquet(metaDir)
+          .join(spark.read.parquet(storePath), "id")
+          .withColumn("score",
+            VectorFunctions.cosineSimilarity(col("vec"), typedlit(qv)))
+          .orderBy(desc("score"), asc("id"))
+          .limit(5)
+        assert(clusterFilters(joined).nonEmpty,
+          "the registered store scan must still be pruned")
+      } finally {
+        spark.conf.unset(IvfTopKPruneRule.ConfKey)
+        IvfTopKPruneRule.unregister(storePath)
+      }
+    }
+  }
+
   test("ip (desc) and l2 (asc) rankings prune like cosine") {
     withRule {
       IvfTopKPruneRule.register(storePath, model, nprobe = 2)
