@@ -33,11 +33,16 @@ object Contamination {
     * bogus row, and no downstream join could attribute the result
     * anyway. [[decontaminate]] drops them for the same reason.
     *
-    * Candidate ids must be UNIQUE: duplicate ids with equal n-gram
-    * counts merge in the same groupBy and their overlaps sum — the
-    * only way n_overlap can exceed n_ngrams (bench grams are distinct,
-    * candidate shingles are distinct per doc), so that condition is
-    * checked and RAISES instead of emitting contamination_frac > 1. */
+    * Candidate ids must be UNIQUE, and the check is STRUCTURAL (the
+    * old overlap > n_ngrams heuristic only caught duplicates whose
+    * summed overlap happened to exceed the count — partial-overlap
+    * duplicates silently inflated contamination_frac, and
+    * differing-text duplicates emitted two rows per id): shingles are
+    * distinct per doc and bench grams are distinct, so with unique ids
+    * every joined (id, shingle) pair is unique and every id has ONE
+    * n-gram count — a repeated shingle within an id (count !=
+    * count distinct) or two n-gram counts (min != max) is a duplicate
+    * id, and RAISES. */
   def ngramOverlap(candidates: DataFrame, bench: DataFrame,
                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val benchGrams = bench
@@ -51,18 +56,22 @@ object Contamination {
     val exploded = withSh.select(col("id"), size(col("shs")).as("n_ngrams"),
       explode(col("shs")).as("sh"))
     exploded.join(broadcast(benchGrams), "sh")
-      .groupBy(col("id"), col("n_ngrams"))
-      .agg(count(lit(1)).as("n_overlap"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__cnt"),
+        countDistinct(col("sh")).as("__dsh"),
+        min(col("n_ngrams")).as("__nmin"),
+        max(col("n_ngrams")).as("__nmax"))
       .select(
         col("id").as(idCol),
-        col("n_ngrams").cast("long").as("n_ngrams"),
-        col("n_overlap").cast("long").as("n_overlap"),
-        when(col("n_overlap") > col("n_ngrams"),
+        col("__nmax").cast("long").as("n_ngrams"),
+        col("__cnt").cast("long").as("n_overlap"),
+        when(col("__cnt") =!= col("__dsh") || col("__nmin") =!= col("__nmax"),
           raise_error(concat(
-            lit("ngramOverlap: overlap exceeds the doc's n-gram count — " +
-              "duplicate candidate id: "), col("id").cast("string"))))
+            lit("ngramOverlap: duplicate candidate id (same shingle " +
+              "joined twice, or two n-gram counts under one id): "),
+            col("id").cast("string"))))
           .otherwise(
-            round(col("n_overlap").cast("double") / col("n_ngrams").cast("double"), 4))
+            round(col("__cnt").cast("double") / col("__nmax").cast("double"), 4))
           .as("contamination_frac"))
   }
 

@@ -56,8 +56,14 @@ object Dsir {
                         buckets: Int = 4096, logScale: Int = 6,
                         outScale: Int = 4): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // Null-id docs are unattributable: the scoring groupBy would MERGE
+    // them all into one bogus row whose inflated weight could win a
+    // selectTopK slot from a real document — drop them, the same
+    // conservative direction decontaminate takes (they also stay out
+    // of the raw LM counts: both sides of the ratio see one corpus).
     val docBuckets = bucketed(
-      raw.select(col(idCol).as("id"), col(textCol).as("txt")), buckets)
+      raw.where(col(idCol).isNotNull)
+        .select(col(idCol).as("id"), col(textCol).as("txt")), buckets)
     // Both count tables have AT MOST `buckets` rows — fixed by config,
     // independent of corpus size — so the per-bucket log-ratio table is
     // computed ON THE DRIVER from two bounded collects (the same
@@ -102,10 +108,21 @@ object Dsir {
       // Round the exact DECIMAL sum FIRST, cast after: rounding through
       // an intermediate double can flip a x.xxx05 boundary (the nearest
       // double may sit just below it) and diverge between engines.
-      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+      .agg(count(lit(1)).cast("long").as("__cnt"),
+        max(col("nbg")).as("__nbg"),
         round(sum(col("logr").cast(s"decimal(18,$logScale)")), outScale)
           .cast("double").as("logweight"))
-      .select(col("id").as(idCol), col("n_bigrams"), col("logweight"))
+      .select(col("id").as(idCol),
+        // Duplicate raw ids MERGE in this groupBy (two docs' evidence
+        // summed under one id — silently wrong selection): with unique
+        // ids the group's row count equals its bigram count exactly
+        // (see bucketed), so any mismatch is a duplicate — raise.
+        when(col("__cnt") =!= col("__nbg"), raise_error(concat(
+            lit("importanceWeights: duplicate id in raw — weights " +
+              "would merge two documents' evidence: "),
+            col("id").cast("string"))))
+          .otherwise(col("__cnt")).as("n_bigrams"),
+        col("logweight"))
   }
 
   /** Deterministic top-k selection over [[importanceWeights]] output:
@@ -173,21 +190,39 @@ object Dsir {
     require(w.groupBy("bkt").count().where(col("count") > 1).isEmpty,
       "scoreWithWeights: duplicate bkt entries in the weight table — " +
         "deduplicate (one weight per bucket) before scoring")
-    bucketed(df.select(col(idCol).as("id"), col(textCol).as("txt")), buckets)
+    // Same null/duplicate id discipline as importanceWeights: null ids
+    // are unattributable (dropped); duplicates would merge two docs'
+    // scores — detected for free via the carried bigram count.
+    bucketed(df.where(col(idCol).isNotNull)
+        .select(col(idCol).as("id"), col(textCol).as("txt")), buckets)
       .join(broadcast(w), Seq("bkt"), "left")
       .groupBy("id")
-      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+      .agg(count(lit(1)).cast("long").as("__cnt"),
+        max(col("nbg")).as("__nbg"),
         round(sum(coalesce(col("weight"), lit(0.0))
           .cast(s"decimal(18,$logScale)")), outScale)
           .cast("double").as("score"))
-      .select(col("id").as(idCol), col("n_bigrams"), col("score"))
+      .select(col("id").as(idCol),
+        when(col("__cnt") =!= col("__nbg"), raise_error(concat(
+            lit("scoreWithWeights: duplicate id — scores would merge " +
+              "two documents' evidence: "), col("id").cast("string"))))
+          .otherwise(col("__cnt")).as("n_bigrams"),
+        col("score"))
   }
 
-  /** (id, bkt) per bigram occurrence: single-space tokenization (the
-    * corpus contract shared by all text ops here), sha-derived bucket. */
+  /** (id, nbg, bkt) per bigram occurrence: single-space tokenization
+    * (the corpus contract shared by all text ops here), sha-derived
+    * bucket. `nbg` carries the row's expected bigram count
+    * (tokens - 1) so the scoring aggregates can detect a DUPLICATE id
+    * for free: with unique ids every group's row count equals its nbg
+    * exactly (each occurrence joins once), so count != max(nbg) ⇔ two
+    * docs merged under one id — no extra shuffle, unlike a standalone
+    * uniqueness aggregate over the corpus. */
   private def bucketed(df: DataFrame, buckets: Int): DataFrame =
     df.select(col("id"), tokens(col("txt")).as("toks"))
       .where(size(col("toks")) >= 2)
-      .select(col("id"), explode(QualitySignals.rawBigrams(col("toks"))).as("bg"))
-      .select(col("id"), pmod(HashFunctions.hash60(col("bg")), lit(buckets.toLong)).as("bkt"))
+      .select(col("id"), (size(col("toks")) - 1).cast("long").as("nbg"),
+        explode(QualitySignals.rawBigrams(col("toks"))).as("bg"))
+      .select(col("id"), col("nbg"),
+        pmod(HashFunctions.hash60(col("bg")), lit(buckets.toLong)).as("bkt"))
 }

@@ -91,7 +91,19 @@ object Packing {
         col("__idl") - pmod(col("__idl"), lit(bucketWidth)))
     // Clamped token term shared by BOTH sums (the clamp must agree or
     // the stitched offsets diverge from the within-bucket partials).
-    val tok = greatest(col(tokensCol).cast("long"), lit(0L))
+    // NULL clamps to 0 (absent counts are the documented contract; the
+    // oracle mirrors GREATEST(COALESCE(n, 0), 0)) — but a NON-null
+    // value that fails the cast is a wrong column or corrupt input and
+    // raises, symmetric with the id screen above: a plain cast would
+    // null it and the clamp would silently pack the whole corpus into
+    // seq_id 0.
+    val tokLong = col(tokensCol).try_cast("long")
+    val tok = greatest(
+      when(col(tokensCol).isNotNull && tokLong.isNull, raise_error(concat(
+          lit(s"packSequences: token count in '$tokensCol' is not castable to long: "),
+          col(tokensCol).cast("string"))))
+        .otherwise(coalesce(tokLong, lit(0L))),
+      lit(0L))
     val bucketTotals = base.groupBy("__bucket")
       .agg(sum(tok).as("__bt"))
     // The bucket table has corpus/bucketWidth rows — the single-ordered

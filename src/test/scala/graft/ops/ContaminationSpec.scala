@@ -65,6 +65,36 @@ class ContaminationSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("duplicate candidate id")), msgs(e).mkString("|"))
   }
 
+  test("PARTIAL-overlap duplicates raise too (the old sum>count heuristic missed them)") {
+    // Replaying cand 1 doubles its single overlapping shingle: the
+    // merged count (2) never exceeds n_ngrams (5), so the old
+    // overlap>n_ngrams check passed and frac silently read 0.4 instead
+    // of 0.2. The structural check (count != count distinct) fires.
+    val dup = cands.unionByName(
+      Seq((1L, "a sly quick brown fox runs far")).toDF("doc_id", "text"))
+    val e = intercept[Exception] {
+      Contamination.ngramOverlap(dup, bench, "doc_id", "text", 3).collect()
+    }
+    assert(chain(e).exists(_.contains("duplicate candidate id")), chain(e).mkString("|"))
+  }
+
+  test("differing-text duplicates raise (two n-gram counts under one id)") {
+    // Same id, different text, DISJOINT overlapping shingles — the
+    // per-shingle distinct check can't see it, but the two texts carry
+    // different n-gram counts (5 vs 3) under one id: min != max fires.
+    // Pre-fix this emitted TWO rows for id 1, duplicating any
+    // downstream join on the id.
+    val dup = cands.unionByName(
+      Seq((1L, "big brown fox jumps high")).toDF("doc_id", "text"))
+    val e = intercept[Exception] {
+      Contamination.ngramOverlap(dup, bench, "doc_id", "text", 3).collect()
+    }
+    assert(chain(e).exists(_.contains("duplicate candidate id")), chain(e).mkString("|"))
+  }
+
+  private def chain(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+
   test("short texts (fewer than n tokens) have no n-grams and pass") {
     val tiny = Seq((9L, "too short")).toDF("doc_id", "text")
     assert(Contamination.ngramOverlap(tiny, bench, "doc_id", "text", 3).isEmpty)

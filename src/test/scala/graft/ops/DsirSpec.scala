@@ -91,6 +91,42 @@ class DsirSpec extends SparkSpec {
     assert(msgs.contains("no bigrams"), s"unexpected failure: $msgs")
   }
 
+  test("null-id docs are dropped, never merged into one bogus weight row") {
+    import spark.implicits._
+    // Two strongly target-like null-id docs: pre-screen they merged in
+    // groupBy("id") into ONE row whose summed weight could win a
+    // selectTopK slot from a real document.
+    val nullRows = Seq("alpha beta alpha beta", "alpha beta alpha beta")
+      .toDF("text").withColumn("doc_id", lit(null).cast("long"))
+      .select("doc_id", "text")
+    val w = Dsir.importanceWeights(corpus.unionByName(nullRows),
+      corpus.where(col("doc_id").isin(0L, 1L)), "doc_id", "text", buckets = 256)
+    assert(w.where(col("doc_id").isNull).isEmpty)
+    assert(w.count() === 5) // docs 0-4, unchanged
+    val s = Dsir.scoreWithWeights(corpus.unionByName(nullRows), "doc_id",
+      "text", Seq((-1L, 0.5)).toDF("bkt", "weight"), buckets = 256)
+    assert(s.where(col("doc_id").isNull).isEmpty)
+    assert(s.count() === 5)
+  }
+
+  test("duplicate ids RAISE instead of merging two documents' evidence") {
+    import spark.implicits._
+    val dup = corpus.unionByName(
+      Seq((2L, "alpha beta alpha beta")).toDF("doc_id", "text"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e1 = intercept[Throwable] {
+      Dsir.importanceWeights(dup, corpus.where(col("doc_id") === 0L),
+        "doc_id", "text", buckets = 256).collect()
+    }
+    assert(msgs(e1).exists(_.contains("duplicate id")), msgs(e1).mkString("|"))
+    val e2 = intercept[Throwable] {
+      Dsir.scoreWithWeights(dup, "doc_id", "text",
+        Seq((-1L, 0.5)).toDF("bkt", "weight"), buckets = 256).collect()
+    }
+    assert(msgs(e2).exists(_.contains("duplicate id")), msgs(e2).mkString("|"))
+  }
+
   test("weights are reproducible across runs (sha-derived buckets)") {
     val a = weights.orderBy("doc_id").collect().map(_.toSeq)
     val b = weights.orderBy("doc_id").collect().map(_.toSeq)

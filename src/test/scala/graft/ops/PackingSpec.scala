@@ -77,6 +77,26 @@ class PackingSpec extends SparkSpec {
     assert(kept.map(_.getLong(1)).toSeq == Seq(0L, 5L)) // null row contributed nothing
   }
 
+  test("non-castable token counts raise; nulls still clamp to 0") {
+    // A wrong tokensCol (e.g. the text column passed by mistake) used
+    // to cast->null->clamp-to-0 and silently pack the whole corpus
+    // into seq_id 0; now it raises like the id screen, while genuine
+    // nulls keep the documented clamp-to-0 contract (previous test).
+    val wrongCol = Seq((0L, "ten"), (1L, "seven")).toDF("id", "toks")
+    val ex = intercept[Exception] {
+      Packing.packSequences(wrongCol, "id", "toks", capacity = 64).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("token count in 'toks' is not castable")),
+      msgs(ex).mkString("|"))
+    // Numeric STRINGS are fine — the contract is castability, not type.
+    val strToks = Seq((0L, "10"), (1L, "7")).toDF("id", "toks")
+    val out = Packing.packSequences(strToks, "id", "toks", capacity = 64)
+      .orderBy("id").select("cum_tokens_excl").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(0L, 10L))
+  }
+
   test("a document larger than capacity still starts in its own sequence (spillover)") {
     val big = Seq((0L, 10L), (1L, 300L), (2L, 10L)).toDF("id", "toks")
     val out = Packing.packSequences(big, "id", "toks", capacity = 100)
