@@ -57,10 +57,30 @@ object Bpe {
     trainFromCounts(wordCounts, numMerges)
   }
 
+  /** Initial symbols of a word: one per Unicode CODE POINT, not per
+    * UTF-16 char. `w.map(_.toString)` split astral characters (emoji,
+    * CJK extensions) into lone surrogates: the trainer counted
+    * cross-character (lo,hi) surrogate pairs as merge candidates, and
+    * any lone surrogate surviving to [[encodeCol]] output was
+    * serialized by UTF8String.fromString as '?' — distinct astral
+    * characters collided into identical corrupt tokens. */
+  private[ops] def symbols(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var j = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out(j) = new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+      j += 1
+    }
+    out
+  }
+
   /** The driver-side merge loop over a (word, count) vocabulary. */
   def trainFromCounts(wordCounts: Seq[(String, Long)], numMerges: Int): Merges = {
     var words: Array[(Array[String], Long)] = wordCounts
-      .map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
+      .map { case (w, c) => (symbols(w), c) }.toArray
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
     var done = false
@@ -99,7 +119,7 @@ object Bpe {
   /** Encode one word with a learned merge table (merges applied in
     * training order — the standard greedy BPE segmenter). */
   def encodeWord(word: String, merges: Merges): Seq[String] = {
-    var syms: Array[String] = word.map(_.toString).toArray
+    var syms: Array[String] = symbols(word)
     merges.foreach { case (l, r) =>
       if (syms.length > 1) {
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -156,6 +176,24 @@ private[ops] case class BpeEncodeExpr(
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_bpe_encode"
 
+  // Word -> encoded tokens memo. encodeWord rescans the FULL merge
+  // table per call (O(numMerges x wordLen)); word frequency is Zipfian,
+  // so the same few thousand words dominate any real corpus and the
+  // rescan is ~10-100x redundant work on the hot path. ThreadLocal
+  // (tasks share nothing, no contention) + access-order LRU bounded at
+  // CacheMaxWords entries keeps memory flat no matter the vocabulary's
+  // long tail. UTF8String values are immutable — sharing the cached
+  // instances across output rows is safe.
+  @transient private lazy val wordCache =
+    new ThreadLocal[java.util.LinkedHashMap[String, Array[AnyRef]]] {
+      override def initialValue(): java.util.LinkedHashMap[String, Array[AnyRef]] =
+        new java.util.LinkedHashMap[String, Array[AnyRef]](1024, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Array[AnyRef]]): Boolean =
+            size() > BpeEncodeExpr.CacheMaxWords
+        }
+    }
+
   override protected def nullSafeEval(input: Any): Any = {
     // Lowercase on the UTF8String ITSELF — the exact code path SQL
     // lower() runs (ASCII byte fast path, locale-independent), so the
@@ -165,15 +203,36 @@ private[ops] case class BpeEncodeExpr(
     // across executor JVMs with different locales.
     val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       .toLowerCase.toString
-    val out = Bpe.Whitespace.split(text).iterator.filter(_.nonEmpty)
-      .flatMap(w => Bpe.encodeWord(w, merges))
-      .map(org.apache.spark.unsafe.types.UTF8String.fromString)
-      .toArray[Any]
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    val cache = wordCache.get()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val words = Bpe.Whitespace.split(text)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) {
+        var toks = cache.get(w)
+        if (toks == null) {
+          toks = Bpe.encodeWord(w, merges)
+            .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+            .toArray[AnyRef]
+          cache.put(w, toks)
+        }
+        var j = 0
+        while (j < toks.length) { buf += toks(j); j += 1 }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
   }
 
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.catalyst.expressions.Expression =
     copy(child = newChild)
+}
+
+private[ops] object BpeEncodeExpr {
+  /** Per-thread memo bound. 64k words x (string + a few tokens) is a
+    * couple MB per task thread — flat regardless of corpus size. */
+  val CacheMaxWords = 65536
 }

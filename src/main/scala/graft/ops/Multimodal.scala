@@ -65,10 +65,17 @@ object Multimodal {
       }
 
     /** Fake "frame sample": cut the payload into `n` equal chunks
-      * (stands in for decoding every k-th video frame). */
+      * (stands in for decoding every k-th video frame). An EMPTY
+      * payload still yields one empty frame: grouped() over zero bytes
+      * is an empty iterator, which silently dropped the asset from the
+      * exploded output — the one shape where "no frames" is
+      * indistinguishable from "asset lost". */
     def sampleFrames(content: Array[Byte], n: Int): Seq[Array[Byte]] = {
-      val size = math.max(1, content.length / math.max(n, 1))
-      content.grouped(size).take(n).toSeq
+      if (content.isEmpty) Seq(Array.emptyByteArray)
+      else {
+        val size = math.max(1, content.length / math.max(n, 1))
+        content.grouped(size).take(n).toSeq
+      }
     }
   }
   // ====================================================================
@@ -97,6 +104,10 @@ object Multimodal {
     * is the point: a real codec initializes once per partition, then
     * streams rows through — the Scala analog of pandas-batched UDFs. */
   def extractFeatures(assets: DataFrame, featureDim: Int = 64): DataFrame = {
+    // Driver-side screens, like every sibling op: a bad argument must
+    // fail HERE, not as an ArithmeticException buried in an executor
+    // task's stack trace (i % featureDim below).
+    require(featureDim > 0, s"featureDim must be positive, got $featureDim")
     val schema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("modality", StringType, nullable = true),
@@ -115,6 +126,9 @@ object Multimodal {
 
   /** Resize/transcode pass: binary-in binary-out, partition-batched. */
   def resizeAssets(assets: DataFrame, maxBytes: Int): DataFrame = {
+    // maxBytes = 0 divides by zero inside StubCodec.resize on the
+    // executor; negative silently truncates everything to nothing.
+    require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
     val schema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("content", BinaryType, nullable = false)))
@@ -131,6 +145,10 @@ object Multimodal {
     * downstream stages parallelize over frames, not videos — this is
     * what keeps one 2-hour video from pinning one task at 100 TB). */
   def sampleFrames(assets: DataFrame, framesPerAsset: Int): DataFrame = {
+    // framesPerAsset <= 0 silently emitted zero rows per asset — every
+    // asset vanished from the exploded output with no error.
+    require(framesPerAsset > 0,
+      s"framesPerAsset must be positive, got $framesPerAsset")
     val schema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("frame_no", IntegerType, nullable = false),

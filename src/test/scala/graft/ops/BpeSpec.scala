@@ -95,4 +95,45 @@ class BpeSpec extends SparkSpec {
       .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     assert(Bpe.train(tied, "text", 1, maxVocab = 1) == IndexedSeq(("a", "b")))
   }
+
+  test("astral characters are single symbols, not surrogate halves") {
+    // Pre-fix w.map(_.toString) split non-BMP chars into lone UTF-16
+    // surrogates: train() counted cross-character (lo,hi) surrogate
+    // pairs as merge candidates, and unmerged lone surrogates came out
+    // of encodeCol as '?' — every distinct emoji collapsed to the same
+    // corrupt token.
+    val grin = "😀" // U+1F600
+    val rocket = "🚀" // U+1F680
+    assert(Bpe.encodeWord(grin + "x", IndexedSeq.empty) == Seq(grin, "x"))
+    // merges fire on whole code points
+    val m = Bpe.trainFromCounts(Seq((grin + grin, 5L), (grin + rocket, 2L)), 1)
+    assert(m == IndexedSeq((grin, grin)))
+    assert(Bpe.encodeWord(grin + grin + rocket, m) == Seq(grin + grin, rocket))
+    // and through the fused expression: distinct emoji stay distinct
+    val docs = Seq((0L, s"$grin$grin$rocket $rocket")).toDF("id", "text")
+    val got = docs.select(Bpe.encodeCol(org.apache.spark.sql.functions.col("text"), m))
+      .as[Seq[String]].head
+    assert(got == Seq(grin + grin, rocket, rocket))
+  }
+
+  test("memoized encodeCol matches per-word encodeWord over a repeated-word corpus") {
+    // The expression caches word -> tokens per thread (Zipfian corpora
+    // re-encode the same words constantly); parity with the uncached
+    // driver-side encoder across partitions pins the cache's
+    // correctness, including eviction-order independence.
+    val merges = Bpe.trainFromCounts(
+      Seq(("low", 5L), ("lower", 2L), ("lowest", 3L)), 3)
+    val words = Seq("low", "lowest", "lower", "slow", "unseen")
+    val docs = (0L until 200L).map { i =>
+      (i, Seq.tabulate(8)(j => words(((i + j) % words.length).toInt)).mkString(" "))
+    }.toDF("id", "text").repartition(7)
+    val got = docs.select($"id",
+        Bpe.encodeCol(org.apache.spark.sql.functions.col("text"), merges).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    (0L until 200L).foreach { i =>
+      val expect = Seq.tabulate(8)(j => words(((i + j) % words.length).toInt))
+        .flatMap(w => Bpe.encodeWord(w, merges))
+      assert(got(i) == expect, s"row $i")
+    }
+  }
 }

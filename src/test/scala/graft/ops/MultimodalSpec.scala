@@ -44,4 +44,25 @@ class MultimodalSpec extends SparkSpec {
     val perAsset = frames.groupBy("asset_id").count().collect()
     assert(perAsset.forall(_.getAs[Long]("count") == 4))
   }
+
+  test("bad numeric arguments fail at the driver, not in an executor task") {
+    // Pre-screen these crashed inside StubCodec on the executor
+    // (divide-by-zero / negative array size) or silently emitted zero
+    // rows (framesPerAsset <= 0 made every asset vanish).
+    intercept[IllegalArgumentException] { Multimodal.extractFeatures(assets, 0) }
+    intercept[IllegalArgumentException] { Multimodal.extractFeatures(assets, -4) }
+    intercept[IllegalArgumentException] { Multimodal.resizeAssets(assets, 0) }
+    intercept[IllegalArgumentException] { Multimodal.sampleFrames(assets, 0) }
+  }
+
+  test("an empty payload still yields one (empty) frame — assets never vanish") {
+    import org.apache.spark.sql.functions._
+    val withEmpty = assets.limit(2)
+      .withColumn("content", when(col("asset_id") === 0L,
+        lit(Array.emptyByteArray)).otherwise(col("content")))
+    val frames = Multimodal.sampleFrames(withEmpty, framesPerAsset = 4).collect()
+    val empties = frames.filter(_.getAs[Long]("asset_id") == 0L)
+    assert(empties.length == 1 && empties.head.getAs[Array[Byte]]("frame").isEmpty)
+    assert(frames.count(_.getAs[Long]("asset_id") == 1L) == 4)
+  }
 }
