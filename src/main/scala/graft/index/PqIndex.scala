@@ -104,12 +104,25 @@ object PqIndex {
 
     /** ADC distance expression over a codes column: sum of `m` literal
       * table lookups, in exact integer fixed point (no float fold —
-      * merge/row order can't matter). Lower = closer. */
+      * merge/row order can't matter). Lower = closer.
+      *
+      * The explicit when-guard is LOAD-BEARING for nullability, not
+      * style: `element_at` over a foldable all-non-null literal array
+      * reports nullable=false even though a NULL index (a null-vec
+      * doc's null code) still evaluates to NULL — so without the
+      * guard the whole sum claimed non-nullable and Catalyst PRUNED
+      * every downstream `adc IS NOT NULL` filter, letting null-vec
+      * rows (NULLS FIRST under ASC) silently consume the entire
+      * candidate budget in every ADC consumer. Codes are all-null or
+      * all-non-null per row (one fused kernel per subspace over the
+      * same input), so guarding element 1 covers the row. */
     def adcMicrosCol(codes: Column, query: Seq[Double], roundScale: Int = 4): Column = {
       val table = adcTable(query, roundScale)
-      (0 until m).map { sub =>
+      val total = (0 until m).map { sub =>
         element_at(typedlit(table(sub)), element_at(codes, sub + 1) + 1)
       }.reduce(_ + _)
+      when(codes.isNull || element_at(codes, 1).isNull,
+        lit(null).cast("long")).otherwise(total)
     }
   }
 
@@ -161,6 +174,11 @@ object PqIndex {
       model.encodeCol(col(vecCol), roundScale))
     val cand = coded
       .withColumn("__adc_micros", model.adcMicrosCol(col("__pq_codes"), query, roundScale))
+      // Null ADC = null/dim-mismatched vector = never a result — and
+      // ASC ordering puts NULLS FIRST, so without this screen null-vec
+      // rows would fill the ENTIRE candidate budget ahead of every
+      // real document (the store's search paths carry the same guard).
+      .where(col("__adc_micros").isNotNull)
       .orderBy(col("__adc_micros"), col(idCol))
       .limit(candidates)
     val ranked = VectorIndex.topK(cand, vecCol, query, k, metric,
@@ -243,11 +261,20 @@ object PqIndex {
 
     def rotateCol(vec: Column, roundScale: Int = RotationScale): Column = {
       val v = asDouble(vec)
-      transform(typedlit(rows), r => {
-        val d = aggregate(zip_with(r, v, (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x)
-        if (roundScale >= 0) round(d, roundScale) else d
-      })
+      // NULL/dim screen FIRST: transform maps over the rows LITERAL,
+      // not the input, so a null vector used to come out as a non-null
+      // array of d null elements — which passed NearestCentroidExpr's
+      // length gate and unboxed to 0.0 per component, silently giving
+      // every null-vec doc real zero-vector codes (and a wrong-length
+      // vector was null-padded past the totalDim check the same way).
+      // NULL-on-mismatch is the fused-kernel convention (dimGuard).
+      when(v.isNull || size(v) =!= lit(dim),
+          lit(null).cast("array<double>"))
+        .otherwise(transform(typedlit(rows), r => {
+          val d = aggregate(zip_with(r, v, (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x)
+          if (roundScale >= 0) round(d, roundScale) else d
+        }))
     }
   }
 
@@ -289,10 +316,23 @@ object PqIndex {
       val uLit = typedlit(u)
       val c = lit(2.0) * aggregate(zip_with(uLit, v, (a, b) => a * b),
         lit(0.0), (acc, x) => acc + x) / lit(duu)
-      zip_with(v, uLit, (x, ux) => {
-        val r = x - c * ux
-        if (roundScale >= 0) round(r, roundScale) else r
-      })
+      // Bind c ONCE per row via a one-element transform: embedding the
+      // O(d) dot-product expression directly in the zip_with lambda
+      // made the interpreted HOF re-evaluate the full fold per output
+      // element — O(d²)/row against the closed form's documented O(d).
+      // The bound lambda variable is an O(1) lookup per element; the
+      // arithmetic and its order are unchanged, so driver/engine/DuckDB
+      // parity holds bitwise. Same NULL/dim screen as MatrixRotation:
+      // zip_with null-pads a short vector past the length gate (each
+      // padded slot unboxes to 0.0 in the encode kernel) — mismatches
+      // must come out NULL, not as silently-wrong codes.
+      when(v.isNull || size(v) =!= lit(dim),
+          lit(null).cast("array<double>"))
+        .otherwise(element_at(transform(array(c), cv =>
+          zip_with(v, uLit, (x, ux) => {
+            val r = x - cv * ux
+            if (roundScale >= 0) round(r, roundScale) else r
+          })), 1))
     }
   }
 

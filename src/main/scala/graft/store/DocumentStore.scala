@@ -377,7 +377,10 @@ final class DocumentStore private (
     *  3. fetch the matched candidate ids' TEXTS from the id-laid-out
     *     essential store (the same pruned point-lookup path as
     *     getDocumentsByIds; same In-vs-broadcast split) and anti-join
-    *     the batch against that small broadcast set — the final
+    *     the batch against them — driver-collected + broadcast only
+    *     while the measured candidate bytes stay under
+    *     [[DocumentStore.MaxConfirmTextBytes]] (the row cap bounds
+    *     count, not bytes), executor-side join otherwise. The final
     *     compare stays EXACT TEXT equality, so a sha collision can
     *     only cost a wasted fetch, never a wrong drop.
     *
@@ -437,29 +440,55 @@ final class DocumentStore private (
       .select("id").distinct().limit(cap + 1).collect().map(_.getLong(0))
     if (candIds.isEmpty) return flagged.drop("__maybe")
     if (candIds.length > cap) return legacyConfirm()
-    val dupTexts =
-      if (candIds.length <= inCap)
+    // Candidate-TEXT fetch + final anti-join. Two hazards shape this:
+    // (a) MaxConfirmKeys bounds candidate COUNT, not BYTES — 100k
+    //     1 MB documents would be a ~100 GB broadcast/collect, so the
+    //     broadcast path is gated on a measured byte budget;
+    // (b) the raised In-filter conf must not ESCAPE this method: the
+    //     old shape rebound the RETURNED plan to the cloned session,
+    //     so the caller's embed, id assignment, and all three store
+    //     writes silently executed under the altered pushdown conf
+    //     (and every ingest batch allocated a fresh SessionState for
+    //     the lifetime of its frame). The scoped conf is now consumed
+    //     by bounded IN-METHOD actions only — nothing cloned is ever
+    //     returned.
+    import spark.implicits._
+    def joinFormFetch(): DataFrame =
+      ex.join(broadcast(candIds.toSeq.toDF("__cid")),
+          col("id") === col("__cid"), "leftsemi")
+        .select(col("text").as("__ex_text")).distinct()
+    if (candIds.length <= inCap) {
+      // In-form fetch: row-group-pruned point reads of the candidate
+      // texts — but only execute it under the scoped conf, inside this
+      // method. The byte probe reads octet lengths through the same
+      // pruned path (bounded), then the texts are COLLECTED (the bytes
+      // a broadcast would ship to the driver anyway) and rebuilt as a
+      // local frame on the caller's session.
+      val pruned = org.apache.spark.sql.GraftSqlBridge.withSessionConfs(
         ex.where(col("id").isin(candIds.toSeq: _*))
-          .select(col("text").as("__ex_text")).distinct()
-      else {
-        import spark.implicits._
-        ex.join(broadcast(candIds.toSeq.toDF("__cid")),
-            col("id") === col("__cid"), "leftsemi")
-          .select(col("text").as("__ex_text")).distinct()
+          .select(col("text").as("__ex_text")).distinct(),
+        Map("spark.sql.parquet.pushdown.inFilterThreshold" ->
+          (inCap + 1).toString))
+      val approxBytes = pruned
+        .agg(coalesce(sum(octet_length(col("__ex_text"))), lit(0L)))
+        .head.getLong(0)
+      if (approxBytes <= DocumentStore.MaxConfirmTextBytes) {
+        val texts = pruned.collect().map(_.getString(0)).toSeq
+        return flagged.drop("__maybe")
+          .join(broadcast(texts.toDF("__ex_text")),
+            col("text") <=> col("__ex_text"), "left_anti")
       }
-    // Bloom misses are definitely new and can't equal any candidate
-    // text, so ONE anti-join of the whole batch against the small
-    // broadcast candidate set suffices. The whole plan is rebound with
-    // the raised In-filter threshold (an action executes under its own
-    // frame's session conf, so wrapping only the fetch subtree would
-    // not reach execution): a small-id fetch keeps a true In filter and
-    // prunes the essential layout's row groups instead of degrading to
-    // a [min(id), max(id)] range scan; the join-form fetch ignores it.
-    org.apache.spark.sql.GraftSqlBridge.withSessionConfs(
-      flagged.drop("__maybe")
-        .join(broadcast(dupTexts), col("text") <=> col("__ex_text"), "left_anti"),
-      Map("spark.sql.parquet.pushdown.inFilterThreshold" ->
-        (inCap + 1).toString))
+      // Over budget: fall through to the join-form fetch + a plain
+      // (non-broadcast) anti-join — bounded executor-side shuffle of
+      // batch vs candidates, no driver collection of GBs of text.
+    }
+    // Join-form: broadcast the tiny id set into the essential scan
+    // (shuffle-free columnar read; no In conf needed), then a plain
+    // anti-join — AQE may still broadcast the candidate side at
+    // runtime if it measures small, but nothing forces an unbounded
+    // byte collection.
+    flagged.drop("__maybe")
+      .join(joinFormFetch(), col("text") <=> col("__ex_text"), "left_anti")
   }
 
   /** SCALE-PATH append: write ONLY the new rows into the current
@@ -859,18 +888,21 @@ final class DocumentStore private (
     * TextSearch.writeIndex). Incremental appends after the build make
     * it stale; stale indexes are detected and bypassed, so building is
     * always safe and never required. */
-  def buildLexicalIndex(numFiles: Int = 16): Unit = {
-    if (manifest.count == 0) throw new IndexException("store is empty or not built")
+  def buildLexicalIndex(numFiles: Int = 16): Unit = withSnapshot {
+    // Pinned like buildPqIndex: the index write and its built_for
+    // sidecar must land under the SAME version a concurrent mutation
+    // can't swap between them.
+    if (snap.count == 0) throw new IndexException("store is empty or not built")
     TextSearch.writeIndex(essential.select(col("id"), col("text")),
-      "id", "text", lexicalDir(manifest.version), numFiles)
+      "id", "text", lexicalDir(snap.version), numFiles)
     // Freshness sidecar: the STORE count at build time. The index's
     // own stats n_docs counts non-null-TEXT docs only (writeIndex
     // filters them), so comparing it to snap.count would brand a fresh
     // index permanently stale the moment one null-text doc exists.
     import spark.implicits._
-    Seq(manifest.count).toDF("store_count").coalesce(1)
+    Seq(snap.count).toDF("store_count").coalesce(1)
       .write.mode("overwrite")
-      .parquet(s"${lexicalDir(manifest.version)}/built_for")
+      .parquet(s"${lexicalDir(snap.version)}/built_for")
   }
 
   /** Build/refresh a product-quantization index for the CURRENT
@@ -893,20 +925,34 @@ final class DocumentStore private (
     * O(d²) once per search); the exact rerank keeps original-space
     * vectors — rotations are orthonormal, so the ranks agree. */
   def buildPqIndex(m: Int = 8, ksub: Int = 16, seed: Long = 42L,
-                   rotate: Boolean = false): Unit = {
-    if (manifest.count == 0) throw new IndexException("store is empty or not built")
+                   rotate: Boolean = false, fitFraction: Double = 1.0,
+                   fitPartitions: Int = 0): Unit = withSnapshot {
+    // withSnapshot pins ONE manifest for the whole build: the body
+    // reads `essential` three to four times (rotation fit, PQ fit,
+    // encode), and without the pin each read re-resolved the live
+    // pointer — a concurrent mutation could yield a rotation fitted on
+    // vN with codes encoded from vN+1, written into pqDir(vN) behind a
+    // count-only freshness gate that still passed. `fitFraction`/
+    // `fitPartitions` (FAISS-style sample training) reach both fits:
+    // at corpus scale a full-fraction fit persists the whole vector
+    // column twice and runs PCA over the corpus — the sample knob is
+    // the documented scale posture and must be reachable from here.
+    if (snap.count == 0) throw new IndexException("store is empty or not built")
     if (embedder.dim % m != 0) throw new IndexException(s"dim ${embedder.dim} not divisible by m=$m")
-    val dir = pqDir(manifest.version)
+    val dir = pqDir(snap.version)
     import spark.implicits._
     val rotOpt =
-      if (rotate) Some(PqIndex.fitRotation(essential, "vec", m, seed = seed))
+      if (rotate) Some(PqIndex.fitRotation(essential, "vec", m,
+        fitFraction = fitFraction, fitPartitions = fitPartitions, seed = seed))
       else None
     val (model, encodeInput) = rotOpt match {
       case Some(rot) =>
         val rotated = essential.withColumn("__rvec", rot.rotateCol(col("vec")))
-        (PqIndex.fit(rotated, "__rvec", m, ksub, seed), rotated)
+        (PqIndex.fit(rotated, "__rvec", m, ksub, seed,
+          fitFraction = fitFraction, fitPartitions = fitPartitions), rotated)
       case None =>
-        (PqIndex.fit(essential, "vec", m, ksub, seed), essential)
+        (PqIndex.fit(essential, "vec", m, ksub, seed,
+          fitFraction = fitFraction, fitPartitions = fitPartitions), essential)
     }
     // REBUILD discipline: the previous build's meta stays fresh-looking
     // for this whole rebuild (same snapshot, same n_docs), so a crash
@@ -940,7 +986,7 @@ final class DocumentStore private (
         model.encodeCol(
           col(if (rotate) "__rvec" else "vec"), roundScale = 4).as("codes"))
       .write.mode("overwrite").parquet(s"$dir/codes")
-    Seq((manifest.count, m, ksub))
+    Seq((snap.count, m, ksub))
       .toDF("n_docs", "m", "ksub")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     // Opt-in measured-recall tuning: the PQ build ships with its
@@ -1211,10 +1257,19 @@ final class DocumentStore private (
   private def readTuningHistory(kind: String): Option[TuneParams] = {
     val dir = tuningHistoryDir(kind)
     if (!fsFor(dir).exists(hadoopPath(dir))) None
-    else spark.read.parquet(dir).collect().headOption.map(r => TuneParams(
-      r.getAs[Long]("version"), r.getAs[Double]("target_recall"),
-      r.getAs[Int]("k"), r.getAs[Int]("sample_queries"),
-      r.getAs[Long]("seed"), r.getSeq[Int](r.fieldIndex("settings"))))
+    else try {
+      spark.read.parquet(dir).collect().headOption.map(r => TuneParams(
+        r.getAs[Long]("version"), r.getAs[Double]("target_recall"),
+        r.getAs[Int]("k"), r.getAs[Int]("sample_queries"),
+        r.getAs[Long]("seed"), r.getSeq[Int](r.fieldIndex("settings"))))
+    } catch {
+      // mode("overwrite") is delete-then-write, so a crash can leave
+      // the dir present with no readable parquet; tuningStale is
+      // documented as safe to poll after every mutation, and compact()
+      // reads this — a torn sidecar must read as ABSENT (the _complete
+      // discipline), not brick every compact until a manual rm.
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
   }
 
   /** Forget the recorded last-tuning params for `"nprobe"` or `"pq"`
@@ -2125,6 +2180,15 @@ object DocumentStore {
     * corpus-sized confirm work is inherent — they fall back to the
     * plain exact anti-join. */
   val MaxConfirmKeys: Int = 100000
+
+  /** Byte budget for driver-collecting (and broadcasting) the
+    * Bloom-confirm candidate TEXTS: [[MaxConfirmKeys]] bounds row
+    * count, not bytes, and a dup-heavy batch of megabyte documents
+    * would otherwise OOM the driver (or trip maxResultSize) through
+    * the broadcast's collect. Measured with a bounded pruned
+    * octet_length aggregate BEFORE collecting; over-budget confirms
+    * use an executor-side join instead. */
+  val MaxConfirmTextBytes: Long = 64L << 20
 
   /** Bound on probe values pushed as a parquet In filter (the
     * Bloom-confirm key probe and id fetch). The pushed In compiles to

@@ -246,6 +246,64 @@ class PqIndexSpec extends SparkSpec {
       f"OPQ recall $rOpq%.3f not better than PQ $rPq%.3f")
   }
 
+  test("rotations propagate NULL and dim mismatch as NULL, never zero-codes") {
+    // transform maps over the ROWS literal, so a null vector used to
+    // come out of MatrixRotation.rotateCol as a non-null array of d
+    // nulls — which passed the encode kernel's length gate and unboxed
+    // to 0.0 per component: every null-vec doc got real zero-vector
+    // codes and consumed candidate budget. Householder null-padded
+    // SHORT vectors past the gate the same way via zip_with.
+    val mrot = PqIndex.MatrixRotation(IndexedSeq(
+      IndexedSeq(0.5, -0.5, 0.5, 0.5),
+      IndexedSeq(0.5, 0.5, -0.5, 0.5),
+      IndexedSeq(0.5, 0.5, 0.5, -0.5),
+      IndexedSeq(-0.5, 0.5, 0.5, 0.5)))
+    val hrot = PqIndex.HouseholderRotation(IndexedSeq(0.3, -1.2, 0.7, 2.1))
+    val dirty = Seq(
+      (0L, Some(Seq(1.0, 0.0, 0.0, 0.0))), // valid
+      (1L, None),                          // null vec
+      (2L, Some(Seq(1.0, 0.0))),           // short
+      (3L, Some(Seq(1.0, 0.0, 0.0, 0.0, 9.0))) // long
+    ).toDF("vec_id", "vec")
+    for (rot <- Seq[PqIndex.Rotation](mrot, hrot)) {
+      val got = dirty.withColumn("r", rot.rotateCol(col("vec")))
+        .orderBy("vec_id").select("r").as[Option[Seq[Double]]].collect().toSeq
+      assert(got(0).nonEmpty, s"$rot: valid row must rotate")
+      assert(got.drop(1).forall(_.isEmpty),
+        s"$rot: null/mismatched rows must be NULL, got ${got.drop(1)}")
+      // and through encode + ADC: null ADC (codes carry null ELEMENTS —
+      // the array itself is non-null by construction), AND the
+      // null-screen filter must actually survive optimization —
+      // element_at over the literal ADC table reports nullable=false,
+      // so before adcMicrosCol's explicit when-guard Catalyst PRUNED
+      // the `adc IS NOT NULL` filter in every consumer.
+      val adc = dirty
+        .withColumn("c", model.encodeCol(rot.rotateCol(col("vec")), 4))
+        .withColumn("a", model.adcMicrosCol(col("c"), Seq(1.0, 0.0, 0.0, 0.0), 4))
+      val vals = adc.orderBy("vec_id").select("a").as[Option[Long]].collect().toSeq
+      assert(vals(0).nonEmpty && vals.drop(1).forall(_.isEmpty), s"$rot: $vals")
+      val kept = adc.where(col("a").isNotNull).select("vec_id").as[Long].collect().toSeq
+      assert(kept == Seq(0L), s"$rot: IS NOT NULL filter was optimized away: $kept")
+    }
+  }
+
+  test("search: null-vec rows never consume the candidate budget") {
+    // Null ADC sorts FIRST under ASC; pre-screen, `candidates` null-vec
+    // rows starved every real doc out of the rerank.
+    val withNulls = docs.unionByName(
+      (10L until 20L).map(i => (i, null.asInstanceOf[Seq[Double]]))
+        .toDF("vec_id", "vec"))
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val got = PqIndex.search(withNulls, "vec", model, q, k = 2, candidates = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == Set(0L, 2L), s"expected the two nearest real docs, got $got")
+    val rgot = PqIndex.searchRotated(withNulls, "vec",
+        PqIndex.HouseholderRotation(IndexedSeq(0.3, -1.2, 0.7, 2.1)),
+        model, q, k = 2, candidates = 4)
+      .select("vec_id").as[Long].collect()
+    assert(rgot.length == 2 && !rgot.exists(_ >= 10L))
+  }
+
   test("searchRotated refuses an input that already has __rvec") {
     val df = randVecs(5, 4, 3).toDF("vec_id", "vec")
       .withColumn("__rvec", col("vec"))

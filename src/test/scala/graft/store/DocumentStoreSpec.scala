@@ -857,6 +857,46 @@ class DocumentStoreSpec extends SparkSpec {
     assert(store.effectiveNprobe == store.config.nprobe)
   }
 
+  test("a null-vec doc never consumes the PQ candidate budget (filter survives optimization)") {
+    import spark.implicits._
+    // element_at over the literal ADC table claims nullable=false, so
+    // before adcMicrosCol's when-guard Catalyst PRUNED the store's
+    // `adc IS NOT NULL` screen — the null-vec doc (NULLS FIRST under
+    // ASC) then took a candidate slot ahead of every real document.
+    val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
+    store.addDF(Seq((null: String, Map.empty[String, String])).toDF("text", "metadata"))
+    store.buildPqIndex(m = 8, ksub = 4)
+    val hits = store.similaritySearchPq("Tell me about foxes", k = 2,
+      candidates = 2).collect()
+    assert(hits.length == 2)
+    assert(hits.forall(_.getAs[String]("text") != null))
+    // and the tight-candidates result matches exact top-2: with the
+    // null row screened, both slots go to the ADC-best real docs.
+    val exact = store.similaritySearch("Tell me about foxes", k = 2)
+      .select("doc_id").as[Long].collect().toSet
+    val viaPq = store.similaritySearchPq("Tell me about foxes", k = 2,
+      candidates = store.documentCount.toInt)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaPq == exact)
+  }
+
+  test("a torn tuning_last sidecar reads as ABSENT: staleness polls and compact() survive") {
+    val many = (0 until 200).map(i => s"torn doc $i about theme ${i % 8}")
+    val store = DocumentStore.fromTexts(spark, tmp(), many, Nil,
+      StoreConfig(nlist = 4, nprobe = 1), emb)
+    store.tuneNprobe(targetRecall = 0.99, k = 5, sampleQueries = 8)
+    // Simulate the overwrite crash window: dir present, parquet gone.
+    val dir = new java.io.File(s"${store.path}/tuning_last/nprobe")
+    assert(dir.isDirectory)
+    dir.listFiles().foreach(f => assert(f.delete(), s"couldn't clear $f"))
+    // Pre-fix these threw AnalysisException ('unable to infer schema')
+    // and bricked every poll/compact until a manual rm.
+    assert(store.tuningStale.isEmpty)
+    assert(!store.recommendCompaction().exists(_.startsWith("tuning-stale")))
+    store.compact() // must not throw; no recorded params -> no replay
+    assert(store.documentCount == many.length)
+  }
+
   test("tuning lifecycle: mutations REPORT staleness; compact() replays the recorded tuneNprobe; PQ stays reported until cleared") {
     val many = (0 until 200).map(i => s"lifecycle doc $i about theme ${i % 8}")
     val store = DocumentStore.fromTexts(spark, tmp(), many, Nil,
