@@ -50,6 +50,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Clear any PREVIOUS run's result file up front: it is only
+    // (re)written at the end of a successful run, so after a crash the
+    // contract path would otherwise still hold the prior round's
+    // complete timings with nothing marking them stale — a reader
+    // would attribute last round's numbers to this run.
+    val outPathEarly = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File("bench_out.json").getAbsolutePath)
+    try { java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(outPathEarly)); () }
+    catch { case _: Exception => () }
+
     // Warmup — the bench measures steady-state throughput, so codegen
     // compilation and C2 JIT must not land on the timed runs. Each query
     // generates its own codegen classes; the only warmup that compiles

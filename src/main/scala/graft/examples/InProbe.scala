@@ -24,11 +24,18 @@ object InProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/tmp/intest_keys"
-    if (!new java.io.File(dir).exists) {
+    // _BUILT-marker protocol (same as ScaleBench/SkewBench.build): the
+    // doc tells users to run each size in its own JVM, so interrupted
+    // first builds are routine — a bare dir-exists check would then
+    // skip the rebuild forever and probe a truncated table.
+    val done = new java.io.File(s"$dir/_BUILT")
+    if (!done.exists) {
       spark.range(4000000)
         .select(sha2(col("id").cast("string"), 256).as("k"), col("id"))
         .repartitionByRange(8, col("k")).sortWithinPartitions("k")
         .write.mode("overwrite").parquet(dir)
+      done.createNewFile()
+      ()
     }
     val hits = spark.read.parquet(dir).select("k")
       .sample(0.01, 42).limit(n).collect().map(_.getString(0)).toSeq

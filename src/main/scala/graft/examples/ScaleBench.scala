@@ -155,16 +155,15 @@ object ScaleBench {
     // should stay ~flat (residual corpus cost: the max(id) offset scan
     // and the bloom blob load). Without it, every ingest pays the
     // anti-join against the whole corpus — the ratio grows with it.
-    // Each call salts its batch texts with a counter so repeat runs
-    // (and best-of-2) ingest genuinely new rows rather than hitting
-    // the dedup path; the store grows across harness runs (the ×N
-    // corpus dominates the ingested few thousand).
+    // Each call salts its batch texts with a PERSISTED counter (the
+    // store's own documentCount) so repeat runs — including fresh JVMs
+    // — ingest genuinely new rows rather than hitting the dedup path;
+    // the store grows across harness runs (the ×N corpus dominates the
+    // ingested few thousand).
     "ingest_bloom" -> ((s: SparkSession, dir: String) =>
       ingestProbe(s, dir, bloom = true)),
     "ingest_nobloom" -> ((s: SparkSession, dir: String) =>
       ingestProbe(s, dir, bloom = false)))
-
-  private val ingestBatchCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def ingestProbe(s: SparkSession, dir: String, bloom: Boolean): DataFrame = {
     val tag = if (bloom) "bloom" else "nobloom"
@@ -176,7 +175,14 @@ object ScaleBench {
       catch { case _: graft.StorageException =>
         graft.store.DocumentStore.fromDF(s, path, mvStagedDocs(s, dir), cfg, emb)
       }
-    val salt = ingestBatchCounter.incrementAndGet()
+    // Salt from PERSISTED state, not a per-JVM counter: an in-memory
+    // AtomicLong restarts at 1 in every new harness JVM, replaying the
+    // exact same texts into the store persisted from the last run —
+    // the "all-new batch" would be 100% duplicates and the row would
+    // silently time the dedup-confirm path instead of the bloom-miss
+    // path. documentCount grows with every successful ingest, so it
+    // never repeats.
+    val salt = store.documentCount
     import s.implicits._
     val batch = (0 until 2000)
       .map(i => (s"ingest probe $tag batch $salt row $i payload token",
@@ -269,6 +275,19 @@ object ScaleBench {
     spark.stop()
   }
 
+  /** THE one salt protocol for replicated documents — the ingest
+    * section compares a store over [[build]]'s ×10 corpus against
+    * [[buildDocsOnly]]'s ×N corpus, so the two MUST replicate
+    * identically (same id offset, same ` z$i ` text salt) or the ratio
+    * stops measuring corpus size. One definition, used by both (the
+    * same one-sided-protocol hazard SkewBench.writeReplicatedEvents
+    * closed for the events table). */
+  private def replicatedDocuments(srcDf: DataFrame, replicas: Int): DataFrame =
+    (0 until replicas).map { i =>
+      srcDf.withColumn("doc_id", col("doc_id") + i * 10000000L)
+        .withColumn("text", regexp_replace(col("text"), " ", s" z$i "))
+    }.reduce(_ unionByName _)
+
   /** Documents-only replica build for the ingest section — same salt
     * protocol as [[build]]'s documents table, skipping every other
     * table (irrelevant here and expensive at high ×N). */
@@ -276,11 +295,7 @@ object ScaleBench {
                             replicas: Int): Unit = {
     val done = new java.io.File(s"$out/_BUILT")
     if (done.exists()) return
-    val srcDf = spark.read.parquet(s"$src/documents.parquet")
-    (0 until replicas).map { i =>
-      srcDf.withColumn("doc_id", col("doc_id") + i * 10000000L)
-        .withColumn("text", regexp_replace(col("text"), " ", s" z$i "))
-    }.reduce(_ unionByName _)
+    replicatedDocuments(spark.read.parquet(s"$src/documents.parquet"), replicas)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     done.getParentFile.mkdirs()
     done.createNewFile()
@@ -299,10 +314,10 @@ object ScaleBench {
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
     }
-    rep("documents") { (df, i) =>
-      df.withColumn("doc_id", col("doc_id") + i * 10000000L)
-        .withColumn("text", regexp_replace(col("text"), " ", s" z$i "))
-    }
+    // Shared with buildDocsOnly — the ingest ratio depends on the two
+    // corpora replicating under ONE protocol.
+    replicatedDocuments(spark.read.parquet(s"$src/documents.parquet"), replicas)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
     rep("embeddings") { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + i * 10000000L)
     }

@@ -228,7 +228,11 @@ object SkewBench {
       s"(hot domain = half the rows; data grows ${evReplicas / 10.0}x)")
     println(f"${"shape"}%-24s ${"t_x10"}%8s ${"t_xN"}%8s  ratio")
     hotShapes.foreach { case (name, fn) =>
-      if (name.endsWith("_hashmode")) spark.conf.set(FallbackKey, "1000000")
+      // The SAME threshold the shipped operator scopes in — a drifted
+      // literal here would make the "shipped == manual" equality row
+      // vacuous (the clone would override a mismatched manual value).
+      if (name.endsWith("_hashmode")) spark.conf.set(FallbackKey,
+        graft.functions.VectorFunctions.BoundedTopKFallbackThreshold.toString)
       def timeOn(dir: String): Double =
         (1 to 2).map { _ =>
           spark.catalog.clearCache()

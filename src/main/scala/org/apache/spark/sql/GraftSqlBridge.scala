@@ -25,17 +25,44 @@ object GraftSqlBridge {
     * `cloneSession` copies session state (temp views, registered
     * functions, injected extensions, current conf) and shares the
     * SparkContext and SharedState (cache manager, catalog), so plans
-    * referencing temp views or cached relations resolve identically. */
+    * referencing temp views or cached relations resolve identically.
+    *
+    * The clone is CACHED per (session, confs): hot callers (every
+    * Bloom-positive ingest batch, every capPerKey action) would
+    * otherwise build a fresh SessionState — and register a new
+    * listener on the shared bus, reclaimed only at GC — per call. The
+    * cache also closes a correctness hole the old "session already has
+    * these values" fast path opened: returning the frame bound to the
+    * LIVE session meant a later session-conf change silently stripped
+    * the scoping, so the clone is now taken unconditionally — its conf
+    * is a snapshot by construction. Keyed weakly on the parent session
+    * so short-lived sessions (tests) don't accumulate. */
+  private val cloneCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[
+      (Map[String, String], Map[String, String]), classic.SparkSession]]
+
   def withSessionConfs(df: Dataset[Row], confs: Map[String, String]): Dataset[Row] = {
     val session = df.sparkSession.asInstanceOf[classic.SparkSession]
-    val already = confs.forall { case (k, v) =>
-      session.sessionState.conf.getConfString(k, null) == v
+    val perSession = cloneCache.synchronized {
+      var m = cloneCache.get(session)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        cloneCache.put(session, m)
+      }
+      m
     }
-    if (already) df
-    else {
-      val cloned = session.cloneSession()
-      confs.foreach { case (k, v) => cloned.sessionState.conf.setConfString(k, v) }
-      classic.Dataset.ofRows(cloned, df.queryExecution.analyzed)
-    }
+    // The cache key carries the parent's CURRENT set-conf map: a test
+    // (or caller) that flips e.g. AQE between two scoped calls must get
+    // a clone reflecting the flip, not the first call's snapshot.
+    val key = (confs, session.sessionState.conf.getAllConfs)
+    // Bound against pathological conf-flipping loops; steady-state
+    // callers use one or two entries.
+    if (perSession.size > 64) perSession.clear()
+    val cloned = perSession.getOrElseUpdate(key, {
+      val c = session.cloneSession()
+      confs.foreach { case (k, v) => c.sessionState.conf.setConfString(k, v) }
+      c
+    })
+    classic.Dataset.ofRows(cloned, df.queryExecution.analyzed)
   }
 }

@@ -878,6 +878,11 @@ class DocumentStoreSpec extends SparkSpec {
       candidates = store.documentCount.toInt)
       .select("doc_id").as[Long].collect().toSet
     assert(viaPq == exact)
+    // the hamming prescreen path has the same NULLS FIRST exposure —
+    // its screen must filter too (binarySign63 is honestly nullable)
+    val viaHam = store.similaritySearchApprox("Tell me about foxes", k = 2,
+      candidates = 2).collect()
+    assert(viaHam.length == 2 && viaHam.forall(_.getAs[String]("text") != null))
   }
 
   test("a torn tuning_last sidecar reads as ABSENT: staleness polls and compact() survive") {
