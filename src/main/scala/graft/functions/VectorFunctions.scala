@@ -164,12 +164,20 @@ object VectorFunctions {
     * [[cosineSimilarity]] — see q_binary_hamming. */
   def binarySign63(a: Column): Column =
     TextFunctions.let1(asDouble(a)) { v =>
-      // Guard the empty vector: sequence(0, -1) would DESCEND and feed
-      // element_at an index of 0 (an error under ANSI mode).
-      when(size(v) === 0, lit(0L)).otherwise(
-        aggregate(sequence(lit(0), least(size(v), lit(63)) - 1), lit(0L),
-          (acc, j) => acc + when(element_at(v, (j + 1).cast("int")) > 0.0,
-            call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))))
+      // NULL screen FIRST: size(null) is -1 here, so a null vector
+      // slipped past the ===0 guard into sequence(0, -2) — a
+      // DESCENDING sequence whose fold returned a real all-zeros bit
+      // pattern (0L) instead of NULL. A query whose own sign bits are
+      // sparse then ranks null-vec docs FIRST by Hamming distance.
+      // Then guard the empty vector: sequence(0, -1) would also
+      // descend and feed element_at an index of 0 (an error under
+      // ANSI mode).
+      when(v.isNull, lit(null).cast("long"))
+        .when(size(v) === 0, lit(0L))
+        .otherwise(
+          aggregate(sequence(lit(0), least(size(v), lit(63)) - 1), lit(0L),
+            (acc, j) => acc + when(element_at(v, (j + 1).cast("int")) > 0.0,
+              call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))))
     }
 
   /** Hamming distance between two bit-packed longs. */
