@@ -63,6 +63,26 @@ sealed trait FixedPointVectorAgg
         "vector is corrupt input; filter or repair it upstream " +
         "(a silent 0.0 would bias the pooled dimension)")
 
+  /** Quantize one element, rejecting non-finite values LOUDLY: NaN
+    * would silently quantize to 0 (the exact silent-bias the null
+    * guard above exists to prevent) and Infinity saturates to
+    * Long.MaxValue and then WRAPS on the next add, corrupting the
+    * dimension's fold. */
+  protected final def micro(x: Double, i: Int): Long = {
+    if (!java.lang.Double.isFinite(x))
+      throw new graft.GraftException(
+        s"$prettyName: non-finite element $x at dim $i — repair the " +
+          "vector upstream (NaN would pool as 0, Infinity overflows " +
+          "the fixed-point fold)")
+    (x * 1e6).toLong
+  }
+
+  // Length 0 doubles as the "no non-null input" sentinel -> null. A
+  // group of legitimately ZERO-DIM vectors (array() rows) lands on the
+  // same sentinel and also pools to null rather than to an empty
+  // array — documented conflation: zero-dim embeddings don't occur in
+  // any real pipeline, and separating the states would complicate the
+  // serde for an input class the engine never produces.
   override def eval(buffer: Array[Long]): Any =
     if (buffer.length == 0) null else new GenericArrayData(buffer)
 
@@ -101,7 +121,7 @@ case class VectorSumFixed6Agg(
       var i = 0
       while (i < n) {
         if (arr.isNullAt(i)) nullElementError(i)
-        b(i) += (arr.getDouble(i) * 1e6).toLong
+        b(i) += micro(arr.getDouble(i), i)
         i += 1
       }
       b
@@ -156,7 +176,7 @@ case class VectorMinMaxFixed6Agg(
       var i = 0
       while (i < n) {
         if (arr.isNullAt(i)) nullElementError(i)
-        val x = (arr.getDouble(i) * 1e6).toLong
+        val x = micro(arr.getDouble(i), i)
         b(i) = if (i < m) pick(b(i), x) else x
         i += 1
       }

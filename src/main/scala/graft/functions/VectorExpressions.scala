@@ -56,7 +56,16 @@ object VectorExpressions {
 /** dot(a, b) = sum_i a_i * b_i, sequential fold. Unequal lengths yield
   * NULL (the zip_with twin's behavior — see VectorExpressions.dimGuard). */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.GraftSqlBridge.ArrayDoubleBinaryInputs {
+  // The SQL registrations (graft_dot & co.) reach these kernels with
+  // whatever types the user wrote: without declared input types an
+  // array<int> child passed analysis and getDouble then read 8-byte
+  // strides over 4-byte elements — silently wrong scores. The bridge
+  // trait declares array<double> inputs (AbstractDataType is
+  // private[sql], unnameable from here), so analysis inserts the cast
+  // (the exact coercion the DataFrame surface applies via asDouble)
+  // or rejects scalars.
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
@@ -91,7 +100,8 @@ case class DotProductExpr(left: Expression, right: Expression)
   * Matches VectorFunctions.cosineSimilarity bitwise: each accumulator
   * folds left-to-right exactly like its SQL counterpart. */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.GraftSqlBridge.ArrayDoubleBinaryInputs { // see DotProductExpr
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
@@ -136,7 +146,13 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   * byte loop stays inside whole-stage codegen like its double sibling
   * [[DotProductExpr]]. */
 case class DotProductInt8Expr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.GraftSqlBridge.ArrayByteBinaryInputs {
+  // array<tinyint> declared (via the bridge trait): getByte over wider
+  // element types reads 1-byte strides across 4-byte cells — garbage
+  // products. Analysis now COERCES wider numeric arrays to tinyint
+  // (correct values; out-of-range elements fail the ANSI cast loudly)
+  // and rejects non-array inputs outright.
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_dot_int8"
@@ -174,7 +190,8 @@ case class DotProductInt8Expr(left: Expression, right: Expression)
 
 /** L2 distance = sqrt(sum_i (a_i - b_i)^2), sequential fold. */
 case class L2DistanceExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.GraftSqlBridge.ArrayDoubleBinaryInputs { // see DotProductExpr
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_l2"

@@ -95,9 +95,15 @@ object VectorFunctions {
     * not once per element. */
   def quantizeInt8(a: Column): Column = {
     val ad = asDouble(a)
+    // BYTE elements, not int: the 4x-smaller claim depends on 1-byte
+    // cells, and [[DotProductInt8Expr]] reads with getByte — an
+    // array<int> column composed into dotProductInt8 would read 1-byte
+    // strides across 4-byte cells (silently wrong products; analysis
+    // now also rejects the mismatch). Values are in [-127, 127] by
+    // construction, so the cast is exact.
     TextFunctions.let1(maxAbs(ad)) { m =>
-      when(m === 0.0, transform(ad, _ => lit(0)))
-        .otherwise(transform(ad, x => round((x * 127.0) / m).cast("int")))
+      when(m === 0.0, transform(ad, _ => lit(0).cast("byte")))
+        .otherwise(transform(ad, x => round((x * 127.0) / m).cast("byte")))
     }
   }
 

@@ -39,8 +39,19 @@ object IvfTopKPruneRule {
 
   private val registry = TrieMap.empty[String, Registration]
 
-  private def normalize(path: String): String =
-    path.stripPrefix("file:").replaceAll("/+$", "")
+  private def normalize(path: String): String = {
+    // Canonicalize through Hadoop Path so every spelling of the same
+    // location keys identically: the old literal stripPrefix("file:")
+    // left "file:///x" as "///x" while the scan's rootPath rendered
+    // "file:/x" -> "/x" — the lookup never matched and the opt-in
+    // rewrite silently never fired (the silent-disable class). Local
+    // paths reduce to their path part; remote URIs (hdfs://host/...)
+    // keep scheme + authority.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val uri = p.toUri
+    val rendered = if (uri.getScheme == "file") uri.getPath else p.toString
+    rendered.replaceAll("/+$", "")
+  }
 
   /** Declare that the parquet store at `path` carries an IVF `clusterCol`
     * assigned by `model`, and that ANN top-k over it may probe `nprobe`
@@ -115,9 +126,37 @@ case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         pruned(scoreAttr, child, wantHigher = dir == Descending)
           .map(c => gl.copy(child = ll.copy(child = sort.copy(child = c))))
           .getOrElse(gl)
-      case w: Window => prunedBatch(w).getOrElse(w)
+      // The window shape only fires under an upper-bounding rank
+      // filter (the top-k that sanctions the recall trade): a bare
+      // per-query ranking with no rank<=k above it asked for the FULL
+      // ordering, and pruning it would silently delete ~(1 -
+      // nprobe/nlist) of the output rows — row loss, not a recall
+      // trade. (The aggregate shapes are inherently k-bounded.)
+      case f @ Filter(cond, w: Window) if rankUpperBounded(cond, w) =>
+        prunedBatch(w).map(c => f.copy(child = c)).getOrElse(f)
+      case f @ Filter(cond, p @ Project(_, w: Window)) if rankUpperBounded(cond, w) =>
+        prunedBatch(w).map(c => f.copy(child = p.copy(child = c))).getOrElse(f)
       case a: Aggregate => prunedBatchAgg(a).getOrElse(a)
     }
+
+  /** Does `cond` upper-bound a rank-like output of `w` against a
+    * literal (rank <= k / rank < k / rank = k, either operand order)? */
+  private def rankUpperBounded(cond: Expression, w: Window): Boolean = {
+    val rankAttrs = w.windowExpressions.collect {
+      case a @ Alias(WindowExpression(_: RowNumber | _: Rank | _: DenseRank, _), _) =>
+        a.exprId
+    }.toSet
+    if (rankAttrs.isEmpty) false
+    else cond.exists {
+      case LessThanOrEqual(attr: Attribute, _: Literal) => rankAttrs(attr.exprId)
+      case LessThan(attr: Attribute, _: Literal) => rankAttrs(attr.exprId)
+      case EqualTo(attr: Attribute, _: Literal) => rankAttrs(attr.exprId)
+      case EqualTo(_: Literal, attr: Attribute) => rankAttrs(attr.exprId)
+      case GreaterThanOrEqual(_: Literal, attr: Attribute) => rankAttrs(attr.exprId)
+      case GreaterThan(_: Literal, attr: Attribute) => rankAttrs(attr.exprId)
+      case _ => false
+    }
+  }
 
   /** Batch (multi-query) pruning: `VectorIndex.topKBatch`'s shape — a
     * per-query ranking window over metric(store vec, query vec column)
@@ -221,20 +260,28 @@ case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * replaced, or None when any guard fails. */
   private def pruneAboveJoin(child: LogicalPlan, l: Expression, r: Expression,
                              perQueryOf: LogicalPlan => Boolean): Option[LogicalPlan] =
-    child.collectFirst { case j: Join => j }.flatMap { join =>
-      // collect ALL file scans and keep the first REGISTERED one — a
+    child.collectFirst { case j: Join => j }
+      // INNER/CROSS only: the probes filter sits ABOVE the join, so on
+      // an outer join it would also delete null-extended rows (a query
+      // with no surviving match loses its row entirely — changed join
+      // semantics, not the sanctioned recall trade).
+      .filter(j => j.joinType == org.apache.spark.sql.catalyst.plans.Inner ||
+        j.joinType == org.apache.spark.sql.catalyst.plans.Cross)
+      .flatMap { join =>
+      // collect ALL file scans and try EVERY registered one — a
       // collectFirst would stop at whichever parquet relation pre-order
-      // reaches first (e.g. an unregistered queries table), return None
-      // from lookup, and silently disable the rewrite for the store
-      // scan sitting right next to it.
-      val scan = join.collect {
+      // reaches first (e.g. an unregistered queries table), and keeping
+      // only the FIRST registered one would silently disable the
+      // rewrite when two registered stores appear in one plan and the
+      // ranking scores the second.
+      val scans = join.collect {
         case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
           val fs = lr.relation.asInstanceOf[HadoopFsRelation]
           lookup(fs.location.rootPaths.map(_.toString))
             .flatMap(reg => lr.output.find(_.name == reg.clusterCol)
               .map(cl => (lr, reg, cl)))
-      }.flatten.headOption
-      scan.flatMap { case (lr, reg, clusterAttr) =>
+      }.flatten
+      scans.view.flatMap { case (lr, reg, clusterAttr) =>
         // which join child holds the scan — the other is queries
         val scanOnLeft = join.left.collectFirst {
           case l2: LogicalRelation if l2 eq lr => l2 }.isDefined
@@ -282,7 +329,7 @@ case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
               ArrayContains(probesAlias.toAttribute, clusterAttr), newJoin)
             child.transformUp { case j2: Join if j2 eq join => filtered }
           }
-      }
+      }.headOption
     }
 
   /** Rewrites `child` with a cluster-IN-probes filter above its scan if
@@ -305,10 +352,11 @@ case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .flatMap(scoreQueryVec)
     matched.filter { case (_, _, higherIsBetter) => higherIsBetter == wantHigher }
       .flatMap { case (queryVec, vecSide, _) =>
-      // ALL scans, first REGISTERED one — see pruneAboveJoin: a
+      // ALL scans, trying EVERY registered one — see pruneAboveJoin: a
       // collectFirst stops at the first parquet relation in pre-order
-      // even when it's not a registered store, silently disabling the
-      // rewrite.
+      // even when it's not a registered store, and keeping only the
+      // first REGISTERED one silently disables the rewrite when the
+      // ranking scores a second registered store in the same plan.
       child.collect {
         case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
           val fs = lr.relation.asInstanceOf[HadoopFsRelation]
@@ -316,7 +364,7 @@ case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
             .flatMap { reg =>
               lr.output.find(_.name == reg.clusterCol).map(cl => (lr, reg, cl))
             }
-      }.flatten.headOption.flatMap { case (lr, reg, clusterAttr) =>
+      }.flatten.view.flatMap { case (lr, reg, clusterAttr) =>
         val readsThisScan = vecSide.references.nonEmpty &&
           vecSide.references.subsetOf(lr.outputSet)
         val alreadyPruned = child.exists {
@@ -331,7 +379,7 @@ case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case l: LogicalRelation if l eq lr => Filter(filter, l)
           })
         }
-      }
+      }.headOption
     }
   }
 }

@@ -54,16 +54,33 @@ object PlanAudit {
     case _ => false
   }
 
+  private def segMatch(paths: Seq[String], tables: Set[String]): Option[String] =
+    tables.find(t => paths.exists(p =>
+      p.endsWith(s"/$t.parquet") || p.contains(s"/$t.parquet/") ||
+        p.endsWith(s"/$t") || p.contains(s"/$t/")))
+
   private def scanOf(p: SparkPlan, tables: Set[String]): Option[String] =
     p match {
       case f: FileSourceScanExec =>
         // Segment-anchored match: "/<t>.parquet" or a "/<t>/" directory
         // component — a bare contains(t + ".parquet") would flag
         // "multipart.parquet" for table "part".
-        val paths = f.relation.location.rootPaths.map(_.toString)
-        tables.find(t => paths.exists(p =>
-          p.endsWith(s"/$t.parquet") || p.contains(s"/$t.parquet/") ||
-            p.endsWith(s"/$t") || p.contains(s"/$t/")))
+        segMatch(f.relation.location.rootPaths.map(_.toString), tables)
+      // A CACHED unbounded table must not audit clean: the in-memory
+      // relation is the same corpus-sized stream, just materialized —
+      // match its cached plan's own scans (recursing via reachable
+      // would wrongly honor barriers above the original scan that the
+      // cache has already paid; the BYTES the broadcast/window sees
+      // are still unbounded only if an unbounded scan feeds the cached
+      // plan without a barrier, so reuse the same reachability walk).
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        val inner = c.relation.cachedPlan
+        reachable(inner, tables).headOption
+      // DSv2 scans (BatchScanExec) — match on the scan's description,
+      // which renders the location for file-based v2 sources; a miss
+      // here is a false-CLEAN, the failure mode this gate exists for.
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        segMatch(Seq(b.scan.description()), tables)
       case _ => None
     }
 

@@ -32,11 +32,14 @@ object Jsonl {
   def write(df: DataFrame, path: String, shards: Int = 0,
             compression: String = "none"): Unit = {
     // Backtick-quote names (a dotted column would parse as a nested
-    // field reference) and KEEP null fields: to_json drops them by
-    // default, which breaks the "every column on every line"
-    // interchange contract for fixed-key-set consumers.
+    // field reference), escaping embedded backticks by doubling them
+    // (a column literally named a`b is legal and crashed the quoted
+    // parse), and KEEP null fields: to_json drops them by default,
+    // which breaks the "every column on every line" interchange
+    // contract for fixed-key-set consumers.
     val lines = df.select(to_json(
-      struct(df.columns.map(n => col(s"`$n`")).toIndexedSeq: _*),
+      struct(df.columns.map(n =>
+        col(s"`${n.replace("`", "``")}`")).toIndexedSeq: _*),
       Map("ignoreNullFields" -> "false")).as("value"))
     val sharded = if (shards > 0) lines.repartition(shards) else lines
     sharded.write.mode("overwrite")

@@ -12,6 +12,32 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Input-type declarations for graft's fused kernels. They live HERE
+    * because `AbstractDataType` (the type of `inputTypes`) is
+    * private[sql]: the kernels in graft.functions cannot name it, but
+    * need ImplicitCastInputTypes so the SQL registrations
+    * (graft_dot & co.) coerce or reject mis-typed inputs at ANALYSIS —
+    * without declared input types, an array<int> child passed analysis
+    * and getDouble read 8-byte strides over 4-byte cells: silently
+    * wrong scores. */
+  trait ArrayDoubleBinaryInputs
+      extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    self: Expression =>
+    override def inputTypes: Seq[types.AbstractDataType] =
+      Seq(types.ArrayType(types.DoubleType), types.ArrayType(types.DoubleType))
+  }
+
+  /** array<tinyint> inputs: wider numeric arrays are implicitly CAST
+    * down (correct values; out-of-range elements fail the ANSI cast
+    * loudly) instead of letting getByte read 1-byte strides across
+    * 4-byte cells. */
+  trait ArrayByteBinaryInputs
+      extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    self: Expression =>
+    override def inputTypes: Seq[types.AbstractDataType] =
+      Seq(types.ArrayType(types.ByteType), types.ArrayType(types.ByteType))
+  }
+
   /** Rebind `df` to a CLONE of its session carrying `confs`: any later
     * action on the returned frame plans and executes under those SQL
     * confs (`SQLExecution.withNewExecutionId` runs every action under

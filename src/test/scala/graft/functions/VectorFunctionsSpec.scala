@@ -50,12 +50,34 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r(0) == 11.0)
   }
 
-  test("int8 quantization: known values, zero vector, byte range") {
+  test("int8 quantization: known values, zero vector, BYTE elements") {
     val d = Seq(Seq(1.0, -0.5, 0.25, 0.0), Seq(0.0, 0.0, 0.0, 0.0)).toDF("v")
-    val r = d.select(quantizeInt8($"v").as("q")).as[Seq[Int]].collect()
-    assert(r(0) == Seq(127, -64, 32, 0)) // round(-63.5) HALF_UP -> -64 (away from zero)
-    assert(r(1) == Seq(0, 0, 0, 0))
-    assert(r(0).forall(q => q >= -127 && q <= 127))
+    val q = d.select(quantizeInt8($"v").as("q"))
+    // 1-byte cells are the 4x-smaller claim AND what DotProductInt8Expr
+    // reads — array<int> here silently broke the composition below.
+    assert(q.schema("q").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    val r = q.as[Seq[Byte]].collect()
+    assert(r(0) == Seq[Byte](127, -64, 32, 0)) // round(-63.5) HALF_UP -> -64 (away from zero)
+    assert(r(1) == Seq[Byte](0, 0, 0, 0))
+  }
+
+  test("quantizeInt8 composes with dotProductInt8 (the documented pairing)") {
+    val d = Seq((Seq(1.0, -0.5, 0.25, 0.0), Seq(0.5, 0.5, -1.0, 0.25))).toDF("a", "b")
+    val got = d.select(dotProductInt8(quantizeInt8($"a"), quantizeInt8($"b")).as("s"))
+      .as[Long].head
+    // q_a = [127,-64,32,0]; q_b = [64,64,-127,32] (0.5/1.0*127 = 63.5 -> 64)
+    assert(got == 127L * 64 - 64L * 64 - 32L * 127)
+    // mis-typed input (array<int>) is COERCED at analysis (implicit
+    // numeric cast to array<tinyint> — correct VALUES), where pre-fix
+    // getByte read garbage 1-byte strides across the 4-byte cells
+    val ints = Seq((Seq(1, 2), Seq(3, 4))).toDF("x", "y")
+    assert(ints.select(dotProductInt8($"x", $"y").as("s")).as[Long].head == 11L)
+    // non-array input still fails analysis, not mid-task with a cast error
+    val scalar = Seq((1, 2)).toDF("x", "y")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      scalar.select(dotProductInt8($"x", $"y")).collect()
+    }
   }
 
   test("binarySign63: known bit patterns and truncation at 63 dims") {

@@ -105,5 +105,21 @@ class PoolingSpec extends SparkSpec {
     val got = ok.groupBy($"k").agg(VectorFunctions.vecSumMicro($"v").as("s"))
       .select("s").as[Seq[Long]].head
     assert(got == Seq(1000000L, 2000000L))
+    // NON-FINITE elements are equally corrupt input: NaN quantized
+    // silently to 0 (the exact bias the null guard exists to prevent)
+    // and Infinity saturated then WRAPPED on the next add.
+    def assertNonFiniteThrow(f: => Unit): Unit = {
+      val e = intercept[Exception](f)
+      val chain = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString("|")
+      assert(chain.contains("non-finite"), chain)
+    }
+    val nan = Seq((1L, Seq(1.0, Double.NaN)), (1L, Seq(3.0, 4.0))).toDF("k", "v")
+    assertNonFiniteThrow(
+      nan.groupBy($"k").agg(VectorFunctions.vecSumMicro($"v")).collect())
+    val inf = Seq((1L, Seq(Double.PositiveInfinity, 2.0))).toDF("k", "v")
+    assertNonFiniteThrow(
+      inf.groupBy($"k").agg(VectorFunctions.vecMaxMicro($"v")).collect())
   }
 }

@@ -33,6 +33,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("graft_dot"))
   }
 
+  test("SQL kernels coerce non-double arrays instead of misreading strides") {
+    GraftExtensions.register(spark)
+    // Pre-fix the kernels declared no input types: array<int> children
+    // passed analysis and getDouble read 8-byte strides over 4-byte
+    // cells — silently wrong scores. The declared array<double> inputs
+    // make analysis insert the cast (same coercion the DataFrame
+    // surface applies via asDouble).
+    val r = spark.sql(
+      "SELECT graft_dot(array(1, 2), array(3, 4)) AS d").head
+    assert(r.getAs[Double]("d") == 11.0)
+    // scalar inputs fail ANALYSIS, not mid-task with a ClassCastException
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cosine(1, 2)").head
+    }
+  }
+
   test("graft_hash_embed rejects a non-positive dim at analysis, not per row") {
     GraftExtensions.register(spark)
     // The SQL route bypasses HashEmbedder's constructor check; without

@@ -281,4 +281,91 @@ class IvfTopKPruneRuleSpec extends SparkSpec {
       }
     }
   }
+
+  private def probeFiltered(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.exists(_.name == "__graft_probes")
+      case _ => false
+    }
+
+  test("window-shape batch prunes ONLY under an upper-bounding rank filter") {
+    withRule {
+      IvfTopKPruneRule.register(storePath, model, nprobe = 2)
+      spark.conf.set(IvfTopKPruneRule.ConfKey, "true")
+      try {
+        val qdf = Seq(
+          (1L, emb.embedQuery("document number 3").toSeq),
+          (2L, emb.embedQuery("some other thing").toSeq)).toDF("qid", "qv")
+        val docs = spark.read.parquet(storePath)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("score"), asc("id"))
+        val ranked = docs.crossJoin(broadcast(qdf))
+          .withColumn("score",
+            VectorFunctions.cosineSimilarity(col("vec"), col("qv")))
+          .withColumn("rank", row_number().over(w))
+        // bounded per-query ranking: the sanctioned top-k recall trade
+        assert(probeFiltered(ranked.where(col("rank") <= 3)),
+          "rank<=k window shape must prune")
+        // UNBOUNDED ranking (the caller asked for the FULL per-query
+        // ordering): pruning would silently DELETE ~(1 - nprobe/nlist)
+        // of the output rows — must stay untouched
+        assert(!probeFiltered(ranked),
+          "a full ranking with no rank bound must never be pruned")
+        // a lower-bound (rank > 3 — 'everything but the top') is not a
+        // top-k either
+        assert(!probeFiltered(ranked.where(col("rank") > 3)),
+          "a lower-bounded rank filter must never be pruned")
+      } finally {
+        spark.conf.unset(IvfTopKPruneRule.ConfKey)
+        IvfTopKPruneRule.unregister(storePath)
+      }
+    }
+  }
+
+  test("outer joins are never pruned: null-extended query rows must survive") {
+    withRule {
+      IvfTopKPruneRule.register(storePath, model, nprobe = 2)
+      spark.conf.set(IvfTopKPruneRule.ConfKey, "true")
+      try {
+        val qdf = Seq(
+          (1L, emb.embedQuery("document number 3").toSeq),
+          (2L, emb.embedQuery("some other thing").toSeq)).toDF("qid", "qv")
+        val docs = spark.read.parquet(storePath)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("score"), asc("id"))
+        // LEFT OUTER: a query with no surviving match emits one
+        // null-extended row; a probes filter ABOVE the join would
+        // delete that query from the output entirely.
+        val ranked = qdf.join(docs, col("qid") =!= col("id"), "left_outer")
+          .withColumn("score",
+            VectorFunctions.cosineSimilarity(col("vec"), col("qv")))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+        assert(!probeFiltered(ranked),
+          "an outer join must never carry the probes filter")
+      } finally {
+        spark.conf.unset(IvfTopKPruneRule.ConfKey)
+        IvfTopKPruneRule.unregister(storePath)
+      }
+    }
+  }
+
+  test("URI spellings of the registered path still key the rewrite (file://)") {
+    withRule {
+      // Pre-fix normalize() only stripped a literal 'file:' prefix, so
+      // file:///x registered as ///x while the scan rendered /x — the
+      // lookup never matched and the opt-in silently never fired.
+      IvfTopKPruneRule.register(s"file://$storePath", model, nprobe = 2)
+      spark.conf.set(IvfTopKPruneRule.ConfKey, "true")
+      try {
+        val qv = emb.embedQuery("document number 7").toSeq
+        assert(clusterFilters(topkPlan(qv)).nonEmpty,
+          "file:// registration must match the plain-path scan")
+      } finally {
+        spark.conf.unset(IvfTopKPruneRule.ConfKey)
+        IvfTopKPruneRule.unregister(s"file://$storePath")
+      }
+    }
+  }
 }

@@ -117,4 +117,27 @@ class PlanAuditSpec extends SparkSpec {
         lineitem.join(broadcast(per), "l_partkey")).isEmpty)
     }
   }
+
+  test("auditor is not blinded by a CACHED fact scan (InMemoryTableScan)") {
+    withStaticPlans {
+      // cache() replaces the file scan with InMemoryTableScanExec — the
+      // same corpus-sized stream, just materialized. Pre-fix scanOf
+      // only matched FileSourceScanExec, so this broadcast audited
+      // CLEAN: a false-clean from the exact gate built for the q17
+      // raw-fact-broadcast lesson.
+      val l = lineitem.cache()
+      try {
+        l.count() // materialize so the plan uses the cached relation
+        val n = nation
+        val bad = PlanAudit.audit(
+          n.join(broadcast(l), n("n_nationkey") === l("l_suppkey")))
+        assert(bad.exists(_.contains("broadcast of unbounded side")),
+          bad.mkString("; "))
+        // an aggregate of the cached scan stays allowed (barrier holds)
+        val per = l.groupBy("l_partkey").agg(avg("l_quantity").as("aq"))
+        assert(PlanAudit.audit(
+          lineitem.join(broadcast(per), "l_partkey")).isEmpty)
+      } finally { l.unpersist(); () }
+    }
+  }
 }
