@@ -2600,14 +2600,21 @@ object SparkEntry {
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4""",
 
+    // Null-text rows are each their own group (Dedup.exact's contract:
+    // failed decodes are not duplicates of each other); testdata has no
+    // null texts, but the oracle mirrors the split for parity.
     "q_dedup_exact" -> """
       SELECT text AS dedup_key, min(doc_id) AS doc_id, count(*) AS dup_count
-      FROM documents GROUP BY text""",
+      FROM documents WHERE text IS NOT NULL GROUP BY text
+      UNION ALL
+      SELECT text, doc_id, 1 FROM documents WHERE text IS NULL""",
 
     "q_dedup_fingerprint" -> s"""
       SELECT $FingerprintSql AS dedup_key,
              min(doc_id) AS doc_id, count(*) AS dup_count
-      FROM documents GROUP BY 1""",
+      FROM documents WHERE text IS NOT NULL GROUP BY 1
+      UNION ALL
+      SELECT NULL, doc_id, 1 FROM documents WHERE text IS NULL""",
 
     "q_dedup_jaccard" -> s"""
       WITH $ShingleCte,

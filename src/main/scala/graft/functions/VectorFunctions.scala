@@ -247,7 +247,20 @@ object VectorFunctions {
     * session conf (and every other query) is untouched. Operators that
     * produce bounded-top-k plans ([[graft.ops.Sampling.capPerKey]],
     * [[graft.index.VectorIndex.topKBatch]]) apply this themselves, so
-    * hash mode is the shipped default, not a documented knob. */
+    * hash mode is the shipped default, not a documented knob.
+    *
+    * SCOPE CAVEAT (by construction of per-frame conf scoping): frames
+    * DERIVED from the returned one inherit the clone — the raised
+    * threshold also governs any UNBOUNDED object aggregate the caller
+    * composes downstream (e.g. a collect_list over high-cardinality
+    * keys would hold 1M keys/task before sort fallback), and the
+    * clone's other confs are a snapshot of the caller's session AT
+    * CALL TIME (a later session-conf change does not reach derived
+    * plans). Both are the price of scoping without mutating the shared
+    * session; when composing further heavy aggregation or flipping
+    * session confs afterwards, detach first via
+    * [[GraftSqlBridge.rebind]] (the bounded agg then runs at the stock
+    * threshold — slower, never wrong). */
   def withBoundedTopKConf(df: DataFrame,
                           keysPerTask: Int = BoundedTopKFallbackThreshold): DataFrame =
     GraftSqlBridge.withSessionConfs(df, Map(

@@ -21,12 +21,23 @@ import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
 object Dedup {
 
   /** Exact dedup: lowest-id survivor per (normalized) text. One
-    * hash-shuffle groupBy; map-side partial aggregation applies. */
+    * hash-shuffle groupBy; map-side partial aggregation applies.
+    *
+    * NULL-text rows are each their OWN group (dedup_key null,
+    * dup_count 1): groupBy groups nulls together, so without the split
+    * every null-text document but one — failed decodes, distinct
+    * documents that merely lack text — was silently deleted as a
+    * "duplicate" of the others. Same contract as [[dedupStream]]'s
+    * uuid sentinel. (DocumentStore's INGEST dedup deliberately differs:
+    * there null texts dedup to one, the reference's semantics.) */
   def exact(df: DataFrame, idCol: String, textCol: String,
             normalize: Boolean = false): DataFrame = {
     val key = if (normalize) TextFunctions.fingerprint(col(textCol)) else col(textCol)
-    df.groupBy(key.as("dedup_key"))
+    df.where(col(textCol).isNotNull)
+      .groupBy(key.as("dedup_key"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .unionByName(df.where(col(textCol).isNull)
+        .select(key.as("dedup_key"), col(idCol), lit(1L).as("dup_count")))
   }
 
   /** Candidate pairs sharing >= 1 word n-gram shingle, with exact
@@ -71,8 +82,14 @@ object Dedup {
     val filtered = maxShingleFreq match {
       case Some(f) =>
         val sh = withSh.select(col("id"), explode(col("shs")).as("sh"))
+        // NO broadcast hint: the hot table's cardinality is data- and
+        // threshold-dependent (a low cap on a dup-heavy corpus makes
+        // "hot" most of the shingle vocabulary — a corpus-scale string
+        // table the hint would force onto the driver and every
+        // executor). AQE broadcasts it at runtime when it measures
+        // small; otherwise a shuffled anti-join is the scale-safe shape.
         val hot = sh.groupBy("sh").count().where(col("count") > f).select("sh")
-        val kept = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+        val kept = sh.join(hot, Seq("sh"), "left_anti")
         import org.apache.spark.sql.expressions.Window
         kept.withColumn("n_sh",
           count(lit(1)).over(Window.partitionBy("id")).cast("int"))
@@ -246,8 +263,19 @@ object Dedup {
     // (only when they happen to share a band).
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val withH = df.select(col(idCol).as("id"),
-      TextFunctions.simhash63(col(textCol)).as("simhash"))
+    // Degenerate docs (null or whitespace-only text) are SCREENED, the
+    // same documented recall contract as minhashLshPairs' size(sh)>0:
+    // a null text's null simhash made concat_ws SKIP the hash in every
+    // band key, so ALL null-text docs collided in bands "0".."3" and
+    // the band self-join went quadratic in their count (a silent
+    // resource melt — the null-hamming filter hid it from the output);
+    // whitespace-only texts all simhash identically with the same
+    // quadratic blow-up. trim(null) =!= "" is null, so one predicate
+    // screens both.
+    val withH = df
+      .where(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("id"),
+        TextFunctions.simhash63(col(textCol)).as("simhash"))
     // `bands` bands of 64/bands bits: band key = (bandId, those bits).
     // Pigeonhole: hamming <= bands-1 guarantees an identical band.
     // SCALE NOTE: expected band-bucket size is n / 2^width — with the
@@ -780,8 +808,10 @@ object Dedup {
     val sh = base.select(col("id"), explode(blocks).as("sh"))
     val kept = maxShingleFreq match {
       case Some(f) =>
+        // No broadcast hint — data-dependent cardinality; see
+        // shinglePairCounts (AQE broadcasts small hot tables itself).
         val hot = sh.groupBy("sh").count().where(col("count") > f).select("sh")
-        sh.join(broadcast(hot), Seq("sh"), "left_anti")
+        sh.join(hot, Seq("sh"), "left_anti")
       case None => sh
     }
     val cand = kept.as("a").join(kept.as("b"),
@@ -875,10 +905,13 @@ object Dedup {
     // still gets dropped from the batch side of the join.
     val (bKept, cKept, bSizes, cSizes) = maxShingleFreq match {
       case Some(f) =>
+        // No broadcast hint on the hot table — data-dependent
+        // cardinality (see shinglePairCounts); AQE broadcasts it at
+        // runtime when it measures small.
         val hot = be.union(ce).groupBy("sh").count()
           .where(col("count") > f).select("sh")
-        val bk = be.join(broadcast(hot), Seq("sh"), "left_anti")
-        val ck = ce.join(broadcast(hot), Seq("sh"), "left_anti")
+        val bk = be.join(hot, Seq("sh"), "left_anti")
+        val ck = ce.join(hot, Seq("sh"), "left_anti")
         (bk, ck, bk.groupBy("id").agg(count(lit(1)).as("n_sh")),
           ck.groupBy("id").agg(count(lit(1)).as("n_sh")))
       case None =>

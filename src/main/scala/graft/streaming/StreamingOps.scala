@@ -456,14 +456,23 @@ object StreamingOps {
             org.apache.spark.sql.types.StructField("band",
               org.apache.spark.sql.types.StringType))))
       val dropCross = banded.join(index, "band").select(col(idCol))
-      // Materialize the dropped-id set NOW (batch-bounded — at most one
-      // row per incoming doc, the same batch-sized-collect discipline
-      // as the ingest Bloom fold): the returned `kept` frame must not
-      // hold a lazy scan of indexPath, which this function writes below.
-      val droppedIds = dropInBatch.union(dropCross).distinct().collect()
-      val dropDf = broadcast(spark.createDataFrame(
-        java.util.Arrays.asList(droppedIds: _*),
-        org.apache.spark.sql.types.StructType(Seq(batch.schema(idCol)))))
+      // Materialize the dropped-id set NOW — the returned `kept` frame
+      // must not hold a lazy scan of indexPath, which this function
+      // writes below — but to a FILE, not the driver: the row count is
+      // batch-bounded, the BYTES are not (a catch-up micro-batch after
+      // an outage can be the whole backlog, and string ids at tens of
+      // millions of dropped rows made the old collect a multi-GB
+      // driver OOM that foreachBatch then replayed forever). The
+      // underscore prefix hides the scratch dir from the index's
+      // partition discovery; overwrite keeps replays idempotent.
+      val dropsDir = s"$indexPath/_drops/batch=$batchId"
+      dropInBatch.union(dropCross).distinct()
+        .write.mode("overwrite").parquet(dropsDir)
+      val dropDf = spark.read
+        .schema(org.apache.spark.sql.types.StructType(Seq(batch.schema(idCol))))
+        .parquet(dropsDir)
+      // No broadcast hint (unbounded bytes for the same reason); AQE
+      // broadcasts the usual tiny drop set at runtime on its own.
       val kept = batch.join(dropDf, Seq(idCol), "left_anti")
       // Persist survivors' bands BEFORE returning (overwrite = replay
       // rewrites, never duplicates): the caller's write of `kept` must

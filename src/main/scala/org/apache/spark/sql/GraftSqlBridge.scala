@@ -91,4 +91,17 @@ object GraftSqlBridge {
     })
     classic.Dataset.ofRows(cloned, df.queryExecution.analyzed)
   }
+
+  /** Detach a frame from a [[withSessionConfs]] clone: rebind its plan
+    * to `session` verbatim, so later actions plan under that session's
+    * LIVE conf. The escape hatch for composing further (possibly
+    * memory-heavy, unbounded-state) aggregation on top of a
+    * conf-scoped operator result, or for picking up session-conf
+    * changes made after the operator call — at the price of losing the
+    * scoped conf for the embedded plan (e.g. a bounded top-k inside it
+    * falls back to the stock ObjectHashAggregate threshold: slower,
+    * never wrong). */
+  def rebind(df: Dataset[Row], session: SparkSession): Dataset[Row] =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession],
+      df.queryExecution.analyzed)
 }

@@ -23,6 +23,40 @@ class DedupSpec extends SparkSpec {
     assert(r(2L) == 1 && r(3L) == 1 && r(4L) == 1)
   }
 
+  test("exact dedup: null-text rows are each their OWN group, never dups of each other") {
+    // Failed decodes are distinct documents that merely lack text —
+    // groupBy groups nulls together, so pre-fix every null-text doc
+    // but one was silently deleted as a "duplicate".
+    val withNulls = docs.unionByName(Seq(
+      (10L, null.asInstanceOf[String]), (11L, null.asInstanceOf[String]),
+      (12L, null.asInstanceOf[String])).toDF("id", "text"))
+    val r = Dedup.exact(withNulls, "id", "text").collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("dup_count")).toMap
+    assert(r.keySet.intersect(Set(10L, 11L, 12L)) == Set(10L, 11L, 12L),
+      s"every null-text doc must survive: ${r.keySet}")
+    assert(Seq(10L, 11L, 12L).forall(r(_) == 1L))
+    assert(r(0L) == 2 && !r.contains(1L)) // real dups unchanged
+    // normalized form has the same contract (fingerprint(null) is null)
+    val rn = Dedup.exact(withNulls, "id", "text", normalize = true).collect()
+      .map(x => x.getAs[Long]("id")).toSet
+    assert(rn.intersect(Set(10L, 11L, 12L)) == Set(10L, 11L, 12L))
+  }
+
+  test("simhashPairs screens token-less docs (no quadratic null/empty band collisions)") {
+    // Null texts' null simhash made concat_ws SKIP the hash in every
+    // band key — ALL null-text docs collided in bands "0".."3" and the
+    // self-join went quadratic; empty texts all simhash to 0L with the
+    // same blow-up. Both are screened like minhashLshPairs' size>0.
+    val withNulls = docs.unionByName(Seq(
+      (10L, null.asInstanceOf[String]), (11L, null.asInstanceOf[String]),
+      (12L, ""), (13L, "   ")).toDF("id", "text"))
+    val pairs = Dedup.simhashPairs(withNulls, "id", "text", maxHamming = 63)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(!pairs.exists { case (a, b) => a >= 10L || b >= 10L },
+      s"token-less docs must produce no candidate pairs: ${pairs.toSeq}")
+    assert(pairs.contains((0L, 1L))) // real pairs unchanged
+  }
+
   test("ngram Jaccard finds exact and near dup pairs, not unrelated") {
     val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", n = 3, threshold = 0.3)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),

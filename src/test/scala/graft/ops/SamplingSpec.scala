@@ -126,6 +126,14 @@ class SamplingSpec extends SparkSpec {
     // The conf is scoped to the operator's plan: the caller's session
     // (and its later queries) never sees the raised threshold.
     assert(spark.conf.get(FallbackKey) == before)
+    // GraftSqlBridge.rebind is the documented escape hatch: detaching
+    // the frame puts later actions back under the LIVE session conf
+    // (the embedded bounded agg then runs at the stock threshold —
+    // slower, identical rows).
+    val detached = org.apache.spark.sql.GraftSqlBridge.rebind(shipped, spark)
+    assert(detached.sparkSession eq spark)
+    assert(detached.collect().map(_.toString).sorted.toSeq ==
+      raw.collect().map(_.toString).sorted.toSeq)
   }
 
   test("seededShuffle: a user column named shuffle_key survives; internal __shuffle_key is guarded") {
