@@ -173,6 +173,13 @@ object Drift {
     val banded = breaks.zipWithIndex.foldRight(lit(breaks.size): Column) {
       case ((b, i), rest) => when(value < b, lit(i)).otherwise(rest)
     }
-    when(value.isNull, lit(null).cast("int")).otherwise(banded)
+    // NaN joins the NULL bucket, not the top band: NaN < b is false
+    // for every break (NaN orders greatest), so a scorer regression
+    // emitting NaN used to read as top-band mass growth — drift
+    // mis-attributed to "high values" instead of surfacing as the
+    // distinct missing/undefined population the NullBucket design
+    // exists for (and masking any real top-band shift).
+    when(value.isNull || isnan(value.cast("double")), lit(null).cast("int"))
+      .otherwise(banded)
   }
 }

@@ -81,11 +81,21 @@ object QualitySignals {
     val symbolRatio = round(
       (length(t) - length(regexp_replace(t, "[^\\p{L}\\p{N} ]", ""))).cast("double") /
         greatest(length(t), lit(1)).cast("double"), 4)
+    // A NULL text must null EVERY signal (the stated contract): the
+    // token split of null text is a null ARRAY, and size(null) is -1
+    // here — without this guard n_tokens was a fabricated -1,
+    // distinct_token_ratio -1.0, and dup_bigram_frac 0.0 (rawBigrams
+    // maps the null array to array(), so the ===0 branch fired) —
+    // undecodable docs silently skewed corpus means and read as
+    // zero-duplication documents.
+    def nullForNullText(c: Column): Column =
+      when(t.isNull, lit(null)).otherwise(c)
     val out = df
-      .withColumn("n_tokens", sig.getField("n_tokens"))
-      .withColumn("distinct_token_ratio", sig.getField("distinct_token_ratio"))
-      .withColumn("top_token_frac", sig.getField("top_token_frac"))
-      .withColumn("dup_bigram_frac", sig.getField("dup_bigram_frac"))
+      .withColumn("n_tokens", nullForNullText(sig.getField("n_tokens")))
+      .withColumn("distinct_token_ratio",
+        nullForNullText(sig.getField("distinct_token_ratio")))
+      .withColumn("top_token_frac", nullForNullText(sig.getField("top_token_frac")))
+      .withColumn("dup_bigram_frac", nullForNullText(sig.getField("dup_bigram_frac")))
       .withColumn("symbol_ratio", symbolRatio)
     // coalesce to FALSE: a null text nulls every signal, and a null
     // keep flag would put the doc in NEITHER the keep nor the drop set

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Grouped statistical screens — the anomaly-detection siblings of the
@@ -28,12 +28,34 @@ object Stats {
 
   private def joinGroupsNullSafe(df: DataFrame, grouped: DataFrame,
                                  groupCols: Seq[String]): DataFrame = {
+    // The empty-groupCols aggregate is ONE row — bounded by
+    // construction, hint it. The per-group table's cardinality is
+    // data-dependent (caller-supplied groupCols over an arbitrary
+    // corpus can yield billions of groups), so NO forced hint there: a
+    // forced broadcast bypasses every size check and collects the full
+    // table to the driver. AQE broadcasts it at runtime when it
+    // measures small — the common case costs the same.
     if (groupCols.isEmpty) return df.crossJoin(broadcast(grouped))
     val renamed = groupCols.foldLeft(grouped) {
       case (g, c) => g.withColumnRenamed(c, s"__g_$c")
     }
     val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
-    df.join(broadcast(renamed), cond).drop(groupCols.map(c => s"__g_$c"): _*)
+    df.join(renamed, cond).drop(groupCols.map(c => s"__g_$c"): _*)
+  }
+
+  /** Non-finite doubles (NaN/±Infinity) normalized to NULL for the
+    * quantile/fence machinery: Spark orders NaN GREATER than every
+    * number, so an unscreened NaN reaching a percentile makes the
+    * interpolated threshold itself NaN — `x >= NaN` and `x < NaN`
+    * comparisons then silently invert whole groups (everything
+    * dropped/flagged except the NaN row). Infinity similarly pins a
+    * fence at ±Inf and disables the screen. Treating non-finite as
+    * NULL routes such rows through the SAME documented null contract
+    * each caller already has. */
+  private def finiteOrNull(c: Column): Column = {
+    val d = c.cast("double")
+    when(isnan(d) || d === Double.PositiveInfinity ||
+      d === Double.NegativeInfinity, lit(null).cast("double")).otherwise(d)
   }
 
   /** Per-group z-score outliers: rows with |value − mean| ≥ threshold·σ
@@ -65,7 +87,9 @@ object Stats {
     * Returns the input columns plus (mean, sigma, z) for flagged rows.
     *
     * Scale shape: one partial-aggregated groupBy for the moments (tiny
-    * result: one row per group), broadcast back onto the scan — the
+    * result: one row per group), joined back onto the scan (AQE
+    * broadcasts it at runtime when it measures small — group
+    * cardinality is data-dependent, so no FORCED hint) — the
     * full pass is one narrow projection + filter. */
   def zscoreOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      threshold: Double = 3.0, roundScale: Int = 4): DataFrame = {
@@ -104,7 +128,8 @@ object Stats {
     * Scale shape: one grouped exact-percentile aggregate (one row per
     * group; percentile is a sort-based agg — fine for bounded group
     * count, use approx quantiles via [[graft.ops.Sketches]] when groups
-    * are huge), broadcast back onto the scan; the screen itself is a
+    * are huge), joined back onto the scan (AQE-sized, no forced
+    * broadcast — group cardinality is data-dependent); the screen is a
     * narrow filter. */
   def iqrOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Double = 1.5, roundScale: Int = 4): DataFrame = {
@@ -114,14 +139,21 @@ object Stats {
     // string re-assembly of the column name or the threshold between
     // the API and the aggregate (the hazard Sketches.buildFreqSketches
     // documents; any name col() resolves works here).
+    // Quartiles over FINITE values only (see finiteOrNull: one NaN in
+    // the group made both fences NaN, flagging every good row and
+    // passing the NaN row — inverted output). A non-finite VALUE is
+    // itself flagged: NaN/Inf measurements are anomalies by any
+    // definition, and the old NaN-comparison semantics silently passed
+    // them clean.
+    val v = finiteOrNull(col(valueCol))
     val fences = df.groupBy(groupCols.map(col): _*)
-      .agg(round(percentile(col(valueCol), lit(0.25)), roundScale).as("q1"),
-        round(percentile(col(valueCol), lit(0.75)), roundScale).as("q3"))
+      .agg(round(percentile(finiteOrNull(col(valueCol)), lit(0.25)), roundScale).as("q1"),
+        round(percentile(finiteOrNull(col(valueCol)), lit(0.75)), roundScale).as("q3"))
       .withColumn("lo", col("q1") - (col("q3") - col("q1")) * k)
       .withColumn("hi", col("q3") + (col("q3") - col("q1")) * k)
     joinGroupsNullSafe(df, fences, groupCols)
-      .where(col(valueCol).cast("double") < col("lo") ||
-        col(valueCol).cast("double") > col("hi"))
+      .where(v < col("lo") || v > col("hi") ||
+        (col(valueCol).isNotNull && v.isNull))
   }
 
   /** Per-group quantile-threshold filter — FineWeb-style "keep the top
@@ -138,11 +170,13 @@ object Stats {
     * kept fraction is >= (1−q), never an arbitrary tie cut.
     *
     * Scale shape: one grouped percentile aggregate (one row per group)
-    * broadcast back onto the scan; the filter itself is a narrow
+    * joined back onto the scan (AQE-sized, no forced broadcast —
+    * group cardinality is data-dependent); the filter itself is a narrow
     * projection — same plan family as [[iqrOutliers]].
     *
-    * NULL values: by default (`keepNullValues = false`) rows whose
-    * `valueCol` is null are DROPPED — `null >= thr` is null — and the
+    * NULL (and non-finite — NaN/±Infinity normalize to null, see
+    * finiteOrNull) values: by default (`keepNullValues = false`) rows
+    * whose `valueCol` is null are DROPPED — `null >= thr` is null — and the
     * percentile ignores them, so a null-rate regression in the quality
     * score silently shrinks the corpus. If the score can legitimately be
     * null (scorer outage, new unscored docs), pass
@@ -156,11 +190,17 @@ object Stats {
                         keepNullValues: Boolean = false): DataFrame = {
     require(q > 0.0 && q < 1.0, s"quantile out of (0,1): $q")
     requireFreshColumns(df, "keepAboveQuantile", Seq("thr"))
+    // Non-finite scores route through the SAME null knob (see
+    // finiteOrNull): pre-screen, a NaN score passed the gate against
+    // any finite threshold (NaN orders greatest), and one NaN reaching
+    // the percentile made the group's threshold NaN — wiping the whole
+    // group except its NaN row.
+    val v = finiteOrNull(col(valueCol))
     val thr = df.groupBy(groupCols.map(col): _*)
-      .agg(round(percentile(col(valueCol), lit(q)), roundScale).as("thr"))
-    val pass = col(valueCol).cast("double") >= col("thr")
+      .agg(round(percentile(finiteOrNull(col(valueCol)), lit(q)), roundScale).as("thr"))
+    val pass = v >= col("thr")
     joinGroupsNullSafe(df, thr, groupCols)
-      .where(if (keepNullValues) col(valueCol).isNull || pass else pass)
+      .where(if (keepNullValues) v.isNull || pass else pass)
   }
 
   /** Numeric column profile — the observability pass next to the

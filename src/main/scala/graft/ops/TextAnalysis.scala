@@ -34,7 +34,13 @@ object TextAnalysis {
         qualityScoreOf(t, toks).as("quality"),
         langGuessOf(toks).as("lang_guess"))
     }
-    df.withColumn("n_tokens", sig.getField("n_tokens"))
+    // size(null token array) is -1 here, so without the guard a NULL
+    // text got a fabricated n_tokens = -1 beside its (correctly null)
+    // sibling signals: where(n_tokens < 10) classified undecodable
+    // docs as "too short" and every token-count aggregate was deflated
+    // by -1 per null doc, silently.
+    df.withColumn("n_tokens",
+        when(t.isNull, lit(null)).otherwise(sig.getField("n_tokens")))
       .withColumn("est_bpe_tokens", sig.getField("est_bpe_tokens"))
       .withColumn("n_chars_calc", length(t))
       .withColumn("stopword_ratio", sig.getField("stopword_ratio"))

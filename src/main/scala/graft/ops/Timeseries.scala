@@ -40,13 +40,20 @@ object Timeseries {
     * string, which casts to null) are DROPPED before the fold and `n`
     * counts only the folded observations — one unscreened null would
     * poison the entire key's recurrence to NULL with no trace of which
-    * row caused it. A key whose values are ALL null is absent. */
+    * row caused it. NON-FINITE values (NaN/±Infinity — including the
+    * strings "NaN"/"Infinity", which cast to non-null doubles and so
+    * passed the null screen) are dropped for the same reason: one NaN
+    * poisons every later fold step of its key to NaN, the exact
+    * whole-key outcome this screen exists to prevent. A key whose
+    * values are ALL null/non-finite is absent. */
   def ewma(df: DataFrame, keyCol: String, orderCols: Seq[String],
            valueCol: String, alpha: Double, roundScale: Int = 4): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     require(orderCols.nonEmpty, "need at least one order column")
-    val fields = orderCols.map(col) :+ col(valueCol).cast("double").as("__v")
-    val g = df.where(col(valueCol).cast("double").isNotNull)
+    val vd = col(valueCol).cast("double")
+    val fields = orderCols.map(col) :+ vd.as("__v")
+    val g = df.where(vd.isNotNull && !isnan(vd) &&
+        vd =!= Double.PositiveInfinity && vd =!= Double.NegativeInfinity)
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(fields: _*))).as("__s"))
     val vs = transform(col("__s"), s => s("__v"))

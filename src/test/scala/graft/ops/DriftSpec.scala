@@ -57,6 +57,13 @@ class DriftSpec extends SparkSpec {
         Drift.numericBucket(col("v"), Seq(60.0, 100.0)).as("b"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
     assert(got.toSeq === Seq(Some(0), None, Some(2)))
+    // NaN joins the null bucket too: NaN < b is false for every break,
+    // so a NaN-emitting scorer regression used to read as top-band
+    // mass growth instead of a distinct undefined population.
+    val withNan = Seq(Some(Double.NaN), Some(500.0)).toDF("v")
+      .select(Drift.numericBucket(col("v"), Seq(60.0, 100.0)).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(withNan.toSeq === Seq(None, Some(2)))
     // and the contribution pass labels those rows as the null bucket
     val c = Drift.bucketContributions(vals, vals,
         Drift.numericBucket(col("v"), Seq(60.0, 100.0)))

@@ -51,6 +51,20 @@ class QualitySignalsSpec extends SparkSpec {
     assert(out.where(!$"gopher_keep").count() == 2) // both fail (short text too)
   }
 
+  test("null text NULLS every signal: no fabricated -1 counts or 0.0 fractions") {
+    // size(null token array) is -1 here: pre-fix a null text got
+    // n_tokens = -1, distinct_token_ratio = -1.0 and (via rawBigrams'
+    // empty-array mapping) dup_bigram_frac = 0.0 — undecodable docs
+    // skewed corpus means and read as zero-duplication documents.
+    val row = QualitySignals.signals(
+      Seq((1L, Option.empty[String])).toDF("id", "text"), "text")
+      .head()
+    for (c <- Seq("n_tokens", "distinct_token_ratio", "top_token_frac",
+        "dup_bigram_frac", "symbol_ratio"))
+      assert(row.isNullAt(row.fieldIndex(c)), s"$c must be NULL for null text")
+    assert(!row.getAs[Boolean]("gopher_keep")) // still a DROP, not limbo
+  }
+
   test("gopher_keep boundary: too-symbol-heavy text is dropped") {
     val clean = (1 to 20).map(i => s"tok$i").mkString(" ")
     assert(sig(clean).getBoolean(5))

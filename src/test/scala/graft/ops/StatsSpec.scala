@@ -118,6 +118,32 @@ class StatsSpec extends SparkSpec {
     assert(kept.where($"id" === 4L).select("thr").head().getDouble(0) == 2.0)
   }
 
+  test("non-finite scores behave like nulls: NaN never poisons a quantile threshold or a fence") {
+    import spark.implicits._
+    // Pre-fix: NaN orders greatest, so percentile interpolated to NaN
+    // (thr = NaN wiped the whole group except its NaN row) and a NaN
+    // score passed any finite gate.
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "a", Double.NaN), (5L, "a", Double.PositiveInfinity))
+      .toDF("id", "grp", "value")
+    val kept = Stats.keepAboveQuantile(df, Seq("grp"), "value", q = 0.5)
+    val ids = kept.select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(2L, 3L), s"got $ids") // thr = 2.0 over the finite values
+    assert(kept.where($"id" === 2L).select("thr").head().getDouble(0) == 2.0)
+    // keepNullValues routes non-finite rows through like nulls
+    val routed = Stats.keepAboveQuantile(df, Seq("grp"), "value", q = 0.5,
+        keepNullValues = true).select("id").as[Long].collect().sorted.toSeq
+    assert(routed == Seq(2L, 3L, 4L, 5L), s"got $routed")
+    // IQR: fences from finite values only; the non-finite rows are
+    // THEMSELVES outliers (pre-fix: every good row flagged, NaN clean)
+    val iqrDf = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "a", 2.5), (5L, "a", 100.0), (6L, "a", Double.NaN))
+      .toDF("id", "grp", "value")
+    val flagged = Stats.iqrOutliers(iqrDf, Seq("grp"), "value")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(flagged == Seq(5L, 6L), s"got $flagged")
+  }
+
   test("zscoreOutliers: a constant group flags NOTHING, even when float " +
     "cancellation makes the variance a hair negative") {
     import spark.implicits._

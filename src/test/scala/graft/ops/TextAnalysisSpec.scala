@@ -26,6 +26,17 @@ class TextAnalysisSpec extends SparkSpec {
     (2L, "beta gamma common"),
     (3L, "common common common")).toDF("id", "text")
 
+  test("analyze: null text nulls n_tokens (no fabricated -1 from size(null))") {
+    val out = TextAnalysis.analyze(
+      Seq((1L, Option.empty[String]), (2L, Option("real text here")))
+        .toDF("id", "text"), "text")
+    val r = out.where($"id" === 1L).head()
+    assert(r.isNullAt(r.fieldIndex("n_tokens")),
+      "null text must null n_tokens, not read as a -1-token document")
+    assert(out.where($"id" === 2L).head()
+      .getAs[Int]("n_tokens") == 3)
+  }
+
   test("topKeywords ranks by tf*idf with deterministic ties") {
     val got = TextAnalysis.topKeywords(docs, "id", "text", k = 2)
       .collect()

@@ -40,6 +40,26 @@ class TimeseriesSpec extends SparkSpec {
     assert(got == Map(1L -> ((2.0, 2L))))
   }
 
+  test("ewma: non-finite values are dropped like nulls, never a poisoned NaN fold") {
+    // A NaN double (or the string "NaN", which casts to a NON-null
+    // double) passed the null screen and turned every later fold step
+    // of its key to NaN — the exact whole-key poisoning the screen
+    // documents preventing.
+    val dirty = Seq(
+      (1L, 1L, 1.0), (1L, 2L, Double.NaN), (1L, 3L, 3.0),
+      (2L, 1L, Double.PositiveInfinity) // all-non-finite key: absent
+    ).toDF("k", "id", "v")
+    val got = Timeseries.ewma(dirty, "k", Seq("id"), "v", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2.0, 2L))))
+    // the string spellings cast to non-null non-finite doubles — same screen
+    val strs = Seq((1L, 1L, "1.0"), (1L, 2L, "NaN"), (1L, 3L, "3.0"))
+      .toDF("k", "id", "v")
+    val got2 = Timeseries.ewma(strs, "k", Seq("id"), "v", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got2 == Map(1L -> 2.0))
+  }
+
   test("gapFillLocf: per-key grid, bucket-last wins, gaps carry forward") {
     val obs = Seq(
       // key A: obs in buckets 0 (two, last wins) and 30; gaps at 10, 20
