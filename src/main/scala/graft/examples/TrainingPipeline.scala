@@ -136,9 +136,21 @@ object TrainingPipeline {
     //     kept corpus — Bloom prescreen (definitely-new rows skip the
     //     join), exact confirm, then cross-side near-dup only. Shown
     //     here on a slice so the whole screen is exercised end to end.
-    val incomingBatch = docs.where(col("doc_id") % 101 === 0)
-      .select(col("doc_id"), Pii.redactCol(col("text")).as("text"))
-    val screened = Dedup.bloomExactAgainst(incomingBatch, canonical, "text")
+    // The batch goes through the SAME normalizeText as the corpus did
+    // at step 1 and the screen uses normalize=true like step 3's dedup:
+    // raw batch text against normalized corpus text made a re-crawled
+    // duplicate with ANY whitespace/Unicode variation read as
+    // "definitely new" at the Bloom (byte-exact key) and then slip the
+    // shingle screen too (an unsplit 'Hello\nworld' is one token). The
+    // doc_id bound keeps the batch a FIXED size — the broadcast premise
+    // of the cross-side helpers — rather than a corpus-proportional
+    // slice that would outgrow it at real scale.
+    val incomingBatch = docs
+      .where(col("doc_id") % 101 === 0 && col("doc_id") <= 101L * 5000)
+      .select(col("doc_id"), Pii.redactCol(
+        TextFunctions.normalizeText(col("text"))).as("text"))
+    val screened = Dedup.bloomExactAgainst(incomingBatch, canonical, "text",
+      normalize = true)
     val accepted = screened.join(
       Dedup.ngramJaccardAgainst(screened, canonical, "doc_id", "text",
           n = 3, threshold = 0.5)
@@ -149,11 +161,18 @@ object TrainingPipeline {
 
     // 5. Benchmark decontamination: drop docs sharing too many 3-grams
     //    with the held-out "benchmark" slice (here: doc_id % 97 == 0).
-    //    The bench side goes through the SAME PII redaction so both
-    //    texts live in one n-gram space — a copied benchmark passage
-    //    containing an email must still collide after scrubbing.
-    val bench = docs.where(col("doc_id") % 97 === 0)
-      .select(col("doc_id"), Pii.redactCol(col("text")).as("text"))
+    //    The bench side goes through the SAME normalizeText AND PII
+    //    redaction as the corpus, so both texts live in one n-gram
+    //    space — raw bench text against normalized corpus text put the
+    //    two sides in DIFFERENT token spaces (tokens() splits on the
+    //    single space normalizeText produces), so any multi-line or
+    //    NFC-variant benchmark passage silently missed the gate. The
+    //    doc_id bound keeps the bench set a FIXED size (the broadcast
+    //    premise of Contamination's bench-gram table).
+    val bench = docs
+      .where(col("doc_id") % 97 === 0 && col("doc_id") <= 97L * 5000)
+      .select(col("doc_id"), Pii.redactCol(
+        TextFunctions.normalizeText(col("text"))).as("text"))
     val decontaminated = Contamination.decontaminate(
       canonical.where(col("doc_id") % 97 =!= 0), bench,
       "doc_id", "text", n = 3, maxFrac = 0.8)

@@ -70,9 +70,19 @@ object Sketches {
     * Cell-wise addition makes merge EXACTLY equal to having built one
     * sketch over the union (same seed ⇒ same hash functions). */
   def mergeFreqSketches(sketches: DataFrame,
-                        sketchCol: String = "sketch"): CountMinSketch = {
-    val rows = sketches.select(col(sketchCol)).collect()
+                        sketchCol: String = "sketch",
+                        maxSketches: Int = 1024): CountMinSketch = {
+    // Bounded collect: "KB–MB sized" holds PER SKETCH, not for the
+    // collected total — at the default eps a CMS is ~112 KB, so an
+    // unbounded per-(fine-grained-group) sketch table reached GBs on
+    // the driver before the merge loop. limit(max+1) makes the bound
+    // itself one bounded job, not a count-then-collect double read.
+    val rows = sketches.select(col(sketchCol)).limit(maxSketches + 1).collect()
     require(rows.nonEmpty, "no sketches to merge (shard selection empty?)")
+    require(rows.length <= maxSketches,
+      s"mergeFreqSketches: more than $maxSketches sketch rows — merge " +
+        "hierarchically (merge per coarser group first) or raise maxSketches " +
+        "deliberately (each CMS is ~eps-sized: ~112 KB at the default)")
     rows.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
       .reduce(_ mergeInPlace _)
   }
@@ -95,8 +105,26 @@ object Sketches {
                       probabilities: Seq[Double],
                       accuracy: Int = 10000): DataFrame = {
     val probs = array(probabilities.map(lit): _*)
+    // Non-finite screen for FLOATING inputs (integral types cannot
+    // hold NaN/Inf, and percentile_approx preserves the input type —
+    // an unconditional double cast would change integral outputs): NaN
+    // folds into percentile_approx as the GREATEST value — one NaN per
+    // group made p=1.0 report NaN and shifted every other quantile's
+    // rank — and ±Infinity pins the extreme quantiles. The KLL twin
+    // (buildQuantileShardSketches) silently DROPS NaN, so without the
+    // screen the two documented twins disagreed on identical data;
+    // null-as-missing matches both the KLL path and the exact
+    // percentile screens.
+    val v = col(valueCol)
+    val screened = df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType =>
+        when(isnan(v) || v === Double.PositiveInfinity ||
+          v === Double.NegativeInfinity, lit(null)).otherwise(v)
+      case _ => v
+    }
     df.groupBy(groupCols.map(col): _*)
-      .agg(percentile_approx(col(valueCol), probs, lit(accuracy)).as("approx_quantiles"))
+      .agg(percentile_approx(screened, probs, lit(accuracy)).as("approx_quantiles"))
   }
 
   /** Per-partition KLL quantile sketch bytes — the PERSISTABLE quantile
@@ -130,10 +158,16 @@ object Sketches {
     * collecting them is the point). KLL merge is a true union: the
     * merged sketch carries the same rank-error guarantee as one built
     * over the concatenated data. */
-  def mergeQuantileSketches(sketches: DataFrame, sketchCol: String = "sketch")
+  def mergeQuantileSketches(sketches: DataFrame, sketchCol: String = "sketch",
+                            maxSketches: Int = 16384)
       : org.apache.datasketches.kll.KllDoublesSketch = {
-    val rows = sketches.select(col(sketchCol)).collect()
+    // Same bounded-collect discipline as mergeFreqSketches (KLL is
+    // ~2-5 KB/sketch, so the default bound is ~50 MB of driver bytes).
+    val rows = sketches.select(col(sketchCol)).limit(maxSketches + 1).collect()
     require(rows.nonEmpty, "no sketches to merge (shard selection empty?)")
+    require(rows.length <= maxSketches,
+      s"mergeQuantileSketches: more than $maxSketches sketch rows — merge " +
+        "hierarchically or raise maxSketches deliberately")
     rows.map(r => org.apache.datasketches.kll.KllDoublesSketch.heapify(
         org.apache.datasketches.memory.Memory.wrap(r.getAs[Array[Byte]](0))))
       .reduceLeft { (a, b) => a.merge(b); a }

@@ -86,6 +86,38 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("approxQuantiles screens NaN/Inf on floating inputs; integral outputs keep their type") {
+    import spark.implicits._
+    // Pre-fix: NaN folded in as the GREATEST value (p=1.0 reported NaN,
+    // every other quantile's rank shifted), disagreeing with the KLL
+    // twin, which silently drops NaN.
+    val d = (Seq.tabulate(99)(i => ("g", (i + 1).toDouble)) :+ (("g", Double.NaN))
+      :+ (("g", Double.PositiveInfinity))).toDF("grp", "v")
+    val qs = Sketches.approxQuantiles(d, Seq("grp"), "v", Seq(0.5, 1.0))
+      .head.getSeq[Double](1)
+    assert(!qs.exists(x => x.isNaN || x.isInfinite), s"got $qs")
+    assert(qs(1) == 99.0) // max of the FINITE values
+    // integral inputs keep their integral output type (no silent cast)
+    val ints = Seq(("g", 1L), ("g", 2L), ("g", 3L)).toDF("grp", "v")
+    val qi = Sketches.approxQuantiles(ints, Seq("grp"), "v", Seq(1.0))
+      .head.getSeq[Long](1)
+    assert(qi == Seq(3L))
+  }
+
+  test("sketch merges are byte-bounded: oversize sketch tables raise instead of collecting GBs") {
+    import spark.implicits._
+    val many = Sketches.buildFreqSketches(
+      (0 until 40).map(i => (s"g$i", s"v$i")).toDF("grp", "v"),
+      Seq("grp"), "v")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.mergeFreqSketches(many, maxSketches = 10)
+    }
+    assert(e.getMessage.contains("hierarchically"))
+    // within the bound: merges fine
+    assert(Sketches.mergeFreqSketches(many, maxSketches = 64)
+      .estimateCount("v7") >= 1L)
+  }
+
   test("KLL shard sketches: persisted bytes merge to bounded-rank-error quantiles") {
     val vals = df.select(col("member").cast("double")).as[Double].collect().sorted
     val n = vals.length
