@@ -35,11 +35,28 @@ object SparkEntry {
   // one re-reads the parquet footer (an FS round-trip per query that
   // multiplies by table count in registerViews). Cached handles still
   // re-scan DATA per job — only plan-time metadata is reused.
-  private val tableCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  // WEAKLY keyed by the session OBJECT, not identityHashCode: the hash
+  // is a 32-bit never-evicted key, so stopped sessions (test suites
+  // hop sessions constantly) stayed strongly referenced through their
+  // cached frames, and two live sessions colliding on the hash would
+  // silently alias each other's handles — the exact collision class
+  // materialize()'s sha key exists to rule out.
+  private val tableCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]]
+
+  private def perSessionTables(s: SparkSession)
+      : scala.collection.concurrent.TrieMap[(String, String), DataFrame] =
+    tableCache.synchronized {
+      var m = tableCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        tableCache.put(s, m)
+      }
+      m
+    }
 
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
-    tableCache.getOrElseUpdate((System.identityHashCode(s), dir, name), {
+    perSessionTables(s).getOrElseUpdate((dir, name), {
       // Time columns (events.ts, o_orderdate, l_shipdate) are parquet
       // TIMESTAMP_MICROS and read as TIMESTAMP_NTZ. Event-time queries
       // convert to epoch micros via unix_micros(CAST(ts AS TIMESTAMP));
@@ -95,8 +112,22 @@ object SparkEntry {
   // for the rest of the session (poisoning every later measurement) and
   // still pays the full lineage on first evaluation. On a cluster this
   // is a checkpoint to the job's scratch storage — same shape.
-  private lazy val matDir =
-    java.nio.file.Files.createTempDirectory("graft-mat").toString
+  private lazy val matDir = {
+    val d = java.nio.file.Files.createTempDirectory("graft-mat")
+    // Scratch is corpus-derived parquet and the dir is per-JVM: without
+    // cleanup every Verify/Bench JVM leaked a full scratch tree until
+    // /tmp filled (the "bounded by distinct (dir, name) pairs" claim
+    // holds only WITHIN one JVM). Deleted on normal JVM exit; a crash
+    // leaks one tree, not one per run.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      try rm(d.toFile) catch { case _: Exception => () }
+    }))
+    d.toString
+  }
 
   /** `(dir, name)` keys the scratch slot — mirroring [[tableCache]]'s
     * key: repeated builds of the same query on the same input dir
@@ -106,29 +137,44 @@ object SparkEntry {
     * while builds across DIFFERENT scale-factor dirs get distinct slots,
     * so a DataFrame returned for one dir never lazily reads scratch that
     * a later build for another dir overwrote. */
-  private def materialize(df: DataFrame, dir: String, name: String): DataFrame = {
-    // sha-derived slot key: a 32-bit String.hashCode collision between
-    // two dirs would silently alias their scratch (the exact cross-dir
-    // contamination this key exists to rule out); 64 bits of sha256
-    // makes that astronomically unlikely.
-    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+  /** sha-derived slot key: a 32-bit String.hashCode collision between
+    * two dirs would silently alias their scratch (the exact cross-dir
+    * contamination this key exists to rule out); 64 bits of sha256
+    * makes that astronomically unlikely. */
+  private def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val path = s"$matDir/$dirKey/$name"
+
+  /** Per-JVM, sha-keyed scratch path for query builders that persist an
+    * index/store per input dir (bm25 index, maxsim store). Living under
+    * [[matDir]] gives them the same guarantees as materialize slots:
+    * no 32-bit hashCode aliasing between input dirs, no cross-JVM
+    * races on a fixed tmpdir location (bench and verify can overlap in
+    * the driver loop), and shutdown cleanup. */
+  private def scratch(dir: String, name: String): String =
+    s"$matDir/${dirKey(dir)}/$name"
+
+  private def materialize(df: DataFrame, dir: String, name: String): DataFrame = {
+    val path = scratch(dir, name)
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
 
   // Temp views point at ONE dir per session; re-register only when the
   // dir changes (tests hop between scale factors, the driver doesn't).
-  private val viewDir = scala.collection.concurrent.TrieMap.empty[Int, String]
+  // Weakly keyed by the session object like tableCache (the
+  // identityHashCode key could collide two live sessions — the second
+  // would silently skip registration and hit TABLE_OR_VIEW_NOT_FOUND).
+  private val viewDir = new java.util.WeakHashMap[SparkSession, String]
 
-  private def registerViews(s: SparkSession, dir: String): Unit = {
-    val key = System.identityHashCode(s)
-    if (!viewDir.get(key).contains(dir)) {
-      AllTables.foreach(n => table(s, dir, n).createOrReplaceTempView(n))
-      viewDir.put(key, dir)
+  private def registerViews(s: SparkSession, dir: String): Unit =
+    viewDir.synchronized {
+      if (viewDir.get(s) != dir) {
+        AllTables.foreach(n => table(s, dir, n).createOrReplaceTempView(n))
+        viewDir.put(s, dir)
+        ()
+      }
     }
-  }
 
   /** Exact-decimal revenue term: price * (1 - discount), reference for
     * all money sums (identical SQL text runs on DuckDB). */
@@ -753,7 +799,11 @@ object SparkEntry {
     * TakeOrdered), a cluster-cardinality agg — nothing corpus². */
   @volatile private var tuningCurveCentroidValues: Option[String] = None
   private def qTuningCurve(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
+    // Null-embedding screen, mirroring the oracle's `embedding IS NOT
+    // NULL`: without it one null row put a NULL-cluster group into the
+    // sizes collect (getInt NPE at the driver) and inflated the
+    // scan_fraction denominator relative to the oracle's.
+    val emb = table(s, dir, "embeddings").where(col("embedding").isNotNull)
     val (model, vals) = pinCentroids(IvfIndex.fitCached(
       s"$dir/embeddings", emb, "embedding",
       nlist = 8, maxIter = 2, initMode = "random", fitFraction = 0.25,
@@ -1528,8 +1578,11 @@ object SparkEntry {
     * no partsupp, so the part↔supplier relation comes from lineitem;
     * the excluded-supplier set is acctbal < 2000 (stand-in for the
     * complaints predicate). The NOT IN is a left-anti join against the
-    * small excluded set (broadcast — it stays a filtered fraction of
-    * supplier at any scale); count(DISTINCT suppkey) per part group. */
+    * excluded set — a filtered FRACTION of supplier, so it grows
+    * linearly with scale: no forced broadcast hint (AQE broadcasts it
+    * at runtime while it measures small; at 100 TB the anti-join
+    * shuffles instead of OOMing a forced build side);
+    * count(DISTINCT suppkey) per part group. */
   private def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
     val p = table(s, dir, "part")
       .where(col("p_brand") =!= "Brand#1" &&
@@ -1539,7 +1592,7 @@ object SparkEntry {
       .where(col("s_acctbal") < 2000).select("s_suppkey")
     table(s, dir, "lineitem").select("l_partkey", "l_suppkey")
       .join(p, col("l_partkey") === col("p_partkey"))
-      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
@@ -1681,8 +1734,7 @@ object SparkEntry {
     * [[qBm25Search]] from the index alone — the build-once/query-many
     * round-trip, hash-checked against the scan-time oracle. */
   private def qBm25Index(s: SparkSession, dir: String): DataFrame = {
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_idx_" +
-      Integer.toHexString(dir.hashCode)
+    val idx = scratch(dir, "bm25_idx")
     TextSearch.writeIndex(table(s, dir, "documents"), "doc_id", "text", idx)
     TextSearch.searchIndex(s, idx, Bm25Terms, topK = 10, idCol = "doc_id")
   }
@@ -1866,14 +1918,13 @@ object SparkEntry {
   /** TPC-H Q17 shape: correlated scalar subquery (per-part average)
     * decorrelated to aggregate + join; the below-average comparison
     * stays EXACT by cross-multiplying (qty*cnt*5 < sq — DECIMAL/int
-    * products, no rounding on either engine). DataFrame impl so the
-    * BUILD SIDES are explicit: without hints Catalyst broadcasts the
-    * pruned LINEITEM scan itself (fits the static 10 MB threshold at
-    * bench scale — and would OOM outright at 100 TB); the per-part
-    * aggregate (one row per distinct partkey — orders of magnitude
-    * smaller than the fact table) and the part dim are the sides that
-    * stay broadcastable at any scale, so they get the hints. The
-    * oracle keeps the equivalent WITH-form SQL. */
+    * products, no rounding on either engine). NO forced broadcast
+    * hints: the per-part aggregate and the part dim both grow linearly
+    * with part-key cardinality (the q18 comment's own lesson — "dims
+    * grow with the corpus"), so a hard hint would OOM a forced build
+    * side at 100 TB; AQE broadcasts whichever side measures small at
+    * the current scale. The oracle keeps the equivalent WITH-form
+    * SQL. */
   private def q17BelowAvg(s: SparkSession, dir: String): DataFrame = {
     val l = table(s, dir, "lineitem")
     val pa = l.groupBy("l_partkey").agg(
@@ -1881,9 +1932,9 @@ object SparkEntry {
       count(lit(1)).as("cnt"))
     val part = table(s, dir, "part").select(col("p_partkey"), col("p_brand"))
     l.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      .join(broadcast(pa), Seq("l_partkey"))
+      .join(pa, Seq("l_partkey"))
       .where(col("l_quantity").cast("decimal(18,2)") * col("cnt") * 5 < col("sq"))
-      .join(broadcast(part), col("p_partkey") === col("l_partkey"))
+      .join(part, col("p_partkey") === col("l_partkey"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_below"),
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
@@ -1962,6 +2013,12 @@ object SparkEntry {
       .select(col("vec_id").as("doc_id"),
         round(graft.functions.VectorFunctions.cosineSimilarity(
           col("embedding"), typedlit(qv)), 4).as("score"))
+      // VectorIndex.usable's screen, inlined (this builder ranks raw
+      // cosine): a zero embedding's 0/0 cosine is NaN, which Spark
+      // orders ABOVE every real score — it would take rank 1 of the
+      // dense side and dominate the RRF fusion. Testdata has no
+      // zero/null embeddings; oracle unchanged.
+      .where(col("score").isNotNull && !isnan(col("score")))
     val bmScores = TextSearch.bm25Scores(
       table(s, dir, "documents"), "doc_id", "text", Bm25Terms)
     TextSearch.hybridRrf(bmScores, vecScores, "doc_id",
@@ -1997,6 +2054,11 @@ object SparkEntry {
         VectorFunctions.hammingDistance(
           VectorFunctions.binarySign63(col("embedding")), lit(qbits))
           .cast("int").as("hamming"))
+      // null hamming = null embedding: ASC sorts NULLS FIRST, so
+      // without the screen a null-vec row takes a candidate slot ahead
+      // of every real row (the store's approx path carries the same
+      // guard; testdata is null-free, oracle unchanged).
+      .where(col("hamming").isNotNull)
       .orderBy(col("hamming"), col("vec_id"))
       .limit(100)
     cand
@@ -2114,7 +2176,10 @@ object SparkEntry {
     batch.select(col("doc_id"), col("text"))
       .join(exactKeys, col("text") === col("ctext"), "left")
       .select(col("doc_id"), col("ctext").isNotNull.as("exact_dup"))
-      .join(broadcast(near), Seq("doc_id"), "left")
+      // no forced hint: `near` has one row per batch doc WITH a
+      // near-dup — in the dup-heavy corpora this query exists for it
+      // approaches the batch size; AQE broadcasts it while small.
+      .join(near, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_near"))
       .select(col("doc_id"), col("exact_dup"),
         col("n_near").cast("long").as("n_near"),
@@ -2231,8 +2296,7 @@ object SparkEntry {
     * over the exact-text-deduped corpus (first occurrence by doc_id
     * wins), which the oracle reproduces with min(doc_id)/row_number. */
   private def qMaxsimStore(s: SparkSession, dir: String): DataFrame = {
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_maxsim_store_" +
-      Integer.toHexString(dir.hashCode)
+    val idx = scratch(dir, "maxsim_store")
     val staged = table(s, dir, "documents").orderBy("doc_id")
       .select(col("text"),
         map(lit("src"), coalesce(col("source"), lit(""))).as("metadata"))

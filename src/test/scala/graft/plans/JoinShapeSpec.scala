@@ -35,17 +35,27 @@ class JoinShapeSpec extends SparkSpec {
       .queryExecution.executedPlan
       .collect { case b: BroadcastExchangeExec => b }
 
-  test("q17 broadcasts the per-part aggregate and the part dim — never raw lineitem") {
+  test("q17 carries NO forced broadcasts: every side grows with scale (AQE sizes at runtime)") {
     withStaticPlans {
+      // The per-part aggregate and the part dim both grow linearly
+      // with part-key cardinality, so the old hard hints on them would
+      // OOM a forced build side at 100 TB. With no hints and
+      // auto-broadcast disabled the static plan must contain ZERO
+      // BroadcastExchange nodes — under the shipped AQE defaults the
+      // small side still gets broadcast at runtime from MEASURED size,
+      // which is the legitimate, scale-correct decision (and can never
+      // pick raw lineitem once it outgrows the threshold).
       val bes = broadcasts("q17_below_avg")
-      assert(bes.size == 2, s"expected exactly the two hinted broadcasts, got ${bes.size}")
-      bes.foreach { b =>
-        val sub = b.child.toString
-        val isPartAgg = sub.contains("HashAggregate") && sub.contains("lineitem.parquet")
-        val isPartDim = sub.contains("part.parquet") && !sub.contains("lineitem.parquet")
-        assert(isPartAgg || isPartDim,
-          s"unexpected broadcast build side (raw fact-table broadcast?):\n$sub")
-      }
+      assert(bes.isEmpty,
+        s"q17 must not force any broadcast:\n${bes.map(_.child.toString).mkString}")
+    }
+  }
+
+  test("q16's NOT IN carries no forced broadcast (exclusion set grows with supplier)") {
+    withStaticPlans {
+      val bes = broadcasts("q16_supplier_cnt")
+      assert(bes.isEmpty,
+        s"q16 must not force any broadcast:\n${bes.map(_.child.toString).mkString}")
     }
   }
 
@@ -103,20 +113,6 @@ class JoinShapeSpec extends SparkSpec {
       assert(pushed.contains("GreaterThanOrEqual(o_orderdate") &&
         pushed.contains("LessThan(o_orderdate"),
         s"quarter bounds must push into the orders parquet scan, got: $pushed")
-    }
-  }
-
-  test("q16's NOT IN broadcasts only the filtered supplier exclusion set") {
-    withStaticPlans {
-      val bes = broadcasts("q16_supplier_cnt")
-      assert(bes.size == 1, s"expected one hinted broadcast, got ${bes.size}")
-      assert(bes.head.child.toString.contains("supplier.parquet"),
-        "the broadcast side must be the excluded-supplier set")
-      val antis = executed("q16_supplier_cnt").collect {
-        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
-      }
-      assert(antis.size == 1, "the exclusion must stay a broadcast LeftAnti join")
     }
   }
 
