@@ -23,6 +23,18 @@ private[graft] object MainUtil {
     case c => c.toString
   } + "\""
 
+  /** Recursive LOCAL-filesystem delete (scratch/result slots under
+    * java.io.tmpdir or a local outDir — the mains' disk contract;
+    * remote URIs need Hadoop FileSystem.delete and are not what these
+    * paths are). One definition so a future hardening (e.g. symlink
+    * handling) lands once. */
+  def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   /** Apply `SPARK_GRAFT_CONF="k=v;k=v"` to a session builder (the
     * Verify adversarial-config protocol). Malformed entries — a stray
     * shell token, a valueless key — are skipped, never fatal: the hook

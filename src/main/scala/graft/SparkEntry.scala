@@ -35,14 +35,22 @@ object SparkEntry {
   // one re-reads the parquet footer (an FS round-trip per query that
   // multiplies by table count in registerViews). Cached handles still
   // re-scan DATA per job — only plan-time metadata is reused.
-  // WEAKLY keyed by the session OBJECT, not identityHashCode: the hash
-  // is a 32-bit never-evicted key, so stopped sessions (test suites
-  // hop sessions constantly) stayed strongly referenced through their
-  // cached frames, and two live sessions colliding on the hash would
-  // silently alias each other's handles — the exact collision class
-  // materialize()'s sha key exists to rule out.
-  private val tableCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[(String, String), DataFrame]]
+  // Keyed by the session OBJECT (not identityHashCode — a 32-bit
+  // collision would silently alias two live sessions' handles, the
+  // class materialize()'s sha key exists to rule out) with bounded LRU
+  // eviction. NOT a WeakHashMap: the cached DataFrames strongly
+  // reference their SparkSession, so a weak KEY is kept reachable by
+  // its own VALUE (the value-refers-to-key cycle the WeakHashMap
+  // javadoc warns about) and nothing would ever be collected. An
+  // 8-session LRU bounds retention instead — an evicted session's only
+  // cost is re-reading parquet footers on its next table() call.
+  private val tableCache = new java.util.LinkedHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]](
+      16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[SparkSession,
+        scala.collection.concurrent.TrieMap[(String, String), DataFrame]]): Boolean =
+      size() > 8
+  }
 
   private def perSessionTables(s: SparkSession)
       : scala.collection.concurrent.TrieMap[(String, String), DataFrame] =
@@ -120,11 +128,7 @@ object SparkEntry {
     // holds only WITHIN one JVM). Deleted on normal JVM exit; a crash
     // leaks one tree, not one per run.
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-        f.delete(); ()
-      }
-      try rm(d.toFile) catch { case _: Exception => () }
+      try MainUtil.deleteRecursively(d.toFile) catch { case _: Exception => () }
     }))
     d.toString
   }
@@ -162,10 +166,16 @@ object SparkEntry {
 
   // Temp views point at ONE dir per session; re-register only when the
   // dir changes (tests hop between scale factors, the driver doesn't).
-  // Weakly keyed by the session object like tableCache (the
-  // identityHashCode key could collide two live sessions — the second
-  // would silently skip registration and hit TABLE_OR_VIEW_NOT_FOUND).
-  private val viewDir = new java.util.WeakHashMap[SparkSession, String]
+  // Keyed by the session object like tableCache (the identityHashCode
+  // key could collide two live sessions — the second would silently
+  // skip registration and hit TABLE_OR_VIEW_NOT_FOUND), bounded LRU
+  // for the same reason (a String value can't hold the key live, but
+  // the key itself is a full session — evict, don't accumulate).
+  private val viewDir = new java.util.LinkedHashMap[SparkSession, String](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[SparkSession, String]): Boolean = size() > 8
+  }
 
   private def registerViews(s: SparkSession, dir: String): Unit =
     viewDir.synchronized {
@@ -804,8 +814,12 @@ object SparkEntry {
     // sizes collect (getInt NPE at the driver) and inflated the
     // scan_fraction denominator relative to the oracle's.
     val emb = table(s, dir, "embeddings").where(col("embedding").isNotNull)
+    // Distinct cache key ("|nonnull"): this fit's input is the SCREENED
+    // frame, while q_ivf_search/q_semdedup fit the unfiltered one — the
+    // shared key would alias two semantically different fits and make
+    // the cached model depend on which query ran first.
     val (model, vals) = pinCentroids(IvfIndex.fitCached(
-      s"$dir/embeddings", emb, "embedding",
+      s"$dir/embeddings|nonnull", emb, "embedding",
       nlist = 8, maxIter = 2, initMode = "random", fitFraction = 0.25,
       fitPartitions = 2))
     tuningCurveCentroidValues = Some(vals)

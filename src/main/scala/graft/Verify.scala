@@ -72,17 +72,14 @@ object Verify {
       // reader enumerating result dirs would re-validate stale results
       // (which pass, masking the regression) unless it cross-checks
       // errors.json for every present dir.
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(s"$outDir/$name"))
+      MainUtil.deleteRecursively(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
-        rm(new java.io.File(s"$outDir/$name")) // a torn write isn't a result
+        // a torn write isn't a result
+        MainUtil.deleteRecursively(new java.io.File(s"$outDir/$name"))
       }
     }
     def q(s: String): String = MainUtil.jstr(s)

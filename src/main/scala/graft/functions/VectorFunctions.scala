@@ -190,6 +190,20 @@ object VectorFunctions {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** NULL a vector that contains ANY non-finite element (NaN/±Inf) —
+    * the caller-side pre-screen for the pooling aggregates, which are
+    * deliberately LOUD on partially-corrupt vectors (a silent 0-pool
+    * or an overflowing Inf fold is the bias their guards exist to
+    * prevent; see VectorAggregates.micro). A whole-vector NULL is the
+    * aggregates' documented skip, so `vecSumMicro(finiteVec(v))` pools
+    * the clean rows and drops the broken ones. */
+  def finiteVec(a: Column): Column = {
+    val v = asDouble(a)
+    when(exists(v, x => isnan(x) || x === Double.PositiveInfinity ||
+      x === Double.NegativeInfinity), lit(null).cast("array<double>"))
+      .otherwise(v)
+  }
+
   /** Element-wise vector SUM aggregate in exact 1e-6 fixed point
     * (micros) — merge-order-free by construction; see
     * [[VectorSumFixed6Agg]]. Returns `array<long>` of per-dimension

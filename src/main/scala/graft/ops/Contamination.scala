@@ -65,7 +65,13 @@ object Contamination {
         col("id").as(idCol),
         col("__nmax").cast("long").as("n_ngrams"),
         col("__cnt").cast("long").as("n_overlap"),
-        when(col("__cnt") =!= col("__dsh") || col("__nmin") =!= col("__nmax"),
+        // Third net (__cnt > __nmax): duplicate ids with EQUAL n-gram
+        // counts but DISJOINT shingle sets pass both structural checks
+        // (every joined pair unique, one count) yet sum more overlap
+        // than one doc has n-grams — the case the old heuristic caught
+        // and the structural rewrite alone would emit as frac > 1.
+        when(col("__cnt") =!= col("__dsh") || col("__nmin") =!= col("__nmax")
+            || col("__cnt") > col("__nmax"),
           raise_error(concat(
             lit("ngramOverlap: duplicate candidate id (same shingle " +
               "joined twice, or two n-gram counts under one id): "),

@@ -271,7 +271,11 @@ object Dedup {
     // resource melt — the null-hamming filter hid it from the output);
     // whitespace-only texts all simhash identically with the same
     // quadratic blow-up. trim(null) =!= "" is null, so one predicate
-    // screens both.
+    // screens both. RECALL NOTE: this also stops reporting the (exact)
+    // pairs AMONG whitespace-only docs — those are byte-identical
+    // duplicates, which [[exact]] reports cheaply; a near-dup detector
+    // is the wrong tool for them, and the quadratic self-join was the
+    // price of using it anyway.
     val withH = df
       .where(trim(col(textCol)) =!= "")
       .select(col(idCol).as("id"),

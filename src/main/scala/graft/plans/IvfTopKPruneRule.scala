@@ -140,14 +140,23 @@ case class IvfTopKPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   /** Does `cond` upper-bound a rank-like output of `w` against a
-    * literal (rank <= k / rank < k / rank = k, either operand order)? */
+    * literal (rank <= k / rank < k / rank = k, either operand order)?
+    * Only TOP-LEVEL CONJUNCTS count: a bounding comparison buried under
+    * an Or/Not (e.g. `rank <= 10 OR pinned`, `NOT(rank <= 10)`) does
+    * NOT bound the output to top-k, and sanctioning the prune there
+    * would silently delete the rows the disjunction/negation keeps —
+    * the exact row-loss class this guard exists to close. */
   private def rankUpperBounded(cond: Expression, w: Window): Boolean = {
     val rankAttrs = w.windowExpressions.collect {
       case a @ Alias(WindowExpression(_: RowNumber | _: Rank | _: DenseRank, _), _) =>
         a.exprId
     }.toSet
-    if (rankAttrs.isEmpty) false
-    else cond.exists {
+    if (rankAttrs.isEmpty) return false
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).exists {
       case LessThanOrEqual(attr: Attribute, _: Literal) => rankAttrs(attr.exprId)
       case LessThan(attr: Attribute, _: Literal) => rankAttrs(attr.exprId)
       case EqualTo(attr: Attribute, _: Literal) => rankAttrs(attr.exprId)

@@ -469,15 +469,23 @@ final class DocumentStore private (
           .select(col("text").as("__ex_text")).distinct(),
         Map("spark.sql.parquet.pushdown.inFilterThreshold" ->
           (inCap + 1).toString))
-      val approxBytes = pruned
-        .agg(coalesce(sum(octet_length(col("__ex_text"))), lit(0L)))
-        .head.getLong(0)
-      if (approxBytes <= DocumentStore.MaxConfirmTextBytes) {
-        val texts = pruned.collect().map(_.getString(0)).toSeq
-        return flagged.drop("__maybe")
-          .join(broadcast(texts.toDF("__ex_text")),
-            col("text") <=> col("__ex_text"), "left_anti")
-      }
+      // Persist across the two actions (byte probe, then collect):
+      // both consume the same pruned point-read, and this is the HOT
+      // ingest path — without the cache every under-budget confirm
+      // paid the candidate-text fetch twice. Bounded: <= cap rows, and
+      // the collect only proceeds under the byte budget.
+      pruned.persist()
+      try {
+        val approxBytes = pruned
+          .agg(coalesce(sum(octet_length(col("__ex_text"))), lit(0L)))
+          .head.getLong(0)
+        if (approxBytes <= DocumentStore.MaxConfirmTextBytes) {
+          val texts = pruned.collect().map(_.getString(0)).toSeq
+          return flagged.drop("__maybe")
+            .join(broadcast(texts.toDF("__ex_text")),
+              col("text") <=> col("__ex_text"), "left_anti")
+        }
+      } finally { pruned.unpersist(); () }
       // Over budget: fall through to the join-form fetch + a plain
       // (non-broadcast) anti-join — bounded executor-side shuffle of
       // batch vs candidates, no driver collection of GBs of text.

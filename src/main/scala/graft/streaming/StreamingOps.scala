@@ -479,6 +479,24 @@ object StreamingOps {
       // observe an index that already covers this batch.
       banded.join(dropDf, Seq(idCol), "left_anti").select("band")
         .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+      // Retention for the drop scratch: only THIS batch's frame ever
+      // reads its _drops dir, so strictly-older dirs are dead the
+      // moment their own foreachBatch call returned — without cleanup
+      // a long-lived stream accumulates one dir per micro-batch
+      // forever. (The band index itself is the product; _drops is
+      // scratch.) Deleting here, before returning, is replay-safe: a
+      // replayed batch N re-creates its own dir via overwrite.
+      val dropsRoot = new org.apache.hadoop.fs.Path(s"$indexPath/_drops")
+      if (fs.exists(dropsRoot)) {
+        fs.listStatus(dropsRoot).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("batch=") &&
+              scala.util.Try(n.stripPrefix("batch=").toLong).toOption
+                .exists(_ < batchId)) {
+            fs.delete(st.getPath, true); ()
+          }
+        }
+      }
       kept
     } finally banded.unpersist()
   }

@@ -61,11 +61,21 @@ object GraftSqlBridge {
     * these values" fast path opened: returning the frame bound to the
     * LIVE session meant a later session-conf change silently stripped
     * the scoping, so the clone is now taken unconditionally — its conf
-    * is a snapshot by construction. Keyed weakly on the parent session
-    * so short-lived sessions (tests) don't accumulate. */
-  private val cloneCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[
-      (Map[String, String], Map[String, String]), classic.SparkSession]]
+    * is a snapshot by construction. Bounded LRU on the parent session
+    * (NOT a weak key: a clone retains its parent through
+    * parentSessionState's closures, so a weak key would be pinned by
+    * its own value and never collected — the WeakHashMap
+    * value-refers-to-key trap); an evicted parent's next scoped call
+    * just re-clones. */
+  private val cloneCache = new java.util.LinkedHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[
+        (Map[String, String], Map[String, String]), classic.SparkSession]](
+      16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[SparkSession,
+        scala.collection.concurrent.TrieMap[
+          (Map[String, String], Map[String, String]), classic.SparkSession]]): Boolean =
+      size() > 8
+  }
 
   def withSessionConfs(df: Dataset[Row], confs: Map[String, String]): Dataset[Row] = {
     val session = df.sparkSession.asInstanceOf[classic.SparkSession]

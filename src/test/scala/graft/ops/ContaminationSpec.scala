@@ -92,6 +92,22 @@ class ContaminationSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("duplicate candidate id")), chain(e).mkString("|"))
   }
 
+  test("equal-count disjoint-set duplicates raise too (the frac>1 corner)") {
+    // Same id, same n-gram COUNT, disjoint shingle sets, both fully in
+    // the bench: the per-shingle and count-pair checks both pass, but
+    // summed overlap exceeds one doc's n-grams — the third net
+    // (__cnt > __nmax) must fire instead of emitting frac = 2.0.
+    val twoBench = Seq((100L, "the quick brown fox jumps"),
+      (101L, "big dogs sleep all day")).toDF("doc_id", "text")
+    val dup = Seq(
+      (1L, "the quick brown fox jumps"),
+      (1L, "big dogs sleep all day")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Contamination.ngramOverlap(dup, twoBench, "doc_id", "text", 3).collect()
+    }
+    assert(chain(e).exists(_.contains("duplicate candidate id")), chain(e).mkString("|"))
+  }
+
   private def chain(t: Throwable): Seq[String] =
     Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
 

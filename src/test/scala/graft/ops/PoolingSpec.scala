@@ -121,5 +121,11 @@ class PoolingSpec extends SparkSpec {
     val inf = Seq((1L, Seq(Double.PositiveInfinity, 2.0))).toDF("k", "v")
     assertNonFiniteThrow(
       inf.groupBy($"k").agg(VectorFunctions.vecMaxMicro($"v")).collect())
+    // finiteVec is the documented caller escape: broken vectors become
+    // whole-vector NULLs (the aggregates' skip), clean rows still pool.
+    val pooled = nan.groupBy($"k")
+      .agg(VectorFunctions.vecSumMicro(VectorFunctions.finiteVec($"v")).as("s"))
+      .select("s").as[Seq[Long]].head
+    assert(pooled == Seq(3000000L, 4000000L))
   }
 }

@@ -316,6 +316,15 @@ class IvfTopKPruneRuleSpec extends SparkSpec {
         // top-k either
         assert(!probeFiltered(ranked.where(col("rank") > 3)),
           "a lower-bounded rank filter must never be pruned")
+        // a bound hidden under Or/Not does NOT bound the output: the
+        // disjunction keeps rows the prune would delete
+        assert(!probeFiltered(ranked.where(col("rank") <= 3 || col("id") === 0L)),
+          "rank<=k OR ... must never be pruned")
+        assert(!probeFiltered(ranked.where(!(col("rank") <= 3))),
+          "NOT(rank<=k) must never be pruned")
+        // ... while a CONJUNCT alongside other predicates still prunes
+        assert(probeFiltered(ranked.where(col("rank") <= 3 && col("id") >= 0L)),
+          "rank<=k AND ... is a genuine top-k bound")
       } finally {
         spark.conf.unset(IvfTopKPruneRule.ConfKey)
         IvfTopKPruneRule.unregister(storePath)

@@ -93,6 +93,12 @@ class StreamingOpsSpec extends SparkSpec {
     val b1 = Seq((7L, "the quick brown fox jumps over the lazy dog", ts(9)))
       .toDF("id", "text", "ts")
     assert(run(1L, b1) == Set.empty[Long])
+    // Drop-scratch retention: only the CURRENT batch's _drops dir may
+    // remain (older dirs are dead once their own call returned — a
+    // long-lived stream must not accumulate one dir per micro-batch).
+    val dropDirs = Option(new java.io.File(s"$dir/index/_drops").listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    assert(!dropDirs.contains("batch=0"), s"stale drop scratch kept: $dropDirs")
   }
 
   test("ingestStream maintains the Bloom prescreen and metadata_hash across micro-batches") {
