@@ -470,9 +470,10 @@ object SparkEntry {
         GROUP BY ps_partkey
       )
       SELECT ps_partkey, CAST(value_cents AS BIGINT) AS value_cents
-      FROM value_by_part
-      WHERE value_cents * (SELECT count(*) FROM value_by_part)
-            > 2 * (SELECT sum(value_cents) FROM value_by_part)""",
+      FROM value_by_part CROSS JOIN (
+        SELECT count(*) AS n_parts, sum(value_cents) AS total_cents
+        FROM value_by_part) totals
+      WHERE value_cents * n_parts > 2 * total_cents""",
 
     // TPC-H Q20 shape (surplus-stock suppliers): derived partsupp
     // semijoined to 'small%' parts, availability compared against 2×
@@ -3869,7 +3870,8 @@ object SparkEntry {
         GROUP BY l_suppkey)
       SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
       FROM supplier JOIN rev ON s_suppkey = l_suppkey
-      WHERE total_rev = (SELECT max(total_rev) FROM rev)""",
+        CROSS JOIN (SELECT max(total_rev) AS max_rev FROM rev) best
+      WHERE total_rev = max_rev""",
 
     "q9_profit" -> s"""
       SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,

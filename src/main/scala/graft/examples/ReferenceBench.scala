@@ -70,7 +70,12 @@ object ReferenceBench {
     }
 
     val all = addTimes ++ searchTimes ++ batchTime ++ scaleTimes ++ dimTimes
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: the f-interpolator formats under the DEFAULT locale,
+    // and a comma decimal separator (de_DE, tr_TR, …) would make this
+    // JSON line unparseable.
+    val qs = all.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(v)) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"reference_shape","unit":"sec","results":$qs}""")
     spark.stop()

@@ -401,9 +401,10 @@ object PqIndex {
                     candidates: Int, metric: String = "cosine",
                     idCol: String = "vec_id", roundScale: Int = 4,
                     exposeInternals: Boolean = false): DataFrame = {
-    require(!docs.columns.contains("__rvec"),
+    require(!graft.Cols.has(docs, "__rvec"),
       "searchRotated uses internal column `__rvec` — the input already has " +
-        "a column of that name; rename it first")
+        "a column of that name (as the session resolver matches it); " +
+        "rename it first")
     val rdocs = docs.withColumn("__rvec", rot.rotateCol(col(vecCol)))
     search(rdocs, "__rvec", model, rot.applyVec(query), k, candidates,
       metric, idCol, roundScale, exposeInternals)
@@ -429,7 +430,10 @@ object PqIndex {
     // IVF-partitioned layout — filtering the PARTITION column is what
     // makes the pruning file-level; recomputing the assignment over it
     // would force a full-corpus scan AND pay the kernel per row.
-    val hasStoredCluster = docs.columns.contains("cluster")
+    // Resolver-aware: `col("cluster")` below would resolve to a stored
+    // `Cluster` just the same, and exact-case detection would instead
+    // silently REPLACE (then drop) that user column via withColumn.
+    val hasStoredCluster = graft.Cols.has(docs, "cluster")
     val assigned =
       if (hasStoredCluster) docs
       else docs.withColumn("cluster", ivf.assignCol(col(vecCol), roundScale))

@@ -78,8 +78,13 @@ object AsofJoin {
     // forward side).
     val rightClean = right.where(
       (on.map(col(_).isNotNull) :+ col(rightTime).isNotNull).reduce(_ && _))
-    val rPayload = right.columns.filterNot(on.contains).toSeq
-    val clash = left.columns.toSet.intersect(rPayload.toSet)
+    // Resolver-aware on both screens: `col(name)` resolves right-side
+    // `ID` to an `id` key, and a left `Price` / right `price` pair
+    // would make the final by-name selects ambiguous — exact-case
+    // checks would let both slip past.
+    val sameR = graft.Cols.same(right) _
+    val rPayload = right.columns.filterNot(c => on.exists(sameR(c, _))).toSeq
+    val clash = graft.Cols.overlap(left, rPayload)
     require(clash.isEmpty, s"right columns clash with left, rename them: $clash")
 
     val lStructCol = struct(left.columns.map(col).toSeq: _*)

@@ -95,6 +95,9 @@ object Sampling {
     // one such row would make the cumulative sum dip back under budget
     // and break the monotone-prefix guarantee).
     val cum = "__graft_token_budget_cum"
+    require(!graft.Cols.has(df, cum),
+      s"tokenBudget uses internal column `$cum` — the input already has a " +
+        "column of that name; rename it first")
     df.withColumn(cum,
         sum(greatest(col(tokenCol).cast("long"), lit(0L))).over(w))
       .where(col(cum) <= budget)
@@ -148,9 +151,10 @@ object Sampling {
     require(keyCols.nonEmpty, "capPerKey needs at least one key column")
     require(cap > 0, "cap must be positive")
     require(priority.nonEmpty, "capPerKey needs a priority order")
-    require(!df.columns.contains(rankCol),
+    require(!graft.Cols.has(df, rankCol),
       s"capPerKey writes `$rankCol` — the input already has a column of that " +
-        "name; pass a different rankCol or rename the input column")
+        "name (as the session resolver matches it); pass a different rankCol " +
+        "or rename the input column")
     val ordNamed = priority.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
     val payload = struct(df.columns.map(col).toIndexedSeq: _*)
     // Struct materialized in a codegen'd Project BEFORE the aggregate
@@ -190,13 +194,13 @@ object Sampling {
     // goes null -> null shard (lands in __HIVE_DEFAULT_PARTITION__ on a
     // partitioned write) and null sort keys make shard_pos run-varying.
     val sortKey = saltedHash(s"shuffle:$seed:", col(keyCol))
-    require(!df.columns.contains("shard") && !df.columns.contains("shard_pos"),
+    require(!graft.Cols.has(df, "shard") && !graft.Cols.has(df, "shard_pos"),
       "seededShuffle writes `shard`/`shard_pos` — the input already has a column " +
         "of that name and withColumn would silently replace it; rename it first")
     // The sort key lives under the repo's __-prefixed internal-name
     // convention (like streamDedup's __graft_dedup_key): a user column
     // named `shuffle_key` used to be silently overwritten and dropped.
-    require(!df.columns.contains("__shuffle_key"),
+    require(!graft.Cols.has(df, "__shuffle_key"),
       "seededShuffle uses internal column `__shuffle_key` — the input already " +
         "has a column of that name; rename it first")
     val withShard = df
@@ -237,7 +241,7 @@ object Sampling {
       saltedHash(s"mix:$salt:", col(keyCol)) % 1000000L < fracPpm,
       1L).otherwise(0L)
     val copies = (whole + extra).cast("int")
-    require(!df.columns.contains("copy_id"),
+    require(!graft.Cols.has(df, "copy_id"),
       "epochMix writes `copy_id` — the input already has a column of that name " +
         "(a second mixing pass?) and withColumn would silently replace it; rename it first")
     df.withColumn("copy_id",
@@ -312,7 +316,7 @@ object Sampling {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1: $fractions")
     val h = saltedHash(s"split:$salt:", col(groupCol)) % 1000000L
-    require(!df.columns.contains("split"),
+    require(!graft.Cols.has(df, "split"),
       "splitByGroup writes `split` — the input already has a column of that " +
         "name and withColumn would silently replace it; rename it first")
     val bounds = fractions.map(_._2).scanLeft(0L)((acc, f) => acc + ppm(f))

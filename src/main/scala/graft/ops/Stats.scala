@@ -20,7 +20,7 @@ object Stats {
     * Fail at the API boundary with the actual contract instead. */
   private def requireFreshColumns(df: DataFrame, op: String,
                                   names: Seq[String]): Unit = {
-    val clash = names.filter(df.columns.contains)
+    val clash = graft.Cols.overlap(df, names)
     require(clash.isEmpty,
       s"$op appends column(s) ${names.mkString(", ")}; the input already " +
         s"has ${clash.mkString(", ")} — rename or drop before calling")

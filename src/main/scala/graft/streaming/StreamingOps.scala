@@ -305,8 +305,14 @@ object StreamingOps {
     // join: two same-schema streams — both called their time column
     // "ts", say — would otherwise produce duplicate output names,
     // which file sinks reject and unqualified selects can't reference.
-    val collisions = right.columns.toSet
-      .intersect(left.columns.toSet) - keyCol
+    // Resolver-aware (spark.sql.caseSensitive=false by default): a
+    // left `TS` vs right `ts` pair is a duplicate name to the sink's
+    // own duplicate-column check, so it must count as a collision here
+    // too; same rule for excluding the key and matching rightTsCol.
+    val same = graft.Cols.same(right) _
+    val collisions = right.columns
+      .filter(c => !same(c, keyCol) && left.columns.exists(same(c, _)))
+      .toSet
     // A rename target that already exists on EITHER side (`ts` AND
     // `ts_right`, say — on the right, or `ts_right` sitting on the
     // LEFT) would itself create the duplicate output name the rename
@@ -314,14 +320,15 @@ object StreamingOps {
     // unwritable result at sink time.
     val blocked = collisions.map(c => c -> s"${c}_right")
       .filter { case (_, t) =>
-        right.columns.contains(t) || left.columns.contains(t) }
+        right.columns.exists(same(_, t)) || left.columns.exists(same(_, t)) }
     require(blocked.isEmpty,
       s"intervalJoinStream renames clashing right columns to `<name>_right`, " +
         s"but ${blocked.map(_._2).toSeq.sorted.mkString(", ")} already exists on an input — " +
         "rename the clashing columns on one side first")
     val rightSafe = collisions.foldLeft(right)((df, c) =>
       df.withColumnRenamed(c, s"${c}_right"))
-    val rTs = if (collisions.contains(rightTsCol)) s"${rightTsCol}_right" else rightTsCol
+    val rTs = if (collisions.exists(same(_, rightTsCol))) s"${rightTsCol}_right"
+      else rightTsCol
     val l = left.withWatermark(leftTsCol, watermark).alias("l")
     val r = rightSafe.withWatermark(rTs, watermark).alias("r")
     l.join(r,
@@ -521,6 +528,9 @@ object StreamingOps {
     // is __-prefixed (the file's internal-name convention): a plain
     // "dedup_key" would silently OVERWRITE-then-drop a user column of
     // that name.
+    require(!graft.Cols.has(stream, "__graft_dedup_key"),
+      "dedupStream uses internal column `__graft_dedup_key` — the input " +
+        "already has a column of that name; rename it first")
     val keyed = stream.withColumn("__graft_dedup_key",
       coalesce(
         if (normalize) graft.functions.TextFunctions.fingerprint(col(textCol))
