@@ -2018,6 +2018,27 @@ object SparkEntry {
         sha2(col("redacted"), 256).as("redacted_sha"))
   }
 
+  /** Luhn-validated card scrubbing: synthesize card-shaped digit runs
+    * onto the corpus (one bucket always a valid test PAN, one a
+    * doc_id-derived 16-digit run that passes Luhn ~1 in 10 — so the
+    * checksum, not the regex, decides), then count+redact only the
+    * valid ones. The oracle replays the same Luhn fold as a DuckDB
+    * list comprehension — see q_pii_cc's SQL. */
+  private def qPiiCc(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val tail = when(id % 3 === 0, lit(" card 4111-1111-1111-1111 ok"))
+      .when(id % 3 === 1, concat(lit(" ref "),
+        lpad(((id * 48271L + 11L) % 10000000000000000L).cast("string"),
+          16, "0"), lit(" end")))
+      .otherwise(lit(" no digits here"))
+    Pii.redactCc(
+        table(s, dir, "documents").withColumn("cc_text",
+          concat(col("text"), tail)),
+        "cc_text", "cc_redacted")
+      .select(col("doc_id"), col("n_ccs"),
+        sha2(col("cc_redacted"), 256).as("redacted_sha"))
+  }
+
   /** Hybrid retrieval: BM25 keyword scores fused with dense cosine
     * scores by reciprocal-rank fusion (top-50 per source, k=60). */
   private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
@@ -2421,6 +2442,7 @@ object SparkEntry {
       "q_repetition"          -> (qRepetition _),
       "q_contamination"       -> (qContamination _),
       "q_pii_redact"          -> (qPiiRedact _),
+      "q_pii_cc"              -> (qPiiCc _),
       "q_hybrid_rrf"          -> (qHybridRrf _),
       "q_shuffle_shards"      -> (qShuffleShards _),
       "q_domain_mix"          -> (qDomainMix _),
@@ -3494,6 +3516,34 @@ object SparkEntry {
         CAST(len(regexp_extract_all(t2, '${Pii.Ipv4Pattern}')) AS BIGINT) AS n_ips,
         sha256(regexp_replace(t2, '${Pii.Ipv4Pattern}', '<IP>', 'g')) AS redacted_sha
       FROM r2""",
+
+    // Luhn-validated card scrubbing: the same candidate regex, then the
+    // Luhn fold as a DuckDB list comprehension over each candidate's
+    // stripped digits (no lambda lets, so the strip is inlined), and
+    // the redaction as a list_reduce literal-replace fold seeded with
+    // the text via list_prepend — mirroring Pii.redactCc's aggregate().
+    "q_pii_cc" -> s"""
+      WITH s AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 0 THEN ' card 4111-1111-1111-1111 ok'
+               WHEN doc_id % 3 = 1
+                 THEN ' ref ' || lpad(CAST((doc_id * 48271 + 11) % 10000000000000000 AS VARCHAR), 16, '0') || ' end'
+               ELSE ' no digits here' END AS t
+        FROM documents),
+      c AS (SELECT doc_id, t,
+              regexp_extract_all(t, '${Pii.CcPattern}') AS cs FROM s),
+      v AS (SELECT doc_id, t, list_filter(cs, c ->
+              list_sum(list_transform(
+                range(1, length(replace(replace(c, '-', ''), ' ', '')) + 1),
+                i -> CASE WHEN (length(replace(replace(c, '-', ''), ' ', '')) - i) % 2 = 1
+                          THEN CASE WHEN CAST(replace(replace(c, '-', ''), ' ', '')[i] AS INT) * 2 > 9
+                                    THEN CAST(replace(replace(c, '-', ''), ' ', '')[i] AS INT) * 2 - 9
+                                    ELSE CAST(replace(replace(c, '-', ''), ' ', '')[i] AS INT) * 2 END
+                          ELSE CAST(replace(replace(c, '-', ''), ' ', '')[i] AS INT) END)) % 10 = 0) AS valid
+            FROM c)
+      SELECT doc_id, CAST(len(valid) AS BIGINT) AS n_ccs,
+        sha256(list_reduce(list_prepend(t, valid),
+          (acc, x) -> replace(acc, x, '<CC>'))) AS redacted_sha
+      FROM v""",
 
     // Hybrid RRF: BM25 CTE chain (same as q_bm25_search) + cosine
     // scores, rank top-50 each, fuse 1/(60+rank), round 6 before the

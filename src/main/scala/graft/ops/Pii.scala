@@ -46,6 +46,56 @@ object Pii {
         PhonePattern, "<PHONE>"),
       Ipv4Pattern, "<IP>")
 
+  /** Card-shaped digit runs: four 4-digit groups, each optionally
+    * separated by ONE dash or space, the last group 1-7 digits (13-19
+    * digits total — the real-world PAN length range). Explicit classes
+    * only (the file's RE2-parity dialect); greedy with no ambiguous
+    * alternation, so Java and RE2 produce identical leftmost matches. */
+  val CcPattern = "[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{1,7}"
+
+  /** Luhn checksum over a candidate's digits (separators stripped):
+    * every second digit FROM THE RIGHT doubles (minus 9 past 9), and
+    * the total must divide by 10. Pure built-ins — an `aggregate` over
+    * `sequence(1, n)` with substring/cast arithmetic — so the check
+    * stays engine-replayable (DuckDB: `list_sum` over a comprehension,
+    * see q_pii_cc's oracle) and inside the no-UDF contract. This is
+    * what separates a card number from a 16-digit order id: a random
+    * digit run passes only 1 in 10 times. */
+  def luhnValid(candidate: Column): Column = {
+    val digits = translate(candidate, "- ", "")
+    val n = length(digits)
+    val total = aggregate(
+      sequence(lit(1), n), lit(0),
+      (acc, i) => {
+        val d = digits.substr(i, lit(1)).cast("int")
+        val dbl = d * 2
+        acc + when((n - i) % 2 === 1, when(dbl > 9, dbl - 9).otherwise(dbl))
+          .otherwise(d)
+      })
+    total % 10 === 0
+  }
+
+  /** Luhn-VALID card candidates in the text, in match order. The regex
+    * proposes ([[CcPattern]]), the checksum disposes — counting raw
+    * pattern hits would flag every 16-digit invoice number. */
+  def ccCandidatesCol(text: Column): Column =
+    filter(regexp_extract_all(text, lit(CcPattern), lit(0)),
+      c => luhnValid(c))
+
+  /** Adds `n_ccs` (Luhn-valid card count) and `outCol` with each valid
+    * candidate replaced by `<CC>` — a literal-replace fold over the
+    * validated candidates, NOT a blanket regexp_replace, so invalid
+    * runs (order ids, timestamps) survive untouched. Caveat: replace()
+    * is literal and global, so an (improbable) invalid occurrence of
+    * the same digit string as a valid one is redacted with it. */
+  def redactCc(df: DataFrame, textCol: String,
+               outCol: String = "text_cc_redacted"): DataFrame = {
+    val cands = ccCandidatesCol(col(textCol))
+    df.withColumn("n_ccs", size(cands).cast("long"))
+      .withColumn(outCol,
+        aggregate(cands, col(textCol), (t, c) => replace(t, c, lit("<CC>"))))
+  }
+
   /** Adds `outCol` with the redacted text plus counts that agree with
     * the placeholders actually written: each count runs its pattern on
     * the text AFTER the earlier replacements in [[redactCol]]'s cascade

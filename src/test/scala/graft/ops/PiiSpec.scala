@@ -47,4 +47,80 @@ class PiiSpec extends SparkSpec {
     assert((e, p, i) == ((0L, 0L, 0L)))
     assert(red == "no personal data at all")
   }
+
+  // ------------------------------------------------------------------
+  // Credit cards (Luhn-validated)
+  // ------------------------------------------------------------------
+
+  private def cc(text: String): (java.lang.Long, String) = {
+    val r = Pii.redactCc(Seq((1L, text)).toDF("id", "text"), "text").head
+    (r.getAs[java.lang.Long]("n_ccs"), r.getAs[String]("text_cc_redacted"))
+  }
+
+  /** Independent JVM Luhn for cross-checking the Column expression. */
+  private def luhnRef(s: String): Boolean = {
+    val d = s.filter(_.isDigit).map(_ - '0')
+    val sum = d.reverse.zipWithIndex.map { case (x, i) =>
+      if (i % 2 == 1) { val y = x * 2; if (y > 9) y - 9 else y } else x
+    }.sum
+    sum % 10 == 0
+  }
+
+  test("standard card test numbers validate; off-by-one checksums do not") {
+    // Classic network test PANs (16-digit Visa/MC, 15-digit Amex, 13
+    // digits) — all Luhn-valid by construction.
+    val valid = Seq("4111111111111111", "4012888888881881",
+      "5105105105105100", "378282246310005", "4222222222222")
+    val invalid = valid.map(s =>
+      s.init + (((s.last - '0') + 1) % 10 + '0').toChar)
+    valid.foreach { v =>
+      assert(luhnRef(v), v)
+      assert(cc(s"card $v end") == ((1L, "card <CC> end")), v)
+    }
+    invalid.foreach { v =>
+      assert(!luhnRef(v), v)
+      assert(cc(s"card $v end") == ((0L, s"card $v end")), v)
+    }
+  }
+
+  test("dashed and spaced forms validate and redact") {
+    assert(cc("pay 4111-1111-1111-1111 now") == ((1L, "pay <CC> now")))
+    assert(cc("pay 4111 1111 1111 1111 now") == ((1L, "pay <CC> now")))
+    // Mixed separators within one candidate still one match.
+    assert(cc("pay 4111-1111 1111-1111 now") == ((1L, "pay <CC> now")))
+  }
+
+  test("an invoice-looking digit run survives; a real PAN next to it goes") {
+    val (n, red) = cc("order 1234567890123456 paid with 5105105105105100")
+    assert(!luhnRef("1234567890123456"))
+    assert(n == 1L)
+    assert(red == "order 1234567890123456 paid with <CC>")
+  }
+
+  test("column Luhn agrees with the JVM reference across random digit runs") {
+    val rnd = new scala.util.Random(7)
+    val runs = Seq.tabulate(60) { i =>
+      val len = 13 + rnd.nextInt(7)
+      (i.toLong, Seq.fill(len)(rnd.nextInt(10)).mkString)
+    }
+    val got = Pii.redactCc(runs.toDF("id", "text"), "text")
+      .select("id", "n_ccs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    runs.foreach { case (id, s) =>
+      assert(got(id) == (if (luhnRef(s)) 1L else 0L), s)
+    }
+  }
+
+  test("null text yields null count and null redaction (not fabricated zeros)") {
+    val r = Pii.redactCc(Seq((1L, null.asInstanceOf[String]))
+      .toDF("id", "text"), "text").head
+    assert(r.isNullAt(r.fieldIndex("n_ccs")))
+    assert(r.isNullAt(r.fieldIndex("text_cc_redacted")))
+  }
+
+  test("multiple valid cards each redact") {
+    val (n, red) = cc("a 4111111111111111 b 5105105105105100 c")
+    assert(n == 2L)
+    assert(red == "a <CC> b <CC> c")
+  }
 }
