@@ -926,7 +926,12 @@ object Dedup {
       .groupBy(col("a.id").as("batch_id"), col("b.id").as("corpus_id"))
       .agg(count(lit(1)).as("common"))
     common
-      .join(broadcast(bSizes.select(col("id").as("batch_id"), col("n_sh").as("n_a"))),
+      // No broadcast hint on the batch-size table: it is one row per
+      // BATCH document, and nothing bounds the caller's batch (the
+      // bench feeds half the corpus as the batch) — a forced broadcast
+      // OOMs exactly when the batch grows, where AQE broadcasts it at
+      // runtime only while it measures small (the q17 lesson).
+      .join(bSizes.select(col("id").as("batch_id"), col("n_sh").as("n_a")),
         "batch_id")
       .join(cSizes.select(col("id").as("corpus_id"), col("n_sh").as("n_b")),
         "corpus_id")
@@ -939,8 +944,10 @@ object Dedup {
 
   /** Incremental ingest filter: the batch rows that survive BOTH the
     * exact and the near-dup screen against the corpus. The near-dup
-    * drop set is distinct batch ids only — tiny — so its anti-join
-    * broadcasts. */
+    * drop set is distinct batch ids only — at most batch-sized, and in
+    * a dup-heavy batch it approaches that, so no forced broadcast: AQE
+    * broadcasts the anti-join side at runtime while it measures small
+    * and hash-shuffles it once the batch grows. */
   def dedupAgainst(batch: DataFrame, corpus: DataFrame, idCol: String,
                    textCol: String, n: Int = 3, threshold: Double = 0.5,
                    normalize: Boolean = false,
@@ -949,7 +956,7 @@ object Dedup {
         threshold, maxShingleFreq)
       .select(col("batch_id").as(idCol)).distinct()
     exactAgainst(batch, corpus, textCol, normalize)
-      .join(broadcast(near), Seq(idCol), "left_anti")
+      .join(near, Seq(idCol), "left_anti")
   }
 
   /** End-to-end near-dup removal: given detector `pairs`, keep exactly

@@ -14,8 +14,12 @@ import org.apache.spark.sql.execution.window.WindowExec
   * for (the q17 raw-fact broadcast among them) as assertions rather
   * than memory:
   *
-  *  1. No `CartesianProductExec`, ever — an all-pairs join over any
-  *     corpus-sized input is quadratic work no cluster absorbs.
+  *  1. No `CartesianProductExec` with BOTH sides unbounded — an
+  *     all-pairs join over two corpus-sized inputs is quadratic work no
+  *     cluster absorbs. A cartesian whose other side is bounded (a
+  *     one-row totals aggregate, a literal VALUES table) is the
+  *     nested-loop form of a broadcast join — linear — and appears at
+  *     all only because this audit runs with broadcasts force-disabled.
   *  2. No unpartitioned `WindowExec` fed by an unbounded input: a
   *     global window moves every row to ONE task. Allowed when
   *     something between the window and every table scan provably
@@ -101,7 +105,11 @@ object PlanAudit {
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
     plan.foreachWithSubqueries {
       case c: CartesianProductExec =>
-        violations += s"CartesianProduct: ${c.simpleStringWithNodeId()}"
+        val l = reachable(c.left, unboundedTables)
+        val r = reachable(c.right, unboundedTables)
+        if (l.nonEmpty && r.nonEmpty)
+          violations += "CartesianProduct of two unbounded sides " +
+            s"(${l.distinct.mkString(",")} x ${r.distinct.mkString(",")})"
       case w: WindowExec if w.partitionSpec.isEmpty =>
         val hit = reachable(w.child, unboundedTables)
         if (hit.nonEmpty)

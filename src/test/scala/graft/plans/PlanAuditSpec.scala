@@ -29,28 +29,40 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  // The judge-measured most-expensive bench families, plus the fit
-  // queries whose build phase runs driver-side jobs. Building the
-  // DataFrame at sf0.001 is cheap and yields the same plan SHAPE as
-  // sf0.1 (the shapes audited here are scale-invariant by design).
-  private val expensive = Seq(
-    "q_knn_classify", "q_bm25_index", "q_dsir_weights", "q_dedup_clusters",
-    "q_rfm", "q_ivf_search", "q_ivfpq", "q_hybrid_rrf", "q_dedup_jaccard",
-    "q_semdedup",
-    // round-7 additions: the new pipeline gates must hold the same bar
-    "q_dedup_best", "q_url_dedup", "q_split_groups", "q_drift_psi",
-    "q_dedup_boilerplate", "q_retrieval_metrics", "q_quality_topfrac",
-    "q_maxsim", "q_normalize_text",
-    // round-8: store-surface late interaction (build + search per run),
-    // multi-probe SemDeDup (2x candidate volume must stay clean)
-    "q_maxsim_store", "q_semdedup2", "q_tuning_curve")
+  // EVERY query in the suite is gated (round-11: the gate used to cover
+  // the 22 most-expensive families; auditing the rest surfaced two
+  // batch-scaled forced broadcasts in Dedup, so the blanket gate earns
+  // its test time). Building the DataFrame at sf0.001 is cheap and
+  // yields the same plan SHAPE as sf0.1 (the shapes audited here are
+  // scale-invariant by design); store-building builders run their small
+  // build jobs once.
+  //
+  // Allowlist: violations that are CONTRACT-bounded — the plan cannot
+  // show the bound, the API can. Each entry names the audit substring
+  // it excuses and why the shape is safe at any corpus size.
+  private val contractBounded: Map[String, String] = Map(
+    // topKBatch's fan-out broadcasts the QUERY batch against the corpus
+    // scan (VectorIndex.scala: docs.crossJoin(broadcast(queries))) — a
+    // kNN batch is executor-memory-bounded by the operator's documented
+    // contract; the audit sees only that the bench derives the batch
+    // from an embeddings-table filter.
+    "q_knn_batch" -> "broadcast of unbounded side (embeddings)",
+    "q_knn_self_top1" -> "broadcast of unbounded side (embeddings)",
+    // The enrichment side is documents filtered to the k COLLECTED hit
+    // ids (isin over a literal id list, doc_id unique) — <= k rows by
+    // construction, invisible to the reachability walk.
+    "q_enrichment_join" -> "broadcast of unbounded side (documents)")
 
-  for (name <- expensive)
+  for (name <- graft.SparkEntry.queries.keys.toSeq.sorted)
     test(s"$name plan has no scale-killing shape") {
       withStaticPlans {
         val df = graft.SparkEntry.queries(name)(spark, dir)
         val bad = PlanAudit.audit(df)
-        assert(bad.isEmpty, s"$name: ${bad.mkString("; ")}")
+        val unexcused = contractBounded.get(name) match {
+          case Some(allowed) => bad.filterNot(_.contains(allowed))
+          case None          => bad
+        }
+        assert(unexcused.isEmpty, s"$name: ${unexcused.mkString("; ")}")
       }
     }
 
@@ -59,10 +71,22 @@ class PlanAuditSpec extends SparkSpec {
   private def lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
   private def nation = spark.read.parquet(s"$dir/nation.parquet")
 
-  test("auditor flags a cartesian product") {
+  test("auditor flags a cartesian product of two unbounded sides") {
     withStaticPlans {
-      val bad = PlanAudit.audit(lineitem.crossJoin(nation))
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val bad = PlanAudit.audit(lineitem.crossJoin(orders))
       assert(bad.exists(_.startsWith("CartesianProduct")), bad.mkString("; "))
+    }
+  }
+
+  test("auditor allows a cartesian with a bounded side (nested-loop broadcast shape)") {
+    withStaticPlans {
+      // One-row totals aggregate cross-joined onto the fact stream —
+      // the q11/q15 shape. Linear, not quadratic: only flagged pre-
+      // refinement because the audit's broadcast-off confs force the
+      // nested-loop join to plan as CartesianProductExec.
+      val totals = lineitem.agg(count(lit(1)).as("n"))
+      assert(PlanAudit.audit(lineitem.crossJoin(totals)).isEmpty)
     }
   }
 
