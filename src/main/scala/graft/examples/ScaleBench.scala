@@ -163,7 +163,28 @@ object ScaleBench {
     "ingest_bloom" -> ((s: SparkSession, dir: String) =>
       ingestProbe(s, dir, bloom = true)),
     "ingest_nobloom" -> ((s: SparkSession, dir: String) =>
-      ingestProbe(s, dir, bloom = false)))
+      ingestProbe(s, dir, bloom = false)),
+    // Batch-vs-corpus incremental dedup with a batch that GROWS with
+    // the corpus (round-11: the forced broadcasts of the per-batch-doc
+    // size table and near-dup drop set were removed). At ×10 BOTH
+    // sides are 10× bigger: a forced broadcast would ship a 10× build
+    // side to every executor — the shape that OOMs at scale — while
+    // AQE hash-joins once the side outgrows the threshold, so this
+    // family should scale ~linearly like its shingle pair-join floor.
+    // The hot-shingle cap is ON here because the harness's own salt
+    // interleave (`a b c` -> `a z3 b z3 c`) manufactures corpus-hot
+    // `salt X salt` trigrams that explode an UNCAPPED pair join ~35×
+    // (measured 46 s at ×1 vs ~1.3 s on the raw corpus) — the
+    // web-scale posture knob doing exactly its job on an adversarially
+    // hot token distribution.
+    "dedup_against_batch" -> ((s: SparkSession, dir: String) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Dedup.dedupAgainst(
+        d.where(col("doc_id") % 2 === 1), d.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3, threshold = 0.5,
+        maxShingleFreq = Some(50L))
+        .agg(count(lit(1)).as("survivors"))
+    }))
 
   private def ingestProbe(s: SparkSession, dir: String, bloom: Boolean): DataFrame = {
     val tag = if (bloom) "bloom" else "nobloom"
