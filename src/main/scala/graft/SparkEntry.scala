@@ -1989,6 +1989,18 @@ object SparkEntry {
         col("top_token_frac"), col("dup_bigram_frac"), col("symbol_ratio"),
         col("gopher_keep").cast("long").as("gopher_keep"))
 
+  /** Gopher §A1.1's n-gram char-mass repetition family: heaviest
+    * repeated-n-gram char fraction (n=2..4; overlapping occurrences
+    * count multiplicatively, so adversarially self-overlapping docs
+    * can exceed 1.0 — inherent to the freq×len definition) and
+    * duplicated-n-gram union-of-spans coverage (n=5, 10). */
+  private def qNgramRepetition(s: SparkSession, dir: String): DataFrame =
+    QualitySignals.ngramCharSignals(table(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("top_2_gram_char_frac"),
+        col("top_3_gram_char_frac"), col("top_4_gram_char_frac"),
+        col("dup_5_gram_char_frac"), col("dup_10_gram_char_frac"),
+        col("rep_keep").cast("long").as("rep_keep"))
+
   /** Benchmark-contamination check: docs sharing word 3-grams with the
     * deterministic "benchmark" slice (doc_id % 20 == 0). */
   private def qContamination(s: SparkSession, dir: String): DataFrame = {
@@ -2440,6 +2452,7 @@ object SparkEntry {
       "q17_below_avg"         -> (q17BelowAvg _),
       "q18_large_orders"      -> (q18LargeOrders _),
       "q_repetition"          -> (qRepetition _),
+      "q_ngram_repetition"    -> (qNgramRepetition _),
       "q_contamination"       -> (qContamination _),
       "q_pii_redact"          -> (qPiiRedact _),
       "q_pii_cc"              -> (qPiiCc _),
@@ -3474,6 +3487,78 @@ object SparkEntry {
                             AND symbol_ratio <= 0.1
                           THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep
       FROM g""",
+
+    // Gopher n-gram char-mass repetition: identical gram construction
+    // (1-based slices joined with one space), identical freq>=2 gate,
+    // identical union-of-spans coverage; keep decided on ROUNDED
+    // values, null text nulls every signal and drops.
+    "q_ngram_repetition" -> """
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                 FROM documents),
+      s AS (SELECT doc_id, text, toks, len(toks) AS m,
+              greatest(CAST(coalesce(list_sum(list_transform(toks,
+                x -> length(x))), 0) AS DOUBLE), 1.0) AS tot
+            FROM t),
+      g AS (SELECT *,
+              list_transform(range(0, greatest(m - 1, 0)),
+                p -> array_to_string(list_slice(toks, p+1, p+2), ' ')) AS g2,
+              list_transform(range(0, greatest(m - 2, 0)),
+                p -> array_to_string(list_slice(toks, p+1, p+3), ' ')) AS g3,
+              list_transform(range(0, greatest(m - 3, 0)),
+                p -> array_to_string(list_slice(toks, p+1, p+4), ' ')) AS g4,
+              list_transform(range(0, greatest(m - 4, 0)),
+                p -> array_to_string(list_slice(toks, p+1, p+5), ' ')) AS g5,
+              list_transform(range(0, greatest(m - 9, 0)),
+                p -> array_to_string(list_slice(toks, p+1, p+10), ' ')) AS g10
+            FROM s),
+      d AS (SELECT *,
+              list_transform(g5, x -> len(list_filter(g5, y -> y = x)) >= 2) AS d5,
+              list_transform(g10, x -> len(list_filter(g10, y -> y = x)) >= 2) AS d10
+            FROM g),
+      f AS (SELECT doc_id, text,
+        CASE WHEN text IS NULL THEN NULL ELSE
+          round(CAST(coalesce(list_max(list_transform(list_distinct(g2),
+            x -> CASE WHEN len(list_filter(g2, y -> y = x)) >= 2
+                      THEN len(list_filter(g2, y -> y = x)) * (length(x) - 1)
+                      ELSE 0 END)), 0) AS DOUBLE) / tot, 4)
+        END AS top_2_gram_char_frac,
+        CASE WHEN text IS NULL THEN NULL ELSE
+          round(CAST(coalesce(list_max(list_transform(list_distinct(g3),
+            x -> CASE WHEN len(list_filter(g3, y -> y = x)) >= 2
+                      THEN len(list_filter(g3, y -> y = x)) * (length(x) - 2)
+                      ELSE 0 END)), 0) AS DOUBLE) / tot, 4)
+        END AS top_3_gram_char_frac,
+        CASE WHEN text IS NULL THEN NULL ELSE
+          round(CAST(coalesce(list_max(list_transform(list_distinct(g4),
+            x -> CASE WHEN len(list_filter(g4, y -> y = x)) >= 2
+                      THEN len(list_filter(g4, y -> y = x)) * (length(x) - 3)
+                      ELSE 0 END)), 0) AS DOUBLE) / tot, 4)
+        END AS top_4_gram_char_frac,
+        CASE WHEN text IS NULL THEN NULL ELSE
+          round(CAST(coalesce(list_sum(list_transform(range(0, m), idx ->
+            CASE WHEN len(list_filter(
+                   range(greatest(idx - 4, 0), least(idx, m - 5) + 1),
+                   p -> d5[p+1])) > 0
+                 THEN length(toks[idx + 1]) ELSE 0 END)), 0) AS DOUBLE) / tot, 4)
+        END AS dup_5_gram_char_frac,
+        CASE WHEN text IS NULL THEN NULL ELSE
+          round(CAST(coalesce(list_sum(list_transform(range(0, m), idx ->
+            CASE WHEN len(list_filter(
+                   range(greatest(idx - 9, 0), least(idx, m - 10) + 1),
+                   p -> d10[p+1])) > 0
+                 THEN length(toks[idx + 1]) ELSE 0 END)), 0) AS DOUBLE) / tot, 4)
+        END AS dup_10_gram_char_frac
+        FROM d)
+      SELECT doc_id, top_2_gram_char_frac, top_3_gram_char_frac,
+             top_4_gram_char_frac, dup_5_gram_char_frac, dup_10_gram_char_frac,
+        CAST(CASE WHEN text IS NOT NULL
+                    AND top_2_gram_char_frac <= 0.20
+                    AND top_3_gram_char_frac <= 0.18
+                    AND top_4_gram_char_frac <= 0.16
+                    AND dup_5_gram_char_frac <= 0.15
+                    AND dup_10_gram_char_frac <= 0.10
+                  THEN 1 ELSE 0 END AS BIGINT) AS rep_keep
+      FROM f""",
 
     // Benchmark-contamination: distinct-3-gram overlap vs the
     // doc_id % 20 == 0 slice (reuses the shared shingle CTE).

@@ -110,4 +110,144 @@ object QualitySignals {
           col("symbol_ratio") <= 0.1,
         lit(false)))
   }
+
+  /** Gopher §A1.1 keep-thresholds for the n-gram char-mass signals
+    * (Rae et al. 2021 Table A1): top-n-gram fractions for n=2..4,
+    * duplicate-n-gram coverage for n=5..10. */
+  val TopNgramThresholds: Map[Int, Double] =
+    Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val DupNgramThresholds: Map[Int, Double] =
+    Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  private def topColName(n: Int) = s"top_${n}_gram_char_frac"
+  private def dupColName(n: Int) = s"dup_${n}_gram_char_frac"
+
+  /** Gopher §A1.1's SECOND repetition family — the n-gram
+    * character-mass signals [[signals]] doesn't cover:
+    *
+    *  - `top_{n}_gram_char_frac` (n in `topNs`): character mass of the
+    *    heaviest REPEATED word n-gram — max over n-grams occurring at
+    *    least twice of `occurrences × gram-token-chars` — over the
+    *    document's total token character mass. A document with no
+    *    repeated n-gram scores 0.0. (Deliberately a max over NUMBERS,
+    *    not "the most frequent n-gram": frequency ties there resolve
+    *    by counter insertion order, which no external engine can be
+    *    asked to reproduce; char mass is the quantity the filter
+    *    thresholds anyway.)
+    *  - `dup_{n}_gram_char_frac` (n in `dupNs`): fraction of token
+    *    characters covered by AT LEAST ONE occurrence of a duplicated
+    *    n-gram — overlapping occurrences count each token once, the
+    *    union-of-spans semantics Rae et al. specify for n=5..10.
+    *  - `rep_keep`: AND of `signal <= threshold` over every computed
+    *    column (thresholds from [[TopNgramThresholds]] /
+    *    [[DupNgramThresholds]]), decided on the ROUNDED (4 dp) values
+    *    so the flag cannot flip on a last-ulp difference, and FALSE
+    *    for null text (a drop, not a limbo row — same contract as
+    *    `gopher_keep`).
+    *
+    * Character mass counts TOKEN characters only (the single-space
+    * separators are excluded identically on both engines: a gram's
+    * token chars = `length(gram) - (n-1)` since grams join with one
+    * space). Everything is a narrow per-row projection over the
+    * let1-bound token array — no shuffle, no UDF: candidate counting
+    * is O(grams²) string compares per document (documents, not
+    * corpora, bound the quadratic), coverage is O(tokens × n). A null
+    * text nulls every signal column.
+    *
+    * The reference ingests text verbatim (encoder.py:54-88); this is
+    * part of the pre-embedding quality gate a 100 TB corpus needs. */
+  def ngramCharSignals(df: DataFrame, textCol: String,
+                       topNs: Seq[Int] = Seq(2, 3, 4),
+                       dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+    require(topNs.nonEmpty || dupNs.nonEmpty,
+      "ngramCharSignals: at least one n-gram size is required")
+    require(topNs.forall(_ >= 2) && dupNs.forall(_ >= 2),
+      s"ngramCharSignals: n-gram sizes must be >= 2 (got top=$topNs dup=$dupNs)")
+    require(topNs.forall(TopNgramThresholds.contains),
+      s"ngramCharSignals: no keep-threshold for top n in " +
+        s"${topNs.filterNot(TopNgramThresholds.contains)} (known: 2..4)")
+    require(dupNs.forall(DupNgramThresholds.contains),
+      s"ngramCharSignals: no keep-threshold for dup n in " +
+        s"${dupNs.filterNot(DupNgramThresholds.contains)} (known: 5..10)")
+    val outNames = topNs.map(topColName) ++ dupNs.map(dupColName) :+ "rep_keep"
+    val clash = graft.Cols.overlap(df, outNames)
+    require(clash.isEmpty,
+      s"ngramCharSignals writes ${clash.mkString(", ")} — the input already " +
+        "has such a column (session resolver); rename it first")
+
+    val t = col(textCol)
+
+    // Word n-grams at every start position (empty when the doc is
+    // shorter than n — guarded: sequence(0, negative) would DESCEND).
+    def gramsFor(toks: Column, m: Column, n: Int): Column =
+      when(m >= n,
+        transform(sequence(lit(0), m - n),
+          p => concat_ws(" ", slice(toks, p + lit(1), lit(n)))))
+        .otherwise(array().cast("array<string>"))
+
+    // max over repeated grams of occurrences * token chars.
+    def topMass(toks: Column, m: Column, n: Int): Column =
+      TextFunctions.let1(gramsFor(toks, m, n)) { gs =>
+        coalesce(
+          array_max(transform(array_distinct(gs), g =>
+            TextFunctions.let1(size(filter(gs, x => x === g)).cast("long")) {
+              cnt =>
+                when(cnt >= 2L, cnt * (length(g) - lit(n - 1)).cast("long"))
+                  .otherwise(lit(0L))
+            })),
+          lit(0L))
+      }
+
+    // union-of-spans coverage: token idx is covered iff SOME start
+    // position p in [idx-n+1, idx] (clamped to valid starts) holds a
+    // duplicated gram.
+    def dupCoverMass(toks: Column, m: Column, n: Int): Column =
+      when(m >= n,
+        TextFunctions.let1(gramsFor(toks, m, n)) { gs =>
+          TextFunctions.let1(
+            transform(gs, g => size(filter(gs, x => x === g)) >= 2)) { isDup =>
+            aggregate(sequence(lit(0), m - 1), lit(0L), (acc, idx) =>
+              acc + when(
+                exists(
+                  sequence(greatest(idx - lit(n - 1), lit(0)),
+                    least(idx, m - n)),
+                  p => element_at(isDup, p + lit(1))),
+                length(element_at(toks, idx + lit(1))).cast("long"))
+                .otherwise(lit(0L)))
+          }
+        }).otherwise(lit(0L))
+
+    val sig = TextFunctions.let1(TextFunctions.tokens(t)) { toks =>
+      TextFunctions.let1(size(toks)) { m =>
+        TextFunctions.let1(
+          aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double")
+        ) { totRaw =>
+          val tot = greatest(totRaw, lit(1.0))
+          val fields =
+            topNs.map(n =>
+              round(topMass(toks, m, n).cast("double") / tot, 4)
+                .as(topColName(n))) ++
+            dupNs.map(n =>
+              round(dupCoverMass(toks, m, n).cast("double") / tot, 4)
+                .as(dupColName(n)))
+          struct(fields: _*)
+        }
+      }
+    }
+
+    // One evaluation of the whole signal struct per row; null text
+    // nulls every signal EXPLICITLY (not via size(null) — whose value
+    // the legacy sizeOfNull regime changes).
+    val withSig = df.withColumn("__rep_sig",
+      when(t.isNull, lit(null)).otherwise(sig))
+    val keep = (topNs.map(n =>
+        col(topColName(n)) <= TopNgramThresholds(n)) ++
+      dupNs.map(n => col(dupColName(n)) <= DupNgramThresholds(n)))
+      .reduce(_ && _)
+    outNames.dropRight(1).foldLeft(withSig) { (acc, c) =>
+        acc.withColumn(c, col("__rep_sig").getField(c))
+      }
+      .drop("__rep_sig")
+      .withColumn("rep_keep", coalesce(keep, lit(false)))
+  }
 }

@@ -95,4 +95,85 @@ class QualitySignalsSpec extends SparkSpec {
       "null text must null the signal, not report perfect diversity")
     assert(r.isNullAt(r.fieldIndex("distinct_token_ratio")))
   }
+
+  // ---- ngramCharSignals (Gopher §A1.1 second family) ----
+
+  private def ngramRow(text: String): Row =
+    QualitySignals.ngramCharSignals(
+        Seq((1L, text)).toDF("id", "text"), "text")
+      .select("top_2_gram_char_frac", "top_3_gram_char_frac",
+        "top_4_gram_char_frac", "dup_5_gram_char_frac",
+        "dup_10_gram_char_frac", "rep_keep")
+      .head
+
+  test("top-n-gram char mass: freq x token chars of the heaviest repeated gram") {
+    // "a b a b a b c": 7 token chars. "a b" x3 -> 3*2=6 -> 0.8571;
+    // 3-grams "a b a" x2 -> 6 -> 0.8571; 4-grams "a b a b" x2 -> 8 ->
+    // 1.1429 (>1: overlapping occurrences count multiplicatively in
+    // the freq x len definition — documented, and exactly why the
+    // threshold comparisons still work).
+    val r = ngramRow("a b a b a b c")
+    assert(r.getDouble(0) == 0.8571)
+    assert(r.getDouble(1) == 0.8571)
+    assert(r.getDouble(2) == 1.1429)
+    assert(!r.getBoolean(5))
+  }
+
+  test("no repeated n-gram scores 0.0, not the mass of a unique gram") {
+    val r = ngramRow((1 to 12).map(i => s"w$i").mkString(" "))
+    assert((0 to 4).forall(r.getDouble(_) == 0.0))
+    assert(r.getBoolean(5))
+  }
+
+  test("dup coverage is a UNION of spans: overlapping occurrences count tokens once") {
+    // "p q r s t" x3 back-to-back: every token covered by a duplicated
+    // 5-gram AND by a duplicated 10-gram (positions 0 and 5 share the
+    // same 10-gram string) -> both exactly 1.0, never >1.
+    val r = ngramRow("p q r s t p q r s t p q r s t")
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("partial dup coverage counts only covered token chars") {
+    // "x y z w v x y z w v AAAA BBBB": the 5-gram "x y z w v" repeats
+    // (10 tokens of 1 char covered); AAAA BBBB (8 chars) uncovered.
+    // tot = 10 + 8 = 18 -> 10/18 = 0.5556.
+    val r = ngramRow("x y z w v x y z w v AAAA BBBB")
+    assert(r.getDouble(3) == 0.5556)
+    assert(r.getDouble(4) == 0.0) // no repeated 10-gram
+  }
+
+  test("docs shorter than n score 0.0 (no fabricated grams)") {
+    val r = ngramRow("a b c")
+    assert(r.getDouble(3) == 0.0)
+    assert(r.getDouble(4) == 0.0)
+  }
+
+  test("null text nulls every n-gram signal and DROPS (keep=false, not limbo)") {
+    val out = QualitySignals.ngramCharSignals(
+      Seq((1L, Option.empty[String])).toDF("id", "text"), "text")
+    val r = out.head
+    Seq("top_2_gram_char_frac", "dup_5_gram_char_frac").foreach { c =>
+      assert(r.isNullAt(r.fieldIndex(c)), s"$c must be null for null text")
+    }
+    assert(!r.getAs[Boolean]("rep_keep"))
+  }
+
+  test("output-column collision is rejected resolver-aware") {
+    val df = Seq((1L, "a b", 0.5)).toDF("id", "text", "REP_KEEP")
+    val e = intercept[IllegalArgumentException] {
+      QualitySignals.ngramCharSignals(df, "text")
+    }
+    assert(e.getMessage.contains("rep_keep"))
+  }
+
+  test("unknown n without a Gopher threshold is rejected loudly") {
+    val df = Seq((1L, "a b")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      QualitySignals.ngramCharSignals(df, "text", topNs = Seq(7))
+    }
+    intercept[IllegalArgumentException] {
+      QualitySignals.ngramCharSignals(df, "text", dupNs = Seq(2))
+    }
+  }
 }
