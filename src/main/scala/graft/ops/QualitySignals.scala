@@ -51,17 +51,31 @@ object QualitySignals {
       val n = size(toks)
       val nD = greatest(n, lit(1)).cast("double")
       val distinctRatio = round(size(array_distinct(toks)).cast("double") / nD, 4)
-      // Most-frequent-token share: O(distinct * n) per row — fine for
-      // document-sized token lists, and stays narrow (no explode/agg).
-      // NO coalesce-to-0: for non-null text the distinct array is never
-      // empty (split always yields >= 1 token), so the only way this is
-      // null is a NULL text — which must null the signal like every
-      // other ("a null text nulls every signal" below); a 0.0 here made
-      // undecodable docs look maximally diverse to any consumer reading
-      // this column alone.
+      // Most-frequent-token share as a run-length max over the SORTED
+      // tokens: O(m log m) per row, not the O(distinct * m)
+      // filter-count square (real corpora have 1k-10k-token documents,
+      // where the square is 10^6-10^8 compares per row). Stays narrow
+      // (no explode/agg). Null text: the run fold's when() falls to
+      // its otherwise branch on a null condition, but every signal is
+      // nulled EXPLICITLY below ("a null text nulls every signal"), so
+      // undecodable docs still can't look maximally diverse.
       val topTokenFrac = round(
-        array_max(transform(array_distinct(toks),
-          u => size(filter(toks, x => x === u)))).cast("double") / nD, 4)
+        TextFunctions.let1(array_sort(toks)) { ss =>
+          TextFunctions.let1(size(ss)) { sz =>
+            when(sz >= 2,
+              aggregate(
+                sequence(lit(1), sz - 1),
+                struct(lit(1L).as("run"), lit(1L).as("best")),
+                (st, i) => TextFunctions.let1(
+                  when(element_at(ss, i + lit(1)) === element_at(ss, i),
+                    st.getField("run") + 1L).otherwise(lit(1L))) { run =>
+                  struct(run.as("run"),
+                    greatest(st.getField("best"), run).as("best"))
+                },
+                st => st.getField("best")))
+              .otherwise(lit(1L))
+          }
+        }.cast("double") / nD, 4)
       val dupBigramFrac = TextFunctions.let1(rawBigrams(toks)) { bg =>
         when(size(bg) === 0, lit(0.0)).otherwise(
           round((size(bg) - size(array_distinct(bg))).cast("double") /
@@ -185,35 +199,82 @@ object QualitySignals {
           p => concat_ws(" ", slice(toks, p + lit(1), lit(n)))))
         .otherwise(array().cast("array<string>"))
 
-    // max over repeated grams of occurrences * token chars.
+    // Frequency counting runs on SORTED grams (equal grams are
+    // adjacent; any total order works, so the sort basis is not
+    // value-visible): O(m log m) per row, NOT the O(distinct x grams)
+    // filter-count square — real corpora have 1k-10k-token documents,
+    // where the square is 10^6-10^8 string compares per row.
+
+    // max over repeated grams of occurrences * token chars, as a
+    // run-length fold: run x charlen grows with the run, so taking the
+    // max incrementally at each extension sees every full run's mass.
     def topMass(toks: Column, m: Column, n: Int): Column =
-      TextFunctions.let1(gramsFor(toks, m, n)) { gs =>
-        coalesce(
-          array_max(transform(array_distinct(gs), g =>
-            TextFunctions.let1(size(filter(gs, x => x === g)).cast("long")) {
-              cnt =>
-                when(cnt >= 2L, cnt * (length(g) - lit(n - 1)).cast("long"))
-                  .otherwise(lit(0L))
-            })),
-          lit(0L))
+      TextFunctions.let1(array_sort(gramsFor(toks, m, n))) { ss =>
+        TextFunctions.let1(size(ss)) { sz =>
+          when(sz >= 2,
+            aggregate(
+              sequence(lit(1), sz - 1),
+              struct(lit(1L).as("run"), lit(0L).as("best")),
+              (st, i) => TextFunctions.let1(
+                when(element_at(ss, i + lit(1)) === element_at(ss, i),
+                  st.getField("run") + 1L).otherwise(lit(1L))) { run =>
+                struct(run.as("run"),
+                  greatest(st.getField("best"),
+                    when(run >= 2L,
+                      run * (length(element_at(ss, i + lit(1))) - lit(n - 1))
+                        .cast("long"))
+                      .otherwise(lit(0L))).as("best"))
+              },
+              st => st.getField("best")))
+            .otherwise(lit(0L))
+        }
+      }
+
+    // distinct grams occurring >= 2 times, appended exactly when a
+    // run FIRST reaches length 2.
+    def dupGrams(gs: Column): Column =
+      TextFunctions.let1(array_sort(gs)) { ss =>
+        TextFunctions.let1(size(ss)) { sz =>
+          when(sz >= 2,
+            aggregate(
+              sequence(lit(1), sz - 1),
+              struct(lit(1L).as("run"),
+                array().cast("array<string>").as("dups")),
+              (st, i) => TextFunctions.let1(
+                element_at(ss, i + lit(1)) === element_at(ss, i)) { same =>
+                struct(
+                  when(same, st.getField("run") + 1L).otherwise(lit(1L))
+                    .as("run"),
+                  when(same && st.getField("run") === 1L,
+                    concat(st.getField("dups"),
+                      array(element_at(ss, i + lit(1)))))
+                    .otherwise(st.getField("dups")).as("dups"))
+              },
+              st => st.getField("dups")))
+            .otherwise(array().cast("array<string>"))
+        }
       }
 
     // union-of-spans coverage: token idx is covered iff SOME start
     // position p in [idx-n+1, idx] (clamped to valid starts) holds a
-    // duplicated gram.
+    // duplicated gram. The per-position dup flag is membership in the
+    // (typically tiny) duplicated-gram set, not a full filter-count.
     def dupCoverMass(toks: Column, m: Column, n: Int): Column =
       when(m >= n,
         TextFunctions.let1(gramsFor(toks, m, n)) { gs =>
-          TextFunctions.let1(
-            transform(gs, g => size(filter(gs, x => x === g)) >= 2)) { isDup =>
-            aggregate(sequence(lit(0), m - 1), lit(0L), (acc, idx) =>
-              acc + when(
-                exists(
-                  sequence(greatest(idx - lit(n - 1), lit(0)),
-                    least(idx, m - n)),
-                  p => element_at(isDup, p + lit(1))),
-                length(element_at(toks, idx + lit(1))).cast("long"))
-                .otherwise(lit(0L)))
+          TextFunctions.let1(dupGrams(gs)) { dups =>
+            when(size(dups) === 0, lit(0L)).otherwise(
+              TextFunctions.let1(
+                transform(gs, g => array_contains(dups, g))) { isDup =>
+                aggregate(sequence(lit(0), m - 1), lit(0L), (acc, idx) =>
+                  acc + when(
+                    exists(
+                      sequence(greatest(idx - lit(n - 1), lit(0)),
+                        least(idx, m - n)),
+                      p => element_at(isDup, p + lit(1))),
+                    length(element_at(toks, idx + lit(1))).cast("long"))
+                    .otherwise(lit(0L)))
+              })
           }
         }).otherwise(lit(0L))
 
