@@ -163,10 +163,12 @@ object QualitySignals {
     * separators are excluded identically on both engines: a gram's
     * token chars = `length(gram) - (n-1)` since grams join with one
     * space). Everything is a narrow per-row projection over the
-    * let1-bound token array — no shuffle, no UDF: candidate counting
-    * is O(grams²) string compares per document (documents, not
-    * corpora, bound the quadratic), coverage is O(tokens × n). A null
-    * text nulls every signal column.
+    * let1-bound token array — no shuffle, no UDF: frequencies come
+    * from run-length folds over SORTED gram arrays (O(m log m) per
+    * row per n — survives real 1k-10k-token documents, where a
+    * filter-count square would be 10^6-10^8 compares), coverage is
+    * O(tokens × n) membership tests against the (typically tiny)
+    * duplicated-gram set. A null text nulls every signal column.
     *
     * The reference ingests text verbatim (encoder.py:54-88); this is
     * part of the pre-embedding quality gate a 100 TB corpus needs. */
