@@ -84,16 +84,27 @@ object TrainingPipeline {
     val normalized = docs.select(col("doc_id"),
       TextFunctions.normalizeText(col("text")).as("text"),
       col("lang"), col("source"))
-    val quality0 = QualitySignals.signals(
-        TextAnalysis.analyze(normalized, "text")
-          .where(col("quality") >= 0.5)
-          .select("doc_id", "text", "lang", "source", "n_tokens", "quality"),
+    val quality0 = QualitySignals.ngramCharSignals(
+        QualitySignals.signals(
+          TextAnalysis.analyze(normalized, "text")
+            .where(col("quality") >= 0.5)
+            .select("doc_id", "text", "lang", "source", "n_tokens", "quality"),
+          "text")
+          .where(col("gopher_keep")),
         "text")
-      .where(col("gopher_keep"))
-    val quality = graft.ops.Stats.keepAboveQuantile(
+      .where(col("rep_keep"))
+    // STAGE BOUNDARY: materialize the gated corpus. The quality gate
+    // is the most expensive per-row projection in the pipeline (deep
+    // HOF repetition signals); without a boundary, every downstream
+    // action would RE-EXECUTE it through the unpersisted lineage —
+    // and at 100 TB a real pipeline writes stage outputs to storage
+    // anyway (restartability + lineage truncation).
+    graft.ops.Stats.keepAboveQuantile(
         quality0.select("doc_id", "text", "lang", "source", "quality"),
         Seq("lang"), "quality", q = 0.3)
       .select("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$outDir/gated")
+    val quality = spark.read.parquet(s"$outDir/gated")
     println(s"after quality + repetition + per-lang quantile: ${quality.count()}")
 
     // 2. PII scrub (narrow regex pass; counts kept for auditing).

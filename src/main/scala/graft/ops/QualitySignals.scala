@@ -300,17 +300,24 @@ object QualitySignals {
 
     // One evaluation of the whole signal struct per row; null text
     // nulls every signal EXPLICITLY (not via size(null) — whose value
-    // the legacy sizeOfNull regime changes).
+    // the legacy sizeOfNull regime changes). Exactly TWO plan nodes —
+    // bind the struct, then unpack fields + keep in ONE select: a
+    // per-field withColumn fold re-analyzes the (large) HOF expression
+    // tree once per column, which multiplies Catalyst planning time
+    // in long pipelines (each downstream op re-walks the lineage).
+    // The struct stays a multi-referenced non-cheap projection column,
+    // so CollapseProject cannot inline it into per-field copies.
     val withSig = df.withColumn("__rep_sig",
       when(t.isNull, lit(null)).otherwise(sig))
+    val sigRef = col("__rep_sig")
     val keep = (topNs.map(n =>
-        col(topColName(n)) <= TopNgramThresholds(n)) ++
-      dupNs.map(n => col(dupColName(n)) <= DupNgramThresholds(n)))
+        sigRef.getField(topColName(n)) <= TopNgramThresholds(n)) ++
+      dupNs.map(n =>
+        sigRef.getField(dupColName(n)) <= DupNgramThresholds(n)))
       .reduce(_ && _)
-    outNames.dropRight(1).foldLeft(withSig) { (acc, c) =>
-        acc.withColumn(c, col("__rep_sig").getField(c))
-      }
-      .drop("__rep_sig")
-      .withColumn("rep_keep", coalesce(keep, lit(false)))
+    withSig.select(
+      df.columns.map(col).toSeq ++
+        outNames.dropRight(1).map(c => sigRef.getField(c).as(c)) :+
+        coalesce(keep, lit(false)).as("rep_keep"): _*)
   }
 }
