@@ -185,8 +185,14 @@ object QualitySignals {
     require(dupNs.forall(DupNgramThresholds.contains),
       s"ngramCharSignals: no keep-threshold for dup n in " +
         s"${dupNs.filterNot(DupNgramThresholds.contains)} (known: 5..10)")
+    require(topNs.distinct == topNs && dupNs.distinct == dupNs,
+      s"ngramCharSignals: duplicate n-gram sizes (top=$topNs dup=$dupNs) " +
+        "would mint ambiguous signal fields")
     val outNames = topNs.map(topColName) ++ dupNs.map(dupColName) :+ "rep_keep"
-    val clash = graft.Cols.overlap(df, outNames)
+    // `__rep_sig` is the internal struct binding — same guard class as
+    // seededShuffle's `__shuffle_key`: withColumn would silently
+    // REPLACE a user column of that name.
+    val clash = graft.Cols.overlap(df, outNames :+ "__rep_sig")
     require(clash.isEmpty,
       s"ngramCharSignals writes ${clash.mkString(", ")} — the input already " +
         "has such a column (session resolver); rename it first")

@@ -176,4 +176,16 @@ class QualitySignalsSpec extends SparkSpec {
       QualitySignals.ngramCharSignals(df, "text", dupNs = Seq(2))
     }
   }
+
+  test("internal __rep_sig column and duplicate n sizes are rejected") {
+    val df = Seq((1L, "a b", "x")).toDF("id", "text", "__rep_sig")
+    val e = intercept[IllegalArgumentException] {
+      QualitySignals.ngramCharSignals(df, "text")
+    }
+    assert(e.getMessage.contains("__rep_sig"))
+    intercept[IllegalArgumentException] {
+      QualitySignals.ngramCharSignals(
+        Seq((1L, "a b")).toDF("id", "text"), "text", topNs = Seq(2, 2))
+    }
+  }
 }
