@@ -356,4 +356,59 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: ngramCharSignals matches a brute-force reference on random token sequences") {
+    // Brute-force reference, straight from the definition (no sorting,
+    // no run-length folds): the distributed HOF implementation must
+    // match it exactly, including the union-of-spans coverage.
+    def refTop(toks: Seq[String], n: Int): Double = {
+      val tot = math.max(toks.map(_.length).sum, 1).toDouble
+      if (toks.size < n) return 0.0
+      val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+      val mass = grams.groupBy(identity).collect {
+        case (g, occ) if occ.size >= 2 =>
+          occ.size.toLong * (g.length - (n - 1))
+      }
+      val best = if (mass.isEmpty) 0L else mass.max
+      BigDecimal(best / tot).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    def refDup(toks: Seq[String], n: Int): Double = {
+      val tot = math.max(toks.map(_.length).sum, 1).toDouble
+      if (toks.size < n) return 0.0
+      val grams = toks.sliding(n).map(_.mkString(" ")).toVector
+      val dup = grams.groupBy(identity).filter(_._2.size >= 2).keySet
+      val covered = Array.fill(toks.size)(false)
+      grams.zipWithIndex.foreach { case (g, p) =>
+        if (dup(g)) (p until p + n).foreach(covered(_) = true)
+      }
+      val mass = toks.zipWithIndex.collect {
+        case (t, i) if covered(i) => t.length.toLong
+      }.sum
+      BigDecimal(mass / tot).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    // Small vocabulary FORCES repeats (including overlapping runs of a
+    // single token — the adversarial case for span union and for the
+    // run-length fold's incremental max).
+    val shortWord = Gen.oneOf("a", "bb", "ccc", "a", "bb")
+    val seqGen = Gen.chooseNum(1, 24).flatMap(n => Gen.listOfN(n, shortWord))
+    val cases = samples(Gen.listOfN(25, seqGen), 12).flatten
+    val df = cases.zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = QualitySignals
+      .ngramCharSignals(df, "text", topNs = Seq(2, 3, 4), dupNs = Seq(5, 10))
+      .orderBy("doc_id").collect()
+    got.zip(cases).foreach { case (r, toks) =>
+      Seq(2, 3, 4).foreach { n =>
+        assert(r.getAs[Double](s"top_${n}_gram_char_frac") == refTop(toks, n),
+          s"top n=$n toks=$toks")
+      }
+      Seq(5, 10).foreach { n =>
+        assert(r.getAs[Double](s"dup_${n}_gram_char_frac") == refDup(toks, n),
+          s"dup n=$n toks=$toks")
+      }
+    }
+  }
 }
