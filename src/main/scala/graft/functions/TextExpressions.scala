@@ -153,3 +153,159 @@ case class MinHashBandsExpr(child: Expression, numHashes: Int, bands: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Fused Gopher n-gram repetition MASSES — one JVM pass per row over
+  * the token array, replacing the interpreted
+  * sort -> run-length-fold -> span-union HOF pipeline of
+  * [[graft.ops.QualitySignals.ngramCharSignals]]'s reference form with
+  * imperative loops (the quality gate runs over EVERY document of a
+  * corpus; per-element lambda interpretation is the hot-path tax the
+  * repo's expression tier exists to remove).
+  *
+  * Returns INTEGER masses only — `struct<tot_chars, top_mass_{n}...,
+  * dup_mass_{n}...>`, all longs; the fraction (divide + round) stays in
+  * plain SQL on top, so parity with the HOF reference form is exact
+  * long equality (no float subtleties), asserted in PropertySpec.
+  * Value contract (identical to the HOF form and the DuckDB oracle):
+  *  - tokens: split on single space, trailing empties kept
+  *    (split(" ", -1) — the repo tokenization contract, ShinglesExpr);
+  *  - char mass counts CODE POINTS of token chars only (Spark
+  *    `length()` semantics — NOT UTF-16 units), separators excluded;
+  *  - top_mass_n: max over grams occurring >= 2 times of
+  *    occurrences x gram token chars (0 when no gram repeats or m < n);
+  *  - dup_mass_n: token chars covered by >= 1 occurrence of a
+  *    duplicated n-gram, overlapping spans counted once.
+  * Sort basis is position-index sort with (hash, token-wise) gram
+  * comparison — a different total order than the HOF form's string
+  * sort, which is fine: any total order groups equal grams adjacently,
+  * and grams joined with a separator that tokens cannot contain are
+  * equal iff their token sequences are.
+  * CodegenFallback like [[ShinglesExpr]]: the loops dominate; codegen
+  * would fuse only the cheap struct wrap. */
+case class NgramRepetitionExpr(child: Expression, topNs: Seq[Int], dupNs: Seq[Int])
+    extends UnaryExpression with CodegenFallback {
+  require(topNs.nonEmpty || dupNs.nonEmpty, "at least one n-gram size")
+  require((topNs ++ dupNs).forall(_ >= 2), "n-gram sizes must be >= 2")
+  require(topNs.distinct == topNs && dupNs.distinct == dupNs,
+    "duplicate n-gram sizes would mint ambiguous struct fields")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    org.apache.spark.sql.types.StructField("tot_chars", LongType, nullable = false) +:
+      (topNs.map(n => org.apache.spark.sql.types.StructField(
+          s"top_mass_$n", LongType, nullable = false)) ++
+        dupNs.map(n => org.apache.spark.sql.types.StructField(
+          s"dup_mass_$n", LongType, nullable = false))))
+  override def prettyName: String = "graft_ngram_repetition"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val m = toks.length
+    // per-token code-point counts + prefix sums (gram mass in O(1))
+    val charPrefix = new Array[Long](m + 1)
+    var i = 0
+    while (i < m) {
+      charPrefix(i + 1) =
+        charPrefix(i) + toks(i).codePointCount(0, toks(i).length)
+      i += 1
+    }
+    val tot = charPrefix(m)
+    val out = new Array[Any](1 + topNs.size + dupNs.size)
+    out(0) = tot
+    var oi = 1
+    topNs.foreach { n => out(oi) = topMass(toks, charPrefix, n); oi += 1 }
+    dupNs.foreach { n => out(oi) = dupMass(toks, charPrefix, n); oi += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  /** Positions 0..m-n sorted so equal grams are adjacent (hash-first
+    * compare, token-wise tiebreak — collisions only slow the compare,
+    * never group unequal grams). */
+  private def sortedPositions(toks: Array[String], n: Int): Array[Integer] = {
+    val p = toks.length - n + 1
+    val hash = new Array[Int](p)
+    var q = 0
+    while (q < p) {
+      var h = 17
+      var j = 0
+      while (j < n) { h = h * 31 + toks(q + j).hashCode; j += 1 }
+      hash(q) = h
+      q += 1
+    }
+    val idx = Array.range(0, p).map(Integer.valueOf)
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val c0 = java.lang.Integer.compare(hash(a), hash(b))
+        if (c0 != 0) return c0
+        var j = 0
+        while (j < n) {
+          val c = toks(a + j).compareTo(toks(b + j))
+          if (c != 0) return c
+          j += 1
+        }
+        0
+      }
+    })
+    idx
+  }
+
+  private def gramEq(toks: Array[String], a: Int, b: Int, n: Int): Boolean = {
+    var j = 0
+    while (j < n) {
+      if (toks(a + j) != toks(b + j)) return false
+      j += 1
+    }
+    true
+  }
+
+  private def topMass(toks: Array[String], charPrefix: Array[Long], n: Int): Long = {
+    val m = toks.length
+    if (m < n) return 0L
+    val sorted = sortedPositions(toks, n)
+    def gramChars(pos: Int): Long = charPrefix(pos + n) - charPrefix(pos)
+    var best = 0L
+    var run = 1L
+    var k = 1
+    while (k < sorted.length) {
+      run = if (gramEq(toks, sorted(k - 1), sorted(k), n)) run + 1 else 1L
+      if (run >= 2L) {
+        val mass = run * gramChars(sorted(k))
+        if (mass > best) best = mass
+      }
+      k += 1
+    }
+    best
+  }
+
+  private def dupMass(toks: Array[String], charPrefix: Array[Long], n: Int): Long = {
+    val m = toks.length
+    if (m < n) return 0L
+    val sorted = sortedPositions(toks, n)
+    val isDup = new Array[Boolean](sorted.length)
+    var k = 1
+    while (k < sorted.length) {
+      if (gramEq(toks, sorted(k - 1), sorted(k), n)) {
+        isDup(sorted(k - 1)) = true
+        isDup(sorted(k)) = true
+      }
+      k += 1
+    }
+    // union of [p, p+n-1] spans over dup positions, ascending: a
+    // cursor marks the first token not yet counted.
+    var mass = 0L
+    var next = 0
+    var p = 0
+    while (p < isDup.length) {
+      if (isDup(p)) {
+        val from = math.max(p, next)
+        val to = p + n // exclusive
+        if (to > from) mass += charPrefix(to) - charPrefix(from)
+        next = math.max(next, to)
+      }
+      p += 1
+    }
+    mass
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -162,19 +162,28 @@ object QualitySignals {
     * Character mass counts TOKEN characters only (the single-space
     * separators are excluded identically on both engines: a gram's
     * token chars = `length(gram) - (n-1)` since grams join with one
-    * space). Everything is a narrow per-row projection over the
-    * let1-bound token array — no shuffle, no UDF: frequencies come
-    * from run-length folds over SORTED gram arrays (O(m log m) per
-    * row per n — survives real 1k-10k-token documents, where a
-    * filter-count square would be 10^6-10^8 compares), coverage is
-    * O(tokens × n) membership tests against the (typically tiny)
-    * duplicated-gram set. A null text nulls every signal column.
+    * space). Everything is a narrow per-row projection — no shuffle,
+    * no UDF. A null text nulls every signal column.
+    *
+    * Two value-identical execution paths (PropertySpec pins both to a
+    * brute-force reference; the DuckDB oracle replays the definition):
+    *  - `fused = true` (default): one imperative JVM pass per row
+    *    ([[graft.functions.NgramRepetitionExpr]]) producing integer
+    *    masses; the divide + round stays in SQL. The hot-path form —
+    *    the gate runs over EVERY document of a corpus, and interpreted
+    *    per-element HOF lambdas are a ~10x tax there.
+    *  - `fused = false`: the pure higher-order-function reference form
+    *    (sorted-array run-length folds, O(m log m) per row per n —
+    *    itself already the scale-correct shape vs a filter-count
+    *    square, which is 10^6-10^8 compares at real 1k-10k-token
+    *    document lengths).
     *
     * The reference ingests text verbatim (encoder.py:54-88); this is
     * part of the pre-embedding quality gate a 100 TB corpus needs. */
   def ngramCharSignals(df: DataFrame, textCol: String,
                        topNs: Seq[Int] = Seq(2, 3, 4),
-                       dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+                       dupNs: Seq[Int] = Seq(5, 10),
+                       fused: Boolean = true): DataFrame = {
     require(topNs.nonEmpty || dupNs.nonEmpty,
       "ngramCharSignals: at least one n-gram size is required")
     require(topNs.forall(_ >= 2) && dupNs.forall(_ >= 2),
@@ -198,6 +207,33 @@ object QualitySignals {
         "has such a column (session resolver); rename it first")
 
     val t = col(textCol)
+
+    if (fused) {
+      // One imperative pass per row -> integer masses; fracs derive in
+      // SQL from the SAME longs the HOF path folds to, so the two
+      // paths are exactly equal (PropertySpec). A null text nulls the
+      // struct via the expression's null-safe eval — the same explicit
+      // contract as the HOF path's isNull guard (no size(null)
+      // dependence under any regime).
+      val masses = org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.NgramRepetitionExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(t), topNs, dupNs))
+      val withM = df.withColumn("__rep_sig", masses)
+      val sigRef = col("__rep_sig")
+      val tot = greatest(sigRef.getField("tot_chars").cast("double"), lit(1.0))
+      def frac(field: String): Column =
+        round(sigRef.getField(field).cast("double") / tot, 4)
+      val keep = (topNs.map(n => frac(s"top_mass_$n") <= TopNgramThresholds(n)) ++
+        dupNs.map(n => frac(s"dup_mass_$n") <= DupNgramThresholds(n)))
+        .reduce(_ && _)
+      return withM.select(
+        df.columns.map(col).toSeq ++
+          (topNs.map(n => frac(s"top_mass_$n").as(topColName(n))) ++
+            dupNs.map(n => frac(s"dup_mass_$n").as(dupColName(n)))) :+
+          coalesce(keep, lit(false)).as("rep_keep"): _*)
+    }
+
+    // ---- HOF reference form (fused = false) ----
 
     // Word n-grams at every start position (empty when the doc is
     // shorter than n — guarded: sequence(0, negative) would DESCEND).

@@ -397,17 +397,24 @@ class PropertySpec extends SparkSpec {
     val df = cases.zipWithIndex
       .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
       .toDF("doc_id", "text")
-    val got = QualitySignals
-      .ngramCharSignals(df, "text", topNs = Seq(2, 3, 4), dupNs = Seq(5, 10))
-      .orderBy("doc_id").collect()
-    got.zip(cases).foreach { case (r, toks) =>
-      Seq(2, 3, 4).foreach { n =>
-        assert(r.getAs[Double](s"top_${n}_gram_char_frac") == refTop(toks, n),
-          s"top n=$n toks=$toks")
-      }
-      Seq(5, 10).foreach { n =>
-        assert(r.getAs[Double](s"dup_${n}_gram_char_frac") == refDup(toks, n),
-          s"dup n=$n toks=$toks")
+    // BOTH execution paths (the fused imperative expression and the
+    // HOF reference form) must match the brute-force reference — and
+    // therefore each other — exactly.
+    Seq(true, false).foreach { fused =>
+      val got = QualitySignals
+        .ngramCharSignals(df, "text", topNs = Seq(2, 3, 4),
+          dupNs = Seq(5, 10), fused = fused)
+        .orderBy("doc_id").collect()
+      got.zip(cases).foreach { case (r, toks) =>
+        Seq(2, 3, 4).foreach { n =>
+          assert(r.getAs[Double](s"top_${n}_gram_char_frac") == refTop(toks, n),
+            s"fused=$fused top n=$n toks=$toks")
+        }
+        Seq(5, 10).foreach { n =>
+          assert(r.getAs[Double](s"dup_${n}_gram_char_frac") == refDup(toks, n),
+            s"fused=$fused dup n=$n toks=$toks")
+        }
+        assert(!r.isNullAt(r.fieldIndex("rep_keep")), s"fused=$fused")
       }
     }
   }
