@@ -60,6 +60,15 @@ object GraftExtensions {
             s"graft_hash_embed dim must be an integer literal, got $other")
         }
         HashEmbedExpr(args(0), dim)
+      }),
+    ("graft_ngram_repetition",
+      info("graft_ngram_repetition",
+        "graft_ngram_repetition(text) - Gopher repetition masses: " +
+          "struct<tot_chars, top_mass_2/3/4, dup_mass_5/10> (token code-point " +
+          "chars; fraction = mass / greatest(tot_chars, 1))"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, s"graft_ngram_repetition expects (text)")
+        graft.functions.NgramRepetitionExpr(args(0), Seq(2, 3, 4), Seq(5, 10))
       })
   )
 

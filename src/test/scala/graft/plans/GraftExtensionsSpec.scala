@@ -62,4 +62,21 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT graft_hash_embed('x', 0)").head)
     assert(zero.getMessage.contains("positive"))
   }
+
+  test("graft_ngram_repetition from SQL matches the DataFrame gate's masses") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_ngram_repetition('a b a b a b c') AS m").head.getStruct(0)
+    // 7 token chars; "a b" x3 -> 6; "a b a" x2 -> 6; "a b a b" x2 -> 8;
+    // no repeated 5-/10-gram.
+    assert(r.getAs[Long]("tot_chars") == 7L)
+    assert(r.getAs[Long]("top_mass_2") == 6L)
+    assert(r.getAs[Long]("top_mass_3") == 6L)
+    assert(r.getAs[Long]("top_mass_4") == 8L)
+    assert(r.getAs[Long]("dup_mass_5") == 0L)
+    assert(r.getAs[Long]("dup_mass_10") == 0L)
+    // null text -> null struct (the gate's null contract end-to-end)
+    assert(spark.sql(
+      "SELECT graft_ngram_repetition(CAST(NULL AS STRING)) AS m").head.isNullAt(0))
+  }
 }
