@@ -2031,18 +2031,27 @@ object SparkEntry {
   }
 
   /** Luhn-validated card scrubbing: synthesize card-shaped digit runs
-    * onto the corpus (one bucket always a valid test PAN, one a
-    * doc_id-derived 16-digit run that passes Luhn ~1 in 10 — so the
-    * checksum, not the regex, decides), then count+redact only the
-    * valid ones. The oracle replays the same Luhn fold as a DuckDB
-    * list comprehension — see q_pii_cc's SQL. */
+    * onto the corpus — a 4-4-4-4 valid PAN, a doc_id-derived 16-digit
+    * contiguous run (passes Luhn ~1 in 10, so the checksum, not the
+    * regex, decides), a digit-free tail, the canonical Amex 4-6-5
+    * print form (the grouping the r11 pattern missed), and a bucket
+    * exercising every disposal gate at once (grouped Luhn-INVALID run
+    * survives; a contiguous PAN fused to a 20-digit run by one space
+    * recovers via the sub-run split; the 20-digit run itself is
+    * length-rejected) — then count+redact only the valid ones. The
+    * oracle replays the maximal-run proposal, the over-19 sub-run
+    * split, and the Luhn fold as DuckDB list comprehensions — see
+    * q_pii_cc's SQL. */
   private def qPiiCc(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val tail = when(id % 3 === 0, lit(" card 4111-1111-1111-1111 ok"))
-      .when(id % 3 === 1, concat(lit(" ref "),
+    val tail = when(id % 5 === 0, lit(" card 4111-1111-1111-1111 ok"))
+      .when(id % 5 === 1, concat(lit(" ref "),
         lpad(((id * 48271L + 11L) % 10000000000000000L).cast("string"),
           16, "0"), lit(" end")))
-      .otherwise(lit(" no digits here"))
+      .when(id % 5 === 2, lit(" no digits here"))
+      .when(id % 5 === 3, lit(" amex 3782 822463 10005 paid"))
+      .otherwise(
+        lit(" inv 4111-1111-1111-1112 refs 5105105105105100 98765432109876543210 x"))
     Pii.redactCc(
         table(s, dir, "documents").withColumn("cc_text",
           concat(col("text"), tail)),
@@ -3602,20 +3611,27 @@ object SparkEntry {
         sha256(regexp_replace(t2, '${Pii.Ipv4Pattern}', '<IP>', 'g')) AS redacted_sha
       FROM r2""",
 
-    // Luhn-validated card scrubbing: the same candidate regex, then the
-    // Luhn fold as a DuckDB list comprehension over each candidate's
-    // stripped digits (no lambda lets, so the strip is inlined), and
-    // the redaction as a list_reduce literal-replace fold seeded with
-    // the text via list_prepend — mirroring Pii.redactCc's aggregate().
+    // Luhn-validated card scrubbing: the same maximal-run candidate
+    // regex, the same over-19-digit sub-run split (CASE + flatten over
+    // a list_transform), then the Luhn fold as a DuckDB list
+    // comprehension over each candidate's stripped digits (no lambda
+    // lets, so the strip is inlined), and the redaction as a
+    // list_reduce literal-replace fold seeded with the text via
+    // list_prepend — mirroring Pii.redactCc's aggregate().
     "q_pii_cc" -> s"""
       WITH s AS (SELECT doc_id, text ||
-          CASE WHEN doc_id % 3 = 0 THEN ' card 4111-1111-1111-1111 ok'
-               WHEN doc_id % 3 = 1
+          CASE WHEN doc_id % 5 = 0 THEN ' card 4111-1111-1111-1111 ok'
+               WHEN doc_id % 5 = 1
                  THEN ' ref ' || lpad(CAST((doc_id * 48271 + 11) % 10000000000000000 AS VARCHAR), 16, '0') || ' end'
-               ELSE ' no digits here' END AS t
+               WHEN doc_id % 5 = 2 THEN ' no digits here'
+               WHEN doc_id % 5 = 3 THEN ' amex 3782 822463 10005 paid'
+               ELSE ' inv 4111-1111-1111-1112 refs 5105105105105100 98765432109876543210 x' END AS t
         FROM documents),
       c AS (SELECT doc_id, t,
-              regexp_extract_all(t, '${Pii.CcPattern}') AS cs FROM s),
+              flatten(list_transform(regexp_extract_all(t, '${Pii.CcPattern}'), r ->
+                CASE WHEN length(replace(replace(r, '-', ''), ' ', '')) <= 19 THEN [r]
+                     ELSE list_filter(regexp_split_to_array(r, '[- ]'),
+                            p -> length(p) BETWEEN 13 AND 19) END)) AS cs FROM s),
       v AS (SELECT doc_id, t, list_filter(cs, c ->
               list_sum(list_transform(
                 range(1, length(replace(replace(c, '-', ''), ' ', '')) + 1),

@@ -46,12 +46,23 @@ object Pii {
         PhonePattern, "<PHONE>"),
       Ipv4Pattern, "<IP>")
 
-  /** Card-shaped digit runs: four 4-digit groups, each optionally
-    * separated by ONE dash or space, the last group 1-7 digits (13-19
-    * digits total — the real-world PAN length range). Explicit classes
-    * only (the file's RE2-parity dialect); greedy with no ambiguous
-    * alternation, so Java and RE2 produce identical leftmost matches. */
-  val CcPattern = "[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{1,7}"
+  /** Card candidate proposal: a MAXIMAL separator-joined digit run —
+    * a digit followed by 12+ further digits, each optionally preceded
+    * by ONE dash or space. Grouping-agnostic by construction: 4-4-4-4,
+    * Amex 4-6-5, Visa 13, contiguous 19 all propose alike (the r11
+    * pattern hard-coded 4-4-4-n grouping, so the canonical Amex print
+    * form `3782 822463 10005` escaped redaction entirely).
+    *
+    * Greedy with an UNBOUNDED tail, no alternation, no trailing
+    * context: Java and RE2 both take the entire run at the leftmost
+    * start, so a candidate is always the maximal run — a PAN embedded
+    * in a longer digit run proposes the FULL run (then the 13-19
+    * length gate in [[ccCandidatesCol]] disposes), never a prefix the
+    * Luhn fold could mis-validate. (A bounded `{12,18}` tail would
+    * truncate a longer run at 19 digits and checksum the wrong
+    * substring — the boundary bug class ADVICE r11 flagged.)
+    * Explicit classes only (the file's RE2-parity dialect). */
+  val CcPattern = "[0-9](?:[- ]?[0-9]){12,}"
 
   /** Luhn checksum over a candidate's digits (separators stripped):
     * every second digit FROM THE RIGHT doubles (minus 9 past 9), and
@@ -76,11 +87,24 @@ object Pii {
   }
 
   /** Luhn-VALID card candidates in the text, in match order. The regex
-    * proposes ([[CcPattern]]), the checksum disposes — counting raw
-    * pattern hits would flag every 16-digit invoice number. */
-  def ccCandidatesCol(text: Column): Column =
-    filter(regexp_extract_all(text, lit(CcPattern), lit(0)),
-      c => luhnValid(c))
+    * proposes maximal digit runs ([[CcPattern]]), then three gates
+    * dispose: (1) a run whose digit mass exceeds 19 cannot be one PAN —
+    * it is re-proposed as its CONTIGUOUS sub-runs (split on the
+    * separators), so two contiguous PANs fused by a single space both
+    * still redact, while a grouped PAN fused into a longer run stays
+    * unproposed (genuinely ambiguous — the separators that would
+    * delimit it are indistinguishable from its internal grouping; a
+    * documented recall bound, spec-pinned); (2) sub-runs keep only the
+    * 13-19-digit PAN length range; (3) the Luhn checksum — counting
+    * raw pattern hits would flag every 16-digit invoice number. */
+  def ccCandidatesCol(text: Column): Column = {
+    val runs = regexp_extract_all(text, lit(CcPattern), lit(0))
+    val proposed = flatten(transform(runs, c =>
+      when(length(translate(c, "- ", "")) <= 19, array(c))
+        .otherwise(filter(split(c, "[- ]"),
+          p => length(p).between(13, 19)))))
+    filter(proposed, c => luhnValid(c))
+  }
 
   /** Adds `n_ccs` (Luhn-valid card count) and `outCol` with each valid
     * candidate replaced by `<CC>` — a literal-replace fold over the

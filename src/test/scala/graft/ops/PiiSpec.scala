@@ -123,4 +123,55 @@ class PiiSpec extends SparkSpec {
     assert(n == 2L)
     assert(red == "a <CC> b <CC> c")
   }
+
+  // --- grouping-agnostic proposal (r12: the r11 pattern hard-coded
+  // 4-4-4-n grouping and missed every other print format) ------------
+
+  test("Amex 4-6-5 and Visa-13 grouped print forms redact") {
+    assert(luhnRef("378282246310005") && luhnRef("4222222222222"))
+    assert(cc("pay 3782 822463 10005 ok") == ((1L, "pay <CC> ok")))
+    assert(cc("pay 4222 2222 22222 ok") == ((1L, "pay <CC> ok")))
+  }
+
+  test("a 19-digit contiguous PAN redacts; 20 digits is not a PAN") {
+    // Build a Luhn-valid 19-digit number from an 18-digit base + its
+    // check digit (independent JVM reference computes the digit).
+    val base = "601111111111111111"
+    val check = (0 to 9).map(_.toString).find(d => luhnRef(base + d)).get
+    val pan19 = base + check
+    assert(cc(s"card $pan19 end") == ((1L, "card <CC> end")))
+    // Append one digit: a 20-digit run exceeds the PAN length range —
+    // the maximal-run proposal rejects the WHOLE run (no 19-digit
+    // prefix is ever Luhn-checked, per ADVICE r11's boundary finding).
+    assert(cc(s"ref ${pan19}7 end") == ((0L, s"ref ${pan19}7 end")))
+  }
+
+  test("no prefix truncation: a grouped over-length run is checked whole, not on its valid 16-prefix") {
+    // 19 digits grouped 4-4-4-4-3: the full run fails Luhn while its
+    // 16-digit prefix passes — the r11 pattern matched (and redacted)
+    // the prefix; the maximal-run proposal checks all 19 and keeps it.
+    assert(luhnRef("4111111111111111") && !luhnRef("4111111111111111111"))
+    assert(cc("x 4111-1111-1111-1111-111 y") ==
+      ((0L, "x 4111-1111-1111-1111-111 y")))
+  }
+
+  test("contiguous PANs fused by a single space recover via the sub-run split") {
+    // One space is a legal in-PAN separator, so the two runs fuse into
+    // a 32-digit candidate; >19 digits re-proposes the contiguous
+    // sub-runs, and both PANs redact.
+    assert(cc("5105105105105100 4111111111111111") == ((2L, "<CC> <CC>")))
+  }
+
+  test("a GROUPED PAN fused into a longer run is ambiguous and stays (recall bound)") {
+    // The separators that would delimit the PAN are indistinguishable
+    // from its internal grouping: sub-runs are 4-5 digits, none in the
+    // PAN length range — documented recall contract of the split.
+    assert(cc("pin 4111 1111 1111 1111 12345 end") ==
+      ((0L, "pin 4111 1111 1111 1111 12345 end")))
+  }
+
+  test("a valid PAN embedded in a longer contiguous digit run is not proposed") {
+    assert(cc("acct 41111111111111119999 end") ==
+      ((0L, "acct 41111111111111119999 end")))
+  }
 }
