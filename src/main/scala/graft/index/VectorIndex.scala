@@ -221,7 +221,23 @@ object VectorIndex {
     * deterministic whenever the tie-break makes the order total.
     *
     * @param queries small DataFrame with (queryIdCol, queryVecCol);
-    *   broadcast-joined against docs.
+    *   broadcast-joined against docs. The "small" contract is ENFORCED
+    *   in code, not prose (the r11 verdict's watch item): the batch is
+    *   materialized on the driver behind a row budget and a JVM-size
+    *   byte budget, and a corpus-sized "batch" fails LOUDLY here
+    *   instead of OOMing every executor at broadcast time. The
+    *   materialization costs nothing extra — a broadcast collects to
+    *   the driver anyway — and makes the boundedness visible to the
+    *   plan itself (the broadcast side becomes a LocalRelation, so the
+    *   [[graft.plans.PlanAudit]] gate passes with no allowlist excuse).
+    * @param maxBatchRows loud-error budget on the query batch's row
+    *   count (default 131072 — far above any interactive batch, far
+    *   below any corpus).
+    * @param maxBatchBytes loud-error budget on the collected batch's
+    *   estimated JVM size (default 64 MiB — the broadcast ships at
+    *   least this to every executor). Callers with genuinely bigger
+    *   batches should chunk them (or re-think: a corpus-sized query
+    *   side is a JOIN problem, not a broadcast problem).
     * @param keep optional predicate over (doc, query) pairs evaluated
     *   before ranking (e.g. self-match exclusion for all-pairs kNN).
     * @param payloadKeep columns to carry through the ranking (the query
@@ -245,10 +261,32 @@ object VectorIndex {
       tieBreak: Seq[String] = Nil,
       roundScale: Int = -1,
       keep: Option[Column] = None,
-      payloadKeep: Option[Seq[String]] = None): DataFrame = {
+      payloadKeep: Option[Seq[String]] = None,
+      maxBatchRows: Int = 131072,
+      maxBatchBytes: Long = 64L << 20): DataFrame = {
+    require(maxBatchRows > 0 && maxBatchBytes > 0,
+      "topKBatch budgets must be positive")
+    // Budget gate (same pattern as the store's Bloom-confirm byte
+    // gate): collect at most budget+1 rows so an over-budget batch is
+    // detected without materializing all of it.
+    val batchRows = queries.limit(maxBatchRows + 1).collect()
+    require(batchRows.length <= maxBatchRows,
+      s"topKBatch query batch exceeds the $maxBatchRows-row budget: the " +
+        "batch is broadcast to every executor and must stay executor-" +
+        "memory-bounded. Chunk the batch, or raise maxBatchRows if the " +
+        "cluster genuinely affords it.")
+    val batchBytes = org.apache.spark.util.SizeEstimator.estimate(batchRows)
+    require(batchBytes <= maxBatchBytes,
+      s"topKBatch query batch is ~$batchBytes bytes on the driver, over " +
+        s"the $maxBatchBytes-byte broadcast budget (${batchRows.length} " +
+        "rows). Chunk the batch, drop unused query-side columns, or " +
+        "raise maxBatchBytes if the cluster genuinely affords it.")
+    val localQueries = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(batchRows: _*), queries.schema)
+
     val raw = score(metric, col(vecCol), col(queryVecCol))
     val s = if (roundScale >= 0) round(raw, roundScale) else raw
-    val joined = docs.crossJoin(broadcast(queries))
+    val joined = docs.crossJoin(broadcast(localQueries))
     val kept = keep.map(joined.where).getOrElse(joined)
     val scoredAll = kept.withColumn(scoreCol, s).where(usable(scoreCol))
 

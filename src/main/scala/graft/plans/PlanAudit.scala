@@ -17,9 +17,12 @@ import org.apache.spark.sql.execution.window.WindowExec
   *  1. No `CartesianProductExec` with BOTH sides unbounded — an
   *     all-pairs join over two corpus-sized inputs is quadratic work no
   *     cluster absorbs. A cartesian whose other side is bounded (a
-  *     one-row totals aggregate, a literal VALUES table) is the
-  *     nested-loop form of a broadcast join — linear — and appears at
-  *     all only because this audit runs with broadcasts force-disabled.
+  *     one-row GLOBAL aggregate, a limit, a literal VALUES table) is
+  *     the nested-loop form of a broadcast join — linear — and appears
+  *     at all only because this audit runs with broadcasts
+  *     force-disabled. A GROUPED aggregate does NOT bound a cartesian
+  *     side (its key cardinality can grow with the corpus, keeping the
+  *     join quadratic) even though it stays a barrier for rules 2-3.
   *  2. No unpartitioned `WindowExec` fed by an unbounded input: a
   *     global window moves every row to ONE task. Allowed when
   *     something between the window and every table scan provably
@@ -47,8 +50,18 @@ object PlanAudit {
     "lineitem", "orders", "events", "documents", "embeddings",
     "customer", "part", "supplier")
 
-  private def isBarrier(p: SparkPlan): Boolean = p match {
-    case _: BaseAggregateExec => true
+  /** `strictAgg`: whether a GROUPED aggregate still counts as a
+    * barrier. For the window/broadcast rules it does (documented
+    * approximation: a group-by reduces the stream; whether the key
+    * cardinality grows with the corpus is a sizing question). For the
+    * CARTESIAN rule it must NOT (ADVICE r11): a cross join is
+    * quadratic in its sides' row counts, and a grouped aggregate whose
+    * key grows with the corpus (per-document stats, per-term counts)
+    * keeps the cartesian quadratic — only a GLOBAL aggregate (empty
+    * grouping — at most one row) or a limit truly bounds a side. */
+  private def isBarrier(p: SparkPlan, strictAgg: Boolean): Boolean = p match {
+    case a: BaseAggregateExec =>
+      !strictAgg || a.groupingExpressions.isEmpty
     // NOT LocalLimitExec: a per-partition limit grows with partition
     // count, so a plan's row stream below it is NOT bounded in corpus
     // size — treating it as a barrier would let a broadcast of
@@ -63,7 +76,8 @@ object PlanAudit {
       p.endsWith(s"/$t.parquet") || p.contains(s"/$t.parquet/") ||
         p.endsWith(s"/$t") || p.contains(s"/$t/")))
 
-  private def scanOf(p: SparkPlan, tables: Set[String]): Option[String] =
+  private def scanOf(p: SparkPlan, tables: Set[String],
+                     strictAgg: Boolean): Option[String] =
     p match {
       case f: FileSourceScanExec =>
         // Segment-anchored match: "/<t>.parquet" or a "/<t>/" directory
@@ -79,7 +93,7 @@ object PlanAudit {
       // plan without a barrier, so reuse the same reachability walk).
       case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
         val inner = c.relation.cachedPlan
-        reachable(inner, tables).headOption
+        reachable(inner, tables, strictAgg).headOption
       // DSv2 scans (BatchScanExec) — match on the scan's description,
       // which renders the location for file-based v2 sources; a miss
       // here is a false-CLEAN, the failure mode this gate exists for.
@@ -89,13 +103,15 @@ object PlanAudit {
     }
 
   /** Unbounded-table names reachable from `p` (inclusive) without
-    * crossing a stream-reducing barrier. Subquery results (scalar / IN
-    * lists) are bounded by construction and not descended into. */
-  private def reachable(p: SparkPlan, tables: Set[String]): Seq[String] =
-    if (isBarrier(p)) Nil
-    else scanOf(p, tables) match {
+    * crossing a stream-reducing barrier (see [[isBarrier]] for the
+    * strictAgg split). Subquery results (scalar / IN lists) are
+    * bounded by construction and not descended into. */
+  private def reachable(p: SparkPlan, tables: Set[String],
+                        strictAgg: Boolean = false): Seq[String] =
+    if (isBarrier(p, strictAgg)) Nil
+    else scanOf(p, tables, strictAgg) match {
       case Some(t) => Seq(t)
-      case None    => p.children.flatMap(reachable(_, tables))
+      case None    => p.children.flatMap(reachable(_, tables, strictAgg))
     }
 
   /** Audit one physical plan (including its subquery plans as extra
@@ -105,8 +121,11 @@ object PlanAudit {
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
     plan.foreachWithSubqueries {
       case c: CartesianProductExec =>
-        val l = reachable(c.left, unboundedTables)
-        val r = reachable(c.right, unboundedTables)
+        // strictAgg: a grouped aggregate does NOT bound a cartesian
+        // side — its key cardinality can grow with the corpus, and the
+        // cross join stays quadratic in it.
+        val l = reachable(c.left, unboundedTables, strictAgg = true)
+        val r = reachable(c.right, unboundedTables, strictAgg = true)
         if (l.nonEmpty && r.nonEmpty)
           violations += "CartesianProduct of two unbounded sides " +
             s"(${l.distinct.mkString(",")} x ${r.distinct.mkString(",")})"

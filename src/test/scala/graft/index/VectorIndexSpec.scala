@@ -45,6 +45,30 @@ class VectorIndexSpec extends SparkSpec {
     assert(r("q2") == Seq(2L, 4L))
   }
 
+  test("topKBatch enforces its query-batch budgets loudly (rows and bytes)") {
+    val queries = Seq(("q1", Seq(1.0, 0.0)), ("q2", Seq(0.0, 1.0)),
+      ("q3", Seq(0.5, 0.5))).toDF("qid", "qv")
+    // Row budget: 3 queries against a 2-row budget must fail BEFORE any
+    // broadcast, naming the budget — not OOM executors at scale.
+    val eRows = intercept[IllegalArgumentException] {
+      VectorIndex.topKBatch(docs, "vec", queries, "qid", "qv", 1,
+        maxBatchRows = 2)
+    }
+    assert(eRows.getMessage.contains("2-row budget"), eRows.getMessage)
+    // Byte budget: three tiny rows still estimate to > 64 bytes of JVM
+    // objects on the driver.
+    val eBytes = intercept[IllegalArgumentException] {
+      VectorIndex.topKBatch(docs, "vec", queries, "qid", "qv", 1,
+        maxBatchBytes = 64L)
+    }
+    assert(eBytes.getMessage.contains("64-byte"), eBytes.getMessage)
+    // At-budget passes and results are unchanged vs default budgets.
+    val got = VectorIndex.topKBatch(docs, "vec", queries, "qid", "qv", 1,
+        "cosine", tieBreak = Seq("id"), maxBatchRows = 3)
+      .select("qid", "id").as[(String, Long)].collect().toMap
+    assert(got == Map("q1" -> 0L, "q2" -> 2L, "q3" -> 1L))
+  }
+
   test("mmr diversifies: picks relevance first, then trades against redundancy") {
     // relevance order vs e1: 0 (1.0), 1 (0.8), 4 (0.6), 2 (0.0), 3 (-1.0)
     // pure top-3 = {0, 1, 4}; but 1 and 4 are close to each other
