@@ -217,11 +217,30 @@ object Dedup {
     *
     * Scale: candidates come from an equi-join on (band, band signature)
     * — never all-pairs. numHashes/bands tune the S-curve
-    * (P[candidate] = 1-(1-j^r)^b, r = numHashes/bands). */
+    * (P[candidate] = 1-(1-j^r)^b, r = numHashes/bands).
+    *
+    * `capPerBand` bounds the band-bucket fanout (symmetric with the
+    * Jaccard family's `maxShingleFreq`): a bucket with more than
+    * `capPerBand` members is DROPPED from candidate generation, because
+    * a corpus-hot band key — mass near-identical documents, which every
+    * real crawl has — produces quadratic within-bucket pairs that no
+    * cluster absorbs (real duplicate MASS is inherently quadratic in
+    * pairs; the cap is the documented ceiling on how much of it this
+    * operator will enumerate). RECALL CONTRACT: a true near-dup pair is
+    * missed only when EVERY band the two docs collide on is hot; on
+    * non-adversarial corpora buckets hold a handful of docs and the
+    * cap never binds (DedupSpec parity-pins cap-on == cap-off there).
+    * Mass-identical documents are exact duplicates — [[exact]] finds
+    * them for a groupBy, and clustering the survivors is the right
+    * pipeline (TrainingPipeline's order); same contract note as
+    * [[simhashPairs]]' degenerate-doc screen. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      capPerBand: Int = 1024): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(capPerBand >= 2,
+      s"capPerBand must leave room for at least one pair per bucket, got $capPerBand")
     val sh = df.select(col(idCol).as("id"),
         TextFunctions.shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
@@ -235,7 +254,17 @@ object Dedup {
     val banded = sh.select(col("id"),
       explode(TextFunctions.minhashBands(col("sh"), numHashes, bands)).as("band"))
 
-    val cand = banded.as("a").join(banded.as("b"),
+    // Hot-bucket cap: the hot-key table is tiny by construction (keys
+    // with > capPerBand members), so the anti-join broadcasts; the
+    // counting pass shuffles on the same band key the candidate join
+    // needs anyway.
+    val hotBands = banded.groupBy("band")
+      .agg(count(lit(1)).as("__bf"))
+      .where(col("__bf") > capPerBand)
+      .select("band")
+    val kept = banded.join(hotBands, Seq("band"), "left_anti")
+
+    val cand = kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")

@@ -111,6 +111,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("minhash capPerBand: never binds on a normal corpus (parity); drops hot buckets when it does") {
+    // Parity pin: on the fixture (buckets of 2-3 docs) the default cap
+    // and an effectively-off cap produce identical pairs.
+    def run(cap: Int) = Dedup.minhashLshPairs(docs, "id", "text",
+        n = 3, numHashes = 16, bands = 8, threshold = 0.3, capPerBand = cap)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(run(1024) == run(Int.MaxValue))
+    // Adversarial shape: 40 near-identical docs collide in every band —
+    // uncapped, that bucket alone enumerates C(40,2)=780 pairs PER BAND.
+    // A binding cap drops the hot buckets (documented recall contract:
+    // mass-identical docs are exact-dedup's job) while a disjoint
+    // normal near-dup pair, whose buckets stay small, survives.
+    val hotDocs = (0L until 40L).map(i => (i, "the same document text repeated verbatim"))
+    val normal = Seq(
+      (100L, "rare alpha beta gamma delta epsilon zeta"),
+      (101L, "rare alpha beta gamma delta epsilon eta"))
+    val d = (hotDocs ++ normal).toDF("id", "text")
+    val capped = Dedup.minhashLshPairs(d, "id", "text",
+        n = 3, numHashes = 16, bands = 8, threshold = 0.3, capPerBand = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(capped.contains((100L, 101L)), capped)
+    assert(!capped.exists { case (a, b) => a < 40L || b < 40L }, capped)
+  }
+
   test("simhash: identical texts hamming 0; near dups small; unrelated large") {
     val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 63).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
