@@ -1995,7 +1995,12 @@ object SparkEntry {
     * can exceed 1.0 — inherent to the freq×len definition) and
     * duplicated-n-gram union-of-spans coverage (n=5, 10). */
   private def qNgramRepetition(s: SparkSession, dir: String): DataFrame =
-    QualitySignals.ngramCharSignals(table(s, dir, "documents"), "text")
+    // dupNs EXPLICIT (the operator defaults to the full 5..10 A1.1 set
+    // since r12): the oracle replays exactly these two ns; dup-6..9
+    // correctness is pinned by PropertySpec's brute-force reference
+    // over the full range.
+    QualitySignals.ngramCharSignals(table(s, dir, "documents"), "text",
+        dupNs = Seq(5, 10))
       .select(col("doc_id"), col("top_2_gram_char_frac"),
         col("top_3_gram_char_frac"), col("top_4_gram_char_frac"),
         col("dup_5_gram_char_frac"), col("dup_10_gram_char_frac"),

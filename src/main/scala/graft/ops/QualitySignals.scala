@@ -127,7 +127,18 @@ object QualitySignals {
 
   /** Gopher §A1.1 keep-thresholds for the n-gram char-mass signals
     * (Rae et al. 2021 Table A1): top-n-gram fractions for n=2..4,
-    * duplicate-n-gram coverage for n=5..10. */
+    * duplicate-n-gram coverage for n=5..10.
+    *
+    * PROVENANCE NOTE (threshold vs statistic): the THRESHOLD VALUES are
+    * the paper's, but [[ngramCharSignals]] applies the top-n ones to a
+    * deliberately different statistic — max char mass over grams
+    * repeating >= 2 — where the paper thresholds "the most frequent
+    * n-gram"'s char fraction (nonzero even when the top gram is
+    * unique, and tie-broken by counter insertion order no external
+    * engine can replay). Near the thresholds, keep/drop can therefore
+    * diverge from a corpus filtered by a verbatim Gopher
+    * implementation; the trade is documented determinism (ADVICE r11).
+    * The dup-n coverage statistic IS the paper's union-of-spans. */
   val TopNgramThresholds: Map[Int, Double] =
     Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
   val DupNgramThresholds: Map[Int, Double] =
@@ -182,7 +193,14 @@ object QualitySignals {
     * part of the pre-embedding quality gate a 100 TB corpus needs. */
   def ngramCharSignals(df: DataFrame, textCol: String,
                        topNs: Seq[Int] = Seq(2, 3, 4),
-                       dupNs: Seq[Int] = Seq(5, 10),
+                       // The FULL A1.1 dup set. r11 defaulted to
+                       // Seq(5, 10) — a silently narrowed gate: the
+                       // default pipeline skipped Gopher's dup-6..9
+                       // rules and kept docs the full rule set drops
+                       // (ADVICE r11; spec-pinned by the 6-gram gate
+                       // test). Callers wanting the cheaper pair pass
+                       // it explicitly now.
+                       dupNs: Seq[Int] = 5 to 10,
                        fused: Boolean = true): DataFrame = {
     require(topNs.nonEmpty || dupNs.nonEmpty,
       "ngramCharSignals: at least one n-gram size is required")

@@ -403,14 +403,14 @@ class PropertySpec extends SparkSpec {
     Seq(true, false).foreach { fused =>
       val got = QualitySignals
         .ngramCharSignals(df, "text", topNs = Seq(2, 3, 4),
-          dupNs = Seq(5, 10), fused = fused)
+          dupNs = 5 to 10, fused = fused)
         .orderBy("doc_id").collect()
       got.zip(cases).foreach { case (r, toks) =>
         Seq(2, 3, 4).foreach { n =>
           assert(r.getAs[Double](s"top_${n}_gram_char_frac") == refTop(toks, n),
             s"fused=$fused top n=$n toks=$toks")
         }
-        Seq(5, 10).foreach { n =>
+        (5 to 10).foreach { n =>
           assert(r.getAs[Double](s"dup_${n}_gram_char_frac") == refDup(toks, n),
             s"fused=$fused dup n=$n toks=$toks")
         }

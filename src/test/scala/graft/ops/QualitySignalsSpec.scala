@@ -159,6 +159,27 @@ class QualitySignalsSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("rep_keep"))
   }
 
+  test("default dupNs is the FULL A1.1 set: a dup-6 violation drops that Seq(5,10) kept") {
+    // A repeated 6-token span (single-char tokens, 12 covered chars)
+    // in 23 distinct 3-char fillers: tot = 12 + 69 = 81, so dup_5 =
+    // dup_6 = 12/81 = 0.1481 — UNDER the dup-5 gate (0.15), OVER the
+    // dup-6 gate (0.14). The r11 Seq(5, 10) default never evaluated
+    // the dup-6 rule and kept this doc.
+    val span = "a b c d e f"
+    val fillers = (1 to 23).map(i => f"f$i%02d").mkString(" ")
+    val df = Seq((1L, s"$span $fillers $span")).toDF("id", "text")
+    val full = QualitySignals.ngramCharSignals(df, "text").head
+    assert(full.getAs[Double]("dup_5_gram_char_frac") == 0.1481)
+    assert(full.getAs[Double]("dup_6_gram_char_frac") == 0.1481)
+    assert(full.getAs[Double]("dup_10_gram_char_frac") == 0.0)
+    assert(!full.getAs[Boolean]("rep_keep"),
+      "full A1.1 defaults must evaluate the dup-6 rule")
+    val narrowed = QualitySignals.ngramCharSignals(df, "text",
+      dupNs = Seq(5, 10)).head
+    assert(narrowed.getAs[Boolean]("rep_keep"),
+      "the explicit narrow set keeps it — the widened default is load-bearing")
+  }
+
   test("output-column collision is rejected resolver-aware") {
     val df = Seq((1L, "a b", 0.5)).toDF("id", "text", "REP_KEEP")
     val e = intercept[IllegalArgumentException] {
