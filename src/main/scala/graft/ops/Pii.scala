@@ -114,10 +114,17 @@ object Pii {
     * the same digit string as a valid one is redacted with it. */
   def redactCc(df: DataFrame, textCol: String,
                outCol: String = "text_cc_redacted"): DataFrame = {
-    val cands = ccCandidatesCol(col(textCol))
-    df.withColumn("n_ccs", size(cands).cast("long"))
+    val t = col(textCol)
+    val cands = ccCandidatesCol(t)
+    // "null text -> null count" is EXPLICIT (house convention): via
+    // bare size(null) the count silently becomes -1 under the legacy
+    // sizeOfNull regime (ansi off + spark.sql.legacy.sizeOfNull=true
+    // — a regime the adversarial battery executes), turning undecodable
+    // docs into negative card counts.
+    df.withColumn("n_ccs",
+        when(t.isNull, lit(null).cast("long")).otherwise(size(cands).cast("long")))
       .withColumn(outCol,
-        aggregate(cands, col(textCol), (t, c) => replace(t, c, lit("<CC>"))))
+        aggregate(cands, t, (acc, c) => replace(acc, c, lit("<CC>"))))
   }
 
   /** Adds `outCol` with the redacted text plus counts that agree with

@@ -118,6 +118,24 @@ class PiiSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("text_cc_redacted")))
   }
 
+  test("null count stays null under the legacy sizeOfNull regime (never -1)") {
+    // Bare size(null) reads -1 under ansi off + legacy sizeOfNull —
+    // the explicit when(t.isNull) guard is what this pins.
+    val overrides = Map("spark.sql.ansi.enabled" -> "false",
+      "spark.sql.legacy.sizeOfNull" -> "true")
+    val saved = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val r = Pii.redactCc(Seq((1L, null.asInstanceOf[String]))
+        .toDF("id", "text"), "text").head
+      assert(r.isNullAt(r.fieldIndex("n_ccs")),
+        s"legacy regime fabricated n_ccs=${r.get(r.fieldIndex("n_ccs"))}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("multiple valid cards each redact") {
     val (n, red) = cc("a 4111111111111111 b 5105105105105100 c")
     assert(n == 2L)
