@@ -20,9 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * - distinct, first occurrence order.
   */
 case class ShinglesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.GraftSqlBridge.StringUnaryInputs {
   require(n > 0, "shingle size must be positive")
 
+  // Declared input (r12, for the SQL surface): without it a non-string
+  // child passes analysis and the UTF8String cast CCEs inside every
+  // task — the same lesson the vector kernels already encode. The
+  // bridge trait exists because AbstractDataType is private[sql].
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
 
@@ -97,7 +102,8 @@ private[functions] object MinHashKernel {
 }
 
 case class MinHashSigExpr(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.GraftSqlBridge.ArrayStringUnaryInputs {
   require(numHashes > 0, "numHashes must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -121,7 +127,8 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
   * fused pass avoids re-evaluating the signature per band (Catalyst's
   * projection collapse would otherwise duplicate it). */
 case class MinHashBandsExpr(child: Expression, numHashes: Int, bands: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.GraftSqlBridge.ArrayStringUnaryInputs {
   require(numHashes > 0 && bands > 0 && numHashes % bands == 0,
     "bands must divide numHashes")
 
@@ -183,7 +190,8 @@ case class MinHashBandsExpr(child: Expression, numHashes: Int, bands: Int)
   * CodegenFallback like [[ShinglesExpr]]: the loops dominate; codegen
   * would fuse only the cheap struct wrap. */
 case class NgramRepetitionExpr(child: Expression, topNs: Seq[Int], dupNs: Seq[Int])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.GraftSqlBridge.StringUnaryInputs {
   require(topNs.nonEmpty || dupNs.nonEmpty, "at least one n-gram size")
   require((topNs ++ dupNs).forall(_ >= 2), "n-gram sizes must be >= 2")
   require(topNs.distinct == topNs && dupNs.distinct == dupNs,

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarityExpr, DotProductExpr, HashEmbedExpr, L2DistanceExpr}
+import graft.functions.{CosineSimilarityExpr, DotProductExpr, DotProductInt8Expr,
+  HashEmbedExpr, L2DistanceExpr, MinHashBandsExpr, MinHashSigExpr, ShinglesExpr}
 
 /** SparkSessionExtensions installer: exposes the fused vector kernels
   * as SQL functions, so `spark.sql("SELECT graft_cosine(a, b) ...")`
@@ -43,6 +44,15 @@ object GraftExtensions {
     (name, info(name, usage), builder)
   }
 
+  /** Integer-literal argument extraction (the graft_hash_embed
+    * pattern): kernel shape parameters (n-gram size, hash counts) are
+    * plan-time constants of the expression, never per-row values. */
+  private def intLit(name: String, arg: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name $arg must be an integer literal, got $other")
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     binary("graft_dot", "graft_dot(a, b) - dot product of two double arrays",
       DotProductExpr.apply),
@@ -69,6 +79,57 @@ object GraftExtensions {
       { args: Seq[Expression] =>
         require(args.length == 1, s"graft_ngram_repetition expects (text)")
         graft.functions.NgramRepetitionExpr(args(0), Seq(2, 3, 4), Seq(5, 10))
+      }),
+    // --- r12 additions: the dedup/search text kernels + Luhn ---------
+    binary("graft_dot_int8",
+      "graft_dot_int8(a, b) - dot product of two int8-quantized (tinyint array) vectors",
+      DotProductInt8Expr.apply),
+    ("graft_shingles",
+      info("graft_shingles",
+        "graft_shingles(text, n) - distinct word n-gram shingles, first-occurrence order"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "graft_shingles expects (text, n)")
+        ShinglesExpr(args(0), intLit("graft_shingles", "n", args(1)))
+      }),
+    ("graft_minhash_sig",
+      info("graft_minhash_sig",
+        "graft_minhash_sig(shingles, numHashes) - MinHash signature (array<bigint>) of a shingle array"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "graft_minhash_sig expects (shingles, numHashes)")
+        MinHashSigExpr(args(0), intLit("graft_minhash_sig", "numHashes", args(1)))
+      }),
+    ("graft_minhash_bands",
+      info("graft_minhash_bands",
+        "graft_minhash_bands(shingles, numHashes, bands) - LSH band keys " +
+          "('b|v0|..'); equi-join on a key for near-dup candidates"),
+      { args: Seq[Expression] =>
+        require(args.length == 3,
+          "graft_minhash_bands expects (shingles, numHashes, bands)")
+        MinHashBandsExpr(args(0),
+          intLit("graft_minhash_bands", "numHashes", args(1)),
+          intLit("graft_minhash_bands", "bands", args(2)))
+      }),
+    // Column-composed functions (no dedicated Expression; the bridge
+    // lowers the same built-in tree the Scala API produces, so SQL and
+    // DataFrame callers are bit-identical by construction).
+    ("graft_simhash63",
+      info("graft_simhash63",
+        "graft_simhash63(text) - 63-bit token-vote SimHash fingerprint (bigint)"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "graft_simhash63 expects (text)")
+        org.apache.spark.sql.GraftSqlBridge.catalystExpression(
+          graft.functions.TextFunctions.simhash63(
+            org.apache.spark.sql.GraftSqlBridge.column(args(0))))
+      }),
+    ("graft_luhn_valid",
+      info("graft_luhn_valid",
+        "graft_luhn_valid(digits) - Luhn checksum over a digit run " +
+          "(dashes/spaces stripped); what separates a card number from an order id"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "graft_luhn_valid expects (candidate)")
+        org.apache.spark.sql.GraftSqlBridge.catalystExpression(
+          graft.ops.Pii.luhnValid(
+            org.apache.spark.sql.GraftSqlBridge.column(args(0))))
       })
   )
 

@@ -12,6 +12,18 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Column -> ANALYZABLE Catalyst tree. [[expression]] wraps the
+    * column's node in an opaque `ColumnNodeExpression` — fine when the
+    * classic Dataset API converts it later, but a FunctionRegistry
+    * builder must hand the analyzer a real tree (the wrapper is
+    * Unevaluable, and analysis does not descend into it: registered
+    * functions built from Column compositions failed at codegen with
+    * INTERNAL_ERROR). This runs the same converter the Dataset API
+    * applies, yielding UnresolvedFunction nodes the analyzer resolves
+    * in place. */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Input-type declarations for graft's fused kernels. They live HERE
     * because `AbstractDataType` (the type of `inputTypes`) is
     * private[sql]: the kernels in graft.functions cannot name it, but
@@ -36,6 +48,25 @@ object GraftSqlBridge {
     self: Expression =>
     override def inputTypes: Seq[types.AbstractDataType] =
       Seq(types.ArrayType(types.ByteType), types.ArrayType(types.ByteType))
+  }
+
+  /** STRICT string input (r12, for the text kernels' SQL surface):
+    * plain ExpectsInputTypes, deliberately NOT ImplicitCastInputTypes —
+    * a numeric column fed to a shingling/repetition kernel is a bug to
+    * reject at analysis, not data to stringify silently. */
+  trait StringUnaryInputs
+      extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    self: Expression =>
+    override def inputTypes: Seq[types.AbstractDataType] = Seq(types.StringType)
+  }
+
+  /** Strict array<string> input (MinHash kernels: the child is a
+    * shingle array; anything else mis-hashes). */
+  trait ArrayStringUnaryInputs
+      extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    self: Expression =>
+    override def inputTypes: Seq[types.AbstractDataType] =
+      Seq(types.ArrayType(types.StringType))
   }
 
   /** Rebind `df` to a CLONE of its session carrying `confs`: any later
