@@ -259,22 +259,17 @@ object Bench {
     val canarySecs = canaries.map(_._2).toSeq.sorted
     val canaryMedian = canarySecs(canarySecs.size / 2)
     val canaryMin = canarySecs.head
-    val spikeThreshold = math.max(4.0 * canaryMin, 0.3)
+    val spikeThreshold = BenchCanary.spikeThreshold(canarySecs)
     // Suspicion is computed by TIME OVERLAP, not reading index: a
     // query's relevant readings are any taken DURING its run window
     // (retry-triggered ones land there), plus the nearest reading
-    // before its start and after its end. Readings are appended in
-    // time order, so the scans below walk a sorted sequence.
+    // before its start and after its end. The judging rules live in
+    // [[BenchCanary]] (pure, unit-tested); readings are appended in
+    // time order, so its scans walk a sorted sequence.
     val timeline = canaries.toSeq
-    def spikedNear(start: Double, end: Double): Boolean = {
-      val before = timeline.filter(_._1 <= start).lastOption
-      val after = timeline.find(_._1 >= end)
-      val inside = timeline.filter(c => c._1 > start && c._1 < end)
-      (before.toSeq ++ inside ++ after.toSeq).exists(_._2 > spikeThreshold)
-    }
-    val suspect: Seq[String] = results.collect {
-      case (name, _) if spikedNear(queryOffsets(name), queryEnds(name)) => name
-    }
+    val suspect: Seq[String] = BenchCanary.suspects(timeline,
+      results.map { case (name, _) =>
+        name -> (queryOffsets(name), queryEnds(name)) })
     val totalExclSuspect =
       results.collect { case (n, t) if !suspect.contains(n) => t }.sum
     def jstr(s: String): String = MainUtil.jstr(s)

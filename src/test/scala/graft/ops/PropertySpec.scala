@@ -123,6 +123,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: card candidates == JVM reference on random planted digit runs") {
+    // Independent JVM reimplementation of the r12 proposal/disposal
+    // pipeline — maximal separator-joined digit runs (>= 13 digits),
+    // over-19 split into contiguous sub-runs, 13-19 length gate, Luhn
+    // — checked against the Column pipeline on randomized texts. This
+    // pins the regex/split/filter SEMANTICS broadly (the r11 bug class
+    // was exactly a proposal-shape hole no example test covered).
+    def luhnRef(s: String): Boolean = {
+      val d = s.filter(_.isDigit).map(_ - '0')
+      d.reverse.zipWithIndex.map { case (x, i) =>
+        if (i % 2 == 1) { val y = x * 2; if (y > 9) y - 9 else y } else x
+      }.sum % 10 == 0
+    }
+    def refCandidates(text: String): Seq[String] = {
+      val runs = Pii.CcPattern.r.findAllIn(text).toSeq
+      runs.flatMap { r =>
+        val digits = r.count(_.isDigit)
+        if (digits <= 19) Seq(r)
+        else r.split("[- ]").toSeq.filter(p => p.length >= 13 && p.length <= 19)
+      }.filter(luhnRef)
+    }
+    val digitRun = for {
+      len <- Gen.chooseNum(10, 24)
+      ds <- Gen.listOfN(len, Gen.numChar)
+    } yield ds.mkString
+    val grouped = Gen.oneOf(
+      "4111-1111-1111-1111", "4111 1111 1111 1111", "3782 822463 10005",
+      "4111-1111-1111-1112", "4222 2222 22222", "1234-5678-9012-3456-789")
+    val word = Gen.oneOf("pay", "ref", "order", "x", "10.0.0.1", "+1-555-0100")
+    val token = Gen.frequency(3 -> word, 2 -> digitRun, 2 -> grouped)
+    val textGen = Gen.chooseNum(1, 8)
+      .flatMap(n => Gen.listOfN(n, token)).map(_.mkString(" "))
+    samples(Gen.listOfN(20, textGen), 8).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val got = df.select(col("id"),
+          Pii.ccCandidatesCol(col("text")).as("c"))
+        .as[(Long, Seq[String])].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == refCandidates(t), s"text=<$t>")
+      }
+      // and the count surfaced by redactCc agrees
+      val counts = Pii.redactCc(df, "text").select("id", "n_ccs")
+        .as[(Long, Long)].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(counts(i.toLong) == refCandidates(t).size.toLong, s"text=<$t>")
+      }
+    }
+  }
+
   test("property: epochMix copy counts are floor(w) or ceil(w), rates within bounds") {
     val weights = Seq(0.0, 0.4, 1.0, 1.7, 3.0)
     val df = (0 until 400).map(i => (i.toLong, "s")).toDF("id", "lang")
