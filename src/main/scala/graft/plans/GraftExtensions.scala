@@ -130,6 +130,30 @@ object GraftExtensions {
         org.apache.spark.sql.GraftSqlBridge.catalystExpression(
           graft.ops.Pii.luhnValid(
             org.apache.spark.sql.GraftSqlBridge.column(args(0))))
+      }),
+    ("graft_pii_redact",
+      info("graft_pii_redact",
+        "graft_pii_redact(text) - emails, then phones, then IPv4 replaced " +
+          "with <EMAIL>/<PHONE>/<IP> (the Pii.redactCol cascade)"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "graft_pii_redact expects (text)")
+        org.apache.spark.sql.GraftSqlBridge.catalystExpression(
+          graft.ops.Pii.redactCol(
+            org.apache.spark.sql.GraftSqlBridge.column(args(0))))
+      }),
+    ("graft_cc_redact",
+      info("graft_cc_redact",
+        "graft_cc_redact(text) - Luhn-valid card candidates (grouping-" +
+          "agnostic maximal digit runs) replaced with <CC>; invalid digit " +
+          "runs survive"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "graft_cc_redact expects (text)")
+        val t = org.apache.spark.sql.GraftSqlBridge.column(args(0))
+        org.apache.spark.sql.GraftSqlBridge.catalystExpression(
+          org.apache.spark.sql.functions.aggregate(
+            graft.ops.Pii.ccCandidatesCol(t), t,
+            (acc, c) => org.apache.spark.sql.functions.replace(acc, c,
+              org.apache.spark.sql.functions.lit("<CC>"))))
       })
   )
 

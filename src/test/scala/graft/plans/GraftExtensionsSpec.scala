@@ -130,6 +130,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(!r.getBoolean(3))
   }
 
+  test("graft_pii_redact / graft_cc_redact match the DataFrame scrub") {
+    GraftExtensions.register(spark)
+    val text = "mail a.b@x.org or +44-123-4567 from 10.0.0.1; pay 4111-1111-1111-1111 inv 1234567890123456"
+    val viaScala = Seq((1L, text)).toDF("id", "text")
+    val scalaRedacted = graft.ops.Pii.redactCc(
+        viaScala.select(col("id"),
+          graft.ops.Pii.redactCol(col("text")).as("text")), "text")
+      .select("text_cc_redacted").head.getString(0)
+    val viaSql = spark.sql(
+      s"SELECT graft_cc_redact(graft_pii_redact('$text')) AS t").head.getString(0)
+    assert(viaSql == scalaRedacted)
+    assert(viaSql.contains("<EMAIL>") && viaSql.contains("<PHONE>") &&
+      viaSql.contains("<IP>") && viaSql.contains("<CC>"))
+    // the Luhn-invalid 16-digit invoice number survives
+    assert(viaSql.contains("1234567890123456"))
+    // null text -> null out, end to end
+    assert(spark.sql(
+      "SELECT graft_cc_redact(CAST(NULL AS STRING)) AS t").head.isNullAt(0))
+  }
+
   test("text kernels reject wrong input types at ANALYSIS, not CCE per task") {
     GraftExtensions.register(spark)
     intercept[org.apache.spark.sql.AnalysisException] {
