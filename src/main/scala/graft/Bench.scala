@@ -164,9 +164,9 @@ object Bench {
       // one preempted task) rarely hits both, while genuine box
       // contention — the thing a reading is FOR — slows both. Measured
       // at sf0.1/CPUS=32: single-execution quiet readings straggle to
-      // ~0.42 s (over the 0.4 floor — one spiked reading false-flags
+      // ~0.42 s (over the 0.3 floor — one spiked reading false-flags
       // its 8 bounding queries); min-of-2 quiet readings stay under
-      // ~0.15 s.
+      // ~0.18 s.
       canaries += ((off, math.min(canaryOnce(), canaryOnce())))
     }
     val canaryEvery = 4

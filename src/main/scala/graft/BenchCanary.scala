@@ -9,7 +9,7 @@ package graft
 object BenchCanary {
 
   /** Spike threshold for a run's readings: 4x the run MINIMUM with a
-    * 0.35-calibrated absolute floor (0.3 s). Min, not median — a burst
+    * 0.3 s absolute floor. Min, not median — a burst
     * slows the queries too, stretching its own window over more
     * readings and dragging the median with it; the quietest reading
     * stays an honest estimate of the canary's constant cost. The floor

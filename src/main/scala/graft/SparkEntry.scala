@@ -2043,10 +2043,11 @@ object SparkEntry {
     * exercising every disposal gate at once (grouped Luhn-INVALID run
     * survives; a contiguous PAN fused to a 20-digit run by one space
     * recovers via the sub-run split; the 20-digit run itself is
-    * length-rejected) — then count+redact only the valid ones. The
+    * length-rejected; a 13-single-digit score list is rejected by the
+    * group-shape gate) — then count+redact only the valid ones. The
     * oracle replays the maximal-run proposal, the over-19 sub-run
-    * split, and the Luhn fold as DuckDB list comprehensions — see
-    * q_pii_cc's SQL. */
+    * split, the group-shape gate, and the Luhn fold as DuckDB list
+    * comprehensions — see q_pii_cc's SQL. */
   private def qPiiCc(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val tail = when(id % 5 === 0, lit(" card 4111-1111-1111-1111 ok"))
@@ -2056,7 +2057,7 @@ object SparkEntry {
       .when(id % 5 === 2, lit(" no digits here"))
       .when(id % 5 === 3, lit(" amex 3782 822463 10005 paid"))
       .otherwise(
-        lit(" inv 4111-1111-1111-1112 refs 5105105105105100 98765432109876543210 x"))
+        lit(" inv 4111-1111-1111-1112 refs 5105105105105100 98765432109876543210 pts 4 5 2 8 1 7 3 9 6 2 4 8 5 x"))
     Pii.redactCc(
         table(s, dir, "documents").withColumn("cc_text",
           concat(col("text"), tail)),
@@ -3630,7 +3631,7 @@ object SparkEntry {
                  THEN ' ref ' || lpad(CAST((doc_id * 48271 + 11) % 10000000000000000 AS VARCHAR), 16, '0') || ' end'
                WHEN doc_id % 5 = 2 THEN ' no digits here'
                WHEN doc_id % 5 = 3 THEN ' amex 3782 822463 10005 paid'
-               ELSE ' inv 4111-1111-1111-1112 refs 5105105105105100 98765432109876543210 x' END AS t
+               ELSE ' inv 4111-1111-1111-1112 refs 5105105105105100 98765432109876543210 pts 4 5 2 8 1 7 3 9 6 2 4 8 5 x' END AS t
         FROM documents),
       c AS (SELECT doc_id, t,
               flatten(list_transform(regexp_extract_all(t, '${Pii.CcPattern}'), r ->
@@ -3638,6 +3639,8 @@ object SparkEntry {
                      ELSE list_filter(regexp_split_to_array(r, '[- ]'),
                             p -> length(p) BETWEEN 13 AND 19) END)) AS cs FROM s),
       v AS (SELECT doc_id, t, list_filter(cs, c ->
+              len(list_filter(regexp_split_to_array(c, '[- ]')[1:-2],
+                    g -> length(g) < 2)) = 0 AND
               list_sum(list_transform(
                 range(1, length(replace(replace(c, '-', ''), ' ', '')) + 1),
                 i -> CASE WHEN (length(replace(replace(c, '-', ''), ' ', '')) - i) % 2 = 1

@@ -268,8 +268,12 @@ object VectorIndex {
       "topKBatch budgets must be positive")
     // Budget gate (same pattern as the store's Bloom-confirm byte
     // gate): collect at most budget+1 rows so an over-budget batch is
-    // detected without materializing all of it.
-    val batchRows = queries.limit(maxBatchRows + 1).collect()
+    // detected without materializing all of it. Saturating +1: a
+    // caller disabling the row gate with Int.MaxValue must not get a
+    // negative-limit AnalysisException from the overflowed probe.
+    val probeRows =
+      if (maxBatchRows == Int.MaxValue) Int.MaxValue else maxBatchRows + 1
+    val batchRows = queries.limit(probeRows).collect()
     require(batchRows.length <= maxBatchRows,
       s"topKBatch query batch exceeds the $maxBatchRows-row budget: the " +
         "batch is broadcast to every executor and must stay executor-" +

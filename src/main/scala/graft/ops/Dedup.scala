@@ -257,7 +257,11 @@ object Dedup {
     // Hot-bucket cap: the hot-key table is tiny by construction (keys
     // with > capPerBand members), so the anti-join broadcasts; the
     // counting pass shuffles on the same band key the candidate join
-    // needs anyway.
+    // needs anyway. Cost accounting: the fused shingle+band kernel now
+    // evaluates once for the count aggregate ON TOP of the self-join
+    // sides' shared exchange (exchange reuse dedupes a/b) — measured
+    // ~free on the ScaleBench row (x1 1.69 s capped vs 1.73 s r11
+    // uncapped; the pair join dominates, not the sha pass).
     val hotBands = banded.groupBy("band")
       .agg(count(lit(1)).as("__bf"))
       .where(col("__bf") > capPerBand)

@@ -95,15 +95,31 @@ object Pii {
     * unproposed (genuinely ambiguous — the separators that would
     * delimit it are indistinguishable from its internal grouping; a
     * documented recall bound, spec-pinned); (2) sub-runs keep only the
-    * 13-19-digit PAN length range; (3) the Luhn checksum — counting
-    * raw pattern hits would flag every 16-digit invoice number. */
+    * 13-19-digit PAN length range; (3) a GROUP-SHAPE gate — every
+    * separator-delimited group except the last must have >= 2 digits,
+    * because no card print form uses single-digit groups (4-4-4-4,
+    * Amex 4-6-5, Visa-13's 4-4-4-1 all pass; a list of 13+ separated
+    * single digits — scores, lottery numbers — is proposed by the
+    * grouping-agnostic regex and would otherwise Luhn-pass ~1 in 10
+    * and be destroyed); (4) the Luhn checksum — counting raw pattern
+    * hits would flag every 16-digit invoice number. */
   def ccCandidatesCol(text: Column): Column = {
     val runs = regexp_extract_all(text, lit(CcPattern), lit(0))
     val proposed = flatten(transform(runs, c =>
       when(length(translate(c, "- ", "")) <= 19, array(c))
         .otherwise(filter(split(c, "[- ]"),
           p => length(p).between(13, 19)))))
-    filter(proposed, c => luhnValid(c))
+    filter(proposed, c => groupShapeOk(c) && luhnValid(c))
+  }
+
+  /** True when every separator-delimited group but the last has >= 2
+    * digits (contiguous candidates have one group and pass trivially).
+    * slice(_, 1, size-1) is the all-but-last prefix; size-1 = 0 for a
+    * single group yields an empty slice, and exists over empty is
+    * false. */
+  private def groupShapeOk(candidate: Column): Column = {
+    val groups = split(candidate, "[- ]")
+    !exists(slice(groups, lit(1), size(groups) - 1), g => length(g) < 2)
   }
 
   /** Adds `n_ccs` (Luhn-valid card count) and `outCol` with each valid

@@ -74,11 +74,14 @@ object GraftExtensions {
     ("graft_ngram_repetition",
       info("graft_ngram_repetition",
         "graft_ngram_repetition(text) - Gopher repetition masses: " +
-          "struct<tot_chars, top_mass_2/3/4, dup_mass_5/10> (token code-point " +
+          "struct<tot_chars, top_mass_2/3/4, dup_mass_5..10> (token code-point " +
           "chars; fraction = mass / greatest(tot_chars, 1))"),
       { args: Seq[Expression] =>
         require(args.length == 1, s"graft_ngram_repetition expects (text)")
-        graft.functions.NgramRepetitionExpr(args(0), Seq(2, 3, 4), Seq(5, 10))
+        // Full A1.1 dup set, matching the DataFrame default (r12): a
+        // SQL surface stuck on Seq(5, 10) would be the same silently
+        // narrowed gate the default change closed.
+        graft.functions.NgramRepetitionExpr(args(0), Seq(2, 3, 4), 5 to 10)
       }),
     // --- r12 additions: the dedup/search text kernels + Luhn ---------
     binary("graft_dot_int8",
@@ -124,12 +127,20 @@ object GraftExtensions {
     ("graft_luhn_valid",
       info("graft_luhn_valid",
         "graft_luhn_valid(digits) - Luhn checksum over a digit run " +
-          "(dashes/spaces stripped); what separates a card number from an order id"),
+          "(dashes/spaces stripped; anything else -> false, null -> null); " +
+          "what separates a card number from an order id"),
       { args: Seq[Expression] =>
         require(args.length == 1, "graft_luhn_valid expects (candidate)")
+        // Pii.luhnValid's contract assumes a CcPattern-proposed
+        // candidate; arbitrary SQL input needs the digit-run guard
+        // HERE — unguarded, '' builds sequence(1, 0) (which DESCENDS)
+        // and non-digits fail the ANSI cast mid-fold instead of
+        // reading as "not a card". The And short-circuits, so the
+        // fold never sees a non-digit-run input.
+        val t = org.apache.spark.sql.GraftSqlBridge.column(args(0))
+        val digits = org.apache.spark.sql.functions.translate(t, "- ", "")
         org.apache.spark.sql.GraftSqlBridge.catalystExpression(
-          graft.ops.Pii.luhnValid(
-            org.apache.spark.sql.GraftSqlBridge.column(args(0))))
+          digits.rlike("^[0-9]+$") && graft.ops.Pii.luhnValid(t))
       }),
     ("graft_pii_redact",
       info("graft_pii_redact",

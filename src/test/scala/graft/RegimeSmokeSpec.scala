@@ -53,7 +53,10 @@ class RegimeSmokeSpec extends SparkSpec {
       val stock = canon(SparkEntry.queries(name)(spark, dir))
       val adversarial =
         withConfs(regime)(canon(SparkEntry.queries(name)(spark, dir)))
-      val firstDiff = stock.zip(adversarial).indexWhere { case (a, b) => a != b }
+      // zipAll, not zip: a row-count regression with an identical
+      // common prefix would otherwise report "first diff at -1".
+      val firstDiff = stock.zipAll(adversarial, "<absent>", "<absent>")
+        .indexWhere { case (a, b) => a != b }
       assert(adversarial == stock,
         s"$name: stock ${stock.size} rows vs regime ${adversarial.size}; " +
           s"first diff at sorted index $firstDiff: " +

@@ -67,6 +67,11 @@ class VectorIndexSpec extends SparkSpec {
         "cosine", tieBreak = Seq("id"), maxBatchRows = 3)
       .select("qid", "id").as[(String, Long)].collect().toMap
     assert(got == Map("q1" -> 0L, "q2" -> 2L, "q3" -> 1L))
+    // Int.MaxValue disables the row gate without overflowing the
+    // probe into limit(negative).
+    assert(VectorIndex.topKBatch(docs, "vec", queries, "qid", "qv", 1,
+      "cosine", tieBreak = Seq("id"), maxBatchRows = Int.MaxValue)
+      .count() == 3)
   }
 
   test("mmr diversifies: picks relevance first, then trades against redundancy") {

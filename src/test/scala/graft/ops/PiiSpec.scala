@@ -192,4 +192,19 @@ class PiiSpec extends SparkSpec {
     assert(cc("acct 41111111111111119999 end") ==
       ((0L, "acct 41111111111111119999 end")))
   }
+
+  test("single-digit-grouped runs are not card print forms (group-shape gate)") {
+    // 13 space-separated single digits with the last digit CHOSEN so
+    // the run is Luhn-VALID — only the group-shape gate stands between
+    // a score list and destruction.
+    val base = "452817396248"
+    val check = (0 to 9).map(_.toString).find(d => luhnRef(base + d)).get
+    val spaced = (base + check).map(_.toString).mkString(" ")
+    assert(luhnRef(spaced.replace(" ", "")))
+    assert(cc(s"pts $spaced end") == ((0L, s"pts $spaced end")))
+    // ...while Visa-13's real 4-4-4-1 print form (single-digit LAST
+    // group) still redacts: only non-final groups are gated.
+    assert(luhnRef("4222222222222"))
+    assert(cc("pay 4222 2222 2222 2 ok") == ((1L, "pay <CC> ok")))
+  }
 }

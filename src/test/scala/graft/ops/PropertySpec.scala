@@ -136,13 +136,17 @@ class PropertySpec extends SparkSpec {
         if (i % 2 == 1) { val y = x * 2; if (y > 9) y - 9 else y } else x
       }.sum % 10 == 0
     }
+    def groupShapeOk(r: String): Boolean = {
+      val gs = r.split("[- ]")
+      gs.length == 1 || gs.init.forall(_.length >= 2)
+    }
     def refCandidates(text: String): Seq[String] = {
       val runs = Pii.CcPattern.r.findAllIn(text).toSeq
       runs.flatMap { r =>
         val digits = r.count(_.isDigit)
         if (digits <= 19) Seq(r)
         else r.split("[- ]").toSeq.filter(p => p.length >= 13 && p.length <= 19)
-      }.filter(luhnRef)
+      }.filter(c => groupShapeOk(c) && luhnRef(c))
     }
     val digitRun = for {
       len <- Gen.chooseNum(10, 24)
@@ -150,7 +154,10 @@ class PropertySpec extends SparkSpec {
     } yield ds.mkString
     val grouped = Gen.oneOf(
       "4111-1111-1111-1111", "4111 1111 1111 1111", "3782 822463 10005",
-      "4111-1111-1111-1112", "4222 2222 22222", "1234-5678-9012-3456-789")
+      "4111-1111-1111-1112", "4222 2222 22222", "1234-5678-9012-3456-789",
+      // single-digit-grouped shapes (score lists) — group-gate fodder
+      "4 5 2 8 1 7 3 9 6 2 4 8 5", "7-7-7-7-7-7-7-7-7-7-7-7-7",
+      "4222 2222 2222 2")
     val word = Gen.oneOf("pay", "ref", "order", "x", "10.0.0.1", "+1-555-0100")
     val token = Gen.frequency(3 -> word, 2 -> digitRun, 2 -> grouped)
     val textGen = Gen.chooseNum(1, 8)

@@ -76,6 +76,10 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Long]("top_mass_4") == 8L)
     assert(r.getAs[Long]("dup_mass_5") == 0L)
     assert(r.getAs[Long]("dup_mass_10") == 0L)
+    // The SQL surface carries the FULL A1.1 dup set like the DataFrame
+    // default (r12) — not the narrowed Seq(5, 10) pair.
+    (5 to 10).foreach(n =>
+      assert(r.schema.fieldNames.contains(s"dup_mass_$n"), s"dup_mass_$n"))
     // null text -> null struct (the gate's null contract end-to-end)
     assert(spark.sql(
       "SELECT graft_ngram_repetition(CAST(NULL AS STRING)) AS m").head.isNullAt(0))
@@ -128,6 +132,16 @@ class GraftExtensionsSpec extends SparkSpec {
              graft_luhn_valid('4111111111111112') AS d""").head
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
     assert(!r.getBoolean(3))
+    // Arbitrary SQL input is the surface's contract, unlike the
+    // internal fold (which only ever sees CcPattern candidates): empty
+    // and non-digit-run inputs read FALSE — not an ANSI cast error
+    // from the fold, not a silent null — and null stays null.
+    val g = spark.sql("""
+      SELECT graft_luhn_valid('') AS a,
+             graft_luhn_valid('order-abc123x') AS b,
+             graft_luhn_valid(CAST(NULL AS STRING)) AS c""").head
+    assert(!g.getBoolean(0) && !g.getBoolean(1))
+    assert(g.isNullAt(2))
   }
 
   test("graft_pii_redact / graft_cc_redact match the DataFrame scrub") {
