@@ -32,15 +32,6 @@ class RegimeSmokeSpec extends SparkSpec {
     "spark.sql.ansi.enabled" -> "false",
     "spark.sql.legacy.sizeOfNull" -> "true")
 
-  private def withConfs[A](overrides: Map[String, String])(body: => A): A = {
-    val saved = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   /** Order-free canonical form. Row.toString is deterministic for the
     * output types the oracle gate accepts (primitives, strings,
     * arrays); the sort removes row-order sensitivity, which the
@@ -52,7 +43,7 @@ class RegimeSmokeSpec extends SparkSpec {
     test(s"$name is regime-invariant (partitions=1 + ansi off + legacy sizeOfNull)") {
       val stock = canon(SparkEntry.queries(name)(spark, dir))
       val adversarial =
-        withConfs(regime)(canon(SparkEntry.queries(name)(spark, dir)))
+        withSessionConfs(regime)(canon(SparkEntry.queries(name)(spark, dir)))
       // zipAll, not zip: a row-count regression with an identical
       // common prefix would otherwise report "first diff at -1".
       val firstDiff = stock.zipAll(adversarial, "<absent>", "<absent>")

@@ -121,18 +121,12 @@ class PiiSpec extends SparkSpec {
   test("null count stays null under the legacy sizeOfNull regime (never -1)") {
     // Bare size(null) reads -1 under ansi off + legacy sizeOfNull —
     // the explicit when(t.isNull) guard is what this pins.
-    val overrides = Map("spark.sql.ansi.enabled" -> "false",
-      "spark.sql.legacy.sizeOfNull" -> "true")
-    val saved = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+    withSessionConfs(Map("spark.sql.ansi.enabled" -> "false",
+      "spark.sql.legacy.sizeOfNull" -> "true")) {
       val r = Pii.redactCc(Seq((1L, null.asInstanceOf[String]))
         .toDF("id", "text"), "text").head
       assert(r.isNullAt(r.fieldIndex("n_ccs")),
         s"legacy regime fabricated n_ccs=${r.get(r.fieldIndex("n_ccs"))}")
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
     }
   }
 

@@ -16,18 +16,11 @@ class PlanAuditSpec extends SparkSpec {
   /** Compile-time plans only: AQE off (the static plan IS the final
     * plan) and auto-broadcast off (every broadcast left is one the code
     * hinted — the ones that must stay corpus-size-bounded). */
-  private def withStaticPlans[A](body: => A): A = {
-    val overrides = Map(
+  private def withStaticPlans[A](body: => A): A =
+    withSessionConfs(Map(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.enabled" -> "false")
-    val saved = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
+      "spark.sql.adaptive.enabled" -> "false"))(body)
 
   // EVERY query in the suite is gated (round-11: the gate used to cover
   // the 22 most-expensive families; auditing the rest surfaced two
