@@ -2039,25 +2039,32 @@ object SparkEntry {
     * onto the corpus — a 4-4-4-4 valid PAN, a doc_id-derived 16-digit
     * contiguous run (passes Luhn ~1 in 10, so the checksum, not the
     * regex, decides), a digit-free tail, the canonical Amex 4-6-5
-    * print form (the grouping the r11 pattern missed), and a bucket
-    * exercising every disposal gate at once (grouped Luhn-INVALID run
-    * survives; a contiguous PAN fused to a 20-digit run by one space
-    * recovers via the sub-run split; the 20-digit run itself is
+    * print form (the grouping the r11 pattern missed), a bucket
+    * exercising every tier-1 disposal gate at once (grouped
+    * Luhn-INVALID run survives; a contiguous PAN fused to a 20-digit
+    * run by one space recovers; the 20-digit run itself is
     * length-rejected; a 13-single-digit score list is rejected by the
-    * group-shape gate) — then count+redact only the valid ones. The
-    * oracle replays the maximal-run proposal, the over-19 sub-run
-    * split, the group-shape gate, and the Luhn fold as DuckDB list
-    * comprehensions — see q_pii_cc's SQL. */
+    * group-shape gate), and two buckets exercising the r13 tier-2
+    * window fallback (a leading short token fused to a PAN; card+CVV
+    * at 19 digits; Visa-13 fused with a trailing token; a grouped PAN
+    * inside a 26-digit fusion) — then count+redact only the valid
+    * ones. The oracle replays the maximal-run proposal, the two-tier
+    * disposal (whole-run gates, then group-boundary windows with the
+    * strict shape + greedy leftmost-longest non-overlap), and the Luhn
+    * fold as DuckDB list comprehensions — see q_pii_cc's SQL. */
   private def qPiiCc(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val tail = when(id % 5 === 0, lit(" card 4111-1111-1111-1111 ok"))
-      .when(id % 5 === 1, concat(lit(" ref "),
+    val tail = when(id % 7 === 0, lit(" card 4111-1111-1111-1111 ok"))
+      .when(id % 7 === 1, concat(lit(" ref "),
         lpad(((id * 48271L + 11L) % 10000000000000000L).cast("string"),
           16, "0"), lit(" end")))
-      .when(id % 5 === 2, lit(" no digits here"))
-      .when(id % 5 === 3, lit(" amex 3782 822463 10005 paid"))
-      .otherwise(
+      .when(id % 7 === 2, lit(" no digits here"))
+      .when(id % 7 === 3, lit(" amex 3782 822463 10005 paid"))
+      .when(id % 7 === 4,
         lit(" inv 4111-1111-1111-1112 refs 5105105105105100 98765432109876543210 pts 4 5 2 8 1 7 3 9 6 2 4 8 5 x"))
+      .when(id % 7 === 5, lit(" otp 123 4111 1111 1111 1111 sent"))
+      .otherwise(
+        lit(" pay 4111 1111 1111 1111 123 or 4222 2222 2222 2 22222 or 5105 1051 0510 5100 98765 43210 done"))
     Pii.redactCc(
         table(s, dir, "documents").withColumn("cc_text",
           concat(col("text"), tail)),
@@ -2627,6 +2634,18 @@ object SparkEntry {
   /** 60-bit sha-derived hash in DuckDB, mirroring HashFunctions.hash60. */
   private def dk60(arg: String): String =
     s"CAST(concat('0x', substr(sha256($arg), 1, 15)) AS BIGINT)"
+
+  /** DuckDB Luhn checksum over a NAMED digits column `d` (separators
+    * already stripped) — mirror of Pii.luhnValid's fold. Kept as a
+    * helper because q_pii_cc's oracle needs it twice (tier-1 whole
+    * run, tier-2 window). */
+  private def duckLuhn(d: String): String =
+    s"""list_sum(list_transform(range(1, length($d) + 1),
+          i -> CASE WHEN (length($d) - i) % 2 = 1
+                    THEN CASE WHEN CAST($d[i] AS INT) * 2 > 9
+                              THEN CAST($d[i] AS INT) * 2 - 9
+                              ELSE CAST($d[i] AS INT) * 2 END
+                    ELSE CAST($d[i] AS INT) END)) % 10 = 0"""
 
   /** MinHash affine-rehash coefficient literals (mirror
     * TextFunctions.minhashCoeffs(16) exactly). */
@@ -3624,35 +3643,74 @@ object SparkEntry {
     // lets, so the strip is inlined), and the redaction as a
     // list_reduce literal-replace fold seeded with the text via
     // list_prepend — mirroring Pii.redactCc's aggregate().
+    // Two-tier disposal replay (mirror of Pii.ccCandidatesCol): tier 1
+    // checks each maximal run whole (mass 13-19, non-last groups >= 2,
+    // Luhn); tier 2 re-proposes a failing multi-group run's group-
+    // boundary windows (parts = group + trailing separator, windows
+    // span <= 5 groups, mass 13-19, non-last groups >= 4 digits, Luhn)
+    // and keeps the leftmost-longest non-overlapping winners via a
+    // (wi asc, wj desc)-ordered greedy fold.
     "q_pii_cc" -> s"""
       WITH s AS (SELECT doc_id, text ||
-          CASE WHEN doc_id % 5 = 0 THEN ' card 4111-1111-1111-1111 ok'
-               WHEN doc_id % 5 = 1
+          CASE WHEN doc_id % 7 = 0 THEN ' card 4111-1111-1111-1111 ok'
+               WHEN doc_id % 7 = 1
                  THEN ' ref ' || lpad(CAST((doc_id * 48271 + 11) % 10000000000000000 AS VARCHAR), 16, '0') || ' end'
-               WHEN doc_id % 5 = 2 THEN ' no digits here'
-               WHEN doc_id % 5 = 3 THEN ' amex 3782 822463 10005 paid'
-               ELSE ' inv 4111-1111-1111-1112 refs 5105105105105100 98765432109876543210 pts 4 5 2 8 1 7 3 9 6 2 4 8 5 x' END AS t
+               WHEN doc_id % 7 = 2 THEN ' no digits here'
+               WHEN doc_id % 7 = 3 THEN ' amex 3782 822463 10005 paid'
+               WHEN doc_id % 7 = 4 THEN ' inv 4111-1111-1111-1112 refs 5105105105105100 98765432109876543210 pts 4 5 2 8 1 7 3 9 6 2 4 8 5 x'
+               WHEN doc_id % 7 = 5 THEN ' otp 123 4111 1111 1111 1111 sent'
+               ELSE ' pay 4111 1111 1111 1111 123 or 4222 2222 2222 2 22222 or 5105 1051 0510 5100 98765 43210 done' END AS t
         FROM documents),
-      c AS (SELECT doc_id, t,
-              flatten(list_transform(regexp_extract_all(t, '${Pii.CcPattern}'), r ->
-                CASE WHEN length(replace(replace(r, '-', ''), ' ', '')) <= 19 THEN [r]
-                     ELSE list_filter(regexp_split_to_array(r, '[- ]'),
-                            p -> length(p) BETWEEN 13 AND 19) END)) AS cs FROM s),
-      v AS (SELECT doc_id, t, list_filter(cs, c ->
-              len(list_filter(regexp_split_to_array(c, '[- ]')[1:-2],
-                    g -> length(g) < 2)) = 0 AND
-              list_sum(list_transform(
-                range(1, length(replace(replace(c, '-', ''), ' ', '')) + 1),
-                i -> CASE WHEN (length(replace(replace(c, '-', ''), ' ', '')) - i) % 2 = 1
-                          THEN CASE WHEN CAST(replace(replace(c, '-', ''), ' ', '')[i] AS INT) * 2 > 9
-                                    THEN CAST(replace(replace(c, '-', ''), ' ', '')[i] AS INT) * 2 - 9
-                                    ELSE CAST(replace(replace(c, '-', ''), ' ', '')[i] AS INT) * 2 END
-                          ELSE CAST(replace(replace(c, '-', ''), ' ', '')[i] AS INT) END)) % 10 = 0) AS valid
-            FROM c)
-      SELECT doc_id, CAST(len(valid) AS BIGINT) AS n_ccs,
-        sha256(list_reduce(list_prepend(t, valid),
+      rl AS (SELECT doc_id, regexp_extract_all(t, '${Pii.CcPattern}') AS rs FROM s),
+      rr AS (SELECT doc_id, unnest(rs) AS r,
+                    unnest(range(1, len(rs) + 1)) AS ri FROM rl),
+      r1 AS (SELECT doc_id, ri, r,
+               replace(replace(r, '-', ''), ' ', '') AS rd,
+               regexp_extract_all(r, '[0-9]+[- ]?') AS parts
+             FROM rr),
+      r2 AS (SELECT doc_id, ri, r, parts,
+               (length(rd) BETWEEN 13 AND 19 AND
+                len(list_filter(regexp_split_to_array(r, '[- ]')[1:-2],
+                      g -> length(g) < 2)) = 0 AND
+                (${duckLuhn("rd")})) AS whole_ok
+             FROM r1),
+      wz AS (SELECT doc_id, ri,
+               unnest(flatten(list_transform(range(1, len(parts) + 1),
+                 i -> list_transform(range(least(i + 4, len(parts)), i - 1, -1),
+                   j -> {'wi': i, 'wj': j,
+                         'ws': coalesce(array_to_string(parts[i:j-1], ''), '') ||
+                               regexp_replace(parts[j], '[- ]$$', ''),
+                         'ok': len(list_filter(parts[i:j-1],
+                                 p -> length(replace(replace(p, '-', ''), ' ', '')) < 4)) = 0}))))
+                 AS w
+             FROM r2 WHERE NOT whole_ok AND len(parts) > 1),
+      wm AS (SELECT doc_id, ri, w.wi AS wi, w.wj AS wj, w.ws AS ws,
+               replace(replace(w.ws, '-', ''), ' ', '') AS wd
+             FROM wz WHERE w.ok),
+      wf AS (SELECT doc_id, ri, wi, wj, ws FROM wm
+             WHERE length(wd) BETWEEN 13 AND 19 AND (${duckLuhn("wd")})),
+      wg AS (SELECT doc_id, ri,
+               (list_reduce(list_prepend(
+                  {'wi': CAST(0 AS BIGINT), 'wj': CAST(0 AS BIGINT),
+                   'pk': CAST([] AS VARCHAR[])},
+                  list({'wi': wi, 'wj': wj, 'pk': [ws]} ORDER BY wi, wj DESC)),
+                (acc, x) -> CASE WHEN x.wi > acc.wj
+                  THEN {'wi': x.wi, 'wj': x.wj,
+                        'pk': list_concat(acc.pk, x.pk)}
+                  ELSE acc END)).pk AS pk
+             FROM wf GROUP BY doc_id, ri),
+      rc AS (SELECT r2.doc_id, r2.ri,
+               CASE WHEN r2.whole_ok THEN [r2.r]
+                    ELSE coalesce(wg.pk, CAST([] AS VARCHAR[])) END AS cands
+             FROM r2 LEFT JOIN wg ON r2.doc_id = wg.doc_id AND r2.ri = wg.ri),
+      dc AS (SELECT doc_id, flatten(list(cands ORDER BY ri)) AS cands
+             FROM rc GROUP BY doc_id)
+      SELECT s.doc_id,
+        CAST(len(coalesce(dc.cands, CAST([] AS VARCHAR[]))) AS BIGINT) AS n_ccs,
+        sha256(list_reduce(
+          list_prepend(s.t, coalesce(dc.cands, CAST([] AS VARCHAR[]))),
           (acc, x) -> replace(acc, x, '<CC>'))) AS redacted_sha
-      FROM v""",
+      FROM s LEFT JOIN dc ON s.doc_id = dc.doc_id""",
 
     // Hybrid RRF: BM25 CTE chain (same as q_bm25_search) + cosine
     // scores, rank top-50 each, fuse 1/(60+rank), round 6 before the

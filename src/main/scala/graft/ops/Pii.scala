@@ -87,29 +87,91 @@ object Pii {
   }
 
   /** Luhn-VALID card candidates in the text, in match order. The regex
-    * proposes maximal digit runs ([[CcPattern]]), then three gates
-    * dispose: (1) a run whose digit mass exceeds 19 cannot be one PAN —
-    * it is re-proposed as its CONTIGUOUS sub-runs (split on the
-    * separators), so two contiguous PANs fused by a single space both
-    * still redact, while a grouped PAN fused into a longer run stays
-    * unproposed (genuinely ambiguous — the separators that would
-    * delimit it are indistinguishable from its internal grouping; a
-    * documented recall bound, spec-pinned); (2) sub-runs keep only the
-    * 13-19-digit PAN length range; (3) a GROUP-SHAPE gate — every
-    * separator-delimited group except the last must have >= 2 digits,
-    * because no card print form uses single-digit groups (4-4-4-4,
-    * Amex 4-6-5, Visa-13's 4-4-4-1 all pass; a list of 13+ separated
-    * single digits — scores, lottery numbers — is proposed by the
-    * grouping-agnostic regex and would otherwise Luhn-pass ~1 in 10
-    * and be destroyed); (4) the Luhn checksum — counting raw pattern
-    * hits would flag every 16-digit invoice number. */
+    * proposes maximal digit runs ([[CcPattern]]); each run is then
+    * disposed in two tiers:
+    *
+    * TIER 1 — the whole run, when its digit mass is 13-19 (the PAN
+    * length range), its group shape is card-like (every separator-
+    * delimited group but the last has >= 2 digits — a list of 13+
+    * separated single digits is a score list, not a print form, and
+    * would otherwise Luhn-pass ~1 in 10 and be destroyed), and the
+    * Luhn checksum holds. The run is always checked WHOLE first: no
+    * prefix of a longer run is ever Luhn-validated on its own (the
+    * r11 boundary-bug class), so a 19-digit print form with 16-valid
+    * prefix never redacts its prefix when the full number checks out.
+    *
+    * TIER 2 — when tier 1 fails (run too long, wrong shape, or Luhn
+    * fails), the run may still CONTAIN a PAN fused to adjacent digit
+    * tokens by a single separator ("4111 1111 1111 1111 123" — card +
+    * CVV; "123 4111 1111 1111 1111"; two contiguous PANs fused by one
+    * space; a grouped PAN inside a >19-digit fusion — the r12 recall
+    * holes ADVICE flagged). [[windowCandidatesCol]] re-proposes the
+    * run's GROUP-BOUNDARY windows — contiguous group subsequences with
+    * digit mass 13-19 — under a STRICTER shape gate (every non-last
+    * group >= 4 digits, which all real print forms satisfy: 4-4-4-4,
+    * Amex 4-6-5, Visa-13's 4-4-4-1), Luhn-gates each, and keeps the
+    * leftmost-longest non-overlapping winners. The stricter shape
+    * keeps the speculative tier's false-positive surface small: runs
+    * of 1-3-digit groups (scores, lottery picks) can never window-
+    * match, and the whole-run window re-check can never resurrect a
+    * candidate tier 1 rejected (its gates are a superset).
+    *
+    * Recall bound that REMAINS (documented + spec-pinned): a PAN
+    * embedded in a longer CONTIGUOUS digit run ("41111111111111119999")
+    * stays — with no separator there is no boundary evidence, and
+    * checksumming all substrings would destroy ~1 in 10 long ids. */
   def ccCandidatesCol(text: Column): Column = {
     val runs = regexp_extract_all(text, lit(CcPattern), lit(0))
-    val proposed = flatten(transform(runs, c =>
-      when(length(translate(c, "- ", "")) <= 19, array(c))
-        .otherwise(filter(split(c, "[- ]"),
-          p => length(p).between(13, 19)))))
-    filter(proposed, c => groupShapeOk(c) && luhnValid(c))
+    flatten(transform(runs, r => {
+      val whole = when(
+        length(translate(r, "- ", "")).between(13, 19) &&
+          groupShapeOk(r) && luhnValid(r),
+        array(r))
+      coalesce(whole, windowCandidatesCol(r))
+    }))
+  }
+
+  /** Tier-2 disposal for one maximal run (see [[ccCandidatesCol]]):
+    * group-boundary windows, strict shape, Luhn, greedy non-overlap.
+    *
+    * The run is re-tokenized as `parts` = each digit group WITH its
+    * single trailing separator (the last group has none), so a window
+    * string is rebuilt by concatenation — original separators intact
+    * for the literal replace in [[redactCc]] — with no character-
+    * offset arithmetic. Windows span at most 5 groups (4 non-last
+    * groups x 4 digits minimum already exceeds the 19-digit mass cap
+    * at 5+), so enumeration is O(groups x 5) with O(window) work each:
+    * linear in run length, no quadratic blow-up on a pathological
+    * kilobyte digit run. Single-group runs skip the tier entirely —
+    * their only window IS the whole run tier 1 already rejected. */
+  private def windowCandidatesCol(r: Column): Column = {
+    val parts = regexp_extract_all(r, lit("[0-9]+[- ]?"), lit(0))
+    val m = size(parts)
+    val digitLen = (p: Column) => length(translate(p, "- ", ""))
+    // (i asc, j desc): per start, the LONGEST valid window is tried
+    // first, so the greedy fold below is leftmost-longest.
+    val wins = flatten(transform(sequence(lit(1), m), i =>
+      filter(
+        transform(sequence(least(i + lit(4), m), i, lit(-1)), j => {
+          val body = array_join(slice(parts, i, j - i), "")
+          val s = concat(body,
+            regexp_replace(element_at(parts, j), "[- ]$", ""))
+          val shapeOk = !exists(slice(parts, i, j - i),
+            p => digitLen(p) < 4)
+          when(digitLen(s).between(13, 19) && shapeOk && luhnValid(s),
+            struct(i.as("i"), j.as("j"), s.as("s")))
+        }),
+        w => w.isNotNull)))
+    when(m > 1,
+      aggregate(wins,
+        struct(lit(0).as("last"), typedlit(Seq.empty[String]).as("picked")),
+        (acc, w) => when(w.getField("i") > acc.getField("last"),
+            struct(w.getField("j").as("last"),
+              concat(acc.getField("picked"),
+                array(w.getField("s"))).as("picked")))
+          .otherwise(acc),
+        acc => acc.getField("picked")))
+      .otherwise(typedlit(Seq.empty[String]))
   }
 
   /** True when every separator-delimited group but the last has >= 2

@@ -135,12 +135,18 @@ object GraftExtensions {
         // candidate; arbitrary SQL input needs the digit-run guard
         // HERE — unguarded, '' builds sequence(1, 0) (which DESCENDS)
         // and non-digits fail the ANSI cast mid-fold instead of
-        // reading as "not a card". The And short-circuits, so the
-        // fold never sees a non-digit-run input.
+        // reading as "not a card". The guard is a CaseWhen BRANCH,
+        // not an And conjunct: the optimizer may split/reorder And
+        // conjuncts (predicate pushdown in a WHERE), letting the
+        // fold's cast see non-digit input; CaseWhen branch order is
+        // guaranteed. Null keeps null-in/null-out: a null candidate
+        // falls through both branches to the null otherwise.
         val t = org.apache.spark.sql.GraftSqlBridge.column(args(0))
         val digits = org.apache.spark.sql.functions.translate(t, "- ", "")
+        import org.apache.spark.sql.functions.{when, lit}
         org.apache.spark.sql.GraftSqlBridge.catalystExpression(
-          digits.rlike("^[0-9]+$") && graft.ops.Pii.luhnValid(t))
+          when(digits.rlike("^[0-9]+$"), graft.ops.Pii.luhnValid(t))
+            .when(t.isNotNull, lit(false)))
       }),
     ("graft_pii_redact",
       info("graft_pii_redact",

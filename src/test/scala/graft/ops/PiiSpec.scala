@@ -158,28 +158,67 @@ class PiiSpec extends SparkSpec {
     assert(cc(s"ref ${pan19}7 end") == ((0L, s"ref ${pan19}7 end")))
   }
 
-  test("no prefix truncation: a grouped over-length run is checked whole, not on its valid 16-prefix") {
+  test("whole-run Luhn is tried first; a failing 19-digit run then recovers its embedded PAN") {
     // 19 digits grouped 4-4-4-4-3: the full run fails Luhn while its
-    // 16-digit prefix passes — the r11 pattern matched (and redacted)
-    // the prefix; the maximal-run proposal checks all 19 and keeps it.
+    // 16-digit prefix passes. Tier 1 checks all 19 (never a bare
+    // prefix — the r11 boundary-bug class); on its Luhn failure the
+    // tier-2 group-boundary window [g1..g4] recovers the PAN (the
+    // card + CVV fusion ADVICE r12 flagged as a silent leak).
     assert(luhnRef("4111111111111111") && !luhnRef("4111111111111111111"))
-    assert(cc("x 4111-1111-1111-1111-111 y") ==
-      ((0L, "x 4111-1111-1111-1111-111 y")))
+    assert(cc("x 4111-1111-1111-1111-111 y") == ((1L, "x <CC>-111 y")))
+    // ...and when the WHOLE 19-digit run Luhn-passes, it redacts
+    // whole: the valid 16-prefix is never proposed on its own.
+    val check = (0 to 9).map(_.toString)
+      .find(d => luhnRef("411111111111111141" + d)).get
+    val g5 = "41" + check // 3-digit last group making the whole 19 valid
+    assert(luhnRef("4111111111111111" + g5))
+    assert(cc(s"x 4111-1111-1111-1111-$g5 y") == ((1L, "x <CC> y")))
   }
 
-  test("contiguous PANs fused by a single space recover via the sub-run split") {
+  test("contiguous PANs fused by a single space recover via single-group windows") {
     // One space is a legal in-PAN separator, so the two runs fuse into
-    // a 32-digit candidate; >19 digits re-proposes the contiguous
-    // sub-runs, and both PANs redact.
+    // a 32-digit candidate; >19 digits fails tier 1, and the two
+    // disjoint single-group windows both redact.
     assert(cc("5105105105105100 4111111111111111") == ((2L, "<CC> <CC>")))
   }
 
-  test("a GROUPED PAN fused into a longer run is ambiguous and stays (recall bound)") {
-    // The separators that would delimit the PAN are indistinguishable
-    // from its internal grouping: sub-runs are 4-5 digits, none in the
-    // PAN length range — documented recall contract of the split.
+  test("a GROUPED PAN fused into a >19-digit run recovers via multi-group windows") {
+    // r12 dropped this shape (its 4-5-digit sub-runs are outside the
+    // PAN length range); the group-boundary window [g1..g4] has mass
+    // 16, card shape, and a passing checksum — the PAN redacts and
+    // the fused token survives.
     assert(cc("pin 4111 1111 1111 1111 12345 end") ==
-      ((0L, "pin 4111 1111 1111 1111 12345 end")))
+      ((1L, "pin <CC> 12345 end")))
+  }
+
+  test("card + CVV fused at 19 digits redacts the PAN and keeps the CVV token") {
+    // The exact ADVICE r12 example: whole run (19) fails Luhn, window
+    // recovers the leftmost-longest valid card.
+    assert(cc("pay 4111 1111 1111 1111 123 now") ==
+      ((1L, "pay <CC> 123 now")))
+  }
+
+  test("a leading short token fused to a PAN strips via window start selection") {
+    // Windows may not START at a 3-digit group (non-last groups need
+    // >= 4 digits), so [g2..g5] is the first candidate and wins.
+    assert(cc("otp 123 4111 1111 1111 1111 sent") ==
+      ((1L, "otp 123 <CC> sent")))
+  }
+
+  test("Visa-13's 4-4-4-1 form fused with a trailing token recovers") {
+    // Whole run (18 digits, shape broken by the now-non-last single-
+    // digit group) fails tier 1; window [g1..g4] = the 4-4-4-1 form.
+    assert(luhnRef("4222222222222"))
+    assert(cc("pay 4222 2222 2222 2 22222 ok") ==
+      ((1L, "pay <CC> 22222 ok")))
+  }
+
+  test("windows never fire on runs of short groups (strict shape floor)") {
+    // Groups of 1-3 digits can only be a window's LAST group, so a
+    // fused list of short tokens has no window in the mass range even
+    // when some concatenation would Luhn-pass.
+    assert(cc("lotto 123 456 789 012 345 678 end") ==
+      ((0L, "lotto 123 456 789 012 345 678 end")))
   }
 
   test("a valid PAN embedded in a longer contiguous digit run is not proposed") {

@@ -144,6 +144,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(g.isNullAt(2))
   }
 
+  test("graft_luhn_valid in a WHERE survives conjunct splitting over non-digit rows (ANSI)") {
+    // ADVICE r12: the digit-run guard used to be an And conjunct the
+    // optimizer may split/reorder during predicate pushdown, letting
+    // the fold's cast('int') hit non-digit input under ANSI and throw.
+    // Now a CaseWhen branch (guaranteed order): filtering a parquet
+    // scan of mixed digit/non-digit rows must return the valid rows,
+    // not error — exercised through a real scan so pushdown actually
+    // runs, with an extra pushable conjunct to invite the split.
+    GraftExtensions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("luhn_where").toString
+    Seq((1L, "4111111111111111"), (2L, "order-abc123x"), (3L, ""),
+        (4L, "4111111111111112"), (5L, null.asInstanceOf[String]))
+      .toDF("id", "v").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("luhn_rows")
+    val got = spark.sql(
+      "SELECT id FROM luhn_rows WHERE graft_luhn_valid(v) AND id < 5")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L))
+  }
+
   test("graft_pii_redact / graft_cc_redact match the DataFrame scrub") {
     GraftExtensions.register(spark)
     val text = "mail a.b@x.org or +44-123-4567 from 10.0.0.1; pay 4111-1111-1111-1111 inv 1234567890123456"
