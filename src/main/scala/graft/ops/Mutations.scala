@@ -29,9 +29,27 @@ object Mutations {
     * must stay unique. */
   def upsert(target: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame = {
     val keysDf = batch.select(keys.map(col): _*).distinct()
-    batch.unionByName(
-      target.join(keysDf,
-        keys.map(k => target(k) <=> keysDf(k)).reduce(_ && _), "left_anti"))
+    batch.unionByName(antiJoinOnKeys(target, keysDf, keys))
+  }
+
+  /** `target LEFT ANTI JOIN keysDf` on null-safe key equality, with the
+    * condition built from EXPLICITLY ALIASED frames. When the batch
+    * derives from the target (the common incremental shape — see
+    * MutationsSpec), `target(k) <=> keysDf(k)` resolves both sides to
+    * the SAME attribute and leans on Spark's ambiguous-self-join repair
+    * (it logs "Constructing trivially true equals predicate" and fixes
+    * the condition up from dataset-id metadata — an analyzer heuristic,
+    * `spark.sql.analyzer.failAmbiguousSelfJoin` territory). Qualified
+    * references resolve per side AFTER relation deduplication, so the
+    * plan is unambiguous by construction, no repair involved. */
+  private def antiJoinOnKeys(target: DataFrame, keysDf: DataFrame,
+                             keys: Seq[String]): DataFrame = {
+    val t = target.alias("__graft_merge_t")
+    val b = keysDf.alias("__graft_merge_b")
+    val cond = keys.map(k =>
+        col(s"__graft_merge_t.`$k`") <=> col(s"__graft_merge_b.`$k`"))
+      .reduce(_ && _)
+    t.join(b, cond, "left_anti")
   }
 
   /** Latest change per key: keeps the row that is greatest under
@@ -70,7 +88,6 @@ object Mutations {
     // delete data).
     val upserts = changes
       .where(col(opCol).isNull || col(opCol) =!= "delete").drop(opCol)
-    upserts.unionByName(target.join(touched,
-      keys.map(k => target(k) <=> touched(k)).reduce(_ && _), "left_anti"))
+    upserts.unionByName(antiJoinOnKeys(target, touched, keys))
   }
 }

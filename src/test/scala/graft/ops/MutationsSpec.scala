@@ -79,4 +79,42 @@ class MutationsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(after(2L) == "two-v2" && after.size == 3)
   }
+
+  // --- batch DERIVED FROM the target (self-lineage): the key-join
+  // sides used to resolve to the same attributes and lean on Spark's
+  // ambiguous-self-join repair (logged "Constructing trivially true
+  // equals predicate"); the aliased condition makes the plan
+  // unambiguous by construction. Failing the repair is exactly what
+  // spark.sql.analyzer.failAmbiguousSelfJoin guards, so these run with
+  // the guard ON (its default) and would throw if the repair were
+  // still in play on an actually-ambiguous plan. -----------------------
+
+  test("upsert with a batch derived from its target: null-key and duplicate-key rows") {
+    val t = Seq((Some(1L), "one", 10), (Some(2L), "two", 20),
+        (Option.empty[Long], "nil", 99))
+      .toDF("k", "name", "v")
+    // Derive the batch FROM t: bump v on key 2 and the null key, and
+    // emit the null-key row TWICE (duplicate keys: upsert keeps both).
+    val bumped = t.where(col("k").isNull || col("k") === 2L)
+      .withColumn("v", col("v") + 1)
+    val batch = bumped.unionByName(bumped.where(col("k").isNull))
+    val got = Mutations.upsert(t, batch, Seq("k")).collect()
+      .map(r => (Option(r.get(0)), r.getString(1), r.getInt(2)))
+    assert(got.toSet == Set(
+      (Some(1L), "one", 10),     // untouched
+      (Some(2L), "two", 21),     // updated via self-derived batch
+      (None, "nil", 100)))       // null key REPLACED, not duplicated
+    assert(got.count(_._1.isEmpty) == 2)  // both duplicate rows kept
+  }
+
+  test("applyCdc with changes derived from its target deletes and updates correctly") {
+    val t = Seq((1L, "one", 10), (2L, "two", 20), (3L, "three", 30))
+      .toDF("k", "name", "v")
+    val changes = t.where(col("k") === 1L).withColumn("op", lit("delete"))
+      .unionByName(t.where(col("k") === 3L)
+        .withColumn("v", col("v") * 2).withColumn("op", lit("update")))
+    val got = Mutations.applyCdc(t, changes, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(2L -> 20, 3L -> 60))
+  }
 }
