@@ -1529,8 +1529,11 @@ object SparkEntry {
       .join(broadcast(rev.agg(max(col("total_rev")).as("max_rev"))),
         col("total_rev") === col("max_rev"))
       .select(col("l_suppkey"), col("total_rev"))
+    // winners is ~1 row (suppliers tied at the max) but derives from a
+    // grouped agg of lineitem, so the plan cannot show the bound — no
+    // broadcast hint (r13); AQE's runtime stats broadcast it anyway.
     table(s, dir, "supplier").select("s_suppkey", "s_name")
-      .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+      .join(winners, col("s_suppkey") === col("l_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_rev").cast("double").as("total_revenue"))
   }

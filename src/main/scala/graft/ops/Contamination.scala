@@ -13,12 +13,15 @@ import graft.functions.TextFunctions
   * first-class training-data operator here.
   *
   * Scale shape: the benchmark n-gram set is DISTINCT n-grams of the
-  * (small) eval corpus — broadcast it; candidates explode their n-grams
-  * and probe the broadcast set with an inner hash join, then one
-  * groupBy(doc) count. The corpus-side explode is the only large flow
-  * and it partitions by document; no all-pairs anything. If the eval
-  * set ever outgrows broadcast, drop the hint — the same plan shuffles
-  * on the n-gram key.
+  * (small) eval corpus; candidates explode their n-grams and probe it
+  * with an inner hash join, then one groupBy(doc) count. The corpus-
+  * side explode is the only large flow and it partitions by document;
+  * no all-pairs anything. The bench side carries NO broadcast hint
+  * (r13): its size is an eval-set contract the plan cannot verify, so
+  * the static plan is an honest shuffle join and AQE's stats-driven
+  * runtime conversion broadcasts it exactly when it is actually small
+  * — a 100M-gram eval set degrades to the shuffle join instead of
+  * OOMing every executor on a forced build side.
   */
 object Contamination {
 
@@ -55,7 +58,7 @@ object Contamination {
     // (shingles are distinct within a doc) — no extra aggregate.
     val exploded = withSh.select(col("id"), size(col("shs")).as("n_ngrams"),
       explode(col("shs")).as("sh"))
-    exploded.join(broadcast(benchGrams), "sh")
+    exploded.join(benchGrams, "sh")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("__cnt"),
         countDistinct(col("sh")).as("__dsh"),

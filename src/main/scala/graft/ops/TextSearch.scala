@@ -66,9 +66,19 @@ object TextSearch {
       .groupBy("id", "dl", "term").agg(count(lit(1)).cast("double").as("tf"))
     // df = docs whose (distinct) hit set contains the term — same value
     // as count_distinct(id) over tf, one narrow pass + tiny shuffle.
+    // The limit is an exact NO-OP bound made visible in the plan: the
+    // group keys are a subset of the literal query-term list, so the
+    // aggregate can never exceed queryTerms.distinct.size rows — but a
+    // grouped aggregate alone doesn't show boundedness to the plan
+    // audit (r13: grouped aggs stopped counting as barriers), and this
+    // broadcast must never be mistaken for a corpus-growing one. The
+    // broadcast hint itself is load-bearing: shuffle-joining tf on a
+    // handful of term keys would funnel the corpus into <= |terms|
+    // partitions.
     val dfreq = hits
       .select(explode(array_distinct(col("hits"))).as("term"))
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      .limit(queryTerms.distinct.size)
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("w",

@@ -20,23 +20,28 @@ import org.apache.spark.sql.execution.window.WindowExec
   *     one-row GLOBAL aggregate, a limit, a literal VALUES table) is
   *     the nested-loop form of a broadcast join — linear — and appears
   *     at all only because this audit runs with broadcasts
-  *     force-disabled. A GROUPED aggregate does NOT bound a cartesian
-  *     side (its key cardinality can grow with the corpus, keeping the
-  *     join quadratic) even though it stays a barrier for rules 2-3.
+  *     force-disabled.
   *  2. No unpartitioned `WindowExec` fed by an unbounded input: a
-  *     global window moves every row to ONE task. Allowed when
-  *     something between the window and every table scan provably
-  *     shrinks the stream (an aggregate or a limit).
+  *     global window moves every row to ONE task.
   *  3. No `BroadcastExchangeExec` whose build side is an unbounded
   *     table scan: the build side ships to every executor and must
   *     stay size-bounded as the corpus grows.
   *
   * "Unbounded" is a reachability check: from the suspect node walk
-  * DOWN; crossing an aggregate (partial or final) or a limit prunes
-  * the branch (the stream is reduced there — an approximation: a
-  * group-by on a key that grows with the corpus still grows, but
-  * that is a sizing question, not a shape bug); hitting a
+  * DOWN; crossing a GLOBAL aggregate (empty grouping — at most one
+  * row) or a global limit prunes the branch; hitting a
   * `FileSourceScanExec` over one of `unboundedTables` is a violation.
+  * A GROUPED aggregate is NOT a barrier for ANY rule (r13; the
+  * cartesian rule led in r12): a group-by on a corpus-growing key
+  * (per-document stats, per-term counts, a token vocabulary) produces
+  * a corpus-growing stream, so "grouped agg feeds a global window /
+  * broadcast" is exactly the shape that sinks a 100 TB run once key
+  * cardinality follows the data. The allow-shape is what the shipped
+  * operators already do by convention: put an explicit `limit` (or a
+  * global agg) above the grouped aggregate — `TextAnalysis
+  * .vocabCoverage` truncates its vocabulary to topN before ranking,
+  * `TextSearch.hybridRrf` limits per source before its fusion window —
+  * and the walk prunes at that limit.
   *
   * Run it with AQE and auto-broadcast DISABLED so the compile-time
   * plan is the final plan and every broadcast in it is one the code
@@ -50,18 +55,12 @@ object PlanAudit {
     "lineitem", "orders", "events", "documents", "embeddings",
     "customer", "part", "supplier")
 
-  /** `strictAgg`: whether a GROUPED aggregate still counts as a
-    * barrier. For the window/broadcast rules it does (documented
-    * approximation: a group-by reduces the stream; whether the key
-    * cardinality grows with the corpus is a sizing question). For the
-    * CARTESIAN rule it must NOT (ADVICE r11): a cross join is
-    * quadratic in its sides' row counts, and a grouped aggregate whose
-    * key grows with the corpus (per-document stats, per-term counts)
-    * keeps the cartesian quadratic — only a GLOBAL aggregate (empty
-    * grouping — at most one row) or a limit truly bounds a side. */
-  private def isBarrier(p: SparkPlan, strictAgg: Boolean): Boolean = p match {
-    case a: BaseAggregateExec =>
-      !strictAgg || a.groupingExpressions.isEmpty
+  /** Only a GLOBAL aggregate (empty grouping — at most one row) or a
+    * global limit truly bounds a stream in corpus size; a GROUPED
+    * aggregate's key cardinality can grow with the corpus and bounds
+    * nothing (see the object scaladoc for the allow-shape). */
+  private def isBarrier(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec => a.groupingExpressions.isEmpty
     // NOT LocalLimitExec: a per-partition limit grows with partition
     // count, so a plan's row stream below it is NOT bounded in corpus
     // size — treating it as a barrier would let a broadcast of
@@ -76,8 +75,7 @@ object PlanAudit {
       p.endsWith(s"/$t.parquet") || p.contains(s"/$t.parquet/") ||
         p.endsWith(s"/$t") || p.contains(s"/$t/")))
 
-  private def scanOf(p: SparkPlan, tables: Set[String],
-                     strictAgg: Boolean): Option[String] =
+  private def scanOf(p: SparkPlan, tables: Set[String]): Option[String] =
     p match {
       case f: FileSourceScanExec =>
         // Segment-anchored match: "/<t>.parquet" or a "/<t>/" directory
@@ -93,7 +91,7 @@ object PlanAudit {
       // plan without a barrier, so reuse the same reachability walk).
       case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
         val inner = c.relation.cachedPlan
-        reachable(inner, tables, strictAgg).headOption
+        reachable(inner, tables).headOption
       // DSv2 scans (BatchScanExec) — match on the scan's description,
       // which renders the location for file-based v2 sources; a miss
       // here is a false-CLEAN, the failure mode this gate exists for.
@@ -103,15 +101,14 @@ object PlanAudit {
     }
 
   /** Unbounded-table names reachable from `p` (inclusive) without
-    * crossing a stream-reducing barrier (see [[isBarrier]] for the
-    * strictAgg split). Subquery results (scalar / IN lists) are
-    * bounded by construction and not descended into. */
-  private def reachable(p: SparkPlan, tables: Set[String],
-                        strictAgg: Boolean = false): Seq[String] =
-    if (isBarrier(p, strictAgg)) Nil
-    else scanOf(p, tables, strictAgg) match {
+    * crossing a stream-reducing barrier ([[isBarrier]]). Subquery
+    * results (scalar / IN lists) are bounded by construction and not
+    * descended into. */
+  private def reachable(p: SparkPlan, tables: Set[String]): Seq[String] =
+    if (isBarrier(p)) Nil
+    else scanOf(p, tables) match {
       case Some(t) => Seq(t)
-      case None    => p.children.flatMap(reachable(_, tables, strictAgg))
+      case None    => p.children.flatMap(reachable(_, tables))
     }
 
   /** Audit one physical plan (including its subquery plans as extra
@@ -121,11 +118,8 @@ object PlanAudit {
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
     plan.foreachWithSubqueries {
       case c: CartesianProductExec =>
-        // strictAgg: a grouped aggregate does NOT bound a cartesian
-        // side — its key cardinality can grow with the corpus, and the
-        // cross join stays quadratic in it.
-        val l = reachable(c.left, unboundedTables, strictAgg = true)
-        val r = reachable(c.right, unboundedTables, strictAgg = true)
+        val l = reachable(c.left, unboundedTables)
+        val r = reachable(c.right, unboundedTables)
         if (l.nonEmpty && r.nonEmpty)
           violations += "CartesianProduct of two unbounded sides " +
             s"(${l.distinct.mkString(",")} x ${r.distinct.mkString(",")})"

@@ -38,42 +38,60 @@ class PlanAuditSpec extends SparkSpec {
   // r12: the two topKBatch entries left the list — the operator now
   // enforces its query-batch budget in code and broadcasts a
   // LocalRelation, so the audit passes with no excuse.
-  private val contractBounded: Map[String, String] = Map(
+  // r13 (the strict no-grouped-agg-barrier gate): q15/bm25/hybrid_rrf/
+  // contamination were FIXED in code (hint dropped or exact no-op
+  // limit added); only packSequences' two-phase cumsum joins the list —
+  // its bucket table is corpus/bucketWidth rows, bounded by the
+  // documented bucketWidth parameter contract, not by any plan node.
+  private val contractBounded: Map[String, Seq[String]] = Map(
     // The enrichment side is documents filtered to the k COLLECTED hit
     // ids (isin over a literal id list, doc_id unique) — <= k rows by
     // construction, invisible to the reachability walk.
-    "q_enrichment_join" -> "broadcast of unbounded side (documents)")
+    "q_enrichment_join" -> Seq("broadcast of unbounded side (documents)"),
+    // Packing.packSequences' bucket-offsets table: a grouped agg over
+    // floor(id/bucketWidth) with corpus/65536 rows at the default — the
+    // ordered stitching window and the offsets broadcast both ride it.
+    // The bound is the bucketWidth parameter (scaladoc WARNING covers
+    // the sparse-id failure mode); a limit here would silently truncate
+    // real buckets.
+    "q_pack_sequences" -> Seq(
+      "unpartitioned Window over unbounded input (documents)",
+      "broadcast of unbounded side (documents)"))
 
-  /** Remove exactly ONE exact occurrence of `allowed` (substring
+  /** Remove exactly ONE exact occurrence of each `allowed` (substring
     * matching would also excuse a FUTURE different violation whose
     * message contains the allowed text — the r11 verdict's watch
     * item). */
-  private def excuseOne(bad: Seq[String], allowed: String): Seq[String] = {
-    val i = bad.indexOf(allowed)
-    if (i < 0) bad else bad.patch(i, Nil, 1)
-  }
+  private def excuseEach(bad: Seq[String], allowed: Seq[String]): Seq[String] =
+    allowed.foldLeft(bad) { (rem, a) =>
+      val i = rem.indexOf(a)
+      if (i < 0) rem else rem.patch(i, Nil, 1)
+    }
 
   for (name <- graft.SparkEntry.queries.keys.toSeq.sorted)
     test(s"$name plan has no scale-killing shape") {
       withStaticPlans {
         val df = graft.SparkEntry.queries(name)(spark, dir)
         val bad = PlanAudit.audit(df)
-        val unexcused = contractBounded.get(name) match {
-          case Some(allowed) => excuseOne(bad, allowed)
-          case None          => bad
-        }
+        val unexcused = excuseEach(bad,
+          contractBounded.getOrElse(name, Nil))
         assert(unexcused.isEmpty, s"$name: ${unexcused.mkString("; ")}")
       }
     }
 
-  test("allowlist excuses exactly one exact occurrence, not substrings or repeats") {
+  test("allowlist excuses exactly one exact occurrence each, not substrings or repeats") {
     val v = "broadcast of unbounded side (documents)"
-    assert(excuseOne(Seq(v), v).isEmpty)
+    assert(excuseEach(Seq(v), Seq(v)).isEmpty)
     // A second occurrence of the same violation shape is NOT excused.
-    assert(excuseOne(Seq(v, v), v) == Seq(v))
+    assert(excuseEach(Seq(v, v), Seq(v)) == Seq(v))
     // A different violation merely CONTAINING the allowed text is kept.
     val other = s"$v via a second unbounded join input"
-    assert(excuseOne(Seq(other), v) == Seq(other))
+    assert(excuseEach(Seq(other), Seq(v)) == Seq(other))
+    // Two DIFFERENT allowed entries each excuse one occurrence; a
+    // duplicated allowed entry excuses at most its own count.
+    val w = "unpartitioned Window over unbounded input (documents)"
+    assert(excuseEach(Seq(v, w), Seq(w, v)).isEmpty)
+    assert(excuseEach(Seq(v, v, w), Seq(w, v)) == Seq(v))
   }
 
   // --- the gate must catch injected regressions ---------------------
@@ -109,10 +127,13 @@ class PlanAuditSpec extends SparkSpec {
         .agg(avg("l_quantity").as("aq"))
       val bad = PlanAudit.audit(lineitem.crossJoin(perPart))
       assert(bad.exists(_.startsWith("CartesianProduct")), bad.mkString("; "))
-      // ...while the same grouped aggregate still barriers the
-      // BROADCAST rule (documented sizing-not-shape approximation).
-      assert(PlanAudit.audit(
-        lineitem.join(broadcast(perPart), "l_partkey")).isEmpty)
+      // r13 (verdict #3): the same grouped aggregate no longer
+      // barriers the BROADCAST rule either — its key cardinality grows
+      // with the corpus, so broadcasting it is the same scale cliff.
+      val b2 = PlanAudit.audit(
+        lineitem.join(broadcast(perPart), "l_partkey"))
+      assert(b2.exists(_.contains("broadcast of unbounded side")),
+        b2.mkString("; "))
     }
   }
 
@@ -139,12 +160,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("auditor allows an unpartitioned window over aggregated input") {
+  test("global window over a GROUPED aggregate is flagged; a limit above the agg is the allow-shape") {
     withStaticPlans {
       import org.apache.spark.sql.expressions.Window
       val w = Window.orderBy("n")
+      // r13 (verdict #3): a grouped aggregate's output grows with the
+      // corpus (think token vocabulary), so ranking it in a GLOBAL
+      // window is the same one-task funnel as ranking the raw scan.
       val agg = lineitem.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-      assert(PlanAudit.audit(agg.withColumn("rn", row_number().over(w))).isEmpty)
+      val bad = PlanAudit.audit(agg.withColumn("rn", row_number().over(w)))
+      assert(bad.exists(_.contains("unpartitioned Window")), bad.mkString("; "))
+      // The convention the shipped operators follow (vocabCoverage,
+      // hybridRrf): truncate with an explicit limit BEFORE the global
+      // window — the walk prunes at the limit.
+      assert(PlanAudit.audit(agg.orderBy(col("n").desc).limit(100)
+        .withColumn("rn", row_number().over(w))).isEmpty)
+      // ...and a GLOBAL aggregate (<= 1 row) still bounds on its own.
+      val tot = lineitem.agg(count(lit(1)).as("n"))
+      assert(PlanAudit.audit(tot.withColumn("rn", row_number().over(w))).isEmpty)
     }
   }
 
@@ -159,12 +192,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("auditor allows broadcasting an aggregate of a fact table") {
+  test("auditor allows broadcasting a LIMITED aggregate of a fact table") {
     withStaticPlans {
       val per = lineitem.groupBy("l_partkey")
         .agg(avg("l_quantity").as("aq"))
-      assert(PlanAudit.audit(
-        lineitem.join(broadcast(per), "l_partkey")).isEmpty)
+      // The allow-shape: an explicit limit above the grouped agg shows
+      // the bound in the plan itself.
+      assert(PlanAudit.audit(lineitem.join(
+        broadcast(per.orderBy(col("aq").desc).limit(1000)),
+        "l_partkey")).isEmpty)
     }
   }
 
@@ -183,8 +219,10 @@ class PlanAuditSpec extends SparkSpec {
           n.join(broadcast(l), n("n_nationkey") === l("l_suppkey")))
         assert(bad.exists(_.contains("broadcast of unbounded side")),
           bad.mkString("; "))
-        // an aggregate of the cached scan stays allowed (barrier holds)
+        // a LIMITED aggregate of the cached scan stays allowed (the
+        // r13 allow-shape applies through the cached relation too)
         val per = l.groupBy("l_partkey").agg(avg("l_quantity").as("aq"))
+          .orderBy(col("aq").desc).limit(1000)
         assert(PlanAudit.audit(
           lineitem.join(broadcast(per), "l_partkey")).isEmpty)
       } finally { l.unpersist(); () }
