@@ -263,6 +263,22 @@ object ScaleBench {
       println(f"$name%-22s $t1%8.2f $t10%8.2f  ${t10 / t1}%5.1fx")
     }
 
+    // --- capPerBand observability (r13 verdict #4): the dropped-bucket
+    // summary next to the q_dedup_minhash_lsh timing it explains — at
+    // the shipped default cap (this corpus is quiet: hot_buckets 0,
+    // max_bucket the honest headroom number) and at a probe cap below
+    // the corpus's hottest bucket, demonstrating the instrument
+    // reporting a BINDING cap end-to-end on real salted data.
+    if (only.forall(_.contains("minhash_hot_stats"))) {
+      println(f"${"minhash_hot_stats"}%-22s ${"cap"}%6s ${"hot_buckets"}%12s ${"dropped_rows"}%13s ${"max_bucket"}%11s")
+      for ((tag, dir) <- Seq("x1" -> x1, "x10" -> x10); cap <- Seq(1024, 8)) {
+        val r = graft.ops.Dedup.minhashLshHotBandStats(
+          spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          capPerBand = cap).head
+        println(f"  $tag%-20s $cap%6d ${r.getLong(0)}%12d ${r.getLong(1)}%13d ${r.getLong(2)}%11d")
+      }
+    }
+
     // --- ingest cost vs corpus size, documents-only ×N (r9 verdict #6)
     // The ×1/×10 corpora are too small to expose corpus-scaled ingest
     // work (50k docs anti-join in milliseconds); replicate documents

@@ -233,26 +233,17 @@ object Dedup {
     * Mass-identical documents are exact duplicates — [[exact]] finds
     * them for a groupBy, and clustering the survivors is the right
     * pipeline (TrainingPipeline's order); same contract note as
-    * [[simhashPairs]]' degenerate-doc screen. */
+    * [[simhashPairs]]' degenerate-doc screen. OBSERVABILITY (r13):
+    * [[minhashLshHotBandStats]] reports how many buckets a run dropped
+    * and how hot the hottest was — run it with the same parameters
+    * whenever a binding cap would matter. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5,
                       capPerBand: Int = 1024): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
     require(capPerBand >= 2,
       s"capPerBand must leave room for at least one pair per bucket, got $capPerBand")
-    val sh = df.select(col(idCol).as("id"),
-        TextFunctions.shingles(col(textCol), n).as("sh"))
-      .where(size(col("sh")) > 0)
-
-    // band key = "b|v0|v1|..|v{r-1}" over the band's minhash slice,
-    // emitted by the fused MinHashBandsExpr: ONE sha256+rehash pass per
-    // row (projection collapse can't duplicate a single expression's
-    // internals). Only (id, band) flows through the self-join — the
-    // shingle arrays are re-attached to the (small) candidate set
-    // afterwards, keeping wide data out of the join shuffle.
-    val banded = sh.select(col("id"),
-      explode(TextFunctions.minhashBands(col("sh"), numHashes, bands)).as("band"))
+    val (sh, banded) = shingleBands(df, idCol, textCol, n, numHashes, bands)
 
     // Hot-bucket cap: the hot-key table is tiny by construction (keys
     // with > capPerBand members), so the anti-join broadcasts; the
@@ -282,6 +273,57 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"), 4))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Shared LSH front half: (shingled docs, exploded (id, band) keys).
+    *
+    * band key = "b|v0|v1|..|v{r-1}" over the band's minhash slice,
+    * emitted by the fused MinHashBandsExpr: ONE sha256+rehash pass per
+    * row (projection collapse can't duplicate a single expression's
+    * internals). Only (id, band) flows through the self-join — the
+    * shingle arrays are re-attached to the (small) candidate set
+    * afterwards, keeping wide data out of the join shuffle. */
+  private def shingleBands(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, numHashes: Int,
+                           bands: Int): (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = df.select(col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    val banded = sh.select(col("id"),
+      explode(TextFunctions.minhashBands(col("sh"), numHashes, bands)).as("band"))
+    (sh, banded)
+  }
+
+  /** Diagnostic companion to [[minhashLshPairs]] — the house
+    * no-silent-caps convention: a BINDING `capPerBand` must be
+    * observable at runtime, not inferred from missing pairs. One row:
+    *
+    *   - `hot_buckets`  — band buckets with more than `capPerBand`
+    *     members (each dropped whole from candidate generation),
+    *   - `dropped_rows` — (id, band) memberships those buckets held
+    *     (an id dropped from one band can still pair via its others —
+    *     [[minhashLshPairs]]' recall contract),
+    *   - `max_bucket`   — the largest bucket in the corpus, hot or
+    *     not: headroom when the cap never binds ("hottest key is 37 of
+    *     1024"), blast radius when it does.
+    *
+    * Same parameters => hot_buckets/dropped_rows describe exactly the
+    * buckets the pair run dropped (both derive from the same
+    * deterministic band keys). hot_buckets = 0 == the cap never bound
+    * (the parity-pinned quiet-corpus case); production pipelines log
+    * this row next to their dedup stats. */
+  def minhashLshHotBandStats(df: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                             capPerBand: Int = 1024): DataFrame = {
+    val (_, banded) = shingleBands(df, idCol, textCol, n, numHashes, bands)
+    banded.groupBy("band").agg(count(lit(1)).as("__bf"))
+      .agg(
+        coalesce(sum(when(col("__bf") > capPerBand, 1L).otherwise(0L)),
+          lit(0L)).as("hot_buckets"),
+        coalesce(sum(when(col("__bf") > capPerBand, col("__bf"))
+          .otherwise(0L)), lit(0L)).as("dropped_rows"),
+        coalesce(max(col("__bf")), lit(0L)).as("max_bucket"))
   }
 
   /** SimHash near-dup pairs: 63-bit token-vote fingerprints; candidate

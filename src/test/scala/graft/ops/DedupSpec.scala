@@ -135,6 +135,30 @@ class DedupSpec extends SparkSpec {
     assert(!capped.exists { case (a, b) => a < 40L || b < 40L }, capped)
   }
 
+  test("minhashLshHotBandStats: zeros when the cap never binds, counts exactly the dropped buckets") {
+    // No-silent-caps observability (r13): the quiet fixture reports
+    // all-zero; the adversarial fixture's counts agree with what the
+    // pair run actually dropped.
+    val quiet = Dedup.minhashLshHotBandStats(docs, "id", "text",
+      n = 3, numHashes = 16, bands = 8, capPerBand = 1024).head
+    assert((quiet.getLong(0), quiet.getLong(1)) == ((0L, 0L)))
+    // max_bucket reports the hottest bucket EVEN when nothing is hot
+    // (headroom): the fixture's exact-dup pair shares all its bands.
+    assert(quiet.getLong(2) >= 2L && quiet.getLong(2) <= 1024L)
+    // 40 identical docs share every band: 8 bands => 8 hot buckets of
+    // 40 members each at cap 8; the two rare docs' buckets stay cold.
+    val hotDocs = (0L until 40L).map(i => (i, "the same document text repeated verbatim"))
+    val normal = Seq(
+      (100L, "rare alpha beta gamma delta epsilon zeta"),
+      (101L, "rare alpha beta gamma delta epsilon eta"))
+    val d = (hotDocs ++ normal).toDF("id", "text")
+    val hot = Dedup.minhashLshHotBandStats(d, "id", "text",
+      n = 3, numHashes = 16, bands = 8, capPerBand = 8).head
+    assert(hot.getLong(0) == 8L, s"hot_buckets=${hot.getLong(0)}")
+    assert(hot.getLong(1) == 320L, s"dropped_rows=${hot.getLong(1)}")
+    assert(hot.getLong(2) == 40L, s"max_bucket=${hot.getLong(2)}")
+  }
+
   test("simhash: identical texts hamming 0; near dups small; unrelated large") {
     val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 63).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
