@@ -124,12 +124,16 @@ class PropertySpec extends SparkSpec {
   }
 
   test("property: card candidates == JVM reference on random planted digit runs") {
-    // Independent JVM reimplementation of the r12 proposal/disposal
-    // pipeline — maximal separator-joined digit runs (>= 13 digits),
-    // over-19 split into contiguous sub-runs, 13-19 length gate, Luhn
-    // — checked against the Column pipeline on randomized texts. This
-    // pins the regex/split/filter SEMANTICS broadly (the r11 bug class
-    // was exactly a proposal-shape hole no example test covered).
+    // Independent JVM reimplementation of the r13 proposal/disposal
+    // pipeline — maximal separator-joined digit runs; TIER 1 whole-run
+    // (13-19 digit mass + group shape + Luhn); TIER 2 group-boundary
+    // windows (<= 5 groups, every non-last group >= 4 digits, 13-19
+    // mass, Luhn, leftmost-longest greedy non-overlap) when tier 1
+    // fails — checked against the Column pipeline on randomized texts.
+    // This pins the regex/split/filter SEMANTICS broadly (the r11 bug
+    // class was exactly a proposal-shape hole no example test covered;
+    // THIS property caught the r13 session that updated the Column
+    // tiers without this mirror — a fused adjacent-PAN text disagreed).
     def luhnRef(s: String): Boolean = {
       val d = s.filter(_.isDigit).map(_ - '0')
       d.reverse.zipWithIndex.map { case (x, i) =>
@@ -140,13 +144,32 @@ class PropertySpec extends SparkSpec {
       val gs = r.split("[- ]")
       gs.length == 1 || gs.init.forall(_.length >= 2)
     }
+    // mirror of Pii.windowCandidatesCol: parts keep their ONE trailing
+    // separator; windows enumerate (i asc, j desc) so the greedy pick
+    // is leftmost-longest.
+    def windowCandidatesRef(r: String): Seq[String] = {
+      val parts = "[0-9]+[- ]?".r.findAllIn(r).toVector
+      val m = parts.length
+      if (m <= 1) return Seq.empty
+      val wins = for {
+        i <- 1 to m
+        j <- math.min(i + 4, m) to i by -1
+        s = parts.slice(i - 1, j - 1).mkString +
+          parts(j - 1).replaceAll("[- ]$", "")
+        if s.count(_.isDigit) >= 13 && s.count(_.isDigit) <= 19
+        if parts.slice(i - 1, j - 1).forall(_.count(_.isDigit) >= 4)
+        if luhnRef(s)
+      } yield (i, j, s)
+      var last = 0
+      wins.collect { case (i, j, s) if i > last => last = j; s }
+    }
     def refCandidates(text: String): Seq[String] = {
       val runs = Pii.CcPattern.r.findAllIn(text).toSeq
       runs.flatMap { r =>
         val digits = r.count(_.isDigit)
-        if (digits <= 19) Seq(r)
-        else r.split("[- ]").toSeq.filter(p => p.length >= 13 && p.length <= 19)
-      }.filter(c => groupShapeOk(c) && luhnRef(c))
+        if (digits >= 13 && digits <= 19 && groupShapeOk(r) && luhnRef(r)) Seq(r)
+        else windowCandidatesRef(r)
+      }
     }
     val digitRun = for {
       len <- Gen.chooseNum(10, 24)

@@ -59,13 +59,17 @@ class JoinShapeSpec extends SparkSpec {
     }
   }
 
-  test("contamination broadcasts the distinct benchmark n-gram set only") {
+  test("contamination carries NO forced broadcast (bench-set size is a contract, not a plan fact)") {
     withStaticPlans {
+      // r13 (with the grouped-agg plan-audit hardening): the bench
+      // n-gram set's smallness is an eval-set CONTRACT the plan cannot
+      // verify — a forced build side would OOM every executor if an
+      // eval set ever weren't small. The static plan is an honest
+      // shuffle join; under the shipped AQE defaults the measured-small
+      // side still broadcasts at runtime (the q17 pattern).
       val bes = broadcasts("q_contamination")
-      assert(bes.size == 1, s"expected one hinted broadcast, got ${bes.size}")
-      val sub = bes.head.child.toString
-      assert(sub.contains("HashAggregate"), // the distinct() of bench n-grams
-        s"broadcast side should be the distinct bench n-gram set:\n$sub")
+      assert(bes.isEmpty,
+        s"contamination must not force any broadcast:\n${bes.map(_.child.toString).mkString}")
     }
   }
 
@@ -138,17 +142,21 @@ class JoinShapeSpec extends SparkSpec {
     }
   }
 
-  test("q15 broadcasts only aggregate-derived sides (max row + winner set), never a scan") {
+  test("q15 forces only the 1-row max broadcast; the winner set and scans stream") {
     withStaticPlans {
+      // r13: the winners side (~1 row, suppliers tied at max revenue)
+      // DERIVES from a grouped agg of lineitem, so its bound is
+      // invisible to the plan — its hint is gone (AQE broadcasts it
+      // from measured size at runtime). The global-max row keeps its
+      // hint: a global aggregate is 1 row BY PLAN SHAPE.
       val bes = broadcasts("q15_top_supplier")
-      assert(bes.size == 2, s"expected the two hinted broadcasts, got ${bes.size}")
-      bes.foreach { b =>
-        val sub = b.child.toString
-        assert(sub.contains("HashAggregate"),
-          s"every broadcast side must derive from the per-supplier aggregate:\n$sub")
-        assert(!sub.contains("supplier.parquet"),
-          s"the supplier dim must stream, not broadcast:\n$sub")
-      }
+      assert(bes.size == 1, s"expected only the max-row broadcast, got ${bes.size}:" +
+        s"\n${bes.map(_.child.toString).mkString}")
+      val sub = bes.head.child.toString
+      assert(sub.contains("HashAggregate"),
+        s"the broadcast side must be the global-max aggregate:\n$sub")
+      assert(!sub.contains("supplier.parquet"),
+        s"the supplier dim must stream, not broadcast:\n$sub")
     }
   }
 
