@@ -42,7 +42,12 @@ import org.apache.spark.sql.SparkSession
   * official total): a fixed constant-cost job (sum over an in-memory
   * range — no IO, no scale dependence, one task per core so it
   * OCCUPIES the box) runs before the first query, after every 4th,
-  * and AT THE MOMENT any query trips its retry threshold — an in-band
+  * AT THE MOMENT any query trips its retry threshold, and (r13)
+  * immediately after any query exceeding the SUSPICION tier —
+  * max(2.5x its warmup, 0.5 s), below the retry gate — so bursts
+  * shorter than one inter-reading gap that inflate a query 2.5-5x
+  * still put the box state on record (the r12 blind spot: q_opq_adc
+  * 3.40 s vs 1.17 quiet, unflagged, no reading near it). An in-band
   * record of what the box was doing while each query ran. The emitted
   * JSON carries the full timeline (`canary`: per-reading offset +
   * seconds + run min/median), per-query start offsets (`offsets`), a
@@ -227,7 +232,21 @@ object Bench {
         r
       } else t1
       queryEnds(name) = (System.nanoTime() - benchT0) / 1e9
-      if ((qi + 1) % canaryEvery == 0 || qi == sorted.size - 1) readCanary()
+      // Reading-at-suspicion, tier TWO (r13): a query in the 2.5x-5x
+      // warmup band is too fast to trip a retry but too slow to wave
+      // through — r12's driver artifact left 2.5-3x contention
+      // inflations unflagged because the burst fit inside one
+      // inter-reading gap and never pushed a query over the 5x retry
+      // gate. Take a reading right after the query ends (it becomes
+      // the window's after-bound): a burst still in progress spikes
+      // it and flags the victim; a burst that already passed — or an
+      // honestly data-bound heavy — reads quiet and the query stays
+      // unflagged, now with evidence instead of a blind gap. The
+      // retry tier already read the canary mid-window, so skip those.
+      val suspicious = !suspect &&
+        t1 > BenchCanary.suspicionThreshold(warmupSec.getOrElse(name, Double.MaxValue))
+      if (suspicious || (qi + 1) % canaryEvery == 0 || qi == sorted.size - 1)
+        readCanary()
       name -> reported
     }
 

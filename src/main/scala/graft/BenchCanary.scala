@@ -20,6 +20,22 @@ object BenchCanary {
     math.max(4.0 * readingSecs.min, 0.3)
   }
 
+  /** Reading-at-suspicion tier, BELOW the 5x-warmup retry gate: a
+    * query whose time exceeds 2.5x its own warmup (0.5 s absolute
+    * floor so overhead-bound micro-queries never fire) gets a canary
+    * reading immediately after it finishes, even though nothing is
+    * re-run. Why: the group-boundary cadence (every 4th query) leaves
+    * ~3-second blind gaps, and the retry tier only samples at 5x —
+    * r12's driver artifact carried 2.5-3x contention inflations
+    * (q_opq_adc 3.40 s vs 1.17 quiet) that fell in exactly that band
+    * and sailed through with no reading near them. This tier puts the
+    * box state on record for short bursts too weak to trip a rerun.
+    * On a quiet run the 2.5x band is mostly data-bound heavies — a
+    * handful of extra ~0.16 s readings; a quiet reading beside them
+    * keeps them UN-flagged, which is itself evidence. */
+  def suspicionThreshold(warmupSec: Double): Double =
+    math.max(2.5 * warmupSec, 0.5)
+
   /** Is the query window [start, end] suspect? True when any reading
     * taken INSIDE the window (retry-triggered readings land there),
     * the nearest reading at-or-before `start`, or the nearest reading

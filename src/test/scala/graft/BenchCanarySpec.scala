@@ -53,6 +53,34 @@ class BenchCanarySpec extends AnyFunSuite {
       start = 0.0, end = 4.0))
   }
 
+  test("suspicion tier is 2.5x warmup with a 0.5s floor") {
+    // overhead-bound micro-query: floor governs, never fires on quiet
+    assert(BenchCanary.suspicionThreshold(0.1) == 0.5)
+    // data-bound heavy: 2.5x its own warmup governs
+    assert(BenchCanary.suspicionThreshold(1.2) == 3.0)
+    // sits BELOW the retry gate max(5x warmup, 1.0) for every warmup:
+    // the band (2.5x, 5x] is exactly the r12 blind spot
+    for (w <- Seq(0.05, 0.2, 0.5, 1.0, 3.0))
+      assert(BenchCanary.suspicionThreshold(w) < math.max(5.0 * w, 1.0))
+  }
+
+  test("a suspicion-tier reading right after a burst victim flags it (the r12 blind-spot shape)") {
+    // Burst inflates one mid-group query 2.8x (no retry fires); the
+    // suspicion tier appends a reading at the query's end while the
+    // burst is still running. Boundary readings 4 queries apart are
+    // all quiet — without the end-reading this window has no evidence.
+    val t = Seq(0.0 -> 0.06, 4.0 -> 0.06, 7.4 -> 0.85, 9.0 -> 0.06)
+    assert(BenchCanary.suspects(t, Seq(
+      "before" -> (0.5, 3.5),
+      "victim" -> (4.5, 7.4),   // after-bound = the 7.4 suspicion reading
+      "after" -> (7.6, 8.5))) == Seq("victim", "after"))
+    // Same shape, burst already over when the reading lands -> quiet
+    // reading, nothing flagged: an honestly data-bound heavy stays
+    // unflagged WITH evidence instead of via a blind gap.
+    val t2 = Seq(0.0 -> 0.06, 4.0 -> 0.06, 7.4 -> 0.07, 9.0 -> 0.06)
+    assert(BenchCanary.suspects(t2, Seq("victim" -> (4.5, 7.4))).isEmpty)
+  }
+
   test("uniform elevation never flags (all readings scale together)") {
     val t = Seq(0.0 -> 0.25, 5.0 -> 0.3, 10.0 -> 0.28, 15.0 -> 0.26)
     // threshold = 4 x 0.25 = 1.0; nothing exceeds it
