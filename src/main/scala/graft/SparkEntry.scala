@@ -1992,6 +1992,42 @@ object SparkEntry {
         col("top_token_frac"), col("dup_bigram_frac"), col("symbol_ratio"),
         col("gopher_keep").cast("long").as("gopher_keep"))
 
+  /** The registered SQL function surface end-to-end (r13): ONE pure-SQL
+    * query over `documents` calling the graft_* registrations the way a
+    * SQL-only frontend would — quality score + the Gopher signal
+    * struct, language id, stopword/punct fractions, BPE token estimate,
+    * fingerprint, simhash popcount via graft_hamming64, and chunk
+    * counts — oracled against DuckDB like every DataFrame twin. The
+    * other queries pin the Scala API; this one pins the SQL
+    * registrations (with their strict type pins active) to the same
+    * external oracle, so SQL-surface drift can't hide behind
+    * DataFrame-only coverage. */
+  private def qSqlSurface(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    graft.plans.GraftExtensions.register(s)
+    s.sql("""
+      SELECT doc_id,
+             round(graft_quality_score(text), 4) AS quality,
+             graft_lang_guess(text) AS lang_guess,
+             round(graft_stopword_ratio(text), 4) AS stopword_ratio,
+             round(graft_punct_ratio(text), 4) AS punct_ratio,
+             graft_token_estimate(text) AS est_bpe_tokens,
+             graft_fingerprint(text) AS fingerprint,
+             CAST(graft_hamming64(graft_simhash63(text), 0L) AS BIGINT)
+               AS simhash_popcount,
+             sg.n_tokens AS n_tokens,
+             sg.distinct_token_ratio AS distinct_token_ratio,
+             sg.top_token_frac AS top_token_frac,
+             sg.dup_bigram_frac AS dup_bigram_frac,
+             sg.symbol_ratio AS symbol_ratio,
+             CAST(coalesce(sg.gopher_keep, false) AS BIGINT) AS gopher_keep,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE CAST(size(graft_chunks(text, 32, 8)) AS BIGINT) END
+               AS n_chunks
+      FROM (SELECT doc_id, text, graft_quality_signals(text) AS sg
+            FROM documents)""")
+  }
+
   /** Gopher §A1.1's n-gram char-mass repetition family: heaviest
     * repeated-n-gram char fraction (n=2..4; overlapping occurrences
     * count multiplicatively, so adversarially self-overlapping docs
@@ -2477,6 +2513,7 @@ object SparkEntry {
       "q17_below_avg"         -> (q17BelowAvg _),
       "q18_large_orders"      -> (q18LargeOrders _),
       "q_repetition"          -> (qRepetition _),
+      "q_sql_surface"         -> (qSqlSurface _),
       "q_ngram_repetition"    -> (qNgramRepetition _),
       "q_contamination"       -> (qContamination _),
       "q_pii_redact"          -> (qPiiRedact _),
@@ -3011,6 +3048,66 @@ object SparkEntry {
       SELECT doc_id,
              CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id""",
+
+    // The SQL-registration twin: same fragments as q_text_analysis /
+    // q_repetition / q_dedup_simhash / q_chunk, joined per doc — the
+    // Spark side computes them through the graft_* SQL functions
+    // instead of the Scala API.
+    "q_sql_surface" -> s"""
+      WITH $TextFeatureCte,
+      rep AS (
+        SELECT doc_id, toks, L, len(toks) AS n,
+               CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1]) END AS bg,
+               length(regexp_replace(text, '[^\\p{L}\\p{N} ]', '', 'g')) AS alnum
+        FROM base),
+      sig AS (
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               round(CAST(len(list_distinct(toks)) AS DOUBLE) /
+                 CAST(greatest(n, 1) AS DOUBLE), 4) AS distinct_token_ratio,
+               round(CAST(list_max(list_transform(list_distinct(toks),
+                 u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE) /
+                 CAST(greatest(n, 1) AS DOUBLE), 4) AS top_token_frac,
+               CASE WHEN len(bg) = 0 THEN 0.0
+                    ELSE round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) /
+                      CAST(len(bg) AS DOUBLE), 4) END AS dup_bigram_frac,
+               round(CAST(L - alnum AS DOUBLE) /
+                 CAST(greatest(L, 1) AS DOUBLE), 4) AS symbol_ratio,
+               CASE WHEN n <= 32 THEN CAST(1 AS BIGINT)
+                    ELSE CAST(floor(CAST(n - 32 + 23 AS DOUBLE) / 24) AS BIGINT) + 1
+               END AS n_chunks
+        FROM rep),
+      tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      hh AS (SELECT doc_id, ${dk60("t")} AS hv FROM tok),
+      bits AS (
+        SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hh, range(0, 63) r(j) GROUP BY doc_id, j),
+      shq AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id)
+      SELECT g.doc_id,
+             round((len_score + sw_score + word_score) / 3.0, 4) AS quality,
+             $LangGuessSql AS lang_guess,
+             round(sw_en, 4) AS stopword_ratio,
+             round(praw, 4) AS punct_ratio,
+             CAST(list_sum(list_transform(toks, t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS est_bpe_tokens,
+             $FingerprintSql AS fingerprint,
+             CAST(bit_count(shq.simhash) AS BIGINT) AS simhash_popcount,
+             sig.n_tokens, sig.distinct_token_ratio, sig.top_token_frac,
+             sig.dup_bigram_frac, sig.symbol_ratio,
+             CAST(CASE WHEN sig.n_tokens BETWEEN 10 AND 100000
+                         AND sig.distinct_token_ratio >= 0.3
+                         AND sig.top_token_frac <= 0.2
+                         AND sig.dup_bigram_frac <= 0.05
+                         AND sig.symbol_ratio <= 0.1
+                       THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep,
+             sig.n_chunks
+      FROM g
+      JOIN sig ON sig.doc_id = g.doc_id
+      JOIN shq ON shq.doc_id = g.doc_id""",
 
     "q_text_analysis" -> s"""
       WITH $TextFeatureCte

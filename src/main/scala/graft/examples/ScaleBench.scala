@@ -66,7 +66,9 @@ object ScaleBench {
     "q_semdedup2",          // multi-probe cluster-pruned pair join
     "q_tuning_curve",       // 4 batched sample-topk jobs + cluster agg
     // round-11 families
-    "q_ngram_repetition")   // narrow per-row O(grams^2) projection, 0 shuffle
+    "q_ngram_repetition",   // narrow per-row O(grams^2) projection, 0 shuffle
+    // round-13 families
+    "q_sql_surface")        // the graft_* SQL registrations end-to-end, 0 shuffle
 
   /** Shapes that no longer exist in SparkEntry but whose 10× behavior
     * documents WHY the shipped shape replaced them — the before/after

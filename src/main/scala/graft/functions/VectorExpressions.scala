@@ -396,3 +396,32 @@ case class HashEmbedExpr(child: Expression, dim: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** hamming64(a, b) = popcount(a XOR b) over two 64-bit fingerprint
+  * longs — the distance half of the [[TextFunctions.simhash63]] pair
+  * (near-dup docs have small hamming distance between fingerprints;
+  * Dedup.simhashPairs bands on it). Registered as `graft_hamming64` so
+  * a pure-SQL caller can close the loop: fingerprint with
+  * graft_simhash63, then range-filter on graft_hamming64 — without it
+  * the SQL route needs bit_count(a ^ b), which exists but invites the
+  * untyped-coercion trap the strict bridge trait rejects (a string
+  * fed to ^ coerces under legacy rules instead of failing analysis).
+  * Inputs are strictly bigint (the fingerprint contract); narrower
+  * integrals need an explicit CAST. Result range 0..64 as int. */
+case class Hamming64Expr(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.GraftSqlBridge.LongBinaryInputs {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_hamming64"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = java.lang.Long.bitCount($a ^ $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

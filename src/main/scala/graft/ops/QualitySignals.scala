@@ -47,7 +47,73 @@ object QualitySignals {
     * would otherwise re-split the text once per derived column. */
   def signals(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val sig = TextFunctions.let1(TextFunctions.tokens(t)) { toks =>
+    val sig = tokenSignals(t)
+    val symbolRatio = symbolRatioOf(t)
+    // A NULL text must null EVERY signal (the stated contract): the
+    // token split of null text is a null ARRAY, and size(null) is -1
+    // here — without this guard n_tokens was a fabricated -1,
+    // distinct_token_ratio -1.0, and dup_bigram_frac 0.0 (rawBigrams
+    // maps the null array to array(), so the ===0 branch fired) —
+    // undecodable docs silently skewed corpus means and read as
+    // zero-duplication documents.
+    def nullForNullText(c: Column): Column =
+      when(t.isNull, lit(null)).otherwise(c)
+    val out = df
+      .withColumn("n_tokens", nullForNullText(sig.getField("n_tokens")))
+      .withColumn("distinct_token_ratio",
+        nullForNullText(sig.getField("distinct_token_ratio")))
+      .withColumn("top_token_frac", nullForNullText(sig.getField("top_token_frac")))
+      .withColumn("dup_bigram_frac", nullForNullText(sig.getField("dup_bigram_frac")))
+      .withColumn("symbol_ratio", symbolRatio)
+    // coalesce to FALSE: a null text nulls every signal, and a null
+    // keep flag would put the doc in NEITHER the keep nor the drop set
+    // (both where(keep) and where(!keep) exclude it). Undecodable text
+    // is a drop, not a limbo row.
+    out.withColumn("gopher_keep",
+      coalesce(
+        keepOf(col("n_tokens"), col("distinct_token_ratio"),
+          col("top_token_frac"), col("dup_bigram_frac"), col("symbol_ratio")),
+        lit(false)))
+  }
+
+  /** The five signals + keep flag as ONE struct column — the SQL
+    * surface (`graft_quality_signals`). Identical arithmetic to
+    * [[signals]] (same extracted builders); the null contract is the
+    * struct form's: null text -> null STRUCT (matching
+    * graft_ngram_repetition), so the keep field inside a non-null
+    * struct is never null and a SQL caller writes
+    * `coalesce(s.gopher_keep, false)` for the drop-not-limbo rule —
+    * exactly what [[signals]] does for its column form. */
+  def signalsStruct(t: Column): Column =
+    TextFunctions.let1(tokenSignals(t)) { s =>
+      TextFunctions.let1(symbolRatioOf(t)) { sr =>
+        val n = s.getField("n_tokens")
+        val dr = s.getField("distinct_token_ratio")
+        val tt = s.getField("top_token_frac")
+        val db = s.getField("dup_bigram_frac")
+        when(t.isNotNull, struct(
+          n.as("n_tokens"),
+          dr.as("distinct_token_ratio"),
+          tt.as("top_token_frac"),
+          db.as("dup_bigram_frac"),
+          sr.as("symbol_ratio"),
+          coalesce(keepOf(n, dr, tt, db, sr), lit(false)).as("gopher_keep")))
+      }
+    }
+
+  /** The Gopher keep conjunction over the five (ROUNDED) signals. */
+  private def keepOf(nTokens: Column, distinctRatio: Column, topFrac: Column,
+                     dupBigram: Column, symbolRatio: Column): Column =
+    nTokens.between(10L, 100000L) &&
+      distinctRatio >= 0.3 &&
+      topFrac <= 0.2 &&
+      dupBigram <= 0.05 &&
+      symbolRatio <= 0.1
+
+  /** The four token-derived signals as a struct (shared by [[signals]]
+    * and [[signalsStruct]]). */
+  private def tokenSignals(t: Column): Column =
+    TextFunctions.let1(TextFunctions.tokens(t)) { toks =>
       val n = size(toks)
       val nD = greatest(n, lit(1)).cast("double")
       val distinctRatio = round(size(array_distinct(toks)).cast("double") / nD, 4)
@@ -87,43 +153,14 @@ object QualitySignals {
         topTokenFrac.as("top_token_frac"),
         dupBigramFrac.as("dup_bigram_frac"))
     }
-    // Unicode letter/digit classes, NOT [A-Za-z0-9]: both engines (Java
-    // regex and DuckDB's RE2) agree on \p{L}/\p{N} general categories,
-    // and the ASCII class counted every ä/é/ñ — and every non-Latin
-    // letter — as a symbol, structurally failing non-English documents
-    // at the 0.1 gate.
-    val symbolRatio = round(
-      (length(t) - length(regexp_replace(t, "[^\\p{L}\\p{N} ]", ""))).cast("double") /
-        greatest(length(t), lit(1)).cast("double"), 4)
-    // A NULL text must null EVERY signal (the stated contract): the
-    // token split of null text is a null ARRAY, and size(null) is -1
-    // here — without this guard n_tokens was a fabricated -1,
-    // distinct_token_ratio -1.0, and dup_bigram_frac 0.0 (rawBigrams
-    // maps the null array to array(), so the ===0 branch fired) —
-    // undecodable docs silently skewed corpus means and read as
-    // zero-duplication documents.
-    def nullForNullText(c: Column): Column =
-      when(t.isNull, lit(null)).otherwise(c)
-    val out = df
-      .withColumn("n_tokens", nullForNullText(sig.getField("n_tokens")))
-      .withColumn("distinct_token_ratio",
-        nullForNullText(sig.getField("distinct_token_ratio")))
-      .withColumn("top_token_frac", nullForNullText(sig.getField("top_token_frac")))
-      .withColumn("dup_bigram_frac", nullForNullText(sig.getField("dup_bigram_frac")))
-      .withColumn("symbol_ratio", symbolRatio)
-    // coalesce to FALSE: a null text nulls every signal, and a null
-    // keep flag would put the doc in NEITHER the keep nor the drop set
-    // (both where(keep) and where(!keep) exclude it). Undecodable text
-    // is a drop, not a limbo row.
-    out.withColumn("gopher_keep",
-      coalesce(
-        col("n_tokens").between(10L, 100000L) &&
-          col("distinct_token_ratio") >= 0.3 &&
-          col("top_token_frac") <= 0.2 &&
-          col("dup_bigram_frac") <= 0.05 &&
-          col("symbol_ratio") <= 0.1,
-        lit(false)))
-  }
+  /** Symbol ratio over Unicode letter/digit classes, NOT [A-Za-z0-9]:
+    * both engines (Java regex and DuckDB's RE2) agree on \p{L}/\p{N}
+    * general categories, and the ASCII class counted every ä/é/ñ — and
+    * every non-Latin letter — as a symbol, structurally failing
+    * non-English documents at the 0.1 gate. */
+  private def symbolRatioOf(t: Column): Column = round(
+    (length(t) - length(regexp_replace(t, "[^\\p{L}\\p{N} ]", ""))).cast("double") /
+      greatest(length(t), lit(1)).cast("double"), 4)
 
   /** Gopher §A1.1 keep-thresholds for the n-gram char-mass signals
     * (Rae et al. 2021 Table A1): top-n-gram fractions for n=2..4,

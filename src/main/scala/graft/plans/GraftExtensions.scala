@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CosineSimilarityExpr, DotProductExpr, DotProductInt8Expr,
-  HashEmbedExpr, L2DistanceExpr, MinHashBandsExpr, MinHashSigExpr, ShinglesExpr}
+  Hamming64Expr, HashEmbedExpr, L2DistanceExpr, MinHashBandsExpr, MinHashSigExpr,
+  ShinglesExpr}
 
 /** SparkSessionExtensions installer: exposes the fused vector kernels
   * as SQL functions, so `spark.sql("SELECT graft_cosine(a, b) ...")`
@@ -51,6 +52,23 @@ object GraftExtensions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$name $arg must be an integer literal, got $other")
+  }
+
+  /** Column-COMPOSED unary text function with a STRICT string pin:
+    * these lower the same built-in tree the Scala API produces (SQL/
+    * DataFrame bit-parity by construction), but the built-ins carry
+    * ImplicitCastInputTypes and would silently stringify a numeric
+    * column — GraftStrictString makes mis-typed input an ANALYSIS
+    * error, matching the custom-kernel bridge traits (r12). */
+  private def strictText(name: String, usage: String,
+                         f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+    val builder: Seq[Expression] => Expression = { args =>
+      require(args.length == 1, s"$name expects 1 argument (text)")
+      org.apache.spark.sql.GraftSqlBridge.catalystExpression(
+        f(org.apache.spark.sql.GraftSqlBridge.column(
+          org.apache.spark.sql.GraftSqlBridge.GraftStrictString(args(0)))))
+    }
+    (name, info(name, usage), builder)
   }
 
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -115,15 +133,9 @@ object GraftExtensions {
     // Column-composed functions (no dedicated Expression; the bridge
     // lowers the same built-in tree the Scala API produces, so SQL and
     // DataFrame callers are bit-identical by construction).
-    ("graft_simhash63",
-      info("graft_simhash63",
-        "graft_simhash63(text) - 63-bit token-vote SimHash fingerprint (bigint)"),
-      { args: Seq[Expression] =>
-        require(args.length == 1, "graft_simhash63 expects (text)")
-        org.apache.spark.sql.GraftSqlBridge.catalystExpression(
-          graft.functions.TextFunctions.simhash63(
-            org.apache.spark.sql.GraftSqlBridge.column(args(0))))
-      }),
+    strictText("graft_simhash63",
+      "graft_simhash63(text) - 63-bit token-vote SimHash fingerprint (bigint)",
+      graft.functions.TextFunctions.simhash63),
     ("graft_luhn_valid",
       info("graft_luhn_valid",
         "graft_luhn_valid(digits) - Luhn checksum over a digit run " +
@@ -141,36 +153,124 @@ object GraftExtensions {
         // fold's cast see non-digit input; CaseWhen branch order is
         // guaranteed. Null keeps null-in/null-out: a null candidate
         // falls through both branches to the null otherwise.
-        val t = org.apache.spark.sql.GraftSqlBridge.column(args(0))
+        val t = org.apache.spark.sql.GraftSqlBridge.column(
+          org.apache.spark.sql.GraftSqlBridge.GraftStrictString(args(0)))
         val digits = org.apache.spark.sql.functions.translate(t, "- ", "")
         import org.apache.spark.sql.functions.{when, lit}
         org.apache.spark.sql.GraftSqlBridge.catalystExpression(
           when(digits.rlike("^[0-9]+$"), graft.ops.Pii.luhnValid(t))
             .when(t.isNotNull, lit(false)))
       }),
-    ("graft_pii_redact",
-      info("graft_pii_redact",
-        "graft_pii_redact(text) - emails, then phones, then IPv4 replaced " +
-          "with <EMAIL>/<PHONE>/<IP> (the Pii.redactCol cascade)"),
+    strictText("graft_pii_redact",
+      "graft_pii_redact(text) - emails, then phones, then IPv4 replaced " +
+        "with <EMAIL>/<PHONE>/<IP> (the Pii.redactCol cascade)",
+      graft.ops.Pii.redactCol),
+    strictText("graft_cc_redact",
+      "graft_cc_redact(text) - Luhn-valid card candidates (grouping-" +
+        "agnostic maximal digit runs) replaced with <CC>; invalid digit " +
+        "runs survive",
+      t => org.apache.spark.sql.functions.aggregate(
+        graft.ops.Pii.ccCandidatesCol(t), t,
+        (acc, c) => org.apache.spark.sql.functions.replace(acc, c,
+          org.apache.spark.sql.functions.lit("<CC>")))),
+    // --- r13 additions: fingerprint distance + the quality/text tier.
+    // Everything a pure-SQL training-data pipeline filters on before
+    // embedding: normalize -> fingerprint/simhash -> hamming, language
+    // id, quality score, the full Gopher signal struct, token budget,
+    // URL canonicalization, chunking. Each is the EXACT Column tree
+    // the Scala API builds (bit-parity by construction) behind a
+    // strict analysis-time type pin.
+    binary("graft_hamming64",
+      "graft_hamming64(a, b) - popcount(a XOR b) of two 64-bit " +
+        "fingerprint bigints (the distance half of graft_simhash63); " +
+        "narrower integrals need an explicit CAST",
+      Hamming64Expr.apply),
+    strictText("graft_quality_score",
+      "graft_quality_score(text) - composite [0,1] surface-quality score " +
+        "(length band + stopword presence + mean word length), 4 dp",
+      graft.functions.TextFunctions.qualityScore),
+    strictText("graft_lang_guess",
+      "graft_lang_guess(text) - heuristic language id (argmax stopword " +
+        "hit ratio): 'en'/'de'/'es'/'fr', or 'und' when all scores are 0",
+      graft.functions.TextFunctions.langGuess),
+    strictText("graft_stopword_ratio",
+      "graft_stopword_ratio(text) - fraction of tokens in the English " +
+        "stopword list",
+      graft.functions.TextFunctions.stopwordRatio),
+    strictText("graft_punct_ratio",
+      "graft_punct_ratio(text) - [.,!?;:] characters / total characters",
+      graft.functions.TextFunctions.punctRatio),
+    strictText("graft_token_estimate",
+      "graft_token_estimate(text) - BPE-ish subword token-count estimate " +
+        "(sum of ceil(word_len / 4) per whitespace token; bigint)",
+      graft.functions.TextFunctions.bpeTokenEstimate),
+    strictText("graft_normalize_text",
+      "graft_normalize_text(text) - NFC + format-char strip + unicode " +
+        "space/control collapse, trimmed (case preserved)",
+      graft.functions.TextFunctions.normalizeText),
+    strictText("graft_fingerprint",
+      "graft_fingerprint(text) - sha256 of lowercased whitespace-" +
+        "collapsed text (exact near-canonical dedup key)",
+      graft.functions.TextFunctions.fingerprint),
+    strictText("graft_url_canonicalize",
+      "graft_url_canonicalize(url) - scheme/host lowercased, default " +
+        "ports + fragments + tracking params stripped, path normalized",
+      graft.ops.UrlOps.canonicalize),
+    strictText("graft_quality_signals",
+      "graft_quality_signals(text) - Gopher signal struct<n_tokens, " +
+        "distinct_token_ratio, top_token_frac, dup_bigram_frac, " +
+        "symbol_ratio, gopher_keep>; null text -> null struct " +
+        "(coalesce(s.gopher_keep, false) for the drop-not-limbo rule)",
+      graft.ops.QualitySignals.signalsStruct),
+    ("graft_jaccard",
+      info("graft_jaccard",
+        "graft_jaccard(a, b, n) - word n-gram Jaccard similarity of two " +
+          "texts (distinct shingles, |A∩B| / |A∪B|); NULL when either " +
+          "text is null or neither text has an n-gram — the scalar " +
+          "verification half of the dedup pair joins"),
       { args: Seq[Expression] =>
-        require(args.length == 1, "graft_pii_redact expects (text)")
+        require(args.length == 3, "graft_jaccard expects (a, b, n)")
+        val n = intLit("graft_jaccard", "n", args(2))
+        import org.apache.spark.sql.functions.{array_intersect, size, when}
+        import graft.functions.TextFunctions.{let1, shingles}
+        val a = org.apache.spark.sql.GraftSqlBridge.column(
+          org.apache.spark.sql.GraftSqlBridge.GraftStrictString(args(0)))
+        val b = org.apache.spark.sql.GraftSqlBridge.column(
+          org.apache.spark.sql.GraftSqlBridge.GraftStrictString(args(1)))
+        // |A∩B| / (|A| + |B| - |A∩B|) over the DISTINCT shingle arrays —
+        // the exact statistic Dedup.ngramJaccardPairs computes from its
+        // candidate join, so a SQL caller verifying one pair gets the
+        // same number the distributed screen would. The division lives
+        // in a when() branch: two too-short texts have no shingles, and
+        // 0/0 must read "no n-gram evidence" (NULL), not an ANSI error.
+        // The isNotNull gate keeps the arithmetic off null arrays
+        // entirely (size(null) is regime-dependent; a null text must
+        // null the score under every conf).
         org.apache.spark.sql.GraftSqlBridge.catalystExpression(
-          graft.ops.Pii.redactCol(
-            org.apache.spark.sql.GraftSqlBridge.column(args(0))))
+          when(a.isNotNull && b.isNotNull,
+            let1(shingles(a, n)) { sa =>
+              let1(shingles(b, n)) { sb =>
+                let1(size(array_intersect(sa, sb)).cast("double")) { common =>
+                  let1((size(sa) + size(sb)).cast("double") - common) { denom =>
+                    when(denom > 0.0, common / denom)
+                  }
+                }
+              }
+            }))
       }),
-    ("graft_cc_redact",
-      info("graft_cc_redact",
-        "graft_cc_redact(text) - Luhn-valid card candidates (grouping-" +
-          "agnostic maximal digit runs) replaced with <CC>; invalid digit " +
-          "runs survive"),
+    ("graft_chunks",
+      info("graft_chunks",
+        "graft_chunks(text, chunkSize, overlap) - overlapping token " +
+          "windows re-joined with single spaces (array<string>); the " +
+          "embedding-pipeline chunker"),
       { args: Seq[Expression] =>
-        require(args.length == 1, "graft_cc_redact expects (text)")
-        val t = org.apache.spark.sql.GraftSqlBridge.column(args(0))
+        require(args.length == 3, "graft_chunks expects (text, chunkSize, overlap)")
         org.apache.spark.sql.GraftSqlBridge.catalystExpression(
-          org.apache.spark.sql.functions.aggregate(
-            graft.ops.Pii.ccCandidatesCol(t), t,
-            (acc, c) => org.apache.spark.sql.functions.replace(acc, c,
-              org.apache.spark.sql.functions.lit("<CC>"))))
+          graft.functions.TextFunctions.chunks(
+            org.apache.spark.sql.GraftSqlBridge.column(
+              org.apache.spark.sql.GraftSqlBridge.GraftStrictString(args(0))),
+            intLit("graft_chunks", "chunkSize", args(1)),
+            intLit("graft_chunks", "overlap", args(2))))
       })
   )
 

@@ -69,6 +69,48 @@ object GraftSqlBridge {
       Seq(types.ArrayType(types.StringType))
   }
 
+  /** Analysis-time strict STRING pin for Column-COMPOSED SQL functions
+    * — the registrations with no dedicated kernel Expression to carry
+    * [[StringUnaryInputs]]. A transparent pass-through that only
+    * declares its child must be a string: without it, a registered
+    * composition like graft_lang_guess(42) sails through analysis
+    * because the built-ins underneath (split, regexp_replace) carry
+    * ImplicitCastInputTypes and silently STRINGIFY numbers — the exact
+    * bug class the strict traits exist to reject (r12). Wrap the
+    * argument before composing: `f(column(GraftStrictString(arg)))`.
+    * Codegen delegates to the child verbatim (no codegen wall, no
+    * second evaluation); eval likewise. */
+  case class GraftStrictString(child: Expression)
+      extends catalyst.expressions.UnaryExpression
+      with catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[types.AbstractDataType] = Seq(types.StringType)
+    override def dataType: types.DataType = types.StringType
+    override def prettyName: String = "graft_strict_string"
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      child.eval(input)
+    override protected def doGenCode(
+        ctx: catalyst.expressions.codegen.CodegenContext,
+        ev: catalyst.expressions.codegen.ExprCode):
+        catalyst.expressions.codegen.ExprCode = {
+      val c = child.genCode(ctx)
+      ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+    }
+    override protected def withNewChildInternal(newChild: Expression): GraftStrictString =
+      copy(child = newChild)
+  }
+
+  /** Strict bigint x bigint inputs (graft_hamming64): fingerprints are
+    * 63-bit longs by contract (graft_simhash63's output); a string —
+    * or anything implicit coercion would quietly mangle — is a bug to
+    * reject at analysis. Narrower integrals need an explicit CAST,
+    * which is the caller declaring the fingerprint width on purpose. */
+  trait LongBinaryInputs
+      extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    self: Expression =>
+    override def inputTypes: Seq[types.AbstractDataType] =
+      Seq(types.LongType, types.LongType)
+  }
+
   /** Rebind `df` to a CLONE of its session carrying `confs`: any later
     * action on the returned frame plans and executes under those SQL
     * confs (`SQLExecution.withNewExecutionId` runs every action under

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 class GraftExtensionsSpec extends SparkSpec {
   import spark.implicits._
@@ -182,6 +182,154 @@ class GraftExtensionsSpec extends SparkSpec {
     // null text -> null out, end to end
     assert(spark.sql(
       "SELECT graft_cc_redact(CAST(NULL AS STRING)) AS t").head.isNullAt(0))
+  }
+
+  // --- r13: fingerprint distance + the quality/text tier -------------
+
+  test("graft_hamming64 pairs with graft_simhash63 and is strictly typed") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("""
+      SELECT graft_hamming64(graft_simhash63('alpha beta gamma'),
+                             graft_simhash63('alpha beta gamma')) AS same,
+             graft_hamming64(0L, 255L) AS eight,
+             graft_hamming64(0L, -1L) AS full,
+             graft_hamming64(CAST(NULL AS BIGINT), 1L) AS n""").head
+    assert(r.getInt(0) == 0)
+    assert(r.getInt(1) == 8)
+    assert(r.getInt(2) == 64)
+    assert(r.isNullAt(3))
+    // strict bigint x bigint: ints and strings fail ANALYSIS (the
+    // fingerprint contract — an implicit coercion would quietly accept
+    // a string); an explicit CAST is the caller declaring intent.
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hamming64(1, 2)").head
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hamming64('a', 'b')").head
+    }
+    assert(spark.sql("SELECT graft_hamming64(CAST(1 AS BIGINT), CAST(3 AS BIGINT)) AS d")
+      .head.getInt(0) == 1)
+  }
+
+  test("quality/text tier matches the Scala API bit-for-bit") {
+    GraftExtensions.register(spark)
+    import graft.functions.TextFunctions
+    val text = "The quick brown fox, it jumps over the lazy dog! " * 3
+    val df = Seq(Tuple1(text)).toDF("t")
+    val viaScala = df.select(
+      TextFunctions.qualityScore(col("t")).as("qs"),
+      TextFunctions.langGuess(col("t")).as("lg"),
+      TextFunctions.stopwordRatio(col("t")).as("sw"),
+      TextFunctions.punctRatio(col("t")).as("pr"),
+      TextFunctions.bpeTokenEstimate(col("t")).as("te"),
+      TextFunctions.normalizeText(col("t")).as("nt"),
+      TextFunctions.fingerprint(col("t")).as("fp"),
+      graft.ops.UrlOps.canonicalize(lit("HTTPS://Ex.COM:443/a/?utm_x=1&b=2#f")).as("url"),
+      TextFunctions.chunks(col("t"), 8, 2).as("ch")).head
+    df.createOrReplaceTempView("qt_rows")
+    val viaSql = spark.sql("""
+      SELECT graft_quality_score(t) AS qs, graft_lang_guess(t) AS lg,
+             graft_stopword_ratio(t) AS sw, graft_punct_ratio(t) AS pr,
+             graft_token_estimate(t) AS te, graft_normalize_text(t) AS nt,
+             graft_fingerprint(t) AS fp,
+             graft_url_canonicalize('HTTPS://Ex.COM:443/a/?utm_x=1&b=2#f') AS url,
+             graft_chunks(t, 8, 2) AS ch
+      FROM qt_rows""").head
+    assert(viaSql.getDouble(0) == viaScala.getDouble(0))
+    assert(viaSql.getString(1) == viaScala.getString(1))
+    assert(viaSql.getDouble(2) == viaScala.getDouble(2))
+    assert(viaSql.getDouble(3) == viaScala.getDouble(3))
+    assert(viaSql.getLong(4) == viaScala.getLong(4))
+    assert(viaSql.getString(5) == viaScala.getString(5))
+    assert(viaSql.getString(6) == viaScala.getString(6))
+    assert(viaSql.getString(7) == viaScala.getString(7))
+    assert(viaSql.getSeq[String](8) == viaScala.getSeq[String](8))
+  }
+
+  test("graft_quality_signals struct matches the DataFrame gate's columns") {
+    GraftExtensions.register(spark)
+    val texts = Seq(
+      "the quick brown fox jumps over one lazy dog while other animals watch quietly from a nearby hill",
+      "buy buy buy buy buy buy buy buy buy buy buy buy",
+      "short",
+      null.asInstanceOf[String])
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val viaDf = graft.ops.QualitySignals.signals(df, "text")
+      .orderBy("id")
+      .select("n_tokens", "distinct_token_ratio", "top_token_frac",
+        "dup_bigram_frac", "symbol_ratio", "gopher_keep")
+      .collect()
+    df.createOrReplaceTempView("qs_rows")
+    val viaSql = spark.sql(
+      "SELECT id, graft_quality_signals(text) AS s FROM qs_rows ORDER BY id")
+      .collect()
+    texts.indices.foreach { i =>
+      if (texts(i) == null) {
+        // struct form: null text -> null struct; the column form nulls
+        // each signal and coalesces keep to false — same information,
+        // struct-shaped.
+        assert(viaSql(i).isNullAt(1), "null text must yield a null struct")
+        assert(!viaDf(i).getBoolean(5))
+      } else {
+        val s = viaSql(i).getStruct(1)
+        assert(s.getLong(0) == viaDf(i).getLong(0))
+        assert(s.getDouble(1) == viaDf(i).getDouble(1))
+        assert(s.getDouble(2) == viaDf(i).getDouble(2))
+        assert(s.getDouble(3) == viaDf(i).getDouble(3))
+        assert(s.getDouble(4) == viaDf(i).getDouble(4))
+        assert(s.getBoolean(5) == viaDf(i).getBoolean(5))
+      }
+    }
+    // sanity on the gate itself: the repetitive spam row must drop
+    assert(viaSql(1).getStruct(1).getBoolean(5) == false)
+    assert(viaSql(0).getStruct(1).getBoolean(5) == true)
+  }
+
+  test("graft_jaccard matches the distributed pair screen's statistic") {
+    GraftExtensions.register(spark)
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "the quick brown fox leaps over the lazy dog"
+    // same number Dedup.ngramJaccardPairs reports for this pair
+    val viaPairs = graft.ops.Dedup.ngramJaccardPairs(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, threshold = 0.0).select("jaccard").head.getDouble(0)
+    val viaSql = spark.sql(
+      s"SELECT round(graft_jaccard('$a', '$b', 3), 4) AS j").head.getDouble(0)
+    assert(viaSql == viaPairs)
+    val edge = spark.sql("""
+      SELECT graft_jaccard('x y', 'x y', 3) AS tooshort,
+             graft_jaccard('a b c', CAST(NULL AS STRING), 3) AS n,
+             graft_jaccard('a b c d', 'a b c d', 3) AS ident,
+             graft_jaccard('a b c d', 'x y z w', 3) AS disjoint""").head
+    assert(edge.isNullAt(0), "no n-grams on either side -> NULL, not 0/0")
+    assert(edge.isNullAt(1))
+    assert(edge.getDouble(2) == 1.0)
+    assert(edge.getDouble(3) == 0.0)
+  }
+
+  test("r13 tier rejects mis-typed input at ANALYSIS (strict pins on composed trees)") {
+    GraftExtensions.register(spark)
+    // Without GraftStrictString these pass analysis: the built-ins
+    // underneath carry ImplicitCastInputTypes and silently stringify.
+    Seq("graft_quality_score(42)", "graft_lang_guess(42)",
+        "graft_stopword_ratio(42)", "graft_punct_ratio(42)",
+        "graft_token_estimate(42)", "graft_normalize_text(42)",
+        "graft_fingerprint(42)", "graft_url_canonicalize(42)",
+        "graft_quality_signals(42)", "graft_chunks(42, 8, 0)",
+        "graft_jaccard(42, 'x y z', 3)", "graft_jaccard('x y z', 42, 3)",
+        "graft_simhash63(42)", "graft_pii_redact(42)",
+        "graft_cc_redact(42)", "graft_luhn_valid(42)").foreach { call =>
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $call").head
+      }
+    }
+    // chunk shape params stay plan-time literals with loud contracts
+    val lit = intercept[Exception](
+      spark.sql("SELECT graft_chunks('a b c', length('xx'), 0)").head)
+    assert(lit.getMessage.contains("integer literal"))
+    val bad = intercept[Exception](
+      spark.sql("SELECT graft_chunks('a b c', 2, 5)").head)
+    assert(bad.getMessage.contains("overlap"))
   }
 
   test("text kernels reject wrong input types at ANALYSIS, not CCE per task") {
