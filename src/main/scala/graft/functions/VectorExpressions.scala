@@ -418,7 +418,19 @@ case class Hamming64Expr(left: Expression, right: Expression)
     java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    // A bare NULL literal passes the type pin (NullType is accepted for
+    // null-in/null-out), but its codegen value is an UNTYPED `null` —
+    // inlining it into the primitive `^` would fail javac and silently
+    // drop the whole stage to interpreted. The result is constant null
+    // by the null contract, so emit exactly that.
+    if (left.dataType == org.apache.spark.sql.types.NullType ||
+        right.dataType == org.apache.spark.sql.types.NullType)
+      ev.copy(
+        code = org.apache.spark.sql.catalyst.expressions.codegen.EmptyBlock,
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.TrueLiteral,
+        value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+          .defaultLiteral(dataType))
+    else nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = java.lang.Long.bitCount($a ^ $b);")
 
   override protected def withNewChildrenInternal(

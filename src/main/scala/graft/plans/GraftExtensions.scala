@@ -54,6 +54,14 @@ object GraftExtensions {
       s"$name $arg must be an integer literal, got $other")
   }
 
+  /** One strictly-pinned text argument of a Column-composed builder:
+    * every string arg a registration hands to a Column composition goes
+    * through here, so no multi-arg function can forget the pin on one
+    * of its arguments (the bug class the pins exist to prevent). */
+  private def strictCol(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.GraftSqlBridge.GraftStrictString(e))
+
   /** Column-COMPOSED unary text function with a STRICT string pin:
     * these lower the same built-in tree the Scala API produces (SQL/
     * DataFrame bit-parity by construction), but the built-ins carry
@@ -64,9 +72,7 @@ object GraftExtensions {
                          f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
     val builder: Seq[Expression] => Expression = { args =>
       require(args.length == 1, s"$name expects 1 argument (text)")
-      org.apache.spark.sql.GraftSqlBridge.catalystExpression(
-        f(org.apache.spark.sql.GraftSqlBridge.column(
-          org.apache.spark.sql.GraftSqlBridge.GraftStrictString(args(0)))))
+      org.apache.spark.sql.GraftSqlBridge.catalystExpression(f(strictCol(args(0))))
     }
     (name, info(name, usage), builder)
   }
@@ -153,8 +159,7 @@ object GraftExtensions {
         // fold's cast see non-digit input; CaseWhen branch order is
         // guaranteed. Null keeps null-in/null-out: a null candidate
         // falls through both branches to the null otherwise.
-        val t = org.apache.spark.sql.GraftSqlBridge.column(
-          org.apache.spark.sql.GraftSqlBridge.GraftStrictString(args(0)))
+        val t = strictCol(args(0))
         val digits = org.apache.spark.sql.functions.translate(t, "- ", "")
         import org.apache.spark.sql.functions.{when, lit}
         org.apache.spark.sql.GraftSqlBridge.catalystExpression(
@@ -233,10 +238,8 @@ object GraftExtensions {
         val n = intLit("graft_jaccard", "n", args(2))
         import org.apache.spark.sql.functions.{array_intersect, size, when}
         import graft.functions.TextFunctions.{let1, shingles}
-        val a = org.apache.spark.sql.GraftSqlBridge.column(
-          org.apache.spark.sql.GraftSqlBridge.GraftStrictString(args(0)))
-        val b = org.apache.spark.sql.GraftSqlBridge.column(
-          org.apache.spark.sql.GraftSqlBridge.GraftStrictString(args(1)))
+        val a = strictCol(args(0))
+        val b = strictCol(args(1))
         // |A∩B| / (|A| + |B| - |A∩B|) over the DISTINCT shingle arrays —
         // the exact statistic Dedup.ngramJaccardPairs computes from its
         // candidate join, so a SQL caller verifying one pair gets the
@@ -266,9 +269,7 @@ object GraftExtensions {
       { args: Seq[Expression] =>
         require(args.length == 3, "graft_chunks expects (text, chunkSize, overlap)")
         org.apache.spark.sql.GraftSqlBridge.catalystExpression(
-          graft.functions.TextFunctions.chunks(
-            org.apache.spark.sql.GraftSqlBridge.column(
-              org.apache.spark.sql.GraftSqlBridge.GraftStrictString(args(0))),
+          graft.functions.TextFunctions.chunks(strictCol(args(0)),
             intLit("graft_chunks", "chunkSize", args(1)),
             intLit("graft_chunks", "overlap", args(2))))
       })

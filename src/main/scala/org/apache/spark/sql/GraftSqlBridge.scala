@@ -79,11 +79,20 @@ object GraftSqlBridge {
     * bug class the strict traits exist to reject (r12). Wrap the
     * argument before composing: `f(column(GraftStrictString(arg)))`.
     * Codegen delegates to the child verbatim (no codegen wall, no
-    * second evaluation); eval likewise. */
+    * second evaluation); eval likewise.
+    *
+    * A bare NULL literal (NullType — `graft_pii_redact(NULL)`, common
+    * in generated SQL) is ACCEPTED: it carries no wrong-type
+    * information for the pin to reject, and the functions' null-in/
+    * null-out contract must hold for it exactly as for
+    * CAST(NULL AS STRING). The declared dataType stays StringType, so
+    * downstream composed built-ins type-check unchanged and the
+    * constant null propagates. */
   case class GraftStrictString(child: Expression)
       extends catalyst.expressions.UnaryExpression
       with catalyst.expressions.ExpectsInputTypes {
-    override def inputTypes: Seq[types.AbstractDataType] = Seq(types.StringType)
+    override def inputTypes: Seq[types.AbstractDataType] =
+      Seq(types.TypeCollection(types.StringType, types.NullType))
     override def dataType: types.DataType = types.StringType
     override def prettyName: String = "graft_strict_string"
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
@@ -103,12 +112,14 @@ object GraftSqlBridge {
     * 63-bit longs by contract (graft_simhash63's output); a string —
     * or anything implicit coercion would quietly mangle — is a bug to
     * reject at analysis. Narrower integrals need an explicit CAST,
-    * which is the caller declaring the fingerprint width on purpose. */
+    * which is the caller declaring the fingerprint width on purpose.
+    * A bare NULL literal passes (null-in/null-out, as for strings). */
   trait LongBinaryInputs
       extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
     self: Expression =>
     override def inputTypes: Seq[types.AbstractDataType] =
-      Seq(types.LongType, types.LongType)
+      Seq(types.TypeCollection(types.LongType, types.NullType),
+        types.TypeCollection(types.LongType, types.NullType))
   }
 
   /** Rebind `df` to a CLONE of its session carrying `confs`: any later

@@ -307,6 +307,29 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(edge.getDouble(3) == 0.0)
   }
 
+  test("bare NULL literals pass the strict pins (null-in/null-out, not a type error)") {
+    GraftExtensions.register(spark)
+    // An untyped NULL carries no wrong-type information for the pin to
+    // reject, and generated SQL writes plain NULL, not CAST(NULL AS
+    // STRING) — every strictly-pinned function must keep its null
+    // contract for it. Exercised through a real scan so whole-stage
+    // codegen actually compiles the NullType branch (hamming64's
+    // primitive kernel emits a constant typed null there — an untyped
+    // `null` inlined into `^` would fail javac and silently drop the
+    // stage to interpreted).
+    val dir = java.nio.file.Files.createTempDirectory("null_pins").toString
+    Seq(Tuple1(1L)).toDF("id").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("null_rows")
+    val r = spark.sql("""
+      SELECT graft_pii_redact(NULL) AS a, graft_cc_redact(NULL) AS b,
+             graft_simhash63(NULL) AS c, graft_luhn_valid(NULL) AS d,
+             graft_quality_signals(NULL) AS e, graft_fingerprint(NULL) AS f,
+             graft_hamming64(NULL, 5L) AS g, graft_hamming64(1L, NULL) AS h,
+             graft_jaccard(NULL, 'a b c', 2) AS i, graft_chunks(NULL, 8, 0) AS j
+      FROM null_rows""").head
+    (0 until 10).foreach(k => assert(r.isNullAt(k), s"column $k must be null"))
+  }
+
   test("r13 tier rejects mis-typed input at ANALYSIS (strict pins on composed trees)") {
     GraftExtensions.register(spark)
     // Without GraftStrictString these pass analysis: the built-ins
