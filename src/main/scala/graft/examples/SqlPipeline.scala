@@ -1,0 +1,94 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+/** The pure-SQL twin of [[TrainingPipeline]]: the same pre-embedding
+  * filter chain a 100 TB corpus runs, written entirely in `spark.sql`
+  * text against the registered `graft_*` functions — no Scala API
+  * calls past session setup. This is the surface a SQL-only frontend
+  * (a warehouse job, a notebook cell, generated SQL) actually has, and
+  * every stage lowers to the EXACT Column trees the Scala operators
+  * build (bit-parity by construction — GraftExtensionsSpec pins it),
+  * so the two pipelines select the same rows.
+  *
+  * Chain: normalize -> Gopher quality gate + language filter ->
+  * exact dedup on content fingerprint (min-doc_id keeper) -> simhash
+  * near-dup candidate screen via graft_hamming64 -> PII scrub ->
+  * token-budget chunking. Each stage is a CTE over the previous one;
+  * plans stay narrow projections + the two dedup shuffles, identical
+  * to the Scala path's audited shapes.
+  */
+object SqlPipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-sql-pipeline")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
+
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .createOrReplaceTempView("documents")
+
+    val kept = spark.sql("""
+      WITH normalized AS (
+        SELECT doc_id, lang, source,
+               graft_normalize_text(text) AS text
+        FROM documents
+        WHERE text IS NOT NULL),
+      gated AS (
+        SELECT doc_id, lang, source, text,
+               graft_quality_signals(text) AS sig
+        FROM normalized),
+      quality AS (
+        SELECT doc_id, lang, source, text
+        FROM gated
+        WHERE coalesce(sig.gopher_keep, false)
+          AND graft_lang_guess(text) IN ('en', 'de', 'es', 'fr')),
+      -- exact dedup: one hash shuffle on the content fingerprint,
+      -- smallest doc_id survives (the Dedup.exact keeper rule)
+      exact AS (
+        SELECT doc_id, lang, source, text
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY graft_fingerprint(text)
+                ORDER BY doc_id) AS rn
+              FROM quality)
+        WHERE rn = 1),
+      -- near-dup screen, the Dedup.simhashPairs shape in SQL: simhash
+      -- once per doc, 4 x 16-bit bands, candidates from the band
+      -- equi-join (pigeonhole: hamming <= 3 collides in >= 1 band),
+      -- exact hamming confirm — NEVER an all-pairs self-join
+      fingerprinted AS (
+        SELECT *, graft_simhash63(text) AS sh FROM exact),
+      banded AS (
+        SELECT doc_id, sh, b,
+               CAST(shiftright(sh, b * 16) & 65535 AS INT) AS bkey
+        FROM fingerprinted LATERAL VIEW explode(array(0, 1, 2, 3)) t AS b),
+      near_dupes AS (
+        SELECT DISTINCT x.doc_id
+        FROM banded x JOIN banded y
+          ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id > y.doc_id
+        WHERE graft_hamming64(x.sh, y.sh) <= 3)
+      SELECT f.doc_id, f.lang, f.source,
+             graft_cc_redact(graft_pii_redact(f.text)) AS text,
+             graft_token_estimate(f.text) AS est_tokens,
+             graft_chunks(f.text, 64, 8) AS chunks
+      FROM fingerprinted f
+      WHERE f.doc_id NOT IN (SELECT doc_id FROM near_dupes)""")
+
+    kept.createOrReplaceTempView("kept")
+    val stats = spark.sql("""
+      SELECT count(*) AS docs,
+             sum(est_tokens) AS est_tokens,
+             sum(size(chunks)) AS chunks
+      FROM kept""").head
+    println(s"== pure-SQL pipeline: ${stats.getLong(0)} docs kept, " +
+      s"${stats.getLong(1)} est tokens, ${stats.getLong(2)} chunks ==")
+    kept.show(5, 60)
+    spark.stop()
+  }
+}

@@ -317,3 +317,53 @@ case class NgramRepetitionExpr(child: Expression, topNs: Seq[Int], dupNs: Seq[In
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Fused 63-bit token-vote SimHash — one JVM pass per row: one sha256
+  * per token, a primitive 63-bit vote loop, one final assembly.
+  * Replaces the interpreted HOF pipeline of
+  * [[TextFunctions.simhash63Sql]] (per token: a let1 array binding, a
+  * 63-element transform allocating structs, a zip_with allocating the
+  * vote array again — measured ~8.7 s for the sf0.1 document corpus
+  * where this kernel does the same work in the sha-bound floor).
+  * MUST stay value-identical to the HOF form (parity asserted in
+  * TextFunctionsSpec; the DuckDB oracle replicates the HOF form):
+  * - tokens = split on single space, trailing empties kept (the
+  *   [[ShinglesExpr]] contract) — empty tokens vote like any other;
+  * - vote j += (hash60(token) >> j) & 1 == 1 ? +1 : -1, j in 0..62;
+  * - bit j of the result set when vote j > 0 (bits 60-62 always lose
+  *   — hash60 never sets them — and stay 0 in both forms).
+  * CodegenFallback: sha256 dominates, like the MinHash kernel.
+  */
+case class Simhash63Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.GraftSqlBridge.StringUnaryInputs {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash63"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val votes = new Array[Int](63)
+    var i = 0
+    while (i < toks.length) {
+      val h = HashFunctions.hash60Parts(
+        toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 63) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 63) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

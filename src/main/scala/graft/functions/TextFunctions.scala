@@ -175,13 +175,21 @@ object TextFunctions {
 
   /** SimHash over the (multiset of) whitespace tokens: each token's
     * hash60 votes ±1 on bits 0..62; bit j of the result is 1 when the
-    * vote sum is positive. Pure array-fold expression — no shuffle, no
-    * UDF. EFFECTIVE RESOLUTION is 60 bits: hash60 values never set
-    * bits 60-62, so those positions always vote −1 and stay 0 in every
-    * output (both engines compute them identically — the oracle mirrors
-    * this — they just carry no signal; Dedup.simhashPairs' top band has
-    * correspondingly fewer effective bits). */
-  def simhash63(text: Column): Column = {
+    * vote sum is positive. Fused JVM expression ([[Simhash63Expr]], one
+    * sha + primitive vote loop per token) — value-identical to
+    * [[simhash63Sql]], the HOF form external oracles replicate (parity
+    * asserted in TextFunctionsSpec). EFFECTIVE RESOLUTION is 60 bits:
+    * hash60 values never set bits 60-62, so those positions always
+    * vote −1 and stay 0 in every output (both forms compute them
+    * identically — they just carry no signal; Dedup.simhashPairs' top
+    * band has correspondingly fewer effective bits). */
+  def simhash63(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      Simhash63Expr(org.apache.spark.sql.GraftSqlBridge.expression(text)))
+
+  /** Pure-SQL token-vote SimHash (reference semantics for oracle
+    * parity — see [[simhash63]] for the contract). */
+  def simhash63Sql(text: Column): Column = {
     val votes = aggregate(
       tokens(text),
       array_repeat(lit(0L), 63),

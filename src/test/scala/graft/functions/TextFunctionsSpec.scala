@@ -108,6 +108,20 @@ class TextFunctionsSpec extends SparkSpec {
     case _ => }
   }
 
+  test("fused simhash63 == HOF simhash63Sql on real corpus (incl. empties, unicode, null)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .union(Seq("", " ", "a  b", "a b c", "café über straße",
+        "trailing space ").toDF("text"))
+    val bad = docs.where(simhash63($"text") =!= simhash63Sql($"text")).count()
+    assert(bad == 0)
+    // null text -> null in BOTH forms (null-safe <=> over a null pair)
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
+      .select(simhash63($"text").isNull.as("f"), simhash63Sql($"text").isNull.as("h"))
+      .head
+    assert(n.getBoolean(0) && n.getBoolean(1))
+  }
+
   test("fused minhash signature == HOF signature on real corpus (incl. empty)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"text")
