@@ -367,3 +367,73 @@ case class Simhash63Expr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Fused token statistics for the Gopher quality gate — one JVM pass
+  * per row over the whitespace tokens: token count, distinct count,
+  * max token multiplicity, raw-bigram count and duplicated-bigram
+  * count. Replaces the interpreted HOF pipeline inside
+  * QualitySignals.tokenSignals (an array_sort + O(m) aggregate fold
+  * allocating a struct PER TOKEN for the top-frequency run, plus a
+  * transform + array_distinct pass for bigram dups — HOF lambdas never
+  * enter whole-stage codegen).
+  *
+  * SAFE-FUSION PATTERN (same as [[NgramRepetitionExpr]]): the kernel
+  * emits exact INTEGER counts only; every ratio and its 4-dp rounding
+  * stays in Column space, built from these counts with the identical
+  * round()/division calls — so value identity with the HOF form (and
+  * the DuckDB oracles that replicate it) holds by construction for
+  * the derived fractions, and the parity spec pins the counts.
+  *
+  * Count semantics (must match the HOF form exactly):
+  * - tokens = split on single space, trailing empties kept;
+  * - top_freq = max multiplicity of any token == the HOF's max
+  *   equal-run length over array_sort(tokens) (equal tokens sort
+  *   adjacent); 1 when there are fewer than 2 tokens;
+  * - n_bigrams = max(n_tokens - 1, 0) ("a b"-joined raw bigrams);
+  * - n_dup_bigrams = n_bigrams - distinct bigrams (0 when none).
+  */
+case class TokenStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.GraftSqlBridge.StringUnaryInputs {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_freq", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_bigrams", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_dup_bigrams", LongType, nullable = false)))
+  override def prettyName: String = "graft_token_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val n = toks.length
+    val freq = new java.util.HashMap[String, Long](n * 2)
+    var i = 0
+    var topFreq = 0L
+    while (i < n) {
+      val f = freq.merge(toks(i), 1L, (a, b) => a + b)
+      if (f > topFreq) topFreq = f
+      i += 1
+    }
+    // HOF parity: the run fold hard-codes 1 for fewer than 2 tokens
+    // (sz >= 2 gate); with >= 1 token max multiplicity is >= 1 anyway,
+    // so only the impossible n == 0 case differs — split never
+    // produces an empty array, but keep the floor explicit.
+    if (topFreq < 1L) topFreq = 1L
+    val nBigrams = math.max(n - 1, 0)
+    var nDup = 0L
+    if (nBigrams > 0) {
+      val seen = new java.util.HashSet[String](nBigrams * 2)
+      i = 0
+      while (i < nBigrams) {
+        if (!seen.add(toks(i) + " " + toks(i + 1))) nDup += 1L
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      n.toLong, freq.size.toLong, topFreq, nBigrams.toLong, nDup)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -111,8 +111,38 @@ object QualitySignals {
       symbolRatio <= 0.1
 
   /** The four token-derived signals as a struct (shared by [[signals]]
-    * and [[signalsStruct]]). */
-  private def tokenSignals(t: Column): Column =
+    * and [[signalsStruct]]). Counts come from ONE fused JVM pass
+    * ([[graft.functions.TokenStatsExpr]] — the HOF folds below never
+    * enter codegen and allocated a struct per token for the top-run
+    * fold); the ratios and their 4-dp rounding stay in Column space
+    * over the exact integer counts, so the values are identical to
+    * [[tokenSignalsSql]] by construction (parity spec-pinned, and the
+    * q_repetition oracle replays the HOF form externally). */
+  private[graft] def tokenSignals(t: Column): Column = {
+    val stats = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.TokenStatsExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(t)))
+    TextFunctions.let1(stats) { st =>
+      val n = st.getField("n_tokens")
+      val nD = greatest(n, lit(1)).cast("double")
+      val nBg = st.getField("n_bigrams")
+      struct(
+        n.as("n_tokens"),
+        round(st.getField("n_distinct").cast("double") / nD, 4)
+          .as("distinct_token_ratio"),
+        round(st.getField("top_freq").cast("double") / nD, 4)
+          .as("top_token_frac"),
+        when(nBg === 0, lit(0.0)).otherwise(
+          round(st.getField("n_dup_bigrams").cast("double") /
+            nBg.cast("double"), 4)).as("dup_bigram_frac"))
+    }
+  }
+
+  /** The interpreted HOF construction [[tokenSignals]] replaced — kept
+    * as the oracle-parity reference (the DuckDB q_repetition oracle
+    * replicates THIS form; QualitySignalsSpec pins the fused pass
+    * against it on the corpus). */
+  private[graft] def tokenSignalsSql(t: Column): Column =
     TextFunctions.let1(TextFunctions.tokens(t)) { toks =>
       val n = size(toks)
       val nD = greatest(n, lit(1)).cast("double")

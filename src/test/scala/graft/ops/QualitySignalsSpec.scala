@@ -12,6 +12,41 @@ class QualitySignalsSpec extends SparkSpec {
         "dup_bigram_frac", "symbol_ratio", "gopher_keep")
       .head
 
+  test("fused token stats == HOF tokenSignalsSql on real corpus (incl. edge texts)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // The fused TokenStatsExpr pass must reproduce the interpreted HOF
+    // construction's struct EXACTLY — the DuckDB q_repetition oracle
+    // replays the HOF form, so any divergence is an oracle break.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .union(Seq("", " ", "a", "a a", "a  b a", "x y x y x y",
+        "café über café  über", "trailing space ").toDF("text"))
+    val bad = docs.where(!(
+      QualitySignals.tokenSignals(col("text")) <=>
+        QualitySignals.tokenSignalsSql(col("text")))).count()
+    assert(bad == 0)
+    // Null text: the fused form nulls the whole struct (null-safe
+    // eval), the HOF form yields null fields EXCEPT top_token_frac,
+    // where its run fold falls through when(null >= 2) to the
+    // otherwise(1L) branch and FABRICATES 1.0 — the very artifact the
+    // public surfaces mask (signals()'s nullForNullText, struct form's
+    // isNotNull gate; both null-text contracts are pinned elsewhere in
+    // this suite). Pin the divergence explicitly so it stays known:
+    // the fused kernel is the HONEST form here.
+    val f = QualitySignals.tokenSignals(col("text"))
+    val h = QualitySignals.tokenSignalsSql(col("text"))
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
+      .select(
+        f.getField("top_token_frac").isNull.as("fused_null"),
+        (h.getField("top_token_frac") <=> lit(1.0)).as("hof_fabricates"),
+        (f.getField("n_tokens") <=> h.getField("n_tokens")).as("n_eq"),
+        (f.getField("distinct_token_ratio") <=>
+          h.getField("distinct_token_ratio")).as("d_eq"),
+        (f.getField("dup_bigram_frac") <=>
+          h.getField("dup_bigram_frac")).as("b_eq")).head
+    (0 until 5).foreach(i => assert(n.getBoolean(i), s"field check $i"))
+  }
+
   test("known values on a fully repetitive text") {
     // "a a a a": 4 tokens, 1 distinct, top token 4/4, bigrams
     // ["a a","a a","a a"] -> 2 of 3 duplicated, no symbols.
