@@ -437,3 +437,74 @@ case class TokenStatsExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Fused surface text statistics — one JVM pass per row over the
+  * whitespace tokens: token count, summed token char length (code
+  * points, matching Spark length()), BPE-ish subword estimate, and one
+  * stopword hit count per supplied word list. Replaces the ~9
+  * interpreted HOF passes TextAnalysis.analyze paid per row
+  * (bpeTokenEstimateOf + stopwordRatioOf + meanTokenLenOf, each
+  * re-run inside qualityScoreOf, plus langGuessOf's four wordRatioOf
+  * filters — HOF lambdas never enter whole-stage codegen).
+  *
+  * SAFE-FUSION PATTERN ([[NgramRepetitionExpr]] / [[TokenStatsExpr]]):
+  * integer counts only; ratios, rounding, score formulas and the
+  * language-id fold stay in Column space built from these counts, so
+  * the derived values equal the HOF forms by construction (kernel
+  * counts parity-pinned in TextFunctionsSpec; the q_text_analysis
+  * oracle replays the HOF arithmetic externally).
+  *
+  * Count semantics (must match the HOF forms exactly):
+  * - tokens = split on single space, trailing empties kept;
+  * - sum_token_chars = Σ code-point length per token (Spark length());
+  *   summed as long — the HOF's double fold of integers is exact
+  *   below 2^53, so long-sum == double-fold bit-for-bit after cast;
+  * - bpe_est = Σ ceil(len/4) = Σ (len + 3) / 4 in integers;
+  * - hits[i] = tokens contained in wordLists(i) (the isin filter).
+  */
+case class TextStatsExpr(child: Expression, wordLists: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.GraftSqlBridge.StringUnaryInputs {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sum_token_chars", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("bpe_est", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("hits",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "graft_text_stats"
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    wordLists.map { ws =>
+      val s = new java.util.HashSet[String](ws.size * 2)
+      ws.foreach(s.add)
+      s
+    }.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val k = sets.length
+    val hits = new Array[Long](k)
+    var sumChars = 0L
+    var bpe = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val len = t.codePointCount(0, t.length)
+      sumChars += len
+      bpe += (len + 3) / 4
+      var j = 0
+      while (j < k) {
+        if (sets(j).contains(t)) hits(j) += 1L
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      toks.length.toLong, sumChars, bpe,
+      new GenericArrayData(hits.map(v => v: Any)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

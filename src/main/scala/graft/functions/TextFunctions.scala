@@ -63,7 +63,26 @@ object TextFunctions {
     size(filter(toks, t => t.isin(words.map(lit(_)): _*))).cast("double") /
       greatest(size(toks), lit(1)).cast("double")
 
-  def stopwordRatio(text: Column): Column = wordRatio(text, StopwordsEn)
+  /** Fused surface-stat struct for one text column: token count,
+    * summed token chars, BPE estimate, and the four language stopword
+    * hit counts, in ONE JVM pass ([[TextStatsExpr]]). The text->value
+    * feature functions below derive their ratios/scores from these
+    * exact integer counts with the same Column arithmetic as their
+    * `...Of` HOF twins — value-identical by construction (kernel
+    * counts parity-pinned in TextFunctionsSpec). */
+  private[graft] def textStats(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      TextStatsExpr(org.apache.spark.sql.GraftSqlBridge.expression(text),
+        Seq(StopwordsEn, StopwordsDe, StopwordsEs, StopwordsFr)))
+
+  /** Ratio of a hit count to greatest(n_tokens, 1) — the wordRatioOf
+    * quotient over the fused counts. */
+  private[graft] def hitRatio(st: Column, slot: Int): Column =
+    element_at(st.getField("hits"), slot).cast("double") /
+      greatest(st.getField("n_tokens"), lit(1L)).cast("double")
+
+  def stopwordRatio(text: Column): Column =
+    hitRatio(textStats(text), 1)
 
   def stopwordRatioOf(toks: Column): Column = wordRatioOf(toks, StopwordsEn)
 
@@ -76,14 +95,18 @@ object TextFunctions {
     * ceil(len/4) subwords (the ~4-chars-per-BPE-token rule of thumb),
     * summed. Integer arithmetic — exact in any engine. */
   def bpeTokenEstimate(text: Column): Column =
-    bpeTokenEstimateOf(tokens(text))
+    textStats(text).getField("bpe_est")
 
   def bpeTokenEstimateOf(toks: Column): Column =
     aggregate(toks, lit(0L),
       (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
 
   /** Mean token length in characters. */
-  def meanTokenLen(text: Column): Column = meanTokenLenOf(tokens(text))
+  def meanTokenLen(text: Column): Column =
+    let1(textStats(text)) { st =>
+      st.getField("sum_token_chars").cast("double") /
+        greatest(st.getField("n_tokens"), lit(1L)).cast("double")
+    }
 
   def meanTokenLenOf(toks: Column): Column =
     aggregate(toks, lit(0.0), (acc, t) => acc + length(t).cast("double")) /
@@ -91,28 +114,48 @@ object TextFunctions {
 
   /** Composite [0,1] quality score from cheap surface features —
     * length band + stopword presence + reasonable word lengths.
-    * A heuristic in the spirit of C4/Gopher-style quality filters. */
-  def qualityScore(text: Column): Column = qualityScoreOf(text, tokens(text))
+    * A heuristic in the spirit of C4/Gopher-style quality filters.
+    * One fused stats pass; identical formula to [[qualityScoreOf]]. */
+  def qualityScore(text: Column): Column =
+    let1(textStats(text)) { st =>
+      qualityFormula(text,
+        hitRatio(st, 1),
+        st.getField("sum_token_chars").cast("double") /
+          greatest(st.getField("n_tokens"), lit(1L)).cast("double"))
+    }
 
-  def qualityScoreOf(text: Column, toks: Column): Column = {
+  def qualityScoreOf(text: Column, toks: Column): Column =
+    qualityFormula(text, stopwordRatioOf(toks), meanTokenLenOf(toks))
+
+  /** The score formula shared by the fused and HOF entry points: its
+    * inputs (stopword ratio, mean token length) are identical doubles
+    * from either path, so the outputs are bit-equal. */
+  private[graft] def qualityFormula(text: Column, swRatio: Column, mtl: Column): Column = {
     val lenScore = when(length(text).between(50, 2000), 1.0)
       .when(length(text) < 50, length(text).cast("double") / 50.0)
       .otherwise(lit(2000.0) / length(text).cast("double"))
-    val swScore = least(stopwordRatioOf(toks) * 5.0, lit(1.0))
-    val mtl = meanTokenLenOf(toks)
+    val swScore = least(swRatio * 5.0, lit(1.0))
     val wordScore = when(mtl.between(3.0, 10.0), 1.0).otherwise(0.5)
     round((lenScore + swScore + wordScore) / 3.0, 4)
   }
 
   /** Heuristic language ID: argmax of per-language stopword hit ratios;
     * 'und' when every score is zero. Ties break in fixed order
-    * en > de > es > fr. */
-  def langGuess(text: Column): Column = langGuessOf(tokens(text))
+    * en > de > es > fr. One fused stats pass; the fold and its ratio
+    * inputs are identical to [[langGuessOf]]'s. */
+  def langGuess(text: Column): Column =
+    let1(textStats(text)) { st =>
+      langFold(Seq("en" -> hitRatio(st, 1), "de" -> hitRatio(st, 2),
+        "es" -> hitRatio(st, 3), "fr" -> hitRatio(st, 4)))
+    }
 
-  def langGuessOf(toks: Column): Column = {
-    val scores = Seq(
+  def langGuessOf(toks: Column): Column =
+    langFold(Seq(
       "en" -> wordRatioOf(toks, StopwordsEn), "de" -> wordRatioOf(toks, StopwordsDe),
-      "es" -> wordRatioOf(toks, StopwordsEs), "fr" -> wordRatioOf(toks, StopwordsFr))
+      "es" -> wordRatioOf(toks, StopwordsEs), "fr" -> wordRatioOf(toks, StopwordsFr)))
+
+  /** The argmax fold shared by the fused and HOF entry points. */
+  private[graft] def langFold(scores: Seq[(String, Column)]): Column = {
     val best = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((lang, s), acc) =>
       when(s > 0.0 && s === best, lit(lang)).otherwise(acc)

@@ -15,24 +15,30 @@ object TextAnalysis {
   /** Adds: n_tokens, est_bpe_tokens, n_chars_calc, stopword_ratio,
     * punct_ratio, mean_token_len, quality, lang_guess, fingerprint.
     *
-    * The token array is [[graft.functions.TextFunctions.let1]]-bound
-    * ONCE and every token-derived column reads it (same discipline as
-    * QualitySignals.signals): projection collapse would otherwise
-    * rebuild the split per use site — quality alone re-derives it ~5×
-    * and langGuess's when-branches ~16×, multiplying the dominant
-    * per-row cost of this "one codegen'd projection". Values are
-    * bit-identical to the unbound forms (same expressions, one shared
-    * binding — the q_text_analysis oracle pins it). */
+    * All token-derived columns read ONE fused stats pass
+    * ([[graft.functions.TextStatsExpr]], let1-bound — the previous
+    * shared-token-array discipline still re-ran ~9 interpreted HOF
+    * folds over that array per row; HOF lambdas never enter codegen).
+    * The ratios/scores/fold are the same Column arithmetic as the
+    * `...Of` HOF twins applied to the kernel's exact integer counts —
+    * bit-identical values (kernel counts parity-pinned; the
+    * q_text_analysis oracle replays the HOF arithmetic externally). */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val sig = let1(tokens(t)) { toks =>
+    val sig = let1(textStats(t)) { st =>
+      val nD = greatest(st.getField("n_tokens"), lit(1L)).cast("double")
+      val swEn = hitRatio(st, 1)
+      val mtl = st.getField("sum_token_chars").cast("double") / nD
       struct(
-        size(toks).as("n_tokens"),
-        bpeTokenEstimateOf(toks).as("est_bpe_tokens"),
-        round(stopwordRatioOf(toks), 4).as("stopword_ratio"),
-        round(meanTokenLenOf(toks), 4).as("mean_token_len"),
-        qualityScoreOf(t, toks).as("quality"),
-        langGuessOf(toks).as("lang_guess"))
+        // size(toks) was INT; the kernel counts in long — cast back so
+        // the published schema is unchanged
+        st.getField("n_tokens").cast("int").as("n_tokens"),
+        st.getField("bpe_est").as("est_bpe_tokens"),
+        round(swEn, 4).as("stopword_ratio"),
+        round(mtl, 4).as("mean_token_len"),
+        qualityFormula(t, swEn, mtl).as("quality"),
+        langFold(Seq("en" -> swEn, "de" -> hitRatio(st, 2),
+          "es" -> hitRatio(st, 3), "fr" -> hitRatio(st, 4))).as("lang_guess"))
     }
     // size(null token array) is -1 here, so without the guard a NULL
     // text got a fabricated n_tokens = -1 beside its (correctly null)

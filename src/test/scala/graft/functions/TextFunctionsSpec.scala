@@ -108,6 +108,28 @@ class TextFunctionsSpec extends SparkSpec {
     case _ => }
   }
 
+  test("fused text stats: every text->value feature == its HOF twin on real corpus") {
+    // The text->value forms (and TextAnalysis.analyze) now derive from
+    // TextStatsExpr's integer counts; the `...Of` HOF constructions
+    // remain the reference the DuckDB oracles replicate. Equality must
+    // hold value-for-value on the corpus plus the edge shapes —
+    // including a non-BMP token (the kernel counts CODE POINTS like
+    // Spark length(), not UTF-16 units like String.length).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .union(Seq("", " ", "a", "the cat", "el la de que y en",
+        "der und ist le la de", "x 𝕏 y 𝕏𝕏", "café über straße",
+        "trailing space ", null.asInstanceOf[String]).toDF("text"))
+    val toks = tokens($"text")
+    val bad = docs.where(!(
+      (stopwordRatio($"text") <=> stopwordRatioOf(toks)) &&
+      (meanTokenLen($"text") <=> meanTokenLenOf(toks)) &&
+      (bpeTokenEstimate($"text") <=> bpeTokenEstimateOf(toks)) &&
+      (qualityScore($"text") <=> qualityScoreOf($"text", toks)) &&
+      (langGuess($"text") <=> langGuessOf(toks)))).count()
+    assert(bad == 0)
+  }
+
   test("fused simhash63 == HOF simhash63Sql on real corpus (incl. empties, unicode, null)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"text")
