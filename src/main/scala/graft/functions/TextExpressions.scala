@@ -508,3 +508,57 @@ case class TextStatsExpr(child: Expression, wordLists: Seq[Seq[String]])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Fused token-window chunking — one JVM pass per row building every
+  * chunk string directly. Replaces the interpreted HOF construction of
+  * [[TextFunctions.chunksSql]] (a transform over sequence() whose body
+  * runs slice + concat_ws per chunk over the re-read token array; HOF
+  * lambdas never enter codegen) on the store-build hot path (chunk ->
+  * embed per chunk, q_maxsim_store's documented floor) and the
+  * chunk/pack queries. MUST stay value-identical to the HOF form
+  * (parity asserted in TextFunctionsSpec; the q_chunk DuckDB oracle
+  * replicates the HOF arithmetic):
+  * - tokens = split on single space, trailing empties kept;
+  * - stride = chunkSize - overlap; n <= chunkSize -> exactly 1 chunk;
+  *   else floor((n - chunkSize + stride - 1) / stride) + 1 chunks;
+  * - chunk i = tokens[i*stride, i*stride + chunkSize) joined by one
+  *   space, the last window clamped (shorter tail kept, never padded).
+  */
+case class ChunksExpr(child: Expression, chunkSize: Int, overlap: Int)
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.GraftSqlBridge.StringUnaryInputs {
+  require(chunkSize > 0, "chunkSize must be positive")
+  require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_chunks"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val n = toks.length
+    val stride = chunkSize - overlap
+    val nChunks =
+      if (n <= chunkSize) 1
+      else (n - chunkSize + stride - 1) / stride + 1
+    val out = new Array[Any](nChunks)
+    val sb = new java.lang.StringBuilder
+    var c = 0
+    while (c < nChunks) {
+      sb.setLength(0)
+      val start = c * stride
+      val end = math.min(start + chunkSize, n)
+      var i = start
+      while (i < end) {
+        if (i > start) sb.append(' ')
+        sb.append(toks(i))
+        i += 1
+      }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -172,7 +172,15 @@ object TextFunctions {
     * pre-chunked langchain documents (reference:
     * src/langchain_memvid/vectorstore.py:197-212, Encoder.add_chunks);
     * this operator brings the chunking step itself into the engine. */
-  def chunks(text: Column, chunkSize: Int, overlap: Int = 0): Column = {
+  def chunks(text: Column, chunkSize: Int, overlap: Int = 0): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      ChunksExpr(org.apache.spark.sql.GraftSqlBridge.expression(text),
+        chunkSize, overlap))
+
+  /** The interpreted HOF chunking [[chunks]] replaced — kept as the
+    * oracle-parity reference (q_chunk's DuckDB oracle replicates this
+    * arithmetic; TextFunctionsSpec pins the fused kernel against it). */
+  private[graft] def chunksSql(text: Column, chunkSize: Int, overlap: Int = 0): Column = {
     require(chunkSize > 0, "chunkSize must be positive")
     require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
     val stride = chunkSize - overlap

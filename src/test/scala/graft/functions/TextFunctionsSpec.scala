@@ -130,6 +130,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("fused chunks == HOF chunksSql on real corpus (several shapes, incl. null)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .union(Seq("", " ", "a", (1 to 7).map(i => s"w$i").mkString(" "),
+        (1 to 8).map(i => s"w$i").mkString(" "),
+        (1 to 9).map(i => s"w$i").mkString(" "),
+        (1 to 53).map(i => s"w$i").mkString(" "),
+        null.asInstanceOf[String]).toDF("text"))
+    Seq((8, 0), (8, 3), (32, 8), (1, 0)).foreach { case (cs, ov) =>
+      val bad = docs.where(!(
+        chunks($"text", cs, ov) <=> chunksSql($"text", cs, ov))).count()
+      assert(bad == 0, s"chunkSize=$cs overlap=$ov")
+    }
+  }
+
   test("fused simhash63 == HOF simhash63Sql on real corpus (incl. empties, unicode, null)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"text")
