@@ -2,14 +2,17 @@ package graft.examples
 
 import org.apache.spark.sql.SparkSession
 
-/** The pure-SQL twin of [[TrainingPipeline]]: the same pre-embedding
-  * filter chain a 100 TB corpus runs, written entirely in `spark.sql`
-  * text against the registered `graft_*` functions — no Scala API
-  * calls past session setup. This is the surface a SQL-only frontend
-  * (a warehouse job, a notebook cell, generated SQL) actually has, and
-  * every stage lowers to the EXACT Column trees the Scala operators
-  * build (bit-parity by construction — GraftExtensionsSpec pins it),
-  * so the two pipelines select the same rows.
+/** A pre-embedding filter chain written entirely in `spark.sql` text
+  * against the registered `graft_*` functions — no Scala API calls
+  * past session setup. This is the surface a SQL-only frontend (a
+  * warehouse job, a notebook cell, generated SQL) actually has. Each
+  * FUNCTION lowers to the exact Column tree the Scala API builds
+  * (bit-parity by construction — GraftExtensionsSpec pins it); the
+  * PIPELINE itself is a deliberately simpler chain than
+  * [[TrainingPipeline]] (Gopher gate only vs its quantile/repetition
+  * gates; simhash banding vs its MinHash-LSH + containment + CC
+  * keeper), so the two examples do NOT select the same rows — compare
+  * per-function values, not kept sets.
   *
   * Chain: normalize -> Gopher quality gate + language filter ->
   * exact dedup on content fingerprint (min-doc_id keeper) -> simhash
@@ -72,13 +75,19 @@ object SqlPipeline {
         SELECT DISTINCT x.doc_id
         FROM banded x JOIN banded y
           ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id > y.doc_id
-        WHERE graft_hamming64(x.sh, y.sh) <= 3)
-      SELECT f.doc_id, f.lang, f.source,
-             graft_cc_redact(graft_pii_redact(f.text)) AS text,
-             graft_token_estimate(f.text) AS est_tokens,
-             graft_chunks(f.text, 64, 8) AS chunks
-      FROM fingerprinted f
-      WHERE f.doc_id NOT IN (SELECT doc_id FROM near_dupes)""")
+        WHERE graft_hamming64(x.sh, y.sh) <= 3),
+      -- PII scrub BEFORE chunking/estimation: the chunks array is what
+      -- a downstream embed step consumes, so it must carry the
+      -- redacted text, never the raw PANs/emails
+      scrubbed AS (
+        SELECT f.doc_id, f.lang, f.source,
+               graft_cc_redact(graft_pii_redact(f.text)) AS text
+        FROM fingerprinted f
+        WHERE f.doc_id NOT IN (SELECT doc_id FROM near_dupes))
+      SELECT doc_id, lang, source, text,
+             graft_token_estimate(text) AS est_tokens,
+             graft_chunks(text, 64, 8) AS chunks
+      FROM scrubbed""")
 
     kept.createOrReplaceTempView("kept")
     val stats = spark.sql("""

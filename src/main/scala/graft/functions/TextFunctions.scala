@@ -82,7 +82,10 @@ object TextFunctions {
       greatest(st.getField("n_tokens"), lit(1L)).cast("double")
 
   def stopwordRatio(text: Column): Column =
-    hitRatio(textStats(text), 1)
+    // let1-bound like every sibling fused entry point: hitRatio reads
+    // the struct twice (hits numerator, n_tokens denominator), and
+    // projection collapse would duplicate the whole kernel per read.
+    let1(textStats(text))(st => hitRatio(st, 1))
 
   def stopwordRatioOf(toks: Column): Column = wordRatioOf(toks, StopwordsEn)
 
