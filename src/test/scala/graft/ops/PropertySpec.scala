@@ -22,6 +22,45 @@ class PropertySpec extends SparkSpec {
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("property: fused text kernels == HOF twins on adversarial generated texts") {
+    // The corpus parity pins cover real data; this generates the
+    // shapes real data underrepresents — runs of separators (empty
+    // tokens), non-BMP code points (UTF-16 units != code points),
+    // single-char and repeated tokens, leading/trailing spaces — and
+    // asserts EVERY fused kernel against its interpreted HOF twin.
+    import graft.functions.TextFunctions._
+    val token = Gen.oneOf("a", "bb", "the", "und", "𝕏", "𝕏y𝕏", "café",
+      "ccccccccc", "x1", ".")
+    val sep = Gen.oneOf(" ", "  ", "   ")
+    val adversarialText = for {
+      n <- Gen.chooseNum(0, 30)
+      toks <- Gen.listOfN(n, token)
+      seps <- Gen.listOfN(math.max(n - 1, 0) + 2, sep)
+    } yield (seps.head +: toks.zip(seps.tail).flatMap { case (t, s) => Seq(t, s) })
+      .mkString("").dropRight(1)
+    samples(Gen.listOfN(40, adversarialText), 8).foreach { texts =>
+      val df = texts.toDF("text")
+      val toks = tokens(col("text"))
+      val bad = df.where(!(
+        (stopwordRatio(col("text")) <=> stopwordRatioOf(toks)) &&
+        (meanTokenLen(col("text")) <=> meanTokenLenOf(toks)) &&
+        (bpeTokenEstimate(col("text")) <=> bpeTokenEstimateOf(toks)) &&
+        (qualityScore(col("text")) <=> qualityScoreOf(col("text"), toks)) &&
+        (langGuess(col("text")) <=> langGuessOf(toks)) &&
+        (simhash63(col("text")) <=> simhash63Sql(col("text"))) &&
+        (shingles(col("text"), 3) <=> shinglesSql(col("text"), 3)) &&
+        (chunks(col("text"), 8, 3) <=> chunksSql(col("text"), 8, 3)) &&
+        (chunks(col("text"), 4, 0) <=> chunksSql(col("text"), 4, 0))))
+      assert(bad.count() == 0,
+        s"fused/HOF divergence in: ${bad.select("text").as[String].collect().take(3).mkString(" | ")}")
+      // TokenStatsExpr counts vs the Gopher HOF construction
+      val badQ = df.where(!(
+        QualitySignals.tokenSignals(col("text")) <=>
+          QualitySignals.tokenSignalsSql(col("text")))).count()
+      assert(badQ == 0)
+    }
+  }
+
   test("property: exact dedup keeps min id per text and is idempotent") {
     samples(Gen.listOfN(30, textGen), 10).foreach { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
