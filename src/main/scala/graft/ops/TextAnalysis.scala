@@ -57,6 +57,35 @@ object TextAnalysis {
       .withColumn("fingerprint", fingerprint(t))
   }
 
+  /** The whole [[analyze]] feature row as ONE struct column over ONE
+    * fused stats pass — the SQL surface (`graft_text_analysis`). A SQL
+    * caller selecting several à-la-carte functions
+    * (graft_quality_score + graft_lang_guess + graft_stopword_ratio +
+    * graft_token_estimate) pays one TextStatsExpr pass PER FUNCTION —
+    * let1 binds within a function, never across a SELECT list (plan-
+    * read r13) — so the one-struct form is the single-pass answer,
+    * like graft_quality_signals for the Gopher gate. Field values are
+    * the exact [[analyze]] columns (same shared helpers; spec-pinned);
+    * the null contract is the struct form's: null text -> null STRUCT
+    * (analyze instead nulls per column with lang_guess 'und'). */
+  def analyzeStruct(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    let1(textStats(t)) { st =>
+      val nD = greatest(st.getField("n_tokens"), lit(1L)).cast("double")
+      val swEn = hitRatio(st, 1)
+      val mtl = st.getField("sum_token_chars").cast("double") / nD
+      when(t.isNotNull, struct(
+        st.getField("n_tokens").as("n_tokens"),
+        st.getField("bpe_est").as("est_bpe_tokens"),
+        length(t).cast("long").as("n_chars"),
+        round(swEn, 4).as("stopword_ratio"),
+        round(punctRatio(t), 4).as("punct_ratio"),
+        round(mtl, 4).as("mean_token_len"),
+        qualityFormula(t, swEn, mtl).as("quality"),
+        langFold(Seq("en" -> swEn, "de" -> hitRatio(st, 2),
+          "es" -> hitRatio(st, 3), "fr" -> hitRatio(st, 4))).as("lang_guess"),
+        fingerprint(t).as("fingerprint")))
+    }
+
   /** CCNet-style language-model quality score (Wenzek et al. 2019 use
     * wiki-LM perplexity to rank web text; see PAPERS.md): average
     * surprisal per token under the CORPUS unigram distribution with

@@ -221,6 +221,13 @@ object GraftExtensions {
       "graft_url_canonicalize(url) - scheme/host lowercased, default " +
         "ports + fragments + tracking params stripped, path normalized",
       graft.ops.UrlOps.canonicalize),
+    strictText("graft_text_analysis",
+      "graft_text_analysis(text) - the whole feature row in ONE stats " +
+        "pass: struct<n_tokens, est_bpe_tokens, n_chars, stopword_ratio, " +
+        "punct_ratio, mean_token_len, quality, lang_guess, fingerprint>; " +
+        "null text -> null struct. Prefer this over selecting several " +
+        "single-feature graft_* calls (each pays its own pass)",
+      graft.ops.TextAnalysis.analyzeStruct),
     strictText("graft_quality_signals",
       "graft_quality_signals(text) - Gopher signal struct<n_tokens, " +
         "distinct_token_ratio, top_token_frac, dup_bigram_frac, " +

@@ -307,6 +307,53 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(edge.getDouble(3) == 0.0)
   }
 
+  test("graft_text_analysis struct matches TextAnalysis.analyze's columns") {
+    GraftExtensions.register(spark)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog, it is a fine day.",
+      "der hund und die katze ist ein tier",
+      "zzz",
+      null.asInstanceOf[String])
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val viaDf = graft.ops.TextAnalysis.analyze(df, "text").orderBy("id")
+      .select("n_tokens", "est_bpe_tokens", "n_chars_calc", "stopword_ratio",
+        "punct_ratio", "mean_token_len", "quality", "lang_guess", "fingerprint")
+      .collect()
+    df.createOrReplaceTempView("ta_rows")
+    val viaSql = spark.sql(
+      "SELECT id, graft_text_analysis(text) AS s FROM ta_rows ORDER BY id")
+      .collect()
+    texts.indices.foreach { i =>
+      if (texts(i) == null) {
+        assert(viaSql(i).isNullAt(1), "null text must yield a null struct")
+      } else {
+        val s = viaSql(i).getStruct(1)
+        assert(s.getLong(0) == viaDf(i).getInt(0).toLong)       // n_tokens
+        assert(s.getLong(1) == viaDf(i).getLong(1))             // est_bpe_tokens
+        assert(s.getLong(2) == viaDf(i).getInt(2).toLong)       // n_chars
+        assert(s.getDouble(3) == viaDf(i).getDouble(3))         // stopword_ratio
+        assert(s.getDouble(4) == viaDf(i).getDouble(4))         // punct_ratio
+        assert(s.getDouble(5) == viaDf(i).getDouble(5))         // mean_token_len
+        assert(s.getDouble(6) == viaDf(i).getDouble(6))         // quality
+        assert(s.getString(7) == viaDf(i).getString(7))         // lang_guess
+        assert(s.getString(8) == viaDf(i).getString(8))         // fingerprint
+      }
+    }
+    // one kernel pass, not one per feature (the point of the struct
+    // form): the ANALYZED plan contains exactly one graft_text_stats
+    // call — the optimized plan of this Seq-backed view constant-folds
+    // to a LocalRelation, so assert pre-folding; the let1 array-bind
+    // keeps the single call through optimization on real scans (the
+    // same mechanism every fused entry point relies on).
+    val plan = spark.sql("SELECT graft_text_analysis(text) AS s FROM ta_rows")
+      .queryExecution.analyzed.toString
+    assert(plan.split("graft_text_stats").length - 1 == 1,
+      s"expected exactly one stats kernel in:\n$plan")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_text_analysis(42)").head
+    }
+  }
+
   test("bare NULL literals pass the strict pins (null-in/null-out, not a type error)") {
     GraftExtensions.register(spark)
     // An untyped NULL carries no wrong-type information for the pin to
