@@ -3052,7 +3052,11 @@ object SparkEntry {
     // The SQL-registration twin: same fragments as q_text_analysis /
     // q_repetition / q_dedup_simhash / q_chunk, joined per doc — the
     // Spark side computes them through the graft_* SQL functions
-    // instead of the Scala API.
+    // instead of the Scala API. shq is built by UNNESTING tokens, so a
+    // null-text doc has zero shq rows — the join to it must be LEFT to
+    // stay row-preserving (bit_count(NULL) is NULL, matching
+    // graft_hamming64's null-out); an inner join would silently drop
+    // the doc from the oracle while the Spark side keeps it.
     "q_sql_surface" -> s"""
       WITH $TextFeatureCte,
       rep AS (
@@ -3107,7 +3111,7 @@ object SparkEntry {
              sig.n_chunks
       FROM g
       JOIN sig ON sig.doc_id = g.doc_id
-      JOIN shq ON shq.doc_id = g.doc_id""",
+      LEFT JOIN shq ON shq.doc_id = g.doc_id""",
 
     "q_text_analysis" -> s"""
       WITH $TextFeatureCte

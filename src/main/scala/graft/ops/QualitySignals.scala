@@ -47,24 +47,35 @@ object QualitySignals {
     * would otherwise re-split the text once per derived column. */
   def signals(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val sig = tokenSignals(t)
     val symbolRatio = symbolRatioOf(t)
-    // A NULL text must null EVERY signal (the stated contract): the
-    // token split of null text is a null ARRAY, and size(null) is -1
-    // here — without this guard n_tokens was a fabricated -1,
-    // distinct_token_ratio -1.0, and dup_bigram_frac 0.0 (rawBigrams
-    // maps the null array to array(), so the ===0 branch fired) —
-    // undecodable docs silently skewed corpus means and read as
-    // zero-duplication documents.
+    // A NULL text must null EVERY signal (the stated contract). With
+    // the fused kernel the stats struct is already NULL for null text
+    // (TokenStatsExpr is null-in/null-out, so getField propagates the
+    // null) — this wrapper is a belt-and-braces contract pin, kept so
+    // the published null behavior never silently depends on the
+    // kernel's internals.
     def nullForNullText(c: Column): Column =
       when(t.isNull, lit(null)).otherwise(c)
+    // Materialize the fused stats struct as a REAL aliased column and
+    // project the four signal fields from the attribute: embedding a
+    // copy of the tokenSignals tree in each withColumn relies on
+    // whole-stage-codegen subexpression elimination to dedupe, and
+    // under interpreted/codegen-disabled regimes the kernel evaluated
+    // 4x per row. CollapseProject will not inline a non-cheap alias
+    // referenced more than once, so this is one kernel pass under
+    // EVERY regime.
+    val sigCol = "__graft_token_signals"
     val out = df
-      .withColumn("n_tokens", nullForNullText(sig.getField("n_tokens")))
+      .withColumn(sigCol, tokenSignals(t))
+      .withColumn("n_tokens", nullForNullText(col(sigCol).getField("n_tokens")))
       .withColumn("distinct_token_ratio",
-        nullForNullText(sig.getField("distinct_token_ratio")))
-      .withColumn("top_token_frac", nullForNullText(sig.getField("top_token_frac")))
-      .withColumn("dup_bigram_frac", nullForNullText(sig.getField("dup_bigram_frac")))
+        nullForNullText(col(sigCol).getField("distinct_token_ratio")))
+      .withColumn("top_token_frac",
+        nullForNullText(col(sigCol).getField("top_token_frac")))
+      .withColumn("dup_bigram_frac",
+        nullForNullText(col(sigCol).getField("dup_bigram_frac")))
       .withColumn("symbol_ratio", symbolRatio)
+      .drop(sigCol)
     // coalesce to FALSE: a null text nulls every signal, and a null
     // keep flag would put the doc in NEITHER the keep nor the drop set
     // (both where(keep) and where(!keep) exclude it). Undecodable text

@@ -40,21 +40,32 @@ object TextAnalysis {
         langFold(Seq("en" -> swEn, "de" -> hitRatio(st, 2),
           "es" -> hitRatio(st, 3), "fr" -> hitRatio(st, 4))).as("lang_guess"))
     }
-    // size(null token array) is -1 here, so without the guard a NULL
-    // text got a fabricated n_tokens = -1 beside its (correctly null)
-    // sibling signals: where(n_tokens < 10) classified undecodable
-    // docs as "too short" and every token-count aggregate was deflated
-    // by -1 per null doc, silently.
-    df.withColumn("n_tokens",
-        when(t.isNull, lit(null)).otherwise(sig.getField("n_tokens")))
-      .withColumn("est_bpe_tokens", sig.getField("est_bpe_tokens"))
+    // Materialize the struct as a real aliased column and project the
+    // six fields from the attribute: a copy of the full let1(textStats)
+    // tree per withColumn relies on whole-stage-codegen subexpression
+    // elimination, and under interpreted/codegen-disabled regimes the
+    // fused kernel evaluated once per derived column. CollapseProject
+    // will not inline a non-cheap alias referenced more than once, so
+    // this is one kernel pass under every regime.
+    val sigCol = "__graft_text_sig"
+    val sc = col(sigCol)
+    // The n_tokens wrapper is a belt-and-braces contract pin: the fused
+    // kernel is null-in/null-out (null text -> null stats struct ->
+    // null fields), so the when() is already a no-op — it stays so the
+    // published "null text nulls n_tokens" behavior never silently
+    // depends on the kernel's internals.
+    df.withColumn(sigCol, sig)
+      .withColumn("n_tokens",
+        when(t.isNull, lit(null)).otherwise(sc.getField("n_tokens")))
+      .withColumn("est_bpe_tokens", sc.getField("est_bpe_tokens"))
       .withColumn("n_chars_calc", length(t))
-      .withColumn("stopword_ratio", sig.getField("stopword_ratio"))
+      .withColumn("stopword_ratio", sc.getField("stopword_ratio"))
       .withColumn("punct_ratio", round(punctRatio(t), 4))
-      .withColumn("mean_token_len", sig.getField("mean_token_len"))
-      .withColumn("quality", sig.getField("quality"))
-      .withColumn("lang_guess", sig.getField("lang_guess"))
+      .withColumn("mean_token_len", sc.getField("mean_token_len"))
+      .withColumn("quality", sc.getField("quality"))
+      .withColumn("lang_guess", sc.getField("lang_guess"))
       .withColumn("fingerprint", fingerprint(t))
+      .drop(sigCol)
   }
 
   /** The whole [[analyze]] feature row as ONE struct column over ONE

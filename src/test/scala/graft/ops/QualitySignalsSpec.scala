@@ -244,4 +244,24 @@ class QualitySignalsSpec extends SparkSpec {
         Seq((1L, "a b")).toDF("id", "text"), "text", topNs = Seq(2, 2))
     }
   }
+
+  test("signals() runs exactly ONE stats kernel pass in the optimized plan") {
+    // Embedding a copy of the tokenSignals tree per withColumn relied
+    // on whole-stage-codegen subexpression elimination: under
+    // interpreted/codegen-disabled regimes the kernel evaluated 4x per
+    // row (r13 ADVICE). signals() now materializes the struct as an
+    // aliased column first — CollapseProject must NOT inline the
+    // non-cheap alias back into its four consumers, over a REAL scan
+    // (Seq-backed relations can fold differently).
+    val dir = java.nio.file.Files.createTempDirectory("qsig_plan").toString
+    Seq((1L, "a b a"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val plan = QualitySignals.signals(spark.read.parquet(dir), "text")
+      .queryExecution.optimizedPlan.toString
+    val kernels = plan.split("graft_token_stats").length - 1
+    assert(kernels == 1, s"expected one graft_token_stats in:\n$plan")
+    // and the internal temp column never leaks into the output schema
+    assert(!QualitySignals.signals(spark.read.parquet(dir), "text")
+      .columns.exists(_.startsWith("__graft")))
+  }
 }

@@ -101,4 +101,21 @@ class TextAnalysisSpec extends SparkSpec {
     // rarer vocabulary -> higher surprisal
     assert(got(2L)._2 > got(1L)._2)
   }
+
+  test("analyze() runs exactly ONE stats kernel pass in the optimized plan") {
+    // Eight derived columns each embedding a copy of the let1(textStats)
+    // tree relied on whole-stage-codegen subexpression elimination —
+    // under interpreted regimes the kernel evaluated once PER COLUMN.
+    // analyze() now materializes the struct as an aliased column;
+    // CollapseProject must not inline the non-cheap alias back into its
+    // consumers, over a real scan.
+    val dir = java.nio.file.Files.createTempDirectory("ta_plan").toString
+    Seq((1L, "the quick brown fox"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val out = TextAnalysis.analyze(spark.read.parquet(dir), "text")
+    val plan = out.queryExecution.optimizedPlan.toString
+    val kernels = plan.split("graft_text_stats").length - 1
+    assert(kernels == 1, s"expected one graft_text_stats in:\n$plan")
+    assert(!out.columns.exists(_.startsWith("__graft")))
+  }
 }
