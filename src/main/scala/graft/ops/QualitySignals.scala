@@ -65,6 +65,12 @@ object QualitySignals {
     // referenced more than once, so this is one kernel pass under
     // EVERY regime.
     val sigCol = "__graft_token_signals"
+    // same guard class as ngramCharSignals' __rep_sig: withColumn would
+    // silently REPLACE a user column of this name, and the drop below
+    // would then destroy it.
+    require(!graft.Cols.has(df, sigCol),
+      s"signals: the input already has a column named $sigCol " +
+        "(session resolver); rename it first")
     val out = df
       .withColumn(sigCol, tokenSignals(t))
       .withColumn("n_tokens", nullForNullText(col(sigCol).getField("n_tokens")))

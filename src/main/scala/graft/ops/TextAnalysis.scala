@@ -48,6 +48,12 @@ object TextAnalysis {
     // will not inline a non-cheap alias referenced more than once, so
     // this is one kernel pass under every regime.
     val sigCol = "__graft_text_sig"
+    // same guard class as ngramCharSignals' __rep_sig: withColumn would
+    // silently REPLACE a user column of this name, and the drop below
+    // would then destroy it.
+    require(!graft.Cols.has(df, sigCol),
+      s"analyze: the input already has a column named $sigCol " +
+        "(session resolver); rename it first")
     val sc = col(sigCol)
     // The n_tokens wrapper is a belt-and-braces contract pin: the fused
     // kernel is null-in/null-out (null text -> null stats struct ->

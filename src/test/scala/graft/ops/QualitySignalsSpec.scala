@@ -263,5 +263,12 @@ class QualitySignalsSpec extends SparkSpec {
     // and the internal temp column never leaks into the output schema
     assert(!QualitySignals.signals(spark.read.parquet(dir), "text")
       .columns.exists(_.startsWith("__graft")))
+    // a user column of the temp's name would be silently replaced then
+    // dropped — rejected up front, like ngramCharSignals' __rep_sig
+    val e = intercept[IllegalArgumentException] {
+      QualitySignals.signals(
+        Seq((1L, "a", "x")).toDF("id", "text", "__graft_token_signals"), "text")
+    }
+    assert(e.getMessage.contains("__graft_token_signals"))
   }
 }

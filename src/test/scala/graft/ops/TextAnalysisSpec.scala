@@ -117,5 +117,12 @@ class TextAnalysisSpec extends SparkSpec {
     val kernels = plan.split("graft_text_stats").length - 1
     assert(kernels == 1, s"expected one graft_text_stats in:\n$plan")
     assert(!out.columns.exists(_.startsWith("__graft")))
+    // a user column of the temp's name would be silently replaced then
+    // dropped — rejected up front, like ngramCharSignals' __rep_sig
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.analyze(
+        Seq((1L, "a", "x")).toDF("id", "text", "__graft_text_sig"), "text")
+    }
+    assert(e.getMessage.contains("__graft_text_sig"))
   }
 }
