@@ -1876,6 +1876,51 @@ object SparkEntry {
     * the binary plumbing (not just counts) is hash-verified; frames are
     * digested as lowercase hex because DuckDB's sha256 takes VARCHAR
     * only. */
+  /** REAL image decode verified against analytic ground truth: the
+    * synthesized assets are actual PNG/BMP bytes (JDK ImageIO writers)
+    * of a known integer gradient, the engine decodes them back
+    * (format-sniffed) and folds exact stats + the 63-bit perceptual
+    * hash — while the oracle computes the SAME numbers from the
+    * generator formula alone, never touching an image. Any decoder
+    * bug (channel order, row stride, palette, premultiplication)
+    * breaks the hash compare. */
+  private def qImageDecode(s: SparkSession, dir: String): DataFrame = {
+    val assets = graft.ops.Multimodal.synthesizeImageAssets(
+      table(s, dir, "documents"), "doc_id")
+    graft.ops.Multimodal.decodeImageFeatures(assets)
+      .select(col("asset_id"),
+        // format is id-derived (even=png, odd=bmp) — recompute instead
+        // of joining it back: no shuffle for a column the formula owns
+        when(pmod(col("asset_id"), lit(2)) === 0, "png").otherwise("bmp")
+          .as("format"),
+        col("decode_ok").cast("long").as("decode_ok"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_pixels"),
+        round(col("sum_gray").cast("double") / col("n_pixels").cast("double"), 4)
+          .as("mean_gray"),
+        col("min_gray").cast("long").as("min_gray"),
+        col("max_gray").cast("long").as("max_gray"),
+        col("ahash63"))
+  }
+
+  /** REAL WAV decode against analytic ground truth — same protocol as
+    * q_image_decode: actual RIFF/PCM16 bytes in, exact peak / RMS /
+    * zero-crossing features out, oracle replays the sample formula. */
+  private def qAudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    val assets = graft.ops.Multimodal.synthesizeAudioAssets(
+      table(s, dir, "documents"), "doc_id")
+    graft.ops.Multimodal.decodeAudioFeatures(assets)
+      .select(col("asset_id"),
+        col("decode_ok").cast("long").as("decode_ok"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"),
+        col("peak").cast("long").as("peak"),
+        round(sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")), 4)
+          .as("rms"),
+        col("zero_crossings"))
+  }
+
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     val assets = graft.ops.Multimodal.synthesizeAssets(
       table(s, dir, "documents"), "doc_id", payloadBytes = 512)
@@ -2506,6 +2551,8 @@ object SparkEntry {
       "q_quantize_int8"       -> (qQuantizeInt8 _),
       "q_range_join"          -> (qRangeJoin _),
       "q_multimodal"          -> (qMultimodal _),
+      "q_image_decode"        -> (qImageDecode _),
+      "q_audio_features"      -> (qAudioFeatures _),
       "q_pack_sequences"      -> (qPackSequences _),
       "q_json_extract"        -> (qJsonExtract _),
       "q_knn_classify"        -> (qKnnClassify _),
@@ -3531,6 +3578,71 @@ object SparkEntry {
              octet_length(unhex(substr(hx, CAST(frame_no*256+1 AS INT), 256))) AS frame_bytes,
              sha256(substr(hx, CAST(frame_no*256+1 AS INT), 256)) AS frame_sha
       FROM f""",
+
+    // ANALYTIC ground truth for the REAL image decoder: the Spark side
+    // encodes gray(id,x,y) = (id*31+x*7+y*13) mod 256 as actual
+    // PNG/BMP bytes and decodes them back; this oracle computes the
+    // same stats and the same 63-bit average hash straight from the
+    // formula (PNG/BMP are lossless, so the numbers must be EQUAL, not
+    // approximate). Grid 64x48; aHash cells are 8x6 boxes (floor-mean),
+    // hash mean is the floor-mean of the 64 cells, bits j=0..62 only
+    // (sign-safe, house simhash63 rule).
+    "q_image_decode" -> """
+      WITH px AS (
+        SELECT doc_id AS asset_id, x, y,
+               (doc_id*31 + x*7 + y*13) % 256 AS g
+        FROM documents, range(0,64) rx(x), range(0,48) ry(y)),
+      st AS (
+        SELECT asset_id, count(*) AS n_pixels, sum(g) AS sum_gray,
+               min(g) AS min_gray, max(g) AS max_gray
+        FROM px GROUP BY asset_id),
+      cells AS (
+        SELECT asset_id, (y//6)*8 + (x//8) AS j, sum(g)//48 AS cell
+        FROM px GROUP BY asset_id, (y//6)*8 + (x//8)),
+      m AS (SELECT asset_id, sum(cell)//64 AS mn FROM cells GROUP BY asset_id),
+      h AS (
+        SELECT c.asset_id,
+               sum(CASE WHEN c.j < 63 AND c.cell > m.mn
+                        THEN (CAST(1 AS BIGINT) << CAST(c.j AS INT)) ELSE 0 END)
+                 AS ahash63
+        FROM cells c JOIN m ON m.asset_id = c.asset_id
+        GROUP BY c.asset_id)
+      SELECT st.asset_id,
+             CASE WHEN st.asset_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+             CAST(1 AS BIGINT) AS decode_ok,
+             CAST(64 AS BIGINT) AS width,
+             CAST(48 AS BIGINT) AS height,
+             CAST(st.n_pixels AS BIGINT) AS n_pixels,
+             round(CAST(st.sum_gray AS DOUBLE) / CAST(st.n_pixels AS DOUBLE), 4)
+               AS mean_gray,
+             CAST(st.min_gray AS BIGINT) AS min_gray,
+             CAST(st.max_gray AS BIGINT) AS max_gray,
+             CAST(h.ahash63 AS BIGINT) AS ahash63
+      FROM st JOIN h ON h.asset_id = st.asset_id""",
+
+    // ANALYTIC ground truth for the REAL WAV decoder: sample
+    // s(id,i) = ((id*37 + i*97) mod 2001) - 1000 over
+    // n = 256 + (id mod 7)*64 samples; the previous sample re-derives
+    // arithmetically (no window needed), so zero crossings are a pure
+    // per-row predicate.
+    "q_audio_features" -> """
+      WITH s AS (
+        SELECT doc_id AS asset_id, i,
+               ((doc_id*37 + i*97) % 2001) - 1000 AS v,
+               CASE WHEN i > 0
+                    THEN ((doc_id*37 + (i-1)*97) % 2001) - 1000 END AS vp
+        FROM documents, range(0, 640) r(i)
+        WHERE i < 256 + (doc_id % 7)*64)
+      SELECT asset_id,
+             CAST(1 AS BIGINT) AS decode_ok,
+             CAST(16000 AS BIGINT) AS sample_rate,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(max(abs(v)) AS BIGINT) AS peak,
+             round(sqrt(CAST(sum(v*v) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 4)
+               AS rms,
+             CAST(sum(CASE WHEN vp * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_crossings
+      FROM s GROUP BY asset_id""",
 
     // Sequence packing oracle: the NAIVE global-window exclusive cumsum
     // — the scalable bucketed implementation must stitch to exactly

@@ -1,0 +1,298 @@
+package graft.ops
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** REAL pure-JVM media byte codecs — no external libraries.
+  *
+  * Image decode/encode rides `javax.imageio` (part of the JDK:
+  * PNG/BMP/GIF/JPEG/TIFF/WBMP readers ship with java.desktop and work
+  * headless); WAV PCM is a manual RIFF parse (the format is a 44-byte
+  * header plus little-endian samples — hand-parsing it is both
+  * dependency-free and exactly reproducible). This closes the module's
+  * long-standing stub for every format the JDK itself can decode;
+  * [[Multimodal.StubCodec]] remains only for formats that genuinely
+  * need an external codec (MP4/video frames, MP3).
+  *
+  * Determinism contract: PNG and BMP are LOSSLESS, so
+  * decode(encode(pixels)) == pixels exactly, and every derived stat is
+  * integer arithmetic an external SQL engine replays analytically from
+  * the generator formula (the q_image_decode / q_audio_features
+  * oracles). JPEG decode works but is NOT bit-pinned (IDCT rounding is
+  * implementation-defined) — never put a lossy format under a
+  * hash-compared oracle.
+  *
+  * The reference stores media as QR-frame video payloads
+  * (reference: src/langchain_memvid/encoder.py:54-88, index.py) — a
+  * storage codec, not a decode pipeline; these are the decode-side
+  * operators a multimodal training pipeline needs (SURVEY §2
+  * "multimodal columns").
+  */
+object MediaCodec {
+
+  /** Decoded grayscale image: `gray` is row-major luma 0..255 taken
+    * from the red channel — synthesized assets write r=g=b, so this is
+    * exact for them; for arbitrary RGB input it is a defined, stable
+    * channel choice rather than a luma blend (blends differ by
+    * standard and would break cross-engine pins). */
+  final case class GrayImage(width: Int, height: Int, gray: Array[Int])
+
+  /** Decoded PCM audio (mono-folded: stereo averages the channels with
+    * floor division — integer, reproducible). */
+  final case class PcmAudio(sampleRate: Int, channels: Int, samples: Array[Int])
+
+  // ---------------- image ----------------
+
+  /** Encode a grayscale pixel function as real image bytes via the
+    * JDK's ImageIO writer. `format` must be a lossless writer for
+    * round-trip pins ("png", "bmp"); "gif" is lossless for grayscale
+    * (256-entry palette covers every value). */
+  def encodeGray(width: Int, height: Int, format: String)
+                (pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = pixel(x, y) & 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    val ok = ImageIO.write(img, format, bos)
+    require(ok, s"no ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
+  /** Decode image bytes (any JDK-readable format — PNG/BMP/GIF/JPEG/
+    * TIFF/WBMP, sniffed from the bytes, the declared format column is
+    * not trusted). None for undecodable bytes — a corrupt asset in a
+    * 100 TB corpus must become a flagged row, not a dead task. */
+  def decodeGray(bytes: Array[Byte]): Option[GrayImage] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) return None // sniffed as no known format
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = (img.getRGB(x, y) >> 16) & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      Some(GrayImage(w, h, out))
+    } catch { case _: Exception => None }
+  }
+
+  /** Exact integer stats over a decoded image: (n_pixels, sum, min,
+    * max). Mean stays a downstream division so engines round once,
+    * identically. */
+  def grayStats(img: GrayImage): (Long, Long, Int, Int) = {
+    val px = img.gray
+    var i = 0
+    var sum = 0L
+    var mn = 255
+    var mx = 0
+    while (i < px.length) {
+      val g = px(i)
+      sum += g
+      if (g < mn) mn = g
+      if (g > mx) mx = g
+      i += 1
+    }
+    (px.length.toLong, sum, if (px.isEmpty) 0 else mn, if (px.isEmpty) 0 else mx)
+  }
+
+  /** Sign-safe 63-bit average hash (perceptual near-dup fingerprint —
+    * the aHash family): box-average the image onto an 8x8 grid with
+    * exact floor division, take the floor mean of the 64 cells, set
+    * bit j (row-major, j = 0..62) iff cell_j > mean. Cell 63
+    * deliberately does not map to a bit: bit 63 is the sign bit, and
+    * the house rule (simhash63, hash60) is that cross-engine hash
+    * pins never depend on two's-complement edge behavior. Pairs with
+    * [[graft.functions.TextFunctions.hamming64]] / graft_hamming64 for
+    * banded near-dup joins, exactly like the SimHash path.
+    *
+    * Requires width/height divisible by 8 — the box sums are then
+    * exact integers with no partial-cell weighting to pin. */
+  def aHash63(img: GrayImage): Long = {
+    require(img.width % 8 == 0 && img.height % 8 == 0,
+      s"aHash63 needs 8-divisible dimensions, got ${img.width}x${img.height}")
+    val cw = img.width / 8
+    val ch = img.height / 8
+    val cells = new Array[Long](64)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        var sum = 0L
+        var y = cy * ch
+        while (y < (cy + 1) * ch) {
+          var x = cx * cw
+          while (x < (cx + 1) * cw) {
+            sum += img.gray(y * img.width + x)
+            x += 1
+          }
+          y += 1
+        }
+        cells(cy * 8 + cx) = sum / (cw.toLong * ch) // exact floor
+        cx += 1
+      }
+      cy += 1
+    }
+    var total = 0L
+    var j = 0
+    while (j < 64) { total += cells(j); j += 1 }
+    val mean = total / 64 // floor
+    var hash = 0L
+    j = 0
+    while (j < 63) {
+      if (cells(j) > mean) hash |= 1L << j
+      j += 1
+    }
+    hash
+  }
+
+  /** Exact 2x box downscale (the resize step a thumbnail pipeline
+    * runs): every output pixel is the floor mean of its 2x2 source
+    * block — pure integer, so the resized stats replay analytically.
+    * Requires even dimensions. */
+  def downscale2x(img: GrayImage): GrayImage = {
+    require(img.width % 2 == 0 && img.height % 2 == 0,
+      s"downscale2x needs even dimensions, got ${img.width}x${img.height}")
+    val w2 = img.width / 2
+    val h2 = img.height / 2
+    val out = new Array[Int](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val base = (2 * y) * img.width + 2 * x
+        out(y * w2 + x) = (img.gray(base) + img.gray(base + 1) +
+          img.gray(base + img.width) + img.gray(base + img.width + 1)) / 4
+        x += 1
+      }
+      y += 1
+    }
+    GrayImage(w2, h2, out)
+  }
+
+  // ---------------- audio (WAV PCM) ----------------
+
+  /** Encode 16-bit PCM mono samples as a standard RIFF/WAVE byte
+    * payload (44-byte canonical header + little-endian samples). */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    require(sampleRate > 0, s"bad sampleRate $sampleRate")
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) {
+      buf.putShort(samples(i).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Parse RIFF/WAVE PCM16 bytes (mono or stereo; stereo folds to mono
+    * by floor-averaged channels). Walks the chunk list — `fmt ` and
+    * `data` need not be adjacent (some writers insert LIST/fact
+    * chunks). None for anything that is not well-formed PCM16 WAV. */
+  def decodeWav(bytes: Array[Byte]): Option[PcmAudio] = {
+    if (bytes == null || bytes.length < 44) return None
+    try {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag4(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      if (tag4() != "RIFF") return None
+      buf.getInt // riff size (untrusted; we walk actual chunks)
+      if (tag4() != "WAVE") return None
+      var sampleRate = -1
+      var channels = -1
+      var bits = -1
+      var data: Array[Byte] = null
+      while (buf.remaining() >= 8 && data == null) {
+        val tag = tag4()
+        val size = buf.getInt
+        if (size < 0 || size > buf.remaining()) return None
+        tag match {
+          case "fmt " =>
+            if (size < 16) return None
+            val start = buf.position()
+            val fmt = buf.getShort
+            channels = buf.getShort.toInt
+            sampleRate = buf.getInt
+            buf.getInt // byte rate
+            buf.getShort // block align
+            bits = buf.getShort.toInt
+            if (fmt != 1) return None // PCM only
+            buf.position(start + size + (size & 1)) // chunks pad to even
+          case "data" =>
+            data = new Array[Byte](size)
+            buf.get(data)
+          case _ =>
+            buf.position(buf.position() + size + (size & 1))
+        }
+      }
+      if (data == null || sampleRate <= 0 || bits != 16 ||
+          channels < 1 || channels > 2) return None
+      val frames = data.length / (2 * channels)
+      val out = new Array[Int](frames)
+      val db = java.nio.ByteBuffer.wrap(data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < frames) {
+        if (channels == 1) out(i) = db.getShort.toInt
+        else {
+          val l = db.getShort.toInt
+          val r = db.getShort.toInt
+          // floor division (Math.floorDiv, not /): -3/2 must be -2 in
+          // both engines, and SQL integer division truncates differently
+          out(i) = Math.floorDiv(l + r, 2)
+        }
+        i += 1
+      }
+      Some(PcmAudio(sampleRate, channels, out))
+    } catch { case _: Exception => None }
+  }
+
+  /** Exact integer audio features: (n_samples, peak = max |s|,
+    * sum_sq for RMS, zero crossings = #{i : s[i-1]*s[i] < 0}). */
+  def audioStats(a: PcmAudio): (Long, Int, Long, Long) = {
+    val s = a.samples
+    var i = 0
+    var peak = 0
+    var sumSq = 0L
+    var zc = 0L
+    while (i < s.length) {
+      val v = s(i)
+      val av = if (v < 0) -v else v
+      if (av > peak) peak = av
+      sumSq += v.toLong * v
+      if (i > 0 && s(i - 1).toLong * v < 0) zc += 1
+      i += 1
+    }
+    (s.length.toLong, peak, sumSq, zc)
+  }
+}

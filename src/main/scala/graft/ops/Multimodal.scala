@@ -7,14 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling for training-data pipelines: media travel
   * as opaque `binary` columns with a typed metadata struct; decode /
   * feature-extraction / resize / frame-sampling run as partition-batched
-  * transforms so a real codec (JNI/FFI or subprocess) amortizes its
-  * setup across a whole partition.
+  * transforms so a real codec amortizes its setup across a whole
+  * partition.
   *
-  * The actual byte decoding is STUBBED (this container has no
-  * image/audio libraries): [[StubCodec]] is a clearly-marked
-  * deterministic fake. Everything Spark-side — schema, batching,
-  * partition sizing, output shape — is real and tested; swapping in a
-  * real codec changes only the function bodies in StubCodec.
+  * Image (PNG/BMP/GIF/JPEG via the JDK's javax.imageio) and WAV-PCM
+  * audio decoding are REAL — [[MediaCodec]], pure JVM, no external
+  * libraries — with exact integer stats and a 63-bit perceptual hash
+  * that an external SQL engine replays analytically (the
+  * q_image_decode / q_audio_features oracles). Only formats the JDK
+  * cannot decode (MP4 video frames, MP3) still go through
+  * [[StubCodec]], the clearly-marked deterministic fake; swapping in a
+  * real video codec changes only those function bodies.
   *
   * (The reference's video/QR layer is a storage codec, not a media
   * pipeline — SURVEY §1 maps it to Parquet. This module is the
@@ -37,8 +40,11 @@ object Multimodal {
     StructField("meta", MediaMetaSchema, nullable = false)))
 
   /** ======== STUB CODEC — deterministic fake, NOT a real decoder ======
-    * Replace these bodies with real codec calls (e.g. libjpeg/ffmpeg via
-    * JNI or subprocess) in a full deployment. Shapes and determinism
+    * Scope (r14): ONLY the formats the JDK cannot decode still land
+    * here — video frame extraction (MP4/...) and compressed audio
+    * (MP3). Image and WAV decoding are real ([[MediaCodec]]). Replace
+    * these bodies with real codec calls (e.g. ffmpeg via JNI or
+    * subprocess) in a full deployment. Shapes and determinism
     * contract: same bytes -> same output. */
   object StubCodec {
     /** Fake "decode + feature-extract": a `featureDim`-float signature
@@ -137,6 +143,154 @@ object Multimodal {
       rows.map { r =>
         Row(r.getAs[Long]("asset_id"),
           StubCodec.resize(r.getAs[Array[Byte]]("content"), maxBytes))
+      }
+    }(enc)
+  }
+
+  // ======== REAL codecs (image via javax.imageio, WAV via RIFF parse) ==
+
+  /** Synthesize REAL image assets (test substrate — the testdata has no
+    * media columns): a 64x48 grayscale gradient per key,
+    * gray(id, x, y) = (id*31 + x*7 + y*13) mod 256, encoded through
+    * the JDK's actual PNG (even ids) / BMP (odd ids) writers. Both
+    * formats are lossless, so downstream decode stats replay
+    * ANALYTICALLY from this formula — the oracle never has to decode
+    * anything. Narrow mapPartitions; the encoder is JVM-local state
+    * initialized per partition, the 100 TB shape for any real codec. */
+  def synthesizeImageAssets(df: DataFrame, idCol: String,
+                            width: Int = 64, height: Int = 48): DataFrame = {
+    require(width % 8 == 0 && height % 8 == 0,
+      s"synthesized images must be 8-divisible for aHash63, got ${width}x$height")
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        val bytes = MediaCodec.encodeGray(width, height, fmt)((x, y) =>
+          (Math.floorMod(id * 31 + x * 7 + y * 13, 256L)).toInt)
+        Row(id, fmt, bytes)
+      }
+    }(enc)
+  }
+
+  /** Synthesize REAL WAV-PCM16 audio assets: mono 16 kHz,
+    * n = 256 + (id mod 7)*64 samples,
+    * s(id, i) = ((id*37 + i*97) mod 2001) - 1000 — a ±1000 pseudo-
+    * sawtooth whose peak/RMS/zero-crossing features replay analytically. */
+  def synthesizeAudioAssets(df: DataFrame, idCol: String,
+                            sampleRate: Int = 16000): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = 256 + Math.floorMod(id, 7L).toInt * 64
+        val samples = Array.tabulate(n)(i =>
+          Math.floorMod(id * 37 + i.toLong * 97, 2001L).toInt - 1000)
+        Row(id, MediaCodec.encodeWavPcm16(sampleRate, samples))
+      }
+    }(enc)
+  }
+
+  /** REAL image decode + exact feature extraction, batched per
+    * partition: format-sniffing ImageIO decode (PNG/BMP/GIF/JPEG/...),
+    * integer stats, and the sign-safe 63-bit average hash
+    * ([[MediaCodec.aHash63]] — pairs with graft_hamming64 for banded
+    * perceptual near-dup joins, same join shape as the SimHash text
+    * path). Corrupt/undecodable bytes become a decode_ok=false row
+    * with null features — a bad asset in a web-scale corpus is a
+    * flagged row, never a dead task. aHash is null (not an error) for
+    * non-8-divisible decoded sizes. Narrow: no shuffle, scales with
+    * partition count; one pathological giant asset pins one task —
+    * cap asset size upstream, not here. */
+  def decodeImageFeatures(assets: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_pixels", LongType, nullable = true),
+      StructField("sum_gray", LongType, nullable = true),
+      StructField("min_gray", IntegerType, nullable = true),
+      StructField("max_gray", IntegerType, nullable = true),
+      StructField("ahash63", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    assets.select("asset_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        MediaCodec.decodeGray(r.getAs[Array[Byte]](1)) match {
+          case Some(img) =>
+            val (n, sum, mn, mx) = MediaCodec.grayStats(img)
+            val hash: java.lang.Long =
+              if (img.width % 8 == 0 && img.height % 8 == 0)
+                MediaCodec.aHash63(img)
+              else null
+            Row(id, true, img.width, img.height, n, sum, mn, mx, hash)
+          case None =>
+            Row(id, false, null, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL WAV decode + exact feature extraction: sample counts, peak,
+    * sum of squares (RMS stays a downstream sqrt so engines round
+    * once), zero crossings. Same corrupt-row contract as
+    * [[decodeImageFeatures]]. */
+  def decodeAudioFeatures(assets: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("peak", IntegerType, nullable = true),
+      StructField("sum_sq", LongType, nullable = true),
+      StructField("zero_crossings", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    assets.select("asset_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        MediaCodec.decodeWav(r.getAs[Array[Byte]](1)) match {
+          case Some(a) =>
+            val (n, peak, sumSq, zc) = MediaCodec.audioStats(a)
+            Row(id, true, a.sampleRate, a.channels, n, peak, sumSq, zc)
+          case None =>
+            Row(id, false, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL thumbnail pass: decode, exact 2x box-downscale
+    * ([[MediaCodec.downscale2x]] — integer floor means, so resized
+    * stats replay analytically), re-encode as PNG. Binary-in
+    * binary-out like [[resizeAssets]]; odd-dimensioned or undecodable
+    * inputs pass through unchanged with resized=false (a thumbnail
+    * pipeline must never lose assets it cannot shrink). */
+  def downscaleImages(assets: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("resized", BooleanType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    assets.select("asset_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        MediaCodec.decodeGray(bytes) match {
+          case Some(img) if img.width % 2 == 0 && img.height % 2 == 0 =>
+            val small = MediaCodec.downscale2x(img)
+            Row(id, true, MediaCodec.encodeGray(small.width, small.height,
+              "png")((x, y) => small.gray(y * small.width + x)))
+          case _ => Row(id, false, bytes)
+        }
       }
     }(enc)
   }

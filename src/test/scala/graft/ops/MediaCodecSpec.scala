@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class MediaCodecSpec extends AnyFunSuite {
+
+  private def gradient(id: Long)(x: Int, y: Int): Int =
+    Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt
+
+  test("PNG and BMP round-trip losslessly (the oracle precondition)") {
+    for (fmt <- Seq("png", "bmp"); id <- Seq(0L, 1L, 7L, 12345L)) {
+      val bytes = MediaCodec.encodeGray(64, 48, fmt)(gradient(id))
+      val img = MediaCodec.decodeGray(bytes).get
+      assert(img.width == 64 && img.height == 48)
+      for (y <- 0 until 48; x <- 0 until 64)
+        assert(img.gray(y * 64 + x) == gradient(id)(x, y),
+          s"$fmt id=$id pixel ($x,$y)")
+    }
+  }
+
+  test("GIF round-trips grayscale losslessly (256-entry palette)") {
+    val bytes = MediaCodec.encodeGray(16, 16, "gif")(gradient(3L))
+    val img = MediaCodec.decodeGray(bytes).get
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(img.gray(y * 16 + x) == gradient(3L)(x, y))
+  }
+
+  test("JPEG decodes (real reader) but is NOT pinned bit-exact") {
+    val bytes = MediaCodec.encodeGray(64, 48, "jpg")(gradient(5L))
+    val img = MediaCodec.decodeGray(bytes).get
+    assert(img.width == 64 && img.height == 48)
+    // lossy: values near, not equal — assert the decode is sane, not exact
+    val diffs = for (y <- 0 until 48; x <- 0 until 64)
+      yield math.abs(img.gray(y * 64 + x) - gradient(5L)(x, y))
+    assert(diffs.max <= 160 && diffs.sum.toDouble / diffs.size < 64.0)
+  }
+
+  test("decode sniffs the format from bytes; garbage/empty/null -> None") {
+    val png = MediaCodec.encodeGray(8, 8, "png")(gradient(1L))
+    assert(MediaCodec.decodeGray(png).isDefined)
+    assert(MediaCodec.decodeGray(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(MediaCodec.decodeGray(Array.emptyByteArray).isEmpty)
+    assert(MediaCodec.decodeGray(null).isEmpty)
+    // truncated PNG: header sniffs fine, decode must still not throw
+    assert(MediaCodec.decodeGray(png.take(20)).isEmpty)
+  }
+
+  test("grayStats are the exact integer fold") {
+    val img = MediaCodec.GrayImage(2, 2, Array(10, 20, 30, 40))
+    assert(MediaCodec.grayStats(img) == ((4L, 100L, 10, 40)))
+  }
+
+  test("aHash63 hand-check on a half-dark half-bright image") {
+    // left half 0, right half 200: cells 0..3 of each row dark (below
+    // mean=100), cells 4..7 bright -> bits j where j%8 >= 4, except
+    // bit 63 (sign-safe: never set by construction).
+    val w = 64; val h = 48
+    val px = Array.tabulate(w * h)(i => if (i % w < w / 2) 0 else 200)
+    val hash = MediaCodec.aHash63(MediaCodec.GrayImage(w, h, px))
+    val expected = (0 until 63).filter(j => j % 8 >= 4)
+      .foldLeft(0L)((acc, j) => acc | (1L << j))
+    assert(hash == expected)
+    assert(hash >= 0L, "bit 63 must never be set")
+  }
+
+  test("aHash63 is stable under brightness shift and JPEG-ish noise") {
+    val base = MediaCodec.GrayImage(64, 48,
+      Array.tabulate(64 * 48)(i => gradient(9L)(i % 64, i / 64)))
+    val shifted = MediaCodec.GrayImage(64, 48, base.gray.map(g => (g + 20) min 255))
+    val d = java.lang.Long.bitCount(
+      MediaCodec.aHash63(base) ^ MediaCodec.aHash63(shifted))
+    assert(d <= 8, s"perceptual hash moved $d bits under a brightness shift")
+  }
+
+  test("downscale2x is the exact floor mean of each 2x2 block") {
+    val img = MediaCodec.GrayImage(4, 2, Array(1, 2, 3, 4, 5, 6, 7, 8))
+    val s = MediaCodec.downscale2x(img)
+    assert(s.width == 2 && s.height == 1)
+    assert(s.gray.toSeq == Seq((1 + 2 + 5 + 6) / 4, (3 + 4 + 7 + 8) / 4))
+    intercept[IllegalArgumentException] {
+      MediaCodec.downscale2x(MediaCodec.GrayImage(3, 2, Array.fill(6)(0)))
+    }
+  }
+
+  test("WAV PCM16 mono round-trips exactly") {
+    val samples = Array.tabulate(500)(i =>
+      Math.floorMod(7L * 37 + i.toLong * 97, 2001L).toInt - 1000)
+    val bytes = MediaCodec.encodeWavPcm16(16000, samples)
+    val a = MediaCodec.decodeWav(bytes).get
+    assert(a.sampleRate == 16000 && a.channels == 1)
+    assert(a.samples.toSeq == samples.toSeq)
+  }
+
+  test("WAV parse walks chunk lists and folds stereo with floor division") {
+    // hand-build a stereo WAV with a LIST chunk between fmt and data
+    val sr = 8000
+    val frames = Seq((100, 200), (-3, 0), (-5, -6), (32767, 32767))
+    val dataLen = frames.size * 4
+    val listPayload = "INFOsoft".getBytes("US-ASCII")
+    val buf = java.nio.ByteBuffer
+      .allocate(12 + 24 + 8 + listPayload.length + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+      .putInt(4 + 24 + 8 + listPayload.length + 8 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(sr).putInt(sr * 4).putShort(4).putShort(16)
+      .put("LIST".getBytes("US-ASCII")).putInt(listPayload.length).put(listPayload)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    frames.foreach { case (l, r) => buf.putShort(l.toShort).putShort(r.toShort) }
+    val a = MediaCodec.decodeWav(buf.array()).get
+    assert(a.sampleRate == sr && a.channels == 2)
+    // (-5 + -6) / 2 must floor to -6, not truncate to -5
+    assert(a.samples.toSeq == Seq(150, -2, -6, 32767))
+  }
+
+  test("WAV parse rejects malformed input instead of throwing") {
+    assert(MediaCodec.decodeWav(null).isEmpty)
+    assert(MediaCodec.decodeWav(Array.fill[Byte](50)(0)).isEmpty)
+    val good = MediaCodec.encodeWavPcm16(16000, Array(1, 2, 3))
+    assert(MediaCodec.decodeWav(good).isDefined)
+    assert(MediaCodec.decodeWav(good.take(30)).isEmpty)       // truncated
+    val nonPcm = good.clone(); nonPcm(20) = 3                 // fmt=IEEE float
+    assert(MediaCodec.decodeWav(nonPcm).isEmpty)
+    val eightBit = good.clone(); eightBit(34) = 8             // bits=8
+    assert(MediaCodec.decodeWav(eightBit).isEmpty)
+  }
+
+  test("audioStats: exact peak / sum_sq / zero-crossing fold") {
+    val a = MediaCodec.PcmAudio(16000, 1, Array(3, -4, 0, 0, 5, -5))
+    val (n, peak, sumSq, zc) = MediaCodec.audioStats(a)
+    assert(n == 6L && peak == 5)
+    assert(sumSq == 9L + 16 + 0 + 0 + 25 + 25)
+    // crossings only where the PRODUCT is negative: 3*-4, 5*-5 — the
+    // zero-touching pairs (-4,0), (0,0), (0,5) are not crossings
+    assert(zc == 2L)
+  }
+}

@@ -65,4 +65,109 @@ class MultimodalSpec extends SparkSpec {
     assert(empties.length == 1 && empties.head.getAs[Array[Byte]]("frame").isEmpty)
     assert(frames.count(_.getAs[Long]("asset_id") == 1L) == 4)
   }
+
+  // ---- REAL codec path (MediaCodec-backed) ----
+
+  private lazy val imageAssets = Multimodal.synthesizeImageAssets(
+    (0L until 12L).toDF("id"), "id")
+
+  test("real image pipeline: synthesized PNG/BMP decode back to the formula") {
+    val feats = Multimodal.decodeImageFeatures(imageAssets).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    assert(feats.size == 12)
+    (0L until 12L).foreach { id =>
+      val r = feats(id)
+      assert(r.getAs[Boolean]("decode_ok"))
+      assert(r.getAs[Int]("width") == 64 && r.getAs[Int]("height") == 48)
+      // analytic expectation, same fold the DuckDB oracle runs
+      val vals = for (y <- 0 until 48; x <- 0 until 64)
+        yield Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt
+      assert(r.getAs[Long]("n_pixels") == 3072L)
+      assert(r.getAs[Long]("sum_gray") == vals.map(_.toLong).sum)
+      assert(r.getAs[Int]("min_gray") == vals.min)
+      assert(r.getAs[Int]("max_gray") == vals.max)
+      assert(r.getAs[Long]("ahash63") >= 0L)
+    }
+  }
+
+  test("corrupt bytes become a decode_ok=false row, never a dead task") {
+    import org.apache.spark.sql.functions._
+    val withBad = imageAssets.withColumn("content",
+      when(col("asset_id") === 3L, lit("not an image".getBytes))
+        .otherwise(col("content")))
+    val feats = Multimodal.decodeImageFeatures(withBad).collect()
+    assert(feats.length == 12)
+    val bad = feats.find(_.getAs[Long]("asset_id") == 3L).get
+    assert(!bad.getAs[Boolean]("decode_ok") && bad.isNullAt(bad.fieldIndex("ahash63")))
+    assert(feats.count(_.getAs[Boolean]("decode_ok")) == 11)
+  }
+
+  test("perceptual near-dup: aHash63 + hamming64 pairs originals with noisy twins") {
+    import org.apache.spark.sql.functions._
+    // twin assets: same gradient with +6 brightness (id offset encodes
+    // nothing — pixel formula shifted), re-encoded; aHash should land
+    // within a few bits of the original, far from other images
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      imageAssets.schema)
+    val twins = imageAssets.mapPartitions { rows =>
+      rows.map { r => // positional: (asset_id, format, content)
+        val img = MediaCodec.decodeGray(r.getAs[Array[Byte]](2)).get
+        val shifted = MediaCodec.GrayImage(img.width, img.height,
+          img.gray.map(g => (g + 6) min 255))
+        org.apache.spark.sql.Row(r.getLong(0) + 1000L,
+          "png", MediaCodec.encodeGray(shifted.width, shifted.height, "png")(
+            (x, y) => shifted.gray(y * shifted.width + x)))
+      }
+    }(enc)
+    val all = Multimodal.decodeImageFeatures(imageAssets.unionByName(twins))
+      .select(col("asset_id"), col("ahash63"))
+    val a = all.where(col("asset_id") < 1000L).withColumnRenamed("ahash63", "ha")
+    val b = all.where(col("asset_id") >= 1000L)
+      .select((col("asset_id") - 1000L).as("asset_id"), col("ahash63").as("hb"))
+    val joined = a.join(b, "asset_id").select(
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.Hamming64Expr(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("ha")),
+          org.apache.spark.sql.GraftSqlBridge.expression(col("hb"))))
+        .cast("long").as("d"))
+      .collect().map(_.getLong(0))
+    assert(joined.forall(_ <= 6), s"twin distances: ${joined.toSeq}")
+  }
+
+  test("downscaleImages: exact 2x box means, pass-through for undecodable") {
+    import org.apache.spark.sql.functions._
+    val withBad = imageAssets.limit(3).withColumn("content",
+      when(col("asset_id") === 2L, lit(Array[Byte](9, 9, 9)))
+        .otherwise(col("content")))
+    val out = Multimodal.downscaleImages(withBad).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    assert(!out(2L).getAs[Boolean]("resized") &&
+      out(2L).getAs[Array[Byte]]("content").toSeq == Seq[Byte](9, 9, 9))
+    val small = MediaCodec.decodeGray(out(0L).getAs[Array[Byte]]("content")).get
+    assert(small.width == 32 && small.height == 24)
+    def g(x: Int, y: Int): Int = Math.floorMod(0L * 31 + x * 7 + y * 13, 256L).toInt
+    for (y <- 0 until 24; x <- 0 until 32)
+      assert(small.gray(y * 32 + x) ==
+        (g(2 * x, 2 * y) + g(2 * x + 1, 2 * y) + g(2 * x, 2 * y + 1) +
+          g(2 * x + 1, 2 * y + 1)) / 4)
+  }
+
+  test("real audio pipeline: WAV features match the analytic fold") {
+    val audio = Multimodal.synthesizeAudioAssets((0L until 10L).toDF("id"), "id")
+    val feats = Multimodal.decodeAudioFeatures(audio).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    (0L until 10L).foreach { id =>
+      val n = 256 + Math.floorMod(id, 7L).toInt * 64
+      val s = Array.tabulate(n)(i =>
+        Math.floorMod(id * 37 + i.toLong * 97, 2001L).toInt - 1000)
+      val r = feats(id)
+      assert(r.getAs[Boolean]("decode_ok"))
+      assert(r.getAs[Int]("sample_rate") == 16000)
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      assert(r.getAs[Int]("peak") == s.map(math.abs).max)
+      assert(r.getAs[Long]("sum_sq") == s.map(v => v.toLong * v).sum)
+      assert(r.getAs[Long]("zero_crossings") ==
+        (1 until n).count(i => s(i - 1).toLong * s(i) < 0).toLong)
+    }
+  }
 }
