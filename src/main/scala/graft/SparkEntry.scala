@@ -1904,6 +1904,25 @@ object SparkEntry {
         col("ahash63"))
   }
 
+  /** Perceptual image near-dup END TO END: decode real bytes ->
+    * ahash63 -> banded Hamming pair join ([[graft.ops.Dedup
+    * .fingerprintPairs]], the same candidate shape as the SimHash text
+    * path). The gradient family contains true dups by construction
+    * (ids 256 apart have identical images: 31*256 ≡ 0 mod 256) plus
+    * near-dups from small wrap shifts — and because the hash itself is
+    * analytic, the oracle brute-forces ALL pairs with Hamming <= 3
+    * from the formula alone; pigeonhole (4 bands, maxHamming 3 < 4)
+    * guarantees the banded join finds exactly that set. */
+  private def qImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    val feats = graft.ops.Multimodal.decodeImageFeatures(
+      graft.ops.Multimodal.synthesizeImageAssets(
+        table(s, dir, "documents"), "doc_id"))
+    graft.ops.Dedup.fingerprintPairs(
+      feats.select(col("asset_id"), col("ahash63")),
+      "asset_id", "ahash63", maxHamming = 3, bands = 4)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
   /** REAL WAV decode against analytic ground truth — same protocol as
     * q_image_decode: actual RIFF/PCM16 bytes in, exact peak / RMS /
     * zero-crossing features out, oracle replays the sample formula. */
@@ -2552,6 +2571,7 @@ object SparkEntry {
       "q_range_join"          -> (qRangeJoin _),
       "q_multimodal"          -> (qMultimodal _),
       "q_image_decode"        -> (qImageDecode _),
+      "q_image_neardup"       -> (qImageNeardup _),
       "q_audio_features"      -> (qAudioFeatures _),
       "q_pack_sequences"      -> (qPackSequences _),
       "q_json_extract"        -> (qJsonExtract _),
@@ -3619,6 +3639,32 @@ object SparkEntry {
              CAST(st.max_gray AS BIGINT) AS max_gray,
              CAST(h.ahash63 AS BIGINT) AS ahash63
       FROM st JOIN h ON h.asset_id = st.asset_id""",
+
+    // Perceptual near-dup ground truth: the analytic ahash63 (same
+    // CTEs as q_image_decode) brute-force self-joined on Hamming <= 3.
+    // The engine's banded join must return EXACTLY this set — 4 bands
+    // with maxHamming 3 < 4 makes the pigeonhole recall guarantee
+    // total, so banding is invisible in the result.
+    "q_image_neardup" -> """
+      WITH px AS (
+        SELECT doc_id AS asset_id, x, y,
+               (doc_id*31 + x*7 + y*13) % 256 AS g
+        FROM documents, range(0,64) rx(x), range(0,48) ry(y)),
+      cells AS (
+        SELECT asset_id, (y//6)*8 + (x//8) AS j, sum(g)//48 AS cell
+        FROM px GROUP BY asset_id, (y//6)*8 + (x//8)),
+      m AS (SELECT asset_id, sum(cell)//64 AS mn FROM cells GROUP BY asset_id),
+      h AS (
+        SELECT c.asset_id,
+               CAST(sum(CASE WHEN c.j < 63 AND c.cell > m.mn
+                        THEN (CAST(1 AS BIGINT) << CAST(c.j AS INT)) ELSE 0 END)
+                 AS BIGINT) AS ahash
+        FROM cells c JOIN m ON m.asset_id = c.asset_id
+        GROUP BY c.asset_id)
+      SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+             CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+      FROM h a JOIN h b ON a.asset_id < b.asset_id
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""",
 
     // ANALYTIC ground truth for the REAL WAV decoder: sample
     // s(id,i) = ((id*37 + i*97) mod 2001) - 1000 over

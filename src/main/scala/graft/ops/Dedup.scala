@@ -332,12 +332,6 @@ object Dedup {
     * with exact Hamming distance <= maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    require(bands >= 2 && 64 % bands == 0, s"bands must divide 64, got $bands")
-    // Recall guarantee (pigeonhole) holds only for maxHamming < bands;
-    // a larger maxHamming still works but finds such pairs best-effort
-    // (only when they happen to share a band).
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
     // Degenerate docs (null or whitespace-only text) are SCREENED, the
     // same documented recall contract as minhashLshPairs' size(sh)>0:
     // a null text's null simhash made concat_ws SKIP the hash in every
@@ -355,6 +349,35 @@ object Dedup {
       .where(trim(col(textCol)) =!= "")
       .select(col(idCol).as("id"),
         TextFunctions.simhash63(col(textCol)).as("simhash"))
+    fingerprintPairs(withH, "id", "simhash", maxHamming, bands)
+  }
+
+  /** Banded near-dup pairs over an EXISTING 64-bit fingerprint column —
+    * the candidate-generation core [[simhashPairs]] delegates to, usable
+    * for ANY Hamming-space fingerprint: SimHash text prints, perceptual
+    * image hashes ([[Multimodal.decodeImageFeatures]]' ahash63 — the
+    * q_image_neardup pipeline), binary-quantized embeddings. Candidate
+    * pairs share one of `bands` hash bands (pigeonhole: any pair within
+    * Hamming distance bands-1 collides in >= 1 band), then verify with
+    * exact Hamming <= maxHamming. Null fingerprints are SCREENED (the
+    * same contract as the text form's degenerate-doc screen — a shared
+    * null band key would go quadratic in the null count). The
+    * fingerprint column must already BE a bigint: a lenient cast here
+    * would silently coerce strings and band on garbage. */
+  def fingerprintPairs(df: DataFrame, idCol: String, hashCol: String,
+                       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(df.schema(hashCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"fingerprintPairs: '$hashCol' must be bigint, got " +
+        df.schema(hashCol).dataType.simpleString)
+    // Recall guarantee (pigeonhole) holds only for maxHamming < bands;
+    // a larger maxHamming still works but finds such pairs best-effort
+    // (only when they happen to share a band).
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val withH = df.where(col(hashCol).isNotNull)
+      .select(col(idCol).as("id"), col(hashCol).as("simhash"))
     // `bands` bands of 64/bands bits: band key = (bandId, those bits).
     // Pigeonhole: hamming <= bands-1 guarantees an identical band.
     // SCALE NOTE: expected band-bucket size is n / 2^width — with the

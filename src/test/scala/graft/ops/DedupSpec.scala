@@ -606,4 +606,46 @@ class DedupSpec extends SparkSpec {
     // whole cluster NaN: best is null, keeper still deterministic (smallest id)
     assert(rows(1).isNullAt(2) && rows(1).getLong(3) == 9L, rows(1).toString)
   }
+
+  test("fingerprintPairs: exact Hamming verify over a raw fingerprint column") {
+    import spark.implicits._
+    // 0x0F and 0x0E differ in 1 bit; 0x0F vs 0xF0 differ in 8 (banded
+    // out AND over maxHamming); ids 4/5 share a full hash (hamming 0)
+    val df = Seq((1L, 0x0FL), (2L, 0x0EL), (3L, 0xF0L), (4L, 0x77L),
+      (5L, 0x77L)).toDF("id", "h")
+    val got = Dedup.fingerprintPairs(df, "id", "h", maxHamming = 3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1), (4L, 5L, 0)))
+  }
+
+  test("fingerprintPairs screens null fingerprints and rejects non-bigint ones") {
+    import spark.implicits._
+    // two null hashes must NOT pair with each other via a shared null band
+    val withNulls = Seq((1L, Some(3L)), (2L, None), (3L, None),
+      (4L, Some(3L))).toDF("id", "h")
+    val got = Dedup.fingerprintPairs(withNulls, "id", "h").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 4L)))
+    // a string fingerprint would silently band on coerced garbage —
+    // rejected at the driver
+    val e = intercept[IllegalArgumentException] {
+      Dedup.fingerprintPairs(Seq((1L, "0F")).toDF("id", "h"), "id", "h")
+    }
+    assert(e.getMessage.contains("bigint"))
+  }
+
+  test("simhashPairs == fingerprintPairs over the computed simhash (delegation pin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, trim}
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma epsilon"), (4L, "totally different content here"))
+      .toDF("id", "text")
+    val viaText = Dedup.simhashPairs(docs, "id", "text", maxHamming = 10)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val viaPrint = Dedup.fingerprintPairs(
+      docs.where(trim(col("text")) =!= "").select(col("id"),
+        graft.functions.TextFunctions.simhash63(col("text")).as("h")),
+      "id", "h", maxHamming = 10).orderBy("id_a", "id_b").collect().toSeq
+    assert(viaText == viaPrint && viaText.nonEmpty)
+  }
 }
