@@ -114,10 +114,13 @@ object TextAnalysis {
     * through exact DECIMAL (token order can't matter), then averaged
     * and rounded to 4 dp — engine- and partitioning-independent.
     *
-    * Scale shape: one token explode + token-keyed vocab agg; the
-    * token→count join hash-shuffles on the token key (the vocab of a
-    * 100 TB corpus is NOT broadcastable); corpus totals are a scalar
-    * broadcast; the final per-doc agg partitions by doc. */
+    * Scale shape: one token explode collapsed IMMEDIATELY to (doc,
+    * token, k) with map-side combine; the vocab agg derives from that
+    * same exchange (one corpus scan total), the token→count join
+    * hash-shuffles distinct (doc, token) pairs — never occurrences —
+    * on the token key (the vocab of a 100 TB corpus is NOT
+    * broadcastable); corpus totals are a scalar broadcast; the final
+    * per-doc agg partitions by doc. */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // Null-id docs are screened ENTIRELY (same rationale as
     // Contamination's screen): the per-doc groupBy would MERGE them
@@ -127,18 +130,35 @@ object TextAnalysis {
     // corpus-LM counts.
     val tok = df.where(col(idCol).isNotNull)
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-    val vocab = tok.groupBy("t").agg(count(lit(1)).as("n"))
+    // AGGREGATE BEFORE JOIN (r14): collapse occurrences to one row per
+    // (doc, token) with its multiplicity k FIRST — the vocabulary join
+    // then shuffles distinct pairs, not every token occurrence (real
+    // corpora repeat 30-50% of their tokens within a document), and the
+    // map-side partial agg shrinks even that shuffle's input. The vocab
+    // table derives FROM the per-doc counts, so the two consumers share
+    // one exchange (ReuseExchange) instead of each re-scanning the
+    // corpus and re-exploding — the previous shape read the parquet
+    // twice. Value parity is exact: sum over occurrences of a 6-dp
+    // surprisal == sum over distinct tokens of k * that DECIMAL (the
+    // multiply and sum are both exact in decimal space), and
+    // n_tokens == sum(k).
+    val perDoc = tok.groupBy("id", "t").agg(count(lit(1)).as("k"))
+    val vocab = perDoc.groupBy("t").agg(sum("k").as("n"))
     // "total"/"vsize", not T/V: Spark's default case-insensitive
     // resolution would make a `T` column ambiguous with the token `t`.
     val tot = vocab.agg(sum("n").cast("double").as("total"),
       count(lit(1)).cast("double").as("vsize"))
-    tok.join(vocab, "t")
+    perDoc.join(vocab, "t")
       .crossJoin(broadcast(tot))
       .withColumn("sp",
         round(-log((col("n").cast("double") + 1.0) / (col("total") + col("vsize"))), 6))
       .groupBy(col("id"))
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        round(sum(col("sp").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)
+      .agg(sum("k").cast("long").as("n_tokens"),
+        // cast the EXACT decimal sum to double BEFORE the divide (the
+        // old occurrence-level form's order) — a decimal/decimal divide
+        // would round at decimal scale instead of IEEE
+        round(sum(col("sp").cast("decimal(18,6)") * col("k")).cast("double") /
+            sum("k").cast("double"), 4)
           .as("avg_surprisal"))
       .select(col("id").as(idCol), col("n_tokens"), col("avg_surprisal"))
   }
@@ -151,11 +171,12 @@ object TextAnalysis {
     * dp-rounded surprisals summed through exact DECIMAL, averaged,
     * rounded to 4 dp.
     *
-    * Scale shape: bigram and unigram count tables are token-keyed
-    * aggregates joined back on their keys (hash-shuffle — neither is
-    * broadcastable at corpus scale); V is a scalar broadcast; the
-    * final per-doc agg partitions by doc. Only docs with >= 2 tokens
-    * appear. */
+    * Scale shape: bigrams collapse IMMEDIATELY to (doc, bigram, k);
+    * the pair-count table derives from that same exchange, and both
+    * count joins move distinct pairs on their keys (hash-shuffle —
+    * neither side is broadcastable at corpus scale); V is a scalar
+    * broadcast; the final per-doc agg partitions by doc. Only docs
+    * with >= 2 tokens appear. */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // Null-id screen — see unigramSurprisal.
     val toks = df.where(col(idCol).isNotNull)
@@ -163,21 +184,31 @@ object TextAnalysis {
     // The bigram STRING "w1 w2" is the join key (tokens contain no
     // spaces, so it's injective); w1 re-derives narrowly for the
     // unigram join.
-    val bg = toks.where(size(col("toks")) >= 2)
+    // AGGREGATE BEFORE JOIN (r14, same rationale as unigramSurprisal):
+    // collapse to one row per (doc, bigram) with multiplicity k before
+    // any join — the pair-count table derives from the same exchange
+    // (ReuseExchange), and both joins move distinct pairs, not
+    // occurrences. w1 re-derives AFTER the collapse (narrow split on
+    // far fewer rows).
+    val bgPerDoc = toks.where(size(col("toks")) >= 2)
       .select(col("id"), explode(QualitySignals.rawBigrams(col("toks"))).as("bg"))
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .groupBy("id", "bg").agg(count(lit(1)).as("k"))
     val uni = toks.select(explode(col("toks")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val vsize = uni.agg(count(lit(1)).cast("double").as("vsize"))
-    val pair = bg.groupBy(col("bg").as("pb")).agg(count(lit(1)).as("c2"))
-    bg.join(pair, col("bg") === col("pb"))
+    val pair = bgPerDoc.groupBy(col("bg").as("pb")).agg(sum("k").as("c2"))
+    bgPerDoc.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(pair, col("bg") === col("pb"))
       .join(uni, "w1")
       .crossJoin(broadcast(vsize))
       .withColumn("sp", round(-log(
         (col("c2").cast("double") + 1.0) / (col("c1").cast("double") + col("vsize"))), 6))
       .groupBy(col("id"))
-      .agg(count(lit(1)).cast("long").as("n_bigrams"),
-        round(sum(col("sp").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)
+      .agg(sum("k").cast("long").as("n_bigrams"),
+        // exact decimal sum of k*sp, cast to double before the IEEE
+        // divide — the occurrence-level form's value, bit for bit
+        round(sum(col("sp").cast("decimal(18,6)") * col("k")).cast("double") /
+            sum("k").cast("double"), 4)
           .as("avg_surprisal"))
       .select(col("id").as(idCol), col("n_bigrams"), col("avg_surprisal"))
   }
