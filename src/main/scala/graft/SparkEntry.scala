@@ -1923,6 +1923,38 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** The media codecs through the SQL surface: pure `spark.sql` text
+    * over the r14 registrations (graft_image_stats / graft_wav_stats)
+    * against the same analytic oracle — proves a SQL-only caller gets
+    * the identical decode the DataFrame API does. */
+  private def qMediaSql(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    graft.ops.Multimodal.synthesizeImageAssets(
+        table(s, dir, "documents"), "doc_id")
+      .createOrReplaceTempView("media_img_assets")
+    graft.ops.Multimodal.synthesizeAudioAssets(
+        table(s, dir, "documents"), "doc_id")
+      .createOrReplaceTempView("media_wav_assets")
+    s.sql("""
+      SELECT i.asset_id,
+             CAST(i.im.width AS BIGINT) AS width,
+             CAST(i.im.height AS BIGINT) AS height,
+             i.im.n_pixels AS n_pixels,
+             round(CAST(i.im.sum_gray AS DOUBLE) /
+               CAST(i.im.n_pixels AS DOUBLE), 4) AS mean_gray,
+             i.im.ahash63 AS ahash63,
+             a.au.n_samples AS n_samples,
+             CAST(a.au.peak AS BIGINT) AS peak,
+             round(sqrt(CAST(a.au.sum_sq AS DOUBLE) /
+               CAST(a.au.n_samples AS DOUBLE)), 4) AS rms,
+             a.au.zero_crossings AS zero_crossings
+      FROM (SELECT asset_id, graft_image_stats(content) AS im
+            FROM media_img_assets) i
+      JOIN (SELECT asset_id, graft_wav_stats(content) AS au
+            FROM media_wav_assets) a
+        ON a.asset_id = i.asset_id""")
+  }
+
   /** REAL WAV decode against analytic ground truth — same protocol as
     * q_image_decode: actual RIFF/PCM16 bytes in, exact peak / RMS /
     * zero-crossing features out, oracle replays the sample formula. */
@@ -2573,6 +2605,7 @@ object SparkEntry {
       "q_image_decode"        -> (qImageDecode _),
       "q_image_neardup"       -> (qImageNeardup _),
       "q_audio_features"      -> (qAudioFeatures _),
+      "q_media_sql"           -> (qMediaSql _),
       "q_pack_sequences"      -> (qPackSequences _),
       "q_json_extract"        -> (qJsonExtract _),
       "q_knn_classify"        -> (qKnnClassify _),
@@ -3665,6 +3698,56 @@ object SparkEntry {
              CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
       FROM h a JOIN h b ON a.asset_id < b.asset_id
       WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""",
+
+    // SQL-surface twin: image + audio analytic CTEs joined per asset —
+    // the registered graft_image_stats / graft_wav_stats must land on
+    // the same numbers the formulas predict.
+    "q_media_sql" -> """
+      WITH px AS (
+        SELECT doc_id AS asset_id, x, y,
+               (doc_id*31 + x*7 + y*13) % 256 AS g
+        FROM documents, range(0,64) rx(x), range(0,48) ry(y)),
+      st AS (
+        SELECT asset_id, count(*) AS n_pixels, sum(g) AS sum_gray
+        FROM px GROUP BY asset_id),
+      cells AS (
+        SELECT asset_id, (y//6)*8 + (x//8) AS j, sum(g)//48 AS cell
+        FROM px GROUP BY asset_id, (y//6)*8 + (x//8)),
+      m AS (SELECT asset_id, sum(cell)//64 AS mn FROM cells GROUP BY asset_id),
+      h AS (
+        SELECT c.asset_id,
+               CAST(sum(CASE WHEN c.j < 63 AND c.cell > m.mn
+                        THEN (CAST(1 AS BIGINT) << CAST(c.j AS INT)) ELSE 0 END)
+                 AS BIGINT) AS ahash63
+        FROM cells c JOIN m ON m.asset_id = c.asset_id
+        GROUP BY c.asset_id),
+      sm AS (
+        SELECT doc_id AS asset_id, i,
+               ((doc_id*37 + i*97) % 2001) - 1000 AS v,
+               CASE WHEN i > 0
+                    THEN ((doc_id*37 + (i-1)*97) % 2001) - 1000 END AS vp
+        FROM documents, range(0, 640) r(i)
+        WHERE i < 256 + (doc_id % 7)*64),
+      au AS (
+        SELECT asset_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(max(abs(v)) AS BIGINT) AS peak,
+               round(sqrt(CAST(sum(v*v) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 4)
+                 AS rms,
+               CAST(sum(CASE WHEN vp * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS zero_crossings
+        FROM sm GROUP BY asset_id)
+      SELECT st.asset_id,
+             CAST(64 AS BIGINT) AS width,
+             CAST(48 AS BIGINT) AS height,
+             CAST(st.n_pixels AS BIGINT) AS n_pixels,
+             round(CAST(st.sum_gray AS DOUBLE) / CAST(st.n_pixels AS DOUBLE), 4)
+               AS mean_gray,
+             h.ahash63,
+             au.n_samples, au.peak, au.rms, au.zero_crossings
+      FROM st
+      JOIN h ON h.asset_id = st.asset_id
+      JOIN au ON au.asset_id = st.asset_id""",
 
     // ANALYTIC ground truth for the REAL WAV decoder: sample
     // s(id,i) = ((id*37 + i*97) mod 2001) - 1000 over

@@ -279,6 +279,27 @@ object GraftExtensions {
           graft.functions.TextFunctions.chunks(strictCol(args(0)),
             intLit("graft_chunks", "chunkSize", args(1)),
             intLit("graft_chunks", "overlap", args(2))))
+      }),
+    // --- r14 additions: the REAL media codecs on the SQL surface -----
+    ("graft_image_stats",
+      info("graft_image_stats",
+        "graft_image_stats(bytes) - decode an image (PNG/BMP/GIF/JPEG, " +
+          "format-sniffed) and return struct<decode_ok, width, height, " +
+          "n_pixels, sum_gray, min_gray, max_gray, ahash63>; undecodable " +
+          "bytes -> decode_ok=false with null features, null -> null"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "graft_image_stats expects (bytes)")
+        graft.functions.ImageStatsExpr(args(0))
+      }),
+    ("graft_wav_stats",
+      info("graft_wav_stats",
+        "graft_wav_stats(bytes) - decode RIFF/WAV PCM16 (mono or " +
+          "stereo-folded) and return struct<decode_ok, sample_rate, " +
+          "channels, n_samples, peak, sum_sq, zero_crossings>; " +
+          "undecodable bytes -> decode_ok=false, null -> null"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "graft_wav_stats expects (bytes)")
+        graft.functions.WavStatsExpr(args(0))
       })
   )
 

@@ -108,6 +108,18 @@ object GraftSqlBridge {
       copy(child = newChild)
   }
 
+  /** Strict BINARY input (the media codec kernels' SQL surface): raw
+    * asset bytes are binary by contract; a string fed to an image
+    * decoder is a bug to reject at analysis, not data to re-encode as
+    * UTF-8 silently. A bare NULL literal passes (null-in/null-out,
+    * same rule as every strict pin). */
+  trait BinaryUnaryInputs
+      extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    self: Expression =>
+    override def inputTypes: Seq[types.AbstractDataType] =
+      Seq(types.TypeCollection(types.BinaryType, types.NullType))
+  }
+
   /** Strict bigint x bigint inputs (graft_hamming64): fingerprints are
     * 63-bit longs by contract (graft_simhash63's output); a string —
     * or anything implicit coercion would quietly mangle — is a bug to

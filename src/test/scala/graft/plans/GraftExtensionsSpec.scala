@@ -421,4 +421,50 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT graft_shingles('a b c', length('xx'))").head)
     assert(lit.getMessage.contains("integer literal"))
   }
+
+  test("graft_image_stats / graft_wav_stats match the DataFrame decode ops") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when, lit => slit}
+    val img = graft.ops.Multimodal.synthesizeImageAssets(
+        (0L until 8L).toDF("id"), "id")
+      .withColumn("content", when(col("asset_id") === 5L,
+        slit("garbage".getBytes)).otherwise(col("content")))
+    img.createOrReplaceTempView("ge_media_img")
+    val viaSql = spark.sql(
+      """SELECT asset_id, s.decode_ok, s.width, s.height, s.n_pixels,
+                s.sum_gray, s.min_gray, s.max_gray, s.ahash63
+         FROM (SELECT asset_id, graft_image_stats(content) AS s
+               FROM ge_media_img) ORDER BY asset_id""").collect()
+    val viaDf = graft.ops.Multimodal.decodeImageFeatures(img)
+      .orderBy("asset_id").collect()
+    viaSql.indices.foreach(i => assert(viaSql(i) == viaDf(i),
+      s"image row $i: ${viaSql(i)} vs ${viaDf(i)}"))
+    assert(!viaSql(5).getBoolean(1)) // the corrupt row is flagged, kept
+
+    val wav = graft.ops.Multimodal.synthesizeAudioAssets(
+      (0L until 8L).toDF("id"), "id")
+    wav.createOrReplaceTempView("ge_media_wav")
+    val aSql = spark.sql(
+      """SELECT asset_id, s.decode_ok, s.sample_rate, s.channels,
+                s.n_samples, s.peak, s.sum_sq, s.zero_crossings
+         FROM (SELECT asset_id, graft_wav_stats(content) AS s
+               FROM ge_media_wav) ORDER BY asset_id""").collect()
+    val aDf = graft.ops.Multimodal.decodeAudioFeatures(wav)
+      .orderBy("asset_id").collect()
+    aSql.indices.foreach(i => assert(aSql(i) == aDf(i),
+      s"audio row $i: ${aSql(i)} vs ${aDf(i)}"))
+
+    // strict binary pins: a string is an ANALYSIS error, not re-encoded
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_image_stats('not bytes')").head
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_wav_stats(42)").head
+    }
+    // bare NULL: null-in/null-out (null STRUCT, not a decode_ok=false row)
+    val n = spark.sql(
+      "SELECT graft_image_stats(NULL) AS i, graft_wav_stats(NULL) AS w").head
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
 }
