@@ -152,6 +152,31 @@ class MultimodalSpec extends SparkSpec {
           g(2 * x + 1, 2 * y + 1)) / 4)
   }
 
+  test("decodeImageFeatures runs unchanged on a STREAM (narrow mapPartitions)") {
+    // the decode pass is stateless and narrow, so the same operator
+    // must work under Structured Streaming without a variant — the
+    // shape a live crawl-ingest pipeline uses
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bytes = (0L until 4L).map { id =>
+      (id, MediaCodec.encodeGray(16, 16, "png")((x, y) =>
+        Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt))
+    }
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = Multimodal.decodeImageFeatures(
+        input.toDF().toDF("asset_id", "content"))
+      .writeStream.format("memory").queryName("media_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(bytes: _*)
+      q.processAllAvailable()
+      val rows = spark.table("media_stream_out").collect()
+      assert(rows.length == 4)
+      assert(rows.forall(_.getAs[Boolean]("decode_ok")))
+      assert(rows.forall(_.getAs[Int]("width") == 16))
+    } finally q.stop()
+  }
+
   test("real audio pipeline: WAV features match the analytic fold") {
     val audio = Multimodal.synthesizeAudioAssets((0L until 10L).toDF("id"), "id")
     val feats = Multimodal.decodeAudioFeatures(audio).collect()
