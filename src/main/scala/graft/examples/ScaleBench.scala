@@ -68,7 +68,15 @@ object ScaleBench {
     // round-11 families
     "q_ngram_repetition",   // narrow per-row O(grams^2) projection, 0 shuffle
     // round-13 families
-    "q_sql_surface")        // the graft_* SQL registrations end-to-end, 0 shuffle
+    "q_sql_surface",        // the graft_* SQL registrations end-to-end, 0 shuffle
+    // round-14 families. q_image_neardup is deliberately NOT here: the
+    // synthetic gradient family's TRUE near-dup mass grows
+    // quadratically with corpus size (ids 256 apart are identical
+    // images), so its 10x point measures output combinatorics, not
+    // engine scaling — the banded-join engine shape is already the
+    // q_dedup_minhash_lsh row.
+    "q_image_decode",       // real encode+decode mapPartitions, 0 shuffle
+    "q_audio_features")     // RIFF parse + exact feature fold, 0 shuffle
 
   /** Shapes that no longer exist in SparkEntry but whose 10× behavior
     * documents WHY the shipped shape replaced them — the before/after
