@@ -1901,6 +1901,16 @@ object SparkEntry {
           .as("mean_gray"),
         col("min_gray").cast("long").as("min_gray"),
         col("max_gray").cast("long").as("max_gray"),
+        // quality-gate signals: variance from the exact integer sums
+        // (same expression shape as the oracle so IEEE agrees), the
+        // blank/low-contrast evidence, and the dominated-palette ratio
+        round(col("sum_sq_gray").cast("double") / col("n_pixels").cast("double") -
+            (col("sum_gray").cast("double") / col("n_pixels").cast("double")) *
+            (col("sum_gray").cast("double") / col("n_pixels").cast("double")), 4)
+          .as("variance_gray"),
+        col("n_distinct_gray").cast("long").as("n_distinct_gray"),
+        round(col("top_gray_freq").cast("double") / col("n_pixels").cast("double"), 4)
+          .as("top_gray_frac"),
         col("ahash63"))
   }
 
@@ -3647,8 +3657,14 @@ object SparkEntry {
         FROM documents, range(0,64) rx(x), range(0,48) ry(y)),
       st AS (
         SELECT asset_id, count(*) AS n_pixels, sum(g) AS sum_gray,
-               min(g) AS min_gray, max(g) AS max_gray
+               min(g) AS min_gray, max(g) AS max_gray,
+               sum(g*g) AS sum_sq_gray,
+               count(DISTINCT g) AS n_distinct_gray
         FROM px GROUP BY asset_id),
+      gcnt AS (
+        SELECT asset_id, max(c) AS top_gray_freq
+        FROM (SELECT asset_id, g, count(*) AS c FROM px GROUP BY asset_id, g)
+        GROUP BY asset_id),
       cells AS (
         SELECT asset_id, (y//6)*8 + (x//8) AS j, sum(g)//48 AS cell
         FROM px GROUP BY asset_id, (y//6)*8 + (x//8)),
@@ -3670,8 +3686,17 @@ object SparkEntry {
                AS mean_gray,
              CAST(st.min_gray AS BIGINT) AS min_gray,
              CAST(st.max_gray AS BIGINT) AS max_gray,
+             round(CAST(st.sum_sq_gray AS DOUBLE) / CAST(st.n_pixels AS DOUBLE) -
+               (CAST(st.sum_gray AS DOUBLE) / CAST(st.n_pixels AS DOUBLE)) *
+               (CAST(st.sum_gray AS DOUBLE) / CAST(st.n_pixels AS DOUBLE)), 4)
+               AS variance_gray,
+             CAST(st.n_distinct_gray AS BIGINT) AS n_distinct_gray,
+             round(CAST(gcnt.top_gray_freq AS DOUBLE) /
+               CAST(st.n_pixels AS DOUBLE), 4) AS top_gray_frac,
              CAST(h.ahash63 AS BIGINT) AS ahash63
-      FROM st JOIN h ON h.asset_id = st.asset_id""",
+      FROM st
+      JOIN gcnt ON gcnt.asset_id = st.asset_id
+      JOIN h ON h.asset_id = st.asset_id""",
 
     // Perceptual near-dup ground truth: the analytic ahash63 (same
     // CTEs as q_image_decode) brute-force self-joined on Hamming <= 3.

@@ -32,6 +32,9 @@ case class ImageStatsExpr(child: Expression)
     StructField("sum_gray", LongType, nullable = true),
     StructField("min_gray", IntegerType, nullable = true),
     StructField("max_gray", IntegerType, nullable = true),
+    StructField("sum_sq_gray", LongType, nullable = true),
+    StructField("n_distinct_gray", IntegerType, nullable = true),
+    StructField("top_gray_freq", LongType, nullable = true),
     StructField("ahash63", LongType, nullable = true)))
   override def prettyName: String = "graft_image_stats"
 
@@ -39,13 +42,16 @@ case class ImageStatsExpr(child: Expression)
     MediaCodec.decodeGray(input.asInstanceOf[Array[Byte]]) match {
       case Some(img) =>
         val (n, sum, mn, mx) = MediaCodec.grayStats(img)
+        val (sumSq, nDist, topFreq) = MediaCodec.grayQualityStats(img)
         val hash: Any =
           if (img.width % 8 == 0 && img.height % 8 == 0)
             MediaCodec.aHash63(img)
           else null
-        InternalRow(true, img.width, img.height, n, sum, mn, mx, hash)
+        InternalRow(true, img.width, img.height, n, sum, mn, mx,
+          sumSq, nDist, topFreq, hash)
       case None =>
-        InternalRow(false, null, null, null, null, null, null, null)
+        InternalRow(false, null, null, null, null, null, null, null,
+          null, null, null)
     }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

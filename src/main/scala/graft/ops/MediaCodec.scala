@@ -112,6 +112,36 @@ object MediaCodec {
     (px.length.toLong, sum, if (px.isEmpty) 0 else mn, if (px.isEmpty) 0 else mx)
   }
 
+  /** The image-QUALITY-gate signals, one histogram pass — the image
+    * twin of the Gopher text gates: exact sum of squares (variance
+    * derives downstream: blur/flat detection), distinct gray levels
+    * and the modal level's frequency (n_distinct = 1 is a blank frame;
+    * top_freq/n near 1 is a near-blank or letterboxed one — the
+    * single-color and dominated-palette drops an image corpus runs
+    * before paying for embedding). All integers, so an external SQL
+    * engine replays them analytically. */
+  def grayQualityStats(img: GrayImage): (Long, Int, Long) = {
+    val px = img.gray
+    val hist = new Array[Long](256)
+    var i = 0
+    var sumSq = 0L
+    while (i < px.length) {
+      val g = px(i)
+      sumSq += g.toLong * g
+      hist(g) += 1
+      i += 1
+    }
+    var nDistinct = 0
+    var topFreq = 0L
+    var g = 0
+    while (g < 256) {
+      if (hist(g) > 0) nDistinct += 1
+      if (hist(g) > topFreq) topFreq = hist(g)
+      g += 1
+    }
+    (sumSq, nDistinct, topFreq)
+  }
+
   /** Sign-safe 63-bit average hash (perceptual near-dup fingerprint —
     * the aHash family): box-average the image onto an 8x8 grid with
     * exact floor division, take the floor mean of the 64 cells, set

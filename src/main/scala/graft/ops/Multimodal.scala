@@ -219,6 +219,9 @@ object Multimodal {
       StructField("sum_gray", LongType, nullable = true),
       StructField("min_gray", IntegerType, nullable = true),
       StructField("max_gray", IntegerType, nullable = true),
+      StructField("sum_sq_gray", LongType, nullable = true),
+      StructField("n_distinct_gray", IntegerType, nullable = true),
+      StructField("top_gray_freq", LongType, nullable = true),
       StructField("ahash63", LongType, nullable = true)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     assets.select("asset_id", "content").mapPartitions { rows =>
@@ -227,13 +230,16 @@ object Multimodal {
         MediaCodec.decodeGray(r.getAs[Array[Byte]](1)) match {
           case Some(img) =>
             val (n, sum, mn, mx) = MediaCodec.grayStats(img)
+            val (sumSq, nDist, topFreq) = MediaCodec.grayQualityStats(img)
             val hash: java.lang.Long =
               if (img.width % 8 == 0 && img.height % 8 == 0)
                 MediaCodec.aHash63(img)
               else null
-            Row(id, true, img.width, img.height, n, sum, mn, mx, hash)
+            Row(id, true, img.width, img.height, n, sum, mn, mx,
+              sumSq, nDist, topFreq, hash)
           case None =>
-            Row(id, false, null, null, null, null, null, null, null)
+            Row(id, false, null, null, null, null, null, null,
+              null, null, null, null)
         }
       }
     }(enc)

@@ -285,7 +285,9 @@ object GraftExtensions {
       info("graft_image_stats",
         "graft_image_stats(bytes) - decode an image (PNG/BMP/GIF/JPEG, " +
           "format-sniffed) and return struct<decode_ok, width, height, " +
-          "n_pixels, sum_gray, min_gray, max_gray, ahash63>; undecodable " +
+          "n_pixels, sum_gray, min_gray, max_gray, sum_sq_gray, " +
+          "n_distinct_gray, top_gray_freq, ahash63> (the last three feed " +
+          "blank/low-contrast quality gates); undecodable " +
           "bytes -> decode_ok=false with null features, null -> null"),
       { args: Seq[Expression] =>
         require(args.length == 1, "graft_image_stats expects (bytes)")

@@ -50,6 +50,17 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.grayStats(img) == ((4L, 100L, 10, 40)))
   }
 
+  test("grayQualityStats: exact sum-of-squares / distinct levels / modal freq") {
+    val img = MediaCodec.GrayImage(2, 3, Array(10, 10, 10, 20, 20, 30))
+    val (sumSq, nDist, topFreq) = MediaCodec.grayQualityStats(img)
+    assert(sumSq == 3L * 100 + 2L * 400 + 900)
+    assert(nDist == 3 && topFreq == 3L)
+    // a blank frame is unmistakable: one level, modal freq = n
+    val blank = MediaCodec.GrayImage(4, 4, Array.fill(16)(77))
+    val (_, d, f) = MediaCodec.grayQualityStats(blank)
+    assert(d == 1 && f == 16L)
+  }
+
   test("aHash63 hand-check on a half-dark half-bright image") {
     // left half 0, right half 200: cells 0..3 of each row dark (below
     // mean=100), cells 4..7 bright -> bits j where j%8 >= 4, except

@@ -433,7 +433,8 @@ class GraftExtensionsSpec extends SparkSpec {
     img.createOrReplaceTempView("ge_media_img")
     val viaSql = spark.sql(
       """SELECT asset_id, s.decode_ok, s.width, s.height, s.n_pixels,
-                s.sum_gray, s.min_gray, s.max_gray, s.ahash63
+                s.sum_gray, s.min_gray, s.max_gray, s.sum_sq_gray,
+                s.n_distinct_gray, s.top_gray_freq, s.ahash63
          FROM (SELECT asset_id, graft_image_stats(content) AS s
                FROM ge_media_img) ORDER BY asset_id""").collect()
     val viaDf = graft.ops.Multimodal.decodeImageFeatures(img)
