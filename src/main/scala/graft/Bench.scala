@@ -77,6 +77,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogHygiene.muteAuditedWindowWarning()
 
     // Clear any PREVIOUS run's result file up front: it is only
     // (re)written at the end of a successful run, so after a crash the

@@ -1,0 +1,27 @@
+package graft
+
+/** Driver-main log hygiene: mute the ONE warning class that is
+  * strictly redundant with a stricter static check.
+  *
+  * `WindowExec` logs "No Partition Defined for Window operation!" for
+  * EVERY unpartitioned window, including the audited bounded ones
+  * (limit-truncated rank tables, bucket-offset tables — inputs of
+  * ≤ topN / corpus-per-64k rows by construction). The plan auditor
+  * ([[graft.plans.PlanAudit]] rule 2, blanket-asserted over every
+  * driver query in PlanAuditSpec) statically REJECTS the dangerous
+  * case — an unpartitioned window fed by an unbounded input — so the
+  * runtime warning carries no information the build hasn't already
+  * checked, and at ~57 repetitions per Verify run it drowns the
+  * driver-captured stdout/stderr tails the per-round artifacts keep.
+  *
+  * Scope deliberately minimal: one logger, driver mains only (Bench /
+  * Verify call this; tests and library code never do, so a future
+  * unaudited global window still warns everywhere else).
+  */
+object LogHygiene {
+  def muteAuditedWindowWarning(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // log4j backend absent: keep the noise
+}

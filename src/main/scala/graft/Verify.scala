@@ -18,6 +18,7 @@ object Verify {
     MainUtil.applyConfEnv(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogHygiene.muteAuditedWindowWarning()
     new java.io.File(outDir).mkdirs()
 
     // Failures must be LOUD and in-band: a thrown query silently shrinks

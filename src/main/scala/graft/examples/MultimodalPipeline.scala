@@ -108,8 +108,13 @@ object MultimodalPipeline {
 
     // 5. Thumbnails for the survivors (exact 2x box downscale,
     //    re-encoded PNG) + writes: curated assets and the audit table.
+    //    keepers derives FROM images, so the semijoin key is explicitly
+    //    re-aliased — the self-lineage-join discipline Mutations
+    //    follows (an unaliased join on shared-lineage columns is the
+    //    ambiguous-self-join trap).
     val curated = Multimodal.downscaleImages(
-      images.join(keepers.select("asset_id"), "asset_id"))
+      images.join(keepers.select(col("asset_id").as("__keep_id")),
+          col("asset_id") === col("__keep_id"), "left_semi"))
     curated.write.mode("overwrite").parquet(s"$outDir/curated_thumbs")
     corrupt.select("asset_id").write.mode("overwrite")
       .parquet(s"$outDir/corrupt_audit")
