@@ -2768,6 +2768,35 @@ object SparkEntry {
 
   /** DuckDB lang-guess expression over the TextFeatureCte columns —
     * mirror of TextFunctions.langGuess (en > de > es > fr tie order). */
+  /** Shared media-oracle fragments (q_image_decode / q_image_neardup /
+    * q_media_sql / q_audio_features): ONE definition of the gradient
+    * pixel grid, the aHash63 cell fold, and the audio sample stream —
+    * a tweak to any formula lands in every oracle or none. */
+  private val ImagePxCte = """px AS (
+        SELECT doc_id AS asset_id, x, y,
+               (doc_id*31 + x*7 + y*13) % 256 AS g
+        FROM documents, range(0,64) rx(x), range(0,48) ry(y))"""
+
+  private val ImageAHashCtes = """cells AS (
+        SELECT asset_id, (y//6)*8 + (x//8) AS j, sum(g)//48 AS cell
+        FROM px GROUP BY asset_id, (y//6)*8 + (x//8)),
+      m AS (SELECT asset_id, sum(cell)//64 AS mn FROM cells GROUP BY asset_id),
+      h AS (
+        SELECT c.asset_id,
+               CAST(sum(CASE WHEN c.j < 63 AND c.cell > m.mn
+                        THEN (CAST(1 AS BIGINT) << CAST(c.j AS INT)) ELSE 0 END)
+                 AS BIGINT) AS ahash63
+        FROM cells c JOIN m ON m.asset_id = c.asset_id
+        GROUP BY c.asset_id)"""
+
+  private val AudioSampleCte = """sm AS (
+        SELECT doc_id AS asset_id, i,
+               ((doc_id*37 + i*97) % 2001) - 1000 AS v,
+               CASE WHEN i > 0
+                    THEN ((doc_id*37 + (i-1)*97) % 2001) - 1000 END AS vp
+        FROM documents, range(0, 640) r(i)
+        WHERE i < 256 + (doc_id % 7)*64)"""
+
   private val LangGuessSql = """CASE WHEN sw_en > 0 AND sw_en = best THEN 'en'
              WHEN sw_de > 0 AND sw_de = best THEN 'de'
              WHEN sw_es > 0 AND sw_es = best THEN 'es'
@@ -3650,11 +3679,8 @@ object SparkEntry {
     // approximate). Grid 64x48; aHash cells are 8x6 boxes (floor-mean),
     // hash mean is the floor-mean of the 64 cells, bits j=0..62 only
     // (sign-safe, house simhash63 rule).
-    "q_image_decode" -> """
-      WITH px AS (
-        SELECT doc_id AS asset_id, x, y,
-               (doc_id*31 + x*7 + y*13) % 256 AS g
-        FROM documents, range(0,64) rx(x), range(0,48) ry(y)),
+    "q_image_decode" -> s"""
+      WITH $ImagePxCte,
       st AS (
         SELECT asset_id, count(*) AS n_pixels, sum(g) AS sum_gray,
                min(g) AS min_gray, max(g) AS max_gray,
@@ -3665,17 +3691,7 @@ object SparkEntry {
         SELECT asset_id, max(c) AS top_gray_freq
         FROM (SELECT asset_id, g, count(*) AS c FROM px GROUP BY asset_id, g)
         GROUP BY asset_id),
-      cells AS (
-        SELECT asset_id, (y//6)*8 + (x//8) AS j, sum(g)//48 AS cell
-        FROM px GROUP BY asset_id, (y//6)*8 + (x//8)),
-      m AS (SELECT asset_id, sum(cell)//64 AS mn FROM cells GROUP BY asset_id),
-      h AS (
-        SELECT c.asset_id,
-               sum(CASE WHEN c.j < 63 AND c.cell > m.mn
-                        THEN (CAST(1 AS BIGINT) << CAST(c.j AS INT)) ELSE 0 END)
-                 AS ahash63
-        FROM cells c JOIN m ON m.asset_id = c.asset_id
-        GROUP BY c.asset_id)
+      $ImageAHashCtes
       SELECT st.asset_id,
              CASE WHEN st.asset_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
              CAST(1 AS BIGINT) AS decode_ok,
@@ -3703,56 +3719,24 @@ object SparkEntry {
     // The engine's banded join must return EXACTLY this set — 4 bands
     // with maxHamming 3 < 4 makes the pigeonhole recall guarantee
     // total, so banding is invisible in the result.
-    "q_image_neardup" -> """
-      WITH px AS (
-        SELECT doc_id AS asset_id, x, y,
-               (doc_id*31 + x*7 + y*13) % 256 AS g
-        FROM documents, range(0,64) rx(x), range(0,48) ry(y)),
-      cells AS (
-        SELECT asset_id, (y//6)*8 + (x//8) AS j, sum(g)//48 AS cell
-        FROM px GROUP BY asset_id, (y//6)*8 + (x//8)),
-      m AS (SELECT asset_id, sum(cell)//64 AS mn FROM cells GROUP BY asset_id),
-      h AS (
-        SELECT c.asset_id,
-               CAST(sum(CASE WHEN c.j < 63 AND c.cell > m.mn
-                        THEN (CAST(1 AS BIGINT) << CAST(c.j AS INT)) ELSE 0 END)
-                 AS BIGINT) AS ahash
-        FROM cells c JOIN m ON m.asset_id = c.asset_id
-        GROUP BY c.asset_id)
+    "q_image_neardup" -> s"""
+      WITH $ImagePxCte,
+      $ImageAHashCtes
       SELECT a.asset_id AS id_a, b.asset_id AS id_b,
-             CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+             CAST(bit_count(xor(a.ahash63, b.ahash63)) AS BIGINT) AS hamming
       FROM h a JOIN h b ON a.asset_id < b.asset_id
-      WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""",
+      WHERE bit_count(xor(a.ahash63, b.ahash63)) <= 3""",
 
     // SQL-surface twin: image + audio analytic CTEs joined per asset —
     // the registered graft_image_stats / graft_wav_stats must land on
     // the same numbers the formulas predict.
-    "q_media_sql" -> """
-      WITH px AS (
-        SELECT doc_id AS asset_id, x, y,
-               (doc_id*31 + x*7 + y*13) % 256 AS g
-        FROM documents, range(0,64) rx(x), range(0,48) ry(y)),
+    "q_media_sql" -> s"""
+      WITH $ImagePxCte,
       st AS (
         SELECT asset_id, count(*) AS n_pixels, sum(g) AS sum_gray
         FROM px GROUP BY asset_id),
-      cells AS (
-        SELECT asset_id, (y//6)*8 + (x//8) AS j, sum(g)//48 AS cell
-        FROM px GROUP BY asset_id, (y//6)*8 + (x//8)),
-      m AS (SELECT asset_id, sum(cell)//64 AS mn FROM cells GROUP BY asset_id),
-      h AS (
-        SELECT c.asset_id,
-               CAST(sum(CASE WHEN c.j < 63 AND c.cell > m.mn
-                        THEN (CAST(1 AS BIGINT) << CAST(c.j AS INT)) ELSE 0 END)
-                 AS BIGINT) AS ahash63
-        FROM cells c JOIN m ON m.asset_id = c.asset_id
-        GROUP BY c.asset_id),
-      sm AS (
-        SELECT doc_id AS asset_id, i,
-               ((doc_id*37 + i*97) % 2001) - 1000 AS v,
-               CASE WHEN i > 0
-                    THEN ((doc_id*37 + (i-1)*97) % 2001) - 1000 END AS vp
-        FROM documents, range(0, 640) r(i)
-        WHERE i < 256 + (doc_id % 7)*64),
+      $ImageAHashCtes,
+      $AudioSampleCte,
       au AS (
         SELECT asset_id,
                CAST(count(*) AS BIGINT) AS n_samples,
@@ -3779,14 +3763,8 @@ object SparkEntry {
     // n = 256 + (id mod 7)*64 samples; the previous sample re-derives
     // arithmetically (no window needed), so zero crossings are a pure
     // per-row predicate.
-    "q_audio_features" -> """
-      WITH s AS (
-        SELECT doc_id AS asset_id, i,
-               ((doc_id*37 + i*97) % 2001) - 1000 AS v,
-               CASE WHEN i > 0
-                    THEN ((doc_id*37 + (i-1)*97) % 2001) - 1000 END AS vp
-        FROM documents, range(0, 640) r(i)
-        WHERE i < 256 + (doc_id % 7)*64)
+    "q_audio_features" -> s"""
+      WITH $AudioSampleCte
       SELECT asset_id,
              CAST(1 AS BIGINT) AS decode_ok,
              CAST(16000 AS BIGINT) AS sample_rate,
@@ -3796,7 +3774,7 @@ object SparkEntry {
                AS rms,
              CAST(sum(CASE WHEN vp * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS zero_crossings
-      FROM s GROUP BY asset_id""",
+      FROM sm GROUP BY asset_id""",
 
     // Sequence packing oracle: the NAIVE global-window exclusive cumsum
     // — the scalable bucketed implementation must stitch to exactly

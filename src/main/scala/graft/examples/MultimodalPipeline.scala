@@ -47,10 +47,14 @@ object MultimodalPipeline {
     //    parquet; here the bytes are REAL encoded images/audio of known
     //    content, with a 2% corruption injection so the corrupt-row
     //    path is exercised end to end.
+    // cached: three downstream actions (the count, the decode pass,
+    // the step-5 semijoin into the thumbnail pass) would otherwise
+    // re-run the ImageIO encode of the whole corpus each
     val images = Multimodal.synthesizeImageAssets(docs, "doc_id")
       .withColumn("content",
         when(col("asset_id") % 50 === 7, lit("corrupt!".getBytes))
           .otherwise(col("content")))
+      .cache()
     val audio = Multimodal.synthesizeAudioAssets(docs, "doc_id")
     println(s"assets: ${images.count()} images, ${audio.count()} audio clips")
 
@@ -132,6 +136,7 @@ object MultimodalPipeline {
         s"decodes to ${img.width}x${img.height}")
     }
     feats.unpersist()
+    images.unpersist()
     spark.stop()
   }
 }

@@ -367,10 +367,17 @@ object Dedup {
   def fingerprintPairs(df: DataFrame, idCol: String, hashCol: String,
                        maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(bands >= 2 && 64 % bands == 0, s"bands must divide 64, got $bands")
-    require(df.schema(hashCol).dataType ==
-        org.apache.spark.sql.types.LongType,
+    // Resolver-aware field lookup (graft.Cols contract): an exact-case
+    // df.schema(hashCol) throws on a case-variant name that col()
+    // would happily resolve one line later under the default
+    // case-insensitive session.
+    val hashField = df.schema.fields
+      .find(f => graft.Cols.same(df)(f.name, hashCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"fingerprintPairs: no column '$hashCol' (session resolver)"))
+    require(hashField.dataType == org.apache.spark.sql.types.LongType,
       s"fingerprintPairs: '$hashCol' must be bigint, got " +
-        df.schema(hashCol).dataType.simpleString)
+        hashField.dataType.simpleString)
     // Recall guarantee (pigeonhole) holds only for maxHamming < bands;
     // a larger maxHamming still works but finds such pairs best-effort
     // (only when they happen to share a band).

@@ -52,16 +52,20 @@ object MediaCodec {
                 (pixel: (Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    // bulk setRGB: one ColorModel pass for the whole raster instead of
+    // a converted, bounds-checked call per pixel
+    val buf = new Array[Int](width * height)
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
         val g = pixel(x, y) & 0xFF
-        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        buf(y * width + x) = (g << 16) | (g << 8) | g
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, width, height, buf, 0, width)
     val bos = new ByteArrayOutputStream()
     val ok = ImageIO.write(img, format, bos)
     require(ok, s"no ImageIO writer for format '$format'")
@@ -79,15 +83,18 @@ object MediaCodec {
       if (img == null) return None // sniffed as no known format
       val w = img.getWidth
       val h = img.getHeight
+      // bulk getRGB (identical values to the per-pixel form — one
+      // ColorModel conversion pass, not one per call): this is the hot
+      // per-asset kernel, and the per-pixel path measurably wastes CPU
+      // at corpus scale. w*h over Int.MaxValue overflows the array
+      // size and lands in the catch -> None, the decode_ok=false
+      // contract for anything a JVM array can't hold anyway.
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
       val out = new Array[Int](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          out(y * w + x) = (img.getRGB(x, y) >> 16) & 0xFF
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < out.length) {
+        out(i) = (rgb(i) >> 16) & 0xFF
+        i += 1
       }
       Some(GrayImage(w, h, out))
     } catch { case _: Exception => None }

@@ -120,7 +120,9 @@ object Multimodal {
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false),
       StructField("n_bytes", IntegerType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    assets.select("asset_id", "content", "meta.modality").mapPartitions { rows =>
+    assets.where(col("asset_id").isNotNull) // same screen+cast contract as keyedBytes
+      .select(col("asset_id").cast("long").as("asset_id"), col("content"),
+        col("meta.modality").as("modality")).mapPartitions { rows =>
       // <- real codec: initialize decoder/session HERE, once per partition
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("content")
@@ -139,7 +141,7 @@ object Multimodal {
       StructField("asset_id", LongType, nullable = false),
       StructField("content", BinaryType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    assets.select("asset_id", "content").mapPartitions { rows =>
+    keyedBytes(assets).mapPartitions { rows =>
       rows.map { r =>
         Row(r.getAs[Long]("asset_id"),
           StubCodec.resize(r.getAs[Array[Byte]]("content"), maxBytes))
@@ -198,6 +200,18 @@ object Multimodal {
     }(enc)
   }
 
+  /** Key + bytes prep shared by the real-codec ops: null-id assets are
+    * SCREENED (same contract as the null-id screens in the text ops —
+    * the output schema declares asset_id non-null, and a raw getLong
+    * on a null id silently unboxes to 0, attributing the row to asset
+    * 0), and the id CASTS to long so a production table keyed by INT
+    * works instead of killing every task with a ClassCastException —
+    * under ANSI, a genuinely garbage id is a loud cast error at the
+    * task, surfaced per-row, not a silent misattribution. */
+  private def keyedBytes(assets: DataFrame): DataFrame =
+    assets.where(col("asset_id").isNotNull)
+      .select(col("asset_id").cast("long").as("asset_id"), col("content"))
+
   /** REAL image decode + exact feature extraction, batched per
     * partition: format-sniffing ImageIO decode (PNG/BMP/GIF/JPEG/...),
     * integer stats, and the sign-safe 63-bit average hash
@@ -224,7 +238,7 @@ object Multimodal {
       StructField("top_gray_freq", LongType, nullable = true),
       StructField("ahash63", LongType, nullable = true)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    assets.select("asset_id", "content").mapPartitions { rows =>
+    keyedBytes(assets).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         MediaCodec.decodeGray(r.getAs[Array[Byte]](1)) match {
@@ -260,7 +274,7 @@ object Multimodal {
       StructField("sum_sq", LongType, nullable = true),
       StructField("zero_crossings", LongType, nullable = true)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    assets.select("asset_id", "content").mapPartitions { rows =>
+    keyedBytes(assets).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         MediaCodec.decodeWav(r.getAs[Array[Byte]](1)) match {
@@ -286,7 +300,7 @@ object Multimodal {
       StructField("resized", BooleanType, nullable = false),
       StructField("content", BinaryType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    assets.select("asset_id", "content").mapPartitions { rows =>
+    keyedBytes(assets).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -314,7 +328,7 @@ object Multimodal {
       StructField("frame_no", IntegerType, nullable = false),
       StructField("frame", BinaryType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    assets.select("asset_id", "content").mapPartitions { rows =>
+    keyedBytes(assets).mapPartitions { rows =>
       rows.flatMap { r =>
         StubCodec.sampleFrames(r.getAs[Array[Byte]]("content"), framesPerAsset)
           .zipWithIndex.map { case (f, i) => Row(r.getAs[Long]("asset_id"), i, f) }

@@ -632,6 +632,12 @@ class DedupSpec extends SparkSpec {
       Dedup.fingerprintPairs(Seq((1L, "0F")).toDF("id", "h"), "id", "h")
     }
     assert(e.getMessage.contains("bigint"))
+    // the type check resolves names like the session does: a
+    // case-variant column name must pass under the default
+    // case-insensitive resolution (exact-case schema() would throw)
+    val caseVariant = Dedup.fingerprintPairs(
+      Seq((1L, 3L), (2L, 3L)).toDF("id", "AHash"), "id", "ahash").collect()
+    assert(caseVariant.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
   test("simhashPairs == fingerprintPairs over the computed simhash (delegation pin)") {
