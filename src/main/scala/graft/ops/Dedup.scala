@@ -364,6 +364,19 @@ object Dedup {
     * null band key would go quadratic in the null count). The
     * fingerprint column must already BE a bigint: a lenient cast here
     * would silently coerce strings and band on garbage. */
+  /** The band-key derivation [[fingerprintPairs]] joins on, as an
+    * array column ("bandId|bits" strings) — shared with the streaming
+    * perceptual ingest gate so batch and stream band identically. */
+  private[graft] def fingerprintBandKeys(hash: Column, bands: Int): Column = {
+    require(bands >= 2 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      concat_ws("|", b.cast("string"),
+        call_function("shiftright", hash, b * width)
+          .bitwiseAND(mask).cast("string")))
+  }
+
   def fingerprintPairs(df: DataFrame, idCol: String, hashCol: String,
                        maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(bands >= 2 && 64 % bands == 0, s"bands must divide 64, got $bands")
@@ -381,8 +394,6 @@ object Dedup {
     // Recall guarantee (pigeonhole) holds only for maxHamming < bands;
     // a larger maxHamming still works but finds such pairs best-effort
     // (only when they happen to share a band).
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
     val withH = df.where(col(hashCol).isNotNull)
       .select(col(idCol).as("id"), col(hashCol).as("simhash"))
     // `bands` bands of 64/bands bits: band key = (bandId, those bits).
@@ -392,11 +403,7 @@ object Dedup {
     // ~10M docs; beyond that use FEWER, WIDER bands (e.g. bands=2,
     // 32-bit buckets, maxHamming=1) or prefilter with minhash-LSH.
     val banded = withH.select(col("id"), col("simhash"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        concat_ws("|", b.cast("string"),
-          call_function("shiftright", col("simhash"), b * width)
-            .bitwiseAND(mask).cast("string"))
-      )).as("band"))
+      explode(fingerprintBandKeys(col("simhash"), bands)).as("band"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

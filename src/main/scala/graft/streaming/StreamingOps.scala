@@ -414,7 +414,6 @@ object StreamingOps {
                          n: Int = 3, numHashes: Int = 16,
                          bands: Int = 4): DataFrame = {
     import graft.functions.TextFunctions
-    val spark = batch.sparkSession
     val sh = TextFunctions.shingles(col(textCol), n)
     val banded = batch
       .select(col(idCol), col(tsCol), sh.as("__sh"))
@@ -422,11 +421,76 @@ object StreamingOps {
       .select(col(idCol), struct(col(tsCol), col(idCol)).as("__tie"),
         explode(TextFunctions.minhashBands(col("__sh"), numHashes, bands))
           .as("band"))
-      // Shingling + minhashing is the operator's dominant per-row work
-      // and feeds FOUR consumers (first-per-band agg, in-batch probe,
-      // cross-batch probe, band write) — cache the batch-bounded result
-      // so it runs once, and release it before returning.
-      .persist()
+    bandGateScreenBatch(batch, banded, indexPath, batchId, idCol)
+  }
+
+  /** Streaming PERCEPTUAL image near-dup ingest gate — the media twin
+    * of [[nearDupIngestStream]], same index/replay machinery, different
+    * banding: every asset's bytes decode to the 63-bit average hash
+    * ([[graft.functions.ImageStatsExpr]]), and the 4x16-bit band keys
+    * are EXACTLY [[graft.ops.Dedup.fingerprintPairs]]' (shared
+    * derivation), so stream and batch band identically. A band
+    * collision means >= 16 agreeing hash bits — the gate's
+    * false-accept/false-drop trade is the banded screen's, tuned by
+    * `bands` (pigeonhole: everything within Hamming bands-1 of a
+    * retained asset collides somewhere and drops). Undecodable bytes
+    * and non-8-divisible images have a null hash, hence no bands, and
+    * always pass — flag them with decode_ok downstream; a gate must
+    * not eat what it cannot judge. */
+  def imageNearDupIngestStream(stream: DataFrame, indexPath: String,
+                               survivorsPath: String, checkpointDir: String,
+                               idCol: String = "asset_id",
+                               bytesCol: String = "content",
+                               tsCol: String = "ts", bands: Int = 4):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val kept = imageNearDupScreenBatch(batch, indexPath, batchId,
+            idCol, bytesCol, tsCol, bands)
+          kept.write.mode("overwrite").parquet(s"$survivorsPath/batch=$batchId")
+        }
+      }
+      .start()
+
+  /** One micro-batch of the perceptual gate (batch-mode incremental
+    * screening works with a caller-managed monotone batchId, like
+    * [[nearDupScreenBatch]]). */
+  def imageNearDupScreenBatch(batch: DataFrame, indexPath: String,
+                              batchId: Long, idCol: String,
+                              bytesCol: String, tsCol: String,
+                              bands: Int = 4): DataFrame = {
+    val hash = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.ImageStatsExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(bytesCol))))
+      .getField("ahash63")
+    val banded = batch
+      .select(col(idCol), col(tsCol), hash.as("__h"))
+      .where(col("__h").isNotNull)
+      .select(col(idCol), struct(col(tsCol), col(idCol)).as("__tie"),
+        explode(graft.ops.Dedup.fingerprintBandKeys(col("__h"), bands))
+          .as("band"))
+    bandGateScreenBatch(batch, banded, indexPath, batchId, idCol)
+  }
+
+  /** The replay-safe band-gate core both ingest gates share: `banded0`
+    * is (idCol, __tie, band) — whatever derived the bands (minhash over
+    * shingles, fingerprint slices over a perceptual hash), the
+    * within-batch first-arrival rule, the strictly-earlier cross-batch
+    * probe, the file-materialized drop set, the survivors' band write,
+    * and the _drops retention are identical. See [[nearDupScreenBatch]]
+    * for the replay-safety argument. */
+  private def bandGateScreenBatch(batch: DataFrame, banded0: DataFrame,
+                                  indexPath: String, batchId: Long,
+                                  idCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    // Banding (shingle+minhash or decode+hash) is the operator's
+    // dominant per-row work and feeds FOUR consumers (first-per-band
+    // agg, in-batch probe, cross-batch probe, band write) — cache the
+    // batch-bounded result so it runs once, release before returning.
+    val banded = banded0.persist()
     try {
       // Within-batch: non-first arrival in ANY band drops. Ids are
       // unique so __tie is a total order; min(__tie) per band is the

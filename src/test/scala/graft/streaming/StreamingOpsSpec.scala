@@ -71,6 +71,47 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("imageNearDupIngestStream: perceptual gate drops identical/near images, passes undecodable bytes") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.MediaCodec
+    def png(base: Long, shift: Int): Array[Byte] =
+      MediaCodec.encodeGray(64, 48, "png")((x, y) =>
+        (Math.floorMod(base * 31 + x * 7 + y * 13, 256L).toInt + shift) min 255)
+    val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val dir = Files.createTempDirectory("graft-imgdup").toString
+    val q = StreamingOps.imageNearDupIngestStream(
+      input.toDF().toDF("asset_id", "content", "ts"),
+      s"$dir/index", s"$dir/kept", s"$dir/ckpt")
+    try {
+      // Batch 1: asset 2 is byte-identical imagery to asset 1 (every
+      // band collides -> drop); asset 3 is a different gradient;
+      // asset 4 is undecodable (null hash -> no evidence -> passes).
+      input.addData(
+        (1L, png(5L, 0), ts(0)),
+        (2L, png(5L, 0), ts(1)),
+        (3L, png(77L, 0), ts(2)),
+        (4L, "not an image".getBytes, ts(3)))
+      q.processAllAvailable()
+      val kept1 = spark.read.parquet(s"$dir/kept").select("asset_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept1 == Set(1L, 3L, 4L), s"batch 1 kept: $kept1")
+      // Batch 2: asset 5 is asset 1's image with a tiny brightness
+      // shift — the perceptual hash keeps enough bands identical that
+      // the cross-batch probe drops it; asset 6 is new.
+      input.addData(
+        (5L, png(5L, 2), ts(10)),
+        (6L, png(200L, 0), ts(11)))
+      q.processAllAvailable()
+      val kept2 = spark.read.parquet(s"$dir/kept").select("asset_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept2 == Set(1L, 3L, 4L, 6L), s"after batch 2 kept: $kept2")
+      // Index holds retained assets' bands only (asset 4 banded
+      // nothing), duplicate-free within each asset's 4 bands.
+      val bands = spark.read.parquet(s"$dir/index").collect().map(_.getString(0))
+      assert(bands.length == 12, s"index bands: ${bands.length}")
+    } finally q.stop()
+  }
+
   test("nearDupScreenBatch: replaying a batch id is idempotent (no self-collision, no index dup)") {
     val dir = Files.createTempDirectory("graft-neardup-replay").toString
     val b0 = Seq(
