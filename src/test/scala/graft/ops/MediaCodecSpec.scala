@@ -137,6 +137,40 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decodeWav(eightBit).isEmpty)
   }
 
+  test("property: WAV encode/decode round-trips arbitrary PCM16 exactly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      rate <- Gen.oneOf(8000, 16000, 22050, 44100)
+      n <- Gen.chooseNum(0, 2000)
+      samples <- Gen.listOfN(n, Gen.chooseNum(Short.MinValue.toInt,
+        Short.MaxValue.toInt))
+    } yield (rate, samples.toArray)
+    (0 until 50).foreach { i =>
+      val (rate, samples) = gen.apply(Gen.Parameters.default, Seed(100L + i)).get
+      val a = MediaCodec.decodeWav(MediaCodec.encodeWavPcm16(rate, samples)).get
+      assert(a.sampleRate == rate && a.channels == 1)
+      assert(a.samples.toSeq == samples.toSeq, s"case $i n=${samples.length}")
+    }
+  }
+
+  test("property: PNG and BMP round-trip arbitrary gray rasters exactly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 40)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(0, 255))
+    } yield (w, h, px.toArray)
+    for (fmt <- Seq("png", "bmp"); i <- 0 until 25) {
+      val (w, h, px) = gen.apply(Gen.Parameters.default, Seed(7L * i + 1)).get
+      val img = MediaCodec.decodeGray(
+        MediaCodec.encodeGray(w, h, fmt)((x, y) => px(y * w + x))).get
+      assert(img.width == w && img.height == h, s"$fmt case $i dims")
+      assert(img.gray.toSeq == px.toSeq, s"$fmt case $i pixels (${w}x$h)")
+    }
+  }
+
   test("audioStats: exact peak / sum_sq / zero-crossing fold") {
     val a = MediaCodec.PcmAudio(16000, 1, Array(3, -4, 0, 0, 5, -5))
     val (n, peak, sumSq, zc) = MediaCodec.audioStats(a)
