@@ -2766,8 +2766,6 @@ object SparkEntry {
         greatest(sw_en, sw_de, sw_es, sw_fr) AS best
       FROM f)"""
 
-  /** DuckDB lang-guess expression over the TextFeatureCte columns —
-    * mirror of TextFunctions.langGuess (en > de > es > fr tie order). */
   /** Shared media-oracle fragments (q_image_decode / q_image_neardup /
     * q_media_sql / q_audio_features): ONE definition of the gradient
     * pixel grid, the aHash63 cell fold, and the audio sample stream —
@@ -2797,6 +2795,8 @@ object SparkEntry {
         FROM documents, range(0, 640) r(i)
         WHERE i < 256 + (doc_id % 7)*64)"""
 
+  /** DuckDB lang-guess expression over the TextFeatureCte columns —
+    * mirror of TextFunctions.langGuess (en > de > es > fr tie order). */
   private val LangGuessSql = """CASE WHEN sw_en > 0 AND sw_en = best THEN 'en'
              WHEN sw_de > 0 AND sw_de = best THEN 'de'
              WHEN sw_es > 0 AND sw_es = best THEN 'es'

@@ -49,7 +49,7 @@ object MultimodalPipeline {
     //    path is exercised end to end.
     // cached: three downstream actions (the count, the decode pass,
     // the step-5 semijoin into the thumbnail pass) would otherwise
-    // re-run the ImageIO encode of the whole corpus each
+    // re-run the ImageIO encode of the whole corpus each time
     val images = Multimodal.synthesizeImageAssets(docs, "doc_id")
       .withColumn("content",
         when(col("asset_id") % 50 === 7, lit("corrupt!".getBytes))

@@ -90,13 +90,14 @@ object MediaCodec {
       // size and lands in the catch -> None, the decode_ok=false
       // contract for anything a JVM array can't hold anyway.
       val rgb = img.getRGB(0, 0, w, h, null, 0, w)
-      val out = new Array[Int](w * h)
+      // convert in place — a second w*h array would double the
+      // kernel's peak transient memory for nothing
       var i = 0
-      while (i < out.length) {
-        out(i) = (rgb(i) >> 16) & 0xFF
+      while (i < rgb.length) {
+        rgb(i) = (rgb(i) >> 16) & 0xFF
         i += 1
       }
-      Some(GrayImage(w, h, out))
+      Some(GrayImage(w, h, rgb))
     } catch { case _: Exception => None }
   }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -120,9 +120,7 @@ object Multimodal {
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false),
       StructField("n_bytes", IntegerType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    assets.where(col("asset_id").isNotNull) // same screen+cast contract as keyedBytes
-      .select(col("asset_id").cast("long").as("asset_id"), col("content"),
-        col("meta.modality").as("modality")).mapPartitions { rows =>
+    keyedBytes(assets, col("meta.modality").as("modality")).mapPartitions { rows =>
       // <- real codec: initialize decoder/session HERE, once per partition
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("content")
@@ -200,17 +198,21 @@ object Multimodal {
     }(enc)
   }
 
-  /** Key + bytes prep shared by the real-codec ops: null-id assets are
-    * SCREENED (same contract as the null-id screens in the text ops —
-    * the output schema declares asset_id non-null, and a raw getLong
-    * on a null id silently unboxes to 0, attributing the row to asset
-    * 0), and the id CASTS to long so a production table keyed by INT
-    * works instead of killing every task with a ClassCastException —
-    * under ANSI, a genuinely garbage id is a loud cast error at the
-    * task, surfaced per-row, not a silent misattribution. */
-  private def keyedBytes(assets: DataFrame): DataFrame =
-    assets.where(col("asset_id").isNotNull)
-      .select(col("asset_id").cast("long").as("asset_id"), col("content"))
+  /** Key + bytes prep shared by every byte-consuming op: the id CASTS
+    * to long (a production table keyed by INT works instead of killing
+    * every task with a ClassCastException), and unattributable assets
+    * are SCREENED on the CAST result — cast first, then null-filter,
+    * so an ansi-off session's cast-failed garbage id lands in the same
+    * screened bucket as a null id instead of slipping past a pre-cast
+    * null check and silently attributing its row to asset 0 (raw
+    * getLong unboxes null to 0). Under ANSI a garbage id is a loud
+    * per-row cast error. Same contract class as the text ops' null-id
+    * screens: the output schemas declare asset_id non-null. */
+  private def keyedBytes(assets: DataFrame, extra: Column*): DataFrame =
+    assets
+      .select((col("asset_id").cast("long").as("asset_id") +:
+        col("content") +: extra): _*)
+      .where(col("asset_id").isNotNull)
 
   /** REAL image decode + exact feature extraction, batched per
     * partition: format-sniffing ImageIO decode (PNG/BMP/GIF/JPEG/...),

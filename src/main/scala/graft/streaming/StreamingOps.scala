@@ -415,11 +415,16 @@ object StreamingOps {
                          bands: Int = 4): DataFrame = {
     import graft.functions.TextFunctions
     val sh = TextFunctions.shingles(col(textCol), n)
+    // The shingle-less screen lives INSIDE the generator (when -> null
+    // array -> explode drops the row), not in a where(): a filter on
+    // size(__sh) pushes below the projection with alias substitution
+    // and re-evaluates the shingling — the dominant per-row work —
+    // once for the filter and once more for the bands.
     val banded = batch
       .select(col(idCol), col(tsCol), sh.as("__sh"))
-      .where(size(col("__sh")) > 0)
       .select(col(idCol), struct(col(tsCol), col(idCol)).as("__tie"),
-        explode(TextFunctions.minhashBands(col("__sh"), numHashes, bands))
+        explode(when(size(col("__sh")) > 0,
+          TextFunctions.minhashBands(col("__sh"), numHashes, bands)))
           .as("band"))
     bandGateScreenBatch(batch, banded, indexPath, batchId, idCol)
   }
@@ -466,11 +471,17 @@ object StreamingOps {
       graft.functions.ImageStatsExpr(
         org.apache.spark.sql.GraftSqlBridge.expression(col(bytesCol))))
       .getField("ahash63")
+    // Null-hash screen inside the generator, same rationale as the
+    // text gate: a where() on __h pushes below the projection and
+    // re-runs the DECODE per row. The when-guard is load-bearing
+    // beyond that: concat_ws skips nulls, so naked band keys on a null
+    // hash would emit degenerate "0","1",... bands colliding every
+    // undecodable asset with every other one.
     val banded = batch
       .select(col(idCol), col(tsCol), hash.as("__h"))
-      .where(col("__h").isNotNull)
       .select(col(idCol), struct(col(tsCol), col(idCol)).as("__tie"),
-        explode(graft.ops.Dedup.fingerprintBandKeys(col("__h"), bands))
+        explode(when(col("__h").isNotNull,
+          graft.ops.Dedup.fingerprintBandKeys(col("__h"), bands)))
           .as("band"))
     bandGateScreenBatch(batch, banded, indexPath, batchId, idCol)
   }
@@ -540,7 +551,15 @@ object StreamingOps {
       dropInBatch.union(dropCross).distinct()
         .write.mode("overwrite").parquet(dropsDir)
       val dropDf = spark.read
-        .schema(org.apache.spark.sql.types.StructType(Seq(batch.schema(idCol))))
+        // resolver-aware field lookup, NOT exact-case schema(idCol): a
+        // case-variant id column resolves fine everywhere col(idCol)
+        // is used, and an exact-case miss HERE would throw mid-batch
+        // after the drops parquet was written — wedging every replay
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          batch.schema.fields
+            .find(f => graft.Cols.same(batch)(f.name, idCol))
+            .getOrElse(throw new IllegalArgumentException(
+              s"band gate: no column '$idCol' (session resolver)")))))
         .parquet(dropsDir)
       // No broadcast hint (unbounded bytes for the same reason); AQE
       // broadcasts the usual tiny drop set at runtime on its own.
