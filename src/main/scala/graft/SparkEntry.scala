@@ -1979,7 +1979,8 @@ object SparkEntry {
         col("peak").cast("long").as("peak"),
         round(sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")), 4)
           .as("rms"),
-        col("zero_crossings"))
+        col("zero_crossings"),
+        col("audio_hash63"))
   }
 
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -3763,9 +3764,32 @@ object SparkEntry {
     // n = 256 + (id mod 7)*64 samples; the previous sample re-derives
     // arithmetically (no window needed), so zero crossings are a pure
     // per-row predicate.
+    // audio_hash63 ground truth: 63 frames of floor(n/63) samples
+    // (remainder ignored), exact integer energies, median as the
+    // DISCRETE lower quantile (63 values -> the unambiguous middle
+    // element, matching the kernel's sorted[31]), bit f = e > median.
     "q_audio_features" -> s"""
-      WITH $AudioSampleCte
-      SELECT asset_id,
+      WITH $AudioSampleCte,
+      fl AS (
+        SELECT doc_id AS asset_id,
+               (256 + (doc_id % 7)*64) // 63 AS flen
+        FROM documents),
+      en AS (
+        SELECT sm.asset_id, sm.i // fl.flen AS f,
+               sum(CAST(v AS BIGINT) * v) AS e
+        FROM sm JOIN fl ON fl.asset_id = sm.asset_id
+        WHERE sm.i < 63 * fl.flen
+        GROUP BY sm.asset_id, sm.i // fl.flen),
+      md AS (SELECT asset_id, quantile_disc(e, 0.5) AS m
+             FROM en GROUP BY asset_id),
+      ah AS (
+        SELECT en.asset_id,
+               CAST(sum(CASE WHEN en.e > md.m
+                        THEN (CAST(1 AS BIGINT) << CAST(en.f AS INT)) ELSE 0 END)
+                 AS BIGINT) AS audio_hash63
+        FROM en JOIN md ON md.asset_id = en.asset_id
+        GROUP BY en.asset_id)
+      SELECT sm.asset_id,
              CAST(1 AS BIGINT) AS decode_ok,
              CAST(16000 AS BIGINT) AS sample_rate,
              CAST(count(*) AS BIGINT) AS n_samples,
@@ -3773,8 +3797,10 @@ object SparkEntry {
              round(sqrt(CAST(sum(v*v) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 4)
                AS rms,
              CAST(sum(CASE WHEN vp * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS zero_crossings
-      FROM sm GROUP BY asset_id""",
+               AS zero_crossings,
+             any_value(ah.audio_hash63) AS audio_hash63
+      FROM sm JOIN ah ON ah.asset_id = sm.asset_id
+      GROUP BY sm.asset_id""",
 
     // Sequence packing oracle: the NAIVE global-window exclusive cumsum
     // — the scalable bucketed implementation must stitch to exactly

@@ -71,16 +71,18 @@ case class WavStatsExpr(child: Expression)
     StructField("n_samples", LongType, nullable = true),
     StructField("peak", IntegerType, nullable = true),
     StructField("sum_sq", LongType, nullable = true),
-    StructField("zero_crossings", LongType, nullable = true)))
+    StructField("zero_crossings", LongType, nullable = true),
+    StructField("audio_hash63", LongType, nullable = true)))
   override def prettyName: String = "graft_wav_stats"
 
   override protected def nullSafeEval(input: Any): Any =
     MediaCodec.decodeWav(input.asInstanceOf[Array[Byte]]) match {
       case Some(a) =>
         val (n, peak, sumSq, zc) = MediaCodec.audioStats(a)
-        InternalRow(true, a.sampleRate, a.channels, n, peak, sumSq, zc)
+        val hash: Any = MediaCodec.audioHash63(a).map(Long.box).orNull
+        InternalRow(true, a.sampleRate, a.channels, n, peak, sumSq, zc, hash)
       case None =>
-        InternalRow(false, null, null, null, null, null, null)
+        InternalRow(false, null, null, null, null, null, null, null)
     }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -315,6 +315,45 @@ object MediaCodec {
     } catch { case _: Exception => None }
   }
 
+  /** Sign-safe 63-bit audio fingerprint — the audio member of the
+    * fingerprint triad (simhash63 for text, aHash63 for images), so
+    * one banded near-dup machinery ([[graft.ops.Dedup
+    * .fingerprintPairs]], the streaming band gate) serves all three
+    * modalities. Time-domain energy variant of the Haitsma-Kalker
+    * frame-hash family: exactly 63 frames of floor(n/63) samples
+    * (remainder ignored), per-frame energy = exact integer sum of
+    * squares, bit j = energy_j > median — median as the LOWER order
+    * statistic (sorted index 31 of 63), the discrete-quantile
+    * definition an external SQL engine reproduces exactly
+    * (quantile_disc 0.5). Bit 63 never set (house sign-safety rule).
+    * None for clips shorter than 63 samples — too short for frame
+    * evidence, the same no-evidence contract as shingle-less docs. */
+  def audioHash63(a: PcmAudio): Option[Long] = {
+    val s = a.samples
+    if (s.length < 63) return None
+    val frameLen = s.length / 63
+    val energies = new Array[Long](63)
+    var f = 0
+    while (f < 63) {
+      var e = 0L
+      var i = f * frameLen
+      val end = (f + 1) * frameLen
+      while (i < end) { e += s(i).toLong * s(i); i += 1 }
+      energies(f) = e
+      f += 1
+    }
+    val sorted = energies.clone()
+    java.util.Arrays.sort(sorted)
+    val median = sorted(31)
+    var hash = 0L
+    f = 0
+    while (f < 63) {
+      if (energies(f) > median) hash |= 1L << f
+      f += 1
+    }
+    Some(hash)
+  }
+
   /** Exact integer audio features: (n_samples, peak = max |s|,
     * sum_sq for RMS, zero crossings = #{i : s[i-1]*s[i] < 0}). */
   def audioStats(a: PcmAudio): (Long, Int, Long, Long) = {

@@ -274,7 +274,8 @@ object Multimodal {
       StructField("n_samples", LongType, nullable = true),
       StructField("peak", IntegerType, nullable = true),
       StructField("sum_sq", LongType, nullable = true),
-      StructField("zero_crossings", LongType, nullable = true)))
+      StructField("zero_crossings", LongType, nullable = true),
+      StructField("audio_hash63", LongType, nullable = true)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     keyedBytes(assets).mapPartitions { rows =>
       rows.map { r =>
@@ -282,9 +283,11 @@ object Multimodal {
         MediaCodec.decodeWav(r.getAs[Array[Byte]](1)) match {
           case Some(a) =>
             val (n, peak, sumSq, zc) = MediaCodec.audioStats(a)
-            Row(id, true, a.sampleRate, a.channels, n, peak, sumSq, zc)
+            val hash: java.lang.Long =
+              MediaCodec.audioHash63(a).map(Long.box).orNull
+            Row(id, true, a.sampleRate, a.channels, n, peak, sumSq, zc, hash)
           case None =>
-            Row(id, false, null, null, null, null, null, null)
+            Row(id, false, null, null, null, null, null, null, null)
         }
       }
     }(enc)

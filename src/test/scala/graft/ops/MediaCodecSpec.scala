@@ -171,6 +171,39 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("audioHash63: frame-energy-over-median bits, hand-checked") {
+    // 126 samples -> 63 frames of 2; frames alternate loud (100,100)
+    // and quiet (1,1): energies 20000/2 alternating, median = the
+    // 32nd-smallest of 63 = 2 (32 quiet, 31 loud frames since frame 0
+    // is loud... frames 0,2,4,... = 32 loud? indices 0..62: even
+    // indices loud -> 32 loud, 31 quiet -> sorted[31] = first loud?
+    // 31 quiet values fill sorted[0..30], sorted[31] = 20000 (loud);
+    // bits need e > median -> NO frame exceeds 20000 -> hash 0.
+    val loudQuiet = Array.tabulate(126)(i => if ((i / 2) % 2 == 0) 100 else 1)
+    val h1 = MediaCodec.audioHash63(MediaCodec.PcmAudio(16000, 1, loudQuiet)).get
+    assert(h1 == 0L)
+    // flip the parity: 31 loud / 32 quiet -> median = quiet energy 2,
+    // the 31 loud frames (odd indices) exceed it
+    val quietLoud = Array.tabulate(126)(i => if ((i / 2) % 2 == 1) 100 else 1)
+    val h2 = MediaCodec.audioHash63(MediaCodec.PcmAudio(16000, 1, quietLoud)).get
+    val expected = (0 until 63).filter(_ % 2 == 1)
+      .foldLeft(0L)((acc, j) => acc | (1L << j))
+    assert(h2 == expected)
+    assert(h2 >= 0L, "bit 63 never set")
+    // shorter than 63 samples: no frame evidence -> None
+    assert(MediaCodec.audioHash63(MediaCodec.PcmAudio(16000, 1,
+      Array.fill(62)(5))).isEmpty)
+    // stability under small noise: the near-dup property the banded
+    // join exploits
+    val base = Array.tabulate(630)(i =>
+      Math.floorMod(7L * 37 + i.toLong * 97, 2001L).toInt - 1000)
+    val noisy = base.map(v => (v + 3) min 32767)
+    val d = java.lang.Long.bitCount(
+      MediaCodec.audioHash63(MediaCodec.PcmAudio(16000, 1, base)).get ^
+      MediaCodec.audioHash63(MediaCodec.PcmAudio(16000, 1, noisy)).get)
+    assert(d <= 8, s"audio fingerprint moved $d bits under small noise")
+  }
+
   test("audioStats: exact peak / sum_sq / zero-crossing fold") {
     val a = MediaCodec.PcmAudio(16000, 1, Array(3, -4, 0, 0, 5, -5))
     val (n, peak, sumSq, zc) = MediaCodec.audioStats(a)

@@ -448,7 +448,8 @@ class GraftExtensionsSpec extends SparkSpec {
     wav.createOrReplaceTempView("ge_media_wav")
     val aSql = spark.sql(
       """SELECT asset_id, s.decode_ok, s.sample_rate, s.channels,
-                s.n_samples, s.peak, s.sum_sq, s.zero_crossings
+                s.n_samples, s.peak, s.sum_sq, s.zero_crossings,
+                s.audio_hash63
          FROM (SELECT asset_id, graft_wav_stats(content) AS s
                FROM ge_media_wav) ORDER BY asset_id""").collect()
     val aDf = graft.ops.Multimodal.decodeAudioFeatures(wav)
