@@ -23,5 +23,13 @@ object LogHygiene {
     try org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () } // log4j backend absent: keep the noise
+    catch {
+      // Missing/alternative log4j backend surfaces as LinkageError
+      // (NoClassDefFoundError); config trouble as a runtime exception.
+      // Both mean "keep the noise". Fatal VM errors (OutOfMemoryError,
+      // StackOverflowError) must propagate — swallowing them at driver
+      // startup hides a dying JVM behind extra log lines (r14 ADVICE).
+      case _: LinkageError => ()
+      case scala.util.control.NonFatal(_) => ()
+    }
 }

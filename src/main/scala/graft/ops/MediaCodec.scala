@@ -72,15 +72,54 @@ object MediaCodec {
     bos.toByteArray
   }
 
+  /** Pixel-count ceiling for [[decodeGray]]: a decode allocates ~8
+    * bytes/pixel transiently (BufferedImage raster + the bulk-getRGB
+    * int array), so 64M pixels bounds one asset's decode at ~512 MB —
+    * large enough for any sane training image (8K video frames are
+    * 33M pixels), small enough that one hostile header can't take an
+    * executor down. Overridable for pipelines that genuinely ingest
+    * gigapixel imagery. */
+  val DefaultMaxPixels: Long = 64L << 20
+
   /** Decode image bytes (any JDK-readable format — PNG/BMP/GIF/JPEG/
     * TIFF/WBMP, sniffed from the bytes, the declared format column is
     * not trusted). None for undecodable bytes — a corrupt asset in a
-    * 100 TB corpus must become a flagged row, not a dead task. */
-  def decodeGray(bytes: Array[Byte]): Option[GrayImage] = {
+    * 100 TB corpus must become a flagged row, not a dead task.
+    *
+    * Decompression-bomb guard (r14 ADVICE): `ImageIO.read` allocates
+    * the FULL raster from attacker-controlled header dimensions, and a
+    * tiny PNG declaring huge IHDR dims would raise OutOfMemoryError —
+    * an Error, not Exception, so the old catch let it kill the task.
+    * The fix peeks width/height from the header alone (reader.getWidth/
+    * getHeight read metadata, not pixels) and rejects anything over
+    * `maxPixels` BEFORE any raster exists; OutOfMemoryError around the
+    * remaining decode is additionally caught as a last resort (the
+    * header peek bounds the raster, but a pathological-but-in-bounds
+    * asset on an already-tight executor still becomes a flagged row,
+    * not a dead task). */
+  def decodeGray(bytes: Array[Byte],
+                 maxPixels: Long = DefaultMaxPixels): Option[GrayImage] = {
     if (bytes == null || bytes.length == 0) return None
     try {
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
-      if (img == null) return None // sniffed as no known format
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      if (iis == null) return None
+      val img =
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null // sniffed as no known format
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              // header-only reads: no raster allocated yet
+              val hw = reader.getWidth(0).toLong
+              val hh = reader.getHeight(0).toLong
+              if (hw <= 0 || hh <= 0 || hw * hh > maxPixels) null
+              else reader.read(0)
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      if (img == null) return None
       val w = img.getWidth
       val h = img.getHeight
       // bulk getRGB (identical values to the per-pixel form — one
@@ -98,7 +137,15 @@ object MediaCodec {
         i += 1
       }
       Some(GrayImage(w, h, rgb))
-    } catch { case _: Exception => None }
+    } catch {
+      case _: Exception => None
+      // Last-resort bomb guard: the header peek bounds the raster at
+      // maxPixels, but an in-bounds decode on a memory-tight executor
+      // can still OOM; an untrusted asset must flag, never kill. The
+      // allocation that failed is the one this frame requested, so the
+      // catch leaves the JVM in a recoverable state.
+      case _: OutOfMemoryError => None
+    }
   }
 
   /** Exact integer stats over a decoded image: (n_pixels, sum, min,

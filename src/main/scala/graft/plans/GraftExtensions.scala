@@ -297,7 +297,9 @@ object GraftExtensions {
       info("graft_wav_stats",
         "graft_wav_stats(bytes) - decode RIFF/WAV PCM16 (mono or " +
           "stereo-folded) and return struct<decode_ok, sample_rate, " +
-          "channels, n_samples, peak, sum_sq, zero_crossings>; " +
+          "channels, n_samples, peak, sum_sq, zero_crossings, " +
+          "audio_hash63> (the last is the banded near-dup fingerprint, " +
+          "null for clips under 63 samples); " +
           "undecodable bytes -> decode_ok=false, null -> null"),
       { args: Seq[Expression] =>
         require(args.length == 1, "graft_wav_stats expects (bytes)")

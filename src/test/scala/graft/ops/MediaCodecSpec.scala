@@ -45,6 +45,34 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decodeGray(png.take(20)).isEmpty)
   }
 
+  test("decompression-bomb guard: huge header dims -> None, never a raster") {
+    // A hostile asset is a TINY byte payload whose header declares a
+    // HUGE raster; ImageIO.read would allocate from the header dims
+    // before noticing anything wrong (r14 ADVICE finding). Build one:
+    // take a real 8x8 PNG and patch IHDR to 60000x60000 (3.6 G pixels,
+    // ~14 GB as an int raster), recomputing the IHDR CRC so the reader
+    // trusts the header. The guard must peek the dims and bail BEFORE
+    // any allocation.
+    val png = MediaCodec.encodeGray(8, 8, "png")(gradient(2L))
+    val bomb = png.clone()
+    val ihdrData = 16 // 8-byte signature + 4 length + 4 "IHDR" -> data
+    def putInt(off: Int, v: Int): Unit = {
+      bomb(off) = (v >>> 24).toByte; bomb(off + 1) = (v >>> 16).toByte
+      bomb(off + 2) = (v >>> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    putInt(ihdrData, 60000)     // width
+    putInt(ihdrData + 4, 60000) // height
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 4 + 13) // "IHDR" + 13 data bytes
+    putInt(ihdrData + 13, crc.getValue.toInt)
+    assert(MediaCodec.decodeGray(bomb).isEmpty,
+      "60000x60000 declared dims must be rejected from the header peek")
+    // the cap itself is enforced, not some side effect: a legitimate
+    // image over a caller-tightened cap is rejected; at the cap, kept
+    assert(MediaCodec.decodeGray(png, maxPixels = 63L).isEmpty)
+    assert(MediaCodec.decodeGray(png, maxPixels = 64L).isDefined)
+  }
+
   test("grayStats are the exact integer fold") {
     val img = MediaCodec.GrayImage(2, 2, Array(10, 20, 30, 40))
     assert(MediaCodec.grayStats(img) == ((4L, 100L, 10, 40)))
