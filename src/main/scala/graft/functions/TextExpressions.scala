@@ -514,7 +514,7 @@ case class TextStatsExpr(child: Expression, wordLists: Seq[Seq[String]])
   * [[TextFunctions.chunksSql]] (a transform over sequence() whose body
   * runs slice + concat_ws per chunk over the re-read token array; HOF
   * lambdas never enter codegen) on the store-build hot path (chunk ->
-  * embed per chunk, q_maxsim_store's documented floor) and the
+  * embed per chunk, q_maxsim_build's documented floor) and the
   * chunk/pack queries. MUST stay value-identical to the HOF form
   * (parity asserted in TextFunctionsSpec; the q_chunk DuckDB oracle
   * replicates the HOF arithmetic):

@@ -159,6 +159,74 @@ class DedupSpec extends SparkSpec {
     assert(hot.getLong(2) == 40L, s"max_bucket=${hot.getLong(2)}")
   }
 
+  test("minhashLshPairsWithStats: pairs + stats from ONE pass — parity with both standalone forms, zero extra jobs") {
+    // The one-pass (pairs, stats) form (carried r13#2): stats ride the
+    // pairs plan's own band-count subtree as observed metrics, so the
+    // shingle+minhash front half runs ONCE — the standalone stats
+    // method pays it a second time.
+    val hotDocs = (0L until 40L).map(i => (i, "the same document text repeated verbatim"))
+    val normal = Seq(
+      (100L, "rare alpha beta gamma delta epsilon zeta"),
+      (101L, "rare alpha beta gamma delta epsilon eta"))
+    val d = (hotDocs ++ normal).toDF("id", "text")
+
+    val tracker = spark.sparkContext.statusTracker
+    def stableJobCount(group: String): Int = {
+      var last = -1
+      var same = 0
+      var spins = 0
+      while (same < 3 && spins < 100) {
+        val n = tracker.getJobIdsForGroup(group).length
+        if (n == last) same += 1 else { same = 0; last = n }
+        Thread.sleep(20)
+        spins += 1
+      }
+      last
+    }
+
+    for ((fixture, cap) <- Seq((docs, 1024), (d, 8))) {
+      val plain = Dedup.minhashLshPairs(fixture, "id", "text",
+        n = 3, numHashes = 16, bands = 8, threshold = 0.3, capPerBand = cap)
+      val (wsPairs, obs) = Dedup.minhashLshPairsWithStats(fixture, "id", "text",
+        n = 3, numHashes = 16, bands = 8, threshold = 0.3, capPerBand = cap)
+
+      // PLAN: observation adds zero reads of the INPUT — same count of
+      // input-relation leaves. (The observed variant adds one Range
+      // leaf: the one-row sentinel that keeps AQE's empty-relation
+      // prune off the CollectMetrics subtree; that is not a scan of
+      // the corpus.)
+      def inputScans(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collectLeaves().count(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      assert(inputScans(wsPairs) == inputScans(plain),
+        s"observe must not add an input scan: ${inputScans(wsPairs)} vs ${inputScans(plain)}")
+
+      // PAIRS PARITY with the plain path, both fixtures.
+      val expected = plain.collect().map(_.toSeq).toSet
+      val gObs = s"lsh-obs-$cap"
+      spark.sparkContext.setJobGroup(gObs, gObs)
+      val got = wsPairs.collect().map(_.toSeq).toSet
+      val afterCollect = stableJobCount(gObs)
+      // STATS FOR FREE: obs.get is served from the collect's own
+      // metrics — zero additional jobs (counted in the same job group,
+      // which stays set across the get).
+      val m = obs.get
+      val afterGet = stableJobCount(gObs)
+      spark.sparkContext.clearJobGroup()
+      assert(got == expected, s"pairs parity failed at cap=$cap")
+      assert(afterCollect > 0, "job-group accounting must have seen the run")
+      assert(afterGet == afterCollect,
+        s"obs.get must launch no jobs: $afterCollect -> $afterGet (cap=$cap)")
+
+      // STATS PARITY with the standalone diagnostic.
+      val standalone = Dedup.minhashLshHotBandStats(fixture, "id", "text",
+        n = 3, numHashes = 16, bands = 8, capPerBand = cap).head
+      assert(m("hot_buckets") == standalone.getLong(0), m)
+      assert(m("dropped_rows") == standalone.getLong(1), m)
+      assert(m("max_bucket") == standalone.getLong(2), m)
+    }
+  }
+
   test("simhash: identical texts hamming 0; near dups small; unrelated large") {
     val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 63).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
