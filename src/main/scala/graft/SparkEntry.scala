@@ -1914,6 +1914,36 @@ object SparkEntry {
         col("ahash63"))
   }
 
+  /** Per-channel color decode against analytic ground truth (r14
+    * verdict item #9): REAL 24-bit PNG/BMP bytes with three DISTINCT
+    * channel gradients in, exact R/G/B sums/mins/maxs out — the
+    * quality-gate inputs a real RGB corpus needs, where the gray
+    * path's defined red-channel contract would judge one channel. The
+    * distinct formulas make the oracle unforgeable by a single-channel
+    * decoder: g and b disagree with r everywhere. */
+  private def qImageRgb(s: SparkSession, dir: String): DataFrame = {
+    val assets = graft.ops.Multimodal.synthesizeRgbImageAssets(
+      table(s, dir, "documents"), "doc_id")
+    graft.ops.Multimodal.decodeRgbFeatures(assets)
+      .select(col("asset_id"),
+        col("decode_ok").cast("long").as("decode_ok"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_pixels"),
+        col("sum_r"), col("min_r").cast("long").as("min_r"),
+        col("max_r").cast("long").as("max_r"),
+        round(col("sum_r").cast("double") / col("n_pixels").cast("double"), 4)
+          .as("mean_r"),
+        col("sum_g"), col("min_g").cast("long").as("min_g"),
+        col("max_g").cast("long").as("max_g"),
+        round(col("sum_g").cast("double") / col("n_pixels").cast("double"), 4)
+          .as("mean_g"),
+        col("sum_b"), col("min_b").cast("long").as("min_b"),
+        col("max_b").cast("long").as("max_b"),
+        round(col("sum_b").cast("double") / col("n_pixels").cast("double"), 4)
+          .as("mean_b"))
+  }
+
   /** Perceptual image near-dup END TO END: decode real bytes ->
     * ahash63 -> banded Hamming pair join ([[graft.ops.Dedup
     * .fingerprintPairs]], the same candidate shape as the SimHash text
@@ -1931,6 +1961,37 @@ object SparkEntry {
       feats.select(col("asset_id"), col("ahash63")),
       "asset_id", "ahash63", maxHamming = 3, bands = 4)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** The streaming perceptual image ingest gate, driven in BATCH mode
+    * under the DuckDB oracle (r14 verdict item #10): even asset_ids
+    * play batch 0 (the retained corpus — the gate dedups within it and
+    * persists its survivors' bands), odd ids play batch 1 screened
+    * against that index plus within-batch first arrival. The oracle
+    * replays the whole decision analytically — aHash63 from the pixel
+    * formula, the exact 4x16-bit band keys, the min-(ts,id) first-
+    * arrival rule — pinning the gate's REPLAY semantics (only
+    * strictly-earlier batches screen; survivors' bands, not all bands,
+    * index) against an external engine. The DIVERSE cell fixture
+    * (not the gradient family, which is aHash-self-similar and would
+    * drop ~everything) plants controlled duplicate classes, so the
+    * result exercises survivors, in-batch drops, and cross-batch
+    * drops together. */
+  private def qImageGate(s: SparkSession, dir: String): DataFrame = {
+    val assets = graft.ops.Multimodal.synthesizeCellImageAssets(
+        table(s, dir, "documents"), "doc_id")
+      .withColumn("ts", col("asset_id")) // monotone arrival order
+    val idx = scratch(dir, "image_gate_idx")
+    val corpus = assets.where(col("asset_id") % 2 === 0)
+    val batch = assets.where(col("asset_id") % 2 === 1)
+    // batch 0: establishes the index (bands written eagerly inside the
+    // call; replays overwrite the same batch=0 partition)
+    graft.streaming.StreamingOps.imageNearDupScreenBatch(
+      corpus, idx, batchId = 0L, "asset_id", "content", "ts")
+    // batch 1: the screened ingest — the query's result
+    graft.streaming.StreamingOps.imageNearDupScreenBatch(
+        batch, idx, batchId = 1L, "asset_id", "content", "ts")
+      .select(col("asset_id"))
   }
 
   /** The media codecs through the SQL surface: pure `spark.sql` text
@@ -2640,6 +2701,8 @@ object SparkEntry {
       "q_range_join"          -> (qRangeJoin _),
       "q_multimodal"          -> (qMultimodal _),
       "q_image_decode"        -> (qImageDecode _),
+      "q_image_rgb"           -> (qImageRgb _),
+      "q_image_gate"          -> (qImageGate _),
       "q_image_neardup"       -> (qImageNeardup _),
       "q_audio_features"      -> (qAudioFeatures _),
       "q_media_sql"           -> (qMediaSql _),
@@ -3741,6 +3804,86 @@ object SparkEntry {
       FROM st
       JOIN gcnt ON gcnt.asset_id = st.asset_id
       JOIN h ON h.asset_id = st.asset_id""",
+
+    // Per-channel color decode (r15): three distinct channel gradients
+    // folded analytically — a decoder that read only one channel (or
+    // swapped channel order) disagrees on g and b everywhere.
+    "q_image_rgb" -> """
+      WITH px AS (
+        SELECT doc_id AS asset_id,
+               (doc_id*31 + x*7 + y*13) % 256 AS r,
+               (doc_id*17 + x*11 + y*5) % 256 AS g,
+               (doc_id*29 + x*3 + y*19) % 256 AS b
+        FROM documents, range(0,64) rx(x), range(0,48) ry(y))
+      SELECT asset_id,
+             CAST(1 AS BIGINT) AS decode_ok,
+             CAST(64 AS BIGINT) AS width,
+             CAST(48 AS BIGINT) AS height,
+             CAST(count(*) AS BIGINT) AS n_pixels,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(min(r) AS BIGINT) AS min_r,
+             CAST(max(r) AS BIGINT) AS max_r,
+             round(CAST(sum(r) AS DOUBLE) / count(*), 4) AS mean_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(min(g) AS BIGINT) AS min_g,
+             CAST(max(g) AS BIGINT) AS max_g,
+             round(CAST(sum(g) AS DOUBLE) / count(*), 4) AS mean_g,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(min(b) AS BIGINT) AS min_b,
+             CAST(max(b) AS BIGINT) AS max_b,
+             round(CAST(sum(b) AS DOUBLE) / count(*), 4) AS mean_b
+      FROM px GROUP BY asset_id""",
+
+    // Streaming perceptual gate replayed analytically (r15): the full
+    // decision — aHash63 from the sha-cell formula, 4x16-bit band
+    // keys, batch-0 within-batch first arrival, survivors-only index,
+    // batch-1 cross + in-batch screen — without decoding a single
+    // image. Cells are block-constant (synthesizeCellImageAssets), so
+    // the box average IS the sha byte and the fold skips the pixel
+    // grid entirely.
+    "q_image_gate" -> s"""
+      WITH seeds AS (
+        SELECT doc_id AS asset_id,
+               CASE WHEN doc_id % 17 = 1 THEN doc_id - 1
+                    WHEN doc_id % 23 = 2 THEN doc_id - 2
+                    ELSE doc_id END AS sd
+        FROM documents),
+      cells AS (
+        SELECT asset_id, cy*8 + cx AS j,
+               CAST(concat('0x', substr(sha256(
+                 CAST(sd AS VARCHAR) || ':' || CAST(cx AS VARCHAR) || ':' ||
+                 CAST(cy AS VARCHAR)), 1, 2)) AS BIGINT) AS cell
+        FROM seeds, range(0,8) rcx(cx), range(0,8) rcy(cy)),
+      m AS (SELECT asset_id, sum(cell)//64 AS mn FROM cells GROUP BY asset_id),
+      h AS (
+        SELECT c.asset_id,
+               CAST(sum(CASE WHEN c.j < 63 AND c.cell > m.mn
+                        THEN (CAST(1 AS BIGINT) << CAST(c.j AS INT)) ELSE 0 END)
+                 AS BIGINT) AS ahash63
+        FROM cells c JOIN m ON m.asset_id = c.asset_id
+        GROUP BY c.asset_id),
+      bnd AS (
+        SELECT asset_id,
+               CAST(b AS VARCHAR) || '|' ||
+                 CAST((ahash63 >> CAST(b*16 AS INT)) & 65535 AS VARCHAR) AS band
+        FROM h, range(0,4) rb(b)),
+      f0 AS (SELECT band, min(asset_id) AS fid FROM bnd
+             WHERE asset_id % 2 = 0 GROUP BY band),
+      d0 AS (SELECT DISTINCT asset_id FROM bnd JOIN f0 USING (band)
+             WHERE asset_id % 2 = 0 AND asset_id <> fid),
+      b0 AS (SELECT DISTINCT band FROM bnd
+             WHERE asset_id % 2 = 0
+               AND asset_id NOT IN (SELECT asset_id FROM d0)),
+      f1 AS (SELECT band, min(asset_id) AS fid FROM bnd
+             WHERE asset_id % 2 = 1 GROUP BY band),
+      d1 AS (SELECT DISTINCT asset_id FROM bnd JOIN f1 USING (band)
+             WHERE asset_id % 2 = 1 AND asset_id <> fid
+             UNION
+             SELECT DISTINCT bnd.asset_id FROM bnd JOIN b0 USING (band)
+             WHERE asset_id % 2 = 1)
+      SELECT asset_id
+      FROM (SELECT DISTINCT asset_id FROM bnd WHERE asset_id % 2 = 1) t
+      WHERE asset_id NOT IN (SELECT asset_id FROM d1)""",
 
     // Perceptual near-dup ground truth: the analytic ahash63 (same
     // CTEs as q_image_decode) brute-force self-joined on Hamming <= 3.

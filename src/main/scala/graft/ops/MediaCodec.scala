@@ -42,6 +42,12 @@ object MediaCodec {
     * floor division — integer, reproducible). */
   final case class PcmAudio(sampleRate: Int, channels: Int, samples: Array[Int])
 
+  /** Decoded color image: `rgb` is row-major packed 0xRRGGBB (alpha
+    * stripped). The full-channel complement to [[GrayImage]]'s
+    * defined-channel contract: real-image quality gates must judge
+    * every channel, not silently only red (r14 verdict item #9). */
+  final case class RgbImage(width: Int, height: Int, rgb: Array[Int])
+
   // ---------------- image ----------------
 
   /** Encode a grayscale pixel function as real image bytes via the
@@ -98,7 +104,64 @@ object MediaCodec {
     * asset on an already-tight executor still becomes a flagged row,
     * not a dead task). */
   def decodeGray(bytes: Array[Byte],
-                 maxPixels: Long = DefaultMaxPixels): Option[GrayImage] = {
+                 maxPixels: Long = DefaultMaxPixels): Option[GrayImage] =
+    // decodeArgb does the sniff/peek/decode and the bulk getRGB (one
+    // ColorModel conversion pass for the whole raster — this is the
+    // hot per-asset kernel); the red-channel fold happens in place, so
+    // a second w*h array never exists.
+    decodeArgb(bytes, maxPixels).map { case (w, h, rgb) =>
+      var i = 0
+      while (i < rgb.length) {
+        rgb(i) = (rgb(i) >> 16) & 0xFF
+        i += 1
+      }
+      GrayImage(w, h, rgb)
+    }
+
+  /** Encode a COLOR pixel function (packed 0xRRGGBB) as real image
+    * bytes. Same lossless-format contract as [[encodeGray]]: "png" and
+    * "bmp" round-trip exactly (GIF does NOT for arbitrary color — a
+    * 256-entry palette can't hold 24-bit pixels). */
+  def encodeRgb(width: Int, height: Int, format: String)
+               (pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val buf = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        buf(y * width + x) = pixel(x, y) & 0xFFFFFF
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, width, height, buf, 0, width)
+    val bos = new ByteArrayOutputStream()
+    val ok = ImageIO.write(img, format, bos)
+    require(ok, s"no ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
+  /** Decode image bytes keeping ALL THREE channels (packed 0xRRGGBB).
+    * Same format-sniffing, bomb-guard ([[DefaultMaxPixels]]), and
+    * corrupt-bytes→None contract as [[decodeGray]]; use this where a
+    * quality gate must judge every channel rather than the gray
+    * contract's defined red-channel choice. */
+  def decodeRgb(bytes: Array[Byte],
+                maxPixels: Long = DefaultMaxPixels): Option[RgbImage] =
+    decodeArgb(bytes, maxPixels).map { case (w, h, rgb) =>
+      var i = 0
+      while (i < rgb.length) { rgb(i) = rgb(i) & 0xFFFFFF; i += 1 }
+      RgbImage(w, h, rgb)
+    }
+
+  /** Shared raster fetch for [[decodeGray]]/[[decodeRgb]]: sniff,
+    * header-peek the dimensions against the bomb cap, decode, bulk
+    * getRGB. Returns the raw 0xAARRGGBB array for the caller to fold
+    * in place. */
+  private def decodeArgb(bytes: Array[Byte],
+                         maxPixels: Long): Option[(Int, Int, Array[Int])] = {
     if (bytes == null || bytes.length == 0) return None
     try {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
@@ -122,30 +185,36 @@ object MediaCodec {
       if (img == null) return None
       val w = img.getWidth
       val h = img.getHeight
-      // bulk getRGB (identical values to the per-pixel form — one
-      // ColorModel conversion pass, not one per call): this is the hot
-      // per-asset kernel, and the per-pixel path measurably wastes CPU
-      // at corpus scale. w*h over Int.MaxValue overflows the array
-      // size and lands in the catch -> None, the decode_ok=false
-      // contract for anything a JVM array can't hold anyway.
-      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
-      // convert in place — a second w*h array would double the
-      // kernel's peak transient memory for nothing
-      var i = 0
-      while (i < rgb.length) {
-        rgb(i) = (rgb(i) >> 16) & 0xFF
-        i += 1
-      }
-      Some(GrayImage(w, h, rgb))
+      Some((w, h, img.getRGB(0, 0, w, h, null, 0, w)))
     } catch {
       case _: Exception => None
-      // Last-resort bomb guard: the header peek bounds the raster at
-      // maxPixels, but an in-bounds decode on a memory-tight executor
-      // can still OOM; an untrusted asset must flag, never kill. The
-      // allocation that failed is the one this frame requested, so the
-      // catch leaves the JVM in a recoverable state.
-      case _: OutOfMemoryError => None
+      case _: OutOfMemoryError => None // flagged row, never a dead task
     }
+  }
+
+  /** Exact per-channel integer stats over a decoded color image:
+    * (n_pixels, (sum,min,max) for R, G, B). Means/variances stay
+    * downstream divisions, the house one-rounding rule. */
+  def rgbChannelStats(img: RgbImage)
+      : (Long, (Long, Int, Int), (Long, Int, Int), (Long, Int, Int)) = {
+    val px = img.rgb
+    var i = 0
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var mnr = 255; var mng = 255; var mnb = 255
+    var mxr = 0; var mxg = 0; var mxb = 0
+    while (i < px.length) {
+      val v = px(i)
+      val r = (v >> 16) & 0xFF
+      val g = (v >> 8) & 0xFF
+      val b = v & 0xFF
+      sr += r; sg += g; sb += b
+      if (r < mnr) mnr = r; if (r > mxr) mxr = r
+      if (g < mng) mng = g; if (g > mxg) mxg = g
+      if (b < mnb) mnb = b; if (b > mxb) mxb = b
+      i += 1
+    }
+    if (px.isEmpty) (0L, (0L, 0, 0), (0L, 0, 0), (0L, 0, 0))
+    else (px.length.toLong, (sr, mnr, mxr), (sg, mng, mxg), (sb, mnb, mxb))
   }
 
   /** Exact integer stats over a decoded image: (n_pixels, sum, min,

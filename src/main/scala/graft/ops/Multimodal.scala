@@ -177,6 +177,130 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize DIVERSE real image assets — the gate fixture
+    * ([[synthesizeImageAssets]]' gradient family is deliberately
+    * self-similar: a brightness shift leaves aHash63 nearly invariant,
+    * so a banded gate drops almost everything and a fixture needs
+    * the opposite: mostly-unique hashes with CONTROLLED duplicate
+    * classes). Pixels are constant over the aHash 8x8 cell grid, one
+    * sha-derived byte per (seed, cell) — sha because anything weaker
+    * degenerates: an affine-mod-256 formula is a pure brightness
+    * shift between seeds (aHash-invariant), and two rounds of
+    * multiply-mod mixing still collapsed 500 seeds to 72 distinct
+    * hashes (measured). With sha cells each asset's hash is an
+    * id-specific uniform 63-bit pattern, so 16-bit band collisions
+    * between distinct seeds are rare, and the seeding plants exact
+    * duplicate classes across and within parities:
+    *   id % 17 == 1 -> seed id-1 (duplicates an EVEN neighbor),
+    *   id % 23 == 2 -> seed id-2 (duplicates a SAME-parity neighbor),
+    * which a parity-split gate fixture turns into cross-batch and
+    * in-batch drops respectively (sf0.01: 206 kept / 10 in-batch /
+    * 34 cross of 250). The cell byte replays in SQL as the first hex
+    * pair of sha256('<seed>:<cx>:<cy>'). */
+  def synthesizeCellImageAssets(df: DataFrame, idCol: String,
+                                width: Int = 64, height: Int = 48): DataFrame = {
+    require(width % 8 == 0 && height % 8 == 0,
+      s"synthesized images must be 8-divisible for aHash63, got ${width}x$height")
+    val cw = width / 8
+    val ch = height / 8
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val seed =
+          if (id % 17 == 1) id - 1
+          else if (id % 23 == 2) id - 2
+          else id
+        val cells = Array.tabulate(64) { j =>
+          md.reset()
+          md.update(s"$seed:${j % 8}:${j / 8}".getBytes("UTF-8"))
+          md.digest()(0) & 0xFF
+        }
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        val bytes = MediaCodec.encodeGray(width, height, fmt)((x, y) =>
+          cells((y / ch) * 8 + (x / cw)))
+        Row(id, fmt, bytes)
+      }
+    }(enc)
+  }
+
+  /** Synthesize REAL COLOR image assets — the per-channel complement to
+    * [[synthesizeImageAssets]]'s r=g=b gradient: three DISTINCT channel
+    * formulas, so a decoder or stats path that silently judged only one
+    * channel (the decodeGray red-channel contract) cannot pass the
+    * per-channel oracle by accident:
+    *   r(id,x,y) = (id*31 + x*7  + y*13) mod 256   (the gray formula)
+    *   g(id,x,y) = (id*17 + x*11 + y*5 ) mod 256
+    *   b(id,x,y) = (id*29 + x*3  + y*19) mod 256
+    * PNG (even ids) / BMP (odd ids), both lossless for 24-bit color. */
+  def synthesizeRgbImageAssets(df: DataFrame, idCol: String,
+                               width: Int = 64, height: Int = 48): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        val bytes = MediaCodec.encodeRgb(width, height, fmt) { (x, y) =>
+          val cr = Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt
+          val cg = Math.floorMod(id * 17 + x * 11 + y * 5, 256L).toInt
+          val cb = Math.floorMod(id * 29 + x * 3 + y * 19, 256L).toInt
+          (cr << 16) | (cg << 8) | cb
+        }
+        Row(id, fmt, bytes)
+      }
+    }(enc)
+  }
+
+  /** REAL color decode + exact PER-CHANNEL feature extraction
+    * ([[MediaCodec.decodeRgb]]/[[MediaCodec.rgbChannelStats]]): sum/
+    * min/max for R, G, and B — the quality-gate inputs for real RGB
+    * corpora, where the gray path's defined red-channel choice would
+    * silently judge one channel (r14 verdict item #9). Same
+    * corrupt-row and narrow-zero-shuffle contract as
+    * [[decodeImageFeatures]]. */
+  def decodeRgbFeatures(assets: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_pixels", LongType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("min_r", IntegerType, nullable = true),
+      StructField("max_r", IntegerType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("min_g", IntegerType, nullable = true),
+      StructField("max_g", IntegerType, nullable = true),
+      StructField("sum_b", LongType, nullable = true),
+      StructField("min_b", IntegerType, nullable = true),
+      StructField("max_b", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    keyedBytes(assets).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        MediaCodec.decodeRgb(r.getAs[Array[Byte]](1)) match {
+          case Some(img) =>
+            val (n, (sr, mnr, mxr), (sg, mng, mxg), (sb, mnb, mxb)) =
+              MediaCodec.rgbChannelStats(img)
+            Row(id, true, img.width, img.height, n,
+              sr, mnr, mxr, sg, mng, mxg, sb, mnb, mxb)
+          case None =>
+            Row(id, false, null, null, null, null, null, null,
+              null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Synthesize REAL WAV-PCM16 audio assets: mono 16 kHz,
     * n = 256 + (id mod 7)*64 samples,
     * s(id, i) = ((id*37 + i*97) mod 2001) - 1000 — a ±1000 pseudo-

@@ -121,6 +121,41 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("RGB encode/decode round-trips all three channels losslessly; channel stats exact") {
+    // three DISTINCT channel formulas — a red-only decode path cannot
+    // pass by accident (the r14 item-#9 contract)
+    def pix(x: Int, y: Int): Int = {
+      val r = (x * 7 + y * 13) % 256
+      val g = (x * 11 + y * 5) % 256
+      val b = (x * 3 + y * 19) % 256
+      (r << 16) | (g << 8) | b
+    }
+    for (fmt <- Seq("png", "bmp")) {
+      val img = MediaCodec.decodeRgb(MediaCodec.encodeRgb(16, 8, fmt)(pix)).get
+      assert(img.width == 16 && img.height == 8)
+      for (y <- 0 until 8; x <- 0 until 16)
+        assert(img.rgb(y * 16 + x) == pix(x, y), s"$fmt pixel ($x,$y)")
+    }
+    val img = MediaCodec.decodeRgb(MediaCodec.encodeRgb(2, 1, "png")((x, _) =>
+      if (x == 0) (10 << 16) | (20 << 8) | 30 else (40 << 16) | (5 << 8) | 255)).get
+    val (n, rs, gs, bs) = MediaCodec.rgbChannelStats(img)
+    assert(n == 2L)
+    assert(rs == ((50L, 10, 40)))
+    assert(gs == ((25L, 5, 20)))
+    assert(bs == ((285L, 30, 255)))
+    // decodeRgb shares decodeGray's guard contract
+    assert(MediaCodec.decodeRgb(Array[Byte](9, 9, 9)).isEmpty)
+    assert(MediaCodec.decodeRgb(null).isEmpty)
+    val small = MediaCodec.encodeRgb(4, 4, "png")(pix)
+    assert(MediaCodec.decodeRgb(small, maxPixels = 15L).isEmpty)
+    assert(MediaCodec.decodeRgb(small, maxPixels = 16L).isDefined)
+    // decodeGray on a color image still reads the red channel (the
+    // documented defined-channel contract, now an explicit cross-pin)
+    val gray = MediaCodec.decodeGray(MediaCodec.encodeRgb(16, 8, "png")(pix)).get
+    for (y <- 0 until 8; x <- 0 until 16)
+      assert(gray.gray(y * 16 + x) == ((pix(x, y) >> 16) & 0xFF))
+  }
+
   test("WAV PCM16 mono round-trips exactly") {
     val samples = Array.tabulate(500)(i =>
       Math.floorMod(7L * 37 + i.toLong * 97, 2001L).toInt - 1000)
