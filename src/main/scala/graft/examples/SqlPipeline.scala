@@ -16,10 +16,18 @@ import org.apache.spark.sql.SparkSession
   *
   * Chain: normalize -> Gopher quality gate + language filter ->
   * exact dedup on content fingerprint (min-doc_id keeper) -> simhash
-  * near-dup candidate screen via graft_hamming64 -> PII scrub ->
-  * token-budget chunking. Each stage is a CTE over the previous one;
-  * plans stay narrow projections + the two dedup shuffles, identical
-  * to the Scala path's audited shapes.
+  * near-dup candidate screen via graft_hamming64 -> MinHash-LSH
+  * near-dup screen (shingle -> banded signature -> band equi-join ->
+  * exact Jaccard confirm — the canonical SQL shape of
+  * Dedup.minhashLshPairs, r13#8/r14#7) -> PII scrub -> token-budget
+  * chunking. Each stage is a CTE over the previous one; plans stay
+  * narrow projections + the dedup shuffles, identical to the Scala
+  * path's audited shapes. BOTH near-dup screens appear deliberately:
+  * simhash (Hamming on token votes) and MinHash-LSH (Jaccard on
+  * shingle sets) catch different near-dup families, and a SQL-only
+  * consumer needs the banded-join idiom for each spelled out — the
+  * LSH block is the one that replaces the all-pairs `JOIN ON
+  * graft_jaccard(a.text, b.text, 3) >= t` a naive consumer writes.
   */
 object SqlPipeline {
   def main(args: Array[String]): Unit = {
@@ -76,6 +84,23 @@ object SqlPipeline {
         FROM banded x JOIN banded y
           ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id > y.doc_id
         WHERE graft_hamming64(x.sh, y.sh) <= 3),
+      -- MinHash-LSH near-dup screen, the Dedup.minhashLshPairs shape
+      -- in pure SQL (r13#8): shingle once per doc, explode the banded
+      -- minhash signature ('b|v0|..' keys), candidates from the band
+      -- equi-join, exact Jaccard confirm on the candidate set ONLY.
+      -- This is the canonical replacement for the quadratic
+      -- `JOIN ON graft_jaccard(a.text, b.text, 3) >= 0.5` — the
+      -- confirm function runs on band-collision pairs, never n^2.
+      lsh_banded AS (
+        SELECT doc_id, text, band
+        FROM fingerprinted
+        LATERAL VIEW explode(
+          graft_minhash_bands(graft_shingles(text, 3), 16, 4)) t AS band),
+      lsh_dupes AS (
+        SELECT DISTINCT x.doc_id
+        FROM lsh_banded x JOIN lsh_banded y
+          ON x.band = y.band AND x.doc_id > y.doc_id
+        WHERE graft_jaccard(x.text, y.text, 3) >= 0.5),
       -- PII scrub BEFORE chunking/estimation: the chunks array is what
       -- a downstream embed step consumes, so it must carry the
       -- redacted text, never the raw PANs/emails
@@ -83,7 +108,8 @@ object SqlPipeline {
         SELECT f.doc_id, f.lang, f.source,
                graft_cc_redact(graft_pii_redact(f.text)) AS text
         FROM fingerprinted f
-        WHERE f.doc_id NOT IN (SELECT doc_id FROM near_dupes))
+        WHERE f.doc_id NOT IN (SELECT doc_id FROM near_dupes)
+          AND f.doc_id NOT IN (SELECT doc_id FROM lsh_dupes))
       SELECT doc_id, lang, source, text,
              graft_token_estimate(text) AS est_tokens,
              graft_chunks(text, 64, 8) AS chunks

@@ -30,6 +30,25 @@ import graft.index.IvfIndex
   * AND `spark.graft.ivf.autoPrune` must be `true`. Everything else —
   * any un-registered scan, ascending sorts, non-literal queries — is
   * left untouched.
+  *
+  * DEFAULT DECISION (r15, closing the item carried since r13): opt-in
+  * is PERMANENT. This is not caution pending more parity testing —
+  * six rounds of parity specs say the rewrite fires correctly — it is
+  * semantics: the rule changes query RESULTS (approximate top-k in
+  * place of exact) rather than just the plan, and Catalyst rules that
+  * alter results may only fire under an explicit per-session request.
+  * Were the conf default true, `register()` alone — a store-lifecycle
+  * call made by ingest code — would silently flip every exact scan
+  * over that path to approximate for all readers of the session,
+  * including ones that never heard of IVF (exactly the
+  * accuracy-changing class Spark itself gates behind explicit confs,
+  * e.g. legacy interval arithmetic). Callers who want always-on
+  * pruning say so once per session (`spark.conf.set(ConfKey, true)`),
+  * which is the intended deployment for an ANN-serving session; mixed
+  * exact/approximate sessions keep the conf off and use the
+  * DocumentStore IVF search path, which is approximate BY NAME at the
+  * call site. The kill-switch question is therefore moot: the conf IS
+  * the switch, and its safe side is the default.
   */
 object IvfTopKPruneRule {
 
