@@ -296,6 +296,39 @@ object ScaleBench {
     // 2000-row ingest against the ×10 corpus vs the big one. The
     // with-Bloom row's ratio is the corpus-independence claim ON the
     // clock.
+    // --- ×100 decade check (r13#4, carried through r14#5): the three
+    // shapes whose ×10 ratios ran ahead of linear (q_rfm 6.1×,
+    // q_dedup_minhash_lsh 5.1×, q_semdedup2 3.2× in the r13 table) get
+    // one more decade so the n·log n story is either confirmed further
+    // or the knee gets a name. 5th arg = comma list of queries to
+    // measure at ×100 (empty/absent = skip); only the tables those
+    // queries read are replicated (full-×100 lineitem would be pure
+    // build cost for rows nobody scans).
+    val x100Queries: Seq[String] = args.lift(4)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    if (x100Queries.nonEmpty) {
+      val x100 = s"$base/x100"
+      buildSubset(spark, src, x100, 100,
+        Set("documents", "embeddings", "orders"))
+      println(f"${"x100 decade"}%-22s ${"t_x1"}%8s ${"t_x10"}%8s ${"t_x100"}%9s  ${"r_10/1"}%7s ${"r_100/10"}%9s")
+      x100Queries.foreach { name =>
+        val fn = graft.SparkEntry.queries(name)
+        def best(dir: String): Double =
+          (1 to 2).map { _ =>
+            spark.catalog.clearCache()
+            graft.index.IvfIndex.invalidateCached(s"$dir/embeddings")
+            val t0 = System.nanoTime()
+            fn(spark, dir).collect()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        val t1 = best(x1)
+        val t10 = best(x10)
+        val t100 = best(x100)
+        println(f"$name%-22s $t1%8.2f $t10%8.2f $t100%9.2f  ${t10 / t1}%6.1fx ${t100 / t10}%8.1fx")
+      }
+    }
+
     val docReplicas = args.lift(3).map(_.toInt).getOrElse(0)
     if (docReplicas > 0) {
       val xdoc = s"$base/x${docReplicas}doc"
@@ -346,6 +379,34 @@ object ScaleBench {
     if (done.exists()) return
     replicatedDocuments(spark.read.parquet(s"$src/documents.parquet"), replicas)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    done.getParentFile.mkdirs()
+    done.createNewFile()
+    ()
+  }
+
+  /** Tables-subset replica build for the ×100 decade section — the
+    * [[build]] protocol (same id offsets, same document salt) applied
+    * only to the tables the measured queries read. */
+  private def buildSubset(spark: SparkSession, src: String, out: String,
+                          replicas: Int, tables: Set[String]): Unit = {
+    val done = new java.io.File(s"$out/_BUILT")
+    if (done.exists()) return
+    if (tables("documents"))
+      replicatedDocuments(spark.read.parquet(s"$src/documents.parquet"), replicas)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    if (tables("embeddings"))
+      (0 until replicas).map(i =>
+          spark.read.parquet(s"$src/embeddings.parquet")
+            .withColumn("vec_id", col("vec_id") + i * 10000000L))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    if (tables("orders"))
+      (0 until replicas).map(i =>
+          spark.read.parquet(s"$src/orders.parquet")
+            .withColumn("o_orderkey", col("o_orderkey") + i * 100000000L)
+            .withColumn("o_custkey", col("o_custkey") + i * 100000000L))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
     done.getParentFile.mkdirs()
     done.createNewFile()
     ()

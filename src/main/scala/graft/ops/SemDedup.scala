@@ -23,6 +23,15 @@ import graft.index.IvfIndex
   * bigger local pair block, and the fix at 100 TB is more clusters, not
   * a different algorithm.
   *
+  * That nlist ∝ √n rule is MEASURED, not advisory (r15 ScaleBench
+  * decade check): holding nlist=8 fixed while the corpus grew ×100
+  * (200k vectors) put the within-cluster pair join at 544.8 s — the
+  * quadratic n_c growth exactly as the formula predicts — while
+  * √-scaling to nlist=80 on the same corpus ran flag() in 2.1 s
+  * (+6.4 s fit). A caller sizing nlist from a fixed config rather
+  * than the corpus is the one way to fall off this operator's scale
+  * posture; numbers in BENCH_NOTES "Round 15".
+  *
   * Determinism contract (the oracle gate's requirements): cluster
   * assignment uses the model's rounded-distance argmin with
   * lowest-index tie-break ([[IvfIndex.Model.assignCol]]); cosine is
