@@ -338,21 +338,26 @@ object Bench {
     // BENCH_NOTES' adjudication recipe records. This turns the
     // hand-correlation of canary timelines + offsets the judge did in
     // r12-r14 into a one-glance read of the artifact itself.
+    // Locale-proof 2-dp rounding: Double.toString is always dot-decimal,
+    // while an f"%.2f" interpolation formats through the DEFAULT locale
+    // — under the battery's locale_tr JVM regime that emits "0,79" and
+    // corrupts the JSON artifact.
+    def r2(v: Double): Double = math.rint(v * 100.0) / 100.0
     val inflation: Seq[(String, Double)] = results.map { case (name, t) =>
       val w = warmupSec.getOrElse(name, 0.0)
-      name -> (if (w > 0.0) t / w else -1.0) // -1 = no warmup baseline
+      name -> (if (w > 0.0) r2(t / w) else -1.0) // -1 = no warmup baseline
     }
     val inflVals = inflation.map(_._2).filter(_ >= 0.0).sorted
     val inflMedian =
       if (inflVals.isEmpty) -1.0 else inflVals(inflVals.size / 2)
     val inflJson = inflation.map { case (k, v) =>
-      jstr(k) + ":" + f"$v%.2f"
+      jstr(k) + ":" + v
     }.mkString("{", ",", "}")
     val inflTopJson = inflation.sortBy(-_._2).take(10).map { case (k, v) =>
-      s"""{"q":${jstr(k)},"x":${f"$v%.2f"}}"""
+      s"""{"q":${jstr(k)},"x":$v}"""
     }.mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"offsets":$offsetsJson,"retries":$rs,"errors":$es,"canary":$canaryJson,"suspect":$suspectJson,"n_suspect":${suspect.size},"total_excl_suspect":$totalExclSuspect,"inflation":$inflJson,"inflation_median":${f"$inflMedian%.2f"},"inflation_top":$inflTopJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"offsets":$offsetsJson,"retries":$rs,"errors":$es,"canary":$canaryJson,"suspect":$suspectJson,"n_suspect":${suspect.size},"total_excl_suspect":$totalExclSuspect,"inflation":$inflJson,"inflation_median":$inflMedian,"inflation_top":$inflTopJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File("bench_out.json").getAbsolutePath)
     val wrote =
@@ -364,7 +369,7 @@ object Bench {
     if (!wrote) println(fullJson)
     val (worstName, worstSec) = results.maxBy(_._2)
     // Vitals LAST so any bounded stdout-tail capture gets them whole.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"worst":{${jstr(worstName)}:$worstSec},"n_errors":${errors.size},"n_retries":${retries.size},"n_suspect":${suspect.size},"total_excl_suspect":$totalExclSuspect,"inflation_median":${f"$inflMedian%.2f"},"file":${if (wrote) jstr(outPath) else "null"},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"worst":{${jstr(worstName)}:$worstSec},"n_errors":${errors.size},"n_retries":${retries.size},"n_suspect":${suspect.size},"total_excl_suspect":$totalExclSuspect,"inflation_median":$inflMedian,"file":${if (wrote) jstr(outPath) else "null"},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

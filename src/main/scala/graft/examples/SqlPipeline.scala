@@ -86,21 +86,35 @@ object SqlPipeline {
         WHERE graft_hamming64(x.sh, y.sh) <= 3),
       -- MinHash-LSH near-dup screen, the Dedup.minhashLshPairs shape
       -- in pure SQL (r13#8): shingle once per doc, explode the banded
-      -- minhash signature ('b|v0|..' keys), candidates from the band
-      -- equi-join, exact Jaccard confirm on the candidate set ONLY.
-      -- This is the canonical replacement for the quadratic
-      -- `JOIN ON graft_jaccard(a.text, b.text, 3) >= 0.5` — the
-      -- confirm function runs on band-collision pairs, never n^2.
+      -- minhash signature ('b|v0|..' keys), drop corpus-hot band
+      -- buckets (the capPerBand rule — a bucket of mass near-identical
+      -- docs is quadratic pair fuel; exact dedup upstream already owns
+      -- those), candidates from the band equi-join on (doc_id, band)
+      -- ONLY — texts rejoin on the SMALL candidate set afterwards, so
+      -- wide data never rides the join shuffle — then the exact
+      -- Jaccard confirm. This is the canonical replacement for the
+      -- quadratic `JOIN ON graft_jaccard(a.text, b.text, 3) >= 0.5`:
+      -- the confirm runs on band-collision pairs, never n^2.
       lsh_banded AS (
-        SELECT doc_id, text, band
+        SELECT doc_id, band
         FROM fingerprinted
         LATERAL VIEW explode(
           graft_minhash_bands(graft_shingles(text, 3), 16, 4)) t AS band),
+      lsh_hot AS (
+        SELECT band FROM lsh_banded GROUP BY band HAVING count(*) > 1024),
+      lsh_kept AS (
+        SELECT doc_id, band FROM lsh_banded
+        LEFT ANTI JOIN lsh_hot USING (band)),
+      lsh_cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM lsh_kept x JOIN lsh_kept y
+          ON x.band = y.band AND x.doc_id > y.doc_id),
       lsh_dupes AS (
-        SELECT DISTINCT x.doc_id
-        FROM lsh_banded x JOIN lsh_banded y
-          ON x.band = y.band AND x.doc_id > y.doc_id
-        WHERE graft_jaccard(x.text, y.text, 3) >= 0.5),
+        SELECT DISTINCT c.id_a AS doc_id
+        FROM lsh_cand c
+        JOIN fingerprinted a ON a.doc_id = c.id_a
+        JOIN fingerprinted b ON b.doc_id = c.id_b
+        WHERE graft_jaccard(a.text, b.text, 3) >= 0.5),
       -- PII scrub BEFORE chunking/estimation: the chunks array is what
       -- a downstream embed step consumes, so it must carry the
       -- redacted text, never the raw PANs/emails
