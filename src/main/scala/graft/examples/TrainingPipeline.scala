@@ -123,8 +123,13 @@ object TrainingPipeline {
     //    containment pairs (common/min) additionally catch short
     //    excerpts embedded in longer docs, which symmetric Jaccard
     //    structurally under-scores — both pair sets feed the graph.
-    val pairs = Dedup.minhashLshPairs(exactKept, "doc_id", "text",
-      n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+    //    The one-pass (pairs, stats) form: the hot-band observability
+    //    (did capPerBand drop anything? how hot is the hottest bucket?)
+    //    rides the pairs action as observed metrics — no second
+    //    shingle+minhash pass, logged below right where a production
+    //    dedup job's audit trail wants it.
+    val (pairs, lshObs) = Dedup.minhashLshPairsWithStats(exactKept,
+      "doc_id", "text", n = 3, numHashes = 16, bands = 4, threshold = 0.5)
     val excerpts = Dedup.ngramContainmentPairs(exactKept, "doc_id", "text",
       n = 3, threshold = 0.9)
       .select("id_a", "id_b")
@@ -141,6 +146,11 @@ object TrainingPipeline {
       .unionByName(exactKept.join(keepers, Seq("doc_id"), "left_semi"))
     println(s"after near-dup removal (quality keeper per family, incl. " +
       s"excerpt containment): ${canonical.count()}")
+    // Free with the pairs action above (no extra scan or job):
+    val lshStats = lshObs.get
+    println(s"LSH band audit: hot_buckets=${lshStats("hot_buckets")} " +
+      s"dropped_rows=${lshStats("dropped_rows")} " +
+      s"max_bucket=${lshStats("max_bucket")} (capPerBand=1024)")
 
     // 4b. Incremental-ingest posture (what a FOLLOW-UP shard of this
     //     corpus would run): screen a simulated new batch against the
