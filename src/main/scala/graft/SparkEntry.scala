@@ -2053,6 +2053,26 @@ object SparkEntry {
         col("audio_hash63"))
   }
 
+  /** Audio near-dup END TO END (r15 — completes the fingerprint-triad
+    * symmetry: text simhash63 has q_dedup_* pins, image aHash63 has
+    * q_image_neardup, and audio hash63 now gets the same treatment):
+    * decode real WAV bytes -> audioHash63 -> the SAME banded Hamming
+    * machinery ([[graft.ops.Dedup.fingerprintPairs]]). The sawtooth
+    * family carries true near-dup mass (614 Hamming<=3 pairs at
+    * sf0.01, 380 distinct hashes of 500); the oracle brute-forces all
+    * pairs from the ANALYTIC hash, and pigeonhole (4 bands,
+    * maxHamming 3) makes banded recall total, so the efficient plan
+    * and the correct one coincide exactly as in the image twin. */
+  private def qAudioNeardup(s: SparkSession, dir: String): DataFrame = {
+    val feats = graft.ops.Multimodal.decodeAudioFeatures(
+      graft.ops.Multimodal.synthesizeAudioAssets(
+        table(s, dir, "documents"), "doc_id"))
+    graft.ops.Dedup.fingerprintPairs(
+      feats.select(col("asset_id"), col("audio_hash63")),
+      "asset_id", "audio_hash63", maxHamming = 3, bands = 4)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     val assets = graft.ops.Multimodal.synthesizeAssets(
       table(s, dir, "documents"), "doc_id", payloadBytes = 512)
@@ -2727,6 +2747,7 @@ object SparkEntry {
       "q_image_decode"        -> (qImageDecode _),
       "q_image_rgb"           -> (qImageRgb _),
       "q_image_gate"          -> (qImageGate _),
+      "q_audio_neardup"       -> (qAudioNeardup _),
       "q_image_neardup"       -> (qImageNeardup _),
       "q_audio_features"      -> (qAudioFeatures _),
       "q_media_sql"           -> (qMediaSql _),
@@ -2909,6 +2930,29 @@ object SparkEntry {
                     THEN ((doc_id*37 + (i-1)*97) % 2001) - 1000 END AS vp
         FROM documents, range(0, 640) r(i)
         WHERE i < 256 + (doc_id % 7)*64)"""
+
+  /** The audioHash63 fold over [[AudioSampleCte]]'s sample stream —
+    * shared by q_audio_features and q_audio_neardup (one definition of
+    * the frame split / energy sum / discrete-median / bit rule). */
+  private val AudioHashCtes = """fl AS (
+        SELECT doc_id AS asset_id,
+               (256 + (doc_id % 7)*64) // 63 AS flen
+        FROM documents),
+      en AS (
+        SELECT sm.asset_id, sm.i // fl.flen AS f,
+               sum(CAST(v AS BIGINT) * v) AS e
+        FROM sm JOIN fl ON fl.asset_id = sm.asset_id
+        WHERE sm.i < 63 * fl.flen
+        GROUP BY sm.asset_id, sm.i // fl.flen),
+      md AS (SELECT asset_id, quantile_disc(e, 0.5) AS m
+             FROM en GROUP BY asset_id),
+      ah AS (
+        SELECT en.asset_id,
+               CAST(sum(CASE WHEN en.e > md.m
+                        THEN (CAST(1 AS BIGINT) << CAST(en.f AS INT)) ELSE 0 END)
+                 AS BIGINT) AS audio_hash63
+        FROM en JOIN md ON md.asset_id = en.asset_id
+        GROUP BY en.asset_id)"""
 
   /** DuckDB lang-guess expression over the TextFeatureCte columns —
     * mirror of TextFunctions.langGuess (en > de > es > fr tie order). */
@@ -3922,6 +3966,17 @@ object SparkEntry {
       FROM h a JOIN h b ON a.asset_id < b.asset_id
       WHERE bit_count(xor(a.ahash63, b.ahash63)) <= 3""",
 
+    // Audio twin of q_image_neardup: brute-force all Hamming<=3 pairs
+    // from the analytic hash; banded recall is total by pigeonhole.
+    "q_audio_neardup" -> s"""
+      WITH $AudioSampleCte,
+      $AudioHashCtes
+      SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+             CAST(bit_count(xor(a.audio_hash63, b.audio_hash63)) AS BIGINT)
+               AS hamming
+      FROM ah a JOIN ah b ON a.asset_id < b.asset_id
+      WHERE bit_count(xor(a.audio_hash63, b.audio_hash63)) <= 3""",
+
     // SQL-surface twin: image + audio analytic CTEs joined per asset —
     // the registered graft_image_stats / graft_wav_stats must land on
     // the same numbers the formulas predict.
@@ -3964,25 +4019,7 @@ object SparkEntry {
     // element, matching the kernel's sorted[31]), bit f = e > median.
     "q_audio_features" -> s"""
       WITH $AudioSampleCte,
-      fl AS (
-        SELECT doc_id AS asset_id,
-               (256 + (doc_id % 7)*64) // 63 AS flen
-        FROM documents),
-      en AS (
-        SELECT sm.asset_id, sm.i // fl.flen AS f,
-               sum(CAST(v AS BIGINT) * v) AS e
-        FROM sm JOIN fl ON fl.asset_id = sm.asset_id
-        WHERE sm.i < 63 * fl.flen
-        GROUP BY sm.asset_id, sm.i // fl.flen),
-      md AS (SELECT asset_id, quantile_disc(e, 0.5) AS m
-             FROM en GROUP BY asset_id),
-      ah AS (
-        SELECT en.asset_id,
-               CAST(sum(CASE WHEN en.e > md.m
-                        THEN (CAST(1 AS BIGINT) << CAST(en.f AS INT)) ELSE 0 END)
-                 AS BIGINT) AS audio_hash63
-        FROM en JOIN md ON md.asset_id = en.asset_id
-        GROUP BY en.asset_id)
+      $AudioHashCtes
       SELECT sm.asset_id,
              CAST(1 AS BIGINT) AS decode_ok,
              CAST(16000 AS BIGINT) AS sample_rate,
