@@ -76,7 +76,22 @@ object ScaleBench {
     // engine scaling — the banded-join engine shape is already the
     // q_dedup_minhash_lsh row.
     "q_image_decode",       // real encode+decode mapPartitions, 0 shuffle
-    "q_audio_features")     // RIFF parse + exact feature fold, 0 shuffle
+    "q_audio_features",     // RIFF parse + exact feature fold, 0 shuffle
+    // round-15 families. q_audio_neardup is excluded for the SAME
+    // measured reason as q_image_neardup: the hypothesis that the 10M
+    // replica id offset de-correlates the sawtooth hashes was tested
+    // and FALSIFIED — true Hamming<=3 pair mass grew 102.7x at x10
+    // data (81,708 -> 8,394,692 pairs; the hash space is lumpy, so
+    // cross-replica NEAR-collisions scale quadratically even though
+    // exact identities don't) while engine time grew only 7.9x. A
+    // recurring row would measure output combinatorics; the one-time
+    // reading (engine sublinear IN ITS OUTPUT) is in BENCH_NOTES.
+    "q_image_rgb",          // color decode + per-channel folds, 0 shuffle
+    "q_image_gate",         // two-batch perceptual gate end to end
+    "q_maxsim_search")      // search over the per-dir memoized store
+                            // (build amortized by the memo; best-of-2
+                            // keeps the warm search-only reading —
+                            // the build path's xN row is mv_store_build)
 
   /** Shapes that no longer exist in SparkEntry but whose 10× behavior
     * documents WHY the shipped shape replaced them — the before/after
