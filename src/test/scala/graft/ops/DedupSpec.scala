@@ -171,11 +171,15 @@ class DedupSpec extends SparkSpec {
     val d = (hotDocs ++ normal).toDF("id", "text")
 
     val tracker = spark.sparkContext.statusTracker
+    // The status store is listener-fed (async): poll until the count
+    // holds still. The 10 s ceiling is deliberate headroom — this
+    // suite also runs on the driver's loaded box, where a 2 s ceiling
+    // would turn listener lag into a phantom job-count flake.
     def stableJobCount(group: String): Int = {
       var last = -1
       var same = 0
       var spins = 0
-      while (same < 3 && spins < 100) {
+      while (same < 3 && spins < 500) {
         val n = tracker.getJobIdsForGroup(group).length
         if (n == last) same += 1 else { same = 0; last = n }
         Thread.sleep(20)
