@@ -2015,6 +2015,9 @@ object SparkEntry {
     graft.ops.Multimodal.synthesizeAudioAssets(
         table(s, dir, "documents"), "doc_id")
       .createOrReplaceTempView("media_wav_assets")
+    graft.ops.Multimodal.synthesizeRgbImageAssets(
+        table(s, dir, "documents"), "doc_id")
+      .createOrReplaceTempView("media_rgb_assets")
     s.sql("""
       SELECT i.asset_id,
              CAST(i.im.width AS BIGINT) AS width,
@@ -2027,12 +2030,20 @@ object SparkEntry {
              CAST(a.au.peak AS BIGINT) AS peak,
              round(sqrt(CAST(a.au.sum_sq AS DOUBLE) /
                CAST(a.au.n_samples AS DOUBLE)), 4) AS rms,
-             a.au.zero_crossings AS zero_crossings
+             a.au.zero_crossings AS zero_crossings,
+             r.rs.sum_r AS sum_r,
+             r.rs.sum_g AS sum_g,
+             r.rs.sum_b AS sum_b,
+             round(CAST(r.rs.sum_g AS DOUBLE) /
+               CAST(r.rs.n_pixels AS DOUBLE), 4) AS mean_g
       FROM (SELECT asset_id, graft_image_stats(content) AS im
             FROM media_img_assets) i
       JOIN (SELECT asset_id, graft_wav_stats(content) AS au
             FROM media_wav_assets) a
-        ON a.asset_id = i.asset_id""")
+        ON a.asset_id = i.asset_id
+      JOIN (SELECT asset_id, graft_rgb_stats(content) AS rs
+            FROM media_rgb_assets) r
+        ON r.asset_id = i.asset_id""")
   }
 
   /** REAL WAV decode against analytic ground truth — same protocol as
@@ -3995,7 +4006,16 @@ object SparkEntry {
                  AS rms,
                CAST(sum(CASE WHEN vp * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
                  AS zero_crossings
-        FROM sm GROUP BY asset_id)
+        FROM sm GROUP BY asset_id),
+      rgb AS (
+        SELECT doc_id AS asset_id,
+               CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS sum_r,
+               CAST(sum((doc_id*17 + x*11 + y*5) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((doc_id*29 + x*3 + y*19) % 256) AS BIGINT) AS sum_b,
+               round(CAST(sum((doc_id*17 + x*11 + y*5) % 256) AS DOUBLE) /
+                 count(*), 4) AS mean_g
+        FROM documents, range(0,64) rx(x), range(0,48) ry(y)
+        GROUP BY doc_id)
       SELECT st.asset_id,
              CAST(64 AS BIGINT) AS width,
              CAST(48 AS BIGINT) AS height,
@@ -4003,10 +4023,12 @@ object SparkEntry {
              round(CAST(st.sum_gray AS DOUBLE) / CAST(st.n_pixels AS DOUBLE), 4)
                AS mean_gray,
              h.ahash63,
-             au.n_samples, au.peak, au.rms, au.zero_crossings
+             au.n_samples, au.peak, au.rms, au.zero_crossings,
+             rgb.sum_r, rgb.sum_g, rgb.sum_b, rgb.mean_g
       FROM st
       JOIN h ON h.asset_id = st.asset_id
-      JOIN au ON au.asset_id = st.asset_id""",
+      JOIN au ON au.asset_id = st.asset_id
+      JOIN rgb ON rgb.asset_id = st.asset_id""",
 
     // ANALYTIC ground truth for the REAL WAV decoder: sample
     // s(id,i) = ((id*37 + i*97) mod 2001) - 1000 over

@@ -58,6 +58,49 @@ case class ImageStatsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-channel color decode as a SQL-callable kernel — the RGB twin
+  * of [[ImageStatsExpr]] (r15): exact R/G/B sums/mins/maxs from ONE
+  * decode, so SQL-only quality gates on real color corpora judge
+  * every channel instead of the gray kernel's defined red-channel
+  * choice. Same contracts: null -> null struct, undecodable ->
+  * decode_ok=false row; parity with
+  * [[graft.ops.Multimodal.decodeRgbFeatures]] is spec-pinned. */
+case class RgbStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.GraftSqlBridge.BinaryUnaryInputs {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_pixels", LongType, nullable = true),
+    StructField("sum_r", LongType, nullable = true),
+    StructField("min_r", IntegerType, nullable = true),
+    StructField("max_r", IntegerType, nullable = true),
+    StructField("sum_g", LongType, nullable = true),
+    StructField("min_g", IntegerType, nullable = true),
+    StructField("max_g", IntegerType, nullable = true),
+    StructField("sum_b", LongType, nullable = true),
+    StructField("min_b", IntegerType, nullable = true),
+    StructField("max_b", IntegerType, nullable = true)))
+  override def prettyName: String = "graft_rgb_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaCodec.decodeRgb(input.asInstanceOf[Array[Byte]]) match {
+      case Some(img) =>
+        val (n, (sr, mnr, mxr), (sg, mng, mxg), (sb, mnb, mxb)) =
+          MediaCodec.rgbChannelStats(img)
+        InternalRow(true, img.width, img.height, n,
+          sr, mnr, mxr, sg, mng, mxg, sb, mnb, mxb)
+      case None =>
+        InternalRow(false, null, null, null, null, null, null,
+          null, null, null, null, null, null)
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** WAV-PCM16 decode + exact audio features as a SQL-callable kernel —
   * the audio twin of [[ImageStatsExpr]], same contracts. */
 case class WavStatsExpr(child: Expression)

@@ -293,6 +293,18 @@ object GraftExtensions {
         require(args.length == 1, "graft_image_stats expects (bytes)")
         graft.functions.ImageStatsExpr(args(0))
       }),
+    ("graft_rgb_stats",
+      info("graft_rgb_stats",
+        "graft_rgb_stats(bytes) - decode an image keeping all three " +
+          "channels and return struct<decode_ok, width, height, " +
+          "n_pixels, sum_r, min_r, max_r, sum_g, min_g, max_g, sum_b, " +
+          "min_b, max_b> (exact per-channel integer folds — the " +
+          "quality-gate inputs for real RGB corpora); undecodable " +
+          "bytes -> decode_ok=false with null features, null -> null"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "graft_rgb_stats expects (bytes)")
+        graft.functions.RgbStatsExpr(args(0))
+      }),
     ("graft_wav_stats",
       info("graft_wav_stats",
         "graft_wav_stats(bytes) - decode RIFF/WAV PCM16 (mono or " +

@@ -457,6 +457,29 @@ class GraftExtensionsSpec extends SparkSpec {
     aSql.indices.foreach(i => assert(aSql(i) == aDf(i),
       s"audio row $i: ${aSql(i)} vs ${aDf(i)}"))
 
+    // the RGB twin: parity with decodeRgbFeatures on genuinely-colored
+    // assets (r != g != b everywhere, so a red-only path can't pass),
+    // including a corrupt row
+    val rgb = graft.ops.Multimodal.synthesizeRgbImageAssets(
+        (0L until 8L).toDF("id"), "id")
+      .withColumn("content", when(col("asset_id") === 3L,
+        slit("garbage".getBytes)).otherwise(col("content")))
+    rgb.createOrReplaceTempView("ge_media_rgb")
+    val rSql = spark.sql(
+      """SELECT asset_id, s.decode_ok, s.width, s.height, s.n_pixels,
+                s.sum_r, s.min_r, s.max_r, s.sum_g, s.min_g, s.max_g,
+                s.sum_b, s.min_b, s.max_b
+         FROM (SELECT asset_id, graft_rgb_stats(content) AS s
+               FROM ge_media_rgb) ORDER BY asset_id""").collect()
+    val rDf = graft.ops.Multimodal.decodeRgbFeatures(rgb)
+      .orderBy("asset_id").collect()
+    rSql.indices.foreach(i => assert(rSql(i) == rDf(i),
+      s"rgb row $i: ${rSql(i)} vs ${rDf(i)}"))
+    assert(!rSql(3).getBoolean(1)) // the corrupt row is flagged, kept
+    // and the channels genuinely differ (the single-channel trap)
+    assert(rSql(0).getLong(5) != rSql(0).getLong(8) &&
+      rSql(0).getLong(8) != rSql(0).getLong(11))
+
     // strict binary pins: a string is an ANALYSIS error, not re-encoded
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_image_stats('not bytes')").head
@@ -464,9 +487,13 @@ class GraftExtensionsSpec extends SparkSpec {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_wav_stats(42)").head
     }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_rgb_stats('not bytes')").head
+    }
     // bare NULL: null-in/null-out (null STRUCT, not a decode_ok=false row)
     val n = spark.sql(
-      "SELECT graft_image_stats(NULL) AS i, graft_wav_stats(NULL) AS w").head
-    assert(n.isNullAt(0) && n.isNullAt(1))
+      "SELECT graft_image_stats(NULL) AS i, graft_wav_stats(NULL) AS w, " +
+        "graft_rgb_stats(NULL) AS r").head
+    assert(n.isNullAt(0) && n.isNullAt(1) && n.isNullAt(2))
   }
 }
