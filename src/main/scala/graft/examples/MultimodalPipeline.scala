@@ -80,6 +80,21 @@ object MultimodalPipeline {
         col("variance_gray") >= 16.0)
     println(s"after image quality gates: ${gated.count()}")
 
+    // 2b. Per-channel gate (r15): the gray gates above judge one
+    //     defined channel; real RGB corpora also want dead-channel
+    //     detection (min == max on ANY channel — a stuck sensor or a
+    //     tinted-overlay artifact that a gray/red-only pass misses
+    //     whenever the OTHER channels carry the defect). One decode,
+    //     all three channels, same flagged-not-dropped discipline.
+    val rgbFeats = Multimodal.decodeRgbFeatures(
+      Multimodal.synthesizeRgbImageAssets(docs, "doc_id"))
+    val deadChannel = rgbFeats.where(col("decode_ok") &&
+      (col("min_r") === col("max_r") ||
+       col("min_g") === col("max_g") ||
+       col("min_b") === col("max_b")))
+    println(s"dead-channel assets flagged (of ${rgbFeats.count()} RGB): " +
+      s"${deadChannel.count()}")
+
     // 3. Perceptual near-dup removal: banded Hamming pairs over the
     //    63-bit average hash, connected components, keep the smallest
     //    id per duplicate family (deterministic keeper). maxHamming = 0
