@@ -353,9 +353,12 @@ object Bench {
     val inflJson = inflation.map { case (k, v) =>
       jstr(k) + ":" + v
     }.mkString("{", ",", "}")
-    val inflTopJson = inflation.sortBy(-_._2).take(10).map { case (k, v) =>
-      s"""{"q":${jstr(k)},"x":$v}"""
-    }.mkString("[", ",", "]")
+    // Drop the -1 no-baseline sentinels BEFORE ranking (r15 ADVICE):
+    // with fewer than 10 baselined queries the sentinels would surface
+    // in inflation_top looking like real ratios.
+    val inflTopJson = inflation.filter(_._2 >= 0.0).sortBy(-_._2).take(10)
+      .map { case (k, v) => s"""{"q":${jstr(k)},"x":$v}""" }
+      .mkString("[", ",", "]")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"offsets":$offsetsJson,"retries":$rs,"errors":$es,"canary":$canaryJson,"suspect":$suspectJson,"n_suspect":${suspect.size},"total_excl_suspect":$totalExclSuspect,"inflation":$inflJson,"inflation_median":$inflMedian,"inflation_top":$inflTopJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

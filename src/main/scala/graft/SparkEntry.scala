@@ -2619,14 +2619,23 @@ object SparkEntry {
     * wins), which both oracles reproduce with min(doc_id)/row_number. */
   // Bounded like viewDir/tableCache (the session-keyed-cache rule: a
   // key holding a full SparkSession must evict, not accumulate, or
-  // stopped sessions stay reachable forever). Size bound is crude —
-  // clear-all at 16 entries — because the cost of a miss is one store
-  // rebuild, and driver runs touch 2-3 (session, dir) pairs total.
+  // stopped sessions stay reachable forever). At the bound, ONE
+  // arbitrary entry is evicted (r15 ADVICE — the old clear-all dropped
+  // all 16 including hot ones mid-use); the cost of any miss is one
+  // store rebuild, and driver runs touch 2-3 (session, dir) pairs.
+  // IMMUTABLE-INPUT ASSUMPTION (r15 ADVICE, documented): the memo has
+  // no content invalidation — it is correct because the driver's
+  // testdata parquet under `dir` is never rewritten within a session.
+  // A caller pattern that rewrites documents.parquet in place would
+  // serve stale search results; the library surface for mutable data
+  // is DocumentStore's own versioned model cache, not this
+  // bench-attribution memo.
   private val maxsimStores = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.store.DocumentStore]
   private def maxsimStorePut(k: (SparkSession, String),
                              v: graft.store.DocumentStore): Unit = {
-    if (maxsimStores.size >= 16) maxsimStores.clear()
+    if (maxsimStores.size >= 16)
+      maxsimStores.keys.headOption.foreach(maxsimStores.remove)
     maxsimStores.put(k, v)
     ()
   }

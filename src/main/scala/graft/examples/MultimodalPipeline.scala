@@ -86,14 +86,20 @@ object MultimodalPipeline {
     //     tinted-overlay artifact that a gray/red-only pass misses
     //     whenever the OTHER channels carry the defect). One decode,
     //     all three channels, same flagged-not-dropped discipline.
+    //     Both counts come out of ONE action (r15 ADVICE: two separate
+    //     count() actions re-ran the decode — the dominant per-row cost
+    //     this stage showcases — end to end twice).
     val rgbFeats = Multimodal.decodeRgbFeatures(
       Multimodal.synthesizeRgbImageAssets(docs, "doc_id"))
-    val deadChannel = rgbFeats.where(col("decode_ok") &&
-      (col("min_r") === col("max_r") ||
-       col("min_g") === col("max_g") ||
-       col("min_b") === col("max_b")))
-    println(s"dead-channel assets flagged (of ${rgbFeats.count()} RGB): " +
-      s"${deadChannel.count()}")
+    val rgbCounts = rgbFeats.agg(
+      count(lit(1)).as("n_rgb"),
+      sum(when(col("decode_ok") &&
+        (col("min_r") === col("max_r") ||
+         col("min_g") === col("max_g") ||
+         col("min_b") === col("max_b")), 1L).otherwise(0L)).as("n_dead"))
+      .head
+    println(s"dead-channel assets flagged (of ${rgbCounts.getLong(0)} RGB): " +
+      s"${rgbCounts.getLong(1)}")
 
     // 3. Perceptual near-dup removal: banded Hamming pairs over the
     //    63-bit average hash, connected components, keep the smallest

@@ -109,6 +109,16 @@ object SqlPipeline {
         SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
         FROM lsh_kept x JOIN lsh_kept y
           ON x.band = y.band AND x.doc_id > y.doc_id),
+      -- Keeper rule: pairwise larger-id-drops (id_a > id_b by the join
+      -- above), the same convention as the simhash block. NOTE for SQL
+      -- copiers (r15 ADVICE): this intentionally OVER-drops relative to
+      -- the Scala path's connected-components keeper — in a chain
+      -- A<B<C with only B~C confirmed, C drops here even though its
+      -- sole smaller near-dup B was itself dropped, whereas
+      -- TrainingPipeline's cluster keeper would keep C's family root.
+      -- Pairwise min-id is the cheap SQL-only approximation; use
+      -- graft.ops.Dedup.connectedComponents when cluster-exact keeper
+      -- semantics matter.
       lsh_dupes AS (
         SELECT DISTINCT c.id_a AS doc_id
         FROM lsh_cand c

@@ -170,16 +170,46 @@ object IvfIndex {
   def fit(df: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L,
           maxIter: Int = 20, initMode: String = "k-means||",
           fitFraction: Double = 1.0, fitPartitions: Int = 0): Model = {
+    require(nlist >= 0, s"nlist $nlist must be > 0, or 0 for auto (√n rule)")
     val prepared = trainingSample(df, vecCol, fitFraction, fitPartitions,
       seed, "IvfIndex.fit")
     try {
+      // AUTO-NLIST (r15 verdict #1): nlist = 0 derives the cluster
+      // count from the data via [[autoNlist]] instead of trusting a
+      // caller's fixed config — the one way callers fell off the scale
+      // posture (a pinned nlist=8 while the corpus grew ×100 measured
+      // 544.8 s vs ~8.5 s with the √n value; BENCH_NOTES r15). The
+      // count job is free here: trainingSample just forced the persist,
+      // so this reads cached partition counts.
+      val k = if (nlist > 0) nlist else autoNlist(prepared.count(), fitFraction)
       val features = prepared.select(array_to_vector(col("__v")).as("features"))
       val km = new KMeans()
-        .setK(nlist).setSeed(seed).setMaxIter(maxIter).setInitMode(initMode)
+        .setK(k).setSeed(seed).setMaxIter(maxIter).setInitMode(initMode)
         .setFeaturesCol("features")
       val model = km.fit(features)
       Model(model.clusterCenters.toIndexedSeq.map(_.toArray.toIndexedSeq))
     } finally { prepared.unpersist(); () }
+  }
+
+  /** The scale-safe cluster count for a corpus of (estimated) size n:
+    * `max(8, round(√(n/30)))`, the √n rule the within-cluster pair
+    * join needs to stay O(n^1.5) (see [[graft.ops.SemDedup]] — pair
+    * candidates are Σ_c (n_c choose 2), so fixed nlist under corpus
+    * growth turns quadratic; the r15 ScaleBench decade check measured
+    * exactly that cliff). The /30 inside the square root makes the
+    * derived nlist consistent with [[shouldUseIvf]]'s 30·nlist
+    * activation gate for every n >= 30·8² = 1920; below that the floor
+    * of 8 keeps tiny fits from degenerating to one or two clusters.
+    *
+    * `sampleCount` is the TRAINING-SAMPLE size; `fitFraction` scales it
+    * back to the corpus estimate (the rule sizes clusters for the data
+    * the model will assign, not the subsample it trained on). The
+    * result is clamped to sampleCount — KMeans cannot fit more
+    * clusters than it has points. */
+  def autoNlist(sampleCount: Long, fitFraction: Double = 1.0): Int = {
+    val est = math.ceil(sampleCount / math.min(math.max(fitFraction, 1e-9), 1.0)).toLong
+    val k = math.max(8L, math.round(math.sqrt(est / 30.0)))
+    math.min(k, math.max(sampleCount, 1L)).toInt
   }
 
   /** The ONE fit-sample scaffolding shared by [[fit]] and

@@ -98,11 +98,14 @@ object MediaCodec {
     * an Error, not Exception, so the old catch let it kill the task.
     * The fix peeks width/height from the header alone (reader.getWidth/
     * getHeight read metadata, not pixels) and rejects anything over
-    * `maxPixels` BEFORE any raster exists; OutOfMemoryError around the
-    * remaining decode is additionally caught as a last resort (the
-    * header peek bounds the raster, but a pathological-but-in-bounds
-    * asset on an already-tight executor still becomes a flagged row,
-    * not a dead task). */
+    * `maxPixels` BEFORE any raster exists. That header peek is the ONE
+    * bomb defense — OutOfMemoryError is deliberately NOT caught around
+    * the in-bounds decode (r15 ADVICE): after the cap, an OOME means
+    * genuine executor heap distress, and converting it to a flagged
+    * row would mislabel valid assets as corrupt while masking the
+    * emergency from the scheduler. Any future byte-walking kernel
+    * must follow the same rule: bound the allocation from a header
+    * first; never catch Error. */
   def decodeGray(bytes: Array[Byte],
                  maxPixels: Long = DefaultMaxPixels): Option[GrayImage] =
     // decodeArgb does the sniff/peek/decode and the bulk getRGB (one
@@ -187,8 +190,15 @@ object MediaCodec {
       val h = img.getHeight
       Some((w, h, img.getRGB(0, 0, w, h, null, 0, w)))
     } catch {
+      // Exceptions only — corrupt bytes are a flagged row, never a dead
+      // task. Errors (OutOfMemoryError in particular) propagate: the
+      // header-peek cap above already bounds the attacker-controlled
+      // allocation, so an OOME here means REAL executor heap distress,
+      // and swallowing it into decode_ok=false would mislabel valid
+      // assets as corrupt while hiding the emergency from the scheduler
+      // (r15 ADVICE). Spark fails/retries the task and the operator
+      // sees the memory problem instead of silently dirty data.
       case _: Exception => None
-      case _: OutOfMemoryError => None // flagged row, never a dead task
     }
   }
 

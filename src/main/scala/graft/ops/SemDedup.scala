@@ -28,9 +28,13 @@ import graft.index.IvfIndex
   * (200k vectors) put the within-cluster pair join at 544.8 s — the
   * quadratic n_c growth exactly as the formula predicts — while
   * √-scaling to nlist=80 on the same corpus ran flag() in 2.1 s
-  * (+6.4 s fit). A caller sizing nlist from a fixed config rather
-  * than the corpus is the one way to fall off this operator's scale
-  * posture; numbers in BENCH_NOTES "Round 15".
+  * (+6.4 s fit). And since r16 it is AUTOMATED: fit the coarse
+  * quantizer with `nlist = 0` ([[IvfIndex.fit]]/[[IvfIndex.fitCached]])
+  * and the cluster count derives from the data via
+  * [[IvfIndex.autoNlist]] (`max(8, round(√(n/30)))`) — the scale-safe
+  * configuration is the default, and a pinned explicit nlist remains
+  * an opt-in for callers replaying a fixed fit (the oracle-pinned
+  * bench queries do exactly that). Numbers in BENCH_NOTES "Round 15".
   *
   * Determinism contract (the oracle gate's requirements): cluster
   * assignment uses the model's rounded-distance argmin with

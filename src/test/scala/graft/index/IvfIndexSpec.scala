@@ -102,4 +102,47 @@ class IvfIndexSpec extends SparkSpec {
       assert(model.nearestCentroids(q, 1, roundScale = 4).head == viaExpr)
     }
   }
+
+  test("autoNlist: the √(n/30) rule with the floor-8 and sample clamps") {
+    // Exact formula values — the rule itself is the contract (r15
+    // verdict #1: the measured cliff was a caller pinning nlist while
+    // the corpus grew; this function is the default that prevents it).
+    assert(IvfIndex.autoNlist(240000L) == 89)    // round(√8000) = 89
+    assert(IvfIndex.autoNlist(192000L) == 80)    // the r15 ×100 fix value
+    assert(IvfIndex.autoNlist(2000L) == 8)       // √(2000/30) ≈ 8.2 → 8
+    assert(IvfIndex.autoNlist(100L) == 8)        // floor 8 below the knee
+    assert(IvfIndex.autoNlist(5L) == 5)          // clamp: k <= points
+    // fitFraction scales the SAMPLE count back to the corpus estimate:
+    // a 10% sample of 240k rows must size clusters for 240k, not 24k.
+    assert(IvfIndex.autoNlist(24000L, fitFraction = 0.1) == 89)
+    // Consistency with the 30·nlist activation gate at scale: for any
+    // corpus past the floor knee, the derived nlist passes the gate.
+    for (n <- Seq(2000L, 10000L, 1000000L, 100000000L))
+      assert(IvfIndex.shouldUseIvf(IvfIndex.autoNlist(n), n),
+        s"gate fails at n=$n nlist=${IvfIndex.autoNlist(n)}")
+  }
+
+  test("fit with nlist = 0 derives the cluster count; explicit nlist still wins") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 120).map(i =>
+      (i.toLong, Seq.fill(3)(rnd.nextDouble() * 2 - 1))).toDF("id", "vec")
+    // 120 points → autoNlist = max(8, round(√4)) = 8 clusters.
+    val auto = IvfIndex.fit(vecs, "vec", nlist = 0, maxIter = 2,
+      initMode = "random")
+    assert(auto.nlist == IvfIndex.autoNlist(120L),
+      s"auto fit produced ${auto.nlist}")
+    // Explicit nlist is untouched by the auto path (the oracle-pinned
+    // queries replay fixed fits and must stay bit-stable).
+    val explicit = IvfIndex.fit(vecs, "vec", nlist = 3, maxIter = 2,
+      initMode = "random")
+    assert(explicit.nlist == 3)
+    // Tiny corpus: the sample clamp keeps KMeans satisfiable (k <= n).
+    val tiny = (0 until 5).map(i =>
+      (i.toLong, Seq(i.toDouble, 0.0, 0.0))).toDF("id", "vec")
+    assert(IvfIndex.fit(tiny, "vec", nlist = 0, maxIter = 2,
+      initMode = "random").nlist == 5)
+    intercept[IllegalArgumentException] {
+      IvfIndex.fit(vecs, "vec", nlist = -1)
+    }
+  }
 }
