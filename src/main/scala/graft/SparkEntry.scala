@@ -2003,6 +2003,72 @@ object SparkEntry {
       .select(col("asset_id"))
   }
 
+  /** The TEXT streaming ingest gate under the DuckDB oracle (r15
+    * verdict #3 — q_image_gate's protocol applied to the original
+    * MinHash front-end, closing the asymmetry where the image gate's
+    * replay semantics were oracle-pinned but the text gate's were only
+    * spec-tested): even doc_ids play batch 0 (the retained corpus),
+    * odd ids play batch 1 screened against the survivors-only index
+    * plus within-batch first arrival. The oracle replays the ENTIRE
+    * decision externally — shingles, the 16-hash affine MinHash
+    * signature, the 4×4 band keys (the exact strings
+    * `TextFunctions.minhashBands` emits), min-(ts,id) first arrival,
+    * survivors-only index, strictly-earlier probe. Shingle-less docs
+    * have no bands and always pass (the no-evidence contract) — the
+    * final anti-join runs over ALL odd docs, not just banded ones,
+    * on both sides. */
+  private def qTextGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("ts", col("doc_id")) // monotone arrival order
+    val idx = scratch(dir, "text_gate_idx")
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    // batch 0: establishes the index (bands written eagerly inside the
+    // call; replays overwrite the same batch=0 partition)
+    graft.streaming.StreamingOps.nearDupScreenBatch(
+      corpus, idx, batchId = 0L, "doc_id", "text", "ts")
+    // batch 1: the screened ingest — the query's result
+    graft.streaming.StreamingOps.nearDupScreenBatch(
+        batch, idx, batchId = 1L, "doc_id", "text", "ts")
+      .select(col("doc_id"))
+  }
+
+  /** The AUDIO streaming ingest gate under the DuckDB oracle — the
+    * r16 front-end ([[graft.streaming.StreamingOps
+    * .audioNearDupScreenBatch]]) driven through the same two-batch
+    * protocol as q_image_gate/q_text_gate, so all THREE modalities of
+    * the shared band-gate core carry an external replay of their gate
+    * decision. The fixture is the sha-DIVERSE frame family
+    * ([[graft.ops.Multimodal.synthesizeShaAudioAssets]]), NOT the
+    * sawtooth family: the sawtooth's lumpy hash space collapses a band
+    * gate to drop-almost-all (10 survivors at every SF — measured),
+    * the same failure mode that forced q_image_gate's sha-cell fixture
+    * in r15. The sha family plants controlled duplicate classes
+    * (mod-17 cross-parity replays → cross-batch drops, mod-23
+    * same-parity replays → in-batch drops) over otherwise near-unique
+    * hashes, so survivors and both drop rules all carry real mass; the
+    * oracle folds the analytic frame-constant audio_hash63
+    * (energy_f = 8·v²) and replays the band decision without decoding
+    * a byte. */
+  private def qAudioGate(s: SparkSession, dir: String): DataFrame = {
+    // Materialized once, like q_image_gate: the gate core evaluates
+    // its batch plan more than once, and real ingest reads bytes from
+    // storage — the parquet round-trip is the honest shape.
+    val assets = materialize(
+        graft.ops.Multimodal.synthesizeShaAudioAssets(
+          table(s, dir, "documents"), "doc_id"), dir, "audio_gate_assets")
+      .withColumn("ts", col("asset_id"))
+    val idx = scratch(dir, "audio_gate_idx")
+    val corpus = assets.where(col("asset_id") % 2 === 0)
+    val batch = assets.where(col("asset_id") % 2 === 1)
+    graft.streaming.StreamingOps.audioNearDupScreenBatch(
+      corpus, idx, batchId = 0L, "asset_id", "content", "ts")
+    graft.streaming.StreamingOps.audioNearDupScreenBatch(
+        batch, idx, batchId = 1L, "asset_id", "content", "ts")
+      .select(col("asset_id"))
+  }
+
   /** The media codecs through the SQL surface: pure `spark.sql` text
     * over the r14 registrations (graft_image_stats / graft_wav_stats)
     * against the same analytic oracle — proves a SQL-only caller gets
@@ -2767,6 +2833,8 @@ object SparkEntry {
       "q_image_decode"        -> (qImageDecode _),
       "q_image_rgb"           -> (qImageRgb _),
       "q_image_gate"          -> (qImageGate _),
+      "q_text_gate"           -> (qTextGate _),
+      "q_audio_gate"          -> (qAudioGate _),
       "q_audio_neardup"       -> (qAudioNeardup _),
       "q_image_neardup"       -> (qImageNeardup _),
       "q_audio_features"      -> (qAudioFeatures _),
@@ -3955,6 +4023,112 @@ object SparkEntry {
                CAST(b AS VARCHAR) || '|' ||
                  CAST((ahash63 >> CAST(b*16 AS INT)) & 65535 AS VARCHAR) AS band
         FROM h, range(0,4) rb(b)),
+      f0 AS (SELECT band, min(asset_id) AS fid FROM bnd
+             WHERE asset_id % 2 = 0 GROUP BY band),
+      d0 AS (SELECT DISTINCT asset_id FROM bnd JOIN f0 USING (band)
+             WHERE asset_id % 2 = 0 AND asset_id <> fid),
+      b0 AS (SELECT DISTINCT band FROM bnd
+             WHERE asset_id % 2 = 0
+               AND asset_id NOT IN (SELECT asset_id FROM d0)),
+      f1 AS (SELECT band, min(asset_id) AS fid FROM bnd
+             WHERE asset_id % 2 = 1 GROUP BY band),
+      d1 AS (SELECT DISTINCT asset_id FROM bnd JOIN f1 USING (band)
+             WHERE asset_id % 2 = 1 AND asset_id <> fid
+             UNION
+             SELECT DISTINCT bnd.asset_id FROM bnd JOIN b0 USING (band)
+             WHERE asset_id % 2 = 1)
+      SELECT asset_id
+      FROM (SELECT DISTINCT asset_id FROM bnd WHERE asset_id % 2 = 1) t
+      WHERE asset_id NOT IN (SELECT asset_id FROM d1)""",
+
+    // Text streaming gate replayed analytically (r16): shingles →
+    // 16-hash affine MinHash signature → 4×4 band keys (byte-identical
+    // to TextFunctions.minhashBands' strings, the q_dedup_minhash_lsh
+    // derivation) → batch-0 first arrival → survivors-only index →
+    // batch-1 cross + in-batch screen. The final anti-join runs over
+    // ALL odd docs: a shingle-less doc has no bands, hence no drop
+    // evidence, and must pass on both engines.
+    "q_text_gate" -> s"""
+      WITH $ShingleCte,
+      h0 AS (
+        SELECT doc_id, sh,
+          list_transform(sh, x -> ${dk60("x")} % 1073741789) AS h0
+        FROM sh WHERE len(sh) > 0),
+      sig AS (
+        SELECT doc_id,
+          list_transform(range(0, 16), s ->
+            coalesce(list_aggregate(list_transform(h0, h ->
+              ($MinhashASql[CAST(s + 1 AS INT)] * h + $MinhashBSql[CAST(s + 1 AS INT)]) % 1073741789), 'min'),
+              9223372036854775807)) AS sig
+        FROM h0),
+      bnd AS (
+        SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+          CAST(b AS VARCHAR) || '|' ||
+          CAST(sig[CAST(b*4+1 AS INT)] AS VARCHAR) || '|' ||
+          CAST(sig[CAST(b*4+2 AS INT)] AS VARCHAR) || '|' ||
+          CAST(sig[CAST(b*4+3 AS INT)] AS VARCHAR) || '|' ||
+          CAST(sig[CAST(b*4+4 AS INT)] AS VARCHAR))) AS band
+        FROM sig),
+      f0 AS (SELECT band, min(doc_id) AS fid FROM bnd
+             WHERE doc_id % 2 = 0 GROUP BY band),
+      d0 AS (SELECT DISTINCT doc_id FROM bnd JOIN f0 USING (band)
+             WHERE doc_id % 2 = 0 AND doc_id <> fid),
+      b0 AS (SELECT DISTINCT band FROM bnd
+             WHERE doc_id % 2 = 0
+               AND doc_id NOT IN (SELECT doc_id FROM d0)),
+      f1 AS (SELECT band, min(doc_id) AS fid FROM bnd
+             WHERE doc_id % 2 = 1 GROUP BY band),
+      d1 AS (SELECT DISTINCT doc_id FROM bnd JOIN f1 USING (band)
+             WHERE doc_id % 2 = 1 AND doc_id <> fid
+             UNION
+             SELECT DISTINCT bnd.doc_id FROM bnd JOIN b0 USING (band)
+             WHERE doc_id % 2 = 1)
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 1
+        AND doc_id NOT IN (SELECT doc_id FROM d1)""",
+
+    // Audio streaming gate replayed analytically (r16): the sha-frame
+    // fixture (synthesizeShaAudioAssets) is frame-constant — 63 frames
+    // of 8 samples at v = sha_byte·4 − 510 — so the audioHash63 fold
+    // needs no per-sample walk: energy_f = 8·v², median = the lower
+    // order statistic (quantile_disc 0.5 of 63 = sorted index 31,
+    // matching MediaCodec.audioHash63), bit f set iff e_f > median.
+    // Then the 4×16-bit band keys + the same two-batch replay as the
+    // image/text gates. Every clip decodes at 504 >= 63 samples, so
+    // (unlike q_text_gate) there is no bandless-row leg here — the
+    // planted duplicate classes (mod-17 cross-parity, mod-23
+    // same-parity) exercise survivors and both drop rules instead.
+    "q_audio_gate" -> s"""
+      WITH seeds AS (
+        SELECT doc_id AS asset_id,
+               CASE WHEN doc_id % 17 = 1 THEN doc_id - 1
+                    WHEN doc_id % 23 = 2 THEN doc_id - 2
+                    ELSE doc_id END AS sd
+        FROM documents),
+      en AS (
+        SELECT asset_id, f,
+               8 * (CAST(concat('0x', substr(sha256(
+                 CAST(sd AS VARCHAR) || ':' || CAST(f AS VARCHAR)), 1, 2))
+                 AS BIGINT) * 4 - 510)
+                 * (CAST(concat('0x', substr(sha256(
+                 CAST(sd AS VARCHAR) || ':' || CAST(f AS VARCHAR)), 1, 2))
+                 AS BIGINT) * 4 - 510) AS e
+        FROM seeds, range(0,63) rf(f)),
+      md AS (SELECT asset_id, quantile_disc(e, 0.5) AS m
+             FROM en GROUP BY asset_id),
+      ah AS (
+        SELECT en.asset_id,
+               CAST(sum(CASE WHEN en.e > md.m
+                        THEN (CAST(1 AS BIGINT) << CAST(en.f AS INT)) ELSE 0 END)
+                 AS BIGINT) AS audio_hash63
+        FROM en JOIN md ON md.asset_id = en.asset_id
+        GROUP BY en.asset_id),
+      bnd AS (
+        SELECT asset_id,
+               CAST(b AS VARCHAR) || '|' ||
+                 CAST((audio_hash63 >> CAST(b*16 AS INT)) & 65535 AS VARCHAR)
+                 AS band
+        FROM ah, range(0,4) rb(b)),
       f0 AS (SELECT band, min(asset_id) AS fid FROM bnd
              WHERE asset_id % 2 = 0 GROUP BY band),
       d0 AS (SELECT DISTINCT asset_id FROM bnd JOIN f0 USING (band)

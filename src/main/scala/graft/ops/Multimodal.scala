@@ -322,6 +322,50 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize REAL WAV-PCM16 audio with sha-DIVERSE frame content —
+    * the audio twin of [[synthesizeCellImageAssets]], built for the
+    * streaming ingest-gate oracle (q_audio_gate). The sawtooth family
+    * above is hash63-LUMPY (380 distinct hashes of 500 clips): under a
+    * band gate nearly everything collides and the gate degenerates to
+    * drop-almost-all, which pins very little. Here each clip is 63
+    * frames of 8 CONSTANT samples, the frame value sha-derived
+    * (v = sha256("seed:f")[0]·4 − 510), so unrelated clips get
+    * near-unique frame-energy hashes — while the seed mapping plants
+    * controlled duplicate classes: ids ≡ 1 (mod 17) replay id−1's
+    * audio (opposite parity → cross-batch evidence under the even/odd
+    * batch split) and ids ≡ 2 (mod 23) replay id−2's (same parity →
+    * in-batch evidence). Frame-constant samples keep the oracle
+    * analytic WITHOUT a per-sample fold: energy_f = 8·v², and the
+    * 63·8 = 504-sample length divides into exactly 63 remainder-free
+    * frames. */
+  def synthesizeShaAudioAssets(df: DataFrame, idCol: String,
+                               sampleRate: Int = 16000): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val seed =
+          if (id % 17 == 1) id - 1
+          else if (id % 23 == 2) id - 2
+          else id
+        val samples = new Array[Int](504)
+        var f = 0
+        while (f < 63) {
+          md.reset()
+          md.update(s"$seed:$f".getBytes("UTF-8"))
+          val v = (md.digest()(0) & 0xFF) * 4 - 510
+          java.util.Arrays.fill(samples, f * 8, f * 8 + 8, v)
+          f += 1
+        }
+        Row(id, MediaCodec.encodeWavPcm16(sampleRate, samples))
+      }
+    }(enc)
+  }
+
   /** Key + bytes prep shared by every byte-consuming op: the id CASTS
     * to long (a production table keyed by INT works instead of killing
     * every task with a ClassCastException), and unattributable assets

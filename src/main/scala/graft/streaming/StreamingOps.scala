@@ -486,7 +486,66 @@ object StreamingOps {
     bandGateScreenBatch(batch, banded, indexPath, batchId, idCol)
   }
 
-  /** The replay-safe band-gate core both ingest gates share: `banded0`
+  /** Streaming AUDIO near-dup ingest gate — the third modality on the
+    * shared band-gate core (r15 verdict #2: text and image front-ends
+    * existed; this completes the fingerprint triad in streaming).
+    * Every clip's WAV bytes decode to the 63-bit frame-energy hash
+    * ([[graft.functions.WavStatsExpr]] / `MediaCodec.audioHash63`),
+    * and the 4×16-bit band keys are EXACTLY
+    * [[graft.ops.Dedup.fingerprintPairs]]' (shared derivation), so the
+    * gate and the batch q_audio_neardup join band identically — a clip
+    * this gate drops is one the batch pass would have paired.
+    * Undecodable bytes and clips shorter than 63 samples have a null
+    * hash, hence no bands, and always PASS (the no-evidence contract:
+    * a gate must not eat what it cannot judge — flag with decode_ok
+    * downstream). Replay semantics are [[nearDupScreenBatch]]'s:
+    * survivors-only index, strictly-earlier batches screen, in-batch
+    * first arrival by (ts, id). */
+  def audioNearDupIngestStream(stream: DataFrame, indexPath: String,
+                               survivorsPath: String, checkpointDir: String,
+                               idCol: String = "asset_id",
+                               bytesCol: String = "content",
+                               tsCol: String = "ts", bands: Int = 4):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val kept = audioNearDupScreenBatch(batch, indexPath, batchId,
+            idCol, bytesCol, tsCol, bands)
+          kept.write.mode("overwrite").parquet(s"$survivorsPath/batch=$batchId")
+        }
+      }
+      .start()
+
+  /** One micro-batch of the audio gate (batch-mode incremental
+    * screening works with a caller-managed monotone batchId, like the
+    * text and image twins). */
+  def audioNearDupScreenBatch(batch: DataFrame, indexPath: String,
+                              batchId: Long, idCol: String,
+                              bytesCol: String, tsCol: String,
+                              bands: Int = 4): DataFrame = {
+    val hash = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.WavStatsExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(bytesCol))))
+      .getField("audio_hash63")
+    // Null-hash screen inside the generator — same two reasons as the
+    // image gate: a where() on __h would push below the projection and
+    // re-run the WAV decode per row, and concat_ws skipping nulls
+    // would otherwise give every undecodable clip the same degenerate
+    // "0","1",... band keys, colliding them all with each other.
+    val banded = batch
+      .select(col(idCol), col(tsCol), hash.as("__h"))
+      .select(col(idCol), struct(col(tsCol), col(idCol)).as("__tie"),
+        explode(when(col("__h").isNotNull,
+          graft.ops.Dedup.fingerprintBandKeys(col("__h"), bands)))
+          .as("band"))
+    bandGateScreenBatch(batch, banded, indexPath, batchId, idCol)
+  }
+
+  /** The replay-safe band-gate core all three ingest gates (text,
+    * image, audio) share: `banded0`
     * is (idCol, __tie, band) — whatever derived the bands (minhash over
     * shingles, fingerprint slices over a perceptual hash), the
     * within-batch first-arrival rule, the strictly-earlier cross-batch

@@ -195,4 +195,37 @@ class MultimodalSpec extends SparkSpec {
         (1 until n).count(i => s(i - 1).toLong * s(i) < 0).toLong)
     }
   }
+
+  test("sha-audio fixture: hash matches the frame-constant fold; duplicate classes planted") {
+    // The q_audio_gate fixture contract: 63 frames × 8 constant
+    // samples, v = sha256("seed:f")[0]·4 − 510, so audioHash63's
+    // general fold must land exactly on the analytic shortcut
+    // (energy_f = 8·v², lower-median, bit f = e_f > median) the DuckDB
+    // oracle computes — and the seed mapping must plant byte-identical
+    // replays at id ≡ 1 (mod 17) → id−1 and id ≡ 2 (mod 23) → id−2.
+    val ids = (0L until 60L).toDF("id")
+    val bytes = Multimodal.synthesizeShaAudioAssets(ids, "id").collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[Array[Byte]]("content")).toMap
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def expectedHash(seed: Long): Long = {
+      val e = Array.tabulate(63) { f =>
+        md.reset(); md.update(s"$seed:$f".getBytes("UTF-8"))
+        val v = (md.digest()(0) & 0xFF) * 4 - 510
+        8L * v * v
+      }
+      val m = e.sorted.apply(31) // lower median of 63
+      (0 until 63).map(f => if (e(f) > m) 1L << f else 0L).sum
+    }
+    val hashes = Multimodal.decodeAudioFeatures(
+        Multimodal.synthesizeShaAudioAssets(ids, "id")).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[Long]("audio_hash63")).toMap
+    assert(hashes(0L) == expectedHash(0L) && hashes(5L) == expectedHash(5L) &&
+      hashes(40L) == expectedHash(40L))
+    // Duplicate planting: 18 ≡ 1 (mod 17) replays 17 (cross-parity);
+    // 25 ≡ 2 (mod 23) replays 23 (same parity). Unrelated neighbors
+    // differ.
+    assert(java.util.Arrays.equals(bytes(18L), bytes(17L)))
+    assert(java.util.Arrays.equals(bytes(25L), bytes(23L)))
+    assert(!java.util.Arrays.equals(bytes(10L), bytes(11L)))
+  }
 }

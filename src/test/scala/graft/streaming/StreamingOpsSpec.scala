@@ -112,6 +112,83 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("audioNearDupIngestStream: gate drops identical clips, passes undecodable and too-short ones") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.MediaCodec
+    def wav(seed: Long, n: Int): Array[Byte] =
+      MediaCodec.encodeWavPcm16(16000, Array.tabulate(n)(i =>
+        Math.floorMod(seed * 37 + i.toLong * 97, 2001L).toInt - 1000))
+    val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val dir = Files.createTempDirectory("graft-auddup").toString
+    val q = StreamingOps.audioNearDupIngestStream(
+      input.toDF().toDF("asset_id", "content", "ts"),
+      s"$dir/index", s"$dir/kept", s"$dir/ckpt")
+    try {
+      // Batch 1: clip 2 is byte-identical audio to clip 1 (every band
+      // collides -> in-batch drop, first arrival by (ts, id) keeps 1);
+      // clip 3 is a different sawtooth; clip 4 is undecodable and clip
+      // 5 is shorter than 63 samples — both null-hash, both PASS (the
+      // no-evidence contract).
+      input.addData(
+        (1L, wav(5L, 320), ts(0)),
+        (2L, wav(5L, 320), ts(1)),
+        (3L, wav(77L, 320), ts(2)),
+        (4L, "not audio".getBytes, ts(3)),
+        (5L, wav(9L, 50), ts(4)))
+      q.processAllAvailable()
+      val kept1 = spark.read.parquet(s"$dir/kept").select("asset_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept1 == Set(1L, 3L, 4L, 5L), s"batch 1 kept: $kept1")
+      // Batch 2: clip 6 replays clip 1's audio -> dropped against the
+      // PERSISTED index (cross-batch, survivors-only); clip 7 is new.
+      input.addData(
+        (6L, wav(5L, 320), ts(10)),
+        (7L, wav(123L, 320), ts(11)))
+      q.processAllAvailable()
+      val kept2 = spark.read.parquet(s"$dir/kept").select("asset_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept2 == Set(1L, 3L, 4L, 5L, 7L), s"after batch 2 kept: $kept2")
+      // Index holds retained clips' bands only: 1, 3, 7 banded 4 each
+      // (4 and 5 banded nothing — null hash), duplicate-free.
+      val bands = spark.read.parquet(s"$dir/index").collect().map(_.getString(0))
+      assert(bands.length == 12 && bands.distinct.length == 12,
+        s"index bands: ${bands.length} (${bands.distinct.length} distinct)")
+    } finally q.stop()
+  }
+
+  test("audioNearDupScreenBatch: replaying a batch id is idempotent and bands match the batch dedup path") {
+    import graft.ops.MediaCodec
+    def wav(seed: Long, n: Int): Array[Byte] =
+      MediaCodec.encodeWavPcm16(16000, Array.tabulate(n)(i =>
+        Math.floorMod(seed * 37 + i.toLong * 97, 2001L).toInt - 1000))
+    val dir = Files.createTempDirectory("graft-auddup-replay").toString
+    val b0 = Seq((1L, wav(5L, 320), ts(0)), (2L, wav(5L, 320), ts(1)))
+      .toDF("asset_id", "content", "ts")
+    def run(batchId: Long, df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.audioNearDupScreenBatch(df, s"$dir/index", batchId,
+        "asset_id", "content", "ts").select("asset_id")
+        .collect().map(_.getLong(0)).toSet
+    assert(run(0L, b0) == Set(1L))
+    // Replay (foreachBatch at-least-once): the rerun must see the
+    // pre-batch index state — clip 1 survives again instead of
+    // colliding with its own bands, and the index has no duplicates.
+    assert(run(0L, b0) == Set(1L))
+    val bandsAfterReplay = spark.read.parquet(s"$dir/index")
+      .select("band").collect().map(_.getString(0))
+    assert(bandsAfterReplay.length == 4 &&
+      bandsAfterReplay.distinct.length == 4, s"index: ${bandsAfterReplay.toSeq}")
+    // Band-derivation parity with the BATCH near-dup machinery: the
+    // gate's persisted band keys are exactly fingerprintBandKeys over
+    // audioHash63 — stream and batch band identically, so a clip the
+    // gate screens is one fingerprintPairs would have paired.
+    val expected = MediaCodec.decodeWav(wav(5L, 320))
+      .flatMap(MediaCodec.audioHash63).map { h =>
+        (0 until 4).map(b => s"$b|${(h >>> (b * 16)) & 0xFFFFL}").toSet
+      }.get
+    assert(bandsAfterReplay.toSet == expected,
+      s"gate bands ${bandsAfterReplay.toSet} != batch-path bands $expected")
+  }
+
   test("nearDupScreenBatch: replaying a batch id is idempotent (no self-collision, no index dup)") {
     val dir = Files.createTempDirectory("graft-neardup-replay").toString
     val b0 = Seq(
