@@ -88,6 +88,9 @@ object ScaleBench {
     // reading (engine sublinear IN ITS OUTPUT) is in BENCH_NOTES.
     "q_image_rgb",          // color decode + per-channel folds, 0 shuffle
     "q_image_gate",         // two-batch perceptual gate end to end
+    // round-16 families
+    "q_text_gate",          // two-batch MinHash gate end to end
+    "q_audio_gate",         // two-batch audio-fingerprint gate end to end
     "q_maxsim_search")      // search over the per-dir memoized store
                             // (build amortized by the memo; best-of-2
                             // keeps the warm search-only reading —
@@ -211,6 +214,43 @@ object ScaleBench {
         "doc_id", "text", n = 3, threshold = 0.5,
         maxShingleFreq = Some(50L))
         .agg(count(lit(1)).as("survivors"))
+    }),
+    // ×100-decade shapes for the banded-fingerprint + gate families
+    // (r15 verdict #5). All three aggregate to ONE row — at ×100 the
+    // raw outputs (pair lists, kept batches) are tens of millions of
+    // rows, and collecting them would time driver transfer, not the
+    // engine. They ride the sha-DIVERSE fixtures, not the gradient/
+    // sawtooth ones, for the measured r15 reason: lumpy fixture hash
+    // spaces grow TRUE pair mass quadratically, so their decade ratio
+    // grades fixture combinatorics (that caveat is on record in
+    // BENCH_NOTES r15); the sha fixtures give near-unique hashes with
+    // linearly-growing planted duplicate classes, which is the engine
+    // posture a real corpus exercises.
+    "fp_image_sha" -> ((s: SparkSession, dir: String) => {
+      val feats = graft.ops.Multimodal.decodeImageFeatures(
+        graft.ops.Multimodal.synthesizeCellImageAssets(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id"))
+      graft.ops.Dedup.fingerprintPairs(
+        feats.select(col("asset_id"), col("ahash63")),
+        "asset_id", "ahash63", maxHamming = 3, bands = 4)
+        .agg(count(lit(1)).as("pairs"))
+    }),
+    "fp_audio_sha" -> ((s: SparkSession, dir: String) => {
+      val feats = graft.ops.Multimodal.decodeAudioFeatures(
+        graft.ops.Multimodal.synthesizeShaAudioAssets(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id"))
+      graft.ops.Dedup.fingerprintPairs(
+        feats.select(col("asset_id"), col("audio_hash63")),
+        "asset_id", "audio_hash63", maxHamming = 3, bands = 4)
+        .agg(count(lit(1)).as("pairs"))
+    }),
+    "gate_batch_count" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("id"), col("text"),
+          col("doc_id").cast("timestamp").as("ts"))
+      graft.streaming.StreamingOps.nearDupScreenBatch(
+          docs, s"$dir/_neardup_index_x", 0L, "id", "text", "ts")
+        .agg(count(lit(1)).as("kept"))
     }))
 
   private def ingestProbe(s: SparkSession, dir: String, bloom: Boolean): DataFrame = {
@@ -327,8 +367,11 @@ object ScaleBench {
       buildSubset(spark, src, x100, 100,
         Set("documents", "embeddings", "orders"))
       println(f"${"x100 decade"}%-22s ${"t_x1"}%8s ${"t_x10"}%8s ${"t_x100"}%9s  ${"r_10/1"}%7s ${"r_100/10"}%9s")
+      // ×100 names resolve from SparkEntry.queries AND ExtraShapes —
+      // the fingerprint/gate decade shapes are count-wrapped extras.
+      val x100Resolve = graft.SparkEntry.queries ++ ExtraShapes.toMap
       x100Queries.foreach { name =>
-        val fn = graft.SparkEntry.queries(name)
+        val fn = x100Resolve(name)
         def best(dir: String): Double =
           (1 to 2).map { _ =>
             spark.catalog.clearCache()

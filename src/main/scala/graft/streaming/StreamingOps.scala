@@ -573,6 +573,23 @@ object StreamingOps {
       // Partition discovery surfaces the batch=N dirs as a `batch`
       // column; strictly-earlier filtering keeps replays deterministic.
       val fs = fsFor(spark, indexPath)
+      // Compaction awareness (see [[compactBandIndex]]): batches at or
+      // below the high-water mark were merged into one versioned blob
+      // and their per-batch dirs deleted — their strictly-earlier
+      // state is no longer reconstructible, so a replay THERE must
+      // fail loudly instead of silently screening against too much
+      // (or, after the dirs are gone, too little). The compaction
+      // contract is that the stream's checkpoint has committed past
+      // upToBatch, so this throw is unreachable in a correct
+      // deployment; it exists for the operator who compacts a LIVE
+      // batch id.
+      val (hwm, compactVersion) = compactHighWaterMark(fs, indexPath)
+      if (batchId <= hwm)
+        throw new IllegalStateException(
+          s"band gate: batch $batchId replayed at or below the " +
+            s"compaction high-water mark $hwm of $indexPath — only " +
+            "compact batches strictly below the stream's committed " +
+            "progress")
       // Replay safety: a crash between an attempt's partial batch=N
       // write and the sink commit can leave indexPath existing but
       // holding NO readable data files (e.g. only a _temporary dir), so
@@ -585,17 +602,27 @@ object StreamingOps {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("batch",
           org.apache.spark.sql.types.LongType)))
-      val index =
+      val bandOnlySchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.StringType)))
+      val dirIndex =
         if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
           spark.read.schema(indexSchema)
             .option("basePath", indexPath).parquet(indexPath)
-            .where(col("batch") < batchId)
+            // batch > hwm: per-batch dirs at or below the mark may
+            // still exist mid-compaction (the blob is written and
+            // published BEFORE the dirs are deleted) — reading both
+            // would only duplicate bands, which the drop-set distinct
+            // absorbs, but excluding them keeps the scan pruned.
+            .where(col("batch") > hwm && col("batch") < batchId)
             .select("band")
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("band",
-              org.apache.spark.sql.types.StringType))))
+          bandOnlySchema)
+      val index =
+        if (hwm < 0L) dirIndex
+        else dirIndex.unionAll(spark.read.schema(bandOnlySchema)
+          .parquet(compactDataPath(indexPath, compactVersion)))
       val dropCross = banded.join(index, "band").select(col(idCol))
       // Materialize the dropped-id set NOW — the returned `kept` frame
       // must not hold a lazy scan of indexPath, which this function
@@ -649,6 +676,121 @@ object StreamingOps {
       kept
     } finally banded.unpersist()
   }
+
+  /** Compact a band-gate index: merge every `batch=<j>` dir with
+    * j <= `upToBatch` (plus any previously-compacted blob) into ONE
+    * versioned parquet blob under `_compact/` and delete the merged
+    * dirs. WHY this exists at scale: the gate writes one directory per
+    * micro-batch forever, so a year-long stream at a 1-minute trigger
+    * accumulates ~500k dirs — and every micro-batch's cross-batch
+    * probe pays partition DISCOVERY over all of them before reading a
+    * byte. After compaction the probe reads one blob plus the few
+    * post-mark dirs. Band content is already distinct across the index
+    * by construction (a row sharing a band with any earlier survivor
+    * was dropped, so its bands never entered), so the merge shrinks
+    * file counts, not rows; `distinct()` is still applied to absorb
+    * crash-duplicated reads.
+    *
+    * CONTRACT: `upToBatch` must be strictly below the stream's
+    * COMMITTED progress — after compaction, per-batch state at or
+    * below the mark cannot be reconstructed, so foreachBatch must
+    * never re-deliver those ids (Structured Streaming only ever
+    * replays the last uncommitted batch, so any `upToBatch <=
+    * lastCommitted - 1` is safe). The gate enforces this loudly: a
+    * screen call with `batchId <= hwm` throws IllegalStateException.
+    *
+    * Crash-safe by ordering (each step idempotent, re-runnable):
+    * (1) write the merged blob to `_compact/v=<n+1>` (overwrite);
+    * (2) PUBLISH by creating the marker file `_compact/hwm_<n+1>`
+    *     (content: upToBatch) — readers pick the HIGHEST marker, so
+    *     the old state stays authoritative until this atomic create;
+    * (3) delete merged batch dirs, the old blob, and the old marker —
+    *     a crash mid-(3) only leaves garbage that readers ignore
+    *     (dirs <= hwm are excluded from the probe scan; duplicate
+    *     bands would be harmless anyway) and the next compaction
+    *     sweeps. */
+  def compactBandIndex(spark: SparkSession, indexPath: String,
+                       upToBatch: Long): Unit = {
+    require(upToBatch >= 0L, s"upToBatch $upToBatch must be >= 0")
+    val fs = fsFor(spark, indexPath)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    if (!fs.exists(root)) return
+    val (hwm, version) = compactHighWaterMark(fs, indexPath)
+    require(upToBatch > hwm,
+      s"compactBandIndex: upToBatch $upToBatch is not above the " +
+        s"current high-water mark $hwm — nothing to merge")
+    val bandOnlySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.StringType)))
+    val indexSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.LongType)))
+    // Source = old blob (if any) ∪ dirs in (hwm, upToBatch]. Dirs at
+    // or below hwm can linger from a crashed prior step (3); they are
+    // NOT re-read — their content is already in the old blob.
+    val dirBands = spark.read.schema(indexSchema)
+      .option("basePath", indexPath).parquet(indexPath)
+      .where(col("batch") > hwm && col("batch") <= upToBatch)
+      .select("band")
+    val merged =
+      if (version < 0L) dirBands
+      else dirBands.unionAll(spark.read.schema(bandOnlySchema)
+        .parquet(compactDataPath(indexPath, version)))
+    val nextVersion = version + 1L
+    merged.distinct()
+      .write.mode("overwrite").parquet(compactDataPath(indexPath, nextVersion))
+    // Publish: atomic create of the new marker. Readers switch here.
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexPath/_compact/hwm_$nextVersion")
+    val out = fs.create(marker, true)
+    try out.write(s"$upToBatch\n".getBytes("UTF-8")) finally out.close()
+    // Sweep: merged dirs, the old blob, the old marker.
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch=") &&
+          scala.util.Try(n.stripPrefix("batch=").toLong).toOption
+            .exists(_ <= upToBatch)) {
+        fs.delete(st.getPath, true); ()
+      }
+    }
+    if (version >= 0L) {
+      fs.delete(new org.apache.hadoop.fs.Path(
+        compactDataPath(indexPath, version)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$indexPath/_compact/hwm_$version"), false)
+      ()
+    }
+  }
+
+  /** (high-water mark, blob version) of a band-gate index, or (-1, -1)
+    * when never compacted. Readers pick the HIGHEST hwm_<n> marker —
+    * see [[compactBandIndex]]'s publish/sweep ordering for why stale
+    * lower markers may coexist briefly and are safe to ignore. */
+  private def compactHighWaterMark(fs: org.apache.hadoop.fs.FileSystem,
+                                   indexPath: String): (Long, Long) = {
+    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/_compact")
+    if (!fs.exists(dir)) return (-1L, -1L)
+    val versions = fs.listStatus(dir).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("hwm_"))
+        scala.util.Try(n.stripPrefix("hwm_").toLong).toOption
+      else None
+    }
+    if (versions.isEmpty) return (-1L, -1L)
+    val v = versions.max
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$indexPath/_compact/hwm_$v"))
+    val hwm =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").trim.toLong
+      finally in.close()
+    (hwm, v)
+  }
+
+  private def compactDataPath(indexPath: String, version: Long): String =
+    s"$indexPath/_compact/v=$version"
 
   /** Streaming exact dedup on a (normalized) text key with BOUNDED
     * state: `dropDuplicatesWithinWatermark` keeps each key's state only

@@ -219,6 +219,81 @@ class StreamingOpsSpec extends SparkSpec {
     assert(!dropDirs.contains("batch=0"), s"stale drop scratch kept: $dropDirs")
   }
 
+  test("compactBandIndex: decisions identical pre/post compaction; replay rules enforced") {
+    // Twin indexes fed the same three batches; index B is compacted
+    // between batches — every gate decision must be identical, because
+    // compaction changes the index's LAYOUT (one blob + few dirs), not
+    // its content.
+    val dirA = Files.createTempDirectory("graft-compact-a").toString
+    val dirB = Files.createTempDirectory("graft-compact-b").toString
+    def batchDf(rows: (Long, String, Int)*) =
+      rows.map { case (id, t, m) => (id, t, ts(m)) }.toDF("id", "text", "ts")
+    val b0 = batchDf((1L, "the quick brown fox jumps over the lazy dog", 0),
+      (2L, "completely different text about spark streaming engines and state", 1))
+    val b1 = batchDf((3L, "another unrelated document mentioning catalysts and codegen", 2))
+    val b2 = batchDf(
+      (4L, "the quick brown fox jumps over the lazy dog", 3),   // dups batch 0 (pre-compaction state)
+      (5L, "another unrelated document mentioning catalysts and codegen", 4), // dups batch 1
+      (6L, "fresh content that matches nothing else in this fixture at all", 5))
+    def run(idx: String, batchId: Long, df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.nearDupScreenBatch(df, idx, batchId, "id", "text", "ts")
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(run(dirA, 0L, b0) == run(dirB, 0L, b0))
+    assert(run(dirA, 1L, b1) == run(dirB, 1L, b1))
+    StreamingOps.compactBandIndex(spark, dirB, upToBatch = 1L)
+    // Per-batch dirs merged and swept; the blob + marker published.
+    val names = Option(new java.io.File(dirB).listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    assert(!names.contains("batch=0") && !names.contains("batch=1") &&
+      names.contains("_compact"), s"index layout after compact: $names")
+    // Batch 2 screens identically against the compacted index — both
+    // the cross-batch drops (4 against batch 0's bands, 5 against
+    // batch 1's) and the survivor.
+    val keptA = run(dirA, 2L, b2)
+    val keptB = run(dirB, 2L, b2)
+    assert(keptA == Set(6L) && keptB == keptA,
+      s"post-compaction divergence: A=$keptA B=$keptB")
+    // Replay ABOVE the mark stays idempotent (batch 2 re-delivered).
+    assert(run(dirB, 2L, b2) == keptB)
+    // Replay AT/BELOW the mark is loudly refused — its strictly-earlier
+    // state is no longer reconstructible.
+    intercept[IllegalStateException] { run(dirB, 1L, b1) }
+    intercept[IllegalStateException] { run(dirB, 0L, b0) }
+  }
+
+  test("compactBandIndex: second compaction folds the blob forward; stale dirs are ignored") {
+    val dir = Files.createTempDirectory("graft-compact-2").toString
+    def batchDf(rows: (Long, String, Int)*) =
+      rows.map { case (id, t, m) => (id, t, ts(m)) }.toDF("id", "text", "ts")
+    def run(batchId: Long, df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.nearDupScreenBatch(df, dir, batchId, "id", "text", "ts")
+        .select("id").collect().map(_.getLong(0)).toSet
+    run(0L, batchDf((1L, "the quick brown fox jumps over the lazy dog", 0)))
+    StreamingOps.compactBandIndex(spark, dir, upToBatch = 0L)
+    run(1L, batchDf((2L, "completely different text about spark streaming engines", 1)))
+    // Crash-window simulation: a merged dir that step (3) failed to
+    // sweep must be IGNORED by both the gate read (batch <= hwm
+    // excluded) and the next compaction's source (already in the
+    // blob) — duplicate bands would be harmless, but the contract is
+    // they are not even read.
+    val stale = new java.io.File(s"$dir/batch=0")
+    stale.mkdirs()
+    java.nio.file.Files.write(stale.toPath.resolve("_SUCCESS"), Array.empty[Byte])
+    StreamingOps.compactBandIndex(spark, dir, upToBatch = 1L)
+    // Old blob version and marker swept, new ones live.
+    val compactNames = Option(new java.io.File(s"$dir/_compact").listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    assert(compactNames.contains("hwm_1") && compactNames.contains("v=1") &&
+      !compactNames.contains("hwm_0") && !compactNames.contains("v=0"),
+      s"compact dir after second pass: $compactNames")
+    // Both original docs' bands still screen: replays of their text drop.
+    val kept = run(2L, batchDf(
+      (7L, "the quick brown fox jumps over the lazy dog", 9),
+      (8L, "completely different text about spark streaming engines", 10),
+      (9L, "genuinely new text that shares no shingles with anything", 11)))
+    assert(kept == Set(9L), s"after second compaction kept: $kept")
+  }
+
   test("ingestStream maintains the Bloom prescreen and metadata_hash across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Map[String, String])]
