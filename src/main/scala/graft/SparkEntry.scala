@@ -2034,6 +2034,33 @@ object SparkEntry {
       .select(col("doc_id"))
   }
 
+  /** Compaction-invariance under the ORACLE: the exact q_text_gate
+    * protocol with [[graft.streaming.StreamingOps.compactBandIndex]]
+    * run between the batches — batch 0's per-batch dir is merged into
+    * the versioned blob and deleted BEFORE batch 1 screens. The oracle
+    * is q_text_gate's verbatim (it knows nothing about index layout),
+    * so a hash-exact pass proves against an external engine that
+    * compaction changes the index's SHAPE and not one gate decision.
+    * The index dir is recreated fresh per call: the high-water mark
+    * deliberately makes a batch-0 replay illegal after compaction, and
+    * a bench warmup re-running this builder against a carried-over
+    * index would trip exactly that (correct!) guard. */
+  private def qGateCompact(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("ts", col("doc_id"))
+    val idx = scratch(dir, "gate_compact_idx")
+    MainUtil.deleteRecursively(new java.io.File(idx))
+    graft.streaming.StreamingOps.nearDupScreenBatch(
+      docs.where(col("doc_id") % 2 === 0), idx, batchId = 0L,
+      "doc_id", "text", "ts")
+    graft.streaming.StreamingOps.compactBandIndex(s, idx, upToBatch = 0L)
+    graft.streaming.StreamingOps.nearDupScreenBatch(
+        docs.where(col("doc_id") % 2 === 1), idx, batchId = 1L,
+        "doc_id", "text", "ts")
+      .select(col("doc_id"))
+  }
+
   /** The AUDIO streaming ingest gate under the DuckDB oracle — the
     * r16 front-end ([[graft.streaming.StreamingOps
     * .audioNearDupScreenBatch]]) driven through the same two-batch
@@ -2834,6 +2861,7 @@ object SparkEntry {
       "q_image_rgb"           -> (qImageRgb _),
       "q_image_gate"          -> (qImageGate _),
       "q_text_gate"           -> (qTextGate _),
+      "q_gate_compact"        -> (qGateCompact _),
       "q_audio_gate"          -> (qAudioGate _),
       "q_audio_neardup"       -> (qAudioNeardup _),
       "q_image_neardup"       -> (qImageNeardup _),
@@ -3078,6 +3106,48 @@ object SparkEntry {
   private lazy val (minhashA, minhashB) = graft.functions.TextFunctions.minhashCoeffs(16)
   private lazy val MinhashASql = minhashA.mkString("[", ", ", "]")
   private lazy val MinhashBSql = minhashB.mkString("[", ", ", "]")
+
+  /** The text ingest-gate decision replayed externally — shared
+    * VERBATIM by q_text_gate and q_gate_compact (the latter proves
+    * index compaction is layout-only: same oracle, same hash). */
+  private lazy val textGateOracleSql = s"""
+      WITH $ShingleCte,
+      h0 AS (
+        SELECT doc_id, sh,
+          list_transform(sh, x -> ${dk60("x")} % 1073741789) AS h0
+        FROM sh WHERE len(sh) > 0),
+      sig AS (
+        SELECT doc_id,
+          list_transform(range(0, 16), s ->
+            coalesce(list_aggregate(list_transform(h0, h ->
+              ($MinhashASql[CAST(s + 1 AS INT)] * h + $MinhashBSql[CAST(s + 1 AS INT)]) % 1073741789), 'min'),
+              9223372036854775807)) AS sig
+        FROM h0),
+      bnd AS (
+        SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+          CAST(b AS VARCHAR) || '|' ||
+          CAST(sig[CAST(b*4+1 AS INT)] AS VARCHAR) || '|' ||
+          CAST(sig[CAST(b*4+2 AS INT)] AS VARCHAR) || '|' ||
+          CAST(sig[CAST(b*4+3 AS INT)] AS VARCHAR) || '|' ||
+          CAST(sig[CAST(b*4+4 AS INT)] AS VARCHAR))) AS band
+        FROM sig),
+      f0 AS (SELECT band, min(doc_id) AS fid FROM bnd
+             WHERE doc_id % 2 = 0 GROUP BY band),
+      d0 AS (SELECT DISTINCT doc_id FROM bnd JOIN f0 USING (band)
+             WHERE doc_id % 2 = 0 AND doc_id <> fid),
+      b0 AS (SELECT DISTINCT band FROM bnd
+             WHERE doc_id % 2 = 0
+               AND doc_id NOT IN (SELECT doc_id FROM d0)),
+      f1 AS (SELECT band, min(doc_id) AS fid FROM bnd
+             WHERE doc_id % 2 = 1 GROUP BY band),
+      d1 AS (SELECT DISTINCT doc_id FROM bnd JOIN f1 USING (band)
+             WHERE doc_id % 2 = 1 AND doc_id <> fid
+             UNION
+             SELECT DISTINCT bnd.doc_id FROM bnd JOIN b0 USING (band)
+             WHERE doc_id % 2 = 1)
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 1
+        AND doc_id NOT IN (SELECT doc_id FROM d1)"""
 
   def oracleSql: Map[String, String] = SharedSql ++ Map(
     // D1/D2: delete = anti-join + dense id recompaction. Oracle-only
@@ -4048,44 +4118,13 @@ object SparkEntry {
     // batch-1 cross + in-batch screen. The final anti-join runs over
     // ALL odd docs: a shingle-less doc has no bands, hence no drop
     // evidence, and must pass on both engines.
-    "q_text_gate" -> s"""
-      WITH $ShingleCte,
-      h0 AS (
-        SELECT doc_id, sh,
-          list_transform(sh, x -> ${dk60("x")} % 1073741789) AS h0
-        FROM sh WHERE len(sh) > 0),
-      sig AS (
-        SELECT doc_id,
-          list_transform(range(0, 16), s ->
-            coalesce(list_aggregate(list_transform(h0, h ->
-              ($MinhashASql[CAST(s + 1 AS INT)] * h + $MinhashBSql[CAST(s + 1 AS INT)]) % 1073741789), 'min'),
-              9223372036854775807)) AS sig
-        FROM h0),
-      bnd AS (
-        SELECT doc_id, unnest(list_transform(range(0, 4), b ->
-          CAST(b AS VARCHAR) || '|' ||
-          CAST(sig[CAST(b*4+1 AS INT)] AS VARCHAR) || '|' ||
-          CAST(sig[CAST(b*4+2 AS INT)] AS VARCHAR) || '|' ||
-          CAST(sig[CAST(b*4+3 AS INT)] AS VARCHAR) || '|' ||
-          CAST(sig[CAST(b*4+4 AS INT)] AS VARCHAR))) AS band
-        FROM sig),
-      f0 AS (SELECT band, min(doc_id) AS fid FROM bnd
-             WHERE doc_id % 2 = 0 GROUP BY band),
-      d0 AS (SELECT DISTINCT doc_id FROM bnd JOIN f0 USING (band)
-             WHERE doc_id % 2 = 0 AND doc_id <> fid),
-      b0 AS (SELECT DISTINCT band FROM bnd
-             WHERE doc_id % 2 = 0
-               AND doc_id NOT IN (SELECT doc_id FROM d0)),
-      f1 AS (SELECT band, min(doc_id) AS fid FROM bnd
-             WHERE doc_id % 2 = 1 GROUP BY band),
-      d1 AS (SELECT DISTINCT doc_id FROM bnd JOIN f1 USING (band)
-             WHERE doc_id % 2 = 1 AND doc_id <> fid
-             UNION
-             SELECT DISTINCT bnd.doc_id FROM bnd JOIN b0 USING (band)
-             WHERE doc_id % 2 = 1)
-      SELECT doc_id FROM documents
-      WHERE doc_id % 2 = 1
-        AND doc_id NOT IN (SELECT doc_id FROM d1)""",
+    "q_text_gate" -> textGateOracleSql,
+
+    // Compaction invariance: the SAME oracle verbatim — the external
+    // engine replays the gate decision with no concept of index
+    // layout, so q_gate_compact hash-matching it proves the merged
+    // blob screens identically to the per-batch dirs it replaced.
+    "q_gate_compact" -> textGateOracleSql,
 
     // Audio streaming gate replayed analytically (r16): the sha-frame
     // fixture (synthesizeShaAudioAssets) is frame-constant — 63 frames
