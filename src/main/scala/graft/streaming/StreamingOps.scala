@@ -371,13 +371,20 @@ object StreamingOps {
     *
     * At 100 TB the band index is what a real deployment would keep in
     * a proper key-value/Delta table; plain parquet appends one small
-    * file per batch — compact periodically (same note as the CDC
-    * sink's retention). */
+    * file per batch — `compactEvery` (r16) folds that maintenance into
+    * the stream itself: every `compactEvery`-th batch, after its own
+    * screen+write, merges all dirs <= batchId−1 into the versioned
+    * blob via [[compactBandIndex]]. batchId−1 is always a safe mark
+    * INSIDE batch batchId's processing: the checkpoint has committed
+    * through batchId−1, so the only batch foreachBatch can ever
+    * re-deliver is batchId itself — strictly above the mark. 0 (the
+    * default) = never compact. */
   def nearDupIngestStream(stream: DataFrame, indexPath: String,
                           survivorsPath: String, checkpointDir: String,
                           idCol: String = "id", textCol: String = "text",
                           tsCol: String = "ts", n: Int = 3,
-                          numHashes: Int = 16, bands: Int = 4):
+                          numHashes: Int = 16, bands: Int = 4,
+                          compactEvery: Int = 0):
       org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -390,9 +397,25 @@ object StreamingOps {
           // same dir instead of duplicating rows (idempotent under
           // foreachBatch's at-least-once delivery).
           kept.write.mode("overwrite").parquet(s"$survivorsPath/batch=$batchId")
+          maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
         }
       }
       .start()
+
+  /** The in-stream compaction trigger shared by the three ingest
+    * gates: fires on every `compactEvery`-th batch id, marks at
+    * batchId−1 (see [[nearDupIngestStream]] for why that is always
+    * committed), and skips silently when a previous trigger already
+    * covered the mark (empty-batch id gaps make triggers fire on
+    * whatever ids actually run). */
+  private def maybeCompact(spark: SparkSession, indexPath: String,
+                           batchId: Long, compactEvery: Int): Unit =
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      val fs = fsFor(spark, indexPath)
+      val (hwm, _) = compactHighWaterMark(fs, indexPath)
+      if (batchId - 1 > hwm)
+        compactBandIndex(spark, indexPath, upToBatch = batchId - 1)
+    }
 
   /** One micro-batch of the near-dup gate (also usable as a batch-mode
     * incremental screen with a caller-managed monotone `batchId`):
@@ -446,7 +469,8 @@ object StreamingOps {
                                survivorsPath: String, checkpointDir: String,
                                idCol: String = "asset_id",
                                bytesCol: String = "content",
-                               tsCol: String = "ts", bands: Int = 4):
+                               tsCol: String = "ts", bands: Int = 4,
+                               compactEvery: Int = 0):
       org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -456,6 +480,7 @@ object StreamingOps {
           val kept = imageNearDupScreenBatch(batch, indexPath, batchId,
             idCol, bytesCol, tsCol, bands)
           kept.write.mode("overwrite").parquet(s"$survivorsPath/batch=$batchId")
+          maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
         }
       }
       .start()
@@ -505,7 +530,8 @@ object StreamingOps {
                                survivorsPath: String, checkpointDir: String,
                                idCol: String = "asset_id",
                                bytesCol: String = "content",
-                               tsCol: String = "ts", bands: Int = 4):
+                               tsCol: String = "ts", bands: Int = 4,
+                               compactEvery: Int = 0):
       org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -515,6 +541,7 @@ object StreamingOps {
           val kept = audioNearDupScreenBatch(batch, indexPath, batchId,
             idCol, bytesCol, tsCol, bands)
           kept.write.mode("overwrite").parquet(s"$survivorsPath/batch=$batchId")
+          maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
         }
       }
       .start()
@@ -701,14 +728,19 @@ object StreamingOps {
     *
     * Crash-safe by ordering (each step idempotent, re-runnable):
     * (1) write the merged blob to `_compact/v=<n+1>` (overwrite);
-    * (2) PUBLISH by creating the marker file `_compact/hwm_<n+1>`
-    *     (content: upToBatch) — readers pick the HIGHEST marker, so
-    *     the old state stays authoritative until this atomic create;
-    * (3) delete merged batch dirs, the old blob, and the old marker —
+    * (2) PUBLISH by renaming a fully-written temp file into the
+    *     marker `_compact/hwm_<n+1>` (content: upToBatch) — readers
+    *     pick the HIGHEST marker, so the old state stays authoritative
+    *     until this atomic rename;
+    * (3) sweep merged batch dirs and every stale blob/marker version —
     *     a crash mid-(3) only leaves garbage that readers ignore
     *     (dirs <= hwm are excluded from the probe scan; duplicate
     *     bands would be harmless anyway) and the next compaction
-    *     sweeps. */
+    *     sweeps.
+    * Single-writer: run one compaction at a time per index (it is an
+    * offline/maintenance pass); concurrent compactions of the SAME
+    * index could interleave sweeps and publishes. Gate micro-batches
+    * may keep running concurrently — that is the design. */
   def compactBandIndex(spark: SparkSession, indexPath: String,
                        upToBatch: Long): Unit = {
     require(upToBatch >= 0L, s"upToBatch $upToBatch must be >= 0")
@@ -741,12 +773,25 @@ object StreamingOps {
     val nextVersion = version + 1L
     merged.distinct()
       .write.mode("overwrite").parquet(compactDataPath(indexPath, nextVersion))
-    // Publish: atomic create of the new marker. Readers switch here.
+    // Publish: write the marker to a dot-prefixed temp name (readers'
+    // listStatus filter never sees it), then RENAME into place — the
+    // rename is the atomic switch, so a concurrent gate read can never
+    // glimpse a created-but-unwritten marker and NumberFormatException
+    // on its empty content.
     val marker = new org.apache.hadoop.fs.Path(
       s"$indexPath/_compact/hwm_$nextVersion")
-    val out = fs.create(marker, true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$indexPath/_compact/.hwm_$nextVersion.tmp")
+    val out = fs.create(tmp, true)
     try out.write(s"$upToBatch\n".getBytes("UTF-8")) finally out.close()
-    // Sweep: merged dirs, the old blob, the old marker.
+    fs.delete(marker, false) // a crashed prior publish of the SAME version
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(
+        s"compactBandIndex: could not publish $marker")
+    // Sweep: merged dirs, then EVERY stale blob/marker version (not
+    // just the immediately-previous one — stacked crashed runs can
+    // leave older orphans; readers ignore them, but they are dead
+    // weight).
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("batch=") &&
@@ -755,12 +800,18 @@ object StreamingOps {
         fs.delete(st.getPath, true); ()
       }
     }
-    if (version >= 0L) {
-      fs.delete(new org.apache.hadoop.fs.Path(
-        compactDataPath(indexPath, version)), true)
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$indexPath/_compact/hwm_$version"), false)
-      ()
+    val compactDir = new org.apache.hadoop.fs.Path(s"$indexPath/_compact")
+    fs.listStatus(compactDir).foreach { st =>
+      val n = st.getPath.getName
+      val stale =
+        (n.startsWith("hwm_") &&
+          scala.util.Try(n.stripPrefix("hwm_").toLong).toOption
+            .exists(_ < nextVersion)) ||
+        (n.startsWith("v=") &&
+          scala.util.Try(n.stripPrefix("v=").toLong).toOption
+            .exists(_ < nextVersion)) ||
+        n.endsWith(".tmp")
+      if (stale) { fs.delete(st.getPath, true); () }
     }
   }
 

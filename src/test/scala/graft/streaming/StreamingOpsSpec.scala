@@ -261,6 +261,42 @@ class StreamingOpsSpec extends SparkSpec {
     intercept[IllegalStateException] { run(dirB, 0L, b0) }
   }
 
+  test("nearDupIngestStream with compactEvery: decisions unchanged, index stays folded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val dir = Files.createTempDirectory("graft-autocompact").toString
+    val q = StreamingOps.nearDupIngestStream(
+      input.toDF().toDF("id", "text", "ts"),
+      s"$dir/index", s"$dir/kept", s"$dir/ckpt", compactEvery = 1)
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog", ts(0)),
+        (2L, "completely different text about spark streaming engines", ts(1)))
+      q.processAllAvailable()
+      input.addData(
+        (3L, "another unrelated document mentioning catalysts and codegen", ts(2)))
+      q.processAllAvailable()
+      // Batch 2 (trigger fires: 2 % 1 == 0 after its own write):
+      // doc 4 must still drop against batch 0's bands — which by now
+      // live in the compacted blob, not a batch dir.
+      input.addData(
+        (4L, "the quick brown fox jumps over the lazy dog", ts(3)),
+        (5L, "fresh content that matches nothing else in this fixture", ts(4)))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$dir/kept").select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 3L, 5L), s"kept: $kept")
+      // The index is folded: at most the LAST batch's dir remains
+      // (batch 2's own dir — its trigger marked batchId-1 = 1), plus
+      // the blob.
+      val names = Option(new java.io.File(s"$dir/index").listFiles())
+        .map(_.map(_.getName).filter(_.startsWith("batch=")).toSet)
+        .getOrElse(Set.empty)
+      assert(names.subsetOf(Set("batch=2")), s"unfolded batch dirs: $names")
+      assert(new java.io.File(s"$dir/index/_compact").exists())
+    } finally q.stop()
+  }
+
   test("compactBandIndex: second compaction folds the blob forward; stale dirs are ignored") {
     val dir = Files.createTempDirectory("graft-compact-2").toString
     def batchDf(rows: (Long, String, Int)*) =
