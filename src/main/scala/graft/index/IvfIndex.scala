@@ -308,7 +308,13 @@ object IvfIndex {
   }
 
   /** The reference's IVF activation gate: IVF only pays off with
-    * >= 30·nlist points (index.py:152-166, config.py:125-129). */
+    * >= 30·nlist points (index.py:152-166, config.py:125-129).
+    * `nlist = -1` is the AUTO sentinel (r16, [[autoNlist]]): activate
+    * once the corpus clears 30·(the floor of 8) = 240 points — the
+    * derived nlist then satisfies the 30·nlist rule by construction
+    * (autoNlist(n) = 8 up to n < 1920, and the √(n/30) branch keeps
+    * 30·k <= n for every larger n). `nlist = 0` stays "IVF off". */
   def shouldUseIvf(nlist: Int, count: Long): Boolean =
-    nlist > 0 && count >= 30L * nlist
+    if (nlist == -1) count >= 240L
+    else nlist > 0 && count >= 30L * nlist
 }

@@ -670,7 +670,12 @@ final class DocumentStore private (
 
     var modelOpt: Option[IvfIndex.Model] = None
     if (IvfIndex.shouldUseIvf(config.nlist, count)) {
-      val model = IvfIndex.fit(ess, "vec", config.nlist)
+      // config.nlist = -1 (AUTO) fits with nlist = 0, the IvfIndex
+      // auto mode — the cluster count derives from the corpus via the
+      // √n rule, and the manifest records the model's ACTUAL nlist
+      // (nlistUsed below), so load/search/tune see a concrete value.
+      val model = IvfIndex.fit(ess, "vec",
+        if (config.nlist == -1) 0 else config.nlist)
       modelOpt = Some(model)
       // Within each cluster partition, sort by id so point lookups still
       // prune row groups on the id min/max statistics.
@@ -762,7 +767,8 @@ final class DocumentStore private (
     val nlistUsed = modelOpt.map(_.nlist).getOrElse(0)
     manifest = StoreManifest(v, embedder.dim, config.metric, count, nlistUsed,
       chunkSize = config.chunkSize,
-      chunkOverlap = if (config.chunkSize > 0) config.chunkOverlap else 0)
+      chunkOverlap = if (config.chunkSize > 0) config.chunkOverlap else 0,
+      autoNlist = config.nlist == -1)
     writeManifest(spark, path, manifest)
     // Snapshot retention: keep the last `keepVersions` versions so
     // readers holding an older snapshot (a long job planned against
@@ -2306,7 +2312,13 @@ object DocumentStore {
     // for multi-vector mode: a reloaded chunked store must keep writing
     // its chunk table on mutation.
     new DocumentStore(spark, path,
-      config.copy(metric = m.metric, nlist = m.nlist.toInt,
+      // auto_nlist restores the AUTO config (-1), not the fitted count:
+      // a reloaded auto store must keep re-deriving its cluster count
+      // as the corpus grows (freezing at the first fit's value is the
+      // measured r15 x100 cliff). Search still reads the fitted value
+      // from the snapshot manifest.
+      config.copy(metric = m.metric,
+        nlist = if (m.autoNlist) -1 else m.nlist.toInt,
         chunkSize = m.chunkSize, chunkOverlap = m.chunkOverlap), embedder)
   }
 
@@ -2353,7 +2365,7 @@ object DocumentStore {
   }
 
   private[store] def renderManifest(m: StoreManifest): String =
-    s"""{"version":${m.version},"dim":${m.dim},"metric":"${m.metric}","count":${m.count},"nlist":${m.nlist},"chunk_size":${m.chunkSize},"chunk_overlap":${m.chunkOverlap}}"""
+    s"""{"version":${m.version},"dim":${m.dim},"metric":"${m.metric}","count":${m.count},"nlist":${m.nlist},"chunk_size":${m.chunkSize},"chunk_overlap":${m.chunkOverlap},"auto_nlist":${m.autoNlist}}"""
 
   private[store] def parseManifest(s: String): StoreManifest = {
     def longOf(k: String): Long =
@@ -2369,10 +2381,15 @@ object DocumentStore {
       s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(s)
         .map(_.group(1))
         .getOrElse(throw new StorageException(s"manifest missing $k: $s"))
+    // Lenient like the chunk fields: pre-r16 manifests have no
+    // auto_nlist — they were explicit-nlist (or flat) stores (false).
+    val auto = """\"auto_nlist\"\s*:\s*(true|false)""".r
+      .findFirstMatchIn(s).exists(_.group(1) == "true")
     StoreManifest(longOf("version"), longOf("dim").toInt, strOf("metric"),
       longOf("count"), longOf("nlist").toInt,
       chunkSize = longOr0("chunk_size").toInt,
-      chunkOverlap = longOr0("chunk_overlap").toInt)
+      chunkOverlap = longOr0("chunk_overlap").toInt,
+      autoNlist = auto)
   }
 
   private[store] def deleteDir(spark: SparkSession, dir: String): Unit = {

@@ -72,7 +72,13 @@ final case class FrameMappingStats(
   * codec params, which are storage-codec concerns replaced by Parquet).
   * Metric domain `cosine | ip | l2` per config.py:119-123. IVF is
   * enabled when nlist > 0 and the corpus has >= 30*nlist points —
-  * the reference's activation gate (index.py:152-166). */
+  * the reference's activation gate (index.py:152-166). `nlist = -1`
+  * (r16) is AUTO: IVF activates once the corpus clears the floor gate
+  * (240 points) and every snapshot fit derives its cluster count from
+  * the corpus via the √n rule ([[graft.index.IvfIndex.autoNlist]]) —
+  * the scale-safe default for growing stores, persisted across
+  * save/load (`auto_nlist` in the manifest), so the cluster count
+  * keeps tracking corpus size instead of freezing at the first fit. */
 final case class StoreConfig(
     metric: String = "cosine",
     dim: Int = 64,
@@ -131,4 +137,13 @@ final case class StoreManifest(
     // load() restores chunked search without the caller re-specifying
     // it. 0 = single-vector store.
     chunkSize: Int = 0,
-    chunkOverlap: Int = 0)
+    chunkOverlap: Int = 0,
+    // True when this store's IVF was built under the AUTO (√n) nlist
+    // mode (r16, StoreConfig.nlist = -1). `nlist` above still records
+    // the FITTED cluster count (search/tune need a concrete value);
+    // this flag lets load() restore the auto CONFIG, so a reloaded
+    // auto store keeps re-deriving its cluster count as the corpus
+    // grows instead of freezing at the first fit's value — freezing is
+    // exactly the measured r15 ×100 cliff the auto mode exists to
+    // prevent.
+    autoNlist: Boolean = false)

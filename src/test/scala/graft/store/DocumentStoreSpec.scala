@@ -427,6 +427,36 @@ class DocumentStoreSpec extends SparkSpec {
       "mutation after reload must keep the IVF layout")
   }
 
+  test("auto-nlist store (nlist = -1): fits the derived cluster count, load restores AUTO not the frozen fit") {
+    // 300 docs clear the auto activation floor (240); autoNlist(300) =
+    // max(8, round(√10)) = 8 — the manifest must record the FITTED
+    // value while the flag preserves the auto config across reload.
+    val many = (0 until 300).map(i => s"doc $i topic ${i % 13} body words here")
+    val dir = tmp()
+    val built = DocumentStore.fromTexts(spark, dir, many, Nil,
+      StoreConfig(nlist = -1, nprobe = 2), emb)
+    assert(built.currentManifest.nlist == graft.index.IvfIndex.autoNlist(300L),
+      s"fitted nlist ${built.currentManifest.nlist}")
+    assert(built.currentManifest.autoNlist)
+    // Reload with the DEFAULT config: the restored config must be the
+    // AUTO sentinel (so future refits keep tracking corpus size — the
+    // measured r15 ×100 cliff is a reloaded store frozen at its first
+    // fit), while search keeps working off the manifest's fitted value.
+    val reloaded = DocumentStore.load(spark, dir, emb)
+    assert(reloaded.config.nlist == -1, "auto config must survive reload")
+    assert(reloaded.similaritySearch("topic 3", k = 3).count() == 3)
+    // A mutation refits under auto (corpus size ~unchanged here, so
+    // the derived count stays 8 — the point is it derives, not
+    // inherits a frozen explicit value).
+    reloaded.deleteByIds(Seq(0L))
+    assert(reloaded.currentManifest.nlist == graft.index.IvfIndex.autoNlist(299L))
+    assert(reloaded.currentManifest.autoNlist)
+    // Below the 240-point floor the auto store is simply flat.
+    val small = DocumentStore.fromTexts(spark, tmp(),
+      (0 until 100).map(i => s"tiny $i"), Nil, StoreConfig(nlist = -1), emb)
+    assert(small.currentManifest.nlist == 0)
+  }
+
   test("batch search with duplicated query strings matches the distinct run") {
     val store = DocumentStore.fromTexts(spark, tmp(), texts, metas, StoreConfig(), emb)
     val dup = store.similaritySearchBatch(Seq("foxes", "foxes"), k = 3).collect()
