@@ -251,6 +251,25 @@ object ScaleBench {
       graft.streaming.StreamingOps.nearDupScreenBatch(
           docs, s"$dir/_neardup_index_x", 0L, "id", "text", "ts")
         .agg(count(lit(1)).as("kept"))
+    }),
+    // The r16 auto-nlist mode ON the shape whose ×100 cliff motivated
+    // it: SemDedup over an AUTO-fit coarse quantizer (nlist = 0 →
+    // √n-derived cluster count), count-wrapped. The r15 decade check
+    // measured the pinned-nlist=8 configuration at 544.8 s on the ×100
+    // corpus (quadratic within-cluster pair growth) and the manual
+    // nlist=80 fix at ~65× faster; this row shows the DEFAULT now
+    // lands on the fixed behavior with no caller arithmetic. Fit cost
+    // is included (invalidateCached runs per timed iteration), as in
+    // the q_ivf_search convention — the build is part of what must
+    // scale.
+    "semdedup_auto" -> ((s: SparkSession, dir: String) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val model = graft.index.IvfIndex.fit(emb, "embedding", nlist = 0,
+        maxIter = 2, initMode = "random", fitFraction = 0.25,
+        fitPartitions = 8)
+      graft.ops.SemDedup.flag(emb, "vec_id", "embedding", model,
+          threshold = 0.4)
+        .agg(count(lit(1)).as("rows"), sum("is_dup").as("dups"))
     }))
 
   private def ingestProbe(s: SparkSession, dir: String, bloom: Boolean): DataFrame = {
