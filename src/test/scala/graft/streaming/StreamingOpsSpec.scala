@@ -330,6 +330,34 @@ class StreamingOpsSpec extends SparkSpec {
     assert(kept == Set(9L), s"after second compaction kept: $kept")
   }
 
+  test("compactBandIndex: blob-only advance (no new dirs) is a no-op merge, not a failure") {
+    // An operator cron-compacting an idle index: the mark advances but
+    // every band already lives in the blob — the merge must republish
+    // cleanly (new version, same content), not throw on the empty dir
+    // scan.
+    val dir = Files.createTempDirectory("graft-compact-idle").toString
+    val b0 = Seq((1L, "the quick brown fox jumps over the lazy dog", ts(0)))
+      .toDF("id", "text", "ts")
+    def run(batchId: Long, df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.nearDupScreenBatch(df, dir, batchId, "id", "text", "ts")
+        .select("id").collect().map(_.getLong(0)).toSet
+    run(0L, b0)
+    StreamingOps.compactBandIndex(spark, dir, upToBatch = 0L)
+    StreamingOps.compactBandIndex(spark, dir, upToBatch = 5L) // idle advance
+    // Dot-prefixed names (local-FS .crc sidecars, tmp files) are
+    // reader-invisible — filter them like the readers do.
+    val compactNames = Option(new java.io.File(s"$dir/_compact").listFiles())
+      .map(_.map(_.getName).filterNot(_.startsWith(".")).toSet)
+      .getOrElse(Set.empty)
+    assert(compactNames == Set("hwm_1", "v=1"), s"after idle advance: $compactNames")
+    // The advanced mark still screens: a batch 6 replay of doc 1's
+    // text drops against the blob; batch <= 5 is refused.
+    val b6 = Seq((9L, "the quick brown fox jumps over the lazy dog", ts(9)))
+      .toDF("id", "text", "ts")
+    assert(run(6L, b6) == Set.empty[Long])
+    intercept[IllegalStateException] { run(5L, b6) }
+  }
+
   test("ingestStream maintains the Bloom prescreen and metadata_hash across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Map[String, String])]
