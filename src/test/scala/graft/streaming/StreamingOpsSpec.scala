@@ -358,6 +358,44 @@ class StreamingOpsSpec extends SparkSpec {
     intercept[IllegalStateException] { run(5L, b6) }
   }
 
+  test("property: compaction at any mark preserves every gate decision (randomized batches)") {
+    // Randomized deepening of the twin-index pin: 3 trials of 3
+    // batches drawn (with repetition) from a duplicate-rich pool; the
+    // compacted twin folds its index after a random batch. Survivors
+    // must match per batch — compaction may change index LAYOUT only.
+    val pool = Vector(
+      "the quick brown fox jumps over the lazy dog",
+      "completely different text about spark streaming engines and state",
+      "another unrelated document mentioning catalysts and codegen",
+      "fresh content that matches nothing else in this fixture at all",
+      "a fifth distinct sentence with its own vocabulary entirely",
+      "tiny", // shingle-less: no evidence, always passes
+      "the quick brown fox jumps over the lazy dog", // pool-level dup
+      "sixth unique sentence carrying yet more distinct shingle mass")
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val plain = Files.createTempDirectory(s"graft-prop-a$trial").toString
+      val folded = Files.createTempDirectory(s"graft-prop-b$trial").toString
+      val compactAfter = rnd.nextInt(2) // fold after batch 0 or 1
+      var nextId = 0L
+      for (batchId <- 0L to 2L) {
+        val rows = (0 until 6).map { _ =>
+          nextId += 1
+          (nextId, pool(rnd.nextInt(pool.length)), ts(nextId.toInt))
+        }.toDF("id", "text", "ts")
+        def run(idx: String) =
+          StreamingOps.nearDupScreenBatch(rows, idx, batchId, "id", "text", "ts")
+            .select("id").collect().map(_.getLong(0)).toSet
+        val a = run(plain)
+        val b = run(folded)
+        assert(a == b,
+          s"trial $trial batch $batchId diverged (compactAfter=$compactAfter): plain=$a folded=$b")
+        if (batchId == compactAfter)
+          StreamingOps.compactBandIndex(spark, folded, upToBatch = batchId)
+      }
+    }
+  }
+
   test("ingestStream maintains the Bloom prescreen and metadata_hash across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Map[String, String])]
