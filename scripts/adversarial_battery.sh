@@ -22,6 +22,14 @@ declare -A REGIMES=(
   [shuffle997]="spark.sql.shuffle.partitions=997"
   [no_reuse]="spark.sql.optimizer.excludedRules=org.apache.spark.sql.execution.reuse.ReuseExchangeAndSubquery;spark.sql.adaptive.enabled=false"
   [tiny_splits]="spark.sql.files.maxPartitionBytes=65536"
+  # The judge's hand-composed COMBINED leg (r15/r16 verdicts), now a
+  # standing battery member: odd 7-way parallelism + broadcast joins
+  # disabled + AQE disabled, all in one session.
+  [combined7]="spark.sql.autoBroadcastJoinThreshold=-1;spark.sql.adaptive.autoBroadcastJoinThreshold=-1;spark.sql.adaptive.enabled=false"
+)
+# Per-regime executor-thread override (default 32 below).
+declare -A REGIME_CPUS=(
+  [combined7]=7
 )
 # JVM-level regimes (default locale / default timezone, NOT session tz):
 declare -A JVM_REGIMES=(
@@ -33,10 +41,11 @@ fail=0
 run_regime() {
   local tag="$1" conf="$2" jvm="$3"
   local out="$BASE/$tag"
+  local cpus="${REGIME_CPUS[$tag]:-32}"
   rm -rf "$out"
   env ${conf:+SPARK_GRAFT_CONF="$conf"} \
       ${jvm:+JAVA_TOOL_OPTIONS="$jvm"} \
-      SPARK_GRAFT_CPUS=32 \
+      SPARK_GRAFT_CPUS="$cpus" \
       sbt -batch "runMain graft.Verify $SF $out" > "$BASE/$tag.log" 2>&1
   local verdict
   verdict=$(python3 scripts/check_oracle.py "$SF" "$out" 2>&1 | tail -1)
