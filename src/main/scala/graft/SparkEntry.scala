@@ -2727,8 +2727,17 @@ object SparkEntry {
     .empty[(SparkSession, String), graft.store.DocumentStore]
   private def maxsimStorePut(k: (SparkSession, String),
                              v: graft.store.DocumentStore): Unit = {
-    if (maxsimStores.size >= 16)
-      maxsimStores.keys.headOption.foreach(maxsimStores.remove)
+    if (maxsimStores.size >= 16) {
+      // Victim selection (r16 ADVICE): keys.headOption is hash-order —
+      // it can evict the hot live entry while entries for STOPPED
+      // sessions (the leak this bound exists to prevent) linger.
+      // Prefer a stopped-session victim; only a cache full of live
+      // sessions falls back to an arbitrary one.
+      val victim = maxsimStores.keys
+        .find(_._1.sparkContext.isStopped)
+        .orElse(maxsimStores.keys.headOption)
+      victim.foreach(maxsimStores.remove)
+    }
     maxsimStores.put(k, v)
     ()
   }

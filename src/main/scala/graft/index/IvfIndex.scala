@@ -170,7 +170,15 @@ object IvfIndex {
   def fit(df: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L,
           maxIter: Int = 20, initMode: String = "k-means||",
           fitFraction: Double = 1.0, fitPartitions: Int = 0): Model = {
-    require(nlist >= 0, s"nlist $nlist must be > 0, or 0 for auto (√n rule)")
+    // Sentinel unification (r16 ADVICE): StoreConfig documents -1 as
+    // AUTO while fit's native auto sentinel is 0 — a caller passing the
+    // documented -1 straight in must not hit a runtime error, so both
+    // mean "derive nlist from the data via the √n rule" here.
+    // (shouldUseIvf keeps its distinct meanings: -1 = auto activation,
+    // 0 = IVF off — an ACTIVATION question this fit call has already
+    // answered by being made at all.)
+    require(nlist >= -1,
+      s"nlist $nlist must be > 0, or 0/-1 for auto (√n rule)")
     val prepared = trainingSample(df, vecCol, fitFraction, fitPartitions,
       seed, "IvfIndex.fit")
     try {
@@ -182,6 +190,7 @@ object IvfIndex {
       // count job is free here: trainingSample just forced the persist,
       // so this reads cached partition counts.
       val k = if (nlist > 0) nlist else autoNlist(prepared.count(), fitFraction)
+      // (nlist -1 and 0 both reach autoNlist above — one path, one fit.)
       val features = prepared.select(array_to_vector(col("__v")).as("features"))
       val km = new KMeans()
         .setK(k).setSeed(seed).setMaxIter(maxIter).setInitMode(initMode)
@@ -286,10 +295,15 @@ object IvfIndex {
   def fitCached(key: String, df: => DataFrame, vecCol: String, nlist: Int,
                 seed: Long = 42L, maxIter: Int = 20,
                 initMode: String = "k-means||", fitFraction: Double = 1.0,
-                fitPartitions: Int = 0, version: Long = 0L): Model =
-    modelCached(s"$key|$vecCol|$nlist|$seed|$maxIter|$initMode|$fitFraction|$fitPartitions",
+                fitPartitions: Int = 0, version: Long = 0L): Model = {
+    // Normalize the auto sentinel BEFORE keying: -1 and 0 are the same
+    // fit (see [[fit]]), so they must share one cache entry — two keys
+    // would double-fit and double-cache identical models.
+    val nl = if (nlist == -1) 0 else nlist
+    modelCached(s"$key|$vecCol|$nl|$seed|$maxIter|$initMode|$fitFraction|$fitPartitions",
       version)(
-      fit(df, vecCol, nlist, seed, maxIter, initMode, fitFraction, fitPartitions))
+      fit(df, vecCol, nl, seed, maxIter, initMode, fitFraction, fitPartitions))
+  }
 
   /** Drop every cached model whose logical key starts with `keyPrefix`
     * — the manual hatch for unversioned (version = 0) [[fitCached]]

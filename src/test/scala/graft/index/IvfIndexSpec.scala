@@ -141,8 +141,30 @@ class IvfIndexSpec extends SparkSpec {
       (i.toLong, Seq(i.toDouble, 0.0, 0.0))).toDF("id", "vec")
     assert(IvfIndex.fit(tiny, "vec", nlist = 0, maxIter = 2,
       initMode = "random").nlist == 5)
+    // Sentinel unification (r16 ADVICE): StoreConfig documents -1 as
+    // AUTO, so fit(-1) must be an alias for fit(0), not a runtime
+    // error — identical centroids, one code path.
+    val autoAlias = IvfIndex.fit(vecs, "vec", nlist = -1, maxIter = 2,
+      initMode = "random")
+    assert(autoAlias.centroids == auto.centroids,
+      "fit(-1) must alias fit(0) bit-for-bit")
     intercept[IllegalArgumentException] {
-      IvfIndex.fit(vecs, "vec", nlist = -1)
+      IvfIndex.fit(vecs, "vec", nlist = -2)
     }
+  }
+
+  test("fitCached: -1 and 0 share ONE cache entry (normalized key)") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(3)(rnd.nextDouble()))).toDF("id", "vec")
+    val key = s"sentinel-unify-${System.nanoTime()}"
+    val a = IvfIndex.fitCached(key, vecs, "vec", nlist = 0, maxIter = 2,
+      initMode = "random")
+    val b = IvfIndex.fitCached(key, vecs, "vec", nlist = -1, maxIter = 2,
+      initMode = "random")
+    // Same MODEL INSTANCE proves the second call was a cache hit, not a
+    // second fit under a distinct-sentinel key.
+    assert(a eq b, "fitCached(-1) must hit the fitCached(0) entry")
+    IvfIndex.invalidateCached(key)
   }
 }
