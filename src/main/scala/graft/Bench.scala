@@ -28,8 +28,15 @@ import org.apache.spark.sql.SparkSession
   * 1.0 s) is treated as suspect and re-run ONCE; `queries` reports the
   * re-run only when it CONFIRMS a spike (>= 2x faster — a genuinely
   * data-bound query reruns at about the same time and keeps its honest
-  * first measurement), and the `retries` map reports BOTH times
-  * ({"first":t1,"best":kept}) so nothing is hidden. Caveat recorded in
+  * first measurement), and the `retries` map reports the full record
+  * ({"first":t1,"retry":t2,"canary_retry":c,...,"best":kept}) so
+  * nothing is hidden. Suspects the in-run retry could NOT confirm get
+  * one more rerun in a DEFERRED pass at END of run (r17 — a retry
+  * firing inside a persisting burst measures slow twice and keeps the
+  * contended number; by run end the burst has usually passed), under
+  * the same >= 2x confirm rule, with the deferred time and its canary
+  * reading appended to the record ("deferred", "canary_deferred").
+  * Caveat recorded in
   * BENCH_NOTES.md: for queries with per-dir model caches (IVF family)
   * the re-run is fit-warm and will look like a spike, so read `first`
   * for the honest cold cost of a retried entry.
@@ -189,11 +196,20 @@ object Bench {
     val canaryEvery = 4
 
     readCanary()
-    val retries = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    // Retry record (r16 verdict #2): first/retry times PLUS the canary
+    // reading taken at the moment of suspicion — per-query burst
+    // adjudication becomes mechanical ("was the box loud when this
+    // retried?") — and, when the end-of-run deferred pass ran, its
+    // time and ITS canary reading too.
+    final case class RetryInfo(first: Double, retry: Double,
+        canaryAtRetry: Double, deferred: Option[(Double, Double)],
+        best: Double)
+    val retries = scala.collection.mutable.LinkedHashMap.empty[String, RetryInfo]
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val queryOffsets = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val queryEnds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = sorted.zipWithIndex.map { case ((name, fn), qi) =>
+    val resultMap = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    sorted.zipWithIndex.foreach { case ((name, fn), qi) =>
       queryOffsets(name) = (System.nanoTime() - benchT0) / 1e9
       val t1 = timed(name, fn)
       val threshold = math.max(5.0 * warmupSec.getOrElse(name, Double.MaxValue), 1.0)
@@ -219,6 +235,7 @@ object Bench {
         // unflagged), but a query tripping its 5x-warmup threshold is
         // exactly when the box state must go on record.
         readCanary()
+        val canaryAtRetry = canaries.last._2
         val t2 = timed(name, fn)
         // Only a CONFIRMED spike (rerun at least 2x faster) replaces
         // the first measurement: a genuinely data-bound query whose
@@ -240,9 +257,10 @@ object Bench {
           else if (erred2) { errors.remove(name); t1 }
           else if (t2 < t1 / 2.0) t2
           else t1
-        retries(name) = (t1, r)
+        retries(name) = RetryInfo(t1, t2, canaryAtRetry, None, r)
         r
       } else t1
+      resultMap(name) = reported
       queryEnds(name) = (System.nanoTime() - benchT0) / 1e9
       // Reading-at-suspicion, tier TWO (r13): a query in the 2.5x-5x
       // warmup band is too fast to trip a retry but too slow to wave
@@ -259,8 +277,45 @@ object Bench {
         t1 > BenchCanary.suspicionThreshold(warmupSec.getOrElse(name, Double.MaxValue))
       if (suspicious || (qi + 1) % canaryEvery == 0 || qi == sorted.size - 1)
         readCanary()
-      name -> reported
     }
+
+    // DEFERRED retry pass (r16 verdict #2 — the retry-in-burst blind
+    // spot): an in-run retry that fires INSIDE a persisting contention
+    // burst measures slow twice and keeps the contended first number
+    // as "honest" (r16's q_dsir_weights: 22.31 s kept, 1.46 s quiet —
+    // best == first on every burst victim). Re-run every UNCONFIRMED
+    // suspect once more at END of run: bursts are minutes, runs are
+    // minutes-plus, so by now the burst that caused the suspicion has
+    // usually passed (r16's lasted ~80 s of a 200 s run). A deferred
+    // rerun >= 2x faster replaces the reported value under the same
+    // confirm rule as the in-run retry; the canary reading taken just
+    // before it lands in the record either way, so the artifact shows
+    // whether the deferral itself was quiet. Forced-retry exercises
+    // (SPARK_GRAFT_BENCH_RETRY_TEST) and errored entries are excluded
+    // — the pass exists for contention, not mechanism demos or
+    // failures.
+    val deferredCandidates = retries.collect {
+      case (name, info) if info.best == info.first &&
+        info.first > math.max(5.0 * warmupSec.getOrElse(name, Double.MaxValue), 1.0) &&
+        !errors.contains(name) && !forceRetry.contains(name) => name
+    }.toSeq
+    deferredCandidates.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      graft.index.IvfIndex.invalidateCached(sfDir)
+      readCanary()
+      val canaryAtDeferred = canaries.last._2
+      val info = retries(name)
+      val t3 = timed(name, fn)
+      // Mirror the in-run rule's error handling: a deferred rerun that
+      // THROWS must not poison a query already proven runnable — keep
+      // the standing value and clear the error.
+      if (errors.contains(name)) errors.remove(name)
+      else if (t3 < info.first / 2.0) resultMap(name) = t3
+      retries(name) = info.copy(
+        deferred = Some((t3, canaryAtDeferred)),
+        best = resultMap(name))
+    }
+    val results = sorted.map { case (name, _) => name -> resultMap(name) }
 
     // Spike = a reading far above the run's own MINIMUM (4x, with a
     // 0.3 s absolute floor); suspect = a query whose bounding readings
@@ -306,8 +361,13 @@ object Bench {
     def jstr(s: String): String = MainUtil.jstr(s)
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val rs = retries.map { case (k, (first, best)) =>
-      jstr(k) + ":{\"first\":" + first + ",\"best\":" + best + "}"
+    val rs = retries.map { case (k, info) =>
+      val deferredPart = info.deferred.map { case (t, c) =>
+        ",\"deferred\":" + t + ",\"canary_deferred\":" + c
+      }.getOrElse("")
+      jstr(k) + ":{\"first\":" + info.first + ",\"retry\":" + info.retry +
+        ",\"canary_retry\":" + info.canaryAtRetry + deferredPart +
+        ",\"best\":" + info.best + "}"
     }.mkString("{", ",", "}")
     val es = errors.map { case (k, msg) => jstr(k) + ":" + jstr(msg) }
       .mkString("{", ",", "}")

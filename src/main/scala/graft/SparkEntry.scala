@@ -2096,6 +2096,48 @@ object SparkEntry {
       .select(col("asset_id"))
   }
 
+  /** The SEMANTIC streaming ingest gate under the DuckDB oracle — the
+    * FOURTH gate modality (r16 verdict #4), driven through the same
+    * two-batch even/odd protocol as the fingerprint gates: even
+    * vec_ids play batch 0 (the retained corpus), odd ids play batch 1
+    * screened against the survivors-only index plus within-batch first
+    * arrival. The coarse quantizer is the SAME pinned-centroid fit as
+    * q_semdedup (shared via fitCached — no second k-means; its own
+    * centroid copy so neither oracle depends on execution order), and
+    * the SemDedup determinism contract (rounded-argmin assignment,
+    * cosine rounded HALF_UP at scale 4 BEFORE the threshold compare)
+    * is what makes the gate decision externally replayable: the oracle
+    * re-derives clusters from the exported centroid literals, replays
+    * batch 0's first-arrival survivors, then drops every odd doc with
+    * an in-cluster >= τ match among earlier odd arrivals (any, dropped
+    * or not — the gates' documented transitive over-drop) or among
+    * batch 0's survivors. The int8 screen is provably lossless
+    * ([[graft.ops.SemDedup.int8SurvivePredicate]]), so the oracle
+    * ignores it. Null-embedding rows carry no evidence and pass on
+    * both sides. */
+  @volatile private var semGateCentroidValues: Option[String] = None
+  private def qSemGate(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val (model, vals) = pinCentroids(IvfIndex.fitCached(
+      s"$dir/embeddings", emb, "embedding",
+      nlist = 8, maxIter = 2, initMode = "random", fitFraction = 0.25,
+      fitPartitions = 2))
+    semGateCentroidValues = Some(vals)
+    val staged = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("ts", col("vec_id")) // monotone arrival order
+    val idx = scratch(dir, "sem_gate_idx")
+    // batch 0: establishes the survivors index (written eagerly inside
+    // the call; replays overwrite the same batch=0 partition)
+    graft.streaming.StreamingOps.semNearDupScreenBatch(
+      staged.where(col("vec_id") % 2 === 0), idx, batchId = 0L,
+      "vec_id", "embedding", "ts", model, threshold = 0.4)
+    // batch 1: the screened ingest — the query's result
+    graft.streaming.StreamingOps.semNearDupScreenBatch(
+        staged.where(col("vec_id") % 2 === 1), idx, batchId = 1L,
+        "vec_id", "embedding", "ts", model, threshold = 0.4)
+      .select(col("vec_id"))
+  }
+
   /** The media codecs through the SQL surface: pure `spark.sql` text
     * over the r14 registrations (graft_image_stats / graft_wav_stats)
     * against the same analytic oracle — proves a SQL-only caller gets
@@ -2872,6 +2914,7 @@ object SparkEntry {
       "q_text_gate"           -> (qTextGate _),
       "q_gate_compact"        -> (qGateCompact _),
       "q_audio_gate"          -> (qAudioGate _),
+      "q_sem_gate"            -> (qSemGate _),
       "q_audio_neardup"       -> (qAudioNeardup _),
       "q_image_neardup"       -> (qImageNeardup _),
       "q_audio_features"      -> (qAudioFeatures _),
@@ -5461,7 +5504,8 @@ object SparkEntry {
                     (ORDER BY logweight DESC, doc_id) <= 200
                   THEN 1 ELSE 0 END AS INT) AS selected
       FROM w"""
-  ) ++ ivfSearchOracle ++ semdedupOracle ++ semdedup2Oracle ++ tuningCurveOracle
+  ) ++ ivfSearchOracle ++ semdedupOracle ++ semdedup2Oracle ++
+    tuningCurveOracle ++ semGateOracle
 
   /** Dynamic oracle for q_ivf_search: the k-means fit exports its
     * (6dp-rounded) centroids via [[ivfSearchCentroidValues]], and the
@@ -5529,6 +5573,43 @@ object SparkEntry {
              CAST(CASE WHEN g.dup_of IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup,
              g.dup_of
       FROM a LEFT JOIN g ON g.id_b = a.vec_id"""
+    }.toMap
+
+  /** Dynamic oracle for q_sem_gate — the pinned-centroid protocol
+    * applied to the streaming semantic gate: clusters from the
+    * exported centroid literals (rounded-argmin, lowest-cid ties),
+    * batch 0 = even vec_ids with min-vec_id first arrival (ts =
+    * vec_id, so the (ts, id) tie IS id order), batch 1 = odd vec_ids
+    * dropped on an in-cluster rounded-cosine >= 0.4 match against
+    * EITHER an earlier odd arrival (dropped or not — the transitive
+    * over-drop both sides share) or a batch-0 SURVIVOR (the index
+    * holds survivors only; index rows screen without a tie compare —
+    * everything in a strictly-earlier batch arrived first). Odd docs
+    * with no embedding have no evidence and pass — the final anti-join
+    * runs over ALL odd ids. */
+  private def semGateOracle: Map[String, String] =
+    semGateCentroidValues.map { vals =>
+      "q_sem_gate" -> s"""${centroidAssignCtes(vals)},
+      m AS (SELECT v.vec_id, v.ev, a.cluster FROM v JOIN a USING (vec_id)),
+      d0 AS (SELECT DISTINCT y.vec_id FROM m x JOIN m y
+               ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+             WHERE x.vec_id % 2 = 0 AND y.vec_id % 2 = 0
+               AND round(list_cosine_similarity(x.ev, y.ev), 4) >= 0.4),
+      s0 AS (SELECT vec_id, ev, cluster FROM m
+             WHERE vec_id % 2 = 0
+               AND vec_id NOT IN (SELECT vec_id FROM d0)),
+      x1 AS (SELECT vec_id, ev, cluster, 1 AS cross_leg FROM s0
+             UNION ALL
+             SELECT vec_id, ev, cluster, 0 AS cross_leg FROM m
+             WHERE vec_id % 2 = 1),
+      d1 AS (SELECT DISTINCT y.vec_id FROM m y JOIN x1 x
+               ON x.cluster = y.cluster
+             WHERE y.vec_id % 2 = 1
+               AND (x.cross_leg = 1 OR x.vec_id < y.vec_id)
+               AND round(list_cosine_similarity(x.ev, y.ev), 4) >= 0.4)
+      SELECT vec_id FROM embeddings
+      WHERE vec_id % 2 = 1
+        AND vec_id NOT IN (SELECT vec_id FROM d1)"""
     }.toMap
 
   /** Dynamic oracle for q_tuning_curve — the pinned-centroid protocol

@@ -91,6 +91,8 @@ object ScaleBench {
     // round-16 families
     "q_text_gate",          // two-batch MinHash gate end to end
     "q_audio_gate",         // two-batch audio-fingerprint gate end to end
+    // round-17 families
+    "q_sem_gate",           // two-batch semantic gate (pinned-fit + int8 screen)
     "q_maxsim_search")      // search over the per-dir memoized store
                             // (build amortized by the memo; best-of-2
                             // keeps the warm search-only reading —
@@ -360,6 +362,95 @@ object ScaleBench {
           spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
           capPerBand = cap).head
         println(f"  $tag%-20s $cap%6d ${r.getLong(0)}%12d ${r.getLong(1)}%13d ${r.getLong(2)}%11d")
+      }
+    }
+
+    // --- gate-index compaction: the payoff it claims, ON the clock
+    // (r16 verdict #3), plus per-trigger cost vs total index size for
+    // the leveled design (r16 verdict #1). Opt-in (pass
+    // "gate_compaction" in the 3rd-arg filter): section A builds ~1000
+    // REAL batch dirs and times the gate's cross-batch probe against
+    // them uncompacted vs compacted; section B seeds an L1 blob from
+    // the ×1 vs ×10 corpus and times individual triggers, leveled
+    // (l0Fraction=0.25) vs monolithic (l0Fraction=0 — the pre-r17
+    // whole-blob rewrite), on identical tiny intakes.
+    if (only.exists(_.contains("gate_compaction"))) {
+      import graft.streaming.StreamingOps
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def del(p: String): Unit = {
+        fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
+      }
+      def bytesOf(p: String): Long = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+      }
+      def docsOf(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("id"), col("text"),
+          col("doc_id").cast("timestamp").as("ts"))
+      // Per-micro-batch band dirs written directly in the gate's exact
+      // layout (survivor bands, one dir per batch id) — 10 unique
+      // bands each, the shape a 1-minute-trigger stream leaves behind.
+      // Driving 1000 real screen calls would time the screen, not the
+      // accumulation this section measures.
+      def tinyDirs(idx: String, from: Long, until: Long): Unit =
+        (from until until).foreach { b =>
+          spark.range(10).select(
+            concat(lit(s"zz$b:"), col("id").cast("string")).as("band"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$idx/batch=$b")
+        }
+      def probe(idx: String, batchId: Long): Double = {
+        val batch = spark.range(20).select(
+          (col("id") + 900000000L).as("id"),
+          concat(lit("probe text payload "), col("id").cast("string"),
+            lit(" with enough tokens to shingle properly end")).as("text"),
+          col("id").cast("timestamp").as("ts"))
+        val t0 = System.nanoTime()
+        StreamingOps.nearDupScreenBatch(batch, idx, batchId,
+          "id", "text", "ts").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // A: probe latency vs live dir count — twin indexes, one left
+      // uncompacted, one compacted to the current mark before probing.
+      println(f"${"gate_compaction A"}%-20s ${"dirs"}%6s ${"t_uncompacted"}%14s ${"t_compacted"}%12s")
+      val idxU = s"$base/_gatecomp_u"
+      val idxC = s"$base/_gatecomp_c"
+      del(idxU); del(idxC)
+      StreamingOps.nearDupScreenBatch(docsOf(x1), idxU, 0L, "id", "text", "ts").count()
+      StreamingOps.nearDupScreenBatch(docsOf(x1), idxC, 0L, "id", "text", "ts").count()
+      var built = 1L
+      var probeId = 1000000L
+      Seq(10L, 50L, 250L, 1000L).foreach { dirs =>
+        tinyDirs(idxU, built, dirs + 1)
+        tinyDirs(idxC, built, dirs + 1)
+        built = dirs + 1
+        val tU = probe(idxU, probeId)
+        StreamingOps.compactBandIndex(spark, idxC, upToBatch = probeId - 1)
+        val tC = probe(idxC, probeId)
+        probeId += 1
+        println(f"${""}%-20s $dirs%6d $tU%14.2f $tC%12.2f")
+      }
+      // B: per-trigger cost vs total index size — identical 5-tiny-dir
+      // intakes against an L1 seeded from ×1 vs ×10 survivor bands.
+      println(f"${"gate_compaction B"}%-20s ${"mode"}%-11s ${"index_bytes"}%12s ${"t_trigger(median of 3)"}%23s")
+      Seq("x1" -> x1, "x10" -> x10).foreach { case (tag, srcDir) =>
+        Seq("leveled" -> 0.25, "monolithic" -> 0.0).foreach { case (mode, frac) =>
+          val idx = s"$base/_gatecomp_b_${tag}_$mode"
+          del(idx)
+          StreamingOps.nearDupScreenBatch(docsOf(srcDir), idx, 0L,
+            "id", "text", "ts").count()
+          StreamingOps.compactBandIndex(spark, idx, upToBatch = 0L)
+          var b = 1L
+          val times = (1 to 3).map { _ =>
+            tinyDirs(idx, b, b + 5)
+            b += 5
+            val t0 = System.nanoTime()
+            StreamingOps.compactBandIndex(spark, idx, upToBatch = b - 1,
+              l0Fraction = frac)
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"  $tag%-18s $mode%-11s ${bytesOf(s"$idx/_compact")}%12d ${times.sorted.apply(1)}%23.2f")
+        }
       }
     }
 

@@ -150,40 +150,26 @@ object SemDedup {
     }
     // Per-row compact representation: int8 vector, quantization step,
     // exact L2 norm, Σ|q| (all narrow, computed once per row; the
-    // lambdas reference only materialized attributes).
-    val quant = assigned
-      .select(col("cluster"), col("probe_rank"), col("id"), col("v"),
-        VectorFunctions.maxAbs(col("v")).as("__m"))
+    // lambdas reference only materialized attributes). Shared with the
+    // streaming semantic gate via [[withInt8]].
+    val quant = withInt8(
+        assigned.select(col("cluster"), col("probe_rank"), col("id"), col("v")),
+        "v")
       .select(col("cluster"), col("probe_rank"), col("id"),
-        when(col("__m") === 0.0, transform(col("v"), _ => lit(0).cast("byte")))
-          .otherwise(transform(col("v"),
-            x => round((x * 127.0) / col("__m")).cast("byte"))).as("q"),
-        (col("__m") / 127.0).as("ua"),
-        VectorFunctions.l2Norm(col("v")).as("nrm"))
-      .withColumn("sq", aggregate(col("q"),
-        lit(0L), (acc, x) => acc + abs(x.cast("long"))).cast("double"))
+        col("__q").as("q"), col("__ua").as("ua"),
+        col("__nrm").as("nrm"), col("__sq").as("sq"))
     val a = quant.select(col("cluster"), col("id").as("id_a"), col("q").as("q_a"),
       col("ua").as("ua_a"), col("nrm").as("n_a"), col("sq").as("sq_a"),
       col("probe_rank").as("__ra"))
     val b = quant.select(col("cluster"), col("id").as("id_b"), col("q").as("q_b"),
       col("ua").as("ua_b"), col("nrm").as("n_b"), col("sq").as("sq_b"),
       col("probe_rank").as("__rb"))
-    val cutoff = threshold - 0.5 * math.pow(10.0, -roundScale) - 1e-9
     val cand = a.join(b, Seq("cluster"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("__dotq",
-        VectorFunctions.dotProductInt8(col("q_a"), col("q_b")).cast("double"))
-      .withColumn("__upper",
-        try_divide(col("ua_a") * col("ua_b") *
-          (col("__dotq") + lit(0.5) * (col("sq_a") + col("sq_b")) +
-            lit(0.25) * size(col("q_a")).cast("double")),
-          col("n_a") * col("n_b")))
-      // A zero-norm side makes the bound NULL (try_divide — plain `/`
-      // would raise under ANSI) and a NaN numerator keeps it NaN;
-      // neither may be screened out, so survive on NOT(upper < cutoff)
-      // with the null branch coalesced to keep. The exact rerank then
-      // decides, identically to the unscreened path.
-      .where(coalesce(!(col("__upper") < lit(cutoff)), lit(true)))
+      .where(int8SurvivePredicate(
+        col("q_a"), col("ua_a"), col("n_a"), col("sq_a"),
+        col("q_b"), col("ua_b"), col("n_b"), col("sq_b"),
+        threshold, roundScale))
       .select(col("cluster"), col("id_a"), col("id_b"),
         (col("__ra") + col("__rb")).as("__rsum"))
     // Multi-probe: collapse duplicate candidates BEFORE the exact
@@ -207,6 +193,50 @@ object SemDedup {
         round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), roundScale))
       .where(col("cosine") >= threshold)
       .select("cluster", "id_a", "id_b", "cosine")
+  }
+
+  /** Append the int8-screen representation for a double-vector column:
+    * `__q` (int8-quantized vector), `__ua` (quantization step), `__nrm`
+    * (exact L2 norm), `__sq` (Σ|q|) — the compact pair-shuffle payload
+    * shared by [[pairsFrom]] and the streaming semantic gate
+    * ([[graft.streaming.StreamingOps.semNearDupScreenBatch]]): 1 byte
+    * per dim plus three scalars instead of 8 bytes per dim. All narrow,
+    * computed once per row. */
+  private[graft] def withInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    df.withColumn("__m", VectorFunctions.maxAbs(v))
+      .withColumn("__q",
+        when(col("__m") === 0.0, transform(v, _ => lit(0).cast("byte")))
+          .otherwise(transform(v,
+            x => round((x * 127.0) / col("__m")).cast("byte"))))
+      .withColumn("__ua", col("__m") / 127.0)
+      .withColumn("__nrm", VectorFunctions.l2Norm(v))
+      .withColumn("__sq", aggregate(col("__q"),
+        lit(0L), (acc, x) => acc + abs(x.cast("long"))).cast("double"))
+      .drop("__m")
+  }
+
+  /** The PROVABLY SAFE int8 screen predicate (see [[pairsFrom]]'s
+    * scaladoc for the bound derivation): true = the pair may still
+    * reach `threshold` after rounding and must go to the exact rerank;
+    * false = even rounding HALF_UP could not lift the true cosine to
+    * the threshold, so the pair is screened out losslessly. A zero-norm
+    * side makes the bound NULL (try_divide — plain `/` would raise
+    * under ANSI) and a NaN numerator keeps it NaN; neither may be
+    * screened out, so survival is NOT(upper < cutoff) with the null
+    * branch coalesced to keep. Shared by [[pairsFrom]] and the
+    * streaming semantic gate. */
+  private[graft] def int8SurvivePredicate(
+      qa: Column, uaA: Column, nrmA: Column, sqA: Column,
+      qb: Column, uaB: Column, nrmB: Column, sqB: Column,
+      threshold: Double, roundScale: Int): Column = {
+    val cutoff = threshold - 0.5 * math.pow(10.0, -roundScale) - 1e-9
+    val dotq = VectorFunctions.dotProductInt8(qa, qb).cast("double")
+    val upper = try_divide(
+      uaA * uaB * (dotq + lit(0.5) * (sqA + sqB) +
+        lit(0.25) * size(qa).cast("double")),
+      nrmA * nrmB)
+    coalesce(!(upper < lit(cutoff)), lit(true))
   }
 
   /** Null vectors are EXCLUDED here, not silently mis-clustered: a null

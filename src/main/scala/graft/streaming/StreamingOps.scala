@@ -378,7 +378,18 @@ object StreamingOps {
     * INSIDE batch batchId's processing: the checkpoint has committed
     * through batchId−1, so the only batch foreachBatch can ever
     * re-deliver is batchId itself — strictly above the mark. 0 (the
-    * default) = never compact. */
+    * default) = never compact.
+    *
+    * SURVIVORS SINK (decided r17): `survivorsPath` also grows one
+    * `batch=<id>` dir per micro-batch, and it is deliberately NOT
+    * covered by compaction — the survivors are the gate's OUTPUT
+    * dataset, owned by the downstream lake, and folding them would
+    * break the one contract their layout carries: `batch=<id>` dirs
+    * are overwritten whole on replay (at-least-once idempotence), so
+    * any rewrite by this library could race a replay of the same
+    * batch. Consumers ingest/compact them with their table format's
+    * own maintenance (the standard lake posture); the INDEX is the
+    * only state this gate owns long-term, and compaction covers it. */
   def nearDupIngestStream(stream: DataFrame, indexPath: String,
                           survivorsPath: String, checkpointDir: String,
                           idCol: String = "id", textCol: String = "text",
@@ -409,12 +420,15 @@ object StreamingOps {
     * covered the mark (empty-batch id gaps make triggers fire on
     * whatever ids actually run). */
   private def maybeCompact(spark: SparkSession, indexPath: String,
-                           batchId: Long, compactEvery: Int): Unit =
+                           batchId: Long, compactEvery: Int,
+                           dataSchema: org.apache.spark.sql.types.StructType = null): Unit =
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
       val fs = fsFor(spark, indexPath)
-      val (hwm, _) = compactHighWaterMark(fs, indexPath)
-      if (batchId - 1 > hwm)
-        compactBandIndex(spark, indexPath, upToBatch = batchId - 1)
+      val st = compactState(fs, indexPath)
+      if (batchId - 1 > st.hwm)
+        compactGateIndex(spark, indexPath, upToBatch = batchId - 1,
+          if (dataSchema == null) bandOnlySchema else dataSchema,
+          l0Fraction = 0.25, maxL0 = 16)
     }
 
   /** One micro-batch of the near-dup gate (also usable as a batch-mode
@@ -571,6 +585,144 @@ object StreamingOps {
     bandGateScreenBatch(batch, banded, indexPath, batchId, idCol)
   }
 
+  /** Streaming SEMANTIC (embedding-space) near-dup ingest gate — the
+    * FOURTH gate modality (r16 verdict #4): the fingerprint triad
+    * screens on band equality; a training pipeline also gates
+    * semantically, and the batch side of that already exists as
+    * [[graft.ops.SemDedup]]. This is its streaming twin on the shared
+    * index/replay machinery: IVF cluster assignment (pass a model fit
+    * with `nlist = 0` — the auto-√n rule — on a reference corpus; the
+    * model is PINNED for the stream's life so decisions never shift
+    * under the caller), within-cluster int8-SCREENED cosine against a
+    * persisted survivors index (the screen is the provably-lossless
+    * [[graft.ops.SemDedup.int8SurvivePredicate]] bound — candidate
+    * shuffle ships 1 byte/dim + three scalars, survivors rerank on the
+    * exact doubles, decisions identical to the unscreened join), and
+    * the band gates' contracts verbatim: within-batch first arrival by
+    * (ts, id), strictly-earlier cross-batch probe, survivors-only
+    * index, overwrite-per-batch replay idempotence. Null/missing
+    * vectors carry no evidence and always PASS (the no-evidence
+    * contract shared by every gate). Cross-cluster near-dup pairs are
+    * the algorithm's documented recall trade (SemDeDup's own): tune
+    * with the model's nlist, not all-pairs.
+    *
+    * `compactEvery` folds index maintenance into the stream exactly as
+    * [[nearDupIngestStream]] does, via [[compactSemIndex]] (the same
+    * leveled machinery under the semantic row schema). */
+  def semNearDupIngestStream(stream: DataFrame, indexPath: String,
+                             survivorsPath: String, checkpointDir: String,
+                             model: graft.index.IvfIndex.Model,
+                             threshold: Double,
+                             idCol: String = "id", vecCol: String = "vec",
+                             tsCol: String = "ts", roundScale: Int = 4,
+                             compactEvery: Int = 0):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val kept = semNearDupScreenBatch(batch, indexPath, batchId,
+            idCol, vecCol, tsCol, model, threshold, roundScale)
+          kept.write.mode("overwrite").parquet(s"$survivorsPath/batch=$batchId")
+          maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery,
+            semIndexSchema)
+        }
+      }
+      .start()
+
+  /** One micro-batch of the semantic gate (batch-mode incremental
+    * screening works with a caller-managed monotone batchId, like the
+    * fingerprint gates). Returns the retained rows of `batch` and
+    * writes their (cluster, vector, int8 payload) to
+    * `indexPath/batch=<batchId>`; see [[semNearDupIngestStream]] for
+    * semantics and [[nearDupScreenBatch]] for the replay-safety
+    * argument (shared core). */
+  def semNearDupScreenBatch(batch: DataFrame, indexPath: String,
+                            batchId: Long, idCol: String, vecCol: String,
+                            tsCol: String,
+                            model: graft.index.IvfIndex.Model,
+                            threshold: Double,
+                            roundScale: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    // Assignment (argmin over the broadcast centroids) + the int8
+    // representation are the dominant narrow per-row work and feed
+    // THREE consumers (in-batch probe, cross-batch probe, survivor
+    // write) — cache the batch-bounded result, release before
+    // returning. Null vectors leave here (no evidence: no cluster, no
+    // pairs) and pass through the final anti-join untouched.
+    val prepared = graft.ops.SemDedup.withInt8(
+      batch
+        .select(col(idCol), struct(col(tsCol), col(idCol)).as("__tie"),
+          graft.functions.VectorFunctions.asDouble(col(vecCol)).as("__v"))
+        .where(col("__v").isNotNull)
+        .withColumn("cluster", model.assignCol(col("__v"), roundScale)),
+      "__v").persist()
+    try {
+      def side(suffix: String) = prepared.select(col("cluster"),
+        col(idCol).as(s"__id$suffix"), col("__tie").as(s"__tie$suffix"),
+        col("__v").as(s"__v$suffix"), col("__q").as(s"__q$suffix"),
+        col("__ua").as(s"__ua$suffix"), col("__nrm").as(s"__nrm$suffix"),
+        col("__sq").as(s"__sq$suffix"))
+      val exact = (va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column) =>
+        round(graft.functions.VectorFunctions.cosineSimilarity(va, vb),
+          roundScale) >= threshold
+      // Within-batch: a row drops when ANY earlier arrival (by
+      // (ts, id) — dropped or not: the same transitive over-drop as
+      // the band gates' any-band rule) sits within the threshold in
+      // its cluster. Cluster equi-join → int8 screen → exact rerank.
+      val dropInBatch = side("_b").join(side("_a"), Seq("cluster"))
+        .where(col("__tie_a") < col("__tie_b"))
+        .where(graft.ops.SemDedup.int8SurvivePredicate(
+          col("__q_a"), col("__ua_a"), col("__nrm_a"), col("__sq_a"),
+          col("__q_b"), col("__ua_b"), col("__nrm_b"), col("__sq_b"),
+          threshold, roundScale))
+        .where(exact(col("__v_a"), col("__v_b")))
+        .select(col("__id_b").as(idCol))
+      // Cross-batch: every index row arrived strictly earlier, so no
+      // tie compare — cluster equi-join, screen, exact rerank.
+      val index = readGateIndex(spark, indexPath, batchId, "semantic gate",
+        semIndexSchema)
+      val dropCross = side("_b").join(index, Seq("cluster"))
+        .where(graft.ops.SemDedup.int8SurvivePredicate(
+          col("q"), col("ua"), col("nrm"), col("sq"),
+          col("__q_b"), col("__ua_b"), col("__nrm_b"), col("__sq_b"),
+          threshold, roundScale))
+        .where(exact(col("vec"), col("__v_b")))
+        .select(col("__id_b").as(idCol))
+      val (kept, dropDf) = materializeDropsAndKeep(batch,
+        dropInBatch.union(dropCross), indexPath, batchId, idCol,
+        "semantic gate")
+      // Persist survivors' index rows BEFORE returning, like the band
+      // gates: exact vectors (the rerank side) plus the int8 payload
+      // (the screen side), so future batches never recompute either.
+      prepared.join(dropDf, Seq(idCol), "left_anti")
+        .select(col("cluster"), col("__v").as("vec"), col("__q").as("q"),
+          col("__ua").as("ua"), col("__nrm").as("nrm"), col("__sq").as("sq"))
+        .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+      reapDropScratch(spark, indexPath, batchId)
+      kept
+    } finally prepared.unpersist()
+  }
+
+  /** The semantic gate's index row type: cluster key, the exact vector
+    * (rerank side), and the int8 screen payload. */
+  private val semIndexSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cluster",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("vec",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+    org.apache.spark.sql.types.StructField("q",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType)),
+    org.apache.spark.sql.types.StructField("ua",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("nrm",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("sq",
+      org.apache.spark.sql.types.DoubleType)))
+
   /** The replay-safe band-gate core all three ingest gates (text,
     * image, audio) share: `banded0`
     * is (idCol, __tie, band) — whatever derived the bands (minhash over
@@ -596,127 +748,184 @@ object StreamingOps {
       val dropInBatch = banded.join(firstPerBand, "band")
         .where(col("__tie") =!= col("__first"))
         .select(col(idCol))
-      // Cross-batch: any band retained by an EARLIER batch drops.
-      // Partition discovery surfaces the batch=N dirs as a `batch`
-      // column; strictly-earlier filtering keeps replays deterministic.
-      val fs = fsFor(spark, indexPath)
-      // Compaction awareness (see [[compactBandIndex]]): batches at or
-      // below the high-water mark were merged into one versioned blob
-      // and their per-batch dirs deleted — their strictly-earlier
-      // state is no longer reconstructible, so a replay THERE must
-      // fail loudly instead of silently screening against too much
-      // (or, after the dirs are gone, too little). The compaction
-      // contract is that the stream's checkpoint has committed past
-      // upToBatch, so this throw is unreachable in a correct
-      // deployment; it exists for the operator who compacts a LIVE
-      // batch id.
-      val (hwm, compactVersion) = compactHighWaterMark(fs, indexPath)
-      if (batchId <= hwm)
-        throw new IllegalStateException(
-          s"band gate: batch $batchId replayed at or below the " +
-            s"compaction high-water mark $hwm of $indexPath — only " +
-            "compact batches strictly below the stream's committed " +
-            "progress")
-      // Replay safety: a crash between an attempt's partial batch=N
-      // write and the sink commit can leave indexPath existing but
-      // holding NO readable data files (e.g. only a _temporary dir), so
-      // schema INFERENCE would throw and wedge every later micro-batch.
-      // An explicit schema (band + the batch partition column) never
-      // infers: an effectively-empty index reads as zero rows and the
-      // replay proceeds down the normal path.
-      val indexSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("band",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("batch",
-          org.apache.spark.sql.types.LongType)))
-      val bandOnlySchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("band",
-          org.apache.spark.sql.types.StringType)))
-      val dirIndex =
-        if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
-          spark.read.schema(indexSchema)
-            .option("basePath", indexPath).parquet(indexPath)
-            // batch > hwm: per-batch dirs at or below the mark may
-            // still exist mid-compaction (the blob is written and
-            // published BEFORE the dirs are deleted) — reading both
-            // would only duplicate bands, which the drop-set distinct
-            // absorbs, but excluding them keeps the scan pruned.
-            .where(col("batch") > hwm && col("batch") < batchId)
-            .select("band")
-        else spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          bandOnlySchema)
-      val index =
-        if (hwm < 0L) dirIndex
-        else dirIndex.unionAll(spark.read.schema(bandOnlySchema)
-          .parquet(compactDataPath(indexPath, compactVersion)))
+      // Cross-batch: any band retained by an EARLIER batch drops —
+      // an equi-join on band against the index, never all-pairs.
+      val index = readGateIndex(spark, indexPath, batchId, "band gate",
+        bandOnlySchema)
       val dropCross = banded.join(index, "band").select(col(idCol))
-      // Materialize the dropped-id set NOW — the returned `kept` frame
-      // must not hold a lazy scan of indexPath, which this function
-      // writes below — but to a FILE, not the driver: the row count is
-      // batch-bounded, the BYTES are not (a catch-up micro-batch after
-      // an outage can be the whole backlog, and string ids at tens of
-      // millions of dropped rows made the old collect a multi-GB
-      // driver OOM that foreachBatch then replayed forever). The
-      // underscore prefix hides the scratch dir from the index's
-      // partition discovery; overwrite keeps replays idempotent.
-      val dropsDir = s"$indexPath/_drops/batch=$batchId"
-      dropInBatch.union(dropCross).distinct()
-        .write.mode("overwrite").parquet(dropsDir)
-      val dropDf = spark.read
-        // resolver-aware field lookup, NOT exact-case schema(idCol): a
-        // case-variant id column resolves fine everywhere col(idCol)
-        // is used, and an exact-case miss HERE would throw mid-batch
-        // after the drops parquet was written — wedging every replay
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          batch.schema.fields
-            .find(f => graft.Cols.same(batch)(f.name, idCol))
-            .getOrElse(throw new IllegalArgumentException(
-              s"band gate: no column '$idCol' (session resolver)")))))
-        .parquet(dropsDir)
-      // No broadcast hint (unbounded bytes for the same reason); AQE
-      // broadcasts the usual tiny drop set at runtime on its own.
-      val kept = batch.join(dropDf, Seq(idCol), "left_anti")
+      val (kept, dropDf) = materializeDropsAndKeep(batch,
+        dropInBatch.union(dropCross), indexPath, batchId, idCol, "band gate")
       // Persist survivors' bands BEFORE returning (overwrite = replay
       // rewrites, never duplicates): the caller's write of `kept` must
       // observe an index that already covers this batch.
       banded.join(dropDf, Seq(idCol), "left_anti").select("band")
         .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
-      // Retention for the drop scratch: only THIS batch's frame ever
-      // reads its _drops dir, so strictly-older dirs are dead the
-      // moment their own foreachBatch call returned — without cleanup
-      // a long-lived stream accumulates one dir per micro-batch
-      // forever. (The band index itself is the product; _drops is
-      // scratch.) Deleting here, before returning, is replay-safe: a
-      // replayed batch N re-creates its own dir via overwrite.
-      val dropsRoot = new org.apache.hadoop.fs.Path(s"$indexPath/_drops")
-      if (fs.exists(dropsRoot)) {
-        fs.listStatus(dropsRoot).foreach { st =>
-          val n = st.getPath.getName
-          if (n.startsWith("batch=") &&
-              scala.util.Try(n.stripPrefix("batch=").toLong).toOption
-                .exists(_ < batchId)) {
-            fs.delete(st.getPath, true); ()
-          }
-        }
-      }
+      reapDropScratch(spark, indexPath, batchId)
       kept
     } finally banded.unpersist()
   }
 
-  /** Compact a band-gate index: merge every `batch=<j>` dir with
-    * j <= `upToBatch` (plus any previously-compacted blob) into ONE
-    * versioned parquet blob under `_compact/` and delete the merged
-    * dirs. WHY this exists at scale: the gate writes one directory per
-    * micro-batch forever, so a year-long stream at a 1-minute trigger
-    * accumulates ~500k dirs — and every micro-batch's cross-batch
-    * probe pays partition DISCOVERY over all of them before reading a
-    * byte. After compaction the probe reads one blob plus the few
-    * post-mark dirs. Band content is already distinct across the index
-    * by construction (a row sharing a band with any earlier survivor
-    * was dropped, so its bands never entered), so the merge shrinks
-    * file counts, not rows; `distinct()` is still applied to absorb
-    * crash-duplicated reads.
+  /** The band gates' index row type: one short band-key string per
+    * retained (doc|asset, band). */
+  private val bandOnlySchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.StringType)))
+
+  /** Strictly-earlier survivor state of a gate index as seen by batch
+    * `batchId`: per-batch dirs ABOVE the compaction mark plus the
+    * published blob(s), all under the explicit `dataSchema`.
+    *
+    * Compaction awareness (see [[compactBandIndex]]): batches at or
+    * below the high-water mark were merged into the versioned blobs
+    * and their per-batch dirs deleted — their strictly-earlier state
+    * is no longer reconstructible, so a replay THERE must fail loudly
+    * instead of silently screening against too much (or, after the
+    * dirs are gone, too little). The compaction contract is that the
+    * stream's checkpoint has committed past the mark, so this throw is
+    * unreachable in a correct deployment; it exists for the operator
+    * who compacts a LIVE batch id.
+    *
+    * Replay safety: a crash between an attempt's partial batch=N write
+    * and the sink commit can leave indexPath existing but holding NO
+    * readable data files (e.g. only a _temporary dir), so schema
+    * INFERENCE would throw and wedge every later micro-batch. The
+    * explicit schema (dataSchema + the batch partition column) never
+    * infers: an effectively-empty index reads as zero rows and the
+    * replay proceeds down the normal path.
+    *
+    * Dir pruning: `batch > hwm` — per-batch dirs at or below the mark
+    * may still exist mid-compaction or through the sweep's grace cycle
+    * (the blob is written and published BEFORE the dirs are deleted) —
+    * reading both would only duplicate rows, which the drop-set
+    * distinct absorbs, but excluding them keeps the scan pruned. */
+  private def readGateIndex(spark: SparkSession, indexPath: String,
+                            batchId: Long, who: String,
+                            dataSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val fs = fsFor(spark, indexPath)
+    val st = compactState(fs, indexPath)
+    if (batchId <= st.hwm)
+      throw new IllegalStateException(
+        s"$who: batch $batchId replayed at or below the " +
+          s"compaction high-water mark ${st.hwm} of $indexPath — only " +
+          "compact batches strictly below the stream's committed " +
+          "progress")
+    val indexSchema = org.apache.spark.sql.types.StructType(
+      dataSchema.fields :+ org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.LongType))
+    val dataCols = dataSchema.fieldNames.toSeq.map(col)
+    val dirIndex =
+      if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
+        spark.read.schema(indexSchema)
+          .option("basePath", indexPath).parquet(indexPath)
+          .where(col("batch") > st.hwm && col("batch") < batchId)
+          .select(dataCols: _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        dataSchema)
+    // Blob legs of the probe: the L1 main blob plus however many L0
+    // sub-blobs the leveled compaction currently holds (bounded by
+    // its maxL0/fraction rules) — one multi-path read, not one job
+    // per blob.
+    val blobPaths =
+      (if (st.l1 >= 0L) Seq(compactDataPath(indexPath, st.l1)) else Nil) ++
+        st.l0.map(l0DataPath(indexPath, _))
+    if (blobPaths.isEmpty) dirIndex
+    else dirIndex.unionAll(spark.read.schema(dataSchema)
+      .parquet(blobPaths: _*))
+  }
+
+  /** Materialize the batch's dropped-id set and derive the kept rows —
+    * shared by the band gates and the semantic gate. The drop set is
+    * materialized NOW — the returned `kept` frame must not hold a lazy
+    * scan of indexPath, which the caller writes next — but to a FILE,
+    * not the driver: the row count is batch-bounded, the BYTES are not
+    * (a catch-up micro-batch after an outage can be the whole backlog,
+    * and string ids at tens of millions of dropped rows made the old
+    * collect a multi-GB driver OOM that foreachBatch then replayed
+    * forever). The underscore prefix hides the scratch dir from the
+    * index's partition discovery; overwrite keeps replays idempotent.
+    * No broadcast hint on the drop side (unbounded bytes for the same
+    * reason); AQE broadcasts the usual tiny drop set at runtime on its
+    * own. */
+  private def materializeDropsAndKeep(batch: DataFrame, dropIds: DataFrame,
+                                      indexPath: String, batchId: Long,
+                                      idCol: String,
+                                      who: String): (DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    val dropsDir = s"$indexPath/_drops/batch=$batchId"
+    dropIds.distinct().write.mode("overwrite").parquet(dropsDir)
+    val dropDf = spark.read
+      // resolver-aware field lookup, NOT exact-case schema(idCol): a
+      // case-variant id column resolves fine everywhere col(idCol)
+      // is used, and an exact-case miss HERE would throw mid-batch
+      // after the drops parquet was written — wedging every replay
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        batch.schema.fields
+          .find(f => graft.Cols.same(batch)(f.name, idCol))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$who: no column '$idCol' (session resolver)")))))
+      .parquet(dropsDir)
+    (batch.join(dropDf, Seq(idCol), "left_anti"), dropDf)
+  }
+
+  /** Retention for the drop scratch: only THIS batch's frame ever
+    * reads its _drops dir, so strictly-older dirs are dead the moment
+    * their own foreachBatch call returned — without cleanup a
+    * long-lived stream accumulates one dir per micro-batch forever.
+    * (The index itself is the product; _drops is scratch.) Deleting
+    * before returning is replay-safe: a replayed batch N re-creates
+    * its own dir via overwrite. */
+  private def reapDropScratch(spark: SparkSession, indexPath: String,
+                              batchId: Long): Unit = {
+    val fs = fsFor(spark, indexPath)
+    val dropsRoot = new org.apache.hadoop.fs.Path(s"$indexPath/_drops")
+    if (fs.exists(dropsRoot)) {
+      fs.listStatus(dropsRoot).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch=") &&
+            scala.util.Try(n.stripPrefix("batch=").toLong).toOption
+              .exists(_ < batchId)) {
+          fs.delete(st.getPath, true); ()
+        }
+      }
+    }
+  }
+
+  /** Compact a band-gate index — LEVELED (r16 verdict #1): fold the
+    * `batch=<j>` dirs with j <= the mark into a SMALL L0 sub-blob per
+    * trigger, and merge into the big L1 blob only when the accumulated
+    * L0 bytes exceed `l0Fraction` of it. WHY this exists at scale: the
+    * gate writes one directory per micro-batch forever, so a year-long
+    * stream at a 1-minute trigger accumulates ~500k dirs — and every
+    * micro-batch's cross-batch probe pays partition DISCOVERY over all
+    * of them before reading a byte. After compaction the probe reads
+    * one L1 blob, at most `maxL0` sub-blobs, and the few post-mark
+    * dirs. WHY leveled and not one monolithic blob (the r16 shape):
+    * rewriting the whole blob per trigger costs O(N²/k) lifetime
+    * band-writes over N batches at `compactEvery = k`, with the
+    * full-index distinct() shuffle stalling foreachBatch every trigger.
+    * Here a routine trigger writes ONLY the just-folded dirs' bands —
+    * per-trigger cost is flat in total index size — while the L1 merge
+    * runs ever more rarely as L1 grows (geometric growth: total L1
+    * rewrite bytes over the stream's life are O(N/l0Fraction), and
+    * each band is rewritten O(log N) times overall). Band content is
+    * already distinct across the index by construction (a row sharing
+    * a band with any earlier survivor was dropped, so its bands never
+    * entered); `distinct()` per written blob absorbs crash-duplicated
+    * reads.
+    *
+    * The three trigger shapes, chosen per call:
+    *  - PROMOTE (no L1 yet, or L0 bytes + incoming > l0Fraction·L1):
+    *    L1 ∪ all L0 sub-blobs ∪ new dirs → one new L1; L0 empties.
+    *  - CONSOLIDATE (L0 sub-blob count would exceed `maxL0`): all L0
+    *    sub-blobs ∪ new dirs → ONE new sub-blob; L1 untouched. Keeps
+    *    the probe's file count bounded even when L1 dwarfs the stream's
+    *    weekly intake (the promote condition alone could let thousands
+    *    of tiny sub-blobs pile up under a huge L1).
+    *  - FOLD (the routine case): new dirs → one new sub-blob appended
+    *    to the L0 list; nothing else rewritten.
+    * `l0Fraction = 0` forces PROMOTE every trigger — the r16 monolithic
+    * behavior, kept reachable for A/B measurement.
     *
     * CONTRACT: `upToBatch` must be strictly below the stream's
     * COMMITTED progress — after compaction, per-batch state at or
@@ -725,123 +934,229 @@ object StreamingOps {
     * replays the last uncommitted batch, so any `upToBatch <=
     * lastCommitted - 1` is safe). The gate enforces this loudly: a
     * screen call with `batchId <= hwm` throws IllegalStateException.
+    * The PUBLISHED mark is additionally clamped to the highest
+    * `batch=` dir id actually present (r16 ADVICE): marks above it buy
+    * nothing — the dirs they'd cover don't exist — and an over-advanced
+    * mark would wedge the FIRST delivery of every batch id at or below
+    * it. A call whose clamped mark does not advance past the current
+    * hwm (an idle index) is a silent no-op, not an error.
     *
     * Crash-safe by ordering (each step idempotent, re-runnable):
-    * (1) write the merged blob to `_compact/v=<n+1>` (overwrite);
+    * (1) write the new blob(s) to `_compact/v=<n+1>` / `_compact/
+    *     l0=<n+1>` (overwrite);
     * (2) PUBLISH by renaming a fully-written temp file into the
-    *     marker `_compact/hwm_<n+1>` (content: upToBatch) — readers
-    *     pick the HIGHEST marker, so the old state stays authoritative
-    *     until this atomic rename;
-    * (3) sweep merged batch dirs and every stale blob/marker version —
-    *     a crash mid-(3) only leaves garbage that readers ignore
-    *     (dirs <= hwm are excluded from the probe scan; duplicate
-    *     bands would be harmless anyway) and the next compaction
-    *     sweeps.
-    * Single-writer: run one compaction at a time per index (it is an
-    * offline/maintenance pass); concurrent compactions of the SAME
-    * index could interleave sweeps and publishes. Gate micro-batches
-    * may keep running concurrently — that is the design. */
+    *     marker `_compact/hwm_<n+1>` (content: the mark plus the live
+    *     blob versions) — readers pick the HIGHEST marker, so the old
+    *     state stays authoritative until this atomic rename;
+    * (3) sweep merged batch dirs, then stale blobs/markers with ONE
+    *     CYCLE of grace (r16 ADVICE): the previous marker and every
+    *     blob it references SURVIVE this sweep and are reclaimed by
+    *     the NEXT compaction — a gate micro-batch that resolved the
+    *     old marker just before this publish keeps every blob it
+    *     plans to scan. A crash mid-(3) only leaves garbage that
+    *     readers ignore and the next compaction sweeps.
+    *
+    * CONCURRENT GATE CAVEAT (r16 verdict #3): the grace cycle protects
+    * the old marker's BLOBS, but the batch dirs this call merges are
+    * deleted in the same sweep — a gate micro-batch that listed those
+    * dirs under the old marker can lose them mid-scan and fail its
+    * read task (transient: the stream restart replays the batch, whose
+    * id is above the new mark, so recovery is clean; with
+    * `spark.sql.files.ignoreMissingFiles=true` the probe would instead
+    * silently under-screen that one attempt — leave it off for gate
+    * sessions). The in-stream `compactEvery` trigger is immune (it
+    * runs serialized inside foreachBatch); an EXTERNAL compaction
+    * concurrent with a live gate accepts that one-transient-failure
+    * window. Single-writer: run one compaction at a time per index;
+    * concurrent compactions of the SAME index could interleave sweeps
+    * and publishes. */
   def compactBandIndex(spark: SparkSession, indexPath: String,
-                       upToBatch: Long): Unit = {
+                       upToBatch: Long, l0Fraction: Double = 0.25,
+                       maxL0: Int = 16): Unit =
+    compactGateIndex(spark, indexPath, upToBatch, bandOnlySchema,
+      l0Fraction, maxL0)
+
+  /** [[compactBandIndex]] for a SEMANTIC gate index
+    * ([[semNearDupScreenBatch]]) — same leveled machinery, marker
+    * protocol, clamp, and grace cycle; only the row schema differs
+    * (cluster + vector + int8 screen payload instead of a band
+    * string). */
+  def compactSemIndex(spark: SparkSession, indexPath: String,
+                      upToBatch: Long, l0Fraction: Double = 0.25,
+                      maxL0: Int = 16): Unit =
+    compactGateIndex(spark, indexPath, upToBatch, semIndexSchema,
+      l0Fraction, maxL0)
+
+  private def compactGateIndex(spark: SparkSession, indexPath: String,
+                               upToBatch: Long,
+                               dataSchema: org.apache.spark.sql.types.StructType,
+                               l0Fraction: Double,
+                               maxL0: Int): Unit = {
     require(upToBatch >= 0L, s"upToBatch $upToBatch must be >= 0")
+    require(l0Fraction >= 0.0, s"l0Fraction $l0Fraction must be >= 0")
+    require(maxL0 >= 1, s"maxL0 $maxL0 must be >= 1")
     val fs = fsFor(spark, indexPath)
     val root = new org.apache.hadoop.fs.Path(indexPath)
     if (!fs.exists(root)) return
-    val (hwm, version) = compactHighWaterMark(fs, indexPath)
-    require(upToBatch > hwm,
-      s"compactBandIndex: upToBatch $upToBatch is not above the " +
-        s"current high-water mark $hwm — nothing to merge")
-    val bandOnlySchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("band",
-        org.apache.spark.sql.types.StringType)))
-    val indexSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("band",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("batch",
-        org.apache.spark.sql.types.LongType)))
-    // Source = old blob (if any) ∪ dirs in (hwm, upToBatch]. Dirs at
-    // or below hwm can linger from a crashed prior step (3); they are
-    // NOT re-read — their content is already in the old blob.
+    val prev = compactState(fs, indexPath)
+    require(upToBatch > prev.hwm,
+      s"compactGateIndex: upToBatch $upToBatch is not above the " +
+        s"current high-water mark ${prev.hwm} — nothing to merge")
+    // Clamp (r16 ADVICE): the mark never advances past the highest dir
+    // id actually present — see the scaladoc contract.
+    val dirIds = fs.listStatus(root).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("batch="))
+        scala.util.Try(n.stripPrefix("batch=").toLong).toOption
+      else None
+    }
+    val mark = math.min(upToBatch,
+      math.max(dirIds.foldLeft(-1L)(math.max), prev.hwm))
+    if (mark <= prev.hwm) return // idle index: nothing new to fold
+    val indexSchema = org.apache.spark.sql.types.StructType(
+      dataSchema.fields :+ org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.LongType))
+    val dataCols = dataSchema.fieldNames.toSeq.map(col)
+    // New intake = dirs in (hwm, mark]. Dirs at or below hwm can
+    // linger from a prior cycle's grace window or a crashed sweep;
+    // they are NOT re-read — their content is already in the blobs.
     val dirBands = spark.read.schema(indexSchema)
       .option("basePath", indexPath).parquet(indexPath)
-      .where(col("batch") > hwm && col("batch") <= upToBatch)
-      .select("band")
-    val merged =
-      if (version < 0L) dirBands
-      else dirBands.unionAll(spark.read.schema(bandOnlySchema)
-        .parquet(compactDataPath(indexPath, version)))
-    val nextVersion = version + 1L
-    merged.distinct()
-      .write.mode("overwrite").parquet(compactDataPath(indexPath, nextVersion))
+      .where(col("batch") > prev.hwm && col("batch") <= mark)
+      .select(dataCols: _*)
+    def bytesOf(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+    }
+    val l1Bytes = if (prev.l1 < 0L) 0L else bytesOf(compactDataPath(indexPath, prev.l1))
+    val l0Bytes = prev.l0.map(v => bytesOf(l0DataPath(indexPath, v))).sum
+    val newBytes = dirIds.filter(id => id > prev.hwm && id <= mark)
+      .map(id => bytesOf(s"$indexPath/batch=$id")).sum
+    val l0Paths = prev.l0.map(l0DataPath(indexPath, _))
+    def readBlobs(paths: Seq[String]) =
+      spark.read.schema(dataSchema).parquet(paths: _*)
+    val nextVersion = prev.version + 1L
+    val promote = prev.l1 < 0L || (l0Bytes + newBytes) > l0Fraction * l1Bytes
+    val (l1Out, l0Out) =
+      if (promote) {
+        val all = (if (prev.l1 < 0L) Nil
+          else Seq(compactDataPath(indexPath, prev.l1))) ++ l0Paths
+        val merged =
+          if (all.isEmpty) dirBands else dirBands.unionAll(readBlobs(all))
+        merged.distinct().write.mode("overwrite")
+          .parquet(compactDataPath(indexPath, nextVersion))
+        (nextVersion, Seq.empty[Long])
+      } else if (prev.l0.size + 1 > maxL0) {
+        val sub =
+          if (l0Paths.isEmpty) dirBands else dirBands.unionAll(readBlobs(l0Paths))
+        sub.distinct().write.mode("overwrite")
+          .parquet(l0DataPath(indexPath, nextVersion))
+        (prev.l1, Seq(nextVersion))
+      } else {
+        dirBands.distinct().write.mode("overwrite")
+          .parquet(l0DataPath(indexPath, nextVersion))
+        (prev.l1, prev.l0 :+ nextVersion)
+      }
     // Publish: write the marker to a dot-prefixed temp name (readers'
     // listStatus filter never sees it), then RENAME into place — the
     // rename is the atomic switch, so a concurrent gate read can never
-    // glimpse a created-but-unwritten marker and NumberFormatException
-    // on its empty content.
+    // glimpse a created-but-unwritten marker and fail parsing its
+    // empty content.
     val marker = new org.apache.hadoop.fs.Path(
       s"$indexPath/_compact/hwm_$nextVersion")
     val tmp = new org.apache.hadoop.fs.Path(
       s"$indexPath/_compact/.hwm_$nextVersion.tmp")
     val out = fs.create(tmp, true)
-    try out.write(s"$upToBatch\n".getBytes("UTF-8")) finally out.close()
+    try out.write(s"$mark l1=$l1Out l0=${l0Out.mkString(";")}\n".getBytes("UTF-8"))
+    finally out.close()
     fs.delete(marker, false) // a crashed prior publish of the SAME version
     if (!fs.rename(tmp, marker))
       throw new java.io.IOException(
         s"compactBandIndex: could not publish $marker")
-    // Sweep: merged dirs, then EVERY stale blob/marker version (not
-    // just the immediately-previous one — stacked crashed runs can
-    // leave older orphans; readers ignore them, but they are dead
-    // weight).
+    // Sweep: merged dirs first, then stale blobs/markers with one cycle
+    // of grace — version `prev.version` and every blob IT references
+    // survive until the next compaction (see the scaladoc's concurrent
+    // gate caveat); everything older, plus crash orphans no marker
+    // references, goes now.
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("batch=") &&
           scala.util.Try(n.stripPrefix("batch=").toLong).toOption
-            .exists(_ <= upToBatch)) {
+            .exists(_ <= mark)) {
         fs.delete(st.getPath, true); ()
       }
     }
+    val keepMarkers = Set(nextVersion, prev.version)
+    val keepBlobs: Set[String] =
+      (if (l1Out >= 0L) Set(s"v=$l1Out") else Set.empty[String]) ++
+        l0Out.map(v => s"l0=$v") ++
+        (if (prev.l1 >= 0L) Set(s"v=${prev.l1}") else Set.empty[String]) ++
+        prev.l0.map(v => s"l0=$v")
     val compactDir = new org.apache.hadoop.fs.Path(s"$indexPath/_compact")
     fs.listStatus(compactDir).foreach { st =>
       val n = st.getPath.getName
       val stale =
         (n.startsWith("hwm_") &&
           scala.util.Try(n.stripPrefix("hwm_").toLong).toOption
-            .exists(_ < nextVersion)) ||
-        (n.startsWith("v=") &&
-          scala.util.Try(n.stripPrefix("v=").toLong).toOption
-            .exists(_ < nextVersion)) ||
+            .exists(v => !keepMarkers.contains(v))) ||
+        ((n.startsWith("v=") || n.startsWith("l0=")) && !keepBlobs.contains(n)) ||
         n.endsWith(".tmp")
       if (stale) { fs.delete(st.getPath, true); () }
     }
   }
 
-  /** (high-water mark, blob version) of a band-gate index, or (-1, -1)
-    * when never compacted. Readers pick the HIGHEST hwm_<n> marker —
-    * see [[compactBandIndex]]'s publish/sweep ordering for why stale
-    * lower markers may coexist briefly and are safe to ignore. */
-  private def compactHighWaterMark(fs: org.apache.hadoop.fs.FileSystem,
-                                   indexPath: String): (Long, Long) = {
+  /** Published compaction state of a band-gate index: the high-water
+    * mark, the marker version, the L1 blob version (-1 = none), and
+    * the live L0 sub-blob versions. [[CompactState.never]] when never
+    * compacted. */
+  private[streaming] final case class CompactState(
+      hwm: Long, version: Long, l1: Long, l0: Seq[Long])
+  private[streaming] object CompactState {
+    val never: CompactState = CompactState(-1L, -1L, -1L, Nil)
+  }
+
+  /** Read the newest published [[CompactState]]. Readers pick the
+    * HIGHEST hwm_<n> marker — see [[compactBandIndex]]'s publish/sweep
+    * ordering for why one stale lower marker coexists by design (the
+    * grace cycle) and is safe to ignore. Marker content is
+    * `<hwm> l1=<v|-1> l0=<v;v;...>`; a bare `<hwm>` (the pre-leveled
+    * format) reads as L1 = the marker's own version, no L0 — indexes
+    * compacted by the monolithic implementation stay readable. */
+  private def compactState(fs: org.apache.hadoop.fs.FileSystem,
+                           indexPath: String): CompactState = {
     val dir = new org.apache.hadoop.fs.Path(s"$indexPath/_compact")
-    if (!fs.exists(dir)) return (-1L, -1L)
+    if (!fs.exists(dir)) return CompactState.never
     val versions = fs.listStatus(dir).flatMap { st =>
       val n = st.getPath.getName
       if (n.startsWith("hwm_"))
         scala.util.Try(n.stripPrefix("hwm_").toLong).toOption
       else None
     }
-    if (versions.isEmpty) return (-1L, -1L)
+    if (versions.isEmpty) return CompactState.never
     val v = versions.max
     val in = fs.open(new org.apache.hadoop.fs.Path(s"$indexPath/_compact/hwm_$v"))
-    val hwm =
+    val content =
       try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        "UTF-8").trim.toLong
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
       finally in.close()
-    (hwm, v)
+    val tokens = content.split("\\s+").toSeq
+    val hwm = tokens.head.toLong
+    if (tokens.size == 1) CompactState(hwm, v, v, Nil) // legacy format
+    else {
+      def tok(prefix: String): Option[String] =
+        tokens.find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+      val l1 = tok("l1=").map(_.toLong).getOrElse(v)
+      val l0 = tok("l0=").toSeq.flatMap(_.split(";").toSeq)
+        .filter(_.nonEmpty).map(_.toLong)
+      CompactState(hwm, v, l1, l0)
+    }
   }
 
   private def compactDataPath(indexPath: String, version: Long): String =
     s"$indexPath/_compact/v=$version"
+
+  private def l0DataPath(indexPath: String, version: Long): String =
+    s"$indexPath/_compact/l0=$version"
 
   /** Streaming exact dedup on a (normalized) text key with BOUNDED
     * state: `dropDuplicatesWithinWatermark` keeps each key's state only

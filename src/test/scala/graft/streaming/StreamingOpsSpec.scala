@@ -189,6 +189,97 @@ class StreamingOpsSpec extends SparkSpec {
       s"gate bands ${bandsAfterReplay.toSet} != batch-path bands $expected")
   }
 
+  private def semModel = graft.index.IvfIndex.Model(IndexedSeq(
+    IndexedSeq(1.0, 0.0, 0.0, 0.0), IndexedSeq(0.0, 1.0, 0.0, 0.0)))
+
+  test("semNearDupIngestStream: semantic gate drops near-dups within and across batches, passes null vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Double], Timestamp)]
+    val dir = Files.createTempDirectory("graft-semgate").toString
+    val q = StreamingOps.semNearDupIngestStream(
+      input.toDF().toDF("id", "vec", "ts"),
+      s"$dir/index", s"$dir/kept", s"$dir/ckpt",
+      semModel, threshold = 0.9)
+    try {
+      // Batch 1: doc 2 is cosine ~0.995 to doc 1 (same cluster) ->
+      // in-batch drop, first arrival keeps 1; doc 3 lives in the other
+      // cluster; doc 4 has NO vector -> no evidence, passes.
+      input.addData(
+        (1L, Seq(1.0, 0.0, 0.0, 0.0), ts(0)),
+        (2L, Seq(0.99, 0.1, 0.0, 0.0), ts(1)),
+        (3L, Seq(0.0, 1.0, 0.0, 0.0), ts(2)),
+        (4L, null, ts(3)))
+      q.processAllAvailable()
+      val kept1 = spark.read.parquet(s"$dir/kept").select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept1 == Set(1L, 3L, 4L), s"batch 1 kept: $kept1")
+      // Batch 2: doc 6 replays doc 1's vector -> cross-batch drop
+      // against the survivors index; doc 7 is near doc 3 -> cross
+      // drop; doc 8 is orthogonal to everything retained -> kept
+      // (it ties into cluster 0 by the lowest-index rule, where its
+      // cosine to doc 1 is 0).
+      input.addData(
+        (6L, Seq(1.0, 0.0, 0.0, 0.0), ts(10)),
+        (7L, Seq(0.0, 0.98, 0.2, 0.0), ts(11)),
+        (8L, Seq(0.0, 0.0, 0.0, 1.0), ts(12)))
+      q.processAllAvailable()
+      val kept2 = spark.read.parquet(s"$dir/kept").select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept2 == Set(1L, 3L, 4L, 8L), s"after batch 2 kept: $kept2")
+      // Index holds survivors' rows only (docs 1, 3, 8 — doc 4 had no
+      // vector, hence no index row), with the int8 screen payload.
+      val idx = spark.read.parquet(s"$dir/index")
+      assert(idx.count() == 3L, s"index rows: ${idx.count()}")
+      assert(idx.columns.toSet ==
+        Set("cluster", "vec", "q", "ua", "nrm", "sq", "batch"),
+        s"index columns: ${idx.columns.toSet}")
+    } finally q.stop()
+  }
+
+  test("semNearDupScreenBatch: replay idempotent; decisions match SemDedup.flag; compaction is layout-only") {
+    val dir = Files.createTempDirectory("graft-semgate-replay").toString
+    val twin = Files.createTempDirectory("graft-semgate-twin").toString
+    val rnd = new scala.util.Random(31)
+    // Duplicate-rich corpus: base directions plus jittered copies.
+    def jitter(v: Seq[Double]) = v.map(_ + (rnd.nextDouble() - 0.5) * 0.02)
+    val base = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.7, 0.7, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0))
+    val rows = (0 until 24).map { i =>
+      (i.toLong, jitter(base(i % base.length)), ts(i))
+    }
+    val b0 = rows.take(12).toDF("id", "vec", "ts")
+    val b1 = rows.drop(12).toDF("id", "vec", "ts")
+    def run(idx: String, batchId: Long, df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.semNearDupScreenBatch(df, idx, batchId,
+        "id", "vec", "ts", semModel, threshold = 0.98)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val kept0 = run(dir, 0L, b0)
+    // Replay of batch 0 sees the pre-batch state: same survivors, no
+    // index duplication.
+    assert(run(dir, 0L, b0) == kept0, "replay must be idempotent")
+    val idxRows = spark.read.parquet(dir).count()
+    assert(idxRows == kept0.size.toLong, s"index rows $idxRows != ${kept0.size}")
+    // Decision parity with the batch-mode SemDedup on one batch: with
+    // ts = arrival = id order, the gate's first-arrival rule IS
+    // flag()'s min-id survivor rule (both sides pair against ALL rows,
+    // not survivors — the same documented transitive over-drop).
+    val flagged = graft.ops.SemDedup.flag(b0, "id", "vec", semModel,
+        threshold = 0.98)
+      .where(col("is_dup") === 0).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept0 == flagged, s"gate $kept0 != SemDedup.flag $flagged")
+    // Cross-batch decisions are invariant under compactSemIndex: twin
+    // index runs the same batches with a compaction in between.
+    assert(run(twin, 0L, b0) == kept0)
+    StreamingOps.compactSemIndex(spark, twin, upToBatch = 0L)
+    val k1 = run(dir, 1L, b1)
+    val k1Twin = run(twin, 1L, b1)
+    assert(k1 == k1Twin, s"compaction changed decisions: $k1 vs $k1Twin")
+    // And the compacted twin refuses a replay at/below its mark.
+    intercept[IllegalStateException] { run(twin, 0L, b0) }
+  }
+
   test("nearDupScreenBatch: replaying a batch id is idempotent (no self-collision, no index dup)") {
     val dir = Files.createTempDirectory("graft-neardup-replay").toString
     val b0 = Seq(
@@ -316,11 +407,14 @@ class StreamingOpsSpec extends SparkSpec {
     stale.mkdirs()
     java.nio.file.Files.write(stale.toPath.resolve("_SUCCESS"), Array.empty[Byte])
     StreamingOps.compactBandIndex(spark, dir, upToBatch = 1L)
-    // Old blob version and marker swept, new ones live.
+    // New blob version and marker live; the PREVIOUS version survives
+    // one cycle (grace, r16 ADVICE: a gate that resolved hwm_0 just
+    // before this publish keeps the v=0 blob it planned to scan).
     val compactNames = Option(new java.io.File(s"$dir/_compact").listFiles())
-      .map(_.map(_.getName).toSet).getOrElse(Set.empty)
-    assert(compactNames.contains("hwm_1") && compactNames.contains("v=1") &&
-      !compactNames.contains("hwm_0") && !compactNames.contains("v=0"),
+      .map(_.map(_.getName).filterNot(_.startsWith(".")).toSet)
+      .getOrElse(Set.empty)
+    assert(compactNames.contains("hwm_1") &&
+      compactNames.contains("hwm_0") && compactNames.contains("v=0"),
       s"compact dir after second pass: $compactNames")
     // Both original docs' bands still screen: replays of their text drop.
     val kept = run(2L, batchDf(
@@ -328,13 +422,30 @@ class StreamingOpsSpec extends SparkSpec {
       (8L, "completely different text about spark streaming engines", 10),
       (9L, "genuinely new text that shares no shingles with anything", 11)))
     assert(kept == Set(9L), s"after second compaction kept: $kept")
+    // A THIRD compaction reclaims the version-0 grace garbage: only
+    // versions 2 and 1 remain afterwards.
+    StreamingOps.compactBandIndex(spark, dir, upToBatch = 2L)
+    val afterThird = Option(new java.io.File(s"$dir/_compact").listFiles())
+      .map(_.map(_.getName).filterNot(_.startsWith(".")).toSet)
+      .getOrElse(Set.empty)
+    assert(!afterThird.contains("hwm_0") && !afterThird.contains("v=0") &&
+      afterThird.contains("hwm_2"),
+      s"compact dir after third pass: $afterThird")
+    // And the fully-folded index still screens everything it ever kept.
+    val kept3 = run(3L, batchDf(
+      (10L, "genuinely new text that shares no shingles with anything", 12),
+      (11L, "a sentence this index has never seen in any batch before", 13)))
+    assert(kept3 == Set(11L), s"after third compaction kept: $kept3")
   }
 
-  test("compactBandIndex: blob-only advance (no new dirs) is a no-op merge, not a failure") {
-    // An operator cron-compacting an idle index: the mark advances but
-    // every band already lives in the blob — the merge must republish
-    // cleanly (new version, same content), not throw on the empty dir
-    // scan.
+  test("compactBandIndex: an over-advanced mark is CLAMPED to the dirs that exist") {
+    // An operator cron-compacting an idle index with a generous mark
+    // (upToBatch = 5 when only batch 0 ever ran): pre-clamp, the
+    // published hwm jumped to 5 and the FIRST delivery of batches 1-5
+    // would throw the replay guard — the stream permanently wedged
+    // until manual marker surgery (r16 ADVICE). The mark now clamps to
+    // max(highest existing dir id, current hwm): marks above the max
+    // dir buy nothing, so the idle advance is a silent no-op.
     val dir = Files.createTempDirectory("graft-compact-idle").toString
     val b0 = Seq((1L, "the quick brown fox jumps over the lazy dog", ts(0)))
       .toDF("id", "text", "ts")
@@ -343,19 +454,128 @@ class StreamingOpsSpec extends SparkSpec {
         .select("id").collect().map(_.getLong(0)).toSet
     run(0L, b0)
     StreamingOps.compactBandIndex(spark, dir, upToBatch = 0L)
-    StreamingOps.compactBandIndex(spark, dir, upToBatch = 5L) // idle advance
+    StreamingOps.compactBandIndex(spark, dir, upToBatch = 5L) // idle advance: no-op
     // Dot-prefixed names (local-FS .crc sidecars, tmp files) are
     // reader-invisible — filter them like the readers do.
     val compactNames = Option(new java.io.File(s"$dir/_compact").listFiles())
       .map(_.map(_.getName).filterNot(_.startsWith(".")).toSet)
       .getOrElse(Set.empty)
-    assert(compactNames == Set("hwm_1", "v=1"), s"after idle advance: $compactNames")
-    // The advanced mark still screens: a batch 6 replay of doc 1's
-    // text drops against the blob; batch <= 5 is refused.
-    val b6 = Seq((9L, "the quick brown fox jumps over the lazy dog", ts(9)))
+    assert(compactNames == Set("hwm_0", "v=0"),
+      s"after clamped idle advance: $compactNames")
+    // THE un-wedging this clamp exists for: batch 1's first delivery
+    // (id <= the naive mark of 5) screens normally instead of hitting
+    // the replay guard, and cross-batch drops against the blob hold.
+    val b1 = Seq(
+      (8L, "the quick brown fox jumps over the lazy dog", ts(8)),   // dups blob
+      (9L, "a wholly new sentence with no shared shingles anywhere", ts(9)))
       .toDF("id", "text", "ts")
-    assert(run(6L, b6) == Set.empty[Long])
-    intercept[IllegalStateException] { run(5L, b6) }
+    assert(run(1L, b1) == Set(9L), "batch 1 must screen, not wedge")
+    // Replay at/below the REAL mark stays refused.
+    intercept[IllegalStateException] { run(0L, b0) }
+  }
+
+  test("leveled compaction: routine triggers write L0 sub-blobs; consolidation bounds the count; promote folds into L1") {
+    // The r16 verdict #1 shape: a routine trigger must write ONLY the
+    // just-folded dirs' bands (an l0= sub-blob), never rewrite L1; the
+    // sub-blob count stays bounded by maxL0 via consolidation; and a
+    // promote merges everything into one new L1. Decisions are pinned
+    // by the uncompacted twin at every step.
+    val dir = Files.createTempDirectory("graft-leveled").toString
+    val twin = Files.createTempDirectory("graft-leveled-twin").toString
+    val pool = Vector(
+      "the quick brown fox jumps over the lazy dog",
+      "completely different text about spark streaming engines and state",
+      "another unrelated document mentioning catalysts and codegen",
+      "fresh content that matches nothing else in this fixture at all",
+      "a fifth distinct sentence with its own vocabulary entirely",
+      "sixth unique sentence carrying yet more distinct shingle mass",
+      "seventh fixture sentence introducing brand new shingle material")
+    def run(idx: String, batchId: Long, rows: Seq[(Long, String)]) =
+      StreamingOps.nearDupScreenBatch(
+        rows.map { case (id, t) => (id, t, ts(id.toInt)) }.toDF("id", "text", "ts"),
+        idx, batchId, "id", "text", "ts")
+        .select("id").collect().map(_.getLong(0)).toSet
+    def both(batchId: Long, rows: Seq[(Long, String)]): Set[Long] = {
+      val a = run(dir, batchId, rows)
+      val b = run(twin, batchId, rows)
+      assert(a == b, s"batch $batchId diverged: leveled=$a twin=$b")
+      a
+    }
+    def names(): Set[String] =
+      Option(new java.io.File(s"$dir/_compact").listFiles())
+        .map(_.map(_.getName).filterNot(_.startsWith(".")).toSet)
+        .getOrElse(Set.empty)
+    val noL1 = 1e9 // fraction high enough that nothing ever promotes
+    both(0L, Seq(1L -> pool(0), 2L -> pool(1)))
+    StreamingOps.compactBandIndex(spark, dir, 0L, l0Fraction = noL1, maxL0 = 2)
+    assert(names().contains("v=0"), s"first compaction must create L1: ${names()}")
+    both(1L, Seq(3L -> pool(2), 4L -> pool(0))) // 4 dups L1 content
+    StreamingOps.compactBandIndex(spark, dir, 1L, l0Fraction = noL1, maxL0 = 2)
+    assert(names().contains("l0=1") && names().contains("v=0") &&
+      !names().contains("v=1"),
+      s"routine trigger must fold into an L0 sub-blob, not rewrite L1: ${names()}")
+    both(2L, Seq(5L -> pool(3), 6L -> pool(2))) // 6 dups the l0=1 sub-blob
+    StreamingOps.compactBandIndex(spark, dir, 2L, l0Fraction = noL1, maxL0 = 2)
+    assert(names().contains("l0=2") && names().contains("l0=1"),
+      s"second routine fold appends a sub-blob: ${names()}")
+    // Third fold would make 3 sub-blobs > maxL0=2: consolidation merges
+    // all of L0 (plus the new dirs) into ONE sub-blob, L1 untouched.
+    both(3L, Seq(7L -> pool(4)))
+    StreamingOps.compactBandIndex(spark, dir, 3L, l0Fraction = noL1, maxL0 = 2)
+    assert(names().contains("l0=3") && names().contains("v=0"),
+      s"consolidation must produce one fresh sub-blob: ${names()}")
+    // Grace: the swept sub-blobs survive exactly one more cycle.
+    assert(names().contains("l0=1") && names().contains("l0=2"),
+      s"pre-consolidation sub-blobs keep one grace cycle: ${names()}")
+    both(4L, Seq(8L -> pool(5)))
+    StreamingOps.compactBandIndex(spark, dir, 4L, l0Fraction = noL1, maxL0 = 2)
+    assert(!names().contains("l0=1") && !names().contains("l0=2"),
+      s"grace expired — consolidated-away sub-blobs reclaimed: ${names()}")
+    // Promote (l0Fraction = 0 forces it): everything folds into a new
+    // L1; the L0 list empties.
+    both(5L, Seq(9L -> pool(6)))
+    StreamingOps.compactBandIndex(spark, dir, 5L, l0Fraction = 0.0, maxL0 = 2)
+    assert(names().contains("v=5"), s"promote must write a new L1: ${names()}")
+    // Every retained text still screens post-promote; fresh text passes.
+    val kept = both(6L, Seq(
+      20L -> pool(0), 21L -> pool(2), 22L -> pool(4), 23L -> pool(6),
+      24L -> "an entirely novel closing sentence unseen by either index"))
+    assert(kept == Set(24L), s"post-promote decisions: $kept")
+  }
+
+  test("compactState: a legacy bare-number marker (pre-leveled format) stays readable") {
+    val dir = Files.createTempDirectory("graft-legacy-marker").toString
+    val b0 = Seq((1L, "the quick brown fox jumps over the lazy dog", ts(0)))
+      .toDF("id", "text", "ts")
+    def run(batchId: Long, df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.nearDupScreenBatch(df, dir, batchId, "id", "text", "ts")
+        .select("id").collect().map(_.getLong(0)).toSet
+    run(0L, b0)
+    StreamingOps.compactBandIndex(spark, dir, upToBatch = 0L)
+    // Rewrite the marker to the r16 monolithic format: bare hwm, no
+    // blob fields — the blob version is implicitly the marker's own.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_compact/hwm_0"), "0\n".getBytes("UTF-8"))
+    // The direct rewrite bypassed Hadoop's checksum layer — drop the
+    // stale .crc sidecar or every read of the marker fails checksum.
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_compact/.hwm_0.crc"))
+    // Legacy read: the gate must resolve blob v=0 through the bare
+    // marker — the dup drops, and a replay below the mark is refused.
+    val b1 = Seq(
+      (7L, "the quick brown fox jumps over the lazy dog", ts(7)),
+      (8L, "a different sentence that matches nothing in the index", ts(8)))
+      .toDF("id", "text", "ts")
+    assert(run(1L, b1) == Set(8L), "legacy marker must still screen")
+    intercept[IllegalStateException] { run(0L, b0) }
+    // And the next compaction upgrades in place: new-format marker,
+    // old blob retained for the grace cycle, decisions intact.
+    StreamingOps.compactBandIndex(spark, dir, upToBatch = 1L)
+    val b2 = Seq(
+      (9L, "a different sentence that matches nothing in the index", ts(9)),
+      (10L, "yet another brand new sentence for the closing batch", ts(10)))
+      .toDF("id", "text", "ts")
+    assert(run(2L, b2) == Set(10L), "post-upgrade decisions must hold")
   }
 
   test("property: compaction at any mark preserves every gate decision (randomized batches)") {
@@ -390,8 +610,14 @@ class StreamingOpsSpec extends SparkSpec {
         val b = run(folded)
         assert(a == b,
           s"trial $trial batch $batchId diverged (compactAfter=$compactAfter): plain=$a folded=$b")
+        // Randomize the LEVELED knobs too: 0 = always promote (the
+        // monolithic shape), 0.25 = the default, 1e9 = never promote
+        // (pure L0 folds); maxL0 = 1 forces consolidation every
+        // trigger. Decisions must be invariant to all of it.
         if (batchId == compactAfter)
-          StreamingOps.compactBandIndex(spark, folded, upToBatch = batchId)
+          StreamingOps.compactBandIndex(spark, folded, upToBatch = batchId,
+            l0Fraction = Seq(0.0, 0.25, 1e9)(rnd.nextInt(3)),
+            maxL0 = Seq(1, 2, 16)(rnd.nextInt(3)))
       }
     }
   }
