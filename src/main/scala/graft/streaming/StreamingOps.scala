@@ -421,14 +421,14 @@ object StreamingOps {
     * whatever ids actually run). */
   private def maybeCompact(spark: SparkSession, indexPath: String,
                            batchId: Long, compactEvery: Int,
-                           dataSchema: org.apache.spark.sql.types.StructType = null): Unit =
+                           dataSchema: org.apache.spark.sql.types.StructType =
+                             bandOnlySchema): Unit =
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
       val fs = fsFor(spark, indexPath)
       val st = compactState(fs, indexPath)
       if (batchId - 1 > st.hwm)
         compactGateIndex(spark, indexPath, upToBatch = batchId - 1,
-          if (dataSchema == null) bandOnlySchema else dataSchema,
-          l0Fraction = 0.25, maxL0 = 16)
+          dataSchema, l0Fraction = 0.25, maxL0 = 16)
     }
 
   /** One micro-batch of the near-dup gate (also usable as a batch-mode

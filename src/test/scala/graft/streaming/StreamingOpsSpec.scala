@@ -578,6 +578,75 @@ class StreamingOpsSpec extends SparkSpec {
     assert(run(2L, b2) == Set(10L), "post-upgrade decisions must hold")
   }
 
+  test("compaction crash windows: orphan blobs and tmp markers are ignored and reclaimed") {
+    // A crash between step (1) blob write and step (2) marker publish
+    // leaves a blob no marker references; a crash mid-publish leaves a
+    // .tmp marker. Readers must ignore both (markers only, published
+    // names only) and the next compaction's sweep must reclaim them.
+    val dir = Files.createTempDirectory("graft-compact-orphan").toString
+    def batchDf(rows: (Long, String, Int)*) =
+      rows.map { case (id, t, m) => (id, t, ts(m)) }.toDF("id", "text", "ts")
+    def run(batchId: Long, df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.nearDupScreenBatch(df, dir, batchId, "id", "text", "ts")
+        .select("id").collect().map(_.getLong(0)).toSet
+    run(0L, batchDf((1L, "the quick brown fox jumps over the lazy dog", 0)))
+    StreamingOps.compactBandIndex(spark, dir, upToBatch = 0L)
+    // Crash leftovers: an unpublished L0 blob and a torn tmp marker.
+    val orphan = new java.io.File(s"$dir/_compact/l0=99")
+    orphan.mkdirs()
+    java.nio.file.Files.write(orphan.toPath.resolve("_SUCCESS"), Array.empty[Byte])
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_compact/.hwm_99.tmp"),
+      "torn".getBytes("UTF-8"))
+    // The gate resolves published state only: the dup still drops, the
+    // fresh doc passes, nothing throws on the torn marker.
+    val kept = run(1L, batchDf(
+      (7L, "the quick brown fox jumps over the lazy dog", 7),
+      (8L, "a brand new sentence sharing nothing with the corpus", 8)))
+    assert(kept == Set(8L), s"kept under orphans: $kept")
+    // The next compaction sweeps both orphans.
+    StreamingOps.compactBandIndex(spark, dir, upToBatch = 1L)
+    val names = Option(new java.io.File(s"$dir/_compact").listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    assert(!names.contains("l0=99") && !names.exists(_.endsWith(".tmp")),
+      s"orphans not reclaimed: $names")
+  }
+
+  test("semNearDupIngestStream with compactEvery: decisions unchanged, index folds under the sem schema") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Double], Timestamp)]
+    val dir = Files.createTempDirectory("graft-semcompact").toString
+    val q = StreamingOps.semNearDupIngestStream(
+      input.toDF().toDF("id", "vec", "ts"),
+      s"$dir/index", s"$dir/kept", s"$dir/ckpt",
+      semModel, threshold = 0.9, compactEvery = 1)
+    try {
+      input.addData(
+        (1L, Seq(1.0, 0.0, 0.0, 0.0), ts(0)),
+        (2L, Seq(0.0, 1.0, 0.0, 0.0), ts(1)))
+      q.processAllAvailable()
+      input.addData((3L, Seq(0.0, 0.0, 1.0, 0.0), ts(2)))
+      q.processAllAvailable()
+      // Batch 2 (trigger fired after batch 1 wrote, mark = 0): doc 4
+      // must still drop against batch 0's survivor — whose index row
+      // now lives in the compacted blob under the SEM schema.
+      input.addData(
+        (4L, Seq(0.99, 0.05, 0.0, 0.0), ts(3)),
+        (5L, Seq(0.0, 0.0, 0.0, 1.0), ts(4)))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$dir/kept").select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 3L, 5L), s"kept: $kept")
+      assert(new java.io.File(s"$dir/index/_compact").exists(),
+        "sem index must have compacted state")
+      val dirs = Option(new java.io.File(s"$dir/index").listFiles())
+        .map(_.map(_.getName).filter(_.startsWith("batch=")).toSet)
+        .getOrElse(Set.empty)
+      assert(dirs.subsetOf(Set("batch=1", "batch=2")),
+        s"unfolded sem batch dirs: $dirs")
+    } finally q.stop()
+  }
+
   test("property: compaction at any mark preserves every gate decision (randomized batches)") {
     // Randomized deepening of the twin-index pin: 3 trials of 3
     // batches drawn (with repetition) from a duplicate-rich pool; the
