@@ -21,6 +21,18 @@ object PerfProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Canary (the Bench seismograph, min-of-2): one reading per timed
+    // run, so probe numbers carry their own box-noise label — this box
+    // bursts 2-10x for minutes at a time and an unlabeled median is
+    // adjudication bait. Quiet reads ~0.05-0.18 s at local[32].
+    import org.apache.spark.sql.functions.{sum => fsum, col => fcol}
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 32L << 20, 1L, 32).agg(fsum(fcol("id"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // pay the canary's own codegen before reading it
+    def canary(): Double = math.min(canaryOnce(), canaryOnce())
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       // two warmups: the first JIT-compiles the scan/codegen stack, the
@@ -29,12 +41,15 @@ object PerfProbe {
       fn(spark, sfDir).collect()
       fn(spark, sfDir).collect()
       val ts = (1 to runs).map { _ =>
+        val c = canary()
         val t0 = System.nanoTime()
         fn(spark, sfDir).collect()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, c)
       }
-      val med = ts.sorted.apply(ts.size / 2)
-      println(f"PROBE $n%-24s runs=${ts.map(t => f"$t%.3f").mkString(",")} median=$med%.3f")
+      val med = ts.map(_._1).sorted.apply(ts.size / 2)
+      val quiet = ts.filter(_._2 <= 0.2).map(_._1)
+      val quietMin = if (quiet.nonEmpty) f"${quiet.min}%.3f" else "n/a"
+      println(f"PROBE $n%-24s runs=${ts.map(t => f"${t._1}%.3f@${t._2}%.2f").mkString(",")} median=$med%.3f quiet_min=$quietMin")
     }
     spark.stop()
   }

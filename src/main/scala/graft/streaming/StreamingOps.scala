@@ -736,33 +736,55 @@ object StreamingOps {
                                   idCol: String): DataFrame = {
     val spark = batch.sparkSession
     // Banding (shingle+minhash or decode+hash) is the operator's
-    // dominant per-row work and feeds FOUR consumers (first-per-band
-    // agg, in-batch probe, cross-batch probe, band write) — cache the
-    // batch-bounded result so it runs once, release before returning.
+    // dominant per-row work and feeds TWO consumers (the fused drop
+    // pass and the band write) — cache the batch-bounded result so it
+    // runs once, release before returning.
     val banded = banded0.persist()
+    val desc = spark.sparkContext.getLocalProperty("spark.job.description")
+    def label(s: String): Unit =
+      spark.sparkContext.setJobDescription(s"band gate b$batchId: $s")
     try {
-      // Within-batch: non-first arrival in ANY band drops. Ids are
-      // unique so __tie is a total order; min(__tie) per band is the
-      // band's first arrival.
-      val firstPerBand = banded.groupBy("band").agg(min("__tie").as("__first"))
-      val dropInBatch = banded.join(firstPerBand, "band")
-        .where(col("__tie") =!= col("__first"))
-        .select(col(idCol))
-      // Cross-batch: any band retained by an EARLIER batch drops —
-      // an equi-join on band against the index, never all-pairs.
+      // BOTH drop rules in ONE band-partitioned pass (r17): union the
+      // batch's band rows with the index's (tagged __idx) and window
+      // over band — min(__tie) across the BATCH rows is the in-batch
+      // first arrival, any __idx row is a cross-batch hit. The old
+      // shape (first-per-band partial agg + join back + a second join
+      // against the index) paid an extra exchange and two runtime
+      // broadcasts here; when the index outgrows the broadcast
+      // threshold — the normal state of a long-lived gate — it paid a
+      // full sort-merge shuffle of the banded rows ON TOP of the agg
+      // exchange. One window pass shuffles the banded rows once,
+      // whatever the index size.
       val index = readGateIndex(spark, indexPath, batchId, "band gate",
         bandOnlySchema)
-      val dropCross = banded.join(index, "band").select(col(idCol))
+      val indexLeg = index.select(
+        lit(null).cast(banded.schema(idCol).dataType).as(idCol),
+        lit(null).cast(banded.schema("__tie").dataType).as("__tie"),
+        col("band"), lit(1).as("__idx"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band")
+      val flagged = banded.withColumn("__idx", lit(0)).unionByName(indexLeg)
+        .withColumn("__first",
+          min(when(col("__idx") === 0, col("__tie"))).over(w))
+        .withColumn("__hit", max(col("__idx")).over(w))
+      val dropIds = flagged
+        .where(col("__idx") === 0 &&
+          (col("__hit") === 1 || col("__tie") =!= col("__first")))
+        .select(col(idCol))
+      label("screen + drop-set write")
       val (kept, dropDf) = materializeDropsAndKeep(batch,
-        dropInBatch.union(dropCross), indexPath, batchId, idCol, "band gate")
+        dropIds, indexPath, batchId, idCol, "band gate")
       // Persist survivors' bands BEFORE returning (overwrite = replay
       // rewrites, never duplicates): the caller's write of `kept` must
       // observe an index that already covers this batch.
+      label("survivor band write")
       banded.join(dropDf, Seq(idCol), "left_anti").select("band")
         .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
       reapDropScratch(spark, indexPath, batchId)
       kept
-    } finally banded.unpersist()
+    } finally {
+      spark.sparkContext.setJobDescription(desc)
+      banded.unpersist()
+    }
   }
 
   /** The band gates' index row type: one short band-key string per
