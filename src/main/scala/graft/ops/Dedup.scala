@@ -808,11 +808,21 @@ object Dedup {
     * many documents (nav chrome, license headers) are cut, while a
     * passage shared by two docs survives.
     *
-    * Scale shape: positional spans explode once; the duplicated-span
-    * set is a hash-shuffled distinct+count (never broadcast — it is
-    * corpus-sized); hit positions then merge with ONE per-document
-    * window (gaps-and-islands on lag only: all intervals share the same
-    * width, so "overlapping or contiguous" reduces to
+    * Scale shape: positional spans explode ONCE — the distinct-doc
+    * count per span comes from two stacked windows over the exploded
+    * frame (a per-(span, id) representative position, then a per-span
+    * sum of representatives), not from a distinct+groupBy joined back,
+    * which re-computed the whole tokenize+explode subtree for the join
+    * leg (column pruning rewrites the two subtrees differently, so
+    * exchange reuse never fired) and paid two extra exchanges. Same
+    * trade as [[duplicateSpanFraction]]'s window: the span key is the
+    * partition key, so a corpus-wide hot span (license boilerplate)
+    * skews its window partition where the old partial agg would not —
+    * acceptable because the hit rows must be shuffled by span either
+    * way (the old shape shuffled them INTO the join), and AQE splits
+    * oversized partitions. Hit positions then merge with ONE
+    * per-document window (gaps-and-islands on lag only: all intervals
+    * share the same width, so "overlapping or contiguous" reduces to
     * `p <= prev_p + window`, and a running max-end is unnecessary).
     * Per-doc windows partition by id — no global sort anywhere. */
   def duplicateSpanRanges(df: DataFrame, idCol: String, textCol: String,
@@ -828,12 +838,17 @@ object Dedup {
           concat_ws(" ", slice(col("toks"), i, lit(window))).as("span"))))
         .as("u"))
       .select(col("id"), col("u.p").as("p"), col("u.span").as("span"))
-    val dup = spans.select("id", "span").distinct()
-      .groupBy("span").agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= minDocs)
-      .select("span")
-    val hits = spans.join(dup, "span").select("id", "p")
     import org.apache.spark.sql.expressions.Window
+    val perDocSpan = Window.partitionBy("span", "id")
+    val perSpan = Window.partitionBy("span")
+    val hits = spans
+      // one representative row per (span, doc): positions are unique
+      // within a doc, so min(p) picks exactly one
+      .withColumn("__minp", min("p").over(perDocSpan))
+      .withColumn("__nd",
+        sum(when(col("p") === col("__minp"), 1).otherwise(0)).over(perSpan))
+      .where(col("__nd") >= minDocs)
+      .select("id", "p")
     val w = Window.partitionBy("id").orderBy("p")
     hits
       .withColumn("prev_p", lag("p", 1).over(w))
