@@ -832,31 +832,38 @@ object SparkEntry {
         col("embedding").cast("array<double>").as("qv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     import s.implicits._
-    val qdf = queries.toSeq.toDF("qid", "qv")
-    val exact = VectorIndex.topKBatch(emb, "embedding", qdf, "qid", "qv", k,
-        "cosine", scoreCol = "__s", tieBreak = Seq("vec_id"), roundScale = 4)
-      .select(col("qid"), col("vec_id"))
     val sizes = assigned.groupBy("cluster").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val total = emb.count()
-    // ONE batched approx job for the whole sweep: (nprobe, query)
-    // pairs become composite query ids, same shape as
-    // DocumentStore.tuneNprobe — job count stays 2 however many
-    // settings are swept.
+    // Every non-null-embedding row carries a cluster, so the corpus
+    // total IS the sum of the cluster sizes just collected — the
+    // separate emb.count() job this used to run re-scanned the corpus
+    // to learn a number already on the driver.
+    val total = sizes.values.sum
+    // ONE batched scoring job for the whole sweep, exact leg INCLUDED
+    // (r17 — it used to be a second topKBatch + collect): (nprobe,
+    // query) pairs become composite query ids, same shape as
+    // DocumentStore.tuneNprobe, and the exact leg rides along as
+    // np = 0 with every cluster probed (array_contains over all
+    // clusters passes every row, which is exactly the unfiltered
+    // scan), so job count stays 2 however many settings are swept.
     val nps = Seq(1, 2, 3)
     def cqid(np: Int, qid: Long): Long = (np.toLong << 40) | qid
-    val exactRows = exact.collect().map(r => (r.getLong(0), r.getLong(1)))
-    val exact2 = nps.flatMap(np =>
-      exactRows.map { case (q, id) => (cqid(np, q), id) }).toDF("qid", "vec_id")
+    val allClusters = sizes.keys.toSeq.sorted
     val probedAll = nps.flatMap(np => queries.map { case (qid, qv) =>
       (cqid(np, qid), qv, model.nearestCentroids(qv, np, roundScale = 4))
-    })
-    val approx = VectorIndex.topKBatch(assigned, "embedding",
+    }) ++ queries.map { case (qid, qv) => (cqid(0, qid), qv, allClusters) }
+    val scored = VectorIndex.topKBatch(assigned, "embedding",
         probedAll.toDF("qid", "qv", "__probes"), "qid", "qv", k,
         "cosine", scoreCol = "__s", tieBreak = Seq("vec_id"),
         roundScale = 4,
         keep = Some(expr("array_contains(__probes, cluster)")))
       .select(col("qid"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exactRows = scored.collect { case (q, id) if (q >> 40) == 0L => (q, id) }
+    val exact2 = nps.flatMap(np =>
+      exactRows.map { case (q, id) => (cqid(np, q), id) }).toDF("qid", "vec_id")
+    val approx = scored.collect { case (q, id) if (q >> 40) != 0L => (q, id) }
+      .toSeq.toDF("qid", "vec_id")
     val perC = graft.ops.Eval.recallAtK(exact2, approx, "qid", "vec_id")
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(1))).toMap
     val rows = nps.map { np =>

@@ -97,7 +97,18 @@ object Dedup {
         withSh.select(col("id"), size(col("shs")).as("n_sh"),
           explode(col("shs")).as("sh"))
     }
-    filtered.as("a").join(filtered.as("b"),
+    // Explicit shingle-key repartition BEFORE the self-join (r17): the
+    // two join legs are the same plan, so with both pre-partitioned on
+    // the join key the planner reuses ONE exchange — the tokenize/
+    // shingle/explode subtree and its shuffle write run once instead
+    // of twice, and the join is a co-partitioned sort-merge. Without
+    // it the optimizer saw two independent legs and (at small
+    // estimates) BROADCAST one: an entire exploded shingle stream
+    // collected to the driver and shipped to every executor — wrong at
+    // every scale past toy corpora, and the leg duplication stands
+    // even when it falls back to shuffle.
+    val keyed = filtered.repartition(col("sh"))
+    keyed.as("a").join(keyed.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"),
