@@ -334,9 +334,25 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    // ONE shingle pass for the verify re-attach (r17): the old shape
+    // joined `sh` twice (once per pair side), and each join leg
+    // re-executed the whole tokenize+shingle subtree over the corpus —
+    // and at bench-scale estimates the planner BROADCAST those
+    // corpus-sized legs. Exploding each candidate pair into its two
+    // (pair, id, side) rows instead makes the verify a single
+    // candidate-bounded equi-join against one shingle scan; the pair's
+    // two arrays fold back with max(when(side...)) — exactly one
+    // non-null per side per pair, and arrays are orderable, so max is
+    // just "the value".
+    val sides = cand.select(col("id_a"), col("id_b"),
+        explode(array(
+          struct(col("id_a").as("id"), lit("a").as("s")),
+          struct(col("id_b").as("id"), lit("b").as("s")))).as("e"))
+      .select(col("id_a"), col("id_b"), col("e.id").as("id"), col("e.s").as("s"))
+    sides.join(sh, "id")
+      .groupBy("id_a", "id_b")
+      .agg(max(when(col("s") === "a", col("sh"))).as("sh_a"),
+        max(when(col("s") === "b", col("sh"))).as("sh_b"))
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("common").cast("double") /
@@ -478,6 +494,14 @@ object Dedup {
     // 32-bit buckets, maxHamming=1) or prefilter with minhash-LSH.
     val banded = withH.select(col("id"), col("simhash"),
       explode(fingerprintBandKeys(col("simhash"), bands)).as("band"))
+    // NOT pre-repartitioned like shinglePairCounts (r17, measured both
+    // ways): a fingerprint row is one id + one long + a short band key
+    // — 4 band rows per asset, not hundreds of shingles — so the
+    // broadcast build the planner picks here is cheap and the forced
+    // co-partitioned sort-merge read ~2x SLOWER at bench scale
+    // (1.02 -> 1.91 s on q_image_neardup). At corpus scale the
+    // adversarial no-broadcast regime already pins the sort-merge
+    // fallback's correctness.
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
