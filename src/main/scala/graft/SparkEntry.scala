@@ -2310,11 +2310,14 @@ object SparkEntry {
   }
 
   /** TPC-H Q18 shape (large-volume customers): the IN-subquery-with-
-    * HAVING decorrelates to an aggregate + two semijoins. The
-    * qualifying-order subtree is built IDENTICALLY for both semijoins
-    * so ReuseExchange computes it once; no side gets a broadcast hint —
-    * the qualifying set and the dims grow with the corpus (the q17
-    * lesson), so AQE picks broadcast vs shuffle from runtime sizes. */
+    * HAVING decorrelates to an aggregate + ONE semijoin on the orders
+    * side (r17 — the lineitem-side semijoin the old shape also ran is
+    * subsumed by the inner join against the already-filtered orders:
+    * same rows, and the qualifying-order aggregate now exists exactly
+    * once in the plan instead of as two broadcast builds). No side
+    * gets a broadcast hint — the qualifying set and the dims grow with
+    * the corpus (the q17 lesson), so AQE picks broadcast vs shuffle
+    * from runtime sizes. */
   private def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
     val l = table(s, dir, "lineitem")
     val big = l.groupBy("l_orderkey")
@@ -2325,7 +2328,6 @@ object SparkEntry {
       .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
     val c = table(s, dir, "customer").select("c_custkey", "c_name")
     l.select(col("l_orderkey"), col("l_quantity"))
-      .join(big, Seq("l_orderkey"), "left_semi")
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
