@@ -51,7 +51,7 @@ object GateProbe {
     }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val scratchRoot = java.nio.file.Files.createTempDirectory("gate-probe").toString
-    (1 to rounds).foreach { round =>
+    try (1 to rounds).foreach { round =>
       println(s"--- round $round ($modality) ---")
       val idx = s"$scratchRoot/idx_$round"
       modality match {
@@ -134,9 +134,14 @@ object GateProbe {
               "vec_id", "embedding", "ts", model, threshold = 0.4)
           }
           phase("final count") { kept.select("vec_id").count() }
+        case other =>
+          println(s"unknown modality '$other' — expected image|text|audio|sem|entry:<query>")
       }
+    } finally {
+      // A failing round must still release the temp dir and the session.
+      graft.MainUtil.deleteRecursively(new java.io.File(scratchRoot))
+      spark.stop()
     }
-    graft.MainUtil.deleteRecursively(new java.io.File(scratchRoot))
-    spark.stop()
   }
 }
+

@@ -843,23 +843,27 @@ object Dedup {
     * many documents (nav chrome, license headers) are cut, while a
     * passage shared by two docs survives.
     *
-    * Scale shape: positional spans explode ONCE — the distinct-doc
-    * count per span comes from two stacked windows over the exploded
-    * frame (a per-(span, id) representative position, then a per-span
-    * sum of representatives), not from a distinct+groupBy joined back,
-    * which re-computed the whole tokenize+explode subtree for the join
-    * leg (column pruning rewrites the two subtrees differently, so
-    * exchange reuse never fired) and paid two extra exchanges. Same
-    * trade as [[duplicateSpanFraction]]'s window: the span key is the
-    * partition key, so a corpus-wide hot span (license boilerplate)
-    * skews its window partition where the old partial agg would not —
-    * acceptable because the hit rows must be shuffled by span either
-    * way (the old shape shuffled them INTO the join), and AQE splits
-    * oversized partitions. Hit positions then merge with ONE
-    * per-document window (gaps-and-islands on lag only: all intervals
-    * share the same width, so "overlapping or contiguous" reduces to
-    * `p <= prev_p + window`, and a running max-end is unnecessary).
-    * Per-doc windows partition by id — no global sort anywhere. */
+    * Scale shape: the distinct-doc count per span comes from a second,
+    * much cheaper corpus pass — [[TextFunctions.shingles]] already
+    * dedups spans WITHIN a doc (array_distinct), so `groupBy(span)
+    * .count` over its explode IS the distinct-doc count, computed with
+    * map-side partial aggregation (a corpus-wide hot span collapses to
+    * one partial count per map task before the exchange). The
+    * qualifying-span set then re-attaches to the positional explode
+    * with a plain equi-join on the span key: AQE can broadcast it when
+    * it is small and skew-split the sort-merge partitions when a hot
+    * span is not (neither applies to a window exchange — all rows of a
+    * window partition key must land in ONE task, so the previous
+    * Window.partitionBy(span) shape put every positional occurrence of
+    * corpus-wide boilerplate — exactly the minDocs >= 2 target data —
+    * into a single task with no partial agg). The price is tokenizing
+    * the corpus twice; both passes are embarrassingly parallel, which
+    * a single-task hot window partition is not. Hit positions then
+    * merge with ONE per-document window (gaps-and-islands on lag only:
+    * all intervals share the same width, so "overlapping or
+    * contiguous" reduces to `p <= prev_p + window`, and a running
+    * max-end is unnecessary). Per-doc windows partition by id — no
+    * global sort anywhere. */
   def duplicateSpanRanges(df: DataFrame, idCol: String, textCol: String,
                           window: Int = 8, minDocs: Int = 2): DataFrame = {
     require(window >= 2, "window must be >= 2 tokens")
@@ -873,17 +877,16 @@ object Dedup {
           concat_ws(" ", slice(col("toks"), i, lit(window))).as("span"))))
         .as("u"))
       .select(col("id"), col("u.p").as("p"), col("u.span").as("span"))
-    import org.apache.spark.sql.expressions.Window
-    val perDocSpan = Window.partitionBy("span", "id")
-    val perSpan = Window.partitionBy("span")
-    val hits = spans
-      // one representative row per (span, doc): positions are unique
-      // within a doc, so min(p) picks exactly one
-      .withColumn("__minp", min("p").over(perDocSpan))
-      .withColumn("__nd",
-        sum(when(col("p") === col("__minp"), 1).otherwise(0)).over(perSpan))
+    // Distinct-doc count per span WITH partial aggregation: shingles()
+    // is per-doc-distinct, so each (doc, span) contributes exactly one
+    // exploded row and count(*) == n distinct docs.
+    val qualifying = df
+      .select(explode(TextFunctions.shingles(col(textCol), window)).as("span"))
+      .groupBy("span").agg(count(lit(1)).as("__nd"))
       .where(col("__nd") >= minDocs)
-      .select("id", "p")
+      .select("span")
+    import org.apache.spark.sql.expressions.Window
+    val hits = spans.join(qualifying, Seq("span")).select("id", "p")
     val w = Window.partitionBy("id").orderBy("p")
     hits
       .withColumn("prev_p", lag("p", 1).over(w))
@@ -957,15 +960,25 @@ object Dedup {
       TextFunctions.shingles(col(textCol), window).as("shs"))
     val spans = withSh.select(col("id"), size(col("shs")).as("n_spans"),
       explode(col("shs")).as("span"))
-    // Per-span document counts come from a WINDOW over the exploded
-    // frame, not a groupBy+self-join: one shuffle on the span key, and
-    // the scan+shingle+explode runs exactly once (a join against a
-    // derived count aggregate would recompute it — the partial agg
-    // under the exchange defeats exchange reuse).
-    import org.apache.spark.sql.expressions.Window
-    spans
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy("span")))
-      .where(col("nd") >= 2)
+    // Per-span document counts come from a groupBy over a second
+    // shingle pass, NOT a window over the exploded frame: shingles()
+    // is per-doc-distinct, so count(*) per span == distinct docs, and
+    // the groupBy keeps map-side partial aggregation (a corpus-wide
+    // hot span — license boilerplate, the very data this targets —
+    // collapses to one partial count per map task). The re-attach is
+    // an equi-join on the span key, which AQE can broadcast when the
+    // duplicated-span set is small and skew-split when it is not;
+    // a Window.partitionBy(span) could do neither (all rows of a
+    // window partition key must land in one task — AQE skew handling
+    // applies to shuffle joins only), so hot boilerplate spans became
+    // a single-task straggler at corpus scale. The price — shingling
+    // the corpus twice — is embarrassingly parallel.
+    val dupSpans = df
+      .select(explode(TextFunctions.shingles(col(textCol), window)).as("span"))
+      .groupBy("span").agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") >= 2)
+      .select("span")
+    spans.join(dupSpans, Seq("span"))
       .groupBy(col("id"), col("n_spans"))
       .agg(count(lit(1)).as("n_dup_spans"))
       .select(col("id").as(idCol),
@@ -1262,3 +1275,4 @@ object Dedup {
         (-col("__m.__negid")).as(s"keeper_$idCol"))
   }
 }
+

@@ -89,7 +89,11 @@ object MediaCodec {
     val bos = new ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
-      if (format.equalsIgnoreCase("png")) {
+      val pngWriters =
+        if (format.equalsIgnoreCase("png"))
+          ImageIO.getImageWritersByFormatName("png")
+        else java.util.Collections.emptyIterator[javax.imageio.ImageWriter]()
+      if (pngWriters.hasNext) {
         // Explicit low-effort deflate for PNG: the writer's default
         // compression level spends ~2x the CPU of level-1/2 squeezing
         // a few percent off synthetic rasters (measured 0.45 -> 0.22
@@ -97,7 +101,7 @@ object MediaCodec {
         // — PNG is lossless at EVERY level, so the decode contract is
         // untouched). Writer instances are not thread-safe and task
         // threads encode concurrently: one per call, disposed.
-        val w = ImageIO.getImageWritersByFormatName("png").next()
+        val w = pngWriters.next()
         try {
           val p = w.getDefaultWriteParam
           p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
@@ -106,6 +110,9 @@ object MediaCodec {
           w.write(null, new javax.imageio.IIOImage(img, null, null), p)
         } finally w.dispose()
       } else {
+        // Falls through here when no PNG writer is registered (exotic
+        // JRE): the generic path keeps the descriptive require below
+        // instead of a bare NoSuchElementException.
         val ok = ImageIO.write(img, format, ios)
         require(ok, s"no ImageIO writer for format '$format'")
       }
@@ -539,3 +546,4 @@ object MediaCodec {
     (s.length.toLong, peak, sumSq, zc)
   }
 }
+

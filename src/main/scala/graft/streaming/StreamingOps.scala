@@ -755,6 +755,18 @@ object StreamingOps {
       // full sort-merge shuffle of the banded rows ON TOP of the agg
       // exchange. One window pass shuffles the banded rows once,
       // whatever the index size.
+      //
+      // Skew exposure of the band-keyed window (no partial agg, no AQE
+      // splitting — those apply to shuffle joins, not windows) is
+      // BOUNDED by construction on both sides: the index holds at most
+      // ONE row per band, because any band shared between two docs
+      // drops the later one (cross-batch hit) or the non-first one
+      // (in-batch rule) — two survivors can never share a band. The
+      // batch side of a window partition is capped by the micro-batch
+      // size, and the null-hash guards in the banders keep degenerate
+      // inputs from collapsing onto one key. So the worst window
+      // partition is (one micro-batch's rows for one hot band) + 1,
+      // not (a year-long index's rows for it).
       val index = readGateIndex(spark, indexPath, batchId, "band gate",
         bandOnlySchema)
       val indexLeg = index.select(
