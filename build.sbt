@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNPREFIXED: sbt's default
+// LoggedOutput strategy prepends "[info] " to every line, which breaks
+// any line-oriented parser looking for Bench's one-line JSON contract
+// ({"metric":...}). BENCH_rNN.json read "parsed": null every round
+// until r18 — this plus the inline queries map in Bench restores it.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

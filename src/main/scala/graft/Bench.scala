@@ -432,7 +432,12 @@ object Bench {
     if (!wrote) println(fullJson)
     val (worstName, worstSec) = results.maxBy(_._2)
     // Vitals LAST so any bounded stdout-tail capture gets them whole.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"worst":{${jstr(worstName)}:$worstSec},"n_errors":${errors.size},"n_retries":${retries.size},"n_suspect":${suspect.size},"total_excl_suspect":$totalExclSuspect,"inflation_median":$inflMedian,"file":${if (wrote) jstr(outPath) else "null"},"sf":"$sfDir"}""")
+    // The driver contract requires the per-query map INLINE in this
+    // line ({"metric",...,"queries":{...},"sf":...}); r01-r17 printed
+    // it only to bench_out.json and every BENCH_rNN.json came back
+    // "parsed": null. Keep the extra diagnostics — the contract allows
+    // added fields, never removed ones.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"worst":{${jstr(worstName)}:$worstSec},"n_errors":${errors.size},"n_retries":${retries.size},"n_suspect":${suspect.size},"total_excl_suspect":$totalExclSuspect,"inflation_median":$inflMedian,"file":${if (wrote) jstr(outPath) else "null"},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }
