@@ -361,6 +361,18 @@ object Bench {
     def jstr(s: String): String = MainUtil.jstr(s)
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    // Stdout copy of the map at 3-dp (millisecond) precision: the
+    // driver's stdout capture keeps only a bounded TAIL (2,000 chars in
+    // every BENCH_rNN.json artifact), so the full-precision map (~5.5 KB
+    // for 151 queries) can never fit whole — r09 proved the capture
+    // salvages complete entries from a truncated map. Rounding maximizes
+    // how many complete (name, sec) pairs land inside the window; the
+    // vitals fields FOLLOW the map so truncation (which cuts the line's
+    // HEAD) always leaves them intact. Full precision lives in
+    // bench_out.json. Locale-proof: Double.toString, never "%.3f".
+    def r3(v: Double): Double = math.rint(v * 1000.0) / 1000.0
+    val qsShort = results.map { case (k, v) => jstr(k) + ":" + r3(v) }
+      .mkString("{", ",", "}")
     val rs = retries.map { case (k, info) =>
       val deferredPart = info.deferred.map { case (t, c) =>
         ",\"deferred\":" + t + ",\"canary_deferred\":" + c
@@ -437,7 +449,7 @@ object Bench {
     // it only to bench_out.json and every BENCH_rNN.json came back
     // "parsed": null. Keep the extra diagnostics — the contract allows
     // added fields, never removed ones.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"worst":{${jstr(worstName)}:$worstSec},"n_errors":${errors.size},"n_retries":${retries.size},"n_suspect":${suspect.size},"total_excl_suspect":$totalExclSuspect,"inflation_median":$inflMedian,"file":${if (wrote) jstr(outPath) else "null"},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"n_queries":${results.size},"worst":{${jstr(worstName)}:$worstSec},"n_errors":${errors.size},"n_retries":${retries.size},"n_suspect":${suspect.size},"total_excl_suspect":$totalExclSuspect,"inflation_median":$inflMedian,"file":${if (wrote) jstr(outPath) else "null"},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

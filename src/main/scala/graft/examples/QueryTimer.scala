@@ -23,12 +23,42 @@ object QueryTimer {
       .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val perJob = sys.env.contains("SPARK_GRAFT_TIMER_JOBS")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          if (perJob) jobStart.put(e.jobId, (e.time,
+            Option(e.properties.getProperty("spark.job.description"))
+              .getOrElse("")))
+        }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          if (perJob) Option(jobStart.remove(e.jobId)).foreach {
+            case (t0, d) =>
+              println(f"  JOB ${e.jobId}%4d ${(e.time - t0) / 1e3}%7.3f s  $d")
+          }
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          tasks.addAndGet(e.stageInfo.numTasks)
+        }
+      })
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       (1 to rounds).foreach { r =>
+        jobs.set(0); stages.set(0); tasks.set(0)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        println(f"TIMER $name round=$r ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+        val sec = (System.nanoTime() - t0) / 1e9
+        // listener events are async; give the queue a beat
+        Thread.sleep(150)
+        println(f"TIMER $name round=$r $sec%7.3f s jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
       }
     }
     spark.stop()
